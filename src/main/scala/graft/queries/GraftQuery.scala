@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query of the engine's public surface.
+  *
+  * @param name    stable key, referenced by the correctness/bench harness
+  * @param build   DataFrame producer over a testdata scale-factor directory
+  * @param oracle  equivalent ANSI SQL runnable by DuckDB over the same
+  *                parquet tables; None for ops whose semantics are not
+  *                SQL-expressible (those get a weaker rows-only check)
+  * @param bench   include in the headline benchmark set
+  */
+final case class GraftQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+object Registry {
+  /** Full query surface, assembled per module. Order is stable. */
+  def all: Seq[GraftQuery] =
+    Relational.queries ++ TrainingData.queries
+
+  def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** The relational parity surface: one query per operator row of
+  * `SURVEY.md` §2, re-expressed over the synthetic testdata star schema.
+  *
+  * Design rules (scale-first):
+  *  - declarative DataFrame API only, so Catalyst gets predicate pushdown,
+  *    column pruning and join planning for free;
+  *  - dimension sides of joins are explicitly `broadcast()` — at 100 TB the
+  *    fact never shuffles for a dim join;
+  *  - every aggregate is a hash aggregate with map-side partial rows;
+  *  - top-k is `orderBy(...).limit(k)` which Spark plans as
+  *    `TakeOrderedAndProject` (per-partition heap, no global sort);
+  *  - double-valued aggregates are rounded in BOTH engines so the
+  *    DuckDB-oracle hash compare is insensitive to summation order.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- S2/P3
+  /** Parquet scan + projection/rename (SURVEY §2 S2, P3: `etl.py:136-138`,
+    * `292-311`). The scan must show ReadSchema with only 3 columns. */
+  private val scanProject = GraftQuery(
+    "s2_scan_project",
+    (s, d) => Tables.lineitem(s, d).select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").as("line_no"),
+      col("l_extendedprice").as("price")),
+    Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+            l_extendedprice AS price FROM lineitem"""))
+
+  // ---------------------------------------------------------------- P4/P5
+  /** Value predicates + IS NOT NULL rejection (SURVEY §2 P4-P6:
+    * `etl.py:275`, `318-323`). Pushed to the parquet scan. */
+  private val filters = GraftQuery(
+    "p4_p5_filter_pushdown",
+    (s, d) => Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 30 &&
+        col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("ship_date")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+            CAST(l_shipdate AS DATE) AS ship_date
+            FROM lineitem
+            WHERE l_returnflag = 'R' AND l_quantity > 30
+              AND l_shipdate IS NOT NULL"""))
+
+  // ------------------------------------------------------------------ P8
+  /** Full-row deduplicate → DISTINCT hash aggregate (SURVEY §2 P8:
+    * `etl.py:243,249,263`). */
+  private val dedupDistinct = GraftQuery(
+    "p8_dropduplicates",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").dropDuplicates(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  // ------------------------------------------------------------------ U1
+  /** SAS-date → ISO string, with the reference's Python-falsiness quirk
+    * (`etl.py:236`: day offset 0.0 maps to null, not 1960-01-01). Native
+    * `date_add` tree — no UDF, stays inside whole-stage codegen. */
+  private val sasDate = GraftQuery(
+    "u1_sas_date_to_iso",
+    (s, d) => Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_quantity").isNotNull && col("l_quantity") =!= 0,
+        date_format(
+          date_add(to_date(lit("1960-01-01")),
+            floor(col("l_quantity")).cast(IntegerType)),
+          "yyyy-MM-dd")).as("arrival_date")),
+    Some("""SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_quantity IS NOT NULL AND l_quantity <> 0
+                 THEN CAST(DATE '1960-01-01'
+                           + CAST(FLOOR(l_quantity) AS INTEGER) AS VARCHAR)
+            END AS arrival_date
+            FROM lineitem"""))
+
+  // ------------------------------------------------------------------ U2
+  /** Range-validated value kept as *stringified double* — the reference's
+    * default-StringType UDF quirk (`etl.py:237`, birth_year `'1962.0'`). */
+  private val rangeStr = GraftQuery(
+    "u2_range_validate_str",
+    (s, d) => Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_quantity").between(10, 40),
+        col("l_quantity").cast(StringType)).as("qty_str")),
+    Some("""SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_quantity >= 10 AND l_quantity <= 40
+                 THEN CAST(l_quantity AS VARCHAR) END AS qty_str
+            FROM lineitem"""))
+
+  // --------------------------------------------------------------- U3/U4
+  /** Delimiter-split + trim with the reference's conditional second part
+    * (`etl.py:254-256`: element [1] only when >1 part, else null). */
+  private val splitTrim = GraftQuery(
+    "u3_u4_split_extract",
+    (s, d) => {
+      val words = split(col("p_name"), " ")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        trim(words.getItem(0)).as("first_word"),
+        when(size(words) > 1, trim(words.getItem(1))).as("second_word"))
+    },
+    Some("""SELECT p_partkey,
+            trim(split_part(p_name, ' ', 1)) AS first_word,
+            CASE WHEN len(str_split(p_name, ' ')) > 1
+                 THEN trim(split_part(p_name, ' ', 2)) END AS second_word
+            FROM part"""))
+
+  // ------------------------------------------------------------------ U5
+  /** Anchored regexp_replace normalisation (`etl.py:266-269`). Pattern is
+    * single-match so Spark's replace-all and DuckDB's replace-first
+    * agree. */
+  private val regexReplace = GraftQuery(
+    "u5_regexp_replace",
+    (s, d) => Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_replace(col("p_brand"), "^Brand#(1|2)$", "NA").as("brand_norm")),
+    Some("""SELECT p_partkey,
+            regexp_replace(p_brand, '^Brand#(1|2)$', 'NA') AS brand_norm
+            FROM part"""))
+
+  // ------------------------------------------------------------------ J1
+  /** The fact-to-dims star join (SURVEY §2 J1: `etl.py:312-323`): LEFT
+    * joins + IS-NOT-NULL → Catalyst's EliminateOuterJoin rewrites to inner
+    * broadcast joins; the fact side never shuffles. */
+  private val starJoin = GraftQuery(
+    "j1_star_join_broadcast",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val na = Tables.nation(s, d)
+      val re = Tables.region(s, d)
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"), "left")
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"), "left")
+        .where(col("r_name").isNotNull && col("n_name").isNotNull)
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    },
+    Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+              LEFT JOIN supplier ON l_suppkey = s_suppkey
+              LEFT JOIN nation ON s_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IS NOT NULL AND n_name IS NOT NULL
+            GROUP BY r_name, n_name"""))
+
+  // ------------------------------------------------------------------ J2
+  /** Expression-keyed join: `lower()` on the key (SURVEY §2 J2,
+    * `etl.py:350-357`), dim derived then re-joined case-insensitively. */
+  private val exprKeyJoin = GraftQuery(
+    "j2_expr_key_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dim = docs.select(upper(col("lang")).as("lang_uc")).distinct()
+      docs.join(broadcast(dim), lower(col("lang_uc")) === col("lang"))
+        .groupBy("lang_uc").agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""SELECT lang_uc, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+              JOIN (SELECT DISTINCT upper(lang) AS lang_uc FROM documents) u
+                ON lower(u.lang_uc) = documents.lang
+            GROUP BY lang_uc"""))
+
+  // ------------------------------------------------------------------ J3
+  /** Top-k derived table re-joined to a dim for display names, then
+    * re-ordered — the reference's analytics shape (notebook cells 45-47).
+    * LIMIT-before-join order preserved; ties broken on the key so the
+    * result is deterministic in both engines. */
+  private val topkRejoin = GraftQuery(
+    "j3_topk_rejoin",
+    (s, d) => {
+      val top = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("visits"))
+        .orderBy(desc("visits"), col("c_nationkey"))
+        .limit(10)
+      top.join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("visits"))
+        .orderBy(desc("visits"), col("n_name"))
+    },
+    Some("""SELECT n_name, visits FROM (
+              SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS visits
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey
+              ORDER BY visits DESC, c_nationkey LIMIT 10
+            ) t JOIN nation ON t.c_nationkey = n_nationkey
+            ORDER BY visits DESC, n_name"""))
+
+  // ------------------------------------------------------------------ J4
+  /** Anti-join (SURVEY §2 J4 — the notebook's LEFT JOIN + IS NULL idiom,
+    * expressed natively as `left_anti`). */
+  private val antiJoin = GraftQuery(
+    "j4_anti_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  // ------------------------------------------------------------------ A1
+  /** Multi-SUM grouped rollup (SURVEY §2 A1, `etl.py:336-347`) in TPC-H Q1
+    * shape — the flagship aggregate. */
+  private val groupbySum = GraftQuery(
+    "a1_groupby_sum",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+            ROUND(SUM(l_quantity), 2) AS sum_qty,
+            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+              AS sum_charge,
+            ROUND(AVG(l_quantity), 4) AS avg_qty,
+            ROUND(AVG(l_discount), 6) AS avg_disc,
+            CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
+  // ------------------------------------------------------------------ A2
+  /** GROUP BY + COUNT(*) (SURVEY §2 A2, notebook cells 45-47). */
+  private val groupbyCount = GraftQuery(
+    "a2_groupby_count",
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders")),
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderpriority"""))
+
+  // ------------------------------------------------------------------ A3
+  /** Global COUNT(*) (SURVEY §2 A3, `etl.py:369-388`). */
+  private val globalCount = GraftQuery(
+    "a3_global_count",
+    (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows")),
+    Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"))
+
+  // --------------------------------------------------------------- A4/A5
+  /** COUNT(DISTINCT …) (SURVEY §2 A4/A5, `etl.py:391-409`). */
+  private val distinctCount = GraftQuery(
+    "a4_distinct_count",
+    (s, d) => Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_suppliers")),
+    Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+            COUNT(DISTINCT l_suppkey) AS n_suppliers FROM lineitem"""))
+
+  // ------------------------------------------------------------------ A6
+  /** DISTINCT projection (SURVEY §2 A6, notebook cell 40). */
+  private val distinctProj = GraftQuery(
+    "a6_distinct_projection",
+    (s, d) => Tables.orders(s, d).select("o_orderstatus").distinct(),
+    Some("SELECT DISTINCT o_orderstatus FROM orders"))
+
+  // ------------------------------------------------------------------ A7
+  /** ORDER BY DESC LIMIT k → `TakeOrderedAndProject` (SURVEY §2 A7). Ties
+    * broken by the unique (orderkey, linenumber) pair. */
+  private val topkOrderLimit = GraftQuery(
+    "a7_topk_order_limit",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(10),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 10"""))
+
+  // ------------------------------------------------------------------ K1
+  /** Hive-partitioned parquet sink + re-read (SURVEY §2 K1,
+    * `etl.py:71-74`): write partitioned by a low-cardinality key, then
+    * prove the roundtrip by re-aggregating the re-read copy. */
+  private val partitionedSink = GraftQuery(
+    "k1_partitioned_parquet_sink",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sink-").toString
+      Tables.part(s, d).write.mode("overwrite")
+        .partitionBy("p_brand").parquet(out)
+      s.read.parquet(out)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p_retailprice")), 2).as("retail"))
+    },
+    Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(p_retailprice), 2) AS retail
+            FROM part GROUP BY p_brand"""),
+    bench = false)
+
+  // ------------------------------------------------------------------ S3
+  /** CSV sink + explicit-schema scan roundtrip (SURVEY §2 S3,
+    * `etl.py:141-158`: `;` separator, header, explicit StructType). */
+  private val csvRoundtrip = GraftQuery(
+    "s3_csv_explicit_schema",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-csv-").toString
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("sep", ";").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.option("sep", ";").option("header", "true")
+        .schema(schema).csv(out)
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+    bench = false)
+
+  val queries: Seq[GraftQuery] = Seq(
+    scanProject, filters, dedupDistinct, sasDate, rangeStr, splitTrim,
+    regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
+    groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
+    partitionedSink, csvRoundtrip)
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{TextAnalysis, TextFunctions}
+
+/** Training-data pipeline surface over `documents` / `embeddings` /
+  * `events`: dedup, text analysis, similarity, multimodal plumbing.
+  * Grows alongside `graft.ops`.
+  */
+object TrainingData {
+
+  // ---------------------------------------------------------- exact dedup
+  /** Exact dedup via content-hash groupBy: at 100 TB you shuffle a 32-byte
+    * digest + id, never the document bodies (contrast `dropDuplicates()`
+    * over full rows, which shuffles everything). */
+  private val dedupExact = GraftQuery(
+    "x_dedup_exact_hash",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_fp"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS content_fp,
+            MIN(doc_id) AS keeper_id,
+            CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text)"""))
+
+  // ---------------------------------------------------------- token stats
+  /** Whitespace + BPE-ish regex token counting (narrow, codegen'd). */
+  private val tokenCount = GraftQuery(
+    "x_token_count",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_m")),
+    Some("""SELECT doc_id,
+            CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                                 t -> t <> '')) AS BIGINT) AS ws_tokens,
+            CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+            CAST(length(text) AS BIGINT) AS n_chars_m
+            FROM documents"""))
+
+  // -------------------------------------------------------- quality score
+  /** Length/punctuation/stopword quality signals + blended score. */
+  private val qualityScore = GraftQuery(
+    "x_quality_score",
+    (s, d) => TextAnalysis.qualityTable(Tables.documents(s, d)),
+    Some {
+      val stops = TextAnalysis.StopwordsByLang("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+            SELECT doc_id, text,
+              list_filter(str_split_regex(lower(text), '\\s+'),
+                          x -> x <> '') AS toks,
+              CAST(length(text) AS DOUBLE) AS nc,
+              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                   AS DOUBLE) AS punct
+            FROM documents),
+          u AS (
+            SELECT doc_id, nc, punct,
+              CAST(len(toks) AS DOUBLE) AS nw,
+              CAST(len(list_filter(toks,
+                   x -> list_contains($stops, x))) AS DOUBLE) AS stops,
+              CAST(list_sum(list_transform(toks, x -> length(x)))
+                   AS DOUBLE) AS charsum
+            FROM t)
+          SELECT doc_id,
+            CAST(nc AS BIGINT) AS n_chars_m,
+            CAST(nw AS BIGINT) AS n_words,
+            ROUND(CASE WHEN nw > 0 THEN charsum / nw ELSE 0.0 END, 4)
+              AS mean_word_len,
+            ROUND(CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END, 6)
+              AS punct_ratio,
+            ROUND(CASE WHEN nw > 0 THEN stops / nw ELSE 0.0 END, 6)
+              AS stopword_ratio,
+            ROUND(CASE WHEN nw < 5 THEN 0.0 ELSE
+              0.4 * LEAST((CASE WHEN nw > 0 THEN stops / nw ELSE 0.0 END)
+                          * 4, 1.0) +
+              0.3 * (CASE WHEN (CASE WHEN nw > 0 THEN charsum / nw
+                                ELSE 0.0 END) BETWEEN 3 AND 8
+                     THEN 1.0 ELSE 0.3 END) +
+              0.3 * (1.0 - LEAST((CASE WHEN nc > 0 THEN punct / nc
+                                  ELSE 0.0 END) * 5, 1.0)) END, 4)
+              AS quality_score
+          FROM u"""
+    })
+
+  // --------------------------------------------------------- fingerprints
+  /** Canonical-text md5 document fingerprinting. */
+  private val fingerprint = GraftQuery(
+    "x_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp_md5")),
+    Some("""SELECT doc_id,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+              AS fp_md5
+            FROM documents"""))
+
+  // ------------------------------------------------------- events windows
+  /** Tumbling-hour event rollup — the batch twin of the Structured
+    * Streaming window aggregation (same plan shape as
+    * `groupBy(window($"ts", "1 hour"), ...)`). */
+  private val eventsHourly = GraftQuery(
+    "x_events_hourly_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+              AS hour,
+            event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+            ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2"""))
+
+  val queries: Seq[GraftQuery] = Seq(
+    dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly)
+}
