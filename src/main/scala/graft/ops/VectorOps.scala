@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math as native Catalyst column trees (no UDFs), plus
+  * the random-hyperplane LSH used for approximate nearest-neighbor
+  * search.
+  *
+  * All arithmetic is double-precision left-to-right folds so an external
+  * SQL oracle computing `list_sum(list_transform(...))` reproduces the
+  * exact same floating-point results.
+  */
+object VectorOps {
+
+  /** Element-wise dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe only in that degenerate zero-norm
+    * vectors yield null (division by zero → null in non-ANSI ops is a
+    * trap; the testdata has no zero vectors and ANSI divide-by-zero on
+    * doubles yields Infinity, never thrown). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Deterministic pseudo-random hyperplanes: `planes × dims` values in
+    * [-1, 1], 4-decimal-rounded so they can be embedded as literals in
+    * oracle SQL. Plain 48-bit LCG (java.util.Random's constants) from a
+    * fixed seed — no runtime randomness, identical every run. */
+  def hyperplanes(planes: Int, dims: Int, seed: Long = 20260812L): Seq[Seq[Double]] = {
+    var s = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    def next(): Double = {
+      s = (s * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
+      val u = (s >>> 22).toDouble / (1L << 26).toDouble // [0,1)
+      math.rint((u * 2 - 1) * 1e4) / 1e4
+    }
+    Seq.fill(planes)(Seq.fill(dims)(next()))
+  }
+
+  /** Literal column for one hyperplane. */
+  def planeCol(p: Seq[Double]): Column = array(p.map(lit): _*)
+
+  /** Sign-bucket id of a vector under the given hyperplanes: bit `i` set
+    * iff `dot(v, plane_i) > 0`. With `p` planes the corpus splits into
+    * ≤ 2^p buckets; neighbors agree on buckets with probability
+    * `1 - angle/π` per plane (random-hyperplane LSH). */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeCol(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB-SQL rendering of the same plane dot product over vector
+    * expression `v` (1-based list indexing). */
+  def sqlPlaneDot(v: String, plane: Seq[Double]): String = {
+    val lits = plane.mkString("[", ", ", "]")
+    s"list_sum(list_transform(generate_series(1, ${plane.size}), i -> $v[i] * ($lits)[i]))"
+  }
+
+  def sqlLshBucket(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${sqlPlaneDot(v, p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.Dedup
+
+/** Near-duplicate detection over `documents`: MinHash+LSH, SimHash, and
+  * inverted-index n-gram Jaccard. Spark side in [[graft.ops.Dedup]]; the
+  * SQL here is the independent DuckDB re-derivation of the identical
+  * semantics (same md5-based hashes, same band structure, same skew
+  * caps), so every emitted pair and similarity value hash-matches.
+  */
+object DedupQueries {
+
+  /** Shared oracle CTEs: tokens and distinct 3-word shingles. */
+  private val tokensCte =
+    """toks AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(str_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           generate_series(1, len(toks) - 2),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM toks WHERE len(toks) >= 3)""".stripMargin
+
+  private val jaccardSql =
+    """ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))), 6)""".stripMargin
+
+  // ------------------------------------------------------- MinHash + LSH
+  private def minhashSql(seed: Int) =
+    s"list_min(list_transform(sh, s -> md5('$seed:' || s)))"
+
+  private val bandCols = (0 until Dedup.Bands).map { b =>
+    val parts = (0 until Dedup.RowsPerBand)
+      .map(r => minhashSql(b * Dedup.RowsPerBand + r))
+    s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
+  }
+
+  private val minhashLsh = GraftQuery(
+    "x_dedup_minhash_lsh",
+    (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.8),
+    Some(s"""WITH $tokensCte, $shinglesCte,
+      sig AS (SELECT doc_id, ${bandCols.mkString(", ")} FROM sh),
+      bands AS (${(0 until Dedup.Bands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, b$b AS band_key FROM sig")
+        .mkString(" UNION ALL ")}),
+      sized AS (SELECT band_idx, band_key FROM bands
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
+      cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+               FROM bands x
+               JOIN sized USING (band_idx, band_key)
+               JOIN bands y ON x.band_idx = y.band_idx
+                AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+      SELECT * FROM (
+        SELECT a_id, b_id, $jaccardSql AS jaccard
+        FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
+      WHERE jaccard >= 0.8"""))
+
+  // -------------------------------------------------------------- SimHash
+  private val hashesCte =
+    """hs AS (
+      |  SELECT doc_id,
+      |         list_transform(toks,
+      |           t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS hs
+      |  FROM toks)""".stripMargin
+
+  private val simhashExpr = (0 until 32).map { j =>
+    s"""(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> $j) & 1))
+       |      > len(hs) THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)""".stripMargin
+  }.mkString("(", " + ", ")")
+
+  private val simhashSig = GraftQuery(
+    "x_dedup_simhash",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+    },
+    Some(s"""WITH $tokensCte, $hashesCte
+      SELECT doc_id, $simhashExpr AS simhash FROM hs"""))
+
+  private val simhashPairs = GraftQuery(
+    "x_dedup_simhash_pairs",
+    (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
+    Some(s"""WITH $tokensCte, $hashesCte,
+      sig AS (SELECT doc_id, $simhashExpr AS sh32 FROM hs),
+      bands AS (${(0 until 4).map(k =>
+        s"SELECT doc_id, sh32, $k AS band_idx, (sh32 >> ${8 * k}) & 255 AS band_val FROM sig")
+        .mkString(" UNION ALL ")}),
+      pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                  CAST(bit_count(xor(x.sh32, y.sh32)) AS INTEGER) AS hamming
+                FROM bands x JOIN bands y
+                  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                 AND x.doc_id < y.doc_id)
+      SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3"""))
+
+  // ------------------------------------------- inverted-index n-gram set
+  private val ngramInverted = GraftQuery(
+    "x_dedup_ngram_inverted",
+    (s, d) => Dedup.invertedIndexNearDups(
+      Tables.documents(s, d), maxDf = 5, minShared = 10, threshold = 0.5),
+    Some(s"""WITH $tokensCte, $shinglesCte,
+      posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      rare AS (SELECT p.doc_id, p.shingle FROM posting p
+               JOIN (SELECT shingle FROM posting
+                     GROUP BY 1 HAVING count(*) BETWEEN 2 AND 5) r
+               USING (shingle)),
+      pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                  CAST(count(*) AS BIGINT) AS shared
+                FROM rare x JOIN rare y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 10)
+      SELECT * FROM (
+        SELECT a_id, b_id, shared, $jaccardSql AS jaccard
+        FROM pairs JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
+      WHERE jaccard >= 0.5"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(minhashLsh, simhashSig, simhashPairs, ngramInverted)
+}

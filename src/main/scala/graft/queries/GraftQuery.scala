@@ -20,7 +20,8 @@ final case class GraftQuery(
 object Registry {
   /** Full query surface, assembled per module. Order is stable. */
   def all: Seq[GraftQuery] =
-    Relational.queries ++ TrainingData.queries
+    Relational.queries ++ TrainingData.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

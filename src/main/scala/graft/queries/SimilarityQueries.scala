@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.VectorOps
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane
+  * LSH bucketing as the scale path, and threshold near-dup pairing.
+  *
+  * Scale notes: the query side is always the broadcast side (queries ≪
+  * corpus), so the corpus scan never shuffles for scoring; ranking
+  * shuffles only (q_id, n_id, score) triples. The LSH variant cuts the
+  * scored candidates by ~2^planes. At a real 100-TB corpus the next step
+  * is a `TypedImperativeAggregate` per-partition top-k heap — noted in
+  * the roadmap; the window form below is already partial-agg friendly.
+  */
+object SimilarityQueries {
+
+  private val Planes = VectorOps.hyperplanes(planes = 4, dims = 64)
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** Query points: every 100th vector. */
+  private def querySet(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  private val cosSql =
+    """(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i]))
+      | / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+      |    * sqrt(list_sum(list_transform(v, x -> x * x)))))""".stripMargin
+
+  private val embCte =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |      FROM embeddings)""".stripMargin
+
+  private val queryCte =
+    "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0)"
+
+  // ----------------------------------------------------- brute-force topk
+  private val cosineTopK = GraftQuery(
+    "x_embed_cosine_topk",
+    (s, d) => {
+      val e = corpus(s, d)
+      val scored = e.crossJoin(broadcast(querySet(e)))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          VectorOps.cosine(col("qv"), col("v")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"),
+          round(col("cos"), 6).as("cos_sim"), col("rank"))
+    },
+    Some(s"""WITH $embCte, $queryCte,
+      scored AS (SELECT q_id, vec_id AS n_id, $cosSql AS cos
+                 FROM e, q WHERE vec_id <> q_id)
+      SELECT q_id, n_id, ROUND(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+      WHERE rank <= 5"""))
+
+  // --------------------------------------------------------- LSH-bucketed
+  private val annLsh = GraftQuery(
+    "x_embed_ann_lsh",
+    (s, d) => {
+      val e = corpus(s, d)
+        .withColumn("bucket", VectorOps.lshBucket(col("v"), Planes))
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("bucket").as("q_bucket"))
+      val scored = e.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          VectorOps.cosine(col("qv"), col("v")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"),
+          round(col("cos"), 6).as("cos_sim"), col("rank"))
+    },
+    Some {
+      val bucket = VectorOps.sqlLshBucket("v", Planes)
+      s"""WITH $embCte,
+        be AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+              FROM be WHERE vec_id % 100 = 0),
+        scored AS (SELECT q_id, vec_id AS n_id, $cosSql AS cos
+                   FROM be, q
+                   WHERE bucket = q_bucket AND vec_id <> q_id)
+        SELECT q_id, n_id, ROUND(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+              FROM scored)
+        WHERE rank <= 3"""
+    })
+
+  // -------------------------------------------------- threshold near-dups
+  /** Cosine near-dup pairs, blocked by `label` (the natural partition
+    * key); at production scale the blocking key would be an LSH bucket. */
+  private val cosineNearDup = GraftQuery(
+    "x_embed_cosine_neardup",
+    (s, d) => {
+      val e = corpus(s, d)
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(VectorOps.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.4)
+    },
+    Some(s"""WITH $embCte
+      SELECT * FROM (
+        SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+          ROUND(list_sum(list_transform(generate_series(1, 64),
+                  i -> a.v[i] * b.v[i]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+            AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.4"""))
+
+  val queries: Seq[GraftQuery] = Seq(cosineTopK, annLsh, cosineNearDup)
+}

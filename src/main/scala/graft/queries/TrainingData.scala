@@ -119,6 +119,39 @@ object TrainingData {
             ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2"""))
 
+  // ----------------------------------------------------------- language ID
+  /** Stopword-hit argmax language identification; ties break to the
+    * alphabetically-first language, `und` when nothing hits. */
+  private val langId = GraftQuery(
+    "x_lang_id",
+    (s, d) => TextAnalysis.langIdTable(Tables.documents(s, d)),
+    Some {
+      val langs = TextAnalysis.StopwordsByLang.keys.toSeq.sorted // de en es fr zh
+      def hits(lang: String): String = {
+        val lits = TextAnalysis.StopwordsByLang(lang)
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($lits, t)))"
+      }
+      val hitCols = langs.map(l => s"${hits(l)} AS h_$l").mkString(", ")
+      // alphabetical-priority argmax: lang L wins if its hits >= every
+      // later language's hits (earlier ones already failed their test)
+      val caseArms = langs.init.map { l =>
+        val rest = langs.drop(langs.indexOf(l) + 1).map(r => s"h_$r")
+        val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+        s"WHEN h_$l >= $bound THEN '$l'"
+      }.mkString(" ")
+      s"""WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(str_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+          h AS (SELECT doc_id, lang, $hitCols FROM toks)
+          SELECT doc_id, lang AS lang_actual,
+            CASE WHEN ${langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")} = 0
+                 THEN 'und' $caseArms ELSE '${langs.last}' END AS lang_pred
+          FROM h"""
+    })
+
   val queries: Seq[GraftQuery] = Seq(
-    dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly)
+    dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId)
 }
