@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def shinglesOf(text: String): Seq[String] = {
+    Seq(text).toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .as[Seq[String]].head()
+  }
+
+  test("shingles: 3-word windows, lower-cased, distinct") {
+    assert(shinglesOf("A b c d") === Seq("a b c", "b c d"))
+    assert(shinglesOf("x y x y x y") === Seq("x y x", "y x y")) // distinct
+  }
+
+  test("shingles: fewer than n tokens yields empty array, not an error") {
+    assert(shinglesOf("one two") === Seq.empty)
+    assert(shinglesOf("") === Seq.empty)
+  }
+
+  test("jaccard: exact set overlap") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.as[Double].head() === 0.5) // 2 shared / 4 total
+  }
+
+  test("simhash32: deterministic, equal for equal token multisets") {
+    val df = Seq("the quick brown fox", "THE  QUICK  BROWN  FOX", "other words here")
+      .toDF("text").select(Dedup.simhash32(col("text")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) === hs(1)) // case/whitespace-insensitive
+    assert(hs(0) !== hs(2))
+    assert(hs.forall(h => h >= 0 && h < (1L << 32)))
+  }
+
+  test("minhashNearDups finds the planted sf0.001 near-duplicates symmetrically") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.8).collect()
+    // every reported pair is ordered and above threshold
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("simhash near-dup pairs have small hamming distance") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    Dedup.simhashNearDups(docs, maxHamming = 3).collect().foreach { r =>
+      assert(r.getInt(2) <= 3)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+}
