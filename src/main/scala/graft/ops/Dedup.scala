@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection primitives for the document pipeline: word
   * shingles, MinHash signatures + LSH banding, SimHash bit signatures,
@@ -29,31 +30,45 @@ object Dedup {
   val MaxBucket = 100
 
   /** Distinct `n`-word shingles of a text, from lower-cased whitespace
-    * tokens. Empty array when the text has fewer than `n` tokens. */
-  def shingles(text: Column, n: Int = ShingleN): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
-      .otherwise(array().cast("array<string>"))
+    * tokens. Empty array when the text has fewer than `n` tokens.
+    *
+    * Built by zipping `n` shifted copies of the token array. The naive
+    * form — `transform(sequence(...), i -> element_at(toks, i+k))` — is
+    * QUADRATIC: a lambda body that references the outer `toks` subtree
+    * makes Catalyst re-evaluate the full tokenization per element. Here
+    * every lambda touches only its element variables; the shifted-array
+    * arguments are evaluated once per row. */
+  def shingles(text: Column, n: Int = ShingleN): Column =
+    array_distinct(TextFunctions.wordNGrams(TextFunctions.tokens(text), n))
+
+  /** MinHash signature (array of `MinHashK` longs) via Kirsch–
+    * Mitzenhacker double hashing: ONE md5 per shingle yields two base
+    * hashes h1 (60-bit) and h2 (56-bit), and component `i` is
+    * `min over shingles of (h1 + i·h2)` — a standard min-wise family at a
+    * twelfth of the hashing cost of independent per-seed digests. The
+    * 56-bit cap on h2 keeps `h1 + 11·h2 < 2^61`: no 64-bit overflow in
+    * any engine (some SQL engines raise on BIGINT overflow rather than
+    * wrap). Single fold pass; md5 is computed once per shingle. */
+  def minhashSignature(sh: Column): Column = {
+    import org.apache.spark.sql.types.LongType
+    val pairs = transform(transform(sh, s => md5(s)), x => array(
+      conv(substring(x, 1, 15), 16, 10).cast(LongType),
+      conv(substring(x, 17, 14), 16, 10).cast(LongType)))
+    aggregate(pairs, array_repeat(lit(Long.MaxValue), MinHashK),
+      (acc, p) => zip_with(acc,
+        array((0 until MinHashK).map(i =>
+          p.getItem(0) + lit(i.toLong) * p.getItem(1)): _*),
+        (a, b) => least(a, b)))
   }
 
-  /** MinHash signature component `i`: the lexicographic minimum of
-    * `md5(i ++ ":" ++ shingle)` over the shingle set. A hex-string min
-    * under an independent hash per seed is a standard min-wise permutation
-    * family, and — unlike integer mixing — is identical in any engine
-    * with md5. */
-  def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s))))
-
-  /** The `Bands` LSH band keys: each hashes `RowsPerBand` consecutive
-    * signature components. Docs sharing any band key become candidates. */
-  def bandKeys(sh: Column): Seq[Column] =
+  /** The `Bands` LSH band keys over a MATERIALIZED signature column (pass
+    * a plain column reference, not the [[minhashSignature]] expression —
+    * projection collapse would otherwise inline the whole fold once per
+    * band). Docs sharing any band key become candidates. */
+  def bandKeys(sig: Column): Seq[Column] =
     (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => minhash(sh, b * RowsPerBand + r))
-      md5(concat_ws("|", parts: _*))
+      md5(concat_ws("|",
+        (0 until RowsPerBand).map(r => sig.getItem(b * RowsPerBand + r)): _*))
     }
 
   /** Exact Jaccard similarity of two (already-distinct) string sets. */
@@ -63,30 +78,59 @@ object Dedup {
 
   /** 32-bit SimHash over the token multiset: bit j is set iff tokens whose
     * 32-bit hash has bit j outnumber those that don't. Computed entirely
-    * inside the row (array fold — no explode, no shuffle). */
+    * inside the row (array fold — no explode, no shuffle) in a SINGLE
+    * pass: one fold accumulates all 32 per-bit counts as a vector, then a
+    * small fold assembles the signature. (The naive 32-independent-folds
+    * form re-walks the token array per bit — 32× the work.) */
   def simhash32(text: Column): Column = {
     val hs = transform(TextFunctions.tokens(text), t => PortableHash.hash32(t))
     val n = size(hs)
-    (0 until 32).map { j =>
-      val ones = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftrightunsigned(h, j).bitwiseAND(lit(1L)))
-      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bitCounts = aggregate(
+      hs,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc,
+        array((0 until 32).map(j =>
+          shiftrightunsigned(h, j).bitwiseAND(lit(1L))): _*),
+        (a, b) => a + b))
+    val weights = array((0 until 32).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(bitCounts, weights,
+        (cnt, w) => when(cnt * 2 > n, w).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
   }
 
-  /** doc_id + shingle-set projection, rows with too few tokens dropped. */
-  def shingleTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+  /** Cache for intermediates that several plan branches re-read (band
+    * tables feeding self-joins, shingle sets feeding verify re-joins).
+    * Without it Spark recomputes the md5-heavy derivation once per
+    * branch — the dominant cost of every LSH query. */
+  private def persisted(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** doc_id + shingle-set projection, rows with too few tokens dropped.
+    * Repartitioned to full parallelism first: the downstream md5 work is
+    * CPU-bound per row, and a small parquet source otherwise arrives as a
+    * single partition that would serialize the whole hash grind. */
+  def shingleTable(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
+  }
 
   /** Candidate pairs from MinHash-LSH banding over `docs`, verified with
     * exact shingle Jaccard ≥ `threshold`. Output: (a_id, b_id, jaccard).
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    // The shingle table is cheap to recompute (codegen'd tokenize + linear
+    // zip_with n-grams) but EXPENSIVE to cache (columnar encoding of
+    // string arrays), so it is rebuilt per consumer; only the small
+    // signature/band tables — reread by several plan branches — persist.
     val sh = shingleTable(docs)
-    val bands = sh.select(
+    val sig = persisted(
+      sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
+    val bands = persisted(sig.select(
       col("doc_id"),
-      posexplode(array(bandKeys(col("sh")): _*)).as(Seq("band_idx", "band_key")))
+      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band_idx", "band_key"))))
     // Skew guard: drop buckets with fewer than 2 (no pair) or more than
     // MaxBucket members before the self-join.
     val sized = bands.join(
@@ -113,7 +157,9 @@ object Dedup {
     * guaranteed found: 4 bands of 8 bits — pigeonhole). Output:
     * (a_id, b_id, hamming). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col("doc_id"), simhash32(col("text")).as("sh32"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sig = persisted(docs.repartition(par)
+      .select(col("doc_id"), simhash32(col("text")).as("sh32")))
     val bands = sig.select(col("doc_id"), col("sh32"),
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("sh32"), 8 * k).bitwiseAND(lit(255L))): _*))
@@ -137,10 +183,10 @@ object Dedup {
       docs: DataFrame, maxDf: Int, minShared: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs)
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val rare = posting.join(
+    val rare = persisted(posting.join(
       posting.groupBy("shingle").agg(count(lit(1)).as("df"))
         .where(col("df").between(2, maxDf)),
-      "shingle")
+      "shingle"))
     val pairs = rare.as("x")
       .join(rare.as("y"),
         col("x.shingle") === col("y.shingle") &&

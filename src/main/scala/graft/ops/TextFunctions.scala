@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lower-cased whitespace tokens, empties dropped. */
+  /** Lower-cased whitespace tokens. `trim` first so the regex split never
+    * produces empty boundary tokens — equivalent to filtering empties out
+    * (for non-blank text) but WITHOUT a higher-order `filter` lambda, so
+    * the whole tokenization stays inside whole-stage codegen. Heavy
+    * consumers reference this expression several times per row; a
+    * codegen'd split is cheap there, an interpreted lambda is not. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    split(trim(lower(text)), "\\s+")
 
   /** BPE-ish lexer: letter runs, digit runs, single punctuation marks.
     * ASCII classes so external SQL engines tokenize identically. */
@@ -22,11 +27,20 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
-  /** Contiguous word n-grams over a token array (1-based `slice`). */
-  def wordNGrams(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  /** Contiguous word n-grams by zipping n shifted copies of the token
+    * array. Lambdas touch only their element variables — referencing the
+    * outer token expression inside a lambda body would make Catalyst
+    * re-evaluate the tokenization per element (quadratic). */
+  def wordNGrams(toks: Column, n: Int): Column = {
+    val len = size(toks)
+    val grams = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc,
+        slice(toks, lit(k), greatest(len - (k - 1), lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    when(len >= n, slice(grams, lit(1), len - (n - 1)))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Distinct n-gram shingle set of a document. */
   def shingles(text: Column, n: Int): Column =

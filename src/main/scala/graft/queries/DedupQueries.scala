@@ -31,12 +31,17 @@ object DedupQueries {
       |      / len(list_distinct(list_concat(a.sh, b.sh))), 6)""".stripMargin
 
   // ------------------------------------------------------- MinHash + LSH
-  private def minhashSql(seed: Int) =
-    s"list_min(list_transform(sh, s -> md5('$seed:' || s)))"
+  /** Same Kirsch–Mitzenhacker double-hash family as
+    * [[graft.ops.Dedup.minhashSignature]]: one md5 per shingle, component
+    * i = min(h1 + i·h2). */
+  private def minhashSql(i: Int) =
+    s"""list_min(list_transform(sh,
+       |  s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)
+       |       + $i * CAST('0x' || substring(md5(s), 17, 14) AS BIGINT)))""".stripMargin
 
   private val bandCols = (0 until Dedup.Bands).map { b =>
     val parts = (0 until Dedup.RowsPerBand)
-      .map(r => minhashSql(b * Dedup.RowsPerBand + r))
+      .map(r => s"CAST(m${b * Dedup.RowsPerBand + r} AS VARCHAR)")
     s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
   }
 
@@ -44,7 +49,10 @@ object DedupQueries {
     "x_dedup_minhash_lsh",
     (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.8),
     Some(s"""WITH $tokensCte, $shinglesCte,
-      sig AS (SELECT doc_id, ${bandCols.mkString(", ")} FROM sh),
+      msig AS (SELECT doc_id,
+        ${(0 until Dedup.MinHashK).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+        FROM sh),
+      sig AS (SELECT doc_id, ${bandCols.mkString(", ")} FROM msig),
       bands AS (${(0 until Dedup.Bands).map(b =>
         s"SELECT doc_id, $b AS band_idx, b$b AS band_key FROM sig")
         .mkString(" UNION ALL ")}),

@@ -22,27 +22,35 @@ object SimilarityQueries {
 
   private val Planes = VectorOps.hyperplanes(planes = 4, dims = 64)
 
+  /** Corpus with the vector L2 norm precomputed per ROW — cosine per pair
+    * then costs one dot product instead of three folds. At k candidates
+    * per vector that saves 2k norm folds per corpus row. */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("v"))
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // small file → 1 input split
+      .select(
+        col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorOps.norm2(col("v")))
 
   /** Query points: every 100th vector. */
   private def querySet(e: DataFrame): DataFrame =
     e.where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
 
   private val cosSql =
     """(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i]))
-      | / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-      |    * sqrt(list_sum(list_transform(v, x -> x * x)))))""".stripMargin
+      | / (qn * nrm))""".stripMargin
 
   private val embCte =
-    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-      |      FROM embeddings)""".stripMargin
+    """e AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |            FROM embeddings))""".stripMargin
 
   private val queryCte =
-    "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0)"
+    """q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+      |      WHERE vec_id % 100 = 0)""".stripMargin
 
   // ----------------------------------------------------- brute-force topk
   private val cosineTopK = GraftQuery(
@@ -52,7 +60,8 @@ object SimilarityQueries {
       val scored = e.crossJoin(broadcast(querySet(e)))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          VectorOps.cosine(col("qv"), col("v")).as("cos"))
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos"))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
@@ -76,11 +85,12 @@ object SimilarityQueries {
         .withColumn("bucket", VectorOps.lshBucket(col("v"), Planes))
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("bucket").as("q_bucket"))
+          col("nrm").as("qn"), col("bucket").as("q_bucket"))
       val scored = e.join(broadcast(q),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          VectorOps.cosine(col("qv"), col("v")).as("cos"))
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos"))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 3)
@@ -90,8 +100,8 @@ object SimilarityQueries {
     Some {
       val bucket = VectorOps.sqlLshBucket("v", Planes)
       s"""WITH $embCte,
-        be AS (SELECT vec_id, v, $bucket AS bucket FROM e),
-        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+        be AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
               FROM be WHERE vec_id % 100 = 0),
         scored AS (SELECT q_id, vec_id AS n_id, $cosSql AS cos
                    FROM be, q
@@ -110,21 +120,22 @@ object SimilarityQueries {
     "x_embed_cosine_neardup",
     (s, d) => {
       val e = corpus(s, d)
-      e.as("a").join(e.as("b"),
+      // broadcast the build side: a 10-key label shuffle would cap
+      // parallelism at 10 partitions; the probe side stays fully parallel
+      e.as("a").join(broadcast(e.as("b")),
           col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.label").as("label"),
           col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(VectorOps.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+          round(VectorOps.dot(col("a.v"), col("b.v"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
         .where(col("cos_sim") >= 0.4)
     },
     Some(s"""WITH $embCte
       SELECT * FROM (
         SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
           ROUND(list_sum(list_transform(generate_series(1, 64),
-                  i -> a.v[i] * b.v[i]))
-            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-               * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+                  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
             AS cos_sim
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos_sim >= 0.4"""))

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` stream (event_id, ts, user_id,
+  * event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY §2.6); this module is the
+  * forward-looking streaming surface of the engine. Each transform is
+  * written against an input `DataFrame` so the SAME code runs on a
+  * `readStream` source in production and on a `MemoryStream` in tests —
+  * the Structured Streaming contract that batch/stream share one logical
+  * plan.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late events beyond it are dropped, state evicted); sessionization
+  * state is per-user and evicted via processing-time timeout. Both
+  * operators shuffle by their grouping key only — (window, event_type)
+  * and user_id respectively — never the payload.
+  */
+object EventStreams {
+
+  /** Tumbling-window event rollup with a watermark: the streaming twin of
+    * the batch `x_events_hourly_window` query. */
+  def hourlyCounts(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      start: Long, lastSeen: Long, nEvents: Long, total: Double)
+
+  final case class Session(
+      user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Session gap: a user's session closes after 30 min of silence. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom stateful operator: per-user sessionization via
+    * `flatMapGroupsWithState` — the pattern for state Spark's built-in
+    * windows can't express. A session closes when the next event arrives
+    * past the gap, or when the EVENT-TIME watermark passes
+    * `lastSeen + gap` (state timeout). Event-time timeouts keep results
+    * deterministic — wall-clock (processing-time) timeouts would make
+    * session emission depend on trigger scheduling, and force Spark to
+    * run re-analyzed empty micro-batches continuously. */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= SessionGapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-source stream over an events directory — the production entry
+    * (same schema as the batch table; parquet files appear per
+    * micro-batch). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyCounts: streaming result equals the batch twin on same data") {
+    val rows = Seq(
+      (ts("2024-01-01 00:05:00"), "click", 1.0),
+      (ts("2024-01-01 00:55:00"), "click", 2.0),
+      (ts("2024-01-01 00:30:00"), "error", 5.0),
+      (ts("2024-01-01 01:10:00"), "click", 3.0))
+
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val streamDf = input.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(streamDf)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStreams.hourlyCounts(rows.toDF("ts", "event_type", "value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 00:00:00"), "error", 1L, 5.0),
+        (ts("2024-01-01 01:00:00"), "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions; closed sessions emit") {
+    import EventStreams.{Event, Session}
+    val input = MemoryStream[Event](spark)
+    val sessions = EventStreams.sessionize(spark, input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0),
+        Event(4, ts("2024-01-01 10:00:00"), 8, "view", 0.5))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is still behind both sessions
+      assert(spark.table("sessions").count() === 0)
+
+      // 12:00 event: closes user 7's session by gap, and advances the
+      // watermark to 11:30 so user 8's idle session times out
+      input.addData(Event(3, ts("2024-01-01 12:00:00"), 7, "buy", 10.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // one extra no-data batch to fire timeouts
+      val got = spark.table("sessions").as[Session].collect().toSet
+      assert(got === Set(
+        Session(7, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2, 3.0),
+        Session(8, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1, 0.5)))
+    } finally q.stop()
+  }
+
+  test("readEventStream: file source over an events landing directory") {
+    // the file source needs a directory (a stream landing zone); stage the
+    // testdata events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"),
+      java.nio.file.Paths.get(dir, "part-000.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("filehourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filehourly").count() > 0)
+    } finally q.stop()
+  }
+}
