@@ -13,11 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Element-wise dot product of two double arrays. */
+  /** Element-wise dot product of two double arrays (portable HOF fold —
+    * interpreted; use [[dotNative]] on hot paths). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Codegen'd dot product / L2 norm via the engine's native Catalyst
+    * expressions (see [[graft.functions.VectorExpressions]]) — identical
+    * left-to-right summation, so results match [[dot]]/[[norm2]] and the
+    * SQL oracle bit-for-bit. Requires the functions registered on the
+    * session (`VectorExpressions.register`). */
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def normNative(a: Column): Column = call_function("vec_norm", a)
 
   /** Cosine similarity; null-safe only in that degenerate zero-norm
     * vectors yield null (division by zero → null in non-ANSI ops is a

@@ -323,9 +323,31 @@ object Relational {
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
     bench = false)
 
+  // ------------------------------------------------------------------ S4
+  /** Local-collection source (SURVEY §2 S4, `etl.py:161-228`): a tiny
+    * driver-built dimension — the shape of the reference's five parsed
+    * SAS-label dims — broadcast-joined against a scanned table. */
+  private val localDim = GraftQuery(
+    "s4_local_collection_dim",
+    (s, d) => {
+      import s.implicits._
+      val zones = Seq(
+        (0, "AMERICAS_ZONE"), (1, "EMEA_ZONE"), (2, "APAC_ZONE"),
+        (3, "EUROPE_ZONE"), (4, "MIDEAST_ZONE"))
+        .toDF("zone_key", "zone_name")
+      Tables.region(s, d)
+        .join(broadcast(zones), col("r_regionkey") === col("zone_key"))
+        .select(col("r_regionkey"), col("r_name"), col("zone_name"))
+    },
+    Some("""SELECT r_regionkey, r_name, zone_name
+            FROM region JOIN (VALUES (0, 'AMERICAS_ZONE'), (1, 'EMEA_ZONE'),
+              (2, 'APAC_ZONE'), (3, 'EUROPE_ZONE'), (4, 'MIDEAST_ZONE'))
+              AS zones(zone_key, zone_name)
+            ON r_regionkey = zone_key"""))
+
   val queries: Seq[GraftQuery] = Seq(
     scanProject, filters, dedupDistinct, sasDate, rangeStr, splitTrim,
     regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
-    partitionedSink, csvRoundtrip)
+    partitionedSink, csvRoundtrip, localDim)
 }

@@ -25,13 +25,15 @@ object SimilarityQueries {
   /** Corpus with the vector L2 norm precomputed per ROW — cosine per pair
     * then costs one dot product instead of three folds. At k candidates
     * per vector that saves 2k norm folds per corpus row. */
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism) // small file → 1 input split
       .select(
         col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", VectorOps.norm2(col("v")))
+      .withColumn("nrm", VectorOps.normNative(col("v")))
+  }
 
   /** Query points: every 100th vector. */
   private def querySet(e: DataFrame): DataFrame =
@@ -60,7 +62,7 @@ object SimilarityQueries {
       val scored = e.crossJoin(broadcast(querySet(e)))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          (VectorOps.dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
             .as("cos"))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -89,7 +91,7 @@ object SimilarityQueries {
       val scored = e.join(broadcast(q),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          (VectorOps.dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
             .as("cos"))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -127,7 +129,7 @@ object SimilarityQueries {
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.label").as("label"),
           col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(VectorOps.dot(col("a.v"), col("b.v"))
+          round(VectorOps.dotNative(col("a.v"), col("b.v"))
             / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
         .where(col("cos_sim") >= 0.4)
     },
