@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `topk_pairs(score, id, k)` — aggregate keeping the k best (score DESC,
+  * id ASC) pairs, returned as a sorted `array<struct<score,id>>`.
+  *
+  * This is the scalable form of per-group top-k ranking: a window
+  * `row_number() ... WHERE rank <= k` must shuffle EVERY scored row to
+  * its group's partition before ranking; this aggregate keeps a k-element
+  * buffer per group on the map side, so only `k · groups` rows cross the
+  * shuffle regardless of candidate count. Ordering (score DESC, id ASC)
+  * matches the window form exactly, so results are interchangeable.
+  */
+case class TopKPairs(
+    score: Expression,
+    id: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(score, id, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("id", LongType))))
+  override def prettyName: String = "topk_pairs"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  /** Keep the buffer bounded: sort+trim once it doubles past k (amortized
+    * O(log k) per row, never more than 2k entries held). */
+  private def trim(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
+    if (buf.length <= k) buf
+    else {
+      val best = buf.sortBy { case (s, i) => (-s, i) }.take(k)
+      buf.clear(); buf ++= best
+    }
+
+  override def update(
+      buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      if (buf.length >= 2 * k) trim(buf) else buf
+    } else buf
+  }
+
+  override def merge(
+      b1: ArrayBuffer[(Double, Long)],
+      b2: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
+    trim(b1 ++= b2)
+
+  override def eval(buf: ArrayBuffer[(Double, Long)]): Any = {
+    val best = buf.sortBy { case (s, i) => (-s, i) }.take(k)
+    new GenericArrayData(best.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < n) { buf += ((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
+}

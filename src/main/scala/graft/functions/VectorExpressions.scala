@@ -31,6 +31,11 @@ object VectorExpressions {
     registry.registerFunction(
       FunctionIdentifier("vec_norm"), L2Norm.info,
       (children: Seq[Expression]) => L2Norm(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[Expression]) =>
+        TopKPairs(children(0), children(1), children(2)))
   }
 }
 

@@ -50,4 +50,55 @@ object Analytics {
         col("origin_country_code") === col("country_code"))
       .orderBy(desc("student_visitors"))
   }
+
+  /** The reference's SQL entry point (notebook cell 31 + `spark.sql`):
+    * registers the star schema under the published view names so the
+    * verbatim notebook queries run unchanged. */
+  def registerViews(o: ImmigrationPipeline.Outputs): Unit = {
+    o.fact.createOrReplaceTempView("fact_immigrations")
+    o.cityDemographics.createOrReplaceTempView("dim_city_demographics")
+    o.countries.createOrReplaceTempView("dim_country")
+    o.states.createOrReplaceTempView("dim_us_state")
+    o.ports.createOrReplaceTempView("dim_ports")
+    o.visaCategories.createOrReplaceTempView("dim_visa_category")
+    o.travelModes.createOrReplaceTempView("dim_travel_mode")
+  }
+
+  /** Q1-Q3 as the notebook's verbatim SQL (ref cells 45-47). Requires
+    * [[registerViews]]. Plans are the same TakeOrderedAndProject +
+    * broadcast-join shapes as the typed builders. */
+  val q1Sql: String = """
+    SELECT tvc.port_code, tvc.immigrant_visits, dcd.city, dcd.state_code,
+           dcd.total_population
+    FROM (SELECT fi.port_code AS port_code, COUNT(*) AS immigrant_visits
+          FROM fact_immigrations fi
+          WHERE fi.entry_month = 4
+          GROUP BY fi.port_code
+          ORDER BY immigrant_visits DESC
+          LIMIT 10) AS tvc
+    JOIN dim_city_demographics dcd ON dcd.port_code = tvc.port_code
+    ORDER BY tvc.immigrant_visits DESC"""
+
+  val q2Sql: String = """
+    SELECT *
+    FROM (SELECT fi.origin_country_code AS origin_country_code,
+                 COUNT(*) AS country_visitors
+          FROM fact_immigrations fi
+          GROUP BY fi.origin_country_code
+          ORDER BY country_visitors DESC
+          LIMIT 10) AS tcv
+    JOIN dim_country dc ON tcv.origin_country_code = dc.country_code
+    ORDER BY country_visitors DESC"""
+
+  val q3Sql: String = """
+    SELECT *
+    FROM (SELECT fi.origin_country_code AS origin_country_code,
+                 COUNT(*) AS student_visitors
+          FROM fact_immigrations fi
+          WHERE visa_category_code = 3
+          GROUP BY fi.origin_country_code
+          ORDER BY student_visitors DESC
+          LIMIT 10) AS tcv
+    JOIN dim_country dc ON tcv.origin_country_code = dc.country_code
+    ORDER BY student_visitors DESC"""
 }

@@ -55,6 +55,11 @@ object SimilarityQueries {
       |      WHERE vec_id % 100 = 0)""".stripMargin
 
   // ----------------------------------------------------- brute-force topk
+  /** Ranked with the engine's `topk_pairs` TypedImperativeAggregate: the
+    * map side keeps a k-element buffer per query, so only k·queries rows
+    * cross the shuffle — a window `row_number` would shuffle every scored
+    * candidate. Ordering (score DESC, id ASC) matches the window form, so
+    * the oracle is the standard window SQL. */
   private val cosineTopK = GraftQuery(
     "x_embed_cosine_topk",
     (s, d) => {
@@ -64,11 +69,13 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id").as("n_id"),
           (VectorOps.dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
             .as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("n_id"),
-          round(col("cos"), 6).as("cos_sim"), col("rank"))
+      scored.groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("n_id"), lit(5))
+          .as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("q_id"), col("p.id").as("n_id"),
+          round(col("p.score"), 6).as("cos_sim"),
+          (col("pos") + 1).cast("int").as("rank"))
     },
     Some(s"""WITH $embCte, $queryCte,
       scored AS (SELECT q_id, vec_id AS n_id, $cosSql AS cos

@@ -66,6 +66,25 @@ class ImmigrationE2ESpec extends SparkTestBase {
       "691" -> 756L))
   }
 
+  test("SQL twins: the notebook's verbatim queries match the typed builders") {
+    Analytics.registerViews(o)
+    val sqlQ1 = spark.sql(Analytics.q1Sql)
+      .select("port_code", "immigrant_visits").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val typedQ1 = Analytics.mostVisitedCities(o.fact, o.cityDemographics)
+      .select("port_code", "immigrant_visits").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlQ1 === typedQ1)
+
+    val sqlQ3 = spark.sql(Analytics.q3Sql)
+      .select("origin_country_code", "student_visitors").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val typedQ3 = Analytics.topStudentOriginCountries(o.fact, o.countries)
+      .select("origin_country_code", "student_visitors").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlQ3 === typedQ3)
+  }
+
   test("quality checks: non-empty all pass; referential report as reference") {
     val results = Quality.runAll(o.fact, o.cityDemographics, o.countries,
       o.states, o.ports, o.travelModes, o.visaCategories)
