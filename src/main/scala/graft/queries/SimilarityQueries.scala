@@ -122,6 +122,70 @@ object SimilarityQueries {
         WHERE rank <= 3"""
     })
 
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF (inverted-file) ANN: vectors are assigned to their
+    * nearest-centroid cell once (centroids = every 50th vector —
+    * deterministic k-means-free seeding); a query then scans only its own
+    * cell (nprobe=1). Assignment and search both use `topk_pairs(k=1|3)`
+    * so only k rows per group cross any shuffle. At production scale the
+    * assignment table is written once and bucketed by cell, making the
+    * probe a pruned partition read. */
+  private val annIvf = GraftQuery(
+    "x_embed_ann_ivf",
+    (s, d) => {
+      val e = corpus(s, d)
+      val cents = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (VectorOps.dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+            .as("cos"), col("c_id"))
+        .groupBy("vec_id")
+        .agg(call_function("topk_pairs", col("cos"), col("c_id"), lit(1))
+          .as("top"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cell"))
+      val ce = e.join(assign, "vec_id")
+      val q = ce.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").as("q_cell"))
+      ce.join(broadcast(q),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (VectorOps.dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos"))
+        .groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("n_id"), lit(3))
+          .as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("q_id"), col("p.id").as("n_id"),
+          round(col("p.score"), 6).as("cos_sim"),
+          (col("pos") + 1).cast("int").as("rank"))
+    },
+    Some(s"""WITH $embCte,
+      c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+            WHERE vec_id % 50 = 0),
+      sc AS (SELECT e.vec_id, c_id,
+               (list_sum(list_transform(generate_series(1, 64),
+                  i -> e.v[i] * cv[i])) / (e.nrm * cn)) AS cos
+             FROM e, c),
+      assign AS (SELECT vec_id, c_id AS cell
+                 FROM (SELECT *, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+                       FROM sc)
+                 WHERE rn = 1),
+      ce AS (SELECT e.vec_id, e.v, e.nrm, a.cell
+             FROM e JOIN assign a USING (vec_id)),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell
+            FROM ce WHERE vec_id % 100 = 0),
+      scored AS (SELECT q_id, vec_id AS n_id, $cosSql AS cos
+                 FROM ce, q
+                 WHERE cell = q_cell AND vec_id <> q_id)
+      SELECT q_id, n_id, ROUND(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+      WHERE rank <= 3"""))
+
   // -------------------------------------------------- threshold near-dups
   /** Cosine near-dup pairs, blocked by `label` (the natural partition
     * key); at production scale the blocking key would be an LSH bucket. */
@@ -149,5 +213,5 @@ object SimilarityQueries {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos_sim >= 0.4"""))
 
-  val queries: Seq[GraftQuery] = Seq(cosineTopK, annLsh, cosineNearDup)
+  val queries: Seq[GraftQuery] = Seq(cosineTopK, annLsh, annIvf, cosineNearDup)
 }
