@@ -345,9 +345,47 @@ object Relational {
               AS zones(zone_key, zone_name)
             ON r_regionkey = zone_key"""))
 
+  // ------------------------------------------------------------------ K2
+  /** Bucketed tables + co-located join (the 100 TB fact-to-fact join
+    * strategy): both sides written `bucketBy` the join key, so the join
+    * plans WITHOUT a shuffle exchange — each bucket pair joins in place.
+    * BucketedJoinSpec asserts the exchange-free plan. */
+  private val bucketedJoin = GraftQuery(
+    "k2_bucketed_colocated_join",
+    (s, d) => {
+      // the in-memory catalog is per-JVM but the warehouse dir persists:
+      // clear both the entry and any stale location before re-creating
+      Seq("graft_orders_bucketed", "graft_customer_bucketed").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bucketed")
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bucketed")
+      s.table("graft_orders_bucketed")
+        .join(s.table("graft_customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+            ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment"""),
+    bench = false)
+
   val queries: Seq[GraftQuery] = Seq(
     scanProject, filters, dedupDistinct, sasDate, rangeStr, splitTrim,
     regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
-    partitionedSink, csvRoundtrip, localDim)
+    partitionedSink, csvRoundtrip, localDim, bucketedJoin)
 }
