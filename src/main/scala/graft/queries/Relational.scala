@@ -383,9 +383,23 @@ object Relational {
             GROUP BY c_mktsegment"""),
     bench = false)
 
+  // ------------------------------------------------------------------ A8
+  /** Salted two-phase distinct count (see [[graft.ops.Skew]]): exact
+    * COUNT(DISTINCT) per hot key without funneling each key through one
+    * reducer. Oracle is the plain single-phase form — results must be
+    * identical. */
+  private val saltedDistinct = GraftQuery(
+    "a8_salted_distinct_count",
+    (s, d) => graft.ops.Skew.saltedDistinctCount(
+        Tables.lineitem(s, d), col("l_returnflag"), col("l_partkey"),
+        salts = 16, outName = "n_parts")
+      .withColumnRenamed("__key", "l_returnflag"),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag"""))
+
   val queries: Seq[GraftQuery] = Seq(
     scanProject, filters, dedupDistinct, sasDate, rangeStr, splitTrim,
     regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
-    partitionedSink, csvRoundtrip, localDim, bucketedJoin)
+    partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct)
 }
