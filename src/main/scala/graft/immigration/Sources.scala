@@ -8,7 +8,11 @@ final case class ImmigrationConfig(
     i94ParquetDir: String,
     demographicsCsv: String,
     sasLabelsFile: String,
-    outputDir: String)
+    outputDir: String,
+    /** Raw monthly .sas7bdat file — preferred when it exists, exactly as
+      * the reference prefers it over the parquet fallback
+      * (`etl.py:128-138`). */
+    i94SasFile: Option[String] = None)
 
 object ImmigrationConfig {
   /** The bundled April-2016 dataset of the reference repo. */
@@ -17,6 +21,32 @@ object ImmigrationConfig {
     demographicsCsv = "/root/reference/data/input/us-cities-demographics.csv",
     sasLabelsFile = "/root/reference/data/I94_SAS_Labels_Descriptions.SAS",
     outputDir = outputDir)
+
+  /** Loads an INI config in the reference's `capstone.cfg` shape
+    * (`[DATA]` section; see `capstone.cfg:1-9`). Section headers are
+    * flattened away; `#`/`;`-prefixed lines are comments. */
+  def fromIni(path: String, outputDirOverride: Option[String] = None): ImmigrationConfig = {
+    val src = scala.io.Source.fromFile(path)
+    val kv: Map[String, String] =
+      try src.getLines()
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("[") &&
+          !l.startsWith("#") && !l.startsWith(";"))
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k.trim.toUpperCase -> v.trim)
+            case _ => None
+          }
+        }.toMap
+      finally src.close()
+    val supp = kv.getOrElse("SUPPLEMENTARY_DATASETS_DIR", "")
+    ImmigrationConfig(
+      i94ParquetDir = kv("I94_LOCAL_DATA_DIR"),
+      demographicsCsv = supp + "us-cities-demographics.csv",
+      sasLabelsFile = kv("SAS_LABELS_DESCRIPTION_FILE_PATH"),
+      outputDir = outputDirOverride.getOrElse(kv.getOrElse("OUTPUT_DATA_DIR", "/tmp/graft_out")),
+      i94SasFile = kv.get("I94_DATA_FILE_PATH"))
+  }
 }
 
 /** Sources of the immigration star schema (ref `etl.py:128-228`).
@@ -44,8 +74,21 @@ object Sources {
     StructField("race", StringType),
     StructField("count", IntegerType)))
 
+  /** Third-party sas7bdat DataSource format name (`etl.py:89,135`). The
+    * package is not resolvable in an offline build, so the format string
+    * is data, not a dependency — it resolves only when the jar is on the
+    * cluster classpath. */
+  val SasFormat = "com.github.saurfang.sas.spark"
+
+  /** I94 source with the reference's own preference order: the raw
+    * monthly .sas7bdat when present (S1), else the parquet extract (S2,
+    * `etl.py:128-138`). */
   def immigration(spark: SparkSession, cfg: ImmigrationConfig): DataFrame =
-    spark.read.parquet(cfg.i94ParquetDir)
+    cfg.i94SasFile match {
+      case Some(f) if new java.io.File(f).exists() =>
+        spark.read.format(SasFormat).load(f)
+      case _ => spark.read.parquet(cfg.i94ParquetDir)
+    }
 
   def demographics(spark: SparkSession, cfg: ImmigrationConfig): DataFrame =
     spark.read.option("sep", ";").option("header", "true")
