@@ -71,6 +71,14 @@ object Dedup {
         (0 until RowsPerBand).map(r => sig.getItem(b * RowsPerBand + r)): _*))
     }
 
+  /** All ordered pairs (a < b) of a SORTED id array, as structs (a, b).
+    * `ids` must be a materialized column (attribute reads per lambda
+    * element are cheap; expression subtrees would not be). */
+  def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        b => struct(a.as("a"), b.as("b")))))
+
   /** Exact Jaccard similarity of two (already-distinct) string sets. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -128,22 +136,18 @@ object Dedup {
     val sh = shingleTable(docs)
     val sig = persisted(
       sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
-    val bands = persisted(sig.select(
+    val bands = sig.select(
       col("doc_id"),
-      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band_idx", "band_key"))))
-    // Skew guard: drop buckets with fewer than 2 (no pair) or more than
-    // MaxBucket members before the self-join.
-    val sized = bands.join(
-      bands.groupBy("band_idx", "band_key")
-        .agg(count(lit(1)).as("bucket_n"))
-        .where(col("bucket_n").between(2, MaxBucket)),
-      Seq("band_idx", "band_key"))
-    val pairs = sized.as("x")
-      .join(sized.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band_idx", "band_key")))
+    // One shuffle: group each band bucket, drop the no-pair and
+    // over-MaxBucket buckets (skew guard), then explode the ordered pairs
+    // of each surviving bucket in place — no self-join, no second pass.
+    val pairs = bands
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, MaxBucket))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
     pairs
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
@@ -158,12 +162,18 @@ object Dedup {
     * (a_id, b_id, hamming). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // persisted so projection collapse cannot inline the simhash fold
+    // into the four band expressions (which would recompute it 5×/row)
     val sig = persisted(docs.repartition(par)
       .select(col("doc_id"), simhash32(col("text")).as("sh32")))
     val bands = sig.select(col("doc_id"), col("sh32"),
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("sh32"), 8 * k).bitwiseAND(lit(255L))): _*))
         .as(Seq("band_idx", "band_val")))
+    // band-bucket equi-self-join on the persisted signature table: for
+    // integer signatures the join beats in-place pair explosion (struct
+    // collect_list + nested interpreted lambdas cost more than the
+    // hash-join of two cached long columns)
     val pairs = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -183,15 +193,13 @@ object Dedup {
       docs: DataFrame, maxDf: Int, minShared: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs)
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val rare = persisted(posting.join(
-      posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .where(col("df").between(2, maxDf)),
-      "shingle"))
-    val pairs = rare.as("x")
-      .join(rare.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // one shuffle: each rare shingle's posting list (df = bucket size,
+    // capped by maxDf — the skew guard) explodes to its ordered pairs
+    val pairs = posting.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
     pairs
