@@ -149,6 +149,11 @@ object Dedup {
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
+    // Verify by re-joining the (recomputed, cheap) shingle table twice.
+    // At corpus scales where a shingle pass is expensive, swap in the
+    // participant-only variant: persist `pairs`, broadcast its distinct
+    // ids against `docs`, and shingle just those rows — measured slower
+    // here because the extra stages outweigh two sub-second passes.
     pairs
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
