@@ -152,6 +152,53 @@ object TrainingData {
           FROM h"""
     })
 
+  // ------------------------------------------------------ sessionization
+  /** Batch gap-islands sessionization (window lag + running sum): the
+    * relational twin of the streaming `EventStreams.sessionize` state
+    * machine. A session breaks after a 30-minute silence; microsecond
+    * epoch arithmetic keeps both engines exact. */
+  private val sessionize = GraftQuery(
+    "x_events_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val prev = lag(unix_micros(col("ts")), 1).over(w)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(prev.isNull || unix_micros(col("ts")) - prev > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_idx",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          round(sum(col("value")), 2).as("total_value"))
+    },
+    Some("""WITH x AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            y AS (
+              SELECT *, CAST(SUM(new_sess) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+              FROM x)
+            SELECT user_id, sess_idx,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+              ROUND(SUM(value), 2) AS total_value
+            FROM y GROUP BY 1, 2"""))
+
   val queries: Seq[GraftQuery] = Seq(
-    dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId)
+    dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
+    sessionize)
 }

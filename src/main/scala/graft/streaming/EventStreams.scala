@@ -98,6 +98,14 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication on event_id: duplicates arriving
+    * within the watermark horizon are dropped; state for ids older than
+    * the watermark is evicted. The streaming twin of the batch
+    * `dropDuplicates` — same call, bounded state. */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source stream over an events directory — the production entry
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */

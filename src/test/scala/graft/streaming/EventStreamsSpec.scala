@@ -65,6 +65,26 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupedEvents: duplicate event ids within the watermark are dropped") {
+    val input = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.dedupedEvents(
+        input.toDS().toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      import EventStreams.Event
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0), // dup same batch
+        Event(2, ts("2024-01-01 10:05:00"), 8, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(1, ts("2024-01-01 10:10:00"), 7, "click", 1.0)) // dup next batch
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() === 2)
+    } finally q.stop()
+  }
+
   test("readEventStream: file source over an events landing directory") {
     // the file source needs a directory (a stream landing zone); stage the
     // testdata events file into one
