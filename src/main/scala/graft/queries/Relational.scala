@@ -397,9 +397,58 @@ object Relational {
     Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_returnflag"""))
 
+  // ------------------------------------------------------------------ A9
+  /** Pivot: per-user event-type counts as columns. The value list is
+    * explicit, so the output schema is static and plannable (an implicit
+    * pivot would need an extra distinct-values job). */
+  private val pivotEvents = GraftQuery(
+    "a9_pivot_event_counts",
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count().na.fill(0L),
+    Some("""SELECT user_id,
+            CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+            CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+            CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+            CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+            CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY user_id"""))
+
+  // ----------------------------------------------------------------- A10
+  /** ROLLUP: subtotals per (returnflag, linestatus), per returnflag, and
+    * grand total — one pass, grouping-set expansion. */
+  private val rollupAgg = GraftQuery(
+    "a10_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty")),
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  // ----------------------------------------------------------------- A11
+  /** Set operators: INTERSECT / EXCEPT over key projections. */
+  private val setOps = GraftQuery(
+    "a11_set_ops",
+    (s, d) => {
+      val buyers = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      val bigBuyers = Tables.orders(s, d)
+        .where(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+      val everyone = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      everyone.intersect(buyers).except(bigBuyers)
+    },
+    Some("""SELECT c_custkey AS custkey FROM customer
+            INTERSECT SELECT o_custkey FROM orders
+            EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000"""))
+
   val queries: Seq[GraftQuery] = Seq(
     scanProject, filters, dedupDistinct, sasDate, rangeStr, splitTrim,
     regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
-    partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct)
+    partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
+    pivotEvents, rollupAgg, setOps)
 }
