@@ -450,5 +450,25 @@ object Relational {
     regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
     partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
-    pivotEvents, rollupAgg, setOps)
+    pivotEvents, rollupAgg, setOps, percentiles)
+
+  // ----------------------------------------------------------------- A12
+  /** Exact linear-interpolation percentiles per group — both engines use
+    * the same quantile definition, so values match to the rounding. At
+    * 100 TB swap `percentile` for `percentile_approx` (t-digest sketch,
+    * mergeable map-side) — noted rather than benched because approximate
+    * sketches aren't oracle-comparable across engines. */
+  private lazy val percentiles = GraftQuery(
+    "a12_exact_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_discount, 0.25)"), 6).as("p25_disc")),
+    Some("""SELECT l_returnflag,
+            ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+            ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+            ROUND(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+            FROM lineitem GROUP BY l_returnflag"""))
 }

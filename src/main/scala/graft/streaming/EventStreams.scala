@@ -106,6 +106,12 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: the static dimension is broadcast and
+    * re-resolved per micro-batch (so a refreshed dim table is picked up
+    * without restarting the query); the stream side never shuffles. */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** File-source stream over an events directory — the production entry
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */

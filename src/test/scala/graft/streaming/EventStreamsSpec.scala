@@ -85,6 +85,25 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichedEvents: stream-static broadcast join adds dim columns") {
+    import EventStreams.Event
+    val dim = Seq((7L, "gold"), (9L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.enrichedEvents(input.toDS().toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 8, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user_id", "tier").as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows === Set((7L, Some("gold")), (8L, None))) // left join
+    } finally q.stop()
+  }
+
   test("readEventStream: file source over an events landing directory") {
     // the file source needs a directory (a stream landing zone); stage the
     // testdata events file into one
