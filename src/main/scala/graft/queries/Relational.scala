@@ -450,7 +450,32 @@ object Relational {
     regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
     partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
-    pivotEvents, rollupAgg, setOps, percentiles)
+    pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg)
+
+  // ----------------------------------------------------------------- A13
+  /** CUBE: all grouping-set combinations in one pass. */
+  private lazy val cubeAgg = GraftQuery(
+    "a13_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+            CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
+  // ----------------------------------------------------------------- A14
+  /** Deterministic string aggregation: collect, SORT, join — the order-by
+    * makes the result reproducible (a bare collect_list/string_agg is
+    * partition-order-dependent and could never hash-match). */
+  private lazy val stringAgg = GraftQuery(
+    "a14_string_agg",
+    (s, d) => Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+        .as("nations")),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name)
+              AS nations
+            FROM nation GROUP BY n_regionkey"""))
 
   // ----------------------------------------------------------------- A12
   /** Exact linear-interpolation percentiles per group — both engines use
