@@ -198,7 +198,27 @@ object TrainingData {
               ROUND(SUM(value), 2) AS total_value
             FROM y GROUP BY 1, 2"""))
 
+  // ------------------------------------------------------ JSON extraction
+  /** Semi-structured payload access: JSONPath extraction from the events
+    * `props` column, then a typed aggregate over the extracted field —
+    * the ubiquitous "JSON column in a fact table" shape. */
+  private val jsonExtract = GraftQuery(
+    "x_json_extract",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        round(avg(col("k")), 4).as("k_avg")),
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS k_sum,
+            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+              AS k_avg
+            FROM events GROUP BY event_type"""))
+
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
-    sessionize)
+    sessionize, jsonExtract)
 }
