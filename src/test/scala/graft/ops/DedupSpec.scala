@@ -22,6 +22,15 @@ class DedupSpec extends SparkTestBase {
     assert(shinglesOf("") === Seq.empty)
   }
 
+  test("orderedPairs: all a<b pairs of a sorted id array") {
+    val df = Seq(Seq(1L, 2L, 3L), Seq(7L), Seq.empty[Long]).toDF("ids")
+      .select(Dedup.orderedPairs(col("ids")).as("ps"))
+    val got = df.as[Seq[(Long, Long)]].collect().toSeq
+    assert(got(0) === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+  }
+
   test("jaccard: exact set overlap") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))
