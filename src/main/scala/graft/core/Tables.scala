@@ -16,8 +16,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Idempotent: guarantees the engine's native functions (ws_tokens,
+    // shingle_set, minhash_sig, simhash32, vec_dot, ...) resolve in any
+    // query built over these tables, whatever session the harness passes.
+    graft.functions.VectorExpressions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorExpressions {
 
-  /** Registers `vec_dot` and `vec_norm` on a session (idempotent). Also
-    * injected by [[graft.plans.GraftExtensions]] for config-driven use. */
+  /** Registers the full native-function surface on a session (idempotent):
+    * `vec_dot`, `vec_norm`, `topk_pairs`, and the text/dedup kernels
+    * `ws_tokens`, `shingle_set`, `minhash_sig`, `simhash32`. Called by
+    * every [[graft.core.Tables]] load, so any query built over the test
+    * tables resolves them; also injected by
+    * [[graft.plans.GraftExtensions]] for config-driven use. */
   def register(spark: SparkSession): Unit = {
     val registry =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -36,6 +40,18 @@ object VectorExpressions {
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
       (children: Seq[Expression]) =>
         TopKPairs(children(0), children(1), children(2)))
+    registry.registerFunction(
+      FunctionIdentifier("ws_tokens"), WsTokens.info,
+      (children: Seq[Expression]) => WsTokens(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("shingle_set"), ShingleSet.info,
+      (children: Seq[Expression]) => ShingleSet(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("minhash_sig"), MinHashSig.info,
+      (children: Seq[Expression]) => MinHashSig(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("simhash32"), SimHash32.info,
+      (children: Seq[Expression]) => SimHash32(children.head))
   }
 }
 

@@ -30,16 +30,11 @@ object Dedup {
   val MaxBucket = 100
 
   /** Distinct `n`-word shingles of a text, from lower-cased whitespace
-    * tokens. Empty array when the text has fewer than `n` tokens.
-    *
-    * Built by zipping `n` shifted copies of the token array. The naive
-    * form — `transform(sequence(...), i -> element_at(toks, i+k))` — is
-    * QUADRATIC: a lambda body that references the outer `toks` subtree
-    * makes Catalyst re-evaluate the full tokenization per element. Here
-    * every lambda touches only its element variables; the shifted-array
-    * arguments are evaluated once per row. */
+    * tokens. Empty array when the text has fewer than `n` tokens. Native
+    * `shingle_set` expression — one primitive loop per row inside
+    * whole-stage codegen (see [[graft.functions.DedupKernels]]). */
   def shingles(text: Column, n: Int = ShingleN): Column =
-    array_distinct(TextFunctions.wordNGrams(TextFunctions.tokens(text), n))
+    TextFunctions.shingles(text, n)
 
   /** MinHash signature (array of `MinHashK` longs) via Kirsch–
     * Mitzenhacker double hashing: ONE md5 per shingle yields two base
@@ -48,18 +43,16 @@ object Dedup {
     * twelfth of the hashing cost of independent per-seed digests. The
     * 56-bit cap on h2 keeps `h1 + 11·h2 < 2^61`: no 64-bit overflow in
     * any engine (some SQL engines raise on BIGINT overflow rather than
-    * wrap). Single fold pass; md5 is computed once per shingle. */
-  def minhashSignature(sh: Column): Column = {
-    import org.apache.spark.sql.types.LongType
-    val pairs = transform(transform(sh, s => md5(s)), x => array(
-      conv(substring(x, 1, 15), 16, 10).cast(LongType),
-      conv(substring(x, 17, 14), 16, 10).cast(LongType)))
-    aggregate(pairs, array_repeat(lit(Long.MaxValue), MinHashK),
-      (acc, p) => zip_with(acc,
-        array((0 until MinHashK).map(i =>
-          p.getItem(0) + lit(i.toLong) * p.getItem(1)): _*),
-        (a, b) => least(a, b)))
-  }
+    * wrap).
+    *
+    * Native `minhash_sig` expression ([[graft.functions.MinHashSig]]): a
+    * primitive long[] loop, one md5 per shingle. The round-1 interpreted
+    * HOF fold (`aggregate(transform(...), zip_with(..., least))`) computed
+    * identical values but allocated a 12-element array per shingle outside
+    * codegen — 64% of the whole sf0.1 bench. Values are bit-identical, so
+    * the DuckDB oracle SQL is unchanged. */
+  def minhashSignature(sh: Column): Column =
+    call_function("minhash_sig", sh, lit(MinHashK))
 
   /** The `Bands` LSH band keys over a MATERIALIZED signature column (pass
     * a plain column reference, not the [[minhashSignature]] expression —
@@ -85,27 +78,15 @@ object Dedup {
       size(array_union(a, b)).cast("double")
 
   /** 32-bit SimHash over the token multiset: bit j is set iff tokens whose
-    * 32-bit hash has bit j outnumber those that don't. Computed entirely
-    * inside the row (array fold — no explode, no shuffle) in a SINGLE
-    * pass: one fold accumulates all 32 per-bit counts as a vector, then a
-    * small fold assembles the signature. (The naive 32-independent-folds
-    * form re-walks the token array per bit — 32× the work.) */
-  def simhash32(text: Column): Column = {
-    val hs = transform(TextFunctions.tokens(text), t => PortableHash.hash32(t))
-    val n = size(hs)
-    val bitCounts = aggregate(
-      hs,
-      array_repeat(lit(0L), 32),
-      (acc, h) => zip_with(acc,
-        array((0 until 32).map(j =>
-          shiftrightunsigned(h, j).bitwiseAND(lit(1L))): _*),
-        (a, b) => a + b))
-    val weights = array((0 until 32).map(j => lit(1L << j)): _*)
-    aggregate(
-      zip_with(bitCounts, weights,
-        (cnt, w) => when(cnt * 2 > n, w).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+    * 32-bit hash ([[PortableHash.hash32]] md5 prefix) has bit j outnumber
+    * those that don't. Computed entirely inside the row — no explode, no
+    * shuffle.
+    *
+    * Native `simhash32` expression ([[graft.functions.SimHash32]]): one
+    * primitive loop (tokenize → md5 → 32 bit-counts) per row. The round-1
+    * interpreted 32-wide `zip_with` fold computed identical values ~50×
+    * slower. */
+  def simhash32(text: Column): Column = call_function("simhash32", text)
 
   /** Cache for intermediates that several plan branches re-read (band
     * tables feeding self-joins, shingle sets feeding verify re-joins).
@@ -129,9 +110,9 @@ object Dedup {
     * exact shingle Jaccard ≥ `threshold`. Output: (a_id, b_id, jaccard).
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    // The shingle table is cheap to recompute (codegen'd tokenize + linear
-    // zip_with n-grams) but EXPENSIVE to cache (columnar encoding of
-    // string arrays), so it is rebuilt per consumer; only the small
+    // The shingle table is cheap to recompute (one native shingle_set
+    // loop per row) but EXPENSIVE to cache (columnar encoding of string
+    // arrays), so it is rebuilt per consumer; only the small
     // signature/band tables — reread by several plan branches — persist.
     val sh = shingleTable(docs)
     val sig = persisted(

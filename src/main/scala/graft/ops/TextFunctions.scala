@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lower-cased whitespace tokens. `trim` first so the regex split never
-    * produces empty boundary tokens — equivalent to filtering empties out
-    * (for non-blank text) but WITHOUT a higher-order `filter` lambda, so
-    * the whole tokenization stays inside whole-stage codegen. Heavy
-    * consumers reference this expression several times per row; a
-    * codegen'd split is cheap there, an interpreted lambda is not. */
-  def tokens(text: Column): Column =
-    split(trim(lower(text)), "\\s+")
+  /** Lower-cased whitespace tokens with empty tokens dropped — the native
+    * `ws_tokens` expression ([[graft.functions.WsTokens]]): a single
+    * primitive tokenizer loop inside whole-stage codegen. Matches the
+    * oracle's `list_filter(str_split_regex(lower(text), '\s+'), t -> t <> '')`
+    * on ALL inputs, including blank text (the round-1 `split(trim(...))`
+    * form yielded `[""]` there). Requires
+    * [[graft.functions.VectorExpressions.register]] on the session (done
+    * by every [[graft.core.Tables]] load). */
+  def tokens(text: Column): Column = call_function("ws_tokens", text)
 
   /** BPE-ish lexer: letter runs, digit runs, single punctuation marks.
     * ASCII classes so external SQL engines tokenize identically. */
@@ -42,9 +43,11 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct n-gram shingle set of a document. */
+  /** Distinct n-gram shingle set of a document — the native `shingle_set`
+    * expression ([[graft.functions.ShingleSet]]): tokenize + n-gram +
+    * distinct in one primitive loop, no intermediate token array. */
   def shingles(text: Column, n: Int): Column =
-    array_distinct(wordNGrams(tokens(text), n))
+    call_function("shingle_set", text, lit(n))
 
   /** Whitespace-collapsed, trimmed, lower-cased canonical text. */
   def normalized(text: Column): Column =

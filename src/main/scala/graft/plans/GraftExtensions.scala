@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{DotProduct, L2Norm}
+import graft.functions.{DotProduct, L2Norm, MinHashSig, ShingleSet, SimHash32, WsTokens}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -18,5 +18,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_norm"), L2Norm.info,
       (children: Seq[Expression]) => L2Norm(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ws_tokens"), WsTokens.info,
+      (children: Seq[Expression]) => WsTokens(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_set"), ShingleSet.info,
+      (children: Seq[Expression]) => ShingleSet(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"), MinHashSig.info,
+      (children: Seq[Expression]) => MinHashSig(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"), SimHash32.info,
+      (children: Seq[Expression]) => SimHash32(children.head)))
   }
 }

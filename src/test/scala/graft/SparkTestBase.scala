@@ -22,6 +22,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.register(s)
     s
   }
 }
