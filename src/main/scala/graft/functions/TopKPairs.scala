@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -32,6 +33,24 @@ case class TopKPairs(
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   override def nullable: Boolean = false
+
+  /** Reject bad calls at analysis time: update() blind-casts score/id and
+    * k gates the buffer trim, so a column-valued k or mistyped argument
+    * would otherwise surface as a runtime ClassCastException (or an
+    * unbounded buffer). */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double score, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint id, got ${id.dataType.sql}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal int k")
+    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "topk_pairs"

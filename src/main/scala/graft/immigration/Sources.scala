@@ -40,9 +40,15 @@ object ImmigrationConfig {
         }.toMap
       finally src.close()
     val supp = kv.getOrElse("SUPPLEMENTARY_DATASETS_DIR", "")
+    // join with an explicit separator: a dir value without a trailing
+    // slash must not produce ".../dataus-cities-demographics.csv";
+    // empty supp keeps the path relative (the reference's default)
+    val demographics =
+      if (supp.isEmpty) "us-cities-demographics.csv"
+      else supp.stripSuffix("/") + "/us-cities-demographics.csv"
     ImmigrationConfig(
       i94ParquetDir = kv("I94_LOCAL_DATA_DIR"),
-      demographicsCsv = supp + "us-cities-demographics.csv",
+      demographicsCsv = demographics,
       sasLabelsFile = kv("SAS_LABELS_DESCRIPTION_FILE_PATH"),
       outputDir = outputDirOverride.getOrElse(kv.getOrElse("OUTPUT_DATA_DIR", "/tmp/graft_out")),
       i94SasFile = kv.get("I94_DATA_FILE_PATH"))

@@ -24,7 +24,11 @@ object Skew {
       probe: DataFrame, build: DataFrame,
       probeKey: Column, buildKey: Column,
       saltSource: Column, salts: Int): DataFrame = {
-    val salted = probe.withColumn("__salt_p", pmod(saltSource, lit(salts)))
+    // coalesce: a null saltSource must still land in a bucket (salt 0),
+    // or the salt equi-condition would silently drop probe rows whose
+    // join key matches — the join must stay row-identical to unsalted.
+    val salted = probe.withColumn("__salt_p",
+      coalesce(pmod(saltSource, lit(salts)), lit(0)))
     val replicated = build.withColumn("__salt_b",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated,
@@ -41,7 +45,8 @@ object Skew {
   def saltedDistinctCount(
       df: DataFrame, key: Column, of: Column, salts: Int,
       outName: String): DataFrame =
-    df.groupBy(key.as("__key"), pmod(of, lit(salts)).as("__salt"))
+    df.groupBy(key.as("__key"),
+        coalesce(pmod(of, lit(salts)), lit(0)).as("__salt"))
       .agg(countDistinct(of).as("__partial"))
       .groupBy(col("__key"))
       .agg(sum("__partial").as(outName))

@@ -116,6 +116,10 @@ object EventStreams {
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // the events files store TIMESTAMP(NANOS); without this conf the
+    // batch schema probe below throws PARQUET_TYPE_ILLEGAL on a fresh
+    // session (mirrors Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))

@@ -35,6 +35,26 @@ class TopKPairsSpec extends SparkTestBase {
     assert(viaAgg.contains(("a", 5.0, 2L, 2)))
   }
 
+  test("bad arguments fail at analysis time, not with a runtime cast error") {
+    VectorExpressions.register(spark)
+    val df = Seq(("a", 1.0, 1L, 2)).toDF("g", "score", "id", "k")
+    def analyze(c: org.apache.spark.sql.Column): Throwable =
+      intercept[Throwable](df.groupBy("g").agg(c.as("t")).queryExecution
+        .assertAnalyzed())
+    // int score
+    assert(analyze(call_function("topk_pairs", lit(1), col("id"), lit(3)))
+      .getMessage.contains("double score"))
+    // int id
+    assert(analyze(call_function("topk_pairs", col("score"), lit(7), lit(3)))
+      .getMessage.contains("bigint id"))
+    // column-valued k
+    assert(analyze(call_function("topk_pairs", col("score"), col("id"), col("k")))
+      .getMessage.contains("literal int k"))
+    // k < 1
+    assert(analyze(call_function("topk_pairs", col("score"), col("id"), lit(0)))
+      .getMessage.contains("k >= 1"))
+  }
+
   test("buffer trim and merge survive partial aggregation across partitions") {
     VectorExpressions.register(spark)
     val big = spark.range(0, 10000).repartition(16)

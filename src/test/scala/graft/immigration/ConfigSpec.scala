@@ -42,4 +42,28 @@ class ConfigSpec extends SparkTestBase {
     assert(df.columns.contains("i94yr"))
     assert(df.count() === 3096313L)
   }
+
+  test("fromIni: a SUPPLEMENTARY_DATASETS_DIR without trailing slash still joins the path") {
+    val f = Files.createTempFile("graft-cfg-", ".cfg")
+    Files.writeString(f,
+      """I94_LOCAL_DATA_DIR=/x/parquet
+        |SAS_LABELS_DESCRIPTION_FILE_PATH=/x/labels.SAS
+        |SUPPLEMENTARY_DATASETS_DIR=/x/data
+        |""".stripMargin)
+    val cfg = ImmigrationConfig.fromIni(f.toString, Some("/tmp/o"))
+    assert(cfg.demographicsCsv === "/x/data/us-cities-demographics.csv")
+  }
+
+  test("immigration source selects the sas7bdat format when the raw file exists") {
+    // The third-party reader jar is not resolvable offline, so the sas
+    // branch must be observed via the data-source lookup failing ON THE
+    // SAS FORMAT (proving the branch fired) rather than a successful read.
+    val f = Files.createTempFile("graft-i94-", ".sas7bdat")
+    val cfg = ImmigrationConfig.reference("/tmp/unused")
+      .copy(i94SasFile = Some(f.toString))
+    val err = intercept[Throwable](Sources.immigration(spark, cfg))
+    val chain = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(e => s"${e.getClass.getName}: ${e.getMessage}").mkString("\n")
+    assert(chain.contains(Sources.SasFormat))
+  }
 }

@@ -21,6 +21,20 @@ class SkewSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("saltedJoin keeps probe rows whose salt source is null") {
+    import spark.implicits._
+    val probe = Seq((1L, Some(10L)), (1L, None), (2L, Some(7L)), (3L, None))
+      .toDF("k", "salt_src")
+    val build = Seq((1L, "a"), (3L, "c")).toDF("bk", "v")
+    val got = Skew.saltedJoin(probe, build,
+        col("k"), col("bk"), col("salt_src"), salts = 4)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    // both null-salt probe rows (k=1 and k=3) must survive the join
+    assert(got === Set((1L, "a"), (3L, "c")))
+    assert(Skew.saltedJoin(probe, build,
+      col("k"), col("bk"), col("salt_src"), salts = 4).count() === 3L)
+  }
+
   test("saltedDistinctCount equals single-phase COUNT DISTINCT") {
     val plain = lineitem.groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("n"))
