@@ -450,7 +450,91 @@ object Relational {
     regexReplace, starJoin, exprKeyJoin, topkRejoin, antiJoin, groupbySum,
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
     partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
-    pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg)
+    pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
+    saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead)
+
+  // ----------------------------------------------------------------- A15
+  /** Salted equi-join (see [[graft.ops.Skew.saltedJoin]]): the probe side
+    * spreads a hot key over `salts` reducers; the oracle is the PLAIN
+    * join — results must be row-identical. */
+  private lazy val saltedJoinAgg = GraftQuery(
+    "a15_salted_join",
+    (s, d) => graft.ops.Skew.saltedJoin(
+        Tables.lineitem(s, d), Tables.supplier(s, d),
+        col("l_suppkey"), col("s_suppkey"), col("l_orderkey"), salts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("price")),
+    Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+            ROUND(SUM(l_extendedprice), 2) AS price
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey"""))
+
+  // ----------------------------------------------------------------- A16
+  /** Approximate distinct count (HyperLogLog++, rsd 2%) — the form users
+    * actually run at 100 TB, where exact distinct shuffles every key.
+    * Sketches aren't cross-engine comparable, so the query emits the
+    * EXACT count plus a boolean asserting the sketch landed within ±6%
+    * (3× the configured rsd); the oracle emits the exact count and a
+    * literal `true`. The hash compare therefore verifies the error bound
+    * itself. */
+  private lazy val approxDistinct = GraftQuery(
+    "a16_approx_count_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__approx"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (col("__approx") >= col("n_parts") * 0.94 &&
+          col("__approx") <= col("n_parts") * 1.06).as("approx_within_6pct")),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+            true AS approx_within_6pct
+            FROM lineitem GROUP BY l_returnflag"""))
+
+  // ----------------------------------------------------------------- A17
+  /** Approximate percentile (mergeable quantile sketch) with the same
+    * bounded-error contract as A16: exact value in the output, sketch
+    * asserted within ±2% relative error. */
+  private lazy val approxPercentile = GraftQuery(
+    "a17_approx_percentile",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__approx"))
+      .select(col("l_returnflag"), col("p90_price"),
+        (abs(col("__approx") - col("p90_price")) <=
+          col("p90_price") * 0.02).as("approx_within_2pct")),
+    Some("""SELECT l_returnflag,
+            ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+            true AS approx_within_2pct
+            FROM lineitem GROUP BY l_returnflag"""))
+
+  // ------------------------------------------------------------------ K3
+  /** Partition-pruned read of a Hive-partitioned sink: write partitioned
+    * by a low-cardinality key, re-read with a partition-key predicate.
+    * The scan must show `PartitionFilters` and touch only the matching
+    * directory — at 100 TB this is the difference between reading one
+    * partition and the whole table (PrunedReadSpec asserts the plan). */
+  private lazy val prunedPartitionRead = GraftQuery(
+    "k3_partition_pruned_read",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pruned-").toString
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus"""),
+    bench = false)
 
   // ----------------------------------------------------------------- A13
   /** CUBE: all grouping-set combinations in one pass. */
