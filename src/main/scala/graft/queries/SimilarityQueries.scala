@@ -22,6 +22,13 @@ object SimilarityQueries {
 
   private val Planes = VectorOps.hyperplanes(planes = 4, dims = 64)
 
+  /** Persist intermediates reread by several plan branches (the corpus
+    * feeding 3+ Lloyd passes, the fitted centroid table feeding assign
+    * and probe) — without it Spark re-derives the whole lineage per
+    * branch. */
+  private def persistedDf(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Corpus with the vector L2 norm precomputed per ROW — cosine per pair
     * then costs one dot product instead of three folds. At k candidates
     * per vector that saves 2k norm folds per corpus row. */
@@ -123,32 +130,74 @@ object SimilarityQueries {
     })
 
   // ------------------------------------------------------------ IVF ANN
-  /** IVF (inverted-file) ANN: vectors are assigned to their
-    * nearest-centroid cell once (centroids = every 50th vector —
-    * deterministic k-means-free seeding); a query then scans only its own
-    * cell (nprobe=1). Assignment and search both use `topk_pairs(k=1|3)`
-    * so only k rows per group cross any shuffle. At production scale the
-    * assignment table is written once and bucketed by cell, making the
-    * probe a pruned partition read. */
+  /** Lloyd iterations and probe fan-out of the IVF index. Both engines
+    * re-derive the identical centroids: every averaged component is
+    * `ROUND(avg, 6)` so cross-engine float-summation-order differences
+    * cannot leak into the assignment argmax. */
+  val IvfIters = 3
+  val IvfNprobe = 2
+
+  /** Nearest-centroid cell per vector (cosine argmax, ties to the lowest
+    * centroid id), carrying the vector through the aggregate so the mean
+    * step needs no re-join. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (VectorOps.dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+          .as("cos"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(c_id, struct(cos, -c_id))").as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+  /** Deterministic k-means: seeds = every 50th vector, `IvfIters` Lloyd
+    * iterations, per-dimension means via posexplode → (cell, pos) hash
+    * aggregate (fully map-side-combinable — no vector ever gathers to one
+    * task, so the same plan holds when cells have millions of members).
+    * Empty cells drop out; no runtime randomness anywhere. */
+  private def kmeansCentroids(e: DataFrame): DataFrame = {
+    val seeds = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    (1 to IvfIters).foldLeft(seeds) { (cents, _) =>
+      assignCells(e, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("mx"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => round(s.getField("mx"), 6)).as("cv"))
+        .select(col("cell").as("c_id"), col("cv"),
+          VectorOps.normNative(col("cv")).as("cn"))
+    }
+  }
+
+  /** IVF (inverted-file) ANN: k-means centroids (deterministic Lloyd
+    * iterations, see [[kmeansCentroids]]); vectors are assigned to their
+    * nearest-centroid cell once; a query scans its `IvfNprobe` nearest
+    * cells. Assignment and search use `max_by`/`topk_pairs` so only k
+    * rows per group cross any shuffle. At production scale the assignment
+    * table is written once, bucketed by cell, making the probe a pruned
+    * partition read; centroids re-fit offline. */
   private val annIvf = GraftQuery(
     "x_embed_ann_ivf",
     (s, d) => {
-      val e = corpus(s, d)
-      val cents = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val assign = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          (VectorOps.dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
-            .as("cos"), col("c_id"))
-        .groupBy("vec_id")
-        .agg(call_function("topk_pairs", col("cos"), col("c_id"), lit(1))
-          .as("top"))
-        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cell"))
+      val e = persistedDf(corpus(s, d))
+      val cents = persistedDf(kmeansCentroids(e))
+      val assign = assignCells(e, cents).select(col("vec_id"), col("cell"))
       val ce = e.join(assign, "vec_id")
-      val q = ce.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cell").as("q_cell"))
-      ce.join(broadcast(q),
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val probe = q.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("qv"), col("qn"),
+          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+            .as("cos"), col("c_id"))
+        .groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
+            lit(IvfNprobe)).as("top"),
+          first(col("qv")).as("qv"), first(col("qn")).as("qn"))
+        .select(col("q_id"), col("qv"), col("qn"),
+          explode(col("top")).as("p"))
+        .select(col("q_id"), col("qv"), col("qn"), col("p.id").as("q_cell"))
+      ce.join(broadcast(probe),
           col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           (VectorOps.dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
@@ -161,30 +210,66 @@ object SimilarityQueries {
           round(col("p.score"), 6).as("cos_sim"),
           (col("pos") + 1).cast("int").as("rank"))
     },
-    Some(s"""WITH $embCte,
-      c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
-            WHERE vec_id % 50 = 0),
-      sc AS (SELECT e.vec_id, c_id,
-               (list_sum(list_transform(generate_series(1, 64),
-                  i -> e.v[i] * cv[i])) / (e.nrm * cn)) AS cos
-             FROM e, c),
-      assign AS (SELECT vec_id, c_id AS cell
-                 FROM (SELECT *, row_number() OVER
-                         (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
-                       FROM sc)
-                 WHERE rn = 1),
+    Some(ivfSql))
+
+  /** One Lloyd iteration in DuckDB SQL: argmax-assign against `prev`,
+    * then rounded per-dimension means (zipped unnest + ordered list). */
+  private def lloydCtes(i: Int, prev: String): String = {
+    val cos = s"""(list_sum(list_transform(generate_series(1, 64),
+                    i -> e.v[i] * c.cv[i])) / (e.nrm * c.cn))"""
+    s"""a$i AS (SELECT vec_id, c_id AS cell FROM (
+           SELECT e.vec_id, c.c_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY $cos DESC, c.c_id) AS rn
+           FROM e, $prev c) WHERE rn = 1),
+       m$i AS (SELECT cell, pos, ROUND(AVG(x), 6) AS mx FROM (
+           SELECT a.cell, unnest(e.v) AS x,
+                  unnest(generate_series(1, 64)) AS pos
+           FROM e JOIN a$i a USING (vec_id))
+         GROUP BY cell, pos),
+       c$i AS (SELECT cell AS c_id, list(mx ORDER BY pos) AS cv,
+                 sqrt(list_sum(list_transform(
+                   list(mx ORDER BY pos), x -> x * x))) AS cn
+               FROM m$i GROUP BY cell)"""
+  }
+
+  private def ivfSql: String = {
+    val iters = (1 to IvfIters)
+      .map(i => lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}"))
+      .mkString(",\n")
+    val last = s"c$IvfIters"
+    val centCos = s"""(list_sum(list_transform(generate_series(1, 64),
+                        i -> e.v[i] * c.cv[i])) / (e.nrm * c.cn))"""
+    val probeCos = s"""(list_sum(list_transform(generate_series(1, 64),
+                         i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn))"""
+    s"""WITH $embCte,
+      c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+             WHERE vec_id % 50 = 0),
+      $iters,
+      assign AS (SELECT vec_id, c_id AS cell FROM (
+          SELECT e.vec_id, c.c_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY $centCos DESC, c.c_id) AS rn
+          FROM e, $last c) WHERE rn = 1),
       ce AS (SELECT e.vec_id, e.v, e.nrm, a.cell
              FROM e JOIN assign a USING (vec_id)),
-      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell
-            FROM ce WHERE vec_id % 100 = 0),
-      scored AS (SELECT q_id, vec_id AS n_id, $cosSql AS cos
-                 FROM ce, q
-                 WHERE cell = q_cell AND vec_id <> q_id)
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+            WHERE vec_id % 100 = 0),
+      probe AS (SELECT q_id, c_id AS q_cell FROM (
+          SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY $probeCos DESC, c.c_id) AS rn
+          FROM q, $last c) WHERE rn <= $IvfNprobe),
+      scored AS (SELECT q.q_id, ce.vec_id AS n_id, $cosSql AS cos
+                 FROM ce JOIN probe p ON ce.cell = p.q_cell
+                         JOIN q ON q.q_id = p.q_id
+                 WHERE ce.vec_id <> q.q_id)
       SELECT q_id, n_id, ROUND(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
       FROM (SELECT *, row_number() OVER
               (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM scored)
-      WHERE rank <= 3"""))
+      WHERE rank <= 3"""
+  }
 
   // -------------------------------------------------- threshold near-dups
   /** Cosine near-dup pairs, blocked by `label` (the natural partition
