@@ -19,11 +19,18 @@ object Bench {
     // measure the plan, not the compiler.
     val warmDir = "/root/testdata/sf0.001"
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Median of 3 timed runs per query: a single run is hostage to JIT
+    // recompilation and GC pauses; the median is reproducible within ~10%
+    // across bench invocations.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = graft.queries.Registry.all.filter(_.bench).map { q =>
       try { q.build(spark, warmDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(times.length / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
