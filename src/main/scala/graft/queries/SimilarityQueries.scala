@@ -272,8 +272,41 @@ object SimilarityQueries {
   }
 
   // -------------------------------------------------- threshold near-dups
+  /** Cosine near-dup pairs blocked by hyperplane-LSH bucket — the
+    * production blocking scheme (no label needed): only same-bucket pairs
+    * are scored, cutting candidates ~2^planes while random-hyperplane
+    * locality keeps high-cosine pairs mostly co-bucketed. The build side
+    * broadcasts so the probe scan stays fully parallel (a 16-key bucket
+    * shuffle would cap parallelism at 16 tasks). */
+  private val lshNearDup = GraftQuery(
+    "x_embed_lsh_neardup",
+    (s, d) => {
+      val e = corpus(s, d)
+        .withColumn("bucket", VectorOps.lshBucket(col("v"), Planes))
+      e.as("a").join(broadcast(e.as("b")),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.bucket").as("bucket"),
+          col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(VectorOps.dotNative(col("a.v"), col("b.v"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.4)
+    },
+    Some {
+      val bucket = VectorOps.sqlLshBucket("v", Planes)
+      s"""WITH $embCte,
+        be AS (SELECT vec_id, v, nrm, CAST($bucket AS BIGINT) AS bucket FROM e)
+        SELECT * FROM (
+          SELECT a.bucket AS bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+            ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+          FROM be a JOIN be b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cos_sim >= 0.4"""
+    })
+
   /** Cosine near-dup pairs, blocked by `label` (the natural partition
-    * key); at production scale the blocking key would be an LSH bucket. */
+    * key when one exists; [[lshNearDup]] is the label-free variant). */
   private val cosineNearDup = GraftQuery(
     "x_embed_cosine_neardup",
     (s, d) => {
@@ -298,5 +331,6 @@ object SimilarityQueries {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos_sim >= 0.4"""))
 
-  val queries: Seq[GraftQuery] = Seq(cosineTopK, annLsh, annIvf, cosineNearDup)
+  val queries: Seq[GraftQuery] =
+    Seq(cosineTopK, annLsh, annIvf, cosineNearDup, lshNearDup)
 }

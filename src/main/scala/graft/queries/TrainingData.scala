@@ -218,7 +218,40 @@ object TrainingData {
               AS k_avg
             FROM events GROUP BY event_type"""))
 
+  // --------------------------------------------------------- as-of join
+  /** As-of temporal enrichment (see [[graft.ops.AsOf]]): every event
+    * carries the user's most recent prior (or same-instant) purchase.
+    * The oracle is DuckDB's native `ASOF LEFT JOIN` — an independent
+    * implementation of the same semantics, so the union+window form is
+    * verified against a real temporal-join engine. */
+  private val asofJoin = GraftQuery(
+    "x_events_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("pval"))
+        .withColumnRenamed("ts", "pts")
+        .withColumn("ts", col("pts")) // join time column, same name as probe
+      graft.ops.AsOf.asOfJoin(
+          probe = ev.select("event_id", "user_id", "ts"),
+          build = purchases.select("user_id", "ts", "pts", "pval"),
+          key = "user_id", time = "ts", payload = Seq("pts", "pval"))
+        .select(col("event_id"), col("user_id"),
+          round(col("pval"), 2).as("last_purchase_value"),
+          (unix_micros(col("ts")) - unix_micros(col("pts")))
+            .as("us_since_purchase"))
+    },
+    Some("""WITH p AS (SELECT user_id, ts, MAX(value) AS pval
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id,
+                   ROUND(p.pval, 2) AS last_purchase_value,
+                   epoch_us(e.ts) - epoch_us(p.ts) AS us_since_purchase
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts"""))
+
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
-    sessionize, jsonExtract)
+    sessionize, jsonExtract, asofJoin)
 }
