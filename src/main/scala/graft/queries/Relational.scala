@@ -451,7 +451,128 @@ object Relational {
     groupbyCount, globalCount, distinctCount, distinctProj, topkOrderLimit,
     partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
-    saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead)
+    saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
+    semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions)
+
+  // ------------------------------------------------------------------ J5
+  /** Semi join: keep probe rows with ≥1 match, emit nothing from the
+    * build side — half the I/O of an inner-join-then-distinct and no
+    * duplicate blowup on many-to-many keys. */
+  private lazy val semiJoin = GraftQuery(
+    "j5_semi_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  // ----------------------------------------------------------------- A18
+  /** Window ranking family: rank/dense_rank over a tie-prone ordering
+    * (deterministic under ties by definition), ntile and lag over the
+    * tie-broken total ordering (position-dependent, so the ordering must
+    * be total for any engine to agree). */
+  private lazy val windowRank = GraftQuery(
+    "a18_window_rank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"))
+      val total = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          rank().over(byPrice).as("rnk"),
+          dense_rank().over(byPrice).as("drnk"),
+          ntile(4).over(total).as("quartile"),
+          lag(col("o_totalprice"), 1).over(total).as("prev_price"))
+        .where(col("rnk") <= 100)
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+            CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
+            CAST(quartile AS INTEGER) AS quartile, prev_price
+            FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+              rank() OVER w1 AS rnk, dense_rank() OVER w1 AS drnk,
+              ntile(4) OVER w2 AS quartile,
+              lag(o_totalprice, 1) OVER w2 AS prev_price
+              FROM orders
+              WINDOW w1 AS (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC),
+                     w2 AS (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey))
+            WHERE rnk <= 100"""))
+
+  // ----------------------------------------------------------------- A19
+  /** Explicit GROUPING SETS with grouping_id — the general form behind
+    * ROLLUP/CUBE: two independent one-dimension rollups in a single
+    * pass over the fact. */
+  private lazy val groupingSets = GraftQuery(
+    "a19_grouping_sets",
+    (s, d) => Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("price")),
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_extendedprice), 2) AS price
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""))
+
+  // ------------------------------------------------------------------ U8
+  /** Datetime-part extraction family over event time, grouped so the
+    * whole family (year/month/day/hour/minute/dow) is hash-verified in
+    * one query. Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday. */
+  private lazy val datetimeExtract = GraftQuery(
+    "u8_datetime_extract",
+    (s, d) => Tables.events(s, d)
+      .groupBy(
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("h"),
+        dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(minute(col("ts"))).as("n_minutes")),
+    Some("""SELECT CAST(year(ts) AS INTEGER) AS y,
+            CAST(month(ts) AS INTEGER) AS m,
+            CAST(dayofmonth(ts) AS INTEGER) AS dom,
+            CAST(hour(ts) AS INTEGER) AS h,
+            CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            COUNT(DISTINCT minute(ts)) AS n_minutes
+            FROM events GROUP BY 1, 2, 3, 4, 5"""))
+
+  // ------------------------------------------------------------------ U9
+  /** Scalar string-function parity in one projection: case mapping,
+    * substring, padding, reverse, replace, 1-based search, edit
+    * distance, multi-arg concat. */
+  private lazy val stringFunctions = GraftQuery(
+    "u9_string_functions",
+    (s, d) => Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_name"), 1, 5).as("prefix5"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      reverse(col("p_type")).as("type_rev"),
+      regexp_replace(col("p_type"), "BRUSHED", "B.").as("type_norm"),
+      instr(col("p_name"), "a").cast("long").as("first_a"),
+      levenshtein(col("p_brand"), lit("Brand#11")).cast("long").as("brand_dist"),
+      concat_ws("|", col("p_brand"), col("p_size").cast("string"))
+        .as("brand_size")),
+    Some("""SELECT p_partkey,
+            upper(p_name) AS uname,
+            substring(p_name, 1, 5) AS prefix5,
+            lpad(p_brand, 12, '*') AS brand_pad,
+            reverse(p_type) AS type_rev,
+            replace(p_type, 'BRUSHED', 'B.') AS type_norm,
+            CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+            CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist,
+            concat_ws('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size
+            FROM part"""))
 
   // ----------------------------------------------------------------- A15
   /** Salted equi-join (see [[graft.ops.Skew.saltedJoin]]): the probe side
