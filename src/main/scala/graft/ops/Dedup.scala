@@ -130,17 +130,24 @@ object Dedup {
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
-    // Verify by re-joining the (recomputed, cheap) shingle table twice.
-    // At corpus scales where a shingle pass is expensive, swap in the
-    // participant-only variant: persist `pairs`, broadcast its distinct
-    // ids against `docs`, and shingle just those rows — measured slower
-    // here because the extra stages outweigh two sub-second passes.
-    pairs
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+    verifyPairs(pairs, sh)
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Attach both shingle sets to each candidate pair WITHOUT shuffling
+    * the shingle table: candidates are rare (LSH/df-capped generation
+    * keeps them ≪ corpus), so the pair side broadcasts and the two
+    * shingle scans stream through broadcast-hash joins. The naive
+    * `pairs.join(sh).join(sh)` shuffles the full shingle corpus twice —
+    * the dominant cost at scale. If candidates ever outgrow broadcast
+    * size, fall back to co-partitioning both joins on doc_id. */
+  private def verifyPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val withA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      .join(broadcast(pairs), "a_id")
+    sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "b_id")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3
@@ -188,9 +195,7 @@ object Dedup {
       .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-    pairs
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+    verifyPairs(pairs, sh)
       .select(col("a_id"), col("b_id"), col("shared"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)

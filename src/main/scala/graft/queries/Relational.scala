@@ -452,7 +452,40 @@ object Relational {
     partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
-    semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions)
+    semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions,
+    nullCollectionSemantics)
+
+  // ----------------------------------------------------------------- U10
+  /** Null-handling and collection-function parity: NULLIF/COALESCE,
+    * null-safe comparison (IS DISTINCT FROM), and the list family
+    * (split, sort, membership, size, element access) in one projection.
+    * Arrays are emitted re-joined to strings so the cross-engine hash
+    * compares scalar columns only. */
+  private lazy val nullCollectionSemantics = GraftQuery(
+    "u10_null_collection_semantics",
+    (s, d) => {
+      val words = split(col("p_name"), " ")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("NA"))
+          .as("brand_or_na"),
+        expr("p_brand IS DISTINCT FROM nullif(p_brand, 'Brand#13')")
+          .as("was_nullified"),
+        array_join(array_sort(words), " ").as("sorted_words"),
+        size(words).cast("long").as("n_words"),
+        array_contains(words, "green").as("has_green"),
+        array_sort(words).getItem(0).as("first_sorted"))
+    },
+    Some("""SELECT p_partkey,
+            coalesce(nullif(p_brand, 'Brand#13'), 'NA') AS brand_or_na,
+            p_brand IS DISTINCT FROM nullif(p_brand, 'Brand#13')
+              AS was_nullified,
+            array_to_string(list_sort(str_split(p_name, ' ')), ' ')
+              AS sorted_words,
+            CAST(len(str_split(p_name, ' ')) AS BIGINT) AS n_words,
+            list_contains(str_split(p_name, ' '), 'green') AS has_green,
+            list_sort(str_split(p_name, ' '))[1] AS first_sorted
+            FROM part"""))
 
   // ------------------------------------------------------------------ J5
   /** Semi join: keep probe rows with ≥1 match, emit nothing from the
