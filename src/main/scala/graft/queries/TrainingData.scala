@@ -251,7 +251,34 @@ object TrainingData {
             FROM events e ASOF LEFT JOIN p
               ON e.user_id = p.user_id AND e.ts >= p.ts"""))
 
+  // ------------------------------------------------------- interval join
+  /** Batch face of the stream-stream interval join
+    * ([[graft.streaming.EventStreams.purchaseAttribution]] — the same
+    * code, watermarks no-op in batch): views paired with the same user's
+    * purchases within the following hour. A range join bounded on both
+    * ends, so the streaming form runs with finite state. */
+  private val intervalJoin = GraftQuery(
+    "x_events_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStreams.purchaseAttribution(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "purchase"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("purchase_value"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("us_gap"))
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, event_id AS purchase_id, ts AS pts,
+                              value AS purchase_value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT v.user_id, view_id, purchase_id, purchase_value,
+                   epoch_us(pts) - epoch_us(vts) AS us_gap
+            FROM v JOIN p ON v.user_id = p.user_id
+              AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"""))
+
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
-    sessionize, jsonExtract, asofJoin)
+    sessionize, jsonExtract, asofJoin, intervalJoin)
 }

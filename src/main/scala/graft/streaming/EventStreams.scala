@@ -112,6 +112,31 @@ object EventStreams {
   def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-stream interval join (purchase attribution): each view pairs
+    * with the same user's purchases landing within `horizon` AFTER the
+    * view (inclusive both ends). Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so Spark can evict
+    * join state older than `watermark + horizon` — the requirement for an
+    * unbounded stream-stream inner join to run with finite state. The
+    * SAME code runs as a batch range join (`withWatermark` is a no-op in
+    * batch), which is how the DuckDB oracle verifies it. */
+  def purchaseAttribution(
+      views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("value").as("purchase_value"))
+      .withWatermark("pts", watermark)
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr(s"INTERVAL $horizon"))
+      .drop("p_user")
+  }
+
   /** File-source stream over an events directory — the production entry
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */

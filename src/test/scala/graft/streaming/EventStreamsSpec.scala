@@ -104,6 +104,37 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("purchaseAttribution: stream-stream interval join equals the batch twin") {
+    import EventStreams.Event
+    val views = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0),
+      Event(2, ts("2024-01-01 12:00:00"), 7, "view", 0.0),
+      Event(3, ts("2024-01-01 10:00:00"), 8, "view", 0.0))
+    val purchases = Seq(
+      Event(10, ts("2024-01-01 10:30:00"), 7, "purchase", 5.0), // within 1h of view 1
+      Event(11, ts("2024-01-01 11:30:00"), 7, "purchase", 9.0), // within none (1.5h after view 1, before view 2)
+      Event(12, ts("2024-01-01 12:00:00"), 7, "purchase", 2.0), // same instant as view 2 (inclusive)
+      Event(13, ts("2024-01-01 10:30:00"), 9, "purchase", 1.0)) // other user
+
+    val vIn = MemoryStream[Event](spark)
+    val pIn = MemoryStream[Event](spark)
+    val q = EventStreams.purchaseAttribution(vIn.toDS().toDF(), pIn.toDS().toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      vIn.addData(views: _*)
+      pIn.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+      val batch = EventStreams.purchaseAttribution(
+          views.toDF(), purchases.toDF())
+        .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 10L), (2L, 12L)))
+    } finally q.stop()
+  }
+
   test("readEventStream: file source over an events landing directory") {
     // the file source needs a directory (a stream landing zone); stage the
     // testdata events file into one
