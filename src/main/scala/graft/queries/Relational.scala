@@ -453,7 +453,31 @@ object Relational {
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions,
-    nullCollectionSemantics)
+    nullCollectionSemantics, correlatedSubquery)
+
+  // ----------------------------------------------------------------- A20
+  /** Correlated scalar subquery via the SQL-text surface (temp views +
+    * `spark.sql`, the reference's own entry style): Catalyst decorrelates
+    * it into a left outer aggregate join — proof the engine accepts the
+    * declarative form users actually write. */
+  private lazy val correlatedSubquery = GraftQuery(
+    "a20_correlated_scalar_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql("""SELECT c_custkey, c_name,
+                 (SELECT COUNT(*) FROM graft_orders_v
+                  WHERE o_custkey = c_custkey) AS n_orders,
+                 (SELECT MAX(o_totalprice) FROM graft_orders_v
+                  WHERE o_custkey = c_custkey) AS max_order
+               FROM graft_customer_v""")
+    },
+    Some("""SELECT c_custkey, c_name,
+            CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders,
+            (SELECT MAX(o_totalprice) FROM orders
+             WHERE o_custkey = c_custkey) AS max_order
+            FROM customer"""))
 
   // ----------------------------------------------------------------- U10
   /** Null-handling and collection-function parity: NULLIF/COALESCE,

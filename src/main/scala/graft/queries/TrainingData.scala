@@ -278,7 +278,52 @@ object TrainingData {
             FROM v JOIN p ON v.user_id = p.user_id
               AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"""))
 
+  // -------------------------------------------------------------- TF-IDF
+  /** Top-3 characteristic terms per document by TF-IDF. Fully relational
+    * (explode → two hash aggregates → broadcast of the tiny df table and
+    * the 1-row corpus count), so it scales as two shuffles of
+    * (doc_id, term) pairs. Ranking is over the ROUNDED score — rounding
+    * before ranking makes the order identical in any engine despite
+    * last-ulp `ln` differences; remaining ties break on the term. */
+  private val tfidf = GraftQuery(
+    "x_tfidf_top_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            tf AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+            tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM tf GROUP BY 1, 2),
+            dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM tfc GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            scored AS (SELECT doc_id, tfc.term,
+                ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+              FROM tfc JOIN dfc ON tfc.term = dfc.term, n)
+            SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+                  FROM scored)
+            WHERE rank <= 3"""))
+
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
-    sessionize, jsonExtract, asofJoin, intervalJoin)
+    sessionize, jsonExtract, asofJoin, intervalJoin, tfidf)
 }
