@@ -26,6 +26,10 @@ object Bench {
     val results = graft.queries.Registry.all.filter(_.bench).map { q =>
       try { q.build(spark, warmDir).count() } catch { case _: Throwable => () }
       val times = (1 to runs).map { _ =>
+        // drop persisted intermediates: CacheManager matches identical
+        // plans across repeats, which would turn runs 2..n into warm-cache
+        // measurements — the median must be a COLD median
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -144,8 +144,11 @@ object Dedup {
     * the dominant cost at scale. If candidates ever outgrow broadcast
     * size, fall back to co-partitioning both joins on doc_id. */
   private def verifyPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    // persist the (tiny) pair table: both broadcast builds below would
+    // otherwise re-run the whole candidate-generation shuffle
+    val p = persisted(pairs)
     val withA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-      .join(broadcast(pairs), "a_id")
+      .join(broadcast(p), "a_id")
     sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
       .join(broadcast(withA), "b_id")
   }
