@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** `vec_sum(array<double>) -> array<double>` — element-wise vector sum
+  * aggregate.
+  *
+  * This is the map-side-combinable way to aggregate embedding vectors
+  * (k-means mean step, cluster statistics): each partition folds its rows
+  * into ONE double[] buffer and only `dims` doubles per group cross the
+  * shuffle. The relational alternative — posexplode to (pos, x) rows and
+  * per-dimension hash aggregation — multiplies the shuffled row count by
+  * the dimensionality (×64 here, ×thousands for real embedding widths).
+  *
+  * Inputs shorter than the first-seen width contribute their prefix;
+  * longer inputs grow the buffer (rows carry equal-width vectors in
+  * practice — the flexibility just keeps the aggregate total).
+  */
+case class VecSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  private def grow(buf: Array[Double], n: Int): Array[Double] =
+    if (buf.length >= n) buf
+    else java.util.Arrays.copyOf(buf, n)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = grow(buf, n)
+      var i = 0
+      while (i < n) { out(i) += arr.getDouble(i); i += 1 }
+      out
+    }
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    val out = grow(b1, b2.length)
+    var i = 0
+    while (i < b2.length) { out(i) += b2(i); i += 1 }
+    out
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    var i = 0
+    while (i < buf.length) { out.writeDouble(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Array[Double](n)
+    var i = 0
+    while (i < n) { buf(i) = in.readDouble(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSum =
+    copy(child = newChildren.head)
+}

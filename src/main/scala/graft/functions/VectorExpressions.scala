@@ -41,6 +41,10 @@ object VectorExpressions {
       (children: Seq[Expression]) =>
         TopKPairs(children(0), children(1), children(2)))
     registry.registerFunction(
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => VecSum(children.head))
+    registry.registerFunction(
       FunctionIdentifier("ws_tokens"), WsTokens.info,
       (children: Seq[Expression]) => WsTokens(children.head))
     registry.registerFunction(

@@ -150,23 +150,24 @@ object SimilarityQueries {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
 
   /** Deterministic k-means: seeds = every 50th vector, `IvfIters` Lloyd
-    * iterations, per-dimension means via posexplode → (cell, pos) hash
-    * aggregate (fully map-side-combinable — no vector ever gathers to one
-    * task, so the same plan holds when cells have millions of members).
-    * Empty cells drop out; no runtime randomness anywhere. */
+    * iterations, per-cell means via the engine's `vec_sum` element-wise
+    * aggregate (map-side-combinable: each task folds its members into ONE
+    * double[64] buffer, so a cell costs 64 doubles per task on the
+    * shuffle — the posexplode alternative shuffles 64 rows per VECTOR).
+    * Empty cells drop out; no runtime randomness anywhere. Means are
+    * rounded to 6 places so cross-engine summation order cannot leak
+    * into the assignment argmax. */
   private def kmeansCentroids(e: DataFrame): DataFrame = {
     val seeds = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     (1 to IvfIters).foldLeft(seeds) { (cents, _) =>
       assignCells(e, cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("mx"))
         .groupBy("cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mx")))),
-          s => round(s.getField("mx"), 6)).as("cv"))
-        .select(col("cell").as("c_id"), col("cv"),
-          VectorOps.normNative(col("cv")).as("cn"))
+        .agg(call_function("vec_sum", col("v")).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("cell").as("c_id"),
+          transform(col("sv"), x => round(x / col("n"), 6)).as("cv"))
+        .withColumn("cn", VectorOps.normNative(col("cv")))
     }
   }
 
