@@ -181,6 +181,61 @@ object Dedup {
     pairs.where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair graph — the clustering
+    * step of a dedup pipeline (near-dup pairs → clusters → keep one
+    * canonical doc per cluster). Deterministic min-label propagation:
+    * every vertex starts as its own label and each round takes the min
+    * label over itself and its neighbors, so the fixpoint labels each
+    * vertex with the smallest id in its component.
+    *
+    * Scale shape: each round is ONE shuffle of (id, label) long pairs —
+    * document bodies never move — and the round count is the component
+    * diameter, which for dup clusters is small (dups of a doc are dups
+    * of each other, so clusters are near-cliques). Convergence is
+    * detected by the monotone-decreasing label checksum (decimal — no
+    * 64-bit overflow at any corpus size); the driver-side loop is
+    * control flow only, no data ever collects. For adversarial
+    * long-chain graphs the standard upgrade is alternating
+    * large-star/small-star (O(log n) rounds); not needed for dedup.
+    *
+    * @param vertices one `id` column, the vertex universe (docs with no
+    *                 pair stay singleton clusters of themselves)
+    * @param pairs    `a_id`, `b_id` edges (either orientation)
+    * @return (id, label) — label = min vertex id of the component
+    */
+  def connectedComponents(
+      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = persisted(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct())
+    def checksum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // localCheckpoint (not persist): `labels` feeds BOTH branches of the
+    // next round's union, so without lineage truncation the logical plan
+    // doubles per round — exponential analysis cost by round ~8. The
+    // checkpoint keeps each round's plan O(1); on a real cluster use
+    // reliable checkpoint(dir) for executor-loss tolerance.
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var sum0 = checksum(labels)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val prop = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val sum1 = checksum(next)
+      converged = sum1.compareTo(sum0) == 0
+      sum0 = sum1
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Inverted-index n-gram candidate generation: pairs sharing at least
     * `minShared` *rare* shingles (document frequency ≤ `maxDf`), verified
     * with exact Jaccard ≥ `threshold`. The df cap is the skew guard — a

@@ -106,6 +106,64 @@ object DedupQueries {
                  AND x.doc_id < y.doc_id)
       SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3"""))
 
+  // ------------------------------------------------ dedup cluster assign
+  /** The clustering step a real dedup pipeline runs AFTER pair finding:
+    * connected components over the MinHash near-dup graph, every document
+    * labeled with its cluster (min doc_id of the component), cluster
+    * size, and whether it is the canonical keeper. Filtering
+    * `is_canonical` yields the deduplicated corpus. Oracle re-derives
+    * the components via a recursive transitive-closure CTE — exact for
+    * the test SFs; the Spark side's label propagation is the form that
+    * survives 100 TB (per-round shuffle of long pairs only). */
+  private val clusterAssign = GraftQuery(
+    "x_dedup_clusters",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      val comp = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      // cluster_size: one (label) shuffle of long pairs; the sizes side
+      // is |clusters| rows ≤ |docs| — broadcast only when genuinely small,
+      // so let AQE pick the strategy from runtime stats
+      val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"),
+          (col("id") === col("label")).as("is_canonical"))
+    },
+    Some(s"""WITH RECURSIVE $tokensCte, $shinglesCte,
+      msig AS (SELECT doc_id,
+        ${(0 until Dedup.MinHashK).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+        FROM sh),
+      sig AS (SELECT doc_id, ${bandCols.mkString(", ")} FROM msig),
+      bands AS (${(0 until Dedup.Bands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, b$b AS band_key FROM sig")
+        .mkString(" UNION ALL ")}),
+      sized AS (SELECT band_idx, band_key FROM bands
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
+      cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+               FROM bands x
+               JOIN sized USING (band_idx, band_key)
+               JOIN bands y ON x.band_idx = y.band_idx
+                AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      pairs AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id, $jaccardSql AS jaccard
+                  FROM cand JOIN sh a ON a.doc_id = a_id
+                            JOIN sh b ON b.doc_id = b_id)
+                WHERE jaccard >= 0.8),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
+      FROM comp JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                      FROM comp GROUP BY 1) USING (cluster_id)"""))
+
   // ------------------------------------------- inverted-index n-gram set
   private val ngramInverted = GraftQuery(
     "x_dedup_ngram_inverted",
@@ -128,5 +186,5 @@ object DedupQueries {
       WHERE jaccard >= 0.5"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(minhashLsh, simhashSig, simhashPairs, ngramInverted)
+    Seq(minhashLsh, simhashSig, simhashPairs, ngramInverted, clusterAssign)
 }
