@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, PortableHash, TextFunctions}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and training: deterministic stratified sampling,
+  * sequence packing, intra-document repetition scoring, and benchmark
+  * decontamination. All pure column algebra over the `documents` table —
+  * no UDFs, no collects — and every value is re-derivable in ANSI-ish
+  * SQL, so each query hash-matches the DuckDB oracle.
+  */
+object CorpusOps {
+
+  /** DuckDB tokenization CTE — the SQL face of `ws_tokens`. */
+  private val tokensCte =
+    """toks AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(str_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           generate_series(1, len(toks) - 2),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM toks WHERE len(toks) >= 3)""".stripMargin
+
+  // --------------------------------------------- stratified hash sampling
+  /** Deterministic per-stratum downsampling: each language keeps a quota
+    * percentage, membership decided by a portable content-free hash of
+    * the doc id (md5 — reproducible in any engine, stable across runs
+    * and cluster sizes, unlike `rand()`-based `sampleBy`). Pure per-row
+    * filter: no shuffle, fully pushdown-friendly, and at 100 TB the
+    * sample is decided during the scan without materializing anything. */
+  private val sampleStratified = GraftQuery(
+    "x_sample_stratified",
+    (s, d) => {
+      val quota = when(col("lang") < "m", lit(50)).otherwise(lit(20))
+      Tables.documents(s, d)
+        .where(PortableHash.hash60(col("doc_id").cast("string")) % 100 < quota)
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 100 < CASE WHEN lang < 'm' THEN 50 ELSE 20 END"""))
+
+  // ------------------------------------------------------ sequence packing
+  /** Greedy sequence packing: documents are laid out in stable (doc_id)
+    * order within each language shard, a running token total assigns each
+    * doc to the 2048-token training sequence where it starts, and the
+    * output is one row per packed sequence. The window partitions by the
+    * shard key, so no global single-partition sort exists at any scale —
+    * the production form packs within whatever shard key the corpus is
+    * already bucketed by. */
+  private val packSequences = GraftQuery(
+    "x_pack_sequences",
+    (s, d) => {
+      val SeqLen = 2048
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).as("n_tok"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tok")) / lit(SeqLen)))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("seq_tokens"))
+    },
+    Some(s"""WITH $tokensCte,
+      sized AS (SELECT doc_id, lang, len(toks) AS n_tok FROM toks),
+      packed AS (SELECT lang, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized)
+      SELECT lang, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+      FROM packed GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------- repetition scoring
+  /** Intra-document repetition (the C4/Gopher-style quality signal):
+    * 1 − distinct/total 3-gram shingles. Highly repetitive documents
+    * (boilerplate, keyword stuffing) score near 1. Both shingle counts
+    * come from ONE codegen'd `shingle_set`/`ws_tokens` pass per row — no
+    * explode, no shuffle; the scan stays pruned to (doc_id, text). */
+  private val repetitionRatio = GraftQuery(
+    "x_repetition_ratio",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("n_tok"),
+          size(TextFunctions.shingles(col("text"), 3)).as("n_distinct"))
+        .where(col("n_tok") >= 3)
+        .select(col("doc_id"),
+          (col("n_tok") - 2).cast("long").as("n_shingles"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double")
+            / (col("n_tok") - 2).cast("double"), 6).as("repetition"))
+    },
+    Some(s"""WITH $tokensCte,
+      counted AS (SELECT doc_id, len(toks) AS n_tok,
+          len(list_distinct(list_transform(
+            generate_series(1, len(toks) - 2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct
+        FROM toks WHERE len(toks) >= 3)
+      SELECT doc_id, n_tok - 2 AS n_shingles, n_distinct,
+             ROUND(1.0 - CAST(n_distinct AS DOUBLE) / (n_tok - 2), 6)
+               AS repetition
+      FROM counted"""))
+
+  // ------------------------------------------------------ decontamination
+  /** Benchmark decontamination: flag training documents sharing any
+    * 3-gram shingle with the held-out evaluation set (here: every 97th
+    * doc plays the benchmark). The benchmark shingle set is tiny relative
+    * to the corpus, so it broadcasts and the corpus-side posting scan
+    * streams through a broadcast hash join — at 100 TB the training side
+    * never shuffles, which is the only workable plan shape. */
+  private val decontaminate = GraftQuery(
+    "x_decontaminate",
+    (s, d) => {
+      val posting = Dedup.shingleTable(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val bench = posting.where(col("doc_id") % 97 === 0)
+        .select("shingle").distinct()
+      posting.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("shingle")).as("n_contaminated_shingles"))
+    },
+    Some(s"""WITH $tokensCte, $shinglesCte,
+      posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      bench AS (SELECT DISTINCT shingle FROM posting WHERE doc_id % 97 = 0)
+      SELECT doc_id,
+             CAST(count(DISTINCT shingle) AS BIGINT) AS n_contaminated_shingles
+      FROM posting JOIN bench USING (shingle)
+      WHERE doc_id % 97 <> 0
+      GROUP BY 1"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(sampleStratified, packSequences, repetitionRatio, decontaminate)
+}

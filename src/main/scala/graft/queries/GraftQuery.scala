@@ -21,7 +21,8 @@ object Registry {
   /** Full query surface, assembled per module. Order is stable. */
   def all: Seq[GraftQuery] =
     Relational.queries ++ TrainingData.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      CorpusOps.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }
