@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{DotProduct, L2Norm, MinHashSig, ShingleSet, SimHash32, WsTokens}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProduct, L2Norm, MinHashSig, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -30,5 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash32"), SimHash32.info,
       (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[Expression]) =>
+        TopKPairs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => VecSum(children.head)))
   }
 }

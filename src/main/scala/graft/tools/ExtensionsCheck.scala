@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Proves the `spark.sql.extensions` path end-to-end: a FRESH session
+  * configured with [[graft.plans.GraftExtensions]] must resolve every
+  * injected function from pure SQL text, with no programmatic
+  * registration call anywhere. Run with
+  * `sbt "runMain graft.tools.ExtensionsCheck"` (own JVM — the shared
+  * test session cannot re-apply extensions).
+  * Prints `extensions-ok N` on success; throws on any resolution miss. */
+object ExtensionsCheck {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .appName("graft-extensions-check")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val probes = Seq(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))" -> 11.0,
+      "SELECT vec_norm(array(3.0d, 4.0d))" -> 5.0,
+      "SELECT size(ws_tokens('  a  b '))" -> 2,
+      "SELECT size(shingle_set('a b c d', 3))" -> 2,
+      "SELECT size(minhash_sig(array('x', 'y'), 12))" -> 12,
+      "SELECT simhash32('') " -> 0L,
+      "SELECT size(topk_pairs(s, i, 2)) FROM VALUES (1.0d, 1L), (2.0d, 2L), (3.0d, 3L) AS t(s, i)" -> 2,
+      "SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.0d)) AS t(v)" -> 3.0)
+
+    probes.foreach { case (sql, expected) =>
+      val got = spark.sql(sql).head().get(0)
+      require(got == expected, s"$sql => $got, expected $expected")
+    }
+    println(s"extensions-ok ${probes.size}")
+    spark.stop()
+  }
+}
