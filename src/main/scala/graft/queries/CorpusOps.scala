@@ -143,6 +143,66 @@ object CorpusOps {
       WHERE doc_id % 97 <> 0
       GROUP BY 1"""))
 
+  // ------------------------------------------------------- mixing ratios
+  /** Data-mixing weights: per-source document and token counts plus each
+    * source's share of total tokens — the table a curation run consults
+    * to set sampling weights. One map-side-combinable aggregate over the
+    * corpus; the global-share window runs over the aggregated table
+    * (|sources| rows), so the single-partition window is free. */
+  private val sourceMix = GraftQuery(
+    "x_source_mix",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      toks.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double")
+            / sum(col("n_tokens")).over(Window.partitionBy()), 6)
+            .as("token_share"))
+    },
+    Some("""WITH toks AS (
+        SELECT source,
+               len(list_filter(str_split_regex(lower(text), '\s+'),
+                   t -> t <> '')) AS n_tok
+        FROM documents),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY 1)
+      SELECT source, n_docs, n_tokens,
+             ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+               AS token_share
+      FROM agg"""))
+
+  // --------------------------------------------- percentile-based filter
+  /** Per-stratum percentile-threshold retention: keep documents at or
+    * above their language's median token count. The thresholds reduce to
+    * |langs| rows, broadcast back, and the corpus passes once — no
+    * per-stratum window over full data (which would buffer whole
+    * partitions at 100 TB). */
+  private val percentileFilter = GraftQuery(
+    "x_percentile_filter",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      val med = scored.groupBy("lang")
+        .agg(round(expr("percentile(n_tok, 0.5)"), 4).as("lang_median"))
+      scored.join(broadcast(med), "lang")
+        .where(col("n_tok") >= col("lang_median"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("lang_median"))
+    },
+    Some(s"""WITH $tokensCte,
+      sized AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok
+                FROM toks),
+      med AS (SELECT lang, ROUND(quantile_cont(n_tok, 0.5), 4) AS lang_median
+              FROM sized GROUP BY 1)
+      SELECT doc_id, lang, n_tok, lang_median
+      FROM sized JOIN med USING (lang)
+      WHERE n_tok >= lang_median"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(sampleStratified, packSequences, repetitionRatio, decontaminate)
+    Seq(sampleStratified, packSequences, repetitionRatio, decontaminate,
+      sourceMix, percentileFilter)
 }
