@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.SparkTestBase
+
+/** Plan audits for the corpus-curation queries — the properties that make
+  * them viable at 100 TB, asserted on the actual physical plans. AQE
+  * wraps materialized stages as leaf nodes, so the join/exchange checks
+  * read the final plan rendering rather than collecting typed nodes. */
+class CorpusOpsPlanSpec extends SparkTestBase {
+
+  private def build(name: String) =
+    Registry.byName(name).build(spark, sf("sf0.001"))
+
+  /** Final (post-AQE) physical plan rendering. */
+  private def finalPlan(name: String): String = {
+    val df = build(name)
+    df.collect() // materialize every adaptive stage
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("stratified sample never reads the text column") {
+    val scans = build("x_sample_stratified")
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(!read.contains("text"), s"text in ReadSchema: $read")
+      assert(read.subsetOf(Set("doc_id", "lang")))
+    }
+  }
+
+  test("stratified sample is a pure scan-side filter: no exchange at all") {
+    val plan = finalPlan("x_sample_stratified")
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("decontamination joins the corpus against a BROADCAST bench side") {
+    assert(finalPlan("x_decontaminate").contains("BroadcastHashJoin"),
+      "bench shingle set must broadcast")
+  }
+
+  test("percentile filter broadcasts the per-language thresholds") {
+    assert(finalPlan("x_percentile_filter").contains("BroadcastHashJoin"),
+      "lang medians must broadcast")
+  }
+}
