@@ -211,15 +211,22 @@ object Dedup {
         .distinct())
     def checksum(labels: DataFrame): java.math.BigDecimal =
       labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // Propagation runs over the ACTIVE vertices only — those touching at
+    // least one edge. The dup graph is tiny relative to the corpus (at
+    // 100 TB: millions of pair-vertices vs billions of docs), so the
+    // per-round shuffle must not pay for the untouched majority; they
+    // rejoin as self-labeled singletons in one final pass.
+    //
     // localCheckpoint (not persist): `labels` feeds BOTH branches of the
     // next round's union, so without lineage truncation the logical plan
     // doubles per round — exponential analysis cost by round ~8. The
     // checkpoint keeps each round's plan O(1); on a real cluster use
     // reliable checkpoint(dir) for executor-loss tolerance.
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var sum0 = checksum(labels)
-    var converged = false
+    var converged = sum0 == null // no edges: nothing to propagate
     var iters = 0
     while (!converged && iters < maxIters) {
       val prop = labels.join(edges, col("id") === col("src"))
@@ -233,7 +240,8 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
-    labels
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Inverted-index n-gram candidate generation: pairs sharing at least
