@@ -453,7 +453,7 @@ object Relational {
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions,
-    nullCollectionSemantics, correlatedSubquery)
+    nullCollectionSemantics, correlatedSubquery, ansiSafeCasts)
 
   // ----------------------------------------------------------------- A20
   /** Correlated scalar subquery via the SQL-text surface (temp views +
@@ -510,6 +510,27 @@ object Relational {
             list_contains(str_split(p_name, ' '), 'green') AS has_green,
             list_sort(str_split(p_name, ' '))[1] AS first_sorted
             FROM part"""))
+
+  // ----------------------------------------------------------------- U11
+  /** ANSI-safe ingestion surface: Spark 4 runs ANSI mode by default, so
+    * malformed casts and zero divides THROW unless the `try_` forms are
+    * used — the forms any dirty-data pipeline needs. DuckDB mirrors
+    * `try_cast` natively and the zero-divide guard as a CASE. */
+  private lazy val ansiSafeCasts = GraftQuery(
+    "u11_ansi_safe_casts",
+    (s, d) => Tables.customer(s, d).select(
+      col("c_custkey"),
+      expr("try_cast(c_name AS DOUBLE)").as("name_as_num"),
+      expr("try_cast(substring(c_name, 10) AS INT)").as("cust_num"),
+      round(try_divide(col("c_acctbal"), col("c_custkey") % 3), 6)
+        .as("bal_per_bucket")),
+    Some("""SELECT c_custkey,
+            TRY_CAST(c_name AS DOUBLE) AS name_as_num,
+            TRY_CAST(substring(c_name, 10) AS INTEGER) AS cust_num,
+            ROUND(CASE WHEN c_custkey % 3 = 0 THEN NULL
+                       ELSE c_acctbal / (c_custkey % 3) END, 6)
+              AS bal_per_bucket
+            FROM customer"""))
 
   // ------------------------------------------------------------------ J5
   /** Semi join: keep probe rows with ≥1 match, emit nothing from the
