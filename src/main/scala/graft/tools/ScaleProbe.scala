@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Dedup
+
+/** Scaling-slope probe for the dedup pipeline: replicates the sf0.1
+  * `documents` table K times with disjoint ids AND disjoint shingle
+  * spaces (every token gets a per-copy suffix — an exact isomorphism of
+  * the original token structure, so the near-dup graph repeats per copy
+  * instead of exploding into cross-copy K-cliques), then times pair
+  * generation + clustering at 1x and Kx.
+  * Near-linear wall-clock growth is the evidence that the plan shape —
+  * banded candidate generation, capped buckets, active-set label
+  * propagation — carries to corpus sizes the test SFs cannot reach.
+  * Run: `sbt "runMain graft.tools.ScaleProbe [K]"` (default 16).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 16
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val big = (0 until k).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1zz$i").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+    val bigPath = s"/tmp/graft_scale_${k}x"
+    big.repartition(32).write.mode("overwrite").parquet(bigPath)
+    val bigDf = spark.read.parquet(bigPath)
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def probe(tag: String, docs: DataFrame): Unit = {
+      val (pairs, tPairs) = time {
+        Dedup.minhashNearDups(docs, threshold = 0.8)
+          .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      }
+      val nPairs = pairs.count()
+      val (cc, tCc) = time {
+        Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+          .where(col("id") =!= col("label")).count()
+      }
+      println(f"[scale] $tag docs=${docs.count()}%d pairs=$nPairs%d " +
+        f"dup_docs=$cc%d pair_s=$tPairs%.2f cc_s=$tCc%.2f")
+      spark.catalog.clearCache()
+    }
+
+    def diagnose(tag: String, docs: DataFrame): Unit = {
+      val sh = Dedup.shingleTable(docs).localCheckpoint(true)
+      val sig = sh.select(col("doc_id"),
+        Dedup.minhashSignature(col("sh")).as("sig")).localCheckpoint(true)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(Dedup.bandKeys(col("sig")): _*))
+          .as(Seq("band_idx", "band_key")))
+      val buckets = bands.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).localCheckpoint(true)
+      val stats = buckets.agg(count(lit(1)), max("n"), sum(col("n") * (col("n") - 1) / 2))
+        .head()
+      println(s"[diag] $tag buckets>=2: ${stats.get(0)} maxBucket=${stats.get(1)} " +
+        s"rawPairsUpper=${stats.get(2)}")
+      spark.catalog.clearCache()
+    }
+
+    if (args.length > 1 && args(1) == "diag") {
+      diagnose("1x", base)
+      diagnose(s"${k}x", bigDf)
+    } else {
+      probe("1x", base)
+      probe(s"${k}x", bigDf)
+    }
+    spark.stop()
+  }
+}
