@@ -4,10 +4,11 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Primitive kernels for the text/dedup hot path, called from the native
@@ -115,6 +116,48 @@ object DedupKernels {
       val h2 = be64(d, 8) >>> 8 // hex chars 17-30 (56 bits)
       var v = h1
       var j = 0
+      while (j < k) {
+        if (v < sig(j)) sig(j) = v
+        v += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Fast MinHash signature straight from text: tokenize, per-token
+    * XXH64, rolling n-gram combine, k-component double-hash fold — no
+    * shingle strings materialized, no md5. ENGINE-INTERNAL: the values
+    * are not reproducible in external SQL engines; use [[minhashSig]]
+    * wherever an oracle must re-derive them. Duplicate shingles cannot
+    * change a component minimum, so the multiset needs no distinct step.
+    * Returns null for texts with fewer than n tokens (no shingles — an
+    * all-MaxValue signature would put every short doc in one degenerate
+    * LSH bucket). */
+  def minhashSigFast(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < n) return null
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes(StandardCharsets.UTF_8)
+      th(i) = XXH64.hashUnsafeBytes(
+        b, Platform.BYTE_ARRAY_OFFSET, b.length, 0x5851F42DL)
+      i += 1
+    }
+    val last = toks.length - n
+    i = 0
+    while (i <= last) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      val h1 = h >>> 4 // 60-bit: mirrors the portable family's overflow caps
+      val h2 = XXH64.hashLong(h, 0x2545F4914F6CDD1DL) >>> 8 // 56-bit
+      var v = h1
+      j = 0
       while (j < k) {
         if (v < sig(j)) sig(j) = v
         v += h2
@@ -280,4 +323,52 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
   val info = new ExpressionInfo(classOf[SimHash32].getName, "simhash32")
+}
+
+/** `minhash_sig_fast(string, n, k) -> array<bigint>`: k-component MinHash
+  * signature straight from text via XXH64 (no shingle strings, no md5).
+  * Engine-internal — values are not oracle-portable; null for texts with
+  * fewer than n tokens. */
+case class MinHashSigFast(text: Expression, nExpr: Expression, kExpr: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = nExpr
+  override def third: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig_fast"
+
+  private def litInt(e: Expression): Option[Int] =
+    if (e.dataType == IntegerType && e.foldable && e.eval() != null)
+      Some(e.eval().asInstanceOf[Int])
+    else None
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string first argument, got ${text.dataType.sql}")
+    else if (!litInt(nExpr).exists(_ >= 1) || !litInt(kExpr).exists(_ >= 1))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal int n >= 1 and k >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(t: Any, n: Any, k: Any): Any =
+    DedupKernels.minhashSigFast(
+      t.asInstanceOf[UTF8String], n.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, k) => s"""
+      ${ev.value} = graft.functions.DedupKernels.minhashSigFast($t, $n, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): MinHashSigFast =
+    copy(text = newFirst, nExpr = newSecond, kExpr = newThird)
+}
+
+object MinHashSigFast {
+  val info =
+    new ExpressionInfo(classOf[MinHashSigFast].getName, "minhash_sig_fast")
 }

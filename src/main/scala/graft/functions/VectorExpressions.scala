@@ -54,6 +54,10 @@ object VectorExpressions {
       FunctionIdentifier("minhash_sig"), MinHashSig.info,
       (children: Seq[Expression]) => MinHashSig(children(0), children(1)))
     registry.registerFunction(
+      FunctionIdentifier("minhash_sig_fast"), MinHashSigFast.info,
+      (children: Seq[Expression]) =>
+        MinHashSigFast(children(0), children(1), children(2)))
+    registry.registerFunction(
       FunctionIdentifier("simhash32"), SimHash32.info,
       (children: Seq[Expression]) => SimHash32(children.head))
   }

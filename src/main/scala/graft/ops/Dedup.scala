@@ -106,6 +106,21 @@ object Dedup {
       .where(size(col("sh")) > 0)
   }
 
+  /** LSH candidate pairs from a (doc_id, sig) table. One shuffle: group
+    * each band bucket, drop the no-pair and over-MaxBucket buckets (skew
+    * guard), then explode the ordered pairs of each surviving bucket in
+    * place — no self-join, no second pass. */
+  private def lshCandidates(sig: DataFrame): DataFrame =
+    sig.select(
+      col("doc_id"),
+      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band_idx", "band_key")))
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, MaxBucket))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+
   /** Candidate pairs from MinHash-LSH banding over `docs`, verified with
     * exact shingle Jaccard ≥ `threshold`. Output: (a_id, b_id, jaccard).
     */
@@ -117,40 +132,74 @@ object Dedup {
     val sh = shingleTable(docs)
     val sig = persisted(
       sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band_idx", "band_key")))
-    // One shuffle: group each band bucket, drop the no-pair and
-    // over-MaxBucket buckets (skew guard), then explode the ordered pairs
-    // of each surviving bucket in place — no self-join, no second pass.
-    val pairs = bands
-      .groupBy("band_idx", "band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, MaxBucket))
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .distinct()
-    verifyPairs(pairs, sh)
+    verifyPairs(lshCandidates(sig), docs)
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
-  /** Attach both shingle sets to each candidate pair WITHOUT shuffling
-    * the shingle table: candidates are rare (LSH/df-capped generation
-    * keeps them ≪ corpus), so the pair side broadcasts and the two
-    * shingle scans stream through broadcast-hash joins. The naive
-    * `pairs.join(sh).join(sh)` shuffles the full shingle corpus twice —
-    * the dominant cost at scale. If candidates ever outgrow broadcast
-    * size, fall back to co-partitioning both joins on doc_id. */
-  private def verifyPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    // persist the (tiny) pair table: both broadcast builds below would
-    // otherwise re-run the whole candidate-generation shuffle
-    val p = persisted(pairs)
-    val withA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-      .join(broadcast(p), "a_id")
-    sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "b_id")
+  /** Engine-internal fast variant of [[minhashNearDups]]: identical
+    * banding pipeline and exact-Jaccard verification, but signatures come
+    * from the XXH64 `minhash_sig_fast` kernel STRAIGHT from text — no
+    * shingle strings, no md5 (the md5 grind is the dominant cost of the
+    * portable path; see `tools.ScaleProbe`). Candidate sets can differ
+    * from the portable path only through hash-family randomness; both are
+    * verified with the same exact Jaccard, so false positives are
+    * impossible either way. Use this in production; use the portable path
+    * where an external engine must re-derive every signature value. */
+  def minhashNearDupsFast(docs: DataFrame, threshold: Double): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sig = persisted(docs.repartition(par)
+      .select(col("doc_id"),
+        call_function("minhash_sig_fast",
+          col("text"), lit(ShingleN), lit(MinHashK)).as("sig"))
+      .where(col("sig").isNotNull))
+    verifyPairs(lshCandidates(sig), docs)
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Above this candidate count the broadcast verify (pairs + their
+    * shingle sets must fit one broadcast) switches to co-partitioned
+    * shuffle joins. ~50 K pairs x ~3 KB shingle payload ≈ 150 MB — the
+    * sane broadcast ceiling. */
+  val BroadcastVerifyLimit = 50_000L
+
+  /** Attach both shingle sets to each candidate pair without re-shingling
+    * the corpus: the corpus is first narrowed to candidate MEMBERS by a
+    * broadcast join on the exploded id set, so the expensive shingle
+    * projection runs over candidate docs only. The join strategy then
+    * adapts to the measured candidate count (free — the pair table is
+    * checkpointed):
+    *  - rare candidates (the common case): the pair table broadcasts and
+    *    both shingle scans stream through broadcast-hash joins, zero
+    *    shuffle of shingle data;
+    *  - dense candidates (> [[BroadcastVerifyLimit]], e.g. a corpus of
+    *    pervasive templated text): plain co-partitioned joins — AQE
+    *    picks shuffled-hash — because a pairs x shingles broadcast
+    *    would be GB-scale (measured: 890 K candidates at ScaleProbe 64x
+    *    made the broadcast build the whole runtime). */
+  private def verifyPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    // EAGER localCheckpoint (not lazy persist) for the tiny pair and id
+    // tables: several nested broadcast builds consume them, and a lazy
+    // persist materializes inside the first broadcast-build thread,
+    // re-running candidate generation per consumer before the cache
+    // fills (measured 3x end-to-end at ScaleProbe 64x)
+    val p = pairs.localCheckpoint(true)
+    // ids stays lazy: it is a trivial scan of the checkpointed p, and a
+    // checkpoint of its own would cost one more job than it saves
+    val ids = p.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val sh = shingleTable(docs.join(broadcast(ids), "doc_id"))
+    val shA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    if (p.count() <= BroadcastVerifyLimit) {
+      val withA = shA.join(broadcast(p), "a_id")
+      shB.join(broadcast(withA), "b_id")
+    } else {
+      p.join(shA, "a_id").join(shB, "b_id")
+    }
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3
@@ -261,7 +310,7 @@ object Dedup {
       .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-    verifyPairs(pairs, sh)
+    verifyPairs(pairs, docs)
       .select(col("a_id"), col("b_id"), col("shared"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, L2Norm, MinHashSig, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
+import graft.functions.{DotProduct, L2Norm, MinHashSig, MinHashSigFast, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"), MinHashSig.info,
       (children: Seq[Expression]) => MinHashSig(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_fast"), MinHashSigFast.info,
+      (children: Seq[Expression]) =>
+        MinHashSigFast(children(0), children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("simhash32"), SimHash32.info,
       (children: Seq[Expression]) => SimHash32(children.head)))

@@ -68,6 +68,17 @@ object DedupQueries {
         FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
       WHERE jaccard >= 0.8"""))
 
+  /** The production-speed MinHash path: XXH64 signatures straight from
+    * text (`minhash_sig_fast`), identical banding + exact-Jaccard verify.
+    * No SQL oracle by design — engine-internal hash values are not
+    * reproducible in external engines (the portable md5 twin above is);
+    * `MinHashFastSpec` pins family agreement instead, and the bench
+    * carries the speed story (see `tools.ScaleProbe` for the slope). */
+  private val minhashFast = GraftQuery(
+    "x_dedup_minhash_fast",
+    (s, d) => Dedup.minhashNearDupsFast(Tables.documents(s, d), threshold = 0.8),
+    None)
+
   // -------------------------------------------------------------- SimHash
   private val hashesCte =
     """hs AS (
@@ -186,5 +197,6 @@ object DedupQueries {
       WHERE jaccard >= 0.5"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(minhashLsh, simhashSig, simhashPairs, ngramInverted, clusterAssign)
+    Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
+      clusterAssign)
 }

@@ -45,6 +45,11 @@ object ScaleProbe {
     }
 
     def probe(tag: String, docs: DataFrame): Unit = {
+      val (fastPairs, tFast) = time {
+        Dedup.minhashNearDupsFast(docs, threshold = 0.8)
+          .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      }
+      val nFast = fastPairs.count()
       val (pairs, tPairs) = time {
         Dedup.minhashNearDups(docs, threshold = 0.8)
           .select(col("a_id"), col("b_id")).localCheckpoint(true)
@@ -56,7 +61,8 @@ object ScaleProbe {
           .where(col("id") =!= col("label")).count()
       }
       println(f"[scale] $tag docs=${docs.count()}%d pairs=$nPairs%d " +
-        f"dup_docs=$cc%d pair_s=$tPairs%.2f cc_s=$tCc%.2f")
+        f"fast_pairs=$nFast%d dup_docs=$cc%d " +
+        f"pair_s=$tPairs%.2f fast_pair_s=$tFast%.2f cc_s=$tCc%.2f")
       spark.catalog.clearCache()
     }
 
