@@ -1,0 +1,99 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, PortableHash, TextFunctions}
+
+/** The end-to-end corpus-curation pipeline — the document-side twin of
+  * [[graft.immigration.ImmigrationPipeline]], proving the operators
+  * compose into the run a training-data team actually ships:
+  *
+  *   quality gate → exact dedup → near-dup clustering (keep one doc per
+  *   cluster) → stratified downsample → sequence packing → partitioned
+  *   parquet.
+  *
+  * Every stage is the library operator, not a reimplementation; stage
+  * row counts come back as [[CorpusPipeline.Stats]] for monitoring (the
+  * counts are actions the pipeline needs anyway — each stage's output is
+  * checkpointed once and reused, never recomputed).
+  *
+  * Scale shape: per-row stages (quality, fingerprint, sample) are pure
+  * scan-side column algebra; the only shuffles are the dedup candidate
+  * generation, the label-propagation rounds over the active dup graph,
+  * and the final partitioned write. Document text crosses a shuffle
+  * exactly once (the write).
+  */
+object CorpusPipeline {
+
+  final case class Stats(
+      input: Long,
+      afterQuality: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      sampled: Long,
+      sequences: Long)
+
+  val MinTokens = 5
+  val SeqLen = 2048
+
+  def run(spark: SparkSession, docsDir: String, outDir: String): Stats = {
+    val docs = Tables.documents(spark, docsDir)
+    val input = docs.count()
+
+    // 1. quality gate: drop degenerate docs (pure per-row filter)
+    val quality = docs
+      .withColumn("n_tok", size(TextFunctions.tokens(col("text"))))
+      .where(col("n_tok") >= MinTokens)
+    val nQuality = quality.count()
+
+    // 2. exact dedup: one survivor (min doc_id) per canonical fingerprint;
+    //    only (fingerprint, doc_id) pairs cross the shuffle
+    val keepExact = quality
+      .withColumn("fp", TextFunctions.fingerprintMd5(col("text")))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rk") === 1).drop("fp", "rk")
+      .localCheckpoint(true)
+    val nExact = keepExact.count()
+
+    // 3. near-dup clustering: production-speed signatures, exact verify,
+    //    connected components, keep the min-id doc of each cluster
+    val pairs = Dedup.minhashNearDupsFast(keepExact, threshold = 0.8)
+      .select(col("a_id"), col("b_id"))
+    val comp = Dedup.connectedComponents(
+      keepExact.select(col("doc_id").as("id")), pairs)
+    val keepNear = keepExact.join(
+        comp.where(col("id") === col("label"))
+          .select(col("id").as("doc_id")),
+        "doc_id")
+      .localCheckpoint(true)
+    val nNear = keepNear.count()
+
+    // 4. deterministic stratified downsample (reproducible across runs
+    //    and cluster sizes — no rand())
+    val quota = when(col("lang") < "m", lit(80)).otherwise(lit(60))
+    val sampled = keepNear
+      .where(PortableHash.hash60(col("doc_id").cast("string")) % 100 < quota)
+    val nSampled = sampled.count()
+
+    // 5. sequence packing within language shards
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(SeqLen)))
+      .drop("cum")
+
+    // 6. partitioned sink: downstream training jobs read one language
+    //    directory without touching the rest
+    packed.write.mode(SaveMode.Overwrite)
+      .partitionBy("lang").parquet(s"$outDir/corpus")
+    val out = spark.read.parquet(s"$outDir/corpus")
+    val nSeqs = out.select(col("lang"), col("seq_id")).distinct().count()
+
+    Stats(input, nQuality, nExact, nNear, nSampled, nSeqs)
+  }
+}
