@@ -323,6 +323,31 @@ object Relational {
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
     bench = false)
 
+  // ------------------------------------------------------------------ S6
+  /** ORC sink + scan roundtrip: the columnar alternative Spark ships
+    * natively (no extra jar). The sorted write gives ORC min/max stripe
+    * stats their best case; the read-back filter + aggregate proves
+    * format fidelity for ints, strings, and decimals-as-doubles. Oracle
+    * aggregates the parquet original — the roundtrip IS the test. */
+  private val orcRoundtrip = GraftQuery(
+    "s6_orc_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-orc-").toString
+      Tables.supplier(s, d).sort("s_suppkey")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .where(col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal"))
+    },
+    Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(s_acctbal), 2) AS bal
+            FROM supplier WHERE s_acctbal > 0
+            GROUP BY s_nationkey"""),
+    bench = false)
+
   // ------------------------------------------------------------------ S4
   /** Local-collection source (SURVEY §2 S4, `etl.py:161-228`): a tiny
     * driver-built dimension — the shape of the reference's five parsed
@@ -453,7 +478,7 @@ object Relational {
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions,
-    nullCollectionSemantics, correlatedSubquery, ansiSafeCasts)
+    nullCollectionSemantics, correlatedSubquery, ansiSafeCasts, orcRoundtrip)
 
   // ----------------------------------------------------------------- A20
   /** Correlated scalar subquery via the SQL-text surface (temp views +
