@@ -137,6 +137,26 @@ object EventStreams {
       .drop("p_user")
   }
 
+  /** Streaming parquet sink — the production exit: append-mode files
+    * partitioned by event_type, with a checkpoint directory carrying the
+    * committed offsets + file-sink log. A restarted query resumes from
+    * the last committed batch and the sink log makes output files
+    * exactly-once (re-running over already-committed input emits
+    * nothing). `AvailableNow` drains the current input then stops —
+    * batch-style runs on streaming semantics, the standard backfill
+    * trigger. */
+  def writeEventSink(
+      df: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .partitionBy("event_type")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-source stream over an events directory — the production entry
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 
 class EventStreamsSpec extends SparkTestBase {
@@ -151,5 +152,39 @@ class EventStreamsSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(spark.table("filehourly").count() > 0)
     } finally q.stop()
+  }
+
+  test("writeEventSink: exactly-once file sink, restart emits nothing new") {
+    val land = java.nio.file.Files.createTempDirectory("graft-land-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"),
+      java.nio.file.Paths.get(land, "part-000.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ck-").toString
+
+    def drain(): Unit = {
+      val stream = EventStreams.readEventStream(spark, land)
+        .where(col("value") > 0)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val q = EventStreams.writeEventSink(stream, out, ckpt)
+      q.awaitTermination() // AvailableNow stops itself when drained
+    }
+
+    drain()
+    val expected = spark.read
+      .parquet(java.nio.file.Paths.get(land, "part-000.parquet").toString)
+      .withColumn("ts",
+        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      .where(col("value") > 0).count()
+    val got1 = spark.read.parquet(out).count()
+    assert(got1 === expected)
+    // partitioned layout: event_type became directories
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("event_type=")))
+
+    // restart over the SAME checkpoint: all input already committed, the
+    // sink log must not re-emit a single row
+    drain()
+    assert(spark.read.parquet(out).count() === got1)
   }
 }
