@@ -161,6 +161,10 @@ object SimilarityQueries {
     val seeds = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     (1 to IvfIters).foldLeft(seeds) { (cents, _) =>
+      // localCheckpoint per iteration: the fold otherwise nests each
+      // round's plan inside the next, re-running iteration 1's
+      // assignment three times (triangular recomputation) — the
+      // centroid table is ~|corpus|/50 rows, trivially cheap to pin
       assignCells(e, cents)
         .groupBy("cell")
         .agg(call_function("vec_sum", col("v")).as("sv"),
@@ -168,6 +172,7 @@ object SimilarityQueries {
         .select(col("cell").as("c_id"),
           transform(col("sv"), x => round(x / col("n"), 6)).as("cv"))
         .withColumn("cn", VectorOps.normNative(col("cv")))
+        .localCheckpoint(true)
     }
   }
 
