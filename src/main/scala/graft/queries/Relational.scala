@@ -323,6 +323,31 @@ object Relational {
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
     bench = false)
 
+  // ------------------------------------------------------------------ K4
+  /** Managed-table catalog roundtrip: `saveAsTable` into the session
+    * warehouse (in-memory catalog — no Hive service needed, mirroring
+    * how the reference's `enableHiveSupport` session never actually
+    * creates Hive tables), then read back through `spark.table` by NAME.
+    * Proves the catalog identifier path end to end — the surface a
+    * multi-job deployment uses to hand tables between jobs. */
+  private val managedTable = GraftQuery(
+    "k4_managed_table",
+    (s, d) => {
+      // the warehouse DIRECTORY outlives the in-memory catalog across
+      // sessions: drop both the entry and any orphan location first
+      s.sql("DROP TABLE IF EXISTS graft_region_managed")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_region_managed")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      Tables.region(s, d).write.mode("overwrite")
+        .saveAsTable("graft_region_managed")
+      s.table("graft_region_managed")
+        .select(col("r_regionkey"), col("r_name"))
+    },
+    Some("SELECT r_regionkey, r_name FROM region"),
+    bench = false)
+
   // ------------------------------------------------------------------ S6
   /** ORC sink + scan roundtrip: the columnar alternative Spark ships
     * natively (no extra jar). The sorted write gives ORC min/max stripe
@@ -478,7 +503,8 @@ object Relational {
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions,
-    nullCollectionSemantics, correlatedSubquery, ansiSafeCasts, orcRoundtrip)
+    nullCollectionSemantics, correlatedSubquery, ansiSafeCasts, orcRoundtrip,
+    managedTable)
 
   // ----------------------------------------------------------------- A20
   /** Correlated scalar subquery via the SQL-text surface (temp views +
