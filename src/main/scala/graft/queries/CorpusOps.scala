@@ -202,7 +202,36 @@ object CorpusOps {
       FROM sized JOIN med USING (lang)
       WHERE n_tok >= lang_median"""))
 
+  // ------------------------------------------------------------ profiling
+  /** One-pass corpus profile — the monitoring row a curation run logs
+    * before/after each stage: row count, per-column null counts,
+    * distinct cardinalities, value ranges, token mean. All partial-agg
+    * friendly (single map-side-combinable aggregate, no shuffle of data
+    * rows, one scan). */
+  private val profile = GraftQuery(
+    "x_profile",
+    (s, d) => Tables.documents(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      round(avg(size(TextFunctions.tokens(col("text")))), 4).as("avg_tokens")),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS null_text,
+            CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS null_lang,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+            ROUND(AVG(len(list_filter(str_split_regex(lower(text), '\s+'),
+                  t -> t <> ''))), 4) AS avg_tokens
+            FROM documents"""))
+
   val queries: Seq[GraftQuery] =
     Seq(sampleStratified, packSequences, repetitionRatio, decontaminate,
-      sourceMix, percentileFilter)
+      sourceMix, percentileFilter, profile)
 }
