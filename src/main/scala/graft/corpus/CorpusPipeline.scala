@@ -16,15 +16,16 @@ import graft.ops.{Dedup, PortableHash, TextFunctions}
   *   parquet.
   *
   * Every stage is the library operator, not a reimplementation; stage
-  * row counts come back as [[CorpusPipeline.Stats]] for monitoring (the
-  * counts are actions the pipeline needs anyway — each stage's output is
-  * checkpointed once and reused, never recomputed).
+  * row counts come back as [[CorpusPipeline.Stats]] for monitoring. The
+  * two dedup outputs checkpoint (several downstream consumers each);
+  * cheap per-row stages recompute on demand instead.
   *
   * Scale shape: per-row stages (quality, fingerprint, sample) are pure
-  * scan-side column algebra; the only shuffles are the dedup candidate
-  * generation, the label-propagation rounds over the active dup graph,
-  * and the final partitioned write. Document text crosses a shuffle
-  * exactly once (the write).
+  * scan-side column algebra and recompute rather than cache (cheaper
+  * than materializing text); the dedup shuffles carry narrow
+  * (fingerprint/id) projections with the text joined back by small
+  * keeper/loser sets, so document text crosses exactly ONE shuffle —
+  * the per-shard packing window.
   */
 object CorpusPipeline {
 
@@ -49,13 +50,18 @@ object CorpusPipeline {
       .where(col("n_tok") >= MinTokens)
     val nQuality = quality.count()
 
-    // 2. exact dedup: one survivor (min doc_id) per canonical fingerprint;
-    //    only (fingerprint, doc_id) pairs cross the shuffle
-    val keepExact = quality
-      .withColumn("fp", TextFunctions.fingerprintMd5(col("text")))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
-      .where(col("rk") === 1).drop("fp", "rk")
+    // 2. exact dedup: one survivor (min doc_id) per canonical
+    //    fingerprint. Only a narrow (fp, doc_id) projection crosses the
+    //    shuffle; the LOSER ids (duplicates are rare, so this set is
+    //    tiny) anti-join back against the full rows — a window over fp
+    //    would shuffle every document body instead
+    val fpPairs = quality.select(col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    val losers = fpPairs.as("p")
+      .join(fpPairs.groupBy("fp").agg(min("doc_id").as("keep")), "fp")
+      .where(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    val keepExact = quality.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val nExact = keepExact.count()
 

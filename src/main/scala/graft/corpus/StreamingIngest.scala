@@ -26,6 +26,10 @@ object StreamingIngest {
   /** Quality-gated, content-deduped document stream. Input columns:
     * doc_id, text, lang, source, ingest_ts. */
   def curated(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    // the quality gate resolves the native ws_tokens function; callers
+    // hand us an arbitrary stream, so register here rather than rely on
+    // a prior Tables load or the extensions config
+    graft.functions.VectorExpressions.register(docs.sparkSession)
     val gated = docs
       .withColumn("n_tok", size(TextFunctions.tokens(col("text"))))
       .where(col("n_tok") >= CorpusPipeline.MinTokens)

@@ -115,3 +115,8 @@ case class TopKPairs(
       newChildren: IndexedSeq[Expression]): TopKPairs =
     copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
 }
+
+object TopKPairs {
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[TopKPairs].getName, "topk_pairs")
+}

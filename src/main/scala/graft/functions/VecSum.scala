@@ -96,3 +96,8 @@ case class VecSum(
       newChildren: IndexedSeq[Expression]): VecSum =
     copy(child = newChildren.head)
 }
+
+object VecSum {
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[VecSum].getName, "vec_sum")
+}

@@ -37,12 +37,12 @@ object VectorExpressions {
       (children: Seq[Expression]) => L2Norm(children.head))
     registry.registerFunction(
       FunctionIdentifier("topk_pairs"),
-      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      TopKPairs.info,
       (children: Seq[Expression]) =>
         TopKPairs(children(0), children(1), children(2)))
     registry.registerFunction(
       FunctionIdentifier("vec_sum"),
-      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      VecSum.info,
       (children: Seq[Expression]) => VecSum(children.head))
     registry.registerFunction(
       FunctionIdentifier("ws_tokens"), WsTokens.info,

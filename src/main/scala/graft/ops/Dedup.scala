@@ -124,7 +124,9 @@ object Dedup {
   /** Candidate pairs from MinHash-LSH banding over `docs`, verified with
     * exact shingle Jaccard ≥ `threshold`. Output: (a_id, b_id, jaccard).
     */
-  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashNearDups(
+      docs: DataFrame, threshold: Double,
+      broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
     // The shingle table is cheap to recompute (one native shingle_set
     // loop per row) but EXPENSIVE to cache (columnar encoding of string
     // arrays), so it is rebuilt per consumer; only the small
@@ -132,7 +134,7 @@ object Dedup {
     val sh = shingleTable(docs)
     val sig = persisted(
       sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
-    verifyPairs(lshCandidates(sig), docs)
+    verifyPairs(lshCandidates(sig), docs, broadcastLimit)
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -147,14 +149,16 @@ object Dedup {
     * verified with the same exact Jaccard, so false positives are
     * impossible either way. Use this in production; use the portable path
     * where an external engine must re-derive every signature value. */
-  def minhashNearDupsFast(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashNearDupsFast(
+      docs: DataFrame, threshold: Double,
+      broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sig = persisted(docs.repartition(par)
       .select(col("doc_id"),
         call_function("minhash_sig_fast",
           col("text"), lit(ShingleN), lit(MinHashK)).as("sig"))
       .where(col("sig").isNotNull))
-    verifyPairs(lshCandidates(sig), docs)
+    verifyPairs(lshCandidates(sig), docs, broadcastLimit)
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -162,8 +166,11 @@ object Dedup {
 
   /** Above this candidate count the broadcast verify (pairs + their
     * shingle sets must fit one broadcast) switches to co-partitioned
-    * shuffle joins. ~50 K pairs x ~3 KB shingle payload ≈ 150 MB — the
-    * sane broadcast ceiling. */
+    * shuffle joins. The default assumes a few-KB shingle payload per
+    * pair (≈150 MB broadcast at the limit) — a corpus of very long
+    * documents (100 K+ shingles each) should pass a smaller limit to
+    * [[minhashNearDups]]/[[minhashNearDupsFast]], since the broadcast
+    * cost scales with pairs × per-doc shingle bytes, not pairs alone. */
   val BroadcastVerifyLimit = 50_000L
 
   /** Attach both shingle sets to each candidate pair without re-shingling
@@ -180,7 +187,9 @@ object Dedup {
     *    picks shuffled-hash — because a pairs x shingles broadcast
     *    would be GB-scale (measured: 890 K candidates at ScaleProbe 64x
     *    made the broadcast build the whole runtime). */
-  private def verifyPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  private def verifyPairs(
+      pairs: DataFrame, docs: DataFrame,
+      broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
     // EAGER localCheckpoint (not lazy persist) for the tiny pair and id
     // tables: several nested broadcast builds consume them, and a lazy
     // persist materializes inside the first broadcast-build thread,
@@ -191,13 +200,18 @@ object Dedup {
     // checkpoint of its own would cost one more job than it saves
     val ids = p.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
-    val sh = shingleTable(docs.join(broadcast(ids), "doc_id"))
-    val shA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-    if (p.count() <= BroadcastVerifyLimit) {
+    if (p.count() <= broadcastLimit) {
+      val sh = shingleTable(docs.join(broadcast(ids), "doc_id"))
+      val shA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
       val withA = shA.join(broadcast(p), "a_id")
       shB.join(broadcast(withA), "b_id")
     } else {
+      // dense regime: ids grows with the pair count, so no forced
+      // broadcast anywhere — AQE picks from runtime stats
+      val sh = shingleTable(docs.join(ids, "doc_id"))
+      val shA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
       p.join(shA, "a_id").join(shB, "b_id")
     }
   }
@@ -289,6 +303,14 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
+    // a silent non-converged return would mislabel clusters (several
+    // docs of one component kept as "canonical") — fail loudly instead;
+    // min-label propagation needs `diameter` rounds, so hitting this
+    // means a pathological long-chain graph that needs a larger budget
+    // or the large-star/small-star variant
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds — " +
+        "component diameter exceeds the budget; raise maxIters")
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }

@@ -38,12 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectFunction((
       FunctionIdentifier("topk_pairs"),
-      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      TopKPairs.info,
       (children: Seq[Expression]) =>
         TopKPairs(children(0), children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("vec_sum"),
-      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      VecSum.info,
       (children: Seq[Expression]) => VecSum(children.head)))
   }
 }

@@ -36,6 +36,15 @@ class ComponentsSpec extends SparkTestBase {
     assert(got === Map(5L -> 5L, 7L -> 7L))
   }
 
+  test("exhausting the round budget fails loudly, never mislabels") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val vertices = (0L to 9L).toDF("id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(vertices, pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("long path converges past the iteration-1 horizon") {
     // 0-1-2-...-9: diameter 9, so one propagation round cannot finish
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
