@@ -39,6 +39,25 @@ class MinHashFastSpec extends SparkTestBase {
     // per-pair verify assertion above
   }
 
+  test("fast signature is a pure function of the shingle SET") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(t: String): Seq[Long] = {
+      val a = graft.functions.DedupKernels
+        .minhashSigFast(UTF8String.fromString(t), 3, 12)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // same call, same result (stateless kernel)
+    assert(sig("a b c d e") === sig("a b c d e"))
+    // "a b c a b" and "a b c a b c" produce the same DISTINCT shingle set
+    // {abc, bca, cab} (the second just repeats abc) — min is multiset-
+    // invariant, so the signatures must be identical
+    assert(sig("a b c a b") === sig("a b c a b c"))
+    // case/extra whitespace fold away in tokenization
+    assert(sig("A  b\tC d") === sig("a b c d"))
+    // different shingle sets diverge
+    assert(sig("a b c d") !== sig("a b c e"))
+  }
+
   test("short texts yield null signatures, not a degenerate bucket") {
     import spark.implicits._
     val df = Seq((1L, "one two"), (2L, "solo"), (3L, ""),
