@@ -504,7 +504,7 @@ object Relational {
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions,
     nullCollectionSemantics, correlatedSubquery, ansiSafeCasts, orcRoundtrip,
-    managedTable)
+    managedTable, corrStats)
 
   // ----------------------------------------------------------------- A20
   /** Correlated scalar subquery via the SQL-text surface (temp views +
@@ -561,6 +561,27 @@ object Relational {
             list_contains(str_split(p_name, ' '), 'green') AS has_green,
             list_sort(str_split(p_name, ' '))[1] AS first_sorted
             FROM part"""))
+
+  // ----------------------------------------------------------------- A21
+  /** Statistical co-moments per group: correlation, sample covariance,
+    * sample stddev. All single-pass partial-aggregable (Welford-style
+    * merge), so they scale exactly like SUM; ROUND(…, 6) bridges the
+    * engines' summation-order ulps. */
+  private lazy val corrStats = GraftQuery(
+    "a21_corr_stats",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("qty_disc_cov"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_sd")),
+    Some("""SELECT l_returnflag,
+            ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+            ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov,
+            ROUND(stddev_samp(l_extendedprice), 4) AS price_sd
+            FROM lineitem GROUP BY l_returnflag"""))
 
   // ----------------------------------------------------------------- U11
   /** ANSI-safe ingestion surface: Spark 4 runs ANSI mode by default, so
