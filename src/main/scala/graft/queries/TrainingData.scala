@@ -323,7 +323,30 @@ object TrainingData {
                   FROM scored)
             WHERE rank <= 3"""))
 
+  /** Keyless-in-time temporal near-pairs via the bucketed range join
+    * ([[graft.ops.RangeJoin]]): same-type events within 2 s of each
+    * other. The oracle runs the plain theta-join; the engine runs the
+    * bucket equi-join that survives table sizes where a theta-join is
+    * quadratic — same banding idea as LSH dedup, applied to time. */
+  private val temporalPairs = GraftQuery(
+    "x_events_temporal_pairs",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      graft.ops.RangeJoin.temporalNearPairs(
+        e, keyCol = "event_type", idCol = "event_id", usCol = "us",
+        tolUs = 2_000_000L)
+    },
+    Some("""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us
+                       FROM events)
+      SELECT a.event_type AS event_type, a.event_id AS a_id,
+             b.event_id AS b_id, b.us - a.us AS gap_us
+      FROM e a JOIN e b
+        ON a.event_type = b.event_type AND a.event_id < b.event_id
+       AND abs(a.us - b.us) <= 2000000"""))
+
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
-    sessionize, jsonExtract, asofJoin, intervalJoin, tfidf)
+    sessionize, jsonExtract, asofJoin, intervalJoin, tfidf, temporalPairs)
 }
