@@ -111,6 +111,11 @@ object DedupKernels {
     val n = sh.numElements()
     var i = 0
     while (i < n) {
+      // Null elements contribute nothing to the minimum (the SQL-exposed
+      // function accepts array<string> with nulls; crashing the task on
+      // a null entry would be a far worse failure mode than ignoring it).
+      if (sh.isNullAt(i)) { i += 1 }
+      else {
       val d = md.digest(sh.getUTF8String(i).getBytes)
       val h1 = be64(d, 0) >>> 4 // first 15 hex chars (60 bits)
       val h2 = be64(d, 8) >>> 8 // hex chars 17-30 (56 bits)
@@ -122,6 +127,7 @@ object DedupKernels {
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(sig)
   }

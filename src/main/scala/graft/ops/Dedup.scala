@@ -284,22 +284,28 @@ object Dedup {
     // next round's union, so without lineage truncation the logical plan
     // doubles per round — exponential analysis cost by round ~8. The
     // checkpoint keeps each round's plan O(1); on a real cluster use
-    // reliable checkpoint(dir) for executor-loss tolerance.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    // reliable checkpoint(dir) for executor-loss tolerance. Superseded
+    // rounds' checkpoint blocks are released via Checkpoints (clearCache
+    // does not cover them); only the final labels stay pinned, and the
+    // caller's action reads from those.
+    val spark = vertices.sparkSession
+    var (labels, labelIds) = Checkpoints.pin(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var sum0 = checksum(labels)
     var converged = sum0 == null // no edges: nothing to propagate
     var iters = 0
     while (!converged && iters < maxIters) {
       val prop = labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val (next, nextIds) = Checkpoints.pin(
+        labels.union(prop).groupBy("id").agg(min("label").as("label")))
       val sum1 = checksum(next)
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
+      Checkpoints.release(spark, labelIds)
       labels = next
+      labelIds = nextIds
       iters += 1
     }
     edges.unpersist()

@@ -20,6 +20,10 @@ object RangeJoin {
   def temporalNearPairs(
       df: DataFrame, keyCol: String, idCol: String, usCol: String,
       tolUs: Long): DataFrame = {
+    // tolUs = 0 would surface as DIVIDE_BY_ZERO deep inside the plan
+    // (ANSI int DIV) and a negative tol silently returns nothing —
+    // fail fast at the API boundary instead.
+    require(tolUs > 0, s"temporalNearPairs requires tolUs > 0, got $tolUs")
     val probe = df
       .select(col(keyCol), col(idCol).as("a_id"), col(usCol).as("a_us"))
       .withColumn("__rj_bucket", expr(s"a_us DIV $tolUs")) // int DIV: exact

@@ -133,7 +133,14 @@ object SimilarityQueries {
   /** Lloyd iterations and probe fan-out of the IVF index. Both engines
     * re-derive the identical centroids: every averaged component is
     * `ROUND(avg, 6)` so cross-engine float-summation-order differences
-    * cannot leak into the assignment argmax. */
+    * cannot leak into the assignment argmax. Residual risk, acknowledged:
+    * rounding is a bridge, not a proof — a mean component landing within
+    * ~1 ulp of a 1e-6 boundary can still round apart across engines and
+    * cascade through the argmax. With 64 dims × ~40 centroids × 3 rounds
+    * on this data the boundary-hit probability is ~1e-10 per run (values
+    * are sums of ~50 uniform doubles; verified stable across repeated
+    * runs); a production cross-engine contract should compare assignments
+    * under a tolerance instead of exact equality. */
   val IvfIters = 3
   val IvfNprobe = 2
 
@@ -160,20 +167,27 @@ object SimilarityQueries {
   private def kmeansCentroids(e: DataFrame): DataFrame = {
     val seeds = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    (1 to IvfIters).foldLeft(seeds) { (cents, _) =>
-      // localCheckpoint per iteration: the fold otherwise nests each
-      // round's plan inside the next, re-running iteration 1's
-      // assignment three times (triangular recomputation) — the
-      // centroid table is ~|corpus|/50 rows, trivially cheap to pin
-      assignCells(e, cents)
-        .groupBy("cell")
-        .agg(call_function("vec_sum", col("v")).as("sv"),
-          count(lit(1)).as("n"))
-        .select(col("cell").as("c_id"),
-          transform(col("sv"), x => round(x / col("n"), 6)).as("cv"))
-        .withColumn("cn", VectorOps.normNative(col("cv")))
-        .localCheckpoint(true)
-    }
+    val (fitted, _) = (1 to IvfIters)
+      .foldLeft((seeds, Set.empty[Int])) { case ((cents, priorIds), _) =>
+        // localCheckpoint per iteration: the fold otherwise nests each
+        // round's plan inside the next, re-running iteration 1's
+        // assignment three times (triangular recomputation) — the
+        // centroid table is ~|corpus|/50 rows, trivially cheap to pin.
+        // Superseded rounds' checkpoint blocks are released immediately
+        // (clearCache never frees them); the final round stays pinned
+        // for the assign/probe consumers.
+        val (next, ids) = graft.ops.Checkpoints.pin(
+          assignCells(e, cents)
+            .groupBy("cell")
+            .agg(call_function("vec_sum", col("v")).as("sv"),
+              count(lit(1)).as("n"))
+            .select(col("cell").as("c_id"),
+              transform(col("sv"), x => round(x / col("n"), 6)).as("cv"))
+            .withColumn("cn", VectorOps.normNative(col("cv"))))
+        graft.ops.Checkpoints.release(e.sparkSession, priorIds)
+        (next, ids)
+      }
+    fitted
   }
 
   /** IVF (inverted-file) ANN: k-means centroids (deterministic Lloyd
@@ -283,7 +297,13 @@ object SimilarityQueries {
     * are scored, cutting candidates ~2^planes while random-hyperplane
     * locality keeps high-cosine pairs mostly co-bucketed. The build side
     * broadcasts so the probe scan stays fully parallel (a 16-key bucket
-    * shuffle would cap parallelism at 16 tasks). */
+    * shuffle would cap parallelism at 16 tasks). SCALE LIMIT: the
+    * broadcast is the whole corpus, so this exact plan stops at
+    * driver-memory scale (~a few GB of vectors). The production shape
+    * keeps the same bucket blocking but (a) uses more planes so bucket
+    * count ≫ cores, then (b) shuffle-joins on the bucket key —
+    * parallelism is then bucket-bounded, not broadcast-bounded; see
+    * `Dedup.verifyPairs` for the size-adaptive switch pattern. */
   private val lshNearDup = GraftQuery(
     "x_embed_lsh_neardup",
     (s, d) => {

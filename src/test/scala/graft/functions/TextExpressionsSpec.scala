@@ -106,6 +106,18 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("minhash_sig skips null array elements instead of crashing the task") {
+    // SQL-exposed function: array(...NULL...) has containsNull=true; a
+    // null entry must contribute nothing to the component minima
+    val r = spark.sql(
+      """SELECT minhash_sig(array('x', NULL, 'y'), 4) AS a,
+        |       minhash_sig(array('x', 'y'), 4) AS b,
+        |       minhash_sig(array(CAST(NULL AS STRING)), 4) AS empty
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    assert(r.getSeq[Long](2) === Seq.fill(4)(Long.MaxValue))
+  }
+
   test("native expressions resolve from SQL text too") {
     val r = spark.sql(
       """SELECT ws_tokens('A  b') AS t,

@@ -25,4 +25,14 @@ class RangeJoinSpec extends SparkTestBase {
       (1L, 3L, 10L),  // adjacent bucket, gap == tol (inclusive)
       (2L, 3L, 1L)))  // adjacent bucket
   }
+
+  test("rejects tolUs <= 0 at the API boundary") {
+    val rows = Seq(("x", 1L, 0L)).toDF("k", "id", "us")
+    for (tol <- Seq(0L, -5L)) {
+      val e = intercept[IllegalArgumentException] {
+        RangeJoin.temporalNearPairs(rows, "k", "id", "us", tol)
+      }
+      assert(e.getMessage.contains("tolUs > 0"))
+    }
+  }
 }
