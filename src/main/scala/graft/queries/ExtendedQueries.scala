@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.ops.PortableHash
+
+/** Round-3 surface widening: subquery forms, window frames, argmax,
+  * merge-upsert, JSON source, and the curation utilities a training-data
+  * pipeline leans on daily (PII scrub, table checksums, histograms,
+  * embedding quantization).
+  *
+  * Same design rules as [[Relational]]: declarative plans, broadcast for
+  * small sides, rounding on BOTH engines wherever floats aggregate in
+  * engine-dependent order.
+  */
+object ExtendedQueries {
+
+  // ----------------------------------------------------------------- A22
+  /** EXISTS / NOT EXISTS correlated subqueries (SQL-text surface).
+    * Catalyst rewrites both into semi/anti joins — the plan is two
+    * broadcast-able joins, no per-row subquery execution. */
+  private val existsSubquery = GraftQuery(
+    "a22_exists_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql("""SELECT c_custkey, c_name FROM graft_customer_v c
+               WHERE EXISTS (SELECT 1 FROM graft_orders_v o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 150000)
+                 AND NOT EXISTS (SELECT 1 FROM graft_orders_v o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderstatus = 'F')""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 150000)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')"""))
+
+  // ----------------------------------------------------------------- A23
+  /** Window FRAMES (ROWS BETWEEN): 3-row moving average + running total
+    * per customer in order-date order. Frame order is fully determined
+    * (date, then key), so the incremental summation order is identical
+    * in both engines; rounding still guards the last ulp. */
+  private val windowFrames = GraftQuery(
+    "a23_window_frames",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 6)
+          .as("mov_avg3"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+          .as("run_total"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING), 6) AS run_total
+            FROM orders"""))
+
+  // ----------------------------------------------------------------- A24
+  /** Argmax via `max_by` with a struct tie-break (Spark 4 surface): the
+    * per-nation top customer in ONE hash aggregate — no window, no sort,
+    * k·groups rows cross the shuffle. Tie order (acctbal DESC, custkey
+    * ASC) is encoded as lexicographic max over (acctbal, -custkey). */
+  private val argmax = GraftQuery(
+    "a24_argmax",
+    (s, d) => Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(expr(
+        "max_by(struct(c_name, c_acctbal, c_custkey), struct(c_acctbal, -c_custkey))")
+        .as("t"))
+      .select(col("c_nationkey"), col("t.c_name").as("top_customer"),
+        round(col("t.c_acctbal"), 2).as("acctbal")),
+    Some("""SELECT c_nationkey, c_name AS top_customer,
+            ROUND(c_acctbal, 2) AS acctbal
+            FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+                  FROM customer)
+            WHERE rn = 1"""))
+
+  // ------------------------------------------------------------------ K5
+  /** Merge-upsert (CDC apply) via [[graft.ops.Upsert.latestWins]]:
+    * customers with more than 5 orders get their balance replaced by
+    * their order total and their segment stamped; everyone else passes
+    * through. The anti-join side broadcasts (changes ≪ snapshot — the
+    * daily-CDC shape). */
+  private val scd2Merge = GraftQuery(
+    "k5_merge_upsert",
+    (s, d) => {
+      val customer = Tables.customer(s, d)
+      val changes = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 5)
+      val updates = customer
+        .join(broadcast(changes), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("total").as("c_acctbal"),
+          lit("UPGRADED").as("c_mktsegment"))
+      graft.ops.Upsert.latestWins(customer, updates, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    },
+    Some("""WITH agg AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            upd AS (SELECT c_custkey, c_name, c_nationkey,
+                     total AS c_acctbal, 'UPGRADED' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n > 5)
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2), c_mktsegment FROM upd"""))
+
+  // ------------------------------------------------------------------ S7
+  /** JSON-lines sink + schema'd scan roundtrip — the third native file
+    * format (after parquet/ORC). The read supplies an explicit schema:
+    * schema inference costs an extra full pass and infers int64 for
+    * everything integral, both wrong at 100 TB. Doubles survive exactly
+    * (Spark writes shortest-roundtrip decimal text). */
+  private val jsonRoundtrip = GraftQuery(
+    "s7_json_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-json-").toString
+      Tables.supplier(s, d).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).json(out)
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
+    bench = false)
+
+  // ------------------------------------------------------------ x_pii
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction over documents: emails and IPv4 literals replaced with
+    * typed placeholders, per-doc redaction counts kept for audit. The
+    * corpus text is deterministically enriched with synthetic PII first
+    * (the test corpus contains none) — both engines derive the same
+    * enriched text, so the scrub itself is what's verified. Patterns are
+    * in the RE2 ∩ java.util.regex common dialect. Narrow per-row work,
+    * no shuffle — at 100 TB this runs at scan speed. */
+  private val piiScrub = GraftQuery(
+    "x_pii_scrub",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val enriched = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com via 10.0."),
+          pmod(col("doc_id"), lit(256)).cast(StringType), lit(".1"))
+          .as("text"))
+      enriched.select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>").as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast(LongType).as("n_ips"))
+    },
+    Some(s"""WITH enriched AS (SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com via 10.0.'
+                    || (doc_id % 256) || '.1' AS text
+             FROM documents)
+             SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                 '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g')
+                 AS scrubbed,
+               len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+               len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips
+             FROM enriched"""))
+
+  // ------------------------------------------------------ x_checksum
+  /** Order-independent per-group table checksum: XOR-fold of a portable
+    * 60-bit row hash. This is how a 100 TB migration validates a copy
+    * without sorting anything: XOR is commutative/associative, so the
+    * aggregate is map-side-combinable and insensitive to row order and
+    * partitioning; any single-row difference flips the group checksum.
+    */
+  private val tableChecksum = GraftQuery(
+    "x_table_checksum",
+    (s, d) => {
+      val row = PortableHash.hash60(concat_ws("|",
+        col("doc_id").cast(StringType), col("lang"), col("source"),
+        col("n_chars").cast(StringType), md5(col("text"))))
+      Tables.documents(s, d)
+        .select(col("lang"), row.as("__row_hash"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(__row_hash)").as("checksum"))
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            bit_xor(CAST('0x' || substring(md5(
+              concat_ws('|', doc_id, lang, source, n_chars, md5(text))), 1, 15)
+              AS BIGINT)) AS checksum
+            FROM documents GROUP BY lang"""))
+
+  // ------------------------------------------------------ x_histogram
+  /** Fixed-width histogram of order totals: bin key is integer floor
+    * division — a pure hash aggregate, one shuffle of (bin, partials).
+    * The profiling primitive for choosing partition/filter boundaries
+    * at scale. */
+  private val histogram = GraftQuery(
+    "x_histogram",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi")),
+    Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(MIN(o_totalprice), 2) AS lo,
+            ROUND(MAX(o_totalprice), 2) AS hi
+            FROM orders GROUP BY 1"""))
+
+  // ----------------------------------------------------- x_quantize
+  /** Int8 scalar quantization of the embedding column — the storage/
+    * bandwidth workhorse of a vector corpus (4× smaller than float32,
+    * dot products stay integer). Per vector: symmetric scale
+    * 127/max|x|, q_i = floor(x_i·s + 0.5), reported with the L1 mass of
+    * the quantized vector and the max reconstruction error. The scale
+    * is ROUND-ed before use so both engines quantize from the identical
+    * value; floor(x+0.5) sidesteps engine round-half conventions.
+    * Per-row narrow work (no shuffle); the lambda reads attribute
+    * columns only, so nothing re-evaluates per element. */
+  private val embedQuantize = GraftQuery(
+    "x_embed_quantize",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .where(col("mx") > 0)
+        .select(col("vec_id"), col("v"),
+          round(lit(127.0) / col("mx"), 6).as("s"))
+      e.select(
+        col("vec_id"), col("s").as("scale"),
+        aggregate(
+          transform(col("v"), x => abs(floor(x * col("s") + 0.5d))),
+          lit(0.0d), (acc, x) => acc + x).cast(LongType).as("q_l1"),
+        round(array_max(transform(col("v"),
+          x => abs(x - floor(x * col("s") + 0.5d) / col("s")))), 8)
+          .as("max_err"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            sc AS (SELECT vec_id, v,
+                     ROUND(127.0 / list_max(list_transform(v, x -> abs(x))), 6)
+                       AS s
+                   FROM e
+                   WHERE list_max(list_transform(v, x -> abs(x))) > 0)
+            SELECT vec_id, s AS scale,
+              CAST(list_sum(list_transform(v,
+                x -> abs(floor(x * s + 0.5)))) AS BIGINT) AS q_l1,
+              ROUND(list_max(list_transform(v,
+                x -> abs(x - floor(x * s + 0.5) / s))), 8) AS max_err
+            FROM sc"""))
+
+  val queries: Seq[GraftQuery] = Seq(
+    existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
+    piiScrub, tableChecksum, histogram, embedQuantize)
+}

@@ -22,7 +22,7 @@ object Registry {
   def all: Seq[GraftQuery] =
     Relational.queries ++ TrainingData.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      CorpusOps.queries
+      CorpusOps.queries ++ ExtendedQueries.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }
