@@ -174,6 +174,22 @@ object DedupKernels {
     new GenericArrayData(sig)
   }
 
+  /** Unicode NFC normalization (canonical decomposition + canonical
+    * composition, UAX #15). The algorithm is fully specified by the
+    * Unicode standard, so `java.text.Normalizer` here and ICU in other
+    * engines produce identical bytes — which is exactly why NFC is the
+    * canonical form a corpus should be folded to before any
+    * hash/shingle/dedup step (the same visible text must hash the same
+    * whether a crawler emitted composed or decomposed code points).
+    * Fast path: `Normalizer.isNormalized` is a cheap scan and nearly all
+    * real text is already NFC — skip the allocation for it. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** 32-bit SimHash over the token multiset: bit j set iff tokens whose
     * 32-bit hash (md5 prefix) has bit j outnumber those that don't. */
   def simhash32(text: UTF8String): Long = {
@@ -329,6 +345,35 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
   val info = new ExpressionInfo(classOf[SimHash32].getName, "simhash32")
+}
+
+/** `nfc_normalize(string) -> string`: Unicode NFC canonical form
+  * (UAX #15) — the text-canonicalization step that must precede hashing
+  * and shingling. Codegen'd; already-normalized rows (the common case)
+  * return the input buffer untouched. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    DedupKernels.nfcNormalize(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DedupKernels.nfcNormalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  val info = new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize")
 }
 
 /** `minhash_sig_fast(string, n, k) -> array<bigint>`: k-component MinHash

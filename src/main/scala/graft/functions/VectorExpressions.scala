@@ -60,6 +60,9 @@ object VectorExpressions {
     registry.registerFunction(
       FunctionIdentifier("simhash32"), SimHash32.info,
       (children: Seq[Expression]) => SimHash32(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   }
 }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, L2Norm, MinHashSig, MinHashSigFast, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
+import graft.functions.{DotProduct, L2Norm, MinHashSig, MinHashSigFast, NfcNormalize, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_sum"),
       VecSum.info,
       (children: Seq[Expression]) => VecSum(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -277,7 +277,115 @@ object ExtendedQueries {
                 x -> abs(x - floor(x * s + 0.5) / s))), 8) AS max_err
             FROM sc"""))
 
+  // ---------------------------------------------------------------- U12
+  /** Unicode NFC canonicalization via the engine's codegen'd
+    * `nfc_normalize` expression (UAX #15 — deterministic across
+    * implementations, which is what makes it oracle-checkable against
+    * DuckDB's ICU-backed `nfc_normalize`). The corpus is ASCII, so the
+    * text is first deterministically decomposed (every 'e' becomes
+    * 'e' + U+0301 combining acute); normalization must recompose every
+    * one — the codepoint counts prove it. This is the canonicalization
+    * that must precede any hash/shingle/dedup step: composed and
+    * decomposed spellings of the same visible text must hash alike. */
+  private val unicodeNfc = GraftQuery(
+    "u12_unicode_nfc",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("deco"))
+        .select(col("doc_id"),
+          call_function("nfc_normalize", col("deco")).as("nfc"),
+          length(col("deco")).cast(LongType).as("len_deco"),
+          length(call_function("nfc_normalize", col("deco")))
+            .cast(LongType).as("len_nfc"))
+    },
+    Some("""WITH deco AS (SELECT doc_id,
+              replace(text, 'e', 'e' || chr(769)) AS deco
+            FROM documents)
+            SELECT doc_id, nfc_normalize(deco) AS nfc,
+              length(deco) AS len_deco,
+              length(nfc_normalize(deco)) AS len_nfc
+            FROM deco"""))
+
+  // ------------------------------------------------------- x_fuzzy
+  /** Edit-distance near-dup pairs over the DISTINCT name vocabulary —
+    * the right shape for fuzzy matching at 100 TB: dedupe the value
+    * domain (thousands of distinct strings), never the rows (billions),
+    * then map matches back by equi-join. Blocking on the trailing word
+    * keeps the candidate set quadratic only in tiny blocks; Levenshtein
+    * runs on the survivors. */
+  private val fuzzyNearDup = GraftQuery(
+    "x_fuzzy_neardup",
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("block", substring_index(col("name"), " ", -1))
+      names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("a_name"), col("b.name").as("b_name"),
+          levenshtein(col("a.name"), col("b.name")).cast(LongType).as("dist"),
+          (col("a.n") + col("b.n")).as("rows_covered"))
+        .where(col("dist") <= 3)
+    },
+    Some("""WITH names AS (SELECT p_name AS name, COUNT(*) AS n,
+              split_part(p_name, ' ', -1) AS block
+            FROM part GROUP BY p_name)
+            SELECT a.name AS a_name, b.name AS b_name,
+              levenshtein(a.name, b.name) AS dist,
+              a.n + b.n AS rows_covered
+            FROM names a JOIN names b
+              ON a.block = b.block AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3"""))
+
+  // ------------------------------------------------------ x_funnel
+  /** Ordered event funnel: signup → first view at-or-after signup →
+    * first purchase at-or-after that view, per user. Three chained
+    * min-aggregates, each joined forward — every stage is a hash
+    * aggregate plus a broadcast-able join on user_id, no window over
+    * the full event stream and no per-user sort. Timestamps cross
+    * engines as epoch micros (`unix_micros` ≡ `epoch_us`). */
+  private val eventsFunnel = GraftQuery(
+    "x_events_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t_signup"))
+      val s2 = ev.where(col("event_type") === "view")
+        .join(s1, "user_id").where(col("us") >= col("t_signup"))
+        .groupBy("user_id").agg(min("us").as("t_view"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("us") >= col("t_view"))
+        .groupBy("user_id").agg(min("us").as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_view"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_view").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0))
+            .as("stage"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                        FROM events),
+            s1 AS (SELECT user_id, MIN(us) AS t_signup FROM ev
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT ev.user_id, MIN(us) AS t_view
+                   FROM ev JOIN s1 ON ev.user_id = s1.user_id
+                   WHERE event_type = 'view' AND us >= t_signup
+                   GROUP BY ev.user_id),
+            s3 AS (SELECT ev.user_id, MIN(us) AS t_purchase
+                   FROM ev JOIN s2 ON ev.user_id = s2.user_id
+                   WHERE event_type = 'purchase' AND us >= t_view
+                   GROUP BY ev.user_id)
+            SELECT s1.user_id, t_signup, t_view, t_purchase,
+              1 + CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+            FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                    LEFT JOIN s3 ON s1.user_id = s3.user_id"""))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
-    piiScrub, tableChecksum, histogram, embedQuantize)
+    piiScrub, tableChecksum, histogram, embedQuantize,
+    unicodeNfc, fuzzyNearDup, eventsFunnel)
 }

@@ -118,6 +118,18 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](2) === Seq.fill(4)(Long.MaxValue))
   }
 
+  test("nfc_normalize recomposes decomposed text and is idempotent") {
+    val r = spark.sql(
+      "SELECT nfc_normalize('café') AS a, " +
+        "nfc_normalize('café') AS b, " +
+        "nfc_normalize(nfc_normalize('café')) AS c, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) === "café") // e + U+0301 -> é
+    assert(r.getString(1) === "café") // already composed: unchanged
+    assert(r.getString(2) === "café") // idempotent
+    assert(r.isNullAt(3))
+  }
+
   test("native expressions resolve from SQL text too") {
     val r = spark.sql(
       """SELECT ws_tokens('A  b') AS t,

@@ -59,6 +59,29 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(merged.where(col("c_mktsegment") === "UPGRADED").count() > 0)
   }
 
+  test("x_events_funnel stage timestamps are monotone and consistent") {
+    val bad = q("x_events_funnel").where(
+      (col("t_view").isNotNull && col("t_view") < col("t_signup")) ||
+        (col("t_purchase").isNotNull && col("t_purchase") < col("t_view")) ||
+        (col("t_purchase").isNotNull && col("t_view").isNull) ||
+        col("stage") =!= (lit(1) +
+          when(col("t_view").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)))
+    assert(bad.count() === 0)
+    assert(q("x_events_funnel").count() > 0)
+  }
+
+  test("x_fuzzy_neardup pairs share a block and respect the distance cap") {
+    val rows = q("x_fuzzy_neardup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, dist) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b)
+      assert(dist <= 3)
+      assert(a.split(" ").last === b.split(" ").last) // same block
+    }
+  }
+
   test("a24_argmax agrees with the window-ranking formulation") {
     val viaWindow = {
       val w = org.apache.spark.sql.expressions.Window
