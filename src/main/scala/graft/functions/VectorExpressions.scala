@@ -63,6 +63,11 @@ object VectorExpressions {
     registry.registerFunction(
       FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head))
+    // Optimizer rules piggyback on the same idempotent hook: sessions
+    // built without `spark.sql.extensions` (the harness's plain
+    // builders) still get the engine's rewrites. Assignment, not
+    // append — this list is wholly owned here.
+    spark.experimental.extraOptimizations = Seq(graft.plans.LevenshteinPruning)
   }
 }
 

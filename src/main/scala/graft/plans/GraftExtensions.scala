@@ -48,5 +48,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectOptimizerRule(_ => LevenshteinPruning)
   }
 }

@@ -82,6 +82,19 @@ class ExtendedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("a22 EXISTS/NOT EXISTS rewrite to semi/anti joins — no per-row subquery") {
+    val plan = q("a22_exists_subquery").queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.toLowerCase.contains("subquery"))
+  }
+
+  test("k5 merge plans the anti-join side as a broadcast") {
+    val df = q("k5_merge_upsert")
+    df.count()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("a24_argmax agrees with the window-ranking formulation") {
     val viaWindow = {
       val w = org.apache.spark.sql.expressions.Window
