@@ -143,12 +143,19 @@ object Dedup {
   /** Engine-internal fast variant of [[minhashNearDups]]: identical
     * banding pipeline and exact-Jaccard verification, but signatures come
     * from the XXH64 `minhash_sig_fast` kernel STRAIGHT from text — no
-    * shingle strings, no md5 (the md5 grind is the dominant cost of the
-    * portable path; see `tools.ScaleProbe`). Candidate sets can differ
-    * from the portable path only through hash-family randomness; both are
-    * verified with the same exact Jaccard, so false positives are
-    * impossible either way. Use this in production; use the portable path
-    * where an external engine must re-derive every signature value. */
+    * shingle strings, no md5. Candidate sets can differ from the portable
+    * path only through hash-family randomness; both are verified with the
+    * same exact Jaccard, so false positives are impossible either way.
+    *
+    * Measured honesty (`tools.ScaleProbe`, alternating min-of-2, 64×
+    * corpus): with the codegen'd kernels both paths are signature-cheap
+    * and END-TO-END EQUAL (~6 s either way) — candidate shuffle + verify
+    * dominate, and those are identical. The fast path's remaining edge is
+    * memory-bandwidth, not CPU: it never materializes shingle STRINGS, so
+    * it wins where per-doc shingle payloads are large (long documents) or
+    * where the signature table must be recomputed often. Prefer the
+    * portable path whenever an external engine must re-derive signature
+    * values; reach for this one only with profiler evidence. */
   def minhashNearDupsFast(
       docs: DataFrame, threshold: Double,
       broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
