@@ -384,8 +384,97 @@ object ExtendedQueries {
             FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                     LEFT JOIN s3 ON s1.user_id = s3.user_id"""))
 
+  // --------------------------------------------------- x_global_sort
+  /** Total-order sort across partitions (ORDER BY): Spark plans a
+    * RangePartitioning exchange (sampled split points, then per-range
+    * local sorts) — the only scalable global sort; a single-reducer sort
+    * would be the 100 TB anti-pattern. The oracle hash-compare is
+    * order-insensitive by design, so the ordering itself is pinned by
+    * `ExtendedQueriesSpec` (monotone collect + RangePartitioning plan
+    * audit). */
+  private val globalSort = GraftQuery(
+    "x_global_sort",
+    (s, d) => Tables.orders(s, d)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price")),
+    Some("""SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey"""))
+
+  // ------------------------------------------------ x_vocab_coverage
+  /** Corpus-vocabulary coverage quality signal: fraction of a doc's
+    * tokens that fall in the corpus's top-100 document-frequency
+    * vocabulary. The scale-correct two-phase shape: the vocabulary is a
+    * REDUCTION (df top-k, a few KB at any corpus size) broadcast back
+    * over the token stream — never a full-data window, never a
+    * driver-side collect. Ties at the df boundary break on the token
+    * string so both engines cut the same top-100. */
+  private val vocabCoverage = GraftQuery(
+    "x_vocab_coverage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(call_function("ws_tokens", col("text"))).as("tok"))
+      val vocab = toks.distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("tok")).limit(100)
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      val inVocab = toks
+        .join(broadcast(vocab.select("tok")), Seq("tok"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("in_vocab"))
+      perDoc.join(inVocab, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("in_vocab"), lit(0L)).as("in_vocab"),
+          round(coalesce(col("in_vocab"), lit(0L)) / col("n_toks"), 6)
+            .as("coverage"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+              unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                t -> t <> '')) AS tok
+            FROM documents),
+            vocab AS (SELECT tok FROM (
+                SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+              ORDER BY df DESC, tok LIMIT 100),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks
+                        GROUP BY doc_id),
+            in_v AS (SELECT doc_id, COUNT(*) AS in_vocab FROM toks
+                     WHERE tok IN (SELECT tok FROM vocab) GROUP BY doc_id)
+            SELECT p.doc_id, p.n_toks,
+              COALESCE(i.in_vocab, 0) AS in_vocab,
+              ROUND(COALESCE(i.in_vocab, 0) / p.n_toks, 6) AS coverage
+            FROM per_doc p LEFT JOIN in_v i ON p.doc_id = i.doc_id"""))
+
+  // --------------------------------------------- x_cohort_retention
+  /** Cohort retention matrix: users grouped by first-seen week, counted
+    * in each subsequent week — the standard growth-analytics rollup.
+    * Two hash aggregates and one join on user_id; the week-offset
+    * arithmetic stays in integer day-diffs (both engines truncate weeks
+    * to Monday, so offsets are exact multiples of 7). */
+  private val cohortRetention = GraftQuery(
+    "x_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      ev.join(first, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast(LongType)
+            .as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    },
+    Some("""WITH ev AS (SELECT user_id,
+              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+            first AS (SELECT user_id, MIN(wk) AS cohort FROM ev
+                      GROUP BY user_id)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+              CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+              COUNT(DISTINCT ev.user_id) AS n_users
+            FROM ev JOIN first ON ev.user_id = first.user_id
+            GROUP BY 1, 2"""))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
-    unicodeNfc, fuzzyNearDup, eventsFunnel)
+    unicodeNfc, fuzzyNearDup, eventsFunnel,
+    globalSort, vocabCoverage, cohortRetention)
 }

@@ -95,6 +95,35 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("x_global_sort is totally ordered and planned as a range exchange") {
+    val df = q("x_global_sort")
+    val rows = df.collect()
+    val key = rows.map(r => (-r.getDouble(2), r.getLong(0)))
+    assert(key.sameElements(key.sorted), "output not in global order")
+    df.count()
+    assert(df.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"))
+  }
+
+  test("x_vocab_coverage ratios are in [0,1] and counts are consistent") {
+    val bad = q("x_vocab_coverage").where(
+      col("in_vocab") > col("n_toks") ||
+        col("coverage") < 0 || col("coverage") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("x_cohort_retention: offset-0 cell equals the cohort size") {
+    // every user is active in their own first week by construction
+    val m = q("x_cohort_retention")
+    val cohortSizes = m.where(col("week_offset") === 0)
+    assert(cohortSizes.count() > 0)
+    val total = cohortSizes.agg(sum("n_users")).head().getLong(0)
+    val users = graft.core.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(total === users)
+    assert(m.where(col("week_offset") < 0).count() === 0)
+  }
+
   test("a24_argmax agrees with the window-ranking formulation") {
     val viaWindow = {
       val w = org.apache.spark.sql.expressions.Window
