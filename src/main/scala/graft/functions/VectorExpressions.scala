@@ -63,6 +63,9 @@ object VectorExpressions {
     registry.registerFunction(
       FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("morton2"), Morton2.info,
+      (children: Seq[Expression]) => Morton2(children(0), children(1)))
     // Optimizer rules piggyback on the same idempotent hook: sessions
     // built without `spark.sql.extensions` (the harness's plain
     // builders) still get the engine's rewrites. Assignment, not

@@ -472,9 +472,34 @@ object ExtendedQueries {
             FROM ev JOIN first ON ev.user_id = first.user_id
             GROUP BY 1, 2"""))
 
+  // -------------------------------------------------------------- K6
+  /** Z-ordered layout rewrite ([[graft.ops.Layout.zorderedWrite]]) +
+    * two-dimensional range query over the result. The oracle checks
+    * CONTENT fidelity of the rewrite (same rows whatever the layout);
+    * the layout property itself — per-file min/max tight on BOTH
+    * dimensions — is pinned quantitatively by `LayoutSpec`. */
+  private val zorderLayout = GraftQuery(
+    "k6_zorder_layout",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-zorder-").toString
+      graft.ops.Layout
+        .zorderedWrite(Tables.orders(s, d), "o_custkey", "o_orderkey", out)
+        .where(col("o_custkey").between(100, 400) &&
+          col("o_orderkey").between(1000, 100000))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_custkey BETWEEN 100 AND 400
+              AND o_orderkey BETWEEN 1000 AND 100000"""),
+    bench = false)
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
     unicodeNfc, fuzzyNearDup, eventsFunnel,
-    globalSort, vocabCoverage, cohortRetention)
+    globalSort, vocabCoverage, cohortRetention, zorderLayout)
 }

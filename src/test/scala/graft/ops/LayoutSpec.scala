@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Quantitative pin of the z-order data-skipping property: per-file
+  * min/max ranges must be narrow on BOTH dimensions, where a
+  * single-column sort leaves the second dimension full-width. */
+class LayoutSpec extends SparkTestBase {
+
+  /** Average per-file extent of `c`, normalized by the global extent
+    * (1.0 = every file spans the whole range → zero skipping). */
+  private def avgExtent(df: DataFrame, c: String): Double = {
+    val g = df.agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+    df.groupBy(input_file_name())
+      .agg(((max(col(c)) - min(col(c))) / g).as("e"))
+      .agg(avg("e")).head().getDouble(0)
+  }
+
+  test("morton2 interleaves bits and stays positive") {
+    val r = spark.sql(
+      "SELECT morton2(0L, 0L) AS a, morton2(1L, 0L) AS b, " +
+        "morton2(0L, 1L) AS c, morton2(3L, 5L) AS d, " +
+        s"morton2(${(1L << 31) - 1}L, ${(1L << 31) - 1}L) AS m").head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 1L) // x in even bits
+    assert(r.getLong(2) === 2L) // y in odd bits
+    // x=3 (0b11) -> bits 0,2; y=5 (0b101) -> bits 1,5 -> 0b100111 = 39
+    assert(r.getLong(3) === 39L)
+    assert(r.getLong(4) > 0L) // 62-bit max: never negative
+  }
+
+  test("z-order keeps per-file stats tight on BOTH dims; single sort does not") {
+    val orders = graft.core.Tables.orders(spark, sf("sf0.01"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z-").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft-s-").toString
+
+    val zBack = Layout.zorderedWrite(orders, "o_custkey", "o_orderkey", zDir)
+    orders.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(sDir)
+    val sBack = spark.read.parquet(sDir)
+
+    // content is layout-independent
+    assert(zBack.count() === orders.count())
+
+    val zCust = avgExtent(zBack, "o_custkey")
+    val zOrd = avgExtent(zBack, "o_orderkey")
+    val sCust = avgExtent(sBack, "o_custkey")
+    val sOrd = avgExtent(sBack, "o_orderkey")
+
+    // single-column sort: perfect on its key, useless on the other
+    assert(sCust < 0.3, s"custkey-sorted custkey extent $sCust")
+    assert(sOrd > 0.9, s"custkey-sorted orderkey extent $sOrd")
+    // z-order: materially narrow on BOTH dimensions
+    assert(zCust < 0.75, s"z-ordered custkey extent $zCust")
+    assert(zOrd < 0.75, s"z-ordered orderkey extent $zOrd")
+    assert(zOrd < sOrd * 0.8, "z-order must beat single-sort on dim 2")
+  }
+}
