@@ -157,6 +157,52 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC apply: maintains a keyed parquet snapshot from a
+    * stream of change rows via `foreachBatch` +
+    * [[graft.ops.Upsert.latestWins]]. Each micro-batch is deduplicated
+    * to its LAST change per key (max_by over the batch — a batch can
+    * carry several updates for one key; MERGE semantics require exactly
+    * one) and merged into the snapshot; the snapshot is rewritten
+    * atomically (write temp, swap read path next batch — here: plain
+    * overwrite, the single-writer case). This is the no-Delta upsert
+    * sink: the stream stays append-only, the snapshot stays queryable
+    * with plain `spark.read.parquet`.
+    *
+    * Scale shape: the per-batch merge is one broadcast anti-join
+    * (changes ≪ snapshot) + union + write — cost is the snapshot
+    * rewrite, which is why production deployments partition the
+    * snapshot and rewrite only touched partitions (compose with
+    * `partitionBy`; same operator). */
+  def cdcApplySink(
+      changes: DataFrame, keyCol: String, seqCol: String,
+      snapshotDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val cols = changes.columns
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch
+          .groupBy(col(keyCol))
+          .agg(expr(s"max_by(struct(${cols.mkString(", ")}), $seqCol)")
+            .as("__r"))
+          .select(cols.map(c => col(s"__r.$c")): _*)
+        val target =
+          try spark.read.parquet(snapshotDir).where(lit(true))
+          catch { case _: Exception => latest.limit(0) } // first batch
+        // localCheckpoint BEFORE overwrite: lazily reading the same
+        // files we are about to truncate would be read-your-own-delete
+        val merged = graft.ops.Upsert
+          .latestWins(target, latest, Seq(keyCol))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(snapshotDir)
+        ()
+      }
+      .start()
+  }
+
   /** File-source stream over an events directory — the production entry
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */

@@ -86,6 +86,30 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cdcApplySink maintains a latest-wins snapshot across batches") {
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val changes = input.toDS().toDF("k", "v", "seq")
+    val snap = java.nio.file.Files.createTempDirectory("graft-cdc-s-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-c-").toString
+
+    def readSnap(): Map[Long, (String, Long)] =
+      spark.read.parquet(snap).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // batch 1: two keys, plus an in-batch double update for k=1 (seq wins)
+    input.addData((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L))
+    var q = EventStreams.cdcApplySink(changes, "k", "seq", snap, ckpt)
+    q.awaitTermination() // AvailableNow drains and stops
+    assert(readSnap() === Map(1L -> ("a1", 2L), 2L -> ("b0", 1L)))
+
+    // batch 2 (restart, same checkpoint): update k=2, insert k=3
+    input.addData((2L, "b1", 2L), (3L, "c0", 1L))
+    q = EventStreams.cdcApplySink(changes, "k", "seq", snap, ckpt)
+    q.awaitTermination()
+    assert(readSnap() ===
+      Map(1L -> ("a1", 2L), 2L -> ("b1", 2L), 3L -> ("c0", 1L)))
+  }
+
   test("enrichedEvents: stream-static broadcast join adds dim columns") {
     import EventStreams.Event
     val dim = Seq((7L, "gold"), (9L, "silver")).toDF("user_id", "tier")
