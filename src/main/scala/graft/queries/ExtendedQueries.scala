@@ -497,9 +497,94 @@ object ExtendedQueries {
               AND o_orderkey BETWEEN 1000 AND 100000"""),
     bench = false)
 
+  // ----------------------------------------------------------------- A25
+  /** Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`/`hll_union_agg`): per-group sketches built
+    * in one pass, then UNIONED into a global estimate — no re-scan of
+    * the data for the rollup. This is the 100 TB architecture for
+    * distinct counts: per-partition/per-day sketches persist as bytes
+    * and merge associatively. Same bounded-error contract as A16: exact
+    * values in the output, sketch asserted within tolerance. */
+  private val hllSketchUnion = GraftQuery(
+    "a25_hll_sketch_union",
+    (s, d) => {
+      val perGroup = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          expr("hll_sketch_agg(l_partkey, 14)").as("__sk"))
+      perGroup.agg(
+        sum(col("n_parts")).as("__sum_parts"),
+        expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__union_est"),
+        count(lit(1)).as("n_groups"))
+        .crossJoin(broadcast(Tables.lineitem(s, d)
+          .agg(countDistinct(col("l_partkey")).as("n_exact"))))
+        .select(col("n_groups"), col("n_exact"),
+          (col("__union_est") >= col("n_exact") * 0.95 &&
+            col("__union_est") <= col("n_exact") * 1.05)
+            .as("union_within_5pct"))
+    },
+    Some("""SELECT CAST((SELECT COUNT(DISTINCT l_returnflag) FROM lineitem)
+                   AS BIGINT) AS n_groups,
+            COUNT(DISTINCT l_partkey) AS n_exact,
+            true AS union_within_5pct
+            FROM lineitem"""))
+
+  // ------------------------------------------------------------------ S8
+  /** Parquet schema evolution: a second batch lands with an extra
+    * column; `mergeSchema` resolves the union schema and older files
+    * read the new column as null. The append-only data-lake reality —
+    * verified end to end through the scan. */
+  private val schemaEvolution = GraftQuery(
+    "s8_schema_evolution",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-evolve-").toString
+      val nation = Tables.nation(s, d)
+      nation.where(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(out)
+      nation.where(col("n_nationkey") >= 10)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").as("region_added"))
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+    },
+    Some("""SELECT n_nationkey, n_name,
+            CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS region_added
+            FROM nation"""),
+    bench = false)
+
+  // ----------------------------------------------------------------- A26
+  /** Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): null keys
+    * match each other — the semantics dirty dimension data needs (a
+    * plain equi-join silently drops every null-keyed row). */
+  private val nullSafeJoin = GraftQuery(
+    "a26_nullsafe_join",
+    (s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(col("o_orderpriority")).as("prio"))
+      val dim = Tables.orders(s, d)
+        .select(when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(col("o_orderpriority")).as("prio"))
+        .distinct()
+        .withColumn("prio_label",
+          coalesce(col("prio"), lit("UNKNOWN_PRIORITY")))
+      orders.join(broadcast(dim), orders("prio") <=> dim("prio"))
+        .select(col("o_orderkey"), col("prio_label"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+              CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                   ELSE o_orderpriority END AS prio FROM orders),
+            dim AS (SELECT DISTINCT prio,
+              COALESCE(prio, 'UNKNOWN_PRIORITY') AS prio_label FROM o)
+            SELECT o_orderkey, prio_label
+            FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio"""))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
     unicodeNfc, fuzzyNearDup, eventsFunnel,
-    globalSort, vocabCoverage, cohortRetention, zorderLayout)
+    globalSort, vocabCoverage, cohortRetention, zorderLayout,
+    hllSketchUnion, schemaEvolution, nullSafeJoin)
 }
