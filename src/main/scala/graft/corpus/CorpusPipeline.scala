@@ -5,15 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, PortableHash, TextFunctions}
+import graft.ops.{Dedup, PortableHash, Redaction, TextFunctions}
 
 /** The end-to-end corpus-curation pipeline — the document-side twin of
   * [[graft.immigration.ImmigrationPipeline]], proving the operators
   * compose into the run a training-data team actually ships:
   *
-  *   quality gate → exact dedup → near-dup clustering (keep one doc per
-  *   cluster) → stratified downsample → sequence packing → partitioned
-  *   parquet.
+  *   quality gate → canonicalize (NFC) + PII scrub → exact dedup →
+  *   near-dup clustering (keep one doc per cluster) → stratified
+  *   downsample → sequence packing → partitioned parquet.
   *
   * Every stage is the library operator, not a reimplementation; stage
   * row counts come back as [[CorpusPipeline.Stats]] for monitoring. The
@@ -45,7 +45,13 @@ object CorpusPipeline {
     val input = docs.count()
 
     // 1. quality gate: drop degenerate docs (pure per-row filter)
+    //    1b. canonicalize + redact BEFORE any fingerprint/shingle step:
+    //    composed and decomposed spellings of the same visible text must
+    //    dedup together, and PII must not survive into training shards.
+    //    Both are per-row column algebra — free at scan speed.
     val quality = docs
+      .withColumn("text",
+        Redaction.scrub(call_function("nfc_normalize", col("text"))))
       .withColumn("n_tok", size(TextFunctions.tokens(col("text"))))
       .where(col("n_tok") >= MinTokens)
     val nQuality = quality.count()

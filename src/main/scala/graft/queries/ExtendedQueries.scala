@@ -151,8 +151,8 @@ object ExtendedQueries {
     bench = false)
 
   // ------------------------------------------------------------ x_pii
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val EmailRe = graft.ops.Redaction.EmailRe
+  private val Ipv4Re = graft.ops.Redaction.Ipv4Re
 
   /** PII redaction over documents: emails and IPv4 literals replaced with
     * typed placeholders, per-doc redaction counts kept for audit. The
@@ -173,8 +173,7 @@ object ExtendedQueries {
           .as("text"))
       enriched.select(
         col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>").as("scrubbed"),
+        graft.ops.Redaction.scrub(col("text")).as("scrubbed"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
           .cast(LongType).as("n_emails"),
         size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
