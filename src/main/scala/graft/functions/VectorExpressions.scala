@@ -66,6 +66,10 @@ object VectorExpressions {
     registry.registerFunction(
       FunctionIdentifier("morton2"), Morton2.info,
       (children: Seq[Expression]) => Morton2(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("jaro_winkler"), JaroWinklerSim.info,
+      (children: Seq[Expression]) =>
+        JaroWinklerSim(children(0), children(1)))
     // Optimizer rules piggyback on the same idempotent hook: sessions
     // built without `spark.sql.extensions` (the harness's plain
     // builders) still get the engine's rewrites. Assignment, not

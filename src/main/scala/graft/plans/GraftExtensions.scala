@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
+import graft.functions.{DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("morton2"), Morton2.info,
       (children: Seq[Expression]) => Morton2(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"), JaroWinklerSim.info,
+      (children: Seq[Expression]) =>
+        JaroWinklerSim(children(0), children(1))))
     ext.injectOptimizerRule(_ => LevenshteinPruning)
   }
 }

@@ -580,10 +580,39 @@ object ExtendedQueries {
             SELECT o_orderkey, prio_label
             FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio"""))
 
+  // --------------------------------------------------- x_fuzzy_jw
+  /** Jaro-Winkler fuzzy matching over the distinct-name vocabulary —
+    * the prefix-weighted companion to [[fuzzyNearDup]]'s Levenshtein
+    * (JW favors shared prefixes, the right bias for human-entered
+    * names). `jaro_winkler` is the engine's codegen'd expression; the
+    * oracle re-derives every similarity with DuckDB's native
+    * implementation — the two agree exactly (integer-halved
+    * transpositions, 0.7 boost threshold; fuzz-verified). */
+  private val fuzzyJaroWinkler = GraftQuery(
+    "x_fuzzy_jw",
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .select(col("p_name").as("name")).distinct()
+        .withColumn("block", substring_index(col("name"), " ", -1))
+      names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("a_name"), col("b.name").as("b_name"),
+          round(call_function("jaro_winkler", col("a.name"), col("b.name")), 6)
+            .as("jw"))
+        .where(col("jw") >= 0.8)
+    },
+    Some("""WITH names AS (SELECT DISTINCT p_name AS name,
+              split_part(p_name, ' ', -1) AS block FROM part)
+            SELECT a.name AS a_name, b.name AS b_name,
+              ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+            FROM names a JOIN names b
+              ON a.block = b.block AND a.name < b.name
+            WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8"""))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
     unicodeNfc, fuzzyNearDup, eventsFunnel,
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
-    hllSketchUnion, schemaEvolution, nullSafeJoin)
+    hllSketchUnion, schemaEvolution, nullSafeJoin, fuzzyJaroWinkler)
 }
