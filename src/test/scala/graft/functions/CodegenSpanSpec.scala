@@ -37,4 +37,23 @@ class CodegenSpanSpec extends SparkTestBase {
       assert(hotProjection.count() > 0)
     } finally spark.conf.set(key, prev)
   }
+
+  test("round-3 expressions codegen too: nfc_normalize, morton2, jaro_winkler") {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = spark.read
+        .parquet(sf("sf0.001") + "/documents.parquet")
+        .selectExpr("doc_id", "nfc_normalize(text) AS t",
+          "morton2(doc_id, n_chars) AS z",
+          "jaro_winkler(lang, source) AS jw")
+      val planStr = df.queryExecution.executedPlan.toString
+      val projLine = planStr.linesIterator
+        .find(_.contains("morton2")).getOrElse("")
+      assert(projLine.trim.startsWith("*("),
+        s"projection not codegen'd:\n$planStr")
+      assert(df.count() > 0)
+    } finally spark.conf.set(key, prev)
+  }
 }
