@@ -609,10 +609,36 @@ object ExtendedQueries {
               ON a.block = b.block AND a.name < b.name
             WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8"""))
 
+  // ---------------------------------------------- x_events_sliding
+  /** Sliding event-time windows (1 h length, 15 min slide): the batch
+    * face of [[graft.streaming.EventStreams.slidingCounts]] — same
+    * `window()` call, so stream ≡ batch is structural. Each event lands
+    * in exactly length/slide = 4 windows; the oracle re-derives them by
+    * explicit slide-grid arithmetic over epoch micros (windows align to
+    * the epoch origin in both engines). */
+  private val slidingWindow = GraftQuery(
+    "x_events_sliding_window",
+    (s, d) => graft.streaming.EventStreams
+      .slidingCounts(Tables.events(s, d))
+      .select(
+        date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"),
+        round(col("total_value"), 2).as("total_value")),
+    Some("""WITH e AS (SELECT event_type, value,
+              (epoch_us(ts) // 900000000) * 900000000 AS s0 FROM events),
+            x AS (SELECT event_type, value,
+                    make_timestamp(s0 - k * 900000000) AS win_start
+                  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+            SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+              event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+              ROUND(SUM(value), 2) AS total_value
+            FROM x GROUP BY 1, 2"""))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
     unicodeNfc, fuzzyNearDup, eventsFunnel,
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
-    hllSketchUnion, schemaEvolution, nullSafeJoin, fuzzyJaroWinkler)
+    hllSketchUnion, schemaEvolution, nullSafeJoin, fuzzyJaroWinkler,
+    slidingWindow)
 }

@@ -36,6 +36,22 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding-window rollup (window length ≫ slide): each event lands in
+    * length/slide overlapping windows. Same watermark-bounded state as
+    * the tumbling form — Spark expands the window set per event at the
+    * map side, so the shuffle carries (window, type) keys, not events ×
+    * windows rows. The batch twin is `x_events_sliding_window`. */
+  def slidingCounts(events: DataFrame,
+      length: String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

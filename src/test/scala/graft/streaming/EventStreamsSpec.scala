@@ -39,6 +39,32 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingCounts: stream equals batch; events land in length/slide windows") {
+    val rows = Seq(
+      (ts("2024-01-01 00:05:00"), "click", 1.0),
+      (ts("2024-01-01 01:10:00"), "click", 3.0))
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val q = EventStreams.slidingCounts(input.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStreams
+        .slidingCounts(rows.toDF("ts", "event_type", "value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      // 1h/15min: each event appears in exactly 4 windows
+      assert(streamed.toSeq.map(_._3).sum === rows.size * 4)
+      // the 00:00 window holds only the first event
+      assert(streamed.contains((ts("2024-01-01 00:00:00"), "click", 1L, 1.0)))
+      // 01:00 window holds only the second
+      assert(streamed.contains((ts("2024-01-01 01:00:00"), "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; closed sessions emit") {
     import EventStreams.{Event, Session}
     val input = MemoryStream[Event](spark)
