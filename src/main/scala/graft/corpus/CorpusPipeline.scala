@@ -41,20 +41,34 @@ object CorpusPipeline {
   val SeqLen = 2048
 
   def run(spark: SparkSession, docsDir: String, outDir: String): Stats = {
-    val docs = Tables.documents(spark, docsDir)
-    val input = docs.count()
+    // Stage counts ride the actions the pipeline already runs (the two
+    // dedup checkpoints + the final write) as `observe()` metrics — at
+    // 100 TB a per-stage count() is a full extra pass over the corpus,
+    // and the original formulation paid three of them. Placement rule:
+    // an observe node double-counts if its subtree feeds TWO plan
+    // branches (each branch re-evaluates it), so the observed chain is
+    // attached to exactly one branch — the anti-join's left (probe)
+    // side — while the fingerprint branch derives from an unobserved
+    // twin of the same stages.
+    val obsInput = org.apache.spark.sql.Observation("input")
+    val obsQuality = org.apache.spark.sql.Observation("quality")
+    val obsSampled = org.apache.spark.sql.Observation("sampled")
 
     // 1. quality gate: drop degenerate docs (pure per-row filter)
     //    1b. canonicalize + redact BEFORE any fingerprint/shingle step:
     //    composed and decomposed spellings of the same visible text must
     //    dedup together, and PII must not survive into training shards.
     //    Both are per-row column algebra — free at scan speed.
-    val quality = docs
+    def qualityGate(d: DataFrame): DataFrame = d
       .withColumn("text",
         Redaction.scrub(call_function("nfc_normalize", col("text"))))
       .withColumn("n_tok", size(TextFunctions.tokens(col("text"))))
       .where(col("n_tok") >= MinTokens)
-    val nQuality = quality.count()
+
+    val quality = qualityGate(Tables.documents(spark, docsDir))
+    val qualityObserved = qualityGate(
+      Tables.documents(spark, docsDir).observe(obsInput, count(lit(1)).as("n")))
+      .observe(obsQuality, count(lit(1)).as("n"))
 
     // 2. exact dedup: one survivor (min doc_id) per canonical
     //    fingerprint. Only a narrow (fp, doc_id) projection crosses the
@@ -67,9 +81,12 @@ object CorpusPipeline {
       .join(fpPairs.groupBy("fp").agg(min("doc_id").as("keep")), "fp")
       .where(col("doc_id") =!= col("keep"))
       .select("doc_id")
-    val keepExact = quality.join(losers, Seq("doc_id"), "left_anti")
+    // the eager checkpoint IS the action that fires obsInput/obsQuality
+    // (their chain lives only on this probe side); nExact is the
+    // checkpointed row count — no extra pass over source data
+    val keepExact = qualityObserved.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    val nExact = keepExact.count()
+    val nExact = keepExact.count() // row count of the checkpoint
 
     // 3. near-dup clustering: production-speed signatures, exact verify,
     //    connected components, keep the min-id doc of each cluster
@@ -89,7 +106,7 @@ object CorpusPipeline {
     val quota = when(col("lang") < "m", lit(80)).otherwise(lit(60))
     val sampled = keepNear
       .where(PortableHash.hash60(col("doc_id").cast("string")) % 100 < quota)
-    val nSampled = sampled.count()
+      .observe(obsSampled, count(lit(1)).as("n"))
 
     // 5. sequence packing within language shards
     val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -106,6 +123,9 @@ object CorpusPipeline {
     val out = spark.read.parquet(s"$outDir/corpus")
     val nSeqs = out.select(col("lang"), col("seq_id")).distinct().count()
 
-    Stats(input, nQuality, nExact, nNear, nSampled, nSeqs)
+    def metric(o: org.apache.spark.sql.Observation): Long =
+      o.get("n").asInstanceOf[Long]
+    Stats(metric(obsInput), metric(obsQuality), nExact, nNear,
+      metric(obsSampled), nSeqs)
   }
 }
