@@ -44,4 +44,38 @@ class SkewSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted === plain)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the built-in alternative)") {
+    // Salting is the manual tool; AQE's OptimizeSkewedJoin is the
+    // built-in one. Demonstrate it fires: one hot key holding ~90% of
+    // the probe side, tiny advisory sizes so the hot partition trips
+    // the skew thresholds, broadcast disabled so the join sort-merges.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val probe = spark.range(0, 40000)
+        .select((when(col("id") % 10 === 0, 7L).otherwise(col("id")))
+          .as("k"), lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val build = spark.range(0, 2000).select(col("id").as("bk"),
+        lit("v").as("v"))
+      val joined = probe.join(build, col("k") === col("bk"))
+      // collect(), not count(): count() wraps the plan in its own query
+      // execution, so the join DataFrame's AQE plan would never finalize
+      val n = joined.collect().length
+      assert(n === 5800)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

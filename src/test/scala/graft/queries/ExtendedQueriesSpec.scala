@@ -91,7 +91,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
 
   test("k5 merge plans the anti-join side as a broadcast") {
     val df = q("k5_merge_upsert")
-    df.count()
+    df.collect() // finalize THIS DataFrame's adaptive plan (count() would spawn its own)
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
@@ -100,7 +100,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
     val rows = df.collect()
     val key = rows.map(r => (-r.getDouble(2), r.getLong(0)))
     assert(key.sameElements(key.sorted), "output not in global order")
-    df.count()
+    // the collect above executed this DataFrame's own query execution
     assert(df.queryExecution.executedPlan.toString
       .toLowerCase.contains("rangepartitioning"))
   }
