@@ -634,11 +634,30 @@ object ExtendedQueries {
               ROUND(SUM(value), 2) AS total_value
             FROM x GROUP BY 1, 2"""))
 
+  // -------------------------------------------------------------- K7
+  /** Small-file compaction ([[graft.ops.Compaction]]): a deliberately
+    * over-split write (16 shards of a small table) rewritten to
+    * size-targeted files with an atomic directory swap. The oracle
+    * checks content fidelity through the rewrite; `CompactionSpec` pins
+    * the file-count collapse and the swap safety. */
+  private val compaction = GraftQuery(
+    "k7_compaction",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-compact-").toString + "/t"
+      Tables.supplier(s, d).repartition(16)
+        .write.mode("overwrite").parquet(out)
+      graft.ops.Compaction
+        .compactParquet(s, out, targetBytes = 64L * 1024 * 1024)
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
+    bench = false)
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
     unicodeNfc, fuzzyNearDup, eventsFunnel,
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
     hllSketchUnion, schemaEvolution, nullSafeJoin, fuzzyJaroWinkler,
-    slidingWindow)
+    slidingWindow, compaction)
 }
