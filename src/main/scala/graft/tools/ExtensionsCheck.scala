@@ -27,13 +27,27 @@ object ExtensionsCheck {
       "SELECT size(minhash_sig_fast('a b c d', 3, 12))" -> 12,
       "SELECT simhash32('') " -> 0L,
       "SELECT size(topk_pairs(s, i, 2)) FROM VALUES (1.0d, 1L), (2.0d, 2L), (3.0d, 3L) AS t(s, i)" -> 2,
-      "SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.0d)) AS t(v)" -> 3.0)
+      "SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.0d)) AS t(v)" -> 3.0,
+      "SELECT nfc_normalize('café')" -> "café",
+      "SELECT morton2(3L, 5L)" -> 39L,
+      "SELECT jaro_winkler('abc', 'abc')" -> 1.0)
 
     probes.foreach { case (sql, expected) =>
       val got = spark.sql(sql).head().get(0)
       require(got == expected, s"$sql => $got, expected $expected")
     }
-    println(s"extensions-ok ${probes.size}")
+    // the injected optimizer rule is exercised against an analyzed plan
+    // directly — a LocalRelation query would constant-fold to nothing
+    // before the optimized plan could be inspected
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ruleApplied = graft.plans.LevenshteinPruning(
+      Seq(("a", "b")).toDF("a", "b")
+        .where(levenshtein(col("a"), col("b")) <= 2)
+        .queryExecution.analyzed).toString
+    require(ruleApplied.toLowerCase.contains("abs((length"),
+      s"LevenshteinPruning not applicable via extensions:\n$ruleApplied")
+    println(s"extensions-ok ${probes.size} rule-ok")
     spark.stop()
   }
 }
