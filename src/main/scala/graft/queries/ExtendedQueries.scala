@@ -653,11 +653,39 @@ object ExtendedQueries {
     Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
     bench = false)
 
+  // ----------------------------------------------------------------- U13
+  /** Datetime interval ARITHMETIC (the companion to u8's extraction):
+    * calendar-month addition with end-of-month clamping (Jan 31 + 1 mo =
+    * Feb 29 in both engines), month boundaries, day offsets, and day
+    * differences. Clamping is the classic cross-engine divergence spot —
+    * pinned here by the oracle compare. */
+  private val intervalArith = GraftQuery(
+    "u13_interval_arith",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
+      .select(
+        col("o_orderkey"),
+        date_format(add_months(col("dt"), 3), "yyyy-MM-dd").as("plus_3mo"),
+        date_format(last_day(col("dt")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("dt"), 45), "yyyy-MM-dd").as("plus_45d"),
+        datediff(lit("2025-01-01").cast("date"), col("dt"))
+          .cast(LongType).as("days_to_2025")),
+    Some("""SELECT o_orderkey,
+            strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+              AS DATE), '%Y-%m-%d') AS plus_3mo,
+            strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+              AS month_end,
+            strftime(CAST(o_orderdate AS DATE) + 45, '%Y-%m-%d')
+              AS plus_45d,
+            date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01')
+              AS days_to_2025
+            FROM orders"""))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
     unicodeNfc, fuzzyNearDup, eventsFunnel,
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
     hllSketchUnion, schemaEvolution, nullSafeJoin, fuzzyJaroWinkler,
-    slidingWindow, compaction)
+    slidingWindow, compaction, intervalArith)
 }
