@@ -41,26 +41,34 @@ object LevenshteinPruning extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The guards implied by every thresholded-Levenshtein conjunct of
-    * `cond` that is not guarded yet. */
+  private def splitConjuncts(cond: Expression): Seq[Expression] = cond match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** The guards implied by every thresholded-Levenshtein TOP-LEVEL
+    * conjunct of `cond` that is not guarded yet.
+    *
+    * Only top-level conjuncts may contribute: a threshold inside a
+    * disjunction (`levenshtein(a,b) <= 2 OR c = 1`) does NOT imply the
+    * length bound for the whole predicate — rows can satisfy the other
+    * disjunct alone, so AND-ing the guard there would drop them. */
   private def impliedGuards(cond: Expression): Seq[Expression] = {
-    var guards = Seq.empty[Expression]
-    cond.foreach {
+    val conjuncts = splitConjuncts(cond)
+    conjuncts.collect {
       case LessThanOrEqual(lev @ Levenshtein(a, b, None), k)
           if nonNegativeLit(k) && !alreadyGuarded(cond, a, b) &&
             lev.deterministic =>
-        guards :+= lengthGuard(a, b, k)
+        lengthGuard(a, b, k)
       case LessThan(lev @ Levenshtein(a, b, None), k)
           if nonNegativeLit(k) && !alreadyGuarded(cond, a, b) &&
             lev.deterministic =>
-        guards :+= lengthGuard(a, b, k)
+        lengthGuard(a, b, k)
       case GreaterThanOrEqual(k, lev @ Levenshtein(a, b, None))
           if nonNegativeLit(k) && !alreadyGuarded(cond, a, b) &&
             lev.deterministic =>
-        guards :+= lengthGuard(a, b, k)
-      case _ => ()
-    }
-    guards.distinct
+        lengthGuard(a, b, k)
+    }.distinct
   }
 
   private def guard(cond: Expression): Expression =

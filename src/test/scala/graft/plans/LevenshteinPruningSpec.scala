@@ -32,6 +32,32 @@ class LevenshteinPruningSpec extends SparkTestBase {
     assert(got === Set(("hot bolt", "cold bolt"), ("ring", "ring")))
   }
 
+  test("a threshold inside a disjunction contributes no guard") {
+    // levenshtein(a,b) <= 2 OR c = 1: rows satisfying only c = 1 must
+    // survive — a top-level length guard would wrongly drop them
+    val part = graft.core.Tables.part(spark, sf("sf0.001"))
+    val q = part.where(
+      levenshtein(col("p_name"), col("p_brand")) <= 2 || col("p_size") === 1)
+    assert(!q.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("abs((length"))
+    val orDf = Seq(("a", "abcdefgh", 1), ("a", "abcdefgh", 2), ("x", "xy", 2))
+      .toDF("a", "b", "c")
+    val got = orDf
+      .where(levenshtein(col("a"), col("b")) <= 2 || col("c") === 1)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    // ("a", 1) survives via the c = 1 disjunct despite len diff 7
+    assert(got === Set(("a", 1), ("x", 2)))
+  }
+
+  test("a conjunct beside a disjunction still gets its guard") {
+    val part = graft.core.Tables.part(spark, sf("sf0.001"))
+    val q = part.where(
+      levenshtein(col("p_name"), col("p_brand")) <= 2 &&
+        (col("p_size") === 1 || col("p_size") === 2))
+    assert(q.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("abs((length"))
+  }
+
   test("distance-threshold forms other than <= literal are left alone") {
     val part = graft.core.Tables.part(spark, sf("sf0.001"))
     val q = part.where(levenshtein(col("p_name"), col("p_brand")) > 3)
