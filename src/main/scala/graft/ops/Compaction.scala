@@ -30,10 +30,17 @@ object Compaction {
 
   /** Rewrites parquet `dir` in place to ceil(totalBytes/targetBytes)
     * files; returns the read-back frame. In-place = write to a sibling
-    * temp dir then swap, so a failed rewrite never loses data. */
+    * temp dir then swap, so a failed rewrite never loses DATA — but the
+    * two-rename swap is not crash-ATOMIC: a crash between the renames
+    * leaves no directory at `dir` with the data stranded in `dir__old`.
+    * Contract: single writer, no concurrent readers during the swap
+    * window (HDFS rename gives no multi-path transaction to do better
+    * with). Recovery is automatic: on entry, a missing `dir` beside a
+    * surviving `dir__old` is renamed back before compacting. */
   def compactParquet(
       spark: SparkSession, dir: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    recoverInterrupted(spark, dir)
     val (_, bytes) = dataFileStats(spark, dir)
     val numFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val p = new Path(dir)
@@ -49,5 +56,18 @@ object Compaction {
     require(fs.rename(tmp, p), s"compaction swap failed for $dir")
     fs.delete(old, true)
     spark.read.parquet(dir)
+  }
+
+  /** Heals a swap interrupted between the two renames: `dir` gone but
+    * `dir__old` present → rename the old data back. Returns true if a
+    * recovery was performed. */
+  def recoverInterrupted(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + "__old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"compaction recovery failed for $dir")
+      true
+    } else false
   }
 }

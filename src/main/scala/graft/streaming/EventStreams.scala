@@ -205,15 +205,31 @@ object EventStreams {
           .agg(expr(s"max_by(struct(${cols.mkString(", ")}), $seqCol)")
             .as("__r"))
           .select(cols.map(c => col(s"__r.$c")): _*)
+        // first-batch is decided by PRESENCE OF DATA FILES, not by read
+        // failure: a transient FS error / corrupt footer must fail the
+        // batch (the engine retries) — falling back to empty would
+        // overwrite the snapshot with just this micro-batch, i.e.
+        // silent data loss
+        val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(snapPath) && fs.listStatus(snapPath).exists {
+          s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
         val target =
-          try spark.read.parquet(snapshotDir).where(lit(true))
-          catch { case _: Exception => latest.limit(0) } // first batch
+          if (hasData) spark.read.parquet(snapshotDir).where(lit(true))
+          else latest.limit(0) // genuine first batch
         // localCheckpoint BEFORE overwrite: lazily reading the same
-        // files we are about to truncate would be read-your-own-delete
-        val merged = graft.ops.Upsert
-          .latestWins(target, latest, Seq(keyCol))
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(snapshotDir)
+        // files we are about to truncate would be read-your-own-delete.
+        // Pinned for the write, released right after — the next batch
+        // re-reads the parquet snapshot, never this frame, and under a
+        // continuous trigger unreleased blocks accumulate for the life
+        // of the app.
+        val (merged, blocks) = graft.ops.Checkpoints.pin(
+          graft.ops.Upsert.latestWins(target, latest, Seq(keyCol)))
+        try merged.write.mode("overwrite").parquet(snapshotDir)
+        finally graft.ops.Checkpoints.release(spark, blocks)
         ()
       }
       .start()

@@ -22,6 +22,24 @@ class CompactionSpec extends SparkTestBase {
     assert(!new java.io.File(dir + "__old").exists())
   }
 
+  test("interrupted swap is healed on the next compaction entry") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-recover-").toString + "/t"
+    val nation = graft.core.Tables.nation(spark, sf("sf0.01"))
+    nation.repartition(4).write.parquet(dir)
+    val n = nation.count()
+    // simulate a crash between the two renames: data stranded in __old
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    assert(!new java.io.File(dir).exists())
+
+    val back = Compaction.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(back.count() === n)
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
   test("invalid target size is rejected") {
     intercept[IllegalArgumentException](
       Compaction.compactParquet(spark, "/tmp/nowhere", targetBytes = 0))

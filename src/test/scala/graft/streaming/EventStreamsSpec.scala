@@ -136,6 +136,26 @@ class EventStreamsSpec extends SparkTestBase {
       Map(1L -> ("a1", 2L), 2L -> ("b1", 2L), 3L -> ("c0", 1L)))
   }
 
+  test("cdcApplySink fails the batch on an unreadable snapshot instead of truncating") {
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val changes = input.toDS().toDF("k", "v", "seq")
+    val snap = java.nio.file.Files.createTempDirectory("graft-cdc-bad-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-badc-").toString
+    // an EXISTING snapshot dir with a corrupt footer — must NOT be
+    // treated as "first batch" (that would replace history with just
+    // this micro-batch)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(snap, "part-00000.parquet"),
+      "not parquet".getBytes)
+
+    input.addData((1L, "a0", 1L))
+    val q = EventStreams.cdcApplySink(changes, "k", "seq", snap, ckpt)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    // snapshot untouched — the corrupt file is still there for repair
+    assert(new java.io.File(snap, "part-00000.parquet").exists())
+  }
+
   test("enrichedEvents: stream-static broadcast join adds dim columns") {
     import EventStreams.Event
     val dim = Seq((7L, "gold"), (9L, "silver")).toDF("user_id", "tier")
