@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNDECORATED (no "[info] " prefix):
+// the bench driver extracts the last JSON line from a small stdout
+// tail, and sbt's per-line tagging has defeated that parse — stdout
+// must carry graft.Bench's JSON line verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -181,15 +181,18 @@ object DedupQueries {
     (s, d) => Dedup.invertedIndexNearDups(
       Tables.documents(s, d), maxDf = 5, minShared = 10, threshold = 0.5),
     Some(s"""WITH $tokensCte, $shinglesCte,
-      posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-      rare AS (SELECT p.doc_id, p.shingle FROM posting p
-               JOIN (SELECT shingle FROM posting
+      posting AS (SELECT doc_id,
+                    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+                      AS shingle_h
+                  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
+      rare AS (SELECT p.doc_id, p.shingle_h FROM posting p
+               JOIN (SELECT shingle_h FROM posting
                      GROUP BY 1 HAVING count(*) BETWEEN 2 AND 5) r
-               USING (shingle)),
+               USING (shingle_h)),
       pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
                   CAST(count(*) AS BIGINT) AS shared
                 FROM rare x JOIN rare y
-                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                  ON x.shingle_h = y.shingle_h AND x.doc_id < y.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 10)
       SELECT * FROM (
         SELECT a_id, b_id, shared, $jaccardSql AS jaccard
