@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector math as native Catalyst column trees (no UDFs), plus
@@ -73,4 +73,48 @@ object VectorOps {
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${sqlPlaneDot(v, p)} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Default broadcast ceiling for [[lshNearDupPairs]]: the bucketed
+    * corpus (ids + 64-double vectors) must fit one executor-resident
+    * broadcast with headroom. */
+  val NearDupBroadcastBytes: Long = 64L << 20
+
+  /** Cosine near-dup pairs (cos ≥ `minCos`) blocked by hyperplane-LSH
+    * bucket, with a size-adaptive join strategy (the house pattern —
+    * mirrors `Dedup.verifyPairs`):
+    *
+    *  - small corpus (optimizer size estimate ≤ `broadcastBytes`): the
+    *    build side broadcasts, so the probe scan stays fully parallel
+    *    regardless of bucket count;
+    *  - large corpus: a plain bucket-key equi-join — both sides shuffle
+    *    by bucket hash, nothing driver-resident. Parallelism is then
+    *    bucket-bounded, so callers at scale pass MORE `planes` (buckets
+    *    ≫ cores; recall per pair decays per plane, compensate with band
+    *    OR-ing as in MinHash if needed).
+    *
+    * The switch reads plan STATISTICS (file sizes at the scan), not a
+    * count job — free, and exactly the signal Spark's own broadcast
+    * planning uses. Input needs `vec_id`, `v`, `nrm` columns; output is
+    * (bucket, a_id, b_id, cos_sim). */
+  def lshNearDupPairs(
+      emb: DataFrame, planes: Seq[Seq[Double]], minCos: Double,
+      broadcastBytes: Long = NearDupBroadcastBytes): DataFrame = {
+    val e = emb.withColumn("bucket", lshBucket(col("v"), planes))
+    val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    // past the ceiling the broadcast is FORBIDDEN, not merely unhinted:
+    // the planner's own size estimate (post-projection) can undershoot
+    // and re-introduce a driver-scale corpus broadcast — the merge hint
+    // keeps the join shuffle-based; AQE may still pick shuffled-hash
+    val build =
+      if (bytes <= broadcastBytes) broadcast(e.as("b"))
+      else e.as("b").hint("merge")
+    e.as("a").join(build,
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(dotNative(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+  }
 }

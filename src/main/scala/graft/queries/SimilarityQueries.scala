@@ -295,29 +295,16 @@ object SimilarityQueries {
   /** Cosine near-dup pairs blocked by hyperplane-LSH bucket — the
     * production blocking scheme (no label needed): only same-bucket pairs
     * are scored, cutting candidates ~2^planes while random-hyperplane
-    * locality keeps high-cosine pairs mostly co-bucketed. The build side
-    * broadcasts so the probe scan stays fully parallel (a 16-key bucket
-    * shuffle would cap parallelism at 16 tasks). SCALE LIMIT: the
-    * broadcast is the whole corpus, so this exact plan stops at
-    * driver-memory scale (~a few GB of vectors). The production shape
-    * keeps the same bucket blocking but (a) uses more planes so bucket
-    * count ≫ cores, then (b) shuffle-joins on the bucket key —
-    * parallelism is then bucket-bounded, not broadcast-bounded; see
-    * `Dedup.verifyPairs` for the size-adaptive switch pattern. */
+    * locality keeps high-cosine pairs mostly co-bucketed. The join
+    * strategy is size-adaptive ([[graft.ops.VectorOps.lshNearDupPairs]]):
+    * a small corpus broadcasts its build side (probe scan stays fully
+    * parallel); past the broadcast ceiling it switches to a bucket-key
+    * shuffle join, where parallelism is bucket-bounded — at scale pass
+    * more planes so buckets ≫ cores. `LshNearDupStrategySpec` pins the
+    * flip. */
   private val lshNearDup = GraftQuery(
     "x_embed_lsh_neardup",
-    (s, d) => {
-      val e = corpus(s, d)
-        .withColumn("bucket", VectorOps.lshBucket(col("v"), Planes))
-      e.as("a").join(broadcast(e.as("b")),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.bucket").as("bucket"),
-          col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(VectorOps.dotNative(col("a.v"), col("b.v"))
-            / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= 0.4)
-    },
+    (s, d) => VectorOps.lshNearDupPairs(corpus(s, d), Planes, minCos = 0.4),
     Some {
       val bucket = VectorOps.sqlLshBucket("v", Planes)
       s"""WITH $embCte,
