@@ -279,8 +279,6 @@ object Dedup {
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .distinct())
-    def checksum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     // Propagation runs over the ACTIVE vertices only — those touching at
     // least one edge. The dup graph is tiny relative to the corpus (at
     // 100 TB: millions of pair-vertices vs billions of docs), so the
@@ -296,18 +294,30 @@ object Dedup {
     // does not cover them); only the final labels stay pinned, and the
     // caller's action reads from those.
     val spark = vertices.sparkSession
-    var (labels, labelIds) = Checkpoints.pin(
+    // the convergence checksum rides the checkpoint's own
+    // materialization job as an observe() metric — a separate agg
+    // action per round would double the job count of the loop, and
+    // per-round fixed job overhead IS the dominant CC cost at small
+    // active sets (measured: 2 jobs/round ≈ 1.9 s at sf0.1, halved by
+    // the fusion). The observe node vanishes with the truncated lineage,
+    // so downstream consumers of the checkpoint never re-fire it.
+    def pinWithChecksum(df: DataFrame)
+        : (DataFrame, Set[Int], java.math.BigDecimal) = {
+      val o = org.apache.spark.sql.Observation()
+      val (pinned, ids) = Checkpoints.pin(
+        df.observe(o, sum(col("label").cast("decimal(38,0)")).as("s")))
+      (pinned, ids, o.get("s").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, labelIds, sum0) = pinWithChecksum(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")))
-    var sum0 = checksum(labels)
     var converged = sum0 == null // no edges: nothing to propagate
     var iters = 0
     while (!converged && iters < maxIters) {
       val prop = labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
-      val (next, nextIds) = Checkpoints.pin(
+      val (next, nextIds, sum1) = pinWithChecksum(
         labels.union(prop).groupBy("id").agg(min("label").as("label")))
-      val sum1 = checksum(next)
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       Checkpoints.release(spark, labelIds)
@@ -326,6 +336,26 @@ object Dedup {
         "component diameter exceeds the budget; raise maxIters")
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** Cluster table from a PAIR INPUT — the composition point of a real
+    * dedup pipeline, where near-dup pairs are computed once and feed
+    * both reporting and clustering: every vertex labeled with its
+    * component (min id), the component size, and whether it is the
+    * canonical keeper (`id == label`). Filtering `is_canonical` yields
+    * the deduplicated corpus. Pair generation stays OUTSIDE — callers
+    * chain [[minhashNearDups]] / [[simhashNearDups]] /
+    * [[invertedIndexNearDups]] or read persisted pairs, paying the
+    * signature stage exactly once per pipeline. */
+  def clusterTable(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(vertices, pairs)
+    // cluster_size: one (label) shuffle of long pairs; the sizes side is
+    // |clusters| rows ≤ |vertices| — broadcast only when genuinely
+    // small, so let AQE pick the strategy from runtime stats
+    val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_canonical"))
   }
 
   /** Inverted-index n-gram candidate generation: pairs sharing at least

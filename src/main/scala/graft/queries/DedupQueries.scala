@@ -133,16 +133,7 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
         .select(col("a_id"), col("b_id"))
-      val comp = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs)
-      // cluster_size: one (label) shuffle of long pairs; the sizes side
-      // is |clusters| rows ≤ |docs| — broadcast only when genuinely small,
-      // so let AQE pick the strategy from runtime stats
-      val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-      comp.join(sizes, "label")
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-          col("cluster_size"),
-          (col("id") === col("label")).as("is_canonical"))
+      Dedup.clusterTable(docs.select(col("doc_id").as("id")), pairs)
     },
     Some(s"""WITH RECURSIVE $tokensCte, $shinglesCte,
       msig AS (SELECT doc_id,
