@@ -338,6 +338,81 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round upgrade over [[connectedComponents]]'
+    * diameter-bounded label propagation, for adversarial long-chain
+    * graphs where the diameter exceeds any sane round budget.
+    *
+    * Per round, two edge rewrites, each ONE groupBy-shuffle of long
+    * pairs:
+    *  - large-star: every vertex links its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every vertex links its smaller-or-equal neighbors
+    *    (and itself) to the minimum of that smaller neighborhood.
+    * The edge set monotonically contracts toward a union of stars
+    * centered on component minima; convergence = edge multiset stable
+    * (count + checksum, both riding the checkpoint job as observe()
+    * metrics). Dup clusters are near-cliques, so the default
+    * label-propagation variant stays the pipeline default — this one is
+    * the flagged escape hatch for pathological graphs.
+    *
+    * @return (id, label) — label = min vertex id of the component */
+  def connectedComponentsStar(
+      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = vertices.sparkSession
+    def directed(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def norm(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = directed(e)
+      val m = dir.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      norm(dir.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = directed(e)
+      val smaller = dir.where(col("v") < col("u"))
+      val m = smaller.groupBy("u").agg(min(col("v")).as("m"))
+      norm(smaller.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    def pinWithSig(df: DataFrame): (DataFrame, Set[Int], (Long, Any)) = {
+      val o = org.apache.spark.sql.Observation()
+      val (pinned, ids) = Checkpoints.pin(df.observe(o,
+        count(lit(1)).as("n"),
+        sum((col("u").cast("decimal(38,0)") * lit(4_000_000_000L))
+          + col("v")).as("s")))
+      (pinned, ids, (o.get("n").asInstanceOf[Long], o.get("s")))
+    }
+    var (edges, edgeIds, sig0) = pinWithSig(
+      norm(pairs.select(col("a_id").as("u"), col("b_id").as("v"))))
+    var converged = sig0._1 == 0L // no edges
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val (next, nextIds, sig1) = pinWithSig(smallStar(largeStar(edges)))
+      converged = sig1 == sig0
+      sig0 = sig1
+      Checkpoints.release(spark, edgeIds)
+      edges = next
+      edgeIds = nextIds
+      iters += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIters rounds")
+    // fixpoint is a union of stars: each vertex's label is the min of
+    // its neighborhood (the star center), roots label themselves
+    val labels = directed(edges).groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("mn"), col("u")).as("label"))
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** Cluster table from a PAIR INPUT — the composition point of a real
     * dedup pipeline, where near-dup pairs are computed once and feed
     * both reporting and clustering: every vertex labeled with its

@@ -54,4 +54,38 @@ class ComponentsSpec extends SparkTestBase {
       .as[(Long, Long)].head()
     assert(got === ((1L, 0L)))
   }
+
+  test("star variant: 1000-vertex chain converges within 12 rounds") {
+    // diameter 999 — label propagation would need ~1000 rounds; the
+    // alternating large-star/small-star contraction needs O(log n)
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val vertices = (0L to 999L).toDF("id")
+    val got = Dedup.connectedComponentsStar(vertices, pairs, maxIters = 12)
+      .agg(countDistinct(col("label")), max(col("label")), count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    assert(got === ((1L, 0L, 1000L)))
+  }
+
+  test("star variant agrees with label propagation on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200L
+    val pairs = Seq.fill(150)(
+      (rnd.nextLong(n).abs, rnd.nextLong(n).abs))
+      .filter { case (a, b) => a != b }
+      .toDF("a_id", "b_id")
+    val vertices = (0L until n).toDF("id")
+    val prop = Dedup.connectedComponents(vertices, pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(vertices, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
+  test("star variant: empty pairs and singletons") {
+    val vertices = Seq(5L, 7L).toDF("id")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsStar(vertices, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 5L, 7L -> 7L))
+  }
 }
