@@ -148,7 +148,19 @@ object ExtendedQueries {
       s.read.schema(schema).json(out)
     },
     Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
-    bench = false)
+    bench = false,
+    // Timed region = the schema'd JSON-lines scan; the sink runs once.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-json-bench-").toString
+      Tables.supplier(s, d).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      () => s.read.schema(schema).json(out)
+    }))
 
   // ------------------------------------------------------------ x_pii
   private val EmailRe = graft.ops.Redaction.EmailRe
@@ -494,7 +506,21 @@ object ExtendedQueries {
             FROM orders
             WHERE o_custkey BETWEEN 100 AND 400
               AND o_orderkey BETWEEN 1000 AND 100000"""),
-    bench = false)
+    bench = false,
+    // Bench the READ side: the z-order rewrite runs once (untimed setup),
+    // the timed region is the two-dimensional range query over the
+    // resulting layout — the pruning win the layout exists to buy.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-zorder-bench-").toString
+      graft.ops.Layout
+        .zorderedWrite(Tables.orders(s, d), "o_custkey", "o_orderkey", out)
+      () => s.read.parquet(out)
+        .where(col("o_custkey").between(100, 400) &&
+          col("o_orderkey").between(1000, 100000))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }))
 
   // ----------------------------------------------------------------- A25
   /** Mergeable-sketch distinct counting (Apache DataSketches HLL via
@@ -551,7 +577,22 @@ object ExtendedQueries {
     Some("""SELECT n_nationkey, n_name,
             CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS region_added
             FROM nation"""),
-    bench = false)
+    bench = false,
+    // Timed region = the mergeSchema read over the evolved directory;
+    // the two-batch write is one-time setup.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-evolve-bench-").toString
+      val nation = Tables.nation(s, d)
+      nation.where(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(out)
+      nation.where(col("n_nationkey") >= 10)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").as("region_added"))
+        .write.mode("append").parquet(out)
+      () => s.read.option("mergeSchema", "true").parquet(out)
+    }))
 
   // ----------------------------------------------------------------- A26
   /** Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): null keys
@@ -651,7 +692,19 @@ object ExtendedQueries {
         .compactParquet(s, out, targetBytes = 64L * 1024 * 1024)
     },
     Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
-    bench = false)
+    bench = false,
+    // Over-split write + compaction run once (untimed); the timed region
+    // is the scan of the compacted directory — the read-amplification
+    // win compaction exists to buy.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-compact-bench-").toString + "/t"
+      Tables.supplier(s, d).repartition(16)
+        .write.mode("overwrite").parquet(out)
+      graft.ops.Compaction
+        .compactParquet(s, out, targetBytes = 64L * 1024 * 1024).count()
+      () => s.read.parquet(out)
+    }))
 
   // ----------------------------------------------------------------- U13
   /** Datetime interval ARITHMETIC (the companion to u8's extraction):

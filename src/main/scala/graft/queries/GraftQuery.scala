@@ -10,12 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                parquet tables; None for ops whose semantics are not
   *                SQL-expressible (those get a weaker rows-only check)
   * @param bench   include in the headline benchmark set
+  * @param benchBuild two-stage variant for queries whose `build` writes to
+  *                disk: the outer call performs the write ONCE (untimed
+  *                setup — temp-dir churn would otherwise dominate the
+  *                measurement), the returned thunk builds the read-side
+  *                plan the bench times per run. Queries with `benchBuild`
+  *                are benched even when `bench = false`.
   */
 final case class GraftQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true)
+    bench: Boolean = true,
+    benchBuild: Option[(SparkSession, String) => () => DataFrame] = None)
 
 object Registry {
   /** Full query surface, assembled per module. Order is stable. */

@@ -301,7 +301,19 @@ object Relational {
     Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
             ROUND(SUM(p_retailprice), 2) AS retail
             FROM part GROUP BY p_brand"""),
-    bench = false)
+    bench = false,
+    // Timed region = re-read + aggregate over the partitioned layout;
+    // the partitioned write runs once, untimed.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sink-bench-").toString
+      Tables.part(s, d).write.mode("overwrite")
+        .partitionBy("p_brand").parquet(out)
+      () => s.read.parquet(out)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p_retailprice")), 2).as("retail"))
+    }))
 
   // ------------------------------------------------------------------ S3
   /** CSV sink + explicit-schema scan roundtrip (SURVEY §2 S3,
@@ -321,7 +333,20 @@ object Relational {
         .schema(schema).csv(out)
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
-    bench = false)
+    bench = false,
+    // Timed region = the explicit-schema CSV scan; the sink runs once.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-csv-bench-").toString
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("sep", ";").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      () => s.read.option("sep", ";").option("header", "true")
+        .schema(schema).csv(out)
+    }))
 
   // ------------------------------------------------------------------ K4
   /** Managed-table catalog roundtrip: `saveAsTable` into the session
@@ -371,7 +396,19 @@ object Relational {
             ROUND(SUM(s_acctbal), 2) AS bal
             FROM supplier WHERE s_acctbal > 0
             GROUP BY s_nationkey"""),
-    bench = false)
+    bench = false,
+    // Timed region = the ORC filtered aggregate; the sorted sink runs once.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-orc-bench-").toString
+      Tables.supplier(s, d).sort("s_suppkey")
+        .write.mode("overwrite").orc(out)
+      () => s.read.orc(out)
+        .where(col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal"))
+    }))
 
   // ------------------------------------------------------------------ S4
   /** Local-collection source (SURVEY §2 S4, `etl.py:161-228`): a tiny
@@ -431,7 +468,35 @@ object Relational {
             ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment"""),
-    bench = false)
+    bench = false,
+    // Timed region = the exchange-free co-located join over the bucketed
+    // tables — the plan shape bucketing exists to buy. The bucketed
+    // writes run once, untimed. Table names are bench-private so the
+    // correctness run's tables are never raced.
+    benchBuild = Some((s, d) => {
+      Seq("graft_orders_bucketed_b", "graft_customer_bucketed_b")
+        .foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          if (loc.exists()) {
+            import scala.reflect.io.Directory
+            new Directory(loc).deleteRecursively()
+          }
+        }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bucketed_b")
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bucketed_b")
+      () => s.table("graft_orders_bucketed_b")
+        .join(s.table("graft_customer_bucketed_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    }))
 
   // ------------------------------------------------------------------ A8
   /** Salted two-phase distinct count (see [[graft.ops.Skew]]): exact
@@ -805,7 +870,20 @@ object Relational {
             ROUND(SUM(o_totalprice), 2) AS total
             FROM orders WHERE o_orderpriority = '1-URGENT'
             GROUP BY o_orderstatus"""),
-    bench = false)
+    bench = false,
+    // Timed region = the partition-pruned scan + aggregate; the
+    // partitioned write runs once, untimed.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pruned-bench-").toString
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      () => s.read.parquet(out)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }))
 
   // ----------------------------------------------------------------- A13
   /** CUBE: all grouping-set combinations in one pass. */
