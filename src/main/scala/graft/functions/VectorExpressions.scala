@@ -70,6 +70,13 @@ object VectorExpressions {
       FunctionIdentifier("jaro_winkler"), JaroWinklerSim.info,
       (children: Seq[Expression]) =>
         JaroWinklerSim(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"), BloomMightContain.info,
+      (children: Seq[Expression]) =>
+        BloomMightContain(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("pq_adc"), PqAdc.info,
+      (children: Seq[Expression]) => PqAdc(children(0), children(1)))
     // Optimizer rules piggyback on the same idempotent hook: sessions
     // built without `spark.sql.extensions` (the harness's plain
     // builders) still get the engine's rewrites. Assignment, not

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
+import graft.functions.{BloomMightContain, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"), JaroWinklerSim.info,
       (children: Seq[Expression]) =>
         JaroWinklerSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"), BloomMightContain.info,
+      (children: Seq[Expression]) =>
+        BloomMightContain(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"), PqAdc.info,
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
     ext.injectOptimizerRule(_ => LevenshteinPruning)
   }
 }

@@ -567,7 +567,8 @@ object Relational {
     partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
-    semiJoin, windowRank, groupingSets, datetimeExtract, stringFunctions,
+    semiJoin, bloomPrunedJoin, windowRank, groupingSets, datetimeExtract,
+    stringFunctions,
     nullCollectionSemantics, correlatedSubquery, ansiSafeCasts, orcRoundtrip,
     managedTable, corrStats)
 
@@ -682,6 +683,32 @@ object Relational {
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
             WHERE EXISTS
               (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  // ------------------------------------------------------------------ J6
+  /** Bloom-pruned fact-to-dim join ([[graft.ops.RuntimeFilters]]): a
+    * Bloom filter over the selective dimension's keys is built
+    * distributively and applied to the fact side IN THE SCAN STAGE, so
+    * rows that cannot survive the join never reach the exchange. The
+    * exact join downstream absorbs false positives — the oracle is the
+    * plain join, and must match exactly. At 100 TB this converts a
+    * shuffle of the whole fact table into a shuffle of the ~selectivity
+    * fraction that can match (BloomSemiJoinSpec pins the plan shape and
+    * the pruning factor). */
+  private lazy val bloomPrunedJoin = GraftQuery(
+    "j6_bloom_pruned_join",
+    (s, d) => {
+      val dim = Tables.supplier(s, d).where(col("s_acctbal") > 9000)
+      graft.ops.RuntimeFilters
+        .prunedJoin(Tables.lineitem(s, d), "l_suppkey", dim, "s_suppkey")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+    Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+            ROUND(SUM(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_acctbal > 9000
+            GROUP BY s_nationkey"""))
 
   // ----------------------------------------------------------------- A18
   /** Window ranking family: rank/dense_rank over a tie-prone ordering

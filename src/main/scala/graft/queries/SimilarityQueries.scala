@@ -291,6 +291,106 @@ object SimilarityQueries {
       WHERE rank <= 3"""
   }
 
+  // ------------------------------------------------------------- PQ
+  /** Product-quantization ANN ([[graft.ops.ProductQuantization]]): 8
+    * subspace codebooks (deterministic k-means, empty cells carrying
+    * their previous centroid so code ids stay dense), vectors stored as
+    * 8 small ints — 64× smaller than the raw doubles — and search as M
+    * table lookups per pair (`pq_adc`, codegen'd). The search scans ONLY
+    * the code table; raw vectors are never touched after encoding. The
+    * oracle re-derives the whole pipeline (training included) in DuckDB
+    * SQL with the same rounding discipline as the IVF oracle.
+    * `PqSpec` pins recall against exact L2 top-k and ADC's
+    * approximation error. */
+  private val annPq = GraftQuery(
+    "x_embed_pq_topk",
+    (s, d) => {
+      import graft.ops.ProductQuantization
+      val e = persistedDf(corpus(s, d))
+      val cents = persistedDf(ProductQuantization.trainCodebooks(e))
+      val codes = ProductQuantization.encode(e, cents)
+      val luts = ProductQuantization.queryLuts(
+        querySet(e).select(col("q_id"), col("qv").as("v")), cents)
+      ProductQuantization.adcTopK(codes, luts, 3)
+    },
+    Some(pqSql))
+
+  /** One PQ Lloyd iteration in DuckDB: 6-rounded-distance argmin assign
+    * (tie to the lowest code), per-(subspace, code, dim) rounded means,
+    * and empty cells carrying the previous centroid via LEFT JOIN. */
+  private def pqLloydCtes(i: Int, prev: String): String = {
+    val dot = s"""list_sum(list_transform(generate_series(1,
+                   ${graft.ops.ProductQuantization.SubDim}),
+                   i -> s.sv[i] * c.cv[i]))"""
+    s"""pa$i AS (SELECT vec_id, m, c FROM (
+           SELECT s.vec_id, s.m, c.c_id AS c,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY ROUND(s.sn2 + c.cn2 - 2 * $dot, 6), c.c_id) AS rn
+           FROM sub s JOIN $prev c ON s.m = c.m) WHERE rn = 1),
+       pm$i AS (SELECT m, c, pos, ROUND(AVG(x), 6) AS mx FROM (
+           SELECT a.m, a.c, unnest(s.sv) AS x,
+                  unnest(generate_series(1,
+                    ${graft.ops.ProductQuantization.SubDim})) AS pos
+           FROM sub s JOIN pa$i a ON s.vec_id = a.vec_id AND s.m = a.m)
+         GROUP BY m, c, pos),
+       pmc$i AS (SELECT m, c AS c_id, list(mx ORDER BY pos) AS cv
+                 FROM pm$i GROUP BY m, c),
+       pc$i AS (SELECT p.m, p.c_id, COALESCE(n.cv, p.cv) AS cv,
+                  list_sum(list_transform(COALESCE(n.cv, p.cv),
+                    x -> x * x)) AS cn2
+                FROM $prev p LEFT JOIN pmc$i n
+                  ON p.m = n.m AND p.c_id = n.c_id)"""
+  }
+
+  private def pqSql: String = {
+    import graft.ops.ProductQuantization.{Iters, K, SeedStride, M, SubDim}
+    val seedMax = SeedStride.toLong * K
+    val iters = (1 to Iters)
+      .map(i => pqLloydCtes(i, if (i == 1) "pc0" else s"pc${i - 1}"))
+      .mkString(",\n")
+    val last = s"pc$Iters"
+    val dot = s"""list_sum(list_transform(generate_series(1, $SubDim),
+                   i -> s.sv[i] * c.cv[i]))"""
+    val slice = s"list_slice(v, m * $SubDim + 1, m * $SubDim + $SubDim)"
+    s"""WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+      ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+      sub AS (SELECT vec_id, m,
+                $slice AS sv,
+                list_sum(list_transform($slice, x -> x * x)) AS sn2
+              FROM pe CROSS JOIN ms),
+      pc0 AS (SELECT m, CAST(vec_id // $SeedStride AS INT) AS c_id,
+                sv AS cv, sn2 AS cn2
+              FROM sub
+              WHERE vec_id % $SeedStride = 0 AND vec_id < $seedMax),
+      $iters,
+      paf AS (SELECT vec_id, m, c FROM (
+          SELECT s.vec_id, s.m, c.c_id AS c,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ROUND(s.sn2 + c.cn2 - 2 * $dot, 6), c.c_id) AS rn
+          FROM sub s JOIN $last c ON s.m = c.m) WHERE rn = 1),
+      codes AS (SELECT vec_id, list(c ORDER BY m) AS codes
+                FROM paf GROUP BY vec_id),
+      qlut AS (SELECT s.vec_id AS q_id, s.m, c.c_id,
+                 ROUND(s.sn2 + c.cn2 - 2 * $dot, 6) AS d
+               FROM sub s JOIN $last c ON s.m = c.m
+               WHERE s.vec_id % 100 = 0),
+      luts AS (SELECT q_id, list(d ORDER BY m * $K + c_id) AS lut
+               FROM qlut GROUP BY q_id),
+      scored AS (SELECT l.q_id, c.vec_id AS n_id,
+                   list_sum(list_transform(generate_series(1, $M),
+                     m -> l.lut[(m - 1) * (len(l.lut) // $M)
+                                + c.codes[m] + 1])) AS adist
+                 FROM codes c CROSS JOIN luts l
+                 WHERE c.vec_id <> l.q_id)
+      SELECT q_id, n_id, ROUND(adist, 6) AS pq_dist,
+             CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+            FROM scored)
+      WHERE rank <= 3"""
+  }
+
   // -------------------------------------------------- threshold near-dups
   /** Cosine near-dup pairs blocked by hyperplane-LSH bucket — the
     * production blocking scheme (no label needed): only same-bucket pairs
@@ -345,5 +445,5 @@ object SimilarityQueries {
       WHERE cos_sim >= 0.4"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(cosineTopK, annLsh, annIvf, cosineNearDup, lshNearDup)
+    Seq(cosineTopK, annLsh, annIvf, annPq, cosineNearDup, lshNearDup)
 }
