@@ -1,9 +1,9 @@
 package graft.corpus
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextFunctions
+import graft.ops.{Dedup, TextFunctions}
 
 /** Streaming ingest curation — the continuous-crawl face of
   * [[CorpusPipeline]]'s leading stages. A landing stream of documents
@@ -17,9 +17,12 @@ import graft.ops.TextFunctions
   * so batch uses plain dropDuplicates — same keep-one-per-fingerprint
   * contract, which is how the spec pins stream ≡ batch).
   *
-  * Near-dup (MinHash) dedup stays a periodic batch compaction over the
-  * sunk output by design: LSH banding needs a corpus-wide shuffle, which
-  * an unbounded stream cannot express with finite state.
+  * Near-dup (MinHash) dedup splits by horizon: dedup WITHIN the
+  * unbounded stream would need corpus-wide state no stream can hold,
+  * and stays a periodic batch compaction — but dedup AGAINST EVERYTHING
+  * ALREADY ACCEPTED is incremental: [[nearDupIndexSink]] keeps a
+  * persisted signature index on disk (not in stream state) and probes
+  * it per micro-batch.
   */
 object StreamingIngest {
 
@@ -40,5 +43,116 @@ object StreamingIngest {
           .dropDuplicatesWithinWatermark("fp")
       else gated.dropDuplicates("fp")
     deduped.drop("fp")
+  }
+
+  /** Incremental NEAR-dup dedup for a continuous crawl: each micro-batch
+    * is MinHash-signed, deduped within itself (lower doc_id wins), then
+    * probed against the persisted signature index of every previously
+    * accepted document — an LSH band-key equi-join plus signature-level
+    * verify ([[graft.ops.Dedup.signatureNearDups]]'s estimate; the raw
+    * text of accepted docs is never retained). Survivors land in
+    * `outDir`, their banded signatures append to `indexDir`, and the
+    * next batch probes the grown index.
+    *
+    * State story: the dedup "state" is the on-disk index, not stream
+    * state — unbounded corpus, bounded executor memory. Both writes go
+    * to per-batch subdirectories (`batch=<id>`, discovered as a
+    * partition column on read) in OVERWRITE mode, so a batch replayed
+    * after a crash rewrites its own directories instead of duplicating
+    * rows — idempotent without a transactional format.
+    *
+    * Scale shape: the index join shuffles band keys + 12-long
+    * signatures, never documents; the incoming batch (≪ index) is the
+    * broadcast-eligible side. A pathological band key shared by a huge
+    * index fraction would fan out — production composes the same df-cap
+    * used by `invertedIndexNearDups` over the index side. */
+  def nearDupIndexSink(
+      docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, minSim: Double = 0.75,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] =
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupBatch(batch, batchId, indexDir, outDir, minSim)
+        ()
+      }
+    // AvailableNow (the backfill default) drains then STOPS; a live
+    // crawl passes None for the continuous micro-batch trigger
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** One micro-batch of [[nearDupIndexSink]] — package-visible so the
+    * spec can drive batches directly. */
+  private[graft] def nearDupBatch(
+      batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
+      minSim: Double): Unit = {
+    // an empty micro-batch (idle trigger tick) must not write an empty —
+    // and schema-less, hence unreadable — batch directory
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // pinned (not bare localCheckpoint) so each batch RELEASES its blocks
+    // — a continuous trigger would otherwise accumulate them for the life
+    // of the app (the leak class ops.Checkpoints exists to close)
+    val (sigs, sigBlocks) = graft.ops.Checkpoints.pin(
+      Dedup.shingleTable(batch)
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig")))
+    try {
+      // within-batch near-dups: the lower id is canonical, higher ids drop
+      val withinDups = Dedup.signatureNearDups(sigs, minSim)
+        .select(col("b_id").as("doc_id")).distinct()
+      // vs the index of all previously accepted docs (absent on batch 0).
+      // The probe EXCLUDES this batch's own partition: a batch replayed
+      // after a crash mid-write would otherwise meet its own previous
+      // attempt's signatures in the index, self-match at sim 1.0, and
+      // drop every document — replay must see exactly the index state
+      // the first attempt saw.
+      val newBands = Dedup.bandTable(sigs)
+      val vsIndexDups = readIndex(spark, indexDir, batchId) match {
+        case Some(idx) =>
+          newBands.join(idx
+              .select(col("band_idx"), col("band_key"),
+                col("sig").as("idx_sig")),
+              Seq("band_idx", "band_key"))
+            .where(Dedup.signatureSimilarity(col("sig"), col("idx_sig"))
+              >= minSim)
+            .select("doc_id").distinct()
+        case None => withinDups.limit(0)
+      }
+      val dropIds = withinDups.union(vsIndexDups).distinct()
+      val (kept, keptBlocks) = graft.ops.Checkpoints.pin(
+        batch.join(dropIds, Seq("doc_id"), "left_anti"))
+      try {
+        kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        newBands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      } finally graft.ops.Checkpoints.release(spark, keptBlocks)
+    } finally graft.ops.Checkpoints.release(spark, sigBlocks)
+  }
+
+  /** The signature index, if any batch has committed one yet. Presence
+    * is decided by data files, not read success — a transient FS error
+    * must fail the batch (it retries), not silently skip the index
+    * (which would re-admit every near-dup in flight). */
+  private def readIndex(
+      spark: SparkSession, indexDir: String,
+      excludeBatch: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { d =>
+      d.isDirectory && d.getPath.getName != s"batch=$excludeBatch" &&
+        fs.listStatus(d.getPath).exists { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+    }
+    if (hasData)
+      // `batch` is the discovered partition column of the per-batch dirs
+      Some(spark.read.parquet(indexDir)
+        .where(col("batch") =!= excludeBatch))
+    else None
   }
 }

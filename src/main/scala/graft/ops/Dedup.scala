@@ -124,6 +124,39 @@ object Dedup {
   /** Candidate pairs from MinHash-LSH banding over `docs`, verified with
     * exact shingle Jaccard ≥ `threshold`. Output: (a_id, b_id, jaccard).
     */
+  /** (doc_id, sig, band_idx, band_key): the banded form of a signature
+    * table — the layout a PERSISTED signature index stores, so an
+    * incremental consumer's bucket probe is a plain equi-join with no
+    * band recomputation on the index side
+    * ([[graft.corpus.StreamingIngest.nearDupIndexSink]]). */
+  def bandTable(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(bandKeys(col("sig")): _*))
+        .as(Seq("band_idx", "band_key")))
+
+  /** Fraction of agreeing MinHash components — the unbiased Jaccard
+    * estimate two signatures carry on their own. Granularity is
+    * 1/MinHashK; choose thresholds on band multiples. */
+  def signatureSimilarity(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / lit(MinHashK.toDouble)
+
+  /** Signature-only near-dup pairs: LSH banding candidates verified by
+    * component agreement (`signatureSimilarity` ≥ minSim) instead of
+    * exact shingle Jaccard — the verify a signature INDEX can run after
+    * the original text is gone. Estimate variance is 1/√MinHashK, so
+    * this is the streaming-ingest filter, not the offline-audit one
+    * ([[minhashNearDups]] keeps the exact verify). */
+  def signatureNearDups(sigs: DataFrame, minSim: Double): DataFrame =
+    lshCandidates(sigs)
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")),
+        "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        signatureSimilarity(col("sig_a"), col("sig_b")).as("sim"))
+      .where(col("sim") >= minSim)
+
   def minhashNearDups(
       docs: DataFrame, threshold: Double,
       broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {

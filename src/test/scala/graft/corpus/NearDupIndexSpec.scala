@@ -1,0 +1,98 @@
+package graft.corpus
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Incremental near-dup ingest ([[StreamingIngest.nearDupIndexSink]]):
+  * within-batch near-dups drop (lower id canonical), later batches drop
+  * near-dups of anything ALREADY ACCEPTED via the persisted signature
+  * index, novel docs pass, and a replayed batch rewrites its own
+  * `batch=` directories instead of duplicating rows. */
+class NearDupIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  // near-dup of base: one token changed out of 20 (shingle Jaccard ~0.85)
+  private val nearBase = base.replace("omicron", "OTHER")
+  private val novel =
+    "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+  private val novel2 =
+    "red orange yellow green blue indigo violet crimson amber teal " +
+      "maroon olive navy silver gold bronze copper pearl jade ruby"
+
+  private def doc(id: Long, text: String) =
+    (id, text, "en", "web", ts("2024-01-01 10:00:00"))
+
+  private def run(dirs: (String, String, String),
+      batches: Seq[(Long, String)]*): Unit = {
+    val (idx, out, ckp) = dirs
+    val in = MemoryStream[(Long, String, String, String, Timestamp)](spark)
+    val q = StreamingIngest.nearDupIndexSink(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "ingest_ts"),
+      idx, out, ckp, trigger = None)
+    try {
+      batches.foreach { b =>
+        in.addData(b.map { case (id, t) => doc(id, t) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
+  private def keptIds(out: String): Set[Long] =
+    spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("in-batch near-dups drop; later batches dedup against the index") {
+    val dirs = (Files.createTempDirectory("ndx-i").toString,
+      Files.createTempDirectory("ndx-o").toString,
+      Files.createTempDirectory("ndx-c").toString)
+    run(dirs,
+      // batch 0: base + its near-dup (10 drops, 0 is canonical) + novel
+      Seq(0L -> base, 10L -> nearBase, 1L -> novel),
+      // batch 1: near-dup of batch-0's base (index hit) + novel doc
+      Seq(20L -> nearBase, 21L -> novel2))
+    assert(keptIds(dirs._2) === Set(0L, 1L, 21L))
+    // index carries exactly the accepted docs' bands
+    val idxIds = spark.read.parquet(dirs._1).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds === Set(0L, 1L, 21L))
+  }
+
+  test("replaying a batch id rewrites its directories idempotently") {
+    val idx = Files.createTempDirectory("ndx-ri").toString
+    val out = Files.createTempDirectory("ndx-ro").toString
+    val b0 = Seq(doc(0L, base), doc(1L, novel))
+      .toDF("doc_id", "text", "lang", "source", "ingest_ts")
+    StreamingIngest.nearDupBatch(b0, 0L, idx, out, minSim = 0.75)
+    StreamingIngest.nearDupBatch(b0, 0L, idx, out, minSim = 0.75) // replay
+    assert(keptIds(out) === Set(0L, 1L))
+    assert(spark.read.parquet(out).count() == 2) // no duplicated rows
+    // a later batch still dedups against the replayed index
+    val b1 = Seq(doc(5L, nearBase), doc(6L, novel2))
+      .toDF("doc_id", "text", "lang", "source", "ingest_ts")
+    StreamingIngest.nearDupBatch(b1, 1L, idx, out, minSim = 0.75)
+    assert(keptIds(out) === Set(0L, 1L, 6L))
+  }
+
+  test("signature similarity separates near-dups from novel text") {
+    graft.functions.VectorExpressions.register(spark)
+    val sigs = graft.ops.Dedup.shingleTable(
+      Seq((0L, base), (1L, nearBase), (2L, novel))
+        .toDF("doc_id", "text"))
+      .select(col("doc_id"),
+        graft.ops.Dedup.minhashSignature(col("sh")).as("sig"))
+    val pairs = graft.ops.Dedup.signatureNearDups(sigs, minSim = 0.75)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}
