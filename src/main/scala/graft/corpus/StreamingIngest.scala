@@ -113,7 +113,19 @@ object StreamingIngest {
       val newBands = Dedup.bandTable(sigs)
       val vsIndexDups = readIndex(spark, indexDir, batchId) match {
         case Some(idx) =>
-          newBands.join(idx
+          // skew guard: a band key shared by a huge index fraction (a
+          // boilerplate shingle pattern) would fan the probe join out by
+          // its membership; keys past the cap are dropped — docs that hot
+          // still meet the index through their other Bands-1 keys. The
+          // hot list is tiny and broadcasts; production maintains these
+          // counts incrementally instead of re-aggregating the index.
+          val hot = idx.groupBy("band_idx", "band_key")
+            .agg(count(lit(1)).as("n"))
+            .where(col("n") > Dedup.MaxBucket)
+            .select("band_idx", "band_key")
+          newBands
+            .join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+            .join(idx
               .select(col("band_idx"), col("band_key"),
                 col("sig").as("idx_sig")),
               Seq("band_idx", "band_key"))

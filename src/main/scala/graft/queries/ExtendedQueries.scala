@@ -594,6 +594,32 @@ object ExtendedQueries {
       () => s.read.option("mergeSchema", "true").parquet(out)
     }))
 
+  // ----------------------------------------------------------------- A27
+  /** UNPIVOT (wide → long, the inverse of a9's pivot): the three charge
+    * columns melt into (measure, v) rows via `Dataset.unpivot` — one
+    * scan, the per-row expansion happens map-side before the aggregate's
+    * partial combine, so the shuffle carries (flag, measure) partial sums
+    * and never the melted rows. */
+  private val unpivotCharges = GraftQuery(
+    "a27_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy("l_returnflag", "measure")
+      .agg(round(sum(col("v")), 2).as("total")),
+    Some("""SELECT l_returnflag, measure, ROUND(SUM(v), 2) AS total
+            FROM (
+              SELECT l_returnflag, 'l_extendedprice' AS measure,
+                     l_extendedprice AS v FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+            GROUP BY 1, 2"""))
+
   // ----------------------------------------------------------------- A26
   /** Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): null keys
     * match each other — the semantics dirty dimension data needs (a
@@ -739,6 +765,6 @@ object ExtendedQueries {
     piiScrub, tableChecksum, histogram, embedQuantize,
     unicodeNfc, fuzzyNearDup, eventsFunnel,
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
-    hllSketchUnion, schemaEvolution, nullSafeJoin, fuzzyJaroWinkler,
-    slidingWindow, compaction, intervalArith)
+    hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
+    fuzzyJaroWinkler, slidingWindow, compaction, intervalArith)
 }

@@ -38,6 +38,27 @@ class CodegenSpanSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("round-4 expressions codegen too: pq_adc inside a codegen span") {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = spark.read
+        .parquet(sf("sf0.001") + "/embeddings.parquet")
+        .selectExpr("vec_id",
+          "CAST(array(0, 1, 2, 3) AS ARRAY<INT>) AS codes",
+          "CAST(embedding AS ARRAY<DOUBLE>) AS lut")
+        .selectExpr("vec_id", "pq_adc(codes, lut) AS adist")
+      val planStr = df.queryExecution.executedPlan.toString
+      val projLine = planStr.linesIterator
+        .find(_.contains("pq_adc")).getOrElse("")
+      assert(projLine.trim.startsWith("*("),
+        s"projection not codegen'd:\n$planStr")
+      assert(df.count() > 0)
+    } finally spark.conf.set(key, prev)
+    // bloom_might_contain's codegen is pinned by BloomSemiJoinSpec
+  }
+
   test("round-3 expressions codegen too: nfc_normalize, morton2, jaro_winkler") {
     val key = "spark.sql.codegen.fallback"
     val prev = spark.conf.get(key)
