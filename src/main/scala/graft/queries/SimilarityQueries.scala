@@ -391,6 +391,127 @@ object SimilarityQueries {
       WHERE rank <= 3"""
   }
 
+  // ---------------------------------------------------------- IVF-PQ
+  /** The production ANN architecture, composed from the two halves this
+    * module already verifies separately: IVF picks WHICH vectors to
+    * score (nprobe nearest cells per query), PQ makes scoring them cheap
+    * (ADC over 32×-compressed codes). The search stage touches only
+    * (vec_id, cell, codes) — at 100 TB the raw vectors are read exactly
+    * once, at indexing time. Oracle = the composed DuckDB derivation of
+    * both trainers plus the celled ADC ranking. */
+  private val annIvfPq = GraftQuery(
+    "x_embed_ivfpq_topk",
+    (s, d) => {
+      import graft.ops.ProductQuantization
+      val e = persistedDf(corpus(s, d))
+      val ivfCents = persistedDf(kmeansCentroids(e))
+      val cellOf = assignCells(e, ivfCents).select(col("vec_id"), col("cell"))
+      val pqCents = persistedDf(ProductQuantization.trainCodebooks(e))
+      // the compressed index: cell + codes per vector, nothing else
+      val indexed = ProductQuantization.encode(e, pqCents)
+        .join(cellOf, "vec_id")
+      val q = querySet(e)
+      val probe = q.crossJoin(broadcast(ivfCents))
+        .select(col("q_id"),
+          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+            .as("cos"), col("c_id"))
+        .groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
+          lit(IvfNprobe)).as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("q_cell"))
+      val luts = ProductQuantization.queryLuts(
+        q.select(col("q_id"), col("qv").as("v")), pqCents)
+      indexed.join(broadcast(probe.join(luts, "q_id")),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          call_function("pq_adc", col("codes"), col("lut")).as("adist"))
+        .groupBy("q_id")
+        .agg(call_function("topk_pairs",
+          -col("adist"), col("vec_id"), lit(3)).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("q_id"), col("p.id").as("n_id"),
+          round(-col("p.score"), 6).as("pq_dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+    },
+    Some(ivfPqSql))
+
+  /** The composed oracle: IVF Lloyd CTEs (cosine cells) + PQ Lloyd CTEs
+    * (subspace codebooks) + celled ADC ranking. Every CTE family is the
+    * one its standalone oracle already validates; only `scored` is new. */
+  private def ivfPqSql: String = {
+    import graft.ops.ProductQuantization.{Iters => PqIters, K => PqK, M => PqM, SeedStride, SubDim}
+    val ivfIters = (1 to IvfIters)
+      .map(i => lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}"))
+      .mkString(",\n")
+    val ivfLast = s"c$IvfIters"
+    val pqIters = (1 to PqIters)
+      .map(i => pqLloydCtes(i, if (i == 1) "pc0" else s"pc${i - 1}"))
+      .mkString(",\n")
+    val pqLast = s"pc$PqIters"
+    val seedMax = SeedStride.toLong * PqK
+    val centCos = s"""(list_sum(list_transform(generate_series(1, 64),
+                        i -> e.v[i] * c.cv[i])) / (e.nrm * c.cn))"""
+    val probeCos = s"""(list_sum(list_transform(generate_series(1, 64),
+                         i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn))"""
+    val subDot = s"""list_sum(list_transform(generate_series(1, $SubDim),
+                   i -> s.sv[i] * c.cv[i]))"""
+    val slice = s"list_slice(v, m * $SubDim + 1, m * $SubDim + $SubDim)"
+    s"""WITH $embCte,
+      c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+             WHERE vec_id % 50 = 0),
+      $ivfIters,
+      cellof AS (SELECT vec_id, c_id AS cell FROM (
+          SELECT e.vec_id, c.c_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY $centCos DESC, c.c_id) AS rn
+          FROM e, $ivfLast c) WHERE rn = 1),
+      ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+      sub AS (SELECT vec_id, m,
+                $slice AS sv,
+                list_sum(list_transform($slice, x -> x * x)) AS sn2
+              FROM e CROSS JOIN ms),
+      pc0 AS (SELECT m, CAST(vec_id // $SeedStride AS INT) AS c_id,
+                sv AS cv, sn2 AS cn2
+              FROM sub
+              WHERE vec_id % $SeedStride = 0 AND vec_id < $seedMax),
+      $pqIters,
+      paf AS (SELECT vec_id, m, c FROM (
+          SELECT s.vec_id, s.m, c.c_id AS c,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ROUND(s.sn2 + c.cn2 - 2 * $subDot, 6), c.c_id) AS rn
+          FROM sub s JOIN $pqLast c ON s.m = c.m) WHERE rn = 1),
+      codes AS (SELECT vec_id, list(c ORDER BY m) AS codes
+                FROM paf GROUP BY vec_id),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+            WHERE vec_id % 100 = 0),
+      probe AS (SELECT q_id, c_id AS q_cell FROM (
+          SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY $probeCos DESC, c.c_id) AS rn
+          FROM q, $ivfLast c) WHERE rn <= $IvfNprobe),
+      qlut AS (SELECT s.vec_id AS q_id, s.m, c.c_id,
+                 ROUND(s.sn2 + c.cn2 - 2 * $subDot, 6) AS d
+               FROM sub s JOIN $pqLast c ON s.m = c.m
+               WHERE s.vec_id % 100 = 0),
+      luts AS (SELECT q_id, list(d ORDER BY m * $PqK + c_id) AS lut
+               FROM qlut GROUP BY q_id),
+      scored AS (SELECT p.q_id, cd.vec_id AS n_id,
+                   list_sum(list_transform(generate_series(1, $PqM),
+                     m -> l.lut[(m - 1) * (len(l.lut) // $PqM)
+                                + cd.codes[m] + 1])) AS adist
+                 FROM codes cd
+                   JOIN cellof a ON cd.vec_id = a.vec_id
+                   JOIN probe p ON a.cell = p.q_cell
+                   JOIN luts l ON l.q_id = p.q_id
+                 WHERE cd.vec_id <> p.q_id)
+      SELECT q_id, n_id, ROUND(adist, 6) AS pq_dist,
+             CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+            FROM scored)
+      WHERE rank <= 3"""
+  }
+
   // -------------------------------------------------- threshold near-dups
   /** Cosine near-dup pairs blocked by hyperplane-LSH bucket — the
     * production blocking scheme (no label needed): only same-bucket pairs
@@ -445,5 +566,6 @@ object SimilarityQueries {
       WHERE cos_sim >= 0.4"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(cosineTopK, annLsh, annIvf, annPq, cosineNearDup, lshNearDup)
+    Seq(cosineTopK, annLsh, annIvf, annPq, annIvfPq, cosineNearDup,
+      lshNearDup)
 }
