@@ -117,25 +117,11 @@ object DedupQueries {
                  AND x.doc_id < y.doc_id)
       SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3"""))
 
-  // ------------------------------------------------ dedup cluster assign
-  /** The clustering step a real dedup pipeline runs AFTER pair finding:
-    * connected components over the MinHash near-dup graph, every document
-    * labeled with its cluster (min doc_id of the component), cluster
-    * size, and whether it is the canonical keeper. Filtering
-    * `is_canonical` yields the deduplicated corpus. Oracle re-derives
-    * the components via a recursive transitive-closure CTE — exact for
-    * the test SFs; the Spark side's label propagation is the form that
-    * survives 100 TB (per-round shuffle of long pairs only). */
-  private val clusterAssign = GraftQuery(
-    "x_dedup_clusters",
-    (s, d) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
-        .select(col("a_id"), col("b_id"))
-      Dedup.clusterTable(docs.select(col("doc_id").as("id")), pairs)
-    },
-    Some(s"""WITH RECURSIVE $tokensCte, $shinglesCte,
+  /** Connected components of the MinHash near-dup graph as DuckDB CTEs
+    * (recursive transitive closure; `comp` = doc_id → cluster_id) —
+    * shared by the clustering and split oracles. */
+  private val componentsCtes =
+    s"""WITH RECURSIVE $tokensCte, $shinglesCte,
       msig AS (SELECT doc_id,
         ${(0 until Dedup.MinHashK).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
         FROM sh),
@@ -161,10 +147,77 @@ object DedupQueries {
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT w.id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
-      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
+
+  // ------------------------------------------------ dedup cluster assign
+  /** The clustering step a real dedup pipeline runs AFTER pair finding:
+    * connected components over the MinHash near-dup graph, every document
+    * labeled with its cluster (min doc_id of the component), cluster
+    * size, and whether it is the canonical keeper. Filtering
+    * `is_canonical` yields the deduplicated corpus. Oracle re-derives
+    * the components via a recursive transitive-closure CTE — exact for
+    * the test SFs; the Spark side's label propagation is the form that
+    * survives 100 TB (per-round shuffle of long pairs only). */
+  private val clusterAssign = GraftQuery(
+    "x_dedup_clusters",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      Dedup.clusterTable(docs.select(col("doc_id").as("id")), pairs)
+    },
+    Some(s"""$componentsCtes
       SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
       FROM comp JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
                       FROM comp GROUP BY 1) USING (cluster_id)"""))
+
+  // -------------------------------------------- leakage-safe split
+  /** Deterministic train/eval split that CANNOT leak near-duplicates
+    * across the boundary: the split hashes the CLUSTER id, not the
+    * document id, so every member of a near-dup component lands on the
+    * same side — the eval set never contains a paraphrase of a training
+    * document. Hash is the portable md5-derived 60-bit family, so any
+    * engine re-derives the same split (and a re-run after corpus growth
+    * keeps existing clusters' assignments unless their canonical id
+    * changes). 90/10 by hash mod 100. */
+  private val splitByCluster = GraftQuery(
+    "x_split_by_cluster",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      Dedup.clusterTable(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          when(pmod(graft.ops.PortableHash
+            .hash60(col("cluster_id").cast("string")), lit(100)) < 90,
+            "train").otherwise("eval").as("split"))
+    },
+    Some(s"""$componentsCtes
+      SELECT doc_id, cluster_id,
+        CASE WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 < 90
+             THEN 'train' ELSE 'eval' END AS split
+      FROM comp"""),
+    // Bench the split itself: in a real pipeline the cluster table is an
+    // input (x_dedup_clusters carries the clustering cost); the timed
+    // region is the hash-split projection over the persisted clusters.
+    benchBuild = Some((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-split-bench-").toString
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      Dedup.clusterTable(docs.select(col("doc_id").as("id")), pairs)
+        .write.mode("overwrite").parquet(dir)
+      () => s.read.parquet(dir)
+        .select(col("doc_id"), col("cluster_id"),
+          when(pmod(graft.ops.PortableHash
+            .hash60(col("cluster_id").cast("string")), lit(100)) < 90,
+            "train").otherwise("eval").as("split"))
+    }))
 
   // ------------------------------------------- inverted-index n-gram set
   private val ngramInverted = GraftQuery(
@@ -192,5 +245,5 @@ object DedupQueries {
 
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
-      clusterAssign)
+      clusterAssign, splitByCluster)
 }
