@@ -93,6 +93,50 @@ object SimilarityQueries {
             FROM scored)
       WHERE rank <= 5"""))
 
+  // --------------------------------------------------------- hybrid search
+  /** Metadata-filtered vector search — the retrieval query a real system
+    * runs (nobody searches the WHOLE corpus): document predicates (lang,
+    * length) restrict the candidate set BEFORE any scoring. Declarative
+    * filter-then-score beats the over-fetch-then-post-filter shape ANN
+    * services resort to: both table predicates push into their parquet
+    * scans (lang and n_chars never reach the join), the doc⋈vector join
+    * prunes to the embedded subset, and `topk_pairs` keeps k rows per
+    * query on the final shuffle. */
+  private val hybridSearch = GraftQuery(
+    "x_embed_hybrid_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .where(col("lang").isin("en", "de") && col("n_chars") >= 200)
+        .select(col("doc_id"))
+      val e = corpus(s, d)
+      val filtered = e.join(docs, e("vec_id") === docs("doc_id"))
+      val scored = filtered.crossJoin(broadcast(querySet(e)))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (VectorOps.dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos"))
+      scored.groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("n_id"), lit(5))
+          .as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("q_id"), col("p.id").as("n_id"),
+          round(col("p.score"), 6).as("cos_sim"),
+          (col("pos") + 1).cast("int").as("rank"))
+    },
+    Some(s"""WITH $embCte, $queryCte,
+      fd AS (SELECT doc_id FROM documents
+             WHERE lang IN ('en', 'de') AND n_chars >= 200),
+      fe AS (SELECT e.* FROM e JOIN fd ON e.vec_id = fd.doc_id),
+      scored AS (SELECT q_id, fe.vec_id AS n_id,
+                   (list_sum(list_transform(generate_series(1, 64),
+                      i -> qv[i] * fe.v[i])) / (qn * fe.nrm)) AS cos
+                 FROM fe, q WHERE fe.vec_id <> q_id)
+      SELECT q_id, n_id, ROUND(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+      WHERE rank <= 5"""))
+
   // --------------------------------------------------------- LSH-bucketed
   private val annLsh = GraftQuery(
     "x_embed_ann_lsh",
@@ -652,6 +696,6 @@ object SimilarityQueries {
       WHERE cos_sim >= 0.4"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(cosineTopK, annLsh, annIvf, annPq, annIvfPq, cosineNearDup,
-      lshNearDup)
+    Seq(cosineTopK, hybridSearch, annLsh, annIvf, annPq, annIvfPq,
+      cosineNearDup, lshNearDup)
 }

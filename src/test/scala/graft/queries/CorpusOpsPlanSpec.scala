@@ -45,4 +45,19 @@ class CorpusOpsPlanSpec extends SparkTestBase {
     assert(finalPlan("x_percentile_filter").contains("BroadcastHashJoin"),
       "lang medians must broadcast")
   }
+
+  test("hybrid search pushes the metadata predicates into the doc scan") {
+    val scans = build("x_embed_hybrid_search")
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    val docScan = scans.find(
+      _.requiredSchema.fieldNames.contains("doc_id")).getOrElse(
+      fail("no documents scan in the plan"))
+    // lang/n_chars filter AND column pruning: the scan reads only what
+    // the filter + join need, never the text payload
+    val pushed = docScan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("n_chars") || pushed.contains("lang"),
+      s"metadata predicates not pushed: $pushed")
+    assert(!docScan.requiredSchema.fieldNames.contains("text"),
+      "hybrid search must not read document text")
+  }
 }
