@@ -198,6 +198,45 @@ object TrainingData {
               ROUND(SUM(value), 2) AS total_value
             FROM y GROUP BY 1, 2"""))
 
+  /** The same session semantics through Spark's NATIVE `session_window`
+    * operator (dynamic-gap event-time windows): one groupBy instead of
+    * two window passes, and the identical call runs under `readStream`
+    * with watermark-evicted state — this is the operator the stateful
+    * `EventStreams.sessionize` generalizes. Boundary nuance the oracle
+    * must mirror: a session window's end (`last event + gap`) is
+    * EXCLUSIVE, so an event arriving at exactly `gap` after the previous
+    * one starts a NEW session — the gap-islands form's `>` becomes `>=`
+    * here. */
+  private val sessionWindow = GraftQuery(
+    "x_events_session_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_start"),
+        col("user_id"), col("n_events"), col("total_value")),
+    Some("""WITH x AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            y AS (
+              SELECT *, SUM(new_sess) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+              FROM x)
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+              user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              ROUND(SUM(value), 2) AS total_value
+            FROM y GROUP BY user_id, sess"""))
+
   // ------------------------------------------------------ JSON extraction
   /** Semi-structured payload access: JSONPath extraction from the events
     * `props` column, then a typed aggregate over the extracted field —
@@ -348,5 +387,6 @@ object TrainingData {
 
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
-    sessionize, jsonExtract, asofJoin, intervalJoin, tfidf, temporalPairs)
+    sessionize, sessionWindow, jsonExtract, asofJoin, intervalJoin, tfidf,
+    temporalPairs)
 }
