@@ -94,10 +94,19 @@ object CorpusPipeline {
       .select(col("a_id"), col("b_id"))
     val comp = Dedup.connectedComponents(
       keepExact.select(col("doc_id").as("id")), pairs)
+    //    ... and tag each survivor with its leakage-safe train/eval
+    //    split while the cluster label is in hand: hashing the CLUSTER
+    //    id (not the doc id) means a near-dup of a training document can
+    //    never surface in eval — the dropped dups' canonical carries the
+    //    whole component to one side (see x_split_by_cluster)
     val keepNear = keepExact.join(
         comp.where(col("id") === col("label"))
-          .select(col("id").as("doc_id")),
+          .select(col("id").as("doc_id"), col("label")),
         "doc_id")
+      .withColumn("split",
+        when(PortableHash.hash60(col("label").cast("string")) % 100 < 90,
+          "train").otherwise("eval"))
+      .drop("label")
       .localCheckpoint(true)
     val nNear = keepNear.count()
 
@@ -116,10 +125,11 @@ object CorpusPipeline {
       .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(SeqLen)))
       .drop("cum")
 
-    // 6. partitioned sink: downstream training jobs read one language
-    //    directory without touching the rest
+    // 6. partitioned sink: downstream training jobs read one
+    //    (lang, split) directory without touching the rest — eval never
+    //    rides along with a training shard
     packed.write.mode(SaveMode.Overwrite)
-      .partitionBy("lang").parquet(s"$outDir/corpus")
+      .partitionBy("lang", "split").parquet(s"$outDir/corpus")
     val out = spark.read.parquet(s"$outDir/corpus")
     val nSeqs = out.select(col("lang"), col("seq_id")).distinct().count()
 

@@ -32,6 +32,14 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(langs >= 2)
     // no doc survives twice
     assert(written.select("doc_id").distinct().count() === s.sampled)
+    // leakage-safe split rides the sink as a partition column: training
+    // jobs read split=train alone, and the split hashed CLUSTER ids
+    val splits = written.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "eval")) && splits.contains("train"))
+    val trainOnly = spark.read
+      .parquet(s"$out/corpus").where(col("split") === "train")
+    assert(trainOnly.count() > 0 && trainOnly.count() < written.count() + 1)
   }
 
   test("pipeline is deterministic across runs") {
