@@ -567,8 +567,8 @@ object Relational {
     partitionedSink, csvRoundtrip, localDim, bucketedJoin, saltedDistinct,
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
-    semiJoin, bloomPrunedJoin, windowRank, groupingSets, datetimeExtract,
-    stringFunctions,
+    semiJoin, bloomPrunedJoin, fullOuterJoin, windowRank, windowPct,
+    groupingSets, datetimeExtract, stringFunctions,
     nullCollectionSemantics, correlatedSubquery, ansiSafeCasts, orcRoundtrip,
     managedTable, corrStats)
 
@@ -709,6 +709,58 @@ object Relational {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             WHERE s_acctbal > 9000
             GROUP BY s_nationkey"""))
+
+  // ------------------------------------------------------------------ J7
+  /** FULL OUTER join — the reconciliation join (which keys exist on
+    * only one side?). The even-customer restriction manufactures all
+    * three row classes: customers with no orders (left-only), matched
+    * keys, and order keys with no surviving customer (right-only). */
+  private lazy val fullOuterJoin = GraftQuery(
+    "j7_full_outer_join",
+    (s, d) => {
+      val evenCust = Tables.customer(s, d)
+        .where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      evenCust.join(perCust, col("c_custkey") === col("o_custkey"),
+          "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_mktsegment"),
+          col("n_orders"))
+    },
+    Some("""SELECT COALESCE(c_custkey, o_custkey) AS k, c_mktsegment,
+            n_orders
+            FROM (SELECT c_custkey, c_mktsegment FROM customer
+                  WHERE c_custkey % 2 = 0) c
+            FULL OUTER JOIN (SELECT o_custkey,
+                             CAST(COUNT(*) AS BIGINT) AS n_orders
+                             FROM orders GROUP BY 1) o
+            ON c_custkey = o_custkey"""))
+
+  // ----------------------------------------------------------------- A28
+  /** Distribution-position window functions: percent_rank and cume_dist
+    * over a tie-broken total ordering (position-dependent values need a
+    * total order for any two engines to agree exactly). */
+  private lazy val windowPct = GraftQuery(
+    "a28_window_pct",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+            ROUND(percent_rank() OVER w, 6) AS pct_rank,
+            ROUND(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)"""))
 
   // ----------------------------------------------------------------- A18
   /** Window ranking family: rank/dense_rank over a tie-prone ordering

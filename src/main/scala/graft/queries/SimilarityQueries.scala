@@ -549,6 +549,136 @@ object SimilarityQueries {
         s.read.parquet(s"$dir/index"), s.read.parquet(s"$dir/probe"))
     }))
 
+  // ------------------------------------------------- IVF-PQ + re-rank
+  /** The full retrieval architecture: coarse quantizer (IVF cells) →
+    * compressed scoring (ADC over codes) → EXACT refinement of the short
+    * list. The ADC pass keeps the top `Shortlist` candidates per query;
+    * only those ≤ Shortlist·queries rows join back to the raw vectors
+    * for exact cosine — at 100 TB the raw-vector read is k rows per
+    * query, never a corpus scan. Final ranking is exact, so PQ's
+    * quantization error affects RECALL (what made the short list) but
+    * never the reported scores or their order. */
+  private val ShortList = 10
+  private val annIvfPqRerank = GraftQuery(
+    "x_embed_ivfpq_rerank",
+    (s, d) => {
+      import graft.ops.ProductQuantization
+      val e = persistedDf(corpus(s, d))
+      val ivfCents = persistedDf(kmeansCentroids(e))
+      val cellOf = assignCells(e, ivfCents).select(col("vec_id"), col("cell"))
+      val pqCents = persistedDf(ProductQuantization.trainCodebooks(e))
+      val indexed = ProductQuantization.encode(e, pqCents)
+        .join(cellOf, "vec_id")
+      val q = querySet(e)
+      val probe = q.crossJoin(broadcast(ivfCents))
+        .select(col("q_id"),
+          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+            .as("cos"), col("c_id"))
+        .groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
+          lit(IvfNprobe)).as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("q_cell"))
+      val luts = ProductQuantization.queryLuts(
+        q.select(col("q_id"), col("qv").as("v")), pqCents)
+      rerankStage(adcShortlist(indexed, probe.join(luts, "q_id")), e, q)
+    },
+    Some(ivfPqRerankSql),
+    // Bench the SEARCH + REFINE: both trainers, the compressed index,
+    // the probe/LUTs, and the raw-vector table are one-time builds; the
+    // timed region is what runs per query batch — ADC shortlist over the
+    // code table, then the k-row exact refine.
+    benchBuild = Some((s, d) => {
+      import graft.ops.ProductQuantization
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-rerank-bench-").toString
+      val e = persistedDf(corpus(s, d))
+      val ivfCents = persistedDf(kmeansCentroids(e))
+      val cellOf = assignCells(e, ivfCents)
+        .select(col("vec_id"), col("cell"))
+      val pqCents = persistedDf(ProductQuantization.trainCodebooks(e))
+      ProductQuantization.encode(e, pqCents).join(cellOf, "vec_id")
+        .write.mode("overwrite").parquet(s"$dir/index")
+      val q = querySet(e)
+      val probe = q.crossJoin(broadcast(ivfCents))
+        .select(col("q_id"),
+          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+            .as("cos"), col("c_id"))
+        .groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
+          lit(IvfNprobe)).as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("q_cell"))
+      val luts = ProductQuantization.queryLuts(
+        q.select(col("q_id"), col("qv").as("v")), pqCents)
+      probe.join(luts, "q_id")
+        .write.mode("overwrite").parquet(s"$dir/probe")
+      e.select(col("vec_id"), col("v"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+      q.write.mode("overwrite").parquet(s"$dir/queries")
+      e.unpersist(); ivfCents.unpersist(); pqCents.unpersist()
+      () => rerankStage(
+        adcShortlist(s.read.parquet(s"$dir/index"),
+          s.read.parquet(s"$dir/probe")),
+        s.read.parquet(s"$dir/vectors"),
+        s.read.parquet(s"$dir/queries"))
+    }))
+
+  /** ADC scoring over the compressed index, keeping the `ShortList`
+    * nearest candidates per query. */
+  private def adcShortlist(
+      indexed: DataFrame, probeLuts: DataFrame): DataFrame =
+    indexed.join(broadcast(probeLuts),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        call_function("pq_adc", col("codes"), col("lut")).as("adist"))
+      .groupBy("q_id")
+      .agg(call_function("topk_pairs",
+        -col("adist"), col("vec_id"), lit(ShortList)).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("n_id"))
+
+  /** Exact cosine over the short list only: ≤ ShortList rows per query
+    * re-read their raw vectors; final order is exact. */
+  private def rerankStage(
+      shortlist: DataFrame, vectors: DataFrame, q: DataFrame): DataFrame =
+    shortlist
+      .join(vectors.select(col("vec_id").as("n_id"), col("v"), col("nrm")),
+        "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"),
+        (VectorOps.dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
+      .groupBy("q_id")
+      .agg(call_function("topk_pairs", col("cos"), col("n_id"), lit(3))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("n_id"),
+        round(col("p.score"), 6).as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  private def ivfPqRerankSql: String = {
+    // the composed IVF-PQ derivation, extended: ADC shortlist of
+    // `ShortList`, then exact cosine re-rank of the short list
+    val base = ivfPqSql
+    val cut = base.lastIndexOf("SELECT q_id, n_id, ROUND(adist")
+    val prefix = base.substring(0, cut).trim.stripSuffix(",")
+    s"""$prefix,
+      short AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id, row_number() OVER
+            (PARTITION BY q_id ORDER BY adist, n_id) AS rk
+          FROM scored) WHERE rk <= $ShortList),
+      exact AS (SELECT s.q_id, s.n_id,
+                  (list_sum(list_transform(generate_series(1, 64),
+                     i -> q.qv[i] * e.v[i])) / (q.qn * e.nrm)) AS cos
+                FROM short s
+                JOIN e ON e.vec_id = s.n_id
+                JOIN q ON q.q_id = s.q_id)
+      SELECT q_id, n_id, ROUND(cos, 6) AS cos_sim,
+             CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM exact)
+      WHERE rank <= 3"""
+  }
+
   /** The per-query-batch stage of IVF-PQ: celled ADC ranking over the
     * compressed index; everything it consumes is a prepared table. */
   private def ivfPqSearch(
@@ -697,5 +827,5 @@ object SimilarityQueries {
 
   val queries: Seq[GraftQuery] =
     Seq(cosineTopK, hybridSearch, annLsh, annIvf, annPq, annIvfPq,
-      cosineNearDup, lshNearDup)
+      annIvfPqRerank, cosineNearDup, lshNearDup)
 }
