@@ -569,7 +569,8 @@ object Relational {
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, bloomPrunedJoin, fullOuterJoin, windowRank, windowPct,
     groupingSets, datetimeExtract, stringFunctions,
-    nullCollectionSemantics, correlatedSubquery, ansiSafeCasts, orcRoundtrip,
+    nullCollectionSemantics, correlatedSubquery, lateralTopN, ansiSafeCasts,
+    orcRoundtrip,
     managedTable, corrStats)
 
   // ----------------------------------------------------------------- A20
@@ -595,6 +596,33 @@ object Relational {
             (SELECT MAX(o_totalprice) FROM orders
              WHERE o_custkey = c_custkey) AS max_order
             FROM customer"""))
+
+  // ----------------------------------------------------------------- A29
+  /** LATERAL correlated join — per-row top-N without a window over the
+    * whole fact table: the subquery re-evaluates per customer and LIMITs
+    * inside the correlation. Catalyst decorrelates to a ranked join;
+    * DuckDB evaluates the lateral directly — both must produce the same
+    * two cheapest-priced orders per customer. */
+  private lazy val lateralTopN = GraftQuery(
+    "a29_lateral_topn",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+               FROM graft_customer_v,
+               LATERAL (SELECT o_orderkey, o_totalprice
+                        FROM graft_orders_v
+                        WHERE o_custkey = c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey
+                        LIMIT 2)""")
+    },
+    Some("""SELECT c_custkey, o_orderkey, o_totalprice
+            FROM customer,
+            LATERAL (SELECT o_orderkey, o_totalprice
+                     FROM orders
+                     WHERE o_custkey = c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     LIMIT 2) l"""))
 
   // ----------------------------------------------------------------- U10
   /** Null-handling and collection-function parity: NULLIF/COALESCE,

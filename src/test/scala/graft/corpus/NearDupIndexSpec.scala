@@ -84,6 +84,34 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(keptIds(out) === Set(0L, 1L, 6L))
   }
 
+  test("a restarted sink resumes from the checkpoint and keeps deduping") {
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("ndx-src").toString
+    val idx = Files.createTempDirectory("ndx-si").toString
+    val out = Files.createTempDirectory("ndx-so").toString
+    val ckp = Files.createTempDirectory("ndx-sc").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("ingest_ts", TimestampType)))
+    def write(batch: Seq[(Long, String, String, String, Timestamp)]): Unit =
+      batch.toDF("doc_id", "text", "lang", "source", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = StreamingIngest.nearDupIndexSink(
+        spark.readStream.schema(schema).parquet(src), idx, out, ckp)
+      q.awaitTermination()
+    }
+    write(Seq(doc(0L, base), doc(1L, novel)))
+    drain() // run 1: AvailableNow drains file 1 then stops
+    write(Seq(doc(20L, nearBase), doc(21L, novel2)))
+    drain() // run 2: same checkpoint — must process ONLY file 2
+    assert(keptIds(out) === Set(0L, 1L, 21L))
+    // file 1 was not reprocessed: doc 0 appears exactly once
+    assert(spark.read.parquet(out)
+      .where(col("doc_id") === 0L).count() == 1)
+  }
+
   test("signature similarity separates near-dups from novel text") {
     graft.functions.VectorExpressions.register(spark)
     val sigs = graft.ops.Dedup.shingleTable(
