@@ -594,6 +594,44 @@ object ExtendedQueries {
       () => s.read.option("mergeSchema", "true").parquet(out)
     }))
 
+  // ------------------------------------------------------------------ K8
+  /** Compression-codec-controlled sink (zstd): at 100 TB the codec knob
+    * is a 1.5-2× storage and scan-bandwidth lever; this pins that the
+    * engine round-trips data bit-exactly through a non-default codec.
+    * The oracle aggregates the source — the roundtrip IS the test. */
+  private val zstdRoundtrip = GraftQuery(
+    "k8_zstd_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-zstd-").toString
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_quantity), 2) AS qty,
+            ROUND(SUM(l_extendedprice), 2) AS price
+            FROM lineitem"""),
+    bench = false,
+    // Timed region = the zstd-decode scan + aggregate; the sink runs once.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-zstd-bench-").toString
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(out)
+      () => s.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+    }))
+
   // ----------------------------------------------------------------- A27
   /** UNPIVOT (wide → long, the inverse of a9's pivot): the three charge
     * columns melt into (measure, v) rows via `Dataset.unpivot` — one
@@ -766,5 +804,6 @@ object ExtendedQueries {
     unicodeNfc, fuzzyNearDup, eventsFunnel,
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
-    fuzzyJaroWinkler, slidingWindow, compaction, intervalArith)
+    fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
+    zstdRoundtrip)
 }

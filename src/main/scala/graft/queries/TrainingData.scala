@@ -202,11 +202,12 @@ object TrainingData {
     * operator (dynamic-gap event-time windows): one groupBy instead of
     * two window passes, and the identical call runs under `readStream`
     * with watermark-evicted state — this is the operator the stateful
-    * `EventStreams.sessionize` generalizes. Boundary nuance the oracle
-    * must mirror: a session window's end (`last event + gap`) is
-    * EXCLUSIVE, so an event arriving at exactly `gap` after the previous
-    * one starts a NEW session — the gap-islands form's `>` becomes `>=`
-    * here. */
+    * `EventStreams.sessionize` generalizes. Boundary semantics pinned by
+    * `EventStreamsSpec` (not guessable from docs): an event arriving at
+    * EXACTLY `gap` after the previous one still MERGES into the session
+    * — the window end `last event + gap` is inclusive for merging, so
+    * the oracle's new-session predicate is strictly `>`, same as the
+    * gap-islands form. */
   private val sessionWindow = GraftQuery(
     "x_events_session_window",
     (s, d) => Tables.events(s, d)
@@ -223,7 +224,7 @@ object TrainingData {
                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
                        (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= 1800000000
+                       > 1800000000
                      THEN 1 ELSE 0 END AS new_sess
               FROM events),
             y AS (

@@ -52,6 +52,23 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Dynamic-gap session rollup via the NATIVE `session_window` operator
+    * (the built-in face of [[sessionize]]'s custom state machine): a
+    * session's window extends while events keep arriving within `gap`;
+    * state is evicted once the watermark passes a session's end. Batch
+    * face: `x_events_session_window` (same call, oracle-pinned boundary
+    * semantics — window end is exclusive, so an event exactly `gap`
+    * after the last one opens a new session). */
+  def sessionCounts(events: DataFrame,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -65,6 +65,36 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionCounts: native session_window stream equals batch") {
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (ts("2024-01-01 10:10:00"), 7L, 2.0), // same session (10 min gap)
+      (ts("2024-01-01 10:40:00"), 7L, 4.0), // exactly 30 min: still MERGES
+      (ts("2024-01-01 11:20:00"), 7L, 8.0), // 40 min silence -> new session
+      (ts("2024-01-01 10:00:00"), 8L, 0.5))
+    val input = MemoryStream[(Timestamp, Long, Double)](spark)
+    val q = EventStreams
+      .sessionCounts(input.toDF.toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .as[(Timestamp, Long, Long, Double)].collect().toSet
+      val batch = EventStreams
+        .sessionCounts(rows.toDF("ts", "user_id", "value"))
+        .as[(Timestamp, Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      // the exact-gap event MERGES (inclusive window end) — the boundary
+      // fact x_events_session_window's oracle encodes as strict >
+      assert(streamed === Set(
+        (ts("2024-01-01 10:00:00"), 7L, 3L, 7.0),
+        (ts("2024-01-01 11:20:00"), 7L, 1L, 8.0),
+        (ts("2024-01-01 10:00:00"), 8L, 1L, 0.5)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; closed sessions emit") {
     import EventStreams.{Event, Session}
     val input = MemoryStream[Event](spark)
