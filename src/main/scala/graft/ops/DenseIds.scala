@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense sequential id assignment (0..n-1 by a total order) — without
+  * the classic 100 TB mistake.
+  *
+  * The naive form, `row_number() OVER (ORDER BY ...)`, is an empty
+  * PARTITION BY: Spark funnels the ENTIRE dataset through one task.
+  * The scalable form is two-phase: range-partition by the order key
+  * (parallel), count rows per partition (tiny aggregate), turn counts
+  * into cumulative offsets on the driver (a few hundred longs, not
+  * data), and add each partition's offset to its LOCAL row numbers —
+  * every phase is parallel and the only driver traffic is the offset
+  * array. Same trick as RDD.zipWithIndex, expressed in DataFrame
+  * algebra so Catalyst keeps the plan.
+  *
+  * `order` must be a TOTAL order (include a unique tie-break column):
+  * range boundaries can split ties across partitions, and only a total
+  * order makes the assignment deterministic and engine-portable. */
+object DenseIds {
+
+  def assign(df: DataFrame, order: Seq[Column],
+      idCol: String = "dense_id",
+      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    // persisted so the counting pass and the numbering pass see ONE
+    // materialization: range sampling is deterministic, but relying on
+    // that would make correctness hinge on an implementation detail —
+    // and the cache also saves the second scan+shuffle
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-partition counts — a |partitions|-row aggregate
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // phase 2: cumulative offsets (driver-side over ~n longs)
+    val offsets = (0 until n).scanLeft(0L) {
+      (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }.toArray
+    val offsetOf = udfFreeOffset(offsets)
+    // phase 3: local row numbers — the window partitions by __pid, so
+    // every range partition numbers itself in parallel
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    ranged
+      .withColumn(idCol,
+        (offsetOf(col("__pid")) + row_number().over(w) - 1).cast("long"))
+      .drop("__pid")
+  }
+
+  /** Offset lookup as a literal array element access — codegen'd, no
+    * UDF: `element_at(array(lit...), pid + 1)`. */
+  private def udfFreeOffset(offsets: Array[Long]): Column => Column =
+    pid => element_at(
+      array(offsets.map(lit(_)).toSeq: _*), pid.cast("int") + 1)
+}

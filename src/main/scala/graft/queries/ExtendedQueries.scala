@@ -594,6 +594,23 @@ object ExtendedQueries {
       () => s.read.option("mergeSchema", "true").parquet(out)
     }))
 
+  // ----------------------------------------------------------------- A30
+  /** Dense sequential ids by a total order ([[graft.ops.DenseIds]]) —
+    * the scalable two-phase formulation (range partition → per-partition
+    * counts → offset + local row numbers), NOT the single-task
+    * `row_number() OVER (ORDER BY ...)`. The oracle IS that naive form:
+    * both must assign identical ids, the plans just scale differently. */
+  private val denseIds = GraftQuery(
+    "a30_dense_ids",
+    (s, d) => graft.ops.DenseIds.assign(
+        Tables.supplier(s, d).select("s_suppkey", "s_acctbal"),
+        Seq(desc("s_acctbal"), col("s_suppkey")))
+      .select(col("s_suppkey"), col("dense_id")),
+    Some("""SELECT s_suppkey,
+            CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey)
+                 - 1 AS BIGINT) AS dense_id
+            FROM supplier"""))
+
   // ------------------------------------------------------------------ K8
   /** Compression-codec-controlled sink (zstd): at 100 TB the codec knob
     * is a 1.5-2× storage and scan-bandwidth lever; this pins that the
@@ -805,5 +822,5 @@ object ExtendedQueries {
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
-    zstdRoundtrip)
+    zstdRoundtrip, denseIds)
 }

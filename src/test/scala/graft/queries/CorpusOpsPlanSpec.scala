@@ -46,6 +46,13 @@ class CorpusOpsPlanSpec extends SparkTestBase {
       "lang medians must broadcast")
   }
 
+  test("dense-id assignment never funnels data through one partition") {
+    val plan = finalPlan("a30_dense_ids")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"dense ids must not use a global-order window:\n$plan")
+    assert(plan.contains("Window"), "expected the per-partition window")
+  }
+
   test("hybrid search pushes the metadata predicates into the doc scan") {
     val scans = build("x_embed_hybrid_search")
       .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
