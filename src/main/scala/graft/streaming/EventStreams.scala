@@ -252,6 +252,61 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming mergeable-sketch rollup: maintains per-(day, event_type)
+    * HLL sketches of distinct users in a parquet snapshot, merging each
+    * micro-batch's sketches into the persisted ones via `hll_union_agg`
+    * — the incremental distinct-count architecture. No raw events are
+    * retained: state is one sketch (~kB) per group, merges are
+    * associative, and the same snapshot answers rollups at ANY
+    * granularity later (union the day sketches into weeks/months
+    * without re-reading events). `hll_sketch_estimate` over the
+    * snapshot is the query face.
+    *
+    * Follows [[cdcApplySink]]'s snapshot discipline: first batch decided
+    * by data-file presence (read failures must retry, not truncate),
+    * merged frame pinned for the overwrite and released after. */
+  def sketchRollupSink(
+      events: DataFrame, snapshotDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch
+          .withColumn("day", to_date(col("ts")))
+          .groupBy("day", "event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snapPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(snapPath) &&
+          fs.listStatus(snapPath).exists { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        val prior =
+          if (hasData) spark.read.parquet(snapshotDir).where(lit(true))
+          else fresh.limit(0)
+        val (merged, blocks) = graft.ops.Checkpoints.pin(
+          prior.unionByName(fresh)
+            .groupBy("day", "event_type")
+            .agg(expr("hll_union_agg(sk)").as("sk")))
+        try merged.write.mode("overwrite").parquet(snapshotDir)
+        finally graft.ops.Checkpoints.release(spark, blocks)
+        ()
+      }
+      .start()
+  }
+
+  /** Query face of [[sketchRollupSink]]'s snapshot: per-group distinct
+    * estimates, plus any coarser rollup by re-unioning the sketches. */
+  def sketchEstimates(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(snapshotDir)
+      .select(col("day"), col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("n_users_est"))
+
   /** File-source stream over an events directory — the production entry
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */

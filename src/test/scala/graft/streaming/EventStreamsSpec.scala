@@ -122,6 +122,35 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sketchRollupSink: incremental HLL union equals a global distinct") {
+    import java.nio.file.Files
+    val snap = Files.createTempDirectory("graft-hll-snap-").toString
+    val ckp = Files.createTempDirectory("graft-hll-ckp-").toString
+    def drainBatch(rows: Seq[(Timestamp, Long, String)]): Unit = {
+      val in = MemoryStream[(Timestamp, Long, String)](spark)
+      in.addData(rows: _*)
+      val q = EventStreams.sketchRollupSink(
+        in.toDF.toDF("ts", "user_id", "event_type"),
+        snap, ckp + Files.createTempDirectory("c").getFileName)
+      q.awaitTermination()
+    }
+    // batch 1: users 1,2 click on day 1
+    drainBatch(Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click"),
+      (ts("2024-01-01 11:00:00"), 2L, "click")))
+    // batch 2: user 2 AGAIN (must not double count) + user 3; one view
+    drainBatch(Seq(
+      (ts("2024-01-01 12:00:00"), 2L, "click"),
+      (ts("2024-01-01 13:00:00"), 3L, "click"),
+      (ts("2024-01-01 13:30:00"), 3L, "view")))
+    val est = EventStreams.sketchEstimates(spark, snap)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    // HLL at lgK=14 is exact at these cardinalities
+    assert(est === Map("click" -> 3L, "view" -> 1L))
+    // the snapshot holds sketches, not events: one row per group
+    assert(spark.read.parquet(snap).count() == 2)
+  }
+
   test("dedupedEvents: duplicate event ids within the watermark are dropped") {
     val input = MemoryStream[EventStreams.Event](spark)
     val q = EventStreams.dedupedEvents(
