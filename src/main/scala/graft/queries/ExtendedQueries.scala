@@ -594,6 +594,40 @@ object ExtendedQueries {
       () => s.read.option("mergeSchema", "true").parquet(out)
     }))
 
+  // ------------------------------------------------------------------ S9
+  /** Raw-text sink + scan roundtrip — the line-per-record format crawls
+    * and dumps actually arrive in. Line files carry no ids and no
+    * order, so the roundtrip is verified by order-free invariants
+    * (count, total chars, distinct bodies) rather than row identity. */
+  private val textRoundtrip = GraftQuery(
+    "s9_text_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-text-").toString
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("value"))).as("total_chars"),
+          countDistinct(col("value")).as("n_distinct"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+            CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+            FROM documents"""),
+    bench = false,
+    // Timed region = the line scan + aggregate; the sink runs once.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-text-bench-").toString
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(out)
+      () => s.read.text(out)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("value"))).as("total_chars"),
+          countDistinct(col("value")).as("n_distinct"))
+    }))
+
   // ----------------------------------------------------------------- A30
   /** Dense sequential ids by a total order ([[graft.ops.DenseIds]]) —
     * the scalable two-phase formulation (range partition → per-partition
@@ -822,5 +856,5 @@ object ExtendedQueries {
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
-    zstdRoundtrip, denseIds)
+    zstdRoundtrip, denseIds, textRoundtrip)
 }

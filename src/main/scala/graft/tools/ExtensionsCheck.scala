@@ -30,7 +30,12 @@ object ExtensionsCheck {
       "SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.0d)) AS t(v)" -> 3.0,
       "SELECT nfc_normalize('café')" -> "café",
       "SELECT morton2(3L, 5L)" -> 39L,
-      "SELECT jaro_winkler('abc', 'abc')" -> 1.0)
+      "SELECT jaro_winkler('abc', 'abc')" -> 1.0,
+      // round-4: ADC lookup (codes pick lut[0]=1.5 and lut[1*2+1]=4.0)
+      "SELECT pq_adc(CAST(array(0, 1) AS ARRAY<INT>), array(1.5d, 2.0d, 3.0d, 4.0d))" -> 5.5,
+      // bloom probe resolves from SQL; a null filter yields null (the
+      // serialized-filter path is pinned by BloomSemiJoinSpec)
+      "SELECT bloom_might_contain(CAST(NULL AS BINARY), 7L)" -> null)
 
     probes.foreach { case (sql, expected) =>
       val got = spark.sql(sql).head().get(0)
