@@ -77,6 +77,9 @@ object VectorExpressions {
     registry.registerFunction(
       FunctionIdentifier("pq_adc"), PqAdc.info,
       (children: Seq[Expression]) => PqAdc(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("char_entropy"), CharEntropy.info,
+      (children: Seq[Expression]) => CharEntropy(children.head))
     // Optimizer rules piggyback on the same idempotent hook: sessions
     // built without `spark.sql.extensions` (the harness's plain
     // builders) still get the engine's rewrites. Assignment, not

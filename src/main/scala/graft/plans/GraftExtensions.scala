@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomMightContain, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
+import graft.functions.{BloomMightContain, CharEntropy, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("pq_adc"), PqAdc.info,
       (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"), CharEntropy.info,
+      (children: Seq[Expression]) => CharEntropy(children.head)))
     ext.injectOptimizerRule(_ => LevenshteinPruning)
   }
 }

@@ -43,6 +43,32 @@ object TrainingData {
             CAST(length(text) AS BIGINT) AS n_chars_m
             FROM documents"""))
 
+  // ------------------------------------------------------- char entropy
+  /** Code-point Shannon entropy per document (codegen'd `char_entropy`
+    * kernel) — the cheap gibberish detector: prose sits ~3.5-4.5 bits,
+    * base64/hex saturates toward log2(alphabet), repeated-char spam
+    * collapses toward 0. Scan-speed, no shuffle; thresholds compose
+    * with the quality gate. */
+  private val charEntropy = GraftQuery(
+    "x_char_entropy",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      round(call_function("char_entropy", col("text")), 6)
+        .as("char_entropy")),
+    Some("""WITH ch AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, length(text)),
+                i -> substring(text, i, 1))) AS c
+            FROM documents),
+            cc AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM ch GROUP BY 1, 2),
+            tot AS (SELECT doc_id, SUM(n) AS t FROM cc GROUP BY 1)
+            SELECT doc_id,
+              ROUND(COALESCE(-SUM((n / t) * log2(n / t)), 0.0), 6)
+                AS char_entropy
+            FROM documents LEFT JOIN cc USING (doc_id)
+                           LEFT JOIN tot USING (doc_id)
+            GROUP BY doc_id"""))
+
   // -------------------------------------------------------- quality score
   /** Length/punctuation/stopword quality signals + blended score. */
   private val qualityScore = GraftQuery(
@@ -387,7 +413,7 @@ object TrainingData {
        AND abs(a.us - b.us) <= 2000000"""))
 
   val queries: Seq[GraftQuery] = Seq(
-    dedupExact, tokenCount, qualityScore, fingerprint, eventsHourly, langId,
-    sessionize, sessionWindow, jsonExtract, asofJoin, intervalJoin, tfidf,
-    temporalPairs)
+    dedupExact, tokenCount, qualityScore, charEntropy, fingerprint,
+    eventsHourly, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
+    intervalJoin, tfidf, temporalPairs)
 }
