@@ -69,6 +69,54 @@ object TrainingData {
                            LEFT JOIN tot USING (doc_id)
             GROUP BY doc_id"""))
 
+  // ---------------------------------------------------- bigram log-lik
+  /** Perplexity-proxy scoring with a corpus-fit model: token-BIGRAM MLE
+    * probabilities are estimated over the whole corpus (one map-side-
+    * combinable count shuffle), then every document is scored by its
+    * mean log2-likelihood under that model — documents whose word
+    * transitions look nothing like the corpus (boilerplate, spam,
+    * wrong-language fragments) fall to the tail. The model table is
+    * tiny (distinct bigrams) and broadcasts back for scoring; the
+    * corpus is never shuffled for the scoring pass. The real-pipeline
+    * shape of "filter by LM perplexity" without shipping a neural LM
+    * into the engine. */
+  private val bigramLoglik = GraftQuery(
+    "x_bigram_loglik",
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val bigrams = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      val model = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(
+          bigrams.agg(count(lit(1)).as("total"))))
+        .select(col("bg"), (col("n") / col("total")).as("p"))
+      bigrams.join(broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(round(avg(log2(col("p"))), 6).as("mean_log2p"),
+          count(lit(1)).as("n_bigrams"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+              list_filter(str_split_regex(lower(text), '\s+'),
+                          t -> t <> '') AS toks
+            FROM documents),
+            bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM toks WHERE len(toks) >= 2),
+            model AS (SELECT bg,
+              CAST(COUNT(*) AS DOUBLE)
+                / (SELECT COUNT(*) FROM bg) AS p
+            FROM bg GROUP BY bg)
+            SELECT doc_id, ROUND(AVG(log2(p)), 6) AS mean_log2p,
+              CAST(COUNT(*) AS BIGINT) AS n_bigrams
+            FROM bg JOIN model USING (bg)
+            GROUP BY doc_id"""))
+
   // -------------------------------------------------------- quality score
   /** Length/punctuation/stopword quality signals + blended score. */
   private val qualityScore = GraftQuery(
@@ -413,7 +461,7 @@ object TrainingData {
        AND abs(a.us - b.us) <= 2000000"""))
 
   val queries: Seq[GraftQuery] = Seq(
-    dedupExact, tokenCount, qualityScore, charEntropy, fingerprint,
-    eventsHourly, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
-    intervalJoin, tfidf, temporalPairs)
+    dedupExact, tokenCount, qualityScore, charEntropy, bigramLoglik,
+    fingerprint, eventsHourly, langId, sessionize, sessionWindow,
+    jsonExtract, asofJoin, intervalJoin, tfidf, temporalPairs)
 }
