@@ -28,11 +28,14 @@ object Bench {
       // Write-heavy queries carry a two-stage benchBuild: the disk setup
       // (temp-dir writes) runs ONCE, untimed; the thunk is the read-side
       // plan that gets the cold-median treatment like everything else.
+      // a failed benchBuild SETUP must surface as a sentinel, not as a
+      // suspiciously-perfect ~0s no-op median
+      var setupFailed = false
       val timed: () => Unit = q.benchBuild match {
         case Some(bb) =>
           try { bb(spark, warmDir)().count() } catch { case _: Throwable => () }
           try { val t = bb(spark, sfDir); () => { t().count(); () } }
-          catch { case _: Throwable => () => () }
+          catch { case _: Throwable => setupFailed = true; () => () }
         case None =>
           try { q.build(spark, warmDir).count() } catch { case _: Throwable => () }
           () => { q.build(spark, sfDir).count(); () }
@@ -51,9 +54,11 @@ object Bench {
         try { timed() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      q.name -> times(times.length / 2)
+      q.name -> (if (setupFailed) -1.0 else times(times.length / 2))
     }.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // -1.0 marks a failed benchBuild setup: keep it visible per-query,
+    // exclude it from the headline total
+    val total = results.values.filter(_ >= 0).sum
     // The driver captures only the tail of this process's output and parses
     // the LAST JSON line out of it. Keep that line comfortably inside the
     // capture window: 3-decimal times, and if the full per-query map would

@@ -417,10 +417,18 @@ object Dedup {
     }
     def pinWithSig(df: DataFrame): (DataFrame, Set[Int], (Long, Any)) = {
       val o = org.apache.spark.sql.Observation()
+      // edge-multiset signature = count + sum of per-edge xxhash64:
+      // order-independent and free of STRUCTURED collisions. The earlier
+      // `u * 4e9 + v` encoding was only injective below 4e9 — exactly the
+      // billion-id regime this operator is the escape hatch for, where
+      // two different contracting edge sets could hash equal and declare
+      // convergence early. Hash collisions remain possible but are
+      // adversarial-random (~2^-64 per pair), not id-magnitude-driven.
+      // decimal accumulator: a sum of random 64-bit hashes overflows
+      // LongType under ANSI semantics
       val (pinned, ids) = Checkpoints.pin(df.observe(o,
         count(lit(1)).as("n"),
-        sum((col("u").cast("decimal(38,0)") * lit(4_000_000_000L))
-          + col("v")).as("s")))
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s")))
       (pinned, ids, (o.get("n").asInstanceOf[Long], o.get("s")))
     }
     var (edges, edgeIds, sig0) = pinWithSig(

@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions._
   *
   * `order` must be a TOTAL order (include a unique tie-break column):
   * range boundaries can split ties across partitions, and only a total
-  * order makes the assignment deterministic and engine-portable. */
+  * order makes the assignment deterministic and engine-portable.
+  *
+  * The call is EAGER: the result comes back localCheckpoint-backed (its
+  * lineage truncated) so the internal cache of the range-partitioned
+  * input is released before returning rather than leaking per call;
+  * release the result's own blocks when done like any checkpointed
+  * frame. */
 object DenseIds {
 
   def assign(df: DataFrame, order: Seq[Column],
       idCol: String = "dense_id",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      eager: Boolean = true): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
     // persisted so the counting pass and the numbering pass see ONE
@@ -45,10 +52,22 @@ object DenseIds {
     // phase 3: local row numbers — the window partitions by __pid, so
     // every range partition numbers itself in parallel
     val w = Window.partitionBy("__pid").orderBy(order: _*)
-    ranged
+    val assigned = ranged
       .withColumn(idCol,
         (offsetOf(col("__pid")) + row_number().over(w) - 1).cast("long"))
       .drop("__pid")
+    // materialize the result (pinned) so the cached ranged copy can be
+    // RELEASED before returning — a long-lived app calling assign()
+    // repeatedly must not accumulate a MEMORY_AND_DISK copy of its
+    // input per call (the leak class ops.Checkpoints exists to close).
+    // eager = false keeps the lazy plan (caller owns the cache) — used
+    // by plan audits that need to see the window/exchange structure.
+    if (!eager) assigned
+    else {
+      val (out, _) = Checkpoints.pin(assigned)
+      ranged.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Offset lookup as a literal array element access — codegen'd, no

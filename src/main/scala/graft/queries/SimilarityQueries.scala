@@ -366,10 +366,11 @@ object SimilarityQueries {
   }
 
   // ------------------------------------------------------------- PQ
-  /** Product-quantization ANN ([[graft.ops.ProductQuantization]]): 8
+  /** Product-quantization ANN ([[graft.ops.ProductQuantization]]): M=16
     * subspace codebooks (deterministic k-means, empty cells carrying
     * their previous centroid so code ids stay dense), vectors stored as
-    * 8 small ints — 64× smaller than the raw doubles — and search as M
+    * 16 small ints — 32× smaller than the raw doubles (64× with the
+    * classic M=8/K=256 layout) — and search as M
     * table lookups per pair (`pq_adc`, codegen'd). The search scans ONLY
     * the code table; raw vectors are never touched after encoding. The
     * oracle re-derives the whole pipeline (training included) in DuckDB
@@ -503,17 +504,8 @@ object SimilarityQueries {
       val indexed = ProductQuantization.encode(e, pqCents)
         .join(cellOf, "vec_id")
       val q = querySet(e)
-      val probe = q.crossJoin(broadcast(ivfCents))
-        .select(col("q_id"),
-          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
-            .as("cos"), col("c_id"))
-        .groupBy("q_id")
-        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
-          lit(IvfNprobe)).as("top"))
-        .select(col("q_id"), explode(col("top.id")).as("q_cell"))
-      val luts = ProductQuantization.queryLuts(
-        q.select(col("q_id"), col("qv").as("v")), pqCents)
-      ivfPqSearch(indexed, probe.join(luts, "q_id"))
+      val probeLuts = ivfProbeLuts(q, ivfCents, pqCents)
+      ivfPqSearch(indexed, probeLuts)
     },
     Some(ivfPqSql),
     // Bench the SEARCH: both trainers, the cell assignment, the code
@@ -532,17 +524,8 @@ object SimilarityQueries {
       ProductQuantization.encode(e, pqCents).join(cellOf, "vec_id")
         .write.mode("overwrite").parquet(s"$dir/index")
       val q = querySet(e)
-      val probe = q.crossJoin(broadcast(ivfCents))
-        .select(col("q_id"),
-          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
-            .as("cos"), col("c_id"))
-        .groupBy("q_id")
-        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
-          lit(IvfNprobe)).as("top"))
-        .select(col("q_id"), explode(col("top.id")).as("q_cell"))
-      val luts = ProductQuantization.queryLuts(
-        q.select(col("q_id"), col("qv").as("v")), pqCents)
-      probe.join(luts, "q_id")
+      val probeLuts = ivfProbeLuts(q, ivfCents, pqCents)
+      probeLuts
         .write.mode("overwrite").parquet(s"$dir/probe")
       e.unpersist(); ivfCents.unpersist(); pqCents.unpersist()
       () => ivfPqSearch(
@@ -570,17 +553,8 @@ object SimilarityQueries {
       val indexed = ProductQuantization.encode(e, pqCents)
         .join(cellOf, "vec_id")
       val q = querySet(e)
-      val probe = q.crossJoin(broadcast(ivfCents))
-        .select(col("q_id"),
-          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
-            .as("cos"), col("c_id"))
-        .groupBy("q_id")
-        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
-          lit(IvfNprobe)).as("top"))
-        .select(col("q_id"), explode(col("top.id")).as("q_cell"))
-      val luts = ProductQuantization.queryLuts(
-        q.select(col("q_id"), col("qv").as("v")), pqCents)
-      rerankStage(adcShortlist(indexed, probe.join(luts, "q_id")), e, q)
+      val probeLuts = ivfProbeLuts(q, ivfCents, pqCents)
+      rerankStage(adcShortlist(indexed, probeLuts), e, q)
     },
     Some(ivfPqRerankSql),
     // Bench the SEARCH + REFINE: both trainers, the compressed index,
@@ -599,17 +573,8 @@ object SimilarityQueries {
       ProductQuantization.encode(e, pqCents).join(cellOf, "vec_id")
         .write.mode("overwrite").parquet(s"$dir/index")
       val q = querySet(e)
-      val probe = q.crossJoin(broadcast(ivfCents))
-        .select(col("q_id"),
-          (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
-            .as("cos"), col("c_id"))
-        .groupBy("q_id")
-        .agg(call_function("topk_pairs", col("cos"), col("c_id"),
-          lit(IvfNprobe)).as("top"))
-        .select(col("q_id"), explode(col("top.id")).as("q_cell"))
-      val luts = ProductQuantization.queryLuts(
-        q.select(col("q_id"), col("qv").as("v")), pqCents)
-      probe.join(luts, "q_id")
+      val probeLuts = ivfProbeLuts(q, ivfCents, pqCents)
+      probeLuts
         .write.mode("overwrite").parquet(s"$dir/probe")
       e.select(col("vec_id"), col("v"), col("nrm"))
         .write.mode("overwrite").parquet(s"$dir/vectors")
@@ -621,6 +586,23 @@ object SimilarityQueries {
         s.read.parquet(s"$dir/vectors"),
         s.read.parquet(s"$dir/queries"))
     }))
+
+  /** The prepared query-side table every IVF-PQ variant consumes: each
+    * query's `IvfNprobe` nearest cells (cosine argmax over the IVF
+    * centroids) joined with its flat ADC lookup table. */
+  private def ivfProbeLuts(
+      q: DataFrame, ivfCents: DataFrame, pqCents: DataFrame): DataFrame = {
+    val probe = q.crossJoin(broadcast(ivfCents))
+      .select(col("q_id"),
+        (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"), col("c_id"))
+      .groupBy("q_id")
+      .agg(call_function("topk_pairs", col("cos"), col("c_id"),
+        lit(IvfNprobe)).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("q_cell"))
+    probe.join(graft.ops.ProductQuantization.queryLuts(
+      q.select(col("q_id"), col("qv").as("v")), pqCents), "q_id")
+  }
 
   /** ADC scoring over the compressed index, keeping the `ShortList`
     * nearest candidates per query. */

@@ -75,11 +75,14 @@ object TrainingData {
     * combinable count shuffle), then every document is scored by its
     * mean log2-likelihood under that model — documents whose word
     * transitions look nothing like the corpus (boilerplate, spam,
-    * wrong-language fragments) fall to the tail. The model table is
-    * tiny (distinct bigrams) and broadcasts back for scoring; the
-    * corpus is never shuffled for the scoring pass. The real-pipeline
-    * shape of "filter by LM perplexity" without shipping a neural LM
-    * into the engine. */
+    * wrong-language fragments) fall to the tail. The scoring join is
+    * deliberately UN-hinted: the distinct-bigram model grows with
+    * corpus text (heavy-tailed, no cap), so Spark broadcasts it while
+    * it is small and falls back to a co-partitioned shuffle join at
+    * vocabulary scales no driver could ship — the same size-adaptive
+    * discipline as `Dedup.verifyPairs`. The real-pipeline shape of
+    * "filter by LM perplexity" without shipping a neural LM into the
+    * engine. */
   private val bigramLoglik = GraftQuery(
     "x_bigram_loglik",
     (s, d) => {
@@ -95,7 +98,7 @@ object TrainingData {
         .crossJoin(broadcast(
           bigrams.agg(count(lit(1)).as("total"))))
         .select(col("bg"), (col("n") / col("total")).as("p"))
-      bigrams.join(broadcast(model), "bg")
+      bigrams.join(model, "bg")
         .groupBy("doc_id")
         .agg(round(avg(log2(col("p"))), 6).as("mean_log2p"),
           count(lit(1)).as("n_bigrams"))

@@ -56,9 +56,10 @@ object EventStreams {
     * (the built-in face of [[sessionize]]'s custom state machine): a
     * session's window extends while events keep arriving within `gap`;
     * state is evicted once the watermark passes a session's end. Batch
-    * face: `x_events_session_window` (same call, oracle-pinned boundary
-    * semantics — window end is exclusive, so an event exactly `gap`
-    * after the last one opens a new session). */
+    * face: `x_events_session_window` (same call). Boundary semantics,
+    * pinned empirically by `EventStreamsSpec`: an event arriving at
+    * EXACTLY `gap` after the previous one still MERGES into the session
+    * — the new-session condition is strictly `> gap` of silence. */
   def sessionCounts(events: DataFrame,
       gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
     events

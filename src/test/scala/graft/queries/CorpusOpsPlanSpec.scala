@@ -47,7 +47,15 @@ class CorpusOpsPlanSpec extends SparkTestBase {
   }
 
   test("dense-id assignment never funnels data through one partition") {
-    val plan = finalPlan("a30_dense_ids")
+    // eager=false keeps the lazy plan (the query surface's eager form
+    // checkpoints, which truncates exactly the lineage this audit reads)
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.DenseIds.assign(
+      spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
+        .select("s_suppkey", "s_acctbal"),
+      Seq(desc("s_acctbal"), col("s_suppkey")), eager = false)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"dense ids must not use a global-order window:\n$plan")
     assert(plan.contains("Window"), "expected the per-partition window")

@@ -89,7 +89,7 @@ class PqSpec extends SparkTestBase {
     val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi").count()
     val recall = hits.toDouble / (3.0 * nQ)
     info(f"PQ recall@3 = $recall%.3f over $nQ queries")
-    // K=16 codebooks over 8 subspaces on 64 dims: measured ~0.6+ at
+    // K=16 codebooks over M=16 4-dim subspaces: measured ~0.6+ at
     // sf0.01; pinned with slack — a broken trainer lands near the
     // random-baseline (~3/corpus ≈ 0)
     assert(recall >= 0.4, s"recall@3 $recall below floor")
