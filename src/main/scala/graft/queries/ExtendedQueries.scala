@@ -594,6 +594,33 @@ object ExtendedQueries {
       () => s.read.option("mergeSchema", "true").parquet(out)
     }))
 
+  // ----------------------------------------------------------------- A31
+  /** Per-group z-score outlier detection: group stats (one aggregate,
+    * |groups| rows) join back against the stream of values and rows more
+    * than 3σ from their group mean surface with their score. The
+    * anomaly-filter shape: the stats side is tiny and joins by size
+    * (broadcast until it isn't), the data side is scanned once. */
+  private val valueOutliers = GraftQuery(
+    "a31_value_outliers",
+    (s, d) => {
+      val stats = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(avg(col("value")).as("m"),
+          stddev_samp(col("value")).as("sd"))
+      Tables.events(s, d)
+        .join(stats, "event_type")
+        .where(abs(col("value") - col("m")) > lit(3) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("m")) / col("sd"), 6).as("z"))
+    },
+    Some("""WITH st AS (SELECT event_type, AVG(value) AS m,
+              STDDEV_SAMP(value) AS sd
+            FROM events GROUP BY 1)
+            SELECT event_id, event_type, value,
+              ROUND((value - m) / sd, 6) AS z
+            FROM events JOIN st USING (event_type)
+            WHERE ABS(value - m) > 3 * sd"""))
+
   // ------------------------------------------------------------------ S9
   /** Raw-text sink + scan roundtrip — the line-per-record format crawls
     * and dumps actually arrive in. Line files carry no ids and no
@@ -856,5 +883,5 @@ object ExtendedQueries {
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
-    zstdRoundtrip, denseIds, textRoundtrip)
+    zstdRoundtrip, denseIds, textRoundtrip, valueOutliers)
 }
