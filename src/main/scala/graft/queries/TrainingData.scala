@@ -196,6 +196,46 @@ object TrainingData {
             ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2"""))
 
+  // -------------------------------------------------------- gap filling
+  /** Calendar-spine gap filling: a dense hourly series per event type,
+    * zero-filled where no events landed — what every downstream
+    * time-series consumer (charting, anomaly windows, forecasting)
+    * needs and sparse group-bys don't give. The spine is generated
+    * (hours × types — tiny) and joins against the ALREADY-AGGREGATED
+    * hourly table; the raw corpus is scanned exactly once. */
+  private val gapFill = GraftQuery(
+    "x_events_gap_fill",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = e.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds.select(explode(
+        sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      spine.crossJoin(e.select("event_type").distinct())
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select(
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          coalesce(col("n"), lit(0)).cast("long").as("n_events"))
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi FROM events),
+            sp AS (SELECT unnest(generate_series(lo, hi,
+                     INTERVAL 1 HOUR)) AS h FROM b),
+            ty AS (SELECT DISTINCT event_type FROM events),
+            hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2)
+            SELECT strftime(sp.h, '%Y-%m-%d %H:%M:%S') AS hour,
+              ty.event_type,
+              CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+            FROM sp CROSS JOIN ty
+            LEFT JOIN hc ON hc.h = sp.h AND hc.event_type = ty.event_type"""))
+
   // ----------------------------------------------------------- language ID
   /** Stopword-hit argmax language identification; ties break to the
     * alphabetically-first language, `und` when nothing hits. */
@@ -465,6 +505,6 @@ object TrainingData {
 
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, charEntropy, bigramLoglik,
-    fingerprint, eventsHourly, langId, sessionize, sessionWindow,
+    fingerprint, eventsHourly, gapFill, langId, sessionize, sessionWindow,
     jsonExtract, asofJoin, intervalJoin, tfidf, temporalPairs)
 }
