@@ -49,6 +49,54 @@ object CorpusOps {
       WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
             % 100 < CASE WHEN lang < 'm' THEN 50 ELSE 20 END"""))
 
+  // ----------------------------------------------------- weighted sample
+  /** Quality-weighted deterministic sampling: each document's keep
+    * probability is proportional to a quality proxy (here: tokens
+    * capped at 60, so longer docs up to the cap are likelier to
+    * survive), decided by comparing the portable id hash against the
+    * per-row weight — reproducible across runs and engines, no rand(),
+    * still a pure scan-side filter. The curriculum/quality-weighted
+    * subsampling step of a training-data pipeline. */
+  private val sampleWeighted = GraftQuery(
+    "x_sample_weighted",
+    (s, d) => {
+      val w = least(size(TextFunctions.tokens(col("text"))), lit(60))
+      Tables.documents(s, d)
+        .where(PortableHash.hash60(col("doc_id").cast("string")) % 100 < w)
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 100 < LEAST(len(list_filter(
+                str_split_regex(lower(text), '\s+'), t -> t <> '')), 60)"""))
+
+  // --------------------------------------------------------- source caps
+  /** Per-source quota capping: keep at most N documents per source,
+    * chosen by HASH RANK (not arrival order) so the kept subset is
+    * unbiased and reproducible. The window partitions by source —
+    * parallel across sources, never a global sort; the classic
+    * "no single crawl domain may dominate the corpus" guard. */
+  private val sourceCap = GraftQuery(
+    "x_source_cap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val CapN = 120
+      val hw = Window.partitionBy("source")
+        .orderBy(PortableHash.hash60(col("doc_id").cast("string")),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(hw))
+        .where(col("rk") <= CapN)
+        .select(col("doc_id"), col("source"), col("rk"))
+    },
+    Some("""SELECT doc_id, source, rk FROM (
+              SELECT doc_id, source, CAST(row_number() OVER (
+                PARTITION BY source
+                ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                          1, 15) AS BIGINT), doc_id) AS INTEGER) AS rk
+              FROM documents)
+            WHERE rk <= 120"""))
+
   // ------------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents are laid out in stable (doc_id)
     * order within each language shard, a running token total assigns each
@@ -232,6 +280,6 @@ object CorpusOps {
             FROM documents"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(sampleStratified, packSequences, repetitionRatio, decontaminate,
-      sourceMix, percentileFilter, profile)
+    Seq(sampleStratified, sampleWeighted, sourceCap, packSequences,
+      repetitionRatio, decontaminate, sourceMix, percentileFilter, profile)
 }
