@@ -568,7 +568,7 @@ object Relational {
     pivotEvents, rollupAgg, setOps, percentiles, cubeAgg, stringAgg,
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, bloomPrunedJoin, fullOuterJoin, windowRank, windowPct,
-    groupingSets, datetimeExtract, stringFunctions,
+    groupingSets, datetimeExtract, stringFunctions, urlParse,
     nullCollectionSemantics, correlatedSubquery, lateralTopN, ansiSafeCasts,
     orcRoundtrip,
     managedTable, corrStats)
@@ -895,6 +895,32 @@ object Relational {
             CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist,
             concat_ws('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size
             FROM part"""))
+
+  // ----------------------------------------------------------------- U14
+  /** URL decomposition via the native `parse_url` — the crawl-pipeline
+    * surface (host for domain caps, path/query for canonicalization).
+    * URLs are constructed from table columns, so the oracle re-derives
+    * each component from the same columns directly: the check is that
+    * Spark's parser decomposes exactly what was composed. */
+  private lazy val urlParse = GraftQuery(
+    "u14_url_parse",
+    (s, d) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id").cast("string"),
+        lit("?lang="), col("lang"), lit("&v=2"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("lang_param"))
+    },
+    Some("""SELECT doc_id,
+            source || '.example.com' AS host,
+            '/docs/' || doc_id AS path,
+            'lang=' || lang || '&v=2' AS query,
+            lang AS lang_param
+            FROM documents"""))
 
   // ----------------------------------------------------------------- A15
   /** Salted equi-join (see [[graft.ops.Skew.saltedJoin]]): the probe side
