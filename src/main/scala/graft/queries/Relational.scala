@@ -569,6 +569,7 @@ object Relational {
     saltedJoinAgg, approxDistinct, approxPercentile, prunedPartitionRead,
     semiJoin, bloomPrunedJoin, fullOuterJoin, windowRank, windowPct,
     groupingSets, datetimeExtract, stringFunctions, urlParse,
+    urlCanonicalDedup,
     nullCollectionSemantics, correlatedSubquery, lateralTopN, ansiSafeCasts,
     orcRoundtrip,
     managedTable, corrStats)
@@ -921,6 +922,59 @@ object Relational {
             'lang=' || lang || '&v=2' AS query,
             lang AS lang_param
             FROM documents"""))
+
+  // ----------------------------------------------------------------- U15
+  /** URL canonicalization → dedup: the step a crawl pipeline runs before
+    * any content dedup, because the same resource arrives as casing,
+    * default-port, trailing-slash, and query-order VARIANTS. Messy URLs
+    * are manufactured from table columns (odd ids get uppercase hosts +
+    * an explicit :443 + swapped parameter order), canonicalized with
+    * pure column algebra — lowercase host, strip default port and
+    * trailing slash, sort query parameters — and deduped; every variant
+    * pair must collapse. The oracle manufactures and canonicalizes the
+    * same way, so the compare pins each rule. */
+  private lazy val urlCanonicalDedup = GraftQuery(
+    "u15_url_canonical_dedup",
+    (s, d) => {
+      val odd = col("doc_id") % 2 === 1
+      val host = when(odd, concat(upper(col("source")), lit(".EXAMPLE.COM")))
+        .otherwise(concat(col("source"), lit(".example.com")))
+      val port = when(odd, lit(":443")).otherwise(lit(""))
+      val slash = when(odd, lit("/")).otherwise(lit(""))
+      val q1 = concat(lit("lang="), col("lang"))
+      val q2 = lit("v=2")
+      val query = when(odd, concat(q2, lit("&"), q1))
+        .otherwise(concat(q1, lit("&"), q2))
+      val url = concat(lit("https://"), host, port,
+        lit("/docs/"), (col("doc_id") / 2).cast("long").cast("string"),
+        slash, lit("?"), query)
+      val canon = concat(
+        lit("https://"),
+        lower(regexp_replace(regexp_extract(url, "https://([^/]+)/", 1),
+          ":443$", "")),
+        regexp_replace(regexp_extract(url, "https://[^/]+(/[^?]*)\\?", 1),
+          "/$", ""),
+        lit("?"),
+        concat_ws("&", array_sort(split(
+          regexp_extract(url, "\\?(.*)$", 1), "&"))))
+      Tables.documents(s, d).select(col("doc_id"), canon.as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_variants"),
+          min(col("doc_id")).as("canonical_doc"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+              'https://' || lower(CASE WHEN doc_id % 2 = 1
+                  THEN upper(source) || '.EXAMPLE.COM' ELSE source || '.example.com' END)
+                || '/docs/' || CAST(doc_id // 2 AS VARCHAR)
+                || '?' || list_aggregate(list_sort(
+                     CASE WHEN doc_id % 2 = 1
+                          THEN ['v=2', 'lang=' || lang]
+                          ELSE ['lang=' || lang, 'v=2'] END),
+                     'string_agg', '&') AS canon_url
+            FROM documents)
+            SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+              MIN(doc_id) AS canonical_doc
+            FROM u GROUP BY 1"""))
 
   // ----------------------------------------------------------------- A15
   /** Salted equi-join (see [[graft.ops.Skew.saltedJoin]]): the probe side
