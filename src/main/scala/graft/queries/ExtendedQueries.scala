@@ -594,6 +594,72 @@ object ExtendedQueries {
       () => s.read.option("mergeSchema", "true").parquet(out)
     }))
 
+  // ------------------------------------------------------------------ K9
+  /** Dynamic partition overwrite: an overwrite write that replaces ONLY
+    * the partitions present in the incoming data — the backfill/restate
+    * semantics of a partitioned lake. Static mode (the default) would
+    * truncate every other partition; the oracle aggregates ALL
+    * priorities, so a regression to static semantics loses rows and
+    * fails the compare, not just a spot check. */
+  private val dynamicOverwrite = GraftQuery(
+    "k9_dynamic_partition_overwrite",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-dynover-").toString
+      val orders = Tables.orders(s, d)
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      // restate one partition (10% discount) under DYNAMIC overwrite.
+      // The discount runs in DECIMAL arithmetic: 0.9 × a 2-decimal price
+      // hits third-decimal HALF cases constantly, and double-domain
+      // rounding diverges between engines; decimal rounds half-up in
+      // both.
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key, "STATIC")
+      s.conf.set(key, "dynamic")
+      try orders.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast("decimal(18,2)") *
+            lit(BigDecimal("0.9"))).cast("decimal(18,2)").cast("double"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      finally s.conf.set(key, prev)
+      s.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                             * CAST(0.9 AS DECIMAL(2,1)), 2)
+                           AS DOUBLE)
+                      ELSE o_totalprice END), 2) AS total
+            FROM orders GROUP BY 1"""),
+    bench = false,
+    // Timed region = the post-restatement scan; both writes run once.
+    benchBuild = Some((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-dynover-bench-").toString
+      val orders = Tables.orders(s, d)
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key, "STATIC")
+      s.conf.set(key, "dynamic")
+      try orders.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast("decimal(18,2)") *
+            lit(BigDecimal("0.9"))).cast("decimal(18,2)").cast("double"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      finally s.conf.set(key, prev)
+      () => s.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }))
+
   // ----------------------------------------------------------------- A32
   /** Conditional aggregation — the FILTER clause and its `count_if`/
     * CASE-fold equivalents: segment metrics out of one scan instead of
@@ -906,5 +972,6 @@ object ExtendedQueries {
     globalSort, vocabCoverage, cohortRetention, zorderLayout,
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
-    zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg)
+    zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
+    dynamicOverwrite)
 }
