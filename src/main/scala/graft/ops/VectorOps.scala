@@ -117,4 +117,65 @@ object VectorOps {
           / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .where(col("cos_sim") >= minCos)
   }
+
+  /** Cosine near-dup pairs (cos ≥ `minCos`) blocked by an explicit
+    * `labelCol` — the natural partition key when one exists
+    * ([[lshNearDupPairs]] is the label-free variant). EXACT within a
+    * label: every same-label pair is scored, so blocking never loses a
+    * true near-dup (unlike LSH blocking, which trades recall for
+    * candidate count).
+    *
+    * Size-adaptive, same statistics-driven switch as
+    * [[lshNearDupPairs]]:
+    *
+    *  - small corpus (scan size estimate ≤ `broadcastBytes`): the build
+    *    side broadcasts — the probe scan stays fully parallel even with
+    *    a handful of labels;
+    *  - large corpus: a SALTED shuffle join on `(label, salt)`. A plain
+    *    label-key shuffle caps parallelism at |labels| (often ~10);
+    *    broadcasting instead is a driver/executor OOM at 100 TB. Salting
+    *    restores parallelism without either: the probe row takes one
+    *    deterministic salt `hash(vec_id) mod R`, the build row is
+    *    replicated to all `R` salts, so each (a, b) pair meets exactly
+    *    once — at a's salt — and the shuffle key has |labels| × R
+    *    distinct values. Build-side volume grows ×R; pick R ≈
+    *    cores / |labels| (default 32 covers local[32] and one executor
+    *    wave on a real cluster).
+    *
+    * Input needs `vec_id`, `v`, `nrm` and `labelCol`; output is
+    * (label, a_id, b_id, cos_sim). */
+  def labelNearDupPairs(
+      emb: DataFrame, labelCol: String, minCos: Double,
+      saltReplicas: Int = 32,
+      broadcastBytes: Long = NearDupBroadcastBytes): DataFrame = {
+    require(saltReplicas >= 1, "saltReplicas must be >= 1")
+    val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    val joined =
+      if (bytes <= broadcastBytes) {
+        emb.as("a").join(broadcast(emb.as("b")),
+          col(s"a.$labelCol") === col(s"b.$labelCol") &&
+            col("a.vec_id") < col("b.vec_id"))
+      } else {
+        // deterministic probe salt; build replicated to every salt so
+        // each ordered pair meets exactly once. merge hint (not a bare
+        // un-hinted join) forbids the planner re-broadcasting the
+        // replicated side off an undershooting size estimate.
+        val probe = emb
+          .withColumn("salt", pmod(hash(col("vec_id")), lit(saltReplicas)))
+        val build = emb
+          .withColumn("salt",
+            explode(array((0 until saltReplicas).map(lit): _*)))
+          .hint("merge")
+        probe.as("a").join(build.as("b"),
+          col(s"a.$labelCol") === col(s"b.$labelCol") &&
+            col("a.salt") === col("b.salt") &&
+            col("a.vec_id") < col("b.vec_id"))
+      }
+    joined
+      .select(col(s"a.$labelCol").as("label"),
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(dotNative(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+  }
 }

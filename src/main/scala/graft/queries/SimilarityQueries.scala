@@ -782,22 +782,16 @@ object SimilarityQueries {
     })
 
   /** Cosine near-dup pairs, blocked by `label` (the natural partition
-    * key when one exists; [[lshNearDup]] is the label-free variant). */
+    * key when one exists; [[lshNearDup]] is the label-free variant).
+    * Size-adaptive ([[graft.ops.VectorOps.labelNearDupPairs]]): small
+    * corpora broadcast the build side; past the ceiling it salts the
+    * label key into (label, salt) so the shuffle has |labels| × R
+    * distinct keys — never a full-corpus broadcast, never a
+    * parallelism-|labels| shuffle. `LabelNearDupStrategySpec` pins the
+    * flip and the salted key fan-out. */
   private val cosineNearDup = GraftQuery(
     "x_embed_cosine_neardup",
-    (s, d) => {
-      val e = corpus(s, d)
-      // broadcast the build side: a 10-key label shuffle would cap
-      // parallelism at 10 partitions; the probe side stays fully parallel
-      e.as("a").join(broadcast(e.as("b")),
-          col("a.label") === col("b.label") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.label").as("label"),
-          col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(VectorOps.dotNative(col("a.v"), col("b.v"))
-            / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= 0.4)
-    },
+    (s, d) => VectorOps.labelNearDupPairs(corpus(s, d), "label", minCos = 0.4),
     Some(s"""WITH $embCte
       SELECT * FROM (
         SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
