@@ -23,8 +23,16 @@ object Bench {
     // recompilation and GC pauses; the median is reproducible within ~10%
     // across bench invocations.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // "median" (default) or "min" — isolated cold-JVM mode uses min-of-2,
+    // where the min is the better noise rejector (one JVM, no neighbors;
+    // variance is all JIT/GC, and the faster run is closer to steady state)
+    val agg = sys.env.getOrElse("SPARK_GRAFT_BENCH_AGG", "median")
+    // comma-separated allowlist for single-query isolation runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = graft.queries.Registry.all
-      .filter(q => q.bench || q.benchBuild.isDefined).map { q =>
+      .filter(q => q.bench || q.benchBuild.isDefined)
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       // Write-heavy queries carry a two-stage benchBuild: the disk setup
       // (temp-dir writes) runs ONCE, untimed; the thunk is the read-side
       // plan that gets the cold-median treatment like everything else.
@@ -40,6 +48,10 @@ object Bench {
           try { q.build(spark, warmDir).count() } catch { case _: Throwable => () }
           () => { q.build(spark, sfDir).count(); () }
       }
+      // a timed run that THROWS must not record its time-to-failure as a
+      // plausible-looking number — flag it and emit the same -1.0 sentinel
+      // as a failed setup
+      var runFailed = false
       val times = (1 to runs).map { _ =>
         // drop persisted intermediates: CacheManager matches identical
         // plans across repeats, which would turn runs 2..n into warm-cache
@@ -51,13 +63,14 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
-        try { timed() } catch { case _: Throwable => () }
+        try { timed() } catch { case _: Throwable => runFailed = true }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      q.name -> (if (setupFailed) -1.0 else times(times.length / 2))
+      val stat = if (agg == "min") times.head else times(times.length / 2)
+      q.name -> (if (setupFailed || runFailed) -1.0 else stat)
     }.toMap
-    // -1.0 marks a failed benchBuild setup: keep it visible per-query,
-    // exclude it from the headline total
+    // -1.0 marks a failed benchBuild setup or a throwing timed run: keep
+    // it visible per-query, exclude it from the headline total
     val total = results.values.filter(_ >= 0).sum
     // The driver captures only the tail of this process's output and parses
     // the LAST JSON line out of it. Keep that line comfortably inside the

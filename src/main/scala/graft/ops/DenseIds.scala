@@ -34,13 +34,24 @@ object DenseIds {
       eager: Boolean = true): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
-    // persisted so the counting pass and the numbering pass see ONE
-    // materialization: range sampling is deterministic, but relying on
-    // that would make correctness hinge on an implementation detail —
-    // and the cache also saves the second scan+shuffle
-    val ranged = df.repartitionByRange(n, order: _*)
+    // the counting pass and the numbering pass MUST see one
+    // materialization: __pid comes from spark_partition_id(), and a
+    // recompute (evicted/lost blocks) re-runs range sampling — leaving
+    // correctness hinging on repartitionByRange's deterministic sampling
+    // over a deterministic input, the exact implementation detail this
+    // operator refuses to rely on. Production path (eager): PIN — the
+    // lineage truncation makes silent recompute impossible (executor
+    // loss fails loudly instead of renumbering). eager = false (plan
+    // audits only, which need the exchange/window structure visible and
+    // a pin would truncate it away) falls back to persist, which is safe
+    // only for a deterministic df that survives block loss.
+    val rangedPlan = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranged, rangedIds) =
+      if (eager) Checkpoints.pin(rangedPlan)
+      else (rangedPlan.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        Set.empty[Int])
     // phase 1: per-partition counts — a |partitions|-row aggregate
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -65,7 +76,7 @@ object DenseIds {
     if (!eager) assigned
     else {
       val (out, _) = Checkpoints.pin(assigned)
-      ranged.unpersist(blocking = false)
+      Checkpoints.release(df.sparkSession, rangedIds)
       out
     }
   }

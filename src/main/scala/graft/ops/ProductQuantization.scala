@@ -78,8 +78,19 @@ object ProductQuantization {
     * empty cells keep their previous centroid. */
   def trainCodebooks(e: DataFrame): DataFrame = {
     val sub = subvectors(e)
+    val s0 = seeds(sub)
+    // fail fast on a sparse seed set: a corpus missing any of the seed
+    // vec_ids (0, stride, …, (K-1)·stride) yields a NON-DENSE codebook,
+    // and pq_adc's flat m*K+c LUT indexing (which infers K from
+    // lut.length / M) would silently return wrong neighbors. One count
+    // over K vectors' subvectors — cheap relative to training.
+    val nSeeds = s0.count()
+    require(nSeeds == M.toLong * K,
+      s"PQ seeding expects vec_ids 0, $SeedStride, …, ${(K - 1) * SeedStride} " +
+        s"present: got $nSeeds of ${M * K} seed subvectors; a non-dense " +
+        "codebook would misalign pq_adc's flat m*K+c lookup")
     val (fitted, _) = (1 to Iters)
-      .foldLeft((seeds(sub), Set.empty[Int])) { case ((cents, prior), _) =>
+      .foldLeft((s0, Set.empty[Int])) { case ((cents, prior), _) =>
         val means = assign(sub, cents)
           .groupBy(col("m"), col("c").as("c_id"))
           .agg(call_function("vec_sum", col("sv")).as("ssum"),

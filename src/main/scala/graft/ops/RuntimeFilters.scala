@@ -54,13 +54,25 @@ object RuntimeFilters {
 
   /** `fact ⋈ dim` with the fact side Bloom-pruned before the exchange.
     * Result is IDENTICAL to `fact.join(dim, factKey === dimKey)` — the
-    * exact join downstream catches the filter's false positives. */
+    * exact join downstream catches the filter's false positives.
+    *
+    * `dim` is pinned (eager localCheckpoint) before anything reads it:
+    * the dimension is otherwise evaluated three times (count, Bloom
+    * build, exact join), and a NONDETERMINISTIC upstream — sampling,
+    * time-dependent filters — could hand the Bloom pass and the join
+    * pass different key sets, turning Bloom false negatives into
+    * silently dropped true join rows. Pinning truncates lineage, so
+    * every pass reads the same materialized blocks and silent recompute
+    * is impossible (executor loss fails loudly instead of resampling).
+    * The pinned blocks live as long as the returned plan; `dim` is the
+    * SMALL side by contract, so that residency is a few MB. */
   def prunedJoin(
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       fpp: Double = 0.01): DataFrame = {
-    val bytes = bloomBytes(dim, dimKey, fpp)
+    val (pinned, _) = Checkpoints.pin(dim)
+    val bytes = bloomBytes(pinned, dimKey, fpp)
     fact.where(mightContain(bytes, fact(factKey)))
-      .join(dim, fact(factKey) === dim(dimKey))
+      .join(pinned, fact(factKey) === pinned(dimKey))
   }
 }

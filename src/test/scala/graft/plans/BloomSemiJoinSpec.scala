@@ -98,6 +98,37 @@ class BloomSemiJoinSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("dim is pinned — build side reads checkpointed blocks, not the source") {
+    // the nondeterminism guard: count, bloom build, and join must all
+    // read ONE materialization of dim. Pinning shows up in the plan as
+    // an RDD scan on the dim side instead of a second parquet scan.
+    val plan = RuntimeFilters
+      .prunedJoin(fact, "o_custkey", dim, "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"dim side should read the pinned checkpoint:\n$plan")
+  }
+
+  test("nondeterministic dim: pruned join result is self-consistent") {
+    // rand() without a seed resamples on every evaluation; before the
+    // pin, the bloom pass and the join pass could disagree on the key
+    // set. With the pin, the output must be exactly fact ⋈ (one sample):
+    // every output key's fact-row count matches the unpruned fact.
+    val nd = spark.read.parquet(sf("sf0.01") + "/customer.parquet")
+      .where(rand() < 0.01)
+    val out = RuntimeFilters
+      .prunedJoin(fact, "o_custkey", nd, "c_custkey")
+      .groupBy("c_custkey").count()
+    val factCounts = fact.groupBy("o_custkey").count()
+      .withColumnRenamed("count", "fact_count")
+    val mismatched = out
+      .join(factCounts, col("c_custkey") === col("o_custkey"))
+      .where(col("count") =!= col("fact_count"))
+      .count()
+    assert(mismatched == 0,
+      "a key appeared with only part of its fact rows — inconsistent dim passes")
+  }
+
   test("string keys probe the same bytes putString stored") {
     import spark.implicits._
     val d = Seq("alpha", "beta", "gamma").toDF("k")
