@@ -95,7 +95,9 @@ object Bench {
       else mapJson(kept.toSeq :+ ("other" -> (total - kept.map(_._2).sum)))
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(bySlow)},"sf":"$sfDir"}"""
-    try {
+    // single-query isolation children must not clobber the main run's
+    // complete map — bench.sh merges their stdout lines instead
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }

@@ -159,15 +159,28 @@ object Dedup {
 
   def minhashNearDups(
       docs: DataFrame, threshold: Double,
-      broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
-    // The shingle table is cheap to recompute (one native shingle_set
-    // loop per row) but EXPENSIVE to cache (columnar encoding of string
-    // arrays), so it is rebuilt per consumer; only the small
-    // signature/band tables — reread by several plan branches — persist.
-    val sh = shingleTable(docs)
+      broadcastLimit: Long = BroadcastVerifyLimit,
+      cacheShingles: Boolean = false): DataFrame = {
+    // Default: the shingle table is cheap to recompute (one native
+    // shingle_set loop per row) but EXPENSIVE to cache (columnar
+    // encoding of string arrays), so it is rebuilt per consumer; only
+    // the small signature/band tables — reread by several plan
+    // branches — persist. `cacheShingles = true` flips that tradeoff:
+    // the full shingle table persists once and the verify stage rereads
+    // it instead of re-shingling candidate docs — worth it when the
+    // shingle grind dominates (very long documents) or when several
+    // consumers share one `minhashNearDups` call; measured at sf0.1 the
+    // rebuild is faster (ScaleProbe A/B in SCALE.md), hence default off.
+    val sh0 = shingleTable(docs)
+    val sh = if (cacheShingles) persisted(sh0) else sh0
     val sig = persisted(
       sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
-    verifyPairs(lshCandidates(sig), docs, broadcastLimit)
+    val verified =
+      if (cacheShingles)
+        verifyPairs(lshCandidates(sig), docs, broadcastLimit,
+          cachedShingles = Some(sh))
+      else verifyPairs(lshCandidates(sig), docs, broadcastLimit)
+    verified
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -229,7 +242,8 @@ object Dedup {
     *    made the broadcast build the whole runtime). */
   private def verifyPairs(
       pairs: DataFrame, docs: DataFrame,
-      broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
+      broadcastLimit: Long = BroadcastVerifyLimit,
+      cachedShingles: Option[DataFrame] = None): DataFrame = {
     // EAGER localCheckpoint (not lazy persist) for the tiny pair and id
     // tables: several nested broadcast builds consume them, and a lazy
     // persist materializes inside the first broadcast-build thread,
@@ -240,8 +254,16 @@ object Dedup {
     // checkpoint of its own would cost one more job than it saves
     val ids = p.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
+    // candidate members' shingle sets: reread from the caller's cached
+    // table when one exists, re-shingled from the narrowed corpus
+    // otherwise (the default tradeoff — see minhashNearDups)
+    def shingled(narrow: DataFrame => DataFrame): DataFrame =
+      cachedShingles match {
+        case Some(c) => narrow(c)
+        case None    => shingleTable(narrow(docs))
+      }
     if (p.count() <= broadcastLimit) {
-      val sh = shingleTable(docs.join(broadcast(ids), "doc_id"))
+      val sh = shingled(_.join(broadcast(ids), "doc_id"))
       val shA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       val shB = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
       val withA = shA.join(broadcast(p), "a_id")
@@ -249,7 +271,7 @@ object Dedup {
     } else {
       // dense regime: ids grows with the pair count, so no forced
       // broadcast anywhere — AQE picks from runtime stats
-      val sh = shingleTable(docs.join(ids, "doc_id"))
+      val sh = shingled(_.join(ids, "doc_id"))
       val shA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       val shB = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
       p.join(shA, "a_id").join(shB, "b_id")

@@ -200,16 +200,37 @@ object SimilarityQueries {
       .agg(expr("max_by(c_id, struct(cos, -c_id))").as("cell"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
 
-  /** Deterministic k-means: seeds = every 50th vector, `IvfIters` Lloyd
-    * iterations, per-cell means via the engine's `vec_sum` element-wise
-    * aggregate (map-side-combinable: each task folds its members into ONE
-    * double[64] buffer, so a cell costs 64 doubles per task on the
-    * shuffle — the posexplode alternative shuffles 64 rows per VECTOR).
-    * Empty cells drop out; no runtime randomness anywhere. Means are
-    * rounded to 6 places so cross-engine summation order cannot leak
-    * into the assignment argmax. */
+  /** Base seed stride: every `IvfSeedStride`-th vector becomes a seed
+    * centroid. The effective stride WIDENS past n = stride² so the
+    * codebook never outgrows √n — see [[seedStride]]. */
+  val IvfSeedStride = 50
+
+  /** Effective seed stride for a corpus of n vectors:
+    * `max(IvfSeedStride, ⌈√n⌉)` — i.e. the codebook size k ≈ n/stride is
+    * CAPPED at √n (the classic IVF sizing). With the fixed stride alone
+    * k grows linearly with the corpus, Lloyd assignment — O(n·k) — goes
+    * quadratic, and the measured 1×/16×/64× slope blew up ×23.8
+    * (SCALE.md). Capping holds assignment at O(n^1.5) and balances the
+    * per-cell scan (n/k ≈ √n rows per cell). One count() against the
+    * (caller-persisted) corpus decides it — a scalar aggregate, not a
+    * collect. At the oracle SF (n = 500) the floor stride of 50 binds,
+    * so the DuckDB twin's literal `vec_id % 50 = 0` seeding stays
+    * exact; the cap engages only past n = 2 500. */
+  private def seedStride(e: DataFrame): Long = {
+    val n = e.count()
+    math.max(IvfSeedStride.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)
+  }
+
+  /** Deterministic k-means: seeds = every [[seedStride]]-th vector,
+    * `IvfIters` Lloyd iterations, per-cell means via the engine's
+    * `vec_sum` element-wise aggregate (map-side-combinable: each task
+    * folds its members into ONE double[64] buffer, so a cell costs 64
+    * doubles per task on the shuffle — the posexplode alternative
+    * shuffles 64 rows per VECTOR). Empty cells drop out; no runtime
+    * randomness anywhere. Means are rounded to 6 places so cross-engine
+    * summation order cannot leak into the assignment argmax. */
   private def kmeansCentroids(e: DataFrame): DataFrame = {
-    val seeds = e.where(col("vec_id") % 50 === 0)
+    val seeds = e.where(col("vec_id") % seedStride(e) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val (fitted, _) = (1 to IvfIters)
       .foldLeft((seeds, Set.empty[Int])) { case ((cents, priorIds), _) =>

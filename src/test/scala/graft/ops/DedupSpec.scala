@@ -56,6 +56,17 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("cacheShingles knob changes the plan, never the pairs") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def rows(cache: Boolean) =
+      Dedup.minhashNearDups(docs, threshold = 0.8, cacheShingles = cache)
+        .collect().map(_.toString).sorted.toSeq
+    val rebuilt = rows(cache = false)
+    val cached = rows(cache = true)
+    assert(rebuilt.nonEmpty)
+    assert(rebuilt === cached)
+  }
+
   test("simhash near-dup pairs have small hamming distance") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     Dedup.simhashNearDups(docs, maxHamming = 3).collect().foreach { r =>
