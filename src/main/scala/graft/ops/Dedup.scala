@@ -167,10 +167,14 @@ object Dedup {
     // the small signature/band tables — reread by several plan
     // branches — persist. `cacheShingles = true` flips that tradeoff:
     // the full shingle table persists once and the verify stage rereads
-    // it instead of re-shingling candidate docs — worth it when the
-    // shingle grind dominates (very long documents) or when several
-    // consumers share one `minhashNearDups` call; measured at sf0.1 the
-    // rebuild is faster (ScaleProbe A/B in SCALE.md), hence default off.
+    // it instead of re-shingling candidate docs. Measured at sf0.1
+    // (ShingleCacheProbe, SCALE.md): caching wins ~13% wall-clock when
+    // the table fits memory — but the default stays FALSE because the
+    // shingle table is the pipeline's largest intermediate (string
+    // arrays ≈ 5-10× raw text) and pinning it at corpus scale evicts
+    // more valuable working set; the verify stage only needs the
+    // ~1%-of-corpus candidate-member slice the rebuild path regenerates
+    // cheaply. Flip on for long-document corpora or multi-consumer use.
     val sh0 = shingleTable(docs)
     val sh = if (cacheShingles) persisted(sh0) else sh0
     val sig = persisted(

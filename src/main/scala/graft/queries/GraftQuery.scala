@@ -16,20 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                measurement), the returned thunk builds the read-side
   *                plan the bench times per run. Queries with `benchBuild`
   *                are benched even when `bench = false`.
+  * @param verify  include in the Verify/oracle correctness dump. False
+  *                only for queries whose input is NOT the sf-directory
+  *                tables (e.g. the immigration reference dataset) — those
+  *                carry their own golden assertions instead.
   */
 final case class GraftQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     bench: Boolean = true,
-    benchBuild: Option[(SparkSession, String) => () => DataFrame] = None)
+    benchBuild: Option[(SparkSession, String) => () => DataFrame] = None,
+    verify: Boolean = true)
 
 object Registry {
   /** Full query surface, assembled per module. Order is stable. */
   def all: Seq[GraftQuery] =
     Relational.queries ++ TrainingData.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      CorpusOps.queries ++ ExtendedQueries.queries
+      CorpusOps.queries ++ ExtendedQueries.queries ++
+      ImmigrationBench.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }
