@@ -86,13 +86,25 @@ object Sources {
     * cluster classpath. */
   val SasFormat = "com.github.saurfang.sas.spark"
 
+  /** Built-in pure-Scala sas7bdat reader
+    * ([[graft.sources.sas.Sas7bdat]]) — the offline fallback decoder. */
+  val BuiltinSasFormat = "graft.sources.sas"
+
   /** I94 source with the reference's own preference order: the raw
     * monthly .sas7bdat when present (S1), else the parquet extract (S2,
-    * `etl.py:128-138`). */
+    * `etl.py:128-138`). The sas branch prefers the reference's
+    * third-party reader when its jar is on the classpath and falls back
+    * to the engine's built-in decoder, so the branch works in an
+    * offline deployment too. */
   def immigration(spark: SparkSession, cfg: ImmigrationConfig): DataFrame =
     cfg.i94SasFile match {
       case Some(f) if new java.io.File(f).exists() =>
-        spark.read.format(SasFormat).load(f)
+        try spark.read.format(SasFormat).load(f)
+        catch {
+          // lookupDataSource throws when the third-party jar is absent
+          case _: ClassNotFoundException | _: NoClassDefFoundError =>
+            spark.read.format(BuiltinSasFormat).load(f)
+        }
       case _ => spark.read.parquet(cfg.i94ParquetDir)
     }
 

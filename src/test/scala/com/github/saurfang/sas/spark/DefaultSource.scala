@@ -13,15 +13,22 @@ import org.apache.spark.sql.types.StructType
   * name, is what Spark's DataSource lookup finds when specs exercise
   * the sas-preference branch end-to-end.
   *
-  * It is NOT a sas7bdat decoder: it reads the given path as parquet
-  * (fixtures are parquet dirs named `*.sas7bdat`). What it proves live
-  * is everything around the decode — the format-string resolution, the
-  * branch preference order, and the relation/scan plumbing. */
+  * For a REAL binary `.sas7bdat` (magic sniff) it delegates to the
+  * engine's built-in decoder ([[graft.sources.sas.SasRelation]]) — the
+  * third-party jar would decode the same bytes itself; offline, the
+  * built-in reader is the decoder, and `Sas7bdatReaderSpec` drives a
+  * real binary fixture through this exact resolution path. For
+  * anything else it reads the path as parquet (legacy fixtures are
+  * parquet dirs named `*.sas7bdat`), which keeps proving the plumbing
+  * around the decode — format-string resolution, branch preference
+  * order, relation/scan wiring. */
 final class DefaultSource extends RelationProvider {
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("path is required"))
+    if (graft.sources.sas.Sas7bdat.looksLikeSas(path))
+      return new graft.sources.sas.SasRelation(ctx, path)
     val df = ctx.sparkSession.read.parquet(path)
     new BaseRelation with TableScan {
       override val sqlContext: SQLContext = ctx
