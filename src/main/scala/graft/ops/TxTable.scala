@@ -1,0 +1,247 @@
+package graft.ops
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transactional parquet table — the no-jar answer to the Delta/Iceberg
+  * row of the survey: a versioned COMMIT LOG over plain parquet data
+  * files, giving single-table ACID with snapshot isolation and
+  * optimistic concurrency. The protocol is the public core of the
+  * log-structured table formats (Delta's PROTOCOL.md / the Iceberg
+  * spec, reduced to one table + one filesystem):
+  *
+  *  - data files are written FIRST, under content-unique names; they
+  *    are invisible until a commit references them, so a crashed writer
+  *    leaves garbage bytes, never a torn table;
+  *  - a commit is the ATOMIC creation of `_log/<version>.json`. The
+  *    entry is fully written to a temp name, then CLAIMED via
+  *    `Files.createLink` — the hard-link syscall fails with EEXIST
+  *    atomically, the filesystem's compare-and-swap (object stores
+  *    expose the same primitive as if-none-match puts; HDFS as
+  *    no-overwrite rename). Losing the race means another writer owns
+  *    that version: re-read the log and retry — an append rebases
+  *    as-is, a rewrite re-derives from the new head (optimistic
+  *    concurrency). Readers can never observe a half-written entry:
+  *    content exists in full before the link exists at all;
+  *  - a snapshot is the replay of log entries 0..N: active files =
+  *    all adds minus all removes. Readers resolve a snapshot once and
+  *    read ONLY its files — concurrent commits never tear a running
+  *    query (snapshot isolation); old versions stay readable (time
+  *    travel) until [[TxTable.vacuum]] reclaims unreferenced files;
+  *  - rewrite actions (overwrite / upsert / compaction) remove the
+  *    files they logically replace and add their rewrite in ONE log
+  *    entry — atomically, by the same CAS.
+  *
+  * Scale shape: the log is driver-side JSON a few hundred bytes per
+  * commit (replay is O(commits); production checkpoints the replayed
+  * state every N commits — same protocol, omitted here); every data
+  * operation is an ordinary distributed Spark job over the snapshot's
+  * parquet files. Nothing row-scale ever passes through the driver.
+  */
+object TxTable {
+
+  final case class Commit(
+      version: Long, action: String,
+      add: Seq[String], remove: Seq[String], ts: Long)
+
+  final case class Snapshot(version: Long, files: Seq[String]) {
+    def read(spark: SparkSession): DataFrame =
+      if (files.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(files: _*)
+  }
+
+  /** Open (or initialize) a transactional table rooted at `dir`. */
+  def apply(spark: SparkSession, dir: String): TxTable = {
+    Files.createDirectories(Paths.get(dir, "_log"))
+    new TxTable(spark, dir.stripSuffix("/"))
+  }
+
+  /** Minimal JSON codec for [[Commit]] — the log is OUR OWN output;
+    * fields are longs, a known action enum, and UUID-based file names
+    * (never containing quotes or brackets). */
+  private[ops] def render(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"action":"${c.action}",""" +
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)},"ts":${c.ts}}"""
+  }
+
+  private[ops] def parse(s: String): Commit = {
+    def fail(k: String) = sys.error(s"log entry missing $k: $s")
+    def long(k: String): Long =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+        .getOrElse(fail(k)).group(1).toLong
+    def str(k: String): String =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s)
+        .getOrElse(fail(k)).group(1)
+    def list(k: String): Seq[String] = {
+      val body = ("\"" + k + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(s)
+        .getOrElse(fail(k)).group(1)
+      "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    }
+    Commit(long("version"), str("action"), list("add"), list("remove"),
+      long("ts"))
+  }
+}
+
+final class TxTable private (spark: SparkSession, dir: String) {
+  import TxTable._
+
+  private def logDir = s"$dir/_log"
+
+  private def logFile(v: Long): File = new File(f"$logDir/$v%020d.json")
+
+  private def commits(): Seq[Commit] = {
+    val fs = Option(new File(logDir).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val parsed = fs.toSeq.map(f =>
+      parse(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
+    // contiguity: versions must run 0,1,2,… — a gap means the history
+    // beyond it is not yet committed
+    parsed.zipWithIndex.takeWhile { case (c, i) => c.version == i }.map(_._1)
+  }
+
+  /** Latest committed snapshot (version -1 = empty table). */
+  def snapshot(): Snapshot = snapshotAt(Long.MaxValue)
+
+  /** Time travel: the table as of `version` (inclusive). */
+  def snapshotAt(version: Long): Snapshot = {
+    val cs = commits().filter(_.version <= version)
+    val active = cs.foldLeft(Vector.empty[String]) { (files, c) =>
+      files.filterNot(c.remove.contains) ++ c.add
+    }
+    Snapshot(cs.lastOption.map(_.version).getOrElse(-1L),
+      active.map(f => s"$dir/$f"))
+  }
+
+  def read(): DataFrame = snapshot().read(spark)
+
+  def readAt(version: Long): DataFrame = snapshotAt(version).read(spark)
+
+  /** Stage `df` as parquet data files under content-unique names;
+    * invisible until a commit references them. */
+  private def stage(df: DataFrame): Seq[String] = {
+    val tmp = s"$dir/_staged-${UUID.randomUUID()}"
+    df.write.parquet(tmp)
+    val parts = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    val named = parts.toSeq.map { f =>
+      val name = s"data-${UUID.randomUUID()}.parquet"
+      Files.move(f.toPath, Paths.get(dir, name),
+        StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    Option(new File(tmp).listFiles()).getOrElse(Array.empty)
+      .foreach(_.delete())
+    new File(tmp).delete()
+    named
+  }
+
+  /** Atomic claim of `version`: write the full entry to a temp name,
+    * hard-link it to the version name (fails-if-exists atomically),
+    * drop the temp. False = lost the race. */
+  private def tryCommit(c: Commit): Boolean = {
+    val target = logFile(c.version)
+    val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp.toPath, render(c).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(target.toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally tmp.delete()
+  }
+
+  /** Append `df` — never conflicts; rebases onto any winner's head. */
+  def append(df: DataFrame, maxRetries: Int = 50): Commit = {
+    val files = stage(df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val c = Commit(snapshot().version + 1, "append", files, Nil,
+        System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"append contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Replace the table's content with `df` in one atomic commit. */
+  def overwrite(df: DataFrame, maxRetries: Int = 50): Commit = {
+    val files = stage(df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = snapshot()
+      val c = Commit(base.version + 1, "overwrite", files,
+        base.files.map(_.stripPrefix(s"$dir/")), System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"overwrite contention: lost $maxRetries races in $logDir")
+  }
+
+  /** MERGE: latest-wins upsert of `updates` on `keys`
+    * ([[Upsert.latestWins]] semantics) as an atomic rewrite. Optimistic:
+    * derives from the head snapshot; losing the commit race discards
+    * the stale staged rewrite (never referenced) and re-derives against
+    * the new head. */
+  def upsert(updates: DataFrame, keys: Seq[String],
+      maxRetries: Int = 20): Commit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = snapshot()
+      val merged =
+        if (base.files.isEmpty) updates
+        else Upsert.latestWins(base.read(spark), updates, keys)
+      val files = stage(merged)
+      val c = Commit(base.version + 1, "upsert", files,
+        base.files.map(_.stripPrefix(s"$dir/")), System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      files.foreach(n => new File(dir, n).delete())
+      attempt += 1
+    }
+    sys.error(s"upsert contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Compact the current snapshot to `targetFiles` files — content
+    * identical, file count bounded. Conflicts (the base was rewritten
+    * concurrently) surface as an error; rerun to compact the new head. */
+  def compact(targetFiles: Int = 1): Commit = {
+    val base = snapshot()
+    val files = stage(base.read(spark).repartition(targetFiles))
+    val baseNames = base.files.map(_.stripPrefix(s"$dir/"))
+    val head = snapshot()
+    val nowActive = head.files.map(_.stripPrefix(s"$dir/"))
+    require(baseNames.forall(nowActive.contains),
+      "compaction base was rewritten concurrently — rerun compact()")
+    val c = Commit(head.version + 1, "compact", files, baseNames,
+      System.currentTimeMillis())
+    if (!tryCommit(c)) {
+      files.foreach(n => new File(dir, n).delete())
+      sys.error("compaction lost the commit race — rerun compact()")
+    }
+    c
+  }
+
+  /** Delete data files that no snapshot ≥ `retainVersion` references.
+    * Time travel below `retainVersion` stops working — the standard
+    * vacuum contract. Returns the reclaimed file names. */
+  def vacuum(retainVersion: Long): Seq[String] = {
+    // alive = active at the retention horizon, or added after it (such
+    // a file is part of some retained snapshot even if later removed).
+    // A file a retained commit merely REMOVES is not kept alive by that
+    // mention — that is exactly the garbage vacuum exists to reclaim.
+    val referenced = commits().filter(_.version > retainVersion)
+      .flatMap(_.add).toSet ++
+      snapshotAt(retainVersion).files.map(_.stripPrefix(s"$dir/"))
+    val dead = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("data-") &&
+        !referenced.contains(f.getName))
+    dead.foreach(_.delete())
+    dead.map(_.getName).toSeq
+  }
+}

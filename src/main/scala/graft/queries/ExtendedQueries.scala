@@ -660,6 +660,78 @@ object ExtendedQueries {
           round(sum(col("o_totalprice")), 2).as("total"))
     }))
 
+  // ----------------------------------------------------------------- K10
+  /** Transactional-table MERGE ([[graft.ops.TxTable]]): the same
+    * latest-wins upsert as K5, but committed through the versioned
+    * commit log — append the base as v0, MERGE the updates as an atomic
+    * rewrite (v1), compact (v2), then read the head snapshot. The
+    * oracle replays K5's relational semantics in SQL, so a protocol bug
+    * that drops, duplicates, or tears rows fails the hash compare.
+    * `TxTableSpec` pins the ACID properties themselves (CAS under
+    * racing writers, snapshot isolation, time travel, vacuum). */
+  private val txTableMerge = GraftQuery(
+    "k10_tx_table_merge",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txtable-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer)
+      val changes = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 5)
+      val updates = customer
+        .join(broadcast(changes), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("total").as("c_acctbal"),
+          lit("UPGRADED").as("c_mktsegment"))
+      t.upsert(updates, Seq("c_custkey"))
+      t.compact(targetFiles = 4)
+      t.read()
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    },
+    Some("""WITH agg AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            upd AS (SELECT c_custkey, c_name, c_nationkey,
+                     total AS c_acctbal, 'UPGRADED' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n > 5)
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2), c_mktsegment FROM upd"""),
+    bench = false,
+    // Timed region = reading the committed head snapshot (the shape a
+    // deployment pays per query); the append/upsert/compact protocol
+    // runs once in setup.
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txtable-bench-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer)
+      val changes = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 5)
+      val updates = customer
+        .join(broadcast(changes), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("total").as("c_acctbal"),
+          lit("UPGRADED").as("c_mktsegment"))
+      t.upsert(updates, Seq("c_custkey"))
+      t.compact(targetFiles = 4)
+      () => t.read()
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    }))
+
   // ----------------------------------------------------------------- A32
   /** Conditional aggregation — the FILTER clause and its `count_if`/
     * CASE-fold equivalents: segment metrics out of one scan instead of
@@ -973,5 +1045,5 @@ object ExtendedQueries {
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
-    dynamicOverwrite)
+    dynamicOverwrite, txTableMerge)
 }

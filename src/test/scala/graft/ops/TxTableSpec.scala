@@ -1,0 +1,150 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** ACID semantics of [[TxTable]]: atomic visibility, snapshot
+  * isolation, time travel, optimistic concurrency under real racing
+  * writers, crash-garbage invisibility, vacuum's retention contract. */
+class TxTableSpec extends SparkTestBase {
+
+  private def mkTable(): (TxTable, String) = {
+    val dir = Files.createTempDirectory("graft-tx-").toString
+    (TxTable(spark, dir), dir)
+  }
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  test("append accumulates; versions are contiguous") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 25))
+    assert(t.read().count() === 25)
+    assert(t.snapshot().version === 1)
+  }
+
+  test("overwrite replaces atomically; time travel still reads history") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    t.overwrite(df(100 until 103))
+    assert(t.read().count() === 3)
+    assert(t.readAt(0).count() === 10) // pre-overwrite version intact
+  }
+
+  test("snapshot isolation: a resolved snapshot survives a later overwrite") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    val snap = t.snapshot()
+    t.overwrite(df(0 until 1))
+    // the old reader still sees its full snapshot — files are not
+    // reclaimed until vacuum
+    assert(snap.read(spark).count() === 10)
+    assert(t.read().count() === 1)
+  }
+
+  test("upsert has latest-wins MERGE semantics") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    val updates = Seq((3L, "UPDATED"), (42L, "INSERTED"))
+      .toDF("id", "payload")
+    t.upsert(updates, Seq("id"))
+    val out = t.read().as[(Long, String)].collect().toMap
+    assert(out.size === 11)
+    assert(out(3L) === "UPDATED")
+    assert(out(42L) === "INSERTED")
+    assert(out(4L) === "row-4")
+  }
+
+  test("racing appenders all land; no version is lost or duplicated") {
+    val (t, dir) = mkTable()
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 4).map { w =>
+        Future { (0 until 3).foreach { i =>
+          t.append(df(w * 1000 + i * 10 until w * 1000 + i * 10 + 10)) } }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+    } finally pool.shutdown()
+    assert(t.read().count() === 4 * 3 * 10)
+    assert(t.snapshot().version === 11) // 12 commits, contiguous 0..11
+    val logs = new File(s"$dir/_log").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.getName).sorted
+    assert(logs.length === 12)
+  }
+
+  test("racing upserts on disjoint keys: loser retries and both apply") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val f1 = Future {
+        t.upsert(Seq((1L, "A")).toDF("id", "payload"), Seq("id")) }
+      val f2 = Future {
+        t.upsert(Seq((2L, "B")).toDF("id", "payload"), Seq("id")) }
+      Await.result(Future.sequence(Seq(f1, f2)), 120.seconds)
+    } finally pool.shutdown()
+    val out = t.read().as[(Long, String)].collect().toMap
+    assert(out(1L) === "A")
+    assert(out(2L) === "B")
+    assert(out.size === 10)
+  }
+
+  test("compaction bounds file count without changing content") {
+    val (t, dir) = mkTable()
+    (0 until 5).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    val before = t.read().orderBy("id").collect().toSeq
+    assert(t.snapshot().files.size > 1)
+    t.compact(targetFiles = 1)
+    assert(t.snapshot().files.size === 1)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+  }
+
+  test("crash garbage (staged-but-uncommitted files) is invisible") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))
+    // simulate a writer that died after staging: an unreferenced data
+    // file and a leftover staging dir
+    df(900 until 950).write.parquet(s"$dir/_staged-dead")
+    Files.copy(
+      new File(dir).listFiles().filter(_.getName.startsWith("data-"))
+        .head.toPath,
+      new File(dir, "data-dead-orphan.parquet").toPath)
+    assert(t.read().count() === 10)
+  }
+
+  test("vacuum reclaims unreferenced files and keeps the retained horizon") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))     // v0
+    t.overwrite(df(0 until 3))   // v1: v0's files now unreferenced
+    val reclaimed = t.vacuum(retainVersion = 1)
+    assert(reclaimed.nonEmpty)
+    assert(t.read().count() === 3)
+    val live = new File(dir).listFiles()
+      .filter(_.getName.startsWith("data-")).map(_.getName).toSet
+    assert(t.snapshot().files.map(_.split("/").last).forall(live.contains))
+  }
+
+  test("commit-log codec roundtrips") {
+    val c = TxTable.Commit(7, "upsert",
+      Seq("data-a.parquet", "data-b.parquet"), Seq("data-c.parquet"),
+      123456789L)
+    assert(TxTable.parse(TxTable.render(c)) === c)
+    val empty = TxTable.Commit(0, "append", Nil, Nil, 1L)
+    assert(TxTable.parse(TxTable.render(empty)) === empty)
+  }
+}
