@@ -8,40 +8,45 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
 /** Pure-Scala reader for the sas7bdat binary format — the subset a
-  * monthly I94 extract needs: **uncompressed, little-endian, 32-bit
-  * (non-u64) files with numeric (double) and character columns**.
+  * monthly I94 extract needs: **uncompressed, little-endian files
+  * (both the 32-bit and the 64-bit "u64" alignment variants) with
+  * numeric (double) and character columns**.
   *
   * The format is publicly documented — the layout here follows the
   * independently reverse-engineered specification ("SAS7BDAT Database
   * Binary Format", M. Shotwell, the basis of the R `sas7bdat` package
-  * and cross-checked against the parso/readstat readers' behavior):
+  * and cross-checked against the parso/readstat readers' behavior).
+  * With `w` = 4 (32-bit) or 8 (u64; header byte 32 == 0x33) and `a1`
+  * = 4 when header byte 35 == 0x33:
   *
-  *  - 1024+-byte header: 32-byte magic; alignment indicators at bytes
-  *    32/35 (0x33 → 64-bit variant); endianness byte at 37; "SAS FILE"
-  *    literal at 84; dataset name at 92; header/page sizes at 196/200;
-  *    page count at 204.
-  *  - fixed-size pages follow: page type at offset 16 (int16), block
-  *    count at 18, subheader-pointer count at 20, pointers from 24
-  *    (each: data offset int32, length int32, compression byte, type
-  *    byte, 2 pad).
-  *  - metadata lives in signed subheaders: ROW_SIZE (0xF7F7F7F7; row
-  *    byte length at +20, total row count at +24, mix-page row count at
-  *    +60), COLUMN_SIZE (0xF6F6F6F6; column count at +4), COLUMN_TEXT
-  *    (0xFFFFFFFD; name bytes, referenced relative to signature end),
-  *    COLUMN_NAME (0xFFFFFFFF; 8-byte entries from +12: text-subheader
-  *    idx, offset, length as int16s), COLUMN_ATTRS (0xFFFFFFFC; 12-byte
-  *    entries from +12: row offset int32, width int32, flag int16,
-  *    type byte — 1 numeric, 2 character).
-  *  - rows are packed back-to-back: DATA pages (type 0x100) from offset
-  *    24, `block count` rows; MIX pages (type 0x200) after the
-  *    subheader pointers, 8-byte aligned, `min(mix row count,
-  *    block count − subheader count)` rows.
+  *  - header: 32-byte magic; endianness byte at 37 (0x01 = little);
+  *    "SAS FILE" at 84; dataset name at 92; header size int32 at
+  *    196+a1, page size int32 at 200+a1, page count int(4 or 8) at
+  *    204+a1.
+  *  - fixed-size pages follow: page type int16 at `B` (= 16 for
+  *    32-bit, 32 for u64), block count at B+2, subheader count at B+4,
+  *    subheader pointers from B+8 (each 3w: data offset `w`, length
+  *    `w`, compression byte, type byte, pad).
+  *  - metadata subheaders, matched on the low 32 bits of their
+  *    signature (first `w` bytes): ROW_SIZE 0xF7F7F7F7 (row byte
+  *    length at +5w, total row count at +6w, mix-page row count at
+  *    +15w), COLUMN_SIZE 0xF6F6F6F6 (+w), COLUMN_TEXT 0xFFFFFFFD
+  *    (name bytes, addressed relative to signature end = +w),
+  *    COLUMN_NAME 0xFFFFFFFF (8-byte entries from +w+8: text-subheader
+  *    idx, offset, length int16s), COLUMN_ATTRS 0xFFFFFFFC ((8+w)-byte
+  *    entries from +w+8: row offset `w`, width int32 at +w, column
+  *    type byte at +w+6 — 1 numeric, 2 character).
+  *  - rows are packed back-to-back: DATA pages (type 0x100) from
+  *    B+8, `block count` rows; MIX pages (type 0x200) after the
+  *    pointers, 8-byte aligned, `min(mix row count, block count −
+  *    subheader count)` rows.
   *  - numerics are IEEE doubles; SAS truncates to width 3–7 by KEEPING
   *    the high-order bytes (for a little-endian file, the stored bytes
   *    are the TOP of the 8-byte representation). NaN encodes missing →
-  *    null. Characters are fixed-width latin-1, right-padded; all-blank
-  *    → null. (SAS dates stay raw doubles here — epoch conversion is
-  *    the cleaning layer's job, same contract as the parquet extract.)
+  *    null. Characters are fixed-width latin-1, right-padded;
+  *    all-blank → null. (SAS dates stay raw doubles here — epoch
+  *    conversion is the cleaning layer's job, same contract as the
+  *    parquet extract.)
   *
   * Reference behavior mirrored: `/root/reference/etl.py:133-135` loads
   * this format via the third-party `saurfang` package;
@@ -62,12 +67,16 @@ object Sas7bdat {
       name: String, rowOffset: Int, width: Int, isNumeric: Boolean)
 
   final case class SasMeta(
-      headerSize: Int, pageSize: Int, pageCount: Int,
+      u64: Boolean, headerSize: Int, pageSize: Int, pageCount: Int,
       rowLength: Int, rowCount: Long, mixRowCount: Long,
       columns: Seq[SasColumn]) {
     def schema: StructType = StructType(columns.map(c =>
       StructField(c.name,
         if (c.isNumeric) DoubleType else StringType, nullable = true)))
+    /** Page-header base offset: fields sit deeper in u64 pages. */
+    def pageBase: Int = if (u64) 32 else 16
+    def wordSize: Int = if (u64) 8 else 4
+    def pointerSize: Int = 3 * wordSize
   }
 
   private val Magic: Array[Byte] = Array(
@@ -82,7 +91,6 @@ object Sas7bdat {
   private[sas] val SigColName = 0xFFFFFFFF
   private[sas] val SigColAttr = 0xFFFFFFFC
 
-  private val PageMeta = 0x0000
   private val PageData = 0x0100
   private val PageMix = 0x0200
 
@@ -104,9 +112,14 @@ object Sas7bdat {
   private def buf(bytes: Array[Byte]): ByteBuffer =
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
+  /** `w`-byte offset/length read (values fit int here — offsets are
+    * within one page, lengths within one file). */
+  private def word(pb: ByteBuffer, off: Int, w: Int): Long =
+    if (w == 8) pb.getLong(off) else pb.getInt(off).toLong
+
   /** Driver-side metadata parse: header + the meta/mix pages' signed
-    * subheaders. Fails fast on the unsupported variants (64-bit
-    * alignment, big-endian, compression) with a message naming them. */
+    * subheaders. Fails fast on the unsupported variants (big-endian,
+    * compression) with a message naming them. */
   def readMeta(path: String): SasMeta = {
     val in = new RandomAccessFile(path, "r")
     try {
@@ -114,17 +127,20 @@ object Sas7bdat {
       in.readFully(head)
       require(java.util.Arrays.equals(head.take(32), Magic),
         s"$path: not a sas7bdat file (bad magic)")
-      require(head(32) != 0x33 && head(35) != 0x33,
-        s"$path: 64-bit-aligned (u64) sas7bdat not supported by the " +
-          "built-in reader — use the third-party reader jar")
       require(head(37) == 0x01,
         s"$path: big-endian sas7bdat not supported by the built-in reader")
+      val u64 = head(32) == 0x33
+      val a1 = if (head(35) == 0x33) 4 else 0
+      val w = if (u64) 8 else 4
       val hb = buf(head)
-      val headerSize = hb.getInt(196)
-      val pageSize = hb.getInt(200)
-      val pageCount = hb.getInt(204)
+      val headerSize = hb.getInt(196 + a1)
+      val pageSize = hb.getInt(200 + a1)
+      val pageCount =
+        (if (u64) hb.getLong(204 + a1) else hb.getInt(204 + a1).toLong).toInt
       require(headerSize >= 288 && pageSize > 0 && pageCount >= 0,
         s"$path: implausible header ($headerSize/$pageSize/$pageCount)")
+      val base = if (u64) 32 else 16
+      val ptrSize = 3 * w
 
       var rowLength = -1
       var rowCount = -1L
@@ -140,29 +156,32 @@ object Sas7bdat {
         in.seek(headerSize.toLong + p.toLong * pageSize)
         in.readFully(page)
         val pb = buf(page)
-        val pType = pb.getShort(16) & 0xFFFF
-        if (pType == PageMeta || pType == PageMix) {
-          val shCount = pb.getShort(20) & 0xFFFF
+        val pType = pb.getShort(base) & 0xFFFF
+        if ((pType & PageData) == 0) { // meta/mix/amd — pages with pointers
+          val shCount = pb.getShort(base + 4) & 0xFFFF
           var i = 0
           while (i < shCount) {
-            val base = 24 + i * 12
-            val off = pb.getInt(base)
-            val len = pb.getInt(base + 4)
-            val compression = page(base + 8)
+            val pBase = base + 8 + i * ptrSize
+            val off = word(pb, pBase, w).toInt
+            val len = word(pb, pBase + w, w).toInt
+            val compression = page(pBase + 2 * w)
             if (len > 0 && compression == 0) {
-              pb.getInt(off) match {
+              // signatures matched on their low 32 bits: identical
+              // across the variants (u64 widens the FFFF* family by
+              // sign-extension and the F7/F6 pair by zero-padding)
+              (word(pb, off, w) & 0xFFFFFFFFL).toInt match {
                 case SigRowSize =>
-                  rowLength = pb.getInt(off + 20)
-                  rowCount = pb.getInt(off + 24).toLong
-                  mixRowCount = pb.getInt(off + 60).toLong
+                  rowLength = word(pb, off + 5 * w, w).toInt
+                  rowCount = word(pb, off + 6 * w, w)
+                  mixRowCount = word(pb, off + 15 * w, w)
                 case SigColSize =>
-                  nCols = pb.getInt(off + 4)
+                  nCols = word(pb, off + w, w).toInt
                 case SigColText =>
-                  // content addressed relative to signature end (+4)
+                  // content addressed relative to signature end (+w)
                   texts += java.util.Arrays.copyOfRange(
-                    page, off + 4, off + len)
+                    page, off + w, off + len)
                 case SigColName =>
-                  var e = 12
+                  var e = w + 8
                   while (e + 8 <= len) {
                     val ti = pb.getShort(off + e) & 0xFFFF
                     val no = pb.getShort(off + e + 2) & 0xFFFF
@@ -171,13 +190,14 @@ object Sas7bdat {
                     e += 8
                   }
                 case SigColAttr =>
-                  var e = 12
-                  while (e + 12 <= len) {
-                    val ro = pb.getInt(off + e)
-                    val w = pb.getInt(off + e + 4)
-                    val tpe = page(off + e + 10)
-                    if (w > 0) attrs += ((ro, w, tpe == 1))
-                    e += 12
+                  var e = w + 8
+                  val entry = 8 + w
+                  while (e + entry <= len) {
+                    val ro = word(pb, off + e, w).toInt
+                    val cw = pb.getInt(off + e + w)
+                    val tpe = page(off + e + w + 6)
+                    if (cw > 0) attrs += ((ro, cw, tpe == 1))
+                    e += entry
                   }
                 case _ => () // formats/labels/lists — not needed
               }
@@ -198,10 +218,10 @@ object Sas7bdat {
       require(nCols > 0 && nameSeq.size == nCols && attrSeq.size == nCols,
         s"$path: column metadata incomplete " +
           s"(ncols=$nCols names=${nameSeq.size} attrs=${attrSeq.size})")
-      val columns = nameSeq.zip(attrSeq).map { case (n, (ro, w, num)) =>
-        SasColumn(n, ro, w, num)
+      val columns = nameSeq.zip(attrSeq).map { case (n, (ro, cw, num)) =>
+        SasColumn(n, ro, cw, num)
       }
-      SasMeta(headerSize, pageSize, pageCount, rowLength, rowCount,
+      SasMeta(u64, headerSize, pageSize, pageCount, rowLength, rowCount,
         mixRowCount, columns)
     } finally in.close()
   }
@@ -210,13 +230,14 @@ object Sas7bdat {
     * (page bytes, meta) — the executor-side half. */
   def pageRows(page: Array[Byte], meta: SasMeta): Seq[Row] = {
     val pb = buf(page)
-    val pType = pb.getShort(16) & 0xFFFF
-    val blockCount = pb.getShort(18) & 0xFFFF
-    val shCount = pb.getShort(20) & 0xFFFF
+    val base = meta.pageBase
+    val pType = pb.getShort(base) & 0xFFFF
+    val blockCount = pb.getShort(base + 2) & 0xFFFF
+    val shCount = pb.getShort(base + 4) & 0xFFFF
     val (start, n) =
-      if ((pType & PageData) != 0) (24, blockCount)
+      if ((pType & PageData) != 0) (base + 8, blockCount)
       else if (pType == PageMix) {
-        val afterPtrs = 24 + shCount * 12
+        val afterPtrs = base + 8 + shCount * meta.pointerSize
         val aligned = (afterPtrs + 7) & ~7
         (aligned, math.min(meta.mixRowCount,
           (blockCount - shCount).toLong).toInt)

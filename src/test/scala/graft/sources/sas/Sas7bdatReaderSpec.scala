@@ -49,37 +49,44 @@ class Sas7bdatReaderSpec extends SparkTestBase {
     "AA", 1.0e10 + i, "00123", "B2")
   private val rows = (0 until 60).map(mkRow)
 
-  private def writeFixture(): String = {
+  private def writeFixture(u64: Boolean = false): String = {
     val dir = Files.createTempDirectory("graft-sas-fixture-")
     val path = s"$dir/i94_apr16_sub.sas7bdat"
-    SasFixtureWriter.write(path, cols, rows)
+    SasFixtureWriter.write(path, cols, rows, u64 = u64)
     path
   }
 
-  test("golden schema: names in order, numeric→double, char→string") {
-    val df = spark.read.format(Sources.BuiltinSasFormat).load(writeFixture())
-    assert(df.schema.fields.map(_.name).toSeq === cols.map(_.name))
-    assert(df.schema.fields.map(_.dataType).toSeq ===
-      cols.map(c => if (c.isNumeric) DoubleType else StringType))
-  }
+  for (u64 <- Seq(false, true)) {
+    val variant = if (u64) "u64" else "32-bit"
 
-  test("golden values roundtrip exactly, including nulls and truncated numerics") {
-    val df = spark.read.format(Sources.BuiltinSasFormat).load(writeFixture())
-    assert(df.count() === 60)
-    val got = df.orderBy("cicid").collect()
-    rows.indices.foreach { i =>
-      val r = got(i)
-      cols.indices.foreach { j =>
-        assert(r.get(j) === rows(i)(j),
-          s"row $i col ${cols(j).name}: ${r.get(j)} vs ${rows(i)(j)}")
+    test(s"[$variant] golden schema: names in order, numeric→double, char→string") {
+      val df = spark.read.format(Sources.BuiltinSasFormat)
+        .load(writeFixture(u64))
+      assert(df.schema.fields.map(_.name).toSeq === cols.map(_.name))
+      assert(df.schema.fields.map(_.dataType).toSeq ===
+        cols.map(c => if (c.isNumeric) DoubleType else StringType))
+    }
+
+    test(s"[$variant] golden values roundtrip exactly, including nulls and truncated numerics") {
+      val df = spark.read.format(Sources.BuiltinSasFormat)
+        .load(writeFixture(u64))
+      assert(df.count() === 60)
+      val got = df.orderBy("cicid").collect()
+      rows.indices.foreach { i =>
+        val r = got(i)
+        cols.indices.foreach { j =>
+          assert(r.get(j) === rows(i)(j),
+            s"row $i col ${cols(j).name}: ${r.get(j)} vs ${rows(i)(j)}")
+        }
       }
     }
-  }
 
-  test("multi-page: rows split across several data pages") {
-    val meta = Sas7bdat.readMeta(writeFixture())
-    assert(meta.pageCount > 2, "fixture should span multiple data pages")
-    assert(meta.rowCount === 60)
+    test(s"[$variant] multi-page: rows split across several data pages") {
+      val meta = Sas7bdat.readMeta(writeFixture(u64))
+      assert(meta.u64 === u64)
+      assert(meta.pageCount > 2, "fixture should span multiple data pages")
+      assert(meta.rowCount === 60)
+    }
   }
 
   test("bad magic is rejected, not misparsed") {

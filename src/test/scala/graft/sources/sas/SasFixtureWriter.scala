@@ -5,13 +5,13 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 /** Test-scope sas7bdat WRITER: emits the uncompressed little-endian
-  * 32-bit variant of the public format — the same layout
-  * [[Sas7bdat]] documents (header magic + sizes, meta page with
-  * ROW_SIZE / COLUMN_SIZE / COLUMN_TEXT / COLUMN_NAME / COLUMN_ATTRS
-  * subheaders, packed DATA pages). Exists so specs can hand the READER
-  * a real binary `.sas7bdat` fixture with author-known golden values;
-  * kept in test scope because the engine only ever needs to read the
-  * format. */
+  * layout of the public format in BOTH alignment variants (32-bit and
+  * u64) — the same structures [[Sas7bdat]] documents (header magic +
+  * sizes, meta page with ROW_SIZE / COLUMN_SIZE / COLUMN_TEXT /
+  * COLUMN_NAME / COLUMN_ATTRS subheaders, packed DATA pages). Exists
+  * so specs can hand the READER a real binary `.sas7bdat` fixture with
+  * author-known golden values; kept in test scope because the engine
+  * only ever needs to read the format. */
 object SasFixtureWriter {
 
   final case class Col(name: String, isNumeric: Boolean, width: Int) {
@@ -23,19 +23,24 @@ object SasFixtureWriter {
   private val PageSize = 4096
 
   /** `rows(i)(j)`: Double / String / null matching `cols(j)`. */
-  def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]]): Unit = {
+  def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]],
+      u64: Boolean = false): Unit = {
+    val w = if (u64) 8 else 4
+    val base = if (u64) 32 else 16 // page-header offset
+    val ptrSize = 3 * w
     val rowLength = cols.map(_.width).sum
     val rowOffsets = cols.scanLeft(0)(_ + _.width).init
-    val rowsPerDataPage = (PageSize - 24) / rowLength
+    val rowsPerDataPage = (PageSize - (base + 8)) / rowLength
     require(rowsPerDataPage > 0, "row too wide for the page size")
     val dataPages = (rows.size + rowsPerDataPage - 1) / rowsPerDataPage
     val pageCount = 1 + dataPages
 
     // ---- header ------------------------------------------------------
+    val a1 = if (u64) 4 else 0
     val header = ByteBuffer.allocate(HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
     header.put(Sas7bdat.magicBytes)
-    header.put(32, 0x22.toByte) // a2 indicator: not 64-bit
-    header.put(35, 0x22.toByte) // a1 indicator: no extra alignment
+    header.put(32, (if (u64) 0x33 else 0x22).toByte) // a2/u64 indicator
+    header.put(35, (if (u64) 0x33 else 0x22).toByte) // a1 indicator
     header.put(37, 0x01.toByte) // little-endian
     header.put(39, '1'.toByte)  // unix
     header.position(84)
@@ -45,74 +50,86 @@ object SasFixtureWriter {
     header.position(156)
     header.put(pad("DATA", 8))
     val sasNow = 1.7e9 // seconds since 1960 — value is cosmetic
-    header.putDouble(164, sasNow)
-    header.putDouble(172, sasNow)
-    header.putInt(196, HeaderSize)
-    header.putInt(200, PageSize)
-    header.putInt(204, pageCount)
+    header.putDouble(164 + a1, sasNow)
+    header.putDouble(172 + a1, sasNow)
+    header.putInt(196 + a1, HeaderSize)
+    header.putInt(200 + a1, PageSize)
+    if (u64) header.putLong(204 + a1, pageCount.toLong)
+    else header.putInt(204 + a1, pageCount)
 
     // ---- meta page ---------------------------------------------------
     val meta = ByteBuffer.allocate(PageSize).order(ByteOrder.LITTLE_ENDIAN)
     meta.putInt(0, 1) // page sequence
-    meta.putShort(16, 0.toShort) // page type: meta
-    meta.putShort(18, 5.toShort) // block count
-    meta.putShort(20, 5.toShort) // subheader count
+    meta.putShort(base, 0.toShort) // page type: meta
+    meta.putShort(base + 2, 5.toShort) // block count
+    meta.putShort(base + 4, 5.toShort) // subheader count
 
-    // column text content (relative to signature end): int16 size,
-    // 14 bytes pad, then the names
+    def sig(b: ByteBuffer, s: Int): Unit =
+      if (u64) {
+        // u64 widens the FFFF* family by sign-extension, F7/F6 by
+        // zero-padding — the reader matches on the low 32 bits
+        if (s < 0) b.putLong(0, s.toLong) // sign-extends
+        else b.putLong(0, s.toLong & 0xFFFFFFFFL)
+      } else b.putInt(0, s)
+
+    // column text content (relative to signature end = +w): int16 size,
+    // pad to 16, then the names
     val nameBytes = cols.map(_.name.getBytes(StandardCharsets.ISO_8859_1))
     val textContentLen = 16 + nameBytes.map(_.length).sum
-    val text = ByteBuffer.allocate(4 + textContentLen)
+    val text = ByteBuffer.allocate(w + textContentLen)
       .order(ByteOrder.LITTLE_ENDIAN)
-    text.putInt(0, Sas7bdat.SigColText)
-    text.putShort(4, textContentLen.toShort)
+    sig(text, Sas7bdat.SigColText)
+    text.putShort(w, textContentLen.toShort)
     val nameOffsets = new Array[Int](cols.size)
     var cursor = 16
     nameBytes.zipWithIndex.foreach { case (nb, i) =>
       nameOffsets(i) = cursor
-      text.position(4 + cursor)
+      text.position(w + cursor)
       text.put(nb)
       cursor += nb.length
     }
 
-    val rowSize = ByteBuffer.allocate(80).order(ByteOrder.LITTLE_ENDIAN)
-    rowSize.putInt(0, Sas7bdat.SigRowSize)
-    rowSize.putInt(20, rowLength)
-    rowSize.putInt(24, rows.size)
-    rowSize.putInt(60, 0) // no mix-page rows
-
-    val colSize = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-    colSize.putInt(0, Sas7bdat.SigColSize)
-    colSize.putInt(4, cols.size)
-
-    val colName = ByteBuffer.allocate(12 + 8 * cols.size)
+    val rowSize = ByteBuffer.allocate(16 * w + 8)
       .order(ByteOrder.LITTLE_ENDIAN)
-    colName.putInt(0, Sas7bdat.SigColName)
+    sig(rowSize, Sas7bdat.SigRowSize)
+    putWord(rowSize, 5 * w, rowLength, u64)
+    putWord(rowSize, 6 * w, rows.size, u64)
+    putWord(rowSize, 15 * w, 0, u64) // no mix-page rows
+
+    val colSize = ByteBuffer.allocate(2 * w + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    sig(colSize, Sas7bdat.SigColSize)
+    putWord(colSize, w, cols.size, u64)
+
+    val colName = ByteBuffer.allocate(w + 8 + 8 * cols.size)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    sig(colName, Sas7bdat.SigColName)
     cols.indices.foreach { i =>
-      val base = 12 + 8 * i
-      colName.putShort(base, 0.toShort) // text subheader index
-      colName.putShort(base + 2, nameOffsets(i).toShort)
-      colName.putShort(base + 4, nameBytes(i).length.toShort)
+      val b = w + 8 + 8 * i
+      colName.putShort(b, 0.toShort) // text subheader index
+      colName.putShort(b + 2, nameOffsets(i).toShort)
+      colName.putShort(b + 4, nameBytes(i).length.toShort)
     }
 
-    val colAttr = ByteBuffer.allocate(12 + 12 * cols.size)
+    val attrEntry = 8 + w
+    val colAttr = ByteBuffer.allocate(w + 8 + attrEntry * cols.size)
       .order(ByteOrder.LITTLE_ENDIAN)
-    colAttr.putInt(0, Sas7bdat.SigColAttr)
+    sig(colAttr, Sas7bdat.SigColAttr)
     cols.zipWithIndex.foreach { case (c, i) =>
-      val base = 12 + 12 * i
-      colAttr.putInt(base, rowOffsets(i))
-      colAttr.putInt(base + 4, c.width)
-      colAttr.put(base + 10, if (c.isNumeric) 1.toByte else 2.toByte)
+      val b = w + 8 + attrEntry * i
+      putWord(colAttr, b, rowOffsets(i), u64)
+      colAttr.putInt(b + w, c.width)
+      colAttr.put(b + w + 6, if (c.isNumeric) 1.toByte else 2.toByte)
     }
 
     val contents =
       Seq(rowSize, colSize, text, colName, colAttr).map(_.array())
-    var off = 88 // after the 5 pointers at 24..84, 8-aligned
+    var off = (base + 8 + 5 * ptrSize + 7) & ~7 // after the pointers
     contents.zipWithIndex.foreach { case (c, i) =>
-      val ptr = 24 + i * 12
-      meta.putInt(ptr, off)
-      meta.putInt(ptr + 4, c.length)
-      meta.put(ptr + 8, 0.toByte) // uncompressed
+      val ptr = base + 8 + i * ptrSize
+      putWord(meta, ptr, off, u64)
+      putWord(meta, ptr + w, c.length, u64)
+      meta.put(ptr + 2 * w, 0.toByte) // uncompressed
       meta.position(off)
       meta.put(c)
       off = (off + c.length + 7) & ~7
@@ -127,13 +144,13 @@ object SasFixtureWriter {
       rows.grouped(rowsPerDataPage).zipWithIndex.foreach { case (chunk, pi) =>
         val page = ByteBuffer.allocate(PageSize).order(ByteOrder.LITTLE_ENDIAN)
         page.putInt(0, 2 + pi)
-        page.putShort(16, 0x0100.toShort) // data page
-        page.putShort(18, chunk.size.toShort)
-        page.putShort(20, 0.toShort)
+        page.putShort(base, 0x0100.toShort) // data page
+        page.putShort(base + 2, chunk.size.toShort)
+        page.putShort(base + 4, 0.toShort)
         chunk.zipWithIndex.foreach { case (row, ri) =>
-          val base = 24 + ri * rowLength
+          val rowBase = base + 8 + ri * rowLength
           row.zip(cols).zipWithIndex.foreach { case ((v, c), ci) =>
-            val o = base + rowOffsets(ci)
+            val o = rowBase + rowOffsets(ci)
             if (c.isNumeric) {
               val d = v match {
                 case null => Double.NaN
@@ -160,6 +177,9 @@ object SasFixtureWriter {
       }
     } finally out.close()
   }
+
+  private def putWord(b: ByteBuffer, off: Int, v: Int, u64: Boolean): Unit =
+    if (u64) b.putLong(off, v.toLong) else b.putInt(off, v)
 
   /** Flip one magic byte in place — for the bad-magic rejection test. */
   def corruptMagic(path: String): Unit = {
