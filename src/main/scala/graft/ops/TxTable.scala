@@ -37,12 +37,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    entry — atomically, by the same CAS.
   *
   * Scale shape: the log is driver-side JSON a few hundred bytes per
-  * commit (replay is O(commits); production checkpoints the replayed
-  * state every N commits — same protocol, omitted here); every data
-  * operation is an ordinary distributed Spark job over the snapshot's
-  * parquet files. Nothing row-scale ever passes through the driver.
+  * commit; every data operation is an ordinary distributed Spark job
+  * over the snapshot's parquet files. Nothing row-scale ever passes
+  * through the driver. Replay cost is bounded by CHECKPOINTS: every
+  * [[TxTable.CheckpointInterval]] commits the winner also writes
+  * `_log/<version>.ckpt.json` holding the fully-replayed active file
+  * list, and snapshot resolution starts from the newest checkpoint at
+  * or below the requested version — O(interval) log reads per
+  * snapshot no matter how long the table lives (the same device as
+  * Delta's `_last_checkpoint`). Checkpoints are pure accelerators:
+  * best-effort, atomically linked like commits, and a missing or
+  * torn one just falls back to full replay.
   */
 object TxTable {
+
+  /** Write a replay checkpoint every this-many commits. */
+  val CheckpointInterval = 10
 
   final case class Commit(
       version: Long, action: String,
@@ -94,12 +104,28 @@ final class TxTable private (spark: SparkSession, dir: String) {
 
   private def logFile(v: Long): File = new File(f"$logDir/$v%020d.json")
 
-  private def commits(): Seq[Commit] = {
+  private def ckptFile(v: Long): File =
+    new File(f"$logDir/$v%020d.ckpt.json")
+
+  private def readEntry(f: File): Commit =
+    parse(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+
+  /** (commit entries, checkpoint entries), each (version, file) sorted. */
+  private def listLog(): (Seq[(Long, File)], Seq[(Long, File)]) = {
     val fs = Option(new File(logDir).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-    val parsed = fs.toSeq.map(f =>
-      parse(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
+      .getOrElse(Array.empty[File]).toSeq
+    def versions(suffix: String) = fs
+      .filter(f => f.getName.length == 20 + suffix.length &&
+        f.getName.endsWith(suffix) &&
+        f.getName.take(20).forall(_.isDigit))
+      .map(f => (f.getName.take(20).toLong, f)).sortBy(_._1)
+    (versions(".json"), versions(".ckpt.json"))
+  }
+
+  /** Full commit history replay list (vacuum + checkpoint fallback). */
+  private def commits(): Seq[Commit] = {
+    val (cfs, _) = listLog()
+    val parsed = cfs.map { case (_, f) => readEntry(f) }
     // contiguity: versions must run 0,1,2,… — a gap means the history
     // beyond it is not yet committed
     parsed.zipWithIndex.takeWhile { case (c, i) => c.version == i }.map(_._1)
@@ -108,13 +134,27 @@ final class TxTable private (spark: SparkSession, dir: String) {
   /** Latest committed snapshot (version -1 = empty table). */
   def snapshot(): Snapshot = snapshotAt(Long.MaxValue)
 
-  /** Time travel: the table as of `version` (inclusive). */
+  /** Time travel: the table as of `version` (inclusive). Resolution
+    * starts from the newest checkpoint ≤ `version` when one exists, so
+    * the log-read cost is O(CheckpointInterval), not O(history). */
   def snapshotAt(version: Long): Snapshot = {
-    val cs = commits().filter(_.version <= version)
-    val active = cs.foldLeft(Vector.empty[String]) { (files, c) =>
-      files.filterNot(c.remove.contains) ++ c.add
+    val (cfs, ckpts) = listLog()
+    val ck = ckpts.filter(_._1 <= version).lastOption
+      .map { case (_, f) => readEntry(f) }
+    // a checkpoint is only ever written after its commit exists, so
+    // contiguity restarts at ck.version + 1
+    val startV = ck.map(_.version + 1).getOrElse(0L)
+    val tail = cfs
+      .filter { case (v, _) => v >= startV && v <= version }
+      .map { case (_, f) => readEntry(f) }
+    val cs = tail.zipWithIndex
+      .takeWhile { case (c, i) => c.version == startV + i }.map(_._1)
+    val active = cs.foldLeft(ck.map(_.add.toVector).getOrElse(Vector.empty)) {
+      (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
-    Snapshot(cs.lastOption.map(_.version).getOrElse(-1L),
+    Snapshot(
+      cs.lastOption.map(_.version)
+        .orElse(ck.map(_.version)).getOrElse(-1L),
       active.map(f => s"$dir/$f"))
   }
 
@@ -151,11 +191,27 @@ final class TxTable private (spark: SparkSession, dir: String) {
     Files.write(tmp.toPath, render(c).getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(target.toPath, tmp.toPath)
+      maybeCheckpoint(c.version)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
     } finally tmp.delete()
   }
+
+  /** Every [[CheckpointInterval]] commits, the winner persists the
+    * fully-replayed active file list next to its entry. Best-effort:
+    * a failed or lost checkpoint only costs replay time, never
+    * correctness, so every failure mode is swallowed. */
+  private def maybeCheckpoint(version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0) try {
+      val files = snapshotAt(version).files.map(_.stripPrefix(s"$dir/"))
+      val c = Commit(version, "ckpt", files, Nil, System.currentTimeMillis())
+      val target = ckptFile(version)
+      val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp.toPath, render(c).getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(target.toPath, tmp.toPath)
+      finally tmp.delete()
+    } catch { case _: Throwable => () }
 
   /** Append `df` — never conflicts; rebases onto any winner's head. */
   def append(df: DataFrame, maxRetries: Int = 50): Commit = {

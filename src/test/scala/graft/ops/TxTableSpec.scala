@@ -81,7 +81,8 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().count() === 4 * 3 * 10)
     assert(t.snapshot().version === 11) // 12 commits, contiguous 0..11
     val logs = new File(s"$dir/_log").listFiles()
-      .filter(_.getName.endsWith(".json")).map(_.getName).sorted
+      .filter(f => f.getName.endsWith(".json") &&
+        !f.getName.endsWith(".ckpt.json")).map(_.getName).sorted
     assert(logs.length === 12)
   }
 
@@ -137,6 +138,21 @@ class TxTableSpec extends SparkTestBase {
     val live = new File(dir).listFiles()
       .filter(_.getName.startsWith("data-")).map(_.getName).toSet
     assert(t.snapshot().files.map(_.split("/").last).forall(live.contains))
+  }
+
+  test("checkpoint accelerates replay; a deleted checkpoint falls back cleanly") {
+    val (t, dir) = mkTable()
+    (0 until 12).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    val ckpts = new File(s"$dir/_log").listFiles()
+      .filter(_.getName.endsWith(".ckpt.json"))
+    assert(ckpts.nonEmpty, "12 commits should have produced a checkpoint")
+    val viaCkpt = t.read().orderBy("id").collect().toSeq
+    // time travel BELOW the checkpoint still replays from scratch
+    assert(t.readAt(3).count() === 40)
+    // checkpoints are accelerators only: removing them changes nothing
+    ckpts.foreach(_.delete())
+    assert(t.read().orderBy("id").collect().toSeq === viaCkpt)
+    assert(t.snapshot().version === 11)
   }
 
   test("commit-log codec roundtrips") {
