@@ -253,6 +253,49 @@ object EventStreams {
       .start()
   }
 
+  /** [[cdcApplySink]] upgraded to the transactional table
+    * ([[graft.ops.TxTable]]): each micro-batch's last-change-per-key
+    * set is MERGE-committed through the versioned commit log instead of
+    * a plain snapshot overwrite. What the protocol buys the CDC path:
+    *
+    *  - no first-batch presence probe — the log is the source of truth,
+    *    an empty table merges as pure inserts, and a transient FS error
+    *    throws (the engine retries the batch) rather than being
+    *    mistakable for "first batch";
+    *  - readers can NEVER see a torn snapshot: the new version exists
+    *    only once its commit entry links in, and a reader mid-query on
+    *    the old version keeps its files (no read-your-own-delete, so no
+    *    checkpoint pinning dance);
+    *  - concurrent writers are safe (optimistic CAS), and every batch
+    *    leaves a time-travelable version — `readAt(v)` reconstructs the
+    *    snapshot as of any micro-batch, the audit trail a plain
+    *    overwrite destroys.
+    *
+    * A replayed micro-batch (restart after a crash between the commit
+    * and the offset write) re-merges identical rows — an extra version
+    * with identical content, so the head snapshot is idempotent. */
+  def txCdcApplySink(
+      changes: DataFrame, keyCol: String, seqCol: String,
+      tableDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val cols = changes.columns
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch
+          .groupBy(col(keyCol))
+          .agg(expr(s"max_by(struct(${cols.mkString(", ")}), $seqCol)")
+            .as("__r"))
+          .select(cols.map(c => col(s"__r.$c")): _*)
+        graft.ops.TxTable(spark, tableDir).upsert(latest, Seq(keyCol))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming mergeable-sketch rollup: maintains per-(day, event_type)
     * HLL sketches of distinct users in a parquet snapshot, merging each
     * micro-batch's sketches into the persisted ones via `hll_union_agg`

@@ -195,6 +195,37 @@ class EventStreamsSpec extends SparkTestBase {
       Map(1L -> ("a1", 2L), 2L -> ("b1", 2L), 3L -> ("c0", 1L)))
   }
 
+  test("txCdcApplySink: versioned CDC snapshot with time travel across restarts") {
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val changes = input.toDS().toDF("k", "v", "seq")
+    val tdir = java.nio.file.Files.createTempDirectory("graft-txcdc-t-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-txcdc-c-").toString
+    val table = graft.ops.TxTable(spark, tdir)
+
+    def readSnap(): Map[Long, (String, Long)] =
+      table.read().collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // batch 1: two keys, plus an in-batch double update for k=1 (seq wins)
+    input.addData((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L))
+    var q = EventStreams.txCdcApplySink(changes, "k", "seq", tdir, ckpt)
+    q.awaitTermination()
+    assert(readSnap() === Map(1L -> ("a1", 2L), 2L -> ("b0", 1L)))
+    val v1 = table.snapshot().version
+
+    // batch 2 (restart, same checkpoint): update k=2, insert k=3
+    input.addData((2L, "b1", 2L), (3L, "c0", 1L))
+    q = EventStreams.txCdcApplySink(changes, "k", "seq", tdir, ckpt)
+    q.awaitTermination()
+    assert(readSnap() ===
+      Map(1L -> ("a1", 2L), 2L -> ("b1", 2L), 3L -> ("c0", 1L)))
+    // the commit log kept batch 1's state: time travel reconstructs it
+    assert(table.readAt(v1).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap ===
+      Map(1L -> ("a1", 2L), 2L -> ("b0", 1L)))
+    assert(table.snapshot().version > v1)
+  }
+
   test("cdcApplySink fails the batch on an unreadable snapshot instead of truncating") {
     val input = MemoryStream[(Long, String, Long)](spark)
     val changes = input.toDS().toDF("k", "v", "seq")
