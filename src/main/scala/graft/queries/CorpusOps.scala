@@ -279,7 +279,51 @@ object CorpusOps {
                   t -> t <> ''))), 4) AS avg_tokens
             FROM documents"""))
 
+  // ------------------------------------------------------- RAG chunking
+  /** Overlapping token-window chunking — the retrieval/embedding prep
+    * step: every document becomes ⌈tokens/stride⌉ chunks of up to
+    * `ChunkWindow` tokens starting every `ChunkStride` (10-token
+    * overlap carries context across boundaries). Entirely map-side:
+    * tokenize → `sequence` of starts → `explode` → `slice`, so at
+    * 100 TB chunking is a pure scan-stage rewrite with NO shuffle —
+    * the chunk table partitions exactly like its source, and the
+    * downstream embedding/indexing job (x_embed_*) starts co-located.
+    * (chunk_id = (doc_id, chunk_idx) stays derivable, never hashed, so
+    * provenance joins back to documents are equi-joins.) */
+  private val ChunkWindow = 40
+  private val ChunkStride = 30
+  private val chunkDocuments = GraftQuery(
+    "x_chunk_documents",
+    (s, d) => {
+      val toks = TextFunctions.tokens(col("text")) // ws_tokens lower-cases
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1,
+            lit(ChunkStride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / ChunkStride).cast("int").as("chunk_idx"),
+          slice(col("toks"), col("start") + 1, lit(ChunkWindow)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+    },
+    Some(s"""WITH $tokensCte,
+      starts AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, $ChunkStride))
+                     AS start
+                 FROM toks WHERE len(toks) > 0)
+      SELECT doc_id,
+        CAST(start // $ChunkStride AS INTEGER) AS chunk_idx,
+        CAST(len(list_slice(toks, start + 1, start + $ChunkWindow))
+             AS INTEGER) AS n_tokens,
+        array_to_string(list_slice(toks, start + 1, start + $ChunkWindow), ' ')
+          AS chunk_text
+      FROM starts"""))
+
   val queries: Seq[GraftQuery] =
     Seq(sampleStratified, sampleWeighted, sourceCap, packSequences,
-      repetitionRatio, decontaminate, sourceMix, percentileFilter, profile)
+      repetitionRatio, decontaminate, sourceMix, percentileFilter, profile,
+      chunkDocuments)
 }
