@@ -503,8 +503,76 @@ object TrainingData {
         ON a.event_type = b.event_type AND a.event_id < b.event_id
        AND abs(a.us - b.us) <= 2000000"""))
 
+  // ---------------------------------------------------------------- BM25
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed term query —
+    * the lexical side of a hybrid search stack (the `x_embed_*` family
+    * is the dense side). Scale shape: the query-term filter runs INSIDE
+    * the token array (`filter` before `explode`), so the fan-out and
+    * the (doc_id, term) shuffle carry only matching terms, never the
+    * corpus vocabulary; df and the corpus stats are broadcast back
+    * (≤ |query| + 1 rows); ranking is TakeOrderedAndProject. Per-term
+    * scores are rounded to 6 before the per-doc sum (and the sum to 5)
+    * so cross-engine `ln` last-ulp and summation-order differences
+    * cannot flip the ranking — same rounding discipline as
+    * [[tfidf]]/IVF, same documented residual boundary risk. */
+  private val Bm25Query = Seq("hash", "join", "vector")
+  private val bm25 = GraftQuery(
+    "x_bm25_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val dl = toks.select(col("doc_id"),
+        size(col("toks")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        round(avg("dl"), 6).as("avgdl"))
+      val tf = toks
+        .select(col("doc_id"),
+          explode(filter(col("toks"),
+            t => t.isInCollection(Bm25Query))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+        .groupBy("doc_id")
+        .agg(round(sum("score"), 5).as("bm25"),
+          count(lit(1)).cast("int").as("n_terms"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(10)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                             ROUND(AVG(dl), 6) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+                   WHERE term IN ('hash', 'join', 'vector')
+                   GROUP BY 1, 2),
+            dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                    FROM tf GROUP BY 1),
+            per AS (SELECT tf.doc_id, ROUND(
+                      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                        (tf * 2.2) /
+                        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+                    FROM tf JOIN dfc USING (term)
+                      JOIN dl ON tf.doc_id = dl.doc_id, stats)
+            SELECT doc_id, ROUND(SUM(score), 5) AS bm25,
+                   CAST(COUNT(*) AS INTEGER) AS n_terms
+            FROM per GROUP BY 1
+            ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, charEntropy, bigramLoglik,
     fingerprint, eventsHourly, gapFill, langId, sessionize, sessionWindow,
-    jsonExtract, asofJoin, intervalJoin, tfidf, temporalPairs)
+    jsonExtract, asofJoin, intervalJoin, tfidf, temporalPairs, bm25)
 }
