@@ -61,6 +61,21 @@ class CorpusOpsPlanSpec extends SparkTestBase {
     assert(plan.contains("Window"), "expected the per-partition window")
   }
 
+  test("document chunking is entirely map-side: no exchange at all") {
+    val plan = finalPlan("x_chunk_documents")
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), "expected the explode of chunk starts")
+  }
+
+  test("bm25 explodes only query-matching terms, never the vocabulary") {
+    // the term filter must sit INSIDE the token array (ArrayFilter under
+    // the Generate), so the fan-out is |matching terms|, not |tokens|
+    val analyzed = build("x_bm25_search")
+      .queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("filter(toks"),
+      s"term filter should run inside the array before explode:\n$analyzed")
+  }
+
   test("hybrid search pushes the metadata predicates into the doc scan") {
     val scans = build("x_embed_hybrid_search")
       .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
