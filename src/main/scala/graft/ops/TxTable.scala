@@ -285,8 +285,17 @@ final class TxTable private (spark: SparkSession, dir: String) {
 
   /** Delete data files that no snapshot ≥ `retainVersion` references.
     * Time travel below `retainVersion` stops working — the standard
-    * vacuum contract. Returns the reclaimed file names. */
-  def vacuum(retainVersion: Long): Seq[String] = {
+    * vacuum contract. Returns the reclaimed file names.
+    *
+    * `minAgeMs` guards the stage-then-commit window: a concurrent
+    * writer's freshly staged files are not yet referenced by any log
+    * entry, and deleting them here would break the commit that is
+    * about to reference them. Files younger than the guard are
+    * therefore kept regardless of reference state (the same
+    * retention-period device Delta's VACUUM uses); the default
+    * comfortably exceeds any stage-to-commit latency. */
+  def vacuum(retainVersion: Long,
+      minAgeMs: Long = 60 * 60 * 1000L): Seq[String] = {
     // alive = active at the retention horizon, or added after it (such
     // a file is part of some retained snapshot even if later removed).
     // A file a retained commit merely REMOVES is not kept alive by that
@@ -294,9 +303,10 @@ final class TxTable private (spark: SparkSession, dir: String) {
     val referenced = commits().filter(_.version > retainVersion)
       .flatMap(_.add).toSet ++
       snapshotAt(retainVersion).files.map(_.stripPrefix(s"$dir/"))
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val dead = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("data-") &&
-        !referenced.contains(f.getName))
+        !referenced.contains(f.getName) && f.lastModified() <= cutoff)
     dead.foreach(_.delete())
     dead.map(_.getName).toSeq
   }

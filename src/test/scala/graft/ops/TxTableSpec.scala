@@ -132,12 +132,22 @@ class TxTableSpec extends SparkTestBase {
     val (t, dir) = mkTable()
     t.append(df(0 until 10))     // v0
     t.overwrite(df(0 until 3))   // v1: v0's files now unreferenced
-    val reclaimed = t.vacuum(retainVersion = 1)
+    val reclaimed = t.vacuum(retainVersion = 1, minAgeMs = 0)
     assert(reclaimed.nonEmpty)
     assert(t.read().count() === 3)
     val live = new File(dir).listFiles()
       .filter(_.getName.startsWith("data-")).map(_.getName).toSet
     assert(t.snapshot().files.map(_.split("/").last).forall(live.contains))
+  }
+
+  test("vacuum's age guard protects a concurrent writer's staged files") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))     // v0
+    t.overwrite(df(0 until 3))   // v1: v0's files now unreferenced...
+    // ...but with the default age guard nothing is young enough to die,
+    // so an in-flight stage-then-commit can never lose its files
+    assert(t.vacuum(retainVersion = 1).isEmpty)
+    assert(t.readAt(0).count() === 10) // history still intact
   }
 
   test("checkpoint accelerates replay; a deleted checkpoint falls back cleanly") {
