@@ -37,6 +37,16 @@ object Layout {
   def zorderedWrite(
       df: DataFrame, a: String, b: String, path: String,
       numFiles: Int = 8): DataFrame = {
+    zordered(df, a, b, numFiles).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** The curve-clustered frame behind [[zorderedWrite]], for sinks that
+    * own their write path (e.g. [[TxTable.compactZOrdered]] staging):
+    * range-partitioned into `numFiles` tiles of the Morton curve and
+    * sorted within each — whatever writes it inherits the layout. */
+  def zordered(
+      df: DataFrame, a: String, b: String, numFiles: Int = 8): DataFrame = {
     val bounds = df.agg(
       min(col(a)).cast("double").as("__amin"),
       max(col(a)).cast("double").as("__amax"),
@@ -45,16 +55,13 @@ object Layout {
     def dense(c: Column, lo: Column, hi: Column): Column =
       least(floor((c.cast("double") - lo) / greatest(hi - lo, lit(1e-300))
         * Buckets), lit((Buckets - 1).toDouble)).cast("long")
-    val keyed = df.crossJoin(broadcast(bounds))
+    df.crossJoin(broadcast(bounds))
       .withColumn("__z", call_function("morton2",
         dense(col(a), col("__amin"), col("__amax")),
         dense(col(b), col("__bmin"), col("__bmax"))))
       .drop("__amin", "__amax", "__bmin", "__bmax")
-    keyed
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
   }
 }

@@ -213,8 +213,20 @@ final class TxTable private (spark: SparkSession, dir: String) {
       finally tmp.delete()
     } catch { case _: Throwable => () }
 
-  /** Append `df` — never conflicts; rebases onto any winner's head. */
+  /** Append `df` — never conflicts; rebases onto any winner's head.
+    * The incoming schema must match the table's (same name → type map;
+    * column order is free — parquet readers resolve by name): a silent
+    * schema drift would otherwise surface as reader-dependent column
+    * soup long after the writing job exited. */
   def append(df: DataFrame, maxRetries: Int = 50): Commit = {
+    val base = snapshot()
+    if (base.files.nonEmpty) {
+      val existing = base.read(spark).schema
+        .fields.map(f => f.name -> f.dataType).toMap
+      val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      require(existing == incoming,
+        s"append schema mismatch: table has $existing, incoming $incoming")
+    }
     val files = stage(df)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -264,23 +276,45 @@ final class TxTable private (spark: SparkSession, dir: String) {
   }
 
   /** Compact the current snapshot to `targetFiles` files — content
-    * identical, file count bounded. Conflicts (the base was rewritten
-    * concurrently) surface as an error; rerun to compact the new head. */
-  def compact(targetFiles: Int = 1): Commit = {
+    * identical, file count bounded. */
+  def compact(targetFiles: Int = 1, maxRetries: Int = 20): Commit =
+    compactLayout(_.repartition(targetFiles), maxRetries)
+
+  /** Compaction that also Z-ORDER-clusters the rewrite on (a, b)
+    * ([[Layout.zordered]]): min/max file stats come out tight in both
+    * dimensions, so post-compaction scans data-skip on either
+    * predicate. Same conflict semantics as [[compact]]. */
+  def compactZOrdered(a: String, b: String, targetFiles: Int = 8,
+      maxRetries: Int = 20): Commit =
+    compactLayout(Layout.zordered(_, a, b, targetFiles), maxRetries)
+
+  /** Shared compaction protocol: replace EXACTLY the base snapshot's
+    * files with their `layout` rewrite. A concurrent APPEND is no
+    * conflict — the appended files are untouched by the replacement, so
+    * the commit retries onto the new head and content is preserved
+    * (base ∪ appended). A concurrent REWRITE (upsert/overwrite) that
+    * removed any base file aborts with an error: the rewrite already
+    * subsumed or dropped rows this compaction would resurrect. */
+  private def compactLayout(
+      layout: DataFrame => DataFrame, maxRetries: Int): Commit = {
     val base = snapshot()
-    val files = stage(base.read(spark).repartition(targetFiles))
+    val files = stage(layout(base.read(spark)))
     val baseNames = base.files.map(_.stripPrefix(s"$dir/"))
-    val head = snapshot()
-    val nowActive = head.files.map(_.stripPrefix(s"$dir/"))
-    require(baseNames.forall(nowActive.contains),
-      "compaction base was rewritten concurrently — rerun compact()")
-    val c = Commit(head.version + 1, "compact", files, baseNames,
-      System.currentTimeMillis())
-    if (!tryCommit(c)) {
-      files.foreach(n => new File(dir, n).delete())
-      sys.error("compaction lost the commit race — rerun compact()")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val nowActive = head.files.map(_.stripPrefix(s"$dir/")).toSet
+      if (!baseNames.forall(nowActive.contains)) {
+        files.foreach(n => new File(dir, n).delete())
+        sys.error("compaction base was rewritten concurrently — rerun compact()")
+      }
+      val c = Commit(head.version + 1, "compact", files, baseNames,
+        System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      attempt += 1
     }
-    c
+    files.foreach(n => new File(dir, n).delete())
+    sys.error(s"compaction contention: lost $maxRetries races in $logDir")
   }
 
   /** Delete data files that no snapshot ≥ `retainVersion` references.

@@ -115,6 +115,46 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().orderBy("id").collect().toSeq === before)
   }
 
+  test("append rejects a schema-diverging frame") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 5))
+    val wrong = Seq((1L, 2.0)).toDF("id", "payload") // payload: double
+    val e = intercept[IllegalArgumentException](t.append(wrong))
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(t.read().count() === 5) // nothing landed
+  }
+
+  test("compaction retries across a concurrent append; content is the union") {
+    val (t, _) = mkTable()
+    (0 until 4).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fc = Future { t.compact(targetFiles = 1) }
+      val fa = Future { t.append(df(900 until 910)) }
+      Await.result(Future.sequence(Seq(fc, fa)), 120.seconds)
+    } finally pool.shutdown()
+    // an append never removes files, so compaction must succeed and the
+    // final content is base ∪ appended regardless of interleaving
+    assert(t.read().count() === 50)
+    assert(t.read().select("id").distinct.count() === 50)
+  }
+
+  test("z-ordered compaction preserves content and bounds files") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    (0 until 4).foreach { i =>
+      t.append((i * 25 until i * 25 + 25)
+        .map(j => (j.toLong, (j * 37 % 100).toLong, s"row-$j"))
+        .toDF("x", "y", "payload"))
+    }
+    val before = t.read().orderBy("x").collect().toSeq
+    t.compactZOrdered("x", "y", targetFiles = 2)
+    assert(t.snapshot().files.size === 2)
+    assert(t.read().orderBy("x").collect().toSeq === before)
+  }
+
   test("crash garbage (staged-but-uncommitted files) is invisible") {
     val (t, dir) = mkTable()
     t.append(df(0 until 10))
