@@ -58,10 +58,14 @@ object TxTable {
       version: Long, action: String,
       add: Seq[String], remove: Seq[String], ts: Long)
 
-  final case class Snapshot(version: Long, files: Seq[String]) {
+  final case class Snapshot(version: Long, files: Seq[String],
+      base: String) {
+    /** `basePath` keeps hive-style `col=value` path segments parsing as
+      * partition columns when files are read by explicit list; harmless
+      * for flat tables. */
     def read(spark: SparkSession): DataFrame =
       if (files.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", base).parquet(files: _*)
   }
 
   /** Open (or initialize) a transactional table rooted at `dir`. */
@@ -155,7 +159,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
     Snapshot(
       cs.lastOption.map(_.version)
         .orElse(ck.map(_.version)).getOrElse(-1L),
-      active.map(f => s"$dir/$f"))
+      active.map(f => s"$dir/$f"), dir)
   }
 
   def read(): DataFrame = snapshot().read(spark)
@@ -176,10 +180,38 @@ final class TxTable private (spark: SparkSession, dir: String) {
         StandardCopyOption.ATOMIC_MOVE)
       name
     }
-    Option(new File(tmp).listFiles()).getOrElse(Array.empty)
-      .foreach(_.delete())
-    new File(tmp).delete()
+    rmTree(new File(tmp))
     named
+  }
+
+  /** [[stage]] for hive-partitioned writes: part files move from the
+    * staging dir's `col=value/` subdirs to matching subdirs of the
+    * table root, and the returned names stay partition-qualified. */
+  private def stagePartitioned(
+      df: DataFrame, partitionCol: String): Seq[String] = {
+    val tmp = s"$dir/_staged-${UUID.randomUUID()}"
+    df.write.partitionBy(partitionCol).parquet(tmp)
+    val subdirs = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    val named = subdirs.toSeq.flatMap { sub =>
+      Files.createDirectories(Paths.get(dir, sub.getName))
+      Option(sub.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val rel = s"${sub.getName}/data-${UUID.randomUUID()}.parquet"
+          Files.move(f.toPath, Paths.get(dir, rel),
+            StandardCopyOption.ATOMIC_MOVE)
+          rel
+        }
+    }
+    rmTree(new File(tmp))
+    named
+  }
+
+  private def rmTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
   }
 
   /** Atomic claim of `version`: write the full entry to a temp name,
@@ -213,12 +245,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       finally tmp.delete()
     } catch { case _: Throwable => () }
 
-  /** Append `df` — never conflicts; rebases onto any winner's head.
-    * The incoming schema must match the table's (same name → type map;
-    * column order is free — parquet readers resolve by name): a silent
-    * schema drift would otherwise surface as reader-dependent column
-    * soup long after the writing job exited. */
-  def append(df: DataFrame, maxRetries: Int = 50): Commit = {
+  private def guardSchema(df: DataFrame): Unit = {
     val base = snapshot()
     if (base.files.nonEmpty) {
       val existing = base.read(spark).schema
@@ -227,7 +254,9 @@ final class TxTable private (spark: SparkSession, dir: String) {
       require(existing == incoming,
         s"append schema mismatch: table has $existing, incoming $incoming")
     }
-    val files = stage(df)
+  }
+
+  private def commitAppend(files: Seq[String], maxRetries: Int): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
       val c = Commit(snapshot().version + 1, "append", files, Nil,
@@ -236,6 +265,46 @@ final class TxTable private (spark: SparkSession, dir: String) {
       attempt += 1
     }
     sys.error(s"append contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Append `df` — never conflicts; rebases onto any winner's head.
+    * The incoming schema must match the table's (same name → type map;
+    * column order is free — parquet readers resolve by name): a silent
+    * schema drift would otherwise surface as reader-dependent column
+    * soup long after the writing job exited. */
+  def append(df: DataFrame, maxRetries: Int = 50): Commit = {
+    guardSchema(df)
+    commitAppend(stage(df), maxRetries)
+  }
+
+  /** Hive-layout partitioned append: data files land under
+    * `partitionCol=value/` subdirectories and the commit entry records
+    * the partition-qualified relative paths — which makes
+    * [[readPartition]] a MANIFEST-level prune (file selection from the
+    * log alone, no directory listing, no footer reads for
+    * non-matching partitions; the same mechanism as Iceberg's manifest
+    * partition filtering). The partition column round-trips through
+    * path inference on read, so keep its values inference-stable
+    * (strings that don't look numeric, or exact ints) — same caveat
+    * every hive-layout table has. Use ONE append style per table:
+    * mixing flat and partitioned files makes path-based partition
+    * inference ill-defined. */
+  def appendPartitioned(df: DataFrame, partitionCol: String,
+      maxRetries: Int = 50): Commit = {
+    require(df.columns.contains(partitionCol),
+      s"partition column $partitionCol not in ${df.columns.mkString(",")}")
+    guardSchema(df)
+    commitAppend(stagePartitioned(df, partitionCol), maxRetries)
+  }
+
+  /** Manifest-pruned partition read: the snapshot's file list is
+    * filtered on the partition-qualified path IN THE LOG — untouched
+    * partitions contribute zero I/O, not even a listing. */
+  def readPartition(partitionCol: String, value: Any): DataFrame = {
+    val snap = snapshot()
+    val prefix = s"$partitionCol=$value/"
+    val sel = snap.files.filter(_.stripPrefix(s"$dir/").startsWith(prefix))
+    Snapshot(snap.version, sel, dir).read(spark)
   }
 
   /** Replace the table's content with `df` in one atomic commit. */
@@ -338,10 +407,19 @@ final class TxTable private (spark: SparkSession, dir: String) {
       .flatMap(_.add).toSet ++
       snapshotAt(retainVersion).files.map(_.stripPrefix(s"$dir/"))
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val dead = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("data-") &&
-        !referenced.contains(f.getName) && f.lastModified() <= cutoff)
-    dead.foreach(_.delete())
-    dead.map(_.getName).toSeq
+    val root = new File(dir)
+    val top = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("data-"))
+      .map(f => f.getName -> f)
+    val sub = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("data-"))
+        .map(f => s"${d.getName}/${f.getName}" -> f))
+    val dead = (top ++ sub).filter { case (rel, f) =>
+      !referenced.contains(rel) && f.lastModified() <= cutoff
+    }
+    dead.foreach(_._2.delete())
+    dead.map(_._1).toSeq
   }
 }

@@ -190,6 +190,31 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readAt(0).count() === 10) // history still intact
   }
 
+  test("partitioned append: manifest-level pruning reads only matching files") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    val rows = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"row-$i"))
+    t.appendPartitioned(rows.toDF("id", "lang", "payload"), "lang")
+    // full read restores the partition column via the base path
+    assert(t.read().select("lang").distinct.count() === 2)
+    assert(t.read().count() === 40)
+    // manifest prune: the selected file list contains ONLY the lang=en
+    // subdir's files — the de partition contributes zero I/O
+    val en = t.readPartition("lang", "en")
+    assert(en.count() === 20)
+    assert(en.select("lang").distinct.collect().map(_.getString(0)).toSeq
+      === Seq("en"))
+    val enFiles = en.inputFiles
+    assert(enFiles.nonEmpty && enFiles.forall(_.contains("lang=en/")),
+      s"pruned read touched non-matching files: ${enFiles.mkString(",")}")
+    // vacuum sees partition subdirs: overwrite then reclaim
+    t.overwrite(rows.take(4).toDF("id", "lang", "payload"))
+    val reclaimed = t.vacuum(retainVersion = 1, minAgeMs = 0)
+    assert(reclaimed.exists(_.startsWith("lang=")),
+      s"partitioned files not reclaimed: $reclaimed")
+  }
+
   test("checkpoint accelerates replay; a deleted checkpoint falls back cleanly") {
     val (t, dir) = mkTable()
     (0 until 12).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
