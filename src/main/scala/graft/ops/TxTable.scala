@@ -307,6 +307,34 @@ final class TxTable private (spark: SparkSession, dir: String) {
     Snapshot(snap.version, sel, dir).read(spark)
   }
 
+  /** Dynamic-partition overwrite, transactionally: replace ONLY the
+    * partitions present in `df`, in one atomic commit — the TxTable
+    * face of the k9 restatement semantics (a plain dynamic overwrite
+    * leaves a window where a partition is truncated but not yet
+    * rewritten; here both sides swap in a single log entry). `df` must
+    * carry `partitionCol`; untouched partitions' files are not even
+    * mentioned. */
+  def overwritePartitions(df: DataFrame, partitionCol: String,
+      maxRetries: Int = 50): Commit = {
+    require(df.columns.contains(partitionCol),
+      s"partition column $partitionCol not in ${df.columns.mkString(",")}")
+    guardSchema(df)
+    val files = stagePartitioned(df, partitionCol)
+    val touched = files.map(_.takeWhile(_ != '/')).toSet // col=value prefixes
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = snapshot()
+      val replaced = base.files.map(_.stripPrefix(s"$dir/"))
+        .filter(f => touched.contains(f.takeWhile(_ != '/')))
+      val c = Commit(base.version + 1, "overwrite", files, replaced,
+        System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    files.foreach(n => new File(dir, n).delete())
+    sys.error(s"overwritePartitions contention: lost $maxRetries races in $logDir")
+  }
+
   /** Replace the table's content with `df` in one atomic commit. */
   def overwrite(df: DataFrame, maxRetries: Int = 50): Commit = {
     val files = stage(df)

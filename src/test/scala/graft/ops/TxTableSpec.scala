@@ -215,6 +215,25 @@ class TxTableSpec extends SparkTestBase {
       s"partitioned files not reclaimed: $reclaimed")
   }
 
+  test("overwritePartitions restates only the touched partition, atomically") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    val rows = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"row-$i"))
+    t.appendPartitioned(rows.toDF("id", "lang", "payload"), "lang")
+    val v0 = t.snapshot().version
+    // restate lang=en with 3 rows; lang=de must be untouched
+    val restated = Seq((100L, "en", "NEW-a"), (101L, "en", "NEW-b"),
+      (102L, "en", "NEW-c")).toDF("id", "lang", "payload")
+    t.overwritePartitions(restated, "lang")
+    assert(t.readPartition("lang", "en").count() === 3)
+    assert(t.readPartition("lang", "de").count() === 20)
+    assert(t.read().count() === 23)
+    // single atomic commit; the pre-restatement state time-travels back
+    assert(t.snapshot().version === v0 + 1)
+    assert(t.readAt(v0).count() === 40)
+  }
+
   test("checkpoint accelerates replay; a deleted checkpoint falls back cleanly") {
     val (t, dir) = mkTable()
     (0 until 12).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
