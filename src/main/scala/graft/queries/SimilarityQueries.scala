@@ -608,18 +608,120 @@ object SimilarityQueries {
         s.read.parquet(s"$dir/queries"))
     }))
 
+  // ------------------------------------------------- hybrid ANN
+  /** Filter-aware ANN — the scale-safe successor to
+    * [[hybridSearch]]'s filter-then-brute-force shape: the metadata
+    * predicate prunes the COMPRESSED candidate table (vec_id, cell,
+    * codes) before any distance work, ADC scores only surviving
+    * same-cell candidates, and the exact re-rank touches raw vectors
+    * for ≤ ShortList rows per query. Where the brute-force hybrid is
+    * O(|filtered|·q) dot products over raw vectors — still O(corpus)
+    * for broad predicates — this is O(|filtered ∩ probed cells|·q)
+    * table lookups over 32×-compressed codes, and the doc predicate
+    * pushes into the documents scan exactly as before. Final scores
+    * are exact cosine, so PQ error affects recall only (floor pinned
+    * by `HybridAnnRecallSpec`). */
+  private val hybridDocFilterSql =
+    "lang IN ('en', 'de') AND n_chars >= 200"
+
+  /** Probe width for filtered search. A metadata predicate does two
+    * things to recall: it thins every probed cell to ~s·|cell|
+    * survivors (selectivity s), and it makes the TRUE filtered top-k
+    * more distant than the unfiltered top-k (the filter removed closer
+    * neighbors) — more distant neighbors have weaker cell locality. So
+    * filtered search widens the coarse probe, not the shortlist: 3×
+    * the unfiltered width holds recall on this corpus's ~50%-selective
+    * doc filter; `HybridAnnRecallSpec` pins the resulting floor. */
+  val HybridNprobe = 3 * IvfNprobe
+
+  /** Shortlist depth for filtered search. Widening the probe alone
+    * HURT recall at the default depth: every extra cell adds ADC-scored
+    * candidates whose quantization error can displace true neighbors
+    * from a 10-deep shortlist (measured 0.73 → 0.60 going 4 → 6 probes
+    * at depth 10). Filtered search therefore deepens the ADC cut in
+    * step with the probe width; the re-rank stays k rows per query —
+    * per-query-bounded, never a corpus scan. */
+  val HybridShortList = 3 * ShortList
+
+  private def hybridDocIds(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(col("lang").isin("en", "de") && col("n_chars") >= 200)
+      .select(col("doc_id"))
+
+  private def hybridAnnSql: String = rerankSqlFrom(ivfPqSqlWith(
+    s"""
+      fd AS (SELECT doc_id FROM documents WHERE $hybridDocFilterSql),""",
+    s"""
+                   JOIN fd ON cd.vec_id = fd.doc_id""",
+    nprobe = HybridNprobe), HybridShortList)
+
+  private val hybridAnn = GraftQuery(
+    "x_embed_hybrid_ann",
+    (s, d) => {
+      import graft.ops.ProductQuantization
+      val e = persistedDf(corpus(s, d))
+      val ivfCents = persistedDf(kmeansCentroids(e))
+      val cellOf = assignCells(e, ivfCents).select(col("vec_id"), col("cell"))
+      val pqCents = persistedDf(ProductQuantization.trainCodebooks(e))
+      val indexed = ProductQuantization.encode(e, pqCents)
+        .join(cellOf, "vec_id")
+      // predicate → id set → prune the CODE table; raw vectors stay
+      // untouched until the re-rank's short list
+      val filtered = indexed
+        .join(hybridDocIds(s, d), indexed("vec_id") === col("doc_id"))
+        .drop("doc_id")
+      val q = querySet(e)
+      val probeLuts = ivfProbeLuts(q, ivfCents, pqCents, HybridNprobe)
+      rerankStage(adcShortlist(filtered, probeLuts, HybridShortList), e, q)
+    },
+    Some(hybridAnnSql),
+    // Bench the SEARCH: index/probe/vector tables are one-time builds;
+    // the timed region is what a query batch with a fresh predicate
+    // costs — filter the code table, ADC shortlist, exact refine.
+    benchBuild = Some((s, d) => {
+      import graft.ops.ProductQuantization
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-hybrid-ann-bench-").toString
+      val e = persistedDf(corpus(s, d))
+      val ivfCents = persistedDf(kmeansCentroids(e))
+      val cellOf = assignCells(e, ivfCents)
+        .select(col("vec_id"), col("cell"))
+      val pqCents = persistedDf(ProductQuantization.trainCodebooks(e))
+      ProductQuantization.encode(e, pqCents).join(cellOf, "vec_id")
+        .write.mode("overwrite").parquet(s"$dir/index")
+      val q = querySet(e)
+      ivfProbeLuts(q, ivfCents, pqCents, HybridNprobe)
+        .write.mode("overwrite").parquet(s"$dir/probe")
+      e.select(col("vec_id"), col("v"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+      q.write.mode("overwrite").parquet(s"$dir/queries")
+      e.unpersist(); ivfCents.unpersist(); pqCents.unpersist()
+      () => {
+        val idx = s.read.parquet(s"$dir/index")
+        val filtered = idx
+          .join(hybridDocIds(s, d), idx("vec_id") === col("doc_id"))
+          .drop("doc_id")
+        rerankStage(
+          adcShortlist(filtered, s.read.parquet(s"$dir/probe"),
+            HybridShortList),
+          s.read.parquet(s"$dir/vectors"),
+          s.read.parquet(s"$dir/queries"))
+      }
+    }))
+
   /** The prepared query-side table every IVF-PQ variant consumes: each
     * query's `IvfNprobe` nearest cells (cosine argmax over the IVF
     * centroids) joined with its flat ADC lookup table. */
   private def ivfProbeLuts(
-      q: DataFrame, ivfCents: DataFrame, pqCents: DataFrame): DataFrame = {
+      q: DataFrame, ivfCents: DataFrame, pqCents: DataFrame,
+      nprobe: Int = IvfNprobe): DataFrame = {
     val probe = q.crossJoin(broadcast(ivfCents))
       .select(col("q_id"),
         (VectorOps.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cos"), col("c_id"))
       .groupBy("q_id")
       .agg(call_function("topk_pairs", col("cos"), col("c_id"),
-        lit(IvfNprobe)).as("top"))
+        lit(nprobe)).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("q_cell"))
     probe.join(graft.ops.ProductQuantization.queryLuts(
       q.select(col("q_id"), col("qv").as("v")), pqCents), "q_id")
@@ -628,14 +730,15 @@ object SimilarityQueries {
   /** ADC scoring over the compressed index, keeping the `ShortList`
     * nearest candidates per query. */
   private def adcShortlist(
-      indexed: DataFrame, probeLuts: DataFrame): DataFrame =
+      indexed: DataFrame, probeLuts: DataFrame,
+      shortList: Int = ShortList): DataFrame =
     indexed.join(broadcast(probeLuts),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         call_function("pq_adc", col("codes"), col("lut")).as("adist"))
       .groupBy("q_id")
       .agg(call_function("topk_pairs",
-        -col("adist"), col("vec_id"), lit(ShortList)).as("top"))
+        -col("adist"), col("vec_id"), lit(shortList)).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("n_id"))
 
   /** Exact cosine over the short list only: ≤ ShortList rows per query
@@ -657,17 +760,21 @@ object SimilarityQueries {
         round(col("p.score"), 6).as("cos_sim"),
         (col("pos") + 1).cast("int").as("rank"))
 
-  private def ivfPqRerankSql: String = {
-    // the composed IVF-PQ derivation, extended: ADC shortlist of
-    // `ShortList`, then exact cosine re-rank of the short list
-    val base = ivfPqSql
+  private def ivfPqRerankSql: String = rerankSqlFrom(ivfPqSql)
+
+  /** Extend any ADC-`scored` derivation with the shortlist + exact
+    * re-rank tail: cut the base's final adist SELECT, append the
+    * `ShortList` cut and the exact-cosine refinement. Shared by the
+    * unfiltered re-rank oracle and the hybrid (metadata-filtered) one. */
+  private def rerankSqlFrom(
+      base: String, shortList: Int = ShortList): String = {
     val cut = base.lastIndexOf("SELECT q_id, n_id, ROUND(adist")
     val prefix = base.substring(0, cut).trim.stripSuffix(",")
     s"""$prefix,
       short AS (SELECT q_id, n_id FROM (
           SELECT q_id, n_id, row_number() OVER
             (PARTITION BY q_id ORDER BY adist, n_id) AS rk
-          FROM scored) WHERE rk <= $ShortList),
+          FROM scored) WHERE rk <= $shortList),
       exact AS (SELECT s.q_id, s.n_id,
                   (list_sum(list_transform(generate_series(1, 64),
                      i -> q.qv[i] * e.v[i])) / (q.qn * e.nrm)) AS cos
@@ -701,7 +808,15 @@ object SimilarityQueries {
   /** The composed oracle: IVF Lloyd CTEs (cosine cells) + PQ Lloyd CTEs
     * (subspace codebooks) + celled ADC ranking. Every CTE family is the
     * one its standalone oracle already validates; only `scored` is new. */
-  private def ivfPqSql: String = {
+  private def ivfPqSql: String = ivfPqSqlWith("", "")
+
+  /** Same derivation with an optional candidate filter spliced in:
+    * `fdCte` contributes a doc-predicate CTE to the WITH list, `fdJoin`
+    * restricts the `scored` candidates to its ids — the SQL twin of
+    * filtering the compressed index before ADC. */
+  private def ivfPqSqlWith(
+      fdCte: String, fdJoin: String,
+      nprobe: Int = IvfNprobe): String = {
     import graft.ops.ProductQuantization.{Iters => PqIters, K => PqK, M => PqM, SeedStride, SubDim}
     val ivfIters = (1 to IvfIters)
       .map(i => lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}"))
@@ -719,7 +834,7 @@ object SimilarityQueries {
     val subDot = s"""list_sum(list_transform(generate_series(1, $SubDim),
                    i -> s.sv[i] * c.cv[i]))"""
     val slice = s"list_slice(v, m * $SubDim + 1, m * $SubDim + $SubDim)"
-    s"""WITH $embCte,
+    s"""WITH $embCte,$fdCte
       c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
              WHERE vec_id % 50 = 0),
       $ivfIters,
@@ -751,7 +866,7 @@ object SimilarityQueries {
           SELECT q.q_id, c.c_id,
             row_number() OVER (PARTITION BY q.q_id
               ORDER BY $probeCos DESC, c.c_id) AS rn
-          FROM q, $ivfLast c) WHERE rn <= $IvfNprobe),
+          FROM q, $ivfLast c) WHERE rn <= $nprobe),
       qlut AS (SELECT s.vec_id AS q_id, s.m, c.c_id,
                  ROUND(s.sn2 + c.cn2 - 2 * $subDot, 6) AS d
                FROM sub s JOIN $pqLast c ON s.m = c.m
@@ -765,7 +880,7 @@ object SimilarityQueries {
                  FROM codes cd
                    JOIN cellof a ON cd.vec_id = a.vec_id
                    JOIN probe p ON a.cell = p.q_cell
-                   JOIN luts l ON l.q_id = p.q_id
+                   JOIN luts l ON l.q_id = p.q_id$fdJoin
                  WHERE cd.vec_id <> p.q_id)
       SELECT q_id, n_id, ROUND(adist, 6) AS pq_dist,
              CAST(rank AS INTEGER) AS rank
@@ -823,6 +938,6 @@ object SimilarityQueries {
       WHERE cos_sim >= 0.4"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(cosineTopK, hybridSearch, annLsh, annIvf, annPq, annIvfPq,
-      annIvfPqRerank, cosineNearDup, lshNearDup)
+    Seq(cosineTopK, hybridSearch, hybridAnn, annLsh, annIvf, annPq,
+      annIvfPq, annIvfPqRerank, cosineNearDup, lshNearDup)
 }
