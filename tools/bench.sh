@@ -3,18 +3,15 @@
 # LAST JSON line out of a ~2 KB tail of this process's output, and sbt's
 # "[info] " prefixes / trailing "[success]" banner have defeated that
 # parse three rounds running. This runs the JVM directly, so stdout's
-# final line is the bare JSON emitted by graft.Bench (with the isolated
-# section merged in).
+# final line is the bare JSON emitted by graft.Bench.
 #
 # Usage: tools/bench.sh [sfDir]   (default /root/testdata/sf0.1)
 # Compiles via sbt first if the classes directory is missing/stale.
 #
-# After the main (shared-JVM, median-of-3) pass, the 10 most expensive
-# queries are re-timed ONE JVM EACH (min-of-2) and reported under
-# "isolated": shared-JVM medians kept showing round-over-round drift
-# from cache/JIT/GC neighborhood effects of whatever ran before them;
-# a cold JVM per query is the only clean A/B. Skip with
-# SPARK_GRAFT_NO_ISOLATE=1 (probes/CI that only want the headline).
+# The isolation pass (top-10 queries re-timed one fresh JVM each,
+# min-of-2, reported under "isolated") lives INSIDE graft.Bench now, so
+# it runs no matter which launcher started the bench — sbt included.
+# Skip it with SPARK_GRAFT_NO_ISOLATE=1.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -37,76 +34,10 @@ ADD_OPENS=(
 OPENS_FLAGS=()
 for p in "${ADD_OPENS[@]}"; do OPENS_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
 
-run_bench() {
-  # Spark log noise goes to stderr; stdout carries ONLY the JSON line.
-  java "${OPENS_FLAGS[@]}" \
-    -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-    -Dspark.ui.enabled=false \
-    -Dspark.sql.session.timeZone=UTC \
-    -cp "$CLASSES:/opt/spark/jars/*" \
-    graft.Bench
-}
-
-MAIN_JSON="$(run_bench | tail -n 1)"
-
-if [ "${SPARK_GRAFT_NO_ISOLATE:-0}" = "1" ]; then
-  echo "$MAIN_JSON"
-  exit 0
-fi
-
-# Top-10 most expensive from the complete map (bench_full.json), each
-# re-run in a fresh JVM: 2 runs, keep the min (one JVM, no neighbors —
-# remaining variance is JIT/GC, and the faster run is nearer steady
-# state).
-TOP10="$(python3 - <<'EOF'
-import json
-q = json.load(open("bench_full.json"))["queries"]
-top = sorted(((v, k) for k, v in q.items() if v >= 0), reverse=True)[:10]
-print(",".join(k for _, k in top))
-EOF
-)"
-
-ISO_FILE="$(mktemp)"
-trap 'rm -f "$ISO_FILE"' EXIT
-for q in ${TOP10//,/ }; do
-  echo "[isolate] $q" 1>&2
-  line="$(SPARK_GRAFT_BENCH_ONLY="$q" SPARK_GRAFT_BENCH_RUNS=2 \
-    SPARK_GRAFT_BENCH_AGG=min run_bench | tail -n 1)" || line=""
-  printf '%s\t%s\n' "$q" "$line" >> "$ISO_FILE"
-done
-
-python3 - "$ISO_FILE" <<'EOF'
-import json, sys
-main = json.load(open("bench_full.json"))
-iso = {}
-for ln in open(sys.argv[1]):
-    name, _, line = ln.rstrip("\n").partition("\t")
-    try:
-        iso[name] = json.loads(line)["queries"][name]
-    except Exception:
-        iso[name] = -1.0
-main["isolated"] = iso
-with open("bench_full.json", "w") as f:
-    json.dump(main, f)
-# Rebuild the driver-facing line within its ~2 KB tail window: slowest
-# queries first until the budget, remainder folded into "other".
-qs = main["queries"]
-total = sum(v for v in qs.values() if v >= 0)
-by_slow = sorted(qs.items(), key=lambda kv: -kv[1])
-kept, used, budget = [], 2, 1000
-for k, v in by_slow:
-    ln = len(k) + len(f"{v:.3f}") + 4
-    if used + ln <= budget:
-        kept.append((k, v)); used += ln
-omitted = len(qs) - len(kept)
-if omitted:
-    kept.append(("other", total - sum(v for _, v in kept)))
-out = {
-    "metric": "total", "value": round(total, 3), "unit": "sec",
-    "n_queries": main["n_queries"], "omitted": omitted,
-    "queries": {k: round(v, 3) for k, v in kept},
-    "isolated": {k: round(v, 3) for k, v in iso.items()},
-    "sf": main["sf"],
-}
-print(json.dumps(out, separators=(",", ":")))
-EOF
+# Spark log noise goes to stderr; stdout carries ONLY the JSON line.
+java "${OPENS_FLAGS[@]}" \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLASSES:/opt/spark/jars/*" \
+  graft.Bench | tail -n 1
