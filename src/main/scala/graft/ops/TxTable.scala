@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Transactional parquet table — the no-jar answer to the Delta/Iceberg
   * row of the survey: a versioned COMMIT LOG over plain parquet data
@@ -216,19 +217,185 @@ final class TxTable private (spark: SparkSession, dir: String) {
 
   /** Atomic claim of `version`: write the full entry to a temp name,
     * hard-link it to the version name (fails-if-exists atomically),
-    * drop the temp. False = lost the race. */
-  private def tryCommit(c: Commit): Boolean = {
+    * drop the temp. False = lost the race. A winning commit also
+    * persists its files' column stats ([[fileStats]]) as
+    * `_log/<version>.stats.tsv` — best-effort, like checkpoints: a
+    * missing stats file only disables data skipping for those files. */
+  private def tryCommit(c: Commit, stats: Seq[String] = Nil): Boolean = {
     val target = logFile(c.version)
     val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, render(c).getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(target.toPath, tmp.toPath)
+      if (stats.nonEmpty) try {
+        Files.write(Paths.get(f"$logDir/${c.version}%020d.stats.tsv"),
+          stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () }
       maybeCheckpoint(c.version)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
     } finally tmp.delete()
   }
+
+  // ------------------------------------------------- per-file column stats
+  /** Per-file min/max column stats, read from the parquet FOOTERS the
+    * staging write already produced (no extra scan — the same source
+    * Delta/Iceberg mine at commit time). One TSV line per (file,
+    * column): `rel \t col \t kind \t min \t max`, kinds long | double |
+    * string. Columns whose footer lacks stats in any row group (or
+    * non-primitive / unsupported types) are simply omitted — omission
+    * disables skipping for that (file, column), never correctness.
+    * Driver-side, footer-only reads: the same cost class as the file
+    * moves staging already does. */
+  private def fileStats(relNames: Seq[String]): Seq[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    relNames.flatMap { rel =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        if (blocks.isEmpty) Seq.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          // fold each column's stats across row groups; drop the column
+          // if ANY row group lacks usable stats
+          val byCol = blocks.asScala.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.size == 1)
+            .groupBy(_.getPath.toDotString)
+          byCol.toSeq.sortBy(_._1).flatMap { case (name, chunks) =>
+            val pt = chunks.head.getPrimitiveType
+            val isStr = pt.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType()
+            val kind = pt.getPrimitiveTypeName match {
+              case INT32 | INT64 => Some("long")
+              case FLOAT | DOUBLE => Some("double")
+              case BINARY if isStr => Some("string")
+              case _ => None
+            }
+            val stats = chunks.map(_.getStatistics)
+            if (kind.isEmpty ||
+                stats.exists(s => s == null || !s.hasNonNullValue)) None
+            else {
+              def render(v: Any): String = v match {
+                case b: org.apache.parquet.io.api.Binary =>
+                  enc(b.toStringUsingUTF8)
+                case x => x.toString
+              }
+              val mins = stats.map(s => render(s.genericGetMin))
+              val maxs = stats.map(s => render(s.genericGetMax))
+              val (mn, mx) = kind.get match {
+                case "string" => (mins.min, maxs.max)
+                case _ =>
+                  (mins.minBy(BigDecimal(_)), maxs.maxBy(BigDecimal(_)))
+              }
+              Some(s"${enc(rel)}\t${enc(name)}\t${kind.get}\t$mn\t$mx")
+            }
+          }
+        }
+      } finally reader.close()
+    }
+  } catch { case _: Throwable => Seq.empty }
+
+  /** Percent-encode the TSV metacharacters (and %) in stat values. */
+  private def enc(s: String): String =
+    s.flatMap {
+      case '%' => "%25"
+      case '\t' => "%09"
+      case '\n' => "%0a"
+      case '\r' => "%0d"
+      case c => c.toString
+    }
+
+  private def dec(s: String): String =
+    s.replace("%09", "\t").replace("%0a", "\n")
+      .replace("%0d", "\r").replace("%25", "%")
+
+  /** All logged stats, keyed file → column → (kind, min, max). Later
+    * log entries win (a re-added file name is impossible — names are
+    * UUIDs — but override order is defined anyway). */
+  private def loadStats(): Map[String, Map[String, (String, String, String)]] = {
+    val fs = Option(new File(logDir).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".stats.tsv")).sortBy(_.getName)
+    fs.foldLeft(Map.empty[String, Map[String, (String, String, String)]]) {
+      (acc, f) =>
+        val lines = new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+        lines.foldLeft(acc) { (m, line) =>
+          line.split("\t", -1) match {
+            case Array(rel, c, kind, mn, mx) =>
+              val file = dec(rel)
+              m.updated(file,
+                m.getOrElse(file, Map.empty)
+                  .updated(dec(c), (kind, mn, mx)))
+            case _ => m
+          }
+        }
+    }
+  }
+
+  /** Could a file whose `column` spans [mn, mx] contain a value in
+    * [lo, hi]? (None bound = unbounded.) Conservative on any doubt:
+    * un-parseable query values or kind mismatches keep the file. */
+  private def mayOverlap(kind: String, mn: String, mx: String,
+      lo: Option[Any], hi: Option[Any]): Boolean = {
+    def bd(a: Any): Option[BigDecimal] =
+      try Some(BigDecimal(a.toString)) catch { case _: Throwable => None }
+    kind match {
+      case "long" | "double" =>
+        val fMin = bd(mn); val fMax = bd(mx)
+        if (fMin.isEmpty || fMax.isEmpty) true
+        else {
+          val loOk = lo.flatMap(bd).forall(_ <= fMax.get)
+          val hiOk = hi.flatMap(bd).forall(_ >= fMin.get)
+          // a bound given but un-parseable as numeric → can't reason
+          val sane = lo.forall(v => bd(v).isDefined) &&
+            hi.forall(v => bd(v).isDefined)
+          !sane || (loOk && hiOk)
+        }
+      case "string" =>
+        val fMin = dec(mn); val fMax = dec(mx)
+        lo.forall(_.toString <= fMax) && hi.forall(_.toString >= fMin)
+      case _ => true
+    }
+  }
+
+  /** The snapshot restricted to files whose logged [min,max] for
+    * `column` may intersect [lo, hi] — Delta/Iceberg-style data
+    * skipping from the commit log, no footer reads at query time.
+    * Files without logged stats for `column` are always kept. */
+  private[ops] def prunedSnapshot(
+      column: String, lo: Option[Any], hi: Option[Any]): Snapshot = {
+    val snap = snapshot()
+    val stats = loadStats()
+    val sel = snap.files.filter { full =>
+      stats.get(full.stripPrefix(s"$dir/")).flatMap(_.get(column)) match {
+        case Some((kind, mn, mx)) => mayOverlap(kind, mn, mx, lo, hi)
+        case None => true
+      }
+    }
+    Snapshot(snap.version, sel, dir)
+  }
+
+  /** Point read with file skipping: only files whose logged range can
+    * contain `value` are opened; the exact predicate still applies, so
+    * results are identical to `read().where(col === value)` — only the
+    * I/O changes. Pays off after [[compactZOrdered]] (tight per-file
+    * ranges in both z-dimensions). */
+  def readWhere(column: String, value: Any): DataFrame =
+    prunedSnapshot(column, Option(value), Option(value)).read(spark)
+      .where(col(column) === lit(value))
+
+  /** Range read with file skipping; same contract as [[readWhere]]. */
+  def readBetween(column: String, lo: Any, hi: Any): DataFrame =
+    prunedSnapshot(column, Option(lo), Option(hi)).read(spark)
+      .where(col(column) >= lit(lo) && col(column) <= lit(hi))
 
   /** Every [[CheckpointInterval]] commits, the winner persists the
     * fully-replayed active file list next to its entry. Best-effort:
@@ -245,8 +412,14 @@ final class TxTable private (spark: SparkSession, dir: String) {
       finally tmp.delete()
     } catch { case _: Throwable => () }
 
-  private def guardSchema(df: DataFrame): Unit = {
-    val base = snapshot()
+  /** Schema guard against a SPECIFIC resolved snapshot. Called inside
+    * every append's retry loop with the loop's own head snapshot, which
+    * closes the check-then-commit TOCTOU completely: the version CAS
+    * means a commit that lands after `base` was resolved makes our
+    * tryCommit lose and re-enter the loop, where the guard re-runs
+    * against the new head — a mismatched append can never land. Cheap:
+    * schema inference reads parquet footers only. */
+  private def guardSchema(base: Snapshot, df: DataFrame): Unit =
     if (base.files.nonEmpty) {
       val existing = base.read(spark).schema
         .fields.map(f => f.name -> f.dataType).toMap
@@ -254,16 +427,22 @@ final class TxTable private (spark: SparkSession, dir: String) {
       require(existing == incoming,
         s"append schema mismatch: table has $existing, incoming $incoming")
     }
-  }
 
-  private def commitAppend(files: Seq[String], maxRetries: Int): Commit = {
+  private def commitAppend(files: Seq[String], df: DataFrame,
+      maxRetries: Int): Commit = {
+    val stats = fileStats(files)
     var attempt = 0
     while (attempt < maxRetries) {
-      val c = Commit(snapshot().version + 1, "append", files, Nil,
+      val base = snapshot()
+      guardSchema(base, df)
+      val c = Commit(base.version + 1, "append", files, Nil,
         System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      if (tryCommit(c, stats)) return c
       attempt += 1
     }
+    // retry exhaustion: the staged files will never be referenced —
+    // reclaim them now instead of leaving them for vacuum's age guard
+    files.foreach(n => new File(dir, n).delete())
     sys.error(s"append contention: lost $maxRetries races in $logDir")
   }
 
@@ -271,11 +450,12 @@ final class TxTable private (spark: SparkSession, dir: String) {
     * The incoming schema must match the table's (same name → type map;
     * column order is free — parquet readers resolve by name): a silent
     * schema drift would otherwise surface as reader-dependent column
-    * soup long after the writing job exited. */
-  def append(df: DataFrame, maxRetries: Int = 50): Commit = {
-    guardSchema(df)
-    commitAppend(stage(df), maxRetries)
-  }
+    * soup long after the writing job exited. The guard runs inside the
+    * retry loop against each attempt's head snapshot (see
+    * [[guardSchema]]), so a concurrent overwrite that changes the
+    * table's schema cannot let a now-mismatched append land. */
+  def append(df: DataFrame, maxRetries: Int = 50): Commit =
+    commitAppend(stage(df), df, maxRetries)
 
   /** Hive-layout partitioned append: data files land under
     * `partitionCol=value/` subdirectories and the commit entry records
@@ -293,16 +473,23 @@ final class TxTable private (spark: SparkSession, dir: String) {
       maxRetries: Int = 50): Commit = {
     require(df.columns.contains(partitionCol),
       s"partition column $partitionCol not in ${df.columns.mkString(",")}")
-    guardSchema(df)
-    commitAppend(stagePartitioned(df, partitionCol), maxRetries)
+    commitAppend(stagePartitioned(df, partitionCol), df, maxRetries)
   }
 
   /** Manifest-pruned partition read: the snapshot's file list is
     * filtered on the partition-qualified path IN THE LOG — untouched
-    * partitions contribute zero I/O, not even a listing. */
+    * partitions contribute zero I/O, not even a listing. The value is
+    * escaped exactly the way Spark's partitioned write escaped it into
+    * the path (`ExternalCatalogUtils.escapePathName`; null →
+    * `__HIVE_DEFAULT_PARTITION__`), so values with ':', '%', '=', …
+    * match their files instead of silently selecting nothing. */
   def readPartition(partitionCol: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val snap = snapshot()
-    val prefix = s"$partitionCol=$value/"
+    val seg =
+      if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(value.toString)
+    val prefix = s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$seg/"
     val sel = snap.files.filter(_.stripPrefix(s"$dir/").startsWith(prefix))
     Snapshot(snap.version, sel, dir).read(spark)
   }
@@ -318,17 +505,18 @@ final class TxTable private (spark: SparkSession, dir: String) {
       maxRetries: Int = 50): Commit = {
     require(df.columns.contains(partitionCol),
       s"partition column $partitionCol not in ${df.columns.mkString(",")}")
-    guardSchema(df)
     val files = stagePartitioned(df, partitionCol)
+    val stats = fileStats(files)
     val touched = files.map(_.takeWhile(_ != '/')).toSet // col=value prefixes
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
+      guardSchema(base, df)
       val replaced = base.files.map(_.stripPrefix(s"$dir/"))
         .filter(f => touched.contains(f.takeWhile(_ != '/')))
       val c = Commit(base.version + 1, "overwrite", files, replaced,
         System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      if (tryCommit(c, stats)) return c
       attempt += 1
     }
     files.foreach(n => new File(dir, n).delete())
@@ -338,14 +526,16 @@ final class TxTable private (spark: SparkSession, dir: String) {
   /** Replace the table's content with `df` in one atomic commit. */
   def overwrite(df: DataFrame, maxRetries: Int = 50): Commit = {
     val files = stage(df)
+    val stats = fileStats(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
       val c = Commit(base.version + 1, "overwrite", files,
         base.files.map(_.stripPrefix(s"$dir/")), System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      if (tryCommit(c, stats)) return c
       attempt += 1
     }
+    files.foreach(n => new File(dir, n).delete())
     sys.error(s"overwrite contention: lost $maxRetries races in $logDir")
   }
 
@@ -365,7 +555,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       val files = stage(merged)
       val c = Commit(base.version + 1, "upsert", files,
         base.files.map(_.stripPrefix(s"$dir/")), System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      if (tryCommit(c, fileStats(files))) return c
       files.foreach(n => new File(dir, n).delete())
       attempt += 1
     }
@@ -396,6 +586,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       layout: DataFrame => DataFrame, maxRetries: Int): Commit = {
     val base = snapshot()
     val files = stage(layout(base.read(spark)))
+    val stats = fileStats(files)
     val baseNames = base.files.map(_.stripPrefix(s"$dir/"))
     var attempt = 0
     while (attempt < maxRetries) {
@@ -407,7 +598,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       }
       val c = Commit(head.version + 1, "compact", files, baseNames,
         System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      if (tryCommit(c, stats)) return c
       attempt += 1
     }
     files.foreach(n => new File(dir, n).delete())
@@ -448,6 +639,13 @@ final class TxTable private (spark: SparkSession, dir: String) {
       !referenced.contains(rel) && f.lastModified() <= cutoff
     }
     dead.foreach(_._2.delete())
-    dead.map(_._1).toSeq
+    // crashed writers leave whole `_staged-*` directories (staged but
+    // never moved); they are invisible to the log, so age is the only
+    // signal — reclaim them under the same guard
+    val staged = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_staged-") &&
+        f.lastModified() <= cutoff)
+    staged.foreach(rmTree)
+    dead.map(_._1).toSeq ++ staged.map(_.getName)
   }
 }

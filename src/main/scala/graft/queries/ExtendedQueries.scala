@@ -732,6 +732,52 @@ object ExtendedQueries {
           round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
     }))
 
+  // ----------------------------------------------------------------- K11
+  /** TxTable data skipping ([[graft.ops.TxTable.readBetween]]): the
+    * commit log carries per-file min/max column stats (mined from the
+    * parquet footers at commit time), so a range predicate selects
+    * files from the LOG — no footer reads, no listing — and the
+    * z-ordered layout makes those ranges tight in both clustered
+    * dimensions. The oracle replays the same range aggregate over the
+    * raw table: a skipping bug that drops a file's rows loses rows and
+    * fails the hash compare, not just a file-count probe
+    * (`TxTableSpec` pins the ≥4× file-skip rate itself). */
+  private val txTableSkip = GraftQuery(
+    "k11_tx_stats_skipping",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txskip-").toString
+      val t = graft.ops.TxTable(s, s"$dir/lineitem")
+      t.append(Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag")))
+      t.compactZOrdered("l_orderkey", "l_partkey", targetFiles = 16)
+      t.readBetween("l_orderkey", 1000L, 2000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+            GROUP BY 1"""),
+    bench = false,
+    // Timed region = the skipped-scan range aggregate; table build and
+    // z-order compaction run once in setup.
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txskip-bench-").toString
+      val t = graft.ops.TxTable(s, s"$dir/lineitem")
+      t.append(Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag")))
+      t.compactZOrdered("l_orderkey", "l_partkey", targetFiles = 16)
+      () => t.readBetween("l_orderkey", 1000L, 2000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }))
+
   // ----------------------------------------------------------------- A32
   /** Conditional aggregation — the FILTER clause and its `count_if`/
     * CASE-fold equivalents: segment metrics out of one scan instead of
@@ -1045,5 +1091,5 @@ object ExtendedQueries {
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
-    dynamicOverwrite, txTableMerge)
+    dynamicOverwrite, txTableMerge, txTableSkip)
 }

@@ -249,6 +249,88 @@ class TxTableSpec extends SparkTestBase {
     assert(t.snapshot().version === 11)
   }
 
+  test("per-file stats: z-ordered point query skips most files, same rows") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    (0 until 4).foreach { i =>
+      t.append((i * 50 until i * 50 + 50)
+        .map(j => (j.toLong, ((j * 37) % 200).toLong, s"row-$j"))
+        .toDF("x", "y", "payload"))
+    }
+    t.compactZOrdered("x", "y", targetFiles = 16)
+    val total = t.snapshot().files.size
+    val pruned = t.prunedSnapshot("x", Some(7L), Some(7L))
+    assert(pruned.files.size * 4 <= total,
+      s"point query selected ${pruned.files.size} of $total files")
+    // skipping changes I/O only — results are the exact-filter results
+    val viaSkip = t.readWhere("x", 7L).collect().toSet
+    val full = t.read().where(col("x") === 7L).collect().toSet
+    assert(viaSkip === full && viaSkip.nonEmpty)
+    // both z-dimensions carry tight file ranges after the clustered
+    // rewrite (stats survive compaction — they're re-logged with it)
+    val prunedY = t.prunedSnapshot("y", Some(3L), Some(3L))
+    assert(prunedY.files.size * 4 <= total,
+      s"y point query selected ${prunedY.files.size} of $total files")
+  }
+
+  test("stats survive overwrite; range reads skip on numeric and string") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    // overwrite with a range-partitioned layout: tight id range per file
+    t.overwrite(df(0 until 100).repartitionByRange(4, col("id")))
+    val total = t.snapshot().files.size
+    assert(total === 4)
+    val pruned = t.prunedSnapshot("id", Some(10L), Some(19L))
+    assert(pruned.files.size === 1,
+      s"range read selected ${pruned.files.size} of $total files")
+    assert(t.readBetween("id", 10L, 19L).count() === 10)
+    // string stats: payload "row-N" min/max prune a lexicographic probe
+    val prunedS =
+      t.prunedSnapshot("payload", Some("row-99"), Some("row-99"))
+    assert(prunedS.files.size < total)
+    assert(t.readWhere("payload", "row-99").count() === 1)
+  }
+
+  test("readPartition matches values Spark escapes in partition paths") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    val rows = Seq((1L, "a:b"), (2L, "a:b"), (3L, "plain"))
+      .toDF("id", "k")
+    t.appendPartitioned(rows, "k")
+    // ':' is escaped to %3A in the path; the prune prefix must match
+    // the escaped segment, not the raw value
+    assert(t.readPartition("k", "a:b").count() === 2)
+    assert(t.readPartition("k", "plain").count() === 1)
+    val withNull = Seq((4L, null.asInstanceOf[String])).toDF("id", "k")
+    t.appendPartitioned(withNull, "k")
+    assert(t.readPartition("k", null).count() === 1)
+  }
+
+  test("vacuum reclaims aged crashed-writer staging dirs") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))
+    df(50 until 60).write.parquet(s"$dir/_staged-crashed")
+    val staged = new File(dir, "_staged-crashed")
+    staged.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    val reclaimed = t.vacuum(retainVersion = 0, minAgeMs = 3600 * 1000L)
+    assert(reclaimed.contains("_staged-crashed"))
+    assert(!staged.exists())
+    assert(t.read().count() === 10)
+  }
+
+  test("append with exhausted retries reclaims its staged files") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 5))
+    val before = new File(dir).listFiles()
+      .count(_.getName.startsWith("data-"))
+    intercept[RuntimeException](t.append(df(10 until 15), maxRetries = 0))
+    val after = new File(dir).listFiles()
+      .count(_.getName.startsWith("data-"))
+    assert(after === before)
+    assert(t.read().count() === 5)
+  }
+
   test("commit-log codec roundtrips") {
     val c = TxTable.Commit(7, "upsert",
       Seq("data-a.parquet", "data-b.parquet"), Seq("data-c.parquet"),
