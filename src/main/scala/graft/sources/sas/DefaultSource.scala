@@ -41,6 +41,14 @@ final class SasRelation(ctx: SQLContext, path: String)
     val slices = math.max(1, math.min(m.pageCount, sc.defaultParallelism))
     sc.parallelize(0 until m.pageCount, slices).mapPartitions { pages =>
       val in = new RandomAccessFile(p, "r")
+      // an early-terminating scan (limit/take) never exhausts the
+      // iterator, so the close-on-exhaust below would leak one handle
+      // per task — the completion listener closes it no matter how the
+      // task ends (close() is idempotent)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: Throwable => () }
+        })
       val buf = new Array[Byte](m.pageSize)
       val it = pages.flatMap { pg =>
         in.seek(m.headerSize.toLong + pg.toLong * m.pageSize)

@@ -8,9 +8,11 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
 /** Pure-Scala reader for the sas7bdat binary format — the subset a
-  * monthly I94 extract needs: **uncompressed, little-endian files
-  * (both the 32-bit and the 64-bit "u64" alignment variants) with
-  * numeric (double) and character columns**.
+  * monthly I94 extract needs: **little-endian files (both the 32-bit
+  * and the 64-bit "u64" alignment variants) with numeric (double) and
+  * character columns, uncompressed or RLE-compressed (`SASYZCRL`,
+  * SAS's COMPRESS=CHAR)**. RDC (`SASYZCR2`) and big-endian files are
+  * rejected fast with a message naming them.
   *
   * The format is publicly documented — the layout here follows the
   * independently reverse-engineered specification ("SAS7BDAT Database
@@ -69,7 +71,7 @@ object Sas7bdat {
   final case class SasMeta(
       u64: Boolean, headerSize: Int, pageSize: Int, pageCount: Int,
       rowLength: Int, rowCount: Long, mixRowCount: Long,
-      columns: Seq[SasColumn]) {
+      columns: Seq[SasColumn], rle: Boolean = false) {
     def schema: StructType = StructType(columns.map(c =>
       StructField(c.name,
         if (c.isNumeric) DoubleType else StringType, nullable = true)))
@@ -93,6 +95,18 @@ object Sas7bdat {
 
   private val PageData = 0x0100
   private val PageMix = 0x0200
+
+  /** Compression markers, found in the first COLUMN_TEXT blob. */
+  private val RleMarker = "SASYZCRL".getBytes(StandardCharsets.US_ASCII)
+  private val RdcMarker = "SASYZCR2".getBytes(StandardCharsets.US_ASCII)
+
+  /** Subheader-pointer flags for compressed files: data rows are stored
+    * as subheaders whose pointer carries type 1, compression 4
+    * (compressed payload) or 0 (stored raw); compression 1 marks a
+    * truncated/deleted entry to skip. */
+  private val PtrTypeData = 1
+  private val CompRle = 4
+  private val CompTruncated = 1
 
   def magicBytes: Array[Byte] = Magic.clone()
 
@@ -221,29 +235,138 @@ object Sas7bdat {
       val columns = nameSeq.zip(attrSeq).map { case (n, (ro, cw, num)) =>
         SasColumn(n, ro, cw, num)
       }
+      // compression marker lives in the text heap (first COLUMN_TEXT)
+      def containsMarker(blob: Array[Byte], m: Array[Byte]): Boolean = {
+        var i = 0
+        while (i + m.length <= blob.length) {
+          var j = 0
+          while (j < m.length && blob(i + j) == m(j)) j += 1
+          if (j == m.length) return true
+          i += 1
+        }
+        false
+      }
+      val firstText = textArr.headOption.getOrElse(Array.emptyByteArray)
+      require(!containsMarker(firstText, RdcMarker),
+        s"$path: RDC-compressed (SASYZCR2) sas7bdat not supported by " +
+          "the built-in reader — re-export with COMPRESS=CHAR or NO")
+      val rle = containsMarker(firstText, RleMarker)
       SasMeta(u64, headerSize, pageSize, pageCount, rowLength, rowCount,
-        mixRowCount, columns)
+        mixRowCount, columns, rle)
     } finally in.close()
   }
 
-  /** Decode one page's rows (empty for meta pages). Pure function of
-    * (page bytes, meta) — the executor-side half. */
+  /** Decompress one `SASYZCRL` (RLE, COMPRESS=CHAR) payload into
+    * exactly `outLen` bytes. The scheme is the command-nibble coding of
+    * the public format note: each control byte's high nibble selects a
+    * command, the low nibble a length field; commands either copy
+    * literal bytes that follow or insert a run of one byte (an
+    * explicit byte, '@', blank, or zero), with short and extended
+    * (one extra count byte) variants of each. */
+  private[sas] def rleDecompress(
+      src: Array[Byte], srcOff: Int, srcLen: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = srcOff
+    val end = srcOff + srcLen
+    var op = 0
+    def copy(n: Int): Unit = {
+      System.arraycopy(src, ip, out, op, n); ip += n; op += n
+    }
+    def fill(b: Byte, n: Int): Unit = {
+      java.util.Arrays.fill(out, op, op + n, b); op += n
+    }
+    while (ip < end && op < outLen) {
+      val ctrl = src(ip) & 0xFF; ip += 1
+      val cmd = ctrl >> 4
+      val len = ctrl & 0x0F
+      cmd match {
+        case 0x0 => // extended literal copy
+          val n = (src(ip) & 0xFF) + 64 + len * 256; ip += 1; copy(n)
+        case 0x4 => // extended byte run
+          val n = (src(ip) & 0xFF) + 18 + len * 256; ip += 1
+          val b = src(ip); ip += 1; fill(b, n)
+        case 0x5 =>
+          val n = (src(ip) & 0xFF) + 17 + len * 256; ip += 1; fill('@', n)
+        case 0x6 =>
+          val n = (src(ip) & 0xFF) + 17 + len * 256; ip += 1; fill(' ', n)
+        case 0x7 =>
+          val n = (src(ip) & 0xFF) + 17 + len * 256; ip += 1; fill(0, n)
+        case 0x8 => copy(len + 1)   // short literal copies
+        case 0x9 => copy(len + 17)
+        case 0xA => copy(len + 33)
+        case 0xB => copy(len + 49)
+        case 0xC => // short byte run
+          val b = src(ip); ip += 1; fill(b, len + 3)
+        case 0xD => fill('@', len + 2)
+        case 0xE => fill(' ', len + 2)
+        case 0xF => fill(0, len + 2)
+        case c => sys.error(s"corrupt SASYZCRL stream: command $c")
+      }
+    }
+    require(op == outLen,
+      s"SASYZCRL row decompressed to $op bytes, expected $outLen")
+    out
+  }
+
+  /** Is this 32-bit signature one of the metadata subheader family?
+    * (Compressed files store data rows as UNSIGNED subheaders — anything
+    * whose leading word is not metadata.) The families: F7F7F7F7 /
+    * F6F6F6F6 and the 0xFFFFFFFx block (text, names, attrs, formats,
+    * lists). */
+  private def isMetaSig(sig: Int): Boolean =
+    sig == SigRowSize || sig == SigColSize ||
+      (sig & 0xFFFFFFF0) == 0xFFFFFFF0
+
+  /** Decode one page's rows (empty for pure-metadata pages). Pure
+    * function of (page bytes, meta) — the executor-side half.
+    *
+    * Three row placements, all publicly specified: DATA pages pack rows
+    * back-to-back; MIX pages pack them after the subheader pointers;
+    * COMPRESSED files store each row as a SUBHEADER (pointer type 1) on
+    * meta-type pages — payload RLE-decompressed when the pointer's
+    * compression byte says so, raw when the row didn't shrink. */
   def pageRows(page: Array[Byte], meta: SasMeta): Seq[Row] = {
     val pb = buf(page)
+    val w = meta.wordSize
     val base = meta.pageBase
     val pType = pb.getShort(base) & 0xFFFF
     val blockCount = pb.getShort(base + 2) & 0xFFFF
     val shCount = pb.getShort(base + 4) & 0xFFFF
-    val (start, n) =
-      if ((pType & PageData) != 0) (base + 8, blockCount)
-      else if (pType == PageMix) {
-        val afterPtrs = base + 8 + shCount * meta.pointerSize
-        val aligned = (afterPtrs + 7) & ~7
-        (aligned, math.min(meta.mixRowCount,
-          (blockCount - shCount).toLong).toInt)
-      } else (0, 0)
-    (0 until n).map { r =>
-      decodeRow(page, pb, start + r * meta.rowLength, meta.columns)
+    if ((pType & PageData) != 0) {
+      val start = base + 8
+      (0 until blockCount).map { r =>
+        decodeRow(page, pb, start + r * meta.rowLength, meta.columns)
+      }
+    } else {
+      // subheader-stored rows (compressed files) — pointer order
+      val subRows = (0 until shCount).flatMap { i =>
+        val pBase = base + 8 + i * meta.pointerSize
+        val off = word(pb, pBase, w).toInt
+        val len = word(pb, pBase + w, w).toInt
+        val compression = page(pBase + 2 * w) & 0xFF
+        val ptrType = page(pBase + 2 * w + 1) & 0xFF
+        if (len <= 0 || compression == CompTruncated || ptrType != PtrTypeData)
+          None
+        else if (compression == CompRle && meta.rle) {
+          val raw = rleDecompress(page, off, len, meta.rowLength)
+          Some(decodeRow(raw, buf(raw), 0, meta.columns))
+        } else if (compression == 0 && len == meta.rowLength &&
+            !isMetaSig((word(pb, off, w) & 0xFFFFFFFFL).toInt)) {
+          // a row RLE couldn't shrink is stored raw in its subheader
+          Some(decodeRow(page, pb, off, meta.columns))
+        } else None
+      }
+      val mixRows =
+        if (pType == PageMix) {
+          val afterPtrs = base + 8 + shCount * meta.pointerSize
+          val aligned = (afterPtrs + 7) & ~7
+          val n = math.min(meta.mixRowCount,
+            (blockCount - shCount).toLong).toInt
+          (0 until n).map { r =>
+            decodeRow(page, pb, aligned + r * meta.rowLength, meta.columns)
+          }
+        } else Seq.empty
+      subRows ++ mixRows
     }
   }
 

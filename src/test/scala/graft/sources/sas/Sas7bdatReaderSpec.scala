@@ -49,10 +49,11 @@ class Sas7bdatReaderSpec extends SparkTestBase {
     "AA", 1.0e10 + i, "00123", "B2")
   private val rows = (0 until 60).map(mkRow)
 
-  private def writeFixture(u64: Boolean = false): String = {
+  private def writeFixture(
+      u64: Boolean = false, rle: Boolean = false): String = {
     val dir = Files.createTempDirectory("graft-sas-fixture-")
     val path = s"$dir/i94_apr16_sub.sas7bdat"
-    SasFixtureWriter.write(path, cols, rows, u64 = u64)
+    SasFixtureWriter.write(path, cols, rows, u64 = u64, rle = rle)
     path
   }
 
@@ -87,6 +88,51 @@ class Sas7bdatReaderSpec extends SparkTestBase {
       assert(meta.pageCount > 2, "fixture should span multiple data pages")
       assert(meta.rowCount === 60)
     }
+  }
+
+  for (u64 <- Seq(false, true)) {
+    val variant = if (u64) "u64" else "32-bit"
+
+    test(s"[$variant] RLE (SASYZCRL) fixture golden-decodes through the preference branch") {
+      val path = writeFixture(u64, rle = true)
+      val meta = Sas7bdat.readMeta(path)
+      assert(meta.rle, "compression marker should be detected")
+      val df = spark.read.format(Sources.BuiltinSasFormat).load(path)
+      assert(df.count() === 60)
+      val got = df.orderBy("cicid").collect()
+      rows.indices.foreach { i =>
+        val r = got(i)
+        cols.indices.foreach { j =>
+          assert(r.get(j) === rows(i)(j),
+            s"row $i col ${cols(j).name}: ${r.get(j)} vs ${rows(i)(j)}")
+        }
+      }
+    }
+  }
+
+  test("RLE codec roundtrips arbitrary byte patterns, runs included") {
+    val rnd = new scala.util.Random(42)
+    val patterns = Seq(
+      Array.fill[Byte](100)(0),                  // all zeros
+      Array.fill[Byte](50)(' '),                 // all blanks
+      Array.fill[Byte](30)(7),                   // arbitrary byte run
+      Array.tabulate[Byte](200)(i => i.toByte),  // no runs at all
+      Array.fill(300)(rnd.nextInt(4).toByte),    // mixed short runs
+      (Array.fill[Byte](20)(0) ++ Array.tabulate[Byte](70)(i => i.toByte)
+        ++ Array.fill[Byte](4200)(' ') ++ Array.fill[Byte](19)(3)),
+      Array.emptyByteArray)
+    patterns.zipWithIndex.foreach { case (p, i) =>
+      val comp = SasFixtureWriter.rleCompress(p)
+      val back = Sas7bdat.rleDecompress(comp, 0, comp.length, p.length)
+      assert(back.toSeq === p.toSeq, s"pattern $i failed roundtrip")
+    }
+  }
+
+  test("RDC-compressed files are rejected, not misparsed") {
+    val path = writeFixture()
+    SasFixtureWriter.plantRdcMarker(path)
+    val e = intercept[IllegalArgumentException](Sas7bdat.readMeta(path))
+    assert(e.getMessage.contains("SASYZCR2"))
   }
 
   test("bad magic is rejected, not misparsed") {

@@ -22,18 +22,112 @@ object SasFixtureWriter {
   private val HeaderSize = 1024
   private val PageSize = 4096
 
-  /** `rows(i)(j)`: Double / String / null matching `cols(j)`. */
+  /** `rows(i)(j)`: Double / String / null matching `cols(j)`.
+    *
+    * `rle = true` emits the COMPRESS=CHAR (`SASYZCRL`) layout: the
+    * marker lands in the COLUMN_TEXT heap and every row is stored as a
+    * SUBHEADER on meta-type pages — RLE-compressed when that shrinks
+    * it (pointer compression byte 4), raw otherwise (byte 0) — the
+    * same two storage forms real SAS emits. */
   def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]],
-      u64: Boolean = false): Unit = {
+      u64: Boolean = false, rle: Boolean = false): Unit = {
     val w = if (u64) 8 else 4
     val base = if (u64) 32 else 16 // page-header offset
     val ptrSize = 3 * w
     val rowLength = cols.map(_.width).sum
     val rowOffsets = cols.scanLeft(0)(_ + _.width).init
-    val rowsPerDataPage = (PageSize - (base + 8)) / rowLength
-    require(rowsPerDataPage > 0, "row too wide for the page size")
-    val dataPages = (rows.size + rowsPerDataPage - 1) / rowsPerDataPage
-    val pageCount = 1 + dataPages
+
+    def encodeRowBytes(row: Seq[Any]): Array[Byte] = {
+      val rb = ByteBuffer.allocate(rowLength).order(ByteOrder.LITTLE_ENDIAN)
+      row.zip(cols).zipWithIndex.foreach { case ((v, c), ci) =>
+        val o = rowOffsets(ci)
+        if (c.isNumeric) {
+          val d = v match {
+            case null => Double.NaN
+            case x: Double => x
+            case x: Int => x.toDouble
+          }
+          if (c.width == 8) rb.putDouble(o, d)
+          else {
+            // keep the HIGH bytes of the LE representation
+            val bits = java.lang.Double.doubleToRawLongBits(d)
+            (0 until c.width).foreach { b =>
+              rb.put(o + b,
+                ((bits >>> (8 * (8 - c.width + b))) & 0xFF).toByte)
+            }
+          }
+        } else {
+          val s = v match { case null => ""; case x: String => x }
+          rb.position(o)
+          rb.put(pad(s, c.width))
+        }
+      }
+      rb.array()
+    }
+
+    val dataPageBytes: Seq[Array[Byte]] =
+      if (!rle) {
+        val rowsPerDataPage = (PageSize - (base + 8)) / rowLength
+        require(rowsPerDataPage > 0, "row too wide for the page size")
+        rows.grouped(rowsPerDataPage).zipWithIndex.map { case (chunk, pi) =>
+          val page = ByteBuffer.allocate(PageSize)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          page.putInt(0, 2 + pi)
+          page.putShort(base, 0x0100.toShort) // data page
+          page.putShort(base + 2, chunk.size.toShort)
+          page.putShort(base + 4, 0.toShort)
+          chunk.zipWithIndex.foreach { case (row, ri) =>
+            page.position(base + 8 + ri * rowLength)
+            page.put(encodeRowBytes(row))
+          }
+          page.array()
+        }.toSeq
+      } else {
+        // subheader-per-row pages: pointers grow from the front,
+        // payloads from the back (layout real compressed files use);
+        // each payload is the RLE form when that shrinks the row,
+        // the raw row otherwise
+        val payloads = rows.map { r =>
+          val raw = encodeRowBytes(r)
+          val comp = rleCompress(raw)
+          if (comp.length < raw.length) (comp, 4) else (raw, 0)
+        }
+        val pages = Seq.newBuilder[Array[Byte]]
+        var pending = payloads
+        var pi = 0
+        while (pending.nonEmpty) {
+          var ptrEnd = base + 8
+          var payStart = PageSize
+          val taken = pending.takeWhile { case (bytes, _) =>
+            val fits = ptrEnd + ptrSize <= payStart - bytes.length
+            if (fits) { ptrEnd += ptrSize; payStart -= bytes.length }
+            fits
+          }
+          require(taken.nonEmpty, "compressed row too wide for the page")
+          val page = ByteBuffer.allocate(PageSize)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          page.putInt(0, 2 + pi)
+          page.putShort(base, 0x0000.toShort) // meta-type page
+          page.putShort(base + 2, taken.size.toShort)
+          page.putShort(base + 4, taken.size.toShort)
+          var off = PageSize
+          taken.zipWithIndex.foreach { case ((bytes, comp), i) =>
+            off -= bytes.length
+            val ptr = base + 8 + i * ptrSize
+            putWord(page, ptr, off, u64)
+            putWord(page, ptr + w, bytes.length, u64)
+            page.put(ptr + 2 * w, comp.toByte)
+            page.put(ptr + 2 * w + 1, 1.toByte) // pointer type: data row
+            page.position(off)
+            page.put(bytes)
+          }
+          pages += page.array()
+          pending = pending.drop(taken.size)
+          pi += 1
+        }
+        pages.result()
+      }
+    val pageCount = 1 + dataPageBytes.size
 
     // ---- header ------------------------------------------------------
     val a1 = if (u64) 4 else 0
@@ -80,6 +174,11 @@ object SasFixtureWriter {
       .order(ByteOrder.LITTLE_ENDIAN)
     sig(text, Sas7bdat.SigColText)
     text.putShort(w, textContentLen.toShort)
+    if (rle) {
+      // the compression marker lives in the text heap's pad region
+      text.position(w + 4)
+      text.put("SASYZCRL".getBytes(StandardCharsets.US_ASCII))
+    }
     val nameOffsets = new Array[Int](cols.size)
     var cursor = 16
     nameBytes.zipWithIndex.foreach { case (nb, i) =>
@@ -141,41 +240,97 @@ object SasFixtureWriter {
     try {
       out.write(header.array())
       out.write(meta.array())
-      rows.grouped(rowsPerDataPage).zipWithIndex.foreach { case (chunk, pi) =>
-        val page = ByteBuffer.allocate(PageSize).order(ByteOrder.LITTLE_ENDIAN)
-        page.putInt(0, 2 + pi)
-        page.putShort(base, 0x0100.toShort) // data page
-        page.putShort(base + 2, chunk.size.toShort)
-        page.putShort(base + 4, 0.toShort)
-        chunk.zipWithIndex.foreach { case (row, ri) =>
-          val rowBase = base + 8 + ri * rowLength
-          row.zip(cols).zipWithIndex.foreach { case ((v, c), ci) =>
-            val o = rowBase + rowOffsets(ci)
-            if (c.isNumeric) {
-              val d = v match {
-                case null => Double.NaN
-                case x: Double => x
-                case x: Int => x.toDouble
-              }
-              if (c.width == 8) page.putDouble(o, d)
-              else {
-                // keep the HIGH bytes of the LE representation
-                val bits = java.lang.Double.doubleToRawLongBits(d)
-                (0 until c.width).foreach { b =>
-                  page.put(o + b,
-                    ((bits >>> (8 * (8 - c.width + b))) & 0xFF).toByte)
-                }
-              }
-            } else {
-              val s = v match { case null => ""; case x: String => x }
-              page.position(o)
-              page.put(pad(s, c.width))
-            }
+      dataPageBytes.foreach(out.write)
+    } finally out.close()
+  }
+
+  /** `SASYZCRL` compressor — the inverse of the reader's decoder, used
+    * to author compressed fixtures. Runs of ≥3 identical bytes become
+    * insert commands (dedicated blank/zero forms, explicit byte
+    * otherwise; extended variants past the short commands' reach);
+    * everything else is emitted as literal copy chunks. */
+  private[sas] def rleCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def literal(start: Int, len0: Int): Unit = {
+      var s = start; var len = len0
+      while (len > 0) {
+        val n =
+          if (len >= 64) math.min(len, 64 + 255 + 15 * 256)
+          else len
+        if (n >= 64) {
+          val ext = n - 64
+          out.write(0x00 | (ext >> 8)); out.write(ext & 0xFF)
+        } else if (n >= 49) out.write(0xB0 | (n - 49))
+        else if (n >= 33) out.write(0xA0 | (n - 33))
+        else if (n >= 17) out.write(0x90 | (n - 17))
+        else out.write(0x80 | (n - 1))
+        out.write(row, s, n)
+        s += n; len -= n
+      }
+    }
+    var i = 0
+    val n = row.length
+    var litStart = 0
+    while (i < n) {
+      val b = row(i)
+      var run = 1
+      while (i + run < n && row(i + run) == b) run += 1
+      if (run >= 3) {
+        if (i > litStart) literal(litStart, i - litStart)
+        var left = run
+        while (left > 0) {
+          if (b == ' ' || b == 0) {
+            val ctrlShort = if (b == ' ') 0xE0 else 0xF0
+            val ctrlExt = if (b == ' ') 0x60 else 0x70
+            if (left >= 18) {
+              val take = math.min(left, 17 + 255 + 15 * 256)
+              val ext = take - 17
+              out.write(ctrlExt | (ext >> 8)); out.write(ext & 0xFF)
+              left -= take
+            } else if (left >= 2) {
+              out.write(ctrlShort | (left - 2)); left = 0
+            } else { literal(i + run - left, left); left = 0 }
+          } else {
+            if (left >= 19) {
+              val take = math.min(left, 18 + 255 + 15 * 256)
+              val ext = take - 18
+              out.write(0x40 | (ext >> 8)); out.write(ext & 0xFF)
+              out.write(b); left -= take
+            } else if (left >= 3) {
+              out.write(0xC0 | (left - 3)); out.write(b); left = 0
+            } else { literal(i + run - left, left); left = 0 }
           }
         }
-        out.write(page.array())
-      }
-    } finally out.close()
+        i += run
+        litStart = i
+      } else i += run
+    }
+    if (n > litStart) literal(litStart, n - litStart)
+    out.toByteArray
+  }
+
+  /** Plant a compression marker in the text heap of an EXISTING
+    * uncompressed fixture — for the RDC-rejection test (the reader must
+    * refuse, not misparse). Byte offset: header + meta-page text
+    * subheader; the writer's layout puts the first text blob's pad
+    * region at a fixed location only the writer knows, so this helper
+    * recomputes it the same way. */
+  def plantRdcMarker(path: String, u64: Boolean = false): Unit = {
+    val w = if (u64) 8 else 4
+    val base = if (u64) 32 else 16
+    val ptrSize = 3 * w
+    val f = new RandomAccessFile(path, "rw")
+    try {
+      // text subheader is the 3rd content block (rowSize, colSize, text)
+      val page = new Array[Byte](PageSize)
+      f.seek(HeaderSize); f.readFully(page)
+      val pb = ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN)
+      val ptr = base + 8 + 2 * ptrSize
+      val off =
+        (if (u64) pb.getLong(ptr) else pb.getInt(ptr).toLong).toInt
+      f.seek(HeaderSize.toLong + off + w + 4)
+      f.write("SASYZCR2".getBytes(StandardCharsets.US_ASCII))
+    } finally f.close()
   }
 
   private def putWord(b: ByteBuffer, off: Int, v: Int, u64: Boolean): Unit =
