@@ -1,0 +1,93 @@
+package graft.sources.sas
+
+import java.io.PrintWriter
+import java.nio.file.{Files, Paths}
+
+/** Emits the spec fixtures to a directory alongside expected-value CSVs
+  * so an INDEPENDENT sas7bdat implementation (pandas.read_sas, driver-
+  * side) can cross-validate the format our writer emits and our reader
+  * consumes: `sbt "Test/runMain graft.sources.sas.SasCrossCheckEmit
+  * /tmp/sas_xcheck"` then `python3 tools/check_sas_pandas.py
+  * /tmp/sas_xcheck`. Closes the self-validation loop ADVICE flagged —
+  * a shared misreading of the public spec between writer and reader
+  * would disagree with pandas' parser here.
+  *
+  * Each CSV cell: numeric value (repr of the Double), empty for null;
+  * strings written verbatim (no padding — both sides strip trailing
+  * blanks). Also decodes every fixture through [[Sas7bdat]] and writes
+  * `<name>.reader.csv` in the same shape, so the checker diffs
+  * pandas-vs-golden AND reader-vs-golden from one artifact set. */
+object SasCrossCheckEmit {
+  import SasFixtureWriter.Col
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sas_xcheck")
+    Files.createDirectories(Paths.get(dir))
+
+    val cols = Seq(
+      Col("cicid", isNumeric = true, 8),
+      Col("i94yr", isNumeric = true, 6), // truncated-width numeric
+      Col("port", isNumeric = false, 8),
+      Col("visatype", isNumeric = false, 12))
+
+    // values chosen to exercise: exact doubles, truncated-width-safe
+    // values (integers survive 6-byte truncation), NaN→null numerics,
+    // blank→null strings, repeated-char strings (RLE run commands),
+    // multi-page row counts
+    val rows: Seq[Seq[Any]] = (0 until 900).map { i =>
+      Seq(
+        i.toDouble + 0.5,
+        if (i % 7 == 0) null else (2016.0 + (i % 3)),
+        if (i % 11 == 0) "" else s"P${"X" * (i % 5)}${i % 100}",
+        if (i % 2 == 0) "WT" + ("A" * 6) else "B2")
+    }
+
+    val variants = Seq(
+      ("fix32", false, false),
+      ("fixu64", true, false),
+      ("fixrle", false, true))
+
+    variants.foreach { case (name, u64, rle) =>
+      val path = s"$dir/$name.sas7bdat"
+      SasFixtureWriter.write(path, cols, rows, u64 = u64, rle = rle)
+      writeCsv(s"$dir/$name.expected.csv", cols, rows)
+      // decode through the engine reader (same page loop the Spark scan
+      // runs per-task) and dump the same CSV shape
+      val meta = Sas7bdat.readMeta(path)
+      val in = new java.io.RandomAccessFile(path, "r")
+      val decoded =
+        try {
+          val buf = new Array[Byte](meta.pageSize)
+          (0 until meta.pageCount).flatMap { pg =>
+            in.seek(meta.headerSize.toLong + pg.toLong * meta.pageSize)
+            in.readFully(buf)
+            Sas7bdat.pageRows(buf, meta)
+          }
+        } finally in.close()
+      val asCells: Seq[Seq[Any]] = decoded.map(_.toSeq.map {
+        case null => null
+        case d: java.lang.Double => d.doubleValue: Any
+        case other => other
+      })
+      writeCsv(s"$dir/$name.reader.csv", cols, asCells)
+    }
+    println(s"[xcheck] wrote ${variants.size} fixtures to $dir")
+  }
+
+  private def writeCsv(path: String, cols: Seq[Col],
+      rows: Seq[Seq[Any]]): Unit = {
+    val w = new PrintWriter(path)
+    try {
+      w.println(cols.map(_.name).mkString(","))
+      rows.foreach { r =>
+        w.println(r.zip(cols).map {
+          case (null, _) => ""
+          case (d: Double, c) if c.isNumeric =>
+            if (d.isNaN) "" else f"$d%.6f"
+          case (s: String, _) => s
+          case (other, _) => other.toString
+        }.mkString(","))
+      }
+    } finally w.close()
+  }
+}

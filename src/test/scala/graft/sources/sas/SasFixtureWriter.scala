@@ -21,6 +21,9 @@ object SasFixtureWriter {
 
   private val HeaderSize = 1024
   private val PageSize = 4096
+  // FORMAT_AND_LABEL signature (the reader skips these; emitted for
+  // spec fidelity so independent readers see one per column)
+  private val SigColFormat = 0xFFFFFBFE
 
   /** `rows(i)(j)`: Double / String / null matching `cols(j)`.
     *
@@ -160,9 +163,11 @@ object SasFixtureWriter {
 
     def sig(b: ByteBuffer, s: Int): Unit =
       if (u64) {
-        // u64 widens the FFFF* family by sign-extension, F7/F6 by
-        // zero-padding — the reader matches on the low 32 bits
-        if (s < 0) b.putLong(0, s.toLong) // sign-extends
+        // u64 widens the FFFF* family (high byte 0xFF) by
+        // sign-extension and the F7/F6 pair by zero-padding — the
+        // byte forms independent readers' u64 signature tables carry;
+        // the engine reader matches on the low 32 bits
+        if ((s >>> 24) == 0xFF) b.putLong(0, s.toLong) // sign-extends
         else b.putLong(0, s.toLong & 0xFFFFFFFFL)
       } else b.putInt(0, s)
 
@@ -188,11 +193,17 @@ object SasFixtureWriter {
       cursor += nb.length
     }
 
-    val rowSize = ByteBuffer.allocate(16 * w + 8)
+    // full spec size (480 / 808 bytes): independent readers address
+    // fixed offsets deep into this blob (creator-proc LCS/LCP fields at
+    // +354/+378 in the 32-bit variant) — a truncated blob makes them
+    // read neighboring subheaders as garbage
+    val rowSize = ByteBuffer.allocate(if (u64) 808 else 480)
       .order(ByteOrder.LITTLE_ENDIAN)
     sig(rowSize, Sas7bdat.SigRowSize)
     putWord(rowSize, 5 * w, rowLength, u64)
     putWord(rowSize, 6 * w, rows.size, u64)
+    putWord(rowSize, 9 * w, cols.size, u64) // col_count_p1 (+p2 = ncols)
+    putWord(rowSize, 10 * w, 0, u64)        // col_count_p2
     putWord(rowSize, 15 * w, 0, u64) // no mix-page rows
 
     val colSize = ByteBuffer.allocate(2 * w + 8)
@@ -200,7 +211,10 @@ object SasFixtureWriter {
     sig(colSize, Sas7bdat.SigColSize)
     putWord(colSize, w, cols.size, u64)
 
-    val colName = ByteBuffer.allocate(w + 8 + 8 * cols.size)
+    // entries start 8 bytes after the signature and the blob carries 12
+    // bytes of trailing padding: the spec's count formula is
+    // (len - 2w - 12) / 8, which independent readers apply literally
+    val colName = ByteBuffer.allocate(w + 8 + 8 * cols.size + 12)
       .order(ByteOrder.LITTLE_ENDIAN)
     sig(colName, Sas7bdat.SigColName)
     cols.indices.foreach { i =>
@@ -211,7 +225,8 @@ object SasFixtureWriter {
     }
 
     val attrEntry = 8 + w
-    val colAttr = ByteBuffer.allocate(w + 8 + attrEntry * cols.size)
+    // same trailing-pad contract: count = (len - 2w - 12) / (w + 8)
+    val colAttr = ByteBuffer.allocate(w + 8 + attrEntry * cols.size + 12)
       .order(ByteOrder.LITTLE_ENDIAN)
     sig(colAttr, Sas7bdat.SigColAttr)
     cols.zipWithIndex.foreach { case (c, i) =>
@@ -221,9 +236,23 @@ object SasFixtureWriter {
       colAttr.put(b + w + 6, if (c.isNumeric) 1.toByte else 2.toByte)
     }
 
+    // one FORMAT_AND_LABEL subheader per column (all fields zero = no
+    // format): real files always carry them and independent readers
+    // index column_formats[j] unconditionally
+    val fmtSubheaders = cols.map { _ =>
+      val fmt = ByteBuffer.allocate((3 * w + 34 + 7) & ~7)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      sig(fmt, SigColFormat)
+      fmt
+    }
+
     val contents =
-      Seq(rowSize, colSize, text, colName, colAttr).map(_.array())
-    var off = (base + 8 + 5 * ptrSize + 7) & ~7 // after the pointers
+      (Seq(rowSize, colSize, text, colName, colAttr) ++ fmtSubheaders)
+        .map(_.array())
+    val nSub = contents.size
+    meta.putShort(base + 2, nSub.toShort)
+    meta.putShort(base + 4, nSub.toShort)
+    var off = (base + 8 + nSub * ptrSize + 7) & ~7 // after the pointers
     contents.zipWithIndex.foreach { case (c, i) =>
       val ptr = base + 8 + i * ptrSize
       putWord(meta, ptr, off, u64)
