@@ -7,12 +7,14 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-/** Pure-Scala reader for the sas7bdat binary format — the subset a
-  * monthly I94 extract needs: **little-endian files (both the 32-bit
-  * and the 64-bit "u64" alignment variants) with numeric (double) and
-  * character columns, uncompressed or RLE-compressed (`SASYZCRL`,
-  * SAS's COMPRESS=CHAR)**. RDC (`SASYZCR2`) and big-endian files are
-  * rejected fast with a message naming them.
+/** Pure-Scala reader for the sas7bdat binary format: **little- and
+  * big-endian files, both the 32-bit and the 64-bit "u64" alignment
+  * variants, numeric (double) and character columns, uncompressed,
+  * RLE-compressed (`SASYZCRL`, SAS's COMPRESS=CHAR) or RDC-compressed
+  * (`SASYZCR2`, COMPRESS=BINARY)** — the full variant matrix real SAS
+  * deployments emit. Writer/reader agreement is additionally
+  * cross-validated against an independent implementation
+  * (pandas.read_sas) by `tools/check_sas_pandas.py`.
   *
   * The format is publicly documented — the layout here follows the
   * independently reverse-engineered specification ("SAS7BDAT Database
@@ -21,7 +23,8 @@ import org.apache.spark.sql.types._
   * With `w` = 4 (32-bit) or 8 (u64; header byte 32 == 0x33) and `a1`
   * = 4 when header byte 35 == 0x33:
   *
-  *  - header: 32-byte magic; endianness byte at 37 (0x01 = little);
+  *  - header: 32-byte magic; endianness byte at 37 (0x01 = little,
+  *    0x00 = big — all multi-byte fields below honor it);
   *    "SAS FILE" at 84; dataset name at 92; header size int32 at
   *    196+a1, page size int32 at 200+a1, page count int(4 or 8) at
   *    204+a1.
@@ -71,7 +74,10 @@ object Sas7bdat {
   final case class SasMeta(
       u64: Boolean, headerSize: Int, pageSize: Int, pageCount: Int,
       rowLength: Int, rowCount: Long, mixRowCount: Long,
-      columns: Seq[SasColumn], rle: Boolean = false) {
+      columns: Seq[SasColumn], rle: Boolean = false,
+      rdc: Boolean = false, bigEndian: Boolean = false) {
+    def byteOrder: ByteOrder =
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     def schema: StructType = StructType(columns.map(c =>
       StructField(c.name,
         if (c.isNumeric) DoubleType else StringType, nullable = true)))
@@ -123,8 +129,9 @@ object Sas7bdat {
     } finally in.close()
   }
 
-  private def buf(bytes: Array[Byte]): ByteBuffer =
-    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  private def buf(bytes: Array[Byte],
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): ByteBuffer =
+    ByteBuffer.wrap(bytes).order(order)
 
   /** `w`-byte offset/length read (values fit int here — offsets are
     * within one page, lengths within one file). */
@@ -141,12 +148,15 @@ object Sas7bdat {
       in.readFully(head)
       require(java.util.Arrays.equals(head.take(32), Magic),
         s"$path: not a sas7bdat file (bad magic)")
-      require(head(37) == 0x01,
-        s"$path: big-endian sas7bdat not supported by the built-in reader")
+      require(head(37) == 0x01 || head(37) == 0x00,
+        s"$path: unrecognized endianness byte ${head(37)}")
+      val bigEndian = head(37) == 0x00
+      val order =
+        if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
       val u64 = head(32) == 0x33
       val a1 = if (head(35) == 0x33) 4 else 0
       val w = if (u64) 8 else 4
-      val hb = buf(head)
+      val hb = buf(head, order)
       val headerSize = hb.getInt(196 + a1)
       val pageSize = hb.getInt(200 + a1)
       val pageCount =
@@ -169,7 +179,7 @@ object Sas7bdat {
       while (p < pageCount) {
         in.seek(headerSize.toLong + p.toLong * pageSize)
         in.readFully(page)
-        val pb = buf(page)
+        val pb = buf(page, order)
         val pType = pb.getShort(base) & 0xFFFF
         if ((pType & PageData) == 0) { // meta/mix/amd — pages with pointers
           val shCount = pb.getShort(base + 4) & 0xFFFF
@@ -247,12 +257,10 @@ object Sas7bdat {
         false
       }
       val firstText = textArr.headOption.getOrElse(Array.emptyByteArray)
-      require(!containsMarker(firstText, RdcMarker),
-        s"$path: RDC-compressed (SASYZCR2) sas7bdat not supported by " +
-          "the built-in reader — re-export with COMPRESS=CHAR or NO")
       val rle = containsMarker(firstText, RleMarker)
+      val rdc = containsMarker(firstText, RdcMarker)
       SasMeta(u64, headerSize, pageSize, pageCount, rowLength, rowCount,
-        mixRowCount, columns, rle)
+        mixRowCount, columns, rle, rdc, bigEndian)
     } finally in.close()
   }
 
@@ -308,6 +316,63 @@ object Sas7bdat {
     out
   }
 
+  /** Decompress one `SASYZCR2` (RDC, COMPRESS=BINARY) payload into
+    * exactly `outLen` bytes. Ross Data Compression, publicly specified
+    * and mirrored by the parso/readstat/pandas readers: a 16-bit
+    * control word precedes up to 16 items, each bit selecting a
+    * literal byte (0) or a command (1). Command high nibble: 0 short
+    * run (3–18 of the next byte), 1 long run (19–4114), 2 long
+    * back-reference copy (16–271 bytes), 3–15 short back-reference
+    * copy of `cmd` bytes; back-reference offsets are
+    * `low-nibble + 3 + (next byte << 4)`, copied byte-by-byte so
+    * overlapping references extend runs. */
+  private[sas] def rdcDecompress(
+      src: Array[Byte], srcOff: Int, srcLen: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = srcOff
+    val end = srcOff + srcLen
+    var op = 0
+    var ctrlBits = 0
+    var ctrlMask = 0
+    def fill(b: Byte, n: Int): Unit = {
+      java.util.Arrays.fill(out, op, op + n, b); op += n
+    }
+    while (ip < end && op < outLen) {
+      ctrlMask >>= 1
+      if (ctrlMask == 0) {
+        ctrlBits = ((src(ip) & 0xFF) << 8) | (src(ip + 1) & 0xFF)
+        ip += 2
+        ctrlMask = 0x8000
+      }
+      if ((ctrlBits & ctrlMask) == 0) {
+        out(op) = src(ip); ip += 1; op += 1
+      } else {
+        val cmd = (src(ip) >> 4) & 0x0F
+        val cnt = src(ip) & 0x0F
+        ip += 1
+        cmd match {
+          case 0 => // short RLE
+            fill(src(ip), cnt + 3); ip += 1
+          case 1 => // long RLE
+            val n = cnt + ((src(ip) & 0xFF) << 4) + 19; ip += 1
+            fill(src(ip), n); ip += 1
+          case 2 => // long back-reference
+            val ofs = cnt + 3 + ((src(ip) & 0xFF) << 4); ip += 1
+            val n = (src(ip) & 0xFF) + 16; ip += 1
+            var k = 0
+            while (k < n) { out(op) = out(op - ofs); op += 1; k += 1 }
+          case c => // 3–15: short back-reference of c bytes
+            val ofs = cnt + 3 + ((src(ip) & 0xFF) << 4); ip += 1
+            var k = 0
+            while (k < c) { out(op) = out(op - ofs); op += 1; k += 1 }
+        }
+      }
+    }
+    require(op == outLen,
+      s"SASYZCR2 row decompressed to $op bytes, expected $outLen")
+    out
+  }
+
   /** Is this 32-bit signature one of the metadata subheader family?
     * (Compressed files store data rows as UNSIGNED subheaders — anything
     * whose leading word is not metadata.) The families: F7F7F7F7 /
@@ -326,7 +391,7 @@ object Sas7bdat {
     * meta-type pages — payload RLE-decompressed when the pointer's
     * compression byte says so, raw when the row didn't shrink. */
   def pageRows(page: Array[Byte], meta: SasMeta): Seq[Row] = {
-    val pb = buf(page)
+    val pb = buf(page, meta.byteOrder)
     val w = meta.wordSize
     val base = meta.pageBase
     val pType = pb.getShort(base) & 0xFFFF
@@ -335,7 +400,8 @@ object Sas7bdat {
     if ((pType & PageData) != 0) {
       val start = base + 8
       (0 until blockCount).map { r =>
-        decodeRow(page, pb, start + r * meta.rowLength, meta.columns)
+        decodeRow(page, pb, start + r * meta.rowLength, meta.columns,
+          meta.bigEndian)
       }
     } else {
       // subheader-stored rows (compressed files) — pointer order
@@ -347,13 +413,16 @@ object Sas7bdat {
         val ptrType = page(pBase + 2 * w + 1) & 0xFF
         if (len <= 0 || compression == CompTruncated || ptrType != PtrTypeData)
           None
-        else if (compression == CompRle && meta.rle) {
-          val raw = rleDecompress(page, off, len, meta.rowLength)
-          Some(decodeRow(raw, buf(raw), 0, meta.columns))
+        else if (compression == CompRle && (meta.rle || meta.rdc)) {
+          val raw =
+            if (meta.rdc) rdcDecompress(page, off, len, meta.rowLength)
+            else rleDecompress(page, off, len, meta.rowLength)
+          Some(decodeRow(raw, buf(raw, meta.byteOrder), 0, meta.columns,
+            meta.bigEndian))
         } else if (compression == 0 && len == meta.rowLength &&
             !isMetaSig((word(pb, off, w) & 0xFFFFFFFFL).toInt)) {
           // a row RLE couldn't shrink is stored raw in its subheader
-          Some(decodeRow(page, pb, off, meta.columns))
+          Some(decodeRow(page, pb, off, meta.columns, meta.bigEndian))
         } else None
       }
       val mixRows =
@@ -363,7 +432,8 @@ object Sas7bdat {
           val n = math.min(meta.mixRowCount,
             (blockCount - shCount).toLong).toInt
           (0 until n).map { r =>
-            decodeRow(page, pb, aligned + r * meta.rowLength, meta.columns)
+            decodeRow(page, pb, aligned + r * meta.rowLength,
+              meta.columns, meta.bigEndian)
           }
         } else Seq.empty
       subRows ++ mixRows
@@ -372,19 +442,22 @@ object Sas7bdat {
 
   private def decodeRow(
       page: Array[Byte], pb: ByteBuffer, rowOff: Int,
-      columns: Seq[SasColumn]): Row = {
+      columns: Seq[SasColumn], bigEndian: Boolean): Row = {
     val vals = columns.map { c =>
       val o = rowOff + c.rowOffset
       if (c.isNumeric) {
         val d =
           if (c.width == 8) pb.getDouble(o)
           else {
-            // truncated numeric: stored bytes are the HIGH bytes of the
-            // LE double — right-align into an 8-byte buffer
+            // truncated numeric: stored bytes are the HIGH bytes of
+            // the double — the TAIL of a little-endian representation,
+            // the HEAD of a big-endian one
             var bits = 0L
             var i = 0
             while (i < c.width) {
-              bits |= (page(o + i) & 0xFFL) << (8 * (8 - c.width + i))
+              val shift =
+                if (bigEndian) 8 * (7 - i) else 8 * (8 - c.width + i)
+              bits |= (page(o + i) & 0xFFL) << shift
               i += 1
             }
             java.lang.Double.longBitsToDouble(bits)

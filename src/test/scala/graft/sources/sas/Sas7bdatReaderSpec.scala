@@ -50,11 +50,41 @@ class Sas7bdatReaderSpec extends SparkTestBase {
   private val rows = (0 until 60).map(mkRow)
 
   private def writeFixture(
-      u64: Boolean = false, rle: Boolean = false): String = {
+      u64: Boolean = false, rle: Boolean = false,
+      rdc: Boolean = false, bigEndian: Boolean = false): String = {
     val dir = Files.createTempDirectory("graft-sas-fixture-")
     val path = s"$dir/i94_apr16_sub.sas7bdat"
-    SasFixtureWriter.write(path, cols, rows, u64 = u64, rle = rle)
+    SasFixtureWriter.write(path, cols, rows, u64 = u64, rle = rle,
+      rdc = rdc, bigEndian = bigEndian)
     path
+  }
+
+  for (u64 <- Seq(false, true)) {
+    val variant = if (u64) "u64" else "32-bit"
+
+    test(s"[big-endian $variant] golden values roundtrip, truncated numerics included") {
+      val path = writeFixture(u64, bigEndian = true)
+      val meta = Sas7bdat.readMeta(path)
+      assert(meta.bigEndian)
+      val df = spark.read.format(Sources.BuiltinSasFormat).load(path)
+      assert(df.count() === 60)
+      val got = df.orderBy("cicid").collect()
+      rows.indices.foreach { i =>
+        cols.indices.foreach { j =>
+          assert(got(i).get(j) === rows(i)(j),
+            s"row $i col ${cols(j).name}")
+        }
+      }
+    }
+  }
+
+  test("[big-endian] RDC-compressed rows golden-decode") {
+    val path = writeFixture(rdc = true, bigEndian = true)
+    val meta = Sas7bdat.readMeta(path)
+    assert(meta.rdc && meta.bigEndian)
+    val df = spark.read.format(Sources.BuiltinSasFormat).load(path)
+    assert(df.count() === 60)
+    assert(df.orderBy("cicid").head().getDouble(0) === 1000.0)
   }
 
   for (u64 <- Seq(false, true)) {
@@ -110,6 +140,47 @@ class Sas7bdatReaderSpec extends SparkTestBase {
     }
   }
 
+  for (u64 <- Seq(false, true)) {
+    val variant = if (u64) "u64" else "32-bit"
+
+    test(s"[$variant] RDC (SASYZCR2) fixture golden-decodes through the preference branch") {
+      val path = writeFixture(u64, rdc = true)
+      val meta = Sas7bdat.readMeta(path)
+      assert(meta.rdc, "RDC compression marker should be detected")
+      assert(!meta.rle)
+      val df = spark.read.format(Sources.BuiltinSasFormat).load(path)
+      assert(df.count() === 60)
+      val got = df.orderBy("cicid").collect()
+      rows.indices.foreach { i =>
+        val r = got(i)
+        cols.indices.foreach { j =>
+          assert(r.get(j) === rows(i)(j),
+            s"row $i col ${cols(j).name}: ${r.get(j)} vs ${rows(i)(j)}")
+        }
+      }
+    }
+  }
+
+  test("RDC codec roundtrips arbitrary byte patterns, runs and back-references included") {
+    val rnd = new scala.util.Random(7)
+    val abab = Array.tabulate[Byte](80)(i => if (i % 2 == 0) 'a' else 'b')
+    val patterns = Seq(
+      Array.fill[Byte](100)(0),                   // long run
+      Array.fill[Byte](10)(' '),                  // short run
+      abab,                                       // short-offset back-refs
+      (abab ++ Array.fill[Byte](5)('x') ++ abab), // long back-ref re-use
+      Array.tabulate[Byte](300)(i => (i % 97).toByte), // literal-heavy
+      Array.fill(500)(rnd.nextInt(3).toByte),     // mixed short runs
+      (Array.fill[Byte](20)(9) ++ Array.tabulate[Byte](40)(_.toByte)
+        ++ Array.fill[Byte](4200)(' ') ++ Array.fill[Byte](2)(1)),
+      Array.emptyByteArray)
+    patterns.zipWithIndex.foreach { case (p, i) =>
+      val comp = SasFixtureWriter.rdcCompress(p)
+      val back = Sas7bdat.rdcDecompress(comp, 0, comp.length, p.length)
+      assert(back.toSeq === p.toSeq, s"pattern $i failed roundtrip")
+    }
+  }
+
   test("RLE codec roundtrips arbitrary byte patterns, runs included") {
     val rnd = new scala.util.Random(42)
     val patterns = Seq(
@@ -128,11 +199,17 @@ class Sas7bdatReaderSpec extends SparkTestBase {
     }
   }
 
-  test("RDC-compressed files are rejected, not misparsed") {
+  test("an RDC marker on plain data pages detects but does not disturb row decode") {
+    // marker planted on an UNCOMPRESSED fixture: data-page rows decode
+    // by position regardless of the compression flag, so the values
+    // must be untouched (only subheader-stored rows decompress)
     val path = writeFixture()
     SasFixtureWriter.plantRdcMarker(path)
-    val e = intercept[IllegalArgumentException](Sas7bdat.readMeta(path))
-    assert(e.getMessage.contains("SASYZCR2"))
+    val meta = Sas7bdat.readMeta(path)
+    assert(meta.rdc)
+    val df = spark.read.format(Sources.BuiltinSasFormat).load(path)
+    assert(df.count() === 60)
+    assert(df.orderBy("cicid").head().getDouble(0) === 1000.0)
   }
 
   test("bad magic is rejected, not misparsed") {

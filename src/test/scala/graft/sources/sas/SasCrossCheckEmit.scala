@@ -43,13 +43,18 @@ object SasCrossCheckEmit {
     }
 
     val variants = Seq(
-      ("fix32", false, false),
-      ("fixu64", true, false),
-      ("fixrle", false, true))
+      ("fix32", false, false, false, false),
+      ("fixu64", true, false, false, false),
+      ("fixrle", false, true, false, false),
+      ("fixrdc", false, false, true, false),
+      ("fixrdc64", true, false, true, false),
+      ("fixbe", false, false, false, true),
+      ("fixbe64rdc", true, false, true, true))
 
-    variants.foreach { case (name, u64, rle) =>
+    variants.foreach { case (name, u64, rle, rdc, be) =>
       val path = s"$dir/$name.sas7bdat"
-      SasFixtureWriter.write(path, cols, rows, u64 = u64, rle = rle)
+      SasFixtureWriter.write(path, cols, rows, u64 = u64, rle = rle,
+        rdc = rdc, bigEndian = be)
       writeCsv(s"$dir/$name.expected.csv", cols, rows)
       // decode through the engine reader (same page loop the Spark scan
       // runs per-task) and dump the same CSV shape

@@ -4,14 +4,17 @@ import java.io.{FileOutputStream, RandomAccessFile}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Test-scope sas7bdat WRITER: emits the uncompressed little-endian
-  * layout of the public format in BOTH alignment variants (32-bit and
-  * u64) — the same structures [[Sas7bdat]] documents (header magic +
-  * sizes, meta page with ROW_SIZE / COLUMN_SIZE / COLUMN_TEXT /
-  * COLUMN_NAME / COLUMN_ATTRS subheaders, packed DATA pages). Exists
-  * so specs can hand the READER a real binary `.sas7bdat` fixture with
-  * author-known golden values; kept in test scope because the engine
-  * only ever needs to read the format. */
+/** Test-scope sas7bdat WRITER: emits the public format across the full
+  * variant matrix — little- and big-endian, 32-bit and u64 alignment,
+  * uncompressed / RLE (`SASYZCRL`) / RDC (`SASYZCR2`) — the same
+  * structures [[Sas7bdat]] documents (header magic + sizes, meta page
+  * with ROW_SIZE / COLUMN_SIZE / COLUMN_TEXT / COLUMN_NAME /
+  * COLUMN_ATTRS / FORMAT subheaders, packed DATA pages or
+  * subheader-stored compressed rows). Exists so specs can hand the
+  * READER a real binary `.sas7bdat` fixture with author-known golden
+  * values; kept in test scope because the engine only ever needs to
+  * read the format. Spec fidelity is cross-validated against
+  * pandas.read_sas by `tools/check_sas_pandas.py`. */
 object SasFixtureWriter {
 
   final case class Col(name: String, isNumeric: Boolean, width: Int) {
@@ -31,9 +34,15 @@ object SasFixtureWriter {
     * marker lands in the COLUMN_TEXT heap and every row is stored as a
     * SUBHEADER on meta-type pages — RLE-compressed when that shrinks
     * it (pointer compression byte 4), raw otherwise (byte 0) — the
-    * same two storage forms real SAS emits. */
+    * same two storage forms real SAS emits. `rdc = true` does the same
+    * with the COMPRESS=BINARY (`SASYZCR2`) Ross Data Compression
+    * scheme. */
   def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]],
-      u64: Boolean = false, rle: Boolean = false): Unit = {
+      u64: Boolean = false, rle: Boolean = false,
+      rdc: Boolean = false, bigEndian: Boolean = false): Unit = {
+    require(!(rle && rdc), "pick one compression scheme")
+    val ord =
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val w = if (u64) 8 else 4
     val base = if (u64) 32 else 16 // page-header offset
     val ptrSize = 3 * w
@@ -41,7 +50,7 @@ object SasFixtureWriter {
     val rowOffsets = cols.scanLeft(0)(_ + _.width).init
 
     def encodeRowBytes(row: Seq[Any]): Array[Byte] = {
-      val rb = ByteBuffer.allocate(rowLength).order(ByteOrder.LITTLE_ENDIAN)
+      val rb = ByteBuffer.allocate(rowLength).order(ord)
       row.zip(cols).zipWithIndex.foreach { case ((v, c), ci) =>
         val o = rowOffsets(ci)
         if (c.isNumeric) {
@@ -52,11 +61,13 @@ object SasFixtureWriter {
           }
           if (c.width == 8) rb.putDouble(o, d)
           else {
-            // keep the HIGH bytes of the LE representation
+            // keep the HIGH bytes of the representation: the tail of
+            // the LE byte layout, the head of the BE one
             val bits = java.lang.Double.doubleToRawLongBits(d)
             (0 until c.width).foreach { b =>
-              rb.put(o + b,
-                ((bits >>> (8 * (8 - c.width + b))) & 0xFF).toByte)
+              val shift =
+                if (bigEndian) 8 * (7 - b) else 8 * (8 - c.width + b)
+              rb.put(o + b, ((bits >>> shift) & 0xFF).toByte)
             }
           }
         } else {
@@ -69,12 +80,12 @@ object SasFixtureWriter {
     }
 
     val dataPageBytes: Seq[Array[Byte]] =
-      if (!rle) {
+      if (!rle && !rdc) {
         val rowsPerDataPage = (PageSize - (base + 8)) / rowLength
         require(rowsPerDataPage > 0, "row too wide for the page size")
         rows.grouped(rowsPerDataPage).zipWithIndex.map { case (chunk, pi) =>
           val page = ByteBuffer.allocate(PageSize)
-            .order(ByteOrder.LITTLE_ENDIAN)
+            .order(ord)
           page.putInt(0, 2 + pi)
           page.putShort(base, 0x0100.toShort) // data page
           page.putShort(base + 2, chunk.size.toShort)
@@ -92,7 +103,7 @@ object SasFixtureWriter {
         // the raw row otherwise
         val payloads = rows.map { r =>
           val raw = encodeRowBytes(r)
-          val comp = rleCompress(raw)
+          val comp = if (rdc) rdcCompress(raw) else rleCompress(raw)
           if (comp.length < raw.length) (comp, 4) else (raw, 0)
         }
         val pages = Seq.newBuilder[Array[Byte]]
@@ -108,7 +119,7 @@ object SasFixtureWriter {
           }
           require(taken.nonEmpty, "compressed row too wide for the page")
           val page = ByteBuffer.allocate(PageSize)
-            .order(ByteOrder.LITTLE_ENDIAN)
+            .order(ord)
           page.putInt(0, 2 + pi)
           page.putShort(base, 0x0000.toShort) // meta-type page
           page.putShort(base + 2, taken.size.toShort)
@@ -134,11 +145,11 @@ object SasFixtureWriter {
 
     // ---- header ------------------------------------------------------
     val a1 = if (u64) 4 else 0
-    val header = ByteBuffer.allocate(HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
+    val header = ByteBuffer.allocate(HeaderSize).order(ord)
     header.put(Sas7bdat.magicBytes)
     header.put(32, (if (u64) 0x33 else 0x22).toByte) // a2/u64 indicator
     header.put(35, (if (u64) 0x33 else 0x22).toByte) // a1 indicator
-    header.put(37, 0x01.toByte) // little-endian
+    header.put(37, (if (bigEndian) 0x00 else 0x01).toByte) // endianness
     header.put(39, '1'.toByte)  // unix
     header.position(84)
     header.put("SAS FILE".getBytes(StandardCharsets.ISO_8859_1))
@@ -155,7 +166,7 @@ object SasFixtureWriter {
     else header.putInt(204 + a1, pageCount)
 
     // ---- meta page ---------------------------------------------------
-    val meta = ByteBuffer.allocate(PageSize).order(ByteOrder.LITTLE_ENDIAN)
+    val meta = ByteBuffer.allocate(PageSize).order(ord)
     meta.putInt(0, 1) // page sequence
     meta.putShort(base, 0.toShort) // page type: meta
     meta.putShort(base + 2, 5.toShort) // block count
@@ -176,13 +187,14 @@ object SasFixtureWriter {
     val nameBytes = cols.map(_.name.getBytes(StandardCharsets.ISO_8859_1))
     val textContentLen = 16 + nameBytes.map(_.length).sum
     val text = ByteBuffer.allocate(w + textContentLen)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(ord)
     sig(text, Sas7bdat.SigColText)
     text.putShort(w, textContentLen.toShort)
-    if (rle) {
+    if (rle || rdc) {
       // the compression marker lives in the text heap's pad region
       text.position(w + 4)
-      text.put("SASYZCRL".getBytes(StandardCharsets.US_ASCII))
+      text.put((if (rdc) "SASYZCR2" else "SASYZCRL")
+        .getBytes(StandardCharsets.US_ASCII))
     }
     val nameOffsets = new Array[Int](cols.size)
     var cursor = 16
@@ -198,7 +210,7 @@ object SasFixtureWriter {
     // +354/+378 in the 32-bit variant) — a truncated blob makes them
     // read neighboring subheaders as garbage
     val rowSize = ByteBuffer.allocate(if (u64) 808 else 480)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(ord)
     sig(rowSize, Sas7bdat.SigRowSize)
     putWord(rowSize, 5 * w, rowLength, u64)
     putWord(rowSize, 6 * w, rows.size, u64)
@@ -207,7 +219,7 @@ object SasFixtureWriter {
     putWord(rowSize, 15 * w, 0, u64) // no mix-page rows
 
     val colSize = ByteBuffer.allocate(2 * w + 8)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(ord)
     sig(colSize, Sas7bdat.SigColSize)
     putWord(colSize, w, cols.size, u64)
 
@@ -215,7 +227,7 @@ object SasFixtureWriter {
     // bytes of trailing padding: the spec's count formula is
     // (len - 2w - 12) / 8, which independent readers apply literally
     val colName = ByteBuffer.allocate(w + 8 + 8 * cols.size + 12)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(ord)
     sig(colName, Sas7bdat.SigColName)
     cols.indices.foreach { i =>
       val b = w + 8 + 8 * i
@@ -227,7 +239,7 @@ object SasFixtureWriter {
     val attrEntry = 8 + w
     // same trailing-pad contract: count = (len - 2w - 12) / (w + 8)
     val colAttr = ByteBuffer.allocate(w + 8 + attrEntry * cols.size + 12)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(ord)
     sig(colAttr, Sas7bdat.SigColAttr)
     cols.zipWithIndex.foreach { case (c, i) =>
       val b = w + 8 + attrEntry * i
@@ -241,7 +253,7 @@ object SasFixtureWriter {
     // index column_formats[j] unconditionally
     val fmtSubheaders = cols.map { _ =>
       val fmt = ByteBuffer.allocate((3 * w + 34 + 7) & ~7)
-        .order(ByteOrder.LITTLE_ENDIAN)
+        .order(ord)
       sig(fmt, SigColFormat)
       fmt
     }
@@ -335,6 +347,75 @@ object SasFixtureWriter {
       } else i += run
     }
     if (n > litStart) literal(litStart, n - litStart)
+    out.toByteArray
+  }
+
+  /** `SASYZCR2` (RDC) compressor — the inverse of the reader's decoder.
+    * Greedy: at each position prefer a same-byte run (short 3–18 /
+    * long 19–4114 fill commands), else the longest back-reference with
+    * offset 3–4098 (short 3–15 / long 16–271 copy commands), else a
+    * literal byte. Items are emitted under 16-bit control words, one
+    * bit per item, exactly as the decoder consumes them. */
+  private[sas] def rdcCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val flags = new scala.collection.mutable.ArrayBuffer[Boolean](16)
+    val items = new scala.collection.mutable.ArrayBuffer[Array[Byte]](16)
+    def flush(): Unit = {
+      if (flags.isEmpty) return
+      var ctrl = 0
+      flags.zipWithIndex.foreach { case (f, i) =>
+        if (f) ctrl |= 0x8000 >>> i
+      }
+      out.write((ctrl >> 8) & 0xFF); out.write(ctrl & 0xFF)
+      items.foreach(b => out.write(b, 0, b.length))
+      flags.clear(); items.clear()
+    }
+    def item(flag: Boolean, bytes: Byte*): Unit = {
+      if (flags.size == 16) flush()
+      flags += flag
+      items += bytes.toArray
+    }
+    val n = row.length
+    var i = 0
+    while (i < n) {
+      val b = row(i)
+      var run = 1
+      while (i + run < n && row(i + run) == b && run < 4114) run += 1
+      // longest back-reference (offset >= 3 — smaller can't encode)
+      var bestLen = 0
+      var bestOfs = 0
+      val maxLen = math.min(271, n - i)
+      var ofs = 3
+      val maxOfs = math.min(i, 4098)
+      while (ofs <= maxOfs) {
+        var k = 0
+        while (k < maxLen && row(i - ofs + k) == row(i + k)) k += 1
+        if (k > bestLen) { bestLen = k; bestOfs = ofs }
+        ofs += 1
+      }
+      if (run >= 3 && run >= bestLen) {
+        if (run <= 18) item(flag = true, (0x00 | (run - 3)).toByte, b)
+        else {
+          val v = run - 19
+          item(flag = true, (0x10 | (v & 0xF)).toByte,
+            ((v >> 4) & 0xFF).toByte, b)
+        }
+        i += run
+      } else if (bestLen >= 3) {
+        val v = bestOfs - 3
+        if (bestLen <= 15)
+          item(flag = true, ((bestLen << 4) | (v & 0xF)).toByte,
+            ((v >> 4) & 0xFF).toByte)
+        else
+          item(flag = true, (0x20 | (v & 0xF)).toByte,
+            ((v >> 4) & 0xFF).toByte, (bestLen - 16).toByte)
+        i += bestLen
+      } else {
+        item(flag = false, b)
+        i += 1
+      }
+    }
+    flush()
     out.toByteArray
   }
 
