@@ -533,4 +533,41 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Per-document CROSS-corpus duplicated n-gram fraction — the
+    * exact-duplication quality signal of the large-corpus filtering
+    * literature (fraction of a document's distinct n-grams that occur
+    * in ≥ `minDf` documents), complementary to the WITHIN-document
+    * `repetition_ratio`. Output: (doc_id, dup_ngrams, total_ngrams,
+    * dup_fraction), one row per doc with ≥ 1 shingle.
+    *
+    * Scale shape: no pair generation anywhere — two linear shuffles on
+    * the 60-bit shingle hash (map-combinable df count, then the
+    * semi-join marking duplicated postings) and one on doc_id (the
+    * per-doc rollup). Head shingles ("of the and") are the expected
+    * skew; the semi-join is equi-keyed so AQE's skew-join split
+    * handles them, and no bucket ever explodes into pairs. The hash is
+    * md5-derived ([[PortableHash.hash60]]) so any engine re-derives
+    * identical posting groups. */
+  def dupNgramStats(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val sh = shingleTable(docs)
+    val posting = sh.select(col("doc_id"),
+      explode(transform(col("sh"), s => PortableHash.hash60(s)))
+        .as("shingle_h"))
+    // posting rows are (doc, DISTINCT shingle) pairs, so count(*) per
+    // shingle = document frequency — partial-aggregated map-side
+    val dup = posting.groupBy("shingle_h")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select("shingle_h")
+    val perDoc = posting.join(dup, Seq("shingle_h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_ngrams"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("total_ngrams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        col("total_ngrams"),
+        round(coalesce(col("dup_ngrams"), lit(0L)).cast("double") /
+          col("total_ngrams"), 6).as("dup_fraction"))
+  }
 }

@@ -243,7 +243,34 @@ object DedupQueries {
         FROM pairs JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
       WHERE jaccard >= 0.5"""))
 
+  // -------------------------------------- duplicated n-gram fraction
+  /** Cross-corpus exact-duplication quality signal (the large-corpus
+    * filtering literature's "duplicate n-gram fraction"): per doc, the
+    * share of its distinct 3-gram shingles found in ≥2 documents.
+    * Distinct from `x_dedup_ngram_inverted` (pairwise similarity) and
+    * `x_repetition_ratio` (within-doc repetition). Same md5-derived
+    * posting hash as the inverted index, so the oracle re-derives
+    * identical groups. */
+  private val dupNgramFraction = GraftQuery(
+    "x_dup_ngram_fraction",
+    (s, d) => graft.ops.Dedup.dupNgramStats(Tables.documents(s, d)),
+    Some(s"""WITH $tokensCte, $shinglesCte,
+      posting AS (SELECT doc_id,
+                    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+                      AS shingle_h
+                  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
+      dup AS (SELECT shingle_h FROM posting
+              GROUP BY 1 HAVING count(*) >= 2),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_ngrams
+                 FROM posting JOIN dup USING (shingle_h) GROUP BY 1)
+      SELECT s.doc_id,
+             COALESCE(p.dup_ngrams, 0) AS dup_ngrams,
+             CAST(len(s.sh) AS BIGINT) AS total_ngrams,
+             ROUND(CAST(COALESCE(p.dup_ngrams, 0) AS DOUBLE)
+                   / len(s.sh), 6) AS dup_fraction
+      FROM sh s LEFT JOIN perdoc p USING (doc_id)"""))
+
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
-      clusterAssign, splitByCluster)
+      clusterAssign, splitByCluster, dupNgramFraction)
 }

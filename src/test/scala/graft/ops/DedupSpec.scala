@@ -74,4 +74,36 @@ class DedupSpec extends SparkTestBase {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("dupNgramStats: cross-doc duplicated shingles counted, within-doc repeats not") {
+    import spark.implicits._
+    // doc 0 and 1 share exactly one 3-gram ("common phrase here"); doc 2
+    // is pure repetition of its own shingle (distinct-set collapses it,
+    // and no other doc carries it → zero duplication); doc 3 too short.
+    val docs = Seq(
+      (0L, "alpha beta gamma common phrase here", "en"),
+      (1L, "common phrase here delta epsilon zeta", "en"),
+      (2L, "loop loop loop loop loop loop", "en"),
+      (3L, "too short", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.dupNgramStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // 4 shingles per 6-token doc; exactly 2 of each doc's shingles
+    // contain the shared tri-gram window? no — sliding windows share
+    // only the exact "common phrase here" string: doc0 window at the
+    // tail, doc1 at the head → 1 duplicated shingle each
+    assert(got(0L) === ((1L, 4L, 0.25)))
+    assert(got(1L) === ((1L, 4L, 0.25)))
+    assert(got(2L) === ((0L, 1L, 0.0))) // distinct-set → 1 unique shingle
+    assert(!got.contains(3L)) // < 3 tokens → no shingles → no row
+    // duplicated fraction is NOT symmetric-pair based: a third copy of
+    // the phrase raises nothing for docs 0/1 (df already ≥ 2)
+    val third = docs.union(
+      Seq((4L, "prefix words common phrase here suffix", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val got3 = Dedup.dupNgramStats(third).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3(0L) === 1L && got3(1L) === 1L && got3(4L) === 1L)
+  }
 }
