@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Transactional parquet table — the no-jar answer to the Delta/Iceberg
   * row of the survey: a versioned COMMIT LOG over plain parquet data
@@ -561,6 +561,48 @@ final class TxTable private (spark: SparkSession, dir: String) {
     }
     sys.error(s"upsert contention: lost $maxRetries races in $logDir")
   }
+
+  /** DELETE WHERE `column` BETWEEN `lo` AND `hi`, Delta-style: the
+    * logged per-file [min,max] stats select the files that MAY hold
+    * matching rows; ONLY those are read and rewritten with the negated
+    * predicate — untouched files are neither read nor mentioned in the
+    * commit entry, so a point delete on a z-ordered table rewrites a
+    * handful of files, not the table. Optimistic like [[upsert]]:
+    * losing the CAS discards the staged rewrite (never referenced) and
+    * re-derives against the new head, which also re-prunes — a
+    * concurrent append of matching rows lands either before this
+    * delete's base (and is deleted) or after its commit (and
+    * survives), never half-applied. An empty candidate set still
+    * commits a no-op entry so the deletion is visible to time travel
+    * and audit. */
+  def deleteBetween(column: String, lo: Any, hi: Any,
+      maxRetries: Int = 20): Commit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val pruned = prunedSnapshot(column, Option(lo), Option(hi))
+      // keep every row where the predicate is NOT TRUE — a NULL in
+      // `column` makes the match predicate NULL, and a bare negation
+      // would silently delete those rows too
+      val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
+      val staged =
+        if (pruned.files.isEmpty) Nil
+        else stage(pruned.read(spark)
+          .where(!coalesce(matches, lit(false))))
+      val c = Commit(pruned.version + 1, "delete", staged,
+        pruned.files.map(_.stripPrefix(s"$dir/")),
+        System.currentTimeMillis())
+      if (tryCommit(c, fileStats(staged))) return c
+      staged.foreach(n => new File(dir, n).delete())
+      attempt += 1
+    }
+    sys.error(s"delete contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Point DELETE with the same file-skipping contract as
+    * [[deleteBetween]]. */
+  def deleteWhere(column: String, value: Any,
+      maxRetries: Int = 20): Commit =
+    deleteBetween(column, value, value, maxRetries)
 
   /** Compact the current snapshot to `targetFiles` files — content
     * identical, file count bounded. */

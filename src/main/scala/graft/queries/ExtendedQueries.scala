@@ -778,6 +778,59 @@ object ExtendedQueries {
           round(sum(col("l_quantity")), 2).as("qty"))
     }))
 
+  // ----------------------------------------------------------------- K12
+  /** Transactional DELETE WHERE ([[graft.ops.TxTable.deleteBetween]]):
+    * per-file stats select the files that may hold matching rows and
+    * ONLY those are rewritten with the negated predicate — on a
+    * z-ordered table a range delete touches a handful of files
+    * (`TxTableSpec` pins the untouched-files-survive-by-identity
+    * property). The oracle replays the delete as a WHERE NOT filter
+    * over the raw table; hash-exact equality proves the rewrite
+    * dropped exactly the predicate rows — including keeping rows the
+    * stats could not exclude. */
+  private val txTableDelete = GraftQuery(
+    "k12_tx_delete_where",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txdel-").toString
+      val t = graft.ops.TxTable(s, s"$dir/lineitem")
+      t.append(Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag")))
+      t.compactZOrdered("l_orderkey", "l_partkey", targetFiles = 16)
+      t.deleteBetween("l_orderkey", 1000L, 2000L)
+      t.read()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1000 AND 2000
+            GROUP BY 1"""),
+    bench = false,
+    // Timed region = the pruned delete rewrite + full read-back; the
+    // table build and z-order clustering run once in setup. Each timed
+    // run deletes a DIFFERENT key range so the rewrite is never a
+    // no-op replay of a previous run's commit.
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txdel-bench-").toString
+      val t = graft.ops.TxTable(s, s"$dir/lineitem")
+      t.append(Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag")))
+      t.compactZOrdered("l_orderkey", "l_partkey", targetFiles = 16)
+      var lo = 1000L
+      () => {
+        t.deleteBetween("l_orderkey", lo, lo + 500L)
+        lo += 1000L
+        t.read().groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty"))
+      }
+    }))
+
   // ----------------------------------------------------------------- A32
   /** Conditional aggregation — the FILTER clause and its `count_if`/
     * CASE-fold equivalents: segment metrics out of one scan instead of
@@ -1091,5 +1144,5 @@ object ExtendedQueries {
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
-    dynamicOverwrite, txTableMerge, txTableSkip)
+    dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete)
 }

@@ -249,6 +249,43 @@ class TxTableSpec extends SparkTestBase {
     assert(t.snapshot().version === 11)
   }
 
+  test("deleteBetween rewrites only stat-overlapping files; others survive by identity") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    // 4 appends with disjoint id ranges → tight per-file stats
+    (0 until 4).foreach(i => t.append(df(i * 100 until i * 100 + 100)))
+    val before = t.snapshot().files.toSet
+    t.deleteBetween("id", 150L, 249L)
+    val after = t.snapshot().files.toSet
+    // ranges 0-99 and 300-399 never overlap the predicate: their files
+    // must survive UNREWRITTEN (same physical paths)
+    val untouchedBefore = before.filter { f =>
+      val rows = spark.read.parquet(f)
+        .agg(min(col("id")), max(col("id"))).head()
+      rows.getLong(1) < 150L || rows.getLong(0) > 249L
+    }
+    assert(untouchedBefore.subsetOf(after),
+      "files outside the delete range were rewritten")
+    assert(t.read().count() === 300)
+    assert(t.read().where(col("id").between(150, 249)).count() === 0)
+    // time travel still sees the pre-delete content
+    assert(t.readAt(3).count() === 400)
+    // point-delete face
+    t.deleteWhere("id", 42L)
+    assert(t.read().count() === 299)
+    assert(t.read().where(col("id") === 42L).count() === 0)
+  }
+
+  test("delete keeps NULL-valued rows (predicate not-TRUE, not negated-NULL)") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(Seq((Some(1L), "a"), (None, "null-row"), (Some(5L), "b"))
+      .toDF("id", "payload"))
+    t.deleteBetween("id", 0L, 2L)
+    val left = t.read().select("payload").collect().map(_.getString(0)).toSet
+    assert(left === Set("null-row", "b"))
+  }
+
   test("per-file stats: z-ordered point query skips most files, same rows") {
     import spark.implicits._
     val (t, _) = mkTable()
