@@ -937,7 +937,116 @@ object SimilarityQueries {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos_sim >= 0.4"""))
 
+  // ------------------------------------------- reciprocal rank fusion
+  /** Hybrid lexical + dense retrieval fused with RRF (K = 60): BM25
+    * over the fixed term query (same derivation as `x_bm25_search`)
+    * and cosine against query vector 0 each produce a top-20, and a
+    * document's fused score is Σ 1/(K + rank) over the lists it
+    * appears in — the standard fusion that needs NO score calibration
+    * between systems. Both ranks are computed on ROUNDED scores with
+    * id tie-breaks, so any engine derives identical lists; the
+    * 20-row ranked heads are the only single-partition work (the
+    * global sorts underneath are TakeOrderedAndProject).
+    *
+    * Scale shape: the lexical side shuffles only query-term postings
+    * (in-array filter before explode), the dense side broadcasts one
+    * query row and shuffles (vec_id, cos) pairs; fusion is a
+    * full-outer join of two 20-row lists. */
+  private val rrfFusion = GraftQuery(
+    "x_search_rrf_fusion",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      import graft.ops.TextFunctions
+      val terms = Seq("hash", "join", "vector")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val dl = toks.select(col("doc_id"),
+        size(col("toks")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        round(avg("dl"), 6).as("avgdl"))
+      val tf = toks
+        .select(col("doc_id"),
+          explode(filter(col("toks"), t => t.isInCollection(terms)))
+            .as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val lex = tf.join(broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+        .groupBy("doc_id").agg(round(sum("score"), 5).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+      val lexRanked = lex.withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
+          .cast("int"))
+      val e = corpus(s, d)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val dense = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorOps.dotNative(col("qv"), col("v")) /
+            (col("qn") * col("nrm")), 6).as("cos"))
+        .orderBy(desc("cos"), col("doc_id")).limit(20)
+      val denseRanked = dense.withColumn("dense_rank",
+        row_number().over(Window.orderBy(desc("cos"), col("doc_id")))
+          .cast("int"))
+      lexRanked.join(denseRanked, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)),
+            6).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id")).limit(10)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                             ROUND(AVG(dl), 6) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+                   WHERE term IN ('hash', 'join', 'vector')
+                   GROUP BY 1, 2),
+            dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                    FROM tf GROUP BY 1),
+            per AS (SELECT tf.doc_id, ROUND(
+                      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                        (tf * 2.2) /
+                        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+                    FROM tf JOIN dfc USING (term)
+                      JOIN dl ON tf.doc_id = dl.doc_id, stats),
+            lex AS (SELECT doc_id, ROUND(SUM(score), 5) AS bm25
+                    FROM per GROUP BY 1
+                    ORDER BY bm25 DESC, doc_id LIMIT 20),
+            lexr AS (SELECT doc_id, CAST(row_number() OVER
+                       (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+                     FROM lex),
+            $embCte,
+            qq AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+            dense AS (SELECT vec_id AS doc_id, ROUND($cosSql, 6) AS cos
+                      FROM e, qq WHERE vec_id <> 0
+                      ORDER BY cos DESC, doc_id LIMIT 20),
+            denser AS (SELECT doc_id, CAST(row_number() OVER
+                         (ORDER BY cos DESC, doc_id) AS INTEGER) AS dense_rank
+                       FROM dense)
+      SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+             l.lex_rank, r.dense_rank,
+             ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0) +
+                   COALESCE(1.0 / (60 + r.dense_rank), 0), 6) AS rrf
+      FROM lexr l FULL OUTER JOIN denser r ON l.doc_id = r.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
   val queries: Seq[GraftQuery] =
     Seq(cosineTopK, hybridSearch, hybridAnn, annLsh, annIvf, annPq,
-      annIvfPq, annIvfPqRerank, cosineNearDup, lshNearDup)
+      annIvfPq, annIvfPqRerank, cosineNearDup, lshNearDup, rrfFusion)
 }
