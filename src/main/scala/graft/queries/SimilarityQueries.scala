@@ -937,6 +937,72 @@ object SimilarityQueries {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos_sim >= 0.4"""))
 
+  // ------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic deduplication: k-means cells block the
+    * pairwise work (the published algorithm's shape), then within each
+    * cell a vector is DROPPED when a lower-id cell-mate sits at cosine
+    * ≥ threshold — the deterministic keep-first policy. Output: every
+    * embedded doc with its cell and keep/drop flag.
+    *
+    * Scale shape: the only pairwise stage is the within-cell
+    * self-join, and [[seedStride]] caps cells at ~√n members, so the
+    * candidate volume is O(n^1.5) worst-case and embarrassingly
+    * cell-parallel — never all-pairs. Cosines are rounded to 6 before
+    * the threshold compare so both engines make identical keep
+    * decisions (same boundary discipline as the IVF oracle). The
+    * threshold matches the corpus's near-dup convention
+    * (`x_embed_cosine_neardup`'s minCos — the synthetic 64-dim
+    * vectors sit at low cosines). */
+  val SemDedupThreshold = 0.4
+  private val semDedup = GraftQuery(
+    "x_embed_sem_dedup",
+    (s, d) => {
+      val e = persistedDf(corpus(s, d))
+      val cents = persistedDf(kmeansCentroids(e))
+      val ce = e.join(
+        assignCells(e, cents).select(col("vec_id"), col("cell")), "vec_id")
+      val a = ce.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      val b = ce.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val dropped = a.join(b, Seq("cell"))
+        .where(col("b_id") < col("vec_id"))
+        .where(round(VectorOps.dotNative(col("v"), col("bv")) /
+          (col("nrm") * col("bn")), 6) >= lit(SemDedupThreshold))
+        .select(col("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      ce.select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(!col("is_dup"), lit(true)).as("kept"))
+    },
+    Some {
+      val iters = (1 to IvfIters)
+        .map(i => lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}"))
+        .mkString(",\n")
+      val last = s"c$IvfIters"
+      val centCos = s"""(list_sum(list_transform(generate_series(1, 64),
+                          i -> e.v[i] * c.cv[i])) / (e.nrm * c.cn))"""
+      val pairCos = s"""(list_sum(list_transform(generate_series(1, 64),
+                          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm))"""
+      s"""WITH $embCte,
+        c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+               WHERE vec_id % 50 = 0),
+        $iters,
+        assign AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $centCos DESC, c.c_id) AS rn
+            FROM e, $last c) WHERE rn = 1),
+        ce AS (SELECT e.vec_id, e.v, e.nrm, a.cell
+               FROM e JOIN assign a USING (vec_id)),
+        dropped AS (SELECT DISTINCT a.vec_id FROM ce a JOIN ce b
+                    ON a.cell = b.cell AND b.vec_id < a.vec_id
+                    WHERE ROUND($pairCos, 6) >= $SemDedupThreshold)
+        SELECT ce.vec_id, CAST(ce.cell AS BIGINT) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM ce LEFT JOIN dropped d ON ce.vec_id = d.vec_id"""
+    })
+
   // ------------------------------------------- reciprocal rank fusion
   /** Hybrid lexical + dense retrieval fused with RRF (K = 60): BM25
     * over the fixed term query (same derivation as `x_bm25_search`)
@@ -1048,5 +1114,6 @@ object SimilarityQueries {
 
   val queries: Seq[GraftQuery] =
     Seq(cosineTopK, hybridSearch, hybridAnn, annLsh, annIvf, annPq,
-      annIvfPq, annIvfPqRerank, cosineNearDup, lshNearDup, rrfFusion)
+      annIvfPq, annIvfPqRerank, cosineNearDup, lshNearDup, rrfFusion,
+      semDedup)
 }
