@@ -604,6 +604,34 @@ final class TxTable private (spark: SparkSession, dir: String) {
       maxRetries: Int = 20): Commit =
     deleteBetween(column, value, value, maxRetries)
 
+  /** Delta-style RESTORE: make the table's content equal to `version`
+    * again via a NEW commit — nothing is rewritten (the old files are
+    * re-referenced, and their logged stats still apply), history is
+    * preserved, and the restore itself is time-travelable. Fails if
+    * any file of the target version was already vacuumed — restore
+    * reaches only as far back as the retention window, the same
+    * contract Delta documents. */
+  def restore(version: Long, maxRetries: Int = 20): Commit = {
+    val target = snapshotAt(version)
+    require(target.version == version,
+      s"version $version does not exist (log is at ${snapshot().version})")
+    val missing = target.files.filterNot(f => new File(f).isFile)
+    require(missing.isEmpty,
+      s"restore to $version impossible: ${missing.size} file(s) already " +
+        s"vacuumed (first: ${missing.headOption.getOrElse("")})")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = snapshot()
+      val c = Commit(base.version + 1, "restore",
+        target.files.map(_.stripPrefix(s"$dir/")),
+        base.files.map(_.stripPrefix(s"$dir/")),
+        System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"restore contention: lost $maxRetries races in $logDir")
+  }
+
   /** Compact the current snapshot to `targetFiles` files — content
     * identical, file count bounded. */
   def compact(targetFiles: Int = 1, maxRetries: Int = 20): Commit =

@@ -276,6 +276,25 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().where(col("id") === 42L).count() === 0)
   }
 
+  test("restore re-references an old version as a new commit; history intact") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))   // v0
+    t.append(df(10 until 30))  // v1
+    t.overwrite(df(100 until 103)) // v2
+    val c = t.restore(1)
+    assert(c.version === 3)
+    assert(t.read().count() === 30) // v1 content back
+    assert(t.readAt(2).count() === 3) // overwrite still in history
+    // stats logged with the original files still drive skipping
+    assert(t.readBetween("id", 0L, 5L).count() === 6)
+    // restoring a vacuumed-away version fails loudly, not silently empty
+    t.overwrite(df(0 until 2)) // v4
+    t.vacuum(retainVersion = 4, minAgeMs = 0)
+    val e = intercept[IllegalArgumentException](t.restore(1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("delete keeps NULL-valued rows (predicate not-TRUE, not negated-NULL)") {
     import spark.implicits._
     val (t, _) = mkTable()
