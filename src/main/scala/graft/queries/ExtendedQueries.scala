@@ -831,6 +831,85 @@ object ExtendedQueries {
       }
     }))
 
+  // ----------------------------------------------------------------- K13
+  /** TxTable CHANGE DATA FEED ([[graft.ops.TxTable.readChanges]]):
+    * append the base (v0), MERGE the same updates as K10 (v1), then
+    * read the feed over `(0, 1]` — the upsert's net row-level changes
+    * as delete+insert pairs, with rows the rewrite merely carried over
+    * absent. The oracle derives the identical pairs relationally
+    * (updated-rows EXCEPT ALL old-rows and vice versa), so a feed that
+    * leaks carried-over rows, drops a change, or mis-tags a side fails
+    * the hash compare. Scale shape: reconstruction is one row-diff
+    * shuffle bounded by the files the commit touched; appends stream
+    * through with no shuffle at all. */
+  private val txChangeFeed = GraftQuery(
+    "k13_tx_change_feed",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txcdf-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer)
+      val changes = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 5)
+      val updates = customer
+        .join(broadcast(changes), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("total").as("c_acctbal"),
+          lit("UPGRADED").as("c_mktsegment"))
+      t.upsert(updates, Seq("c_custkey"))
+      t.readChanges(0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"),
+          col("_change_type"), col("_commit_version"))
+    },
+    Some("""WITH agg AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            upd AS (SELECT c_custkey, c_name, c_nationkey,
+                     total AS c_acctbal, 'UPGRADED' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n > 5),
+            old AS (SELECT c.* FROM customer c
+                    WHERE c_custkey IN (SELECT c_custkey FROM upd)),
+            ins AS (SELECT * FROM upd EXCEPT ALL SELECT * FROM old),
+            del AS (SELECT * FROM old EXCEPT ALL SELECT * FROM upd)
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+                   'insert' AS _change_type,
+                   CAST(1 AS BIGINT) AS _commit_version FROM ins
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2), c_mktsegment,
+                   'delete', CAST(1 AS BIGINT) FROM del"""),
+    bench = false,
+    // Timed region = feed reconstruction (the per-consumer cost);
+    // the append + upsert protocol runs once in setup.
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txcdf-bench-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer)
+      val changes = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 5)
+      val updates = customer
+        .join(broadcast(changes), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("total").as("c_acctbal"),
+          lit("UPGRADED").as("c_mktsegment"))
+      t.upsert(updates, Seq("c_custkey"))
+      () => t.readChanges(0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"),
+          col("_change_type"), col("_commit_version"))
+    }))
+
   // ----------------------------------------------------------------- A32
   /** Conditional aggregation — the FILTER clause and its `count_if`/
     * CASE-fold equivalents: segment metrics out of one scan instead of
@@ -1144,5 +1223,6 @@ object ExtendedQueries {
     hllSketchUnion, schemaEvolution, nullSafeJoin, unpivotCharges,
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
-    dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete)
+    dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
+    txChangeFeed)
 }

@@ -295,6 +295,33 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("change feed: appends insert-only, rewrites net-diffed, compaction silent") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))    // v0: 10 inserts
+    t.append(df(10 until 15))   // v1: 5 inserts
+    t.compact(targetFiles = 1)  // v2: data-neutral
+    // v3: upsert rewrites everything but only id 3 actually changes
+    t.upsert(Seq((3L, "CHANGED")).toDF("id", "payload"), Seq("id"))
+    val feed = t.readChanges(-1)
+    assert(feed.where(col("_commit_version") === 0L).count() === 10)
+    assert(feed.where(col("_commit_version") === 1L).count() === 5)
+    assert(feed.where(col("_commit_version") === 2L).count() === 0)
+    val v3 = feed.where(col("_commit_version") === 3L)
+      .select("_change_type", "id", "payload").as[(String, Long, String)]
+      .collect().toSet
+    assert(v3 === Set(("insert", 3L, "CHANGED"), ("delete", 3L, "row-3")))
+    // window selection: (0, 1] sees only v1's inserts
+    assert(t.readChanges(0, 1).count() === 5)
+    // a vacuum inside the window fails the feed loudly, not silently
+    t.overwrite(df(0 until 2)) // v4
+    t.vacuum(retainVersion = 4, minAgeMs = 0)
+    val e = intercept[IllegalArgumentException](t.readChanges(2, 4))
+    assert(e.getMessage.contains("vacuumed"))
+    // a window entirely in retained history still works
+    assert(t.readChanges(4).count() === 0)
+  }
+
   test("delete keeps NULL-valued rows (predicate not-TRUE, not negated-NULL)") {
     import spark.implicits._
     val (t, _) = mkTable()
