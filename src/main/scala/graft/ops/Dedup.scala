@@ -570,4 +570,51 @@ object Dedup {
         round(coalesce(col("dup_ngrams"), lit(0L)).cast("double") /
           col("total_ngrams"), 6).as("dup_fraction"))
   }
+
+  /** Maximal duplicated token SPANS — the exact-substring-dedup
+    * primitive of the training-data literature (find verbatim repeated
+    * passages, then cut or down-weight them): positional `k`-gram
+    * hashes mark their `[pos, pos+k)` token coverage as duplicated when
+    * the gram occurs in ≥2 distinct documents; overlapping or adjacent
+    * duplicated grams then merge into maximal per-doc spans
+    * (gaps-and-islands over the position sequence — two grams chain
+    * when their starts differ by ≤ k). Output: one row per maximal
+    * span, `[start_tok, end_tok)` 0-based token offsets plus the
+    * supporting gram count. A suffix-array build finds these spans too,
+    * but needs a global sort of every suffix; this form is two
+    * equi-keyed shuffles (gram-hash df, then the per-doc island window)
+    * and reuses the positional n-gram machinery.
+    *
+    * Scale shape: no pair generation — duplicated-gram detection is a
+    * map-combinable count on the 60-bit gram hash, marking is a
+    * semi-join on the same key (AQE splits head-gram skew), and island
+    * merging windows over each DOC's duplicated positions only (≤
+    * tokens per doc, never corpus-wide). The hash is md5-derived
+    * ([[PortableHash.hash60]]) so any engine re-derives identical
+    * groups. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.wordNGrams(col("toks"), k))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        PortableHash.hash60(col("gram")).as("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("grp", sum("brk").over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("start_tok"),
+        (max("pos") + k).cast("long").as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+  }
 }

@@ -270,7 +270,43 @@ object DedupQueries {
                    / len(s.sh), 6) AS dup_fraction
       FROM sh s LEFT JOIN perdoc p USING (doc_id)"""))
 
+  // ------------------------------------------ duplicated token spans
+  /** Exact-substring duplication as SPANS ([[Dedup.duplicatedSpans]]):
+    * maximal runs of tokens whose 10-grams occur verbatim in ≥2
+    * documents — the "cut the repeated passage" primitive, positional
+    * where `x_dup_ngram_fraction` is a per-doc rate. The oracle
+    * re-derives the identical islands with window functions over the
+    * same md5-hashed positional grams. */
+  private val dupSpans = GraftQuery(
+    "x_dup_token_spans",
+    (s, d) => Dedup.duplicatedSpans(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents),
+      pgrams AS (SELECT doc_id, pos,
+          CAST('0x' || substring(md5(
+            array_to_string(toks[pos:pos+9], ' ')), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks) - 9)) AS pos
+              FROM toks WHERE len(toks) >= 10)),
+      dup AS (SELECT h FROM pgrams
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      dp AS (SELECT doc_id, pos FROM pgrams JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+          SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 10
+                   THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dp))
+      SELECT doc_id, CAST(MIN(pos) - 1 AS BIGINT) AS start_tok,
+             CAST(MAX(pos) - 1 + 10 AS BIGINT) AS end_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM isl GROUP BY doc_id, grp"""))
+
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
-      clusterAssign, splitByCluster, dupNgramFraction)
+      clusterAssign, splitByCluster, dupNgramFraction, dupSpans)
 }

@@ -106,4 +106,41 @@ class DedupSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got3(0L) === 1L && got3(1L) === 1L && got3(4L) === 1L)
   }
+
+  test("duplicatedSpans: maximal islands, 0-based [start, end) offsets") {
+    // docs 0 and 1 share a verbatim 12-token run (positions 3..14 in doc
+    // 0, 0..11 in doc 1); doc 2 is all-unique filler
+    val shared = (0 until 12).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta gamma $shared tail0 tail1"),
+      (1L, s"$shared other words entirely"),
+      (2L, (0 until 30).map(i => s"unique$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 12-token run → 3 positional 10-grams, one island covering it all
+    assert(got(0L) === ((3L, 15L, 3L)))
+    assert(got(1L) === ((0L, 12L, 3L)))
+    assert(!got.contains(2L))
+  }
+
+  test("duplicatedSpans: gap past k splits islands; within-doc repeats don't fire") {
+    val run = (0 until 10).map(i => s"r$i").mkString(" ")
+    val gap = (0 until 15).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$run $gap $run"),    // two shared runs, 15-token gap
+      (1L, run),                  // second doc makes the run duplicated
+      // a doc repeating ITS OWN 10-gram twice: only one distinct doc,
+      // countDistinct(doc_id) = 1 < 2 → no span (unless doc 1 matches)
+      (2L, s"solo0 solo1 solo2 solo3 solo4 solo5 solo6 solo7 solo8 solo9 " +
+        "solo0 solo1 solo2 solo3 solo4 solo5 solo6 solo7 solo8 solo9"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(got(0L) === Set((0L, 10L), (25L, 35L))) // split, not merged
+    assert(got(1L) === Set((0L, 10L)))
+    assert(!got.contains(2L))
+  }
 }
