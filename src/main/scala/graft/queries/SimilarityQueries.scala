@@ -1003,6 +1003,76 @@ object SimilarityQueries {
         FROM ce LEFT JOIN dropped d ON ce.vec_id = d.vec_id"""
     })
 
+  // ---------------------------------------------- cluster topic labels
+  /** Corpus-exploration operator: label each embedding-space cluster
+    * with its distinguishing terms — the deterministic k-means cells of
+    * the IVF index crossed with cell-level TF-IDF over the joined
+    * documents ("what is cluster 7 about"). Scale shape: cell
+    * assignment is the IVF indexing pass (broadcast centroids, one
+    * shuffle); term scoring is two (cell, term) hash aggregates plus a
+    * broadcast of the per-term cell-frequency table; the ranking window
+    * partitions over ~√n cells of vocabulary rows, never over
+    * documents. */
+  private val clusterTopTerms = GraftQuery(
+    "x_cluster_top_terms",
+    (s, d) => {
+      val e = persistedDf(corpus(s, d))
+      val cents = persistedDf(kmeansCentroids(e))
+      val cells = assignCells(e, cents).select(col("vec_id"), col("cell"))
+      val docs = Tables.documents(s, d)
+      val tf = docs.join(cells, docs("doc_id") === cells("vec_id"))
+        .select(col("cell"),
+          explode(graft.ops.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy("term").agg(count(lit(1)).as("cf"))
+      val n = cells.agg(countDistinct(col("cell")).as("n_cells"))
+      val w = Window.partitionBy("cell").orderBy(desc("score"), col("term"))
+      tf.join(broadcast(cf), "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_cells") + 1.0) / (col("cf") + 1.0)),
+            6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("cell").cast("long").as("cell"), col("term"),
+          col("score"), col("rank"))
+    },
+    Some {
+      val iters = (1 to IvfIters)
+        .map(i => lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}"))
+        .mkString(",\n")
+      val centCos = s"""(list_sum(list_transform(generate_series(1, 64),
+                          i -> e.v[i] * c.cv[i])) / (e.nrm * c.cn))"""
+      s"""WITH $embCte,
+        c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+               WHERE vec_id % 50 = 0),
+        $iters,
+        assign AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $centCos DESC, c.c_id) AS rn
+            FROM e, c$IvfIters c) WHERE rn = 1),
+        toks AS (SELECT a.cell,
+                   list_filter(str_split_regex(lower(d.text), '\\s+'),
+                               t -> t <> '') AS toks
+                 FROM documents d JOIN assign a ON d.doc_id = a.vec_id),
+        tfc AS (SELECT cell, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT cell, unnest(toks) AS term FROM toks)
+                GROUP BY 1, 2),
+        cfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+                FROM tfc GROUP BY 1),
+        n AS (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+              FROM assign),
+        scored AS (SELECT cell, tfc.term,
+            ROUND(tf * ln((n_cells + 1.0) / (cf + 1.0)), 6) AS score
+          FROM tfc JOIN cfc ON tfc.term = cfc.term, n)
+      SELECT CAST(cell AS BIGINT) AS cell, term, score,
+             CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY cell ORDER BY score DESC, term) AS rank
+            FROM scored)
+      WHERE rank <= 5"""
+    })
+
   // ------------------------------------------- reciprocal rank fusion
   /** Hybrid lexical + dense retrieval fused with RRF (K = 60): BM25
     * over the fixed term query (same derivation as `x_bm25_search`)
@@ -1115,5 +1185,5 @@ object SimilarityQueries {
   val queries: Seq[GraftQuery] =
     Seq(cosineTopK, hybridSearch, hybridAnn, annLsh, annIvf, annPq,
       annIvfPq, annIvfPqRerank, cosineNearDup, lshNearDup, rrfFusion,
-      semDedup)
+      semDedup, clusterTopTerms)
 }
