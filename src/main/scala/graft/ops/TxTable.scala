@@ -167,6 +167,26 @@ final class TxTable private (spark: SparkSession, dir: String) {
 
   def readAt(version: Long): DataFrame = snapshotAt(version).read(spark)
 
+  /** Commit entries in `(fromVersion, toVersion]`, oldest first — the
+    * incremental-consumption face shared by [[readChanges]] and the
+    * streaming source ([[graft.sources.tx.DefaultSource]]). */
+  def commitsBetween(fromVersion: Long,
+      toVersion: Long = Long.MaxValue): Seq[Commit] =
+    commits().filter(c => c.version > fromVersion && c.version <= toVersion)
+
+  /** Resolve table-relative file names to absolute paths, failing
+    * loudly if any was already vacuumed — shared retention contract of
+    * [[readChanges]] and the streaming source. */
+  private[graft] def resolveFiles(names: Seq[String], what: String): Seq[String] = {
+    val missing = names.filterNot(n => new File(dir, n).isFile)
+    require(missing.isEmpty,
+      s"$what incomplete: ${missing.size} file(s) already vacuumed " +
+        s"(first: ${missing.head})")
+    names.map(n => s"$dir/$n")
+  }
+
+  private[graft] def tableDir: String = dir
+
   /** Delta-style CHANGE DATA FEED, reconstructed from the log: the
     * row-level net changes each commit in `(fromVersion, toVersion]`
     * introduced, tagged `_change_type` ('insert' | 'delete') and
@@ -188,20 +208,13 @@ final class TxTable private (spark: SparkSession, dir: String) {
     * contract as [[restore]]. */
   def readChanges(fromVersion: Long,
       toVersion: Long = Long.MaxValue): DataFrame = {
-    val cs = commits()
-      .filter(c => c.version > fromVersion && c.version <= toVersion)
+    val cs = commitsBetween(fromVersion, toVersion)
       .filterNot(_.action == "compact")
     val changes = cs.flatMap { c =>
       def readFiles(names: Seq[String]): Option[DataFrame] =
         if (names.isEmpty) None
-        else {
-          val missing = names.filterNot(n => new File(dir, n).isFile)
-          require(missing.isEmpty,
-            s"change feed over v${c.version} incomplete: ${missing.size} " +
-              s"file(s) already vacuumed (first: ${missing.head})")
-          Some(spark.read.option("basePath", dir)
-            .parquet(names.map(n => s"$dir/$n"): _*))
-        }
+        else Some(spark.read.option("basePath", dir)
+          .parquet(resolveFiles(names, s"change feed over v${c.version}"): _*))
       def tag(df: DataFrame, typ: String) =
         df.withColumn("_change_type", lit(typ))
           .withColumn("_commit_version", lit(c.version))

@@ -1,0 +1,113 @@
+package graft.sources.tx
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.TxTable
+
+/** [[graft.ops.TxTable]] as a Structured Streaming SOURCE —
+  * `spark.readStream.format("graft.sources.tx").option("path", dir)` —
+  * the read-side twin of `EventStreams.txCdcApplySink`: a pipeline can
+  * now both LAND results transactionally and TAIL a transactional
+  * table incrementally, the same loop Delta's streaming reader closes.
+  *
+  * Semantics (same contract as Delta's default streaming read):
+  *  - offsets are COMMIT VERSIONS; micro-batch (from, to] emits exactly
+  *    the rows the append commits in that window added. Exactly-once
+  *    falls out of the log's immutability: a replayed batch re-reads
+  *    the same committed versions, never a prefix of one;
+  *  - compaction commits are content-neutral and silently skipped;
+  *  - any other rewrite (overwrite / upsert / delete / restore) FAILS
+  *    the stream by default — an append-only reader silently dropping
+  *    a rewrite would un-count rows downstream. Opt in to
+  *    `skipChangeCommits=true` (Delta's option of the same name) to
+  *    ignore rewrites, or consume `readChanges()` in batch for the
+  *    full CDF;
+  *  - vacuuming files out of an unread window fails loudly (shared
+  *    retention contract with restore/readChanges).
+  *
+  * Scale shape: `getOffset` is a driver-side log listing (O(checkpoint
+  * interval) reads); each batch plans a plain parquet scan over ONLY
+  * the new files — column pruning and predicate pushdown apply as in
+  * any batch read, and no state is kept beyond the engine's own offset
+  * checkpoint. */
+final class DefaultSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "txtable"
+
+  private def opts(params: Map[String, String]): Map[String, String] =
+    params.map { case (k, v) => k.toLowerCase -> v }
+
+  private def table(ctx: SQLContext, params: Map[String, String]): TxTable = {
+    val path = opts(params).getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    TxTable(ctx.sparkSession, path)
+  }
+
+  override def sourceSchema(
+      ctx: SQLContext, schema: Option[StructType], providerName: String,
+      params: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the txtable source derives its schema from the table's snapshot; " +
+        "do not pass one")
+    val snap = table(ctx, params).snapshot()
+    require(snap.files.nonEmpty,
+      "cannot infer the stream schema from an empty table: commit data " +
+        "first (the schema is read from the snapshot's parquet footers)")
+    (shortName(), snap.read(ctx.sparkSession).schema)
+  }
+
+  override def createSource(
+      ctx: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, params: Map[String, String]): Source =
+    new TxTableSource(ctx, table(ctx, params),
+      skipChangeCommits =
+        opts(params).get("skipchangecommits").exists(_.toBoolean))
+}
+
+final class TxTableSource(
+    ctx: SQLContext, t: TxTable, skipChangeCommits: Boolean)
+    extends Source {
+
+  private val spark = ctx.sparkSession
+
+  override val schema: StructType = t.snapshot().read(spark).schema
+
+  override def getOffset: Option[V1Offset] = {
+    val v = t.snapshot().version
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  private def ver(o: V1Offset): Long = o match {
+    case LongOffset(v)          => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other                  => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(-1L)
+    val files = t.commitsBetween(from, ver(end)).flatMap { c =>
+      c.action match {
+        case "append"  => t.resolveFiles(c.add, s"streaming batch v${c.version}")
+        case "compact" => Nil
+        case other =>
+          if (skipChangeCommits) Nil
+          else sys.error(
+            s"streaming read hit a '$other' commit at v${c.version}: this " +
+              "source is append-only. Set skipChangeCommits=true to ignore " +
+              "rewrites, or consume readChanges() in batch for the full CDF.")
+      }
+    }
+    val batch =
+      if (files.isEmpty) t.snapshot().read(spark).limit(0)
+      else spark.read.option("basePath", t.tableDir).parquet(files: _*)
+    org.apache.spark.sql.graft.StreamingShim.asStreaming(batch)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,108 @@
+package graft.sources.tx
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.ops.TxTable
+
+/** The TxTable streaming source: incremental append consumption,
+  * exactly-once across restarts, compaction silence, rewrite refusal
+  * (and its skipChangeCommits escape hatch). */
+class TxStreamSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mk(): (TxTable, String) = {
+    val dir = Files.createTempDirectory("graft-txsrc-").toString
+    (TxTable(spark, dir), dir)
+  }
+
+  private def rows(r: Range) = r.map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+
+  private def stream(dir: String, extra: (String, String)*) = {
+    val base = spark.readStream.format("graft.sources.tx").option("path", dir)
+    extra.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("incremental appends arrive once; compaction emits nothing") {
+    val (t, dir) = mk()
+    t.append(rows(0 until 10))
+    val q = stream(dir)
+      .writeStream.format("memory").queryName("txsrc1").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrc1").count() === 10)
+      t.append(rows(10 until 25))
+      q.processAllAvailable()
+      assert(spark.table("txsrc1").count() === 25)
+      t.compact(targetFiles = 1)
+      t.append(rows(25 until 30))
+      q.processAllAvailable()
+      // compaction contributed zero rows; the post-compaction append did
+      assert(spark.table("txsrc1").count() === 30)
+      assert(spark.table("txsrc1").select("id").distinct().count() === 30)
+    } finally q.stop()
+  }
+
+  test("exactly-once across restart: a drained checkpoint re-emits nothing") {
+    val (t, dir) = mk()
+    val out = Files.createTempDirectory("graft-txsrc-out-").toString
+    val ckpt = Files.createTempDirectory("graft-txsrc-ck-").toString
+    t.append(rows(0 until 10))
+
+    def drain(): Unit = {
+      val q = stream(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drain()
+    assert(spark.read.parquet(out).count() === 10)
+    drain() // nothing new committed → nothing re-emitted
+    assert(spark.read.parquet(out).count() === 10)
+    t.append(rows(10 until 18))
+    drain() // only the new commit's rows land
+    assert(spark.read.parquet(out).count() === 18)
+    assert(spark.read.parquet(out).select("id").distinct().count() === 18)
+  }
+
+  test("a rewrite commit fails the stream unless skipChangeCommits") {
+    val (t, dir) = mk()
+    t.append(rows(0 until 10))
+    val q = stream(dir)
+      .writeStream.format("memory").queryName("txsrc3").start()
+    try {
+      q.processAllAvailable()
+      t.overwrite(rows(100 until 103))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(2000)
+      }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally q.stop()
+
+    // skipChangeCommits: the overwrite is ignored, later appends flow
+    val q2 = stream(dir, "skipChangeCommits" -> "true")
+      .writeStream.format("memory").queryName("txsrc3b").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("txsrc3b").count() === 10) // v0 append only
+      t.append(rows(200 until 205))
+      q2.processAllAvailable()
+      assert(spark.table("txsrc3b").count() === 15)
+    } finally q2.stop()
+  }
+
+  test("empty table refuses schema inference with a clear message") {
+    val (_, dir) = mk()
+    val e = intercept[IllegalArgumentException] {
+      stream(dir)
+    }
+    assert(e.getMessage.contains("empty table"))
+  }
+}
