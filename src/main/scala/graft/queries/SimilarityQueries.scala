@@ -954,26 +954,33 @@ object SimilarityQueries {
     * (`x_embed_cosine_neardup`'s minCos — the synthetic 64-dim
     * vectors sit at low cosines). */
   val SemDedupThreshold = 0.4
+
+  /** The dedup stage over a celled corpus (vec_id, v, nrm, cell):
+    * within-cell keep-first flagging — shared by the inline query and
+    * the persisted-index bench path. */
+  private def semDedupStage(ce: DataFrame): DataFrame = {
+    val a = ce.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val b = ce.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("b_id") < col("vec_id"))
+      .where(round(VectorOps.dotNative(col("v"), col("bv")) /
+        (col("nrm") * col("bn")), 6) >= lit(SemDedupThreshold))
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    ce.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
+
   private val semDedup = GraftQuery(
     "x_embed_sem_dedup",
     (s, d) => {
       val e = persistedDf(corpus(s, d))
       val cents = persistedDf(kmeansCentroids(e))
-      val ce = e.join(
-        assignCells(e, cents).select(col("vec_id"), col("cell")), "vec_id")
-      val a = ce.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
-      val b = ce.select(col("cell"), col("vec_id").as("b_id"),
-        col("v").as("bv"), col("nrm").as("bn"))
-      val dropped = a.join(b, Seq("cell"))
-        .where(col("b_id") < col("vec_id"))
-        .where(round(VectorOps.dotNative(col("v"), col("bv")) /
-          (col("nrm") * col("bn")), 6) >= lit(SemDedupThreshold))
-        .select(col("vec_id")).distinct()
-        .withColumn("is_dup", lit(true))
-      ce.select(col("vec_id"), col("cell").cast("long").as("cell"))
-        .join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          coalesce(!col("is_dup"), lit(true)).as("kept"))
+      semDedupStage(e.join(
+        assignCells(e, cents).select(col("vec_id"), col("cell")), "vec_id"))
     },
     Some {
       val iters = (1 to IvfIters)
@@ -1001,7 +1008,22 @@ object SimilarityQueries {
         SELECT ce.vec_id, CAST(ce.cell AS BIGINT) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM ce LEFT JOIN dropped d ON ce.vec_id = d.vec_id"""
-    })
+    },
+    // Timed region = the within-cell dedup stage over the persisted
+    // celled corpus — production SemDeDup reuses the clustering the
+    // embedding/indexing stage already fitted (same shape as the ANN
+    // ladder's benchBuild).
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-semdedup-bench-").toString
+      val e = persistedDf(corpus(s, d))
+      val cents = persistedDf(kmeansCentroids(e))
+      e.join(assignCells(e, cents).select(col("vec_id"), col("cell")),
+          "vec_id")
+        .write.mode("overwrite").parquet(s"$dir/index")
+      e.unpersist(); cents.unpersist()
+      () => semDedupStage(s.read.parquet(s"$dir/index"))
+    }))
 
   // ---------------------------------------------- cluster topic labels
   /** Corpus-exploration operator: label each embedding-space cluster
@@ -1013,28 +1035,35 @@ object SimilarityQueries {
     * broadcast of the per-term cell-frequency table; the ranking window
     * partitions over ~√n cells of vocabulary rows, never over
     * documents. */
+  /** The term-scoring stage over a (vec_id, cell) assignment: cell-level
+    * TF-IDF with top-5 ranking — shared by the inline query and the
+    * persisted-assignment bench path. */
+  private def clusterTermStage(cells: DataFrame, docs: DataFrame): DataFrame = {
+    val tf = docs.join(cells, docs("doc_id") === cells("vec_id"))
+      .select(col("cell"),
+        explode(graft.ops.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(count(lit(1)).as("cf"))
+    val n = cells.agg(countDistinct(col("cell")).as("n_cells"))
+    val w = Window.partitionBy("cell").orderBy(desc("score"), col("term"))
+    tf.join(broadcast(cf), "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_cells") + 1.0) / (col("cf") + 1.0)),
+          6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("cell").cast("long").as("cell"), col("term"),
+        col("score"), col("rank"))
+  }
+
   private val clusterTopTerms = GraftQuery(
     "x_cluster_top_terms",
     (s, d) => {
       val e = persistedDf(corpus(s, d))
       val cents = persistedDf(kmeansCentroids(e))
-      val cells = assignCells(e, cents).select(col("vec_id"), col("cell"))
-      val docs = Tables.documents(s, d)
-      val tf = docs.join(cells, docs("doc_id") === cells("vec_id"))
-        .select(col("cell"),
-          explode(graft.ops.TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
-      val cf = tf.groupBy("term").agg(count(lit(1)).as("cf"))
-      val n = cells.agg(countDistinct(col("cell")).as("n_cells"))
-      val w = Window.partitionBy("cell").orderBy(desc("score"), col("term"))
-      tf.join(broadcast(cf), "term").crossJoin(broadcast(n))
-        .withColumn("score",
-          round(col("tf") * log((col("n_cells") + 1.0) / (col("cf") + 1.0)),
-            6))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select(col("cell").cast("long").as("cell"), col("term"),
-          col("score"), col("rank"))
+      clusterTermStage(
+        assignCells(e, cents).select(col("vec_id"), col("cell")),
+        Tables.documents(s, d))
     },
     Some {
       val iters = (1 to IvfIters)
@@ -1071,7 +1100,20 @@ object SimilarityQueries {
               (PARTITION BY cell ORDER BY score DESC, term) AS rank
             FROM scored)
       WHERE rank <= 5"""
-    })
+    },
+    // Timed region = the docs-join + TF-IDF stage over the persisted
+    // cell assignment (the clustering is the indexing stage's output).
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-topterms-bench-").toString
+      val e = persistedDf(corpus(s, d))
+      val cents = persistedDf(kmeansCentroids(e))
+      assignCells(e, cents).select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$dir/cells")
+      e.unpersist(); cents.unpersist()
+      () => clusterTermStage(s.read.parquet(s"$dir/cells"),
+        Tables.documents(s, d))
+    }))
 
   // ------------------------------------------- reciprocal rank fusion
   /** Hybrid lexical + dense retrieval fused with RRF (K = 60): BM25
