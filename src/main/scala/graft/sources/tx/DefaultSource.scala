@@ -88,22 +88,32 @@ final class TxTableSource(
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(-1L)
-    val files = t.commitsBetween(from, ver(end)).flatMap { c =>
-      c.action match {
-        case "append"  => t.resolveFiles(c.add, s"streaming batch v${c.version}")
-        case "compact" => Nil
-        case other =>
-          if (skipChangeCommits) Nil
-          else sys.error(
-            s"streaming read hit a '$other' commit at v${c.version}: this " +
-              "source is append-only. Set skipChangeCommits=true to ignore " +
-              "rewrites, or consume readChanges() in batch for the full CDF.")
-      }
+    val batch = start match {
+      case None =>
+        // Initial batch: the FULL SNAPSHOT as of the first offset —
+        // Delta's streaming-read contract. Pre-stream history may hold
+        // any commit shape (overwrites, deletes, restores); only
+        // post-start commits must be append-only. Deterministic on
+        // replay: the engine re-calls with the same `end` version.
+        t.snapshotAt(ver(end)).read(spark)
+      case Some(s) =>
+        val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
+          c.action match {
+            case "append" =>
+              t.resolveFiles(c.add, s"streaming batch v${c.version}")
+            case "compact" => Nil
+            case other =>
+              if (skipChangeCommits) Nil
+              else sys.error(
+                s"streaming read hit a '$other' commit at v${c.version}: " +
+                  "this source is append-only past its starting snapshot. " +
+                  "Set skipChangeCommits=true to ignore rewrites, or " +
+                  "consume readChanges() in batch for the full CDF.")
+          }
+        }
+        if (files.isEmpty) t.snapshot().read(spark).limit(0)
+        else spark.read.option("basePath", t.tableDir).parquet(files: _*)
     }
-    val batch =
-      if (files.isEmpty) t.snapshot().read(spark).limit(0)
-      else spark.read.option("basePath", t.tableDir).parquet(files: _*)
     org.apache.spark.sql.graft.StreamingShim.asStreaming(batch)
   }
 

@@ -86,16 +86,31 @@ class TxStreamSourceSpec extends SparkTestBase {
         Option(e.getCause).exists(_.getMessage.contains("append-only")))
     } finally q.stop()
 
-    // skipChangeCommits: the overwrite is ignored, later appends flow
-    val q2 = stream(dir, "skipChangeCommits" -> "true")
+    // a NEW stream over the rewritten table starts from the current
+    // snapshot (Delta's initial-batch contract) — the pre-stream
+    // overwrite is history, not a change commit
+    val q2 = stream(dir)
       .writeStream.format("memory").queryName("txsrc3b").start()
     try {
       q2.processAllAvailable()
-      assert(spark.table("txsrc3b").count() === 10) // v0 append only
+      assert(spark.table("txsrc3b").count() === 3) // snapshot after overwrite
       t.append(rows(200 until 205))
       q2.processAllAvailable()
-      assert(spark.table("txsrc3b").count() === 15)
+      assert(spark.table("txsrc3b").count() === 8)
     } finally q2.stop()
+
+    // skipChangeCommits: a POST-START rewrite is ignored, appends flow
+    val q3 = stream(dir, "skipChangeCommits" -> "true")
+      .writeStream.format("memory").queryName("txsrc3c").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("txsrc3c").count() === 8) // current snapshot
+      t.overwrite(rows(300 until 302))
+      t.append(rows(310 until 314))
+      q3.processAllAvailable()
+      // the overwrite is skipped (its rows never arrive); the append does
+      assert(spark.table("txsrc3c").count() === 12)
+    } finally q3.stop()
   }
 
   test("closed loop: tail table A, aggregate, upsert into table B via CDC sink") {
