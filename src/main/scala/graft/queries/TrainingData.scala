@@ -120,6 +120,78 @@ object TrainingData {
             FROM bg JOIN model USING (bg)
             GROUP BY doc_id"""))
 
+  // --------------------------------------------------- DSIR importance
+  /** Data selection via importance weighting (the hashed-n-gram DSIR
+    * recipe): score every document by how much more likely its tokens
+    * are under a TARGET-domain model than under the raw-corpus model,
+    * using Laplace-smoothed hashed-unigram bucket distributions
+    * (B = 256 buckets, portable md5 hash). Per-doc weight = the
+    * token-count-weighted mean of the per-bucket log ratios;
+    * `selected` = more target-like than raw. The target exemplar here
+    * is `source = 'src1'` (in production: the trusted corpus the
+    * pretraining mix should lean toward).
+    *
+    * Scale shape: the model is FIXED-SIZE by construction — hashing
+    * collapses any vocabulary into B buckets, so both models fit in a
+    * broadcast no matter the corpus (the whole point of DSIR's hashed
+    * features); the corpus pays one (doc, bucket) count shuffle and a
+    * broadcast join back. Per-bucket log-ratios round to 6 before the
+    * weighted sum (the sum to 5) so cross-engine `ln` last-ulp noise
+    * cannot flip a selection — BM25's rounding discipline. */
+  private val dsirWeights = GraftQuery(
+    "x_dsir_weights",
+    (s, d) => {
+      val B = 256
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .withColumn("b", graft.ops.PortableHash.hash32(col("term")) % B)
+      val raw = tok.groupBy("b").agg(count(lit(1)).as("nr"))
+      val tgt = tok.where(col("source") === "src1")
+        .groupBy("b").agg(count(lit(1)).as("nt"))
+      val tots = tok.agg(
+        count(lit(1)).as("rt"),
+        count(when(col("source") === "src1", 1)).as("tt"))
+      val lam = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tots))
+        .select(col("b"),
+          round(log((coalesce(col("nt"), lit(0L)) + 1.0) / (col("tt") + B))
+            - log((col("nr") + 1.0) / (col("rt") + B)), 6).as("lam"))
+      tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(round(sum(col("c") * col("lam")) / sum(col("c")), 5)
+            .as("dsir_logratio"),
+          sum(col("c")).cast("long").as("n_tokens"))
+        .withColumn("selected", col("dsir_logratio") > 0)
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+              list_filter(str_split_regex(lower(text), '\s+'),
+                          t -> t <> '') AS toks
+            FROM documents),
+            tb AS (SELECT doc_id, source,
+              CAST('0x' || substring(md5(t.term), 1, 8) AS BIGINT) % 256 AS b
+            FROM (SELECT doc_id, source, unnest(toks) AS term
+                  FROM toks) t),
+            raw AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS nr
+                    FROM tb GROUP BY 1),
+            tgt AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS nt
+                    FROM tb WHERE source = 'src1' GROUP BY 1),
+            tots AS (SELECT
+              (SELECT CAST(COUNT(*) AS DOUBLE) FROM tb) AS rt,
+              (SELECT CAST(COUNT(*) AS DOUBLE) FROM tb
+               WHERE source = 'src1') AS tt),
+            lam AS (SELECT raw.b,
+              ROUND(ln((COALESCE(nt, 0) + 1.0) / (tt + 256))
+                    - ln((nr + 1.0) / (rt + 256)), 6) AS lam
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots),
+            pd AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tb GROUP BY 1, 2)
+            SELECT doc_id,
+              ROUND(SUM(c * lam) / SUM(c), 5) AS dsir_logratio,
+              CAST(SUM(c) AS BIGINT) AS n_tokens,
+              (ROUND(SUM(c * lam) / SUM(c), 5) > 0) AS selected
+            FROM pd JOIN lam USING (b) GROUP BY doc_id"""))
+
   // -------------------------------------------------------- quality score
   /** Length/punctuation/stopword quality signals + blended score. */
   private val qualityScore = GraftQuery(
@@ -573,6 +645,7 @@ object TrainingData {
 
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, charEntropy, bigramLoglik,
-    fingerprint, eventsHourly, gapFill, langId, sessionize, sessionWindow,
-    jsonExtract, asofJoin, intervalJoin, tfidf, temporalPairs, bm25)
+    dsirWeights, fingerprint, eventsHourly, gapFill, langId, sessionize,
+    sessionWindow, jsonExtract, asofJoin, intervalJoin, tfidf,
+    temporalPairs, bm25)
 }
