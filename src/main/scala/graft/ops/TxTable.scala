@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_index}
 
 /** Transactional parquet table — the no-jar answer to the Delta/Iceberg
   * row of the survey: a versioned COMMIT LOG over plain parquet data
@@ -59,15 +59,28 @@ object TxTable {
       version: Long, action: String,
       add: Seq[String], remove: Seq[String], ts: Long)
 
+  /** `files` = active DATA files; `dvs` = active DELETION-VECTOR files
+    * (merge-on-read deletes — see [[TxTable.deleteVectorBetween]]).
+    * Both are absolute paths. */
   final case class Snapshot(version: Long, files: Seq[String],
-      base: String) {
-    /** `basePath` keeps hive-style `col=value` path segments parsing as
-      * partition columns when files are read by explicit list; harmless
-      * for flat tables. */
+      dvs: Seq[String], base: String) {
+    /** RAW read of the data files — deletion vectors NOT applied (used
+      * for schema resolution and wherever `dvs` is known empty; the
+      * table's own read methods apply them). `basePath` keeps
+      * hive-style `col=value` path segments parsing as partition
+      * columns when files are read by explicit list; harmless for flat
+      * tables. */
     def read(spark: SparkSession): DataFrame =
       if (files.isEmpty) spark.emptyDataFrame
       else spark.read.option("basePath", base).parquet(files: _*)
   }
+
+  /** Is `rel` (a table-relative name, possibly partition-qualified) a
+    * deletion-vector file? DV files flow through the commit log's
+    * add/remove lists exactly like data files — the name prefix is the
+    * only discriminator, so the log format never changed for them. */
+  private[ops] def isDvName(rel: String): Boolean =
+    rel.substring(rel.lastIndexOf('/') + 1).startsWith("dv-")
 
   /** Open (or initialize) a transactional table rooted at `dir`. */
   def apply(spark: SparkSession, dir: String): TxTable = {
@@ -157,15 +170,46 @@ final class TxTable private (spark: SparkSession, dir: String) {
     val active = cs.foldLeft(ck.map(_.add.toVector).getOrElse(Vector.empty)) {
       (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
+    val (dvRel, dataRel) = active.partition(isDvName)
     Snapshot(
       cs.lastOption.map(_.version)
         .orElse(ck.map(_.version)).getOrElse(-1L),
-      active.map(f => s"$dir/$f"), dir)
+      dataRel.map(f => s"$dir/$f"), dvRel.map(f => s"$dir/$f"), dir)
   }
 
-  def read(): DataFrame = snapshot().read(spark)
+  def read(): DataFrame = readSnapshot(snapshot())
 
-  def readAt(version: Long): DataFrame = snapshotAt(version).read(spark)
+  def readAt(version: Long): DataFrame = readSnapshot(snapshotAt(version))
+
+  // ------------------------------------------------- deletion vectors
+  /** Read `files` (absolute paths) with the two DV-join key columns
+    * attached: the table-relative file name and the row's ordinal in
+    * that file — both from parquet's `_metadata` struct, produced by
+    * the scan itself (no shuffle, no extra I/O). */
+  private def withPos(files: Seq[String]): DataFrame =
+    spark.read.option("basePath", dir).parquet(files: _*)
+      .withColumn("_dv_file",
+        substring_index(col("_metadata.file_path"), s"$dir/", -1))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+
+  /** Drop the rows the deletion vectors mark deleted. The DV side is
+    * broadcast: its size is bounded by the rows deleted since the last
+    * compaction (compaction materializes deletions and retires the
+    * vectors), the same smallness contract Delta's per-file bitmaps
+    * rest on — so the anti-join is a map-side hash probe, never a
+    * shuffle of the table. */
+  private def antiDvs(df: DataFrame, dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) df
+    else df.join(broadcast(spark.read.parquet(dvs: _*)),
+      Seq("_dv_file", "_dv_pos"), "left_anti")
+
+  /** The snapshot's CONTENT: data files with deletion vectors applied.
+    * DV-free snapshots (the overwhelmingly common case) take the plain
+    * scan path — plan shape identical to before DVs existed. */
+  private def readSnapshot(s: Snapshot): DataFrame =
+    if (s.files.isEmpty) s.read(spark)
+    else if (s.dvs.isEmpty) s.read(spark)
+    else antiDvs(withPos(s.files), s.dvs).drop("_dv_file", "_dv_pos")
 
   /** Commit entries in `(fromVersion, toVersion]`, oldest first — the
     * incremental-consumption face shared by [[readChanges]] and the
@@ -211,19 +255,57 @@ final class TxTable private (spark: SparkSession, dir: String) {
     val cs = commitsBetween(fromVersion, toVersion)
       .filterNot(_.action == "compact")
     val changes = cs.flatMap { c =>
-      def readFiles(names: Seq[String]): Option[DataFrame] =
-        if (names.isEmpty) None
-        else Some(spark.read.option("basePath", dir)
-          .parquet(resolveFiles(names, s"change feed over v${c.version}"): _*))
       def tag(df: DataFrame, typ: String) =
         df.withColumn("_change_type", lit(typ))
           .withColumn("_commit_version", lit(c.version))
-      (readFiles(c.add), readFiles(c.remove)) match {
-        case (Some(a), None)    => Seq(tag(a, "insert"))
-        case (None, Some(r))    => Seq(tag(r, "delete"))
-        case (Some(a), Some(r)) =>
-          Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
-        case (None, None)       => Nil
+      if (c.action == "dvdelete") {
+        // a DV commit's net change is pure deletes: the rows of the
+        // PRE-commit snapshot the new vector points at (new vectors
+        // exclude already-deleted positions by construction, so every
+        // pointed-at row was live at version-1)
+        if (c.add.isEmpty) Nil
+        else {
+          val dv = spark.read.parquet(
+            resolveFiles(c.add, s"change feed over v${c.version}"): _*)
+          // driver-side file-NAME list (bounded by the snapshot's file
+          // count, never row-scale): read only the files the vector
+          // actually touches
+          val touched = dv.select("_dv_file").distinct()
+            .collect().map(_.getString(0)).toSet
+          val prev = snapshotAt(c.version - 1)
+          val hit = prev.files.map(_.stripPrefix(s"$dir/"))
+            .filter(touched.contains)
+          if (hit.isEmpty) Nil
+          else Seq(tag(
+            withPos(resolveFiles(hit, s"change feed over v${c.version}"))
+              .join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_semi")
+              .drop("_dv_file", "_dv_pos"), "delete"))
+        }
+      } else {
+        // a rewrite's sides must be compared at CONTENT level: apply
+        // the deletion vectors active just before (remove side) and
+        // just after (add side) the commit, or rows a vector already
+        // deleted would resurface as spurious feed entries
+        val addData = c.add.filterNot(isDvName)
+        val remData = c.remove.filterNot(isDvName)
+        lazy val prevDvs = snapshotAt(c.version - 1).dvs
+        lazy val nowDvs = snapshotAt(c.version).dvs
+        def readFiles(names: Seq[String], dvs: => Seq[String]): Option[DataFrame] =
+          if (names.isEmpty) None
+          else {
+            val abs = resolveFiles(names, s"change feed over v${c.version}")
+            val d = dvs
+            if (d.isEmpty)
+              Some(spark.read.option("basePath", dir).parquet(abs: _*))
+            else Some(antiDvs(withPos(abs), d).drop("_dv_file", "_dv_pos"))
+          }
+        (readFiles(addData, nowDvs), readFiles(remData, prevDvs)) match {
+          case (Some(a), None)    => Seq(tag(a, "insert"))
+          case (None, Some(r))    => Seq(tag(r, "delete"))
+          case (Some(a), Some(r)) =>
+            Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
+          case (None, None)       => Nil
+        }
       }
     }
     changes.reduceOption(_.unionByName(_)).getOrElse(
@@ -232,16 +314,17 @@ final class TxTable private (spark: SparkSession, dir: String) {
         .withColumn("_commit_version", lit(0L)).limit(0))
   }
 
-  /** Stage `df` as parquet data files under content-unique names;
-    * invisible until a commit references them. */
-  private def stage(df: DataFrame): Seq[String] = {
+  /** Stage `df` as parquet files under content-unique names (`prefix`
+    * "data" for table content, "dv" for deletion vectors); invisible
+    * until a commit references them. */
+  private def stage(df: DataFrame, prefix: String = "data"): Seq[String] = {
     val tmp = s"$dir/_staged-${UUID.randomUUID()}"
     df.write.parquet(tmp)
     val parts = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
     val named = parts.toSeq.map { f =>
-      val name = s"data-${UUID.randomUUID()}.parquet"
+      val name = s"$prefix-${UUID.randomUUID()}.parquet"
       Files.move(f.toPath, Paths.get(dir, name),
         StandardCopyOption.ATOMIC_MOVE)
       name
@@ -445,7 +528,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
         case None => true
       }
     }
-    Snapshot(snap.version, sel, dir)
+    Snapshot(snap.version, sel, snap.dvs, dir)
   }
 
   /** Point read with file skipping: only files whose logged range can
@@ -454,12 +537,12 @@ final class TxTable private (spark: SparkSession, dir: String) {
     * I/O changes. Pays off after [[compactZOrdered]] (tight per-file
     * ranges in both z-dimensions). */
   def readWhere(column: String, value: Any): DataFrame =
-    prunedSnapshot(column, Option(value), Option(value)).read(spark)
+    readSnapshot(prunedSnapshot(column, Option(value), Option(value)))
       .where(col(column) === lit(value))
 
   /** Range read with file skipping; same contract as [[readWhere]]. */
   def readBetween(column: String, lo: Any, hi: Any): DataFrame =
-    prunedSnapshot(column, Option(lo), Option(hi)).read(spark)
+    readSnapshot(prunedSnapshot(column, Option(lo), Option(hi)))
       .where(col(column) >= lit(lo) && col(column) <= lit(hi))
 
   /** Every [[CheckpointInterval]] commits, the winner persists the
@@ -468,7 +551,9 @@ final class TxTable private (spark: SparkSession, dir: String) {
     * correctness, so every failure mode is swallowed. */
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) try {
-      val files = snapshotAt(version).files.map(_.stripPrefix(s"$dir/"))
+      val s = snapshotAt(version)
+      // data + dv files in one list: replay splits them back by prefix
+      val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/"))
       val c = Commit(version, "ckpt", files, Nil, System.currentTimeMillis())
       val target = ckptFile(version)
       val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
@@ -556,7 +641,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       else ExternalCatalogUtils.escapePathName(value.toString)
     val prefix = s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$seg/"
     val sel = snap.files.filter(_.stripPrefix(s"$dir/").startsWith(prefix))
-    Snapshot(snap.version, sel, dir).read(spark)
+    readSnapshot(Snapshot(snap.version, sel, snap.dvs, dir))
   }
 
   /** Dynamic-partition overwrite, transactionally: replace ONLY the
@@ -596,7 +681,8 @@ final class TxTable private (spark: SparkSession, dir: String) {
     while (attempt < maxRetries) {
       val base = snapshot()
       val c = Commit(base.version + 1, "overwrite", files,
-        base.files.map(_.stripPrefix(s"$dir/")), System.currentTimeMillis())
+        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
+        System.currentTimeMillis())
       if (tryCommit(c, stats)) return c
       attempt += 1
     }
@@ -616,10 +702,13 @@ final class TxTable private (spark: SparkSession, dir: String) {
       val base = snapshot()
       val merged =
         if (base.files.isEmpty) updates
-        else Upsert.latestWins(base.read(spark), updates, keys)
+        else Upsert.latestWins(readSnapshot(base), updates, keys)
       val files = stage(merged)
+      // a full rewrite retires the deletion vectors too: their targets
+      // are all removed, and the rewrite read them applied
       val c = Commit(base.version + 1, "upsert", files,
-        base.files.map(_.stripPrefix(s"$dir/")), System.currentTimeMillis())
+        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
+        System.currentTimeMillis())
       if (tryCommit(c, fileStats(files))) return c
       files.foreach(n => new File(dir, n).delete())
       attempt += 1
@@ -649,9 +738,13 @@ final class TxTable private (spark: SparkSession, dir: String) {
       // `column` makes the match predicate NULL, and a bare negation
       // would silently delete those rows too
       val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
+      // the rewrite reads the pruned files with deletion vectors
+      // APPLIED, or it would resurrect DV-deleted rows; the vectors
+      // stay active (entries for the removed files are inert — file
+      // names never recur) until compaction retires them
       val staged =
         if (pruned.files.isEmpty) Nil
-        else stage(pruned.read(spark)
+        else stage(readSnapshot(pruned)
           .where(!coalesce(matches, lit(false))))
       val c = Commit(pruned.version + 1, "delete", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
@@ -669,6 +762,54 @@ final class TxTable private (spark: SparkSession, dir: String) {
       maxRetries: Int = 20): Commit =
     deleteBetween(column, value, value, maxRetries)
 
+  /** MERGE-ON-READ delete — the deletion-vector half of the
+    * Delta/Iceberg v2 design: instead of rewriting every file that
+    * holds a matching row, commit a small DELETION VECTOR of
+    * `(_dv_file, _dv_pos)` keys (table-relative file name, row ordinal
+    * from parquet `_metadata.row_index`); every read anti-joins the
+    * active vectors at scan time. Stats-pruned like [[deleteBetween]]
+    * — only candidate files are scanned to FIND the positions — but
+    * the WRITE cost is O(deleted rows), not O(rows in touched files):
+    * a needle delete on a petabyte table writes kilobytes, which is
+    * the whole point of merge-on-read at 100 TB. Reads pay a
+    * broadcast anti-join until [[compact]] materializes the deletions
+    * and retires the vectors. Rows an earlier vector already deleted
+    * are excluded from the new one, so vectors never double-count and
+    * the union of active vectors stays exactly the live-row
+    * complement. Optimistic like every rewrite: losing the CAS
+    * re-derives (and re-prunes) against the new head. */
+  def deleteVectorBetween(column: String, lo: Any, hi: Any,
+      maxRetries: Int = 20): Commit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val pruned = prunedSnapshot(column, Option(lo), Option(hi))
+      val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
+      val staged =
+        if (pruned.files.isEmpty) Nil
+        else stage(
+          antiDvs(withPos(pruned.files), pruned.dvs)
+            .where(coalesce(matches, lit(false)))
+            .select(col("_dv_file"), col("_dv_pos"))
+            // one shuffle of the deleted KEYS only (the scan above
+            // stays parallel); a vector is small by contract, so one
+            // output file keeps the read side's broadcast list short
+            .repartition(1),
+          prefix = "dv")
+      val c = Commit(pruned.version + 1, "dvdelete", staged, Nil,
+        System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      staged.foreach(n => new File(dir, n).delete())
+      attempt += 1
+    }
+    sys.error(s"deleteVector contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Point merge-on-read delete; same contract as
+    * [[deleteVectorBetween]]. */
+  def deleteVectorWhere(column: String, value: Any,
+      maxRetries: Int = 20): Commit =
+    deleteVectorBetween(column, value, value, maxRetries)
+
   /** Delta-style RESTORE: make the table's content equal to `version`
     * again via a NEW commit — nothing is rewritten (the old files are
     * re-referenced, and their logged stats still apply), history is
@@ -680,16 +821,18 @@ final class TxTable private (spark: SparkSession, dir: String) {
     val target = snapshotAt(version)
     require(target.version == version,
       s"version $version does not exist (log is at ${snapshot().version})")
-    val missing = target.files.filterNot(f => new File(f).isFile)
+    val missing = (target.files ++ target.dvs).filterNot(f => new File(f).isFile)
     require(missing.isEmpty,
       s"restore to $version impossible: ${missing.size} file(s) already " +
         s"vacuumed (first: ${missing.headOption.getOrElse("")})")
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
+      // the target's deletion vectors come back with it — restored
+      // content is the target's CONTENT, vectors applied
       val c = Commit(base.version + 1, "restore",
-        target.files.map(_.stripPrefix(s"$dir/")),
-        base.files.map(_.stripPrefix(s"$dir/")),
+        (target.files ++ target.dvs).map(_.stripPrefix(s"$dir/")),
+        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
       if (tryCommit(c)) return c
       attempt += 1
@@ -717,19 +860,32 @@ final class TxTable private (spark: SparkSession, dir: String) {
     * (base ∪ appended). A concurrent REWRITE (upsert/overwrite) that
     * removed any base file aborts with an error: the rewrite already
     * subsumed or dropped rows this compaction would resurrect. */
-  private def compactLayout(
+  private[ops] def compactLayout(
       layout: DataFrame => DataFrame, maxRetries: Int): Commit = {
     val base = snapshot()
-    val files = stage(layout(base.read(spark)))
+    // the rewrite reads CONTENT (vectors applied) — compaction is also
+    // the operation that MATERIALIZES merge-on-read deletes and
+    // retires the vectors (Delta's PURGE)
+    val files = stage(layout(readSnapshot(base)))
     val stats = fileStats(files)
-    val baseNames = base.files.map(_.stripPrefix(s"$dir/"))
+    val baseNames = (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/"))
+    val baseDvs = base.dvs.map(_.stripPrefix(s"$dir/")).toSet
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot()
-      val nowActive = head.files.map(_.stripPrefix(s"$dir/")).toSet
+      val nowActive = (head.files ++ head.dvs)
+        .map(_.stripPrefix(s"$dir/")).toSet
       if (!baseNames.forall(nowActive.contains)) {
         files.foreach(n => new File(dir, n).delete())
         sys.error("compaction base was rewritten concurrently — rerun compact()")
+      }
+      // a deletion vector that landed AFTER the base was read targets
+      // base data files this commit removes: committing would silently
+      // resurrect its deleted rows — abort instead (same class as the
+      // rewrite conflict above; an append stays conflict-free)
+      if (head.dvs.map(_.stripPrefix(s"$dir/")).toSet != baseDvs) {
+        files.foreach(n => new File(dir, n).delete())
+        sys.error("a deletion vector landed during compaction — rerun compact()")
       }
       val c = Commit(head.version + 1, "compact", files, baseNames,
         System.currentTimeMillis())
@@ -757,18 +913,21 @@ final class TxTable private (spark: SparkSession, dir: String) {
     // a file is part of some retained snapshot even if later removed).
     // A file a retained commit merely REMOVES is not kept alive by that
     // mention — that is exactly the garbage vacuum exists to reclaim.
+    val horizon = snapshotAt(retainVersion)
     val referenced = commits().filter(_.version > retainVersion)
       .flatMap(_.add).toSet ++
-      snapshotAt(retainVersion).files.map(_.stripPrefix(s"$dir/"))
+      (horizon.files ++ horizon.dvs).map(_.stripPrefix(s"$dir/"))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val root = new File(dir)
+    def reclaimable(n: String) =
+      n.startsWith("data-") || n.startsWith("dv-")
     val top = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("data-"))
+      .filter(f => f.isFile && reclaimable(f.getName))
       .map(f => f.getName -> f)
     val sub = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("data-"))
+        .filter(f => f.isFile && reclaimable(f.getName))
         .map(f => s"${d.getName}/${f.getName}" -> f))
     val dead = (top ++ sub).filter { case (rel, f) =>
       !referenced.contains(rel) && f.lastModified() <= cutoff

@@ -910,6 +910,61 @@ object ExtendedQueries {
           col("_change_type"), col("_commit_version"))
     }))
 
+  // ----------------------------------------------------------------- K14
+  /** Merge-on-read DELETE via deletion vectors
+    * ([[graft.ops.TxTable.deleteVectorBetween]]): two overlapping-range
+    * vector deletes land as small (file, row-position) vector files —
+    * no data file is rewritten — and every read anti-joins the active
+    * vectors at scan time. The oracle replays both deletes as WHERE
+    * filters over the raw table; hash-exact equality proves the
+    * vectors hide exactly the predicate rows, including not
+    * double-hiding the overlap the second vector must skip
+    * (`TxTableSpec` pins the no-rewrite, accumulation, compaction-
+    * materialize, and CDC properties themselves). */
+  private val txDeletionVectors = GraftQuery(
+    "k14_deletion_vectors",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txdv-").toString
+      val t = graft.ops.TxTable(s, s"$dir/lineitem")
+      t.append(Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag")))
+      t.compactZOrdered("l_orderkey", "l_partkey", targetFiles = 16)
+      t.deleteVectorBetween("l_orderkey", 1000L, 2000L)
+      t.deleteVectorBetween("l_orderkey", 1500L, 2500L)
+      t.read()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1000 AND 2500
+            GROUP BY 1"""),
+    bench = false,
+    // Timed region = a fresh vector delete (a different range each
+    // run — k12's discipline) plus the merge-on-read read-back: the
+    // pair a deployment pays per needle delete. Contrast with k12,
+    // which pays a file REWRITE for the same delete.
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txdv-bench-").toString
+      val t = graft.ops.TxTable(s, s"$dir/lineitem")
+      t.append(Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag")))
+      t.compactZOrdered("l_orderkey", "l_partkey", targetFiles = 16)
+      var lo = 1000L
+      () => {
+        t.deleteVectorBetween("l_orderkey", lo, lo + 500L)
+        lo += 1000L
+        t.read().groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty"))
+      }
+    }))
+
   // ----------------------------------------------------------------- A32
   /** Conditional aggregation — the FILTER clause and its `count_if`/
     * CASE-fold equivalents: segment metrics out of one scan instead of
@@ -1224,5 +1279,5 @@ object ExtendedQueries {
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
-    txChangeFeed)
+    txChangeFeed, txDeletionVectors)
 }

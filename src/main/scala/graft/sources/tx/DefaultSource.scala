@@ -91,11 +91,12 @@ final class TxTableSource(
     val batch = start match {
       case None =>
         // Initial batch: the FULL SNAPSHOT as of the first offset —
-        // Delta's streaming-read contract. Pre-stream history may hold
-        // any commit shape (overwrites, deletes, restores); only
+        // Delta's streaming-read contract, deletion vectors applied
+        // (readAt reads CONTENT). Pre-stream history may hold any
+        // commit shape (overwrites, deletes, restores); only
         // post-start commits must be append-only. Deterministic on
         // replay: the engine re-calls with the same `end` version.
-        t.snapshotAt(ver(end)).read(spark)
+        t.readAt(ver(end))
       case Some(s) =>
         val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
           c.action match {

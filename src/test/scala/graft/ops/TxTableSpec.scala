@@ -422,4 +422,135 @@ class TxTableSpec extends SparkTestBase {
     val empty = TxTable.Commit(0, "append", Nil, Nil, 1L)
     assert(TxTable.parse(TxTable.render(empty)) === empty)
   }
+
+  // ------------------------------------------------- deletion vectors
+
+  test("deleteVector hides rows without rewriting any data file") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 100))
+    val dataBefore = t.snapshot().files.toSet
+    t.deleteVectorBetween("id", 10L, 29L)
+    assert(t.snapshot().files.toSet === dataBefore) // merge-on-read
+    assert(t.snapshot().dvs.nonEmpty)
+    assert(t.read().count() === 80)
+    assert(t.read().where(col("id") === 15L).count() === 0)
+    assert(t.readAt(0).count() === 100) // time travel pre-delete
+  }
+
+  test("deletion vectors accumulate without double-counting") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 100))
+    t.deleteVectorBetween("id", 0L, 49L)
+    // overlapping second delete: rows 25-49 already vectored — the new
+    // vector must hold ONLY 50-74, or a future exactly-once consumer
+    // of the feed would see 25 rows deleted twice
+    t.deleteVectorBetween("id", 25L, 74L)
+    assert(t.read().count() === 25)
+    val dvRows = t.snapshot().dvs.map(f =>
+      spark.read.parquet(f).count()).sum
+    assert(dvRows === 75, s"expected 75 vector entries, got $dvRows")
+  }
+
+  test("stats-pruned reads apply vectors; rewrite delete does not resurrect") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 1000))
+    t.compactZOrdered("id", "id", targetFiles = 8)
+    t.deleteVectorBetween("id", 100L, 199L)
+    assert(t.readBetween("id", 50L, 250L).count() === 101)
+    assert(t.readWhere("id", 150L).count() === 0)
+    // rewrite-mode delete of a DIFFERENT range must not bring the
+    // vectored rows back (its rewrite reads content, vectors applied)
+    t.deleteBetween("id", 300L, 399L)
+    assert(t.read().count() === 800)
+    assert(t.read().where(col("id").between(100L, 199L)).count() === 0)
+  }
+
+  test("upsert after a vector delete does not resurrect vectored rows") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    t.deleteVectorWhere("id", 3L)
+    t.upsert(Seq((5L, "UPDATED")).toDF("id", "payload"), Seq("id"))
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.contains(3L))
+    assert(rows(5L) === "UPDATED")
+    assert(rows.size === 9)
+    assert(t.snapshot().dvs.isEmpty) // full rewrite retired the vector
+  }
+
+  test("compaction materializes vector deletes and retires the vectors") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 100))
+    t.deleteVectorBetween("id", 0L, 9L)
+    val dvFiles = t.snapshot().dvs.map(_.split("/").last)
+    assert(dvFiles.nonEmpty)
+    t.compact(targetFiles = 1)
+    assert(t.snapshot().dvs.isEmpty)
+    assert(t.read().count() === 90)
+    // vacuum now reclaims the retired vector files
+    new File(dir).listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    val reclaimed = t.vacuum(retainVersion = t.snapshot().version,
+      minAgeMs = 3600 * 1000L)
+    assert(dvFiles.forall(reclaimed.contains))
+  }
+
+  test("a vector landing during compaction aborts it (no resurrection)") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 100))
+    // the layout callback runs while compaction stages, BEFORE the
+    // commit loop — a deterministic stand-in for a racing DV writer
+    val err = intercept[RuntimeException] {
+      t.compactLayout(d => { t.deleteVectorWhere("id", 5L); d.repartition(1) },
+        maxRetries = 20)
+    }
+    assert(err.getMessage.contains("deletion vector"))
+    assert(t.read().count() === 99) // the vector delete is intact
+  }
+
+  test("change feed emits vector deletes as row-level deletes, once") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 50))
+    t.deleteVectorBetween("id", 10L, 14L) // v1
+    t.append(df(100 until 103))           // v2
+    val feed = t.readChanges(0).collect()
+    val dels = feed.filter(_.getAs[String]("_change_type") == "delete")
+    assert(dels.map(_.getAs[Long]("id")).sorted.toSeq ===
+      Seq(10L, 11L, 12L, 13L, 14L))
+    assert(dels.forall(_.getAs[Long]("_commit_version") == 1L))
+    val ins = feed.filter(_.getAs[String]("_change_type") == "insert")
+    assert(ins.map(_.getAs[Long]("id")).sorted.toSeq === Seq(100L, 101L, 102L))
+    // a later rewrite must not re-report the vectored rows as deletes
+    t.overwrite(df(0 until 5)) // v3
+    val dels3 = t.readChanges(2).collect()
+      .filter(_.getAs[String]("_change_type") == "delete")
+      .map(_.getAs[Long]("id"))
+    assert(!dels3.exists(id => id >= 10L && id <= 14L))
+  }
+
+  test("restore across vector deletes restores content, vectors applied") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 20))              // v0
+    t.deleteVectorBetween("id", 0L, 4L)   // v1: 15 rows
+    t.deleteVectorBetween("id", 5L, 9L)   // v2: 10 rows
+    t.restore(1)                          // v3: back to 15 rows
+    assert(t.read().count() === 15)
+    t.restore(0)                          // v4: all 20
+    assert(t.read().count() === 20)
+    t.restore(2)                          // v5: 10 again
+    assert(t.read().count() === 10)
+  }
+
+  test("vector deletes work on hive-partitioned tables") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    val rows = (0 until 40).map(i => (i.toLong, s"p${i % 4}", s"row-$i"))
+    t.appendPartitioned(rows.toDF("id", "part", "payload"), "part")
+    t.deleteVectorBetween("id", 0L, 7L)
+    assert(t.read().count() === 32)
+    // the partition-pruned read applies the vectors too
+    val p0 = t.readPartition("part", "p0")
+    assert(p0.count() === 8) // 10 rows in p0, ids 0,4 deleted
+    assert(p0.where(col("id") === 4L).count() === 0)
+  }
 }
