@@ -192,6 +192,132 @@ object TrainingData {
               (ROUND(SUM(c * lam) / SUM(c), 5) > 0) AS selected
             FROM pd JOIN lam USING (b) GROUP BY doc_id"""))
 
+  // ------------------------------------------------- perplexity buckets
+  /** CCNet-style perplexity bucketing: score every document under the
+    * corpus-fit bigram LM (the [[bigramLoglik]] derivation), then split
+    * the corpus into head / middle / tail TERCILES of the score — the
+    * classic curation gate that keeps head+middle and drops (or
+    * down-weights) tail. The cut points reduce to ONE broadcast row;
+    * the corpus never sorts globally — at 100 TB the ntile-window
+    * formulation would funnel every row through one partition, while
+    * this shape pays the model shuffle the LM already paid plus a
+    * scan-side CASE. Scores round to 6 and the cuts to 4 (coarser, the
+    * percentile-filter discipline) so cross-engine interpolation noise
+    * cannot flip a bucket. */
+  private val pplBuckets = GraftQuery(
+    "x_ppl_buckets",
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val bigrams = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      val model = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(bigrams.agg(count(lit(1)).as("total"))))
+        .select(col("bg"), (col("n") / col("total")).as("p"))
+      val scored = bigrams.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(round(avg(log2(col("p"))), 6).as("lm_score"))
+      val cuts = scored.agg(
+        round(expr("percentile(lm_score, cast(1 as double)/3)"), 4).as("c1"),
+        round(expr("percentile(lm_score, cast(2 as double)/3)"), 4).as("c2"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("lm_score"),
+          when(col("lm_score") <= col("c1"), lit("tail"))
+            .when(col("lm_score") <= col("c2"), lit("middle"))
+            .otherwise(lit("head")).as("ppl_bucket"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+              list_filter(str_split_regex(lower(text), '\s+'),
+                          t -> t <> '') AS toks
+            FROM documents),
+            bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM toks WHERE len(toks) >= 2),
+            model AS (SELECT bg,
+              CAST(COUNT(*) AS DOUBLE)
+                / (SELECT COUNT(*) FROM bg) AS p
+            FROM bg GROUP BY bg),
+            scored AS (SELECT doc_id, ROUND(AVG(log2(p)), 6) AS lm_score
+                       FROM bg JOIN model USING (bg) GROUP BY doc_id),
+            cuts AS (SELECT
+              ROUND(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 4) AS c1,
+              ROUND(quantile_cont(lm_score, CAST(2 AS DOUBLE)/3), 4) AS c2
+              FROM scored)
+            SELECT doc_id, lm_score,
+              CASE WHEN lm_score <= c1 THEN 'tail'
+                   WHEN lm_score <= c2 THEN 'middle'
+                   ELSE 'head' END AS ppl_bucket
+            FROM scored, cuts"""))
+
+  // --------------------------------------------- temperature source mix
+  /** Temperature-scaled source sampling (the multilingual-pretraining
+    * mixing rule): target share ∝ (token share)^τ with τ = 0.7 — rare
+    * sources are up-weighted, dominant ones damped — realized as a
+    * deterministic per-source ACCEPT RATE (target/actual, normalized so
+    * the most-boosted source keeps everything) applied via the portable
+    * id hash. The rate table is |sources| rows broadcast back; the
+    * corpus pays one scan with a pushdown-friendly filter, no rand(),
+    * no shuffle — rerunning yields the identical sample on any cluster
+    * size. Every derived ratio rounds to 6 so libm pow() last-ulp
+    * differences cannot flip an accept decision. */
+  private val sourceTemperature = GraftQuery(
+    "x_source_temperature",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      val bySrc = toks.groupBy("source").agg(sum(col("n_tok")).as("tok"))
+      val shares = bySrc
+        .crossJoin(broadcast(bySrc.agg(sum(col("tok")).as("tot"))))
+        .select(col("source"), round(col("tok") / col("tot"), 6).as("share"))
+        .select(col("source"), col("share"),
+          round(pow(col("share"), 0.7), 6).as("w"))
+      val target = shares
+        .crossJoin(broadcast(shares.agg(round(sum(col("w")), 6).as("sw"))))
+        .select(col("source"), col("share"),
+          round(col("w") / col("sw"), 6).as("p_target"))
+      val rated = target.select(col("source"),
+        round(col("p_target") / col("share"), 6).as("raw_rate"))
+      val rates = rated
+        .crossJoin(broadcast(rated.agg(max(col("raw_rate")).as("mr"))))
+        .select(col("source"),
+          round(col("raw_rate") / col("mr"), 6).as("accept_rate"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(rates), "source")
+        .where((graft.ops.PortableHash.hash60(col("doc_id").cast("string"))
+          % 1000000L) / lit(1000000.0) < col("accept_rate"))
+        .select(col("doc_id"), col("source"), col("accept_rate"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+              len(list_filter(str_split_regex(lower(text), '\s+'),
+                  t -> t <> '')) AS n_tok
+            FROM documents),
+            bysrc AS (SELECT source, SUM(n_tok) AS tok FROM toks GROUP BY 1),
+            shares AS (SELECT source,
+              ROUND(CAST(tok AS DOUBLE) / (SELECT SUM(tok) FROM bysrc), 6)
+                AS share
+            FROM bysrc),
+            w AS (SELECT source, share, ROUND(pow(share, 0.7), 6) AS w
+                  FROM shares),
+            tgt AS (SELECT source, share,
+              ROUND(w / (SELECT ROUND(SUM(w), 6) FROM w), 6) AS p_target
+            FROM w),
+            rated AS (SELECT source, ROUND(p_target / share, 6) AS raw_rate
+                      FROM tgt),
+            rates AS (SELECT source,
+              ROUND(raw_rate / (SELECT MAX(raw_rate) FROM rated), 6)
+                AS accept_rate
+            FROM rated)
+            SELECT doc_id, source, accept_rate
+            FROM documents JOIN rates USING (source)
+            WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 1000000 / 1000000.0 < accept_rate"""))
+
   // -------------------------------------------------------- quality score
   /** Length/punctuation/stopword quality signals + blended score. */
   private val qualityScore = GraftQuery(
@@ -645,7 +771,7 @@ object TrainingData {
 
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, charEntropy, bigramLoglik,
-    dsirWeights, fingerprint, eventsHourly, gapFill, langId, sessionize,
-    sessionWindow, jsonExtract, asofJoin, intervalJoin, tfidf,
-    temporalPairs, bm25)
+    dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
+    gapFill, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
+    intervalJoin, tfidf, temporalPairs, bm25)
 }
