@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, PortableHash, TextFunctions}
+import graft.ops.{Dedup, PortableHash, RuntimeFilters, TextFunctions}
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * between dedup and training: deterministic stratified sampling,
@@ -191,6 +191,42 @@ object CorpusOps {
       WHERE doc_id % 97 <> 0
       GROUP BY 1"""))
 
+  // --------------------------------------- decontamination at eval scale
+  /** The same contamination question when the evaluation suite is too
+    * big to broadcast its shingles exactly — the multi-benchmark /
+    * multi-epoch eval-suite case. The exact-broadcast plan above ships
+    * every benchmark shingle STRING to every task; this variant ships a
+    * few-MB Bloom filter instead ([[graft.ops.RuntimeFilters]]), drops
+    * non-matching corpus postings in the scan stage, and lets the exact
+    * equi-join downstream absorb the false positives — so the answer is
+    * hash-identical to `x_decontaminate` while the corpus-side exchange
+    * carries only the ~contamination-rate fraction of postings. At
+    * 100 TB that is the difference between shuffling every posting of
+    * the training corpus and shuffling the rare suspects
+    * (`BloomDecontaminateSpec` pins result equality with the broadcast
+    * plan and the bloom-below-exchange plan shape). */
+  private val decontaminateBloom = GraftQuery(
+    "x_decontaminate_bloom",
+    (s, d) => {
+      val posting = Dedup.shingleTable(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val bench = posting.where(col("doc_id") % 97 === 0)
+        .select(col("shingle")).distinct()
+        .withColumnRenamed("shingle", "bench_shingle")
+      val train = posting.where(col("doc_id") % 97 =!= 0)
+      RuntimeFilters.prunedJoin(train, "shingle", bench, "bench_shingle")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("shingle")).as("n_contaminated_shingles"))
+    },
+    Some(s"""WITH $tokensCte, $shinglesCte,
+      posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      bench AS (SELECT DISTINCT shingle FROM posting WHERE doc_id % 97 = 0)
+      SELECT doc_id,
+             CAST(count(DISTINCT shingle) AS BIGINT) AS n_contaminated_shingles
+      FROM posting JOIN bench USING (shingle)
+      WHERE doc_id % 97 <> 0
+      GROUP BY 1"""))
+
   // ------------------------------------------------------- mixing ratios
   /** Data-mixing weights: per-source document and token counts plus each
     * source's share of total tokens — the table a curation run consults
@@ -324,6 +360,6 @@ object CorpusOps {
 
   val queries: Seq[GraftQuery] =
     Seq(sampleStratified, sampleWeighted, sourceCap, packSequences,
-      repetitionRatio, decontaminate, sourceMix, percentileFilter, profile,
-      chunkDocuments)
+      repetitionRatio, decontaminate, decontaminateBloom, sourceMix,
+      percentileFilter, profile, chunkDocuments)
 }
