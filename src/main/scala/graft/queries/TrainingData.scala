@@ -363,6 +363,161 @@ object TrainingData {
           FROM u"""
     })
 
+  // ------------------------------------------------------- Gopher rules
+  /** The published Gopher/MassiveText repetition-free quality gate
+    * (Rae et al. 2021, Table A1) as one scan-side pass: per-document
+    * rule measurements plus 0/1 flags and the conjunctive keep
+    * decision. Every rule is pure column algebra over the tokenized
+    * text — word-count bounds, mean-word-length band, symbol-to-word
+    * ratio ('#' and '...'), bullet-start / ellipsis-end line fractions,
+    * alphabetic-word fraction, required-stopword count — so the gate
+    * runs at scan speed with NO shuffle and composes with the
+    * pushdown-friendly filters around it: at 100 TB this is a
+    * map-stage predicate, exactly like the published pipeline applies
+    * it. Ratios divide exact integers (IEEE-identical in any engine),
+    * so the flag comparisons are portable without rounding games;
+    * reported ratios are rounded for the hash only. */
+  private val qualityGopher = GraftQuery(
+    "x_quality_gopher",
+    (s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), toks.as("toks"),
+        split(col("text"), "\n").as("lines"))
+      val reqStops = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")
+      val nw = size(col("toks")).cast("double")
+      val charsum = aggregate(transform(col("toks"), t => length(t)),
+        lit(0), (acc, x) => acc + x).cast("double")
+      val nSym = (length(col("text"))
+        - length(regexp_replace(col("text"), "#", ""))).cast("double") +
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3.0
+      val nLines = size(col("lines")).cast("double")
+      val nBullet = size(filter(col("lines"), l =>
+        l.startsWith("-") || l.startsWith("*") ||
+          l.startsWith("•"))).cast("double")
+      val nEllip = size(filter(col("lines"), l =>
+        l.endsWith("...") || l.endsWith("…"))).cast("double")
+      val nAlpha = size(filter(col("toks"),
+        t => t.rlike("[a-z]"))).cast("double")
+      val nStops = size(filter(
+        lit(reqStops.toArray), w => array_contains(col("toks"), w)))
+      val measured = base.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        (charsum / nw).as("mwl"),
+        (nSym / nw).as("symr"),
+        (nBullet / nLines).as("bulf"),
+        (nEllip / nLines).as("ellf"),
+        (nAlpha / nw).as("alpf"),
+        nStops.cast("long").as("n_req_stops"))
+      measured.select(
+        col("doc_id"), col("n_words"),
+        round(col("mwl"), 4).as("mean_word_len"),
+        round(col("symr"), 6).as("symbol_ratio"),
+        round(col("bulf"), 6).as("bullet_frac"),
+        round(col("ellf"), 6).as("ellipsis_frac"),
+        round(col("alpf"), 6).as("alpha_frac"),
+        col("n_req_stops"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .cast("int").as("pass_words"),
+        (col("mwl") >= 3.0 && col("mwl") <= 10.0)
+          .cast("int").as("pass_word_len"),
+        (col("symr") < 0.1).cast("int").as("pass_symbols"),
+        (col("bulf") < 0.9).cast("int").as("pass_bullets"),
+        (col("ellf") < 0.3).cast("int").as("pass_ellipsis"),
+        (col("alpf") > 0.8).cast("int").as("pass_alpha"),
+        (col("n_req_stops") >= 2).cast("int").as("pass_stops"))
+        .withColumn("keep",
+          (col("pass_words") * col("pass_word_len") * col("pass_symbols")
+            * col("pass_bullets") * col("pass_ellipsis")
+            * col("pass_alpha") * col("pass_stops")).cast("int"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text,
+          list_filter(str_split_regex(lower(text), '\s+'),
+                      x -> x <> '') AS toks,
+          str_split(text, chr(10)) AS lines
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / len(toks) AS mwl,
+          (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+            + (length(text) - length(replace(text, '...', ''))) / 3.0)
+            / len(toks) AS symr,
+          CAST(len(list_filter(lines, l -> starts_with(l, '-')
+            OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+            AS DOUBLE) / len(lines) AS bulf,
+          CAST(len(list_filter(lines, l -> ends_with(l, '...')
+            OR ends_with(l, chr(8230)))) AS DOUBLE) / len(lines) AS ellf,
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+            AS DOUBLE) / len(toks) AS alpf,
+          CAST(len(list_filter(['the','be','to','of','and','that',
+            'have','with'], w -> list_contains(toks, w))) AS BIGINT)
+            AS n_req_stops
+        FROM t)
+      SELECT doc_id, n_words,
+        ROUND(mwl, 4) AS mean_word_len,
+        ROUND(symr, 6) AS symbol_ratio,
+        ROUND(bulf, 6) AS bullet_frac,
+        ROUND(ellf, 6) AS ellipsis_frac,
+        ROUND(alpf, 6) AS alpha_frac,
+        n_req_stops,
+        CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS pass_words,
+        CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS pass_word_len,
+        CAST(symr < 0.1 AS INT) AS pass_symbols,
+        CAST(bulf < 0.9 AS INT) AS pass_bullets,
+        CAST(ellf < 0.3 AS INT) AS pass_ellipsis,
+        CAST(alpf > 0.8 AS INT) AS pass_alpha,
+        CAST(n_req_stops >= 2 AS INT) AS pass_stops,
+        CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+          * CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT)
+          * CAST(symr < 0.1 AS INT)
+          * CAST(bulf < 0.9 AS INT)
+          * CAST(ellf < 0.3 AS INT)
+          * CAST(alpf > 0.8 AS INT)
+          * CAST(n_req_stops >= 2 AS INT) AS keep
+      FROM m"""))
+
+  // ------------------------------------------------------ text cleaning
+  /** Pre-tokenization text canonicalization — the step every curation
+    * pipeline runs before hashing or shingling: Unicode NFC (via the
+    * engine's codegen'd `nfc_normalize`), C0-control/DEL stripping, and
+    * whitespace-run collapse to single spaces with edge trim. The
+    * corpus is clean ASCII, so the query first injects a deterministic
+    * mess (a decomposed accent, a control byte, doubled spaces, a tab)
+    * into every row and the oracle must agree on the repaired text —
+    * proving each stage does real work. Entirely scan-side: three
+    * codegen'd string kernels, no shuffle, pushdown unaffected. */
+  private val textClean = GraftQuery(
+    "x_text_clean",
+    (s, d) => {
+      val mess = concat(col("text"),
+        lit("\te\u0301\u0001x  y\u0007 "))
+      val clean = trim(regexp_replace(regexp_replace(
+        call_function("nfc_normalize", mess),
+        "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", ""),
+        "[\\t\\n\\f\\r ]+", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"), clean.as("clean_text"),
+        length(clean).cast("long").as("n_chars_clean"))
+    },
+    Some("""WITH deco AS (SELECT doc_id,
+          text || chr(9) || 'e' || chr(769) || chr(1) || 'x  y'
+               || chr(7) || ' ' AS mess
+        FROM documents),
+      c AS (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(nfc_normalize(mess),
+            '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+            '[\t\n\f\r ]+', ' ', 'g')) AS clean_text
+        FROM deco)
+      SELECT doc_id, clean_text,
+             CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+      FROM c"""))
+
   // --------------------------------------------------------- fingerprints
   /** Canonical-text md5 document fingerprinting. */
   private val fingerprint = GraftQuery(
@@ -770,7 +925,8 @@ object TrainingData {
             ORDER BY bm25 DESC, doc_id LIMIT 10"""))
 
   val queries: Seq[GraftQuery] = Seq(
-    dedupExact, tokenCount, qualityScore, charEntropy, bigramLoglik,
+    dedupExact, tokenCount, qualityScore, qualityGopher, textClean,
+    charEntropy, bigramLoglik,
     dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
     gapFill, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
     intervalJoin, tfidf, temporalPairs, bm25)
