@@ -617,4 +617,39 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select("doc_id", "start_tok", "end_tok", "n_grams")
   }
+
+  /** The REMOVE step of exact-substring deduplication: cut every token
+    * covered by a duplicated span ([[duplicatedSpans]]) and rebuild the
+    * document from what survives — the published pipeline drops the
+    * repeated passage from all copies rather than dropping whole
+    * documents. Span coverage collapses to one array of (start, end)
+    * structs per affected document (a few entries — bounded by the
+    * duplicated-content volume, not the corpus), joined back by doc id
+    * and applied as an index-aware `filter` over the token array: the
+    * rewrite itself is scan-side column algebra, so at 100 TB the only
+    * data-scale shuffles are the ones the span detector already pays;
+    * document bodies never move for the rewrite. Documents with no
+    * spans pass through untouched (n_removed = 0). */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spans = duplicatedSpans(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("spans"))
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("spans"),
+          array().cast("array<struct<start_tok:long,end_tok:long>>"))
+          .as("spans"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("spans"), sp =>
+            i.cast("long") >= sp("start_tok") &&
+              i.cast("long") < sp("end_tok"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

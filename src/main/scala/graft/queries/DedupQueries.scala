@@ -306,7 +306,57 @@ object DedupQueries {
              CAST(COUNT(*) AS BIGINT) AS n_grams
       FROM isl GROUP BY doc_id, grp"""))
 
+  // ---------------------------------------- span removal (the cut step)
+  /** The REMOVE step over the spans above ([[Dedup.removeDuplicatedSpans]]):
+    * every token covered by a cross-document duplicated 10-gram span is
+    * cut and the document rebuilt from the survivors — exact-substring
+    * deduplication's actual output table, where `x_dup_token_spans` is
+    * its diagnostic view. The oracle re-derives the islands, anti-joins
+    * positions against span coverage, and reassembles with an ordered
+    * string_agg — same text, independently rebuilt. */
+  private val spanRemoval = GraftQuery(
+    "x_dedup_span_removal",
+    (s, d) => Dedup.removeDuplicatedSpans(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents),
+      pgrams AS (SELECT doc_id, pos,
+          CAST('0x' || substring(md5(
+            array_to_string(toks[pos:pos+9], ' ')), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks) - 9)) AS pos
+              FROM toks WHERE len(toks) >= 10)),
+      dup AS (SELECT h FROM pgrams
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      dp AS (SELECT doc_id, pos FROM pgrams JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+          SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 10
+                   THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dp)),
+      spans AS (SELECT doc_id, MIN(pos) - 1 AS s, MAX(pos) - 1 + 10 AS e
+                FROM isl GROUP BY doc_id, grp),
+      pos AS (SELECT doc_id,
+                unnest(generate_series(1, len(toks))) AS p
+              FROM toks),
+      kept AS (SELECT t.doc_id, t.p FROM pos t
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = t.doc_id
+                   AND t.p - 1 >= s.s AND t.p - 1 < s.e))
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             CAST(len(t.toks) - count(k.p) AS BIGINT) AS n_removed,
+             COALESCE(string_agg(t.toks[k.p], ' ' ORDER BY k.p), '')
+               AS clean_text
+      FROM toks t LEFT JOIN kept k USING (doc_id)
+      GROUP BY t.doc_id, len(t.toks)"""))
+
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
-      clusterAssign, splitByCluster, dupNgramFraction, dupSpans)
+      clusterAssign, splitByCluster, dupNgramFraction, dupSpans,
+      spanRemoval)
 }

@@ -143,4 +143,22 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L) === Set((0L, 10L)))
     assert(!got.contains(2L))
   }
+
+  test("removeDuplicatedSpans cuts the shared passage, keeps the rest") {
+    val shared = (0 until 12).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta gamma $shared tail0 tail1"),
+      (1L, s"$shared other words entirely"),
+      (2L, "short unique doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, k = 10)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 0: span [3, 15) cut → head 3 tokens + 2 tail tokens survive
+    assert(got(0L) === ((17L, 12L, "alpha beta gamma tail0 tail1")))
+    // doc 1: span [0, 12) cut → only the 3-token tail survives
+    assert(got(1L) === ((15L, 12L, "other words entirely")))
+    // doc 2: below k tokens — passes through untouched
+    assert(got(2L) === ((3L, 0L, "short unique doc")))
+  }
 }
