@@ -63,16 +63,23 @@ object TxTable {
     * (merge-on-read deletes — see [[TxTable.deleteVectorBetween]]).
     * Both are absolute paths. */
   final case class Snapshot(version: Long, files: Seq[String],
-      dvs: Seq[String], base: String) {
+      dvs: Seq[String], base: String, merged: Boolean = false) {
     /** RAW read of the data files — deletion vectors NOT applied (used
       * for schema resolution and wherever `dvs` is known empty; the
       * table's own read methods apply them). `basePath` keeps
       * hive-style `col=value` path segments parsing as partition
       * columns when files are read by explicit list; harmless for flat
-      * tables. */
+      * tables. `merged` is set when the active history holds a
+      * schema-evolving append ([[TxTable.appendEvolve]]): the scan then
+      * union-merges file footers so columns absent from older files
+      * read as null — the per-file footer reads are the documented cost
+      * of evolving without a log-recorded schema (Delta records the
+      * schema in the log to skip them; unevolved tables here pay
+      * nothing). */
     def read(spark: SparkSession): DataFrame =
       if (files.isEmpty) spark.emptyDataFrame
-      else spark.read.option("basePath", base).parquet(files: _*)
+      else spark.read.option("basePath", base)
+        .option("mergeSchema", merged.toString).parquet(files: _*)
   }
 
   /** Is `rel` (a table-relative name, possibly partition-qualified) a
@@ -171,15 +178,36 @@ final class TxTable private (spark: SparkSession, dir: String) {
       (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
     val (dvRel, dataRel) = active.partition(isDvName)
+    // evolved-schema marker survives checkpointing: the checkpoint
+    // entry's action records whether any evolve preceded it
+    val evolved = ck.exists(_.action == "ckpt-evolve") ||
+      cs.exists(_.action == "evolve")
     Snapshot(
       cs.lastOption.map(_.version)
         .orElse(ck.map(_.version)).getOrElse(-1L),
-      dataRel.map(f => s"$dir/$f"), dvRel.map(f => s"$dir/$f"), dir)
+      dataRel.map(f => s"$dir/$f"), dvRel.map(f => s"$dir/$f"), dir,
+      merged = evolved)
   }
 
   def read(): DataFrame = readSnapshot(snapshot())
 
   def readAt(version: Long): DataFrame = readSnapshot(snapshotAt(version))
+
+  /** Timestamp time travel: the newest version whose commit timestamp
+    * is ≤ `ts` (Delta's `timestampAsOf` resolution, applied in VERSION
+    * order so a wall-clock regression between racing writers still
+    * resolves deterministically). Reads the log entries — file-name
+    * scale, same cost class as [[commits]]. */
+  def versionAsOf(ts: Long): Long = {
+    val cs = commits().filter(_.ts <= ts)
+    require(cs.nonEmpty,
+      s"no commit at or before ts=$ts in $logDir — the table did not " +
+        "exist yet at that time")
+    cs.last.version
+  }
+
+  /** The table's content as of wall-clock time `ts` (epoch millis). */
+  def readAsOfTimestamp(ts: Long): DataFrame = readAt(versionAsOf(ts))
 
   // ------------------------------------------------- deletion vectors
   /** Read `files` (absolute paths) with the two DV-join key columns
@@ -345,7 +373,12 @@ final class TxTable private (spark: SparkSession, dir: String) {
         }
       }
     }
-    changes.reduceOption(_.unionByName(_)).getOrElse(
+    // allowMissingColumns: a feed window may straddle a schema-evolving
+    // append ([[appendEvolve]]) — rows from pre-evolve commits carry
+    // null for columns that did not exist yet, exactly like the
+    // merged-footer table read
+    changes.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(
       snapshot().read(spark)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0))
@@ -565,7 +598,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
         case None => true
       }
     }
-    Snapshot(snap.version, sel, snap.dvs, dir)
+    Snapshot(snap.version, sel, snap.dvs, dir, snap.merged)
   }
 
   /** Point read with file skipping: only files whose logged range can
@@ -591,7 +624,8 @@ final class TxTable private (spark: SparkSession, dir: String) {
       val s = snapshotAt(version)
       // data + dv files in one list: replay splits them back by prefix
       val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/"))
-      val c = Commit(version, "ckpt", files, Nil, System.currentTimeMillis())
+      val c = Commit(version, if (s.merged) "ckpt-evolve" else "ckpt",
+        files, Nil, System.currentTimeMillis())
       val target = ckptFile(version)
       val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
       Files.write(tmp.toPath, render(c).getBytes(StandardCharsets.UTF_8))
@@ -615,14 +649,34 @@ final class TxTable private (spark: SparkSession, dir: String) {
         s"append schema mismatch: table has $existing, incoming $incoming")
     }
 
+  /** Relaxed guard for schema-EVOLVING appends: columns shared with the
+    * table must keep their types; NEW columns are allowed (older files
+    * read them as null once the snapshot merges footers), and columns
+    * the incoming batch omits are allowed symmetrically. Same
+    * TOCTOU-free placement as [[guardSchema]] — re-run per retry
+    * against that attempt's head. */
+  private def guardSchemaEvolve(base: Snapshot, df: DataFrame): Unit =
+    if (base.files.nonEmpty) {
+      val existing = base.read(spark).schema
+        .fields.map(f => f.name -> f.dataType).toMap
+      val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val clashes = incoming.keySet.intersect(existing.keySet)
+        .filter(k => incoming(k) != existing(k))
+      require(clashes.isEmpty,
+        s"evolve append changes column TYPES (only adding/omitting " +
+          s"columns is schema evolution): ${clashes.map(k =>
+            s"$k: ${existing(k)} -> ${incoming(k)}").mkString(", ")}")
+    }
+
   private def commitAppend(files: Seq[String], df: DataFrame,
-      maxRetries: Int): Commit = {
+      maxRetries: Int, evolve: Boolean = false): Commit = {
     val stats = fileStats(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
-      guardSchema(base, df)
-      val c = Commit(base.version + 1, "append", files, Nil,
+      if (evolve) guardSchemaEvolve(base, df) else guardSchema(base, df)
+      val c = Commit(base.version + 1,
+        if (evolve) "evolve" else "append", files, Nil,
         System.currentTimeMillis())
       if (tryCommit(c, stats)) return c
       attempt += 1
@@ -643,6 +697,19 @@ final class TxTable private (spark: SparkSession, dir: String) {
     * table's schema cannot let a now-mismatched append land. */
   def append(df: DataFrame, maxRetries: Int = 50): Commit =
     commitAppend(stage(df), df, maxRetries)
+
+  /** Schema-EVOLVING append (Delta's `mergeSchema` write): the batch
+    * may add new columns and/or omit existing ones; shared columns must
+    * keep their types ([[guardSchemaEvolve]]). The commit is logged as
+    * action `evolve`, which permanently flips the table's snapshots to
+    * footer-merging reads ([[TxTable.Snapshot.merged]]) so every file's
+    * columns surface and absences read as null — the marker survives
+    * checkpointing (`ckpt-evolve`) and restores. Streaming tails treat
+    * an evolve like any other non-append change: fail by default,
+    * skippable via `skipChangeCommits` — a schema change mid-stream is
+    * never silent. */
+  def appendEvolve(df: DataFrame, maxRetries: Int = 50): Commit =
+    commitAppend(stage(df), df, maxRetries, evolve = true)
 
   /** Hive-layout partitioned append: data files land under
     * `partitionCol=value/` subdirectories and the commit entry records
@@ -678,7 +745,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       else ExternalCatalogUtils.escapePathName(value.toString)
     val prefix = s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$seg/"
     val sel = snap.files.filter(_.stripPrefix(s"$dir/").startsWith(prefix))
-    readSnapshot(Snapshot(snap.version, sel, snap.dvs, dir))
+    readSnapshot(Snapshot(snap.version, sel, snap.dvs, dir, snap.merged))
   }
 
   /** Dynamic-partition overwrite, transactionally: replace ONLY the

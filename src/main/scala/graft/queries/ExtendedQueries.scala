@@ -965,6 +965,65 @@ object ExtendedQueries {
       }
     }))
 
+  // ----------------------------------------------------------------- K15
+  /** Schema evolution ([[graft.ops.TxTable.appendEvolve]], Delta's
+    * `mergeSchema` write): the table starts narrow, a later append adds
+    * a column, and the post-evolve snapshot union-merges file footers
+    * so pre-evolve rows read the new column as NULL — no rewrite of
+    * existing data, the only sane evolution cost model at 100 TB. The
+    * oracle replays both appends as a UNION ALL with an explicit NULL
+    * column; the aggregate's per-group non-null counts prove exactly
+    * the pre-evolve rows carry NULL and nothing was dropped or
+    * duplicated by the footer merge. */
+  private val txSchemaEvolution = GraftQuery(
+    "k15_tx_schema_evolution",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txevo-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer.where(col("c_nationkey") < 13)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      t.appendEvolve(customer.where(col("c_nationkey") >= 13)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("bal")))
+      t.read()
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          count(col("bal")).as("n_bal"),
+          round(sum(col("bal")), 2).as("bal_sum"))
+    },
+    Some("""WITH t AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     CAST(NULL AS DOUBLE) AS bal
+              FROM customer WHERE c_nationkey < 13
+              UNION ALL
+              SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2)
+              FROM customer WHERE c_nationkey >= 13)
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(bal) AS BIGINT) AS n_bal,
+                   ROUND(SUM(bal), 2) AS bal_sum
+            FROM t GROUP BY 1"""),
+    bench = false,
+    // Timed region = the merged-footer read-back (the tax an evolved
+    // table pays per scan); both appends run once in setup.
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txevo-bench-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer.where(col("c_nationkey") < 13)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      t.appendEvolve(customer.where(col("c_nationkey") >= 13)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("bal")))
+      () => t.read()
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          count(col("bal")).as("n_bal"),
+          round(sum(col("bal")), 2).as("bal_sum"))
+    }))
+
   // ----------------------------------------------------------------- A32
   /** Conditional aggregation — the FILTER clause and its `count_if`/
     * CASE-fold equivalents: segment metrics out of one scan instead of
@@ -1279,5 +1338,5 @@ object ExtendedQueries {
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
-    txChangeFeed, txDeletionVectors)
+    txChangeFeed, txDeletionVectors, txSchemaEvolution)
 }

@@ -553,4 +553,67 @@ class TxTableSpec extends SparkTestBase {
     assert(p0.count() === 8) // 10 rows in p0, ids 0,4 deleted
     assert(p0.where(col("id") === 4L).count() === 0)
   }
+
+  test("timestamp time travel resolves the newest commit at or before ts") {
+    val (t, _) = mkTable()
+    val c0 = t.append(df(0 until 10))
+    Thread.sleep(5)
+    val c1 = t.overwrite(df(100 until 103))
+    assert(t.versionAsOf(c0.ts) === 0)
+    assert(t.readAsOfTimestamp(c0.ts).count() === 10)
+    assert(t.versionAsOf(c1.ts + 1000) === 1)
+    assert(t.readAsOfTimestamp(c1.ts).count() === 3)
+    // before the table existed → loud failure, not an empty frame
+    assertThrows[IllegalArgumentException](t.versionAsOf(c0.ts - 1))
+  }
+
+  test("evolve append adds a column; old rows read it as null") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    // plain append still rejects the widened schema
+    val widened = (10 until 15)
+      .map(i => (i.toLong, s"row-$i", i * 2.0)).toDF("id", "payload", "score")
+    assertThrows[IllegalArgumentException](t.append(widened))
+    t.appendEvolve(widened)
+    val now = t.read()
+    assert(now.columns.sorted.toSeq === Seq("id", "payload", "score"))
+    assert(now.count() === 15)
+    assert(now.where(col("score").isNull).count() === 10)
+    assert(now.where(col("score") === 28.0).count() === 1) // id 14
+    // pre-evolve time travel is untouched: no phantom column
+    assert(t.readAt(0).columns.sorted.toSeq === Seq("id", "payload"))
+  }
+
+  test("evolve append may omit columns; type changes stay rejected") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 4))
+    t.appendEvolve(Seq(99L).toDF("id")) // payload omitted
+    val now = t.read()
+    assert(now.count() === 5)
+    assert(now.where(col("payload").isNull).count() === 1)
+    // same NAME, different type → not evolution, rejected
+    val retyped = Seq((7L, 42)).toDF("id", "payload")
+    assertThrows[IllegalArgumentException](t.appendEvolve(retyped))
+  }
+
+  test("evolved reads survive checkpointing and show in the change feed") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 4))
+    t.appendEvolve((4 until 6)
+      .map(i => (i.toLong, s"row-$i", i * 1.5)).toDF("id", "payload", "score"))
+    // push past a checkpoint boundary so resolution starts from ckpt
+    (0 until TxTable.CheckpointInterval + 1)
+      .foreach(i => t.append(Seq((100L + i, s"x-$i", 0.0))
+        .toDF("id", "payload", "score")))
+    assert(t.snapshot().merged, "ckpt-evolve marker lost across checkpoint")
+    assert(t.read().where(col("score").isNull).count() === 4)
+    // CDF across the evolve boundary: pre-evolve inserts carry null score
+    val feed = t.readChanges(-1, 1)
+    assert(feed.columns.contains("score"))
+    assert(feed.where(col("_commit_version") === 0 &&
+      col("score").isNull).count() === 4)
+  }
 }
