@@ -62,23 +62,56 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister {
 
   override def createSource(
       ctx: SQLContext, metadataPath: String, schema: Option[StructType],
-      providerName: String, params: Map[String, String]): Source =
+      providerName: String, params: Map[String, String]): Source = {
+    val o = opts(params)
+    val maxCommits = o.get("maxcommitspertrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxCommitsPerTrigger must be positive, got $n")
+      n
+    }
     new TxTableSource(ctx, table(ctx, params),
-      skipChangeCommits =
-        opts(params).get("skipchangecommits").exists(_.toBoolean))
+      skipChangeCommits = o.get("skipchangecommits").exists(_.toBoolean),
+      maxCommitsPerTrigger = maxCommits)
+  }
 }
 
 final class TxTableSource(
-    ctx: SQLContext, t: TxTable, skipChangeCommits: Boolean)
+    ctx: SQLContext, t: TxTable, skipChangeCommits: Boolean,
+    maxCommitsPerTrigger: Option[Long] = None)
     extends Source {
 
   private val spark = ctx.sparkSession
 
   override val schema: StructType = t.snapshot().read(spark).schema
 
+  /** Highest version this source has already handed to the engine —
+    * the base the per-trigger rate limit counts from. Volatile, not
+    * persisted: on restart the engine replays its own checkpointed
+    * batch first (`getBatch` re-seeds this), so the cap is a SOFT
+    * throughput bound exactly like Delta's `maxFilesPerTrigger`, never
+    * a correctness device. */
+  @volatile private var servedThrough: Option[Long] = None
+
+  /** Head version, capped to `servedThrough + maxCommitsPerTrigger`
+    * when rate limiting is on (Delta's `maxFilesPerTrigger` shape, in
+    * this log's natural unit: commits). Bounding a micro-batch keeps
+    * its scan, its downstream state update, and its sink transaction
+    * sized to O(cap) commits no matter how far behind the stream falls
+    * — without it, a consumer catching up on a week of backlog plans
+    * ONE batch over the whole backlog. The initial snapshot batch is
+    * intentionally uncapped: it reads one coherent version, not a
+    * commit window. */
   override def getOffset: Option[V1Offset] = {
     val v = t.snapshot().version
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0) None
+    else {
+      val capped = (maxCommitsPerTrigger, servedThrough) match {
+        case (Some(m), Some(p)) => math.min(v, p + m)
+        case _                  => v
+      }
+      if (capped <= servedThrough.getOrElse(-1L)) None
+      else Some(LongOffset(capped))
+    }
   }
 
   private def ver(o: V1Offset): Long = o match {
@@ -88,6 +121,7 @@ final class TxTableSource(
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    servedThrough = Some(math.max(ver(end), servedThrough.getOrElse(-1L)))
     val batch = start match {
       case None =>
         // Initial batch: the FULL SNAPSHOT as of the first offset —

@@ -149,6 +149,37 @@ class TxStreamSourceSpec extends SparkTestBase {
     assert(b.readAt(0).as[(Long, Long)].collect().toMap === Map(0L -> 5L, 1L -> 5L))
   }
 
+  test("maxCommitsPerTrigger bounds each micro-batch's commit window") {
+    val (t, dir) = mk()
+    t.append(rows(0 until 4))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // hold the initial batch until the whole backlog is committed, so
+    // the engine then faces six pending commits at once — without the
+    // latch the live stream keeps up commit-by-commit and every window
+    // is trivially under the cap
+    val backlog = new java.util.concurrent.CountDownLatch(1)
+    val q = stream(dir, "maxCommitsPerTrigger" -> "2")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes.synchronized { sizes += batch.count() }
+        if (id == 0) backlog.await()
+        ()
+      }.start()
+    try {
+      // six commits of 2 rows each while batch 0 is held
+      (1 to 6).foreach(i => t.append(rows(i * 10 until i * 10 + 2)))
+      backlog.countDown()
+      q.processAllAvailable()
+      val got = sizes.synchronized(sizes.toSeq)
+      assert(got.head === 4L) // initial snapshot batch
+      assert(got.drop(1).sum === 12L, s"lost or duplicated rows: $got")
+      // the cap must split the backlog into three 2-commit windows,
+      // never one catch-up batch
+      assert(got.drop(1) === Seq(4L, 4L, 4L),
+        s"rate limit did not bound the windows: $got")
+    } finally q.stop()
+  }
+
   test("empty table refuses schema inference with a clear message") {
     val (_, dir) = mk()
     val e = intercept[IllegalArgumentException] {
