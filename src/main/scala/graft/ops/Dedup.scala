@@ -534,6 +534,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC near-duplication — Broder's CONTAINMENT |A∩B| / |A| —
+    * the subset-detection twin of the Jaccard pipeline above: a quote,
+    * an excerpt, or a wholesale inclusion of one document inside a much
+    * larger one scores near 1.0 containment while its Jaccard stays
+    * tiny (the union is dominated by the big doc), so symmetric dedup
+    * never sees it. Candidate generation is IDENTICAL to
+    * [[invertedIndexNearDups]] (rare-shingle posting pairs — one
+    * shuffle, df-capped skew guard); verification computes both
+    * directed containments exactly and keeps pairs where either
+    * direction clears `threshold`. Same scale shape as the Jaccard
+    * path: nothing new shuffles, only the verify arithmetic changes. */
+  def containmentNearDups(
+      docs: DataFrame, maxDf: Int, minShared: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs)
+    val posting = sh.select(col("doc_id"),
+      explode(transform(col("sh"), s => PortableHash.hash60(s)))
+        .as("shingle_h"))
+    val pairs = posting.groupBy("shingle_h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast("double")
+    verifyPairs(pairs, docs)
+      .select(col("a_id"), col("b_id"), col("shared"),
+        round(inter / size(col("sh_a")), 6).as("containment_a"),
+        round(inter / size(col("sh_b")), 6).as("containment_b"))
+      .where(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+  }
+
   /** Per-document CROSS-corpus duplicated n-gram fraction — the
     * exact-duplication quality signal of the large-corpus filtering
     * literature (fraction of a document's distinct n-grams that occur

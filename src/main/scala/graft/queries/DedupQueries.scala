@@ -243,6 +243,40 @@ object DedupQueries {
         FROM pairs JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
       WHERE jaccard >= 0.5"""))
 
+  // ------------------------------------------- containment (asymmetric)
+  /** Asymmetric containment dedup ([[Dedup.containmentNearDups]]):
+    * |A∩B| / |A| catches a small document living INSIDE a large one —
+    * excerpts, quotes, boilerplate inclusion — which Jaccard structurally
+    * misses (the union is dominated by the larger doc). Same rare-shingle
+    * candidate machinery as `x_dedup_ngram_inverted`; the oracle
+    * re-derives both directed containments over the same posting groups. */
+  private val containment = GraftQuery(
+    "x_dedup_containment",
+    (s, d) => Dedup.containmentNearDups(
+      Tables.documents(s, d), maxDf = 5, minShared = 5, threshold = 0.5),
+    Some(s"""WITH $tokensCte, $shinglesCte,
+      posting AS (SELECT doc_id,
+                    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+                      AS shingle_h
+                  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
+      rare AS (SELECT p.doc_id, p.shingle_h FROM posting p
+               JOIN (SELECT shingle_h FROM posting
+                     GROUP BY 1 HAVING count(*) BETWEEN 2 AND 5) r
+               USING (shingle_h)),
+      pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                  CAST(count(*) AS BIGINT) AS shared
+                FROM rare x JOIN rare y
+                  ON x.shingle_h = y.shingle_h AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT * FROM (
+        SELECT a_id, b_id, shared,
+          ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(a.sh), 6) AS containment_a,
+          ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(b.sh), 6) AS containment_b
+        FROM pairs JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
+      WHERE greatest(containment_a, containment_b) >= 0.5"""))
+
   // -------------------------------------- duplicated n-gram fraction
   /** Cross-corpus exact-duplication quality signal (the large-corpus
     * filtering literature's "duplicate n-gram fraction"): per doc, the
@@ -357,6 +391,6 @@ object DedupQueries {
 
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
-      clusterAssign, splitByCluster, dupNgramFraction, dupSpans,
-      spanRemoval)
+      containment, clusterAssign, splitByCluster, dupNgramFraction,
+      dupSpans, spanRemoval)
 }

@@ -144,6 +144,28 @@ class DedupSpec extends SparkTestBase {
     assert(!got.contains(2L))
   }
 
+  test("containment catches a small doc inside a big one; jaccard misses it") {
+    // doc 0 = 12 unique tokens; doc 1 = doc 0 verbatim inside 120 tokens
+    // of unique filler → containment(0 in 1) = 1.0, jaccard ≈ 0.08
+    val small = (0 until 12).map(i => s"quoted$i").mkString(" ")
+    val filler = (0 until 120).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (0L, small),
+      (1L, s"$filler $small"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentNearDups(
+      docs, maxDf = 5, minShared = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val (a, b, _, ca, cb) = got.head
+    assert((a, b) === ((0L, 1L)))
+    assert(ca === 1.0)          // every shingle of the small doc is in the big
+    assert(cb < 0.1)            // the big doc is NOT contained in the small
+    // the symmetric pipeline at a symmetric threshold never surfaces it
+    assert(Dedup.invertedIndexNearDups(
+      docs, maxDf = 5, minShared = 5, threshold = 0.5).isEmpty)
+  }
+
   test("removeDuplicatedSpans cuts the shared passage, keeps the rest") {
     val shared = (0 until 12).map(i => s"common$i").mkString(" ")
     val docs = Seq(
