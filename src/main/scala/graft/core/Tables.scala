@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the synthetic benchmark tables (`TESTDATA.md`).
   *
@@ -34,20 +35,38 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `TIMESTAMP(NANOS)`, which Spark's parquet
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the nanos as a
-    * raw long and derive the session timestamp by integer-dividing to
-    * microseconds — both branches stay inside whole-stage codegen.
-    */
+  /** Normalize an events frame's `ts` to session-zone `TimestampType`,
+    * whatever encoding the parquet carried. Generations of the synthetic
+    * testdata have used two: `TIMESTAMP(NANOS)` (Spark's reader rejects
+    * it unless read as a raw long via `nanosAsLong` — integer-divide to
+    * micros) and `TIMESTAMP(MICROS)` without UTC adjustment (reads as
+    * `TIMESTAMP_NTZ`; the cast is value-identical under the engine's
+    * fixed UTC session zone). All branches stay inside whole-stage
+    * codegen. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  /** The events stream table with `ts` as a session-zone timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+    normalizeEventTs(table(spark, dir, "events"))
   }
 
-  /** Raw events with `ts` kept as nanosecond epoch long. */
+  /** Raw events with `ts` as nanosecond epoch long (whatever the
+    * parquet encoding — micros-encoded files are scaled up). */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 }

@@ -456,6 +456,130 @@ final class TxTable private (spark: SparkSession, dir: String) {
     } finally tmp.delete()
   }
 
+  // ------------------------------------------------- per-file bloom index
+  /** Columns carrying a PER-FILE BLOOM FILTER sidecar, built at commit
+    * time for newly added data files (Delta's bloom filter index, the
+    * public design). Min/max stats prune range predicates but are
+    * useless for POINT lookups on high-cardinality unclustered keys —
+    * every file's [min,max] spans the whole key space. A per-file
+    * bloom answers "could this file hold key k?" in ~10 bits/row, so
+    * [[readWhere]] opens only the file(s) that actually contain the
+    * key. Opt-in via [[bloomIndex]] because the build costs one extra
+    * distributed pass over the freshly written files per commit. */
+  private var bloomCols: Set[String] = Set.empty
+  private var bloomFpp: Double = 0.01
+
+  /** Enable bloom sidecars for `columns` (long-typed or string-typed;
+    * other types are silently not indexed) on files added by THIS
+    * instance's future commits. Files committed without sidecars are
+    * always kept by the read-side prune — enabling late never breaks
+    * correctness, it only skips less until a compaction rewrites. */
+  def bloomIndex(columns: Seq[String], fpp: Double = 0.01): TxTable = {
+    require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    bloomCols = columns.toSet; bloomFpp = fpp; this
+  }
+
+  private def bloomDir: File = new File(s"$logDir/bloom")
+
+  /** Sidecar name for (data file, column): rel names are UUID-based and
+    * never recur, so the name doubles as the association key; '/' from
+    * partition-qualified names is percent-escaped flat. */
+  private def bloomFile(rel: String, column: String): File = {
+    def esc(s: String) = s.replace("%", "%25").replace("/", "%2F")
+    new File(bloomDir, s"${esc(rel)}.${esc(column)}.bloom")
+  }
+
+  /** Build + persist bloom sidecars for `relNames`' indexed columns.
+    * ONE distributed pass per indexed column over just the new files:
+    * rows fan into per-file filters sized from the footers' row counts
+    * (already local — staging wrote them), partial filters merge by OR.
+    * Best-effort like [[fileStats]]: a failed build only disables
+    * skipping for those (file, column) pairs. Called BEFORE the commit
+    * CAS; names are unique forever, so a losing retry reuses the same
+    * sidecars and retry exhaustion deletes them with the data files. */
+  private def buildBlooms(relNames: Seq[String]): Unit =
+    if (bloomCols.nonEmpty && relNames.nonEmpty) try {
+      import org.apache.spark.util.sketch.BloomFilter
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val rows: Map[String, Long] = relNames.map { rel =>
+        val in = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf)
+        val r = ParquetFileReader.open(in)
+        try rel -> r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.toMap
+      val paths = relNames.map(n => s"$dir/$n")
+      val schema = spark.read.option("basePath", dir).parquet(paths: _*).schema
+      val indexable = bloomCols.toSeq.sorted.flatMap { c =>
+        schema.fields.find(_.name == c).map(_.dataType).collect {
+          case org.apache.spark.sql.types.LongType => c -> false
+          case org.apache.spark.sql.types.IntegerType => c -> false
+          case org.apache.spark.sql.types.StringType => c -> true
+        }
+      }
+      if (indexable.nonEmpty) Files.createDirectories(bloomDir.toPath)
+      val fpp = bloomFpp
+      val prefix = new File(dir).getAbsolutePath + "/"
+      indexable.foreach { case (c, isString) =>
+        val df = spark.read.option("basePath", dir).parquet(paths: _*)
+          .select(org.apache.spark.sql.functions.input_file_name().as("_f"),
+            col(c).cast(if (isString) "string" else "long").as("_v"))
+          .na.drop()
+        val bcRows = spark.sparkContext.broadcast(rows)
+        val merged = df.rdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.Map[String, BloomFilter]()
+          it.foreach { r =>
+            // input_file_name is a file: URI over local paths; reduce it
+            // to the table-relative name the sidecar is keyed by
+            val noScheme = r.getString(0).stripPrefix("file:")
+            val rel = ("/" + noScheme.dropWhile(_ == '/')).stripPrefix(prefix)
+            val b = acc.getOrElseUpdate(rel, BloomFilter.create(
+              math.max(bcRows.value.getOrElse(rel, 1024L), 16L), fpp))
+            if (isString) b.putString(r.getString(1)) else b.putLong(r.getLong(1))
+          }
+          acc.iterator
+        }.reduceByKey { (a, b) => a.mergeInPlace(b); a }.collect()
+        merged.foreach { case (rel, bloom) =>
+          val out = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(out)
+          Files.write(bloomFile(rel, c).toPath, out.toByteArray)
+        }
+        bcRows.destroy()
+      }
+    } catch { case _: Throwable => () }
+
+  /** Could `rel` contain `value` in `column`? Missing/unreadable
+    * sidecar → conservatively yes. The sidecar's put-type follows the
+    * column dtype, so the probe casts the query value the same way. */
+  private def bloomMayContain(rel: String, column: String, value: Any): Boolean = {
+    val f = bloomFile(rel, column)
+    if (!f.isFile) true
+    else try {
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+      val bloom =
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      value match {
+        case n: Long => bloom.mightContainLong(n)
+        case n: Int => bloom.mightContainLong(n.toLong)
+        case n: Short => bloom.mightContainLong(n.toLong)
+        case n: Byte => bloom.mightContainLong(n.toLong)
+        case s: String => bloom.mightContainString(s)
+        case _ => true
+      }
+    } catch { case _: Throwable => true }
+  }
+
+  /** Drop the bloom sidecars of a reclaimed or abandoned data file. */
+  private def dropBlooms(rel: String): Unit = {
+    val stem = bloomFile(rel, "").getName.stripSuffix(".bloom")
+    Option(bloomDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(stem)).foreach(_.delete())
+  }
+
   // ------------------------------------------------- per-file column stats
   /** Per-file min/max column stats, read from the parquet FOOTERS the
     * staging write already produced (no extra scan — the same source
@@ -671,6 +795,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
   private def commitAppend(files: Seq[String], df: DataFrame,
       maxRetries: Int, evolve: Boolean = false): Commit = {
     val stats = fileStats(files)
+    buildBlooms(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
@@ -683,7 +808,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
     }
     // retry exhaustion: the staged files will never be referenced —
     // reclaim them now instead of leaving them for vacuum's age guard
-    files.foreach(n => new File(dir, n).delete())
+    files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"append contention: lost $maxRetries races in $logDir")
   }
 
@@ -761,6 +886,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       s"partition column $partitionCol not in ${df.columns.mkString(",")}")
     val files = stagePartitioned(df, partitionCol)
     val stats = fileStats(files)
+    buildBlooms(files)
     val touched = files.map(_.takeWhile(_ != '/')).toSet // col=value prefixes
     var attempt = 0
     while (attempt < maxRetries) {
@@ -773,7 +899,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       if (tryCommit(c, stats)) return c
       attempt += 1
     }
-    files.foreach(n => new File(dir, n).delete())
+    files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"overwritePartitions contention: lost $maxRetries races in $logDir")
   }
 
@@ -781,6 +907,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
   def overwrite(df: DataFrame, maxRetries: Int = 50): Commit = {
     val files = stage(df)
     val stats = fileStats(files)
+    buildBlooms(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
@@ -790,7 +917,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       if (tryCommit(c, stats)) return c
       attempt += 1
     }
-    files.foreach(n => new File(dir, n).delete())
+    files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"overwrite contention: lost $maxRetries races in $logDir")
   }
 
@@ -813,8 +940,9 @@ final class TxTable private (spark: SparkSession, dir: String) {
       val c = Commit(base.version + 1, "upsert", files,
         (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
+      buildBlooms(files)
       if (tryCommit(c, fileStats(files))) return c
-      files.foreach(n => new File(dir, n).delete())
+      files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
       attempt += 1
     }
     sys.error(s"upsert contention: lost $maxRetries races in $logDir")
@@ -853,8 +981,9 @@ final class TxTable private (spark: SparkSession, dir: String) {
       val c = Commit(pruned.version + 1, "delete", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
+      buildBlooms(staged)
       if (tryCommit(c, fileStats(staged))) return c
-      staged.foreach(n => new File(dir, n).delete())
+      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
       attempt += 1
     }
     sys.error(s"delete contention: lost $maxRetries races in $logDir")
@@ -972,6 +1101,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
     // retires the vectors (Delta's PURGE)
     val files = stage(layout(readSnapshot(base)))
     val stats = fileStats(files)
+    buildBlooms(files)
     val baseNames = (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/"))
     val baseDvs = base.dvs.map(_.stripPrefix(s"$dir/")).toSet
     var attempt = 0
@@ -980,7 +1110,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       val nowActive = (head.files ++ head.dvs)
         .map(_.stripPrefix(s"$dir/")).toSet
       if (!baseNames.forall(nowActive.contains)) {
-        files.foreach(n => new File(dir, n).delete())
+        files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
         sys.error("compaction base was rewritten concurrently — rerun compact()")
       }
       // a deletion vector that landed AFTER the base was read targets
@@ -988,7 +1118,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       // resurrect its deleted rows — abort instead (same class as the
       // rewrite conflict above; an append stays conflict-free)
       if (head.dvs.map(_.stripPrefix(s"$dir/")).toSet != baseDvs) {
-        files.foreach(n => new File(dir, n).delete())
+        files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
         sys.error("a deletion vector landed during compaction — rerun compact()")
       }
       val c = Commit(head.version + 1, "compact", files, baseNames,
@@ -996,7 +1126,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
       if (tryCommit(c, stats)) return c
       attempt += 1
     }
-    files.foreach(n => new File(dir, n).delete())
+    files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"compaction contention: lost $maxRetries races in $logDir")
   }
 

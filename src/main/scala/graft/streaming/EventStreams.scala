@@ -355,12 +355,15 @@ object EventStreams {
     * (same schema as the batch table; parquet files appear per
     * micro-batch). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    // the events files store TIMESTAMP(NANOS); without this conf the
+    // events files may store TIMESTAMP(NANOS); without this conf the
     // batch schema probe below throws PARQUET_TYPE_ILLEGAL on a fresh
     // session (mirrors Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+    // encoding-adaptive ts normalization, same contract as the batch
+    // loader (nanos-as-long legacy files and micros/NTZ files both land
+    // on session-zone TimestampType)
+    graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir))
   }
 }

@@ -331,10 +331,8 @@ class EventStreamsSpec extends SparkTestBase {
     }
 
     drain()
-    val expected = spark.read
-      .parquet(java.nio.file.Paths.get(land, "part-000.parquet").toString)
-      .withColumn("ts",
-        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+    val expected = graft.core.Tables.normalizeEventTs(spark.read
+      .parquet(java.nio.file.Paths.get(land, "part-000.parquet").toString))
       .where(col("value") > 0).count()
     val got1 = spark.read.parquet(out).count()
     assert(got1 === expected)
