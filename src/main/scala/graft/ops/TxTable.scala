@@ -481,13 +481,20 @@ final class TxTable private (spark: SparkSession, dir: String) {
 
   private def bloomDir: File = new File(s"$logDir/bloom")
 
-  /** Sidecar name for (data file, column): rel names are UUID-based and
-    * never recur, so the name doubles as the association key; '/' from
-    * partition-qualified names is percent-escaped flat. */
-  private def bloomFile(rel: String, column: String): File = {
-    def esc(s: String) = s.replace("%", "%25").replace("/", "%2F")
-    new File(bloomDir, s"${esc(rel)}.${esc(column)}.bloom")
-  }
+  private def escName(s: String): String =
+    s.replace("%", "%25").replace("/", "%2F")
+
+  /** Sidecar name for (data file, column, indexed dtype): rel names are
+    * UUID-based and never recur, so the name doubles as the association
+    * key; '/' from partition-qualified names is percent-escaped flat.
+    * The indexed dtype (`long` | `string`) is part of the name so the
+    * PROBE side casts the query value exactly the way the put side cast
+    * the column — dispatching on the runtime class of the query value
+    * instead would hash a String probe of a long-indexed column
+    * differently than the puts and return a hard FALSE NEGATIVE, i.e.
+    * incorrect file skipping. */
+  private def bloomFile(rel: String, column: String, kind: String): File =
+    new File(bloomDir, s"${escName(rel)}.${escName(column)}.$kind.bloom")
 
   /** Build + persist bloom sidecars for `relNames`' indexed columns.
     * ONE distributed pass per indexed column over just the new files:
@@ -532,10 +539,19 @@ final class TxTable private (spark: SparkSession, dir: String) {
         val merged = df.rdd.mapPartitions { it =>
           val acc = scala.collection.mutable.Map[String, BloomFilter]()
           it.foreach { r =>
-            // input_file_name is a file: URI over local paths; reduce it
-            // to the table-relative name the sidecar is keyed by
-            val noScheme = r.getString(0).stripPrefix("file:")
-            val rel = ("/" + noScheme.dropWhile(_ == '/')).stripPrefix(prefix)
+            // input_file_name is a URI-ESCAPED file: URI over local
+            // paths — decode it (spaces, escaped partition values)
+            // before reducing to the table-relative sidecar key, else
+            // the key never matches the footer-derived rows map or the
+            // probe-side name
+            val raw = r.getString(0)
+            val path =
+              try new java.net.URI(raw).getPath
+              catch { case _: Throwable =>
+                val ns = raw.stripPrefix("file:")
+                "/" + ns.dropWhile(_ == '/')
+              }
+            val rel = path.stripPrefix(prefix)
             val b = acc.getOrElseUpdate(rel, BloomFilter.create(
               math.max(bcRows.value.getOrElse(rel, 1024L), 16L), fpp))
             if (isString) b.putString(r.getString(1)) else b.putLong(r.getLong(1))
@@ -545,29 +561,41 @@ final class TxTable private (spark: SparkSession, dir: String) {
         merged.foreach { case (rel, bloom) =>
           val out = new java.io.ByteArrayOutputStream()
           bloom.writeTo(out)
-          Files.write(bloomFile(rel, c).toPath, out.toByteArray)
+          Files.write(
+            bloomFile(rel, c, if (isString) "string" else "long").toPath,
+            out.toByteArray)
         }
         bcRows.destroy()
       }
     } catch { case _: Throwable => () }
 
   /** Could `rel` contain `value` in `column`? Missing/unreadable
-    * sidecar → conservatively yes. The sidecar's put-type follows the
-    * column dtype, so the probe casts the query value the same way. */
+    * sidecar → conservatively yes. The sidecar NAME carries the dtype
+    * the put side indexed under, and the probe value is cast to THAT
+    * type before hashing — never dispatched on its own runtime class,
+    * which could hash differently and false-negative. A probe value
+    * that cannot be cast to the indexed dtype keeps the file. */
   private def bloomMayContain(rel: String, column: String, value: Any): Boolean = {
-    val f = bloomFile(rel, column)
-    if (!f.isFile) true
-    else try {
+    val asLong = bloomFile(rel, column, "long")
+    val asString = bloomFile(rel, column, "string")
+    val (f, isString) =
+      if (asLong.isFile) (asLong, false)
+      else if (asString.isFile) (asString, true)
+      else return true
+    try {
       val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
       val bloom =
         try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
         finally in.close()
-      value match {
+      if (isString) bloom.mightContainString(value.toString)
+      else value match {
         case n: Long => bloom.mightContainLong(n)
         case n: Int => bloom.mightContainLong(n.toLong)
         case n: Short => bloom.mightContainLong(n.toLong)
         case n: Byte => bloom.mightContainLong(n.toLong)
-        case s: String => bloom.mightContainString(s)
+        case s: String =>
+          try bloom.mightContainLong(s.trim.toLong)
+          catch { case _: NumberFormatException => true }
         case _ => true
       }
     } catch { case _: Throwable => true }
@@ -575,7 +603,7 @@ final class TxTable private (spark: SparkSession, dir: String) {
 
   /** Drop the bloom sidecars of a reclaimed or abandoned data file. */
   private def dropBlooms(rel: String): Unit = {
-    val stem = bloomFile(rel, "").getName.stripSuffix(".bloom")
+    val stem = escName(rel) + "."
     Option(bloomDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(stem)).foreach(_.delete())
   }
@@ -711,16 +739,27 @@ final class TxTable private (spark: SparkSession, dir: String) {
   /** The snapshot restricted to files whose logged [min,max] for
     * `column` may intersect [lo, hi] — Delta/Iceberg-style data
     * skipping from the commit log, no footer reads at query time.
-    * Files without logged stats for `column` are always kept. */
+    * Files without logged stats for `column` are always kept.
+    *
+    * POINT predicates (lo == hi, both defined) additionally probe the
+    * per-file bloom sidecar when one exists: min/max prunes ranges but
+    * is useless for point lookups on high-cardinality unclustered keys
+    * (every file's [min,max] spans the key space), while the bloom
+    * answers "could this file hold key k?" in ~10 bits/row. Missing
+    * sidecar → file kept, so tables committed without [[bloomIndex]]
+    * behave exactly as before. */
   private[ops] def prunedSnapshot(
       column: String, lo: Option[Any], hi: Option[Any]): Snapshot = {
     val snap = snapshot()
     val stats = loadStats()
+    val isPoint = lo.isDefined && hi.isDefined && lo == hi
     val sel = snap.files.filter { full =>
-      stats.get(full.stripPrefix(s"$dir/")).flatMap(_.get(column)) match {
+      val rel = full.stripPrefix(s"$dir/")
+      val statsKeep = stats.get(rel).flatMap(_.get(column)) match {
         case Some((kind, mn, mx)) => mayOverlap(kind, mn, mx, lo, hi)
         case None => true
       }
+      statsKeep && (!isPoint || bloomMayContain(rel, column, lo.get))
     }
     Snapshot(snap.version, sel, snap.dvs, dir, snap.merged)
   }
@@ -1167,6 +1206,9 @@ final class TxTable private (spark: SparkSession, dir: String) {
       !referenced.contains(rel) && f.lastModified() <= cutoff
     }
     dead.foreach(_._2.delete())
+    // a reclaimed data file's bloom sidecars are garbage with it —
+    // without this, logDir/bloom accumulates orphans without bound
+    dead.foreach { case (rel, _) => dropBlooms(rel) }
     // crashed writers leave whole `_staged-*` directories (staged but
     // never moved); they are invisible to the log, so age is the only
     // signal — reclaim them under the same guard

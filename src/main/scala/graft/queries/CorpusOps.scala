@@ -264,15 +264,22 @@ object CorpusOps {
     * above their language's median token count. The thresholds reduce to
     * |langs| rows, broadcast back, and the corpus passes once — no
     * per-stratum window over full data (which would buffer whole
-    * partitions at 100 TB). */
+    * partitions at 100 TB). The medians come from
+    * [[graft.ops.Percentiles.exactCont]] — a distributed (value, count)
+    * histogram per language (distinct integer token counts, bounded by
+    * max doc length) instead of Spark's exact `percentile`, whose
+    * single buffer would hold every score of the language at 100 TB —
+    * while matching `quantile_cont` bit-for-bit, so the oracle stays
+    * hash-exact. */
   private val percentileFilter = GraftQuery(
     "x_percentile_filter",
     (s, d) => {
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
-      val med = scored.groupBy("lang")
-        .agg(round(expr("percentile(n_tok, 0.5)"), 4).as("lang_median"))
+      val med = graft.ops.Percentiles
+        .exactCont(scored, "n_tok", Seq(0.5 -> "lang_median"), Seq("lang"))
+        .select(col("lang"), round(col("lang_median"), 4).as("lang_median"))
       scored.join(broadcast(med), "lang")
         .where(col("n_tok") >= col("lang_median"))
         .select(col("doc_id"), col("lang"), col("n_tok"), col("lang_median"))

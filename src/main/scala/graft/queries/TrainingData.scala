@@ -203,7 +203,16 @@ object TrainingData {
     * this shape pays the model shuffle the LM already paid plus a
     * scan-side CASE. Scores round to 6 and the cuts to 4 (coarser, the
     * percentile-filter discipline) so cross-engine interpolation noise
-    * cannot flip a bucket. */
+    * cannot flip a bucket.
+    *
+    * The tercile cuts come from [[graft.ops.Percentiles.exactCont]], NOT
+    * Spark's exact `percentile` aggregate: the latter funnels every
+    * distinct score of the whole corpus into ONE aggregation buffer,
+    * while the histogram form shuffles one row per distinct 6-dp score
+    * (bounded by score granularity, not corpus size) and still matches
+    * `quantile_cont` bit-for-bit — the oracle stays hash-exact
+    * (`PercentilesSpec` pins cut and bucket equality vs the exact
+    * aggregate at sf0.1). */
   private val pplBuckets = GraftQuery(
     "x_ppl_buckets",
     (s, d) => {
@@ -221,9 +230,9 @@ object TrainingData {
       val scored = bigrams.join(model, "bg")
         .groupBy("doc_id")
         .agg(round(avg(log2(col("p"))), 6).as("lm_score"))
-      val cuts = scored.agg(
-        round(expr("percentile(lm_score, cast(1 as double)/3)"), 4).as("c1"),
-        round(expr("percentile(lm_score, cast(2 as double)/3)"), 4).as("c2"))
+      val cuts = graft.ops.Percentiles
+        .exactCont(scored, "lm_score", Seq(1.0 / 3 -> "c1", 2.0 / 3 -> "c2"))
+        .select(round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
       scored.crossJoin(broadcast(cuts))
         .select(col("doc_id"), col("lm_score"),
           when(col("lm_score") <= col("c1"), lit("tail"))

@@ -616,4 +616,52 @@ class TxTableSpec extends SparkTestBase {
     assert(feed.where(col("_commit_version") === 0 &&
       col("score").isNull).count() === 4)
   }
+
+  test("bloom-indexed point lookup opens fewer files than stats alone") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.bloomIndex(Seq("id", "payload"))
+    // three files with IDENTICAL [min,max] spans but disjoint interior
+    // keys: min/max stats cannot distinguish them, only the bloom can
+    def batch(inner: Seq[Long]) = ((1L +: inner :+ 1000000L))
+      .map(i => (i, s"key-$i")).toDF("id", "payload").coalesce(1)
+    t.append(batch(Seq(11L, 12L, 13L)))
+    t.append(batch(Seq(21L, 22L, 23L)))
+    t.append(batch(Seq(31L, 32L, 33L)))
+    assert(t.snapshot().files.size === 3)
+    // stats alone keep all 3 (22 is inside every file's span)
+    val statsOnly = t.prunedSnapshot("id", Some(0L), Some(100L))
+    assert(statsOnly.files.size === 3)
+    val point = t.prunedSnapshot("id", Some(22L), Some(22L))
+    assert(point.files.size === 1, s"bloom should prune to 1 of 3 files")
+    assert(t.readWhere("id", 22L).count() === 1)
+    // string-indexed column prunes the same way
+    val sPoint = t.prunedSnapshot("payload", Some("key-31"), Some("key-31"))
+    assert(sPoint.files.size === 1)
+    assert(t.readWhere("payload", "key-31").count() === 1)
+    // cross-type probe casts to the INDEXED dtype — a string probe of a
+    // long-indexed column must not false-negative (and here still prunes)
+    val castPoint = t.prunedSnapshot("id", Some("22"), Some("22"))
+    assert(castPoint.files.nonEmpty)
+    assert(t.readWhere("id", 22L).count() === 1)
+    // an uncastable probe keeps everything (conservative, never wrong)
+    assert(t.prunedSnapshot("id", Some("nope"), Some("nope")).files.size === 3)
+  }
+
+  test("vacuum drops the bloom sidecars of reclaimed files") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    t.bloomIndex(Seq("id"))
+    t.append(df(0 until 10))
+    t.overwrite(df(100 until 110)) // v0's file becomes garbage at v1
+    val bloomDir = new File(s"$dir/_log/bloom")
+    val before = Option(bloomDir.listFiles()).getOrElse(Array.empty).length
+    assert(before >= 2, s"expected sidecars for both commits, saw $before")
+    val reclaimed = t.vacuum(retainVersion = 1, minAgeMs = 0L)
+    assert(reclaimed.nonEmpty)
+    val after = Option(bloomDir.listFiles()).getOrElse(Array.empty)
+    assert(after.length < before, "vacuum left orphaned bloom sidecars")
+    // the live file's sidecar survives and still prunes
+    assert(t.readWhere("id", 105L).count() === 1)
+  }
 }
