@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+import java.util.UUID
+
+/** The commit-log CAS primitive behind [[TxTable]], made pluggable.
+  *
+  * A TxTable commit is "the atomic creation of `_log/<version>.json`":
+  * exactly one of N racing writers may materialize a given version, and
+  * a reader that sees the path must see the FULL entry (never a torn
+  * prefix). Everything else in the protocol — optimistic retry loops,
+  * snapshot isolation, vacuum — is built on that one primitive, so the
+  * primitive is the only part that changes between storage systems:
+  *
+  *  - POSIX local / HDFS-like filesystems have an atomic
+  *    create-if-absent in the hard-link (or rename-no-replace) syscall
+  *    → [[LogStore.HardLink]].
+  *  - Object stores (S3-style) have NO atomic filesystem op, but expose
+  *    a conditional PUT (`If-None-Match: *` / etag precondition) that
+  *    the service arbitrates → [[LogStore.ConditionalWrite]] over a
+  *    [[LogStore.ConditionalPutClient]]. This is the same shape as
+  *    Delta Lake's pluggable `LogStore` / commit-coordinator seam.
+  *
+  * Contract for any implementation:
+  *   1. EXCLUSIVE: for a given path, `putIfAbsent` returns true for at
+  *      most one caller ever (across processes), false for the rest.
+  *   2. ATOMIC VISIBILITY: once the path exists to readers, its full
+  *      content does; no observable intermediate state.
+  *   3. DURABLE ORDER: a writer that observed version v committed may
+  *      assume v's entry remains readable (the log is append-only;
+  *      entries are never mutated).
+  */
+trait LogStore {
+
+  /** Materialize `target` with `content` iff nothing exists at that
+    * path. True = this caller created it (won the version race). Only a
+    * pre-existing object may yield false; any other failure should
+    * propagate, so retry loops distinguish "lost the race" from "store
+    * is broken". */
+  def putIfAbsent(target: File, content: Array[Byte]): Boolean
+}
+
+object LogStore {
+
+  /** POSIX-filesystem CAS: write the full entry to a temp name in the
+    * same directory, hard-link it to the target (the link syscall fails
+    * with EEXIST atomically — the filesystem's compare-and-swap), drop
+    * the temp. Content is complete before the target path exists, so
+    * both contract clauses hold. Correct on local disks and any FS with
+    * POSIX link semantics; NOT correct on object stores, which is what
+    * [[ConditionalWrite]] is for. */
+  object HardLink extends LogStore {
+    def putIfAbsent(target: File, content: Array[Byte]): Boolean = {
+      val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp.toPath, content)
+      try {
+        Files.createLink(target.toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally tmp.delete()
+    }
+  }
+
+  /** The object-store commit primitive: one conditional PUT, arbitrated
+    * by the store ("create iff key absent" — HTTP `If-None-Match: *`).
+    * The PUT is atomic-with-content by service contract, so a winning
+    * call satisfies both LogStore clauses by itself. */
+  trait ConditionalPutClient {
+    /** Atomically create `key` with `content` iff absent; true = created. */
+    def putIfAbsent(key: String, content: Array[Byte]): Boolean
+  }
+
+  /** [[LogStore]] over a [[ConditionalPutClient]] — the impl a real
+    * deployment backs with its store's conditional-write API. The
+    * adapter is deliberately trivial: the protocol needs nothing beyond
+    * the one primitive. */
+  final class ConditionalWrite(client: ConditionalPutClient) extends LogStore {
+    def putIfAbsent(target: File, content: Array[Byte]): Boolean =
+      client.putIfAbsent(target.getAbsolutePath, content)
+  }
+
+  /** Offline mock of an object store's conditional PUT, for testing the
+    * protocol against [[ConditionalWrite]] without a network: a
+    * JVM-global claim set plays the service's atomic key arbitration
+    * (the part a real store does server-side), and the winner writes
+    * through to the local filesystem via temp-file + atomic rename so
+    * log readers (which list real files) see full content or nothing —
+    * losers never touch the filesystem at all. Claims are keyed by
+    * absolute path; an object already on disk (e.g. from a previous
+    * process) also loses the PUT, mirroring `If-None-Match: *`. */
+  object MockConditionalPut extends ConditionalPutClient {
+    private val claimed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def putIfAbsent(key: String, content: Array[Byte]): Boolean = {
+      val target = new File(key)
+      if (target.exists() || !claimed.add(key)) false
+      else {
+        val tmp =
+          new File(target.getParentFile, s".put-${UUID.randomUUID()}")
+        Files.write(tmp.toPath, content)
+        Files.move(tmp.toPath, target.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    }
+  }
+}

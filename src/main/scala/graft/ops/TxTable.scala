@@ -5,8 +5,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_index}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_index, when}
 
 /** Transactional parquet table — the no-jar answer to the Delta/Iceberg
   * row of the survey: a versioned COMMIT LOG over plain parquet data
@@ -18,16 +18,20 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_
   *  - data files are written FIRST, under content-unique names; they
   *    are invisible until a commit references them, so a crashed writer
   *    leaves garbage bytes, never a torn table;
-  *  - a commit is the ATOMIC creation of `_log/<version>.json`. The
-  *    entry is fully written to a temp name, then CLAIMED via
-  *    `Files.createLink` — the hard-link syscall fails with EEXIST
-  *    atomically, the filesystem's compare-and-swap (object stores
-  *    expose the same primitive as if-none-match puts; HDFS as
-  *    no-overwrite rename). Losing the race means another writer owns
-  *    that version: re-read the log and retry — an append rebases
-  *    as-is, a rewrite re-derives from the new head (optimistic
-  *    concurrency). Readers can never observe a half-written entry:
-  *    content exists in full before the link exists at all;
+  *  - a commit is the ATOMIC creation of `_log/<version>.json`,
+  *    delegated to a pluggable [[LogStore]] — the protocol's ONLY
+  *    storage-system-dependent step. On POSIX filesystems the default
+  *    [[LogStore.HardLink]] writes the entry to a temp name and claims
+  *    the version via `Files.createLink` (the hard-link syscall fails
+  *    with EEXIST atomically — the filesystem's compare-and-swap); on
+  *    object stores, which have NO atomic filesystem op,
+  *    [[LogStore.ConditionalWrite]] issues one conditional PUT
+  *    (`If-None-Match: *`) that the store arbitrates. Losing the race
+  *    means another writer owns that version: re-read the log and
+  *    retry — an append rebases as-is, a rewrite re-derives from the
+  *    new head (optimistic concurrency). Readers can never observe a
+  *    half-written entry: the LogStore contract requires full content
+  *    to be visible the instant the path is;
   *  - a snapshot is the replay of log entries 0..N: active files =
   *    all adds minus all removes. Readers resolve a snapshot once and
   *    read ONLY its files — concurrent commits never tear a running
@@ -89,10 +93,18 @@ object TxTable {
   private[ops] def isDvName(rel: String): Boolean =
     rel.substring(rel.lastIndexOf('/') + 1).startsWith("dv-")
 
-  /** Open (or initialize) a transactional table rooted at `dir`. */
-  def apply(spark: SparkSession, dir: String): TxTable = {
+  /** Open (or initialize) a transactional table rooted at `dir`, with
+    * the default POSIX hard-link commit CAS ([[LogStore.HardLink]]). */
+  def apply(spark: SparkSession, dir: String): TxTable =
+    apply(spark, dir, LogStore.HardLink)
+
+  /** Open (or initialize) a transactional table whose commit CAS runs
+    * through `store` — [[LogStore.HardLink]] on POSIX filesystems, a
+    * [[LogStore.ConditionalWrite]] over the store's conditional-PUT API
+    * on object stores. The rest of the protocol is store-agnostic. */
+  def apply(spark: SparkSession, dir: String, store: LogStore): TxTable = {
     Files.createDirectories(Paths.get(dir, "_log"))
-    new TxTable(spark, dir.stripSuffix("/"))
+    new TxTable(spark, dir.stripSuffix("/"), store)
   }
 
   /** Minimal JSON codec for [[Commit]] — the log is OUR OWN output;
@@ -122,7 +134,8 @@ object TxTable {
   }
 }
 
-final class TxTable private (spark: SparkSession, dir: String) {
+final class TxTable private (spark: SparkSession, dir: String,
+    store: LogStore) {
   import TxTable._
 
   private def logDir = s"$dir/_log"
@@ -433,28 +446,24 @@ final class TxTable private (spark: SparkSession, dir: String) {
     f.delete()
   }
 
-  /** Atomic claim of `version`: write the full entry to a temp name,
-    * hard-link it to the version name (fails-if-exists atomically),
-    * drop the temp. False = lost the race. A winning commit also
-    * persists its files' column stats ([[fileStats]]) as
-    * `_log/<version>.stats.tsv` — best-effort, like checkpoints: a
-    * missing stats file only disables data skipping for those files. */
-  private def tryCommit(c: Commit, stats: Seq[String] = Nil): Boolean = {
-    val target = logFile(c.version)
-    val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp.toPath, render(c).getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(target.toPath, tmp.toPath)
+  /** Atomic claim of `version` through the table's [[LogStore]]: the
+    * store materializes the full entry at the version name iff absent
+    * (hard-link CAS on POSIX, conditional PUT on object stores). False
+    * = lost the race. A winning commit also persists its files' column
+    * stats ([[fileStats]]) as `_log/<version>.stats.tsv` —
+    * best-effort, like checkpoints: a missing stats file only disables
+    * data skipping for those files. */
+  private def tryCommit(c: Commit, stats: Seq[String] = Nil): Boolean =
+    if (!store.putIfAbsent(logFile(c.version),
+        render(c).getBytes(StandardCharsets.UTF_8))) false
+    else {
       if (stats.nonEmpty) try {
         Files.write(Paths.get(f"$logDir/${c.version}%020d.stats.tsv"),
           stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
       } catch { case _: Throwable => () }
       maybeCheckpoint(c.version)
       true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally tmp.delete()
-  }
+    }
 
   // ------------------------------------------------- per-file bloom index
   /** Columns carrying a PER-FILE BLOOM FILTER sidecar, built at commit
@@ -789,11 +798,8 @@ final class TxTable private (spark: SparkSession, dir: String) {
       val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/"))
       val c = Commit(version, if (s.merged) "ckpt-evolve" else "ckpt",
         files, Nil, System.currentTimeMillis())
-      val target = ckptFile(version)
-      val tmp = new File(target.getParentFile, s".tmp-${UUID.randomUUID()}")
-      Files.write(tmp.toPath, render(c).getBytes(StandardCharsets.UTF_8))
-      try Files.createLink(target.toPath, tmp.toPath)
-      finally tmp.delete()
+      store.putIfAbsent(ckptFile(version),
+        render(c).getBytes(StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
 
   /** Schema guard against a SPECIFIC resolved snapshot. Called inside
@@ -985,6 +991,123 @@ final class TxTable private (spark: SparkSession, dir: String) {
       attempt += 1
     }
     sys.error(s"upsert contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Conditional MERGE — the full Delta/ANSI MERGE clause surface, the
+    * CDC-apply shape real pipelines run:
+    *
+    * {{{
+    * MERGE INTO target t USING source s ON t.k = s.k
+    *   WHEN MATCHED AND <upd> THEN UPDATE SET *   -- take s's row
+    *   WHEN MATCHED AND <del> THEN DELETE
+    *   WHEN NOT MATCHED AND <ins> THEN INSERT *
+    * }}}
+    *
+    * Clause conditions are Columns over the ALIASED sides — `t.<col>`
+    * for the target row, `s.<col>` for the source row (e.g.
+    * `expr("s.ts > t.ts")`); pass `lit(true)` for an unconditional
+    * clause, `None` to omit it. Matched rows evaluate UPDATE before
+    * DELETE (fixed clause order; express the reverse by negating
+    * conditions), and a matched row satisfying neither is carried
+    * unchanged. NOT MATCHED conditions may reference only `s.*`.
+    * Equality on `keys` is SQL `=`: null keys never match (a
+    * null-keyed target row is carried; a null-keyed source row is a
+    * NOT MATCHED insert candidate). Like Delta, a target row matched
+    * by MORE THAN ONE source row is an error — latest-wins collapsing
+    * belongs to [[upsert]], not MERGE.
+    *
+    * Scale shape: composed from the stats-pruned rewrite machinery —
+    * for a single-column key the source's [min,max] prunes the
+    * candidate files via the logged per-file stats, and ONLY those are
+    * joined and rewritten (matches cannot hide in a file whose key
+    * range misses every source key; inserts are the join's
+    * source-only side, which the candidate set answers exactly
+    * because pruning is conservative). Untouched files are neither
+    * read nor mentioned in the commit. Candidates are read with
+    * deletion vectors APPLIED (a DV-deleted row neither matches nor
+    * resurrects); the vectors stay active for the files that remain.
+    * Optimistic like every rewrite: losing the CAS discards the staged
+    * files and re-derives (and re-prunes) against the new head. The
+    * committed action is a rewrite, so [[readChanges]] emits the net
+    * row changes (an update as its delete + insert pair, carried rows
+    * not at all) with no merge-specific CDC code. */
+  def merge(source: DataFrame, keys: Seq[String],
+      whenMatchedUpdate: Option[Column] = None,
+      whenMatchedDelete: Option[Column] = None,
+      whenNotMatchedInsert: Option[Column] = None,
+      maxRetries: Int = 20): Commit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined ||
+      whenNotMatchedInsert.isDefined, "merge with no clauses is a no-op")
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+      .where(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"source has duplicate rows per key ${keys.mkString(",")}: a " +
+        "target row may match at most one source row (collapse with " +
+        "upsert's latest-wins first if that is the intent)")
+    // single-key source bounds for stats pruning, resolved once —
+    // driver-side one-row agg, the same cost class as the log itself
+    val bounds: Option[(Any, Any)] =
+      if (keys.size != 1) None
+      else {
+        val k = keys.head
+        val r = source.agg(
+          org.apache.spark.sql.functions.min(col(k)),
+          org.apache.spark.sql.functions.max(col(k))).head()
+        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+      }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val pruned = bounds match {
+        case Some((lo, hi)) =>
+          prunedSnapshot(keys.head, Option(lo), Option(hi))
+        case None => snapshot()
+      }
+      val targetCols: Seq[String] =
+        if (pruned.files.nonEmpty) pruned.read(spark).columns.toSeq
+        else source.columns.toSeq
+      require(targetCols.toSet == source.columns.toSet,
+        s"merge source columns ${source.columns.toSet} != table columns " +
+          s"${targetCols.toSet} (UPDATE/INSERT * needs identical shape)")
+      val ins = whenNotMatchedInsert
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+      val out =
+        if (pruned.files.isEmpty)
+          source.alias("s").where(ins)
+            .select(targetCols.map(c => col(s"s.$c").as(c)): _*)
+        else {
+          val upd = whenMatchedUpdate
+            .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+          val del = whenMatchedDelete
+            .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+          val t = readSnapshot(pruned)
+            .withColumn("__tp", lit(1)).alias("t")
+          val s2 = source.withColumn("__sp", lit(1)).alias("s")
+          val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+            .reduce(_ && _)
+          val joined = t.join(s2, keyCond, "full_outer")
+          val action =
+            when(col("t.__tp").isNotNull && col("s.__sp").isNotNull,
+              when(upd, "u").when(del, "d").otherwise("k"))
+              .when(col("t.__tp").isNotNull, "k") // target-only: carry
+              .otherwise(when(ins, "i").otherwise("x")) // src-only
+          joined.withColumn("__a", action)
+            .where(col("__a").isin("u", "k", "i"))
+            .select(targetCols.map(c =>
+              when(col("__a").isin("u", "i"), col(s"s.$c"))
+                .otherwise(col(s"t.$c")).as(c)): _*)
+        }
+      val staged = stage(out)
+      val c = Commit(pruned.version + 1, "merge", staged,
+        pruned.files.map(_.stripPrefix(s"$dir/")),
+        System.currentTimeMillis())
+      buildBlooms(staged)
+      if (tryCommit(c, fileStats(staged))) return c
+      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      attempt += 1
+    }
+    sys.error(s"merge contention: lost $maxRetries races in $logDir")
   }
 
   /** DELETE WHERE `column` BETWEEN `lo` AND `hi`, Delta-style: the

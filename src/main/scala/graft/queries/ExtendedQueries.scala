@@ -1329,6 +1329,92 @@ object ExtendedQueries {
               AS days_to_2025
             FROM orders"""))
 
+  // ----------------------------------------------------------------- K16
+  /** Conditional MERGE clauses ([[graft.ops.TxTable.merge]]) — the full
+    * Delta/ANSI MERGE surface in one atomic commit: WHEN MATCHED AND p
+    * THEN UPDATE, WHEN MATCHED AND q THEN DELETE, WHEN NOT MATCHED AND
+    * r THEN INSERT. The source derives matched rows (spend-adjusted
+    * balances: above the current balance → update; negative → delete)
+    * and key-shifted insert rows from the same aggregate, so every
+    * clause fires on real data. The oracle replays the clause algebra
+    * relationally (kept = unmatched ∨ update-wins ∨ ¬delete; inserts =
+    * anti-joined source) — hash-exact equality proves the rewrite
+    * applied each clause to exactly the right rows and carried the
+    * rest. `TxTableSpec` pins the protocol side (CDC net changes,
+    * DV interaction, stats-pruned candidates). */
+  private val txMergeClauses = GraftQuery(
+    "k16_tx_merge_clauses",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmerge-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer)
+      val agg = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+      val matchedSrc = customer
+        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+        .where(col("n") > 3)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("total") - 800000.0, 2).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"))
+      val insertSrc = customer
+        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+        .where(col("n") <= 2)
+        .select((col("c_custkey") + 2000000).as("c_custkey"),
+          col("c_name"), col("c_nationkey"),
+          round(col("total") - 800000.0, 2).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"))
+      t.merge(matchedSrc.unionByName(insertSrc), Seq("c_custkey"),
+        whenMatchedUpdate = Some(expr("s.c_acctbal > t.c_acctbal")),
+        whenMatchedDelete = Some(expr("s.c_acctbal < 0")),
+        whenNotMatchedInsert = Some(expr("s.c_acctbal >= 0")))
+      t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    },
+    Some("""WITH agg AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            ms AS (SELECT c_custkey, c_name, c_nationkey,
+                     ROUND(total - 800000.0, 2) AS c_acctbal,
+                     'MERGED' AS c_mktsegment
+                   FROM customer JOIN agg ON c_custkey = o_custkey
+                   WHERE n > 3),
+            ins AS (SELECT c_custkey + 2000000 AS c_custkey, c_name,
+                     c_nationkey, ROUND(total - 800000.0, 2) AS c_acctbal,
+                     'MERGED' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n <= 2),
+            src AS (SELECT * FROM ms UNION ALL SELECT * FROM ins)
+            SELECT CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_custkey ELSE t.c_custkey END AS c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_name ELSE t.c_name END AS c_name,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+                   ROUND(CASE WHEN s.c_custkey IS NOT NULL
+                               AND s.c_acctbal > t.c_acctbal
+                              THEN s.c_acctbal ELSE t.c_acctbal END, 2)
+                     AS c_acctbal,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_mktsegment ELSE t.c_mktsegment END
+                     AS c_mktsegment
+            FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+            WHERE s.c_custkey IS NULL
+               OR s.c_acctbal > t.c_acctbal
+               OR NOT (s.c_acctbal < 0)
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM src
+            WHERE c_acctbal >= 0
+              AND c_custkey NOT IN (SELECT c_custkey FROM customer)"""),
+    bench = false)
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
@@ -1338,5 +1424,5 @@ object ExtendedQueries {
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
-    txChangeFeed, txDeletionVectors, txSchemaEvolution)
+    txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses)
 }

@@ -16,9 +16,14 @@ import graft.SparkTestBase
   * writers, crash-garbage invisibility, vacuum's retention contract. */
 class TxTableSpec extends SparkTestBase {
 
+  /** The commit CAS under test; [[TxTableCondStoreSpec]] overrides to
+    * run the ENTIRE suite through the object-store conditional-write
+    * path — the protocol above the primitive must not care. */
+  protected def logStore: LogStore = LogStore.HardLink
+
   private def mkTable(): (TxTable, String) = {
     val dir = Files.createTempDirectory("graft-tx-").toString
-    (TxTable(spark, dir), dir)
+    (TxTable(spark, dir, logStore), dir)
   }
 
   private def df(range: Range) = {
@@ -617,6 +622,84 @@ class TxTableSpec extends SparkTestBase {
       col("score").isNull).count() === 4)
   }
 
+  test("merge: conditional update, delete, and insert in one commit") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("id", "name", "qty"))
+    // source: id=1 update (qty grows), id=2 delete (qty=0 tombstone),
+    // id=3 matched-but-no-clause-fires (carried), id=9 fresh insert,
+    // id=10 insert filtered out by the insert condition
+    val src = Seq((1L, "A", 100), (2L, "B", 0), (3L, "c", 5),
+      (9L, "i", 90), (10L, "x", -1)).toDF("id", "name", "qty")
+    t.merge(src, Seq("id"),
+      whenMatchedUpdate = Some(expr("s.qty > t.qty")),
+      whenMatchedDelete = Some(expr("s.qty = 0")),
+      whenNotMatchedInsert = Some(expr("s.qty >= 0")))
+    val got = t.read().orderBy("id").as[(Long, String, Int)].collect()
+    assert(got === Array((1L, "A", 100), (3L, "c", 30), (4L, "d", 40),
+      (9L, "i", 90)))
+    // CDC nets out: update = delete+insert pair, carried rows silent
+    val feed = t.readChanges(0).select("_change_type", "id")
+      .as[(String, Long)].collect().toSet
+    assert(feed === Set(("delete", 1L), ("insert", 1L), ("delete", 2L),
+      ("insert", 9L)))
+  }
+
+  test("merge clause subsets: delete-only and insert-only behave") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    // delete-only merge: matched rows satisfying the condition vanish
+    val tomb = Seq((3L, "zzz"), (7L, "row-7")).toDF("id", "payload")
+    t.merge(tomb, Seq("id"), whenMatchedDelete = Some(lit(true)))
+    assert(t.read().count() === 8)
+    // insert-only merge (append-if-absent): matched rows untouched
+    val ins = Seq((0L, "DUPE"), (50L, "new")).toDF("id", "payload")
+    t.merge(ins, Seq("id"), whenNotMatchedInsert = Some(lit(true)))
+    assert(t.read().count() === 9)
+    assert(t.read().where(col("id") === 0 && col("payload") === "row-0")
+      .count() === 1, "insert-only merge must not update matched rows")
+    assert(t.read().where(col("id") === 50).count() === 1)
+  }
+
+  test("merge into an empty table inserts; duplicate source keys refused") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.merge(df(0 until 5), Seq("id"),
+      whenNotMatchedInsert = Some(lit(true)))
+    assert(t.read().count() === 5)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "payload")
+    assertThrows[IllegalArgumentException](
+      t.merge(dup, Seq("id"), whenMatchedUpdate = Some(lit(true))))
+  }
+
+  test("merge respects deletion vectors and stats-prunes candidates") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10).coalesce(1))    // file A: ids 0-9
+    t.append(df(100 until 110).coalesce(1)) // file B: ids 100-109
+    t.deleteVectorWhere("id", 5L)           // DV-hide id=5 in file A
+    val src = Seq((5L, "RESURRECT"), (6L, "UPD"), (50L, "NEW"))
+      .toDF("id", "payload")
+    t.merge(src, Seq("id"),
+      whenMatchedUpdate = Some(lit(true)),
+      whenNotMatchedInsert = Some(lit(true)))
+    // DV-deleted row 5 is NOT matched (it is dead) → INSERTED as new
+    val r = t.read()
+    assert(r.where(col("id") === 5).as[(Long, String)].collect() ===
+      Array((5L, "RESURRECT")))
+    assert(r.where(col("id") === 6).as[(Long, String)].collect() ===
+      Array((6L, "UPD")))
+    assert(r.count() === 21)
+    // file B's key range [100,109] misses every source key — the merge
+    // commit must not have touched it
+    val mergeCommit = t.commitsBetween(2, 3).head
+    assert(mergeCommit.action === "merge")
+    assert(mergeCommit.remove.size === 1,
+      s"stats pruning should rewrite only file A, removed: ${mergeCommit.remove}")
+  }
+
   test("bloom-indexed point lookup opens fewer files than stats alone") {
     import spark.implicits._
     val (t, _) = mkTable()
@@ -664,4 +747,14 @@ class TxTableSpec extends SparkTestBase {
     // the live file's sidecar survives and still prunes
     assert(t.readWhere("id", 105L).count() === 1)
   }
+}
+
+/** Every TxTable ACID case again, with the commit CAS running through
+  * [[LogStore.ConditionalWrite]] over the mock conditional-PUT client —
+  * the object-store commit path. Same racing writers, same crash
+  * garbage, same vacuum contract: the protocol is store-agnostic above
+  * the one primitive, and this suite is the proof. */
+class TxTableCondStoreSpec extends TxTableSpec {
+  override protected def logStore: LogStore =
+    new LogStore.ConditionalWrite(LogStore.MockConditionalPut)
 }
