@@ -24,8 +24,17 @@ import graft.ops.TxTable
   *    the stream by default — an append-only reader silently dropping
   *    a rewrite would un-count rows downstream. Opt in to
   *    `skipChangeCommits=true` (Delta's option of the same name) to
-  *    ignore rewrites, or consume `readChanges()` in batch for the
-  *    full CDF;
+  *    ignore rewrites, or `readChangeFeed=true` to consume EVERY
+  *    commit as row-level changes (`_change_type` /
+  *    `_commit_version` columns): the initial snapshot arrives as
+  *    inserts, appends as inserts, deletion-vector commits as the
+  *    exact rows the vector killed, rewrites as their net
+  *    delete+insert diff — batch CDF semantics, streamed;
+  *  - per-trigger admission is bounded by `maxCommitsPerTrigger`
+  *    (commit count) and/or `maxBytesPerTrigger` (sum of the window
+  *    commits' added-file sizes — commits vary wildly in size, so
+  *    only the byte cap bounds batch COST; one over-cap commit is
+  *    still admitted alone rather than stalling);
   *  - vacuuming files out of an unread window fails loudly (shared
   *    retention contract with restore/readChanges).
   *
@@ -57,32 +66,61 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister {
     require(snap.files.nonEmpty,
       "cannot infer the stream schema from an empty table: commit data " +
         "first (the schema is read from the snapshot's parquet footers)")
-    (shortName(), snap.read(ctx.sparkSession).schema)
+    val base = snap.read(ctx.sparkSession).schema
+    val withCdc =
+      if (opts(params).get("readchangefeed").exists(_.toBoolean))
+        TxTableSource.cdcSchema(base)
+      else base
+    (shortName(), withCdc)
   }
 
   override def createSource(
       ctx: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, params: Map[String, String]): Source = {
     val o = opts(params)
-    val maxCommits = o.get("maxcommitspertrigger").map { v =>
+    def positive(key: String): Option[Long] = o.get(key).map { v =>
       val n = v.toLong
-      require(n > 0, s"maxCommitsPerTrigger must be positive, got $n")
+      require(n > 0, s"$key must be positive, got $n")
       n
     }
+    val cdc = o.get("readchangefeed").exists(_.toBoolean)
+    val skip = o.get("skipchangecommits").exists(_.toBoolean)
+    require(!(cdc && skip),
+      "readChangeFeed consumes every commit as row-level changes; " +
+        "skipChangeCommits would contradict that — pick one")
     new TxTableSource(ctx, table(ctx, params),
-      skipChangeCommits = o.get("skipchangecommits").exists(_.toBoolean),
-      maxCommitsPerTrigger = maxCommits)
+      skipChangeCommits = skip,
+      maxCommitsPerTrigger = positive("maxcommitspertrigger"),
+      maxBytesPerTrigger = positive("maxbytespertrigger"),
+      readChangeFeed = cdc)
   }
+}
+
+object TxTableSource {
+  /** The change-feed stream schema: the table's columns plus
+    * [[graft.ops.TxTable.readChanges]]'s `_change_type` /
+    * `_commit_version` tags. */
+  private[tx] def cdcSchema(base: StructType): StructType =
+    StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
 }
 
 final class TxTableSource(
     ctx: SQLContext, t: TxTable, skipChangeCommits: Boolean,
-    maxCommitsPerTrigger: Option[Long] = None)
+    maxCommitsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false)
     extends Source {
 
   private val spark = ctx.sparkSession
 
-  override val schema: StructType = t.snapshot().read(spark).schema
+  override val schema: StructType = {
+    val base = t.snapshot().read(spark).schema
+    if (readChangeFeed) TxTableSource.cdcSchema(base) else base
+  }
 
   /** Highest version this source has already handed to the engine —
     * the base the per-trigger rate limit counts from. Volatile, not
@@ -92,22 +130,50 @@ final class TxTableSource(
     * a correctness device. */
   @volatile private var servedThrough: Option[Long] = None
 
-  /** Head version, capped to `servedThrough + maxCommitsPerTrigger`
-    * when rate limiting is on (Delta's `maxFilesPerTrigger` shape, in
-    * this log's natural unit: commits). Bounding a micro-batch keeps
-    * its scan, its downstream state update, and its sink transaction
-    * sized to O(cap) commits no matter how far behind the stream falls
-    * — without it, a consumer catching up on a week of backlog plans
-    * ONE batch over the whole backlog. The initial snapshot batch is
-    * intentionally uncapped: it reads one coherent version, not a
-    * commit window. */
+  /** Head version, capped by the admission limits when rate limiting
+    * is on (Delta's `maxFilesPerTrigger` / `maxBytesPerTrigger` option
+    * pair, in this log's units):
+    *
+    *  - `maxCommitsPerTrigger` bounds the window to that many commits;
+    *  - `maxBytesPerTrigger` walks the pending commits accumulating
+    *    their added files' on-disk sizes (a driver-side metadata stat
+    *    per file — the same cost class as the existence checks batch
+    *    resolution already does) and cuts the window before the commit
+    *    that would exceed the cap. Commits vary wildly in size, so a
+    *    commit-count cap alone does not bound batch COST; the byte cap
+    *    does. At least one commit is always admitted — a single
+    *    over-cap commit must pass, or the stream stalls forever.
+    *
+    * Bounding a micro-batch keeps its scan, its downstream state
+    * update, and its sink transaction sized to O(cap) no matter how
+    * far behind the stream falls — without it, a consumer catching up
+    * on a week of backlog plans ONE batch over the whole backlog. The
+    * initial snapshot batch is intentionally uncapped: it reads one
+    * coherent version, not a commit window. */
   override def getOffset: Option[V1Offset] = {
     val v = t.snapshot().version
     if (v < 0) None
     else {
-      val capped = (maxCommitsPerTrigger, servedThrough) match {
-        case (Some(m), Some(p)) => math.min(v, p + m)
-        case _                  => v
+      val capped = servedThrough match {
+        case Some(p) =>
+          val byCommits = maxCommitsPerTrigger.map(m => p + m)
+          val byBytes = maxBytesPerTrigger.map { cap =>
+            var acc = 0L
+            var last = p
+            var open = true
+            t.commitsBetween(p, v).foreach { c =>
+              if (open) {
+                val sz = c.add.map(n =>
+                  new java.io.File(t.tableDir, n).length()).sum
+                if (last == p || acc + sz <= cap) {
+                  acc += sz; last = c.version
+                } else open = false
+              }
+            }
+            last
+          }
+          (Seq(v) ++ byCommits ++ byBytes).min
+        case None => v
       }
       if (capped <= servedThrough.getOrElse(-1L)) None
       else Some(LongOffset(capped))
@@ -122,8 +188,8 @@ final class TxTableSource(
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     servedThrough = Some(math.max(ver(end), servedThrough.getOrElse(-1L)))
-    val batch = start match {
-      case None =>
+    val batch = (start, readChangeFeed) match {
+      case (None, false) =>
         // Initial batch: the FULL SNAPSHOT as of the first offset —
         // Delta's streaming-read contract, deletion vectors applied
         // (readAt reads CONTENT). Pre-stream history may hold any
@@ -131,7 +197,26 @@ final class TxTableSource(
         // post-start commits must be append-only. Deterministic on
         // replay: the engine re-calls with the same `end` version.
         t.readAt(ver(end))
-      case Some(s) =>
+      case (None, true) =>
+        // CDC initial batch: the starting snapshot surfaces as inserts
+        // at the start version (Delta's readChangeFeed startingVersion
+        // contract), so a consumer building a replica from the stream
+        // alone sees base + changes.
+        t.readAt(ver(end))
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+          .withColumn("_commit_version", org.apache.spark.sql.functions.lit(ver(end)))
+      case (Some(s), true) =>
+        // CDC window: [[TxTable.readChanges]] reconstructs each
+        // commit's NET row changes — appends as inserts, DELETION
+        // VECTOR commits as row-level deletes (the exact rows the new
+        // vector killed, once), rewrites as their delete+insert
+        // diff. Nothing fails and nothing is skipped wholesale: this
+        // closes the batch-CDF vs stream gap for merge-on-read
+        // deletes. Deterministic on replay — the feed is a pure
+        // function of the immutable log window.
+        t.readChanges(ver(s), ver(end))
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+      case (Some(s), false) =>
         val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
           c.action match {
             case "append" =>
@@ -142,8 +227,9 @@ final class TxTableSource(
               else sys.error(
                 s"streaming read hit a '$other' commit at v${c.version}: " +
                   "this source is append-only past its starting snapshot. " +
-                  "Set skipChangeCommits=true to ignore rewrites, or " +
-                  "consume readChanges() in batch for the full CDF.")
+                  "Set skipChangeCommits=true to ignore rewrites, " +
+                  "readChangeFeed=true to consume them as row-level " +
+                  "changes, or use readChanges() in batch for the full CDF.")
           }
         }
         if (files.isEmpty) t.snapshot().read(spark).limit(0)
