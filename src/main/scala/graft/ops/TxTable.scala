@@ -59,9 +59,16 @@ object TxTable {
   /** Write a replay checkpoint every this-many commits. */
   val CheckpointInterval = 10
 
+  /** `bytes` = total on-disk size of `add`'s files, recorded AT COMMIT
+    * TIME so consumers can reason about a commit's cost without ever
+    * stat-ing data files (which may be vacuumed, or live on an object
+    * store where a per-file stat is a round trip). -1 = unknown, for
+    * entries written before the field existed: a byte-capped reader
+    * treats unknown as cap-exhausting, never as free. */
   final case class Commit(
       version: Long, action: String,
-      add: Seq[String], remove: Seq[String], ts: Long)
+      add: Seq[String], remove: Seq[String], ts: Long,
+      bytes: Long = -1L)
 
   /** `files` = active DATA files; `dvs` = active DELETION-VECTOR files
     * (merge-on-read deletes — see [[TxTable.deleteVectorBetween]]).
@@ -113,7 +120,8 @@ object TxTable {
   private[ops] def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"version":${c.version},"action":"${c.action}",""" +
-      s""""add":${arr(c.add)},"remove":${arr(c.remove)},"ts":${c.ts}}"""
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)},"ts":${c.ts},""" +
+      s""""bytes":${c.bytes}}"""
   }
 
   private[ops] def parse(s: String): Commit = {
@@ -121,6 +129,10 @@ object TxTable {
     def long(k: String): Long =
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
         .getOrElse(fail(k)).group(1).toLong
+    // absent in entries written before the field existed → unknown
+    def longOr(k: String, default: Long): Long =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(default)
     def str(k: String): String =
       ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s)
         .getOrElse(fail(k)).group(1)
@@ -130,7 +142,7 @@ object TxTable {
       "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
     }
     Commit(long("version"), str("action"), list("add"), list("remove"),
-      long("ts"))
+      long("ts"), longOr("bytes", -1L))
   }
 }
 
@@ -453,7 +465,16 @@ final class TxTable private (spark: SparkSession, dir: String,
     * stats ([[fileStats]]) as `_log/<version>.stats.tsv` —
     * best-effort, like checkpoints: a missing stats file only disables
     * data skipping for those files. */
-  private def tryCommit(c: Commit, stats: Seq[String] = Nil): Boolean =
+  private def tryCommit(c0: Commit, stats: Seq[String] = Nil): Boolean = {
+    // record the added files' total size IN the entry: the files exist
+    // (just staged) and are local to the committer, so the stat is one
+    // driver syscall per file ONCE — consumers (the streaming source's
+    // byte-capped admission) then read sizes from the log instead of
+    // stat-ing data files per trigger, which both survives vacuum and
+    // stays object-store-safe
+    val c =
+      if (c0.bytes >= 0) c0
+      else c0.copy(bytes = c0.add.map(n => new File(dir, n).length()).sum)
     if (!store.putIfAbsent(logFile(c.version),
         render(c).getBytes(StandardCharsets.UTF_8))) false
     else {
@@ -464,6 +485,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       maybeCheckpoint(c.version)
       true
     }
+  }
 
   // ------------------------------------------------- per-file bloom index
   /** Columns carrying a PER-FILE BLOOM FILTER sidecar, built at commit

@@ -99,13 +99,18 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister {
 object TxTableSource {
   /** The change-feed stream schema: the table's columns plus
     * [[graft.ops.TxTable.readChanges]]'s `_change_type` /
-    * `_commit_version` tags. */
+    * `_commit_version` tags. The tags are never null in practice, but
+    * they are DECLARED nullable: the batch frames forwarded into the
+    * stream are built from unions/diffs whose inferred nullability
+    * varies by window shape, and a declared-non-nullable schema over a
+    * nullable batch column is a runtime analysis error, not a safety
+    * win. */
   private[tx] def cdcSchema(base: StructType): StructType =
     StructType(base.fields :+
       org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType, nullable = false) :+
+        org.apache.spark.sql.types.StringType, nullable = true) :+
       org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType, nullable = false))
+        org.apache.spark.sql.types.LongType, nullable = true))
 }
 
 final class TxTableSource(
@@ -136,13 +141,19 @@ final class TxTableSource(
     *
     *  - `maxCommitsPerTrigger` bounds the window to that many commits;
     *  - `maxBytesPerTrigger` walks the pending commits accumulating
-    *    their added files' on-disk sizes (a driver-side metadata stat
-    *    per file — the same cost class as the existence checks batch
-    *    resolution already does) and cuts the window before the commit
-    *    that would exceed the cap. Commits vary wildly in size, so a
-    *    commit-count cap alone does not bound batch COST; the byte cap
-    *    does. At least one commit is always admitted — a single
-    *    over-cap commit must pass, or the stream stalls forever.
+    *    the added-bytes totals RECORDED IN THEIR LOG ENTRIES
+    *    ([[graft.ops.TxTable.Commit.bytes]], stamped at commit time) —
+    *    O(pending commits) driver-side log reads, zero data-file
+    *    stats, so the walk survives vacuumed files and costs no
+    *    object-store round trips — and cuts the window before the
+    *    commit that would exceed the cap, stopping the walk right
+    *    there. A legacy entry without a recorded size is treated as
+    *    cap-exhausting (admitted alone if first, else deferred): an
+    *    unknown size must never be admitted as free. Commits vary
+    *    wildly in size, so a commit-count cap alone does not bound
+    *    batch COST; the byte cap does. At least one commit is always
+    *    admitted — a single over-cap commit must pass, or the stream
+    *    stalls forever.
     *
     * Bounding a micro-batch keeps its scan, its downstream state
     * update, and its sink transaction sized to O(cap) no matter how
@@ -161,14 +172,20 @@ final class TxTableSource(
             var acc = 0L
             var last = p
             var open = true
-            t.commitsBetween(p, v).foreach { c =>
-              if (open) {
-                val sz = c.add.map(n =>
-                  new java.io.File(t.tableDir, n).length()).sum
-                if (last == p || acc + sz <= cap) {
-                  acc += sz; last = c.version
-                } else open = false
-              }
+            val it = t.commitsBetween(p, v).iterator
+            while (open && it.hasNext) {
+              val c = it.next()
+              val known = c.bytes >= 0
+              if (last == p) {
+                // always admit the first pending commit, whatever its
+                // size — then close the window if it already fills (or
+                // is of unknown, i.e. potentially unbounded, size)
+                last = c.version
+                acc = if (known) c.bytes else cap
+                if (acc >= cap) open = false
+              } else if (known && c.bytes <= cap - acc) {
+                acc += c.bytes; last = c.version
+              } else open = false
             }
             last
           }
@@ -214,8 +231,22 @@ final class TxTableSource(
         // closes the batch-CDF vs stream gap for merge-on-read
         // deletes. Deterministic on replay — the feed is a pure
         // function of the immutable log window.
-        t.readChanges(ver(s), ver(end))
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+        {
+          // align the window's change frame to the STREAM schema: a
+          // window whose commits all come from files omitting a column
+          // (legal via appendEvolve, which allows omissions) yields a
+          // frame WITHOUT that column — null-fill it, matching the
+          // merged-footer read semantics, instead of letting the select
+          // crash the stream on AnalysisException
+          val changed = t.readChanges(ver(s), ver(end))
+          val have = changed.columns.toSet
+          changed.select(schema.fields.toSeq.map { f =>
+            if (have.contains(f.name))
+              org.apache.spark.sql.functions.col(f.name)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }: _*)
+        }
       case (Some(s), false) =>
         val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
           c.action match {

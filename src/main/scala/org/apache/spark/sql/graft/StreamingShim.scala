@@ -20,16 +20,30 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object StreamingShim {
 
-  /** Re-flag `df`'s plan as streaming. File-backed plans keep their
-    * `LogicalRelation` (so pushdown/pruning survive); any other plan
-    * shape falls back to wrapping the computed RDD. */
+  /** Re-flag `df`'s plan as streaming. A plan that is a SINGLE file
+    * relation under stateless unary operators keeps its
+    * `LogicalRelation` (so pushdown/pruning survive into the scan).
+    * Any other shape — joins, set ops, aggregates — falls back to
+    * wrapping the computed RDD as one opaque streaming leaf: flipping
+    * every relation inside a joined plan would hand the engine a
+    * MULTI-leaf streaming plan, which it plans as a STATEFUL
+    * stream-stream join (state stores, watermark demands, and restart
+    * failures), when the source's contract is "this batch's content is
+    * the already-computed result of a bounded batch query". The wrap
+    * executes the window as an ordinary batch DAG (broadcast joins and
+    * all) and streams only its output. */
   def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cds = df.asInstanceOf[Dataset[Row]]
     val spark = cds.sparkSession.asInstanceOf[SparkSession]
     val analyzed = cds.queryExecution.analyzed
-    val hasRelation =
-      analyzed.collectFirst { case l: LogicalRelation => l }.isDefined
-    if (hasRelation)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val relations = analyzed.collect { case l: LogicalRelation => l }
+    val stateful = analyzed.exists {
+      case _: Join | _: Except | _: Intersect | _: Union |
+           _: Aggregate | _: Window | _: Deduplicate => true
+      case _ => false
+    }
+    if (relations.size == 1 && !stateful)
       Dataset.ofRows(spark, analyzed.transform {
         case l: LogicalRelation => l.copy(isStreaming = true)
       })

@@ -180,6 +180,139 @@ class TxStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger splits a fat-commit backlog at the byte cap") {
+    val (t, dir) = mk()
+    // Pre-measure the commit sizes on a scratch table: same data, same
+    // single-file writes → same logged byte totals, letting the cap be
+    // derived instead of guessed from parquet encoding details.
+    val scratchDir = Files.createTempDirectory("graft-txsrc-scratch-").toString
+    val scratch = TxTable(spark, scratchDir)
+    def fat() = (0 until 3000)
+      .map(i => (i.toLong + 100000L, s"fat-payload-$i-${i * 2654435761L}"))
+      .toDF("id", "payload").coalesce(1)
+    def small(n: Int) = rows(n * 10 until n * 10 + 2).coalesce(1)
+    scratch.append(fat())
+    (1 to 5).foreach(n => scratch.append(small(n)))
+    val sizes0 = scratch.commitsBetween(-1).map(_.bytes)
+    assert(sizes0.forall(_ > 0), s"commit entries must carry bytes: $sizes0")
+    val fatBytes = sizes0.head
+    val smallSum = sizes0.tail.sum
+    // cap: all five smalls fit one window; the fat commit alone exceeds it
+    val cap = smallSum + 16
+    assert(fatBytes > cap, s"fat commit ($fatBytes B) must exceed cap ($cap B)")
+
+    t.append(rows(0 until 4))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val backlog = new java.util.concurrent.CountDownLatch(1)
+    val q = stream(dir, "maxBytesPerTrigger" -> cap.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes.synchronized { sizes += batch.count() }
+        if (id == 0) backlog.await()
+        ()
+      }.start()
+    try {
+      // backlog while batch 0 is held: one fat commit, then five smalls
+      t.append(fat())
+      (1 to 5).foreach(n => t.append(small(n)))
+      backlog.countDown()
+      q.processAllAvailable()
+      val got = sizes.synchronized(sizes.toSeq)
+      assert(got.head === 4L) // initial snapshot batch (uncapped)
+      // the over-cap commit is admitted ALONE (never stalls, never
+      // drags the smalls in with it); the five under-cap commits then
+      // share one window because their logged sizes sum under the cap
+      assert(got.drop(1) === Seq(3000L, 10L),
+        s"byte cap did not split the backlog as sized: $got")
+    } finally q.stop()
+  }
+
+  test("readChangeFeed: snapshot as inserts; DV delete exactly once across restart") {
+    val (t, dir) = mk()
+    val out = Files.createTempDirectory("graft-txcdc-out-").toString
+    val ckpt = Files.createTempDirectory("graft-txcdc-ck-").toString
+    t.append(rows(0 until 10)) // v0
+
+    def drain(): Unit = {
+      val q = stream(dir, "readChangeFeed" -> "true")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drain()
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() === 10)
+    // initial snapshot arrives as insert-tagged rows at the start version
+    assert(r1.where(col("_change_type") === "insert").count() === 10)
+    assert(r1.select("_commit_version").distinct()
+      .as[Long].collect().toSet === Set(0L))
+
+    t.append(rows(10 until 15))  // v1: five inserts
+    t.deleteVectorWhere("id", 3L) // v2: merge-on-read delete of one row
+    drain()
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() === 16)
+    val dels = r2.where(col("_change_type") === "delete")
+      .select("id", "_commit_version").as[(Long, Long)].collect()
+    // the DV commit surfaces as exactly ONE row-level delete
+    assert(dels.toSeq === Seq((3L, 2L)))
+    assert(r2.where(col("_change_type") === "insert" &&
+      col("_commit_version") === 1L).count() === 5)
+
+    // restart over the drained checkpoint: nothing re-emitted — the
+    // delete arrived exactly once across the restart
+    drain()
+    assert(spark.read.parquet(out).count() === 16)
+  }
+
+  test("readChangeFeed + skipChangeCommits is refused") {
+    val (t, dir) = mk()
+    t.append(rows(0 until 3))
+    val q = stream(dir, "readChangeFeed" -> "true",
+      "skipChangeCommits" -> "true")
+      .writeStream.format("memory").queryName("txcdc_conflict").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(2000)
+      }
+      def hasMsg(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("pick one")) ||
+          hasMsg(t.getCause))
+      assert(hasMsg(e))
+    } finally q.stop()
+  }
+
+  test("CDC stream survives a window of column-omitting evolve commits") {
+    val (t, dir) = mk()
+    val out = Files.createTempDirectory("graft-txcdc-ev-out-").toString
+    val ckpt = Files.createTempDirectory("graft-txcdc-ev-ck-").toString
+    t.append(rows(0 until 5)) // schema: (id, payload)
+
+    def drain(): Unit = {
+      val q = stream(dir, "readChangeFeed" -> "true")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drain()
+    // an evolve append OMITTING the payload column: the next window's
+    // change frame lacks a stream-schema column — it must null-fill,
+    // not crash the stream with AnalysisException
+    t.appendEvolve(Seq(100L, 101L).toDF("id"))
+    drain()
+    val r = spark.read.parquet(out)
+    assert(r.count() === 7)
+    val evolved = r.where(col("id") >= 100L)
+    assert(evolved.count() === 2)
+    assert(evolved.where(col("payload").isNull).count() === 2)
+    assert(evolved.where(col("_change_type") === "insert").count() === 2)
+  }
+
   test("empty table refuses schema inference with a clear message") {
     val (_, dir) = mk()
     val e = intercept[IllegalArgumentException] {
