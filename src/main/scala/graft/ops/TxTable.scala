@@ -780,17 +780,29 @@ final class TxTable private (spark: SparkSession, dir: String,
     * sidecar → file kept, so tables committed without [[bloomIndex]]
     * behave exactly as before. */
   private[ops] def prunedSnapshot(
-      column: String, lo: Option[Any], hi: Option[Any]): Snapshot = {
-    val snap = snapshot()
+      column: String, lo: Option[Any], hi: Option[Any]): Snapshot =
+    pruneFiles(snapshot(), Seq((column, lo, hi)))
+
+  /** `snap` restricted to files that may hold a row satisfying EVERY
+    * `(column, lo, hi)` bound — the per-column candidate sets
+    * INTERSECT, which stays conservative because each per-column test
+    * is (a file not overlapping one bound cannot hold a row matching
+    * the conjunction). This is what lets a composite-key MERGE prune:
+    * each key column contributes its source [min,max], and only files
+    * overlapping all of them are candidates. */
+  private[ops] def pruneFiles(snap: Snapshot,
+      preds: Seq[(String, Option[Any], Option[Any])]): Snapshot = {
     val stats = loadStats()
-    val isPoint = lo.isDefined && hi.isDefined && lo == hi
     val sel = snap.files.filter { full =>
       val rel = full.stripPrefix(s"$dir/")
-      val statsKeep = stats.get(rel).flatMap(_.get(column)) match {
-        case Some((kind, mn, mx)) => mayOverlap(kind, mn, mx, lo, hi)
-        case None => true
+      preds.forall { case (column, lo, hi) =>
+        val isPoint = lo.isDefined && hi.isDefined && lo == hi
+        val statsKeep = stats.get(rel).flatMap(_.get(column)) match {
+          case Some((kind, mn, mx)) => mayOverlap(kind, mn, mx, lo, hi)
+          case None => true
+        }
+        statsKeep && (!isPoint || bloomMayContain(rel, column, lo.get))
       }
-      statsKeep && (!isPoint || bloomMayContain(rel, column, lo.get))
     }
     Snapshot(snap.version, sel, snap.dvs, dir, snap.merged)
   }
@@ -1068,30 +1080,48 @@ final class TxTable private (spark: SparkSession, dir: String,
       s"source has duplicate rows per key ${keys.mkString(",")}: a " +
         "target row may match at most one source row (collapse with " +
         "upsert's latest-wins first if that is the intent)")
-    // single-key source bounds for stats pruning, resolved once —
-    // driver-side one-row agg, the same cost class as the log itself
-    val bounds: Option[(Any, Any)] =
-      if (keys.size != 1) None
-      else {
-        val k = keys.head
-        val r = source.agg(
-          org.apache.spark.sql.functions.min(col(k)),
-          org.apache.spark.sql.functions.max(col(k))).head()
-        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+    // PER-KEY-COLUMN source bounds for stats pruning, resolved once —
+    // one driver-side single-row agg over all key columns. Each key
+    // column whose source min is non-null contributes a bound; the
+    // candidate file sets INTERSECT in [[pruneFiles]] (conservative:
+    // a file missing any one key's range cannot hold a matching row),
+    // so a composite-key needle merge rewrites a handful of files,
+    // not the table. A key with null min (all-null or empty source)
+    // prunes nothing through SQL `=` anyway and is skipped.
+    val boundAggs = keys.flatMap(k => Seq(
+      org.apache.spark.sql.functions.min(col(k)),
+      org.apache.spark.sql.functions.max(col(k))))
+    val boundRow = source.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val bounds: Seq[(String, Option[Any], Option[Any])] =
+      keys.zipWithIndex.flatMap { case (k, i) =>
+        if (boundRow.isNullAt(2 * i)) None
+        else Some((k, Option(boundRow.get(2 * i)),
+          Option(boundRow.get(2 * i + 1))))
       }
     var attempt = 0
     while (attempt < maxRetries) {
-      val pruned = bounds match {
-        case Some((lo, hi)) =>
-          prunedSnapshot(keys.head, Option(lo), Option(hi))
-        case None => snapshot()
+      val head = snapshot()
+      val pruned =
+        if (bounds.isEmpty) head else pruneFiles(head, bounds)
+      // Schema guard against the FULL head snapshot (footer-only read,
+      // cheap), NAME -> TYPE maps like append's guardSchema — never
+      // against the pruned subset or the source itself: an empty
+      // candidate set on a non-empty table must still refuse a
+      // mismatched source, or an insert-only commit could land rows
+      // of a drifted type next to files of the original one. Re-run
+      // per retry against that attempt's head (same TOCTOU-free
+      // placement as guardSchema).
+      val headSchema =
+        if (head.files.isEmpty) None else Some(head.read(spark).schema)
+      headSchema.foreach { hs =>
+        val existing = hs.fields.map(f => f.name -> f.dataType).toMap
+        val incoming = source.schema.fields.map(f => f.name -> f.dataType).toMap
+        require(existing == incoming,
+          s"merge schema mismatch: table has $existing, incoming " +
+            s"$incoming (UPDATE/INSERT * needs identical shape)")
       }
-      val targetCols: Seq[String] =
-        if (pruned.files.nonEmpty) pruned.read(spark).columns.toSeq
-        else source.columns.toSeq
-      require(targetCols.toSet == source.columns.toSet,
-        s"merge source columns ${source.columns.toSet} != table columns " +
-          s"${targetCols.toSet} (UPDATE/INSERT * needs identical shape)")
+      val targetCols: Seq[String] = headSchema
+        .map(_.fields.map(_.name).toSeq).getOrElse(source.columns.toSeq)
       val ins = whenNotMatchedInsert
         .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
       val out =

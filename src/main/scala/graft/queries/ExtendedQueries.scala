@@ -1359,10 +1359,17 @@ object ExtendedQueries {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           round(col("total") - 800000.0, 2).as("c_acctbal"),
           lit("MERGED").as("c_mktsegment"))
+      // insert keys shifted past the table's real key range — derived
+      // from max(c_custkey), not a constant, so the shift can never
+      // collide with live keys at any scale factor (a fixed +2e6 would
+      // alias real custkeys past sf~13 and trip merge's duplicate-key
+      // refusal)
+      val keyShift = customer
+        .agg(max(col("c_custkey"))).head().getLong(0) + 1L
       val insertSrc = customer
         .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
         .where(col("n") <= 2)
-        .select((col("c_custkey") + 2000000).as("c_custkey"),
+        .select((col("c_custkey") + keyShift).as("c_custkey"),
           col("c_name"), col("c_nationkey"),
           round(col("total") - 800000.0, 2).as("c_acctbal"),
           lit("MERGED").as("c_mktsegment"))
@@ -1380,7 +1387,8 @@ object ExtendedQueries {
                      'MERGED' AS c_mktsegment
                    FROM customer JOIN agg ON c_custkey = o_custkey
                    WHERE n > 3),
-            ins AS (SELECT c_custkey + 2000000 AS c_custkey, c_name,
+            ins AS (SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer)
+                      + 1 AS c_custkey, c_name,
                      c_nationkey, ROUND(total - 800000.0, 2) AS c_acctbal,
                      'MERGED' AS c_mktsegment
                     FROM customer JOIN agg ON c_custkey = o_custkey
@@ -1415,6 +1423,92 @@ object ExtendedQueries {
               AND c_custkey NOT IN (SELECT c_custkey FROM customer)"""),
     bench = false)
 
+  // ----------------------------------------------------------------- K17
+  /** COMPOSITE-KEY conditional MERGE ([[graft.ops.TxTable.merge]] on
+    * two key columns): the protocol path where every key column
+    * contributes its source [min,max] bound and the per-column
+    * candidate file sets intersect, so a multi-key needle merge
+    * rewrites only stat-overlapping files instead of the whole table
+    * (`TxTableSpec` pins the file-identity side; this query pins the
+    * row-level algebra through the DuckDB oracle's two-column join).
+    * Clauses: update when the source balance beats the target's,
+    * insert unconditionally. */
+  private val txMergeMultiKey = GraftQuery(
+    "k17_tx_merge_multikey",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmergemk-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      t.append(customer)
+      val agg = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+      val matchedSrc = customer
+        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+        .where(col("n") > 3)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("total") - 800000.0, 2).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"))
+      val keyShift = customer
+        .agg(max(col("c_custkey"))).head().getLong(0) + 1L
+      val insertSrc = customer
+        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+        .where(col("n") <= 2)
+        .select((col("c_custkey") + keyShift).as("c_custkey"),
+          col("c_name"), col("c_nationkey"),
+          round(col("total") - 800000.0, 2).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"))
+      t.merge(matchedSrc.unionByName(insertSrc),
+        Seq("c_custkey", "c_nationkey"),
+        whenMatchedUpdate = Some(expr("s.c_acctbal > t.c_acctbal")),
+        whenNotMatchedInsert = Some(lit(true)))
+      t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    },
+    Some("""WITH agg AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            ms AS (SELECT c_custkey, c_name, c_nationkey,
+                     ROUND(total - 800000.0, 2) AS c_acctbal,
+                     'MERGED' AS c_mktsegment
+                   FROM customer JOIN agg ON c_custkey = o_custkey
+                   WHERE n > 3),
+            ins AS (SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer)
+                      + 1 AS c_custkey, c_name,
+                     c_nationkey, ROUND(total - 800000.0, 2) AS c_acctbal,
+                     'MERGED' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n <= 2),
+            src AS (SELECT * FROM ms UNION ALL SELECT * FROM ins)
+            SELECT CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_custkey ELSE t.c_custkey END AS c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_name ELSE t.c_name END AS c_name,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+                   ROUND(CASE WHEN s.c_custkey IS NOT NULL
+                               AND s.c_acctbal > t.c_acctbal
+                              THEN s.c_acctbal ELSE t.c_acctbal END, 2)
+                     AS c_acctbal,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.c_acctbal > t.c_acctbal
+                        THEN s.c_mktsegment ELSE t.c_mktsegment END
+                     AS c_mktsegment
+            FROM customer t LEFT JOIN src s
+              ON t.c_custkey = s.c_custkey
+             AND t.c_nationkey = s.c_nationkey
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM customer t
+                              WHERE t.c_custkey = s.c_custkey
+                                AND t.c_nationkey = s.c_nationkey)"""),
+    bench = false)
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
@@ -1424,5 +1518,6 @@ object ExtendedQueries {
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
-    txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses)
+    txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses,
+    txMergeMultiKey)
 }

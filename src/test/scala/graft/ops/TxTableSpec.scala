@@ -700,6 +700,36 @@ class TxTableSpec extends SparkTestBase {
       s"stats pruning should rewrite only file A, removed: ${mergeCommit.remove}")
   }
 
+  test("composite-key merge intersects per-key bounds and rewrites only overlapping files") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    def grid(k1: Range, k2: Range) = k1.flatMap(a => k2.map(b =>
+      (a.toLong, b.toLong, s"v-$a-$b"))).toDF("k1", "k2", "v")
+    t.append(grid(0 until 10, 0 until 10).coalesce(1))     // file A
+    t.append(grid(0 until 10, 100 until 110).coalesce(1))  // file B
+    t.append(grid(100 until 110, 0 until 10).coalesce(1))  // file C
+    // source key (5, 105): k1 bound keeps A+B, k2 bound keeps B only —
+    // the INTERSECTION is file B alone; a single-key prune (k1) would
+    // still rewrite A, and no pruning would rewrite the whole table
+    val src = Seq((5L, 105L, "UPD")).toDF("k1", "k2", "v")
+    val c = t.merge(src, Seq("k1", "k2"),
+      whenMatchedUpdate = Some(org.apache.spark.sql.functions.lit(true)),
+      whenNotMatchedInsert = Some(org.apache.spark.sql.functions.lit(true)))
+    assert(c.action === "merge")
+    assert(c.remove.size === 1,
+      s"composite-key pruning should rewrite only file B, removed: ${c.remove}")
+    assert(t.read().where(col("k1") === 5L && col("k2") === 105L)
+      .select("v").as[String].collect() === Array("UPD"))
+    assert(t.read().count() === 300)
+    // schema guard resolves from the HEAD snapshot even when pruning
+    // empties the candidate set: a type-drifted source must be refused,
+    // not landed as an insert-only commit of mixed types
+    val drifted = Seq((9999.5, 1.0, "bad")).toDF("k1", "k2", "v")
+    assertThrows[IllegalArgumentException](
+      t.merge(drifted, Seq("k1", "k2"),
+        whenNotMatchedInsert = Some(org.apache.spark.sql.functions.lit(true))))
+  }
+
   test("bloom-indexed point lookup opens fewer files than stats alone") {
     import spark.implicits._
     val (t, _) = mkTable()
