@@ -52,16 +52,29 @@ object Tables {
       case _ => df
     }
 
+  /** [[normalizeEventTs]]'s NTZ→TZ cast (and the raw loader's reverse
+    * `unix_micros` extraction) are value-preserving only under a UTC
+    * session zone — under any other zone the cast silently SHIFTS every
+    * timestamp by the zone offset. The engine's own drivers (Bench,
+    * Verify, the test base) all pin UTC, but the loaders are public
+    * API: pin it here too, next to the `nanosAsLong` conf they already
+    * set, so a caller with a wall-clock session zone gets the same
+    * timestamps instead of silently shifted ones. */
+  private def pinEventConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   /** The events stream table with `ts` as a session-zone timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pinEventConfs(spark)
     normalizeEventTs(table(spark, dir, "events"))
   }
 
   /** Raw events with `ts` as nanosecond epoch long (whatever the
     * parquet encoding — micros-encoded files are scaled up). */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pinEventConfs(spark)
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw

@@ -83,28 +83,46 @@ object LogStore {
 
   /** Offline mock of an object store's conditional PUT, for testing the
     * protocol against [[ConditionalWrite]] without a network: a
-    * JVM-global claim set plays the service's atomic key arbitration
+    * JVM-global claim map plays the service's atomic key arbitration
     * (the part a real store does server-side), and the winner writes
     * through to the local filesystem via temp-file + atomic rename so
     * log readers (which list real files) see full content or nothing —
-    * losers never touch the filesystem at all. Claims are keyed by
-    * absolute path; an object already on disk (e.g. from a previous
+    * losers never touch the filesystem at all.
+    *
+    * The write-through runs INSIDE the per-key `computeIfAbsent`
+    * critical section, so a losing racer cannot observe its `false`
+    * until the winner's entry is fully on disk — a real store's PUT is
+    * atomic-with-content by service contract, and a mock where losers
+    * could transiently see "created but unreadable" would let protocol
+    * code pass tests against a weaker primitive than production gives
+    * it. Claims are keyed by absolute path and retained for the JVM's
+    * lifetime: keys are versioned log paths under per-test temp dirs,
+    * so the map grows by one small entry per committed version ever
+    * tested — the retention is what lets a second store instance in the
+    * same JVM still lose key arbitration, mirroring the service's
+    * global view. An object already on disk (e.g. from a previous
     * process) also loses the PUT, mirroring `If-None-Match: *`. */
   object MockConditionalPut extends ConditionalPutClient {
     private val claimed =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
     def putIfAbsent(key: String, content: Array[Byte]): Boolean = {
       val target = new File(key)
-      if (target.exists() || !claimed.add(key)) false
-      else {
-        val tmp =
-          new File(target.getParentFile, s".put-${UUID.randomUUID()}")
-        Files.write(tmp.toPath, content)
-        Files.move(tmp.toPath, target.toPath,
-          StandardCopyOption.ATOMIC_MOVE)
-        true
-      }
+      var won = false
+      // atomic per key: concurrent callers on the same key block until
+      // the mapping function (the winner's write-through) completes
+      claimed.computeIfAbsent(key, _ => {
+        if (!target.exists()) {
+          val tmp =
+            new File(target.getParentFile, s".put-${UUID.randomUUID()}")
+          Files.write(tmp.toPath, content)
+          Files.move(tmp.toPath, target.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          won = true
+        }
+        java.lang.Boolean.TRUE
+      })
+      won
     }
   }
 }

@@ -59,16 +59,20 @@ object TxTable {
   /** Write a replay checkpoint every this-many commits. */
   val CheckpointInterval = 10
 
-  /** `bytes` = total on-disk size of `add`'s files, recorded AT COMMIT
-    * TIME so consumers can reason about a commit's cost without ever
-    * stat-ing data files (which may be vacuumed, or live on an object
-    * store where a per-file stat is a round trip). -1 = unknown, for
-    * entries written before the field existed: a byte-capped reader
+  /** `bytes` = total on-disk size of `add`'s files and `rmBytes` = of
+    * `remove`'s files, both recorded AT COMMIT TIME so consumers can
+    * reason about a commit's cost without ever stat-ing data files
+    * (which may be vacuumed, or live on an object store where a
+    * per-file stat is a round trip). `rmBytes` is what lets a CDC
+    * consumer bound a rewrite's batch cost: reconstructing the
+    * row-level diff reads the removed files too, so add-bytes alone
+    * under-counts. -1 = unknown, for entries written before the field
+    * existed or whose stat failed mid-commit: a byte-capped reader
     * treats unknown as cap-exhausting, never as free. */
   final case class Commit(
       version: Long, action: String,
       add: Seq[String], remove: Seq[String], ts: Long,
-      bytes: Long = -1L)
+      bytes: Long = -1L, rmBytes: Long = -1L)
 
   /** `files` = active DATA files; `dvs` = active DELETION-VECTOR files
     * (merge-on-read deletes — see [[TxTable.deleteVectorBetween]]).
@@ -121,7 +125,7 @@ object TxTable {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},"ts":${c.ts},""" +
-      s""""bytes":${c.bytes}}"""
+      s""""bytes":${c.bytes},"rmBytes":${c.rmBytes}}"""
   }
 
   private[ops] def parse(s: String): Commit = {
@@ -142,7 +146,7 @@ object TxTable {
       "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
     }
     Commit(long("version"), str("action"), list("add"), list("remove"),
-      long("ts"), longOr("bytes", -1L))
+      long("ts"), longOr("bytes", -1L), longOr("rmBytes", -1L))
   }
 }
 
@@ -303,10 +307,27 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   /** Commit entries in `(fromVersion, toVersion]`, oldest first — the
     * incremental-consumption face shared by [[readChanges]] and the
-    * streaming source ([[graft.sources.tx.DefaultSource]]). */
+    * streaming source ([[graft.sources.tx.DefaultSource]]).
+    *
+    * Reads ONLY the window's log entries (one directory listing plus
+    * O(window) entry reads — never a replay from version 0), which is
+    * what keeps a per-trigger `getOffset` byte walk O(pending commits)
+    * on a long-lived table. Contiguity is enforced within the window:
+    * entries stop at the first gap, so a half-landed future version is
+    * never consumed past. Callers hand in a `fromVersion` they have
+    * already observed committed (a served offset, a resolved snapshot
+    * version), so contiguity below the window is the caller's
+    * precondition, same as any incremental log consumer's. */
   def commitsBetween(fromVersion: Long,
-      toVersion: Long = Long.MaxValue): Seq[Commit] =
-    commits().filter(c => c.version > fromVersion && c.version <= toVersion)
+      toVersion: Long = Long.MaxValue): Seq[Commit] = {
+    val (cfs, _) = listLog()
+    val window = cfs
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .map { case (_, f) => readEntry(f) }
+    val base = math.max(fromVersion, -1L)
+    window.zipWithIndex
+      .takeWhile { case (c, i) => c.version == base + 1 + i }.map(_._1)
+  }
 
   /** Resolve table-relative file names to absolute paths, failing
     * loudly if any was already vacuumed — shared retention contract of
@@ -465,16 +486,33 @@ final class TxTable private (spark: SparkSession, dir: String,
     * stats ([[fileStats]]) as `_log/<version>.stats.tsv` —
     * best-effort, like checkpoints: a missing stats file only disables
     * data skipping for those files. */
+  /** Total size of table-relative `names`, or -1 (UNKNOWN) if any stat
+    * fails. `Files.size` throws on a missing file where
+    * `File.length()` silently returns 0 — and a 0 here would record a
+    * potentially huge commit as byte-FREE to the streaming cap (e.g. a
+    * restore racing a vacuum: existence was checked at restore entry,
+    * the re-stat at commit time can still miss). Unknown is the safe
+    * answer: the cap treats it as cap-exhausting. */
+  private def sizeOf(names: Seq[String]): Long = {
+    var sum = 0L
+    val it = names.iterator
+    while (it.hasNext) {
+      try sum += Files.size(Paths.get(dir, it.next()))
+      catch { case _: java.io.IOException => return -1L }
+    }
+    sum
+  }
+
   private def tryCommit(c0: Commit, stats: Seq[String] = Nil): Boolean = {
-    // record the added files' total size IN the entry: the files exist
-    // (just staged) and are local to the committer, so the stat is one
-    // driver syscall per file ONCE — consumers (the streaming source's
-    // byte-capped admission) then read sizes from the log instead of
-    // stat-ing data files per trigger, which both survives vacuum and
-    // stays object-store-safe
-    val c =
-      if (c0.bytes >= 0) c0
-      else c0.copy(bytes = c0.add.map(n => new File(dir, n).length()).sum)
+    // record the added AND removed files' total sizes IN the entry: the
+    // files exist (adds just staged; removes still active pre-vacuum)
+    // and are local to the committer, so the stat is one driver syscall
+    // per file ONCE — consumers (the streaming source's byte-capped
+    // admission) then read sizes from the log instead of stat-ing data
+    // files per trigger, which both survives vacuum and stays
+    // object-store-safe
+    val c1 = if (c0.bytes >= 0) c0 else c0.copy(bytes = sizeOf(c0.add))
+    val c = if (c1.rmBytes >= 0) c1 else c1.copy(rmBytes = sizeOf(c1.remove))
     if (!store.putIfAbsent(logFile(c.version),
         render(c).getBytes(StandardCharsets.UTF_8))) false
     else {
@@ -836,6 +874,30 @@ final class TxTable private (spark: SparkSession, dir: String,
         render(c).getBytes(StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
 
+  /** `dt` with every NESTED nullability flag forced true: the guards
+    * compare name → type shape, and nested-field nullability is not
+    * shape — a source whose struct fields went non-nullable through a
+    * join or aggregation (Catalyst tightens inferred nullability
+    * freely) still writes bit-identical parquet. Raw `DataType`
+    * equality would refuse it; normalizing both sides keeps the guard
+    * at its stated name → type intent. */
+  private def normNull(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = normNull(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normNull(a.elementType), true)
+      case m: MapType =>
+        MapType(normNull(m.keyType), normNull(m.valueType), true)
+      case other => other
+    }
+  }
+
+  private def typeMap(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    schema.fields.map(f => f.name -> normNull(f.dataType)).toMap
+
   /** Schema guard against a SPECIFIC resolved snapshot. Called inside
     * every append's retry loop with the loop's own head snapshot, which
     * closes the check-then-commit TOCTOU completely: the version CAS
@@ -845,9 +907,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * schema inference reads parquet footers only. */
   private def guardSchema(base: Snapshot, df: DataFrame): Unit =
     if (base.files.nonEmpty) {
-      val existing = base.read(spark).schema
-        .fields.map(f => f.name -> f.dataType).toMap
-      val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val existing = typeMap(base.read(spark).schema)
+      val incoming = typeMap(df.schema)
       require(existing == incoming,
         s"append schema mismatch: table has $existing, incoming $incoming")
     }
@@ -860,9 +921,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * against that attempt's head. */
   private def guardSchemaEvolve(base: Snapshot, df: DataFrame): Unit =
     if (base.files.nonEmpty) {
-      val existing = base.read(spark).schema
-        .fields.map(f => f.name -> f.dataType).toMap
-      val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val existing = typeMap(base.read(spark).schema)
+      val incoming = typeMap(df.schema)
       val clashes = incoming.keySet.intersect(existing.keySet)
         .filter(k => incoming(k) != existing(k))
       require(clashes.isEmpty,
@@ -1114,8 +1174,11 @@ final class TxTable private (spark: SparkSession, dir: String,
       val headSchema =
         if (head.files.isEmpty) None else Some(head.read(spark).schema)
       headSchema.foreach { hs =>
-        val existing = hs.fields.map(f => f.name -> f.dataType).toMap
-        val incoming = source.schema.fields.map(f => f.name -> f.dataType).toMap
+        // nullability-normalized name -> type maps ([[normNull]]): a
+        // source whose NESTED nullability drifted through joins/aggs is
+        // shape-compatible and must not be refused
+        val existing = typeMap(hs)
+        val incoming = typeMap(source.schema)
         require(existing == incoming,
           s"merge schema mismatch: table has $existing, incoming " +
             s"$incoming (UPDATE/INSERT * needs identical shape)")

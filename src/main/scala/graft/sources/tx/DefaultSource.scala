@@ -141,19 +141,26 @@ final class TxTableSource(
     *
     *  - `maxCommitsPerTrigger` bounds the window to that many commits;
     *  - `maxBytesPerTrigger` walks the pending commits accumulating
-    *    the added-bytes totals RECORDED IN THEIR LOG ENTRIES
-    *    ([[graft.ops.TxTable.Commit.bytes]], stamped at commit time) —
-    *    O(pending commits) driver-side log reads, zero data-file
-    *    stats, so the walk survives vacuumed files and costs no
-    *    object-store round trips — and cuts the window before the
-    *    commit that would exceed the cap, stopping the walk right
-    *    there. A legacy entry without a recorded size is treated as
-    *    cap-exhausting (admitted alone if first, else deferred): an
-    *    unknown size must never be admitted as free. Commits vary
-    *    wildly in size, so a commit-count cap alone does not bound
-    *    batch COST; the byte cap does. At least one commit is always
-    *    admitted — a single over-cap commit must pass, or the stream
-    *    stalls forever.
+    *    the byte totals RECORDED IN THEIR LOG ENTRIES
+    *    ([[graft.ops.TxTable.Commit.bytes]] / `rmBytes`, stamped at
+    *    commit time) — O(pending commits) driver-side log reads
+    *    ([[graft.ops.TxTable.commitsBetween]] reads only the window's
+    *    entries, never a replay from version 0), zero data-file stats,
+    *    so the walk survives vacuumed files and costs no object-store
+    *    round trips — and cuts the window before the commit that would
+    *    exceed the cap, stopping the walk right there. A commit's
+    *    CHARGE matches what its batch actually reads: added bytes in
+    *    append mode, added + removed bytes in `readChangeFeed` mode
+    *    (reconstructing a rewrite's row-level diff reads the removed
+    *    files too), and zero for compaction commits, which every mode
+    *    skips without reading a byte — charging them would over-
+    *    throttle a stream around each compaction. A legacy entry
+    *    without a recorded size is treated as cap-exhausting (admitted
+    *    alone if first, else deferred): an unknown size must never be
+    *    admitted as free. Commits vary wildly in size, so a
+    *    commit-count cap alone does not bound batch COST; the byte cap
+    *    does. At least one commit is always admitted — a single
+    *    over-cap commit must pass, or the stream stalls forever.
     *
     * Bounding a micro-batch keeps its scan, its downstream state
     * update, and its sink transaction sized to O(cap) no matter how
@@ -172,20 +179,40 @@ final class TxTableSource(
             var acc = 0L
             var last = p
             var open = true
+            var admitted = false
             val it = t.commitsBetween(p, v).iterator
             while (open && it.hasNext) {
               val c = it.next()
-              val known = c.bytes >= 0
-              if (last == p) {
-                // always admit the first pending commit, whatever its
-                // size — then close the window if it already fills (or
-                // is of unknown, i.e. potentially unbounded, size)
+              if (c.action == "compact") {
+                // content-neutral in every mode — every getBatch path
+                // skips compaction commits without reading a byte, so
+                // they ride along free instead of throttling the
+                // stream around each compaction
                 last = c.version
-                acc = if (known) c.bytes else cap
-                if (acc >= cap) open = false
-              } else if (known && c.bytes <= cap - acc) {
-                acc += c.bytes; last = c.version
-              } else open = false
+              } else {
+                // charge what the BATCH will read: CDC diffs a rewrite
+                // against its removed files, so the charge is add +
+                // remove bytes there; append mode reads added files
+                // only. Either total unknown → cap-exhausting.
+                val needRm = readChangeFeed && c.remove.nonEmpty
+                val known = c.bytes >= 0 && (!needRm || c.rmBytes >= 0)
+                val cost =
+                  if (!known) cap
+                  else if (needRm) c.bytes + c.rmBytes
+                  else c.bytes
+                if (!admitted) {
+                  // always admit the first pending non-compact commit,
+                  // whatever its size — then close the window if it
+                  // already fills (or is of unknown, i.e. potentially
+                  // unbounded, size)
+                  admitted = true
+                  last = c.version
+                  acc = cost
+                  if (acc >= cap) open = false
+                } else if (known && cost <= cap - acc) {
+                  acc += cost; last = c.version
+                } else open = false
+              }
             }
             last
           }

@@ -46,6 +46,46 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a loser that observes false can immediately read the winner's full entry") {
+    // the contract's atomic-visibility clause, exercised at the exact
+    // moment it matters: the instant putIfAbsent returns false, the
+    // winning entry must be fully readable — a mock where the claim
+    // publishes before the write-through would hand losers a stale (or
+    // absent) head and burn protocol retries on a race production
+    // stores don't have
+    stores.foreach { case (label, store) =>
+      val dir = Files.createTempDirectory(s"graft-ls-").toFile
+      val pool = Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try {
+        (0 until 20).foreach { round =>
+          val target = new File(dir, f"${round}%020d.json")
+          val reads = Await.result(
+            Future.sequence((0 until 8).map { i =>
+              Future {
+                val won = store.putIfAbsent(target,
+                  s"round-$round-writer-$i".getBytes(StandardCharsets.UTF_8))
+                // losers read IMMEDIATELY — no waiting on the winner
+                val seen =
+                  if (won) None
+                  else Some(new String(Files.readAllBytes(target.toPath),
+                    StandardCharsets.UTF_8))
+                (won, seen)
+              }
+            }), 60.seconds)
+          assert(reads.count(_._1) === 1, s"[$label] round $round winners")
+          val winning = new String(Files.readAllBytes(target.toPath),
+            StandardCharsets.UTF_8)
+          reads.filter(!_._1).foreach { case (_, seen) =>
+            assert(seen === Some(winning),
+              s"[$label] round $round: a loser saw '$seen', not the winner's entry")
+          }
+        }
+      } finally pool.shutdown()
+    }
+  }
+
   test("a pre-existing object loses the put, even across store instances") {
     stores.foreach { case (label, store) =>
       val dir = Files.createTempDirectory(s"graft-ls-").toFile

@@ -730,6 +730,51 @@ class TxTableSpec extends SparkTestBase {
         whenNotMatchedInsert = Some(org.apache.spark.sql.functions.lit(true))))
   }
 
+  test("guards normalize nested nullability: drifted struct sources are accepted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    val (t, _) = mkTable()
+    // parquet read-back makes nested fields nullable; an in-memory
+    // struct(...) over non-null columns is non-nullable — same SHAPE,
+    // different nested nullability. Catalyst tightens/loosens inferred
+    // nullability freely through joins and aggregations, so a guard on
+    // raw DataType equality would refuse bit-identical data.
+    def frame(k: Long, x: Long) = Seq((k, x)).toDF("k", "x")
+      .select(col("k"), struct(col("x").as("a")).as("s"))
+    t.append(frame(1L, 10L))
+    assert(t.read().schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("a").nullable,
+      "precondition: parquet read-back should be nullable")
+    assert(!frame(2L, 20L).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("a").nullable,
+      "precondition: in-memory struct should be non-nullable")
+    // both the append guard and the merge guard must accept the drift
+    t.append(frame(2L, 20L))
+    t.merge(frame(3L, 30L), Seq("k"),
+      whenNotMatchedInsert = Some(lit(true)))
+    assert(t.read().count() === 3)
+    // a REAL type change is still refused
+    val wrongType = Seq((4L, "oops")).toDF("k", "x")
+      .select(col("k"), struct(col("x").as("a")).as("s"))
+    assertThrows[IllegalArgumentException](t.append(wrongType))
+    assertThrows[IllegalArgumentException](
+      t.merge(wrongType, Seq("k"), whenNotMatchedInsert = Some(lit(true))))
+  }
+
+  test("commit entries carry added AND removed byte totals") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 100))          // v0: append — no removes
+    t.deleteBetween("id", 10L, 19L)    // v1: rewrite — removes v0's files
+    val Seq(c0, c1) = t.commitsBetween(-1, 1)
+    assert(c0.bytes > 0, "append must stamp added bytes")
+    assert(c0.rmBytes === 0, "append removes nothing — rmBytes is known-zero")
+    assert(c1.bytes > 0, "rewrite must stamp added bytes")
+    assert(c1.rmBytes > 0,
+      "rewrite must stamp REMOVED bytes — a CDC byte cap reads the " +
+        "removed files to diff, so add-bytes alone under-counts")
+  }
+
   test("bloom-indexed point lookup opens fewer files than stats alone") {
     import spark.implicits._
     val (t, _) = mkTable()

@@ -227,6 +227,102 @@ class TxStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compaction commits ride free through the byte cap") {
+    val (t, dir) = mk()
+    // scratch replay to derive the small-commit size (same data, same
+    // single-file write → same logged bytes)
+    val scratchDir = Files.createTempDirectory("graft-txsrc-scratch2-").toString
+    val scratch = TxTable(spark, scratchDir)
+    def small(n: Int) = rows(n * 10 until n * 10 + 2).coalesce(1)
+    scratch.append(small(1)); scratch.append(small(2))
+    val smallSum = scratch.commitsBetween(-1).map(_.bytes).sum
+    assert(smallSum > 0)
+
+    // a FAT initial table makes the compaction rewrite unambiguously
+    // over-cap if it were charged: the cap fits exactly the two small
+    // appends, nothing more
+    def fat() = (0 until 3000)
+      .map(i => (i.toLong + 100000L, s"fat-payload-$i-${i * 2654435761L}"))
+      .toDF("id", "payload").coalesce(1)
+    t.append(fat())
+    val cap = smallSum + 16
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val backlog = new java.util.concurrent.CountDownLatch(1)
+    val q = stream(dir, "maxBytesPerTrigger" -> cap.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes.synchronized { sizes += batch.count() }
+        if (id == 0) backlog.await()
+        ()
+      }.start()
+    try {
+      // backlog while batch 0 is held: small, COMPACT (rewrites the fat
+      // table — huge added bytes), small. Every getBatch path skips
+      // compaction without reading a byte, so the walk must not charge
+      // it either: all three ride in ONE window. Charging the compact
+      // would split the backlog and throttle the stream around every
+      // compaction for batches that read nothing from it.
+      t.append(small(1))
+      t.compact(targetFiles = 1)
+      t.append(small(2))
+      backlog.countDown()
+      q.processAllAvailable()
+      val got = sizes.synchronized(sizes.toSeq)
+      assert(got.head === 3000L) // initial snapshot batch
+      assert(got.drop(1) === Seq(4L),
+        s"compact commit was byte-charged — backlog split: $got")
+    } finally q.stop()
+  }
+
+  test("readChangeFeed byte cap charges a rewrite's removed bytes too") {
+    import org.apache.spark.sql.functions.col
+    def fat() = (0 until 3000)
+      .map(i => (i.toLong, s"fat-payload-$i-${i * 2654435761L}"))
+      .toDF("id", "payload").coalesce(1)
+    def small() = rows(9000 until 9002).coalesce(1)
+    // scratch replay: same commits → same logged add/remove byte totals
+    val scratchDir = Files.createTempDirectory("graft-txsrc-scratch3-").toString
+    val scratch = TxTable(spark, scratchDir)
+    scratch.append(fat())
+    scratch.deleteBetween("id", 0L, 9L)
+    scratch.append(small())
+    val Seq(_, sDel, sSmall) = scratch.commitsBetween(-1)
+    assert(sDel.bytes > 0 && sDel.rmBytes > 0)
+    // cap admits the rewrite's ADDED bytes plus the small append with
+    // room to spare, but NOT added + removed: only the add+remove
+    // charge forces the rewrite into its own window. (A CDC batch
+    // diffs the rewrite against its removed files, so its real read
+    // cost is add + remove — charging adds alone under-bounds it.)
+    val cap = sDel.bytes + sDel.rmBytes / 2
+    assert(cap > sDel.bytes + sSmall.bytes,
+      "precondition: an adds-only charge would admit rewrite + append together")
+    assert(sDel.bytes + sDel.rmBytes > cap,
+      "precondition: the add+remove charge must exceed the cap")
+
+    val (t, dir) = mk()
+    t.append(fat()) // v0
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val backlog = new java.util.concurrent.CountDownLatch(1)
+    val q = stream(dir, "readChangeFeed" -> "true",
+      "maxBytesPerTrigger" -> cap.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes.synchronized { sizes += batch.count() }
+        if (id == 0) backlog.await()
+        ()
+      }.start()
+    try {
+      t.deleteBetween("id", 0L, 9L) // v1: rewrite (10 row-level deletes)
+      t.append(small())             // v2: 2 inserts
+      backlog.countDown()
+      q.processAllAvailable()
+      val got = sizes.synchronized(sizes.toSeq)
+      assert(got.head === 3000L) // initial snapshot (uncapped)
+      assert(got.drop(1) === Seq(10L, 2L),
+        s"rewrite's removed bytes were not charged — windows: $got")
+    } finally q.stop()
+  }
+
   test("readChangeFeed: snapshot as inserts; DV delete exactly once across restart") {
     val (t, dir) = mk()
     val out = Files.createTempDirectory("graft-txcdc-out-").toString
