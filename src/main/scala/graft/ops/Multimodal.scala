@@ -1,17 +1,25 @@
 package graft.ops
 
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` media payloads with typed
   * metadata, and distributed feature extraction over them.
   *
-  * The decode step is a clearly-marked deterministic STUB (the container
-  * has no image/audio codecs); everything around it — schema, typed
-  * Dataset encoding, per-partition batch iteration, output shape — is the
-  * real Spark plumbing a production decoder would drop into. Swap
-  * [[FakeDecoder]] for a JNI/FFmpeg/ImageIO-backed implementation and the
-  * pipeline is unchanged.
+  * The default decoder is REAL: [[ImageIoDecoder]] parses the payload
+  * with `javax.imageio` (PNG, BMP, GIF — the JDK's standard readers, no
+  * external codec jars) and derives features from the DECODED PIXELS.
+  * The engine also carries real encoders ([[bmpMediaTable]] /
+  * [[pngMediaTable]] build valid 24-bit BMP / PNG containers whose
+  * pixel content is a deterministic function of the document text), so
+  * the whole encode → container → ImageIO-decode → feature path is
+  * oracle-checkable end to end: a misparsed header, wrong row order, or
+  * swapped channel would change the feature hashes. [[FakeDecoder]]
+  * remains as the no-deps fallback for payloads that are not images
+  * (its features are over the raw container bytes).
   */
 object Multimodal {
 
@@ -32,27 +40,160 @@ object Multimodal {
   }
   final case class MediaFeatures0(byteHist: Array[Long], frameBytes: Array[Int])
 
-  /** STUB decoder: a real implementation would parse the container format
-    * here. This fake is deterministic — a 16-bucket byte histogram
-    * (`byte >>> 4`) plus the first byte of each equal-width "frame"
-    * slice — so tests and the SQL oracle can pin its output exactly. */
-  object FakeDecoder extends MediaDecoder {
-    def decode(media: Array[Byte], nFrames: Int): MediaFeatures0 = {
-      val hist = new Array[Long](16)
-      var i = 0
-      while (i < media.length) { hist((media(i) & 0xFF) >>> 4) += 1; i += 1 }
-      val frames =
-        if (media.isEmpty) Array.empty[Int]
-        else (0 until nFrames).map { f =>
-          media((f.toLong * media.length / nFrames).toInt) & 0xFF
-        }.toArray
-      MediaFeatures0(hist, frames)
-    }
+  /** Shared feature kernel: a 16-bucket high-nibble histogram over a
+    * byte stream plus the byte at the start of each equal-width "frame"
+    * slice — applied to RAW CONTAINER bytes by [[FakeDecoder]] and to
+    * DECODED PIXEL bytes by [[ImageIoDecoder]]. */
+  private def features(bytes: Array[Byte], nFrames: Int): MediaFeatures0 = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xFF) >>> 4) += 1; i += 1 }
+    val frames =
+      if (bytes.isEmpty) Array.empty[Int]
+      else (0 until nFrames).map { f =>
+        bytes((f.toLong * bytes.length / nFrames).toInt) & 0xFF
+      }.toArray
+    MediaFeatures0(hist, frames)
   }
 
-  /** documents → media fact table. The payload is the UTF-8 text bytes
-    * standing in for an image/audio blob; metadata is derived
-    * deterministically from doc_id so the oracle can recompute it. */
+  /** Container-byte decoder (no image parse): deterministic features
+    * over the raw payload — the fallback for media whose codec is not
+    * on the classpath, and the historical stub the real decoder
+    * replaced. Kept because a 100 TB pipeline always has a tail of
+    * undecodable blobs and "features of the raw bytes" is the graceful
+    * degradation mode. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(media: Array[Byte], nFrames: Int): MediaFeatures0 =
+      features(media, nFrames)
+  }
+
+  /** REAL image decoder: `javax.imageio` parses the container (PNG,
+    * BMP, GIF — whatever `ImageIO.getImageReaders` resolves), and
+    * features are computed over the CANONICAL PIXEL STREAM — row-major,
+    * top-down, one (R, G, B) byte triple per pixel, whatever the
+    * container's internal row order (BMP stores bottom-up), channel
+    * order (BMP stores BGR), bit layout, or compression. Normalizing
+    * through `BufferedImage.getRGB` is what makes features
+    * container-independent: the same pixels yield the same features
+    * from a BMP and a PNG. Thread-safe: `ImageIO.read` allocates per
+    * call; the shared reader registry is read-only here. */
+  object ImageIoDecoder extends MediaDecoder {
+
+    /** The canonical pixel byte stream of an encoded image: row-major
+      * top-down (R, G, B) triples. Fails loudly on undecodable bytes —
+      * a silent empty answer would hash like a real all-zero image. */
+    def canonicalBytes(media: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(media))
+      require(img != null,
+        "payload is not a decodable image (no registered ImageIO reader)")
+      val w = img.getWidth
+      val h = img.getHeight
+      // one bulk getRGB: ImageIO converts any internal raster layout
+      // (palette, bottom-up BMP rows, BGR order) to packed ARGB ints
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < argb.length) {
+        val v = argb(p)
+        out(p * 3) = ((v >>> 16) & 0xFF).toByte
+        out(p * 3 + 1) = ((v >>> 8) & 0xFF).toByte
+        out(p * 3 + 2) = (v & 0xFF).toByte
+        p += 1
+      }
+      out
+    }
+
+    def decode(media: Array[Byte], nFrames: Int): MediaFeatures0 =
+      features(canonicalBytes(media), nFrames)
+  }
+
+  // ------------------------------------------------------------ encoders
+  /** Images are built `PixelWidth` pixels wide; 3 bytes/pixel makes the
+    * 12-byte row exactly 4-byte aligned, so BMP rows need no padding
+    * and the canonical stream is byte-identical to the payload. */
+  val PixelWidth = 4
+
+  private def gridHeight(len: Int): Int =
+    math.max(1, (len + PixelWidth * 3 - 1) / (PixelWidth * 3))
+
+  /** `data` zero-padded to a whole `PixelWidth`-wide pixel grid — the
+    * canonical pixel stream both encoders carry and the oracle
+    * re-derives from the document text. */
+  private def padded(data: Array[Byte]): Array[Byte] = {
+    val px = new Array[Byte](gridHeight(data.length) * PixelWidth * 3)
+    System.arraycopy(data, 0, px, 0, data.length)
+    px
+  }
+
+  /** A VALID 24-bit uncompressed BMP whose canonical decoded stream is
+    * exactly `padded(data)`: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, rows stored bottom-up in B, G, R channel order
+    * per the format — i.e. the bytes on disk are deliberately NOT in
+    * canonical order, so a decoder that skipped the real container
+    * semantics (row flip + channel swap) would produce wrong features
+    * and fail the oracle hash. */
+  def bmpEncode(data: Array[Byte]): Array[Byte] = {
+    val w = PixelWidth
+    val rowBytes = w * 3
+    val px = padded(data)
+    val h = px.length / rowBytes
+    val headerSize = 14 + 40
+    val buf = ByteBuffer.allocate(headerSize + px.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(headerSize + px.length) // file size
+      .putShort(0).putShort(0)        // reserved
+      .putInt(headerSize)             // pixel data offset
+    buf.putInt(40)                    // BITMAPINFOHEADER size
+      .putInt(w).putInt(h)            // positive height = bottom-up rows
+      .putShort(1)                    // planes
+      .putShort(24)                   // bits per pixel
+      .putInt(0)                      // BI_RGB (uncompressed)
+      .putInt(px.length)              // image size
+      .putInt(2835).putInt(2835)      // 72 DPI
+      .putInt(0).putInt(0)            // palette sizes (none)
+    var r = h - 1
+    while (r >= 0) {                  // bottom row first
+      var x = 0
+      while (x < w) {
+        val i = r * rowBytes + x * 3
+        buf.put(px(i + 2)).put(px(i + 1)).put(px(i)) // B, G, R
+        x += 1
+      }
+      r -= 1
+    }
+    buf.array()
+  }
+
+  /** The same canonical pixels as [[bmpEncode]], PNG-encoded through
+    * `javax.imageio` — DEFLATE-compressed, filtered, CRC-checked: the
+    * decode side must run a real PNG inflate to recover them. Encoded
+    * bytes are not asserted anywhere (PNG encoders may differ in
+    * filter choice); only the decoded pixels are, which is exactly the
+    * lossless-round-trip contract PNG makes. */
+  def pngEncode(data: Array[Byte]): Array[Byte] = {
+    val w = PixelWidth
+    val px = padded(data)
+    val h = px.length / (w * 3)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](w * h)
+    var p = 0
+    while (p < argb.length) {
+      argb(p) = ((px(p * 3) & 0xFF) << 16) |
+        ((px(p * 3 + 1) & 0xFF) << 8) | (px(p * 3 + 2) & 0xFF)
+      p += 1
+    }
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** documents → media fact table (raw-bytes payload): the UTF-8 text
+    * bytes standing in for an arbitrary blob; metadata derived
+    * deterministically from doc_id so the oracle can recompute it.
+    * Pairs with [[FakeDecoder]] — the not-an-image degradation path. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -62,13 +203,50 @@ object Multimodal {
       (lit(32) + pmod(col("doc_id") * 7, lit(53))).cast("int").as("height"),
       (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("n_frames"))
 
+  /** Encoder input for the image tables (public: Catalyst's generated
+    * deserializer cannot construct a private class). */
+  final case class DocRow(doc_id: Long, text: String)
+
+  /** documents → media fact table of REAL images: each document's text
+    * bytes become the pixel content of a valid container (`image/bmp`
+    * via [[bmpEncode]], `image/png` via [[pngEncode]]), so
+    * [[ImageIoDecoder]] genuinely parses a container per row and the
+    * decoded features are still a pure function of the text — the
+    * property the DuckDB oracle checks. Encoding runs as a typed
+    * `mapPartitions` (the per-partition-codec pattern, same shape as
+    * the decode side); width is fixed at [[PixelWidth]], height is the
+    * text's pixel-grid height, `n_frames` keeps the doc_id derivation
+    * so frame sampling stays deterministic. */
+  private def imageTable(
+      docs: DataFrame, mime: String,
+      enc: Array[Byte] => Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[DocRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val data = Option(r.text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaRow(r.doc_id, enc(data), mime,
+            PixelWidth, gridHeight(data.length),
+            (1L + java.lang.Math.floorMod(r.doc_id, 8L)).toInt)
+        }
+      }.toDF()
+  }
+
+  def bmpMediaTable(docs: DataFrame): DataFrame =
+    imageTable(docs, "image/bmp", bmpEncode)
+
+  def pngMediaTable(docs: DataFrame): DataFrame =
+    imageTable(docs, "image/png", pngEncode)
+
   /** Distributed feature extraction: typed `mapPartitions` so the decoder
     * is constructed once per partition (the production pattern for
     * codec/model handles), rows stream through without materializing the
     * partition. */
   def extractFeatures(
       spark: SparkSession, media: DataFrame,
-      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+      decoder: MediaDecoder = ImageIoDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("doc_id", "media", "mime", "width", "height", "n_frames")
       .as[MediaRow]

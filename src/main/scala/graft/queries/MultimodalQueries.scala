@@ -6,10 +6,17 @@ import graft.core.Tables
 import graft.ops.Multimodal
 
 /** Multimodal-column queries: binary payload + typed metadata, and
-  * distributed (stub-decoded) feature extraction via typed
-  * `mapPartitions`. The oracle recomputes the stub decoder's output
-  * byte-for-byte from the source text (payload = UTF-8 bytes, text is
-  * pure ASCII), so even the "decoded" features are hash-checked.
+  * distributed feature extraction over them.
+  *
+  * The decode path is REAL: each document's text bytes are encoded into
+  * a valid image container ([[Multimodal.bmpEncode]] — 24-bit BMP with
+  * bottom-up BGR rows; [[Multimodal.pngEncode]] — DEFLATE-compressed
+  * PNG via `javax.imageio`), then [[Multimodal.ImageIoDecoder]] parses
+  * the container back and features are computed over the DECODED
+  * PIXELS. Because the pixel content is a deterministic function of the
+  * text, the DuckDB oracle re-derives the decoded-pixel features from
+  * `documents.text` directly — a decoder that misread the header, row
+  * order, or channel order would fail the hash compare.
   */
 object MultimodalQueries {
 
@@ -29,39 +36,82 @@ object MultimodalQueries {
             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents"""))
 
-  // -------------------------------------------------- decoded histogram
-  /** Byte-histogram features from the mapPartitions decoder, exploded to
-    * (doc_id, bucket, n) rows so the oracle can compare scalars. */
+  /** The decoded-pixel feature oracle, shared by the BMP and PNG decode
+    * queries — the canonical pixel stream is the text bytes zero-padded
+    * to a whole 4-pixel-wide RGB grid, so bucket counts are the text's
+    * high-nibble counts plus the padding's zeros. */
+  private val pixelHistOracle =
+    """WITH m AS (SELECT doc_id, text, length(text) AS len,
+            12 * GREATEST(CAST(1 AS BIGINT),
+                          CAST(CEIL(length(text) / 12.0) AS BIGINT)) AS total
+          FROM documents)
+       SELECT doc_id, CAST(b AS INTEGER) AS bucket,
+              CAST(len(list_filter(
+                     list_transform(generate_series(1, len),
+                                    i -> ascii(text[i]) // 16),
+                     x -> x = b))
+                   + CASE WHEN b = 0 THEN total - len ELSE 0 END
+                   AS BIGINT) AS n
+       FROM m, (SELECT unnest(generate_series(0, 15)) AS b)"""
+
+  // ------------------------------------- decoded-pixel histogram (BMP)
+  /** REAL image decode: text → 24-bit BMP container → `javax.imageio`
+    * parse → 16-bucket high-nibble histogram of the decoded pixel
+    * stream, exploded to (doc_id, bucket, n) rows. The BMP stores rows
+    * bottom-up in BGR order, so the decoder's canonical normalization
+    * (row flip + channel swap via `BufferedImage.getRGB`) is exercised
+    * on every row — the histogram only matches the oracle if the
+    * container was genuinely parsed. */
   private val features = GraftQuery(
     "x_multimodal_features",
     (s, d) => Multimodal
-      .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
+      .extractFeatures(s, Multimodal.bmpMediaTable(Tables.documents(s, d)),
+        Multimodal.ImageIoDecoder)
       .select(col("doc_id"),
         posexplode(col("byte_hist")).as(Seq("bucket", "n")))
       .select(col("doc_id"), col("bucket"), col("n")),
-    Some("""SELECT doc_id, CAST(b AS INTEGER) AS bucket,
-            CAST(len(list_filter(
-              list_transform(generate_series(1, length(text)),
-                             i -> ascii(text[i]) // 16),
-              x -> x = b)) AS BIGINT) AS n
-            FROM documents, (SELECT unnest(generate_series(0, 15)) AS b)"""))
+    Some(pixelHistOracle))
+
+  // ------------------------------------- decoded-pixel histogram (PNG)
+  /** The same decoded-pixel features through the PNG path: encode is a
+    * real `javax.imageio` PNG write (DEFLATE, filters, CRCs), decode a
+    * real PNG inflate. Hash-equality with the SAME oracle as the BMP
+    * twin is the lossless round-trip proof — identical pixels through
+    * two different container formats. */
+  private val pngDecode = GraftQuery(
+    "x_multimodal_png_decode",
+    (s, d) => Multimodal
+      .extractFeatures(s, Multimodal.pngMediaTable(Tables.documents(s, d)),
+        Multimodal.ImageIoDecoder)
+      .select(col("doc_id"),
+        posexplode(col("byte_hist")).as(Seq("bucket", "n")))
+      .select(col("doc_id"), col("bucket"), col("n")),
+    Some(pixelHistOracle))
 
   // ------------------------------------------------------- frame samples
-  /** First byte of each equal-width frame slice — the frame-sampling
-    * plumbing (shape: one row per sampled frame). */
+  /** Frame sampling over the DECODED pixel stream: the first byte of
+    * each equal-width frame slice, one row per sampled frame. Unlike
+    * the histogram this is position-sensitive — it pins the decoder's
+    * canonical ORDER (top-down, RGB), not just the byte population. */
   private val frames = GraftQuery(
     "x_multimodal_framesample",
     (s, d) => Multimodal
-      .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
+      .extractFeatures(s, Multimodal.bmpMediaTable(Tables.documents(s, d)),
+        Multimodal.ImageIoDecoder)
       .select(col("doc_id"),
         posexplode(col("frame_bytes")).as(Seq("frame_idx", "byte_val")))
       .select(col("doc_id"), col("frame_idx"), col("byte_val")),
-    Some("""SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
-            CAST(ascii(text[CAST((f * length(text)) // nf AS INTEGER) + 1])
-                 AS INTEGER) AS byte_val
-            FROM (SELECT doc_id, text, 1 + doc_id % 8 AS nf FROM documents),
-                 (SELECT unnest(generate_series(0, 7)) AS f)
-            WHERE f < nf AND length(text) > 0"""))
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS len,
+                 12 * GREATEST(CAST(1 AS BIGINT),
+                               CAST(CEIL(length(text) / 12.0) AS BIGINT)) AS total,
+                 1 + doc_id % 8 AS nf
+               FROM documents)
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   CAST(CASE WHEN (f * total) // nf < len
+                             THEN ascii(text[CAST((f * total) // nf AS INTEGER) + 1])
+                             ELSE 0 END AS INTEGER) AS byte_val
+            FROM m, (SELECT unnest(generate_series(0, 7)) AS f)
+            WHERE f < nf"""))
 
-  val queries: Seq[GraftQuery] = Seq(meta, features, frames)
+  val queries: Seq[GraftQuery] = Seq(meta, features, pngDecode, frames)
 }
