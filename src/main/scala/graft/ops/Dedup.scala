@@ -652,6 +652,52 @@ object Dedup {
       .select("doc_id", "start_tok", "end_tok", "n_grams")
   }
 
+  /** BYTE-level maximal duplicated spans — the published
+    * exact-substring-dedup semantics (the dedup literature's suffix
+    *-array pipeline finds verbatim repeats of ≥ ~50 BYTES, not of
+    * whitespace tokens): positional byte `k`-grams (every `k`-byte
+    * window of the raw text, no tokenization, so duplicates spanning
+    * punctuation/whitespace differences in token BOUNDARIES still
+    * match byte-exactly), hashed to 60 bits, marked duplicated at
+    * df ≥ 2 distinct docs, merged gaps-and-islands per doc exactly
+    * like [[duplicatedSpans]]. Output offsets are 0-based BYTE
+    * positions `[start_byte, end_byte)`. The token-level twin remains
+    * the cheaper diagnostic (k× fewer grams); this form is the
+    * published pipeline's cut unit.
+    *
+    * Scale shape: same two equi-keyed shuffles as the token form — the
+    * gram STRING never leaves the scan projection (each window is
+    * hashed inside the per-row `transform`, so the exchange carries
+    * (doc_id, pos, 8-byte hash), never ×k-amplified text), df is a
+    * map-combinable count on the hash, islands window per doc. A
+    * suffix array finds the same spans with a global suffix sort;
+    * this trades that for linear shuffles, the same trade
+    * [[duplicatedSpans]] documents. */
+  def duplicatedByteSpans(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("text")) - (k - 1)),
+          p => PortableHash.hash60(col("text").substr(p, lit(k)))))
+          .as(Seq("pos", "h"))) // pos = array index = 0-based byte offset
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("grp", sum("brk").over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("start_byte"),
+        (max("pos") + k).cast("long").as("end_byte"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "start_byte", "end_byte", "n_grams")
+  }
+
   /** The REMOVE step of exact-substring deduplication: cut every token
     * covered by a duplicated span ([[duplicatedSpans]]) and rebuild the
     * document from what survives — the published pipeline drops the

@@ -340,6 +340,37 @@ object DedupQueries {
              CAST(COUNT(*) AS BIGINT) AS n_grams
       FROM isl GROUP BY doc_id, grp"""))
 
+  // ------------------------------------------ duplicated byte spans
+  /** BYTE-level duplicated spans ([[Dedup.duplicatedByteSpans]]) — the
+    * published exact-substring pipeline's semantics: verbatim repeats
+    * of ≥ 50 raw BYTES, no tokenization, offsets in bytes. The
+    * token-gram twin above approximates this with whitespace 10-grams;
+    * this query pins the byte-exact form. Oracle re-derives identical
+    * islands over DuckDB's 1-based string slices of the same text. */
+  private val byteSpans = GraftQuery(
+    "x_dedup_byte_spans",
+    (s, d) => Dedup.duplicatedByteSpans(Tables.documents(s, d)),
+    Some("""WITH g AS (
+        SELECT doc_id, p - 1 AS pos,
+               CAST('0x' || substring(md5(text[p:p+49]), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, length(text) - 49)) AS p
+              FROM documents WHERE length(text) >= 50)),
+      dup AS (SELECT h FROM g
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+          SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 50
+                   THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dp))
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_byte,
+             CAST(MAX(pos) + 50 AS BIGINT) AS end_byte,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM isl GROUP BY doc_id, grp"""))
+
   // ---------------------------------------- span removal (the cut step)
   /** The REMOVE step over the spans above ([[Dedup.removeDuplicatedSpans]]):
     * every token covered by a cross-document duplicated 10-gram span is
@@ -392,5 +423,5 @@ object DedupQueries {
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
       containment, clusterAssign, splitByCluster, dupNgramFraction,
-      dupSpans, spanRemoval)
+      dupSpans, byteSpans, spanRemoval)
 }

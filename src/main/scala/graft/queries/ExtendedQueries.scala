@@ -1330,6 +1330,45 @@ object ExtendedQueries {
             FROM orders"""))
 
   // ----------------------------------------------------------------- K16
+  /** Shared setup for the MERGE queries/benches: a TxTable seeded with
+    * `customer` plus the (matched, insert) source halves derived from
+    * the orders aggregate. Factored out so the BENCH variant can run
+    * the table build untimed and time ONLY the merge path — the number
+    * that matters before anyone scales the merge machinery. */
+  private def txMergeSetup(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): (graft.ops.TxTable,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-").toString
+    val t = graft.ops.TxTable(s, s"$dir/customer")
+    val customer = Tables.customer(s, d)
+    t.append(customer)
+    val agg = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+    val matchedSrc = customer
+      .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+      .where(col("n") > 3)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("total") - 800000.0, 2).as("c_acctbal"),
+        lit("MERGED").as("c_mktsegment"))
+    // insert keys shifted past the table's real key range — derived
+    // from max(c_custkey), not a constant, so the shift can never
+    // collide with live keys at any scale factor (a fixed +2e6 would
+    // alias real custkeys past sf~13 and trip merge's duplicate-key
+    // refusal)
+    val keyShift = customer
+      .agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    val insertSrc = customer
+      .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+      .where(col("n") <= 2)
+      .select((col("c_custkey") + keyShift).as("c_custkey"),
+        col("c_name"), col("c_nationkey"),
+        round(col("total") - 800000.0, 2).as("c_acctbal"),
+        lit("MERGED").as("c_mktsegment"))
+    (t, matchedSrc, insertSrc)
+  }
+
   /** Conditional MERGE clauses ([[graft.ops.TxTable.merge]]) — the full
     * Delta/ANSI MERGE surface in one atomic commit: WHEN MATCHED AND p
     * THEN UPDATE, WHEN MATCHED AND q THEN DELETE, WHEN NOT MATCHED AND
@@ -1345,34 +1384,7 @@ object ExtendedQueries {
   private val txMergeClauses = GraftQuery(
     "k16_tx_merge_clauses",
     (s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-txmerge-").toString
-      val t = graft.ops.TxTable(s, s"$dir/customer")
-      val customer = Tables.customer(s, d)
-      t.append(customer)
-      val agg = Tables.orders(s, d).groupBy("o_custkey")
-        .agg(round(sum(col("o_totalprice")), 2).as("total"),
-          count(lit(1)).as("n"))
-      val matchedSrc = customer
-        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
-        .where(col("n") > 3)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          round(col("total") - 800000.0, 2).as("c_acctbal"),
-          lit("MERGED").as("c_mktsegment"))
-      // insert keys shifted past the table's real key range — derived
-      // from max(c_custkey), not a constant, so the shift can never
-      // collide with live keys at any scale factor (a fixed +2e6 would
-      // alias real custkeys past sf~13 and trip merge's duplicate-key
-      // refusal)
-      val keyShift = customer
-        .agg(max(col("c_custkey"))).head().getLong(0) + 1L
-      val insertSrc = customer
-        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
-        .where(col("n") <= 2)
-        .select((col("c_custkey") + keyShift).as("c_custkey"),
-          col("c_name"), col("c_nationkey"),
-          round(col("total") - 800000.0, 2).as("c_acctbal"),
-          lit("MERGED").as("c_mktsegment"))
+      val (t, matchedSrc, insertSrc) = txMergeSetup(s, d, "txmerge")
       t.merge(matchedSrc.unionByName(insertSrc), Seq("c_custkey"),
         whenMatchedUpdate = Some(expr("s.c_acctbal > t.c_acctbal")),
         whenMatchedDelete = Some(expr("s.c_acctbal < 0")),
@@ -1421,7 +1433,25 @@ object ExtendedQueries {
             FROM src
             WHERE c_acctbal >= 0
               AND c_custkey NOT IN (SELECT c_custkey FROM customer)"""),
-    bench = false)
+    bench = false,
+    // Timed region = the MERGE itself (prune → full-outer join → clause
+    // algebra → staged rewrite → commit) plus the post-merge read; the
+    // table seed and source derivation are untimed setup. Repeat runs
+    // re-merge the same source: run 1 does the real clause work,
+    // steady-state runs measure the machinery's no-op rewrite floor —
+    // the median sits on the machinery, which is what needs a tracked
+    // number before anyone scales it.
+    benchBuild = Some((s, d) => {
+      val (t, matchedSrc, insertSrc) = txMergeSetup(s, d, "txmerge-bench")
+      val src = matchedSrc.unionByName(insertSrc)
+      () => {
+        t.merge(src, Seq("c_custkey"),
+          whenMatchedUpdate = Some(expr("s.c_acctbal > t.c_acctbal")),
+          whenMatchedDelete = Some(expr("s.c_acctbal < 0")),
+          whenNotMatchedInsert = Some(expr("s.c_acctbal >= 0")))
+        t.read()
+      }
+    }))
 
   // ----------------------------------------------------------------- K17
   /** COMPOSITE-KEY conditional MERGE ([[graft.ops.TxTable.merge]] on
@@ -1436,29 +1466,7 @@ object ExtendedQueries {
   private val txMergeMultiKey = GraftQuery(
     "k17_tx_merge_multikey",
     (s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-txmergemk-").toString
-      val t = graft.ops.TxTable(s, s"$dir/customer")
-      val customer = Tables.customer(s, d)
-      t.append(customer)
-      val agg = Tables.orders(s, d).groupBy("o_custkey")
-        .agg(round(sum(col("o_totalprice")), 2).as("total"),
-          count(lit(1)).as("n"))
-      val matchedSrc = customer
-        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
-        .where(col("n") > 3)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          round(col("total") - 800000.0, 2).as("c_acctbal"),
-          lit("MERGED").as("c_mktsegment"))
-      val keyShift = customer
-        .agg(max(col("c_custkey"))).head().getLong(0) + 1L
-      val insertSrc = customer
-        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
-        .where(col("n") <= 2)
-        .select((col("c_custkey") + keyShift).as("c_custkey"),
-          col("c_name"), col("c_nationkey"),
-          round(col("total") - 800000.0, 2).as("c_acctbal"),
-          lit("MERGED").as("c_mktsegment"))
+      val (t, matchedSrc, insertSrc) = txMergeSetup(s, d, "txmergemk")
       t.merge(matchedSrc.unionByName(insertSrc),
         Seq("c_custkey", "c_nationkey"),
         whenMatchedUpdate = Some(expr("s.c_acctbal > t.c_acctbal")),
@@ -1507,7 +1515,19 @@ object ExtendedQueries {
             WHERE NOT EXISTS (SELECT 1 FROM customer t
                               WHERE t.c_custkey = s.c_custkey
                                 AND t.c_nationkey = s.c_nationkey)"""),
-    bench = false)
+    bench = false,
+    // Same timed-merge shape as k16, through the composite-key path:
+    // per-key bound intersection in pruneFiles plus the two-column join.
+    benchBuild = Some((s, d) => {
+      val (t, matchedSrc, insertSrc) = txMergeSetup(s, d, "txmergemk-bench")
+      val src = matchedSrc.unionByName(insertSrc)
+      () => {
+        t.merge(src, Seq("c_custkey", "c_nationkey"),
+          whenMatchedUpdate = Some(expr("s.c_acctbal > t.c_acctbal")),
+          whenNotMatchedInsert = Some(lit(true)))
+        t.read()
+      }
+    }))
 
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,

@@ -144,6 +144,51 @@ class DedupSpec extends SparkTestBase {
     assert(!got.contains(2L))
   }
 
+  test("duplicatedByteSpans: byte offsets, agrees with the token twin on ASCII") {
+    // docs 0 and 1 share a verbatim 60-byte ASCII passage; on
+    // single-space ASCII text the byte-level span must cover exactly
+    // the region the token-level span covers (converted to bytes),
+    // since both mark the same maximal duplicated run
+    val shared = (0 until 12).map(i => f"common$i%02d").mkString(" ") // 12×8+11 = 107 bytes
+    val prefix = "alpha beta gamma "                                  // 17 bytes
+    val docs = Seq(
+      (0L, s"$prefix$shared tail0 tail1"),
+      (1L, s"$shared other words entirely"),
+      (2L, (0 until 30).map(i => s"unique$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedByteSpans(docs, k = 50)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // one island per doc spanning the shared run PLUS the boundary
+    // space — both docs follow the run with ' ', and byte-exact
+    // semantics see through token boundaries: the duplicated region is
+    // every byte that verbatim-repeats, which is 108 bytes here (the
+    // token twin below cannot represent that sub-token extension)
+    assert(got(0L) ===
+      ((prefix.length.toLong, (prefix.length + shared.length + 1).toLong)))
+    assert(got(1L) === ((0L, (shared.length + 1).toLong)))
+    assert(!got.contains(2L))
+    // token twin on the same fixture: same passage, token offsets —
+    // byte and token forms agree on WHAT is duplicated
+    val tok = Dedup.duplicatedSpans(docs, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(tok(0L) === ((3L, 15L)) && tok(1L) === ((0L, 12L)))
+    assert(tok.keySet === got.keySet)
+  }
+
+  test("duplicatedByteSpans: sub-threshold repeats are invisible") {
+    // a 30-byte shared string: shorter than k=50, so NO 50-byte window
+    // is fully contained in it → no spans at byte level even though
+    // shorter-gram machinery would fire
+    val small = "x" * 10 + " shared-bit " + "y" * 6 // 30 bytes
+    val docs = Seq(
+      (0L, small + " " + ("a" * 60)),
+      (1L, small + " " + ("b" * 60)))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicatedByteSpans(docs, k = 50).count() === 0L)
+  }
+
   test("containment catches a small doc inside a big one; jaccard misses it") {
     // doc 0 = 12 unique tokens; doc 1 = doc 0 verbatim inside 120 tokens
     // of unique filler → containment(0 in 1) = 1.0, jaccard ≈ 0.08
