@@ -628,14 +628,20 @@ object Dedup {
     * groups. */
   def duplicatedSpans(docs: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // repartition first (the shingleTable rationale: a small parquet
+    // source arrives in few partitions and would serialize the md5
+    // grind), persist the gram table (both the df-count branch and the
+    // island probe read it — unpersisted, the dominant hashing cost
+    // runs twice)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = persisted(docs.repartition(par)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
         posexplode(TextFunctions.wordNGrams(col("toks"), k))
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
-        PortableHash.hash60(col("gram")).as("h"))
+        PortableHash.hash60(col("gram")).as("h")))
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("h")
@@ -675,13 +681,17 @@ object Dedup {
     * [[duplicatedSpans]] documents. */
   def duplicatedByteSpans(docs: DataFrame, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // same parallelize-then-persist discipline as [[duplicatedSpans]]:
+    // ~len md5 calls per doc is the dominant cost, must fan out across
+    // cores and must run ONCE, not once per consuming branch
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = persisted(docs.repartition(par)
       .where(length(col("text")) >= k)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(1), length(col("text")) - (k - 1)),
           p => PortableHash.hash60(col("text").substr(p, lit(k)))))
-          .as(Seq("pos", "h"))) // pos = array index = 0-based byte offset
+          .as(Seq("pos", "h")))) // pos = array index = 0-based byte offset
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("h")
