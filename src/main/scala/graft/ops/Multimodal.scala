@@ -190,6 +190,125 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decode ALL images of a multi-image container (an animated GIF's
+    * frames) to their canonical GRAYSCALE byte streams — one
+    * `Array[Byte]` per frame, row-major top-down, one byte per pixel
+    * (the blue channel of `getRGB`; for the gray palettes
+    * [[gifEncode]] writes, R = G = B = the sample). This is the real
+    * frame-extraction primitive the byte-slice sampler approximates:
+    * the reader walks the container's image sequence, not offsets into
+    * the payload. */
+  def decodeFrames(media: Array[Byte]): Seq[Array[Byte]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(media))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext,
+      "payload is not a decodable image (no registered ImageIO reader)")
+    val reader = readers.next()
+    reader.setInput(iis)
+    try {
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h)
+        var p = 0
+        while (p < argb.length) {
+          out(p) = (argb(p) & 0xFF).toByte
+          p += 1
+        }
+        out
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** A REAL multi-frame animated GIF, written byte-by-byte like
+    * [[bmpEncode]]: `data` split across `nFrames` equal-capacity
+    * grayscale frames ([[PixelWidth]] wide, one byte per pixel through
+    * a 256-gray GLOBAL palette, so index == gray value), each frame's
+    * index stream LZW-coded per the GIF89a spec. The encoder is ours
+    * because the JDK's `GIFImageWriter` re-quantizes and dithers pixel
+    * data through its own palette (and its interlace default does not
+    * even round-trip for short frames) — index-exact writes are not in
+    * its contract. The DECODE side stays `javax.imageio`: the reader
+    * walks the image sequence and runs its real LZW inflate per frame,
+    * which is the codec path the queries exercise.
+    *
+    * The LZW stream uses literal 9-bit codes with a CLEAR reset every
+    * 254 symbols — valid LZW any decoder accepts (the encoder never
+    * grows the code table, the spec-sanctioned low-compression mode).
+    * Short tails zero-pad, so every frame has identical dimensions as
+    * the format requires. */
+  def gifEncode(data: Array[Byte], nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val w = PixelWidth
+    // per-frame pixel capacity: the smallest W-multiple grid that lets
+    // nFrames frames of identical size hold all of data
+    val rowsPerFrame =
+      math.max(1, (data.length + nFrames * w - 1) / (nFrames * w))
+    val cap = rowsPerFrame * w
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u16(w); u16(rowsPerFrame)
+    out.write(0xF7) // global color table, 8-bit resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    (0 until nFrames).foreach { f =>
+      out.write(0x2C) // image descriptor
+      u16(0); u16(0); u16(w); u16(rowsPerFrame)
+      out.write(0)    // no local table, not interlaced
+      out.write(8)    // LZW minimum code size
+      // 9-bit literal LZW, LSB-first bit packing, CLEAR every 254
+      // symbols so the decoder's table never outgrows 9-bit codes
+      val codes = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0
+      var bitCnt = 0
+      def emit(code: Int): Unit = {
+        bitBuf |= code << bitCnt
+        bitCnt += 9
+        while (bitCnt >= 8) {
+          codes.write(bitBuf & 0xFF)
+          bitBuf >>>= 8
+          bitCnt -= 8
+        }
+      }
+      val Clear = 256
+      val Eoi = 257
+      emit(Clear)
+      val from = f * cap
+      var i = 0
+      var sinceClear = 0
+      while (i < cap) {
+        val b = if (from + i < data.length) data(from + i) & 0xFF else 0
+        emit(b)
+        sinceClear += 1
+        if (sinceClear == 254) { emit(Clear); sinceClear = 0 }
+        i += 1
+      }
+      emit(Eoi)
+      if (bitCnt > 0) codes.write(bitBuf & 0xFF)
+      // sub-block the code stream in <=255-byte chunks
+      val cs = codes.toByteArray
+      var off = 0
+      while (off < cs.length) {
+        val n = math.min(255, cs.length - off)
+        out.write(n)
+        out.write(cs, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
   /** documents → media fact table (raw-bytes payload): the UTF-8 text
     * bytes standing in for an arbitrary blob; metadata derived
     * deterministically from doc_id so the oracle can recompute it.
@@ -239,6 +358,56 @@ object Multimodal {
 
   def pngMediaTable(docs: DataFrame): DataFrame =
     imageTable(docs, "image/png", pngEncode)
+
+  /** documents → MULTI-FRAME media fact table: each document's text
+    * bytes split across `1 + doc_id % 8` real animated-GIF frames
+    * ([[gifEncode]]). `height` here is rows PER FRAME. The
+    * video-stand-in table: one payload holding an ordered frame
+    * sequence a reader must walk. */
+  def gifMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[DocRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val data = Option(r.text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nf = (1L + java.lang.Math.floorMod(r.doc_id, 8L)).toInt
+          val rowsPerFrame = math.max(1,
+            (data.length + nf * PixelWidth - 1) / (nf * PixelWidth))
+          MediaRow(r.doc_id, gifEncode(data, nf), "image/gif",
+            PixelWidth, rowsPerFrame, nf)
+        }
+      }.toDF()
+  }
+
+  /** One row per decoded FRAME: the real frame-sampling shape (video
+    * keyframe extraction, audio windowing) — the decoder walks the
+    * container's image sequence, emits per-frame stats, and the row
+    * count is data-dependent (frames per payload), which is why this
+    * is a `flatMap` through `mapPartitions` and not a fixed-shape
+    * projection. */
+  final case class FrameStats(
+      doc_id: Long, frame_idx: Int, frame_px: Long,
+      frame_sum: Long, first_byte: Int)
+
+  def extractFrameStats(
+      spark: SparkSession, media: DataFrame): Dataset[FrameStats] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height", "n_frames")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeFrames(r.media).zipWithIndex.map { case (px, i) =>
+            var sum = 0L
+            var j = 0
+            while (j < px.length) { sum += px(j) & 0xFF; j += 1 }
+            FrameStats(r.doc_id, i, px.length.toLong, sum,
+              if (px.isEmpty) 0 else px(0) & 0xFF)
+          }
+        }
+      }
+  }
 
   /** Distributed feature extraction: typed `mapPartitions` so the decoder
     * is constructed once per partition (the production pattern for

@@ -113,5 +113,42 @@ object MultimodalQueries {
             FROM m, (SELECT unnest(generate_series(0, 7)) AS f)
             WHERE f < nf"""))
 
-  val queries: Seq[GraftQuery] = Seq(meta, features, pngDecode, frames)
+  // --------------------------------------------- real multi-frame decode
+  /** REAL frame extraction: each document is an animated GIF of
+    * `1 + doc_id % 8` grayscale frames ([[Multimodal.gifEncode]] — an
+    * explicit 256-gray palette makes the LZW round trip byte-exact);
+    * [[Multimodal.decodeFrames]] walks the container's image sequence
+    * with an `ImageReader`, one output row per decoded frame. This is
+    * the video-keyframe shape the byte-slice sampler above
+    * approximates — the row count itself is container-derived (a
+    * misread frame count breaks the row compare before any value
+    * does). The oracle re-derives per-frame sums and first bytes from
+    * the text slices each frame carries. */
+  private val gifFrames = GraftQuery(
+    "x_multimodal_gif_frames",
+    (s, d) => Multimodal
+      .extractFrameStats(s, Multimodal.gifMediaTable(Tables.documents(s, d)))
+      .select(col("doc_id"), col("frame_idx"), col("frame_px"),
+        col("frame_sum"), col("first_byte")),
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS len,
+                 1 + doc_id % 8 AS nf,
+                 4 * GREATEST(CAST(1 AS BIGINT),
+                       CAST(CEIL(length(text) / (4.0 * (1 + doc_id % 8)))
+                            AS BIGINT)) AS cap
+               FROM documents)
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   cap AS frame_px,
+                   CAST(COALESCE(list_sum(list_transform(
+                          generate_series(CAST(f * cap + 1 AS BIGINT),
+                                          LEAST((f + 1) * cap, len)),
+                          i -> ascii(text[CAST(i AS INTEGER)]))), 0)
+                        AS BIGINT) AS frame_sum,
+                   CAST(CASE WHEN f * cap < len
+                             THEN ascii(text[CAST(f * cap + 1 AS INTEGER)])
+                             ELSE 0 END AS INTEGER) AS first_byte
+            FROM m, (SELECT unnest(generate_series(0, 7)) AS f)
+            WHERE f < nf"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(meta, features, pngDecode, frames, gifFrames)
 }

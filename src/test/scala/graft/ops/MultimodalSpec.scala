@@ -83,6 +83,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.frameBytes.isEmpty)
   }
 
+  test("gifEncode round-trips text across REAL animated-GIF frames") {
+    val data = ("the five boxing wizards jump quickly " * 4).getBytes("UTF-8")
+    val frames = Multimodal.decodeFrames(Multimodal.gifEncode(data, nFrames = 5))
+    assert(frames.length === 5, "reader must walk all container frames")
+    // identical dimensions per frame; concatenation = data + zero pad
+    assert(frames.map(_.length).distinct.size === 1)
+    val concat = frames.flatten.toArray
+    assert(concat.length >= data.length)
+    assert(concat.take(data.length) === data,
+      "LZW + palette round trip must be byte-exact")
+    assert(concat.drop(data.length).forall(_ === 0))
+  }
+
+  test("gifEncode: single frame, empty payload still valid") {
+    val frames = Multimodal.decodeFrames(Multimodal.gifEncode(Array.empty, 1))
+    assert(frames.length === 1)
+    assert(frames.head.forall(_ === 0))
+    assert(frames.head.length === 4) // one minimal 4-px row
+  }
+
+  test("decodeFrames on a single-image container yields one frame") {
+    // PNG fixture: one image; gray byte = blue channel of each pixel
+    val fs = Multimodal.decodeFrames(fixture("rgb2x2.png"))
+    assert(fs.length === 1)
+    assert(fs.head === Array[Byte](0, 0, 255.toByte, 255.toByte))
+  }
+
+  test("extractFrameStats emits one row per real frame on sf0.001") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val stats = Multimodal.extractFrameStats(
+      spark, Multimodal.gifMediaTable(docs))
+    val expected = docs.selectExpr("sum(1 + doc_id % 8)")
+      .head().getLong(0)
+    assert(stats.count() === expected,
+      "row count must equal the total declared frame count")
+  }
+
   test("extractFeatures decodes real BMP media distributed on sf0.001") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val media = Multimodal.bmpMediaTable(docs)
