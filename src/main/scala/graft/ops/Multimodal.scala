@@ -309,6 +309,55 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A REAL audio container: 8-bit unsigned PCM mono WAV (RIFF), the
+    * sample stream being `data` verbatim — hand-written header like
+    * [[bmpEncode]], decoded through `javax.sound.sampled` (the JDK's
+    * actual audio stack: format negotiation, chunk walking), so the
+    * audio path exercises a real codec API end to end. 8-bit PCM keeps
+    * sample == byte, which is what lets the SQL oracle re-derive
+    * windowed amplitude features from the text. */
+  def wavEncode(data: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val buf = ByteBuffer.allocate(44 + data.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(36 + data.length)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(16)                  // fmt chunk size
+      .putShort(1)                 // PCM
+      .putShort(1)                 // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)          // byte rate (1 byte/sample)
+      .putShort(1)                 // block align
+      .putShort(8)                 // bits per sample
+      .put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(data.length)
+      .put(data)
+    buf.array()
+  }
+
+  /** Decode a WAV payload to its raw sample bytes through
+    * `javax.sound.sampled.AudioSystem` — fails loudly on non-audio
+    * payloads, asserts the 8-bit mono PCM shape the encoder writes
+    * (a silent format coercion would corrupt the sample == byte
+    * contract the features rest on). */
+  def decodeWavSamples(media: Array[Byte]): Array[Byte] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(media))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            "payload is not a decodable audio stream", e)
+      }
+    try {
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 8 && f.getChannels == 1,
+        s"expected 8-bit mono PCM, got $f")
+      in.readAllBytes()
+    } finally in.close()
+  }
+
   /** documents → media fact table (raw-bytes payload): the UTF-8 text
     * bytes standing in for an arbitrary blob; metadata derived
     * deterministically from doc_id so the oracle can recompute it.
@@ -404,6 +453,118 @@ object Multimodal {
             while (j < px.length) { sum += px(j) & 0xFF; j += 1 }
             FrameStats(r.doc_id, i, px.length.toLong, sum,
               if (px.isEmpty) 0 else px(0) & 0xFF)
+          }
+        }
+      }
+  }
+
+  /** Samples per analysis window for [[extractAudioWindows]]. */
+  val WavWindow = 256
+
+  /** documents → audio fact table: the text bytes as an 8-bit PCM WAV
+    * sample stream ([[wavEncode]]). `width` = window size, `height` =
+    * `n_frames` = window count (the frame notion maps onto windows for
+    * audio). */
+  def wavMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[DocRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val data = Option(r.text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nw = (data.length + WavWindow - 1) / WavWindow
+          MediaRow(r.doc_id, wavEncode(data), "audio/wav",
+            WavWindow, nw, nw)
+        }
+      }.toDF()
+  }
+
+  /** One row per audio analysis window — the audio twin of
+    * [[extractFrameStats]]: the decoder hands back the PCM sample
+    * stream, windows slice it, and per-window amplitude stats come out
+    * (sum + peak of the unsigned samples). The last window is
+    * TRUNCATED, not padded — WAV carries an exact sample count, unlike
+    * the fixed-dimension image grids. */
+  final case class AudioWindowStats(
+      doc_id: Long, window_idx: Int, n_samples: Int,
+      sum_amp: Long, peak_amp: Int)
+
+  def extractAudioWindows(
+      spark: SparkSession, media: DataFrame,
+      window: Int = WavWindow): Dataset[AudioWindowStats] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height", "n_frames")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val samples = decodeWavSamples(r.media)
+          val nw = (samples.length + window - 1) / window
+          (0 until nw).map { wi =>
+            val from = wi * window
+            val until = math.min(from + window, samples.length)
+            var sum = 0L
+            var peak = 0
+            var j = from
+            while (j < until) {
+              val v = samples(j) & 0xFF
+              sum += v
+              if (v > peak) peak = v
+              j += 1
+            }
+            AudioWindowStats(r.doc_id, wi, until - from, sum, peak)
+          }
+        }
+      }
+  }
+
+  /** Nearest-neighbor resize of a canonical RGB stream — the classic
+    * deterministic thumbnail kernel (`src(x·W/W', y·H/H')`), chosen
+    * over Java2D's scaling because interpolating resamplers are
+    * implementation-defined and the resize output here is
+    * oracle-checked byte-for-byte. */
+  def resizeNearest(canon: Array[Byte], w: Int, h: Int,
+      w2: Int, h2: Int): Array[Byte] = {
+    require(canon.length == w * h * 3,
+      s"canonical stream length ${canon.length} != $w x $h x 3")
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y2 = 0
+    while (y2 < h2) {
+      val sy = y2 * h / h2
+      var x2 = 0
+      while (x2 < w2) {
+        val sx = x2 * w / w2
+        val s = (sy * w + sx) * 3
+        val d = (y2 * w2 + x2) * 3
+        out(d) = canon(s); out(d + 1) = canon(s + 1); out(d + 2) = canon(s + 2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** One row per THUMBNAIL pixel: decode the image container, resize
+    * the decoded pixels nearest-neighbor to `w2` × `h2`, emit each
+    * thumbnail pixel's RGB — the decode → transform → feature chain a
+    * vision-pipeline preprocessor runs, with the resize arithmetic
+    * deterministic enough to hash-check. */
+  final case class ThumbPixel(
+      doc_id: Long, px_idx: Int, r: Int, g: Int, b: Int)
+
+  def extractThumbnails(
+      spark: SparkSession, media: DataFrame,
+      w2: Int = 2, h2: Int = 2): Dataset[ThumbPixel] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height", "n_frames")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val canon = ImageIoDecoder.canonicalBytes(row.media)
+          val t = resizeNearest(canon, row.width, row.height, w2, h2)
+          (0 until w2 * h2).map { p =>
+            ThumbPixel(row.doc_id, p,
+              t(p * 3) & 0xFF, t(p * 3 + 1) & 0xFF, t(p * 3 + 2) & 0xFF)
           }
         }
       }

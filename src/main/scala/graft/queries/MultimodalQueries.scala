@@ -149,6 +149,78 @@ object MultimodalQueries {
             FROM m, (SELECT unnest(generate_series(0, 7)) AS f)
             WHERE f < nf"""))
 
+  // ------------------------------------------------ real audio decode
+  /** REAL audio path: text bytes as an 8-bit PCM mono WAV
+    * ([[Multimodal.wavEncode]] — hand-written RIFF container), decoded
+    * through `javax.sound.sampled.AudioSystem` (the JDK's actual audio
+    * stack), then windowed amplitude stats per 256-sample window — the
+    * audio-preprocessing shape (VAD windows, loudness normalization).
+    * sample == byte under 8-bit PCM, so the oracle re-derives each
+    * window's sum/peak from the text slice; the last window is
+    * truncated, not padded (WAV carries an exact sample count), which
+    * the oracle's LEAST bound mirrors. */
+  private val wavWindows = GraftQuery(
+    "x_multimodal_wav_windows",
+    (s, d) => Multimodal
+      .extractAudioWindows(s, Multimodal.wavMediaTable(Tables.documents(s, d)))
+      .select(col("doc_id"), col("window_idx"), col("n_samples"),
+        col("sum_amp"), col("peak_amp")),
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS len,
+                 CAST(CEIL(length(text) / 256.0) AS BIGINT) AS nw
+               FROM documents)
+            SELECT doc_id, CAST(w AS INTEGER) AS window_idx,
+                   CAST(LEAST(256, len - w * 256) AS INTEGER) AS n_samples,
+                   CAST(COALESCE(list_sum(list_transform(
+                          generate_series(CAST(w * 256 + 1 AS BIGINT),
+                                          LEAST((w + 1) * 256, len)),
+                          i -> ascii(text[CAST(i AS INTEGER)]))), 0)
+                        AS BIGINT) AS sum_amp,
+                   CAST(COALESCE(list_max(list_transform(
+                          generate_series(CAST(w * 256 + 1 AS BIGINT),
+                                          LEAST((w + 1) * 256, len)),
+                          i -> ascii(text[CAST(i AS INTEGER)]))), 0)
+                        AS INTEGER) AS peak_amp
+            FROM m, (SELECT unnest(generate_series(0,
+                       (SELECT CAST(MAX(nw) AS INTEGER) - 1 FROM m))) AS w)
+            WHERE w < nw"""))
+
+  // ------------------------------------------- decode -> resize chain
+  /** Decode → RESIZE → feature: the BMP container decodes to its pixel
+    * grid, a nearest-neighbor kernel shrinks it to a 2×2 thumbnail
+    * ([[Multimodal.resizeNearest]] — `src(x·W/W', y·H/H')`, chosen over
+    * Java2D's implementation-defined resamplers precisely so the
+    * thumbnail bytes are oracle-checkable), one row per thumbnail
+    * pixel. The oracle replays the index arithmetic over the padded
+    * text grid: thumbnail pixel (x,y) reads source pixel (2x,
+    * floor(y·h/2)), whose RGB bytes are text[idx..idx+2] or pad
+    * zeros. */
+  private val thumbnail = GraftQuery(
+    "x_multimodal_thumbnail",
+    (s, d) => Multimodal
+      .extractThumbnails(s, Multimodal.bmpMediaTable(Tables.documents(s, d)))
+      .select(col("doc_id"), col("px_idx"), col("r"), col("g"), col("b")),
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS len,
+                 GREATEST(CAST(1 AS BIGINT),
+                          CAST(CEIL(length(text) / 12.0) AS BIGINT)) AS h
+               FROM documents),
+            px AS (SELECT doc_id, text, len,
+                     p, (p % 2) * 2 AS sx, ((p // 2) * h) // 2 AS sy
+                   FROM m, (SELECT unnest(generate_series(0, 3)) AS p)),
+            base AS (SELECT doc_id, text, len, p,
+                       (sy * 4 + sx) * 3 AS i0
+                     FROM px)
+            SELECT doc_id, CAST(p AS INTEGER) AS px_idx,
+                   CAST(CASE WHEN i0 < len
+                             THEN ascii(text[CAST(i0 + 1 AS INTEGER)])
+                             ELSE 0 END AS INTEGER) AS r,
+                   CAST(CASE WHEN i0 + 1 < len
+                             THEN ascii(text[CAST(i0 + 2 AS INTEGER)])
+                             ELSE 0 END AS INTEGER) AS g,
+                   CAST(CASE WHEN i0 + 2 < len
+                             THEN ascii(text[CAST(i0 + 3 AS INTEGER)])
+                             ELSE 0 END AS INTEGER) AS b
+            FROM base"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(meta, features, pngDecode, frames, gifFrames)
+    Seq(meta, features, pngDecode, frames, gifFrames, wavWindows, thumbnail)
 }

@@ -120,6 +120,67 @@ class MultimodalSpec extends SparkTestBase {
       "row count must equal the total declared frame count")
   }
 
+  test("wavEncode round-trips samples through javax.sound.sampled") {
+    val data = "sphinx of black quartz judge my vow".getBytes("UTF-8")
+    val samples = Multimodal.decodeWavSamples(Multimodal.wavEncode(data))
+    assert(samples === data, "8-bit PCM samples must round-trip verbatim")
+    // zero-length audio is a valid (empty) stream
+    assert(Multimodal.decodeWavSamples(Multimodal.wavEncode(Array.empty)).isEmpty)
+    // non-audio payloads fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeWavSamples("not audio".getBytes)
+    }
+    assert(e.getMessage.contains("audio"))
+  }
+
+  test("extractAudioWindows: truncated last window, exact amplitude stats") {
+    import spark.implicits._
+    val text = ("x" * 256) + "abc" // window 0 full, window 1 = 3 samples
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val got = Multimodal
+      .extractAudioWindows(spark, Multimodal.wavMediaTable(docs))
+      .collect().sortBy(_.window_idx)
+    assert(got.length === 2)
+    assert(got(0).n_samples === 256 && got(0).sum_amp === 256L * 'x'.toInt
+      && got(0).peak_amp === 'x'.toInt)
+    assert(got(1).n_samples === 3
+      && got(1).sum_amp === ('a' + 'b' + 'c').toLong
+      && got(1).peak_amp === 'c'.toInt)
+  }
+
+  test("resizeNearest: index arithmetic pinned on the fixture") {
+    // 2x2 -> 1x1: nearest picks src(0,0) = red
+    val canon = Multimodal.ImageIoDecoder.canonicalBytes(fixture("rgb2x2.bmp"))
+    assert(Multimodal.resizeNearest(canon, 2, 2, 1, 1) ===
+      Array[Byte](255.toByte, 0, 0))
+    // identity resize is a no-op
+    assert(Multimodal.resizeNearest(canon, 2, 2, 2, 2) === canon)
+    // upscale 2x2 -> 4x4 repeats each pixel in 2x2 blocks: corners hold
+    val up = Multimodal.resizeNearest(canon, 2, 2, 4, 4)
+    assert(up.length === 48)
+    assert((up(0) & 0xFF, up(1) & 0xFF, up(2) & 0xFF) === ((255, 0, 0)))
+    val last = 15 * 3
+    assert((up(last) & 0xFF, up(last + 1) & 0xFF, up(last + 2) & 0xFF) ===
+      ((255, 255, 255)))
+  }
+
+  test("extractThumbnails: decode -> resize chain on sf0.001") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val thumbs = Multimodal.extractThumbnails(
+      spark, Multimodal.bmpMediaTable(docs))
+    assert(thumbs.count() === docs.count() * 4) // 2x2 per doc
+    // thumbnail pixel 0 = source pixel (0,0) = first three text bytes
+    import spark.implicits._
+    val first = docs.selectExpr("doc_id",
+      "ascii(substring(text, 1, 1)) AS r").as[(Long, Int)]
+      .collect().toMap
+    val got = thumbs.filter(_.px_idx == 0).collect()
+    got.foreach { t =>
+      assert(t.r === first.getOrElse(t.doc_id, 0),
+        s"thumb(0) of doc ${t.doc_id} should be the first text byte")
+    }
+  }
+
   test("extractFeatures decodes real BMP media distributed on sf0.001") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val media = Multimodal.bmpMediaTable(docs)
