@@ -409,6 +409,28 @@ class TxStreamSourceSpec extends SparkTestBase {
     assert(evolved.where(col("_change_type") === "insert").count() === 2)
   }
 
+  test("streaming source tails a table committed through the conditional-PUT store") {
+    // the object-store commit path end to end: every commit below goes
+    // through LogStore.ConditionalWrite (service-arbitrated CAS), and
+    // the streaming reader — which only ever reads the log — must be
+    // oblivious to which store landed the entries
+    import graft.ops.LogStore
+    val dir = Files.createTempDirectory("graft-txsrc-cond-").toString
+    val t = TxTable(spark, dir,
+      new LogStore.ConditionalWrite(LogStore.MockConditionalPut))
+    t.append(rows(0 until 6))
+    val q = stream(dir)
+      .writeStream.format("memory").queryName("txsrc_cond").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrc_cond").count() === 6)
+      t.append(rows(6 until 10))
+      q.processAllAvailable()
+      assert(spark.table("txsrc_cond").count() === 10)
+      assert(spark.table("txsrc_cond").select("id").distinct().count() === 10)
+    } finally q.stop()
+  }
+
   test("empty table refuses schema inference with a clear message") {
     val (_, dir) = mk()
     val e = intercept[IllegalArgumentException] {
