@@ -1407,6 +1407,83 @@ final class TxTable private (spark: SparkSession, dir: String,
     sys.error(s"compaction contention: lost $maxRetries races in $logDir")
   }
 
+  /** BIN-PACKING compaction — Delta's OPTIMIZE shape, the only
+    * compaction that survives 100 TB: select ONLY the active data
+    * files smaller than `targetBytes`, rewrite THEM into ~target-sized
+    * files, and leave every adequately-sized file untouched (not read,
+    * not rewritten, not even mentioned in the commit). [[compact]]
+    * rewrites the whole table — right for retiring deletion vectors or
+    * re-clustering, ruinous as the routine small-file maintenance a
+    * streaming-ingest table needs after every few hundred commits.
+    *
+    * Deletion-vector interaction: files a live vector touches are NOT
+    * selected (their rewrite belongs to the materializing [[compact]],
+    * which retires the vector with them — packing such a file without
+    * its vector would either resurrect deleted rows or silently
+    * materialize them out of the vector's scope). The commit conflicts
+    * like [[compactLayout]]: any selected file removed concurrently, or
+    * any NEW vector landing (it may target a selected file), aborts.
+    *
+    * Returns None when fewer than two files qualify — packing one file
+    * buys nothing, and a no-op commit would churn the log. */
+  def compactBinPack(targetBytes: Long = 128L * 1024 * 1024,
+      maxRetries: Int = 20): Option[Commit] = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val base = snapshot()
+    val dvTouched =
+      if (base.dvs.isEmpty) Set.empty[String] else touchedFiles(base.dvs)
+    // driver-side stat of active files only — file-name scale, the
+    // same cost class as the manifest reads (files still active, so
+    // they exist; a racing rewrite surfaces at the conflict check)
+    val smalls = base.files
+      .map(f => f -> f.stripPrefix(s"$dir/"))
+      // flat files only: a hive-partitioned file packed into a flat
+      // rewrite would silently drop its path-encoded partition value —
+      // partitioned tables pack within [[overwritePartitions]]' unit
+      // instead
+      .filterNot { case (_, rel) =>
+        rel.contains("/") || dvTouched.contains(rel) }
+      .flatMap { case (full, rel) =>
+        try {
+          val sz = Files.size(Paths.get(full))
+          if (sz < targetBytes) Some((rel, sz)) else None
+        } catch { case _: java.io.IOException => None }
+      }
+    if (smalls.size < 2) return None
+    val totalBytes = smalls.map(_._2).sum
+    val targetFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetBytes).toInt)
+    val selected = smalls.map(_._1)
+    // the packed rewrite reads the SELECTED files raw (none is
+    // DV-touched, so raw == content) and bins them by size
+    val packed = spark.read.option("basePath", dir)
+      .parquet(selected.map(n => s"$dir/$n"): _*)
+      .repartition(targetFiles)
+    val files = stage(packed)
+    val stats = fileStats(files)
+    buildBlooms(files)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val nowActive = head.files.map(_.stripPrefix(s"$dir/")).toSet
+      if (!selected.forall(nowActive.contains)) {
+        files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        sys.error("bin-pack input was rewritten concurrently — rerun compactBinPack()")
+      }
+      if (head.dvs.map(_.stripPrefix(s"$dir/")).toSet !=
+          base.dvs.map(_.stripPrefix(s"$dir/")).toSet) {
+        files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        sys.error("a deletion vector landed during bin-packing — rerun compactBinPack()")
+      }
+      val c = Commit(head.version + 1, "compact", files, selected,
+        System.currentTimeMillis())
+      if (tryCommit(c, stats)) return Some(c)
+      attempt += 1
+    }
+    files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+    sys.error(s"bin-pack contention: lost $maxRetries races in $logDir")
+  }
+
   /** Delete data files that no snapshot ≥ `retainVersion` references.
     * Time travel below `retainVersion` stops working — the standard
     * vacuum contract. Returns the reclaimed file names.

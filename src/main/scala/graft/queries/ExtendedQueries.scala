@@ -1529,6 +1529,47 @@ object ExtendedQueries {
       }
     }))
 
+  // ----------------------------------------------------------------- K18
+  /** BIN-PACKING compaction through the transactional table
+    * ([[graft.ops.TxTable.compactBinPack]] — Delta's OPTIMIZE shape):
+    * an over-split table (customer appended in many tiny commits plus
+    * one adequately-sized file) is packed, and ONLY the small files
+    * rewrite — the big file keeps its identity (`TxTableSpec` pins the
+    * file-identity side; this query pins content equality through the
+    * DuckDB oracle after the pack). The commit is a `compact`, so time
+    * travel and streaming tails see it as content-neutral. */
+  private val txBinPack = GraftQuery(
+    "k18_tx_binpack",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txbinpack-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      // one right-sized file, then the rest in 8 small commits
+      t.append(customer.where(col("c_custkey") % 9 === 0).coalesce(1))
+      (1 to 8).foreach(i =>
+        t.append(customer.where(col("c_custkey") % 9 === i).coalesce(1)))
+      t.compactBinPack(targetBytes = 64L * 1024 * 1024)
+      t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM customer"""),
+    bench = false,
+    // timed region: the scan of the packed table — the read-
+    // amplification win bin-packing exists to buy (same shape as k7)
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txbinpack-b-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d)
+      (0 to 8).foreach(i =>
+        t.append(customer.where(col("c_custkey") % 9 === i).coalesce(1)))
+      t.compactBinPack(targetBytes = 64L * 1024 * 1024)
+      () => t.read()
+    }))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
@@ -1539,5 +1580,5 @@ object ExtendedQueries {
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
     txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses,
-    txMergeMultiKey)
+    txMergeMultiKey, txBinPack)
 }

@@ -775,6 +775,57 @@ class TxTableSpec extends SparkTestBase {
         "removed files to diff, so add-bytes alone under-counts")
   }
 
+  test("compactBinPack packs only small files; big files keep identity") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    // one "big" file (made big relative to a tiny targetBytes) and four
+    // small ones
+    t.append(df(0 until 2000).coalesce(1))
+    (0 until 4).foreach(i => t.append(df(9000 + i * 10 until 9000 + i * 10 + 2)
+      .coalesce(1)))
+    val before = t.snapshot()
+    assert(before.files.size === 5)
+    val bigFile = before.files.head // the first append's single file
+    val bigSize = java.nio.file.Files.size(java.nio.file.Paths.get(bigFile))
+    // target sized so the 2000-row file stays, the 2-row files pack
+    val c = t.compactBinPack(targetBytes = bigSize).get
+    assert(c.action === "compact")
+    assert(c.remove.size === 4, s"only the four smalls pack: ${c.remove}")
+    assert(!c.remove.contains(bigFile.split("/").last),
+      "the adequately-sized file must not be rewritten")
+    val after = t.snapshot()
+    assert(after.files.contains(bigFile), "big file keeps its identity")
+    assert(after.files.size === 2) // big + one packed file
+    // content identical
+    assert(t.read().count() === 2008)
+    assert(t.read().select("id").as[Long].collect().sorted ===
+      ((0 until 2000) ++ (0 until 4).flatMap(i =>
+        9000 + i * 10 until 9000 + i * 10 + 2)).map(_.toLong).sorted)
+    // streaming-visible as a compact: content-neutral by action
+    assert(t.commitsBetween(c.version - 1, c.version).head.action === "compact")
+  }
+
+  test("compactBinPack skips DV-touched files and no-ops below two candidates") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 3).coalesce(1))   // small A
+    t.append(df(10 until 13).coalesce(1)) // small B
+    t.append(df(20 until 23).coalesce(1)) // small C
+    t.deleteVectorWhere("id", 11L)        // vector touches B
+    val c = t.compactBinPack(targetBytes = 1L << 20).get
+    // only A and C pack — B is DV-touched and must keep its vector
+    assert(c.remove.size === 2)
+    val bRel = t.snapshot().files.map(_.split("/").last)
+    assert(t.read().count() === 8) // 9 rows - 1 DV-deleted
+    assert(t.read().where(col("id") === 11L).count() === 0,
+      "the vector must stay effective after packing")
+    // a second pack has one flat candidate (the packed file) + B: B is
+    // still DV-touched, so only one candidate -> no-op, no log churn
+    val v = t.snapshot().version
+    assert(t.compactBinPack(targetBytes = 1L << 20).isEmpty)
+    assert(t.snapshot().version === v)
+  }
+
   test("bloom-indexed point lookup opens fewer files than stats alone") {
     import spark.implicits._
     val (t, _) = mkTable()
