@@ -797,6 +797,35 @@ object TrainingData {
             FROM v JOIN p ON v.user_id = p.user_id
               AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"""))
 
+  // ------------------------------------------- interval join (left outer)
+  /** Batch face of the LEFT OUTER stream-stream attribution
+    * ([[graft.streaming.EventStreams.purchaseAttributionOuter]]):
+    * unconverted views — no purchase within the hour — survive with
+    * null purchase columns, which is the row class a funnel analysis
+    * actually counts. Streaming emits those rows at watermark
+    * eviction; batch is the plain left range join the oracle replays. */
+  private val intervalJoinOuter = GraftQuery(
+    "x_events_interval_join_outer",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStreams.purchaseAttributionOuter(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "purchase"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          round(col("purchase_value"), 2).as("purchase_value"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("us_gap"))
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, event_id AS purchase_id, ts AS pts,
+                              value AS purchase_value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT v.user_id, view_id, purchase_id,
+                   ROUND(purchase_value, 2) AS purchase_value,
+                   epoch_us(pts) - epoch_us(vts) AS us_gap
+            FROM v LEFT JOIN p ON v.user_id = p.user_id
+              AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"""))
+
   // -------------------------------------------------------------- TF-IDF
   /** Top-3 characteristic terms per document by TF-IDF. Fully relational
     * (explode → two hash aggregates → broadcast of the tiny df table and
@@ -938,5 +967,5 @@ object TrainingData {
     charEntropy, bigramLoglik,
     dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
     gapFill, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
-    intervalJoin, tfidf, temporalPairs, bm25)
+    intervalJoin, intervalJoinOuter, tfidf, temporalPairs, bm25)
 }

@@ -171,6 +171,34 @@ object EventStreams {
       .drop("p_user")
   }
 
+  /** LEFT OUTER stream-stream attribution — the production variant of
+    * [[purchaseAttribution]]: a view with NO purchase inside `horizon`
+    * still emits (null purchase columns) once the watermark passes its
+    * match window, because unconverted views are exactly what a funnel
+    * analysis counts. Spark's outer stream-stream join requires what
+    * the inner form already has — watermarks on both sides plus the
+    * two-sided event-time bound — and emits the null row at state
+    * eviction time, so results arrive `watermark + horizon` after the
+    * view at the latest. Batch semantics (`withWatermark` no-ops) are a
+    * plain left range join, which is how the oracle verifies it. */
+  def purchaseAttributionOuter(
+      views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("value").as("purchase_value"))
+      .withWatermark("pts", watermark)
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .drop("p_user")
+  }
+
   /** Streaming parquet sink — the production exit: append-mode files
     * partitioned by event_type, with a checkpoint directory carrying the
     * committed offsets + file-sink log. A restarted query resumes from

@@ -296,6 +296,42 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("purchaseAttributionOuter: unconverted views emit nulls after the watermark") {
+    import EventStreams.Event
+    val vIn = MemoryStream[Event](spark)
+    val pIn = MemoryStream[Event](spark)
+    val q = EventStreams.purchaseAttributionOuter(vIn.toDS().toDF(), pIn.toDS().toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 7 converts inside the hour; user 8 never does
+      vIn.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0),
+        Event(3, ts("2024-01-01 10:00:00"), 8, "view", 0.0))
+      pIn.addData(Event(10, ts("2024-01-01 10:30:00"), 7, "purchase", 5.0))
+      q.processAllAvailable()
+      // push BOTH watermarks far past view + horizon so the join state
+      // for the unmatched view evicts and its null row emits
+      vIn.addData(Event(99, ts("2024-01-02 10:00:00"), 1, "view", 0.0))
+      pIn.addData(Event(98, ts("2024-01-02 10:00:00"), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select("view_id", "purchase_id").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(rows.contains((1L, Some(10L))), "converted view pairs")
+      assert(rows.contains((3L, None)),
+        "unconverted view must emit with null purchase after eviction")
+      // batch twin: same code, watermarks no-op, plain left range join
+      val batch = EventStreams.purchaseAttributionOuter(
+          Seq(Event(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0),
+            Event(3, ts("2024-01-01 10:00:00"), 8, "view", 0.0)).toDF(),
+          Seq(Event(10, ts("2024-01-01 10:30:00"), 7, "purchase", 5.0)).toDF())
+        .select("view_id", "purchase_id").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(batch === Set((1L, Some(10L)), (3L, None)))
+    } finally q.stop()
+  }
+
   test("readEventStream: file source over an events landing directory") {
     // the file source needs a directory (a stream landing zone); stage the
     // testdata events file into one
