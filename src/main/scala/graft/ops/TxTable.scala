@@ -218,6 +218,43 @@ final class TxTable private (spark: SparkSession, dir: String,
       merged = evolved)
   }
 
+  /** DESCRIBE HISTORY: one row per commit, newest first — version,
+    * action, timestamp, add/remove file counts and recorded byte
+    * totals. Driver-side log reads rendered as a DataFrame so history
+    * is queryable/joinable like any table (Delta's `history()`);
+    * file-name scale, never row scale. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    commits().sortBy(-_.version)
+      .map(c => (c.version, c.action,
+        new java.sql.Timestamp(c.ts),
+        c.add.count(!isDvName(_)), c.add.count(isDvName),
+        c.remove.size, c.bytes, c.rmBytes))
+      .toDF("version", "action", "timestamp",
+        "n_added", "n_added_dvs", "n_removed", "bytes", "rm_bytes")
+  }
+
+  /** Snapshot file inventory (Delta's `DESCRIBE DETAIL` file listing):
+    * one row per ACTIVE file of the head snapshot — table-relative
+    * name, kind (data | dv), on-disk size (-1 if the stat fails: the
+    * file may live remote), and the partition value for
+    * hive-partitioned names. Driver-side stat of active files only,
+    * the same cost class as the manifest reads. */
+  def fileDetails(): DataFrame = {
+    import spark.implicits._
+    val s = snapshot()
+    def row(full: String, kind: String) = {
+      val rel = full.stripPrefix(s"$dir/")
+      val size =
+        try Files.size(Paths.get(full))
+        catch { case _: java.io.IOException => -1L }
+      val part = if (rel.contains("/")) rel.takeWhile(_ != '/') else null
+      (rel, kind, size, part)
+    }
+    (s.files.map(row(_, "data")) ++ s.dvs.map(row(_, "dv")))
+      .toDF("file", "kind", "bytes", "partition")
+  }
+
   def read(): DataFrame = readSnapshot(snapshot())
 
   def readAt(version: Long): DataFrame = readSnapshot(snapshotAt(version))

@@ -775,6 +775,30 @@ class TxTableSpec extends SparkTestBase {
         "removed files to diff, so add-bytes alone under-counts")
   }
 
+  test("history() and fileDetails() expose the log and snapshot as tables") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10).coalesce(1))
+    t.deleteVectorWhere("id", 3L)
+    t.overwrite(df(100 until 105).coalesce(1))
+    val h = t.history().collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L), "newest first")
+    assert(h.map(_.getString(1)).toSeq === Seq("overwrite", "dvdelete", "append"))
+    val ov = h.head
+    assert(ov.getInt(3) === 1, "overwrite added one data file")
+    assert(ov.getInt(5) === 2, "overwrite removed the data file AND the vector")
+    assert(ov.getLong(6) > 0, "added bytes recorded")
+    assert(ov.getLong(7) > 0, "removed bytes recorded")
+    val dv = h(1)
+    assert(dv.getInt(3) === 0 && dv.getInt(4) === 1,
+      "dv commit adds a vector, no data files")
+    val files = t.fileDetails().collect()
+    assert(files.length === 1 && files.head.getString(1) === "data")
+    assert(files.head.getLong(2) > 0)
+    // history joins like any table
+    assert(t.history().where(col("action") === "append").count() === 1)
+  }
+
   test("compactBinPack packs only small files; big files keep identity") {
     import spark.implicits._
     val (t, _) = mkTable()
