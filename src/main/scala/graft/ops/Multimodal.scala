@@ -251,6 +251,13 @@ object Multimodal {
     // nFrames frames of identical size hold all of data
     val rowsPerFrame =
       math.max(1, (data.length + nFrames * w - 1) / (nFrames * w))
+    // GIF stores dimensions as u16: a payload too large for the frame
+    // grid must fail loudly here, not wrap into a silently-corrupt
+    // container the decode side would misread
+    require(rowsPerFrame <= 0xFFFF,
+      s"payload of ${data.length} bytes across $nFrames frame(s) needs " +
+        s"$rowsPerFrame rows/frame — over GIF's 65535 row limit; " +
+        "raise nFrames or chunk the payload")
     val cap = rowsPerFrame * w
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }

@@ -96,6 +96,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(concat.drop(data.length).forall(_ === 0))
   }
 
+  test("gifEncode refuses payloads over GIF's u16 row limit, loudly") {
+    // 4 px/row x 65535 rows x 1 frame = 262,140-byte ceiling: one byte
+    // over must throw, not wrap the u16 height into a corrupt container
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.gifEncode(new Array[Byte](4 * 65535 + 1), nFrames = 1)
+    }
+    assert(e.getMessage.contains("65535"))
+    // the same payload across more frames fits fine
+    val frames = Multimodal.decodeFrames(
+      Multimodal.gifEncode(new Array[Byte](4 * 65535 + 1), nFrames = 2))
+    assert(frames.length === 2)
+  }
+
   test("gifEncode: single frame, empty payload still valid") {
     val frames = Multimodal.decodeFrames(Multimodal.gifEncode(Array.empty, 1))
     assert(frames.length === 1)
