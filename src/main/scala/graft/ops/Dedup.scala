@@ -679,10 +679,21 @@ object Dedup {
     * suffix array finds the same spans with a global suffix sort;
     * this trades that for linear shuffles, the same trade
     * [[duplicatedSpans]] documents. */
-  def duplicatedByteSpans(docs: DataFrame, k: Int = 50): DataFrame = {
+  def duplicatedByteSpans(docs: DataFrame, k: Int = 50,
+      portable: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Gram hash choice: md5-60bit (the default) keeps the DuckDB oracle
+    // able to re-derive identical duplicate groups; xxhash64
+    // (portable = false) is the engine-internal fast path — the OUTPUT
+    // carries positions, never hashes, so the two forms produce
+    // identical spans unless a hash collision differs between families
+    // (~2⁻⁶⁴-scale; `DedupSpec` pins output equality). At 100 TB the
+    // hash is the detector's dominant CPU, which is what the fast form
+    // buys down — same trade, same precedent as `minhash_sig_fast`.
+    def gramHash(c: Column): Column =
+      if (portable) PortableHash.hash60(c) else xxhash64(c)
     // same parallelize-then-persist discipline as [[duplicatedSpans]]:
-    // ~len md5 calls per doc is the dominant cost, must fan out across
+    // ~len hash calls per doc is the dominant cost, must fan out across
     // cores and must run ONCE, not once per consuming branch
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val grams = persisted(docs.repartition(par)
@@ -690,7 +701,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(1), length(col("text")) - (k - 1)),
-          p => PortableHash.hash60(col("text").substr(p, lit(k)))))
+          p => gramHash(col("text").substr(p, lit(k)))))
           .as(Seq("pos", "h")))) // pos = array index = 0-based byte offset
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))

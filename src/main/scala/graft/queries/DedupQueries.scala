@@ -371,6 +371,20 @@ object DedupQueries {
              CAST(COUNT(*) AS BIGINT) AS n_grams
       FROM isl GROUP BY doc_id, grp"""))
 
+  /** Engine-internal FAST twin of `x_dedup_byte_spans`: XXH64 gram
+    * hashes straight from the byte windows, no md5 — the hash is the
+    * detector's dominant CPU at scale. Output is positions, never hash
+    * values, so the spans are identical to the portable form's unless
+    * a collision differs between hash families (`DedupSpec` pins
+    * equality); rows-only in the oracle gate for the same reason
+    * `x_dedup_minhash_fast` is — the grouping hash is not externally
+    * reproducible, even though no hash reaches the output. */
+  private val byteSpansFast = GraftQuery(
+    "x_dedup_byte_spans_fast",
+    (s, d) => Dedup.duplicatedByteSpans(Tables.documents(s, d),
+      portable = false),
+    None)
+
   // ---------------------------------------- span removal (the cut step)
   /** The REMOVE step over the spans above ([[Dedup.removeDuplicatedSpans]]):
     * every token covered by a cross-document duplicated 10-gram span is
@@ -423,5 +437,5 @@ object DedupQueries {
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
       containment, clusterAssign, splitByCluster, dupNgramFraction,
-      dupSpans, byteSpans, spanRemoval)
+      dupSpans, byteSpans, byteSpansFast, spanRemoval)
 }

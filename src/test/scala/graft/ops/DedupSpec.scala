@@ -177,6 +177,18 @@ class DedupSpec extends SparkTestBase {
     assert(tok.keySet === got.keySet)
   }
 
+  test("duplicatedByteSpans fast twin produces identical spans (sf0.001)") {
+    // positions, never hashes, reach the output: the xxhash64 form must
+    // agree with the md5 form exactly unless a hash collision differs
+    // between families — this equality check is the collision alarm
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val portable = Dedup.duplicatedByteSpans(docs)
+    val fast = Dedup.duplicatedByteSpans(docs, portable = false)
+    assert(portable.count() > 0, "fixture corpus must contain byte dups")
+    assert(portable.exceptAll(fast).count() === 0)
+    assert(fast.exceptAll(portable).count() === 0)
+  }
+
   test("duplicatedByteSpans: sub-threshold repeats are invisible") {
     // a 30-byte shared string: shorter than k=50, so NO 50-byte window
     // is fully contained in it → no spans at byte level even though
