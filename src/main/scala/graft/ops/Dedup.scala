@@ -753,4 +753,50 @@ object Dedup {
         (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("clean_text"))
   }
+
+  /** LINE-level corpus deduplication (the CCNet/RefinedWeb curation
+    * step): any trimmed non-empty line whose text occurs in at least
+    * `minDocs` DISTINCT documents is cut from every document carrying
+    * it, and each document is rebuilt from its surviving lines —
+    * removing boilerplate (nav bars, cookie banners, license headers)
+    * that whole-document dedup can never touch. Empty lines are kept
+    * verbatim: they are structure, not content, and hashing them would
+    * make every two documents with a blank line "duplicates".
+    *
+    * Scale shape: the only corpus-scale shuffles carry
+    * (doc_id, position, 60-bit line hash) rows — line BODIES never
+    * leave their scan. The duplicated-hash set reduces by hash
+    * (map-side combinable count-distinct), kill positions collapse to
+    * one small array per affected document, and the rewrite is an
+    * index-aware array `filter` on the scan side — document text moves
+    * zero times. Hashes are [[PortableHash.hash60]] so an external
+    * engine derives identical kill sets; only positions and counts
+    * reach the output. */
+  def dedupLines(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val lines = docs.repartition(par)
+      .select(col("doc_id"),
+        transform(split(col("text"), "\n"), l => trim(l)).as("lines"))
+    val posted = persisted(lines
+      .select(col("doc_id"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+      .where(col("line") =!= "")
+      .select(col("doc_id"), col("pos"),
+        PortableHash.hash60(col("line")).as("h")))
+    val dup = posted.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("h")
+    val kill = posted.join(dup, "h")
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("kill"))
+    lines.join(kill, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lines"),
+        coalesce(col("kill"), array().cast("array<int>")).as("kill"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kill")).cast("long").as("n_removed"),
+        array_join(filter(col("lines"), (_, i) =>
+          !array_contains(col("kill"), i)), "\n").as("clean_text"))
+  }
 }

@@ -434,8 +434,66 @@ object DedupQueries {
       FROM toks t LEFT JOIN kept k USING (doc_id)
       GROUP BY t.doc_id, len(t.toks)"""))
 
+  // ------------------------------------------------ line-level dedup
+  /** LINE-level corpus deduplication ([[Dedup.dedupLines]]) — the
+    * CCNet/RefinedWeb curation step that cuts boilerplate lines
+    * occurring verbatim in ≥2 documents and rebuilds each document from
+    * the survivors. The synthetic corpus carries no newlines, so the
+    * query first derives a deterministic multi-line view (12-token
+    * lines — near-duplicate documents share aligned windows, giving the
+    * operator real cross-document duplicate lines to cut) and the
+    * oracle re-derives the identical view; the operator itself is the
+    * generic newline-based one a real corpus would call directly. */
+  private val lineDedup = GraftQuery(
+    "x_dedup_lines",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 1)
+      val lined = toks.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - lit(1)) / lit(12)).cast("int")),
+          i => array_join(slice(col("toks"), i * lit(12) + lit(1), lit(12)),
+            " ")),
+          "\n").as("text"))
+      Dedup.dedupLines(lined)
+    },
+    Some(s"""WITH $tokensCte,
+      lined AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(0, CAST(floor((len(toks) - 1) / 12.0)
+                                         AS BIGINT)),
+                 i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines
+        FROM toks WHERE len(toks) >= 1),
+      posted AS (
+        SELECT doc_id, p - 1 AS pos,
+               CAST('0x' || substring(md5(lines[p]), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, lines,
+                unnest(generate_series(1, len(lines))) AS p
+              FROM lined)
+        WHERE lines[p] <> ''),
+      dup AS (SELECT h FROM posted
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      kill AS (SELECT doc_id, pos FROM posted JOIN dup USING (h)),
+      pos AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS p
+              FROM lined),
+      kept AS (SELECT t.doc_id, t.p FROM pos t
+               WHERE NOT EXISTS (SELECT 1 FROM kill k
+                 WHERE k.doc_id = t.doc_id AND k.pos = t.p - 1))
+      SELECT l.doc_id,
+             CAST(len(l.lines) AS BIGINT) AS n_lines,
+             CAST(len(l.lines) - count(k.p) AS BIGINT) AS n_removed,
+             COALESCE(string_agg(l.lines[k.p], chr(10) ORDER BY k.p), '')
+               AS clean_text
+      FROM lined l LEFT JOIN kept k USING (doc_id)
+      GROUP BY l.doc_id, len(l.lines)"""))
+
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
       containment, clusterAssign, splitByCluster, dupNgramFraction,
-      dupSpans, byteSpans, byteSpansFast, spanRemoval)
+      dupSpans, byteSpans, byteSpansFast, spanRemoval, lineDedup)
 }

@@ -56,6 +56,50 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedupLines cuts cross-document boilerplate lines, keeps structure") {
+    val docs = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\n\nbody one"),
+      (2L, "  COOKIE BANNER  \nbody two\nunique beta"),
+      (3L, "body three\ncookie banner stays\nCOOKIE BANNER"),
+      (4L, "solo document\nnothing shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // the banner line occurs (trimmed) in docs 1,2,3 and is cut everywhere;
+    // empty lines are preserved verbatim, unique lines survive
+    assert(out(1L) === ((4L, 1L, "unique alpha\n\nbody one")))
+    assert(out(2L) === ((3L, 1L, "body two\nunique beta")))
+    // "cookie banner stays" differs (case is preserved by trim) → kept
+    assert(out(3L) === ((3L, 1L, "body three\ncookie banner stays")))
+    assert(out(4L) === ((2L, 0L, "solo document\nnothing shared")))
+  }
+
+  test("dedupLines minDocs threshold: a 2-doc line survives minDocs=3") {
+    val docs = Seq(
+      (1L, "shared line\nown one"),
+      (2L, "shared line\nown two"),
+      (3L, "own three")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.dedupLines(docs, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    val default = Dedup.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(default === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("dedupLines: repeats WITHIN one document are not corpus duplicates") {
+    val docs = Seq(
+      (1L, "same line\nsame line\nsame line"),
+      (2L, "different content")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // countDistinct(doc_id) = 1 for the repeated line → below minDocs=2
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("cacheShingles knob changes the plan, never the pairs") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     def rows(cache: Boolean) =
