@@ -86,4 +86,41 @@ object TextAnalysis {
   def langIdTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang").as("lang_actual"),
       langIdCol(col("text")).as("lang_pred"))
+
+  /** Hashed LINEAR quality classifier inference (the fastText shape the
+    * published curation pipelines run at corpus scale): each document is
+    * scored `sigmoid(mean of w[hash(token) % B])` against a pretrained
+    * bucket-weight table, `keep` = positive margin.
+    *
+    * `weights` is the model artifact — a (b: bucket id, w: weight)
+    * table covering every bucket in [0, B). It is collapsed to a SINGLE
+    * map row and broadcast, so scoring is a scan-side array fold over
+    * each document's tokens: inference pays ZERO corpus-side shuffle
+    * and stays embarrassingly parallel at 100 TB (contrast
+    * `x_dsir_weights`, which must shuffle (doc, bucket) counts because
+    * it FITS its model on the corpus — applying a model needs no such
+    * pass). The map row is O(B) bytes; a 2^20-bucket production model
+    * broadcasts at ~8 MB, the same ballpark as a Bloom runtime filter.
+    *
+    * The margin rounds to 6 dp BEFORE the sigmoid so an external
+    * engine's floating sum order cannot flip `keep` or the 6-dp score. */
+  def linearQualityScore(docs: DataFrame, weights: DataFrame,
+      buckets: Int): DataFrame = {
+    val model = weights.agg(map_from_arrays(
+      collect_list(col("b")), collect_list(col("w"))).as("wmap"))
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0.0), (acc, t) =>
+          acc + element_at(col("wmap"),
+            PortableHash.hash32(t) % buckets)).as("raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("raw") / col("n_tokens"), 6).as("margin"))
+      .select(col("doc_id"), col("n_tokens"), col("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("score"),
+        (col("margin") > 0).as("keep"))
+  }
 }

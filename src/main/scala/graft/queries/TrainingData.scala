@@ -962,10 +962,50 @@ object TrainingData {
             FROM per GROUP BY 1
             ORDER BY bm25 DESC, doc_id LIMIT 10"""))
 
+  // ------------------------------------------ linear classifier inference
+  /** Pretrained hashed-linear quality classifier applied at corpus scale
+    * ([[TextAnalysis.linearQualityScore]]) — the fastText inference
+    * shape: margin = mean bucket weight of the document's hashed tokens,
+    * score = sigmoid(margin), keep = positive margin. The "model" here
+    * is a deterministic 4096-bucket weight table (derived arithmetically
+    * so the oracle rebuilds it bit-for-bit); in production it is the
+    * trained artifact loaded from a table. Unlike `x_dsir_weights`
+    * (model FITTING — pays a (doc, bucket) shuffle), inference collapses
+    * the weights to one broadcast map row and scores scan-side: zero
+    * corpus shuffle, the only plan shape that holds at 100 TB. */
+  private val qualityLinear = GraftQuery(
+    "x_quality_linear",
+    (s, d) => {
+      val B = 4096
+      val weights = s.range(B).select(col("id").as("b"),
+        round(((col("id") * 37 + 11) % 201 - 100) / 100.0, 2).as("w"))
+      TextAnalysis.linearQualityScore(Tables.documents(s, d), weights, B)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+              list_filter(str_split_regex(lower(text), '\s+'),
+                          t -> t <> '') AS toks
+            FROM documents),
+            w AS (SELECT b,
+              ROUND(((b * 37 + 11) % 201 - 100) / 100.0, 2) AS w
+            FROM (SELECT unnest(generate_series(0, 4095)) AS b)),
+            posted AS (SELECT doc_id,
+              CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 4096 AS b
+            FROM (SELECT doc_id, unnest(toks) AS term
+                  FROM toks WHERE len(toks) >= 1)),
+            scored AS (SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              ROUND(SUM(w) / COUNT(*), 6) AS margin
+            FROM posted JOIN w USING (b) GROUP BY 1)
+            SELECT doc_id, n_tokens, margin,
+              ROUND(1.0 / (1.0 + exp(-margin)), 6) AS score,
+              margin > 0 AS keep
+            FROM scored"""))
+
   val queries: Seq[GraftQuery] = Seq(
     dedupExact, tokenCount, qualityScore, qualityGopher, textClean,
     charEntropy, bigramLoglik,
     dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
     gapFill, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
-    intervalJoin, intervalJoinOuter, tfidf, temporalPairs, bm25)
+    intervalJoin, intervalJoinOuter, tfidf, temporalPairs, bm25,
+    qualityLinear)
 }
