@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_index, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, expr, lit, not, raise_error, struct, substring_index, to_json, when}
 
 /** Transactional parquet table — the no-jar answer to the Delta/Iceberg
   * row of the survey: a versioned COMMIT LOG over plain parquet data
@@ -76,9 +76,11 @@ object TxTable {
 
   /** `files` = active DATA files; `dvs` = active DELETION-VECTOR files
     * (merge-on-read deletes — see [[TxTable.deleteVectorBetween]]).
-    * Both are absolute paths. */
+    * Both are absolute paths. `cts` = active CHECK-constraint tokens
+    * (`ct-…`, see [[TxTable.encodeCt]]) — log entries, never files. */
   final case class Snapshot(version: Long, files: Seq[String],
-      dvs: Seq[String], base: String, merged: Boolean = false) {
+      dvs: Seq[String], base: String, merged: Boolean = false,
+      cts: Seq[String] = Nil) {
     /** RAW read of the data files — deletion vectors NOT applied (used
       * for schema resolution and wherever `dvs` is known empty; the
       * table's own read methods apply them). `basePath` keeps
@@ -103,6 +105,29 @@ object TxTable {
     * only discriminator, so the log format never changed for them. */
   private[ops] def isDvName(rel: String): Boolean =
     rel.substring(rel.lastIndexOf('/') + 1).startsWith("dv-")
+
+  /** Is `rel` a CHECK-constraint token? Constraints ride the commit
+    * log's add/remove lists exactly like DV files — zero log-format
+    * change — but never exist on disk; the reserved prefix partitions
+    * them out of file replay. */
+  private[ops] def isCtName(rel: String): Boolean = rel.startsWith("ct-")
+
+  /** Constraint token: `ct-<name>.<base64url(expr)>`. base64url's
+    * alphabet (A-Za-z0-9-_) contains neither the log codec's forbidden
+    * characters nor '.', so the first '.' after the name is an
+    * unambiguous separator and the token survives the JSON list
+    * round-trip untouched. */
+  private[ops] def encodeCt(name: String, expression: String): String =
+    "ct-" + name + "." + java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(expression.getBytes(StandardCharsets.UTF_8))
+
+  private[ops] def decodeCt(token: String): (String, String) = {
+    val body = token.stripPrefix("ct-")
+    val i = body.indexOf('.')
+    (body.take(i), new String(
+      java.util.Base64.getUrlDecoder.decode(body.drop(i + 1)),
+      StandardCharsets.UTF_8))
+  }
 
   /** Open (or initialize) a transactional table rooted at `dir`, with
     * the default POSIX hard-link commit CAS ([[LogStore.HardLink]]). */
@@ -206,7 +231,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     val active = cs.foldLeft(ck.map(_.add.toVector).getOrElse(Vector.empty)) {
       (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
-    val (dvRel, dataRel) = active.partition(isDvName)
+    val (ctRel, fileRel) = active.partition(isCtName)
+    val (dvRel, dataRel) = fileRel.partition(isDvName)
     // evolved-schema marker survives checkpointing: the checkpoint
     // entry's action records whether any evolve preceded it
     val evolved = ck.exists(_.action == "ckpt-evolve") ||
@@ -215,7 +241,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       cs.lastOption.map(_.version)
         .orElse(ck.map(_.version)).getOrElse(-1L),
       dataRel.map(f => s"$dir/$f"), dvRel.map(f => s"$dir/$f"), dir,
-      merged = evolved)
+      merged = evolved, cts = ctRel)
   }
 
   /** DESCRIBE HISTORY: one row per commit, newest first — version,
@@ -253,6 +279,110 @@ final class TxTable private (spark: SparkSession, dir: String,
     }
     (s.files.map(row(_, "data")) ++ s.dvs.map(row(_, "dv")))
       .toDF("file", "kind", "bytes", "partition")
+  }
+
+  // ------------------------------------------------- CHECK constraints
+  /** Active CHECK constraints of the head snapshot, name → boolean SQL
+    * expression. */
+  def constraints: Map[String, String] = ctMap(snapshot())
+
+  private def ctMap(s: Snapshot): Map[String, String] =
+    s.cts.map(decodeCt).toMap
+
+  /** ANSI CHECK semantics: a row VIOLATES iff the expression evaluates
+    * to FALSE — NULL passes (unknown is not a violation), Delta's
+    * CHECK-constraint contract. */
+  private def violation(e: String): Column =
+    not(coalesce(expr(e), lit(true)))
+
+  /** Inline enforcement: wrap `df` so the WRITE JOB ITSELF fails on the
+    * first violating row — a filter predicate that raises instead of
+    * dropping. The check rides the normal write scan at zero extra
+    * pass (Catalyst cannot prune a predicate away), the same inline
+    * placement Delta uses; the error names the constraint and carries
+    * the violating row as JSON. */
+  private def enforced(df: DataFrame, cts: Map[String, String]): DataFrame =
+    cts.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      d.filter(when(violation(e),
+        raise_error(concat(
+          lit(s"CHECK constraint '$n' ($e) violated by row "),
+          to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
+        .otherwise(lit(true)))
+    }
+
+  /** Re-validate STAGED files when a constraint landed between staging
+    * (where [[enforced]] ran with the then-head's set) and this commit
+    * attempt — the constraint twin of [[guardSchema]]'s TOCTOU-free
+    * retry-loop placement. Costs one scan of just the staged files,
+    * paid only in the rare constraint-added-concurrently race. */
+  private def guardConstraints(base: Snapshot,
+      enforcedCts: Map[String, String], files: Seq[String]): Unit = {
+    val missed = ctMap(base) -- enforcedCts.keys
+    if (missed.nonEmpty && files.nonEmpty) {
+      val content = spark.read.option("basePath", dir)
+        .parquet(files.map(n => s"$dir/$n"): _*)
+      missed.foreach { case (n, e) =>
+        require(content.where(violation(e)).limit(1).count() == 0L,
+          s"CHECK constraint '$n' ($e) was added concurrently and the " +
+            "staged rows violate it")
+      }
+    }
+  }
+
+  /** ADD CONSTRAINT (Delta's `ALTER TABLE … ADD CONSTRAINT … CHECK`):
+    * verifies the WHOLE current content satisfies `expression`, then
+    * commits the constraint as a METADATA-ONLY log entry (action
+    * `constraint`, the token in the add list, bytes 0 — streams and
+    * the change feed ride through it silently). Every subsequent
+    * append / overwrite / upsert / merge / restore enforces it; the
+    * token replays with the log, so time travel scopes constraints to
+    * their versions. Validation re-runs per retry against that
+    * attempt's head: a concurrent append of violating rows either
+    * lands first (and fails THIS validation) or second (and fails its
+    * own write-path enforcement) — never both. */
+  def addConstraint(name: String, expression: String,
+      maxRetries: Int = 20): Commit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name must be [A-Za-z0-9_-]+: '$name'")
+    // syntactic guard up front: a malformed expression should fail the
+    // ALTER, not every future writer
+    spark.sessionState.sqlParser.parseExpression(expression)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = snapshot()
+      require(!ctMap(base).contains(name),
+        s"constraint '$name' already exists: ${ctMap(base)(name)}")
+      if (base.files.nonEmpty)
+        require(readSnapshot(base).where(violation(expression))
+            .limit(1).count() == 0L,
+          s"cannot add CHECK constraint '$name' ($expression): existing " +
+            "rows violate it")
+      val c = Commit(base.version + 1, "constraint",
+        Seq(encodeCt(name, expression)), Nil,
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"addConstraint contention: lost $maxRetries races in $logDir")
+  }
+
+  /** DROP CONSTRAINT: metadata-only removal of the named constraint's
+    * token; history keeps it, time travel before the drop still shows
+    * it active. */
+  def dropConstraint(name: String, maxRetries: Int = 20): Commit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = snapshot()
+      val token = base.cts.find(t => decodeCt(t)._1 == name)
+      require(token.isDefined,
+        s"no CHECK constraint '$name' (active: " +
+          s"${ctMap(base).keys.toSeq.sorted.mkString(", ")})")
+      val c = Commit(base.version + 1, "constraint", Nil, Seq(token.get),
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"dropConstraint contention: lost $maxRetries races in $logDir")
   }
 
   def read(): DataFrame = readSnapshot(snapshot())
@@ -401,7 +531,9 @@ final class TxTable private (spark: SparkSession, dir: String,
   def readChanges(fromVersion: Long,
       toVersion: Long = Long.MaxValue): DataFrame = {
     val cs = commitsBetween(fromVersion, toVersion)
-      .filterNot(_.action == "compact")
+      // compaction is content-identical; a constraint commit is
+      // metadata-only — neither contributes row changes
+      .filterNot(c => c.action == "compact" || c.action == "constraint")
     val changes = cs.flatMap { c =>
       def tag(df: DataFrame, typ: String) =
         df.withColumn("_change_type", lit(typ))
@@ -903,8 +1035,9 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) try {
       val s = snapshotAt(version)
-      // data + dv files in one list: replay splits them back by prefix
-      val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/"))
+      // data + dv files + constraint tokens in one list: replay splits
+      // them back by prefix
+      val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/")) ++ s.cts
       val c = Commit(version, if (s.merged) "ckpt-evolve" else "ckpt",
         files, Nil, System.currentTimeMillis())
       store.putIfAbsent(ckptFile(version),
@@ -969,13 +1102,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     }
 
   private def commitAppend(files: Seq[String], df: DataFrame,
-      maxRetries: Int, evolve: Boolean = false): Commit = {
+      maxRetries: Int, evolve: Boolean = false,
+      enforcedCts: Map[String, String] = Map.empty): Commit = {
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
       if (evolve) guardSchemaEvolve(base, df) else guardSchema(base, df)
+      guardConstraints(base, enforcedCts, files)
       val c = Commit(base.version + 1,
         if (evolve) "evolve" else "append", files, Nil,
         System.currentTimeMillis())
@@ -996,8 +1131,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     * retry loop against each attempt's head snapshot (see
     * [[guardSchema]]), so a concurrent overwrite that changes the
     * table's schema cannot let a now-mismatched append land. */
-  def append(df: DataFrame, maxRetries: Int = 50): Commit =
-    commitAppend(stage(df), df, maxRetries)
+  def append(df: DataFrame, maxRetries: Int = 50): Commit = {
+    val cts = ctMap(snapshot())
+    commitAppend(stage(enforced(df, cts)), df, maxRetries,
+      enforcedCts = cts)
+  }
 
   /** Schema-EVOLVING append (Delta's `mergeSchema` write): the batch
     * may add new columns and/or omit existing ones; shared columns must
@@ -1009,8 +1147,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     * an evolve like any other non-append change: fail by default,
     * skippable via `skipChangeCommits` — a schema change mid-stream is
     * never silent. */
-  def appendEvolve(df: DataFrame, maxRetries: Int = 50): Commit =
-    commitAppend(stage(df), df, maxRetries, evolve = true)
+  def appendEvolve(df: DataFrame, maxRetries: Int = 50): Commit = {
+    val cts = ctMap(snapshot())
+    commitAppend(stage(enforced(df, cts)), df, maxRetries, evolve = true,
+      enforcedCts = cts)
+  }
 
   /** Hive-layout partitioned append: data files land under
     * `partitionCol=value/` subdirectories and the commit entry records
@@ -1028,7 +1169,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       maxRetries: Int = 50): Commit = {
     require(df.columns.contains(partitionCol),
       s"partition column $partitionCol not in ${df.columns.mkString(",")}")
-    commitAppend(stagePartitioned(df, partitionCol), df, maxRetries)
+    val cts = ctMap(snapshot())
+    commitAppend(stagePartitioned(enforced(df, cts), partitionCol), df,
+      maxRetries, enforcedCts = cts)
   }
 
   /** Manifest-pruned partition read: the snapshot's file list is
@@ -1081,12 +1224,14 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   /** Replace the table's content with `df` in one atomic commit. */
   def overwrite(df: DataFrame, maxRetries: Int = 50): Commit = {
-    val files = stage(df)
+    val cts0 = ctMap(snapshot())
+    val files = stage(enforced(df, cts0))
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
+      guardConstraints(base, cts0, files)
       val c = Commit(base.version + 1, "overwrite", files,
         (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -1110,7 +1255,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       val merged =
         if (base.files.isEmpty) updates
         else Upsert.latestWins(readSnapshot(base), updates, keys)
-      val files = stage(merged)
+      // staged INSIDE the loop against this attempt's base, so the
+      // constraint set is the head's — no TOCTOU window to guard
+      val files = stage(enforced(merged, ctMap(base)))
       // a full rewrite retires the deletion vectors too: their targets
       // are all removed, and the rewrite read them applied
       val c = Commit(base.version + 1, "upsert", files,
@@ -1250,7 +1397,8 @@ final class TxTable private (spark: SparkSession, dir: String,
               when(col("__a").isin("u", "i"), col(s"s.$c"))
                 .otherwise(col(s"t.$c")).as(c)): _*)
         }
-      val staged = stage(out)
+      // like upsert: staged per attempt against this head's constraints
+      val staged = stage(enforced(out, ctMap(head)))
       val c = Commit(pruned.version + 1, "merge", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -1375,6 +1523,16 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
+      // constraints are NOT restored (they are active table POLICY, not
+      // content) — instead the restored content must satisfy the
+      // currently active set, or the restore refuses loudly
+      ctMap(base).foreach { case (n, e) =>
+        require(readSnapshot(target).where(violation(e))
+            .limit(1).count() == 0L,
+          s"restore to $version refused: restored rows violate the " +
+            s"active CHECK constraint '$n' ($e) — drop it first if the " +
+            "rollback should win")
+      }
       // the target's deletion vectors come back with it — restored
       // content is the target's CONTENT, vectors applied
       val c = Commit(base.version + 1, "restore",

@@ -1570,6 +1570,58 @@ object ExtendedQueries {
       () => t.read()
     }))
 
+  // --------------------------------------------- TxTable: CHECK constraints
+  /** CHECK-constraint lifecycle through the transactional table
+    * (Delta's `ALTER TABLE … ADD CONSTRAINT … CHECK`): seed half the
+    * rows, add the constraint (validates existing content), append the
+    * other half UNDER enforcement, then prove refusal is atomic by
+    * attempting a violating batch — zero of its rows may land. The
+    * oracle is content equality with the clean relational input: any
+    * leaked violating row or dropped valid row breaks the hash.
+    * Enforcement is an inline raise_error filter predicate riding the
+    * write scan — zero extra pass (`TxTableSpec` covers NULL-passes
+    * semantics, TOCTOU re-validation, restore refusal; the bench times
+    * the enforced rewrite path). */
+  private val txConstraints = GraftQuery(
+    "k19_tx_constraints",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txct-").toString
+      val t = graft.ops.TxTable(s, s"$dir/orders")
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      t.append(orders.where(col("o_orderkey") % 2 === 0))
+      t.addConstraint("price_nonneg", "o_totalprice >= 0")
+      t.append(orders.where(col("o_orderkey") % 2 === 1))
+      val refused =
+        try { t.append(orders.limit(7)
+          .withColumn("o_totalprice", lit(-1.0))); false }
+        catch { case _: Exception => true }
+      require(refused, "CHECK constraint did not refuse the violating batch")
+      t.read()
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+            ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders"""),
+    bench = false,
+    // Timed region = an ENFORCED upsert (inline constraint predicate in
+    // the rewrite scan) — read against k5/k16's unconstrained rewrites,
+    // the delta is the enforcement cost. Seed + constraint are untimed.
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txct-b-").toString
+      val t = graft.ops.TxTable(s, s"$dir/orders")
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      t.append(orders)
+      t.addConstraint("price_nonneg", "o_totalprice >= 0")
+      val batch = orders.where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1.0, 2))
+      () => { t.upsert(batch, Seq("o_orderkey")); t.read() }
+    }))
+
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
     piiScrub, tableChecksum, histogram, embedQuantize,
@@ -1580,5 +1632,5 @@ object ExtendedQueries {
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
     txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses,
-    txMergeMultiKey, txBinPack)
+    txMergeMultiKey, txBinPack, txConstraints)
 }

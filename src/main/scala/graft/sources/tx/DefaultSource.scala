@@ -183,11 +183,11 @@ final class TxTableSource(
             val it = t.commitsBetween(p, v).iterator
             while (open && it.hasNext) {
               val c = it.next()
-              if (c.action == "compact") {
+              if (c.action == "compact" || c.action == "constraint") {
                 // content-neutral in every mode — every getBatch path
-                // skips compaction commits without reading a byte, so
-                // they ride along free instead of throttling the
-                // stream around each compaction
+                // skips compaction and metadata-only constraint commits
+                // without reading a byte, so they ride along free
+                // instead of throttling the stream around them
                 last = c.version
               } else {
                 // charge what the BATCH will read: CDC diffs a rewrite
@@ -279,7 +279,9 @@ final class TxTableSource(
           c.action match {
             case "append" =>
               t.resolveFiles(c.add, s"streaming batch v${c.version}")
-            case "compact" => Nil
+            // compaction is content-identical; a constraint commit is
+            // metadata-only — neither adds rows to the stream
+            case "compact" | "constraint" => Nil
             case other =>
               if (skipChangeCommits) Nil
               else sys.error(

@@ -897,6 +897,104 @@ class TxTableSpec extends SparkTestBase {
     // the live file's sidecar survives and still prunes
     assert(t.readWhere("id", 105L).count() === 1)
   }
+
+  // ------------------------------------------------- CHECK constraints
+  test("CHECK constraint: add validates content, writes enforce, drop releases") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    t.addConstraint("id_nonneg", "id >= 0")
+    assert(t.constraints === Map("id_nonneg" -> "id >= 0"))
+    // violating append fails DURING the write job and commits nothing
+    val headBefore = t.snapshot().version
+    val e = intercept[Exception] { t.append(df(-5 until -1)) }
+    def messages(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    assert(messages(e).contains("id_nonneg"), messages(e))
+    assert(t.snapshot().version === headBefore)
+    assert(t.read().count() === 10)
+    // valid append passes; drop releases future writes
+    t.append(df(10 until 12))
+    t.dropConstraint("id_nonneg")
+    t.append(df(-3 until -1))
+    assert(t.read().count() === 14)
+    assert(t.constraints === Map.empty)
+  }
+
+  test("CHECK constraint: adding over violating content refuses") {
+    val (t, _) = mkTable()
+    t.append(df(-5 until 5))
+    val e = intercept[Exception] { t.addConstraint("pos", "id >= 0") }
+    assert(e.getMessage.contains("existing rows violate"))
+    assert(t.constraints === Map.empty)
+  }
+
+  test("CHECK constraint: NULL evaluates as pass (ANSI), FALSE as violation") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(Seq((1L, "a")).toDF("id", "payload"))
+    t.addConstraint("short", "length(payload) < 10")
+    // null payload → constraint UNKNOWN → passes
+    t.append(Seq((2L, null.asInstanceOf[String])).toDF("id", "payload"))
+    assert(t.read().count() === 2)
+    intercept[Exception] {
+      t.append(Seq((3L, "this payload is far too long")).toDF("id", "payload"))
+    }
+  }
+
+  test("CHECK constraint: enforced on upsert and merge rewrites") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 5))
+    t.addConstraint("id_small", "id < 100")
+    intercept[Exception] {
+      t.upsert(Seq((500L, "huge")).toDF("id", "payload"), Seq("id"))
+    }
+    intercept[Exception] {
+      t.merge(Seq((600L, "huge")).toDF("id", "payload"), Seq("id"),
+        whenNotMatchedInsert = Some(lit(true)))
+    }
+    assert(t.read().count() === 5) // both rewrites refused atomically
+    t.upsert(Seq((50L, "fine")).toDF("id", "payload"), Seq("id"))
+    assert(t.read().count() === 6)
+  }
+
+  test("CHECK constraint: survives checkpoint replay and scopes to versions") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 3))
+    t.addConstraint("id_nonneg", "id >= 0")
+    // push past CheckpointInterval so replay starts from a checkpoint
+    (0 until TxTable.CheckpointInterval).foreach(i =>
+      t.append(df(10 * (i + 1) until 10 * (i + 1) + 2)))
+    val reopened = TxTable(spark, dir, logStore)
+    assert(reopened.constraints === Map("id_nonneg" -> "id >= 0"))
+    intercept[Exception] { reopened.append(df(-2 until -1)) }
+    // time travel BEFORE the constraint commit: token absent
+    assert(reopened.snapshotAt(0).cts.isEmpty)
+  }
+
+  test("CHECK constraint: restore refuses when rolled-back rows violate") {
+    val (t, _) = mkTable()
+    t.append(df(-5 until 0)) // v0: rows that will violate the future rule
+    t.overwrite(df(0 until 5)) // v1: clean content
+    t.addConstraint("id_nonneg", "id >= 0") // validates v1, passes
+    val e = intercept[Exception] { t.restore(0) }
+    assert(e.getMessage.contains("id_nonneg"))
+    t.dropConstraint("id_nonneg")
+    t.restore(0) // policy dropped → rollback wins
+    assert(t.read().agg(min(col("id"))).head().getLong(0) === -5L)
+  }
+
+  test("CHECK constraint commits are silent in the change feed") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 3))
+    t.addConstraint("id_nonneg", "id >= 0")
+    t.append(df(3 until 5))
+    val feed = t.readChanges(-1)
+    // only the two appends surface; the constraint commit adds no rows
+    assert(feed.count() === 5)
+    assert(feed.where(col("_change_type") =!= "insert").count() === 0)
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through

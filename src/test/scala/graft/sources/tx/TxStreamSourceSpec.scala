@@ -70,6 +70,25 @@ class TxStreamSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(out).select("id").distinct().count() === 18)
   }
 
+  test("a constraint commit mid-stream is silent in both modes") {
+    val (t, dir) = mk()
+    t.append(rows(0 until 5))
+    val q = stream(dir)
+      .writeStream.format("memory").queryName("txsrcct").start()
+    val qc = stream(dir, "readChangeFeed" -> "true")
+      .writeStream.format("memory").queryName("txsrcctc").start()
+    try {
+      q.processAllAvailable(); qc.processAllAvailable()
+      // a metadata-only constraint commit must neither fail the
+      // append-only stream nor surface rows in the CDF stream
+      t.addConstraint("id_nonneg", "id >= 0")
+      t.append(rows(5 until 8))
+      q.processAllAvailable(); qc.processAllAvailable()
+      assert(spark.table("txsrcct").count() === 8)
+      assert(spark.table("txsrcctc").count() === 8)
+    } finally { q.stop(); qc.stop() }
+  }
+
   test("a rewrite commit fails the stream unless skipChangeCommits") {
     val (t, dir) = mk()
     t.append(rows(0 until 10))
