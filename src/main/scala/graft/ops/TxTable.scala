@@ -210,6 +210,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     parsed.zipWithIndex.takeWhile { case (c, i) => c.version == i }.map(_._1)
   }
 
+  /** Full parsed commit log, oldest first — driver-side, file-name
+    * scale (consumers: [[MaterializedView]]'s watermark scan). */
+  private[ops] def commitLog: Seq[Commit] = commits()
+
   /** Latest committed snapshot (version -1 = empty table). */
   def snapshot(): Snapshot = snapshotAt(Long.MaxValue)
 
@@ -236,7 +240,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // evolved-schema marker survives checkpointing: the checkpoint
     // entry's action records whether any evolve preceded it
     val evolved = ck.exists(_.action == "ckpt-evolve") ||
-      cs.exists(_.action == "evolve")
+      cs.exists(c => c.action == "evolve" || c.action == "clone-evolve")
     Snapshot(
       cs.lastOption.map(_.version)
         .orElse(ck.map(_.version)).getOrElse(-1L),
@@ -566,8 +570,11 @@ final class TxTable private (spark: SparkSession, dir: String,
         // the deletion vectors active just before (remove side) and
         // just after (add side) the commit, or rows a vector already
         // deleted would resurface as spurious feed entries
-        val addData = c.add.filterNot(isDvName)
-        val remData = c.remove.filterNot(isDvName)
+        // DV names AND constraint tokens ride the same lists; a clone
+        // commit is the first action carrying data files + ct tokens
+        // together, so both prefixes must be partitioned out here
+        val addData = c.add.filterNot(n => isDvName(n) || isCtName(n))
+        val remData = c.remove.filterNot(n => isDvName(n) || isCtName(n))
         lazy val prevDvs = snapshotAt(c.version - 1).dvs
         lazy val nowDvs = snapshotAt(c.version).dvs
         def readFiles(names: Seq[String], dvs: => Seq[String]): Option[DataFrame] =
@@ -1223,7 +1230,21 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   /** Replace the table's content with `df` in one atomic commit. */
-  def overwrite(df: DataFrame, maxRetries: Int = 50): Commit = {
+  def overwrite(df: DataFrame, maxRetries: Int = 50): Commit =
+    overwriteAs("overwrite", df, maxRetries)
+
+  /** [[overwrite]] with a caller-chosen action TAG recorded as the
+    * commit's action — the hook that lets a consumer make its own
+    * bookkeeping atomic with the content it writes (e.g.
+    * [[MaterializedView]] encodes its applied-base-version watermark in
+    * the tag, so a refresh can never land without its watermark or vice
+    * versa). Unknown actions behave as rewrites everywhere downstream
+    * (CDF diffs them; the append-only streaming source refuses them
+    * unless `skipChangeCommits`); tags must not collide with the
+    * engine's reserved actions. */
+  def overwriteAs(tag: String, df: DataFrame,
+      maxRetries: Int = 50): Commit = {
+    require(tag.nonEmpty && !tag.contains('"'), s"bad action tag: $tag")
     val cts0 = ctMap(snapshot())
     val files = stage(enforced(df, cts0))
     val stats = fileStats(files)
@@ -1232,7 +1253,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     while (attempt < maxRetries) {
       val base = snapshot()
       guardConstraints(base, cts0, files)
-      val c = Commit(base.version + 1, "overwrite", files,
+      val c = Commit(base.version + 1, tag, files,
         (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
       if (tryCommit(c, stats)) return c
@@ -1543,6 +1564,81 @@ final class TxTable private (spark: SparkSession, dir: String,
       attempt += 1
     }
     sys.error(s"restore contention: lost $maxRetries races in $logDir")
+  }
+
+  // ------------------------------------------------------------- clone
+  /** Delta-style shallow CLONE: materialize `version`'s content as a
+    * NEW independent table at `destDir` WITHOUT copying data. Every
+    * active data + deletion-vector file is HARD-LINKED under the clone
+    * root at its existing relative name — so partition-qualified path
+    * segments, the DV join's file keys, logged min/max stats and bloom
+    * sidecars all keep working with zero translation — and one `clone`
+    * commit seeds the clone's own log. Active CHECK constraints and the
+    * cloned files' data-skipping state (stats TSV re-rendered as the
+    * clone's version-0 sidecar; bloom sidecars linked) ride along. From
+    * then on the two tables evolve fully independently: writes land new
+    * UUID-named files in whichever root made them, and a rewrite in one
+    * table merely drops the other's still-live link from its own log.
+    *
+    * Cost is O(active files) driver metadata ops and ZERO data bytes —
+    * Delta's shallow-clone cost class — with one robustness upgrade
+    * over path-referencing clones: link counts keep the shared bytes
+    * alive, so VACUUMing the source can never corrupt the clone (Delta
+    * documents exactly that hazard for its shallow clones). Where hard
+    * links are unsupported (cross-device, some object-store mounts) the
+    * per-file link degrades to a copy — still correct, no longer
+    * zero-copy; a conditional-PUT object store would take the same
+    * fallback through its server-side-copy API. */
+  def cloneTo(destDir: String, version: Long = Long.MaxValue): TxTable = {
+    val snap = snapshotAt(version)
+    require(snap.version >= 0L, s"cannot clone an empty table at $dir")
+    val dest = TxTable(spark, destDir, store)
+    require(dest.snapshot().version == -1L,
+      s"clone destination not empty: $destDir")
+    val rels = (snap.files ++ snap.dvs).map(_.stripPrefix(s"$dir/"))
+    rels.foreach { rel =>
+      val src = Paths.get(dir, rel)
+      val dst = Paths.get(dest.tableDir, rel)
+      Option(dst.getParent).foreach(Files.createDirectories(_))
+      try Files.createLink(dst, src)
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst)
+      }
+    }
+    // stats sidecar: the source's logged stats for exactly the cloned
+    // files, re-rendered into the clone's version-0 TSV (values are
+    // stored-form already — no enc/dec round trip)
+    val stats = {
+      val all = loadStats()
+      rels.flatMap { rel =>
+        all.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).map {
+          case (c, (kind, mn, mx)) =>
+            s"${enc(rel)}\t${enc(c)}\t$kind\t$mn\t$mx"
+        }
+      }
+    }
+    // bloom sidecars: link per-file filters of cloned files (best-effort
+    // like their build)
+    try {
+      val srcBlooms = Option(bloomDir.listFiles()).getOrElse(Array.empty)
+      val stems = rels.map(escName(_) + ".").toSet
+      val wanted = srcBlooms.filter(f =>
+        stems.exists(s => f.getName.startsWith(s)))
+      if (wanted.nonEmpty) {
+        Files.createDirectories(dest.bloomDir.toPath)
+        wanted.foreach { f =>
+          val dst = new File(dest.bloomDir, f.getName).toPath
+          try Files.createLink(dst, f.toPath)
+          catch { case _: Throwable => Files.copy(f.toPath, dst) }
+        }
+      }
+    } catch { case _: Throwable => () }
+    val action = if (snap.merged) "clone-evolve" else "clone"
+    val entry = Commit(0L, action, rels ++ snap.cts, Nil,
+      System.currentTimeMillis())
+    require(dest.tryCommit(entry, stats),
+      s"clone destination raced: another writer committed to $destDir")
+    dest
   }
 
   /** Compact the current snapshot to `targetFiles` files — content

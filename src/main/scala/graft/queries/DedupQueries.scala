@@ -219,6 +219,43 @@ object DedupQueries {
             "train").otherwise("eval").as("split"))
     }))
 
+  // --------------------------------------- quality-aware canonical pick
+  /** Canonical selection a curation pipeline actually wants: instead of
+    * the arbitrary min-id keeper (`x_dedup_clusters`), keep the LONGEST
+    * member of each near-dup cluster (tie → min doc_id) — the usual
+    * "most complete version wins" policy when one copy is a truncated
+    * crawl of another. Keeper choice is one `max_by` aggregate over the
+    * (doc, cluster) pairs — |clusters| rows out — joined back, so no
+    * window function ever scans the corpus and the added cost at 100 TB
+    * is two key-only shuffles past what clustering already paid. */
+  private val keepBest = GraftQuery(
+    "x_dedup_keep_best",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      val clusters =
+        Dedup.clusterTable(docs.select(col("doc_id").as("id")), pairs)
+      val joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+      // struct max: longer doc wins, then smaller id (negated for max)
+      val keepers = joined.groupBy("cluster_id")
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), -col("doc_id"))).as("keeper"))
+      joined.join(keepers, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("keeper")).as("keep"))
+    },
+    Some(s"""$componentsCtes,
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM comp GROUP BY 1),
+      ranked AS (SELECT c.doc_id, c.cluster_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+                 FROM comp c JOIN documents d USING (doc_id))
+      SELECT r.doc_id, r.cluster_id, sz.cluster_size, r.rn = 1 AS keep
+      FROM ranked r JOIN sz USING (cluster_id)"""))
+
   // ------------------------------------------- inverted-index n-gram set
   private val ngramInverted = GraftQuery(
     "x_dedup_ngram_inverted",
@@ -494,6 +531,6 @@ object DedupQueries {
 
   val queries: Seq[GraftQuery] =
     Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
-      containment, clusterAssign, splitByCluster, dupNgramFraction,
+      containment, clusterAssign, splitByCluster, keepBest, dupNgramFraction,
       dupSpans, byteSpans, byteSpansFast, spanRemoval, lineDedup)
 }

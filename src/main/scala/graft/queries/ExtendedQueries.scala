@@ -1617,10 +1617,138 @@ object ExtendedQueries {
         round(col("o_totalprice"), 2).as("o_totalprice"))
       t.append(orders)
       t.addConstraint("price_nonneg", "o_totalprice >= 0")
+      // upsert of UNCHANGED rows: the rewrite (and its inline
+      // enforcement predicate) runs at full cost every timed run, while
+      // the read-back stays equal to `build`'s result (BenchBuildSpec)
       val batch = orders.where(col("o_orderkey") % 97 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") + 1.0, 2))
       () => { t.upsert(batch, Seq("o_orderkey")); t.read() }
     }))
+
+  // --------------------------------------------- TxTable: shallow clone
+  /** Shallow CLONE through the transactional table
+    * ([[graft.ops.TxTable.cloneTo]] — Delta's `CREATE TABLE … SHALLOW
+    * CLONE`): seed a source table across two commits, vector-delete a
+    * key range (so the clone must carry deletion vectors), clone, then
+    * DIVERGE both sides — overwrite the source (must not leak into the
+    * clone) and append a batch to the clone (must not leak into the
+    * source). The result is the clone's head; the oracle derives the
+    * same content relationally, so a clone that sees post-clone source
+    * writes, loses its vectors, or drops its own append breaks the
+    * hash. Zero data bytes move at clone time — O(files) hard links
+    * (`TxTableSpec` pins link identity, vacuum survival, carried
+    * stats/constraints). */
+  private val txClone = GraftQuery(
+    "k20_tx_clone",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txclone-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      t.append(customer.where(col("c_custkey") % 2 === 0))
+      t.append(customer.where(col("c_custkey") % 2 === 1))
+      t.deleteVectorBetween("c_custkey", 1L, 100L)
+      val c = t.cloneTo(s"$dir/clone")
+      // post-clone divergence, both directions
+      t.overwrite(customer.limit(3))
+      c.append(customer.where(col("c_custkey").between(1L, 50L)))
+      c.read()
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+              ROUND(c_acctbal, 2) AS c_acctbal
+            FROM customer WHERE c_custkey NOT BETWEEN 1 AND 100
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+              ROUND(c_acctbal, 2) AS c_acctbal
+            FROM customer WHERE c_custkey BETWEEN 1 AND 50"""),
+    bench = false,
+    // timed region = the CLONE OP ITSELF (fresh dest every run) plus
+    // the divergence append and head read — the zero-copy claim is
+    // precisely that this costs metadata + scan, never a data rewrite;
+    // content reproduces `build`'s result exactly (BenchBuildSpec)
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txclone-b-").toString
+      val t = graft.ops.TxTable(s, s"$dir/customer")
+      val customer = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      t.append(customer.where(col("c_custkey") % 2 === 0))
+      t.append(customer.where(col("c_custkey") % 2 === 1))
+      t.deleteVectorBetween("c_custkey", 1L, 100L)
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      () => {
+        val c = t.cloneTo(s"$dir/clone-${n.getAndIncrement()}")
+        c.append(customer.where(col("c_custkey").between(1L, 50L)))
+        c.read()
+      }
+    }))
+
+  // ------------------------------------------------------------- A33
+  /** WITH RECURSIVE (Spark 4's recursive CTE — the SQL-surface gap that
+    * historically forced iterative driver loops): every part climbs the
+    * implicit binary-tree hierarchy `node → node DIV 2` to the root,
+    * and the rollup counts members and sums leaf keys per depth. The
+    * recursion depth is ⌈log₂(max key)⌉ — bounded and data-independent
+    * per level, each iteration one distributed self-join, which is how
+    * a recursive CTE should behave at scale (the engine's iterative
+    * twin for UNBOUNDED graphs stays [[graft.ops.Dedup.connectedComponents]]
+    * with its per-round checkpointing; `x_dedup_clusters`). DuckDB runs
+    * the identical recursion as the oracle. */
+  private val recursiveCte = GraftQuery(
+    "a33_recursive_cte",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("graft_part_v")
+      s.sql("""WITH RECURSIVE anc(leaf, node, depth) AS (
+                 SELECT p_partkey, p_partkey, 0 FROM graft_part_v
+                 UNION ALL
+                 SELECT leaf, node DIV 2, depth + 1 FROM anc WHERE node > 1)
+               SELECT depth, COUNT(*) AS n, SUM(leaf) AS leaf_sum
+               FROM anc GROUP BY depth""")
+    },
+    Some("""WITH RECURSIVE anc(leaf, node, depth) AS (
+              SELECT p_partkey, p_partkey, 0 FROM part
+              UNION ALL
+              SELECT leaf, node // 2, depth + 1 FROM anc WHERE node > 1)
+            SELECT CAST(depth AS INTEGER) AS depth,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(leaf) AS BIGINT) AS leaf_sum
+            FROM anc GROUP BY depth"""))
+
+  // ------------------------------------------------------------- U16
+  /** VARIANT — Spark 4's open-format semi-structured type (the
+    * Delta/Iceberg-v3 shredding story): each event's JSON props plus
+    * typed columns are re-encoded as ONE variant value, and the query
+    * reads typed fields back out with `variant_get` path extraction
+    * (nested object + array index). Binary variant access is
+    * scan-stage column work — no UDF, no string re-parse per field.
+    * The oracle re-derives the aggregates from the raw columns, so a
+    * wrong extraction path, a lost type, or a null-eating cast breaks
+    * the hash. */
+  private val variantJson = GraftQuery(
+    "u16_variant_json",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("graft_events_var_v")
+      s.sql("""WITH payload AS (
+                 SELECT parse_json(to_json(named_struct(
+                          'meta', named_struct(
+                            'type', event_type,
+                            'k', CAST(get_json_object(props, '$.k') AS BIGINT)),
+                          'vals', array(CAST(value AS DOUBLE),
+                                        CAST(value AS DOUBLE) * 2.0)))) AS v
+                 FROM graft_events_var_v)
+               SELECT variant_get(v, '$.meta.type', 'string') AS etype,
+                 COUNT(*) AS n,
+                 SUM(variant_get(v, '$.meta.k', 'long')) AS k_sum,
+                 ROUND(SUM(variant_get(v, '$.vals[1]', 'double')), 2) AS v2_sum
+               FROM payload GROUP BY 1""")
+    },
+    Some("""SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS k_sum,
+              ROUND(SUM(value * 2.0), 2) AS v2_sum
+            FROM events GROUP BY 1"""))
 
   val queries: Seq[GraftQuery] = Seq(
     existsSubquery, windowFrames, argmax, scd2Merge, jsonRoundtrip,
@@ -1632,5 +1760,6 @@ object ExtendedQueries {
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
     txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses,
-    txMergeMultiKey, txBinPack, txConstraints)
+    txMergeMultiKey, txBinPack, txConstraints, txClone, recursiveCte,
+    variantJson)
 }

@@ -995,6 +995,79 @@ class TxTableSpec extends SparkTestBase {
     assert(feed.count() === 5)
     assert(feed.where(col("_change_type") =!= "insert").count() === 0)
   }
+
+  // ------------------------------------------------------ shallow clone
+  test("clone: zero-copy content snapshot; both sides evolve independently") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 20))
+    val c = t.cloneTo(s"$dir-clone")
+    assert(c.read().count() === 20)
+    // hard links, not copies: every cloned data file has link count ≥ 2
+    val rel = c.snapshot().files.head
+    val nlink = Files.getAttribute(
+      java.nio.file.Paths.get(rel), "unix:nlink")
+      .asInstanceOf[Number].intValue()
+    assert(nlink >= 2, s"expected a hard link, nlink=$nlink")
+    // divergence: source overwrite invisible to clone, clone append
+    // invisible to source
+    t.overwrite(df(0 until 1))
+    c.append(df(100 until 105))
+    assert(t.read().count() === 1)
+    assert(c.read().count() === 25)
+  }
+
+  test("clone: carries deletion vectors, constraints, and skipping stats") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    // two stats-disjoint files + a DV delete + an active constraint
+    t.append(df(0 until 100).coalesce(1))
+    t.append(df(100 until 200).coalesce(1))
+    t.deleteVectorBetween("id", 0L, 4L)
+    t.addConstraint("id_nonneg", "id >= 0")
+    val c = t.cloneTo(s"$dir-clone")
+    // vectors applied on the clone's reads
+    assert(c.read().count() === 195)
+    // constraint enforced on the clone
+    intercept[Exception] {
+      c.append(Seq((-1L, "bad")).toDF("id", "payload"))
+    }
+    assert(c.constraints.contains("id_nonneg"))
+    // per-file min/max stats carried: a range read prunes to one file
+    val pruned = c.prunedSnapshot("id", Some(150L), Some(160L))
+    assert(pruned.files.size === 1,
+      s"stats should prune to 1 of 2 files, kept ${pruned.files.size}")
+  }
+
+  test("clone: survives source vacuum (link counts keep bytes alive)") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))
+    val c = t.cloneTo(s"$dir-clone")
+    // source rewrites everything, then vacuums its old files away
+    t.overwrite(df(500 until 503))
+    val reclaimed = t.vacuum(retainVersion = 1, minAgeMs = 0L)
+    assert(reclaimed.nonEmpty, "source vacuum should reclaim the old file")
+    // the clone still reads its full snapshot — unlike a path-based
+    // shallow clone, which source vacuum corrupts
+    assert(c.read().count() === 10)
+  }
+
+  test("clone: of a historical version and of an evolved table") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 30))
+    // clone v0 only
+    val c0 = t.cloneTo(s"$dir-clone-v0", version = 0L)
+    assert(c0.read().count() === 10)
+    // evolved source: clone keeps footer-merging reads (null-fill)
+    t.appendEvolve(Seq((1000L, "x", 7)).toDF("id", "payload", "extra"))
+    val ce = t.cloneTo(s"$dir-clone-ev")
+    assert(ce.read().columns.toSet === Set("id", "payload", "extra"))
+    assert(ce.read().where(col("extra").isNull).count() === 30)
+    // empty destination required
+    intercept[Exception] { t.cloneTo(s"$dir-clone-ev") }
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through
