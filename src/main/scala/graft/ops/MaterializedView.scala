@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incrementally maintained GROUP-BY materialized view over a
+  * [[TxTable]] — the "materialized view maintenance" half of the
+  * lakehouse design (Delta Live Tables / Snowflake MVs): the view's
+  * aggregate state is itself a TxTable, and each refresh folds ONLY the
+  * base table's row-level changes since the last refresh into it,
+  * never rescanning base history.
+  *
+  * Maintained aggregates are the self-maintainable group homomorphisms
+  * COUNT(*) (`n_rows`) and SUM (`<col>_sum`): an insert adds, a delete
+  * subtracts, an update is its CDF delete+insert pair — so every base
+  * write shape ([[TxTable.append]], [[TxTable.deleteVectorWhere]],
+  * [[TxTable.upsert]], [[TxTable.merge]], restore) maintains correctly
+  * through one code path. AVG is derivable (`sum/n_rows`); MIN/MAX are
+  * deliberately out — they are not maintainable under deletes without
+  * keeping per-group value multisets.
+  *
+  * Exactly-once without a sidecar: the refresh's OVERWRITE commit
+  * carries its applied-base-version watermark IN the commit action tag
+  * ([[TxTable.overwriteAs]], tag `mv-refresh-<v>`), so the state and
+  * the bookkeeping land in one atomic CAS. A crashed-and-replayed
+  * refresh sees `appliedVersion >= head` and no-ops; racing refreshers
+  * converge because each commit's content is a pure function of the
+  * window its tag names (the MV is always exactly "base aggregated as
+  * of its tag", whichever refresh lands last — a stale-but-consistent
+  * commit is caught up by the next refresh).
+  *
+  * Scale shape: the per-refresh cost is one CDF read of the changed
+  * window (appends shuffle-free, rewrites bounded by touched files) +
+  * one |groups|-row combine — base size never appears in the refresh
+  * cost, and the combine's full-outer join runs at MV cardinality,
+  * which AQE broadcasts when small. The MV rewrite itself is
+  * O(groups), the whole point of maintaining an aggregate instead of
+  * recomputing it.
+  */
+final class MaterializedView private (spark: SparkSession, base: TxTable,
+    mv: TxTable, groupCols: Seq[String], sumCols: Seq[String]) {
+
+  import MaterializedView._
+
+  /** Newest base version already folded in (from the refresh commits'
+    * action tags, newest wins); -1 = nothing applied yet. */
+  def appliedVersion: Long =
+    mv.commitLog.reverse.collectFirst {
+      case c if c.action.startsWith(Tag) =>
+        c.action.stripPrefix(Tag).toLong
+    }.getOrElse(-1L)
+
+  /** The view's current state: `groupCols…, n_rows, <sumCol>_sum…`. */
+  def read(): DataFrame = mv.read()
+
+  /** Fold base commits `(appliedVersion, head]` into the view. None =
+    * already current. First refresh aggregates the head snapshot
+    * directly (CDF from -1 would read the same rows as inserts). */
+  def refresh(): Option[TxTable.Commit] = {
+    val w = appliedVersion
+    val head = base.snapshot().version
+    if (head <= w) None
+    else {
+      val next =
+        if (w < 0L) fullAggregate(base.readAt(head))
+        else combine(mv.read(), deltaAggregate(base.readChanges(w, head)))
+      Some(mv.overwriteAs(s"$Tag$head", next))
+    }
+  }
+
+  /** Fold one pre-read CDF window ending at base version `upTo` —
+    * the streaming face ([[maintainStream]]'s per-batch apply). The
+    * watermark guard makes crash-replayed batches no-ops. */
+  def foldBatch(changes: DataFrame, upTo: Long): Option[TxTable.Commit] = {
+    val w = appliedVersion
+    if (upTo <= w) None
+    else {
+      val next =
+        if (w < 0L) combine(emptyState(), deltaAggregate(changes))
+        else combine(mv.read(), deltaAggregate(changes))
+      Some(mv.overwriteAs(s"$Tag$upTo", next))
+    }
+  }
+
+  /** Continuous maintenance: the base's streaming CHANGE FEED drives
+    * [[foldBatch]] per micro-batch. Restart-safe — the engine replays
+    * the last un-committed batch, whose watermark the fold then
+    * ignores. */
+  def maintainStream(checkpointDir: String): StreamingQuery =
+    spark.readStream.format("graft.sources.tx")
+      .option("path", base.tableDir)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          val upTo = df.agg(max(col("_commit_version"))).head.getLong(0)
+          foldBatch(df, upTo)
+          ()
+        }
+      }
+      .start()
+
+  // ------------------------------------------------------------ internals
+
+  private def aggNames: Seq[String] = NRows +: sumCols.map(_ + "_sum")
+
+  private def fullAggregate(df: DataFrame): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(NRows),
+        sumCols.map(c => sum(col(c)).as(c + "_sum")): _*)
+
+  /** Signed aggregate of a CDF frame: inserts +1, deletes -1. */
+  private def deltaAggregate(changes: DataFrame): DataFrame = {
+    val sign: Column =
+      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    changes.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as(NRows),
+        sumCols.map(c => sum(col(c) * sign).as(c + "_sum")): _*)
+  }
+
+  /** `current ⊕ delta`: full-outer on the group keys, null-safe adds,
+    * groups emptied by deletes dropped. Runs at MV cardinality. */
+  private def combine(current: DataFrame, delta: DataFrame): DataFrame = {
+    val d = aggNames.foldLeft(delta)((df, c) =>
+      df.withColumnRenamed(c, c + "_d"))
+    current.join(d, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ aggNames.map(c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(c + "_d"), lit(0L)))
+          .as(c)): _*)
+      .where(col(NRows) > 0L)
+  }
+
+  /** Zero-group state with the MV's exact schema — the fold base when
+    * the first window arrives through [[foldBatch]] (group/sum column
+    * types derive from the CHANGE frame itself, so no base read). */
+  private def emptyState(): DataFrame =
+    fullAggregate(base.snapshot().read(spark)).limit(0)
+}
+
+object MaterializedView {
+
+  /** Refresh commits' action-tag prefix; the rest is the applied base
+    * version. */
+  private[ops] val Tag = "mv-refresh-"
+
+  /** The maintained COUNT(*) column. */
+  val NRows = "n_rows"
+
+  /** Open (or create) the view state at `mvDir` over `base`, grouping
+    * by `groupCols` and maintaining `SUM(c) AS c_sum` per `sumCols`
+    * (plus `n_rows`). */
+  def apply(spark: SparkSession, base: TxTable, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String]): MaterializedView =
+    new MaterializedView(spark, base, TxTable(spark, mvDir),
+      groupCols, sumCols)
+}

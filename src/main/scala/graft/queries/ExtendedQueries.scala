@@ -1685,6 +1685,77 @@ object ExtendedQueries {
       }
     }))
 
+  // ----------------------------------- TxTable: incremental mat. view
+  /** Incrementally maintained materialized view
+    * ([[graft.ops.MaterializedView]] — the Delta Live Tables / MV
+    * maintenance shape): a per-supplier COUNT/SUM aggregate over a
+    * transactional lineitem table, refreshed from the table's CHANGE
+    * FEED only — the first refresh aggregates one commit, the second
+    * folds two appends plus a deletion-vector delete WITHOUT rescanning
+    * the first commit. The oracle recomputes the final aggregate from
+    * scratch relationally, so any double-fold, missed delete, or
+    * dropped group breaks the hash. Sums are carried in integer cents
+    * (exact under any fold order). Refresh cost is O(changed window) +
+    * O(groups) — base size never enters, which is the operator's whole
+    * point at 100 TB. */
+  private val txIncrementalMv = GraftQuery(
+    "k21_tx_incremental_mv",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmv-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("l_price_c"))
+      val mv = graft.ops.MaterializedView(s, base, s"$dir/mv",
+        Seq("l_suppkey"), Seq("l_qty", "l_price_c"))
+      base.append(li.where(col("l_orderkey") % 3 === 0))
+      mv.refresh()
+      base.append(li.where(col("l_orderkey") % 3 === 1))
+      base.append(li.where(col("l_orderkey") % 3 === 2))
+      base.deleteVectorBetween("l_orderkey", 1L, 500L)
+      mv.refresh()
+      mv.read().select(col("l_suppkey"), col("n_rows"),
+        col("l_qty_sum"), col("l_price_c_sum"))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS l_qty_sum,
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS l_price_c_sum
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1 AND 500
+            GROUP BY 1"""),
+    bench = false,
+    // timed region = ONE incremental maintenance cycle: a small append,
+    // the DV delete that cancels it, and the refresh that folds both —
+    // content returns to `build`'s state every run (BenchBuildSpec),
+    // so the number is the pure fold cost, never a growing table
+    benchBuild = Some((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmv-b-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("l_price_c"))
+      val mv = graft.ops.MaterializedView(s, base, s"$dir/mv",
+        Seq("l_suppkey"), Seq("l_qty", "l_price_c"))
+      base.append(li.where(col("l_orderkey") % 3 === 0))
+      mv.refresh()
+      base.append(li.where(col("l_orderkey") % 3 === 1))
+      base.append(li.where(col("l_orderkey") % 3 === 2))
+      base.deleteVectorBetween("l_orderkey", 1L, 500L)
+      mv.refresh()
+      val churn = li.limit(200).withColumn("l_orderkey", lit(-1L))
+      () => {
+        base.append(churn)
+        base.deleteVectorWhere("l_orderkey", -1L)
+        mv.refresh()
+        mv.read().select(col("l_suppkey"), col("n_rows"),
+          col("l_qty_sum"), col("l_price_c_sum"))
+      }
+    }))
+
   // ------------------------------------------------------------- A33
   /** WITH RECURSIVE (Spark 4's recursive CTE — the SQL-surface gap that
     * historically forced iterative driver loops): every part climbs the
@@ -1760,6 +1831,6 @@ object ExtendedQueries {
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
     txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses,
-    txMergeMultiKey, txBinPack, txConstraints, txClone, recursiveCte,
-    variantJson)
+    txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
+    recursiveCte, variantJson)
 }
