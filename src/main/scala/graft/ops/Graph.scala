@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge-list DataFrames. Connected
+  * components live in [[Dedup]] (min-label propagation for dedup
+  * clustering); this module carries PAGERANK — the canonical iterative
+  * link-analysis kernel (Brin & Page 1998), at training-data scale the
+  * standard page-importance signal for corpus curation (e.g. a crawl
+  * frontier or quality prior computed over the link graph of a 100 TB
+  * web snapshot).
+  *
+  * Scale shape: the edge list is normalized ONCE into
+  * `(src, dst, 1/outdeg)` and persisted; each iteration is then one
+  * join (ranks ⋈ weighted edges on src) + one aggregation (sum of
+  * contributions by dst) — two hash shuffles over edge cardinality,
+  * the same cost profile as a GraphX/Pregel superstep, with
+  * `localCheckpoint` per round to keep the plan flat (the same
+  * lineage-control pattern as [[Dedup.connectedComponents]]). Dangling
+  * mass (nodes with no out-edges) is summed into a ONE-ROW frame and
+  * broadcast back via crossJoin — never a driver-side collect in the
+  * loop, never a full materialization beyond the rank vector itself
+  * (O(nodes), the algorithm's irreducible state).
+  */
+object Graph {
+
+  /** PageRank with damping `d` over a directed edge list (`src`,
+    * `dst` columns, any consistent key type; parallel duplicate edges
+    * should be pre-deduped by the caller if unwanted — they are
+    * counted as weight). Runs EXACTLY `iterations` power-iteration
+    * rounds from the uniform vector — fixed rounds, not a convergence
+    * test, so results are deterministic and cross-engine checkable.
+    * Dangling nodes' mass is redistributed uniformly each round (the
+    * standard stochastic-matrix fix), so ranks always sum to 1. */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+
+    // out-degree weighted transition edges, built once for all rounds
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    val weighted = e.join(deg, "src")
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("__outdeg")).as("__w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    // nodes with no out-edges: their rank mass has nowhere to go and
+    // is teleported uniformly each round
+    val dangling = nodes.join(deg, col("node") === col("src"), "left_anti")
+      .localCheckpoint()
+
+    var ranks = nodes.withColumn("pr", lit(1.0 / n))
+    var round = 0
+    while (round < iterations) {
+      val contribs = weighted
+        .join(ranks, col("src") === col("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(col("pr") * col("__w")).as("__c"))
+      val dmass = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+      ranks = nodes
+        .join(contribs, col("node") === col("node2"), "left")
+        .crossJoin(broadcast(dmass)) // one-row scalar, broadcast
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") / lit(n))).as("pr"))
+        .localCheckpoint()
+      round += 1
+    }
+    ranks
+  }
+}

@@ -1478,6 +1478,131 @@ final class TxTable private (spark: SparkSession, dir: String,
       maxRetries: Int = 20): Commit =
     deleteBetween(column, value, value, maxRetries)
 
+  /** Copy-on-write UPDATE — the third leg of the DML triangle next to
+    * [[deleteBetween]] and [[merge]]: rows where `column` BETWEEN `lo`
+    * AND `hi` get `set`'s assignments applied, everything else is
+    * carried unchanged. Stats-pruned like DELETE: the logged per-file
+    * [min,max] ranges select the files that MAY hold matching rows and
+    * ONLY those are read and rewritten — untouched files are neither
+    * read nor mentioned in the commit entry, so a point update on a
+    * z-ordered 100 TB table rewrites a handful of files, not the
+    * table. A NULL in `column` makes the match predicate NULL, which
+    * does NOT match (the row is carried, not updated) — SQL UPDATE's
+    * WHERE semantics. Assignments may not invent columns or change a
+    * column's type (nullability-normalized name → type guard like
+    * [[merge]]'s, re-run per retry against that attempt's head), and
+    * updated rows pass the head's CHECK constraints inline — an UPDATE
+    * that would write a violating row fails the job, same as an
+    * append. Candidates are read with deletion vectors APPLIED so the
+    * rewrite never resurrects DV-deleted rows. Assignment expressions
+    * may reference any of the row's columns (`set("b", col("b") + 1)`
+    * is the increment shape); they evaluate against the PRE-update
+    * row, all-at-once like SQL `SET a = b, b = a`. */
+  def updateBetween(column: String, lo: Any, hi: Any,
+      set: Map[String, Column], maxRetries: Int = 20): Commit = {
+    require(set.nonEmpty, "UPDATE with no assignments is a no-op")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val pruned = pruneFiles(head, Seq((column, Option(lo), Option(hi))))
+      if (head.files.nonEmpty) {
+        val unknown = set.keySet -- head.read(spark).schema.fieldNames.toSet
+        require(unknown.isEmpty,
+          "UPDATE assigns column(s) the table does not have: " +
+            unknown.toSeq.sorted.mkString(", "))
+      }
+      val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
+      val staged =
+        if (pruned.files.isEmpty) Nil
+        else {
+          val base = readSnapshot(pruned)
+          // assignment types are checked BEFORE the when() merge with
+          // the old column — branch coercion would otherwise smuggle
+          // an implicit (ANSI, runtime-failing) cast past the guard
+          val assigned = typeMap(
+            base.select(set.toSeq.sortBy(_._1)
+              .map { case (c, v) => v.as(c) }: _*).schema)
+          val expect = typeMap(base.schema).filter(kv =>
+            set.contains(kv._1))
+          require(assigned == expect,
+            s"UPDATE changes column types: table has $expect, " +
+              s"assignments write $assigned (cast explicitly)")
+          val out = base.select(base.columns.toIndexedSeq.map { c =>
+            set.get(c) match {
+              case Some(v) =>
+                when(coalesce(matches, lit(false)), v)
+                  .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+          stage(enforced(out, ctMap(head)))
+        }
+      val c = Commit(pruned.version + 1, "update", staged,
+        pruned.files.map(_.stripPrefix(s"$dir/")),
+        System.currentTimeMillis())
+      buildBlooms(staged)
+      if (tryCommit(c, fileStats(staged))) return c
+      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      attempt += 1
+    }
+    sys.error(s"update contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Point UPDATE; same file-skipping contract as [[updateBetween]]. */
+  def updateWhere(column: String, value: Any, set: Map[String, Column],
+      maxRetries: Int = 20): Commit =
+    updateBetween(column, value, value, set, maxRetries)
+
+  /** Predicate OVERWRITE (Delta's `replaceWhere`): atomically replace
+    * exactly the rows where `column` BETWEEN `lo` AND `hi` with `df`,
+    * in one commit. Incoming rows must ALL satisfy the predicate — a
+    * row outside it fails the write job loudly (Delta's contract:
+    * replaceWhere never smuggles rows past the boundary it claims to
+    * scope; the check is an inline raise-on-violation filter riding
+    * the write scan, zero extra pass). Stats-pruned: only files that
+    * MAY hold matching rows are rewritten, with their non-matching
+    * rows carried; files wholly outside the range are untouched and
+    * unmentioned. The incoming frame passes the append schema guard
+    * and the head's CHECK constraints; candidates are read with
+    * deletion vectors applied. The canonical use is idempotent
+    * backfill: recompute one day / key range and swap it in without
+    * touching the rest of a 100 TB table — rerunning the same backfill
+    * converges instead of duplicating. */
+  def replaceBetween(df: DataFrame, column: String, lo: Any, hi: Any,
+      maxRetries: Int = 20): Commit = {
+    val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val scoped = df.filter(
+      when(!coalesce(matches, lit(false)),
+        raise_error(concat(
+          lit(s"replaceWhere: incoming row outside $column in " +
+            s"[$lo, $hi]: "),
+          to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
+        .otherwise(lit(true)))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      guardSchema(head, df)
+      val pruned = pruneFiles(head, Seq((column, Option(lo), Option(hi))))
+      val kept =
+        if (pruned.files.isEmpty) None
+        else Some(readSnapshot(pruned)
+          .where(!coalesce(matches, lit(false))))
+      val out = kept match {
+        case Some(k) => k.unionByName(scoped)
+        case None    => scoped
+      }
+      val staged = stage(enforced(out, ctMap(head)))
+      val c = Commit(pruned.version + 1, "replace", staged,
+        pruned.files.map(_.stripPrefix(s"$dir/")),
+        System.currentTimeMillis())
+      buildBlooms(staged)
+      if (tryCommit(c, fileStats(staged))) return c
+      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      attempt += 1
+    }
+    sys.error(s"replace contention: lost $maxRetries races in $logDir")
+  }
+
   /** MERGE-ON-READ delete — the deletion-vector half of the
     * Delta/Iceberg v2 design: instead of rewriting every file that
     * holds a matching row, commit a small DELETION VECTOR of

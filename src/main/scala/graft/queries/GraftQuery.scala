@@ -35,6 +35,7 @@ object Registry {
     Relational.queries ++ TrainingData.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       CorpusOps.queries ++ ExtendedQueries.queries ++
+      TxDmlQueries.queries ++ GraphQueries.queries ++
       ImmigrationBench.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Graph
+
+/** Link-analysis queries over graphs derived from the testdata. The
+  * supplier↔part incidence graph (distinct `lineitem` pairs, mirrored
+  * so the bipartite graph is symmetric and dangling-free) stands in
+  * for the web link graph a 100 TB corpus-curation pipeline scores:
+  * same edge-list representation, same per-iteration join+agg cost.
+  */
+object GraphQueries {
+
+  /** Fixed-round PageRank ([[graft.ops.Graph.pageRank]], 3 power
+    * iterations, d = 0.85) with the oracle's iterations UNROLLED as
+    * chained CTEs — each round is declaratively one contribution
+    * join + aggregate + teleport blend, which is exactly what the
+    * engine's loop executes distributedly. Ranks are scaled by the
+    * node count (values ~1) before rounding so the 6-decimal hash
+    * compare sits far above both engines' float-summation noise. */
+  private val pagerank = GraftQuery(
+    "x_graph_pagerank",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      val edges = base.union(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      val n = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct().count().toDouble
+      Graph.pageRank(edges, iterations = 3, damping = 0.85)
+        .select(col("node"), round(col("pr") * lit(n), 6).as("pr_n"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                   'p' || l_partkey AS dst FROM lineitem),
+            edges AS (SELECT src, dst FROM b
+                      UNION ALL SELECT dst AS src, src AS dst FROM b),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+            c1 AS (SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS c
+                   FROM edges e JOIN p0 p ON e.src = p.node
+                   JOIN deg d ON e.src = d.src GROUP BY e.dst),
+            p1 AS (SELECT no.node, 0.15 / (SELECT n FROM nn)
+                     + 0.85 * COALESCE(c1.c, 0) AS pr
+                   FROM nodes no LEFT JOIN c1 ON no.node = c1.node),
+            c2 AS (SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS c
+                   FROM edges e JOIN p1 p ON e.src = p.node
+                   JOIN deg d ON e.src = d.src GROUP BY e.dst),
+            p2 AS (SELECT no.node, 0.15 / (SELECT n FROM nn)
+                     + 0.85 * COALESCE(c2.c, 0) AS pr
+                   FROM nodes no LEFT JOIN c2 ON no.node = c2.node),
+            c3 AS (SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS c
+                   FROM edges e JOIN p2 p ON e.src = p.node
+                   JOIN deg d ON e.src = d.src GROUP BY e.dst),
+            p3 AS (SELECT no.node, 0.15 / (SELECT n FROM nn)
+                     + 0.85 * COALESCE(c3.c, 0) AS pr
+                   FROM nodes no LEFT JOIN c3 ON no.node = c3.node)
+            SELECT node, ROUND(pr * (SELECT n FROM nn), 6) AS pr_n
+            FROM p3"""))
+
+  def queries: Seq[GraftQuery] = Seq(pagerank)
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.TxTable
+
+/** Row-level DML over the transactional table: copy-on-write UPDATE
+  * ([[graft.ops.TxTable.updateBetween]]) and predicate overwrite
+  * ([[graft.ops.TxTable.replaceBetween]], Delta's `replaceWhere`).
+  * Both are stats-pruned rewrites — only files whose logged [min,max]
+  * range overlaps the predicate are read or rewritten — and both
+  * oracle queries check the ROW ALGEBRA (exactly the predicated rows
+  * changed, everything else carried bit-identical) against a DuckDB
+  * CASE/UNION re-derivation over the raw parquet; `TxTableSpec` pins
+  * the protocol side (file identity, CDF net-diffs, DV interaction,
+  * CHECK enforcement, the out-of-scope refusal).
+  */
+object TxDmlQueries {
+
+  /** Seed a throwaway TxTable with `customer` and return it. */
+  private def seeded(s: SparkSession, d: String, tag: String,
+      df: DataFrame): TxTable = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-").toString
+    val t = TxTable(s, s"$dir/t")
+    t.append(df)
+    t
+  }
+
+  // ----------------------------------------------------------------- K22
+  /** UPDATE WHERE key range: balances in the range get a flat credit
+    * and a segment re-tag; rows outside (and NULL-keyed rows, were
+    * there any) are carried unchanged. The oracle's CASE expression is
+    * the declarative statement of the same row algebra — hash equality
+    * proves the rewrite touched exactly the predicated rows. The BENCH
+    * variant seeds once untimed and times the update machinery (prune
+    * → rewrite → commit → read), the number that matters before anyone
+    * scales the DML path. */
+  private def runUpdate(t: TxTable): DataFrame = {
+    t.updateBetween("c_custkey", 100L, 500L, Map(
+      "c_acctbal" -> round(col("c_acctbal") + 1000.0, 2),
+      "c_mktsegment" -> lit("UPDATED")))
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  private val txUpdateWhere = GraftQuery(
+    "k22_tx_update_where",
+    (s, d) => runUpdate(seeded(s, d, "txupd", Tables.customer(s, d))),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(CASE WHEN c_custkey BETWEEN 100 AND 500
+                       THEN ROUND(c_acctbal + 1000.0, 2)
+                       ELSE c_acctbal END, 2) AS c_acctbal,
+            CASE WHEN c_custkey BETWEEN 100 AND 500
+                 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txupd-bench", Tables.customer(s, d))
+      () => runUpdate(t)
+    }))
+
+  // ----------------------------------------------------------------- K23
+  /** REPLACE WHERE key range — the idempotent-backfill shape: orders
+    * in the key range are recomputed (rebated price, re-tagged
+    * status) and atomically swapped in; every other row, including
+    * non-matching rows that share files with matching ones, is
+    * carried. Rerunning the same backfill converges (spec-pinned);
+    * here the oracle checks the single-run row algebra. */
+  private def backfill(t: TxTable): DataFrame =
+    t.read().where(col("o_orderkey").between(1000L, 5000L))
+      .withColumn("o_totalprice", round(col("o_totalprice") - 10000.0, 2))
+      .withColumn("o_orderstatus", lit("R"))
+
+  private def runReplace(t: TxTable): DataFrame = {
+    t.replaceBetween(backfill(t), "o_orderkey", 1000L, 5000L)
+    t.read().select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), round(col("o_totalprice"), 2).as("o_totalprice"))
+  }
+
+  private val txReplaceWhere = GraftQuery(
+    "k23_tx_replace_where",
+    (s, d) => runReplace(seeded(s, d, "txrepl", Tables.orders(s, d))),
+    Some("""SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey BETWEEN 1000 AND 5000
+                 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+            ROUND(CASE WHEN o_orderkey BETWEEN 1000 AND 5000
+                       THEN ROUND(o_totalprice - 10000.0, 2)
+                       ELSE o_totalprice END, 2) AS o_totalprice
+            FROM orders"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txrepl-bench", Tables.orders(s, d))
+      () => runReplace(t)
+    }))
+
+  // ------------------------------------------------------------- SCD2
+  /** Slowly-Changing-Dimension Type 2 batch apply
+    * ([[graft.ops.Scd2]]): the customer dimension is initialized as
+    * version-1 SCD2 state, then one batch lands carrying (a) CHANGED
+    * rows — spend-adjusted balances for active buyers, (b) NEW keys —
+    * shifted past the live key range, and (c) UNCHANGED rows —
+    * no-order customers resubmitted verbatim, which must NOT open a
+    * new version. The oracle re-derives all four row fates (carried /
+    * closed / opened / new-chain) declaratively; hash equality proves
+    * the version chains, validity stamps, and current flags all landed
+    * on exactly the right rows. */
+  private val scd2Apply = GraftQuery(
+    "x_scd2_apply",
+    (s, d) => {
+      val customer = Tables.customer(s, d)
+      val agg = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+      val changed = customer
+        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+        .where(col("n") > 3)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("total") - 800000.0, 2).as("c_acctbal"),
+          lit("SCD").as("c_mktsegment"))
+      val keyShift = customer
+        .agg(max(col("c_custkey"))).head().getLong(0) + 1L
+      val fresh = customer
+        .join(broadcast(agg), col("c_custkey") === col("o_custkey"))
+        .where(col("n") <= 2)
+        .select((col("c_custkey") + keyShift).as("c_custkey"),
+          col("c_name"), col("c_nationkey"),
+          round(col("total") - 800000.0, 2).as("c_acctbal"),
+          lit("SCD").as("c_mktsegment"))
+      val unchanged = customer.join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      val updates = changed.unionByName(fresh).unionByName(unchanged)
+      val state = graft.ops.Scd2.init(customer, version = 1L)
+      graft.ops.Scd2(state, updates, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"), version = 2L)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"),
+          col("_valid_from"), col("_valid_to"),
+          col("_current").cast("int").as("_current"))
+    },
+    Some("""WITH agg AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            chg AS (SELECT c_custkey, c_name, c_nationkey,
+                     ROUND(total - 800000.0, 2) AS c_acctbal,
+                     'SCD' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n > 3),
+            ins AS (SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer)
+                      + 1 AS c_custkey, c_name, c_nationkey,
+                     ROUND(total - 800000.0, 2) AS c_acctbal,
+                     'SCD' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n <= 2),
+            unch AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                      c_mktsegment FROM customer
+                     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)),
+            src AS (SELECT * FROM chg UNION ALL SELECT * FROM ins
+                    UNION ALL SELECT * FROM unch),
+            diff AS (SELECT t.c_custkey FROM customer t
+                     JOIN src s ON t.c_custkey = s.c_custkey
+                     WHERE t.c_acctbal IS DISTINCT FROM s.c_acctbal
+                        OR t.c_mktsegment IS DISTINCT FROM s.c_mktsegment)
+            -- carried: open rows not hit by a differing update
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+                   CAST(1 AS BIGINT) AS _valid_from,
+                   CAST(NULL AS BIGINT) AS _valid_to,
+                   1 AS _current
+            FROM customer WHERE c_custkey NOT IN (SELECT * FROM diff)
+            UNION ALL
+            -- closed: the differing keys' old rows, sealed at v2
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+                   CAST(1 AS BIGINT) AS _valid_from,
+                   CAST(2 AS BIGINT) AS _valid_to, 0 AS _current
+            FROM customer WHERE c_custkey IN (SELECT * FROM diff)
+            UNION ALL
+            -- opened: differing keys' new version + brand-new chains
+            SELECT s.c_custkey, s.c_name, s.c_nationkey,
+                   ROUND(s.c_acctbal, 2) AS c_acctbal, s.c_mktsegment,
+                   CAST(2 AS BIGINT) AS _valid_from,
+                   CAST(NULL AS BIGINT) AS _valid_to,
+                   1 AS _current
+            FROM src s
+            WHERE s.c_custkey IN (SELECT * FROM diff)
+               OR s.c_custkey NOT IN (SELECT c_custkey FROM customer)"""))
+
+  def queries: Seq[GraftQuery] =
+    Seq(txUpdateWhere, txReplaceWhere, scd2Apply)
+}

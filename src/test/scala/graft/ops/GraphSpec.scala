@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[Graph.pageRank]]: hand-computed fixtures (cycle, dangling chain,
+  * star), mass conservation, and determinism across runs. */
+class GraphSpec extends SparkTestBase {
+
+  private def edges(es: (String, String)*) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+    import spark.implicits._
+    df.as[(String, Double)].collect().toMap
+  }
+
+  test("cycle: uniform vector is stationary") {
+    val pr = ranks(Graph.pageRank(edges(
+      ("a", "b"), ("b", "c"), ("c", "a")), iterations = 5))
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("dangling chain: mass teleports, ranks sum to 1") {
+    // a -> b, b dangling; after one round from (.5, .5):
+    //   dangling mass = .5; contribs: b <- .5
+    //   pr(a) = .15/2 + .85*(0 + .25)  = .2875
+    //   pr(b) = .15/2 + .85*(.5 + .25) = .7125
+    val pr = ranks(Graph.pageRank(edges(("a", "b")), iterations = 1))
+    assert(math.abs(pr("a") - 0.2875) < 1e-12)
+    assert(math.abs(pr("b") - 0.7125) < 1e-12)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+  }
+
+  test("star: the hub out-ranks every spoke; mass conserved") {
+    val pr = ranks(Graph.pageRank(edges(
+      ("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+      ("hub", "s1"), ("hub", "s2"), ("hub", "s3")), iterations = 10))
+    assert(pr("hub") > pr("s1") * 2)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // spokes are symmetric
+    assert(math.abs(pr("s1") - pr("s2")) < 1e-12)
+  }
+
+  test("fixed iterations are deterministic across runs") {
+    val e = edges(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"))
+    val r1 = ranks(Graph.pageRank(e, iterations = 4))
+    val r2 = ranks(Graph.pageRank(e, iterations = 4))
+    assert(r1 === r2)
+  }
+}

@@ -1068,6 +1068,126 @@ class TxTableSpec extends SparkTestBase {
     // empty destination required
     intercept[Exception] { t.cloneTo(s"$dir-clone-ev") }
   }
+
+  test("updateBetween rewrites only stat-overlapping files; NULL keys carried") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    (0 until 4).foreach(i => t.append(df(i * 100 until i * 100 + 100)))
+    t.append(Seq((Option.empty[Long], "null-row")).toDF("id", "payload"))
+    val before = t.snapshot().files.toSet
+    t.updateBetween("id", 150L, 249L,
+      Map("payload" -> concat(lit("UPD:"), col("payload"))))
+    val after = t.snapshot().files.toSet
+    // files whose range never overlaps [150, 249] survive UNREWRITTEN;
+    // the all-null file has NO logged range, so pruning conservatively
+    // keeps it as a candidate (its null rows still come out unchanged —
+    // asserted below) — only range-known disjoint files must survive
+    val untouched = before.filter { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("id")), max(col("id"))).head()
+      !r.isNullAt(0) && (r.getLong(1) < 150L || r.getLong(0) > 249L)
+    }
+    assert(untouched.nonEmpty && untouched.subsetOf(after),
+      "files outside the update range were rewritten")
+    assert(t.read().count() === 401) // update never changes cardinality
+    assert(t.read().where(col("payload").startsWith("UPD:")).count() === 100)
+    // NULL in the predicate column = not matched = carried unchanged
+    assert(t.read().where(col("payload") === "null-row").count() === 1)
+    // time travel still sees pre-update content
+    assert(t.readAt(4).where(col("payload").startsWith("UPD:")).count() === 0)
+    // point face + self-referencing all-at-once assignment
+    t.updateWhere("id", 42L, Map("id" -> (col("id") * 1000L)))
+    assert(t.read().where(col("id") === 42000L).count() === 1)
+    assert(t.read().where(col("id") === 42L).count() === 0)
+  }
+
+  test("update refuses unknown columns and type-changing assignments") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    val e1 = intercept[IllegalArgumentException](
+      t.updateWhere("id", 3L, Map("nope" -> lit(1))))
+    assert(e1.getMessage.contains("does not have"))
+    val e2 = intercept[IllegalArgumentException](
+      t.updateWhere("id", 3L, Map("id" -> lit("string-now"))))
+    assert(e2.getMessage.contains("types"))
+  }
+
+  test("update enforces CHECK constraints and applies deletion vectors") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    t.addConstraint("payload_prefix", "payload LIKE 'row-%'")
+    // an update writing a violating row fails the write job
+    intercept[Exception] {
+      t.updateWhere("id", 3L, Map("payload" -> lit("BAD")))
+    }
+    assert(t.read().where(col("payload") === "BAD").count() === 0)
+    // DV-deleted rows are not resurrected by the update's rewrite
+    t.deleteVectorWhere("id", 5L)
+    t.updateBetween("id", 0L, 9L,
+      Map("payload" -> concat(col("payload"), lit("!"))))
+    assert(t.read().count() === 9)
+    assert(t.read().where(col("id") === 5L).count() === 0)
+    assert(t.read().where(col("payload") === "row-3!").count() === 1)
+  }
+
+  test("replaceBetween swaps exactly the range; out-of-scope rows refused") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    (0 until 4).foreach(i => t.append(df(i * 100 until i * 100 + 100)))
+    val before = t.snapshot().files.toSet
+    // recompute ids 150-249 as a backfill with new payloads
+    val backfill = (150 until 250)
+      .map(i => (i.toLong, s"backfill-$i")).toDF("id", "payload")
+    t.replaceBetween(backfill, "id", 150L, 249L)
+    val after = t.snapshot().files.toSet
+    val untouched = before.filter { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("id")), max(col("id"))).head()
+      r.getLong(1) < 150L || r.getLong(0) > 249L
+    }
+    assert(untouched.subsetOf(after),
+      "files outside the replace range were rewritten")
+    assert(t.read().count() === 400)
+    assert(t.read().where(col("payload").startsWith("backfill-"))
+      .count() === 100)
+    // rows of overlapping files OUTSIDE the predicate are carried
+    assert(t.read().where(col("id") === 100L).select("payload")
+      .head().getString(0) === "row-100")
+    // idempotent: re-running the same backfill converges
+    t.replaceBetween(backfill, "id", 150L, 249L)
+    assert(t.read().count() === 400)
+    // an incoming row outside the predicate fails loudly
+    val smuggle = Seq((999L, "outside")).toDF("id", "payload")
+    val e = intercept[Exception] {
+      t.replaceBetween(smuggle, "id", 150L, 249L)
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(messages.exists(_.contains("replaceWhere")))
+    // time travel: pre-replace content intact
+    assert(t.readAt(3).where(col("payload").startsWith("backfill-"))
+      .count() === 0)
+  }
+
+  test("update and replace net-diff correctly in the change feed") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10)) // v0
+    t.updateWhere("id", 3L,
+      Map("payload" -> lit("CHANGED"))) // v1: rewrite, 1 real change
+    val v1 = t.readChanges(0, 1)
+      .select("_change_type", "id", "payload").as[(String, Long, String)]
+      .collect().toSet
+    assert(v1 === Set(("insert", 3L, "CHANGED"), ("delete", 3L, "row-3")))
+    t.replaceBetween(Seq((7L, "SWAPPED")).toDF("id", "payload"),
+      "id", 7L, 8L) // v2: 7 replaced, 8 deleted, rest carried
+    val v2 = t.readChanges(1, 2)
+      .select("_change_type", "id", "payload").as[(String, Long, String)]
+      .collect().toSet
+    assert(v2 === Set(("insert", 7L, "SWAPPED"), ("delete", 7L, "row-7"),
+      ("delete", 8L, "row-8")))
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through
