@@ -80,7 +80,7 @@ object TxTable {
     * (`ct-…`, see [[TxTable.encodeCt]]) — log entries, never files. */
   final case class Snapshot(version: Long, files: Seq[String],
       dvs: Seq[String], base: String, merged: Boolean = false,
-      cts: Seq[String] = Nil) {
+      cts: Seq[String] = Nil, cms: Seq[String] = Nil) {
     /** RAW read of the data files — deletion vectors NOT applied (used
       * for schema resolution and wherever `dvs` is known empty; the
       * table's own read methods apply them). `basePath` keeps
@@ -128,6 +128,41 @@ object TxTable {
       java.util.Base64.getUrlDecoder.decode(body.drop(i + 1)),
       StandardCharsets.UTF_8))
   }
+
+  // -------------------------------------------- column-mapping tokens
+  /** COLUMN MAPPING rides the commit log exactly like constraints:
+    * metadata tokens in the add/remove lists, zero log-format change.
+    * `cm-<b64(logical)>.<b64(physical)>` records that logical column
+    * name → on-disk (parquet) column name; `cmx-<b64(physical)>` is a
+    * tombstone for a DROPPED physical column (still present in old
+    * files, excluded from every read). Physical names never change
+    * after a column is born — a RENAME is a pure metadata commit, the
+    * Delta column-mapping ('name' mode) design that makes renaming a
+    * column on a 100 TB table an O(1) operation instead of a rewrite. */
+  private[ops] def isCmName(rel: String): Boolean = rel.startsWith("cm-")
+  private[ops] def isCmxName(rel: String): Boolean = rel.startsWith("cmx-")
+
+  private def b64(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s),
+      StandardCharsets.UTF_8)
+
+  private[ops] def encodeCm(logical: String, physical: String): String =
+    "cm-" + b64(logical) + "." + b64(physical)
+
+  private[ops] def decodeCm(token: String): (String, String) = {
+    val body = token.stripPrefix("cm-")
+    val i = body.indexOf('.')
+    (unb64(body.take(i)), unb64(body.drop(i + 1)))
+  }
+
+  private[ops] def encodeCmx(physical: String): String =
+    "cmx-" + b64(physical)
+
+  private[ops] def decodeCmx(token: String): String =
+    unb64(token.stripPrefix("cmx-"))
 
   /** Open (or initialize) a transactional table rooted at `dir`, with
     * the default POSIX hard-link commit CAS ([[LogStore.HardLink]]). */
@@ -235,7 +270,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     val active = cs.foldLeft(ck.map(_.add.toVector).getOrElse(Vector.empty)) {
       (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
-    val (ctRel, fileRel) = active.partition(isCtName)
+    val (ctRel, rest0) = active.partition(isCtName)
+    val (cmRel, fileRel) = rest0.partition(r =>
+      isCmName(r) || isCmxName(r))
     val (dvRel, dataRel) = fileRel.partition(isDvName)
     // evolved-schema marker survives checkpointing: the checkpoint
     // entry's action records whether any evolve preceded it
@@ -245,7 +282,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       cs.lastOption.map(_.version)
         .orElse(ck.map(_.version)).getOrElse(-1L),
       dataRel.map(f => s"$dir/$f"), dvRel.map(f => s"$dir/$f"), dir,
-      merged = evolved, cts = ctRel)
+      merged = evolved, cts = ctRel, cms = cmRel)
   }
 
   /** DESCRIBE HISTORY: one row per commit, newest first — version,
@@ -323,8 +360,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       enforcedCts: Map[String, String], files: Seq[String]): Unit = {
     val missed = ctMap(base) -- enforcedCts.keys
     if (missed.nonEmpty && files.nonEmpty) {
-      val content = spark.read.option("basePath", dir)
-        .parquet(files.map(n => s"$dir/$n"): _*)
+      // staged files carry PHYSICAL names; constraints speak logical
+      val content = toLogical(spark.read.option("basePath", dir)
+        .parquet(files.map(n => s"$dir/$n"): _*), base)
       missed.foreach { case (n, e) =>
         require(content.where(violation(e)).limit(1).count() == 0L,
           s"CHECK constraint '$n' ($e) was added concurrently and the " +
@@ -387,6 +425,118 @@ final class TxTable private (spark: SparkSession, dir: String,
       attempt += 1
     }
     sys.error(s"dropConstraint contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Does constraint expression `e` still ANALYZE against `df`'s
+    * schema with `without` removed? A plain `df.drop(without).where(e)`
+    * probe is defeated by the analyzer's missing-reference resolution
+    * (a filter may reference columns its child projection dropped), so
+    * the probe frame is built FRESH from the reduced schema — nothing
+    * upstream to resolve through. */
+  private def resolvesWithout(df: DataFrame, without: String,
+      e: String): Boolean = {
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == without)))
+    try { probe.where(violation(e)).schema; true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+  }
+
+  // ------------------------------------------------- column mapping DDL
+  /** Active non-identity logical → physical column mapping (empty on
+    * tables that never renamed). */
+  def columnMapping: Map[String, String] = cmMap(snapshot())
+
+  /** Physical names of dropped columns still present in old files. */
+  def droppedColumns: Set[String] = cmDropped(snapshot())
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta column mapping,
+    * 'name' mode): no file is read or rewritten — the commit records
+    * `newName → <physical>` where the physical name is the column's
+    * original on-disk name, fixed at birth. Every read surfaces the
+    * physical column under its current logical name; every write
+    * translates back, so all data files of the table agree on physical
+    * names forever. Logged stats, bloom sidecars, and partition paths
+    * all stay valid because they are keyed by the physical name.
+    * Time travel to a pre-rename version sees the old name (the token
+    * replays with the log). Refused when: `oldName` does not exist,
+    * `newName` already exists, `newName` collides with a physical name
+    * old files still carry, or an active CHECK constraint references
+    * `oldName` (the expression would silently stop resolving). The
+    * streaming source treats a rename like any non-append commit —
+    * fail by default, `skipChangeCommits` to ride past. */
+  def renameColumn(oldName: String, newName: String,
+      maxRetries: Int = 20): Commit = {
+    require(oldName != newName, s"rename to the same name: $oldName")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      require(head.files.nonEmpty, "cannot rename on an empty table")
+      val logicalDf = toLogical(head.read(spark), head)
+      val logical = logicalDf.schema.fieldNames.toSet
+      require(logical.contains(oldName),
+        s"no column '$oldName' (table has ${logical.toSeq.sorted
+          .mkString(", ")})")
+      require(!logical.contains(newName),
+        s"column '$newName' already exists")
+      val m = cmMap(head)
+      val reserved = m.values.toSet ++ cmDropped(head)
+      require(!reserved.contains(newName),
+        s"'$newName' is a physical name old files still carry (a " +
+          "renamed column's original name or a dropped column) — " +
+          "pick another name")
+      ctMap(head).foreach { case (n, e) =>
+        require(resolvesWithout(logicalDf, oldName, e),
+          s"CHECK constraint '$n' ($e) references '$oldName' — drop " +
+            "or re-create the constraint around the rename")
+      }
+      val phys = m.getOrElse(oldName, oldName)
+      val c = Commit(head.version + 1, "rename",
+        Seq(TxTable.encodeCm(newName, phys)),
+        m.get(oldName).map(_ => TxTable.encodeCm(oldName, phys)).toSeq,
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"renameColumn contention: lost $maxRetries races in $logDir")
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the physical column stays
+    * in every existing file (no rewrite — the 100 TB point of column
+    * mapping) and a tombstone token excludes it from every read; the
+    * bytes are reclaimed progressively as rewrites and compactions
+    * churn the files. Re-introducing the same logical name later is
+    * REFUSED by the evolve guard (old files would resurrect the
+    * dropped data under it) — rename the new column instead. Refused
+    * when the column does not exist, is the table's last column, or an
+    * active CHECK constraint references it. */
+  def dropColumn(name: String, maxRetries: Int = 20): Commit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      require(head.files.nonEmpty, "cannot drop a column on an empty table")
+      val logicalDf = toLogical(head.read(spark), head)
+      val logical = logicalDf.schema.fieldNames.toSet
+      require(logical.contains(name),
+        s"no column '$name' (table has ${logical.toSeq.sorted
+          .mkString(", ")})")
+      require(logical.size >= 2, "cannot drop the table's last column")
+      ctMap(head).foreach { case (n, e) =>
+        require(resolvesWithout(logicalDf, name, e),
+          s"CHECK constraint '$n' ($e) references '$name' — drop the " +
+            "constraint first")
+      }
+      val m = cmMap(head)
+      val phys = m.getOrElse(name, name)
+      val c = Commit(head.version + 1, "dropcol",
+        Seq(TxTable.encodeCmx(phys)),
+        m.get(name).map(_ => TxTable.encodeCm(name, phys)).toSeq,
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"dropColumn contention: lost $maxRetries races in $logDir")
   }
 
   def read(): DataFrame = readSnapshot(snapshot())
@@ -456,7 +606,58 @@ final class TxTable private (spark: SparkSession, dir: String,
       t
     })
 
+  // ---------------------------------------------------- column mapping
+  /** Active logical → physical name map of `s` (non-identity entries
+    * only; every unmapped column's physical name IS its logical name). */
+  private def cmMap(s: Snapshot): Map[String, String] =
+    s.cms.filter(TxTable.isCmName).map(TxTable.decodeCm).toMap
+
+  /** Physical names of DROPPED columns: still present in old files,
+    * excluded from every read. */
+  private def cmDropped(s: Snapshot): Set[String] =
+    s.cms.filter(TxTable.isCmxName).map(TxTable.decodeCmx).toSet
+
+  /** A PHYSICAL frame (raw parquet column names) as its LOGICAL view
+    * under `s`'s mapping: renamed physicals surface under their
+    * logical names, dropped physicals disappear, everything else
+    * (including non-table columns like CDF tags) passes through. A
+    * zero-mapping table short-circuits to the frame itself — the
+    * overwhelmingly common case pays nothing. */
+  private[graft] def toLogical(df: DataFrame, s: Snapshot): DataFrame = {
+    val m = cmMap(s)
+    val dropped = cmDropped(s)
+    if (m.isEmpty && dropped.isEmpty) df
+    else {
+      val inv = m.map(_.swap)
+      df.select(df.columns.toIndexedSeq.flatMap { p =>
+        if (dropped.contains(p)) None
+        else Some(inv.get(p).map(l => col(p).as(l)).getOrElse(col(p)))
+      }: _*)
+    }
+  }
+
+  /** A LOGICAL frame renamed to its on-disk PHYSICAL column names —
+    * applied immediately before every staged write, so ALL data files
+    * of a table always agree on physical names whatever renames
+    * happened logically. */
+  private def toPhysical(df: DataFrame, s: Snapshot): DataFrame = {
+    val m = cmMap(s)
+    if (m.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      m.get(c).map(p => col(c).as(p)).getOrElse(col(c))
+    }: _*)
+  }
+
+  /** The physical (on-disk, stats-key) name of logical `column`. */
+  private def physName(s: Snapshot, column: String): String =
+    cmMap(s).getOrElse(column, column)
+
   private def readSnapshot(s: Snapshot): DataFrame =
+    toLogical(readSnapshotRaw(s), s)
+
+  /** [[readSnapshot]] BEFORE mapping translation: physical column
+    * names, deletion vectors applied. */
+  private def readSnapshotRaw(s: Snapshot): DataFrame =
     if (s.files.isEmpty || s.dvs.isEmpty) s.read(spark)
     else {
       val touched = touchedFiles(s.dvs)
@@ -535,9 +736,10 @@ final class TxTable private (spark: SparkSession, dir: String,
   def readChanges(fromVersion: Long,
       toVersion: Long = Long.MaxValue): DataFrame = {
     val cs = commitsBetween(fromVersion, toVersion)
-      // compaction is content-identical; a constraint commit is
-      // metadata-only — neither contributes row changes
-      .filterNot(c => c.action == "compact" || c.action == "constraint")
+      // compaction is content-identical; constraint and column-mapping
+      // commits are metadata-only — none contributes row changes
+      .filterNot(c => c.action == "compact" || c.action == "constraint" ||
+        c.action == "rename" || c.action == "dropcol")
     val changes = cs.flatMap { c =>
       def tag(df: DataFrame, typ: String) =
         df.withColumn("_change_type", lit(typ))
@@ -599,9 +801,14 @@ final class TxTable private (spark: SparkSession, dir: String,
     // append ([[appendEvolve]]) — rows from pre-evolve commits carry
     // null for columns that did not exist yet, exactly like the
     // merged-footer table read
+    // feed frames are built from RAW file reads (physical names):
+    // surface them under the HEAD's logical names — Delta's CDF
+    // contract under column mapping (the tags pass through untouched)
+    val head = snapshot()
     changes.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(toLogical(_, head))
       .getOrElse(
-      snapshot().read(spark)
+      toLogical(head.read(spark), head)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0))
   }
@@ -1007,9 +1214,12 @@ final class TxTable private (spark: SparkSession, dir: String,
   private[ops] def pruneFiles(snap: Snapshot,
       preds: Seq[(String, Option[Any], Option[Any])]): Snapshot = {
     val stats = loadStats()
+    // predicates arrive with LOGICAL names; stats and blooms are keyed
+    // by the PHYSICAL names the files were written with
+    val phys = preds.map { case (c, lo, hi) => (physName(snap, c), lo, hi) }
     val sel = snap.files.filter { full =>
       val rel = full.stripPrefix(s"$dir/")
-      preds.forall { case (column, lo, hi) =>
+      phys.forall { case (column, lo, hi) =>
         val isPoint = lo.isDefined && hi.isDefined && lo == hi
         val statsKeep = stats.get(rel).flatMap(_.get(column)) match {
           case Some((kind, mn, mx)) => mayOverlap(kind, mn, mx, lo, hi)
@@ -1018,7 +1228,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         statsKeep && (!isPoint || bloomMayContain(rel, column, lo.get))
       }
     }
-    Snapshot(snap.version, sel, snap.dvs, dir, snap.merged)
+    Snapshot(snap.version, sel, snap.dvs, dir, snap.merged,
+      snap.cts, snap.cms)
   }
 
   /** Point read with file skipping: only files whose logged range can
@@ -1042,9 +1253,10 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) try {
       val s = snapshotAt(version)
-      // data + dv files + constraint tokens in one list: replay splits
-      // them back by prefix
-      val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/")) ++ s.cts
+      // data + dv files + constraint and column-mapping tokens in one
+      // list: replay splits them back by prefix
+      val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/")) ++
+        s.cts ++ s.cms
       val c = Commit(version, if (s.merged) "ckpt-evolve" else "ckpt",
         files, Nil, System.currentTimeMillis())
       store.putIfAbsent(ckptFile(version),
@@ -1084,7 +1296,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     * schema inference reads parquet footers only. */
   private def guardSchema(base: Snapshot, df: DataFrame): Unit =
     if (base.files.nonEmpty) {
-      val existing = typeMap(base.read(spark).schema)
+      // incoming frames speak LOGICAL names; compare against the
+      // mapping-applied view of the table
+      val existing = typeMap(toLogical(base.read(spark), base).schema)
       val incoming = typeMap(df.schema)
       require(existing == incoming,
         s"append schema mismatch: table has $existing, incoming $incoming")
@@ -1098,7 +1312,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     * against that attempt's head. */
   private def guardSchemaEvolve(base: Snapshot, df: DataFrame): Unit =
     if (base.files.nonEmpty) {
-      val existing = typeMap(base.read(spark).schema)
+      val existing = typeMap(toLogical(base.read(spark), base).schema)
       val incoming = typeMap(df.schema)
       val clashes = incoming.keySet.intersect(existing.keySet)
         .filter(k => incoming(k) != existing(k))
@@ -1106,6 +1320,18 @@ final class TxTable private (spark: SparkSession, dir: String,
         s"evolve append changes column TYPES (only adding/omitting " +
           s"columns is schema evolution): ${clashes.map(k =>
             s"$k: ${existing(k)} -> ${incoming(k)}").mkString(", ")}")
+      // a NEW logical column must not collide with a physical name
+      // that old files still carry (a renamed column's original name,
+      // or a dropped column) — identity-writing it would resurrect
+      // that old data under the new column on merged reads
+      val m = cmMap(base)
+      val reserved = m.values.toSet ++ cmDropped(base)
+      val clash = df.columns.toSet.filterNot(m.contains)
+        .intersect(reserved)
+      require(clash.isEmpty,
+        s"evolve append re-introduces ${clash.toSeq.sorted.mkString(", ")}" +
+          ": the name is a renamed column's physical alias or a dropped " +
+          "column still present in old files — pick another name")
     }
 
   private def commitAppend(files: Seq[String], df: DataFrame,
@@ -1139,8 +1365,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     * [[guardSchema]]), so a concurrent overwrite that changes the
     * table's schema cannot let a now-mismatched append land. */
   def append(df: DataFrame, maxRetries: Int = 50): Commit = {
-    val cts = ctMap(snapshot())
-    commitAppend(stage(enforced(df, cts)), df, maxRetries,
+    val s0 = snapshot()
+    val cts = ctMap(s0)
+    commitAppend(stage(toPhysical(enforced(df, cts), s0)), df, maxRetries,
       enforcedCts = cts)
   }
 
@@ -1155,9 +1382,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     * skippable via `skipChangeCommits` — a schema change mid-stream is
     * never silent. */
   def appendEvolve(df: DataFrame, maxRetries: Int = 50): Commit = {
-    val cts = ctMap(snapshot())
-    commitAppend(stage(enforced(df, cts)), df, maxRetries, evolve = true,
-      enforcedCts = cts)
+    val s0 = snapshot()
+    val cts = ctMap(s0)
+    commitAppend(stage(toPhysical(enforced(df, cts), s0)), df, maxRetries,
+      evolve = true, enforcedCts = cts)
   }
 
   /** Hive-layout partitioned append: data files land under
@@ -1176,9 +1404,12 @@ final class TxTable private (spark: SparkSession, dir: String,
       maxRetries: Int = 50): Commit = {
     require(df.columns.contains(partitionCol),
       s"partition column $partitionCol not in ${df.columns.mkString(",")}")
-    val cts = ctMap(snapshot())
-    commitAppend(stagePartitioned(enforced(df, cts), partitionCol), df,
-      maxRetries, enforcedCts = cts)
+    val s0 = snapshot()
+    val cts = ctMap(s0)
+    commitAppend(
+      stagePartitioned(toPhysical(enforced(df, cts), s0),
+        physName(s0, partitionCol)),
+      df, maxRetries, enforcedCts = cts)
   }
 
   /** Manifest-pruned partition read: the snapshot's file list is
@@ -1194,9 +1425,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     val seg =
       if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
       else ExternalCatalogUtils.escapePathName(value.toString)
-    val prefix = s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$seg/"
+    // paths carry PHYSICAL names (writes translate before staging)
+    val prefix = s"${ExternalCatalogUtils.escapePathName(
+      physName(snap, partitionCol))}=$seg/"
     val sel = snap.files.filter(_.stripPrefix(s"$dir/").startsWith(prefix))
-    readSnapshot(Snapshot(snap.version, sel, snap.dvs, dir, snap.merged))
+    readSnapshot(Snapshot(snap.version, sel, snap.dvs, dir, snap.merged,
+      snap.cts, snap.cms))
   }
 
   /** Dynamic-partition overwrite, transactionally: replace ONLY the
@@ -1210,7 +1444,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       maxRetries: Int = 50): Commit = {
     require(df.columns.contains(partitionCol),
       s"partition column $partitionCol not in ${df.columns.mkString(",")}")
-    val files = stagePartitioned(df, partitionCol)
+    val s0 = snapshot()
+    val files = stagePartitioned(toPhysical(df, s0),
+      physName(s0, partitionCol))
     val stats = fileStats(files)
     buildBlooms(files)
     val touched = files.map(_.takeWhile(_ != '/')).toSet // col=value prefixes
@@ -1245,8 +1481,9 @@ final class TxTable private (spark: SparkSession, dir: String,
   def overwriteAs(tag: String, df: DataFrame,
       maxRetries: Int = 50): Commit = {
     require(tag.nonEmpty && !tag.contains('"'), s"bad action tag: $tag")
-    val cts0 = ctMap(snapshot())
-    val files = stage(enforced(df, cts0))
+    val s0 = snapshot()
+    val cts0 = ctMap(s0)
+    val files = stage(toPhysical(enforced(df, cts0), s0))
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0
@@ -1278,7 +1515,7 @@ final class TxTable private (spark: SparkSession, dir: String,
         else Upsert.latestWins(readSnapshot(base), updates, keys)
       // staged INSIDE the loop against this attempt's base, so the
       // constraint set is the head's — no TOCTOU window to guard
-      val files = stage(enforced(merged, ctMap(base)))
+      val files = stage(toPhysical(enforced(merged, ctMap(base)), base))
       // a full rewrite retires the deletion vectors too: their targets
       // are all removed, and the rewrite read them applied
       val c = Commit(base.version + 1, "upsert", files,
@@ -1419,7 +1656,7 @@ final class TxTable private (spark: SparkSession, dir: String,
                 .otherwise(col(s"t.$c")).as(c)): _*)
         }
       // like upsert: staged per attempt against this head's constraints
-      val staged = stage(enforced(out, ctMap(head)))
+      val staged = stage(toPhysical(enforced(out, ctMap(head)), head))
       val c = Commit(pruned.version + 1, "merge", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -1459,8 +1696,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       // names never recur) until compaction retires them
       val staged =
         if (pruned.files.isEmpty) Nil
-        else stage(readSnapshot(pruned)
-          .where(!coalesce(matches, lit(false))))
+        else stage(toPhysical(readSnapshot(pruned)
+          .where(!coalesce(matches, lit(false))), pruned))
       val c = Commit(pruned.version + 1, "delete", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -1506,7 +1743,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val head = snapshot()
       val pruned = pruneFiles(head, Seq((column, Option(lo), Option(hi))))
       if (head.files.nonEmpty) {
-        val unknown = set.keySet -- head.read(spark).schema.fieldNames.toSet
+        val unknown = set.keySet --
+          toLogical(head.read(spark), head).schema.fieldNames.toSet
         require(unknown.isEmpty,
           "UPDATE assigns column(s) the table does not have: " +
             unknown.toSeq.sorted.mkString(", "))
@@ -1535,7 +1773,7 @@ final class TxTable private (spark: SparkSession, dir: String,
               case None => col(c)
             }
           }: _*)
-          stage(enforced(out, ctMap(head)))
+          stage(toPhysical(enforced(out, ctMap(head)), head))
         }
       val c = Commit(pruned.version + 1, "update", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
@@ -1591,7 +1829,7 @@ final class TxTable private (spark: SparkSession, dir: String,
         case Some(k) => k.unionByName(scoped)
         case None    => scoped
       }
-      val staged = stage(enforced(out, ctMap(head)))
+      val staged = stage(toPhysical(enforced(out, ctMap(head)), head))
       val c = Commit(pruned.version + 1, "replace", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -1624,7 +1862,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val pruned = prunedSnapshot(column, Option(lo), Option(hi))
-      val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
+      // the position scan reads RAW files — predicate on the PHYSICAL
+      // name (identical to the logical one on unmapped tables)
+      val p = physName(pruned, column)
+      val matches = col(p) >= lit(lo) && col(p) <= lit(hi)
       val staged =
         if (pruned.files.isEmpty) Nil
         else stage(
@@ -1672,8 +1913,14 @@ final class TxTable private (spark: SparkSession, dir: String,
       // constraints are NOT restored (they are active table POLICY, not
       // content) — instead the restored content must satisfy the
       // currently active set, or the restore refuses loudly
+      // validate under the HEAD's mapping: the restore re-references
+      // the target's FILES, which the current logical names apply to
+      // (physical names never change), and constraints speak the
+      // current names
+      val restoredView = readSnapshot(Snapshot(target.version,
+        target.files, target.dvs, dir, target.merged, Nil, base.cms))
       ctMap(base).foreach { case (n, e) =>
-        require(readSnapshot(target).where(violation(e))
+        require(restoredView.where(violation(e))
             .limit(1).count() == 0L,
           s"restore to $version refused: restored rows violate the " +
             s"active CHECK constraint '$n' ($e) — drop it first if the " +
@@ -1759,7 +2006,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
     } catch { case _: Throwable => () }
     val action = if (snap.merged) "clone-evolve" else "clone"
-    val entry = Commit(0L, action, rels ++ snap.cts, Nil,
+    val entry = Commit(0L, action, rels ++ snap.cts ++ snap.cms, Nil,
       System.currentTimeMillis())
     require(dest.tryCommit(entry, stats),
       s"clone destination raced: another writer committed to $destDir")
@@ -1792,7 +2039,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // the rewrite reads CONTENT (vectors applied) — compaction is also
     // the operation that MATERIALIZES merge-on-read deletes and
     // retires the vectors (Delta's PURGE)
-    val files = stage(layout(readSnapshot(base)))
+    val files = stage(toPhysical(layout(readSnapshot(base)), base))
     val stats = fileStats(files)
     buildBlooms(files)
     val baseNames = (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/"))

@@ -96,6 +96,52 @@ object TxDmlQueries {
       () => runReplace(t)
     }))
 
+  // ----------------------------------------------------------------- K24
+  /** COLUMN MAPPING ([[graft.ops.TxTable.renameColumn]], Delta 'name'
+    * mode): the segment column is renamed METADATA-ONLY (no file
+    * rewritten — `TxTableSpec` pins file identity), then the table
+    * keeps working under the new name across every path the query
+    * exercises: an APPEND written with the new logical name (physical
+    * name on disk stays the original), a stats-pruned UPDATE keyed on
+    * the renamed column's table, and the final read. The oracle is the
+    * same pipeline as plain SQL column aliasing — hash equality proves
+    * logical↔physical translation is lossless end to end. Not benched:
+    * a rename is an O(1) metadata commit, not a data-path operation
+    * (and it cannot re-run against the same table — the old name is
+    * gone). */
+  private val txRenameColumn = GraftQuery(
+    "k24_tx_rename_column",
+    (s, d) => {
+      val customer = Tables.customer(s, d)
+      val t = seeded(s, d, "txren", customer)
+      t.renameColumn("c_mktsegment", "segment")
+      val keyShift = customer
+        .agg(max(col("c_custkey"))).head().getLong(0) + 1L
+      val extra = customer.where(col("c_acctbal") < 0)
+        .select((col("c_custkey") + keyShift).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          lit("NEWSEG").as("segment"))
+      t.append(extra)
+      t.updateBetween("c_custkey", 1L, 50L,
+        Map("segment" -> lit("VIP")))
+      t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("segment"))
+    },
+    Some("""WITH extra AS (SELECT c_custkey
+                     + (SELECT MAX(c_custkey) FROM customer) + 1
+                     AS c_custkey, c_name, c_nationkey, c_acctbal,
+                     'NEWSEG' AS segment
+                   FROM customer WHERE c_acctbal < 0),
+            allr AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                      c_mktsegment AS segment FROM customer
+                     UNION ALL SELECT * FROM extra)
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal,
+                   CASE WHEN c_custkey BETWEEN 1 AND 50
+                        THEN 'VIP' ELSE segment END AS segment
+            FROM allr"""),
+    bench = false)
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -188,5 +234,5 @@ object TxDmlQueries {
                OR s.c_custkey NOT IN (SELECT c_custkey FROM customer)"""))
 
   def queries: Seq[GraftQuery] =
-    Seq(txUpdateWhere, txReplaceWhere, scd2Apply)
+    Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, scd2Apply)
 }

@@ -62,11 +62,13 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister {
     require(schema.isEmpty,
       "the txtable source derives its schema from the table's snapshot; " +
         "do not pass one")
-    val snap = table(ctx, params).snapshot()
+    val t = table(ctx, params)
+    val snap = t.snapshot()
     require(snap.files.nonEmpty,
       "cannot infer the stream schema from an empty table: commit data " +
         "first (the schema is read from the snapshot's parquet footers)")
-    val base = snap.read(ctx.sparkSession).schema
+    // LOGICAL schema: a renamed column streams under its current name
+    val base = t.toLogical(snap.read(ctx.sparkSession), snap).schema
     val withCdc =
       if (opts(params).get("readchangefeed").exists(_.toBoolean))
         TxTableSource.cdcSchema(base)
@@ -292,8 +294,15 @@ final class TxTableSource(
                   "changes, or use readChanges() in batch for the full CDF.")
           }
         }
-        if (files.isEmpty) t.snapshot().read(spark).limit(0)
-        else spark.read.option("basePath", t.tableDir).parquet(files: _*)
+        // appended files carry PHYSICAL names: surface them under the
+        // head's logical names (identical on never-renamed tables; a
+        // rename mid-stream fails the stream above, so head ==
+        // start-of-stream mapping on the live path)
+        val snap = t.snapshot()
+        if (files.isEmpty) t.toLogical(snap.read(spark), snap).limit(0)
+        else t.toLogical(
+          spark.read.option("basePath", t.tableDir).parquet(files: _*),
+          snap)
     }
     org.apache.spark.sql.graft.StreamingShim.asStreaming(batch)
   }

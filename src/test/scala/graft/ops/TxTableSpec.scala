@@ -1170,6 +1170,122 @@ class TxTableSpec extends SparkTestBase {
       .count() === 0)
   }
 
+  test("renameColumn is metadata-only; reads, writes, and DML follow the new name") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    (0 until 3).foreach(i => t.append(df(i * 100 until i * 100 + 100)))
+    val before = t.snapshot().files.toSet
+    t.renameColumn("payload", "body")
+    // no file read or rewritten
+    assert(t.snapshot().files.toSet === before)
+    assert(t.columnMapping === Map("body" -> "payload"))
+    // reads surface the new logical name, same values
+    assert(t.read().columns.toSeq === Seq("id", "body"))
+    assert(t.read().where(col("body") === "row-7").count() === 1)
+    // time travel to a pre-rename version keeps the OLD name
+    assert(t.readAt(2).columns.toSeq === Seq("id", "payload"))
+    // appends speak the new name; on disk the physical name persists
+    t.append(Seq((1000L, "fresh")).toDF("id", "body"))
+    val newest = (t.snapshot().files.toSet -- before).head
+    assert(spark.read.parquet(newest).columns.toSeq ===
+      Seq("id", "payload"))
+    assert(t.read().where(col("body") === "fresh").count() === 1)
+    // the old name is refused now (schema guard speaks logical names)
+    intercept[IllegalArgumentException] {
+      t.append(Seq((1L, "x")).toDF("id", "payload"))
+    }
+    // stats pruning keys by the physical name transparently
+    val pruned = t.prunedSnapshot("id", Some(250L), Some(250L))
+    assert(pruned.files.size < t.snapshot().files.size)
+    // DML on the renamed payload column and on the key column
+    t.updateWhere("id", 7L, Map("body" -> lit("UPDATED")))
+    assert(t.read().where(col("body") === "UPDATED").count() === 1)
+    t.deleteWhere("id", 8L)
+    assert(t.read().count() === 300)
+    // chained rename; CDF emits current logical names
+    t.renameColumn("body", "content")
+    assert(t.columnMapping === Map("content" -> "payload"))
+    val feed = t.readChanges(-1)
+    assert(feed.columns.contains("content") &&
+      !feed.columns.contains("payload"))
+    assert(feed.where(col("content") === "UPDATED").count() === 1)
+  }
+
+  test("renameColumn refusals: missing, duplicate, physical collision, constraint") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("payload", "id"))
+    t.renameColumn("payload", "body")
+    // the vacated physical name is still in the files — not reusable
+    val e = intercept[IllegalArgumentException](
+      t.renameColumn("id", "payload"))
+    assert(e.getMessage.contains("physical"))
+    // a constraint referencing the column blocks its rename
+    t.addConstraint("body_ok", "body LIKE 'row-%'")
+    val e2 = intercept[IllegalArgumentException](
+      t.renameColumn("body", "text2"))
+    assert(e2.getMessage.contains("constraint"))
+    // unrelated renames still pass the constraint-resolution check
+    t.renameColumn("id", "pk")
+    assert(t.read().columns.toSet === Set("pk", "body"))
+  }
+
+  test("dropColumn hides without rewrite; re-introduction refused; evolve still works") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "payload", "score"))
+    val before = t.snapshot().files.toSet
+    t.dropColumn("score")
+    assert(t.snapshot().files.toSet === before) // no rewrite
+    assert(t.read().columns.toSeq === Seq("id", "payload"))
+    assert(t.droppedColumns === Set("score"))
+    // time travel still sees it
+    assert(t.readAt(0).columns.contains("score"))
+    // appends without the dropped column are the normal shape now
+    t.append(Seq((3L, "c")).toDF("id", "payload"))
+    assert(t.read().count() === 3)
+    // re-introducing the dropped name would resurrect old data: refused
+    val e = intercept[IllegalArgumentException] {
+      t.appendEvolve(Seq((4L, "d", 99)).toDF("id", "payload", "score"))
+    }
+    assert(e.getMessage.contains("dropped") ||
+      e.getMessage.contains("re-introduces"))
+    // evolving with a FRESH name is fine, and the dropped column stays
+    // hidden through the merged-footer read
+    t.appendEvolve(Seq((5L, "e", 1.5)).toDF("id", "payload", "rating"))
+    assert(t.read().columns.toSet === Set("id", "payload", "rating"))
+    // last-column and missing-column refusals
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+    val (t2, _) = mkTable()
+    t2.append(Seq(Tuple1(1L)).toDF("only"))
+    intercept[IllegalArgumentException](t2.dropColumn("only"))
+  }
+
+  test("column mapping survives checkpoint replay, restore, and clone") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10)) // v0
+    t.renameColumn("payload", "body") // v1
+    // push past the checkpoint interval so replay starts from a ckpt
+    (0 until 11).foreach(i => t.append(
+      Seq((100L + i, s"x$i")).toDF("id", "body")))
+    assert(t.snapshot().version >= 10)
+    val fresh = TxTable(spark, dir, logStore) // re-open: replays from ckpt
+    assert(fresh.read().columns.toSeq === Seq("id", "body"))
+    assert(fresh.columnMapping === Map("body" -> "payload"))
+    // restore to a pre-rename version: files come back, the CURRENT
+    // logical names still apply (mapping is table policy, not content)
+    t.restore(0)
+    assert(t.read().columns.toSeq === Seq("id", "body"))
+    assert(t.read().count() === 10)
+    // clone carries the mapping
+    val c = t.cloneTo(s"$dir-cmclone")
+    assert(c.read().columns.toSeq === Seq("id", "body"))
+    assert(c.columnMapping === Map("body" -> "payload"))
+  }
+
   test("update and replace net-diff correctly in the change feed") {
     import spark.implicits._
     val (t, _) = mkTable()
