@@ -36,7 +36,7 @@ object Registry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       CorpusOps.queries ++ ExtendedQueries.queries ++
       TxDmlQueries.queries ++ GraphQueries.queries ++
-      ImmigrationBench.queries
+      BpeQueries.queries ++ ImmigrationBench.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

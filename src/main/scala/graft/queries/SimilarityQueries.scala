@@ -1224,8 +1224,94 @@ object SimilarityQueries {
       FROM lexr l FULL OUTER JOIN denser r ON l.doc_id = r.doc_id
       ORDER BY rrf DESC, doc_id LIMIT 10"""))
 
+  // --------------------------------------------------------- MMR re-rank
+  /** The 5-step greedy objective UNROLLED as chained CTEs: pick i
+    * scores every remaining candidate `0.7·rel − 0.3·max(sim to the
+    * i−1 picks)` and takes the row_number-1 row — declaratively
+    * exactly what [[graft.ops.Mmr.rerank]]'s in-group loop computes.
+    * Generated by a Scala loop because the five steps differ only in
+    * the selected-set CTE they join. */
+  private val mmrSql: String = {
+    val base = s"""WITH $embCte, $queryCte,
+      scored AS (SELECT q_id, vec_id AS n_id, $cosSql AS rel
+                 FROM e, q WHERE vec_id <> q_id),
+      cand AS (SELECT q_id, n_id, rel FROM
+                (SELECT *, row_number() OVER
+                   (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rr
+                 FROM scored) WHERE rr <= 20),
+      cv AS (SELECT c.q_id, c.n_id, c.rel, e.v, e.nrm
+             FROM cand c JOIN e ON c.n_id = e.vec_id),
+      sim AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS s
+              FROM cv a JOIN cv b
+                ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+      p1 AS (SELECT q_id, n_id, 0.7 * rel AS score FROM
+              (SELECT q_id, n_id, rel, row_number() OVER
+                 (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rr
+               FROM cv) WHERE rr = 1),
+      sel1 AS (SELECT q_id, n_id FROM p1)"""
+    val steps = (2 to 5).map { i =>
+      s""",
+      p$i AS (SELECT q_id, n_id, score FROM
+               (SELECT q_id, n_id, score, row_number() OVER
+                  (PARTITION BY q_id ORDER BY score DESC, n_id) AS rr
+                FROM (SELECT c.q_id, c.n_id,
+                        0.7 * c.rel - 0.3 * MAX(s.s) AS score
+                      FROM cv c
+                      JOIN sim s ON s.q_id = c.q_id AND s.a_id = c.n_id
+                      JOIN sel${i - 1} x
+                        ON x.q_id = s.q_id AND x.n_id = s.b_id
+                      WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+                        WHERE z.q_id = c.q_id AND z.n_id = c.n_id)
+                      GROUP BY c.q_id, c.n_id, c.rel))
+              WHERE rr = 1),
+      sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+                SELECT q_id, n_id FROM p$i)"""
+    }.mkString
+    val union = (1 to 5).map(i =>
+      s"""SELECT q_id, n_id, ROUND(score, 6) AS mmr,
+          CAST($i AS INTEGER) AS rank FROM p$i""")
+      .mkString("\n      UNION ALL ")
+    base + steps + "\n      " + union
+  }
+
+  /** Maximal-Marginal-Relevance diversified re-rank
+    * ([[graft.ops.Mmr.rerank]]): over-fetch top-20 cosine candidates
+    * per query (the `topk_pairs` map-side-heap stage — only 20·queries
+    * rows shuffle), join their vectors back, then run the greedy
+    * λ = 0.7 diversity re-rank per query group. The sequential-greedy
+    * objective is not a windowed aggregate — per-query `flatMapGroups`
+    * is the honest distributed shape (parallel across queries, O(k·n)
+    * inside each bounded pool, no pairwise matrix ever shuffled). */
+  private val mmrRerank = GraftQuery(
+    "x_embed_mmr_rerank",
+    (s, d) => {
+      import s.implicits._
+      val e = persistedDf(corpus(s, d))
+      val scored = e.crossJoin(broadcast(querySet(e)))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (VectorOps.dotNative(col("qv"), col("v")) /
+            (col("qn") * col("nrm"))).as("cos"))
+      val cand = scored.groupBy("q_id")
+        .agg(call_function("topk_pairs", col("cos"), col("n_id"), lit(20))
+          .as("top"))
+        .select(col("q_id"), explode(col("top")).as("p"))
+        .select(col("q_id"), col("p.id").as("n_id"), col("p.score").as("rel"))
+      val withVec = cand
+        .join(e.select(col("vec_id"), col("v"), col("nrm")),
+          cand("n_id") === col("vec_id"))
+        .select(col("q_id"), col("n_id"), col("rel"), col("v"), col("nrm"))
+        .as[graft.ops.Mmr.Cand]
+      graft.ops.Mmr.rerank(withVec, k = 5, lambda = 0.7).toDF()
+        .select(col("q_id"), col("n_id"),
+          round(col("mmr_score"), 6).as("mmr"), col("rank"))
+    },
+    Some(mmrSql))
+
   val queries: Seq[GraftQuery] =
     Seq(cosineTopK, hybridSearch, hybridAnn, annLsh, annIvf, annPq,
       annIvfPq, annIvfPqRerank, cosineNearDup, lshNearDup, rrfFusion,
-      semDedup, clusterTopTerms)
+      semDedup, clusterTopTerms, mmrRerank)
 }

@@ -1001,7 +1001,41 @@ object TrainingData {
               margin > 0 AS keep
             FROM scored"""))
 
-  val queries: Seq[GraftQuery] = Seq(
+  // ---------------------------------------------------------------- EWMA
+  /** Per-user exponentially-weighted moving average at every event
+    * ([[graft.ops.TimeSeries.ewma]], α = 0.3) — the recurrence window
+    * functions cannot express without an O(n²) prefix blow-up or an
+    * overflowing power-sum rewrite, so the engine runs the O(n)
+    * per-key fold (`flatMapGroups`, streaming-compatible state shape).
+    * The oracle IS the O(n²) prefix form — windowed prefix lists
+    * folded per row by `list_reduce` with the identical
+    * `α·x + (1−α)·acc` step (α non-dyadic, so EWMA values never sit
+    * exactly on a rounding tie the two engines break differently —
+    * dyadic 0.25 over 2-decimal inputs did), so every intermediate
+    * EWMA value hash-matches, not just the final one per key. */
+  private val eventsEwma = GraftQuery(
+    "x_events_ewma",
+    (s, d) => {
+      import s.implicits._
+      val pts = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsUs"), col("value"))
+        .as[graft.ops.TimeSeries.Point]
+      graft.ops.TimeSeries.ewma(pts, alpha = 0.3).toDF()
+        .select(col("user_id"), col("event_id"),
+          round(col("ewma"), 6).as("ewma"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_id,
+                   list(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS vs
+                 FROM events)
+            SELECT user_id, event_id,
+                   ROUND(list_reduce(vs,
+                     (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                       + (1 - CAST(0.3 AS DOUBLE)) * acc), 6) AS ewma
+            FROM o"""))
+
+  val queries: Seq[GraftQuery] = Seq(eventsEwma,
     dedupExact, tokenCount, qualityScore, qualityGopher, textClean,
     charEntropy, bigramLoglik,
     dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
