@@ -132,6 +132,51 @@ object EventStreams {
       }
   }
 
+  /** Streaming per-key EWMA — the incremental twin of
+    * [[graft.ops.TimeSeries.ewma]] (`x_events_ewma`): state per user is
+    * the O(1) pair (last event position, current EWMA), each
+    * micro-batch folds its events in (ts, event_id) order, and every
+    * accepted event emits its smoothed value. Events at or before the
+    * already-folded position are LATE for a sequential recurrence (the
+    * fold cannot be rewound) and are dropped — the EWMA analogue of
+    * watermark lateness, made explicit here because the recurrence is
+    * order-sensitive where a windowed aggregate is merely
+    * completeness-sensitive. With in-order input the emitted values
+    * equal the batch operator's exactly (spec-pinned). State is
+    * per-user O(1) and never times out — a bounded-key-domain
+    * recurrence keeps its state, like any running counter. */
+  final case class EwmaState(lastTs: Long, lastId: Long, ewma: Double)
+
+  def ewmaUpdates(spark: SparkSession,
+      points: Dataset[graft.ops.TimeSeries.Point], alpha: Double)
+      : Dataset[graft.ops.TimeSeries.EwmaPoint] = {
+    import spark.implicits._
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    points.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, graft.ops.TimeSeries.EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[graft.ops.TimeSeries.Point],
+            state: GroupState[EwmaState]) =>
+          val sorted = batch.toArray.sortBy(p => (p.tsUs, p.event_id))
+          var cur = state.getOption
+          val out = Vector.newBuilder[graft.ops.TimeSeries.EwmaPoint]
+          sorted.foreach { p =>
+            val fresh = cur.forall(s =>
+              p.tsUs > s.lastTs || (p.tsUs == s.lastTs && p.event_id > s.lastId))
+            if (fresh) {
+              val e = cur match {
+                case None    => p.value
+                case Some(s) => alpha * p.value + (1 - alpha) * s.ewma
+              }
+              cur = Some(EwmaState(p.tsUs, p.event_id, e))
+              out += graft.ops.TimeSeries.EwmaPoint(userId, p.event_id, e)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact deduplication on event_id: duplicates arriving
     * within the watermark horizon are dropped; state for ids older than
     * the watermark is evicted. The streaming twin of the batch
@@ -319,6 +364,61 @@ object EventStreams {
             .as("__r"))
           .select(cols.map(c => col(s"__r.$c")): _*)
         graft.ops.TxTable(spark, tableDir).upsert(latest, Seq(keyCol))
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming SCD TYPE 2 dimension maintenance: each micro-batch of
+    * dimension changes is collapsed to its last change per key
+    * (max_by over `seqCol`, like [[cdcApplySink]]) and applied through
+    * [[graft.ops.Scd2]] to the versioned dimension held in a
+    * [[graft.ops.TxTable]] at `dimDir` — closed version chains
+    * accumulate, the open row per key flips, and the whole post-batch
+    * state commits ATOMICALLY (overwrite through the commit log, so a
+    * reader can never see a dimension with a closed row but no
+    * successor). The batch version stamp is `max(_valid_from) + 1` of
+    * the current state — monotone and derived from the data, not from
+    * wall clock.
+    *
+    * Restart idempotency comes from SCD2's own algebra: a replayed
+    * micro-batch re-applies identical attribute values, which the
+    * null-safe change detection classifies as UNCHANGED — no spurious
+    * version opens, and the extra overwrite commit is
+    * content-identical (the same property `txCdcApplySink` gets from
+    * latest-wins). Scale shape: per batch, one join of CURRENT rows
+    * against the (small) change set — history is filtered out before
+    * the join and unioned back, so chains can grow for years without
+    * the join input growing with them. */
+  def scd2Sink(changes: DataFrame, keys: Seq[String],
+      trackCols: Seq[String], seqCol: String,
+      dimDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val cols = changes.columns.filterNot(_ == seqCol)
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch
+          .groupBy(keys.map(col): _*)
+          .agg(expr(s"max_by(struct(${batch.columns.mkString(", ")}), " +
+            s"$seqCol)").as("__r"))
+          .select(cols.map(c => col(s"__r.$c")): _*)
+        val t = graft.ops.TxTable(spark, dimDir)
+        val empty = t.snapshot().files.isEmpty
+        val state =
+          if (empty) graft.ops.Scd2.init(latest.limit(0), 1L)
+          else t.read()
+        val version =
+          if (empty) 1L
+          else state.agg(max(col(graft.ops.Scd2.ValidFrom)))
+            .head().getLong(0) + 1L
+        // no pinning dance: overwrite STAGES the new content while the
+        // old version's files are still live (vacuum, not overwrite,
+        // reclaims them) — the protocol removes read-your-own-delete
+        t.overwrite(graft.ops.Scd2(state, latest, keys, trackCols, version))
         ()
       }
       .start()

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.{Scd2, TimeSeries, TxTable}
+
+/** Streaming twins of the round's batch operators:
+  * [[EventStreams.ewmaUpdates]] ≡ [[TimeSeries.ewma]] on in-order
+  * input (and drops order-breaking late events), and
+  * [[EventStreams.scd2Sink]] maintaining SCD2 version chains in a
+  * TxTable across micro-batches and restarts. */
+class StatefulTwinsSpec extends SparkTestBase {
+
+  test("ewmaUpdates: stream equals the batch fold; late events dropped") {
+    import spark.implicits._
+    val input = MemoryStream[TimeSeries.Point](spark)
+    val q = EventStreams.ewmaUpdates(spark, input.toDS(), alpha = 0.3)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq(
+        TimeSeries.Point(1L, 10L, 1000L, 2.0),
+        TimeSeries.Point(1L, 11L, 2000L, 4.0),
+        TimeSeries.Point(2L, 20L, 1500L, 10.0))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // second batch: one in-order event, one LATE (ts before folded)
+      input.addData(
+        TimeSeries.Point(1L, 12L, 3000L, 8.0),
+        TimeSeries.Point(1L, 9L, 500L, 99.0)) // late -> dropped
+      q.processAllAvailable()
+      val out = spark.table("ewma_out")
+        .as[TimeSeries.EwmaPoint].collect()
+        .map(p => p.event_id -> p.ewma).toMap
+      // batch twin over the SAME in-order events
+      val batch = TimeSeries.ewma(
+        (b1 :+ TimeSeries.Point(1L, 12L, 3000L, 8.0)).toDS(), 0.3)
+        .collect().map(p => p.event_id -> p.ewma).toMap
+      assert(out === batch)
+      assert(!out.contains(9L)) // the late event emitted nothing
+      assert(math.abs(out(11L) - (0.3 * 4.0 + 0.7 * 2.0)) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("scd2Sink: version chains across micro-batches; restart is idempotent") {
+    import spark.implicits._
+    val dim = Files.createTempDirectory("graft-scd2sink-").toString
+    val ckpt = Files.createTempDirectory("graft-scd2sink-ck-").toString
+
+    def drain(rows: (Long, String, Double, Long)*): Unit = {
+      val in = MemoryStream[(Long, String, Double, Long)](spark)
+      in.addData(rows: _*)
+      val q = EventStreams.scd2Sink(
+        in.toDF().toDF("id", "seg", "bal", "seq"),
+        keys = Seq("id"), trackCols = Seq("seg", "bal"), seqCol = "seq",
+        dimDir = s"$dim/t", checkpointDir = s"$ckpt/${rows.hashCode}")
+      q.awaitTermination()
+    }
+
+    // batch 1: two chains open; in-batch double change collapses to seq 2
+    drain((1L, "A", 10.0, 1L), (1L, "A", 11.0, 2L), (2L, "B", 20.0, 1L))
+    val t = TxTable(spark, s"$dim/t")
+    assert(t.read().where(col("_current")).count() === 2)
+    assert(t.read().where(col("id") === 1L).head().getDouble(2) === 11.0)
+
+    // batch 2: key 1 changes (close + open), key 2 unchanged, key 3 new
+    drain((1L, "A", 15.0, 3L), (2L, "B", 20.0, 3L), (3L, "C", 30.0, 1L))
+    val rows = t.read()
+      .select("id", "bal", "_valid_from", "_valid_to", "_current")
+      .as[(Long, Double, Long, Option[Long], Boolean)].collect().toSet
+    assert(rows === Set(
+      (1L, 11.0, 1L, Some(2L), false),
+      (1L, 15.0, 2L, None, true),
+      (2L, 20.0, 1L, None, true),
+      (3L, 30.0, 2L, None, true)))
+
+    // replayed batch (same content): UNCHANGED everywhere -> no new
+    // versions, content-identical head
+    val before = t.read().collect().toSet
+    drain((1L, "A", 15.0, 3L), (2L, "B", 20.0, 3L), (3L, "C", 30.0, 1L))
+    assert(t.read().collect().toSet === before)
+    // the dimension is time-travelable per micro-batch
+    assert(t.readAt(0).where(col("_current")).count() === 2)
+  }
+}
