@@ -23,17 +23,20 @@ object GraphQueries {
   private val pagerank = GraftQuery(
     "x_graph_pagerank",
     (s, d) => {
+      // the distinct edge derivation is consumed by the mirror union
+      // and then by every stage of the iteration — materialize it ONCE
+      // (without this the lineitem scan + distinct recomputes per
+      // consumer: measured the dominant cost of the whole query)
       val base = Tables.lineitem(s, d)
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
-        .distinct()
+        .distinct().localCheckpoint()
       val edges = base.union(
         base.select(col("dst").as("src"), col("src").as("dst")))
-      val n = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node")))
-        .distinct().count().toDouble
-      Graph.pageRank(edges, iterations = 3, damping = 0.85)
-        .select(col("node"), round(col("pr") * lit(n), 6).as("pr_n"))
+      val ranks = Graph.pageRank(edges, iterations = 3, damping = 0.85)
+      // the returned vector is materialized — N is a cheap count of it
+      val n = ranks.count().toDouble
+      ranks.select(col("node"), round(col("pr") * lit(n), 6).as("pr_n"))
     },
     Some("""WITH b AS (SELECT DISTINCT 's' || l_suppkey AS src,
                    'p' || l_partkey AS dst FROM lineitem),
