@@ -1246,6 +1246,17 @@ final class TxTable private (spark: SparkSession, dir: String,
     readSnapshot(prunedSnapshot(column, Option(lo), Option(hi)))
       .where(col(column) >= lit(lo) && col(column) <= lit(hi))
 
+  /** Multi-predicate stats-pruned read of `version` (MaxValue = head):
+    * the hook the batch relation's filter pushdown uses — each
+    * `(column, lo, hi)` bound drops files whose logged range excludes
+    * it (per-column candidate sets INTERSECT), with NO residual
+    * predicate applied here: the caller re-applies exact filters, so
+    * pruning is pure I/O reduction and conservative bounds (e.g. an
+    * inclusive bound for a strict comparison) stay correct. */
+  private[graft] def readPruned(version: Long,
+      preds: Seq[(String, Option[Any], Option[Any])]): DataFrame =
+    readSnapshot(pruneFiles(snapshotAt(version), preds))
+
   /** Every [[CheckpointInterval]] commits, the winner persists the
     * fully-replayed active file list next to its entry. Best-effort:
     * a failed or lost checkpoint only costs replay time, never

@@ -142,6 +142,48 @@ object TxDmlQueries {
             FROM allr"""),
     bench = false)
 
+  // ----------------------------------------------------------------- K25
+  /** The transactional table through Spark's STANDARD batch reader
+    * (`spark.read.format("txtable")`, the `USING txtable` SQL face):
+    * one update lands, then the relation reads BOTH the head and the
+    * `versionAsOf`-0 time-travel view and unions them under a tag —
+    * proving the relation surfaces the same snapshots as the
+    * programmatic API through the plain reader path (filter pushdown →
+    * stats pruning is spec-pinned in `TxBatchRelationSpec` with a
+    * corrupt-file skip proof). */
+  private val txSqlRead = GraftQuery(
+    "k25_tx_sql_read",
+    (s, d) => {
+      val t = seeded(s, d, "txsql", Tables.customer(s, d))
+      t.updateBetween("c_custkey", 100L, 500L,
+        Map("c_acctbal" -> round(col("c_acctbal") + 1000.0, 2)))
+      val p = t.tableDir
+      def rel = s.read.format("txtable").option("path", p)
+      val head = rel.load().withColumn("tag", lit("head"))
+      val v0 = rel.option("versionAsOf", "0").load()
+        .withColumn("tag", lit("v0"))
+      head.unionByName(v0)
+        .select(col("tag"), col("c_custkey"), col("c_name"),
+          col("c_nationkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+          col("c_mktsegment"))
+    },
+    Some("""SELECT 'head' AS tag, c_custkey, c_name, c_nationkey,
+            ROUND(CASE WHEN c_custkey BETWEEN 100 AND 500
+                       THEN ROUND(c_acctbal + 1000.0, 2)
+                       ELSE c_acctbal END, 2) AS c_acctbal,
+            c_mktsegment
+            FROM customer
+            UNION ALL
+            SELECT 'v0' AS tag, c_custkey, c_name, c_nationkey,
+            ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM customer"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txsql-bench", Tables.customer(s, d))
+      val p = t.tableDir
+      () => s.read.format("txtable").option("path", p).load()
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -234,5 +276,5 @@ object TxDmlQueries {
                OR s.c_custkey NOT IN (SELECT c_custkey FROM customer)"""))
 
   def queries: Seq[GraftQuery] =
-    Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, scd2Apply)
+    Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead, scd2Apply)
 }

@@ -1,9 +1,10 @@
 package graft.sources.tx
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TxTable
@@ -43,16 +44,95 @@ import graft.ops.TxTable
   * the new files — column pruning and predicate pushdown apply as in
   * any batch read, and no state is kept beyond the engine's own offset
   * checkpoint. */
-final class DefaultSource extends StreamSourceProvider with DataSourceRegister {
+final class DefaultSource extends StreamSourceProvider with DataSourceRegister
+    with RelationProvider with CreatableRelationProvider {
 
   override def shortName(): String = "txtable"
+
+  // ------------------------------------------------------- batch read
+  /** BATCH read — `spark.read.format("txtable").option("path", dir)` /
+    * `CREATE TABLE t USING txtable OPTIONS (path ...)`: the standard
+    * reader and SQL face of the table. Options `versionAsOf` (commit
+    * version) and `timestampAsOf` (epoch millis or
+    * 'yyyy-MM-dd HH:mm:ss[.f...]') time-travel exactly like the
+    * programmatic `readAt`/`readAsOfTimestamp`. The relation is a
+    * `PrunedFilteredScan`: pushed comparison filters become logged
+    * min/max STATS PRUNING (per-column candidate sets intersect —
+    * the same `pruneFiles` machinery as `readWhere`), so a narrow SQL
+    * predicate over a z-ordered table opens a handful of files through
+    * the plain `spark.sql` path too. Pruning is conservative-only and
+    * every filter is left to Spark to re-apply (`unhandledFilters`
+    * default), so results are exactly the unpruned read's. */
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val o = opts(parameters)
+    val t = table(ctx, parameters)
+    require(!(o.contains("versionasof") && o.contains("timestampasof")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version: Long = o.get("versionasof").map(_.toLong)
+      .orElse(o.get("timestampasof").map { s =>
+        val ms =
+          try s.toLong
+          catch { case _: NumberFormatException =>
+            java.sql.Timestamp.valueOf(s).getTime }
+        t.versionAsOf(ms)
+      }).getOrElse(Long.MaxValue)
+    val base = t.readPruned(version, Nil)
+    new BaseRelation with PrunedFilteredScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = base.schema
+      override def needConversion: Boolean = false
+      override def buildScan(requiredColumns: Array[String],
+          filters: Array[Filter]): RDD[Row] = {
+        // comparison filters -> [lo, hi] bounds per column; strict
+        // comparisons use their inclusive envelope (conservative)
+        val bounds = filters.toSeq.collect {
+          case EqualTo(a, v)            => (a, Option(v), Option(v))
+          case GreaterThan(a, v)        => (a, Option(v), None)
+          case GreaterThanOrEqual(a, v) => (a, Option(v), None)
+          case LessThan(a, v)           => (a, None, Option(v))
+          case LessThanOrEqual(a, v)    => (a, None, Option(v))
+        }
+        val pruned = t.readPruned(version, bounds)
+        val projected =
+          if (requiredColumns.isEmpty) pruned.select()
+          else pruned.select(requiredColumns.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+        projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
+  }
+
+  /** BATCH write — `df.write.format("txtable").mode(...).save()`:
+    * Append commits through `TxTable.append` (schema-guarded,
+    * constraint-enforced, stats-logged), Overwrite through
+    * `TxTable.overwrite`; ErrorIfExists refuses a non-empty table,
+    * Ignore is a no-op on one. Every mode lands as ONE atomic commit. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val t = table(ctx, parameters)
+    val empty = t.snapshot().version < 0
+    mode match {
+      case SaveMode.Append    => t.append(data)
+      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        require(empty, s"table already exists (use mode Append/Overwrite)")
+        t.append(data)
+      case SaveMode.Ignore => if (empty) t.append(data)
+    }
+    createRelation(ctx, parameters)
+  }
 
   private def opts(params: Map[String, String]): Map[String, String] =
     params.map { case (k, v) => k.toLowerCase -> v }
 
   private def table(ctx: SQLContext, params: Map[String, String]): TxTable = {
-    val path = opts(params).getOrElse("path",
+    val raw = opts(params).getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
+    // catalog tables hand the LOCATION down as a file: URI — the local
+    // log store wants a filesystem path
+    val path =
+      if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
     TxTable(ctx.sparkSession, path)
   }
 

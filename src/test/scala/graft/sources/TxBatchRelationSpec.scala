@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.TxTable
+
+/** The transactional table's BATCH reader/writer face
+  * (`spark.read.format("txtable")`, SQL `USING txtable`, save modes,
+  * time-travel options, and the filter-pushdown file skipping). */
+class TxBatchRelationSpec extends SparkTestBase {
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  test("read.format and SQL USING table read the head snapshot") {
+    val dir = Files.createTempDirectory("graft-txrel-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append(df(0 until 50))
+    val viaReader = spark.read.format("txtable")
+      .option("path", s"$dir/t").load()
+    assert(viaReader.count() === 50)
+    assert(viaReader.where(col("payload") === "row-7").count() === 1)
+    spark.sql(s"CREATE TABLE graft_tx_rel USING txtable " +
+      s"LOCATION '$dir/t'")
+    try {
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM graft_tx_rel WHERE id < 10")
+        .head().getLong(0) === 10L)
+    } finally spark.sql("DROP TABLE graft_tx_rel")
+  }
+
+  test("versionAsOf and timestampAsOf options time-travel") {
+    val dir = Files.createTempDirectory("graft-txrel-tt-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append(df(0 until 10)) // v0
+    val tsAfterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.overwrite(df(100 until 103)) // v1
+    // fresh reader per read: DataFrameReader options are mutable state
+    def read = spark.read.format("txtable").option("path", s"$dir/t")
+    assert(read.option("versionAsOf", "0").load().count() === 10)
+    assert(read.load().count() === 3)
+    assert(read.option("timestampAsOf", tsAfterV0.toString)
+      .load().count() === 10)
+    intercept[IllegalArgumentException] {
+      read.option("versionAsOf", "0")
+        .option("timestampAsOf", "0").load()
+    }
+  }
+
+  test("pushed filters skip files: out-of-range file is never opened") {
+    val dir = Files.createTempDirectory("graft-txrel-skip-").toString
+    val t = TxTable(spark, s"$dir/t")
+    (0 until 4).foreach(i => t.append(df(i * 100 until i * 100 + 100)))
+    // corrupt a file whose id range is [300, 399]: a scan that opens it
+    // fails loudly, so a SUCCESSFUL pruned read PROVES it was skipped
+    val victim = t.snapshot().files.find { f =>
+      spark.read.parquet(f).agg(min(col("id"))).head().getLong(0) == 300L
+    }.get
+    Files.write(new File(victim).toPath, Array.fill[Byte](64)(0x7))
+    val rel = spark.read.format("txtable").option("path", s"$dir/t").load()
+    assert(rel.where(col("id") === 42L).count() === 1)
+    assert(rel.where(col("id") >= 100L && col("id") < 150L).count() === 50)
+    // without the predicate the corrupt file IS read -> loud failure
+    intercept[Exception] { rel.count() }
+  }
+
+  test("save modes: append, overwrite, errorIfExists, ignore") {
+    val dir = Files.createTempDirectory("graft-txrel-w-").toString
+    val p = s"$dir/t"
+    df(0 until 10).write.format("txtable").option("path", p).save()
+    df(10 until 15).write.format("txtable").option("path", p)
+      .mode("append").save()
+    val t = TxTable(spark, p)
+    assert(t.read().count() === 15)
+    assert(t.snapshot().version === 1) // two atomic commits
+    df(100 until 102).write.format("txtable").option("path", p)
+      .mode("overwrite").save()
+    assert(t.read().count() === 2)
+    assert(t.readAt(1).count() === 15) // history preserved
+    intercept[Exception] {
+      df(0 until 3).write.format("txtable").option("path", p)
+        .mode("errorifexists").save()
+    }
+    df(0 until 3).write.format("txtable").option("path", p)
+      .mode("ignore").save() // existing table: no-op
+    assert(t.read().count() === 2)
+    // write-path guards still apply through the writer API
+    intercept[Exception] {
+      import spark.implicits._
+      Seq((1, "x")).toDF("wrong", "cols").write.format("txtable")
+        .option("path", p).mode("append").save()
+    }
+  }
+}
