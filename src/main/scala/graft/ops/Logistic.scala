@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic-regression TRAINING over hashed features — the
+  * training half of the fastText-shape quality classifier whose
+  * inference face is [[TextAnalysis.linearQualityScore]]: fit the
+  * bucket-weight table IN the engine instead of importing it. Plain
+  * full-batch gradient descent with a FIXED round count — fixed rounds
+  * (not a convergence test) are what make the fit deterministic and
+  * cross-engine checkable, the same discipline as
+  * [[Graph.pageRank]]'s.
+  *
+  * Scale shape: the weight vector is FIXED-SIZE by construction
+  * (hashed buckets — the same property that makes DSIR's models
+  * broadcastable), so every round broadcasts the weights to the
+  * feature table and pays two doc-keyed/bucket-keyed aggregate
+  * shuffles: margins per example, then the gradient per bucket.
+  * Nothing example-scale is ever collected; the driver sees only the
+  * O(buckets) weight table between rounds.
+  *
+  * Cross-engine determinism: the per-bucket gradient is ROUNDED (6
+  * decimals) before the weight step each round. Margins reach the
+  * gradient through `exp`, whose last-ulp noise differs across engines
+  * and float summation orders — rounding at each fold point keeps the
+  * noise ~1e-13 against a 1e-6 step, so the weight trajectories agree
+  * exactly (the same float discipline as `x_dsir_weights`).
+  */
+object Logistic {
+
+  /** Fit bucket weights. `features`: one row per (doc_id, b, x) —
+    * example, bucket, feature value. `labels`: (doc_id, y) with
+    * y ∈ {0.0, 1.0}. Weights start at zero over the OCCURRING buckets;
+    * each round steps `w ← w − lr · round(∇, 6)` (default lr = 1/3:
+    * a NON-DECIMAL rate keeps the weights — and so every margin —
+    * off exact decimal rounding ties; a decimal rate times the
+    * rounded gradient would put them right back on) where
+    * `∇_b = Σ_d (σ(margin_d) − y_d) · x_{d,b} / (N + 1/3)` (see the
+    * denominator note below). Returns (b, w). */
+  def train(features: DataFrame, labels: DataFrame,
+      lr: Double = 1.0 / 3.0, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val f = features.select(col("doc_id"), col("b"), col("x"))
+      .localCheckpoint()
+    val l = labels.select(col("doc_id"), col("y")).localCheckpoint()
+    // the +1/3 makes the divisor (and so every rounded gradient)
+    // non-decimal: sums of the rational (σ−y)·x terms can land EXACTLY
+    // on a decimal rounding tie, which Spark (half-up) and other
+    // engines (half-even) break differently — the same non-dyadic
+    // anchor trick as the EWMA α. The scale change is absorbed into
+    // the (arbitrary) learning rate.
+    val n = l.count().toDouble + 1.0 / 3.0
+    var w = f.select(col("b")).distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint()
+    var round_ = 0
+    while (round_ < iterations) {
+      val m = f.join(broadcast(w), "b")
+        .groupBy("doc_id").agg(sum(col("w") * col("x")).as("m"))
+      val g = f.join(m, "doc_id").join(l, "doc_id")
+        .groupBy("b")
+        .agg(round(sum(
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")) * col("x"))
+          / lit(n), 6).as("g"))
+      w = w.join(g, Seq("b"), "left")
+        .select(col("b"),
+          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
+        .localCheckpoint()
+      round_ += 1
+    }
+    w
+  }
+
+  /** Score examples under a weight table: margin, sigmoid score, and
+    * the positive-margin keep decision — one broadcast join + one
+    * doc-keyed aggregate, the inference cost shape. */
+  def score(features: DataFrame, weights: DataFrame): DataFrame =
+    features.join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("x")).as("margin"))
+      .select(col("doc_id"), col("margin"),
+        (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("score"),
+        (col("margin") > 0).as("keep"))
+}

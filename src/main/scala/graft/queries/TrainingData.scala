@@ -1001,6 +1001,88 @@ object TrainingData {
               margin > 0 AS keep
             FROM scored"""))
 
+  // -------------------------------------------- linear classifier TRAIN
+  /** TRAIN the hashed linear quality classifier in the engine
+    * ([[graft.ops.Logistic.train]] — the fitting half whose inference
+    * face is `x_quality_linear`): 3 rounds of full-batch gradient
+    * descent over 4096-bucket hashed unigram frequencies, labels =
+    * "document is English" (a real separable target the synthetic
+    * corpus carries). The oracle replays ALL THREE descent rounds as
+    * unrolled CTEs — margins, sigmoid residuals, per-bucket gradients
+    * (rounded 6 before the step, the cross-engine float anchor), and
+    * the weight updates — then scores every document under the final
+    * weights, so the full weight TRAJECTORY is hash-checked, not just
+    * a final prediction. */
+  private val qualityTrain = GraftQuery(
+    "x_quality_train",
+    (s, d) => {
+      val B = 4096
+      val posted = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .withColumn("b", graft.ops.PortableHash.hash32(col("term")) % B)
+      val tot = posted.groupBy("doc_id")
+        .agg(count(lit(1)).cast("double").as("nt"))
+      val f = posted.groupBy("doc_id", "b")
+        .agg(count(lit(1)).as("cnt"))
+        .join(tot, "doc_id")
+        .select(col("doc_id"), col("b"), (col("cnt") / col("nt")).as("x"))
+      val l = Tables.documents(s, d)
+        .join(tot.select("doc_id"), "doc_id")
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = graft.ops.Logistic.train(f, l, lr = 1.0 / 3.0,
+        iterations = 3)
+      graft.ops.Logistic.score(f, w)
+        .join(l, "doc_id")
+        .select(col("doc_id"), col("y").cast("int").as("y"),
+          round(col("margin"), 6).as("margin"),
+          round(col("score"), 6).as("score"),
+          col("keep").cast("int").as("pred_en"))
+    },
+    Some {
+      val prelude = """WITH toks AS (SELECT doc_id, lang,
+               list_filter(str_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+             FROM documents),
+      posted AS (SELECT doc_id,
+               CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 4096 AS b
+             FROM (SELECT doc_id, unnest(toks) AS term
+                   FROM toks WHERE len(toks) >= 1)),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS nt
+              FROM posted GROUP BY 1),
+      f AS MATERIALIZED (SELECT p.doc_id, p.b,
+              COUNT(*) / ANY_VALUE(t.nt) AS x
+             FROM posted p JOIN tot t USING (doc_id)
+             GROUP BY p.doc_id, p.b),
+      l AS MATERIALIZED (SELECT d.doc_id,
+              CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+             FROM documents d JOIN tot USING (doc_id)),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM l),
+      w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS DOUBLE) AS w
+             FROM f)"""
+      val rounds = (1 to 3).map { i =>
+        s""",
+      m$i AS MATERIALIZED (SELECT f.doc_id, SUM(w.w * f.x) AS m
+             FROM f JOIN w${i - 1} w USING (b) GROUP BY f.doc_id),
+      g$i AS MATERIALIZED (SELECT f.b,
+              ROUND(SUM((1.0 / (1.0 + exp(-m.m)) - l.y) * f.x)
+                / ((SELECT n FROM nn) + CAST(1 AS DOUBLE) / 3), 6) AS g
+             FROM f JOIN m$i m USING (doc_id) JOIN l USING (doc_id)
+             GROUP BY f.b),
+      w$i AS MATERIALIZED (SELECT w.b,
+              w.w - (CAST(1 AS DOUBLE) / 3) * COALESCE(g.g, 0) AS w
+             FROM w${i - 1} w LEFT JOIN g$i g USING (b))"""
+      }.mkString
+      prelude + rounds + """
+      SELECT f.doc_id, CAST(ANY_VALUE(l.y) AS INTEGER) AS y,
+             ROUND(SUM(w.w * f.x), 6) AS margin,
+             ROUND(1.0 / (1.0 + exp(-SUM(w.w * f.x))), 6) AS score,
+             CAST(SUM(w.w * f.x) > 0 AS INTEGER) AS pred_en
+      FROM f JOIN w3 w USING (b) JOIN l ON f.doc_id = l.doc_id
+      GROUP BY f.doc_id"""
+    })
+
   // ---------------------------------------------------------------- EWMA
   /** Per-user exponentially-weighted moving average at every event
     * ([[graft.ops.TimeSeries.ewma]], α = 0.3) — the recurrence window
@@ -1041,5 +1123,5 @@ object TrainingData {
     dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
     gapFill, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
     intervalJoin, intervalJoinOuter, tfidf, temporalPairs, bm25,
-    qualityLinear)
+    qualityLinear, qualityTrain)
 }
