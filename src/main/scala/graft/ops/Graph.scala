@@ -89,4 +89,46 @@ object Graph {
     }
     ranks
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007) — community
+    * detection as fixed-round message passing: every node starts as
+    * its own label; each round a node adopts the label most frequent
+    * among its IN-neighbors (ties: smallest label; isolated or
+    * message-less nodes keep theirs). Fixed rounds + deterministic
+    * tie-breaks make the result cross-engine checkable — unlike the
+    * asynchronous/randomized variant the paper favors for convergence,
+    * which trades determinism away. For exact transitive connectivity
+    * use [[Dedup.connectedComponents]]; LPA finds DENSER-than-
+    * surroundings groups inside one component.
+    *
+    * Scale shape per round: one labels⋈edges join, one
+    * (dst, label) count aggregate, one per-node argmax (`max_by` on
+    * (count, smallest-label) — a partial-aggregable one-pass argmax,
+    * not a window sort), `localCheckpoint` pinning each round. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    var round = 0
+    while (round < iterations) {
+      val votes = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+      // argmax by (count DESC, label ASC) in ONE partial-aggregable
+      // pass: min_by over the (−count, label) struct — lexicographic
+      // struct ordering carries both directions without a window sort
+      val winner = votes.groupBy(col("dst").as("node2"))
+        .agg(expr("min_by(label, struct(-__n, label))").as("__new"))
+      labels = labels
+        .join(winner, col("node") === col("node2"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+      round += 1
+    }
+    labels
+  }
 }

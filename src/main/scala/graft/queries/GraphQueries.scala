@@ -67,5 +67,49 @@ object GraphQueries {
             SELECT node, ROUND(pr * (SELECT n FROM nn), 6) AS pr_n
             FROM p3"""))
 
-  def queries: Seq[GraftQuery] = Seq(pagerank)
+  /** Fixed-round synchronous label propagation
+    * ([[graft.ops.Graph.labelPropagation]], 3 rounds) over the same
+    * mirrored incidence graph: each round every node adopts its
+    * in-neighbors' most frequent label (count DESC, label ASC — the
+    * engine's one-pass `min_by` argmax, the oracle's windowed pick:
+    * same total order, so the label trajectories agree exactly). The
+    * unrolled-CTE oracle checks all three rounds' assignments, not a
+    * converged fixpoint — fixed rounds are the determinism contract. */
+  private val labelProp = GraftQuery(
+    "x_graph_label_prop",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct().localCheckpoint()
+      val edges = base.union(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(edges, iterations = 3)
+    },
+    Some {
+      val prelude = """WITH b AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                   'p' || l_partkey AS dst FROM lineitem),
+            edges AS MATERIALIZED (SELECT src, dst FROM b
+                      UNION ALL SELECT dst AS src, src AS dst FROM b),
+            nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+            l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
+      val rounds = (1 to 3).map { i =>
+        s""",
+            v$i AS (SELECT e.dst, l.label, COUNT(*) AS n
+                    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+                    GROUP BY e.dst, l.label),
+            w$i AS (SELECT dst AS node, label FROM
+                     (SELECT dst, label, row_number() OVER
+                        (PARTITION BY dst ORDER BY n DESC, label) AS rr
+                      FROM v$i)
+                    WHERE rr = 1),
+            l$i AS MATERIALIZED (SELECT n.node,
+                     COALESCE(w.label, p.label) AS label
+                    FROM nodes n LEFT JOIN w$i w USING (node)
+                    JOIN l${i - 1} p ON n.node = p.node)"""
+      }.mkString
+      prelude + rounds + "\n            SELECT node, label FROM l3"
+    })
+
+  def queries: Seq[GraftQuery] = Seq(pagerank, labelProp)
 }

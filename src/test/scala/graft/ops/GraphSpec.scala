@@ -45,6 +45,35 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(pr("s1") - pr("s2")) < 1e-12)
   }
 
+  test("labelPropagation: two cliques bridged by one edge separate") {
+    import spark.implicits._
+    // clique {a1,a2,a3} and clique {b1,b2,b3}, mirrored edges, plus a
+    // single bridge a3->b1: after propagation each clique shares one
+    // label and the bridge does not merge them
+    def clique(ns: Seq[String]) =
+      for (x <- ns; y <- ns if x != y) yield (x, y)
+    val e = (clique(Seq("a1", "a2", "a3")) ++
+      clique(Seq("b1", "b2", "b3")) :+ (("a3", "b1"))).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, iterations = 4)
+      .as[(String, String)].collect().toMap
+    assert(Set("a1", "a2", "a3").map(out).size === 1)
+    assert(Set("b1", "b2", "b3").map(out).size === 1)
+    assert(out("a1") !== out("b1"))
+  }
+
+  test("labelPropagation: ties pick the smallest label; no-inbox keeps its own") {
+    import spark.implicits._
+    // c has two in-neighbors with distinct labels after round 1 start:
+    // a->c and b->c tie at count 1 -> label 'a' wins; 'a' itself has
+    // no in-edges and keeps its own label forever
+    val e = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, iterations = 2)
+      .as[(String, String)].collect().toMap
+    assert(out("c") === "a")
+    assert(out("a") === "a")
+    assert(out("b") === "b")
+  }
+
   test("fixed iterations are deterministic across runs") {
     val e = edges(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
       ("d", "a"))
