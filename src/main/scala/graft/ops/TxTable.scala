@@ -164,6 +164,32 @@ object TxTable {
   private[ops] def decodeCmx(token: String): String =
     unb64(token.stripPrefix("cmx-"))
 
+  // ------------------------------------------------ protocol versions
+  /** PROTOCOL VERSIONING (Delta's minReaderVersion/minWriterVersion):
+    * a `pv-<reader>.<writer>` log token records the minimum engine
+    * capabilities the table's active features require; absent = (1, 1).
+    * An engine whose caps fall short REFUSES loudly (read-side at
+    * snapshot resolution, write-side at commit) instead of silently
+    * misreading a feature it does not know — the contract that lets a
+    * table format evolve under live mixed-version fleets. Column
+    * mapping is the first gated feature: rename/drop auto-upgrade the
+    * table to (2, 2) in the same atomic commit, because a v1 reader
+    * ignoring mapping tokens would resurface renamed/dropped physical
+    * columns. */
+  val CurrentReader = 2
+  val CurrentWriter = 2
+
+  private[ops] def isPvName(rel: String): Boolean = rel.startsWith("pv-")
+
+  private[ops] def encodePv(reader: Int, writer: Int): String =
+    s"pv-$reader.$writer"
+
+  private[ops] def decodePv(token: String): (Int, Int) = {
+    val body = token.stripPrefix("pv-")
+    val i = body.indexOf('.')
+    (body.take(i).toInt, body.drop(i + 1).toInt)
+  }
+
   /** Open (or initialize) a transactional table rooted at `dir`, with
     * the default POSIX hard-link commit CAS ([[LogStore.HardLink]]). */
   def apply(spark: SparkSession, dir: String): TxTable =
@@ -271,18 +297,80 @@ final class TxTable private (spark: SparkSession, dir: String,
       (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
     val (ctRel, rest0) = active.partition(isCtName)
+    // cm-/cmx-/pv- metadata tokens share the `cms` list (all replay,
+    // checkpoint, and clone machinery carries them for free)
     val (cmRel, fileRel) = rest0.partition(r =>
-      isCmName(r) || isCmxName(r))
+      isCmName(r) || isCmxName(r) || isPvName(r))
     val (dvRel, dataRel) = fileRel.partition(isDvName)
     // evolved-schema marker survives checkpointing: the checkpoint
     // entry's action records whether any evolve preceded it
     val evolved = ck.exists(_.action == "ckpt-evolve") ||
       cs.exists(c => c.action == "evolve" || c.action == "clone-evolve")
-    Snapshot(
+    // READ-side protocol gate: an engine below the table's recorded
+    // reader requirement must not resolve a snapshot at all — every
+    // operation funnels through here, so nothing can silently misread
+    // a gated feature
+    val rmin = cmRel.find(isPvName).map(t => decodePv(t)._1).getOrElse(1)
+    require(rmin <= readerCap,
+      s"table requires reader protocol version $rmin; this engine " +
+        s"supports $readerCap — upgrade the engine to read this table")
+    val snap = Snapshot(
       cs.lastOption.map(_.version)
         .orElse(ck.map(_.version)).getOrElse(-1L),
       dataRel.map(f => s"$dir/$f"), dvRel.map(f => s"$dir/$f"), dir,
       merged = evolved, cts = ctRel, cms = cmRel)
+    // memo for tryCommit's write gate: the committer resolved this very
+    // snapshot moments ago in its retry loop — a stale/raced entry only
+    // costs one re-resolve, never a wrong answer
+    protoMemo = (snap.version, protocolOf(snap)._2)
+    snap
+  }
+
+  @volatile private var protoMemo: (Long, Int) = (Long.MinValue, 1)
+
+  /** Engine capability caps — `private[ops]` mutable ONLY so the spec
+    * can impersonate an older engine; production code never writes
+    * them. */
+  private[ops] var readerCap: Int = TxTable.CurrentReader
+  private[ops] var writerCap: Int = TxTable.CurrentWriter
+
+  /** The (minReader, minWriter) protocol requirement of snapshot `s`;
+    * (1, 1) when the table never needed more. */
+  def protocolOf(s: Snapshot): (Int, Int) =
+    s.cms.find(TxTable.isPvName).map(TxTable.decodePv).getOrElse((1, 1))
+
+  /** The head snapshot's protocol requirement. */
+  def protocol: (Int, Int) = protocolOf(snapshot())
+
+  /** Raise the table's recorded protocol requirement (metadata-only
+    * commit, action `protocol`). Refused: downgrades, no-ops, and
+    * requirements beyond this engine's own capabilities (a writer must
+    * never demand what it cannot itself do). Feature DDL that needs a
+    * gate (column mapping) upgrades automatically in its own commit —
+    * this is the explicit form for operators preparing a fleet
+    * migration. */
+  def upgradeProtocol(minReader: Int, minWriter: Int,
+      maxRetries: Int = 20): Commit = {
+    require(minReader <= TxTable.CurrentReader &&
+      minWriter <= TxTable.CurrentWriter,
+      s"cannot require ($minReader, $minWriter): this engine itself " +
+        s"supports only (${TxTable.CurrentReader}, ${TxTable.CurrentWriter})")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val (r0, w0) = protocolOf(head)
+      require(minReader >= r0 && minWriter >= w0,
+        s"protocol downgrade refused: table requires ($r0, $w0)")
+      require(minReader > r0 || minWriter > w0,
+        s"table already requires ($r0, $w0)")
+      val c = Commit(head.version + 1, "protocol",
+        Seq(TxTable.encodePv(minReader, minWriter)),
+        head.cms.filter(TxTable.isPvName),
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"upgradeProtocol contention: lost $maxRetries races in $logDir")
   }
 
   /** DESCRIBE HISTORY: one row per commit, newest first — version,
@@ -492,9 +580,11 @@ final class TxTable private (spark: SparkSession, dir: String,
             "or re-create the constraint around the rename")
       }
       val phys = m.getOrElse(oldName, oldName)
+      val (pvAdd, pvRemove) = mappingUpgrade(head)
       val c = Commit(head.version + 1, "rename",
-        Seq(TxTable.encodeCm(newName, phys)),
-        m.get(oldName).map(_ => TxTable.encodeCm(oldName, phys)).toSeq,
+        Seq(TxTable.encodeCm(newName, phys)) ++ pvAdd,
+        m.get(oldName).map(_ => TxTable.encodeCm(oldName, phys)).toSeq ++
+          pvRemove,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
       if (tryCommit(c)) return c
       attempt += 1
@@ -529,9 +619,11 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
       val m = cmMap(head)
       val phys = m.getOrElse(name, name)
+      val (pvAdd, pvRemove) = mappingUpgrade(head)
       val c = Commit(head.version + 1, "dropcol",
-        Seq(TxTable.encodeCmx(phys)),
-        m.get(name).map(_ => TxTable.encodeCm(name, phys)).toSeq,
+        Seq(TxTable.encodeCmx(phys)) ++ pvAdd,
+        m.get(name).map(_ => TxTable.encodeCm(name, phys)).toSeq ++
+          pvRemove,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
       if (tryCommit(c)) return c
       attempt += 1
@@ -652,6 +744,17 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def physName(s: Snapshot, column: String): String =
     cmMap(s).getOrElse(column, column)
 
+  /** Column mapping is protocol-gated at (2, 2): the pv-token swap a
+    * mapping DDL commit must carry when the table still sits below —
+    * a v1 reader ignoring mapping tokens would resurface renamed and
+    * dropped physical columns. */
+  private def mappingUpgrade(head: Snapshot): (Seq[String], Seq[String]) = {
+    val (r0, w0) = protocolOf(head)
+    if (r0 >= 2 && w0 >= 2) (Nil, Nil)
+    else (Seq(TxTable.encodePv(math.max(r0, 2), math.max(w0, 2))),
+      head.cms.filter(TxTable.isPvName))
+  }
+
   private def readSnapshot(s: Snapshot): DataFrame =
     toLogical(readSnapshotRaw(s), s)
 
@@ -739,7 +842,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       // compaction is content-identical; constraint and column-mapping
       // commits are metadata-only — none contributes row changes
       .filterNot(c => c.action == "compact" || c.action == "constraint" ||
-        c.action == "rename" || c.action == "dropcol")
+        c.action == "rename" || c.action == "dropcol" ||
+        c.action == "protocol")
     val changes = cs.flatMap { c =>
       def tag(df: DataFrame, typ: String) =
         df.withColumn("_change_type", lit(typ))
@@ -887,6 +991,18 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   private def tryCommit(c0: Commit, stats: Seq[String] = Nil): Boolean = {
+    // WRITE-side protocol gate against the PRE-commit state (the commit
+    // itself may raise the requirement — that is the upgrade path).
+    // The memo hits when the committer resolved the head in its own
+    // retry loop (the normal case); a miss pays one checkpoint-bounded
+    // replay.
+    val memo = protoMemo
+    val wmin: Int =
+      if (memo._1 == c0.version - 1) memo._2
+      else protocolOf(snapshotAt(c0.version - 1))._2
+    require(wmin <= writerCap,
+      s"table requires writer protocol version $wmin; this engine " +
+        s"supports $writerCap — upgrade the engine to write this table")
     // record the added AND removed files' total sizes IN the entry: the
     // files exist (adds just staged; removes still active pre-vacuum)
     // and are local to the committer, so the stat is one driver syscall

@@ -1263,6 +1263,25 @@ class TxTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t2.dropColumn("only"))
   }
 
+  test("renaming a hive partition column keeps partition pruning working") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.appendPartitioned(Seq((1L, "de"), (2L, "en"), (3L, "en"))
+      .toDF("id", "lang"), "lang")
+    t.renameColumn("lang", "language")
+    // reads surface the new name; manifest pruning translates it back
+    // to the physical path prefix
+    assert(t.read().columns.toSet === Set("id", "language"))
+    val en = t.readPartition("language", "en")
+    assert(en.count() === 2)
+    assert(en.columns.contains("language"))
+    // appends under the new logical name land in physical-named paths
+    t.appendPartitioned(Seq((4L, "en")).toDF("id", "language"), "language")
+    assert(t.readPartition("language", "en").count() === 3)
+    assert(t.snapshot().files.forall(
+      _.stripPrefix(s"${t.tableDir}/").startsWith("lang=")))
+  }
+
   test("column mapping survives checkpoint replay, restore, and clone") {
     import spark.implicits._
     val (t, dir) = mkTable()
@@ -1284,6 +1303,52 @@ class TxTableSpec extends SparkTestBase {
     val c = t.cloneTo(s"$dir-cmclone")
     assert(c.read().columns.toSeq === Seq("id", "body"))
     assert(c.columnMapping === Map("body" -> "payload"))
+  }
+
+  test("protocol versioning: mapping DDL auto-upgrades; old engines refused") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))
+    assert(t.protocol === ((1, 1)))
+    // a v1 engine reads and writes a v1 table freely
+    val old = TxTable(spark, dir, logStore)
+    old.readerCap = 1
+    old.writerCap = 1
+    assert(old.read().count() === 10)
+    old.append(Seq((100L, "x")).toDF("id", "payload"))
+    // column mapping gates the table at (2, 2) in the SAME commit
+    t.renameColumn("payload", "body")
+    assert(t.protocol === ((2, 2)))
+    // the old engine now refuses to even resolve a snapshot...
+    val e = intercept[IllegalArgumentException](old.read())
+    assert(e.getMessage.contains("reader protocol"))
+    // ...and a writer-capped (but reader-capable) engine refuses writes
+    val oldWriter = TxTable(spark, dir, logStore)
+    oldWriter.writerCap = 1
+    assert(oldWriter.read().count() === 11) // reading is fine
+    val e2 = intercept[IllegalArgumentException](
+      oldWriter.append(Seq((101L, "y")).toDF("id", "body")))
+    assert(e2.getMessage.contains("writer protocol"))
+    // current engine continues normally; the requirement is sticky
+    t.append(Seq((102L, "z")).toDF("id", "body"))
+    assert(t.protocol === ((2, 2)))
+  }
+
+  test("explicit upgradeProtocol: monotone, engine-bounded, CDF-silent") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 5))
+    t.upgradeProtocol(2, 2)
+    assert(t.protocol === ((2, 2)))
+    // downgrade, no-op, and beyond-engine upgrades all refuse
+    intercept[IllegalArgumentException](t.upgradeProtocol(1, 1))
+    intercept[IllegalArgumentException](t.upgradeProtocol(2, 2))
+    intercept[IllegalArgumentException](t.upgradeProtocol(99, 99))
+    // metadata-only: contributes nothing to the change feed
+    assert(t.readChanges(0).count() === 0)
+    // pre-upgrade time travel still resolves (requirement replays with
+    // its version)
+    assert(t.readAt(0).count() === 5)
   }
 
   test("update and replace net-diff correctly in the change feed") {
