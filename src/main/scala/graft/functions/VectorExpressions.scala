@@ -45,6 +45,10 @@ object VectorExpressions {
       VecSum.info,
       (children: Seq[Expression]) => VecSum(children.head))
     registry.registerFunction(
+      FunctionIdentifier("heavy_hitters"),
+      SpaceSaving.info,
+      (children: Seq[Expression]) => SpaceSaving(children(0), children(1)))
+    registry.registerFunction(
       FunctionIdentifier("ws_tokens"), WsTokens.info,
       (children: Seq[Expression]) => WsTokens(children.head))
     registry.registerFunction(

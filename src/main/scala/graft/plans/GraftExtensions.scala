@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomMightContain, CharEntropy, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens}
+import graft.functions.{BloomMightContain, CharEntropy, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens, SpaceSaving}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_sum"),
       VecSum.info,
       (children: Seq[Expression]) => VecSum(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      SpaceSaving.info,
+      (children: Seq[Expression]) => SpaceSaving(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head)))

@@ -1001,6 +1001,82 @@ object TrainingData {
               margin > 0 AS keep
             FROM scored"""))
 
+  // ------------------------------------------------- heavy hitters
+  /** SpaceSaving heavy-hitters sketch (`heavy_hitters`
+    * TypedImperativeAggregate, [[graft.functions.SpaceSaving]]) in its
+    * NO-EVICTION regime: capacity 64 exceeds the per-source vocabulary,
+    * so the summary degenerates to exact counting (est = true count,
+    * err = 0, merge floors 0) and the per-source top-10 hash-matches
+    * the exact window top-10 — the roundtrip proof that the sketch
+    * machinery (update, mergeable-summaries merge, serialization)
+    * loses nothing when capacity suffices. The eviction regime's
+    * certificate is `x_heavy_hitters_bound`; the Zipf-skew guarantee
+    * (`count > N/(m+1)` ⇒ present) is `SpaceSavingSpec`'s. */
+  private val heavyHitters = GraftQuery(
+    "x_heavy_hitters",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("source")
+        .agg(call_function("heavy_hitters", col("term"), lit(64)).as("hh"))
+        .select(col("source"), posexplode(col("hh")).as(Seq("pos", "h")))
+        .where(col("pos") < 10)
+        .select(col("source"), col("h.term").as("term"),
+          col("h.est").as("est"), col("h.err").as("err"),
+          (col("pos") + 1).cast("int").as("rank"))
+    },
+    Some("""WITH t AS (SELECT source,
+              unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                 x -> x <> '')) AS term
+            FROM documents),
+            c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS est
+                  FROM t GROUP BY 1, 2)
+            SELECT source, term, est, CAST(0 AS BIGINT) AS err,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY source ORDER BY est DESC, term) AS rank
+                  FROM c)
+            WHERE rank <= 10"""))
+
+  /** The EVICTION regime (capacity 8 < vocabulary): summary contents
+    * depend on stream/merge order, but the Metwally/Agarwal per-item
+    * CERTIFICATE — `est − err ≤ true count ≤ est` — holds under ANY
+    * order, so the certificate (joined against exact counts), the
+    * saturated entry count, and the token total are the deterministic,
+    * cross-engine-checkable facts. A certificate violation anywhere
+    * flips a flag to 0 and fails the hash. */
+  private val heavyHittersBound = GraftQuery(
+    "x_heavy_hitters_bound",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+      val sk = toks.groupBy("source")
+        .agg(call_function("heavy_hitters", col("term"), lit(8)).as("hh"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"), explode(col("hh")).as("h"))
+        .select(col("source"), col("n_tokens"), col("h.term").as("term"),
+          col("h.est").as("est"), col("h.err").as("err"))
+      val exact = toks.groupBy("source", "term")
+        .agg(count(lit(1)).as("cnt"))
+      sk.join(exact, Seq("source", "term"))
+        .groupBy("source")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).cast("int").as("n_entries"),
+          min((col("est") - col("err") <= col("cnt") &&
+            col("cnt") <= col("est")).cast("int")).as("bounds_ok"))
+    },
+    Some("""WITH t AS (SELECT source,
+              unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                 x -> x <> '')) AS term
+            FROM documents)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   8 AS n_entries, 1 AS bounds_ok
+            FROM t GROUP BY source"""))
+
   // -------------------------------------------- linear classifier TRAIN
   /** TRAIN the hashed linear quality classifier in the engine
     * ([[graft.ops.Logistic.train]] — the fitting half whose inference
@@ -1123,5 +1199,5 @@ object TrainingData {
     dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
     gapFill, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
     intervalJoin, intervalJoinOuter, tfidf, temporalPairs, bm25,
-    qualityLinear, qualityTrain)
+    qualityLinear, qualityTrain, heavyHitters, heavyHittersBound)
 }
