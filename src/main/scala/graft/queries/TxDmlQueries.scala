@@ -180,8 +180,18 @@ object TxDmlQueries {
     bench = false,
     benchBuild = Some((s, d) => {
       val t = seeded(s, d, "txsql-bench", Tables.customer(s, d))
+      t.updateBetween("c_custkey", 100L, 500L,
+        Map("c_acctbal" -> round(col("c_acctbal") + 1000.0, 2)))
       val p = t.tableDir
-      () => s.read.format("txtable").option("path", p).load()
+      () => {
+        def rel = s.read.format("txtable").option("path", p)
+        rel.load().withColumn("tag", lit("head"))
+          .unionByName(rel.option("versionAsOf", "0").load()
+            .withColumn("tag", lit("v0")))
+          .select(col("tag"), col("c_custkey"), col("c_name"),
+            col("c_nationkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+            col("c_mktsegment"))
+      }
     }))
 
   // ------------------------------------------------------------- SCD2
