@@ -47,4 +47,29 @@ object TimeSeries {
       }
     }
   }
+
+  final case class CusumPoint(user_id: Long, event_id: Long,
+      cusum: Double, alarm: Boolean)
+
+  /** One-sided CUSUM changepoint statistic per key (Page 1954 — the
+    * classic sequential drift detector): `s_0 = 0`,
+    * `s_i = max(0, s_{i−1} + x_i − k)` with reference level `k`, alarm
+    * when `s_i > h`. A sustained upward shift of the mean accumulates;
+    * in-control noise resets to zero — the monitoring recurrence that,
+    * like EWMA, no window function expresses in O(n). Same scale and
+    * streaming shape as [[ewma]]: one key shuffle, O(n) ordered fold,
+    * O(1) state. */
+  def cusum(points: Dataset[Point], k: Double,
+      h: Double): Dataset[CusumPoint] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.user_id).flatMapGroups { (u, it) =>
+      val xs = it.toArray
+      java.util.Arrays.sort(xs, Ordering.by((p: Point) => (p.tsUs, p.event_id)))
+      var s = 0.0
+      xs.iterator.map { p =>
+        s = math.max(0.0, s + p.value - k)
+        CusumPoint(u, p.event_id, s, s > h)
+      }
+    }
+  }
 }

@@ -1193,11 +1193,45 @@ object TrainingData {
                        + (1 - CAST(0.3 AS DOUBLE)) * acc), 6) AS ewma
             FROM o"""))
 
+  /** One-sided CUSUM drift statistic per user at every event
+    * ([[graft.ops.TimeSeries.cusum]], reference k = 8, alarm h = 30) —
+    * EWMA's monitoring sibling and the same O(n²)-free recurrence
+    * argument: the oracle folds a zero-seeded prefix list with the
+    * identical `max(0, acc + x − k)` step. The 2-decimal inputs keep
+    * every CUSUM value at 2 decimals, so the 6-decimal rounding has no
+    * tie to break. */
+  private val eventsCusum = GraftQuery(
+    "x_events_cusum",
+    (s, d) => {
+      import s.implicits._
+      val pts = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsUs"), col("value"))
+        .as[graft.ops.TimeSeries.Point]
+      graft.ops.TimeSeries.cusum(pts, k = 8.0, h = 30.0).toDF()
+        .select(col("user_id"), col("event_id"),
+          round(col("cusum"), 6).as("cusum"),
+          col("alarm").cast("int").as("alarm"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_id,
+                   list(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS vs
+                 FROM events)
+            SELECT user_id, event_id,
+                   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+                     (acc, x) -> greatest(CAST(0 AS DOUBLE),
+                       acc + x - CAST(8 AS DOUBLE))), 6) AS cusum,
+                   CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+                     (acc, x) -> greatest(CAST(0 AS DOUBLE),
+                       acc + x - CAST(8 AS DOUBLE))) > 30 AS INTEGER)
+                     AS alarm
+            FROM o"""))
+
   val queries: Seq[GraftQuery] = Seq(eventsEwma,
     dedupExact, tokenCount, qualityScore, qualityGopher, textClean,
     charEntropy, bigramLoglik,
     dsirWeights, pplBuckets, sourceTemperature, fingerprint, eventsHourly,
     gapFill, langId, sessionize, sessionWindow, jsonExtract, asofJoin,
     intervalJoin, intervalJoinOuter, tfidf, temporalPairs, bm25,
-    qualityLinear, qualityTrain, heavyHitters, heavyHittersBound)
+    qualityLinear, qualityTrain, heavyHitters, heavyHittersBound, eventsCusum)
 }
