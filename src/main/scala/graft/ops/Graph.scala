@@ -111,10 +111,16 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
+    // same adaptive discipline as [[pageRank]]: the label vector is
+    // O(nodes) — broadcast it to the edge partitions while it fits, so
+    // a round's only exchange is the vote aggregate; shuffle joins
+    // past the threshold
+    val bcast = nodes.count() <= 5000000L
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var labels = nodes.withColumn("label", col("node"))
     var round = 0
     while (round < iterations) {
-      val votes = e.join(labels, col("src") === col("node"))
+      val votes = e.join(side(labels), col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__n"))
       // argmax by (count DESC, label ASC) in ONE partial-aggregable
@@ -123,7 +129,7 @@ object Graph {
       val winner = votes.groupBy(col("dst").as("node2"))
         .agg(expr("min_by(label, struct(-__n, label))").as("__new"))
       labels = labels
-        .join(winner, col("node") === col("node2"), "left")
+        .join(side(winner), col("node") === col("node2"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint()
