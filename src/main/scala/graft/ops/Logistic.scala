@@ -31,7 +31,8 @@ object Logistic {
 
   /** Fit bucket weights. `features`: one row per (doc_id, b, x) —
     * example, bucket, feature value. `labels`: (doc_id, y) with
-    * y ∈ {0.0, 1.0}. Weights start at zero over the OCCURRING buckets;
+    * y ∈ {0.0, 1.0}. Weights start at 1e-9 over the OCCURRING buckets
+    * (see the tie note at the initializer);
     * each round steps `w ← w − lr · round(∇, 6)` (default lr = 1/3:
     * a NON-DECIMAL rate keeps the weights — and so every margin —
     * off exact decimal rounding ties; a decimal rate times the
@@ -51,8 +52,16 @@ object Logistic {
     // anchor trick as the EWMA α. The scale change is absorbed into
     // the (arbitrary) learning rate.
     val n = l.count().toDouble + 1.0 / 3.0
+    // weights start at 1e-9, not 0: a zero start makes round 1's
+    // residuals exactly +-0.5 and the whole first gradient RATIONAL,
+    // which can land exactly on a 6-decimal rounding tie (observed:
+    // engines then round the same value in opposite directions). The
+    // epsilon pushes every round through exp(), whose transcendental
+    // offset moves exact ties off the boundary by ~1e-9 — far above
+    // the 1e-16 cross-engine sum noise — while being far below any
+    // fit-relevant scale.
     var w = f.select(col("b")).distinct()
-      .withColumn("w", lit(0.0)).localCheckpoint()
+      .withColumn("w", lit(1e-9)).localCheckpoint()
     var round_ = 0
     while (round_ < iterations) {
       val m = f.join(broadcast(w), "b")

@@ -1099,10 +1099,17 @@ object TrainingData {
         .withColumn("b", graft.ops.PortableHash.hash32(col("term")) % B)
       val tot = posted.groupBy("doc_id")
         .agg(count(lit(1)).cast("double").as("nt"))
+      // x = cnt / (nt + 1/3): the shifted normalizer is the same
+      // non-decimal anchor as the gradient divisor — with plain cnt/nt
+      // the weights and margins stay products of decimals and CAN land
+      // exactly on a 6-decimal rounding tie (observed; the two engines
+      // then round it in opposite directions). The 1/3 shift is a
+      // uniform ~0.3% feature rescale the fit absorbs.
       val f = posted.groupBy("doc_id", "b")
         .agg(count(lit(1)).as("cnt"))
         .join(tot, "doc_id")
-        .select(col("doc_id"), col("b"), (col("cnt") / col("nt")).as("x"))
+        .select(col("doc_id"), col("b"),
+          (col("cnt") / (col("nt") + lit(1.0 / 3.0))).as("x"))
       val l = Tables.documents(s, d)
         .join(tot.select("doc_id"), "doc_id")
         .select(col("doc_id"),
@@ -1128,14 +1135,14 @@ object TrainingData {
       tot AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS nt
               FROM posted GROUP BY 1),
       f AS MATERIALIZED (SELECT p.doc_id, p.b,
-              COUNT(*) / ANY_VALUE(t.nt) AS x
+              COUNT(*) / (ANY_VALUE(t.nt) + CAST(1 AS DOUBLE) / 3) AS x
              FROM posted p JOIN tot t USING (doc_id)
              GROUP BY p.doc_id, p.b),
       l AS MATERIALIZED (SELECT d.doc_id,
               CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
              FROM documents d JOIN tot USING (doc_id)),
       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM l),
-      w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS DOUBLE) AS w
+      w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(1e-9 AS DOUBLE) AS w
              FROM f)"""
       val rounds = (1 to 3).map { i =>
         s""",
