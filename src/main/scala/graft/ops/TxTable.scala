@@ -181,6 +181,25 @@ object TxTable {
 
   private[ops] def isPvName(rel: String): Boolean = rel.startsWith("pv-")
 
+  /** GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS`): a
+    * `gc-<b64(name)>.<b64(expr)>` token records that column `name` is
+    * derived by `expr`. An append may OMIT the column — the engine
+    * computes it at write time — and a batch that supplies it is
+    * ENFORCED equal (null-safe) to the expression, so the invariant
+    * can never drift. The canonical use is a derived partition key
+    * (`event_date` from a timestamp): writers never hand-compute it
+    * inconsistently, readers prune on it. */
+  private[ops] def isGcName(rel: String): Boolean = rel.startsWith("gc-")
+
+  private[ops] def encodeGc(name: String, expression: String): String =
+    "gc-" + b64(name) + "." + b64(expression)
+
+  private[ops] def decodeGc(token: String): (String, String) = {
+    val body = token.stripPrefix("gc-")
+    val i = body.indexOf('.')
+    (unb64(body.take(i)), unb64(body.drop(i + 1)))
+  }
+
   private[ops] def encodePv(reader: Int, writer: Int): String =
     s"pv-$reader.$writer"
 
@@ -297,10 +316,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
     val (ctRel, rest0) = active.partition(isCtName)
-    // cm-/cmx-/pv- metadata tokens share the `cms` list (all replay,
-    // checkpoint, and clone machinery carries them for free)
+    // cm-/cmx-/pv-/gc- metadata tokens share the `cms` list (all
+    // replay, checkpoint, and clone machinery carries them for free)
     val (cmRel, fileRel) = rest0.partition(r =>
-      isCmName(r) || isCmxName(r) || isPvName(r))
+      isCmName(r) || isCmxName(r) || isPvName(r) || isGcName(r))
     val (dvRel, dataRel) = fileRel.partition(isDvName)
     // evolved-schema marker survives checkpointing: the checkpoint
     // entry's action records whether any evolve preceded it
@@ -744,6 +763,78 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def physName(s: Snapshot, column: String): String =
     cmMap(s).getOrElse(column, column)
 
+  /** Active generated-column definitions of `s`: name → expression. */
+  private def gcMap(s: Snapshot): Map[String, String] =
+    s.cms.filter(TxTable.isGcName).map(TxTable.decodeGc).toMap
+
+  /** Apply `s`'s generated-column policy to an incoming LOGICAL batch:
+    * absent generated columns are COMPUTED; present ones are ENFORCED
+    * null-safe-equal to their expression via the same
+    * raise-on-first-violation inline filter as CHECK constraints. */
+  private def applyGenerated(df: DataFrame, s: Snapshot): DataFrame =
+    gcMap(s).toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d.withColumn(n, expr(e))
+      else d.filter(when(!(col(n) <=> expr(e)),
+        raise_error(concat(
+          lit(s"generated column '$n' must equal $e; violating row "),
+          to_json(struct(d.columns.toIndexedSeq.map(col): _*)))))
+        .otherwise(lit(true)))
+    }
+
+  /** Declare `name` GENERATED ALWAYS AS `expression`. The column must
+    * already exist in the schema with every existing row satisfying
+    * the equality (validated here, like ADD CONSTRAINT) — from then on
+    * appends may omit it (computed) or must match it (enforced).
+    * Metadata-only commit, action `gencol`. */
+  def addGeneratedColumn(name: String, expression: String,
+      maxRetries: Int = 20): Commit = {
+    spark.sessionState.sqlParser.parseExpression(expression)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      require(head.files.nonEmpty,
+        "declare generated columns after the schema-defining first append")
+      require(!gcMap(head).contains(name),
+        s"generated column '$name' already declared: ${gcMap(head)(name)}")
+      val content = readSnapshot(head)
+      require(content.columns.contains(name),
+        s"no column '$name' to declare generated (table has " +
+          s"${content.columns.sorted.mkString(", ")})")
+      require(content.where(!(col(name) <=> expr(expression)))
+          .limit(1).count() == 0L,
+        s"cannot declare '$name' generated as $expression: existing " +
+          "rows violate the equality")
+      val c = Commit(head.version + 1, "gencol",
+        Seq(TxTable.encodeGc(name, expression)), Nil,
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"addGeneratedColumn contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Remove a generated-column declaration (metadata-only); the column
+    * itself stays, it just stops being computed/enforced. */
+  def dropGeneratedColumn(name: String, maxRetries: Int = 20): Commit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val token = head.cms.find(t =>
+        TxTable.isGcName(t) && TxTable.decodeGc(t)._1 == name)
+      require(token.isDefined,
+        s"no generated column '$name' (declared: " +
+          s"${gcMap(head).keys.toSeq.sorted.mkString(", ")})")
+      val c = Commit(head.version + 1, "gencol", Nil, Seq(token.get),
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"dropGeneratedColumn contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Active generated-column declarations of the head snapshot. */
+  def generatedColumns: Map[String, String] = gcMap(snapshot())
+
   /** Column mapping is protocol-gated at (2, 2): the pv-token swap a
     * mapping DDL commit must carry when the table still sits below —
     * a v1 reader ignoring mapping tokens would resurface renamed and
@@ -843,7 +934,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // commits are metadata-only — none contributes row changes
       .filterNot(c => c.action == "compact" || c.action == "constraint" ||
         c.action == "rename" || c.action == "dropcol" ||
-        c.action == "protocol")
+        c.action == "protocol" || c.action == "gencol")
     val changes = cs.flatMap { c =>
       def tag(df: DataFrame, typ: String) =
         df.withColumn("_change_type", lit(typ))
@@ -1494,7 +1585,8 @@ final class TxTable private (spark: SparkSession, dir: String,
   def append(df: DataFrame, maxRetries: Int = 50): Commit = {
     val s0 = snapshot()
     val cts = ctMap(s0)
-    commitAppend(stage(toPhysical(enforced(df, cts), s0)), df, maxRetries,
+    val df2 = applyGenerated(df, s0)
+    commitAppend(stage(toPhysical(enforced(df2, cts), s0)), df2, maxRetries,
       enforcedCts = cts)
   }
 
@@ -1511,7 +1603,8 @@ final class TxTable private (spark: SparkSession, dir: String,
   def appendEvolve(df: DataFrame, maxRetries: Int = 50): Commit = {
     val s0 = snapshot()
     val cts = ctMap(s0)
-    commitAppend(stage(toPhysical(enforced(df, cts), s0)), df, maxRetries,
+    val df2 = applyGenerated(df, s0)
+    commitAppend(stage(toPhysical(enforced(df2, cts), s0)), df2, maxRetries,
       evolve = true, enforcedCts = cts)
   }
 
@@ -1529,14 +1622,18 @@ final class TxTable private (spark: SparkSession, dir: String,
     * inference ill-defined. */
   def appendPartitioned(df: DataFrame, partitionCol: String,
       maxRetries: Int = 50): Commit = {
-    require(df.columns.contains(partitionCol),
-      s"partition column $partitionCol not in ${df.columns.mkString(",")}")
     val s0 = snapshot()
     val cts = ctMap(s0)
+    // generation runs BEFORE the partition-column check and the
+    // partitioned write, so a generated partition key (event_date
+    // from a timestamp) may be omitted by the batch entirely
+    val df2 = applyGenerated(df, s0)
+    require(df2.columns.contains(partitionCol),
+      s"partition column $partitionCol not in ${df2.columns.mkString(",")}")
     commitAppend(
-      stagePartitioned(toPhysical(enforced(df, cts), s0),
+      stagePartitioned(toPhysical(enforced(df2, cts), s0),
         physName(s0, partitionCol)),
-      df, maxRetries, enforcedCts = cts)
+      df2, maxRetries, enforcedCts = cts)
   }
 
   /** Manifest-pruned partition read: the snapshot's file list is

@@ -194,6 +194,43 @@ object TxDmlQueries {
       }
     }))
 
+  // ----------------------------------------------------------------- K26
+  /** GENERATED COLUMNS ([[graft.ops.TxTable.addGeneratedColumn]],
+    * Delta's GENERATED ALWAYS AS): `o_year` is declared derived from
+    * the order timestamp after the schema-defining first append; a
+    * second key-shifted batch then OMITS the column entirely and the
+    * engine computes it at write time. The oracle re-derives `year()`
+    * for every row of both batches — a write path that skipped
+    * generation (null year) or mis-derived it breaks the hash. The
+    * supplied-but-wrong refusal and the generated-partition-key path
+    * are `TxTableSpec`-pinned. */
+  private val txGeneratedCols = GraftQuery(
+    "k26_tx_generated_cols",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val withYear = orders.withColumn("o_year", year(col("o_orderdate")))
+      val t = seeded(s, d, "txgen", withYear)
+      t.addGeneratedColumn("o_year", "year(o_orderdate)")
+      val keyShift = orders.agg(max(col("o_orderkey")))
+        .head().getLong(0) + 1L
+      // the second batch carries NO o_year — the table computes it
+      t.append(orders.where(col("o_custkey") % 10 === 0)
+        .select((col("o_orderkey") + keyShift).as("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")))
+      t.read().select(col("o_orderkey"), col("o_custkey"),
+        col("o_year"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1
+                     AS o_orderkey, o_custkey,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year
+            FROM orders WHERE o_custkey % 10 = 0"""),
+    bench = false)
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -286,5 +323,6 @@ object TxDmlQueries {
                OR s.c_custkey NOT IN (SELECT c_custkey FROM customer)"""))
 
   def queries: Seq[GraftQuery] =
-    Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead, scd2Apply)
+    Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
+      txGeneratedCols, scd2Apply)
 }

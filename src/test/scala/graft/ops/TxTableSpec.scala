@@ -1305,6 +1305,47 @@ class TxTableSpec extends SparkTestBase {
     assert(c.columnMapping === Map("body" -> "payload"))
   }
 
+  test("generated columns: computed when omitted, enforced when supplied") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(Seq((1L, 10L, 20L)).toDF("id", "v", "v2")) // v2 = v * 2
+    t.addGeneratedColumn("v2", "v * 2")
+    // omitted -> computed
+    t.append(Seq((2L, 7L)).toDF("id", "v"))
+    assert(t.read().where(col("id") === 2L).head().getLong(2) === 14L)
+    // supplied and consistent -> accepted
+    t.append(Seq((3L, 5L, 10L)).toDF("id", "v", "v2"))
+    // supplied and WRONG -> the write job fails, nothing lands
+    intercept[Exception] {
+      t.append(Seq((4L, 5L, 11L)).toDF("id", "v", "v2"))
+    }
+    assert(t.read().count() === 3)
+    // declaration refusals: unknown column, violating content, dupes
+    intercept[IllegalArgumentException](
+      t.addGeneratedColumn("nope", "v * 2"))
+    intercept[IllegalArgumentException](
+      t.addGeneratedColumn("id", "v * 3"))
+    intercept[IllegalArgumentException](
+      t.addGeneratedColumn("v2", "v * 2"))
+    // drop releases: a drifting v2 is accepted again
+    t.dropGeneratedColumn("v2")
+    t.append(Seq((5L, 5L, 99L)).toDF("id", "v", "v2"))
+    assert(t.read().count() === 4)
+  }
+
+  test("generated partition key: batch omits it, pruned reads work") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    // INT partition values: hive path inference reads them back as int
+    t.appendPartitioned(Seq((1L, 23L, 2), (2L, 47L, 4))
+      .toDF("id", "ts", "day"), "day") // day = ts / 10
+    t.addGeneratedColumn("day", "CAST(ts DIV 10 AS INT)")
+    // the batch carries no partition column at all
+    t.appendPartitioned(Seq((3L, 41L)).toDF("id", "ts"), "day")
+    assert(t.readPartition("day", 4).count() === 2) // ids 2 and 3
+    assert(t.read().count() === 3)
+  }
+
   test("protocol versioning: mapping DDL auto-upgrades; old engines refused") {
     import spark.implicits._
     val (t, dir) = mkTable()
