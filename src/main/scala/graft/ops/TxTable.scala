@@ -200,6 +200,16 @@ object TxTable {
     (unb64(body.take(i)), unb64(body.drop(i + 1)))
   }
 
+  /** Is `rel` ANY metadata token (constraint, column mapping, dropped
+    * column, protocol version, generated column)? The one predicate
+    * every consumer that wants DATA+DV files must filter with — clone
+    * commits in particular carry the full token set in their add list,
+    * so a consumer filtering only some prefixes breaks on clones of
+    * tables that ever used the other features. */
+  private[ops] def isMetaToken(rel: String): Boolean =
+    isCtName(rel) || isCmName(rel) || isCmxName(rel) ||
+      isPvName(rel) || isGcName(rel)
+
   private[ops] def encodePv(reader: Int, writer: Int): String =
     s"pv-$reader.$writer"
 
@@ -318,8 +328,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val (ctRel, rest0) = active.partition(isCtName)
     // cm-/cmx-/pv-/gc- metadata tokens share the `cms` list (all
     // replay, checkpoint, and clone machinery carries them for free)
-    val (cmRel, fileRel) = rest0.partition(r =>
-      isCmName(r) || isCmxName(r) || isPvName(r) || isGcName(r))
+    val (cmRel, fileRel) = rest0.partition(isMetaToken)
     val (dvRel, dataRel) = fileRel.partition(isDvName)
     // evolved-schema marker survives checkpointing: the checkpoint
     // entry's action records whether any evolve preceded it
@@ -458,22 +467,35 @@ final class TxTable private (spark: SparkSession, dir: String,
         .otherwise(lit(true)))
     }
 
-  /** Re-validate STAGED files when a constraint landed between staging
-    * (where [[enforced]] ran with the then-head's set) and this commit
-    * attempt — the constraint twin of [[guardSchema]]'s TOCTOU-free
-    * retry-loop placement. Costs one scan of just the staged files,
-    * paid only in the rare constraint-added-concurrently race. */
+  /** Re-validate STAGED files when a constraint OR generated-column
+    * declaration landed between staging (where [[enforced]] /
+    * [[applyGenerated]] ran with the then-head's sets) and this commit
+    * attempt — the TOCTOU-free retry-loop twin of [[guardSchema]].
+    * Costs one scan of just the staged files, paid only in the rare
+    * DDL-landed-concurrently race. A concurrently declared generated
+    * column whose column the staged batch LACKS entirely is caught by
+    * the schema guard instead (the declaration requires the column to
+    * exist table-wide). */
   private def guardConstraints(base: Snapshot,
-      enforcedCts: Map[String, String], files: Seq[String]): Unit = {
-    val missed = ctMap(base) -- enforcedCts.keys
-    if (missed.nonEmpty && files.nonEmpty) {
+      enforcedCts: Map[String, String], files: Seq[String],
+      enforcedGcs: Map[String, String] = Map.empty): Unit = {
+    val missedCt = ctMap(base) -- enforcedCts.keys
+    val missedGc = gcMap(base) -- enforcedGcs.keys
+    if ((missedCt.nonEmpty || missedGc.nonEmpty) && files.nonEmpty) {
       // staged files carry PHYSICAL names; constraints speak logical
       val content = toLogical(spark.read.option("basePath", dir)
         .parquet(files.map(n => s"$dir/$n"): _*), base)
-      missed.foreach { case (n, e) =>
+      missedCt.foreach { case (n, e) =>
         require(content.where(violation(e)).limit(1).count() == 0L,
           s"CHECK constraint '$n' ($e) was added concurrently and the " +
             "staged rows violate it")
+      }
+      missedGc.foreach { case (n, e) =>
+        if (content.columns.contains(n))
+          require(content.where(!(col(n) <=> expr(e)))
+              .limit(1).count() == 0L,
+            s"generated column '$n' ($e) was declared concurrently and " +
+              "the staged rows violate the equality")
       }
     }
   }
@@ -534,20 +556,44 @@ final class TxTable private (spark: SparkSession, dir: String,
     sys.error(s"dropConstraint contention: lost $maxRetries races in $logDir")
   }
 
-  /** Does constraint expression `e` still ANALYZE against `df`'s
-    * schema with `without` removed? A plain `df.drop(without).where(e)`
-    * probe is defeated by the analyzer's missing-reference resolution
-    * (a filter may reference columns its child projection dropped), so
-    * the probe frame is built FRESH from the reduced schema — nothing
-    * upstream to resolve through. */
+  /** Does expression `e` (a CHECK predicate or a generated-column
+    * derivation) still ANALYZE against `df`'s schema with `without`
+    * removed? A plain `df.drop(without).select(e)` probe is defeated by
+    * the analyzer's missing-reference resolution (a projection may
+    * reference columns its child dropped), so the probe frame is built
+    * FRESH from the reduced schema — nothing upstream to resolve
+    * through. The probe is a bare `select` (not the boolean
+    * [[violation]] wrapper) so non-boolean generated-column
+    * expressions probe identically: reference resolution, not typing,
+    * is the question. */
   private def resolvesWithout(df: DataFrame, without: String,
       e: String): Boolean = {
     val probe = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(
         df.schema.filterNot(_.name == without)))
-    try { probe.where(violation(e)).schema; true }
+    try { probe.select(expr(e)).schema; true }
     catch { case _: org.apache.spark.sql.AnalysisException => false }
+  }
+
+  /** Shared rename/drop guard: refuse DDL on a column that IS a
+    * declared generated column or that any generated-column expression
+    * references — supported DDL must never leave the table
+    * un-appendable (the gc expression would stop resolving, or the
+    * dropped column would be resurrected by generation and trip the
+    * schema guard). Mirrors the CHECK-constraint guard right above
+    * each call site. */
+  private def guardGcDdl(head: Snapshot, logicalDf: DataFrame,
+      column: String, what: String): Unit = {
+    val gcs = gcMap(head)
+    require(!gcs.contains(column),
+      s"'$column' is a generated column (${gcs.getOrElse(column, "")}) — " +
+        s"dropGeneratedColumn first, then $what")
+    gcs.foreach { case (n, e) =>
+      require(resolvesWithout(logicalDf, column, e),
+        s"generated column '$n' ($e) references '$column' — drop the " +
+          s"generated-column declaration around the $what")
+    }
   }
 
   // ------------------------------------------------- column mapping DDL
@@ -598,6 +644,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"CHECK constraint '$n' ($e) references '$oldName' — drop " +
             "or re-create the constraint around the rename")
       }
+      guardGcDdl(head, logicalDf, oldName, "rename")
       val phys = m.getOrElse(oldName, oldName)
       val (pvAdd, pvRemove) = mappingUpgrade(head)
       val c = Commit(head.version + 1, "rename",
@@ -636,6 +683,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"CHECK constraint '$n' ($e) references '$name' — drop the " +
             "constraint first")
       }
+      guardGcDdl(head, logicalDf, name, "drop")
       val m = cmMap(head)
       val phys = m.getOrElse(name, name)
       val (pvAdd, pvRemove) = mappingUpgrade(head)
@@ -785,7 +833,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     * already exist in the schema with every existing row satisfying
     * the equality (validated here, like ADD CONSTRAINT) — from then on
     * appends may omit it (computed) or must match it (enforced).
-    * Metadata-only commit, action `gencol`. */
+    * Metadata-only commit, action `gencol`, which also raises the
+    * table's WRITER protocol requirement to 2 when it still sits below
+    * (the same auto-upgrade device as column mapping's, writer-side
+    * only: a gc-unaware engine appending rows would silently violate
+    * the generated invariant, while readers need no gc awareness —
+    * Delta gates generated columns behind a writer version the same
+    * way). */
   def addGeneratedColumn(name: String, expression: String,
       maxRetries: Int = 20): Commit = {
     spark.sessionState.sqlParser.parseExpression(expression)
@@ -804,13 +858,25 @@ final class TxTable private (spark: SparkSession, dir: String,
           .limit(1).count() == 0L,
         s"cannot declare '$name' generated as $expression: existing " +
           "rows violate the equality")
+      val (pvAdd, pvRemove) = gencolUpgrade(head)
       val c = Commit(head.version + 1, "gencol",
-        Seq(TxTable.encodeGc(name, expression)), Nil,
+        Seq(TxTable.encodeGc(name, expression)) ++ pvAdd, pvRemove,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
       if (tryCommit(c)) return c
       attempt += 1
     }
     sys.error(s"addGeneratedColumn contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Generated columns are protocol-gated WRITER-side at 2: the
+    * pv-token swap a gencol commit must carry when the table still
+    * sits below. Reader requirement is untouched — gc tokens govern
+    * writes only; a v1 reader resolves and reads the data correctly. */
+  private def gencolUpgrade(head: Snapshot): (Seq[String], Seq[String]) = {
+    val (r0, w0) = protocolOf(head)
+    if (w0 >= 2) (Nil, Nil)
+    else (Seq(TxTable.encodePv(r0, 2)),
+      head.cms.filter(TxTable.isPvName))
   }
 
   /** Remove a generated-column declaration (metadata-only); the column
@@ -967,11 +1033,15 @@ final class TxTable private (spark: SparkSession, dir: String,
         // the deletion vectors active just before (remove side) and
         // just after (add side) the commit, or rows a vector already
         // deleted would resurface as spurious feed entries
-        // DV names AND constraint tokens ride the same lists; a clone
-        // commit is the first action carrying data files + ct tokens
-        // together, so both prefixes must be partitioned out here
-        val addData = c.add.filterNot(n => isDvName(n) || isCtName(n))
-        val remData = c.remove.filterNot(n => isDvName(n) || isCtName(n))
+        // DV names AND metadata tokens ride the same lists; a clone
+        // commit in particular carries data files + the source's FULL
+        // token set (ct-, cm-, cmx-, pv-, gc-) in one add list, so the
+        // shared [[isMetaToken]] predicate — not a subset of prefixes —
+        // must partition here, or the feed over a clone of a table that
+        // ever renamed / upgraded / declared a generated column would
+        // hand tokens to resolveFiles and die "already vacuumed"
+        val addData = c.add.filterNot(n => isDvName(n) || isMetaToken(n))
+        val remData = c.remove.filterNot(n => isDvName(n) || isMetaToken(n))
         lazy val prevDvs = snapshotAt(c.version - 1).dvs
         lazy val nowDvs = snapshotAt(c.version).dvs
         def readFiles(names: Seq[String], dvs: => Seq[String]): Option[DataFrame] =
@@ -1554,14 +1624,15 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   private def commitAppend(files: Seq[String], df: DataFrame,
       maxRetries: Int, evolve: Boolean = false,
-      enforcedCts: Map[String, String] = Map.empty): Commit = {
+      enforcedCts: Map[String, String] = Map.empty,
+      enforcedGcs: Map[String, String] = Map.empty): Commit = {
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
       if (evolve) guardSchemaEvolve(base, df) else guardSchema(base, df)
-      guardConstraints(base, enforcedCts, files)
+      guardConstraints(base, enforcedCts, files, enforcedGcs)
       val c = Commit(base.version + 1,
         if (evolve) "evolve" else "append", files, Nil,
         System.currentTimeMillis())
@@ -1587,7 +1658,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val cts = ctMap(s0)
     val df2 = applyGenerated(df, s0)
     commitAppend(stage(toPhysical(enforced(df2, cts), s0)), df2, maxRetries,
-      enforcedCts = cts)
+      enforcedCts = cts, enforcedGcs = gcMap(s0))
   }
 
   /** Schema-EVOLVING append (Delta's `mergeSchema` write): the batch
@@ -1605,7 +1676,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val cts = ctMap(s0)
     val df2 = applyGenerated(df, s0)
     commitAppend(stage(toPhysical(enforced(df2, cts), s0)), df2, maxRetries,
-      evolve = true, enforcedCts = cts)
+      evolve = true, enforcedCts = cts, enforcedGcs = gcMap(s0))
   }
 
   /** Hive-layout partitioned append: data files land under
@@ -1633,7 +1704,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     commitAppend(
       stagePartitioned(toPhysical(enforced(df2, cts), s0),
         physName(s0, partitionCol)),
-      df2, maxRetries, enforcedCts = cts)
+      df2, maxRetries, enforcedCts = cts, enforcedGcs = gcMap(s0))
   }
 
   /** Manifest-pruned partition read: the snapshot's file list is
@@ -1666,10 +1737,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     * mentioned. */
   def overwritePartitions(df: DataFrame, partitionCol: String,
       maxRetries: Int = 50): Commit = {
-    require(df.columns.contains(partitionCol),
-      s"partition column $partitionCol not in ${df.columns.mkString(",")}")
     val s0 = snapshot()
-    val files = stagePartitioned(toPhysical(df, s0),
+    val cts0 = ctMap(s0)
+    // generation runs FIRST (a generated partition key may be omitted,
+    // exactly like appendPartitioned), then CHECK + gc enforcement ride
+    // the staging write like every other write path
+    val df2 = applyGenerated(df, s0)
+    require(df2.columns.contains(partitionCol),
+      s"partition column $partitionCol not in ${df2.columns.mkString(",")}")
+    val files = stagePartitioned(toPhysical(enforced(df2, cts0), s0),
       physName(s0, partitionCol))
     val stats = fileStats(files)
     buildBlooms(files)
@@ -1677,7 +1753,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
-      guardSchema(base, df)
+      guardSchema(base, df2)
+      guardConstraints(base, cts0, files, gcMap(s0))
       val replaced = base.files.map(_.stripPrefix(s"$dir/"))
         .filter(f => touched.contains(f.takeWhile(_ != '/')))
       val c = Commit(base.version + 1, "overwrite", files, replaced,
@@ -1707,13 +1784,21 @@ final class TxTable private (spark: SparkSession, dir: String,
     require(tag.nonEmpty && !tag.contains('"'), s"bad action tag: $tag")
     val s0 = snapshot()
     val cts0 = ctMap(s0)
-    val files = stage(toPhysical(enforced(df, cts0), s0))
+    val gcs0 = gcMap(s0)
+    // generated columns apply to EVERY write path (Delta enforces them
+    // on UPDATE and MERGE too, not just appends): compute when the
+    // frame omits the column, enforce the equality when it carries it.
+    // An overwrite that legitimately redefines the schema away from a
+    // gc's base columns must dropGeneratedColumn first — the expr
+    // failing to resolve here is the loud refusal.
+    val files = stage(toPhysical(
+      enforced(applyGenerated(df, s0), cts0), s0))
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
-      guardConstraints(base, cts0, files)
+      guardConstraints(base, cts0, files, gcs0)
       val c = Commit(base.version + 1, tag, files,
         (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -1738,8 +1823,12 @@ final class TxTable private (spark: SparkSession, dir: String,
         if (base.files.isEmpty) updates
         else Upsert.latestWins(readSnapshot(base), updates, keys)
       // staged INSIDE the loop against this attempt's base, so the
-      // constraint set is the head's — no TOCTOU window to guard
-      val files = stage(toPhysical(enforced(merged, ctMap(base)), base))
+      // constraint AND generated-column sets are the head's — no
+      // TOCTOU window to guard. applyGenerated computes an omitted gc
+      // for incoming rows and enforces the equality on supplied ones;
+      // carried rows satisfy it by their own write-time enforcement.
+      val files = stage(toPhysical(
+        enforced(applyGenerated(merged, base), ctMap(base)), base))
       // a full rewrite retires the deletion vectors too: their targets
       // are all removed, and the rewrite read them applied
       val c = Commit(base.version + 1, "upsert", files,
@@ -1879,8 +1968,12 @@ final class TxTable private (spark: SparkSession, dir: String,
               when(col("__a").isin("u", "i"), col(s"s.$c"))
                 .otherwise(col(s"t.$c")).as(c)): _*)
         }
-      // like upsert: staged per attempt against this head's constraints
-      val staged = stage(toPhysical(enforced(out, ctMap(head)), head))
+      // like upsert: staged per attempt against this head's constraint
+      // and generated-column sets (gc enforcement covers MERGE like
+      // Delta's — an UPDATE/INSERT * that takes a source row with a
+      // drifted generated value fails the write job loudly)
+      val staged = stage(toPhysical(
+        enforced(applyGenerated(out, head), ctMap(head)), head))
       val c = Commit(pruned.version + 1, "merge", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -1965,6 +2058,17 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot()
+      // generated columns derive, they are never assigned: refuse the
+      // direct assignment (Delta's contract) and RECOMPUTE every
+      // declared gc after the assignments apply, so an update to a
+      // base column can never leave the derived column stale
+      val gcs = gcMap(head)
+      val gcAssigned = set.keySet.intersect(gcs.keySet)
+      require(gcAssigned.isEmpty,
+        s"UPDATE assigns generated column(s) " +
+          s"${gcAssigned.toSeq.sorted.mkString(", ")}: their values " +
+          "derive from their expressions — update the base columns " +
+          "instead")
       val pruned = pruneFiles(head, Seq((column, Option(lo), Option(hi))))
       if (head.files.nonEmpty) {
         val unknown = set.keySet --
@@ -1997,7 +2101,16 @@ final class TxTable private (spark: SparkSession, dir: String,
               case None => col(c)
             }
           }: _*)
-          stage(toPhysical(enforced(out, ctMap(head)), head))
+          // recompute declared generated columns over the POST-
+          // assignment rows (withColumn stacks a projection on `out`,
+          // so the expressions see assigned values); identical values
+          // for untouched rows — every committed row already satisfies
+          // the equality — so this adds codegen'd projection work, no
+          // extra pass
+          val regen = gcs.toSeq.sortBy(_._1).foldLeft(out) {
+            case (d, (n, e)) => d.withColumn(n, expr(e))
+          }
+          stage(toPhysical(enforced(regen, ctMap(head)), head))
         }
       val c = Commit(pruned.version + 1, "update", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
@@ -2043,15 +2156,19 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot()
-      guardSchema(head, df)
+      // generated columns: computed when the incoming frame omits them
+      // (so the schema guard below sees the full shape), enforced
+      // when supplied — per attempt against this head's declarations
+      val scoped2 = applyGenerated(scoped, head)
+      guardSchema(head, scoped2)
       val pruned = pruneFiles(head, Seq((column, Option(lo), Option(hi))))
       val kept =
         if (pruned.files.isEmpty) None
         else Some(readSnapshot(pruned)
           .where(!coalesce(matches, lit(false))))
       val out = kept match {
-        case Some(k) => k.unionByName(scoped)
-        case None    => scoped
+        case Some(k) => k.unionByName(scoped2)
+        case None    => scoped2
       }
       val staged = stage(toPhysical(enforced(out, ctMap(head)), head))
       val c = Commit(pruned.version + 1, "replace", staged,

@@ -69,6 +69,12 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     val t = table(ctx, parameters)
     require(!(o.contains("versionasof") && o.contains("timestampasof")),
       "versionAsOf and timestampAsOf are mutually exclusive")
+    // head reads PIN the version resolved HERE, where the relation's
+    // schema is captured — passing Long.MaxValue down to buildScan
+    // would re-resolve at every scan, so a commit landing between
+    // relation creation and scan (or between two scans of one query)
+    // could serve data from a different version than the schema, or
+    // mixed versions across scans
     val version: Long = o.get("versionasof").map(_.toLong)
       .orElse(o.get("timestampasof").map { s =>
         val ms =
@@ -76,7 +82,7 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
           catch { case _: NumberFormatException =>
             java.sql.Timestamp.valueOf(s).getTime }
         t.versionAsOf(ms)
-      }).getOrElse(Long.MaxValue)
+      }).getOrElse(t.snapshot().version)
     val base = t.readPruned(version, Nil)
     new BaseRelation with PrunedFilteredScan {
       override def sqlContext: SQLContext = ctx

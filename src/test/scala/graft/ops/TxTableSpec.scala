@@ -1410,6 +1410,110 @@ class TxTableSpec extends SparkTestBase {
     assert(v2 === Set(("insert", 7L, "SWAPPED"), ("delete", 7L, "row-7"),
       ("delete", 8L, "row-8")))
   }
+
+  test("change feed works over clones carrying metadata tokens") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    t.append(Seq((1L, 10L, 20L), (2L, 3L, 6L)).toDF("id", "v", "v2")) // v0
+    t.renameColumn("id", "key")           // v1: cm + pv tokens
+    t.addGeneratedColumn("v2", "v * 2")   // v2: gc token
+    // the clone commit carries data files + ct/cm/cmx/pv/gc tokens in
+    // ONE add list — the feed must partition out every token prefix,
+    // not just ct-, or it hands tokens to resolveFiles and dies
+    // "already vacuumed"
+    val c = t.cloneTo(s"$dir-cdfclone")
+    val feed = c.readChanges(-1)
+    assert(feed.where(col("_change_type") === "insert").count() === 2)
+    // logical names apply to the feed (column mapping rode along)
+    assert(feed.columns.contains("key"))
+    // and the source table's own feed over the gencol/rename window is
+    // metadata-silent
+    assert(t.readChanges(0).count() === 0)
+  }
+
+  test("rename/drop refuse on generated columns and their inputs") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(Seq((1L, 10L, 20L)).toDF("id", "v", "v2"))
+    t.addGeneratedColumn("v2", "v * 2")
+    // the generated column itself, and any column its expression
+    // references, must refuse supported DDL — otherwise every later
+    // append fails when the expression stops resolving
+    intercept[IllegalArgumentException](t.renameColumn("v2", "w2"))
+    intercept[IllegalArgumentException](t.renameColumn("v", "w"))
+    intercept[IllegalArgumentException](t.dropColumn("v2"))
+    intercept[IllegalArgumentException](t.dropColumn("v"))
+    // unreferenced columns still rename freely
+    t.renameColumn("id", "key")
+    // dropping the declaration releases the DDL, and the table stays
+    // appendable end to end
+    t.dropGeneratedColumn("v2")
+    t.renameColumn("v2", "w2")
+    t.append(Seq((2L, 3L, 99L)).toDF("key", "v", "w2"))
+    assert(t.read().count() === 2)
+  }
+
+  test("generated columns are enforced on every write path") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(Seq((1L, 10L, 20L)).toDF("id", "v", "v2"))
+    t.addGeneratedColumn("v2", "v * 2")
+    // UPDATE: assigning the generated column directly refuses…
+    val e = intercept[IllegalArgumentException](
+      t.updateWhere("id", 1L, Map("v2" -> lit(99L))))
+    assert(e.getMessage.contains("generated column"))
+    // …and updating a base column RECOMPUTES the derived one
+    t.updateWhere("id", 1L, Map("v" -> lit(7L)))
+    assert(t.read().where(col("id") === 1L).head().getLong(2) === 14L)
+    // OVERWRITE: a supplied-but-wrong value fails the write job;
+    // an omitted column is computed
+    intercept[Exception](
+      t.overwrite(Seq((2L, 5L, 11L)).toDF("id", "v", "v2")))
+    t.overwrite(Seq((2L, 5L)).toDF("id", "v"))
+    assert(t.read().head().getLong(2) === 10L)
+    // UPSERT: a violating incoming row fails the write job
+    intercept[Exception](
+      t.upsert(Seq((3L, 6L, 13L)).toDF("id", "v", "v2"), Seq("id")))
+    t.upsert(Seq((3L, 6L, 12L)).toDF("id", "v", "v2"), Seq("id"))
+    // MERGE: an INSERT * of a drifted source row fails; a consistent
+    // one lands
+    intercept[Exception](
+      t.merge(Seq((4L, 8L, 17L)).toDF("id", "v", "v2"), Seq("id"),
+        whenNotMatchedInsert = Some(lit(true))))
+    t.merge(Seq((4L, 8L, 16L)).toDF("id", "v", "v2"), Seq("id"),
+      whenNotMatchedInsert = Some(lit(true)))
+    // REPLACE WHERE: omitted column computed on the incoming side
+    t.replaceBetween(Seq((2L, 9L)).toDF("id", "v"), "id", 2L, 2L)
+    assert(t.read().where(col("id") === 2L).head().getLong(2) === 18L)
+    assert(t.read().count() === 3)
+    // dynamic-partition overwrite computes an omitted generated
+    // partition key (and enforces like the rest)
+    val (p, _) = mkTable()
+    p.appendPartitioned(Seq((1L, 23L, 2)).toDF("id", "ts", "day"), "day")
+    p.addGeneratedColumn("day", "CAST(ts DIV 10 AS INT)")
+    p.overwritePartitions(Seq((9L, 25L)).toDF("id", "ts"), "day")
+    assert(p.read().count() === 1)
+    assert(p.readPartition("day", 2).head().getLong(0) === 9L)
+  }
+
+  test("gencol declaration bumps the writer protocol requirement") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    t.append(Seq((1L, 10L, 20L)).toDF("id", "v", "v2"))
+    assert(t.protocol === ((1, 1)))
+    t.addGeneratedColumn("v2", "v * 2")
+    // writer-side gate only: a gc-unaware writer appending rows would
+    // silently violate the invariant; readers need no gc awareness
+    assert(t.protocol === ((1, 2)))
+    val old = TxTable(spark, dir, logStore)
+    old.writerCap = 1
+    val e = intercept[IllegalArgumentException](
+      old.append(Seq((2L, 3L, 6L)).toDF("id", "v", "v2")))
+    assert(e.getMessage.contains("writer protocol"))
+    val oldReader = TxTable(spark, dir, logStore)
+    oldReader.readerCap = 1
+    assert(oldReader.read().count() === 1)
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through

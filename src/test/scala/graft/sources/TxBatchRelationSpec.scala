@@ -98,4 +98,22 @@ class TxBatchRelationSpec extends SparkTestBase {
         .option("path", p).mode("append").save()
     }
   }
+
+  test("a head read pins the version resolved at relation creation") {
+    val dir = Files.createTempDirectory("graft-txrel-pin-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append(df(0 until 20)) // v0
+    val rel = spark.read.format("txtable")
+      .option("path", s"$dir/t").load()
+    // a commit landing BETWEEN relation creation and the scan must not
+    // leak into the relation: schema was captured at creation, so data
+    // must come from the same pinned version — and two scans of the
+    // same relation must agree with each other
+    t.append(df(20 until 35)) // v1
+    assert(rel.count() === 20)
+    assert(rel.where(col("id") >= 0).count() === 20)
+    // a FRESH relation sees the new head
+    assert(spark.read.format("txtable").option("path", s"$dir/t")
+      .load().count() === 35)
+  }
 }
