@@ -1999,14 +1999,34 @@ final class TxTable private (spark: SparkSession, dir: String,
     * commits a no-op entry so the deletion is visible to time travel
     * and audit. */
   def deleteBetween(column: String, lo: Any, hi: Any,
-      maxRetries: Int = 20): Commit = {
+      maxRetries: Int = 20): Commit =
+    deleteCore(Seq((column, Option(lo), Option(hi))),
+      col(column) >= lit(lo) && col(column) <= lit(hi), maxRetries)
+
+  /** DELETE WHERE <arbitrary SQL predicate> — the general form of
+    * [[deleteBetween]]: any boolean SQL expression over the table's
+    * columns. File skipping still applies wherever the predicate's
+    * top-level conjuncts imply per-column [lo, hi] bounds
+    * ([[TxPredicates.bounds]] — `k = 5 AND ts BETWEEN a AND b` prunes
+    * on both; disjunctions and opaque functions contribute no bound
+    * and simply keep all candidates, conservative like every pruning
+    * path here). SQL WHERE semantics: a NULL predicate does not match
+    * (the row survives). */
+  def deleteExpr(predicate: String, maxRetries: Int = 20): Commit = {
+    val e = spark.sessionState.sqlParser.parseExpression(predicate)
+    deleteCore(TxPredicates.bounds(e),
+      org.apache.spark.sql.graft.ColumnShim.column(e), maxRetries)
+  }
+
+  private[ops] def deleteCore(
+      bounds: Seq[(String, Option[Any], Option[Any])], matches: Column,
+      maxRetries: Int): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val pruned = prunedSnapshot(column, Option(lo), Option(hi))
-      // keep every row where the predicate is NOT TRUE — a NULL in
-      // `column` makes the match predicate NULL, and a bare negation
-      // would silently delete those rows too
-      val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
+      val pruned = pruneFiles(snapshot(), bounds)
+      // keep every row where the predicate is NOT TRUE — a NULL match
+      // predicate must not silently delete its row, so the negation
+      // goes through coalesce
       // the rewrite reads the pruned files with deletion vectors
       // APPLIED, or it would resurrect DV-deleted rows; the vectors
       // stay active (entries for the removed files are inert — file
@@ -2053,7 +2073,26 @@ final class TxTable private (spark: SparkSession, dir: String,
     * is the increment shape); they evaluate against the PRE-update
     * row, all-at-once like SQL `SET a = b, b = a`. */
   def updateBetween(column: String, lo: Any, hi: Any,
-      set: Map[String, Column], maxRetries: Int = 20): Commit = {
+      set: Map[String, Column], maxRetries: Int = 20): Commit =
+    updateCore(Seq((column, Option(lo), Option(hi))),
+      col(column) >= lit(lo) && col(column) <= lit(hi), set, maxRetries)
+
+  /** UPDATE WHERE <arbitrary SQL predicate> — the general form of
+    * [[updateBetween]], same bounds-from-conjuncts file skipping as
+    * [[deleteExpr]] and the same assignment contract as
+    * [[updateBetween]] (no new columns, no type changes, generated
+    * columns recomputed, CHECK constraints enforced inline). */
+  def updateExpr(predicate: String, set: Map[String, Column],
+      maxRetries: Int = 20): Commit = {
+    val e = spark.sessionState.sqlParser.parseExpression(predicate)
+    updateCore(TxPredicates.bounds(e),
+      org.apache.spark.sql.graft.ColumnShim.column(e), set,
+      maxRetries)
+  }
+
+  private[ops] def updateCore(
+      bounds: Seq[(String, Option[Any], Option[Any])], matches: Column,
+      set: Map[String, Column], maxRetries: Int): Commit = {
     require(set.nonEmpty, "UPDATE with no assignments is a no-op")
     var attempt = 0
     while (attempt < maxRetries) {
@@ -2069,7 +2108,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"${gcAssigned.toSeq.sorted.mkString(", ")}: their values " +
           "derive from their expressions — update the base columns " +
           "instead")
-      val pruned = pruneFiles(head, Seq((column, Option(lo), Option(hi))))
+      val pruned = pruneFiles(head, bounds)
       if (head.files.nonEmpty) {
         val unknown = set.keySet --
           toLogical(head.read(spark), head).schema.fieldNames.toSet
@@ -2077,7 +2116,6 @@ final class TxTable private (spark: SparkSession, dir: String,
           "UPDATE assigns column(s) the table does not have: " +
             unknown.toSeq.sorted.mkString(", "))
       }
-      val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
       val staged =
         if (pruned.files.isEmpty) Nil
         else {

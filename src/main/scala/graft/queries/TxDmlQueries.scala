@@ -231,6 +231,129 @@ object TxDmlQueries {
             FROM orders WHERE o_custkey % 10 = 0"""),
     bench = false)
 
+  // ----------------------------------------------------------------- K27
+  /** MERGE INTO as SQL TEXT ([[graft.ops.TxSql]]): the full three-
+    * clause CDC-apply shape — conditional UPDATE SET *, conditional
+    * DELETE, INSERT * — parsed by Spark's own parser and dispatched
+    * onto the same stats-pruned `TxTable.merge` machinery as the k16
+    * Scala-API query. The source is a temp view (update candidates
+    * with adjusted balances, delete candidates by key range, and
+    * key-shifted fresh rows); the oracle re-derives all four row
+    * fates declaratively. Hash equality proves the SQL-text path —
+    * identifier resolution, clause translation, ON-key extraction —
+    * is lossless down to the engine. */
+  /** Merge source frozen on the IMMUTABLE input table (not the
+    * TxTable's evolving content): the bench thunk re-runs the merge,
+    * and a source re-derived from the merged table would compound —
+    * each run inserting a fresh key-shifted batch. */
+  private def mergeSource(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val keyShift = c.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    val upd = c.where(col("c_custkey").between(100L, 500L))
+      .withColumn("c_acctbal", round(col("c_acctbal") + 1000.0, 2))
+      .withColumn("c_mktsegment", lit("MRG"))
+    val del = c.where(col("c_custkey").between(501L, 540L))
+    val ins = c.where(col("c_custkey") <= 50L)
+      .withColumn("c_custkey", col("c_custkey") + keyShift)
+      .withColumn("c_mktsegment", lit("NEW"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  private def runSqlMerge(s: SparkSession, d: String, t: TxTable): DataFrame = {
+    mergeSource(s, d).createOrReplaceTempView("graft_k27_src")
+    graft.ops.TxSql(s).run(
+      s"MERGE INTO txtable.`${t.tableDir}` AS t USING graft_k27_src s " +
+        "ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED AND s.c_custkey > 500 THEN DELETE " +
+        "WHEN MATCHED AND s.c_custkey <= 500 THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  private val txSqlMerge = GraftQuery(
+    "k27_tx_sql_merge",
+    (s, d) => runSqlMerge(s, d,
+      seeded(s, d, "txsqlmrg", Tables.customer(s, d))),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(CASE WHEN c_custkey BETWEEN 100 AND 500
+                       THEN ROUND(c_acctbal + 1000.0, 2)
+                       ELSE c_acctbal END, 2) AS c_acctbal,
+            CASE WHEN c_custkey BETWEEN 100 AND 500
+                 THEN 'MRG' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer WHERE c_custkey NOT BETWEEN 501 AND 540
+            UNION ALL
+            SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) + 1
+                     AS c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal,
+                   'NEW' AS c_mktsegment
+            FROM customer WHERE c_custkey <= 50"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txsqlmrg-bench", Tables.customer(s, d))
+      () => runSqlMerge(s, d, t)
+    }))
+
+  // ----------------------------------------------------------------- K28
+  /** UPDATE as SQL TEXT: a compound WHERE (range conjunct + extra
+    * predicate) whose BETWEEN conjunct drives the same stats pruning
+    * as the programmatic `updateBetween`, while the full predicate
+    * applies exactly — [[graft.ops.TxPredicates]] bounds extraction
+    * end to end through the parser. */
+  private def runSqlUpdate(s: SparkSession, t: TxTable): DataFrame = {
+    graft.ops.TxSql(s).run(
+      s"UPDATE txtable.`${t.tableDir}` " +
+        "SET c_acctbal = round(c_acctbal + 500.0, 2), " +
+        "c_mktsegment = 'SQLUPD' " +
+        "WHERE c_custkey BETWEEN 200 AND 800 AND c_nationkey < 13")
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  private val txSqlUpdate = GraftQuery(
+    "k28_tx_sql_update",
+    (s, d) => runSqlUpdate(s, seeded(s, d, "txsqlupd", Tables.customer(s, d))),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(CASE WHEN c_custkey BETWEEN 200 AND 800
+                        AND c_nationkey < 13
+                       THEN ROUND(c_acctbal + 500.0, 2)
+                       ELSE c_acctbal END, 2) AS c_acctbal,
+            CASE WHEN c_custkey BETWEEN 200 AND 800 AND c_nationkey < 13
+                 THEN 'SQLUPD' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txsqlupd-bench", Tables.customer(s, d))
+      () => runSqlUpdate(s, t)
+    }))
+
+  // ----------------------------------------------------------------- K29
+  /** DELETE as SQL TEXT with a DISJUNCTIVE predicate — the shape the
+    * BETWEEN-only programmatic API cannot express: no bounds are
+    * extractable (an OR constrains no single column), so every file
+    * is a candidate and the exact predicate decides row fates; the
+    * oracle keeps exactly the complement. */
+  private def runSqlDelete(s: SparkSession, t: TxTable): DataFrame = {
+    graft.ops.TxSql(s).run(
+      s"DELETE FROM txtable.`${t.tableDir}` " +
+        "WHERE c_custkey % 9 = 0 OR c_acctbal < -900.0")
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  private val txSqlDelete = GraftQuery(
+    "k29_tx_sql_delete",
+    (s, d) => runSqlDelete(s, seeded(s, d, "txsqldel", Tables.customer(s, d))),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM customer
+            WHERE NOT (c_custkey % 9 = 0 OR c_acctbal < -900.0)"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txsqldel-bench", Tables.customer(s, d))
+      () => runSqlDelete(s, t)
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -324,5 +447,5 @@ object TxDmlQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
-      txGeneratedCols, scd2Apply)
+      txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete, scd2Apply)
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The SQL-text DML face ([[TxSql]]): MERGE / UPDATE / DELETE /
+  * DESCRIBE HISTORY / OPTIMIZE / VACUUM statements parsed by Spark's
+  * parser and dispatched onto the TxTable engine paths — the same
+  * commit machinery the Scala API runs, proven by checking content
+  * AND the protocol artifacts (versions, actions, file pruning). */
+class TxSqlSpec extends SparkTestBase {
+
+  private def mkTable(): (TxTable, String) = {
+    val dir = Files.createTempDirectory("graft-txsql-").toString
+    (TxTable(spark, s"$dir/t"), s"$dir/t")
+  }
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, i.toLong * 10, s"row-$i"))
+      .toDF("k", "v", "tag")
+  }
+
+  private def sql = TxSql(spark)
+
+  test("UPDATE statement: assignments, WHERE, qualified names") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 20))
+    val res = sql.run(
+      s"UPDATE txtable.`$p` SET v = v + 1, tag = 'U' " +
+        "WHERE k BETWEEN 5 AND 8")
+    assert(res.head().getString(1) === "update")
+    assert(t.read().where(col("tag") === "U").count() === 4)
+    assert(t.read().where(col("k") === 6L).head().getLong(1) === 61L)
+    assert(t.read().where(col("k") === 12L).head().getLong(1) === 120L)
+    // table-qualified references unqualify onto the rewrite frame
+    sql.run(s"UPDATE txtable.`$p` AS x SET v = x.v * 2 WHERE x.k = 0")
+    assert(t.read().where(col("k") === 0L).head().getLong(1) === 0L)
+    // unknown column still refuses through the SQL path
+    intercept[IllegalArgumentException](
+      sql.run(s"UPDATE txtable.`$p` SET nope = 1 WHERE k = 1"))
+  }
+
+  test("DELETE statement: arbitrary predicate, SQL NULL semantics") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 30))
+    val res = sql.run(s"DELETE FROM txtable.`$p` WHERE k % 7 = 0 AND v < 150")
+    assert(res.head().getString(1) === "delete")
+    // deleted: 0, 7, 14 (21, 28 have v >= 150)
+    assert(t.read().count() === 27)
+    assert(t.read().where(col("k").isin(0L, 7L, 14L)).count() === 0)
+    assert(t.read().where(col("k").isin(21L, 28L)).count() === 2)
+  }
+
+  test("DELETE prunes files via predicate-implied bounds") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 50))     // file A: k in [0, 49]
+    t.append(df(1000 until 1050)) // file B: k in [1000, 1049]
+    val before = t.snapshot().files.toSet
+    sql.run(s"DELETE FROM txtable.`$p` WHERE k >= 1000 AND k <= 1010")
+    val after = t.snapshot().files.toSet
+    // the low-range file(s) must survive UNTOUCHED — identity, not
+    // just content: bounds from the conjuncts reached pruneFiles
+    assert((before intersect after).nonEmpty)
+    val commit = t.commitLog.last
+    assert(commit.action === "delete")
+    // only the hit file(s) were rewritten
+    assert(commit.remove.forall(r => before.exists(_.endsWith(r))))
+    assert(before.size - commit.remove.size ===
+      (before intersect after).size)
+    assert(t.read().count() === 89)
+  }
+
+  test("MERGE statement: all three clauses, conditions, SQL order") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    // source: k 0-4 with bigger v (update), k 5 tagged D (delete),
+    // k 100 new (insert)
+    Seq((0L, 900L, "x"), (1L, 901L, "x"), (2L, 2L, "x"),
+      (5L, 905L, "D"), (100L, 1000L, "new"))
+      .toDF("k", "v", "tag")
+      .createOrReplaceTempView("txsql_merge_src")
+    val res = sql.run(
+      s"MERGE INTO txtable.`$p` AS t USING txsql_merge_src s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED AND s.tag = 'D' THEN DELETE " +
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(res.head().getString(1) === "merge")
+    assert(t.read().where(col("k") === 5L).count() === 0) // deleted
+    assert(t.read().where(col("k") === 0L).head().getLong(1) === 900L)
+    assert(t.read().where(col("k") === 1L).head().getLong(1) === 901L)
+    // source v=2 < target v=20: matched but condition false → carried
+    assert(t.read().where(col("k") === 2L).head().getLong(1) === 20L)
+    assert(t.read().where(col("k") === 100L).head().getString(2) === "new")
+    assert(t.read().count() === 10) // 10 - 1 deleted + 1 inserted
+  }
+
+  test("MERGE honors SQL clause order when DELETE precedes UPDATE") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 4))
+    // row k=1 matches BOTH clauses; SQL order says the first (DELETE)
+    // wins, though the engine evaluates UPDATE first
+    Seq((1L, 999L, "both")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("txsql_order_src")
+    sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_order_src s ON t.k = s.k " +
+        "WHEN MATCHED AND s.tag = 'both' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    assert(t.read().where(col("k") === 1L).count() === 0)
+    assert(t.read().count() === 3)
+  }
+
+  test("MERGE source can be a subquery; txtable-path source works") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 5))
+    Seq((3L, 333L, "s"), (4L, 4L, "s"), (7L, 777L, "s"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("txsql_subq_src")
+    sql.run(
+      s"MERGE INTO txtable.`$p` t " +
+        "USING (SELECT * FROM txsql_subq_src WHERE v > 100) s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read().where(col("k") === 3L).head().getLong(1) === 333L)
+    assert(t.read().where(col("k") === 4L).head().getLong(1) === 40L)
+    assert(t.read().where(col("k") === 7L).count() === 1)
+    // a second txtable referenced BY PATH as the merge source
+    val (src, sp) = mkTable()
+    src.append(df(100 until 103))
+    sql.run(
+      s"MERGE INTO txtable.`$p` t USING txtable.`$sp` s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read().where(col("k") >= 100L && col("k") < 200L).count() === 3)
+  }
+
+  test("MERGE refusals: column-level SET, NOT MATCHED BY SOURCE, bad ON") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 3))
+    Seq((1L, 1L, "x")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("txsql_refuse_src")
+    val e1 = intercept[RuntimeException](sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_refuse_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v"))
+    assert(e1.getMessage.contains("UPDATE SET *"))
+    val e2 = intercept[RuntimeException](sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_refuse_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val e3 = intercept[RuntimeException](sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_refuse_src s ON t.k > s.k " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(e3.getMessage.contains("equalities"))
+  }
+
+  test("DESCRIBE HISTORY, OPTIMIZE, VACUUM statements") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))   // v0
+    t.append(df(10 until 20))  // v1
+    t.overwrite(df(0 until 5)) // v2
+    val h = sql.run(s"DESCRIBE HISTORY txtable.`$p`")
+    assert(h.count() === 3)
+    assert(h.select("action").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSeq ===
+      Seq("overwrite", "append", "append"))
+    // OPTIMIZE bin-packs the small files (or no-ops with none to pack)
+    t.append(df(100 until 105))
+    val o = sql.run(s"OPTIMIZE txtable.`$p`")
+    assert(o.columns.toSeq ===
+      Seq("version", "action", "files_added", "files_removed"))
+    // VACUUM reclaims files only the pre-overwrite versions reference
+    val v = sql.run(s"VACUUM txtable.`$p` RETAIN 1 VERSIONS")
+    assert(v.columns.toSeq === Seq("reclaimed_file"))
+    // age guard keeps everything younger than the default minAge — the
+    // statement runs and returns the (empty) reclaim list
+    assert(v.count() === 0)
+  }
+
+  test("catalog tables created USING txtable resolve by name") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    spark.sql(s"CREATE TABLE graft_txsql_cat USING txtable LOCATION '$p'")
+    try {
+      sql.run("UPDATE graft_txsql_cat SET tag = 'CAT' WHERE k < 3")
+      assert(t.read().where(col("tag") === "CAT").count() === 3)
+      sql.run("DELETE FROM graft_txsql_cat WHERE k = 9")
+      assert(t.read().count() === 9)
+      assert(sql.run("DESCRIBE HISTORY graft_txsql_cat").count() === 3)
+      // a non-txtable table refuses
+      spark.sql("CREATE TABLE graft_txsql_plain (a INT) USING parquet")
+      try {
+        val e = intercept[Exception](
+          sql.run("DELETE FROM graft_txsql_plain WHERE a = 1"))
+        assert(e.getMessage.contains("not a txtable"))
+      } finally spark.sql("DROP TABLE graft_txsql_plain")
+    } finally spark.sql("DROP TABLE graft_txsql_cat")
+  }
+
+  test("non-DML statements fall through to spark.sql") {
+    assert(sql.run("SELECT 41 + 1 AS x").head().getInt(0) === 42)
+  }
+
+  test("SQL DML runs the same enforcement as the Scala API") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 5))
+    t.addConstraint("v_nonneg", "v >= 0")
+    intercept[Exception](
+      sql.run(s"UPDATE txtable.`$p` SET v = -5 WHERE k = 2"))
+    assert(t.read().where(col("v") < 0).count() === 0)
+  }
+}
