@@ -82,4 +82,70 @@ object TxPredicates {
       Option(CatalystTypeConverters.convertToScala(v, dt))
     case _ => None
   }
+
+  /** If `e` is a recognized MONOTONE NON-DECREASING function of
+    * exactly one bare column, that column — the test that lets a
+    * bound on a base column propagate to a generated column
+    * (`event_date = to_date(ts)`: `ts ∈ [a, b]` implies
+    * `event_date ∈ [f(a), f(b)]`, which is what makes
+    * `WHERE ts BETWEEN …` prune partitions keyed on the DERIVED
+    * date). The shape whitelist is deliberately conservative — a
+    * non-monotone function admitted here (month-of-year, hash) would
+    * prune files that hold matching rows, i.e. wrong answers; an
+    * unrecognized monotone shape merely skips the derivation:
+    *
+    *  - the column itself; `+`/`-` a literal; `*`/`/`/`DIV` by a
+    *    POSITIVE literal (attribute side only for `-` and `/`);
+    *  - temporal truncations: `year`, `to_date`, `date`,
+    *    `date_trunc(unit, x)`, `trunc(x, unit)`, `unix_timestamp(x)`;
+    *  - `floor`/`ceil`; `substring(x, 1, n)` (string prefix order);
+    *  - CAST to a temporal type (any source orders consistently), and
+    *    CAST to a numeric type only over an arithmetic/function child
+    *    (a numeric cast of a raw column could be a string column,
+    *    where numeric order diverges from string order). */
+  def monotoneBase(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+      Some(a.nameParts.head)
+    case c: Cast => c.dataType match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType =>
+        monotoneBase(c.child)
+      case _: org.apache.spark.sql.types.NumericType => c.child match {
+        case _: UnresolvedAttribute => None
+        case ch => monotoneBase(ch)
+      }
+      case _ => None
+    }
+    case f: UnresolvedFunction =>
+      (f.nameParts.last.toLowerCase, f.arguments) match {
+        case ("year" | "to_date" | "date" | "floor" | "ceil" |
+              "ceiling" | "unix_timestamp", Seq(x)) => monotoneBase(x)
+        case ("date_trunc", Seq(Literal(_, _), x)) => monotoneBase(x)
+        case ("trunc", Seq(x, Literal(_, _))) => monotoneBase(x)
+        case ("substring" | "substr", Seq(x, Literal(s, _), _))
+            if s == 1 => monotoneBase(x)
+        case _ => None
+      }
+    case Add(l, r, _) =>
+      if (isLit(r)) monotoneBase(l)
+      else if (isLit(l)) monotoneBase(r) else None
+    case Subtract(l, r, _) if isLit(r) => monotoneBase(l)
+    case Multiply(l, r, _) =>
+      if (posLit(r)) monotoneBase(l)
+      else if (posLit(l)) monotoneBase(r) else None
+    case Divide(l, r, _) if posLit(r) => monotoneBase(l)
+    case IntegralDivide(l, r, _) if posLit(r) => monotoneBase(l)
+    case _ => None
+  }
+
+  private def isLit(e: Expression): Boolean = e match {
+    case Literal(v, _) => v != null
+    case _ => false
+  }
+
+  private def posLit(e: Expression): Boolean = e match {
+    case Literal(v, _) if v != null =>
+      try BigDecimal(v.toString) > 0 catch { case _: Throwable => false }
+    case _ => false
+  }
 }

@@ -1487,16 +1487,34 @@ final class TxTable private (spark: SparkSession, dir: String,
     * is (a file not overlapping one bound cannot hold a row matching
     * the conjunction). This is what lets a composite-key MERGE prune:
     * each key column contributes its source [min,max], and only files
-    * overlapping all of them are candidates. */
+    * overlapping all of them are candidates.
+    *
+    * Two prune sources beyond the logged footer stats:
+    *  - GENERATED-COLUMN DERIVATION ([[derivedBounds]]): a bound on a
+    *    base column propagates to any generated column that is a
+    *    recognized monotone function of it — Delta's headline use of
+    *    generated columns (`WHERE ts BETWEEN …` prunes a table
+    *    partitioned on `event_date = to_date(ts)` without the user
+    *    naming the derived key);
+    *  - PARTITION-PATH pruning ([[partitionKeep]]): hive-layout files
+    *    carry their partition value IN THE NAME, so a bound on the
+    *    partition column (given or derived) drops whole partitions
+    *    from the manifest — no listing, no footer reads, the same
+    *    manifest-level selection as [[readPartition]], now reachable
+    *    from ANY bound source including the SQL relation's pushed
+    *    filters. */
   private[ops] def pruneFiles(snap: Snapshot,
       preds: Seq[(String, Option[Any], Option[Any])]): Snapshot = {
+    val predsAll = preds ++ derivedBounds(snap, preds)
     val stats = loadStats()
-    // predicates arrive with LOGICAL names; stats and blooms are keyed
-    // by the PHYSICAL names the files were written with
-    val phys = preds.map { case (c, lo, hi) => (physName(snap, c), lo, hi) }
+    // predicates arrive with LOGICAL names; stats, blooms, and
+    // partition paths are keyed by the PHYSICAL names the files were
+    // written with
+    val phys = predsAll.map { case (c, lo, hi) =>
+      (physName(snap, c), lo, hi) }
     val sel = snap.files.filter { full =>
       val rel = full.stripPrefix(s"$dir/")
-      phys.forall { case (column, lo, hi) =>
+      partitionKeep(rel, phys) && phys.forall { case (column, lo, hi) =>
         val isPoint = lo.isDefined && hi.isDefined && lo == hi
         val statsKeep = stats.get(rel).flatMap(_.get(column)) match {
           case Some((kind, mn, mx)) => mayOverlap(kind, mn, mx, lo, hi)
@@ -1509,19 +1527,114 @@ final class TxTable private (spark: SparkSession, dir: String,
       snap.cts, snap.cms)
   }
 
+  /** Bounds a predicate set implies for GENERATED columns: for each
+    * `(c, lo, hi)` and each declared `g = f(c)` whose expression is a
+    * recognized monotone non-decreasing shape
+    * ([[TxPredicates.monotoneBase]]), emit `(g, f(lo), f(hi))`.
+    * Endpoints evaluate through the engine itself (a one-row local
+    * projection — the exact semantics of the declared expression, no
+    * reimplementation to drift); a failed or null evaluation leaves
+    * that side unbounded, conservative like every pruning path. Zero
+    * cost on tables without generated columns. */
+  private def derivedBounds(snap: Snapshot,
+      preds: Seq[(String, Option[Any], Option[Any])])
+      : Seq[(String, Option[Any], Option[Any])] = {
+    val gcs = gcMap(snap)
+    if (gcs.isEmpty || preds.isEmpty) Nil
+    else {
+      val parsed = gcs.toSeq.sortBy(_._1).flatMap { case (g, eStr) =>
+        (try TxPredicates.monotoneBase(
+          spark.sessionState.sqlParser.parseExpression(eStr))
+        catch { case _: Throwable => None }).map(base => (g, eStr, base))
+      }
+      preds.flatMap { case (c, lo, hi) =>
+        if (lo.isEmpty && hi.isEmpty) Nil
+        else parsed.collect { case (g, eStr, base) if base == c =>
+          (g, lo.flatMap(evalGcAt(eStr, c, _)),
+            hi.flatMap(evalGcAt(eStr, c, _)))
+        }.filter(b => b._2.isDefined || b._3.isDefined)
+      }
+    }
+  }
+
+  /** Evaluate a generated-column expression at a single point of its
+    * base column. */
+  private def evalGcAt(e: String, c: String, v: Any): Option[Any] =
+    try {
+      val r = spark.range(1).select(lit(v).as(c)).select(expr(e)).head()
+      if (r.isNullAt(0)) None else Option(r.get(0))
+    } catch { case _: Throwable => None }
+
+  /** Could the partition a hive-layout file name encodes satisfy every
+    * bound on its partition column? Flat files, unparseable segments,
+    * and the null partition always keep (no reasoning, never wrong).
+    * Values compare numerically when both sides parse as numbers,
+    * else as strings — with the bound (lo) / value (hi) PREFIX-
+    * truncated before a string compare, which only ever relaxes the
+    * bound (a prefix orders ≤ its extension), so a formatting-suffix
+    * mismatch (timestamp seconds vs '.0') can keep an extra partition
+    * but never drop a matching one. */
+  private def partitionKeep(rel: String,
+      phys: Seq[(String, Option[Any], Option[Any])]): Boolean = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val slash = rel.indexOf('/')
+    if (slash < 0 || phys.isEmpty) return true
+    val seg = rel.substring(0, slash)
+    val eq = seg.indexOf('=')
+    if (eq < 0) return true
+    val pcol = ExternalCatalogUtils.unescapePathName(seg.take(eq))
+    val raw = seg.drop(eq + 1)
+    if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return true
+    val pval = ExternalCatalogUtils.unescapePathName(raw)
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: Throwable => None }
+    phys.filter(_._1 == pcol).forall { case (_, lo, hi) =>
+      val loOk = lo.forall { v =>
+        (num(pval), num(v.toString)) match {
+          case (Some(p), Some(b)) => p >= b
+          case _ =>
+            val b = v.toString
+            pval >= b.take(pval.length)
+        }
+      }
+      val hiOk = hi.forall { v =>
+        (num(pval), num(v.toString)) match {
+          case (Some(p), Some(b)) => p <= b
+          case _ => pval.take(v.toString.length) <= v.toString
+        }
+      }
+      loOk && hiOk
+    }
+  }
+
   /** Point read with file skipping: only files whose logged range can
     * contain `value` are opened; the exact predicate still applies, so
     * results are identical to `read().where(col === value)` — only the
     * I/O changes. Pays off after [[compactZOrdered]] (tight per-file
     * ranges in both z-dimensions). */
   def readWhere(column: String, value: Any): DataFrame =
-    readSnapshot(prunedSnapshot(column, Option(value), Option(value)))
+    readPrunedOf(snapshot(), Seq((column, Option(value), Option(value))))
       .where(col(column) === lit(value))
 
   /** Range read with file skipping; same contract as [[readWhere]]. */
   def readBetween(column: String, lo: Any, hi: Any): DataFrame =
-    readSnapshot(prunedSnapshot(column, Option(lo), Option(hi)))
+    readPrunedOf(snapshot(), Seq((column, Option(lo), Option(hi))))
       .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+
+  /** Read `full` restricted to the files `preds` keep. A prune that
+    * keeps NOTHING on a non-empty table returns a zero-row frame WITH
+    * THE TABLE'S SCHEMA (from the unpruned plan under `limit(0)` —
+    * the optimizer folds it to an empty relation, no file is read):
+    * a raw `emptyDataFrame` has no columns at all, so every caller's
+    * residual predicate would die on AnalysisException instead of
+    * selecting zero rows. */
+  private def readPrunedOf(full: Snapshot,
+      preds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
+    val pruned = pruneFiles(full, preds)
+    if (pruned.files.isEmpty && full.files.nonEmpty)
+      readSnapshot(full).limit(0)
+    else readSnapshot(pruned)
+  }
 
   /** Multi-predicate stats-pruned read of `version` (MaxValue = head):
     * the hook the batch relation's filter pushdown uses — each
@@ -1532,7 +1645,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     * inclusive bound for a strict comparison) stay correct. */
   private[graft] def readPruned(version: Long,
       preds: Seq[(String, Option[Any], Option[Any])]): DataFrame =
-    readSnapshot(pruneFiles(snapshotAt(version), preds))
+    readPrunedOf(snapshotAt(version), preds)
 
   /** Every [[CheckpointInterval]] commits, the winner persists the
     * fully-replayed active file list next to its entry. Best-effort:

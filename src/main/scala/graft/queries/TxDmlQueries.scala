@@ -354,6 +354,51 @@ object TxDmlQueries {
       () => runSqlDelete(s, t)
     }))
 
+  // ----------------------------------------------------------------- K30
+  /** GENERATED-PARTITION PRUNING — Delta's headline use of generated
+    * columns: orders land hive-partitioned on `o_year`, declared
+    * `GENERATED ALWAYS AS year(o_orderdate)`; the query then bounds
+    * ONLY the base date column and the engine derives the partition
+    * bound itself ([[graft.ops.TxTable]]'s `derivedBounds` via the
+    * monotone-shape recognizer), so untouched years contribute zero
+    * I/O — not even a listing. The oracle filters the raw table the
+    * declarative way; `TxTableSpec` pins the FILE identity of the
+    * pruned set (only the bounded years' partitions survive). */
+  private def seedGenPart(s: SparkSession, d: String): TxTable = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val t = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txgpp-").toString
+      TxTable(s, s"$dir/t")
+    }
+    t.appendPartitioned(
+      orders.withColumn("o_year", year(col("o_orderdate"))), "o_year")
+    t.addGeneratedColumn("o_year", "year(o_orderdate)")
+    t
+  }
+
+  private def runGenPart(t: TxTable): DataFrame =
+    t.readBetween("o_orderdate",
+        java.sql.Date.valueOf("1996-03-01"),
+        java.sql.Date.valueOf("1997-05-31"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_year"))
+
+  private val txGenPartitionPrune = GraftQuery(
+    "k30_tx_generated_partition_prune",
+    (s, d) => runGenPart(seedGenPart(s, d)),
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '1996-03-01'
+                                  AND DATE '1997-05-31'"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seedGenPart(s, d)
+      () => runGenPart(t)
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -447,5 +492,6 @@ object TxDmlQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
-      txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete, scd2Apply)
+      txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
+      txGenPartitionPrune, scd2Apply)
 }

@@ -1496,6 +1496,72 @@ class TxTableSpec extends SparkTestBase {
     assert(p.readPartition("day", 2).head().getLong(0) === 9L)
   }
 
+  test("generated partition key prunes from base-column predicates") {
+    import spark.implicits._
+    // deleting the logged stats sidecars isolates the mechanism under
+    // test: with footer-stats pruning blinded, any file selection left
+    // is PARTITION-PATH pruning from the (derived) bound alone
+    def dropStats(d: String): Unit =
+      Option(new File(s"$d/_log").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".stats.tsv")).foreach(_.delete())
+    val (t, tdir) = mkTable()
+    // day = ts DIV 10 — six partitions, declared generated after the
+    // schema-defining append
+    t.appendPartitioned((0 until 60)
+      .map(i => (i.toLong, i.toLong, i / 10)).toDF("id", "ts", "day"),
+      "day")
+    t.addGeneratedColumn("day", "CAST(ts DIV 10 AS INT)")
+    dropStats(tdir)
+    // a bound on the BASE column alone prunes the derived partitions
+    val pruned = t.pruneFiles(t.snapshot(),
+      Seq(("ts", Some(30L), Some(39L))))
+    assert(pruned.files.nonEmpty)
+    assert(pruned.files.forall(_.contains("day=3/")),
+      s"expected only day=3 files, got ${pruned.files}")
+    assert(t.readBetween("ts", 30L, 39L).count() === 10)
+    // a direct bound on the partition column prunes too (no gc needed)
+    val p2 = t.pruneFiles(t.snapshot(), Seq(("day", Some(2), Some(2))))
+    assert(p2.files.nonEmpty && p2.files.forall(_.contains("day=2/")))
+    // a range beyond every partition prunes to NOTHING and the read
+    // must still answer (zero rows, table schema) instead of dying on
+    // an unresolvable column over a schema-less empty frame
+    val none = t.readBetween("ts", 1000L, 2000L)
+    assert(none.columns.toSeq === Seq("id", "ts", "day"))
+    assert(none.count() === 0)
+    // non-monotone shapes must NOT derive: declare a gc the
+    // recognizer refuses and check the bound does not propagate
+    val (u, udir) = mkTable()
+    u.appendPartitioned((0 until 20)
+      .map(i => (i.toLong, i.toLong, i % 3)).toDF("id", "ts", "m"), "m")
+    u.addGeneratedColumn("m", "CAST(ts % 3 AS INT)")
+    dropStats(udir)
+    val up = u.pruneFiles(u.snapshot(), Seq(("ts", Some(4L), Some(4L))))
+    assert(up.files.toSet === u.snapshot().files.toSet)
+    assert(u.readWhere("ts", 4L).count() === 1)
+  }
+
+  test("date-typed generated partition key prunes via string order") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"),
+        java.sql.Date.valueOf("2024-01-01")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 06:00:00"),
+        java.sql.Date.valueOf("2024-01-02")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 07:00:00"),
+        java.sql.Date.valueOf("2024-01-03")))
+    t.appendPartitioned(rows.toDF("id", "ts", "event_date"), "event_date")
+    t.addGeneratedColumn("event_date", "to_date(ts)")
+    val lo = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-02 23:59:59")
+    val pruned = t.pruneFiles(t.snapshot(),
+      Seq(("ts", Some(lo), Some(hi))))
+    assert(pruned.files.nonEmpty)
+    assert(pruned.files.forall(_.contains("event_date=2024-01-02/")),
+      s"expected only 2024-01-02 files, got ${pruned.files}")
+    assert(t.readBetween("ts", lo, hi).count() === 1)
+  }
+
   test("gencol declaration bumps the writer protocol requirement") {
     import spark.implicits._
     val (t, dir) = mkTable()
