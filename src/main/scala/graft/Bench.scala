@@ -149,8 +149,13 @@ object Bench {
     // the shared-pass cut, so their round-over-round deltas were being
     // adjudicated by inference — a cold-JVM number per round settles
     // them with data.
+    // x_decontaminate and x_dedup_containment joined in r10: both are
+    // repeat offenders for shared-pass drift (r5 and r9 adjudicated the
+    // same excursion by inference) — a cold-JVM number per round
+    // settles the next drift with data.
     val alwaysIsolate = Seq("k12_tx_delete_where", "k13_tx_change_feed",
-      "k14_deletion_vectors", "k16_tx_merge_clauses", "k17_tx_merge_multikey")
+      "k14_deletion_vectors", "k16_tx_merge_clauses", "k17_tx_merge_multikey",
+      "x_decontaminate", "x_dedup_containment")
     val isolate = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_NO_ISOLATE").contains("1")
     val isolated: Seq[(String, Double)] =

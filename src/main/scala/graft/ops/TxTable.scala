@@ -1240,13 +1240,19 @@ final class TxTable private (spark: SparkSession, dir: String,
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
       val conf = spark.sessionState.newHadoopConf()
-      val rows: Map[String, Long] = relNames.map { rel =>
+      // footer reads fan out over a driver-side parallel collection:
+      // each is an independent open+footer+close round trip, so a
+      // bulk-load commit of thousands of files pays max(latency) per
+      // pool-width batch instead of sum(latency) — the distributed
+      // pass below was already parallel, this was the serial tail
+      import scala.collection.parallel.CollectionConverters._
+      val rows: Map[String, Long] = relNames.par.map { rel =>
         val in = HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf)
         val r = ParquetFileReader.open(in)
         try rel -> r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         finally r.close()
-      }.toMap
+      }.seq.toMap
       val paths = relNames.map(n => s"$dir/$n")
       val schema = spark.read.option("basePath", dir).parquet(paths: _*).schema
       val indexable = bloomCols.toSeq.sorted.flatMap { c =>
@@ -1353,7 +1359,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
-    relNames.flatMap { rel =>
+    // parallel like [[buildBlooms]]' row-count pass (and order-
+    // preserving: ParVector keeps element order through flatMap), so
+    // a bulk-load commit's stats mining is bounded by the slowest
+    // footer, not the sum of all of them
+    import scala.collection.parallel.CollectionConverters._
+    relNames.par.flatMap { rel =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf)
       val reader = ParquetFileReader.open(in)
@@ -1398,7 +1409,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           }
         }
       } finally reader.close()
-    }
+    }.seq
   } catch { case _: Throwable => Seq.empty }
 
   /** Percent-encode the TSV metacharacters (and %) in stat values. */

@@ -105,10 +105,11 @@ object TxDmlQueries {
     * name on disk stays the original), a stats-pruned UPDATE keyed on
     * the renamed column's table, and the final read. The oracle is the
     * same pipeline as plain SQL column aliasing — hash equality proves
-    * logical↔physical translation is lossless end to end. Not benched:
-    * a rename is an O(1) metadata commit, not a data-path operation
-    * (and it cannot re-run against the same table — the old name is
-    * gone). */
+    * logical↔physical translation is lossless end to end. Benched via
+    * the two-stage build: seed + rename + append run once untimed (a
+    * rename is an O(1) metadata commit and cannot re-run — the old
+    * name is gone); the thunk times the part that scales, the
+    * stats-pruned UPDATE + mapped read over the renamed table. */
   private val txRenameColumn = GraftQuery(
     "k24_tx_rename_column",
     (s, d) => {
@@ -140,7 +141,25 @@ object TxDmlQueries {
                    CASE WHEN c_custkey BETWEEN 1 AND 50
                         THEN 'VIP' ELSE segment END AS segment
             FROM allr"""),
-    bench = false)
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val customer = Tables.customer(s, d)
+      val t = seeded(s, d, "txren-bench", customer)
+      t.renameColumn("c_mktsegment", "segment")
+      val keyShift = customer
+        .agg(max(col("c_custkey"))).head().getLong(0) + 1L
+      t.append(customer.where(col("c_acctbal") < 0)
+        .select((col("c_custkey") + keyShift).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          lit("NEWSEG").as("segment")))
+      () => {
+        t.updateBetween("c_custkey", 1L, 50L,
+          Map("segment" -> lit("VIP")))
+        t.read().select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+          col("segment"))
+      }
+    }))
 
   // ----------------------------------------------------------------- K25
   /** The transactional table through Spark's STANDARD batch reader
@@ -229,7 +248,29 @@ object TxDmlQueries {
                      AS o_orderkey, o_custkey,
                    CAST(year(o_orderdate) AS INTEGER) AS o_year
             FROM orders WHERE o_custkey % 10 = 0"""),
-    bench = false)
+    bench = false,
+    // timed region = an OVERWRITE that OMITS the generated column
+    // entirely (the engine computes it for every row) + the read-back —
+    // the gencol write path at full-table scale, re-runnable because
+    // overwrite is idempotent over the frozen source
+    benchBuild = Some((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val t = seeded(s, d, "txgen-bench",
+        orders.withColumn("o_year", year(col("o_orderdate"))))
+      t.addGeneratedColumn("o_year", "year(o_orderdate)")
+      val keyShift = orders.agg(max(col("o_orderkey")))
+        .head().getLong(0) + 1L
+      val unionNoYear = orders.unionByName(
+        orders.where(col("o_custkey") % 10 === 0)
+          .select((col("o_orderkey") + keyShift).as("o_orderkey"),
+            col("o_custkey"), col("o_orderdate")))
+      () => {
+        t.overwrite(unionNoYear)
+        t.read().select(col("o_orderkey"), col("o_custkey"),
+          col("o_year"))
+      }
+    }))
 
   // ----------------------------------------------------------------- K27
   /** MERGE INTO as SQL TEXT ([[graft.ops.TxSql]]): the full three-
