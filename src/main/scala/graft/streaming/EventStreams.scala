@@ -472,6 +472,133 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming HEAVY-HITTERS rollup sink — the SpaceSaving twin of
+    * [[sketchRollupSink]] (HLL): per-group frequent terms maintained
+    * incrementally with O(m) state per group. Each micro-batch
+    * sketches its OWN rows with the `heavy_hitters` aggregate
+    * ([[graft.functions.SpaceSaving]]), then merges with the persisted
+    * summary by the SAME mergeable-summaries rule the aggregate's
+    * internal merge uses — an absent side contributes its eviction
+    * floor (min estimate when saturated, 0 below capacity) to BOTH
+    * estimate and error, sums combine, and the result truncates to
+    * top-m by (est DESC, term ASC) — so the Metwally/Agarwal
+    * certificate `est − err ≤ true ≤ est` survives any batch split,
+    * and state stays m rows per group no matter how long the stream
+    * runs. Below capacity the summary is exact counting and the
+    * stream equals the batch aggregate bit-for-bit
+    * (`StatefulTwinsSpec`).
+    *
+    * Unlike HLL union (idempotent — re-merging a replayed batch is
+    * absorbed), SpaceSaving merge DOUBLE-COUNTS a replay, so the
+    * snapshot records the (app, batch id) it last incorporated —
+    * Delta's txnAppId/txnVersion idempotent-writes device, with the
+    * query's checkpoint location as the app identity — and a
+    * crash-replay of an already-applied batch from the SAME query is
+    * skipped, while a NEW query (fresh checkpoint) merging into an
+    * existing snapshot applies normally. Snapshot discipline
+    * otherwise follows [[sketchRollupSink]]: read-merge-pin-overwrite. */
+  def heavyHittersSink(
+      events: DataFrame, groupCol: String, termCol: String, m: Int,
+      snapshotDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyHeavyHittersBatch(batch, groupCol, termCol, m,
+          snapshotDir, appId = checkpointDir, batchId = batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[heavyHittersSink]], factored out so the
+    * replay guard and merge rule are directly testable. */
+  private[streaming] def applyHeavyHittersBatch(
+      batch: DataFrame, groupCol: String, termCol: String, m: Int,
+      snapshotDir: String, appId: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val g = col(groupCol)
+    val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = snapPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(snapPath) &&
+      fs.listStatus(snapPath).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val prior0 =
+      if (hasData) spark.read.parquet(snapshotDir).where(lit(true))
+      else null
+    val applied = prior0 != null &&
+      prior0.where(col("app_id") === appId).limit(1).count() > 0 &&
+      prior0.select(max(col("batch_id"))).head().getLong(0) >= batchId
+    if (!applied) {
+      val fresh = batch
+        .groupBy(g)
+        .agg(call_function("heavy_hitters", col(termCol), lit(m))
+          .as("hh"))
+        .select(g, explode(col("hh")).as("h"))
+        .select(g, col("h.term").as("term"),
+          col("h.est").as("est"), col("h.err").as("err"))
+      val merged =
+        if (prior0 == null) fresh
+        else {
+          val prior = prior0.select(g, col("term"), col("est"),
+            col("err"))
+          // per-side eviction floors, derivable from the summary
+          // itself: min estimate when the group is at capacity,
+          // 0 below it (an absent item's count is then provably 0)
+          def floors(df: DataFrame) = df.groupBy(g)
+            .agg(when(count(lit(1)) >= m, min(col("est")))
+              .otherwise(lit(0L)).as("floor"))
+          val keys = prior.select(g, col("term"))
+            .unionByName(fresh.select(g, col("term"))).distinct()
+          keys
+            .join(prior.withColumnRenamed("est", "est_p")
+              .withColumnRenamed("err", "err_p"),
+              Seq(groupCol, "term"), "left")
+            .join(fresh.withColumnRenamed("est", "est_f")
+              .withColumnRenamed("err", "err_f"),
+              Seq(groupCol, "term"), "left")
+            .join(floors(prior).withColumnRenamed("floor", "floor_p"),
+              Seq(groupCol), "left")
+            .join(floors(fresh).withColumnRenamed("floor", "floor_f"),
+              Seq(groupCol), "left")
+            .select(g, col("term"),
+              (coalesce(col("est_p"), coalesce(col("floor_p"), lit(0L)))
+                + coalesce(col("est_f"),
+                  coalesce(col("floor_f"), lit(0L)))).as("est"),
+              (coalesce(col("err_p"), coalesce(col("floor_p"), lit(0L)))
+                + coalesce(col("err_f"),
+                  coalesce(col("floor_f"), lit(0L)))).as("err"))
+            .withColumn("__rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(g)
+                .orderBy(col("est").desc, col("term"))))
+            .where(col("__rk") <= m).drop("__rk")
+        }
+      val (pinned, blocks) = graft.ops.Checkpoints.pin(
+        merged.withColumn("batch_id", lit(batchId))
+          .withColumn("app_id", lit(appId)))
+      try pinned.write.mode("overwrite").parquet(snapshotDir)
+      finally graft.ops.Checkpoints.release(spark, blocks)
+    }
+  }
+
+  /** Query face of [[heavyHittersSink]]'s snapshot: top-k frequent
+    * terms per group with ranks and certificates. */
+  def heavyHittersSnapshot(spark: SparkSession, snapshotDir: String,
+      groupCol: String, k: Int): DataFrame =
+    spark.read.parquet(snapshotDir)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col("est").desc, col("term"))))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("term"), col("est"), col("err"),
+        col("rank").cast("int").as("rank"))
+
   /** Query face of [[sketchRollupSink]]'s snapshot: per-group distinct
     * estimates, plus any coarser rollup by re-unioning the sketches. */
   def sketchEstimates(spark: SparkSession, snapshotDir: String): DataFrame =

@@ -86,4 +86,81 @@ class StatefulTwinsSpec extends SparkTestBase {
     // the dimension is time-travelable per micro-batch
     assert(t.readAt(0).where(col("_current")).count() === 2)
   }
+
+  test("heavyHittersSink: no-eviction stream equals batch; eviction keeps certificate") {
+    import spark.implicits._
+    val snap = Files.createTempDirectory("graft-hh-snap-").toString
+    val ckpt = Files.createTempDirectory("graft-hh-ck-").toString
+
+    def drain(dir: String, ck: String, m: Int,
+        rows: (String, String)*): Unit = {
+      val in = MemoryStream[(String, String)](spark)
+      in.addData(rows: _*)
+      val q = EventStreams.heavyHittersSink(
+        in.toDF().toDF("source", "term"), "source", "term", m,
+        dir, s"$ck/${rows.hashCode}")
+      q.awaitTermination()
+    }
+
+    // --- no-eviction regime (m exceeds vocabulary): the stream's
+    // merged summary must equal EXACT counting over the union of all
+    // batches — the deterministic stream ≡ batch fact
+    val b1 = Seq("a" -> "x", "a" -> "x", "a" -> "y", "b" -> "p")
+    val b2 = Seq("a" -> "x", "a" -> "z", "b" -> "p", "b" -> "q")
+    drain(snap, ckpt, 16, b1: _*)
+    drain(snap, ckpt, 16, b2: _*)
+    val streamed = spark.read.parquet(snap)
+      .select("source", "term", "est", "err")
+      .as[(String, String, Long, Long)].collect().toSet
+    val exact = (b1 ++ b2).groupBy(identity).map { case ((s, t), g) =>
+      (s, t, g.size.toLong, 0L)
+    }.toSet
+    assert(streamed === exact)
+    // query face ranks deterministically
+    val top = EventStreams.heavyHittersSnapshot(spark, snap, "source", 1)
+      .as[(String, String, Long, Long, Int)].collect().toSet
+    assert(top === Set(("a", "x", 3L, 0L, 1), ("b", "p", 2L, 0L, 1)))
+
+    // --- eviction regime (m = 2 < vocabulary): contents are
+    // order-dependent but the certificate est − err ≤ true ≤ est must
+    // hold for every surviving item, state stays at m rows per group,
+    // and the dominant term is guaranteed present
+    val snap2 = Files.createTempDirectory("graft-hh-snap2-").toString
+    val heavy = Seq.fill(8)("a" -> "hot")
+    val noise = Seq("a" -> "c1", "a" -> "c2", "a" -> "c3", "a" -> "c1")
+    drain(snap2, ckpt, 2, (heavy.take(4) ++ noise.take(2)): _*)
+    drain(snap2, ckpt, 2, (heavy.drop(4) ++ noise.drop(2)): _*)
+    val ev = spark.read.parquet(snap2)
+      .select("source", "term", "est", "err")
+      .as[(String, String, Long, Long)].collect()
+    assert(ev.length <= 2)
+    val trueCounts = (heavy ++ noise).groupBy(identity)
+      .map { case ((_, t), g) => t -> g.size.toLong }
+    ev.foreach { case (_, t, est, err) =>
+      val real = trueCounts.getOrElse(t, 0L)
+      assert(est - err <= real && real <= est,
+        s"certificate violated for $t: est=$est err=$err true=$real")
+    }
+    assert(ev.exists(_._2 == "hot"), "dominant term evicted")
+
+    // --- replay guard (Delta's txnAppId/txnVersion device): the SAME
+    // app re-applying an already-incorporated batch id is skipped —
+    // SpaceSaving merge is not idempotent, so a crash-replay would
+    // double-count without it — while a NEW app (fresh checkpoint)
+    // merging into the same snapshot applies normally.
+    val snap3 = Files.createTempDirectory("graft-hh-snap3-").toString
+    val batch0 = Seq("a" -> "x", "a" -> "x").toDF("source", "term")
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap3, appId = "app-1", batchId = 0L)
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap3, appId = "app-1", batchId = 0L) // replay: skipped
+    val afterReplay = spark.read.parquet(snap3)
+      .select("term", "est").as[(String, Long)].collect().toSet
+    assert(afterReplay === Set(("x", 2L)))
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap3, appId = "app-2", batchId = 0L) // new app: merges
+    val afterNewApp = spark.read.parquet(snap3)
+      .select("term", "est").as[(String, Long)].collect().toSet
+    assert(afterNewApp === Set(("x", 4L)))
+  }
 }
