@@ -23,9 +23,15 @@ import org.apache.spark.sql.graft.ColumnShim
   *         "WHEN NOT MATCHED THEN INSERT *")
   * sql.run("UPDATE tbl SET bal = bal + 10 WHERE k BETWEEN 5 AND 9")
   * sql.run("DELETE FROM tbl WHERE k % 7 = 0")
-  * sql.run("DESCRIBE HISTORY tbl")
+  * sql.run("DESCRIBE HISTORY tbl")           // DESCRIBE DETAIL too
   * sql.run("OPTIMIZE tbl")
   * sql.run("VACUUM tbl RETAIN 3 VERSIONS")
+  * sql.run("RESTORE TABLE tbl TO VERSION AS OF 3")
+  * sql.run("ALTER TABLE tbl ADD CONSTRAINT pos CHECK (bal >= 0)")
+  * sql.run("ALTER TABLE tbl DROP CONSTRAINT pos")
+  * sql.run("ALTER TABLE tbl RENAME COLUMN bal TO balance")
+  * sql.run("ALTER TABLE tbl DROP COLUMN note")
+  * sql.run("ALTER TABLE tbl ADD GENERATED COLUMN y AS (year(d))")
   * }}}
   *
   * Statements are parsed by SPARK'S OWN PARSER (`parsePlan` yields
@@ -46,14 +52,17 @@ import org.apache.spark.sql.graft.ColumnShim
   *
   * DML statements return a ONE-ROW summary frame (commit version,
   * action, file counts) — the table itself is read back through any
-  * of the read faces. Supported MERGE clauses mirror the engine's:
-  * `UPDATE SET *`, `DELETE`, `INSERT *`, each at most once, with
-  * arbitrary AND-ed conditions; SQL clause ORDER is honored (a row
-  * matching an earlier DELETE clause is deleted even if a later
-  * UPDATE clause also matches — expressed by conjoining the negation,
-  * since the engine's fixed order evaluates UPDATE first).
-  * Column-level `UPDATE SET c = …` inside MERGE and
-  * `WHEN NOT MATCHED BY SOURCE` are refused loudly.
+  * of the read faces. Supported MERGE clauses mirror the engine's
+  * full surface: `UPDATE SET *` or column-level `UPDATE SET c = …`
+  * (unassigned columns keep the target value), `DELETE`, `INSERT *`
+  * or `INSERT (cols) VALUES (…)` (unassigned columns null-fill at
+  * the table's types), and `WHEN NOT MATCHED BY SOURCE … UPDATE /
+  * DELETE` (t.*-only, full-table candidates) — each kind at most
+  * once, with arbitrary AND-ed conditions; SQL clause ORDER is
+  * honored (a row matching an earlier DELETE clause is deleted even
+  * if a later UPDATE clause also matches — expressed by conjoining
+  * the negation, since the engine's fixed order evaluates UPDATE
+  * first).
   *
   * Scale shape: zero new data-path code — every statement lands on
   * the same pruned rewrites the Scala API uses; the face itself is
@@ -66,6 +75,7 @@ final class TxSql(spark: SparkSession) {
     val s = sql.trim.stripSuffix(";").trim
     s match {
       case DescribeHistoryRe(ident) => resolve(ident).history()
+      case DescribeDetailRe(ident)  => resolve(ident).fileDetails()
       case OptimizeRe(ident) =>
         val t = resolve(ident)
         t.compactBinPack() match {
@@ -79,6 +89,22 @@ final class TxSql(spark: SparkSession) {
         val names = t.vacuum(retain)
         val sq = spark; import sq.implicits._
         names.toDF("reclaimed_file")
+      case RestoreRe(ident, v) =>
+        summary(resolve(ident).restore(v.toLong))
+      case AddConstraintRe(ident, name, expr) =>
+        summary(resolve(ident).addConstraint(name, expr.trim))
+      case DropConstraintRe(ident, name) =>
+        summary(resolve(ident).dropConstraint(name))
+      case AddGeneratedRe(ident, name, expr) =>
+        summary(resolve(ident)
+          .addGeneratedColumn(unquote(name), expr.trim))
+      case DropGeneratedRe(ident, name) =>
+        summary(resolve(ident).dropGeneratedColumn(unquote(name)))
+      case RenameColumnRe(ident, from, to) =>
+        summary(resolve(ident)
+          .renameColumn(unquote(from), unquote(to)))
+      case DropColumnRe(ident, name) =>
+        summary(resolve(ident).dropColumn(unquote(name)))
       case _ =>
         spark.sessionState.sqlParser.parsePlan(s) match {
           case d: DeleteFromTable => runDelete(d)
@@ -88,6 +114,9 @@ final class TxSql(spark: SparkSession) {
         }
     }
   }
+
+  private def unquote(ident: String): String =
+    ident.stripPrefix("`").stripSuffix("`")
 
   // ------------------------------------------------------------ DELETE
   private def runDelete(d: DeleteFromTable): DataFrame = {
@@ -120,50 +149,75 @@ final class TxSql(spark: SparkSession) {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported (the table's " +
         "schema is fixed by its files; use appendEvolve for evolution)")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported: target-only rows " +
-        "are always carried unchanged")
     val (t, tnames) = target(m.targetTable)
     val (srcDf, snames) = source(m.sourceTable)
 
     // ON: every conjunct must be a target-column = source-column
-    // equality on the SAME name — the engine's key contract (schemas
-    // are identical by the merge guard). Arbitrary ON expressions
-    // would need a different physical strategy; refuse loudly.
-    val keys = conjuncts(m.mergeCondition).map { e =>
-      def side(x: Expression): Option[(Boolean, String)] = x match {
-        case a: UnresolvedAttribute if a.nameParts.size >= 2 =>
-          val q = a.nameParts.dropRight(1).last.toLowerCase
-          if (tnames.contains(q)) Some((true, a.nameParts.last))
-          else if (snames.contains(q)) Some((false, a.nameParts.last))
-          else None
-        case _ => None
+    // equality (both sides alias-qualified; names may differ —
+    // `ON t.id = s.customer_id` pairs positionally). Arbitrary ON
+    // expressions would need a different physical strategy; refuse
+    // loudly.
+    val keyPairs: Seq[(String, String)] =
+      conjuncts(m.mergeCondition).map { e =>
+        def side(x: Expression): Option[(Boolean, String)] = x match {
+          case a: UnresolvedAttribute if a.nameParts.size >= 2 =>
+            val q = a.nameParts.dropRight(1).last.toLowerCase
+            if (tnames.contains(q)) Some((true, a.nameParts.last))
+            else if (snames.contains(q)) Some((false, a.nameParts.last))
+            else None
+          case _ => None
+        }
+        e match {
+          case EqualTo(l, r) =>
+            (side(l), side(r)) match {
+              case (Some((true, a)), Some((false, b))) => (a, b)
+              case (Some((false, a)), Some((true, b))) => (b, a)
+              case _ => sys.error(
+                s"MERGE ON condition must be AND-ed equalities of the " +
+                  s"form target.col = source.col (both sides " +
+                  s"alias-qualified); got: ${e.sql}")
+            }
+          case other => sys.error(
+            s"MERGE ON condition must be AND-ed equalities; got: " +
+              other.sql)
+        }
       }
-      e match {
-        case EqualTo(l, r) =>
-          (side(l), side(r)) match {
-            case (Some((true, a)), Some((false, b))) if a == b => a
-            case (Some((false, a)), Some((true, b))) if a == b => a
-            case _ => sys.error(
-              s"MERGE ON condition must be AND-ed equalities of the " +
-                s"form target.col = source.col (same column name, both " +
-                s"sides alias-qualified); got: ${e.sql}")
-          }
-        case other => sys.error(
-          s"MERGE ON condition must be AND-ed equalities; got: " +
-            other.sql)
-      }
-    }
 
     def clause(c: Option[Expression]): Column =
       c.map(x => ColumnShim.column(remap(x, tnames, snames)))
         .getOrElse(lit(true))
+    def assigns(as: Seq[Assignment]): Map[String, Column] =
+      as.map { a =>
+        val key = a.key match {
+          case attr: UnresolvedAttribute => attr.nameParts.last
+          case other => sys.error(
+            s"MERGE assignment key must be a column, got: ${other.sql}")
+        }
+        key -> ColumnShim.column(remap(a.value, tnames, snames))
+      }.toMap
+    // NOT MATCHED BY SOURCE clauses act on rows with NO source match:
+    // a source reference there could only read nulls — refuse loudly
+    // like Delta does instead of silently null-driving the clause
+    def noSourceRefs(e: Expression, what: String): Expression = {
+      val r = remap(e, tnames, snames)
+      val srcRef = r.collectFirst {
+        case a: UnresolvedAttribute
+            if a.nameParts.headOption.contains("s") &&
+              a.nameParts.size >= 2 => a
+      }
+      require(srcRef.isEmpty,
+        s"WHEN NOT MATCHED BY SOURCE $what references the source " +
+          s"(${srcRef.map(_.sql).getOrElse("")}): such rows have no " +
+          "source match — only t.* is meaningful")
+      r
+    }
 
-    // WHEN MATCHED: at most one UPDATE SET * and one DELETE. SQL
-    // evaluates clauses in ORDER; the engine evaluates UPDATE before
-    // DELETE, so a DELETE clause appearing FIRST must shadow the
-    // update — conjoin its negation.
+    // WHEN MATCHED: at most one UPDATE (star or column-level SET) and
+    // one DELETE. SQL evaluates clauses in ORDER; the engine evaluates
+    // UPDATE before DELETE, so a DELETE clause appearing FIRST must
+    // shadow the update — conjoin its negation.
     var upd: Option[Column] = None
+    var updSet: Option[Map[String, Column]] = None
     var del: Option[Column] = None
     var delBeforeUpd = false
     m.matchedActions.foreach {
@@ -171,13 +225,14 @@ final class TxSql(spark: SparkSession) {
         require(upd.isEmpty, "at most one WHEN MATCHED … UPDATE clause")
         upd = Some(clause(c))
         if (del.isDefined) delBeforeUpd = true
+      case UpdateAction(c, as, _) =>
+        require(upd.isEmpty, "at most one WHEN MATCHED … UPDATE clause")
+        upd = Some(clause(c))
+        updSet = Some(assigns(as))
+        if (del.isDefined) delBeforeUpd = true
       case DeleteAction(c) =>
         require(del.isEmpty, "at most one WHEN MATCHED … DELETE clause")
         del = Some(clause(c))
-      case _: UpdateAction => sys.error(
-        "only UPDATE SET * is supported in MERGE (column-level SET " +
-          "would need per-column carry logic the engine's rewrite " +
-          "does not model); pre-shape the source instead")
       case other => sys.error(s"unsupported WHEN MATCHED action: $other")
     }
     val updAdjusted = (upd, del) match {
@@ -186,16 +241,57 @@ final class TxSql(spark: SparkSession) {
       case _ => upd
     }
     var ins: Option[Column] = None
+    var insVals: Option[Map[String, Column]] = None
     m.notMatchedActions.foreach {
       case InsertStarAction(c) =>
         require(ins.isEmpty, "at most one WHEN NOT MATCHED clause")
         ins = Some(clause(c))
-      case _: InsertAction => sys.error(
-        "only INSERT * is supported in MERGE; pre-shape the source " +
-          "to the table's schema instead")
+      case InsertAction(c, as) =>
+        require(ins.isEmpty, "at most one WHEN NOT MATCHED clause")
+        ins = Some(clause(c))
+        insVals = Some(assigns(as))
       case other => sys.error(s"unsupported WHEN NOT MATCHED action: $other")
     }
-    summary(t.merge(srcDf, keys, updAdjusted, del, ins))
+    // WHEN NOT MATCHED BY SOURCE: one UPDATE (column-level only — a
+    // star has no source row to take) and one DELETE, SQL order
+    // honored like the matched pair
+    var nmsUpd: Option[(Column, Map[String, Column])] = None
+    var nmsDel: Option[Column] = None
+    var nmsDelFirst = false
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(c, as, _) =>
+        require(nmsUpd.isEmpty,
+          "at most one WHEN NOT MATCHED BY SOURCE … UPDATE clause")
+        val cond = c.map(noSourceRefs(_, "condition")).getOrElse(Literal(true))
+        val sets = as.map { a =>
+          val key = a.key match {
+            case attr: UnresolvedAttribute => attr.nameParts.last
+            case other => sys.error(
+              s"MERGE assignment key must be a column, got: ${other.sql}")
+          }
+          key -> ColumnShim.column(noSourceRefs(a.value, "assignment"))
+        }.toMap
+        nmsUpd = Some((ColumnShim.column(cond), sets))
+        if (nmsDel.isDefined) nmsDelFirst = true
+      case DeleteAction(c) =>
+        require(nmsDel.isEmpty,
+          "at most one WHEN NOT MATCHED BY SOURCE … DELETE clause")
+        nmsDel = Some(ColumnShim.column(
+          c.map(noSourceRefs(_, "condition")).getOrElse(Literal(true))))
+      case other =>
+        sys.error(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    val nmsUpdAdjusted = (nmsUpd, nmsDel) match {
+      case (Some((u, sets)), Some(d)) if nmsDelFirst =>
+        Some((u && !org.apache.spark.sql.functions.coalesce(d, lit(false)),
+          sets))
+      case _ => nmsUpd
+    }
+    summary(t.merge(srcDf, keyPairs.map(_._1), updAdjusted, del, ins,
+      updateSet = updSet, insertValues = insVals,
+      whenNotMatchedBySourceUpdate = nmsUpdAdjusted,
+      whenNotMatchedBySourceDelete = nmsDel,
+      sourceKeys = keyPairs.map(_._2)))
   }
 
   // ------------------------------------------------- reference helpers
@@ -310,12 +406,32 @@ final class TxSql(spark: SparkSession) {
 object TxSql {
   def apply(spark: SparkSession): TxSql = new TxSql(spark)
 
-  // Delta-grammar statements Spark's parser does not know — routed by
+  // Delta-grammar statements Spark's parser does not know (or whose
+  // v2-command plans would demand a full catalog plugin) — routed by
   // regex BEFORE parsePlan. Identifiers may be quoted/qualified; the
-  // captured text goes through parseMultipartIdentifier.
+  // captured table text goes through parseMultipartIdentifier. The
+  // GENERATED patterns precede the plain-column ones in the match
+  // order above, or `DROP GENERATED COLUMN c` would parse as dropping
+  // a column named GENERATED.
   private val DescribeHistoryRe =
     """(?is)DESCRIBE\s+HISTORY\s+(.+)""".r
+  private val DescribeDetailRe =
+    """(?is)DESCRIBE\s+DETAIL\s+(.+)""".r
   private val OptimizeRe = """(?is)OPTIMIZE\s+([^\s]+)""".r
   private val VacuumRe =
     """(?is)VACUUM\s+([^\s]+)\s+RETAIN\s+(\d+)\s+VERSIONS""".r
+  private val RestoreRe =
+    """(?is)RESTORE\s+TABLE\s+([^\s]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val AddConstraintRe =
+    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_-]+)\s+CHECK\s*\((.+)\)""".r
+  private val DropConstraintRe =
+    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_-]+)""".r
+  private val AddGeneratedRe =
+    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+ADD\s+GENERATED\s+COLUMN\s+([^\s]+)\s+AS\s*\((.+)\)""".r
+  private val DropGeneratedRe =
+    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+GENERATED\s+COLUMN\s+([^\s]+)""".r
+  private val RenameColumnRe =
+    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+RENAME\s+COLUMN\s+([^\s]+)\s+TO\s+([^\s]+)""".r
+  private val DropColumnRe =
+    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+COLUMN\s+([^\s]+)""".r
 }

@@ -1974,7 +1974,22 @@ final class TxTable private (spark: SparkSession, dir: String,
     *   WHEN MATCHED AND <upd> THEN UPDATE SET *   -- take s's row
     *   WHEN MATCHED AND <del> THEN DELETE
     *   WHEN NOT MATCHED AND <ins> THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE AND <c> THEN UPDATE … | DELETE
     * }}}
+    *
+    * COLUMN-LEVEL forms ride the same clauses: `updateSet =
+    * Some(Map("a" -> expr("s.a + t.a")))` turns the UPDATE into
+    * `SET a = …` (unassigned columns KEEP the target value, SQL's
+    * contract), `insertValues = Some(Map(...))` turns the INSERT into
+    * `INSERT (cols) VALUES (…)` (unassigned columns null-fill at the
+    * table's types), and with column-level assignments on BOTH
+    * clauses the source may have ANY shape — the identical-schema
+    * requirement applies only to the star forms. NOT MATCHED BY
+    * SOURCE clauses act on target rows no source key matches
+    * (conditions/assignments may reference `t.*` only); their
+    * presence disables source-bounds file pruning — every target row
+    * is a candidate, the full-table rewrite Delta performs for the
+    * same clause.
     *
     * Clause conditions are Columns over the ALIASED sides — `t.<col>`
     * for the target row, `s.<col>` for the source row (e.g.
@@ -2008,17 +2023,40 @@ final class TxTable private (spark: SparkSession, dir: String,
       whenMatchedUpdate: Option[Column] = None,
       whenMatchedDelete: Option[Column] = None,
       whenNotMatchedInsert: Option[Column] = None,
-      maxRetries: Int = 20): Commit = {
+      maxRetries: Int = 20,
+      updateSet: Option[Map[String, Column]] = None,
+      insertValues: Option[Map[String, Column]] = None,
+      whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
+      whenNotMatchedBySourceDelete: Option[Column] = None,
+      sourceKeys: Seq[String] = Nil): Commit = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // ON t.id = s.customer_id — positionally paired with `keys`; empty
+    // means the source keys share the target names (the star-clause
+    // case, where the schema guard forces identical shapes anyway)
+    require(sourceKeys.isEmpty || sourceKeys.size == keys.size,
+      s"sourceKeys must pair 1:1 with keys: ${keys.size} target keys, " +
+        s"${sourceKeys.size} source keys")
+    val srcKeys = if (sourceKeys.nonEmpty) sourceKeys else keys
     require(whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined ||
-      whenNotMatchedInsert.isDefined, "merge with no clauses is a no-op")
-    val dupKeys = source.groupBy(keys.map(col): _*)
+      whenNotMatchedInsert.isDefined ||
+      whenNotMatchedBySourceUpdate.isDefined ||
+      whenNotMatchedBySourceDelete.isDefined,
+      "merge with no clauses is a no-op")
+    require(updateSet.isEmpty || whenMatchedUpdate.isDefined,
+      "updateSet assignments need a WHEN MATCHED UPDATE clause")
+    require(insertValues.isEmpty || whenNotMatchedInsert.isDefined,
+      "insertValues assignments need a WHEN NOT MATCHED INSERT clause")
+    val dupKeys = source.groupBy(srcKeys.map(col): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
       .where(col("__n") > 1).limit(1).count()
     require(dupKeys == 0L,
-      s"source has duplicate rows per key ${keys.mkString(",")}: a " +
+      s"source has duplicate rows per key ${srcKeys.mkString(",")}: a " +
         "target row may match at most one source row (collapse with " +
         "upsert's latest-wins first if that is the intent)")
+    // a NOT MATCHED BY SOURCE clause can touch ANY target row, so
+    // source-derived bounds must not prune the candidate set
+    val hasNms = whenNotMatchedBySourceUpdate.isDefined ||
+      whenNotMatchedBySourceDelete.isDefined
     // PER-KEY-COLUMN source bounds for stats pruning, resolved once —
     // one driver-side single-row agg over all key columns. Each key
     // column whose source min is non-null contributes a bound; the
@@ -2027,10 +2065,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     // so a composite-key needle merge rewrites a handful of files,
     // not the table. A key with null min (all-null or empty source)
     // prunes nothing through SQL `=` anyway and is skipped.
-    val boundAggs = keys.flatMap(k => Seq(
+    val boundAggs = srcKeys.flatMap(k => Seq(
       org.apache.spark.sql.functions.min(col(k)),
       org.apache.spark.sql.functions.max(col(k))))
     val boundRow = source.agg(boundAggs.head, boundAggs.tail: _*).head()
+    // bounds carry the TARGET key names — they prune the target's
+    // files — with values from the SOURCE side of each pair
     val bounds: Seq[(String, Option[Any], Option[Any])] =
       keys.zipWithIndex.flatMap { case (k, i) =>
         if (boundRow.isNullAt(2 * i)) None
@@ -2041,7 +2081,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     while (attempt < maxRetries) {
       val head = snapshot()
       val pruned =
-        if (bounds.isEmpty) head else pruneFiles(head, bounds)
+        if (bounds.isEmpty || hasNms) head else pruneFiles(head, bounds)
       // Schema guard against the FULL head snapshot (footer-only read,
       // cheap), NAME -> TYPE maps like append's guardSchema — never
       // against the pruned subset or the source itself: an empty
@@ -2049,49 +2089,131 @@ final class TxTable private (spark: SparkSession, dir: String,
       // mismatched source, or an insert-only commit could land rows
       // of a drifted type next to files of the original one. Re-run
       // per retry against that attempt's head (same TOCTOU-free
-      // placement as guardSchema).
+      // placement as guardSchema). Only the STAR clauses need the
+      // identical shape — column-level assignments map an arbitrary
+      // source shape onto the target themselves (and the output-shape
+      // guard below still refuses a type-changing assignment).
       val headSchema =
-        if (head.files.isEmpty) None else Some(head.read(spark).schema)
+        if (head.files.isEmpty) None
+        else Some(toLogical(head.read(spark), head).schema)
+      val needIdentical =
+        (whenMatchedUpdate.isDefined && updateSet.isEmpty) ||
+          (whenNotMatchedInsert.isDefined && insertValues.isEmpty)
       headSchema.foreach { hs =>
         // nullability-normalized name -> type maps ([[normNull]]): a
         // source whose NESTED nullability drifted through joins/aggs is
         // shape-compatible and must not be refused
         val existing = typeMap(hs)
         val incoming = typeMap(source.schema)
-        require(existing == incoming,
-          s"merge schema mismatch: table has $existing, incoming " +
-            s"$incoming (UPDATE/INSERT * needs identical shape)")
+        if (needIdentical)
+          require(existing == incoming,
+            s"merge schema mismatch: table has $existing, incoming " +
+              s"$incoming (UPDATE/INSERT * needs identical shape; use " +
+              "column-level assignments for a differently-shaped source)")
       }
       val targetCols: Seq[String] = headSchema
         .map(_.fields.map(_.name).toSeq).getOrElse(source.columns.toSeq)
+      val tTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        headSchema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+          .getOrElse(Map.empty)
+      // assignment keys must be table columns — a typo must refuse,
+      // not silently invent a column the select would then drop
+      (updateSet.toSeq ++ insertValues.toSeq ++
+        whenNotMatchedBySourceUpdate.map(_._2).toSeq).foreach { m =>
+        val unknown = m.keySet -- targetCols
+        require(unknown.isEmpty,
+          "MERGE assigns column(s) the table does not have: " +
+            unknown.toSeq.sorted.mkString(", "))
+      }
+      require(insertValues.isEmpty || headSchema.isDefined,
+        "column-level INSERT VALUES needs an existing table schema " +
+          "(unassigned columns null-fill to the TABLE's types)")
+      // per-column value of an UPDATE / INSERT / NOT-MATCHED-BY-SOURCE
+      // row: star clauses take the source row; column-level
+      // assignments evaluate over the aliased join (t.*, s.*), with
+      // unassigned columns keeping the SQL defaults — target value
+      // for UPDATE, typed NULL for INSERT
+      def updVal(c: String): Column = updateSet match {
+        case None    => col(s"s.$c")
+        case Some(m) => m.getOrElse(c, col(s"t.$c"))
+      }
+      def insVal(c: String): Column = insertValues match {
+        case None    => col(s"s.$c")
+        case Some(m) => m.getOrElse(c, lit(null).cast(tTypes(c)))
+      }
+      def nmsVal(c: String): Column = whenNotMatchedBySourceUpdate match {
+        case Some((_, m)) => m.getOrElse(c, col(s"t.$c"))
+        case None         => col(s"t.$c")
+      }
+      // assignment-shape guard on the RAW assignment expressions (the
+      // when() mix below would branch-coerce a type change away —
+      // int into a string column reads back as "5"): same contract as
+      // updateBetween's assignment guard
+      def guardAssignTypes(frame: DataFrame,
+          m: Map[String, Column]): Unit =
+        if (m.nonEmpty && headSchema.isDefined) {
+          val assigned = typeMap(frame.select(m.toSeq.sortBy(_._1)
+            .map { case (c, v) => v.as(c) }: _*).schema)
+          val expect = typeMap(headSchema.get)
+            .filter(kv => m.contains(kv._1))
+          require(assigned == expect,
+            s"MERGE assignments change column types: table has " +
+              s"$expect, assignments write $assigned (cast explicitly)")
+        }
       val ins = whenNotMatchedInsert
         .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
       val out =
-        if (pruned.files.isEmpty)
-          source.alias("s").where(ins)
-            .select(targetCols.map(c => col(s"s.$c").as(c)): _*)
-        else {
+        if (pruned.files.isEmpty) {
+          val sAliased = source.alias("s")
+          insertValues.foreach(m => guardAssignTypes(sAliased, m))
+          sAliased.where(ins)
+            .select(targetCols.map(c => insVal(c).as(c)): _*)
+        } else {
           val upd = whenMatchedUpdate
             .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
           val del = whenMatchedDelete
             .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+          val nmsU = whenNotMatchedBySourceUpdate
+            .map(p => coalesce(p._1, lit(false))).getOrElse(lit(false))
+          val nmsD = whenNotMatchedBySourceDelete
+            .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
           val t = readSnapshot(pruned)
             .withColumn("__tp", lit(1)).alias("t")
           val s2 = source.withColumn("__sp", lit(1)).alias("s")
-          val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+          val keyCond = keys.zip(srcKeys)
+            .map { case (tk, sk) => col(s"t.$tk") === col(s"s.$sk") }
             .reduce(_ && _)
           val joined = t.join(s2, keyCond, "full_outer")
+          updateSet.foreach(m => guardAssignTypes(joined, m))
+          insertValues.foreach(m => guardAssignTypes(joined, m))
+          whenNotMatchedBySourceUpdate.foreach(p =>
+            guardAssignTypes(joined, p._2))
           val action =
             when(col("t.__tp").isNotNull && col("s.__sp").isNotNull,
               when(upd, "u").when(del, "d").otherwise("k"))
-              .when(col("t.__tp").isNotNull, "k") // target-only: carry
+              .when(col("t.__tp").isNotNull,
+                // target-only: NOT MATCHED BY SOURCE update/delete,
+                // else carried unchanged
+                when(nmsU, "v").when(nmsD, "x").otherwise("k"))
               .otherwise(when(ins, "i").otherwise("x")) // src-only
           joined.withColumn("__a", action)
-            .where(col("__a").isin("u", "k", "i"))
+            .where(col("__a").isin("u", "k", "i", "v"))
             .select(targetCols.map(c =>
-              when(col("__a").isin("u", "i"), col(s"s.$c"))
+              when(col("__a") === "u", updVal(c))
+                .when(col("__a") === "i", insVal(c))
+                .when(col("__a") === "v", nmsVal(c))
                 .otherwise(col(s"t.$c")).as(c)): _*)
         }
+      // output-shape guard: assignments may not change a column's
+      // type (branch coercion in the when() mix could otherwise
+      // smuggle a widened type into the files) — same contract as
+      // updateBetween's assignment guard
+      headSchema.foreach { hs =>
+        require(typeMap(out.schema) == typeMap(hs),
+          s"MERGE assignments change column types: table has " +
+            s"${typeMap(hs)}, merge writes ${typeMap(out.schema)} " +
+            "(cast explicitly)")
+      }
       // like upsert: staged per attempt against this head's constraint
       // and generated-column sets (gc enforcement covers MERGE like
       // Delta's — an UPDATE/INSERT * that takes a source row with a

@@ -395,6 +395,68 @@ object TxDmlQueries {
       () => runSqlDelete(s, t)
     }))
 
+  // ----------------------------------------------------------------- K31
+  /** The FULL SQL MERGE clause surface in one statement: column-level
+    * `UPDATE SET c = expr` (unassigned columns keep target values),
+    * `INSERT (cols) VALUES (…)`, and `WHEN NOT MATCHED BY SOURCE …
+    * DELETE` — the last of which makes every target row a candidate
+    * (full-table rewrite, pruning disabled by design). The source is
+    * a DIFFERENTLY-SHAPED frame (key + delta), legal because both
+    * write clauses are column-level. The oracle derives all four row
+    * fates declaratively; hash equality proves assignment targeting,
+    * SQL NULL-fill on unassigned insert columns, and the
+    * NOT-MATCHED-BY-SOURCE fate split. */
+  private def runSqlMergeFull(s: SparkSession, d: String,
+      t: TxTable): DataFrame = {
+    val c = Tables.customer(s, d)
+    val keyShift = c.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    c.where(col("c_custkey").between(100L, 600L))
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") + 50.0, 2).as("delta"))
+      .unionByName(c.where(col("c_custkey") <= 30L)
+        .select((col("c_custkey") + keyShift).as("k"),
+          round(col("c_acctbal") + 50.0, 2).as("delta")))
+      .createOrReplaceTempView("graft_k31_src")
+    graft.ops.TxSql(s).run(
+      s"MERGE INTO txtable.`${t.tableDir}` AS t USING graft_k31_src s " +
+        "ON t.c_custkey = s.k " +
+        "WHEN MATCHED THEN UPDATE SET " +
+        "  c_acctbal = round(s.delta + 10.0, 2), c_mktsegment = 'UP' " +
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal, c_mktsegment) " +
+        "  VALUES (s.k, round(s.delta, 2), 'INS') " +
+        "WHEN NOT MATCHED BY SOURCE AND t.c_custkey > 1200 THEN DELETE")
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  private val txSqlMergeFull = GraftQuery(
+    "k31_tx_sql_merge_full",
+    (s, d) => runSqlMergeFull(s, d,
+      seeded(s, d, "txsqlmrgf", Tables.customer(s, d))),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(CASE WHEN c_custkey BETWEEN 100 AND 600
+                       THEN ROUND(ROUND(c_acctbal + 50.0, 2) + 10.0, 2)
+                       ELSE c_acctbal END, 2) AS c_acctbal,
+            CASE WHEN c_custkey BETWEEN 100 AND 600
+                 THEN 'UP' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+            WHERE NOT (c_custkey > 1200
+                       AND c_custkey NOT BETWEEN 100 AND 600)
+            UNION ALL
+            SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) + 1
+                     AS c_custkey,
+                   CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(NULL AS INTEGER) AS c_nationkey,
+                   ROUND(ROUND(ROUND(c_acctbal + 50.0, 2), 2), 2)
+                     AS c_acctbal,
+                   'INS' AS c_mktsegment
+            FROM customer WHERE c_custkey <= 30"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txsqlmrgf-bench", Tables.customer(s, d))
+      () => runSqlMergeFull(s, d, t)
+    }))
+
   // ----------------------------------------------------------------- K30
   /** GENERATED-PARTITION PRUNING — Delta's headline use of generated
     * columns: orders land hive-partitioned on `o_year`, declared
@@ -534,5 +596,5 @@ object TxDmlQueries {
   def queries: Seq[GraftQuery] =
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
-      txGenPartitionPrune, scd2Apply)
+      txSqlMergeFull, txGenPartitionPrune, scd2Apply)
 }

@@ -140,21 +140,66 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().where(col("k") >= 100L && col("k") < 200L).count() === 3)
   }
 
-  test("MERGE refusals: column-level SET, NOT MATCHED BY SOURCE, bad ON") {
+  test("MERGE column-level SET / INSERT VALUES / NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    // source with a DIFFERENT shape than the table — legal because
+    // both clauses are column-level
+    Seq((2L, 5L), (3L, 7L), (100L, 1L))
+      .toDF("k", "delta").createOrReplaceTempView("txsql_cl_src")
+    sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_cl_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.delta " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, tag) " +
+        "VALUES (s.k, s.delta, 'NEW') " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k >= 8 THEN DELETE")
+    val out = t.read().as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) === ((25L, "row-2"))) // SET v only; tag kept
+    assert(out(3L) === ((37L, "row-3")))
+    assert(out(100L) === ((1L, "NEW")))  // INSERT (cols) VALUES
+    assert(!out.contains(8L) && !out.contains(9L)) // NMS delete
+    assert(out.keySet === ((0L until 8L).toSet + 100L))
+    // partial INSERT column list: unassigned columns null-fill
+    Seq((200L, 0L)).toDF("k", "delta")
+      .createOrReplaceTempView("txsql_cl_src2")
+    sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_cl_src2 s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)")
+    val r200 = t.read().where(col("k") === 200L).head()
+    assert(r200.isNullAt(1) && r200.isNullAt(2))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE UPDATE; source references refused") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 6))
+    Seq((4L, 400L, "s")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("txsql_nms_src")
+    sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_nms_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN UPDATE SET tag = 'STALE'")
+    val out = t.read().as[(Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(0L) === "STALE" && out(1L) === "STALE")
+    assert(out(2L) === "row-2") // condition false: carried
+    assert(out(4L) === "s")     // matched: source row taken
+    // a source reference inside an NMS clause can only read nulls —
+    // refused loudly
+    val e = intercept[RuntimeException](sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_nms_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE"))
+    assert(e.getMessage.contains("source"))
+  }
+
+  test("MERGE refusals: bad ON condition") {
     import spark.implicits._
     val (t, p) = mkTable()
     t.append(df(0 until 3))
     Seq((1L, 1L, "x")).toDF("k", "v", "tag")
       .createOrReplaceTempView("txsql_refuse_src")
-    val e1 = intercept[RuntimeException](sql.run(
-      s"MERGE INTO txtable.`$p` t USING txsql_refuse_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET v = s.v"))
-    assert(e1.getMessage.contains("UPDATE SET *"))
-    val e2 = intercept[RuntimeException](sql.run(
-      s"MERGE INTO txtable.`$p` t USING txsql_refuse_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET * " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
     val e3 = intercept[RuntimeException](sql.run(
       s"MERGE INTO txtable.`$p` t USING txsql_refuse_src s ON t.k > s.k " +
         "WHEN MATCHED THEN UPDATE SET *"))
@@ -206,6 +251,42 @@ class TxSqlSpec extends SparkTestBase {
 
   test("non-DML statements fall through to spark.sql") {
     assert(sql.run("SELECT 41 + 1 AS x").head().getInt(0) === 42)
+  }
+
+  test("DDL statements: constraints, rename/drop column, gencol, restore, detail") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 10)) // v0
+    // ADD CONSTRAINT validates + enforces through the same engine path
+    sql.run(s"ALTER TABLE txtable.`$p` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    assert(t.constraints === Map("v_pos" -> "v >= 0"))
+    intercept[Exception](
+      sql.run(s"UPDATE txtable.`$p` SET v = -1 WHERE k = 1"))
+    sql.run(s"ALTER TABLE txtable.`$p` DROP CONSTRAINT v_pos")
+    assert(t.constraints.isEmpty)
+    // RENAME / DROP COLUMN are metadata-only commits
+    val filesBefore = t.snapshot().files.toSet
+    sql.run(s"ALTER TABLE txtable.`$p` RENAME COLUMN tag TO label")
+    assert(t.read().columns.toSeq === Seq("k", "v", "label"))
+    assert(t.snapshot().files.toSet === filesBefore)
+    sql.run(s"ALTER TABLE txtable.`$p` DROP COLUMN label")
+    assert(t.read().columns.toSeq === Seq("k", "v"))
+    // GENERATED COLUMN declaration + drop
+    sql.run(s"ALTER TABLE txtable.`$p` ADD GENERATED COLUMN v AS (k * 10)")
+    assert(t.generatedColumns === Map("v" -> "k * 10"))
+    sql.run(s"ALTER TABLE txtable.`$p` DROP GENERATED COLUMN v")
+    assert(t.generatedColumns.isEmpty)
+    // RESTORE back to v0 re-references the old FILES under a new
+    // commit; column policy (the drop tombstone) stays active, so the
+    // dropped column does not resurface
+    val vNow = t.snapshot().version
+    sql.run(s"RESTORE TABLE txtable.`$p` TO VERSION AS OF 0")
+    assert(t.snapshot().version === vNow + 1)
+    assert(t.read().columns.toSeq === Seq("k", "v"))
+    // DESCRIBE DETAIL lists the active files
+    val detail = sql.run(s"DESCRIBE DETAIL txtable.`$p`")
+    assert(detail.columns.toSeq ===
+      Seq("file", "kind", "bytes", "partition"))
+    assert(detail.count() === t.snapshot().files.size)
   }
 
   test("SQL DML runs the same enforcement as the Scala API") {

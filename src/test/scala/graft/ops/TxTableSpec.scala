@@ -1593,6 +1593,58 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readBetween("ts", lo, hi).count() === 1)
   }
 
+  test("merge: column-level assignments and NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))       // low-key file(s)
+    t.append(df(1000 until 1010))  // high-key file(s)
+    val src = Seq((3L, "S3")).toDF("id", "payload")
+    // column-level SET with a t/s mixing expression; source bounds
+    // still prune — the high-key file survives UNTOUCHED
+    val before = t.snapshot().files.toSet
+    val c1 = t.merge(src, Seq("id"), whenMatchedUpdate = Some(lit(true)),
+      updateSet = Some(Map("payload" ->
+        expr("concat(t.payload, '+', s.payload)"))))
+    assert(t.read().where(col("id") === 3L).head().getString(1)
+      === "row-3+S3")
+    assert(c1.remove.size < before.size,
+      s"expected pruning to keep the high-key file out of the rewrite")
+    assert((before intersect t.snapshot().files.toSet).nonEmpty)
+    // a NOT MATCHED BY SOURCE clause makes EVERY file a candidate:
+    // the commit removes the full active set (Delta's full-table
+    // rewrite for the same clause)
+    val allFiles = t.snapshot().files.size
+    val c2 = t.merge(src, Seq("id"),
+      whenNotMatchedBySourceDelete = Some(col("t.id") >= lit(1000L)))
+    assert(c2.remove.size === allFiles)
+    assert(t.read().where(col("id") >= 1000L).count() === 0)
+    assert(t.read().count() === 10)
+    // NMS UPDATE assignments evaluate over t.* only
+    t.merge(src, Seq("id"),
+      whenNotMatchedBySourceUpdate = Some((col("t.id") === 5L,
+        Map("payload" -> lit("STALE")))))
+    assert(t.read().where(col("id") === 5L).head().getString(1)
+      === "STALE")
+    assert(t.read().where(col("id") === 3L).head().getString(1)
+      === "row-3+S3") // matched key untouched by the NMS clause
+    // unknown assignment column refuses
+    intercept[IllegalArgumentException](t.merge(src, Seq("id"),
+      whenMatchedUpdate = Some(lit(true)),
+      updateSet = Some(Map("nope" -> lit(1)))))
+    // a type-changing assignment refuses BEFORE branch coercion can
+    // smuggle it into the files as a silently-stringified value
+    intercept[IllegalArgumentException](t.merge(src, Seq("id"),
+      whenMatchedUpdate = Some(lit(true)),
+      updateSet = Some(Map("payload" -> lit(5)))))
+    // differently-shaped source + column-level INSERT: unassigned
+    // columns null-fill at the table's types
+    val thin = Seq((7777L, 1L)).toDF("id", "x")
+    t.merge(thin, Seq("id"), whenNotMatchedInsert = Some(lit(true)),
+      insertValues = Some(Map("id" -> col("s.id"))))
+    val ins = t.read().where(col("id") === 7777L).head()
+    assert(ins.isNullAt(1))
+  }
+
   test("gencol declaration bumps the writer protocol requirement") {
     import spark.implicits._
     val (t, dir) = mkTable()
