@@ -106,11 +106,22 @@ final class TxSql(spark: SparkSession) {
       case DropColumnRe(ident, name) =>
         summary(resolve(ident).dropColumn(unquote(name)))
       case _ =>
-        spark.sessionState.sqlParser.parsePlan(s) match {
-          case d: DeleteFromTable => runDelete(d)
-          case u: UpdateTable     => runUpdate(u)
-          case m: MergeIntoTable  => runMerge(m)
-          case _                  => spark.sql(sql)
+        // DML detection goes through the NON-INJECTED catalyst parser:
+        // under [[graft.plans.TxSqlParser]] injection the session's
+        // parser routes txtable DML back to a TxSqlStatement command
+        // whose execution calls run() again — parsing with the raw
+        // grammar here is what terminates that loop. Statements the
+        // raw parser rejects (SET, ADD JAR, …) fall through to
+        // spark.sql like any non-DML text.
+        val parsed =
+          try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parsePlan(s))
+          catch { case _: Exception => None }
+        parsed match {
+          case Some(d: DeleteFromTable) => runDelete(d)
+          case Some(u: UpdateTable)     => runUpdate(u)
+          case Some(m: MergeIntoTable)  => runMerge(m)
+          case _                        => spark.sql(sql)
         }
     }
   }
@@ -405,6 +416,100 @@ final class TxSql(spark: SparkSession) {
 
 object TxSql {
   def apply(spark: SparkSession): TxSql = new TxSql(spark)
+
+  // ----- result schemas, mirrored 1:1 from the frames run() builds —
+  // the parser-injected command ([[graft.plans.TxSqlStatement]])
+  // declares its output from these, so `spark.sql("MERGE INTO …")`
+  // returns typed rows without executing at plan time
+  import org.apache.spark.sql.types._
+  private[graft] val SummarySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("action", StringType),
+    StructField("files_added", LongType, nullable = false),
+    StructField("files_removed", LongType, nullable = false)))
+  private[graft] val HistorySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("action", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("n_added", IntegerType, nullable = false),
+    StructField("n_added_dvs", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("rm_bytes", LongType, nullable = false)))
+  private[graft] val DetailSchema = StructType(Seq(
+    StructField("file", StringType), StructField("kind", StringType),
+    StructField("bytes", LongType, nullable = false),
+    StructField("partition", StringType)))
+  private[graft] val VacuumSchema =
+    StructType(Seq(StructField("reclaimed_file", StringType)))
+
+  /** Is `parts` a transactional-table reference, WITHOUT side effects
+    * (never opens/creates the table — safe to call at parse time for
+    * every statement a session runs)? `txtable.`path`` is syntactic;
+    * a catalog name checks the table's provider. */
+  private[graft] def isTxParts(spark: SparkSession,
+      parts: Seq[String]): Boolean = parts match {
+    case Seq(p, _) if p.equalsIgnoreCase("txtable") => true
+    case Seq(_) | Seq(_, _) =>
+      try {
+        val id = parts match {
+          case Seq(t0)     => TableIdentifier(t0)
+          case Seq(db, t0) => TableIdentifier(t0, Some(db))
+          case _           => return false
+        }
+        spark.sessionState.catalog.getTableMetadata(id)
+          .provider.exists(_.equalsIgnoreCase("txtable"))
+      } catch { case _: Throwable => false }
+    case _ => false
+  }
+
+  private def isTxIdent(spark: SparkSession, ident: String): Boolean =
+    try isTxParts(spark,
+      spark.sessionState.sqlParser.parseMultipartIdentifier(ident.trim))
+    catch { case _: Throwable => false }
+
+  /** If `sqlText` is one of the face's REGEX-ROUTED statements over a
+    * transactional table, the schema its result will have — the
+    * parse-time dispatch test for the injected parser. DML statements
+    * are detected from the delegate-parsed plan instead (see
+    * [[isDmlOnTx]]). */
+  private[graft] def statementSchema(spark: SparkSession,
+      sqlText: String): Option[StructType] = {
+    val s = sqlText.trim.stripSuffix(";").trim
+    def tx(id: String) = isTxIdent(spark, id)
+    s match {
+      case DescribeHistoryRe(id) if tx(id)      => Some(HistorySchema)
+      case DescribeDetailRe(id) if tx(id)       => Some(DetailSchema)
+      case OptimizeRe(id) if tx(id)             => Some(SummarySchema)
+      case VacuumRe(id, _) if tx(id)            => Some(VacuumSchema)
+      case RestoreRe(id, _) if tx(id)           => Some(SummarySchema)
+      case AddConstraintRe(id, _, _) if tx(id)  => Some(SummarySchema)
+      case DropConstraintRe(id, _) if tx(id)    => Some(SummarySchema)
+      case AddGeneratedRe(id, _, _) if tx(id)   => Some(SummarySchema)
+      case DropGeneratedRe(id, _) if tx(id)     => Some(SummarySchema)
+      case RenameColumnRe(id, _, _) if tx(id)   => Some(SummarySchema)
+      case DropColumnRe(id, _) if tx(id)        => Some(SummarySchema)
+      case _                                    => None
+    }
+  }
+
+  /** Is `plan` a MERGE/UPDATE/DELETE whose target is a transactional
+    * table? */
+  private[graft] def isDmlOnTx(spark: SparkSession,
+      plan: LogicalPlan): Boolean = {
+    def rel(p: LogicalPlan): Option[Seq[String]] = p match {
+      case SubqueryAlias(_, child) => rel(child)
+      case r: UnresolvedRelation   => Some(r.multipartIdentifier)
+      case _                       => None
+    }
+    val target = plan match {
+      case d: DeleteFromTable => rel(d.table)
+      case u: UpdateTable     => rel(u.table)
+      case m: MergeIntoTable  => rel(m.targetTable)
+      case _                  => None
+    }
+    target.exists(isTxParts(spark, _))
+  }
 
   // Delta-grammar statements Spark's parser does not know (or whose
   // v2-command plans would demand a full catalog plugin) — routed by

@@ -70,5 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_entropy"), CharEntropy.info,
       (children: Seq[Expression]) => CharEntropy(children.head)))
     ext.injectOptimizerRule(_ => LevenshteinPruning)
+    // plain spark.sql() speaks the transactional table's DML/DDL
+    // dialect: MERGE INTO / UPDATE / DELETE on txtable targets and the
+    // Delta-grammar statements route onto the TxSql face; every other
+    // statement passes through the delegate untouched
+    ext.injectParser((session, parser) => new TxSqlParser(session, parser))
   }
 }

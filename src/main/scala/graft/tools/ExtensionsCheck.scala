@@ -52,7 +52,32 @@ object ExtensionsCheck {
         .queryExecution.analyzed).toString
     require(ruleApplied.toLowerCase.contains("abs((length"),
       s"LevenshteinPruning not applicable via extensions:\n$ruleApplied")
-    println(s"extensions-ok ${probes.size} rule-ok")
+
+    // round-10: the injected PARSER makes PLAIN spark.sql speak the
+    // transactional table's DML/DDL dialect in a fresh session
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-extsql-").toString
+    val t = graft.ops.TxTable(spark, s"$dir/t")
+    t.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    spark.sql(s"UPDATE txtable.`$dir/t` SET v = v + 1 WHERE k = 2")
+    require(t.read().where($"k" === 2L).head().getLong(1) == 21L,
+      "parser-injected UPDATE did not land")
+    Seq((3L, 300L), (9L, 900L)).toDF("k", "v")
+      .createOrReplaceTempView("ext_src")
+    val m = spark.sql(
+      s"MERGE INTO txtable.`$dir/t` t2 USING ext_src s ON t2.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    require(m.columns.toSeq ==
+      Seq("version", "action", "files_added", "files_removed") &&
+      m.head().getString(1) == "merge", "MERGE summary shape wrong")
+    require(t.read().count() == 4, "MERGE content wrong")
+    spark.sql(s"DELETE FROM txtable.`$dir/t` WHERE k = 1")
+    require(t.read().count() == 3, "DELETE content wrong")
+    require(spark.sql(s"DESCRIBE HISTORY txtable.`$dir/t`").count() == 4,
+      "DESCRIBE HISTORY row count wrong")
+    // ordinary SQL remains untouched by the injected parser
+    require(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+    println(s"extensions-ok ${probes.size} rule-ok sql-face-ok")
     spark.stop()
   }
 }

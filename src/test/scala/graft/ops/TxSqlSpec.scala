@@ -289,6 +289,35 @@ class TxSqlSpec extends SparkTestBase {
     assert(detail.count() === t.snapshot().files.size)
   }
 
+  test("TxSqlParser routes txtable statements; everything else passes through") {
+    import graft.plans.{TxSqlParser, TxSqlStatement}
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    val (t, p) = mkTable()
+    t.append(df(0 until 5))
+    // DML on a txtable target is re-routed to a TxSqlStatement leaf
+    // command, and EXECUTING that plan runs the engine path
+    val plan = parser.parsePlan(
+      s"UPDATE txtable.`$p` SET v = v + 1 WHERE k = 1")
+    assert(plan.isInstanceOf[TxSqlStatement])
+    val res = org.apache.spark.sql.graft.ColumnShim.ofRows(spark, plan)
+    assert(res.columns.toSeq ===
+      Seq("version", "action", "files_added", "files_removed"))
+    assert(res.head().getString(1) === "update")
+    assert(t.read().where(col("k") === 1L).head().getLong(1) === 11L)
+    // Delta-grammar statements route when the reference is a txtable
+    assert(parser.parsePlan(s"DESCRIBE HISTORY txtable.`$p`")
+      .isInstanceOf[TxSqlStatement])
+    val hist = org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
+      parser.parsePlan(s"DESCRIBE HISTORY txtable.`$p`"))
+    assert(hist.count() === 2)
+    // ordinary statements — and DML on non-txtable targets — return
+    // the delegate's plan untouched
+    assert(!parser.parsePlan("SELECT 1 + 1")
+      .isInstanceOf[TxSqlStatement])
+    assert(!parser.parsePlan("DELETE FROM some_plain_table WHERE a = 1")
+      .isInstanceOf[TxSqlStatement])
+  }
+
   test("SQL DML runs the same enforcement as the Scala API") {
     val (t, p) = mkTable()
     t.append(df(0 until 5))
