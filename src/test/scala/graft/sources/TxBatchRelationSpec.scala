@@ -99,6 +99,29 @@ class TxBatchRelationSpec extends SparkTestBase {
     }
   }
 
+  test("CTAS: CREATE TABLE ... USING txtable AS SELECT seeds the table") {
+    val dir = Files.createTempDirectory("graft-txrel-ctas-").toString
+    df(0 until 25).createOrReplaceTempView("txrel_ctas_src")
+    spark.sql(
+      s"CREATE TABLE graft_tx_ctas USING txtable LOCATION '$dir/t' " +
+        "AS SELECT * FROM txrel_ctas_src WHERE id < 20")
+    try {
+      // the catalog table reads back through the relation...
+      assert(spark.table("graft_tx_ctas").count() === 20)
+      // ...and the location is a REAL transactional table: commit log,
+      // snapshot, programmatic API all work
+      val t = TxTable(spark, s"$dir/t")
+      assert(t.snapshot().version === 0)
+      assert(t.read().where(col("id") === 7L).count() === 1)
+      t.append(df(100 until 105))
+      // catalog reads cache the resolved relation (standard Spark DSv1
+      // behavior, same as parquet tables) — and the relation pins its
+      // version — so an external commit surfaces after refreshTable
+      spark.catalog.refreshTable("graft_tx_ctas")
+      assert(spark.table("graft_tx_ctas").count() === 25)
+    } finally spark.sql("DROP TABLE graft_tx_ctas")
+  }
+
   test("a head read pins the version resolved at relation creation") {
     val dir = Files.createTempDirectory("graft-txrel-pin-").toString
     val t = TxTable(spark, s"$dir/t")
