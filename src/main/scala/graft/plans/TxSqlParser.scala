@@ -22,6 +22,8 @@ import graft.ops.TxSql
   * spark.sql("MERGE INTO txtable.`/data/t` t USING u s ON t.k = s.k " +
   *           "WHEN MATCHED THEN UPDATE SET *")      // just works
   * spark.sql("DESCRIBE HISTORY txtable.`/data/t`").show()
+  * spark.sql("SELECT * FROM txtable.`/data/t` VERSION AS OF 3")
+  * spark.sql("INSERT INTO txtable.`/data/t` SELECT ...")
   * }}}
   *
   * Dispatch is conservative and parse-time-cheap: the Delta-grammar
@@ -51,9 +53,57 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           case (_: DeleteFromTable | _: UpdateTable | _: MergeIntoTable)
               if TxSql.isDmlOnTx(session, plan) =>
             TxSqlStatement(sqlText, TxSql.SummarySchema)
-          case p => p
+          case p => rewriteTxRelations(p)
         }
     }
+
+  /** Replace `txtable.`&#96;path&#96;`` references anywhere in a query —
+    * including under `VERSION AS OF` / `TIMESTAMP AS OF` — with the
+    * resolved batch relation, so plain `spark.sql("SELECT * FROM
+    * txtable.`&#96;/p&#96;` VERSION AS OF 3")` and `INSERT INTO
+    * txtable.`&#96;/p&#96;` SELECT …` work without a catalog entry
+    * (Delta's `delta.`&#96;path&#96;`` device). Top-down so the
+    * time-travel wrapper sees its child before the bare-relation rule
+    * consumes it; every other relation is untouched. */
+  private def rewriteTxRelations(p: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def txPath(x: LogicalPlan): Option[String] = x match {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.size == 2 &&
+            r.multipartIdentifier.head.equalsIgnoreCase("txtable") =>
+        Some(r.multipartIdentifier.last)
+      case _ => None
+    }
+    def reader(path: String, version: Option[String],
+        ts: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+        : LogicalPlan = {
+      var r = session.read.format("txtable").option("path", path)
+      version.foreach(v => r = r.option("versionAsOf", v))
+      ts.foreach {
+        case Literal(v, org.apache.spark.sql.types.TimestampType) =>
+          // typed literal carries epoch MICROS; the option speaks millis
+          r = r.option("timestampAsOf",
+            (v.asInstanceOf[Long] / 1000L).toString)
+        case Literal(v, _) if v != null =>
+          r = r.option("timestampAsOf", v.toString)
+        case other => sys.error(
+          s"txtable TIMESTAMP AS OF must be a literal, got: ${other.sql}")
+      }
+      r.load().queryExecution.analyzed
+    }
+    p.transformDown {
+      // INSERT's target is a constructor FIELD, not a child — a plain
+      // tree transform never visits it
+      case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if txPath(ins.table).isDefined =>
+        ins.copy(table = reader(txPath(ins.table).get, None, None))
+      case tt: RelationTimeTravel if txPath(tt.relation).isDefined =>
+        reader(txPath(tt.relation).get, tt.version, tt.timestamp)
+      case r: UnresolvedRelation if txPath(r).isDefined =>
+        reader(txPath(r).get, None, None)
+    }
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TxTable
@@ -84,10 +84,16 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
         t.versionAsOf(ms)
       }).getOrElse(t.snapshot().version)
     val base = t.readPruned(version, Nil)
-    new BaseRelation with PrunedFilteredScan {
+    // InsertableRelation gives the SQL face INSERT INTO / INSERT
+    // OVERWRITE (each one atomic commit at the CURRENT head — inserts
+    // are writes, never pinned to the relation's read version)
+    new BaseRelation with PrunedFilteredScan with InsertableRelation {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = base.schema
       override def needConversion: Boolean = false
+      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        if (overwrite) { t.overwrite(data); () }
+        else { t.append(data); () }
       override def buildScan(requiredColumns: Array[String],
           filters: Array[Filter]): RDD[Row] = {
         // comparison filters -> [lo, hi] bounds per column; strict

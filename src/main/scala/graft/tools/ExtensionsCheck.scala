@@ -75,6 +75,16 @@ object ExtensionsCheck {
     require(t.read().count() == 3, "DELETE content wrong")
     require(spark.sql(s"DESCRIBE HISTORY txtable.`$dir/t`").count() == 4,
       "DESCRIBE HISTORY row count wrong")
+    // path-addressed SQL reads (Delta's delta.`path` device), time
+    // travel in SQL, and INSERT INTO through InsertableRelation
+    require(spark.sql(s"SELECT COUNT(*) FROM txtable.`$dir/t`")
+      .head().getLong(0) == 3, "path-addressed SELECT wrong")
+    require(spark.sql(
+      s"SELECT COUNT(*) FROM txtable.`$dir/t` VERSION AS OF 0")
+      .head().getLong(0) == 3, "SQL time travel wrong")
+    spark.sql(s"INSERT INTO txtable.`$dir/t` SELECT 50L, 500L")
+    require(t.read().count() == 4, "INSERT INTO did not land")
+    require(t.read().where($"k" === 50L).head().getLong(1) == 500L)
     // ordinary SQL remains untouched by the injected parser
     require(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
     println(s"extensions-ok ${probes.size} rule-ok sql-face-ok")

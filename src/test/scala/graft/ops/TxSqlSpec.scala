@@ -316,6 +316,20 @@ class TxSqlSpec extends SparkTestBase {
       .isInstanceOf[TxSqlStatement])
     assert(!parser.parsePlan("DELETE FROM some_plain_table WHERE a = 1")
       .isInstanceOf[TxSqlStatement])
+    // path-addressed relations rewrite inside arbitrary queries,
+    // including under VERSION AS OF, and INSERT INTO appends
+    val sel = org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
+      parser.parsePlan(
+        s"SELECT COUNT(*) FROM txtable.`$p` WHERE k >= 2"))
+    assert(sel.head().getLong(0) === 3L)
+    val tt = org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
+      parser.parsePlan(
+        s"SELECT COUNT(*) FROM txtable.`$p` VERSION AS OF 0"))
+    assert(tt.head().getLong(0) === 5L)
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
+      parser.parsePlan(
+        s"INSERT INTO txtable.`$p` SELECT 77L, 770L, 'ins'")).collect()
+    assert(t.read().where(col("k") === 77L).count() === 1)
   }
 
   test("SQL DML runs the same enforcement as the Scala API") {
