@@ -105,6 +105,13 @@ final class TxSql(spark: SparkSession) {
           .renameColumn(unquote(from), unquote(to)))
       case DropColumnRe(ident, name) =>
         summary(resolve(ident).dropColumn(unquote(name)))
+      case ConvertRe(path) =>
+        val t = TxTable.convert(spark, unquote(path.trim))
+        summary(t.commitLog.head)
+      case CloneRe(dst, src, version) =>
+        val v = Option(version).map(_.toLong).getOrElse(Long.MaxValue)
+        val c = resolve(src).cloneTo(unquote(dst.trim), v)
+        summary(c.commitLog.head)
       case _ =>
         // DML detection goes through the NON-INJECTED catalyst parser:
         // under [[graft.plans.TxSqlParser]] injection the session's
@@ -489,6 +496,8 @@ object TxSql {
       case DropGeneratedRe(id, _) if tx(id)     => Some(SummarySchema)
       case RenameColumnRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropColumnRe(id, _) if tx(id)        => Some(SummarySchema)
+      case ConvertRe(_)                         => Some(SummarySchema)
+      case CloneRe(_, src, _) if tx(src)        => Some(SummarySchema)
       case _                                    => None
     }
   }
@@ -539,4 +548,11 @@ object TxSql {
     """(?is)ALTER\s+TABLE\s+([^\s]+)\s+RENAME\s+COLUMN\s+([^\s]+)\s+TO\s+([^\s]+)""".r
   private val DropColumnRe =
     """(?is)ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+COLUMN\s+([^\s]+)""".r
+  // CONVERT TO TXTABLE parquet.`/dir` — adopt a plain-parquet
+  // directory in place (Delta's CONVERT TO DELTA shape)
+  private val ConvertRe =
+    """(?is)CONVERT\s+TO\s+TXTABLE\s+parquet\.(.+)""".r
+  // CREATE TABLE txtable.`/dst` SHALLOW CLONE <src> [VERSION AS OF n]
+  private val CloneRe =
+    """(?is)CREATE\s+TABLE\s+txtable\.([^\s]+)\s+SHALLOW\s+CLONE\s+([^\s]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
 }

@@ -224,6 +224,24 @@ object TxTable {
   def apply(spark: SparkSession, dir: String): TxTable =
     apply(spark, dir, LogStore.HardLink)
 
+  /** CONVERT an existing PLAIN-PARQUET directory into a transactional
+    * table IN PLACE (Delta's `CONVERT TO DELTA`, the migration
+    * headline): no byte is rewritten — one `convert` commit adopts
+    * every parquet file at its existing name (flat files and one
+    * level of hive `col=value/` partitions), mining their footers for
+    * the same per-file min/max stats a staged write would log, so
+    * data skipping works from version 0. From then on the directory
+    * IS a TxTable: appends, DML, time travel, streaming tails, and
+    * vacuum (which reclaims adopted-name files exactly like
+    * engine-named ones once a rewrite retires them) all apply.
+    * Refused on a directory that already has a commit log. */
+  def convert(spark: SparkSession, dir: String,
+      store: LogStore = LogStore.HardLink): TxTable = {
+    val t = apply(spark, dir, store)
+    t.convertInPlace()
+    t
+  }
+
   /** Open (or initialize) a transactional table whose commit CAS runs
     * through `store` — [[LogStore.HardLink]] on POSIX filesystems, a
     * [[LogStore.ConditionalWrite]] over the store's conditional-PUT API
@@ -698,6 +716,34 @@ final class TxTable private (spark: SparkSession, dir: String,
     sys.error(s"dropColumn contention: lost $maxRetries races in $logDir")
   }
 
+  /** [[TxTable.convert]]'s work: adopt the directory's existing
+    * parquet files under ONE atomic v0 commit. File discovery mirrors
+    * [[vacuum]]'s layout walk (top-level files + one `col=value/`
+    * level); names are kept verbatim — every read path takes explicit
+    * file lists from the log, so nothing requires the engine's
+    * `data-` prefix. */
+  private[ops] def convertInPlace(): Unit = {
+    val head = snapshot()
+    require(head.version == -1L,
+      s"$dir is already a transactional table (at v${head.version}) — " +
+        "convert adopts only plain-parquet directories")
+    val root = new File(dir)
+    def adoptable(n: String) =
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    val top = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && adoptable(f.getName)).map(_.getName)
+    val sub = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && adoptable(f.getName))
+        .map(f => s"${d.getName}/${f.getName}"))
+    val rels = (top ++ sub).toSeq.sorted
+    require(rels.nonEmpty, s"no parquet files to convert in $dir")
+    val c = Commit(0L, "convert", rels, Nil, System.currentTimeMillis())
+    require(tryCommit(c, fileStats(rels)),
+      s"conversion raced: another writer committed v0 to $dir")
+  }
+
   def read(): DataFrame = readSnapshot(snapshot())
 
   def readAt(version: Long): DataFrame = readSnapshot(snapshotAt(version))
@@ -1125,6 +1171,30 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def rmTree(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete()
+  }
+
+  /** Stage a rewrite PRESERVING the table's layout: when `base`'s
+    * files are hive-partitioned, the rewrite re-stages under the same
+    * `col=value/` directories — a flat staging would MIX layouts and
+    * break path-based partition inference for every later read (rows
+    * silently lost to a column/path conflict). Flat tables stage
+    * flat; a frame that legitimately drops the partition column (an
+    * overwrite changing the layout) falls back to flat staging — the
+    * rewrite replaces everything, so the new layout is consistent.
+    * `df` is already PHYSICAL-named, as is the path segment. */
+  private def stageLike(base: Snapshot, df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val partCol = base.files.headOption.map(_.stripPrefix(s"$dir/"))
+      .filter(_.contains("/")).flatMap { rel =>
+        val seg = rel.takeWhile(_ != '/')
+        val eq = seg.indexOf('=')
+        if (eq <= 0) None
+        else Some(ExternalCatalogUtils.unescapePathName(seg.take(eq)))
+      }
+    partCol match {
+      case Some(c) if df.columns.contains(c) => stagePartitioned(df, c)
+      case _                                 => stage(df)
+    }
   }
 
   /** Atomic claim of `version` through the table's [[LogStore]]: the
@@ -1781,8 +1851,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     val s0 = snapshot()
     val cts = ctMap(s0)
     val df2 = applyGenerated(df, s0)
-    commitAppend(stage(toPhysical(enforced(df2, cts), s0)), df2, maxRetries,
-      enforcedCts = cts, enforcedGcs = gcMap(s0))
+    // layout-aware: appending to a hive-partitioned table re-stages
+    // under its partition directories automatically (a flat file next
+    // to partitioned ones would break path-based inference)
+    commitAppend(stageLike(s0, toPhysical(enforced(df2, cts), s0)), df2,
+      maxRetries, enforcedCts = cts, enforcedGcs = gcMap(s0))
   }
 
   /** Schema-EVOLVING append (Delta's `mergeSchema` write): the batch
@@ -1799,8 +1872,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     val s0 = snapshot()
     val cts = ctMap(s0)
     val df2 = applyGenerated(df, s0)
-    commitAppend(stage(toPhysical(enforced(df2, cts), s0)), df2, maxRetries,
-      evolve = true, enforcedCts = cts, enforcedGcs = gcMap(s0))
+    commitAppend(stageLike(s0, toPhysical(enforced(df2, cts), s0)), df2,
+      maxRetries, evolve = true, enforcedCts = cts,
+      enforcedGcs = gcMap(s0))
   }
 
   /** Hive-layout partitioned append: data files land under
@@ -1915,7 +1989,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // An overwrite that legitimately redefines the schema away from a
     // gc's base columns must dropGeneratedColumn first — the expr
     // failing to resolve here is the loud refusal.
-    val files = stage(toPhysical(
+    val files = stageLike(s0, toPhysical(
       enforced(applyGenerated(df, s0), cts0), s0))
     val stats = fileStats(files)
     buildBlooms(files)
@@ -1951,7 +2025,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // TOCTOU window to guard. applyGenerated computes an omitted gc
       // for incoming rows and enforces the equality on supplied ones;
       // carried rows satisfy it by their own write-time enforcement.
-      val files = stage(toPhysical(
+      val files = stageLike(base, toPhysical(
         enforced(applyGenerated(merged, base), ctMap(base)), base))
       // a full rewrite retires the deletion vectors too: their targets
       // are all removed, and the rewrite read them applied
@@ -2218,7 +2292,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // and generated-column sets (gc enforcement covers MERGE like
       // Delta's — an UPDATE/INSERT * that takes a source row with a
       // drifted generated value fails the write job loudly)
-      val staged = stage(toPhysical(
+      val staged = stageLike(head, toPhysical(
         enforced(applyGenerated(out, head), ctMap(head)), head))
       val c = Commit(pruned.version + 1, "merge", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
@@ -2279,7 +2353,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // names never recur) until compaction retires them
       val staged =
         if (pruned.files.isEmpty) Nil
-        else stage(toPhysical(readSnapshot(pruned)
+        else stageLike(pruned, toPhysical(readSnapshot(pruned)
           .where(!coalesce(matches, lit(false))), pruned))
       val c = Commit(pruned.version + 1, "delete", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
@@ -2394,7 +2468,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           val regen = gcs.toSeq.sortBy(_._1).foldLeft(out) {
             case (d, (n, e)) => d.withColumn(n, expr(e))
           }
-          stage(toPhysical(enforced(regen, ctMap(head)), head))
+          stageLike(head, toPhysical(enforced(regen, ctMap(head)), head))
         }
       val c = Commit(pruned.version + 1, "update", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
@@ -2454,7 +2528,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         case Some(k) => k.unionByName(scoped2)
         case None    => scoped2
       }
-      val staged = stage(toPhysical(enforced(out, ctMap(head)), head))
+      val staged = stageLike(head,
+        toPhysical(enforced(out, ctMap(head)), head))
       val c = Commit(pruned.version + 1, "replace", staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
@@ -2664,7 +2739,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // the rewrite reads CONTENT (vectors applied) — compaction is also
     // the operation that MATERIALIZES merge-on-read deletes and
     // retires the vectors (Delta's PURGE)
-    val files = stage(toPhysical(layout(readSnapshot(base)), base))
+    val files = stageLike(base, toPhysical(layout(readSnapshot(base)), base))
     val stats = fileStats(files)
     buildBlooms(files)
     val baseNames = (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/"))
@@ -2795,8 +2870,13 @@ final class TxTable private (spark: SparkSession, dir: String,
       (horizon.files ++ horizon.dvs).map(_.stripPrefix(s"$dir/"))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val root = new File(dir)
+    // any parquet file in the table's layout is reclaimable, not just
+    // engine-named ones: a CONVERTED table's adopted files keep their
+    // original names, and a rewrite must be able to retire them too
+    // (Delta's VACUUM reclaims any unreferenced file the same way)
     def reclaimable(n: String) =
-      n.startsWith("data-") || n.startsWith("dv-")
+      n.startsWith("data-") || n.startsWith("dv-") ||
+        (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
     val top = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && reclaimable(f.getName))
       .map(f => f.getName -> f)

@@ -332,6 +332,33 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().where(col("k") === 77L).count() === 1)
   }
 
+  test("CONVERT TO TXTABLE and SHALLOW CLONE statements") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqlconv-").toString + "/t"
+    (0 until 12).map(i => (i.toLong, i.toLong * 2)).toDF("k", "v")
+      .write.parquet(dir)
+    val res = sql.run(s"CONVERT TO TXTABLE parquet.`$dir`")
+    assert(res.head().getString(1) === "convert")
+    val t = TxTable(spark, dir)
+    assert(t.read().count() === 12)
+    // and DML over the converted table works immediately
+    sql.run(s"DELETE FROM txtable.`$dir` WHERE k >= 10")
+    assert(t.read().count() === 10)
+    // SHALLOW CLONE: zero-copy new table, optionally time-traveled
+    val cdir = Files.createTempDirectory("graft-sqlclone-").toString + "/c"
+    val cres = sql.run(
+      s"CREATE TABLE txtable.`$cdir` SHALLOW CLONE txtable.`$dir` " +
+        "VERSION AS OF 0")
+    assert(cres.head().getString(1) === "convert" ||
+      cres.head().getString(1) === "clone")
+    val c = TxTable(spark, cdir)
+    assert(c.read().count() === 12) // pre-delete version cloned
+    // the clone evolves independently
+    sql.run(s"DELETE FROM txtable.`$cdir` WHERE k = 0")
+    assert(c.read().count() === 11)
+    assert(t.read().count() === 10)
+  }
+
   test("SQL DML runs the same enforcement as the Scala API") {
     val (t, p) = mkTable()
     t.append(df(0 until 5))

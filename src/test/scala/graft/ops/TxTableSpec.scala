@@ -1645,6 +1645,40 @@ class TxTableSpec extends SparkTestBase {
     assert(ins.isNullAt(1))
   }
 
+  test("convert adopts a plain-parquet directory in place") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-convert-").toString + "/t"
+    // a pre-existing plain table: partitioned layout, engine-foreign
+    // file names, written by ordinary spark
+    (0 until 40).map(i => (i.toLong, s"row-$i", i % 4))
+      .toDF("id", "payload", "part")
+      .write.partitionBy("part").parquet(dir)
+    val t = TxTable.convert(spark, dir)
+    assert(t.snapshot().version === 0)
+    assert(t.read().count() === 40)
+    assert(t.commitLog.head.action === "convert")
+    // stats were mined at conversion: a point delete prunes to the
+    // hit partition files only (none of which carry engine names)
+    val before = t.snapshot().files.toSet
+    assert(before.forall(!_.contains("/data-")))
+    t.deleteWhere("id", 7L)
+    assert(t.read().count() === 39)
+    assert((before intersect t.snapshot().files.toSet).nonEmpty,
+      "delete rewrote files the stats should have pruned")
+    // the converted table is fully transactional from v0 on
+    t.append(Seq((100L, "new", 9)).toDF("id", "payload", "part"))
+    assert(t.readAt(0).count() === 40)
+    assert(t.readPartition("part", 2).count() === 10)
+    // vacuum reclaims RETIRED adopted-name files like engine-named
+    // ones (the rewrite from deleteWhere replaced some)
+    val reclaimed = t.vacuum(retainVersion = t.snapshot().version,
+      minAgeMs = 0L)
+    assert(reclaimed.nonEmpty)
+    assert(t.read().count() === 40)
+    // re-converting an already-transactional directory refuses
+    intercept[IllegalArgumentException](TxTable.convert(spark, dir))
+  }
+
   test("gencol declaration bumps the writer protocol requirement") {
     import spark.implicits._
     val (t, dir) = mkTable()
