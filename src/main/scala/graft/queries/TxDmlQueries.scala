@@ -395,6 +395,42 @@ object TxDmlQueries {
       () => runSqlDelete(s, t)
     }))
 
+  // ----------------------------------------------------------------- K32
+  /** CONVERT TO TXTABLE ([[graft.ops.TxTable.convert]], Delta's
+    * `CONVERT TO DELTA`): a plain parquet directory written by
+    * ordinary Spark is adopted IN PLACE — no byte rewritten, footers
+    * mined for stats at the one `convert` commit — and is immediately
+    * transactional: the very next operation is a stats-pruned DELETE
+    * over the adopted files. The oracle keeps the delete's exact
+    * complement; hash equality proves adoption read every original
+    * row and the post-convert DML machinery behaves identically to a
+    * natively-written table's. */
+  private def seedConverted(s: SparkSession, d: String): TxTable = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-txconv-").toString + "/t"
+    Tables.customer(s, d).write.parquet(dir)
+    TxTable.convert(s, dir)
+  }
+
+  private def runConvert(t: TxTable): DataFrame = {
+    t.deleteBetween("c_custkey", 700L, 900L)
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  private val txConvert = GraftQuery(
+    "k32_tx_convert",
+    (s, d) => runConvert(seedConverted(s, d)),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT BETWEEN 700 AND 900"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seedConverted(s, d)
+      () => runConvert(t)
+    }))
+
   // ----------------------------------------------------------------- K31
   /** The FULL SQL MERGE clause surface in one statement: column-level
     * `UPDATE SET c = expr` (unassigned columns keep target values),
@@ -596,5 +632,5 @@ object TxDmlQueries {
   def queries: Seq[GraftQuery] =
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
-      txSqlMergeFull, txGenPartitionPrune, scd2Apply)
+      txSqlMergeFull, txGenPartitionPrune, txConvert, scd2Apply)
 }
