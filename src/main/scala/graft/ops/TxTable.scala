@@ -717,12 +717,19 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   /** [[TxTable.convert]]'s work: adopt the directory's existing
-    * parquet files under ONE atomic v0 commit. File discovery mirrors
-    * [[vacuum]]'s layout walk (top-level files + one `col=value/`
-    * level); names are kept verbatim — every read path takes explicit
-    * file lists from the log, so nothing requires the engine's
-    * `data-` prefix. */
+    * parquet files under ONE atomic v0 commit. Discovery is a FULL
+    * recursive walk through `col=value/` directories (any nesting
+    * depth — multi-key hive layouts adopt wholesale), and it REFUSES
+    * rather than subsets: a mixed-depth layout (flat files next to
+    * partitioned ones, or partitions of different key sequences) and
+    * any non-hive subdirectory holding parquet both abort before the
+    * commit — a partial adoption would silently lose that data and a
+    * mixed layout makes path-based partition inference ill-defined.
+    * Names are kept verbatim — every read path takes explicit file
+    * lists from the log, so nothing requires the engine's `data-`
+    * prefix. */
   private[ops] def convertInPlace(): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val head = snapshot()
     require(head.version == -1L,
       s"$dir is already a transactional table (at v${head.version}) — " +
@@ -730,15 +737,41 @@ final class TxTable private (spark: SparkSession, dir: String,
     val root = new File(dir)
     def adoptable(n: String) =
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-    val top = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && adoptable(f.getName)).map(_.getName)
-    val sub = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && adoptable(f.getName))
-        .map(f => s"${d.getName}/${f.getName}"))
-    val rels = (top ++ sub).toSeq.sorted
-    require(rels.nonEmpty, s"no parquet files to convert in $dir")
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def isPartDir(f: File) =
+      f.isDirectory && f.getName.indexOf('=') > 0 && visible(f.getName)
+    def holdsParquet(d: File): Boolean =
+      Option(d.listFiles()).getOrElse(Array.empty).exists(f =>
+        (f.isFile && adoptable(f.getName)) ||
+          (f.isDirectory && holdsParquet(f)))
+    // (relative path, partition-key sequence its directories spell)
+    def walk(d: File, cols: Seq[String], prefix: String)
+        : Seq[(String, Seq[String])] = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.filter(f => f.isDirectory && !isPartDir(f) &&
+          visible(f.getName) && holdsParquet(f)).foreach { s =>
+        sys.error(s"convert: $dir contains non-hive directory " +
+          s"'$prefix${s.getName}/' holding parquet — it would be " +
+          "silently skipped; move it out or rename it col=value")
+      }
+      kids.filter(f => f.isFile && adoptable(f.getName))
+        .map(f => (s"$prefix${f.getName}", cols)).toSeq ++
+        kids.filter(isPartDir).toSeq.flatMap { sub =>
+          val col = ExternalCatalogUtils.unescapePathName(
+            sub.getName.takeWhile(_ != '='))
+          walk(sub, cols :+ col, s"$prefix${sub.getName}/")
+        }
+    }
+    val found = walk(root, Nil, "")
+    require(found.nonEmpty, s"no parquet files to convert in $dir")
+    val layouts = found.map(_._2).distinct
+    require(layouts.size == 1,
+      s"convert: mixed-depth layout in $dir — files found under " +
+        layouts.map(c => if (c.isEmpty) "<root>" else c.mkString("/"))
+          .sorted.mkString("{", ", ", "}") +
+        "; adopting a subset would silently lose data — normalize " +
+        "the layout first")
+    val rels = found.map(_._1).sorted
     val c = Commit(0L, "convert", rels, Nil, System.currentTimeMillis())
     require(tryCommit(c, fileStats(rels)),
       s"conversion raced: another writer committed v0 to $dir")
@@ -1144,26 +1177,31 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   /** [[stage]] for hive-partitioned writes: part files move from the
-    * staging dir's `col=value/` subdirs to matching subdirs of the
-    * table root, and the returned names stay partition-qualified. */
+    * staging dir's nested `col=value/` subdirs (one level per
+    * partition key, in `partitionCols` order — Spark's own nesting
+    * order) to matching subdirs of the table root, and the returned
+    * names stay partition-qualified through every level. */
   private def stagePartitioned(
-      df: DataFrame, partitionCol: String): Seq[String] = {
+      df: DataFrame, partitionCols: Seq[String]): Seq[String] = {
     val tmp = s"$dir/_staged-${UUID.randomUUID()}"
-    df.write.partitionBy(partitionCol).parquet(tmp)
-    val subdirs = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-    val named = subdirs.toSeq.flatMap { sub =>
-      Files.createDirectories(Paths.get(dir, sub.getName))
-      Option(sub.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .toSeq.map { f =>
-          val rel = s"${sub.getName}/data-${UUID.randomUUID()}.parquet"
+    df.write.partitionBy(partitionCols: _*).parquet(tmp)
+    def walk(d: File, depth: Int, prefix: String): Seq[String] =
+      if (depth == 0) {
+        val parts = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+        if (parts.nonEmpty) Files.createDirectories(Paths.get(dir, prefix))
+        parts.toSeq.map { f =>
+          val rel = s"${prefix}data-${UUID.randomUUID()}.parquet"
           Files.move(f.toPath, Paths.get(dir, rel),
             StandardCopyOption.ATOMIC_MOVE)
           rel
         }
-    }
+      } else Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .toSeq.flatMap(sub =>
+          walk(sub, depth - 1, s"$prefix${sub.getName}/"))
+    val named = walk(new File(tmp), partitionCols.length, "")
     rmTree(new File(tmp))
     named
   }
@@ -1184,17 +1222,20 @@ final class TxTable private (spark: SparkSession, dir: String,
     * `df` is already PHYSICAL-named, as is the path segment. */
   private def stageLike(base: Snapshot, df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val partCol = base.files.headOption.map(_.stripPrefix(s"$dir/"))
-      .filter(_.contains("/")).flatMap { rel =>
-        val seg = rel.takeWhile(_ != '/')
-        val eq = seg.indexOf('=')
-        if (eq <= 0) None
-        else Some(ExternalCatalogUtils.unescapePathName(seg.take(eq)))
+    // re-derive the FULL partition-key sequence from the first file's
+    // directory segments: every segment must be `col=value` (a partial
+    // match means the path is not hive layout — stage flat)
+    val partCols: Seq[String] = base.files.headOption
+      .map(_.stripPrefix(s"$dir/")).toSeq.flatMap { rel =>
+        val segs = rel.split('/').dropRight(1).toSeq
+        val cols = segs.takeWhile(_.indexOf('=') > 0).map { seg =>
+          ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '='))
+        }
+        if (cols.length == segs.length) cols else Seq.empty
       }
-    partCol match {
-      case Some(c) if df.columns.contains(c) => stagePartitioned(df, c)
-      case _                                 => stage(df)
-    }
+    if (partCols.nonEmpty && partCols.forall(df.columns.contains))
+      stagePartitioned(df, partCols)
+    else stage(df)
   }
 
   /** Atomic claim of `version` through the table's [[LogStore]]: the
@@ -1646,45 +1687,82 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (r.isNullAt(0)) None else Option(r.get(0))
     } catch { case _: Throwable => None }
 
-  /** Could the partition a hive-layout file name encodes satisfy every
-    * bound on its partition column? Flat files, unparseable segments,
-    * and the null partition always keep (no reasoning, never wrong).
-    * Values compare numerically when both sides parse as numbers,
-    * else as strings — with the bound (lo) / value (hi) PREFIX-
-    * truncated before a string compare, which only ever relaxes the
-    * bound (a prefix orders ≤ its extension), so a formatting-suffix
-    * mismatch (timestamp seconds vs '.0') can keep an extra partition
-    * but never drop a matching one. */
+  /** Could the partition path a hive-layout file name encodes satisfy
+    * every bound on its partition columns? EVERY `col=value` directory
+    * segment is checked (multi-key layouts prune on any bounded key);
+    * flat files, unparseable segments, and the null partition always
+    * keep (no reasoning, never wrong).
+    *
+    * The compare mode follows the BOUND's runtime type, because after
+    * SQL analysis a literal is cast to the column's declared type —
+    * so the bound's type IS the column's type signal (the path value
+    * is always a string and carries no type):
+    *  - numeric bound → the column is numeric: numeric compare (an
+    *    unparseable path value keeps — conservative);
+    *  - String bound → the column is ALMOST ALWAYS string-typed, where
+    *    SQL orders lexically — but a caller may also have passed a
+    *    stringly-typed bound for a numeric column through the
+    *    programmatic API, so a partition is dropped only when the
+    *    string order AND (when both sides parse) the numeric order
+    *    BOTH exclude it: the string partitions '9','10','90' survive
+    *    `c BETWEEN '10' AND '90'` (string order keeps '9'), and
+    *    numeric partitions survive stringly bounds (numeric order
+    *    keeps) — neither typing can lose rows;
+    *  - temporal/boolean bound → ISO renderings order lexically:
+    *    string compare, with the bound (lo) / value (hi) PREFIX-
+    *    truncated first, which only ever relaxes the bound (a prefix
+    *    orders ≤ its extension), so a formatting-suffix mismatch
+    *    (timestamp seconds vs '.0') can keep an extra partition but
+    *    never drop a matching one. */
   private def partitionKeep(rel: String,
       phys: Seq[(String, Option[Any], Option[Any])]): Boolean = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val slash = rel.indexOf('/')
-    if (slash < 0 || phys.isEmpty) return true
-    val seg = rel.substring(0, slash)
-    val eq = seg.indexOf('=')
-    if (eq < 0) return true
-    val pcol = ExternalCatalogUtils.unescapePathName(seg.take(eq))
-    val raw = seg.drop(eq + 1)
-    if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return true
-    val pval = ExternalCatalogUtils.unescapePathName(raw)
+    if (phys.isEmpty || !rel.contains('/')) return true
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s)) catch { case _: Throwable => None }
-    phys.filter(_._1 == pcol).forall { case (_, lo, hi) =>
-      val loOk = lo.forall { v =>
-        (num(pval), num(v.toString)) match {
-          case (Some(p), Some(b)) => p >= b
-          case _ =>
-            val b = v.toString
-            pval >= b.take(pval.length)
+    def numBound(v: Any): Option[BigDecimal] = v match {
+      case b: scala.math.BigDecimal => Some(b)
+      case b: scala.math.BigInt => Some(BigDecimal(b))
+      case n: java.lang.Number => num(n.toString)
+      case _ => None
+    }
+    // string order with prefix relaxation (see scaladoc)
+    def strKeep(pval: String, lo: Option[Any], hi: Option[Any]) =
+      lo.forall(v => pval >= v.toString.take(pval.length)) &&
+        hi.forall(v => pval.take(v.toString.length) <= v.toString)
+    // numeric order when both sides parse, else keep
+    def numKeep(pval: String, lo: Option[Any], hi: Option[Any]) = {
+      val p = num(pval)
+      def side(b: Option[Any], ok: (BigDecimal, BigDecimal) => Boolean) =
+        b.forall { v =>
+          (p, numBound(v).orElse(num(v.toString))) match {
+            case (Some(x), Some(y)) => ok(x, y)
+            case _ => true
+          }
+        }
+      side(lo, _ >= _) && side(hi, _ <= _)
+    }
+    rel.split('/').dropRight(1).forall { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) true
+      else {
+        val pcol = ExternalCatalogUtils.unescapePathName(seg.take(eq))
+        val raw = seg.drop(eq + 1)
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) true
+        else {
+          val pval = ExternalCatalogUtils.unescapePathName(raw)
+          phys.filter(_._1 == pcol).forall { case (_, lo, hi) =>
+            val typedNumeric =
+              lo.exists(numBound(_).isDefined) ||
+                hi.exists(numBound(_).isDefined)
+            if (typedNumeric) numKeep(pval, lo, hi)
+            else if (lo.exists(_.isInstanceOf[String]) ||
+                hi.exists(_.isInstanceOf[String]))
+              strKeep(pval, lo, hi) || numKeep(pval, lo, hi)
+            else strKeep(pval, lo, hi)
+          }
         }
       }
-      val hiOk = hi.forall { v =>
-        (num(pval), num(v.toString)) match {
-          case (Some(p), Some(b)) => p <= b
-          case _ => pval.take(v.toString.length) <= v.toString
-        }
-      }
-      loOk && hiOk
     }
   }
 
@@ -1889,7 +1967,19 @@ final class TxTable private (spark: SparkSession, dir: String,
     * every hive-layout table has. Use ONE append style per table:
     * mixing flat and partitioned files makes path-based partition
     * inference ill-defined. */
+  def appendPartitioned(df: DataFrame, partitionCol: String): Commit =
+    appendPartitioned(df, Seq(partitionCol))
+
   def appendPartitioned(df: DataFrame, partitionCol: String,
+      maxRetries: Int): Commit =
+    appendPartitioned(df, Seq(partitionCol), maxRetries)
+
+  /** Multi-key variant: files nest `c1=v1/c2=v2/…/` in `partitionCols`
+    * order (the reference's own fact layout is three-level —
+    * `etl.py:71-74` partitions by entry_year/entry_month/port_code).
+    * Every pruning surface ([[readPartitions]], [[partitionKeep]])
+    * matches per-segment, so a bound on ANY of the keys prunes. */
+  def appendPartitioned(df: DataFrame, partitionCols: Seq[String],
       maxRetries: Int = 50): Commit = {
     val s0 = snapshot()
     val cts = ctMap(s0)
@@ -1897,11 +1987,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     // partitioned write, so a generated partition key (event_date
     // from a timestamp) may be omitted by the batch entirely
     val df2 = applyGenerated(df, s0)
-    require(df2.columns.contains(partitionCol),
-      s"partition column $partitionCol not in ${df2.columns.mkString(",")}")
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    partitionCols.foreach { c => require(df2.columns.contains(c),
+      s"partition column $c not in ${df2.columns.mkString(",")}") }
     commitAppend(
       stagePartitioned(toPhysical(enforced(df2, cts), s0),
-        physName(s0, partitionCol)),
+        partitionCols.map(physName(s0, _))),
       df2, maxRetries, enforcedCts = cts, enforcedGcs = gcMap(s0))
   }
 
@@ -1912,16 +2003,29 @@ final class TxTable private (spark: SparkSession, dir: String,
     * the path (`ExternalCatalogUtils.escapePathName`; null →
     * `__HIVE_DEFAULT_PARTITION__`), so values with ':', '%', '=', …
     * match their files instead of silently selecting nothing. */
-  def readPartition(partitionCol: String, value: Any): DataFrame = {
+  def readPartition(partitionCol: String, value: Any): DataFrame =
+    readPartitions(Seq(partitionCol -> value))
+
+  /** Multi-key manifest prune: a file qualifies iff EVERY given
+    * `col=value` appears among its directory segments — so a subset of
+    * the partition keys selects every matching leaf (bounding only
+    * `entry_year` on a year/month/port layout keeps all that year's
+    * months), and key order need not match the layout's nesting
+    * order. */
+  def readPartitions(kvs: Seq[(String, Any)]): DataFrame = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val snap = snapshot()
-    val seg =
-      if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-      else ExternalCatalogUtils.escapePathName(value.toString)
     // paths carry PHYSICAL names (writes translate before staging)
-    val prefix = s"${ExternalCatalogUtils.escapePathName(
-      physName(snap, partitionCol))}=$seg/"
-    val sel = snap.files.filter(_.stripPrefix(s"$dir/").startsWith(prefix))
+    val want = kvs.map { case (c, v) =>
+      val seg =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${ExternalCatalogUtils.escapePathName(physName(snap, c))}=$seg"
+    }.toSet
+    val sel = snap.files.filter { full =>
+      val dirs = full.stripPrefix(s"$dir/").split('/').dropRight(1).toSet
+      want.subsetOf(dirs)
+    }
     readSnapshot(Snapshot(snap.version, sel, snap.dvs, dir, snap.merged,
       snap.cts, snap.cms))
   }
@@ -1933,7 +2037,17 @@ final class TxTable private (spark: SparkSession, dir: String,
     * rewritten; here both sides swap in a single log entry). `df` must
     * carry `partitionCol`; untouched partitions' files are not even
     * mentioned. */
+  def overwritePartitions(df: DataFrame, partitionCol: String): Commit =
+    overwritePartitions(df, Seq(partitionCol))
+
   def overwritePartitions(df: DataFrame, partitionCol: String,
+      maxRetries: Int): Commit =
+    overwritePartitions(df, Seq(partitionCol), maxRetries)
+
+  /** Multi-key variant: the overwrite unit is the LEAF partition (the
+    * full `c1=v1/…/cn=vn` directory path) — exactly Spark's dynamic
+    * partition overwrite granularity, made atomic. */
+  def overwritePartitions(df: DataFrame, partitionCols: Seq[String],
       maxRetries: Int = 50): Commit = {
     val s0 = snapshot()
     val cts0 = ctMap(s0)
@@ -1941,20 +2055,23 @@ final class TxTable private (spark: SparkSession, dir: String,
     // exactly like appendPartitioned), then CHECK + gc enforcement ride
     // the staging write like every other write path
     val df2 = applyGenerated(df, s0)
-    require(df2.columns.contains(partitionCol),
-      s"partition column $partitionCol not in ${df2.columns.mkString(",")}")
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    partitionCols.foreach { c => require(df2.columns.contains(c),
+      s"partition column $c not in ${df2.columns.mkString(",")}") }
     val files = stagePartitioned(toPhysical(enforced(df2, cts0), s0),
-      physName(s0, partitionCol))
+      partitionCols.map(physName(s0, _)))
     val stats = fileStats(files)
     buildBlooms(files)
-    val touched = files.map(_.takeWhile(_ != '/')).toSet // col=value prefixes
+    // full leaf-directory prefixes (all segments up to the file name)
+    def leaf(f: String) = f.take(f.lastIndexOf('/') max 0)
+    val touched = files.map(leaf).toSet
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
       guardSchema(base, df2)
       guardConstraints(base, cts0, files, gcMap(s0))
       val replaced = base.files.map(_.stripPrefix(s"$dir/"))
-        .filter(f => touched.contains(f.takeWhile(_ != '/')))
+        .filter(f => touched.contains(leaf(f)))
       val c = Commit(base.version + 1, "overwrite", files, replaced,
         System.currentTimeMillis())
       if (tryCommit(c, stats)) return c
@@ -2877,15 +2994,16 @@ final class TxTable private (spark: SparkSession, dir: String,
     def reclaimable(n: String) =
       n.startsWith("data-") || n.startsWith("dv-") ||
         (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-    val top = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && reclaimable(f.getName))
-      .map(f => f.getName -> f)
-    val sub = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && reclaimable(f.getName))
-        .map(f => s"${d.getName}/${f.getName}" -> f))
-    val dead = (top ++ sub).filter { case (rel, f) =>
+    // recursive through `col=value/` nesting — multi-key layouts'
+    // leaves are depth-N and their retired rewrites must reclaim too
+    def walkData(d: File, prefix: String): Seq[(String, File)] = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.filter(f => f.isFile && reclaimable(f.getName))
+        .map(f => s"$prefix${f.getName}" -> f).toSeq ++
+        kids.filter(f => f.isDirectory && f.getName.contains("="))
+          .toSeq.flatMap(sub => walkData(sub, s"$prefix${sub.getName}/"))
+    }
+    val dead = walkData(root, "").filter { case (rel, f) =>
       !referenced.contains(rel) && f.lastModified() <= cutoff
     }
     dead.foreach(_._2.delete())

@@ -538,6 +538,55 @@ object TxDmlQueries {
       () => runGenPart(t)
     }))
 
+  // ----------------------------------------------------------------- K33
+  /** MULTI-KEY hive partitioning — the reference's own fact layout
+    * shape (etl.py:71-74 partitions the immigration fact by THREE
+    * keys, entry_year/entry_month/port_code): orders land under
+    * two-level `o_year=/o_month=/` directories in one atomic commit,
+    * a copy-on-write DELETE bounded on the BASE date column rewrites
+    * only the files whose logged stats overlap (untouched leaves are
+    * carried byte-identical — `TxTableSpec` pins file identity and
+    * layout preservation through DML), and the final read selects the
+    * whole `o_year=1996` SUBTREE from the manifest alone: every month
+    * leaf under it, zero listing and zero footer I/O for other years.
+    * The oracle re-derives the surviving rows declaratively. */
+  private def seedMultiKey(s: SparkSession, d: String): TxTable = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_month", month(col("o_orderdate")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-txmk-").toString
+    val t = TxTable(s, s"$dir/t")
+    t.appendPartitioned(orders, Seq("o_year", "o_month"))
+    t
+  }
+
+  private def runMultiKey(t: TxTable): DataFrame = {
+    t.deleteBetween("o_orderdate",
+      java.sql.Date.valueOf("1996-01-01"),
+      java.sql.Date.valueOf("1996-06-30"))
+    t.readPartitions(Seq("o_year" -> 1996))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+  }
+
+  private val txMultiKey = GraftQuery(
+    "k33_tx_multikey_partition",
+    (s, d) => runMultiKey(seedMultiKey(s, d)),
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+            ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE year(o_orderdate) = 1996
+              AND o_orderdate NOT BETWEEN DATE '1996-01-01'
+                                      AND DATE '1996-06-30'"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seedMultiKey(s, d)
+      () => runMultiKey(t)
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -632,5 +681,6 @@ object TxDmlQueries {
   def queries: Seq[GraftQuery] =
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
-      txSqlMergeFull, txGenPartitionPrune, txConvert, scd2Apply)
+      txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
+      scd2Apply)
 }

@@ -1697,6 +1697,163 @@ class TxTableSpec extends SparkTestBase {
     oldReader.readerCap = 1
     assert(oldReader.read().count() === 1)
   }
+
+  // ------------------------------------------- multi-key partitioning
+  private def segsOf(tdir: String, full: String) =
+    full.stripPrefix(s"$tdir/").split('/').toSeq
+
+  test("multi-key partitioned append: nested layout, per-segment prune") {
+    import spark.implicits._
+    val (t, tdir) = mkTable()
+    val rows = for { y <- 2023 to 2025; m <- 1 to 3; i <- 0 until 4 }
+      yield ((y.toLong * 100 + m * 10 + i), y, m)
+    t.appendPartitioned(rows.toDF("id", "year", "month"),
+      Seq("year", "month"))
+    val files = t.snapshot().files
+    assert(files.nonEmpty)
+    assert(files.forall { f =>
+      val s = segsOf(tdir, f)
+      s.length == 3 && s(0).startsWith("year=") &&
+        s(1).startsWith("month=")
+    }, s"$files")
+    // leaf selection (both keys), subtree (outer key), and order-free
+    // inner-key selection
+    assert(t.readPartitions(Seq("year" -> 2024, "month" -> 2)).count() === 4)
+    assert(t.readPartitions(Seq("year" -> 2024)).count() === 12)
+    assert(t.readPartitions(Seq("month" -> 3)).count() === 12)
+    // manifest path pruning on either key — FILE identity, with stats
+    // deleted so partition paths are the only signal
+    Option(new File(s"$tdir/_log").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".stats.tsv")).foreach(_.delete())
+    val pm = t.pruneFiles(t.snapshot(), Seq(("month", Some(2), Some(3))))
+    assert(pm.files.nonEmpty && pm.files.forall(f =>
+      f.contains("month=2/") || f.contains("month=3/")), s"${pm.files}")
+    val py = t.pruneFiles(t.snapshot(),
+      Seq(("year", Some(2025), Some(2025))))
+    assert(py.files.nonEmpty && py.files.forall(_.contains("year=2025/")),
+      s"${py.files}")
+    // both keys bounded: candidate sets intersect
+    val pb = t.pruneFiles(t.snapshot(),
+      Seq(("year", Some(2023), Some(2023)), ("month", Some(1), Some(1))))
+    assert(pb.files.nonEmpty && pb.files.forall(f =>
+      f.contains("year=2023/") && f.contains("month=1/")), s"${pb.files}")
+    assert(t.readBetween("month", 2, 3).count() === 24)
+  }
+
+  test("multi-key layout survives plain append and copy-on-write DML") {
+    import spark.implicits._
+    val (t, tdir) = mkTable()
+    val rows = for { y <- 2024 to 2025; m <- 1 to 2; i <- 0 until 5 }
+      yield ((y.toLong * 100 + m * 10 + i), y, m)
+    t.appendPartitioned(rows.toDF("id", "year", "month"),
+      Seq("year", "month"))
+    // a plain append re-stages under the SAME two-level layout
+    t.append(Seq((999999L, 2024, 1)).toDF("id", "year", "month"))
+    // a copy-on-write delete's rewrites stay nested too (stageLike)
+    t.deleteBetween("id", 202410L, 202412L)
+    assert(t.snapshot().files.forall { f =>
+      val s = segsOf(tdir, f)
+      s.length == 3 && s(0).startsWith("year=") &&
+        s(1).startsWith("month=")
+    }, s"${t.snapshot().files}")
+    assert(t.read().count() === rows.size + 1 - 3)
+    assert(t.readPartitions(Seq("year" -> 2024, "month" -> 1)).count()
+      === 5 + 1 - 3)
+  }
+
+  test("multi-key overwritePartitions restates only the touched leaf") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    val rows = for { y <- 2024 to 2025; m <- 1 to 2; i <- 0 until 5 }
+      yield ((y.toLong * 100 + m * 10 + i), y, m)
+    t.appendPartitioned(rows.toDF("id", "year", "month"),
+      Seq("year", "month"))
+    val untouched = t.snapshot().files.filterNot(f =>
+      f.contains("year=2024/") && f.contains("month=2/")).toSet
+    t.overwritePartitions(
+      Seq((1L, 2024, 2), (2L, 2024, 2)).toDF("id", "year", "month"),
+      Seq("year", "month"))
+    // sibling month=1 and the other year are byte-identical files
+    assert(untouched.subsetOf(t.snapshot().files.toSet))
+    assert(t.readPartitions(Seq("year" -> 2024, "month" -> 2)).count() === 2)
+    assert(t.readPartitions(Seq("year" -> 2024, "month" -> 1)).count() === 5)
+    assert(t.read().count() === 15 + 2)
+  }
+
+  test("string partition column: numeric-looking values never drop rows") {
+    import spark.implicits._
+    val (t, tdir) = mkTable()
+    // the ADVICE regression: string partitions '9','10','90' — under
+    // SQL string ordering, c BETWEEN '10' AND '90' MATCHES '9'. The
+    // 'x' partition keeps path inference string-typed (all-numeric
+    // values would infer an int column, where numeric order governs)
+    t.appendPartitioned(Seq((1L, "9"), (2L, "10"), (3L, "90"), (4L, "x"))
+      .toDF("id", "c"), "c")
+    Option(new File(s"$tdir/_log").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".stats.tsv")).foreach(_.delete())
+    assert(t.readBetween("c", "10", "90").count() === 3)
+    // and the copy-on-write DML twin: the delete must rewrite '9' too
+    t.deleteBetween("c", "10", "90")
+    assert(t.read().count() === 1)
+    // numeric bounds on a genuinely numeric partition column still
+    // prune numerically (9 outside [10, 90])
+    val (u, udir) = mkTable()
+    u.appendPartitioned(Seq((1L, 9), (2L, 10), (3L, 90))
+      .toDF("id", "c"), "c")
+    Option(new File(s"$udir/_log").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".stats.tsv")).foreach(_.delete())
+    val p = u.pruneFiles(u.snapshot(), Seq(("c", Some(10), Some(90))))
+    assert(p.files.nonEmpty && p.files.forall(!_.contains("c=9/")),
+      s"${p.files}")
+    assert(u.readBetween("c", 10, 90).count() === 2)
+  }
+
+  test("convert adopts nested multi-key layouts; refuses mixed depth") {
+    import spark.implicits._
+    // (a) a two-level year=/month= lake adopts wholesale
+    val lake = Files.createTempDirectory("graft-convml-").toString + "/t"
+    val rows = for { y <- 2024 to 2025; m <- 1 to 2; i <- 0 until 3 }
+      yield ((y.toLong * 100 + m * 10 + i), y, m)
+    rows.toDF("id", "year", "month").write
+      .partitionBy("year", "month").parquet(lake)
+    val t = TxTable.convert(spark, lake)
+    assert(t.read().count() === rows.size)
+    assert(t.readPartitions(Seq("year" -> 2025, "month" -> 2)).count() === 3)
+    // post-convert DML keeps working over the adopted nested files
+    t.deleteBetween("id", 202510L, 202512L)
+    assert(t.read().count() === rows.size - 3)
+    // (b) mixed depth refuses LOUDLY instead of adopting a subset
+    val mixed = Files.createTempDirectory("graft-convmx-").toString + "/t"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(mixed)
+    Seq((2L, "y")).toDF("id", "v").write
+      .parquet(s"$mixed/a=1")
+    val e = intercept[RuntimeException](TxTable.convert(spark, mixed))
+    assert(e.getMessage.contains("mixed-depth"))
+    // (c) a non-hive subdirectory holding parquet refuses too
+    val stray = Files.createTempDirectory("graft-convst-").toString + "/t"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(stray)
+    Seq((2L, "y")).toDF("id", "v").write.parquet(s"$stray/backup")
+    val e2 = intercept[RuntimeException](TxTable.convert(spark, stray))
+    assert(e2.getMessage.contains("non-hive"))
+  }
+
+  test("vacuum reclaims retired files in nested multi-key layouts") {
+    import spark.implicits._
+    val (t, tdir) = mkTable()
+    val rows = for { y <- 2024 to 2025; m <- 1 to 2; i <- 0 until 3 }
+      yield ((y.toLong * 100 + m * 10 + i), y, m)
+    t.appendPartitioned(rows.toDF("id", "year", "month"),
+      Seq("year", "month"))
+    val retired = t.snapshot().files
+      .filter(f => f.contains("year=2024/") && f.contains("month=1/"))
+      .map(_.stripPrefix(s"$tdir/")).toSet
+    assert(retired.nonEmpty)
+    t.overwritePartitions(Seq((7L, 2024, 1)).toDF("id", "year", "month"),
+      Seq("year", "month"))
+    val reclaimed = t.vacuum(t.snapshot().version, minAgeMs = 0L).toSet
+    assert(retired.subsetOf(reclaimed), s"$retired vs $reclaimed")
+    assert(t.read().count() === rows.size - 3 + 1)
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through
