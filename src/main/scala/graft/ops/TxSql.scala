@@ -25,10 +25,13 @@ import org.apache.spark.sql.graft.ColumnShim
   * sql.run("DELETE FROM tbl WHERE k % 7 = 0")
   * sql.run("DESCRIBE HISTORY tbl")           // DESCRIBE DETAIL too
   * sql.run("OPTIMIZE tbl")
-  * sql.run("VACUUM tbl RETAIN 3 VERSIONS")
+  * sql.run("OPTIMIZE tbl ZORDER BY (k, ts)")
+  * sql.run("VACUUM tbl RETAIN 3 VERSIONS")   // or RETAIN 168 HOURS
   * sql.run("RESTORE TABLE tbl TO VERSION AS OF 3")
+  * sql.run("RESTORE TABLE tbl TO TIMESTAMP AS OF '2026-01-01 00:00:00'")
   * sql.run("ALTER TABLE tbl ADD CONSTRAINT pos CHECK (bal >= 0)")
   * sql.run("ALTER TABLE tbl DROP CONSTRAINT pos")
+  * sql.run("ALTER TABLE tbl ADD COLUMNS (score DOUBLE, note STRING)")
   * sql.run("ALTER TABLE tbl RENAME COLUMN bal TO balance")
   * sql.run("ALTER TABLE tbl DROP COLUMN note")
   * sql.run("ALTER TABLE tbl ADD GENERATED COLUMN y AS (year(d))")
@@ -76,35 +79,65 @@ final class TxSql(spark: SparkSession) {
     s match {
       case DescribeHistoryRe(ident) => resolve(ident).history()
       case DescribeDetailRe(ident)  => resolve(ident).fileDetails()
-      case OptimizeRe(ident) =>
-        val t = resolve(ident)
+      case ZOrderRe(ident, colList) => mutating(ident) { t =>
+        val cols = colList.split(",").map(c => unquote(c.trim))
+          .filter(_.nonEmpty)
+        require(cols.length == 2,
+          s"OPTIMIZE … ZORDER BY takes exactly two columns (the " +
+            s"2-D interleave the engine implements); got ${cols.length}")
+        summary(t.compactZOrdered(cols(0), cols(1)))
+      }
+      case OptimizeRe(ident) => mutating(ident) { t =>
         t.compactBinPack() match {
           case Some(c) => summary(c)
           case None    => summary0()
         }
-      case VacuumRe(ident, n) =>
-        val t = resolve(ident)
-        val head = t.snapshot().version
-        val retain = math.max(0L, head - (n.toLong - 1))
-        val names = t.vacuum(retain)
+      }
+      case VacuumRe(ident, n, unit) => mutating(ident) { t =>
         val sq = spark; import sq.implicits._
+        val names =
+          if (unit.equalsIgnoreCase("VERSIONS")) {
+            val head = t.snapshot().version
+            t.vacuum(math.max(0L, head - (n.toLong - 1)))
+          } else {
+            // RETAIN n HOURS (Delta's grammar): the horizon is the
+            // newest version at or before now−n hours; if the whole
+            // log is younger, horizon 0 keeps every snapshot and the
+            // age guard protects the rest
+            val ageMs = n.toLong * 3600L * 1000L
+            val cutoff = System.currentTimeMillis() - ageMs
+            val horizon =
+              try t.versionAsOf(cutoff) catch { case _: Throwable => 0L }
+            t.vacuum(horizon, minAgeMs = ageMs)
+          }
         names.toDF("reclaimed_file")
+      }
       case RestoreRe(ident, v) =>
-        summary(resolve(ident).restore(v.toLong))
+        mutating(ident)(t => summary(t.restore(v.toLong)))
+      case RestoreTsRe(ident, ts) => mutating(ident) { t =>
+        val ms =
+          try ts.toLong
+          catch { case _: NumberFormatException =>
+            java.sql.Timestamp.valueOf(ts).getTime }
+        summary(t.restore(t.versionAsOf(ms)))
+      }
       case AddConstraintRe(ident, name, expr) =>
-        summary(resolve(ident).addConstraint(name, expr.trim))
+        mutating(ident)(t => summary(t.addConstraint(name, expr.trim)))
       case DropConstraintRe(ident, name) =>
-        summary(resolve(ident).dropConstraint(name))
+        mutating(ident)(t => summary(t.dropConstraint(name)))
       case AddGeneratedRe(ident, name, expr) =>
-        summary(resolve(ident)
-          .addGeneratedColumn(unquote(name), expr.trim))
+        mutating(ident)(t => summary(
+          t.addGeneratedColumn(unquote(name), expr.trim)))
       case DropGeneratedRe(ident, name) =>
-        summary(resolve(ident).dropGeneratedColumn(unquote(name)))
+        mutating(ident)(t => summary(t.dropGeneratedColumn(unquote(name))))
+      case AddColumnsRe(ident, ddl) =>
+        mutating(ident)(t => summary(t.addColumns(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))))
       case RenameColumnRe(ident, from, to) =>
-        summary(resolve(ident)
-          .renameColumn(unquote(from), unquote(to)))
+        mutating(ident)(t => summary(
+          t.renameColumn(unquote(from), unquote(to))))
       case DropColumnRe(ident, name) =>
-        summary(resolve(ident).dropColumn(unquote(name)))
+        mutating(ident)(t => summary(t.dropColumn(unquote(name))))
       case ConvertRe(path) =>
         val t = TxTable.convert(spark, unquote(path.trim))
         summary(t.commitLog.head)
@@ -136,18 +169,48 @@ final class TxSql(spark: SparkSession) {
   private def unquote(ident: String): String =
     ident.stripPrefix("`").stripSuffix("`")
 
+  /** Run `body` on the resolved table, then — for CATALOG-named
+    * targets — invalidate Spark's cached relation: `FindDataSourceTable`
+    * caches the batch relation (whose head read is pinned at relation
+    * creation), so without this a `spark.table("t")` after SQL DML
+    * would keep serving the pre-DML version until a manual
+    * `refreshTable`. Path-addressed `txtable.`&#96;p&#96; targets skip
+    * it — every read builds a fresh relation and is already live. */
+  private def mutating(ident: String)(body: TxTable => DataFrame)
+      : DataFrame = {
+    val parts =
+      spark.sessionState.sqlParser.parseMultipartIdentifier(ident.trim)
+    val r = body(resolveParts(parts))
+    refreshCatalog(parts)
+    r
+  }
+
+  private def refreshCatalog(parts: Seq[String]): Unit = parts match {
+    case Seq(p, _) if p.equalsIgnoreCase("txtable") => ()
+    case Seq(t0) =>
+      try spark.sessionState.catalog.refreshTable(TableIdentifier(t0))
+      catch { case _: Throwable => () }
+    case Seq(db, t0) =>
+      try spark.sessionState.catalog
+        .refreshTable(TableIdentifier(t0, Some(db)))
+      catch { case _: Throwable => () }
+    case _ => ()
+  }
+
   // ------------------------------------------------------------ DELETE
   private def runDelete(d: DeleteFromTable): DataFrame = {
-    val (t, names) = target(d.table)
+    val (t, names, parts) = target(d.table)
     val cond = unqualify(
       Option(d.condition).getOrElse(Literal(true)), names)
-    summary(t.deleteCore(
+    val r = summary(t.deleteCore(
       TxPredicates.bounds(cond), ColumnShim.column(cond), 20))
+    refreshCatalog(parts)
+    r
   }
 
   // ------------------------------------------------------------ UPDATE
   private def runUpdate(u: UpdateTable): DataFrame = {
-    val (t, names) = target(u.table)
+    val (t, names, parts) = target(u.table)
     val cond = unqualify(
       u.condition.getOrElse(Literal(true)), names)
     val set: Map[String, Column] = u.assignments.map { a =>
@@ -158,8 +221,10 @@ final class TxSql(spark: SparkSession) {
       }
       key -> ColumnShim.column(unqualify(a.value, names))
     }.toMap
-    summary(t.updateCore(
+    val r = summary(t.updateCore(
       TxPredicates.bounds(cond), ColumnShim.column(cond), set, 20))
+    refreshCatalog(parts)
+    r
   }
 
   // ------------------------------------------------------------- MERGE
@@ -167,8 +232,14 @@ final class TxSql(spark: SparkSession) {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported (the table's " +
         "schema is fixed by its files; use appendEvolve for evolution)")
-    val (t, tnames) = target(m.targetTable)
+    val (t, tnames, tparts) = target(m.targetTable)
     val (srcDf, snames) = source(m.sourceTable)
+    // column inventories for the NOT MATCHED BY SOURCE guard: a BARE
+    // name that exists only in the source is as meaningless there as a
+    // qualified one (resolves across the join, reads NULL) — both
+    // schemas are known at translation time, so refuse it too
+    lazy val tcols = t.read().columns.map(_.toLowerCase).toSet
+    lazy val scols = srcDf.columns.map(_.toLowerCase).toSet
 
     // ON: every conjunct must be a target-column = source-column
     // equality (both sides alias-qualified; names may differ —
@@ -222,6 +293,10 @@ final class TxSql(spark: SparkSession) {
         case a: UnresolvedAttribute
             if a.nameParts.headOption.contains("s") &&
               a.nameParts.size >= 2 => a
+        case a: UnresolvedAttribute
+            if a.nameParts.size == 1 &&
+              !tcols.contains(a.nameParts.head.toLowerCase) &&
+              scols.contains(a.nameParts.head.toLowerCase) => a
       }
       require(srcRef.isEmpty,
         s"WHEN NOT MATCHED BY SOURCE $what references the source " +
@@ -305,24 +380,29 @@ final class TxSql(spark: SparkSession) {
           sets))
       case _ => nmsUpd
     }
-    summary(t.merge(srcDf, keyPairs.map(_._1), updAdjusted, del, ins,
-      updateSet = updSet, insertValues = insVals,
+    val r = summary(t.merge(srcDf, keyPairs.map(_._1), updAdjusted, del,
+      ins, updateSet = updSet, insertValues = insVals,
       whenNotMatchedBySourceUpdate = nmsUpdAdjusted,
       whenNotMatchedBySourceDelete = nmsDel,
       sourceKeys = keyPairs.map(_._2)))
+    refreshCatalog(tparts)
+    r
   }
 
   // ------------------------------------------------- reference helpers
   /** Unwrap a DML target to its TxTable plus the lowercase names
     * (alias and table identifier tail) its columns may be qualified
-    * with. */
-  private def target(p: LogicalPlan): (TxTable, Set[String]) = p match {
+    * with, plus the raw identifier parts (for post-write catalog
+    * cache invalidation). */
+  private def target(p: LogicalPlan)
+      : (TxTable, Set[String], Seq[String]) = p match {
     case SubqueryAlias(id, child) =>
-      val (t, names) = target(child)
-      (t, names + id.name.toLowerCase)
+      val (t, names, parts) = target(child)
+      (t, names + id.name.toLowerCase, parts)
     case r: UnresolvedRelation =>
       (resolveParts(r.multipartIdentifier),
-        Set(r.multipartIdentifier.last.toLowerCase))
+        Set(r.multipartIdentifier.last.toLowerCase),
+        r.multipartIdentifier)
     case other => sys.error(
       "DML target must be a plain table reference, got: " +
         other.nodeName)
@@ -487,13 +567,16 @@ object TxSql {
     s match {
       case DescribeHistoryRe(id) if tx(id)      => Some(HistorySchema)
       case DescribeDetailRe(id) if tx(id)       => Some(DetailSchema)
+      case ZOrderRe(id, _) if tx(id)            => Some(SummarySchema)
       case OptimizeRe(id) if tx(id)             => Some(SummarySchema)
-      case VacuumRe(id, _) if tx(id)            => Some(VacuumSchema)
+      case VacuumRe(id, _, _) if tx(id)         => Some(VacuumSchema)
       case RestoreRe(id, _) if tx(id)           => Some(SummarySchema)
+      case RestoreTsRe(id, _) if tx(id)         => Some(SummarySchema)
       case AddConstraintRe(id, _, _) if tx(id)  => Some(SummarySchema)
       case DropConstraintRe(id, _) if tx(id)    => Some(SummarySchema)
       case AddGeneratedRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropGeneratedRe(id, _) if tx(id)     => Some(SummarySchema)
+      case AddColumnsRe(id, _) if tx(id)        => Some(SummarySchema)
       case RenameColumnRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropColumnRe(id, _) if tx(id)        => Some(SummarySchema)
       case ConvertRe(_)                         => Some(SummarySchema)
@@ -531,28 +614,45 @@ object TxSql {
     """(?is)DESCRIBE\s+HISTORY\s+(.+)""".r
   private val DescribeDetailRe =
     """(?is)DESCRIBE\s+DETAIL\s+(.+)""".r
-  private val OptimizeRe = """(?is)OPTIMIZE\s+([^\s]+)""".r
+  // identifier atom: backtick-quoted segments are ATOMIC — a path
+  // with spaces (txtable.`/data/my table`) must not truncate at the
+  // space (it would target the wrong text); bare chars may not
+  // include a backtick so an unterminated quote can't half-match
+  private val Id = """((?:`[^`]*`|[^\s`])+)"""
+  private val OptimizeRe = s"""(?is)OPTIMIZE\\s+$Id""".r
+  // OPTIMIZE t ZORDER BY (a, b) — Delta's multi-dimensional
+  // clustering, dispatched onto the 2-D Morton compaction
+  private val ZOrderRe =
+    s"""(?is)OPTIMIZE\\s+$Id\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
   private val VacuumRe =
-    """(?is)VACUUM\s+([^\s]+)\s+RETAIN\s+(\d+)\s+VERSIONS""".r
+    s"""(?is)VACUUM\\s+$Id\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS)""".r
   private val RestoreRe =
-    """(?is)RESTORE\s+TABLE\s+([^\s]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    s"""(?is)RESTORE\\s+TABLE\\s+$Id\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
+  private val RestoreTsRe =
+    s"""(?is)RESTORE\\s+TABLE\\s+$Id\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'""".r
   private val AddConstraintRe =
-    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_-]+)\s+CHECK\s*\((.+)\)""".r
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_-]+)\\s+CHECK\\s*\\((.+)\\)""".r
   private val DropConstraintRe =
-    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_-]+)""".r
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9_-]+)""".r
   private val AddGeneratedRe =
-    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+ADD\s+GENERATED\s+COLUMN\s+([^\s]+)\s+AS\s*\((.+)\)""".r
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+GENERATED\\s+COLUMN\\s+$Id\\s+AS\\s*\\((.+)\\)""".r
   private val DropGeneratedRe =
-    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+GENERATED\s+COLUMN\s+([^\s]+)""".r
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+GENERATED\\s+COLUMN\\s+$Id""".r
+  // ALTER TABLE t ADD COLUMNS (c1 TYPE, c2 TYPE …) — Delta's
+  // schema-widening DDL, dispatched onto TxTable.addColumns (an
+  // O(1) evolve commit; parenthesized DDL column list, parsed by
+  // StructType.fromDDL so nested/array/map types all work)
+  private val AddColumnsRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)""".r
   private val RenameColumnRe =
-    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+RENAME\s+COLUMN\s+([^\s]+)\s+TO\s+([^\s]+)""".r
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+RENAME\\s+COLUMN\\s+$Id\\s+TO\\s+$Id""".r
   private val DropColumnRe =
-    """(?is)ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+COLUMN\s+([^\s]+)""".r
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+COLUMN\\s+$Id""".r
   // CONVERT TO TXTABLE parquet.`/dir` — adopt a plain-parquet
   // directory in place (Delta's CONVERT TO DELTA shape)
   private val ConvertRe =
     """(?is)CONVERT\s+TO\s+TXTABLE\s+parquet\.(.+)""".r
   // CREATE TABLE txtable.`/dst` SHALLOW CLONE <src> [VERSION AS OF n]
   private val CloneRe =
-    """(?is)CREATE\s+TABLE\s+txtable\.([^\s]+)\s+SHALLOW\s+CLONE\s+([^\s]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+    s"""(?is)CREATE\\s+TABLE\\s+txtable\\.$Id\\s+SHALLOW\\s+CLONE\\s+$Id(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?""".r
 }

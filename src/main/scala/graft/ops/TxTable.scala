@@ -449,7 +449,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       val size =
         try Files.size(Paths.get(full))
         catch { case _: java.io.IOException => -1L }
-      val part = if (rel.contains("/")) rel.takeWhile(_ != '/') else null
+      // FULL partition path for multi-key layouts (c1=v1/c2=v2)
+      val part =
+        if (rel.contains("/")) rel.take(rel.lastIndexOf('/')) else null
       (rel, kind, size, part)
     }
     (s.files.map(row(_, "data")) ++ s.dvs.map(row(_, "dv")))
@@ -1160,14 +1162,17 @@ final class TxTable private (spark: SparkSession, dir: String,
   /** Stage `df` as parquet files under content-unique names (`prefix`
     * "data" for table content, "dv" for deletion vectors); invisible
     * until a commit references them. */
-  private def stage(df: DataFrame, prefix: String = "data"): Seq[String] = {
+  private def stage(df: DataFrame, prefix: String = "data",
+      intoDir: String = ""): Seq[String] = {
     val tmp = s"$dir/_staged-${UUID.randomUUID()}"
     df.write.parquet(tmp)
     val parts = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
+    if (intoDir.nonEmpty) Files.createDirectories(Paths.get(dir, intoDir))
     val named = parts.toSeq.map { f =>
-      val name = s"$prefix-${UUID.randomUUID()}.parquet"
+      val base = s"$prefix-${UUID.randomUUID()}.parquet"
+      val name = if (intoDir.isEmpty) base else s"$intoDir/$base"
       Files.move(f.toPath, Paths.get(dir, name),
         StandardCopyOption.ATOMIC_MOVE)
       name
@@ -1955,6 +1960,59 @@ final class TxTable private (spark: SparkSession, dir: String,
       enforcedGcs = gcMap(s0))
   }
 
+  /** Schema-widening DDL (Delta's `ALTER TABLE … ADD COLUMNS`): add
+    * `cols` to the table WITHOUT rewriting a byte of data. The new
+    * columns' only physical existence is a ZERO-ROW carrier parquet
+    * file staged by this commit — the table's schema is the union of
+    * its files' footers once an `evolve` commit flips merged-footer
+    * reads on, so the carrier's footer is exactly where a new column
+    * lives until real data arrives, and every existing row reads it as
+    * null (the same semantics Delta gets from its metadata-only schema
+    * action). O(1): one empty file, one commit, no data I/O. On a
+    * hive-partitioned table the carrier lands INSIDE an existing leaf
+    * directory with the partition-path columns dropped — a flat
+    * carrier at the root would make path-based partition inference
+    * ill-defined for every later read. */
+  def addColumns(cols: org.apache.spark.sql.types.StructType,
+      maxRetries: Int = 50): Commit = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      require(head.files.nonEmpty,
+        "ADD COLUMNS needs an existing table with at least one file " +
+          "(the schema lives in parquet footers)")
+      val cur = toLogical(readSnapshot(head), head).schema
+      val have = cur.fieldNames.map(_.toLowerCase).toSet
+      cols.foreach { f => require(!have.contains(f.name.toLowerCase),
+        s"column ${f.name} already exists") }
+      val widened = org.apache.spark.sql.types.StructType(
+        cur.fields ++ cols.fields)
+      val carrier = toPhysical(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), widened)
+        .repartition(1), head)
+      // partitioned layout: the leaf dir of the head's first file
+      // hosts the carrier; its partition-path columns never live IN
+      // files, so drop them from the carrier frame
+      val leaf = head.files.head.stripPrefix(s"$dir/")
+      val staged =
+        if (!leaf.contains("/")) stage(carrier)
+        else {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          val ld = leaf.take(leaf.lastIndexOf('/'))
+          val pathCols = ld.split('/').toSeq.map(s =>
+            ExternalCatalogUtils.unescapePathName(s.takeWhile(_ != '=')))
+          stage(carrier.drop(pathCols: _*), intoDir = ld)
+        }
+      val c = Commit(head.version + 1, "evolve", staged, Nil,
+        System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      staged.foreach(n => new File(dir, n).delete())
+      attempt += 1
+    }
+    sys.error(s"addColumns contention: lost $maxRetries races in $logDir")
+  }
+
   /** Hive-layout partitioned append: data files land under
     * `partitionCol=value/` subdirectories and the commit entry records
     * the partition-qualified relative paths — which makes
@@ -2094,8 +2152,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     * (CDF diffs them; the append-only streaming source refuses them
     * unless `skipChangeCommits`); tags must not collide with the
     * engine's reserved actions. */
+  /** `layout` (optional): hive-partition the REPLACEMENT content on
+    * these keys — the full-overwrite companion of
+    * [[overwritePartitions]], used by the writer/CTAS face when
+    * `partitionBy`/`PARTITIONED BY` accompanies an overwrite. Empty =
+    * preserve the base snapshot's layout ([[stageLike]]). */
   def overwriteAs(tag: String, df: DataFrame,
-      maxRetries: Int = 50): Commit = {
+      maxRetries: Int = 50, layout: Seq[String] = Nil): Commit = {
     require(tag.nonEmpty && !tag.contains('"'), s"bad action tag: $tag")
     val s0 = snapshot()
     val cts0 = ctMap(s0)
@@ -2106,8 +2169,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     // An overwrite that legitimately redefines the schema away from a
     // gc's base columns must dropGeneratedColumn first — the expr
     // failing to resolve here is the loud refusal.
-    val files = stageLike(s0, toPhysical(
-      enforced(applyGenerated(df, s0), cts0), s0))
+    val staged0 = toPhysical(
+      enforced(applyGenerated(df, s0), cts0), s0)
+    val files =
+      if (layout.nonEmpty)
+        stagePartitioned(staged0, layout.map(physName(s0, _)))
+      else stageLike(s0, staged0)
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0

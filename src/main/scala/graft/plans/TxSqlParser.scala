@@ -102,6 +102,61 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         reader(txPath(tt.relation).get, tt.version, tt.timestamp)
       case r: UnresolvedRelation if txPath(r).isDefined =>
         reader(txPath(r).get, None, None)
+      case ctas => rewritePartitionedCtas(ctas)
+    }
+  }
+
+  /** `CREATE TABLE … USING txtable PARTITIONED BY (…) AS SELECT`:
+    * Spark's DSv1 CTAS path drops `PARTITIONED BY` before the
+    * provider ever sees it (the provider receives only the OPTIONS
+    * map), which would silently write a FLAT layout under a catalog
+    * entry claiming a partitioned one. Rewrite the plan to carry the
+    * keys as the provider's `__partition_columns` option (the same
+    * channel `DataFrameWriter.partitionBy` uses) and strip the
+    * `partitioning` clause — like Delta, the table's own log is the
+    * layout's source of truth, not the catalog. Identity transforms
+    * only; bucket/days/… refuse loudly rather than silently flatten. */
+  private def rewritePartitionedCtas(p: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateTableAsSelect, OptionList, UnresolvedTableSpec}
+    def txSpec(s: Any): Option[UnresolvedTableSpec] = s match {
+      case u: UnresolvedTableSpec
+          if u.provider.exists(_.equalsIgnoreCase("txtable")) => Some(u)
+      case _ => None
+    }
+    def colsOf(partitioning: Seq[
+        org.apache.spark.sql.connector.expressions.Transform]) =
+      partitioning.map { tr =>
+        val refs = tr.references
+        if (tr.name == "identity" && refs.length == 1 &&
+            refs(0).fieldNames.length == 1) refs(0).fieldNames.head
+        else sys.error(
+          s"txtable supports only PARTITIONED BY (column…); got: " +
+            tr.describe)
+      }
+    def withOpt(spec: UnresolvedTableSpec, cols: Seq[String]) = {
+      val json = cols.map(c =>
+        "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      spec.copy(optionExpression = OptionList(
+        spec.optionExpression.options :+
+          ("__partition_columns" ->
+            org.apache.spark.sql.catalyst.expressions.Literal(json))))
+    }
+    p match {
+      case ctas: CreateTableAsSelect if ctas.partitioning.nonEmpty &&
+          txSpec(ctas.tableSpec).isDefined =>
+        ctas.copy(partitioning = Nil,
+          tableSpec = withOpt(txSpec(ctas.tableSpec).get,
+            colsOf(ctas.partitioning)))
+      // plain CREATE: record the keys as the option so the relation's
+      // INSERT path partitions the first batch (catalog partitioning
+      // would be dropped before a DSv1 provider anyway)
+      case ct: CreateTable if ct.partitioning.nonEmpty &&
+          txSpec(ct.tableSpec).isDefined =>
+        ct.copy(partitioning = Nil,
+          tableSpec = withOpt(txSpec(ct.tableSpec).get,
+            colsOf(ct.partitioning)))
+      case other => other
     }
   }
 

@@ -587,6 +587,57 @@ object TxDmlQueries {
       () => runMultiKey(t)
     }))
 
+  // ----------------------------------------------------------------- K34
+  /** `ALTER TABLE … ADD COLUMNS` (Delta's schema-widening DDL) as SQL
+    * text: the customer table gains two columns in one O(1) evolve
+    * commit — no data byte rewritten, the new columns' only physical
+    * existence is a zero-row carrier footer — then a batch CARRYING
+    * the new columns appends, and the final read serves old rows with
+    * SQL NULL in the new columns and new rows with their values. The
+    * oracle derives the same union declaratively; hash equality
+    * proves the widening is lossless for pre-existing data and the
+    * null-fill semantics match ANSI. */
+  private def widenAndAppend(s: SparkSession, d: String,
+      t: TxTable): TxTable = {
+    graft.ops.TxSql(s).run(s"ALTER TABLE txtable.`${t.tableDir}` " +
+      "ADD COLUMNS (c_flag STRING, c_score DOUBLE)")
+    val extra = Tables.customer(s, d)
+      .where(col("c_custkey") <= 50L)
+      .withColumn("c_custkey", col("c_custkey") + lit(100000L))
+      .withColumn("c_flag", lit("NEW"))
+      .withColumn("c_score", round(col("c_acctbal") + 1000.0, 2))
+    t.append(extra)
+    t
+  }
+
+  private def readWidened(t: TxTable): DataFrame =
+    t.read().select(col("c_custkey"), col("c_name"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_flag"),
+      round(col("c_score"), 2).as("c_score"))
+
+  private val txAddColumns = GraftQuery(
+    "k34_tx_add_columns",
+    (s, d) => readWidened(widenAndAppend(s, d,
+      seeded(s, d, "txaddc", Tables.customer(s, d)))),
+    Some("""SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+                   CAST(NULL AS VARCHAR) AS c_flag,
+                   CAST(NULL AS DOUBLE) AS c_score
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + 100000, c_name, ROUND(c_acctbal, 2),
+                   'NEW', ROUND(ROUND(c_acctbal + 1000.0, 2), 2)
+            FROM customer WHERE c_custkey <= 50"""),
+    bench = false,
+    // ADD COLUMNS cannot re-run (duplicate name refusal), so the
+    // widen + append are BUILD; the thunk times the merged-footer
+    // read path the widening turns on — the cost widening actually
+    // adds to every later query
+    benchBuild = Some((s, d) => {
+      val t = widenAndAppend(s, d,
+        seeded(s, d, "txaddc-bench", Tables.customer(s, d)))
+      () => readWidened(t)
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -682,5 +733,5 @@ object TxDmlQueries {
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
       txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
-      scd2Apply)
+      txAddColumns, scd2Apply)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TxTable
@@ -45,7 +45,8 @@ import graft.ops.TxTable
   * any batch read, and no state is kept beyond the engine's own offset
   * checkpoint. */
 final class DefaultSource extends StreamSourceProvider with DataSourceRegister
-    with RelationProvider with CreatableRelationProvider {
+    with RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider {
 
   override def shortName(): String = "txtable"
 
@@ -62,9 +63,32 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     * predicate over a z-ordered table opens a handful of files through
     * the plain `spark.sql` path too. Pruning is conservative-only and
     * every filter is left to Spark to re-apply (`unhandledFilters`
-    * default), so results are exactly the unpruned read's. */
+    * default), so results are exactly the unpruned read's.
+    *
+    * CACHING CAVEAT (catalog-named tables): Spark's
+    * `FindDataSourceTable` caches the resolved relation, so
+    * `spark.table("t")` serves the version PINNED at first resolution
+    * until `spark.catalog.refreshTable("t")` — after an external
+    * commit, refresh to see it. [[graft.ops.TxSql]] DML/DDL refreshes
+    * the cache for catalog-named targets it just wrote;
+    * path-addressed `txtable.`&#96;p&#96; reads build a fresh relation
+    * per statement and are always live. */
   override def createRelation(ctx: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+      parameters: Map[String, String]): BaseRelation =
+    relation(ctx, parameters, None)
+
+  /** [[SchemaRelationProvider]] face: a DECLARED schema lets
+    * `CREATE TABLE t (cols…) USING txtable LOCATION p` target an
+    * empty/not-yet-existing directory (Delta's create-then-insert
+    * flow) — the declared schema serves until the first commit gives
+    * the table real footers; on a non-empty table the actual schema
+    * wins and Spark's own create-path check compares the two. */
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation =
+    relation(ctx, parameters, Some(schema))
+
+  private def relation(ctx: SQLContext, parameters: Map[String, String],
+      userSchema: Option[StructType]): BaseRelation = {
     val o = opts(parameters)
     val t = table(ctx, parameters)
     require(!(o.contains("versionasof") && o.contains("timestampasof")),
@@ -83,7 +107,21 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
             java.sql.Timestamp.valueOf(s).getTime }
         t.versionAsOf(ms)
       }).getOrElse(t.snapshot().version)
-    val base = t.readPruned(version, Nil)
+    // empty table + declared schema: a zero-row frame under that
+    // schema (scans included) until the first commit lands
+    val emptyDeclared = version < 0 && userSchema.isDefined
+    def emptyBase = ctx.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](), userSchema.get)
+    val base = if (emptyDeclared) emptyBase else t.readPruned(version, Nil)
+    // partition keys recorded at CREATE time (the injected parser
+    // moves PARTITIONED BY into the table's options — see the write
+    // side) govern inserts through this relation too, so
+    // `CREATE TABLE … PARTITIONED BY` + `INSERT INTO` builds the
+    // hive layout from the first batch
+    val insertPartCols: Seq[String] = o.get("__partition_columns")
+      .toSeq.flatMap(
+        org.apache.spark.sql.execution.datasources.DataSourceUtils
+          .decodePartitioningColumns)
     // InsertableRelation gives the SQL face INSERT INTO / INSERT
     // OVERWRITE (each one atomic commit at the CURRENT head — inserts
     // are writes, never pinned to the relation's read version)
@@ -92,8 +130,11 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       override def schema: StructType = base.schema
       override def needConversion: Boolean = false
       override def insert(data: DataFrame, overwrite: Boolean): Unit =
-        if (overwrite) { t.overwrite(data); () }
-        else { t.append(data); () }
+        if (overwrite) {
+          t.overwriteAs("overwrite", data, layout = insertPartCols); ()
+        } else if (insertPartCols.nonEmpty) {
+          t.appendPartitioned(data, insertPartCols); ()
+        } else { t.append(data); () }
       override def buildScan(requiredColumns: Array[String],
           filters: Array[Filter]): RDD[Row] = {
         // comparison filters -> [lo, hi] bounds per column; strict
@@ -105,7 +146,8 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
           case LessThan(a, v)           => (a, None, Option(v))
           case LessThanOrEqual(a, v)    => (a, None, Option(v))
         }
-        val pruned = t.readPruned(version, bounds)
+        val pruned =
+          if (emptyDeclared) emptyBase else t.readPruned(version, bounds)
         val projected =
           if (requiredColumns.isEmpty) pruned.select()
           else pruned.select(requiredColumns.toIndexedSeq
@@ -119,18 +161,37 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     * Append commits through `TxTable.append` (schema-guarded,
     * constraint-enforced, stats-logged), Overwrite through
     * `TxTable.overwrite`; ErrorIfExists refuses a non-empty table,
-    * Ignore is a no-op on one. Every mode lands as ONE atomic commit. */
+    * Ignore is a no-op on one. Every mode lands as ONE atomic commit.
+    *
+    * `df.write.partitionBy(cols…)` reaches this provider as Spark's
+    * `__partition_columns` option (a JSON name array) and dispatches
+    * onto the hive-layout write paths — the files nest
+    * `c1=v1/c2=v2/…` and every manifest/path pruning surface applies.
+    * SQL `CREATE TABLE … USING txtable PARTITIONED BY (…) AS SELECT`
+    * does NOT pass partitioning into a DSv1 provider; the injected
+    * parser ([[graft.plans.TxSqlParser]]) rewrites such CTAS plans to
+    * carry the same option, so under `GraftExtensions` the SQL face
+    * partitions too (without the extension, spell it
+    * `OPTIONS ('__partition_columns'='["c"]')`). */
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val t = table(ctx, parameters)
+    val partCols: Seq[String] = opts(parameters)
+      .get("__partition_columns").toSeq.flatMap(
+        org.apache.spark.sql.execution.datasources.DataSourceUtils
+          .decodePartitioningColumns)
+    def append(): Unit =
+      if (partCols.nonEmpty) { t.appendPartitioned(data, partCols); () }
+      else { t.append(data); () }
     val empty = t.snapshot().version < 0
     mode match {
-      case SaveMode.Append    => t.append(data)
-      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.Append => append()
+      case SaveMode.Overwrite =>
+        t.overwriteAs("overwrite", data, layout = partCols)
       case SaveMode.ErrorIfExists =>
         require(empty, s"table already exists (use mode Append/Overwrite)")
-        t.append(data)
-      case SaveMode.Ignore => if (empty) t.append(data)
+        append()
+      case SaveMode.Ignore => if (empty) append()
     }
     createRelation(ctx, parameters)
   }

@@ -490,13 +490,18 @@ object EventStreams {
     *
     * Unlike HLL union (idempotent — re-merging a replayed batch is
     * absorbed), SpaceSaving merge DOUBLE-COUNTS a replay, so the
-    * snapshot records the (app, batch id) it last incorporated —
-    * Delta's txnAppId/txnVersion idempotent-writes device, with the
-    * query's checkpoint location as the app identity — and a
-    * crash-replay of an already-applied batch from the SAME query is
-    * skipped, while a NEW query (fresh checkpoint) merging into an
-    * existing snapshot applies normally. Snapshot discipline
-    * otherwise follows [[sketchRollupSink]]: read-merge-pin-overwrite. */
+    * snapshot records ONE (app_id → max batch_id) high-water MARKER
+    * ROW PER APP (term-null rows, carried forward through every
+    * overwrite) — Delta's txnAppId/txnVersion idempotent-writes
+    * device, with the query's checkpoint location as the app
+    * identity. A crash-replay of an already-applied batch from the
+    * SAME query is skipped by that app's OWN marker, so the guard
+    * survives INTERLEAVED writers: app A's replay is still skipped
+    * after app B merged in between (a last-writer-only stamp would
+    * have forgotten A and double-counted — `StatefulTwinsSpec` pins
+    * the interleaving). New apps (fresh checkpoint) merge normally.
+    * Snapshot discipline otherwise follows [[sketchRollupSink]]:
+    * read-merge-pin-overwrite, markers riding the same atomic write. */
   def heavyHittersSink(
       events: DataFrame, groupCol: String, termCol: String, m: Int,
       snapshotDir: String, checkpointDir: String)
@@ -530,9 +535,14 @@ object EventStreams {
     val prior0 =
       if (hasData) spark.read.parquet(snapshotDir).where(lit(true))
       else null
+    // replay guard against THIS app's own high-water mark only — its
+    // marker row, or its stamp on the data rows when it was the last
+    // writer (also how pre-marker snapshots upgrade in place). The
+    // global max would confuse another app's later batch ids with
+    // this app's progress.
     val applied = prior0 != null &&
-      prior0.where(col("app_id") === appId).limit(1).count() > 0 &&
-      prior0.select(max(col("batch_id"))).head().getLong(0) >= batchId
+      prior0.where(col("app_id") === appId &&
+        col("batch_id") >= batchId).limit(1).count() > 0
     if (!applied) {
       val fresh = batch
         .groupBy(g)
@@ -544,8 +554,9 @@ object EventStreams {
       val merged =
         if (prior0 == null) fresh
         else {
-          val prior = prior0.select(g, col("term"), col("est"),
-            col("err"))
+          // marker rows (term null) are bookkeeping, not summary content
+          val prior = prior0.where(col("term").isNotNull)
+            .select(g, col("term"), col("est"), col("err"))
           // per-side eviction floors, derivable from the summary
           // itself: min estimate when the group is at capacity,
           // 0 below it (an absent item's count is then provably 0)
@@ -578,9 +589,30 @@ object EventStreams {
                 .orderBy(col("est").desc, col("term"))))
             .where(col("__rk") <= m).drop("__rk")
         }
+      val stamped = merged.withColumn("batch_id", lit(batchId))
+        .withColumn("app_id", lit(appId))
+      // carry every OTHER app's high-water marker forward (collapsed
+      // to one row per app — pre-marker snapshots contribute their
+      // data-row stamps the same way) and emit this app's fresh one;
+      // the markers ride the same atomic overwrite as the data
+      val sq = spark; import sq.implicits._
+      val others =
+        if (prior0 == null)
+          Seq.empty[(String, Long)].toDF("app_id", "batch_id")
+        else prior0.where(col("app_id") =!= appId)
+          .groupBy(col("app_id"))
+          .agg(max(col("batch_id")).as("batch_id"))
+      val markers = others
+        .unionByName(Seq((appId, batchId)).toDF("app_id", "batch_id"))
+      val sch = stamped.schema
+      val markerRows = markers.select(sch.fields.toSeq.map { f =>
+        f.name match {
+          case "app_id" | "batch_id" => col(f.name)
+          case n => lit(null).cast(f.dataType).as(n)
+        }
+      }: _*)
       val (pinned, blocks) = graft.ops.Checkpoints.pin(
-        merged.withColumn("batch_id", lit(batchId))
-          .withColumn("app_id", lit(appId)))
+        stamped.unionByName(markerRows))
       try pinned.write.mode("overwrite").parquet(snapshotDir)
       finally graft.ops.Checkpoints.release(spark, blocks)
     }
@@ -591,6 +623,7 @@ object EventStreams {
   def heavyHittersSnapshot(spark: SparkSession, snapshotDir: String,
       groupCol: String, k: Int): DataFrame =
     spark.read.parquet(snapshotDir)
+      .where(col("term").isNotNull) // drop per-app replay markers
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(groupCol))

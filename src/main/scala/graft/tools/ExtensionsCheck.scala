@@ -87,7 +87,49 @@ object ExtensionsCheck {
     require(t.read().where($"k" === 50L).head().getLong(1) == 500L)
     // ordinary SQL remains untouched by the injected parser
     require(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
-    println(s"extensions-ok ${probes.size} rule-ok sql-face-ok")
+
+    // round-11: the tools/tx_parity.sql script — a Delta user's whole
+    // lifecycle (convert → ADD COLUMNS → MERGE a CDC batch → time
+    // travel → OPTIMIZE → DESCRIBE HISTORY) in PURE SQL text, no
+    // Scala API call anywhere; each statement's effect asserted
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft-txparity-").toString
+    Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, i * 10L)).toDF("id", "v")
+      .write.parquet(s"$pdir/lake")
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/tx_parity.sql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stmts = script.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
+      .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    require(stmts.size == 7, s"expected 7 statements, got ${stmts.size}")
+    val results = stmts.map(s =>
+      spark.sql(s.replace("${DIR}", pdir)))
+    val lake = graft.ops.TxTable(spark, s"$pdir/lake")
+    // 1. convert adopted all six rows in place
+    require(results(0).head().getString(1) == "convert", "convert action")
+    // 2. ADD COLUMNS widened without rewriting (evolve commit)
+    require(results(1).head().getString(1) == "evolve", "evolve action")
+    // 4. MERGE applied the CDC fates: update, delete, insert
+    val after = lake.read().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    require(after.size == 6 && !after.contains(3L), "MERGE delete fate")
+    require(after(2L) == (999L, "merged"), "MERGE update fate")
+    require(after(9L) == (90L, "new"), "MERGE insert fate")
+    require(after(1L) == (10L, null), "MERGE carried row changed")
+    // 5. time travel reads the pre-DML snapshot
+    require(results(4).head().getLong(0) == 6L, "VERSION AS OF 0 count")
+    // 6. OPTIMIZE returned its summary and content is unchanged
+    require(results(5).columns.toSeq ==
+      Seq("version", "action", "files_added", "files_removed"))
+    require(lake.read().count() == 6, "content after OPTIMIZE")
+    // 7. the history records every lifecycle step
+    val actions = results(6).select("action").collect()
+      .map(_.getString(0)).toSeq
+    require(actions.contains("convert") && actions.contains("evolve") &&
+      actions.contains("merge"), s"history actions: $actions")
+
+    println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok")
     spark.stop()
   }
 }

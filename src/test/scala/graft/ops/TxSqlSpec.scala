@@ -194,6 +194,27 @@ class TxSqlSpec extends SparkTestBase {
     assert(e.getMessage.contains("source"))
   }
 
+  test("MERGE NMS: BARE source-only column refused too") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 6))
+    // source carries a column 'delta' the target lacks: unqualified,
+    // it would resolve across the join and read NULL for every
+    // target-only row, silently disabling the clause
+    Seq((4L, 400L, "s", 7L)).toDF("k", "v", "tag", "delta")
+      .createOrReplaceTempView("txsql_nms_bare_src")
+    val e = intercept[RuntimeException](sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_nms_bare_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND delta > 5 THEN DELETE"))
+    assert(e.getMessage.contains("source"))
+    // target-qualified references stay legal (bare shared names are a
+    // loud analyzer ambiguity — never a silent wrong side)
+    sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_nms_bare_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND t.v > 40 THEN DELETE")
+    assert(t.read().count() === 5) // k=5 (v=50) deleted; k=4 matched
+  }
+
   test("MERGE refusals: bad ON condition") {
     import spark.implicits._
     val (t, p) = mkTable()
@@ -366,5 +387,158 @@ class TxSqlSpec extends SparkTestBase {
     intercept[Exception](
       sql.run(s"UPDATE txtable.`$p` SET v = -5 WHERE k = 2"))
     assert(t.read().where(col("v") < 0).count() === 0)
+  }
+
+  test("ALTER TABLE ADD COLUMNS: O(1) widening, flat and partitioned") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    val before = t.snapshot().files.toSet
+    sql.run(s"ALTER TABLE txtable.`$p` ADD COLUMNS (score DOUBLE, note STRING)")
+    // no data byte rewritten: every pre-existing file survives; the
+    // commit adds only the zero-row schema carrier
+    assert(before.subsetOf(t.snapshot().files.toSet))
+    val r = t.read()
+    assert(r.columns.toSeq === Seq("k", "v", "tag", "score", "note"))
+    assert(r.count() === 10)
+    assert(r.where(col("score").isNull).count() === 10)
+    // the widened schema accepts data for the new columns
+    t.append(Seq((100L, 1L, "n", 0.5, "x"))
+      .toDF("k", "v", "tag", "score", "note"))
+    assert(t.read().where(col("score").isNotNull).count() === 1)
+    // duplicate names refuse
+    val e = intercept[Exception](
+      sql.run(s"ALTER TABLE txtable.`$p` ADD COLUMNS (v LONG)"))
+    assert(e.getMessage.contains("already exists"))
+    // partitioned table: the carrier lands INSIDE a leaf directory
+    // (a flat file would corrupt path-based partition inference)
+    val (u, q) = mkTable()
+    u.appendPartitioned((0 until 12).map(i => (i.toLong, i % 3))
+      .toDF("id", "part"), "part")
+    sql.run(s"ALTER TABLE txtable.`$q` ADD COLUMNS (w INT)")
+    assert(u.snapshot().files.forall(
+      _.stripPrefix(s"$q/").matches("part=\\d/[^/]+")),
+      s"${u.snapshot().files}")
+    assert(u.read().columns.toSet === Set("id", "part", "w"))
+    assert(u.read().count() === 12)
+    assert(u.readPartition("part", 1).count() === 4)
+  }
+
+  test("writer partitionBy and CTAS PARTITIONED BY build hive layouts") {
+    import spark.implicits._
+    // DataFrameWriter.partitionBy reaches the provider as
+    // __partition_columns and nests the files
+    val d1 = Files.createTempDirectory("graft-sqlpb-").toString + "/t"
+    Seq((1L, 2024, 1), (2L, 2024, 2), (3L, 2025, 1)).toDF("id", "y", "m")
+      .write.format("txtable").partitionBy("y", "m")
+      .option("path", d1).mode("append").save()
+    val t1 = TxTable(spark, d1)
+    assert(t1.snapshot().files.forall { f =>
+      val s = f.stripPrefix(s"$d1/").split('/')
+      s.length == 3 && s(0).startsWith("y=") && s(1).startsWith("m=")
+    }, s"${t1.snapshot().files}")
+    assert(t1.readPartitions(Seq("y" -> 2024)).count() === 2)
+    // overwrite with partitionBy keeps the requested layout
+    Seq((9L, 2030, 5)).toDF("id", "y", "m")
+      .write.format("txtable").partitionBy("y", "m")
+      .option("path", d1).mode("overwrite").save()
+    assert(t1.read().count() === 1)
+    assert(t1.snapshot().files.forall(_.contains("y=2030/")))
+    // SQL CTAS: Spark drops PARTITIONED BY before a DSv1 provider —
+    // the injected parser re-carries it as the option, so the plan
+    // routed through TxSqlParser builds the partitioned layout
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    val d2 = Files.createTempDirectory("graft-sqlctas-").toString + "/t"
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark, parser.parsePlan(
+      s"CREATE TABLE graft_txsql_ctas USING txtable LOCATION '$d2' " +
+        "PARTITIONED BY (k) AS SELECT * FROM VALUES (1, 'a'), (2, 'b') " +
+        "v(id, k)")).collect()
+    try {
+      val t2 = TxTable(spark, d2)
+      assert(t2.snapshot().files.nonEmpty)
+      assert(t2.snapshot().files.forall(
+        _.stripPrefix(s"$d2/").startsWith("k=")),
+        s"${t2.snapshot().files}")
+      assert(spark.table("graft_txsql_ctas").count() === 2)
+    } finally spark.sql("DROP TABLE graft_txsql_ctas")
+  }
+
+  test("plain CREATE TABLE PARTITIONED BY + INSERT builds the layout") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    val d = Files.createTempDirectory("graft-sqlpc-").toString + "/t"
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark, parser.parsePlan(
+      s"CREATE TABLE graft_txsql_pcreate (id BIGINT, k STRING) " +
+        s"USING txtable LOCATION '$d' PARTITIONED BY (k)")).collect()
+    try {
+      spark.sql("INSERT INTO graft_txsql_pcreate " +
+        "SELECT * FROM VALUES (1L, 'a'), (2L, 'b'), (3L, 'a') v(id, k)")
+      val t = TxTable(spark, d)
+      assert(t.snapshot().files.nonEmpty)
+      assert(t.snapshot().files.forall(
+        _.stripPrefix(s"$d/").startsWith("k=")),
+        s"${t.snapshot().files}")
+      assert(t.readPartition("k", "a").count() === 2)
+      spark.catalog.refreshTable("graft_txsql_pcreate")
+      assert(spark.table("graft_txsql_pcreate").count() === 3)
+    } finally spark.sql("DROP TABLE graft_txsql_pcreate")
+  }
+
+  test("SQL DML on a catalog table refreshes the cached relation") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 4))
+    spark.sql(s"CREATE TABLE graft_txsql_fresh USING txtable LOCATION '$p'")
+    try {
+      // prime Spark's relation cache, then mutate through SQL DML —
+      // the post-DML read must see the new version without a manual
+      // refreshTable (TxSql invalidates the cached relation)
+      assert(spark.table("graft_txsql_fresh").count() === 4)
+      sql.run("DELETE FROM graft_txsql_fresh WHERE k = 0")
+      assert(spark.table("graft_txsql_fresh").count() === 3)
+      sql.run("UPDATE graft_txsql_fresh SET v = v + 1 WHERE k = 1")
+      assert(spark.table("graft_txsql_fresh")
+        .where(col("k") === 1L).head().getLong(1) === 11L)
+    } finally spark.sql("DROP TABLE graft_txsql_fresh")
+  }
+
+  test("OPTIMIZE ZORDER BY, VACUUM RETAIN HOURS, RESTORE TO TIMESTAMP") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 50))
+    t.append(df(50 until 100))
+    // ZORDER compaction commits and preserves content
+    val z = sql.run(s"OPTIMIZE txtable.`$p` ZORDER BY (k, v)")
+    assert(z.head().getString(1) === "compact")
+    assert(t.read().count() === 100)
+    val e = intercept[Exception](
+      sql.run(s"OPTIMIZE txtable.`$p` ZORDER BY (k)"))
+    assert(e.getMessage.contains("two columns"))
+    // RETAIN 0 HOURS reclaims the pre-compaction files immediately
+    val reclaimed = sql.run(s"VACUUM txtable.`$p` RETAIN 0 HOURS")
+    assert(reclaimed.count() > 0)
+    assert(t.read().count() === 100)
+    // RESTORE TO TIMESTAMP resolves the newest version at-or-before:
+    // the post-compaction snapshot (whose files survived the vacuum)
+    val tsAfterZ = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.overwrite(df(0 until 3))
+    sql.run(s"RESTORE TABLE txtable.`$p` TO TIMESTAMP AS OF '$tsAfterZ'")
+    assert(t.read().count() === 100)
+  }
+
+  test("backtick-quoted paths with spaces survive the regex routes") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sqlsp-").toString
+    val p = s"$base/my table"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.format("txtable")
+      .option("path", p).mode("append").save()
+    assert(sql.run(s"DESCRIBE HISTORY txtable.`$p`").count() === 1)
+    assert(sql.run(s"OPTIMIZE txtable.`$p`").columns.toSeq ===
+      Seq("version", "action", "files_added", "files_removed"))
+    sql.run(s"ALTER TABLE txtable.`$p` ADD CONSTRAINT pos CHECK (v >= 0)")
+    sql.run(s"ALTER TABLE txtable.`$p` DROP CONSTRAINT pos")
+    sql.run(s"RESTORE TABLE txtable.`$p` TO VERSION AS OF 0")
+    assert(TxTable(spark, p).read().count() === 2)
   }
 }

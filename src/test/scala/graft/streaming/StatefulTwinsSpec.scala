@@ -110,6 +110,7 @@ class StatefulTwinsSpec extends SparkTestBase {
     drain(snap, ckpt, 16, b1: _*)
     drain(snap, ckpt, 16, b2: _*)
     val streamed = spark.read.parquet(snap)
+      .where("term IS NOT NULL") // drop per-app replay markers
       .select("source", "term", "est", "err")
       .as[(String, String, Long, Long)].collect().toSet
     val exact = (b1 ++ b2).groupBy(identity).map { case ((s, t), g) =>
@@ -131,6 +132,7 @@ class StatefulTwinsSpec extends SparkTestBase {
     drain(snap2, ckpt, 2, (heavy.take(4) ++ noise.take(2)): _*)
     drain(snap2, ckpt, 2, (heavy.drop(4) ++ noise.drop(2)): _*)
     val ev = spark.read.parquet(snap2)
+      .where("term IS NOT NULL")
       .select("source", "term", "est", "err")
       .as[(String, String, Long, Long)].collect()
     assert(ev.length <= 2)
@@ -155,12 +157,43 @@ class StatefulTwinsSpec extends SparkTestBase {
     EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
       snap3, appId = "app-1", batchId = 0L) // replay: skipped
     val afterReplay = spark.read.parquet(snap3)
+      .where("term IS NOT NULL")
       .select("term", "est").as[(String, Long)].collect().toSet
     assert(afterReplay === Set(("x", 2L)))
     EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
       snap3, appId = "app-2", batchId = 0L) // new app: merges
     val afterNewApp = spark.read.parquet(snap3)
+      .where("term IS NOT NULL")
       .select("term", "est").as[(String, Long)].collect().toSet
     assert(afterNewApp === Set(("x", 4L)))
+
+    // --- INTERLEAVED writers: each app's high-water marker survives
+    // other apps' overwrites, so app-1's crash-replay of batch 1 is
+    // still skipped AFTER app-2 merged in between (a last-writer-only
+    // stamp forgets app-1 here and double-counts)
+    val snap4 = Files.createTempDirectory("graft-hh-snap4-").toString
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap4, appId = "app-1", batchId = 0L)
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap4, appId = "app-1", batchId = 1L)
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap4, appId = "app-2", batchId = 0L)
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap4, appId = "app-1", batchId = 1L) // replay across writers: skipped
+    val interleaved = spark.read.parquet(snap4)
+      .where("term IS NOT NULL")
+      .select("term", "est").as[(String, Long)].collect().toSet
+    assert(interleaved === Set(("x", 6L)))
+    // and app-1's NEXT real batch still applies
+    EventStreams.applyHeavyHittersBatch(batch0, "source", "term", 16,
+      snap4, appId = "app-1", batchId = 2L)
+    val advanced = spark.read.parquet(snap4)
+      .where("term IS NOT NULL")
+      .select("term", "est").as[(String, Long)].collect().toSet
+    assert(advanced === Set(("x", 8L)))
+    // exactly one marker row per app, carrying its own high-water mark
+    val marks = spark.read.parquet(snap4).where("term IS NULL")
+      .select("app_id", "batch_id").as[(String, Long)].collect().toSet
+    assert(marks === Set(("app-1", 2L), ("app-2", 0L)))
   }
 }
