@@ -1835,6 +1835,26 @@ class TxTableSpec extends SparkTestBase {
     Seq((2L, "y")).toDF("id", "v").write.parquet(s"$stray/backup")
     val e2 = intercept[RuntimeException](TxTable.convert(spark, stray))
     assert(e2.getMessage.contains("non-hive"))
+    // (d) the reference's own K1 fact layout: THREE partition levels
+    // with double-rendered values (entry_year=2016.0/entry_month=4.0/
+    // port_code=NYC — ImmigrationPipeline.run's exact shape) adopts
+    // wholesale and leaf-prunes
+    val k1 = Files.createTempDirectory("graft-convk1-").toString + "/fact"
+    Seq((1L, 2016.0, 4.0, "NYC"), (2L, 2016.0, 4.0, "LOS"),
+      (3L, 2016.0, 5.0, "NYC"), (4L, 2015.0, 4.0, "CHI"))
+      .toDF("cicid", "entry_year", "entry_month", "port_code")
+      .write.partitionBy("entry_year", "entry_month", "port_code")
+      .parquet(k1)
+    val tf = TxTable.convert(spark, k1)
+    assert(tf.read().count() === 4)
+    assert(tf.snapshot().files.forall { f =>
+      val s = f.stripPrefix(s"$k1/").split('/')
+      s.length == 4 && s(0).startsWith("entry_year=") &&
+        s(1).startsWith("entry_month=") && s(2).startsWith("port_code=")
+    }, s"${tf.snapshot().files}")
+    assert(tf.readPartitions(
+      Seq("entry_year" -> 2016.0, "entry_month" -> 4.0)).count() === 2)
+    assert(tf.readPartitions(Seq("port_code" -> "NYC")).count() === 2)
   }
 
   test("vacuum reclaims retired files in nested multi-key layouts") {
