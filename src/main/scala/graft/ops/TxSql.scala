@@ -229,9 +229,6 @@ final class TxSql(spark: SparkSession) {
 
   // ------------------------------------------------------------- MERGE
   private def runMerge(m: MergeIntoTable): DataFrame = {
-    require(!m.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported (the table's " +
-        "schema is fixed by its files; use appendEvolve for evolution)")
     val (t, tnames, tparts) = target(m.targetTable)
     val (srcDf, snames) = source(m.sourceTable)
     // column inventories for the NOT MATCHED BY SOURCE guard: a BARE
@@ -271,6 +268,26 @@ final class TxSql(spark: SparkSession) {
               other.sql)
         }
       }
+
+    // MERGE … WITH SCHEMA EVOLUTION (Delta's auto-widening): source
+    // columns the target lacks are added FIRST as one O(1) evolve
+    // commit ([[TxTable.addColumns]] — zero-row carrier, existing
+    // rows read SQL NULL), then the merge proceeds against the
+    // widened schema, so `UPDATE SET *` / `INSERT *` land the new
+    // columns' values. Source key columns paired to differently-named
+    // target keys are join plumbing, not payload — excluded. Without
+    // the keyword, an extra source column under star clauses still
+    // refuses (the engine's schema guard), Delta's own contract.
+    if (m.withSchemaEvolution) {
+      val pairedAway = keyPairs.collect {
+        case (tk, sk) if !tk.equalsIgnoreCase(sk) => sk.toLowerCase
+      }.toSet
+      val extras = srcDf.schema.fields.filterNot(f =>
+        tcols.contains(f.name.toLowerCase) ||
+          pairedAway.contains(f.name.toLowerCase))
+      if (extras.nonEmpty)
+        t.addColumns(org.apache.spark.sql.types.StructType(extras))
+    }
 
     def clause(c: Option[Expression]): Column =
       c.map(x => ColumnShim.column(remap(x, tnames, snames)))

@@ -2420,12 +2420,38 @@ final class TxTable private (spark: SparkSession, dir: String,
         }
       val ins = whenNotMatchedInsert
         .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+      // per-column output: branch ONLY on the clauses that exist — an
+      // absent UPDATE/INSERT clause must not materialize its `s.<col>`
+      // reference, or a DELETE-only / NMS-only merge over a
+      // differently-shaped source (source columns ⊉ target columns)
+      // dies on analysis for a branch that can never fire
+      def outVal(c: String): Column = {
+        var branches = Seq.empty[(Column, Column)]
+        if (whenMatchedUpdate.isDefined)
+          branches = branches :+ ((col("__a") === "u", updVal(c)))
+        if (whenNotMatchedInsert.isDefined)
+          branches = branches :+ ((col("__a") === "i", insVal(c)))
+        if (whenNotMatchedBySourceUpdate.isDefined)
+          branches = branches :+ ((col("__a") === "v", nmsVal(c)))
+        branches.foldRight(col(s"t.$c")) { case ((p, v), acc) =>
+          when(p, v).otherwise(acc)
+        }.as(c)
+      }
       val out =
         if (pruned.files.isEmpty) {
-          val sAliased = source.alias("s")
-          insertValues.foreach(m => guardAssignTypes(sAliased, m))
-          sAliased.where(ins)
-            .select(targetCols.map(c => insVal(c).as(c)): _*)
+          if (whenNotMatchedInsert.isEmpty && headSchema.isDefined)
+            // nothing to insert and nothing survives pruning: a
+            // zero-row frame with the TABLE's schema (referencing
+            // insVal here would analyze `s.<col>` for no reason)
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              headSchema.get)
+          else {
+            val sAliased = source.alias("s")
+            insertValues.foreach(m => guardAssignTypes(sAliased, m))
+            sAliased.where(ins)
+              .select(targetCols.map(c => insVal(c).as(c)): _*)
+          }
         } else {
           val upd = whenMatchedUpdate
             .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
@@ -2456,11 +2482,7 @@ final class TxTable private (spark: SparkSession, dir: String,
               .otherwise(when(ins, "i").otherwise("x")) // src-only
           joined.withColumn("__a", action)
             .where(col("__a").isin("u", "k", "i", "v"))
-            .select(targetCols.map(c =>
-              when(col("__a") === "u", updVal(c))
-                .when(col("__a") === "i", insVal(c))
-                .when(col("__a") === "v", nmsVal(c))
-                .otherwise(col(s"t.$c")).as(c)): _*)
+            .select(targetCols.map(outVal): _*)
         }
       // output-shape guard: assignments may not change a column's
       // type (branch coercion in the when() mix could otherwise

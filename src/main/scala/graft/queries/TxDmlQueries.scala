@@ -638,6 +638,62 @@ object TxDmlQueries {
       () => readWidened(t)
     }))
 
+  // ----------------------------------------------------------------- K35
+  /** `MERGE WITH SCHEMA EVOLUTION` (Delta's auto-widening MERGE): the
+    * CDC feed gained a `c_loyalty` column the table lacks; the
+    * keyword widens the target FIRST (one O(1) evolve commit — the
+    * k34 machinery), then the star-clause merge lands the new
+    * column's values for updated and inserted rows while carried
+    * rows read SQL NULL. The oracle derives the same three row fates
+    * declaratively; hash equality proves the widen+merge composition
+    * is exactly a CASE/UNION over the raw table. */
+  private def runMergeEvolve(s: SparkSession, d: String,
+      t: TxTable): DataFrame = {
+    val c = Tables.customer(s, d)
+    val keyShift = c.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    val upd = c.where(col("c_custkey").between(200L, 700L))
+      .withColumn("c_acctbal", round(col("c_acctbal") + 25.0, 2))
+      .withColumn("c_loyalty", lit("GOLD"))
+    val ins = c.where(col("c_custkey") <= 40L)
+      .withColumn("c_custkey", col("c_custkey") + keyShift)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 25.0, 2))
+      .withColumn("c_loyalty", lit("NEW"))
+    upd.unionByName(ins).createOrReplaceTempView("graft_k35_src")
+    graft.ops.TxSql(s).run(
+      s"MERGE WITH SCHEMA EVOLUTION INTO txtable.`${t.tableDir}` t " +
+        "USING graft_k35_src s ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"),
+      col("c_loyalty"))
+  }
+
+  private val txMergeEvolve = GraftQuery(
+    "k35_tx_merge_evolution",
+    (s, d) => runMergeEvolve(s, d,
+      seeded(s, d, "txevo", Tables.customer(s, d))),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(CASE WHEN c_custkey BETWEEN 200 AND 700
+                              THEN ROUND(c_acctbal + 25.0, 2)
+                              ELSE c_acctbal END, 2) AS c_acctbal,
+                   c_mktsegment,
+                   CASE WHEN c_custkey BETWEEN 200 AND 700
+                        THEN 'GOLD'
+                        ELSE CAST(NULL AS VARCHAR) END AS c_loyalty
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) + 1,
+                   c_name, c_nationkey,
+                   ROUND(ROUND(c_acctbal + 25.0, 2), 2), c_mktsegment,
+                   'NEW'
+            FROM customer WHERE c_custkey <= 40"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seeded(s, d, "txevo-bench", Tables.customer(s, d))
+      () => runMergeEvolve(s, d, t)
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -733,5 +789,5 @@ object TxDmlQueries {
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
       txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
-      txAddColumns, scd2Apply)
+      txAddColumns, txMergeEvolve, scd2Apply)
 }

@@ -215,6 +215,51 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().count() === 5) // k=5 (v=50) deleted; k=4 matched
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target, then merges") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 6))
+    // the CDC feed gained a column the table does not have yet
+    Seq((2L, 222L, "U2", "fresh"), (9L, 900L, "I9", "fresh"))
+      .toDF("k", "v", "tag", "extra")
+      .createOrReplaceTempView("txsql_evo_src")
+    // without the keyword: star clauses refuse the extra column
+    val e = intercept[Exception](sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_evo_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(e.getMessage.contains("schema"))
+    // with it: one evolve commit widens, then the merge lands values
+    sql.run(
+      s"MERGE WITH SCHEMA EVOLUTION INTO txtable.`$p` t " +
+        "USING txsql_evo_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val out = t.read().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out.size === 7)
+    assert(out(2L) === (222L, "fresh"))  // updated, new column landed
+    assert(out(9L) === (900L, "fresh"))  // inserted with new column
+    assert(out(0L) === (0L, null))       // carried rows read SQL NULL
+    assert(t.read().columns.toSeq === Seq("k", "v", "tag", "extra"))
+  }
+
+  test("DELETE-only MERGE accepts a differently-shaped source") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 8))
+    // tombstone feed: just keys + an op marker, nothing like the
+    // target's shape — legal because no clause references s.* values
+    Seq((1L, "D"), (5L, "D"), (6L, "K"))
+      .toDF("id", "op").createOrReplaceTempView("txsql_tomb_src")
+    sql.run(
+      s"MERGE INTO txtable.`$p` t USING txsql_tomb_src s ON t.k = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE")
+    assert(t.read().count() === 6)
+    assert(t.read().where(col("k").isin(1L, 5L)).count() === 0)
+    assert(t.read().where(col("k") === 6L).count() === 1) // op != 'D'
+  }
+
   test("MERGE refusals: bad ON condition") {
     import spark.implicits._
     val (t, p) = mkTable()
