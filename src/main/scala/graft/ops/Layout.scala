@@ -46,20 +46,62 @@ object Layout {
     * range-partitioned into `numFiles` tiles of the Morton curve and
     * sorted within each — whatever writes it inherits the layout. */
   def zordered(
-      df: DataFrame, a: String, b: String, numFiles: Int = 8): DataFrame = {
-    val bounds = df.agg(
-      min(col(a)).cast("double").as("__amin"),
-      max(col(a)).cast("double").as("__amax"),
-      min(col(b)).cast("double").as("__bmin"),
-      max(col(b)).cast("double").as("__bmax"))
+      df: DataFrame, a: String, b: String, numFiles: Int = 8): DataFrame =
+    zorderedN(df, Seq(a, b), numFiles)
+
+  /** N-dimensional Z-order (Delta's `ZORDER BY (c1, …, cn)`): the
+    * curve key interleaves `min(15, 62/n)` bucket bits per dimension.
+    * n = 2 takes the codegen'd `morton2` expression; higher arities
+    * build the interleave from builtin shift/and/or columns — still
+    * whole-stage-codegen'd, just as one composed expression (bits×n
+    * terms, driver-side construction). Same plan shape at every
+    * arity: one scalar-aggregate broadcast for the per-dimension
+    * min/max, one range exchange on the curve key, an in-partition
+    * sort — no shuffle of the data by anything but the curve. More
+    * dimensions widen each one's per-file range (fewer bits each and
+    * more curve directions), the same trade Delta documents; past
+    * 4-5 dimensions the stats stop being narrow enough to prune. */
+  def zorderedN(df: DataFrame, dims: Seq[String],
+      numFiles: Int = 8): DataFrame = {
+    require(dims.size >= 2, s"zorder needs at least 2 dimensions")
+    require(dims.distinct.size == dims.size, s"duplicate zorder column")
+    val n = dims.size
+    val bits = math.min(15, 62 / n)
+    val buckets = 1L << bits
+    // each dimension must order NUMERICALLY for linear bucketing to
+    // preserve range locality: dates go through their timestamp cast
+    // (a direct date→double cast is silently NULL — a degenerate
+    // constant curve, not an error); strings refuse loudly (rank-
+    // bucket them first, per the scaladoc above)
+    import org.apache.spark.sql.types.{BooleanType, DateType, NumericType, TimestampType}
+    def numCol(d: String): Column =
+      df.schema(d).dataType match {
+        case DateType => col(d).cast("timestamp").cast("double")
+        case _: NumericType | TimestampType | BooleanType =>
+          col(d).cast("double")
+        case other => sys.error(
+          s"zorder dimension $d has non-orderable-as-number type " +
+            s"$other — rank-bucket it into a numeric column first")
+      }
+    val aggs = dims.flatMap(d => Seq(
+      min(numCol(d)).as(s"__min_$d"),
+      max(numCol(d)).as(s"__max_$d")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
     def dense(c: Column, lo: Column, hi: Column): Column =
-      least(floor((c.cast("double") - lo) / greatest(hi - lo, lit(1e-300))
-        * Buckets), lit((Buckets - 1).toDouble)).cast("long")
+      least(floor((c - lo) / greatest(hi - lo, lit(1e-300))
+        * buckets), lit((buckets - 1).toDouble)).cast("long")
+    val dcols = dims.map(d =>
+      dense(numCol(d), col(s"__min_$d"), col(s"__max_$d")))
+    val z =
+      if (n == 2) call_function("morton2", dcols(0), dcols(1))
+      else (0 until bits).flatMap { j =>
+        dcols.zipWithIndex.map { case (v, i) =>
+          shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), j * n + i)
+        }
+      }.reduce(_.bitwiseOR(_))
     df.crossJoin(broadcast(bounds))
-      .withColumn("__z", call_function("morton2",
-        dense(col(a), col("__amin"), col("__amax")),
-        dense(col(b), col("__bmin"), col("__bmax"))))
-      .drop("__amin", "__amax", "__bmin", "__bmax")
+      .withColumn("__z", z)
+      .drop(dims.flatMap(d => Seq(s"__min_$d", s"__max_$d")): _*)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -81,11 +81,11 @@ final class TxSql(spark: SparkSession) {
       case DescribeDetailRe(ident)  => resolve(ident).fileDetails()
       case ZOrderRe(ident, colList) => mutating(ident) { t =>
         val cols = colList.split(",").map(c => unquote(c.trim))
-          .filter(_.nonEmpty)
-        require(cols.length == 2,
-          s"OPTIMIZE … ZORDER BY takes exactly two columns (the " +
-            s"2-D interleave the engine implements); got ${cols.length}")
-        summary(t.compactZOrdered(cols(0), cols(1)))
+          .filter(_.nonEmpty).toSeq
+        require(cols.length >= 2,
+          s"OPTIMIZE … ZORDER BY needs at least two columns " +
+            s"(one-key clustering is a plain sort); got ${cols.length}")
+        summary(t.compactZOrdered(cols))
       }
       case OptimizeRe(ident) => mutating(ident) { t =>
         t.compactBinPack() match {

@@ -2932,6 +2932,15 @@ final class TxTable private (spark: SparkSession, dir: String,
       maxRetries: Int = 20): Commit =
     compactLayout(Layout.zordered(_, a, b, targetFiles), maxRetries)
 
+  /** N-dimensional variant ([[Layout.zorderedN]]): `ZORDER BY
+    * (c1, …, cn)` with the same compaction protocol. */
+  def compactZOrdered(dims: Seq[String]): Commit =
+    compactZOrdered(dims, 8, 20)
+
+  def compactZOrdered(dims: Seq[String], targetFiles: Int,
+      maxRetries: Int): Commit =
+    compactLayout(Layout.zorderedN(_, dims, targetFiles), maxRetries)
+
   /** Shared compaction protocol: replace EXACTLY the base snapshot's
     * files with their `layout` rewrite. A concurrent APPEND is no
     * conflict — the appended files are untouched by the replacement, so

@@ -59,4 +59,31 @@ class LayoutSpec extends SparkTestBase {
     assert(zOrd < 0.75, s"z-ordered orderkey extent $zOrd")
     assert(zOrd < sOrd * 0.8, "z-order must beat single-sort on dim 2")
   }
+
+  test("n-dimensional z-order: three dims all materially narrow") {
+    import spark.implicits._
+    // three independent uniform dims — the worst case for any single
+    // sort, the canonical case for a space-filling curve
+    val rows = (0 until 4096).map { i =>
+      val r = new scala.util.Random(i * 2654435761L)
+      (r.nextInt(10000), r.nextInt(10000), r.nextInt(10000))
+    }
+    val df3 = rows.toDF("a", "b", "c").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-z3-").toString
+    Layout.zorderedN(df3, Seq("a", "b", "c"), numFiles = 8)
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4096)
+    val ea = avgExtent(back, "a")
+    val eb = avgExtent(back, "b")
+    val ec = avgExtent(back, "c")
+    // 8 files over a 3-D curve: each dimension's top bit splits, so
+    // every file should span roughly half of every dimension — the
+    // three-way analogue of the 2-D property above
+    assert(ea < 0.8, s"dim a extent $ea")
+    assert(eb < 0.8, s"dim b extent $eb")
+    assert(ec < 0.8, s"dim c extent $ec")
+    // and the sum of extents beats any single sort's 1 + 1 + ~0
+    assert(ea + eb + ec < 2.0, s"total extent ${ea + eb + ec}")
+  }
 }

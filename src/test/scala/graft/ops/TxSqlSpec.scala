@@ -559,6 +559,22 @@ class TxSqlSpec extends SparkTestBase {
     val e = intercept[Exception](
       sql.run(s"OPTIMIZE txtable.`$p` ZORDER BY (k)"))
     assert(e.getMessage.contains("two columns"))
+    // a string dimension cannot linear-bucket — refused loudly
+    val es = intercept[Exception](
+      sql.run(s"OPTIMIZE txtable.`$p` ZORDER BY (k, v, tag)"))
+    assert(es.getMessage.contains("rank-bucket"))
+    // three NUMERIC columns go through the n-D interleave
+    import spark.implicits._
+    val (u, q) = mkTable()
+    u.append((0 until 64).map(i =>
+      (i.toLong, (i * 7 % 64).toLong, (i * 13 % 64).toLong))
+      .toDF("x", "y", "w"))
+    u.append((64 until 128).map(i =>
+      (i.toLong, (i * 7 % 64).toLong, (i * 13 % 64).toLong))
+      .toDF("x", "y", "w"))
+    val z3 = sql.run(s"OPTIMIZE txtable.`$q` ZORDER BY (x, y, w)")
+    assert(z3.head().getString(1) === "compact")
+    assert(u.read().count() === 128)
     // RETAIN 0 HOURS reclaims the pre-compaction files immediately
     val reclaimed = sql.run(s"VACUUM txtable.`$p` RETAIN 0 HOURS")
     assert(reclaimed.count() > 0)

@@ -1857,6 +1857,46 @@ class TxTableSpec extends SparkTestBase {
     assert(tf.readPartitions(Seq("port_code" -> "NYC")).count() === 2)
   }
 
+  test("partition-path pruning is exactly right under randomized bounds") {
+    import spark.implicits._
+    def dropStats(d: String): Unit =
+      Option(new File(s"$d/_log").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".stats.tsv")).foreach(_.delete())
+    val rnd = new scala.util.Random(42)
+    // STRING-typed partition column with adversarial values (numeric-
+    // looking, shared prefixes, non-numeric): with stats deleted, the
+    // partition path is the ONLY pruning signal, and readBetween's
+    // residual filter makes any over-pruning a visible count loss
+    val vals = Seq("9", "10", "90", "100", "2020-01-05", "abc", "x",
+      "07", "7a")
+    val (t, tdir) = mkTable()
+    t.appendPartitioned(vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "c"), "c")
+    dropStats(tdir)
+    val pool = vals ++ Seq("1", "50", "99", "a", "z", "2020", "08", "")
+    (0 until 20).foreach { _ =>
+      val lo = pool(rnd.nextInt(pool.size))
+      val hi = pool(rnd.nextInt(pool.size))
+      // Spark string comparison is binary — identical to Java's
+      val want = vals.count(v => v >= lo && v <= hi)
+      val got = t.readBetween("c", lo, hi).count()
+      assert(got === want, s"string bounds [$lo, $hi]")
+    }
+    // INT-typed partition column, numeric bounds
+    val ivals = Seq(1, 7, 9, 10, 50, 90, 100, 999)
+    val (u, udir) = mkTable()
+    u.appendPartitioned(ivals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "c"), "c")
+    dropStats(udir)
+    (0 until 20).foreach { _ =>
+      val lo = rnd.nextInt(1100) - 50
+      val hi = rnd.nextInt(1100) - 50
+      val want = ivals.count(v => v >= lo && v <= hi)
+      val got = u.readBetween("c", lo, hi).count()
+      assert(got === want, s"int bounds [$lo, $hi]")
+    }
+  }
+
   test("vacuum reclaims retired files in nested multi-key layouts") {
     import spark.implicits._
     val (t, tdir) = mkTable()
