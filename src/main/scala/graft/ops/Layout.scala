@@ -64,7 +64,9 @@ object Layout {
   def zorderedN(df: DataFrame, dims: Seq[String],
       numFiles: Int = 8): DataFrame = {
     require(dims.size >= 2, s"zorder needs at least 2 dimensions")
-    require(dims.distinct.size == dims.size, s"duplicate zorder column")
+    // duplicates are legal (zordered(a, a) is an idiom for a plain
+    // range-clustered sort through the same code path) — they just
+    // spend curve bits on a repeated dimension
     val n = dims.size
     val bits = math.min(15, 62 / n)
     val buckets = 1L << bits
@@ -83,7 +85,9 @@ object Layout {
           s"zorder dimension $d has non-orderable-as-number type " +
             s"$other — rank-bucket it into a numeric column first")
       }
-    val aggs = dims.flatMap(d => Seq(
+    // distinct for the bounds agg: a repeated dimension must not
+    // produce colliding __min_/__max_ aliases
+    val aggs = dims.distinct.flatMap(d => Seq(
       min(numCol(d)).as(s"__min_$d"),
       max(numCol(d)).as(s"__max_$d")))
     val bounds = df.agg(aggs.head, aggs.tail: _*)
@@ -101,7 +105,7 @@ object Layout {
       }.reduce(_.bitwiseOR(_))
     df.crossJoin(broadcast(bounds))
       .withColumn("__z", z)
-      .drop(dims.flatMap(d => Seq(s"__min_$d", s"__max_$d")): _*)
+      .drop(dims.distinct.flatMap(d => Seq(s"__min_$d", s"__max_$d")): _*)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -35,6 +35,7 @@ import org.apache.spark.sql.graft.ColumnShim
   * sql.run("ALTER TABLE tbl RENAME COLUMN bal TO balance")
   * sql.run("ALTER TABLE tbl DROP COLUMN note")
   * sql.run("ALTER TABLE tbl ADD GENERATED COLUMN y AS (year(d))")
+  * sql.run("ALTER TABLE tbl ADD IDENTITY COLUMN id START WITH 1 STEP 1")
   * }}}
   *
   * Statements are parsed by SPARK'S OWN PARSER (`parsePlan` yields
@@ -130,6 +131,12 @@ final class TxSql(spark: SparkSession) {
           t.addGeneratedColumn(unquote(name), expr.trim)))
       case DropGeneratedRe(ident, name) =>
         mutating(ident)(t => summary(t.dropGeneratedColumn(unquote(name))))
+      case AddIdentityRe(ident, name, start, step) =>
+        mutating(ident)(t => summary(t.addIdentityColumn(unquote(name),
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L))))
+      case DropIdentityRe(ident, name) =>
+        mutating(ident)(t => summary(t.dropIdentityColumn(unquote(name))))
       case AddColumnsRe(ident, ddl) =>
         mutating(ident)(t => summary(t.addColumns(
           org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))))
@@ -593,6 +600,8 @@ object TxSql {
       case DropConstraintRe(id, _) if tx(id)    => Some(SummarySchema)
       case AddGeneratedRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropGeneratedRe(id, _) if tx(id)     => Some(SummarySchema)
+      case AddIdentityRe(id, _, _, _) if tx(id) => Some(SummarySchema)
+      case DropIdentityRe(id, _) if tx(id)      => Some(SummarySchema)
       case AddColumnsRe(id, _) if tx(id)        => Some(SummarySchema)
       case RenameColumnRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropColumnRe(id, _) if tx(id)        => Some(SummarySchema)
@@ -655,6 +664,13 @@ object TxSql {
     s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+GENERATED\\s+COLUMN\\s+$Id\\s+AS\\s*\\((.+)\\)""".r
   private val DropGeneratedRe =
     s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+GENERATED\\s+COLUMN\\s+$Id""".r
+  // ALTER TABLE t ADD IDENTITY COLUMN c [START WITH n] [STEP n] —
+  // GENERATED ALWAYS AS IDENTITY: engine-allocated BIGINT, appends
+  // must omit the column (TxTable.addIdentityColumn)
+  private val AddIdentityRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+$Id(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+STEP\\s+(-?\\d+))?""".r
+  private val DropIdentityRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+IDENTITY\\s+COLUMN\\s+$Id""".r
   // ALTER TABLE t ADD COLUMNS (c1 TYPE, c2 TYPE …) — Delta's
   // schema-widening DDL, dispatched onto TxTable.addColumns (an
   // O(1) evolve commit; parenthesized DDL column list, parsed by

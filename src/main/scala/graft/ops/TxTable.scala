@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, expr, lit, not, raise_error, struct, substring_index, to_json, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, concat, count, element_at, expr, lit, monotonically_increasing_id, not, raise_error, row_number, spark_partition_id, struct, substring_index, to_json, when}
 
 /** Transactional parquet table — the no-jar answer to the Delta/Iceberg
   * row of the survey: a versioned COMMIT LOG over plain parquet data
@@ -103,7 +103,7 @@ object TxTable {
     * deletion-vector file? DV files flow through the commit log's
     * add/remove lists exactly like data files — the name prefix is the
     * only discriminator, so the log format never changed for them. */
-  private[ops] def isDvName(rel: String): Boolean =
+  private[graft] def isDvName(rel: String): Boolean =
     rel.substring(rel.lastIndexOf('/') + 1).startsWith("dv-")
 
   /** Is `rel` a CHECK-constraint token? Constraints ride the commit
@@ -177,7 +177,9 @@ object TxTable {
     * ignoring mapping tokens would resurface renamed/dropped physical
     * columns. */
   val CurrentReader = 2
-  val CurrentWriter = 2
+  // writer 3 = identity columns (allocation-aware appends); writer 2 =
+  // column mapping + generated columns; reader 2 = column mapping
+  val CurrentWriter = 3
 
   private[ops] def isPvName(rel: String): Boolean = rel.startsWith("pv-")
 
@@ -200,15 +202,42 @@ object TxTable {
     (unb64(body.take(i)), unb64(body.drop(i + 1)))
   }
 
+  /** IDENTITY COLUMNS (Delta's `GENERATED ALWAYS AS IDENTITY`): an
+    * `id-<b64(name)>.<start>.<step>.<highWater>` token records that
+    * column `name` is engine-allocated: appends must OMIT it (ALWAYS
+    * semantics — a supplied value is refused loudly), the engine
+    * assigns `highWater + step, highWater + 2·step, …` and swaps the
+    * token's new high-water IN THE SAME COMMIT as the data, so
+    * allocation rides the commit CAS: a lost race re-reads the
+    * winner's high-water and renumbers before retrying — uniqueness
+    * without a lock, Delta's identity-high-water-mark device. Values
+    * are unique and increasing, NOT guaranteed consecutive across
+    * concurrent writers (also Delta's contract). */
+  private[ops] def isIdName(rel: String): Boolean = rel.startsWith("id-")
+
+  private[ops] def encodeId(name: String, start: Long, step: Long,
+      highWater: Long): String =
+    "id-" + b64(name) + s".$start.$step.$highWater"
+
+  private[ops] def decodeId(token: String)
+      : (String, Long, Long, Long) = {
+    val body = token.stripPrefix("id-")
+    val i = body.indexOf('.')
+    val parts = body.drop(i + 1).split('.')
+    (unb64(body.take(i)), parts(0).toLong, parts(1).toLong,
+      parts(2).toLong)
+  }
+
   /** Is `rel` ANY metadata token (constraint, column mapping, dropped
-    * column, protocol version, generated column)? The one predicate
-    * every consumer that wants DATA+DV files must filter with — clone
-    * commits in particular carry the full token set in their add list,
-    * so a consumer filtering only some prefixes breaks on clones of
-    * tables that ever used the other features. */
-  private[ops] def isMetaToken(rel: String): Boolean =
+    * column, protocol version, generated column, identity column)?
+    * The one predicate every consumer that wants DATA+DV files must
+    * filter with — clone commits in particular carry the full token
+    * set in their add list, so a consumer filtering only some
+    * prefixes breaks on clones of tables that ever used the other
+    * features. */
+  private[graft] def isMetaToken(rel: String): Boolean =
     isCtName(rel) || isCmName(rel) || isCmxName(rel) ||
-      isPvName(rel) || isGcName(rel)
+      isPvName(rel) || isGcName(rel) || isIdName(rel)
 
   private[ops] def encodePv(reader: Int, writer: Int): String =
     s"pv-$reader.$writer"
@@ -979,6 +1008,181 @@ final class TxTable private (spark: SparkSession, dir: String,
     sys.error(s"dropGeneratedColumn contention: lost $maxRetries races in $logDir")
   }
 
+  // ------------------------------------------------- identity columns
+  /** Active identity declarations: name → (start, step, highWater). */
+  private def identMap(s: Snapshot): Map[String, (Long, Long, Long)] =
+    s.cms.filter(TxTable.isIdName).map { t =>
+      val (n, st, sp, hw) = TxTable.decodeId(t)
+      n -> ((st, sp, hw))
+    }.toMap
+
+  /** Head-snapshot identity declarations, name → (start, step,
+    * highWater) — the query face of the `id-` tokens. */
+  def identityColumns: Map[String, (Long, Long, Long)] =
+    identMap(snapshot())
+
+  /** Declare `name` GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * STEP `step`): from this commit on, appends must OMIT the column —
+    * the engine allocates `start, start+step, …` and advances the
+    * token's high-water mark in the same atomic commit as each batch
+    * (see [[TxTable.encodeId]]). The column must not exist yet (the
+    * engine owns it from birth); on a non-empty table this commit also
+    * stages the zero-row carrier footer (the [[addColumns]] device),
+    * so pre-identity rows read SQL NULL. Raises the WRITER protocol
+    * requirement to 3: an identity-unaware engine appending without
+    * allocation would break uniqueness silently. Rewrite paths that
+    * cannot allocate (overwrite, upsert, MERGE INSERT) refuse on
+    * identity tables; DELETE/UPDATE/compaction carry rows and ids
+    * unchanged. */
+  def addIdentityColumn(name: String, start: Long = 1L, step: Long = 1L,
+      maxRetries: Int = 20): Commit = {
+    require(step != 0L, "identity step must be non-zero")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      require(!identMap(head).contains(name),
+        s"identity column '$name' already declared")
+      require(!gcMap(head).contains(name),
+        s"'$name' is a generated column — it cannot also be identity")
+      val carrier: Seq[String] =
+        if (head.files.isEmpty) Nil
+        else {
+          val cur = toLogical(readSnapshot(head), head).schema
+          require(!cur.fieldNames.map(_.toLowerCase)
+              .contains(name.toLowerCase),
+            s"column '$name' already exists — identity declarations " +
+              "own their column from birth (pick a new name)")
+          stageCarrier(head, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.LongType))))
+        }
+      val (pvAdd, pvRemove) = identityUpgrade(head)
+      val c = Commit(head.version + 1,
+        if (carrier.nonEmpty) "evolve" else "identity",
+        carrier ++ Seq(TxTable.encodeId(name, start, step,
+          start - step)) ++ pvAdd,
+        pvRemove, System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      carrier.foreach(n => new File(dir, n).delete())
+      attempt += 1
+    }
+    sys.error(s"addIdentityColumn contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Identity is protocol-gated WRITER-side at 3 (generated columns
+    * gate at 2): the pv-token swap the declaration carries when the
+    * table still sits below. Readers are untouched — the ids are
+    * ordinary BIGINT data. */
+  private def identityUpgrade(head: Snapshot): (Seq[String], Seq[String]) = {
+    val (r0, w0) = protocolOf(head)
+    if (w0 >= 3) (Nil, Nil)
+    else (Seq(TxTable.encodePv(r0, 3)),
+      head.cms.filter(TxTable.isPvName))
+  }
+
+  /** Remove an identity declaration (metadata-only); the column and
+    * its allocated values stay, it just stops being engine-owned. */
+  def dropIdentityColumn(name: String, maxRetries: Int = 20): Commit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val token = head.cms.find(t =>
+        TxTable.isIdName(t) && TxTable.decodeId(t)._1 == name)
+      require(token.isDefined,
+        s"no identity column '$name' (declared: " +
+          s"${identMap(head).keys.toSeq.sorted.mkString(", ")})")
+      val c = Commit(head.version + 1, "identity", Nil, Seq(token.get),
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"dropIdentityColumn contention: lost $maxRetries races in $logDir")
+  }
+
+  /** The append family on a table WITH identity columns: per outer
+    * attempt, read the head's high-water marks, refuse user-supplied
+    * identity values (ALWAYS semantics), allocate
+    * `hw + step·(1..n)` over ONE pinned materialization (the count
+    * pass and the staging write must see the same partitioning — the
+    * [[DenseIds]] discipline: per-partition counts → driver-side
+    * cumulative offsets → parallel local row numbers; no global
+    * sort, no driver data traffic beyond |partitions| longs), stage,
+    * and attempt ONE commit that swaps each token's advanced
+    * high-water atomically with the data. A lost race renumbers from
+    * the winner's high-water and restages — allocation uniqueness
+    * rides the commit CAS, never a lock. */
+  private def appendWithIdentity(df: DataFrame, maxRetries: Int,
+      evolve: Boolean, partitionCols: Seq[String]): Commit = {
+    import org.apache.spark.sql.expressions.Window
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val cts = ctMap(head)
+      val gcs = gcMap(head)
+      val idm = identMap(head)
+      val df1 = applyGenerated(df, head)
+      idm.keys.toSeq.sorted.foreach { n =>
+        require(!df1.columns.contains(n),
+          s"column '$n' is GENERATED ALWAYS AS IDENTITY — writers " +
+            "cannot supply it (the engine allocates)")
+      }
+      val withPid = df1.withColumn("__pid", spark_partition_id())
+      val (pinned, blocks) = Checkpoints.pin(withPid)
+      var staged: Seq[String] = Nil
+      var committed: Option[Commit] = None
+      try {
+        val counts = pinned.groupBy("__pid")
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val nParts = if (counts.isEmpty) 1 else counts.keys.max + 1
+        val total = counts.values.sum
+        val offsets = (0 until nParts).scanLeft(0L) {
+          (acc, pid) => acc + counts.getOrElse(pid, 0L)
+        }.toArray
+        val offsetOf = element_at(
+          array(offsets.toIndexedSeq.map(lit(_)): _*),
+          col("__pid").cast("int") + 1)
+        val w = Window.partitionBy("__pid")
+          .orderBy(monotonically_increasing_id())
+        var df2 = pinned
+        idm.toSeq.sortBy(_._1).foreach { case (n, (_, sp, hw)) =>
+          df2 = df2.withColumn(n,
+            (lit(hw) + lit(sp) * (offsetOf + row_number().over(w)))
+              .cast("long"))
+        }
+        df2 = df2.drop("__pid")
+        if (evolve) guardSchemaEvolve(head, df2)
+        else guardSchema(head, df2)
+        val phys = toPhysical(enforced(df2, cts), head)
+        staged =
+          if (partitionCols.nonEmpty)
+            stagePartitioned(phys, partitionCols.map(physName(head, _)))
+          else stageLike(head, phys)
+        guardConstraints(head, cts, staged, gcs)
+        val stats = fileStats(staged)
+        buildBlooms(staged)
+        val tokenSwap = idm.toSeq.sortBy(_._1).map { case (n, (st, sp, hw)) =>
+          (TxTable.encodeId(n, st, sp, hw + sp * total),
+            TxTable.encodeId(n, st, sp, hw))
+        }
+        val c = Commit(head.version + 1,
+          if (evolve) "evolve" else "append",
+          staged ++ tokenSwap.map(_._1), tokenSwap.map(_._2),
+          System.currentTimeMillis())
+        if (tryCommit(c, stats)) committed = Some(c)
+        else {
+          staged.foreach { n =>
+            new File(dir, n).delete(); dropBlooms(n)
+          }
+          staged = Nil
+        }
+      } finally Checkpoints.release(spark, blocks)
+      committed.foreach(return _)
+      attempt += 1
+    }
+    sys.error(s"identity append contention: lost $maxRetries races in $logDir")
+  }
+
   /** Active generated-column declarations of the head snapshot. */
   def generatedColumns: Map[String, String] = gcMap(snapshot())
 
@@ -1287,8 +1491,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     // admission) then read sizes from the log instead of stat-ing data
     // files per trigger, which both survives vacuum and stays
     // object-store-safe
-    val c1 = if (c0.bytes >= 0) c0 else c0.copy(bytes = sizeOf(c0.add))
-    val c = if (c1.rmBytes >= 0) c1 else c1.copy(rmBytes = sizeOf(c1.remove))
+    // metadata tokens ride the add/remove lists but are LOG entries,
+    // not files — stat only the real ones (an identity append's token
+    // swap must not turn the whole commit's size UNKNOWN)
+    val c1 = if (c0.bytes >= 0) c0
+      else c0.copy(bytes = sizeOf(c0.add.filterNot(TxTable.isMetaToken)))
+    val c = if (c1.rmBytes >= 0) c1
+      else c1.copy(rmBytes = sizeOf(c1.remove.filterNot(TxTable.isMetaToken)))
     if (!store.putIfAbsent(logFile(c.version),
         render(c).getBytes(StandardCharsets.UTF_8))) false
     else {
@@ -1932,6 +2141,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * table's schema cannot let a now-mismatched append land. */
   def append(df: DataFrame, maxRetries: Int = 50): Commit = {
     val s0 = snapshot()
+    if (identMap(s0).nonEmpty)
+      return appendWithIdentity(df, maxRetries, evolve = false, Nil)
     val cts = ctMap(s0)
     val df2 = applyGenerated(df, s0)
     // layout-aware: appending to a hive-partitioned table re-stages
@@ -1953,6 +2164,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * never silent. */
   def appendEvolve(df: DataFrame, maxRetries: Int = 50): Commit = {
     val s0 = snapshot()
+    if (identMap(s0).nonEmpty)
+      return appendWithIdentity(df, maxRetries, evolve = true, Nil)
     val cts = ctMap(s0)
     val df2 = applyGenerated(df, s0)
     commitAppend(stageLike(s0, toPhysical(enforced(df2, cts), s0)), df2,
@@ -1986,24 +2199,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val have = cur.fieldNames.map(_.toLowerCase).toSet
       cols.foreach { f => require(!have.contains(f.name.toLowerCase),
         s"column ${f.name} already exists") }
-      val widened = org.apache.spark.sql.types.StructType(
-        cur.fields ++ cols.fields)
-      val carrier = toPhysical(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), widened)
-        .repartition(1), head)
-      // partitioned layout: the leaf dir of the head's first file
-      // hosts the carrier; its partition-path columns never live IN
-      // files, so drop them from the carrier frame
-      val leaf = head.files.head.stripPrefix(s"$dir/")
-      val staged =
-        if (!leaf.contains("/")) stage(carrier)
-        else {
-          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          val ld = leaf.take(leaf.lastIndexOf('/'))
-          val pathCols = ld.split('/').toSeq.map(s =>
-            ExternalCatalogUtils.unescapePathName(s.takeWhile(_ != '=')))
-          stage(carrier.drop(pathCols: _*), intoDir = ld)
-        }
+      val staged = stageCarrier(head, cols)
       val c = Commit(head.version + 1, "evolve", staged, Nil,
         System.currentTimeMillis())
       if (tryCommit(c)) return c
@@ -2011,6 +2207,31 @@ final class TxTable private (spark: SparkSession, dir: String,
       attempt += 1
     }
     sys.error(s"addColumns contention: lost $maxRetries races in $logDir")
+  }
+
+  /** Stage the zero-row schema-carrier parquet for `cols` appended to
+    * `head`'s schema (the [[addColumns]] / [[addIdentityColumn]]
+    * device). On a hive-partitioned layout the carrier lands INSIDE
+    * an existing leaf directory with the partition-path columns
+    * dropped — a flat carrier at the root would make path-based
+    * partition inference ill-defined for every later read. */
+  private def stageCarrier(head: Snapshot,
+      cols: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val cur = toLogical(readSnapshot(head), head).schema
+    val widened = org.apache.spark.sql.types.StructType(
+      cur.fields ++ cols.fields)
+    val carrier = toPhysical(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), widened)
+      .repartition(1), head)
+    val leaf = head.files.head.stripPrefix(s"$dir/")
+    if (!leaf.contains("/")) stage(carrier)
+    else {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val ld = leaf.take(leaf.lastIndexOf('/'))
+      val pathCols = ld.split('/').toSeq.map(s =>
+        ExternalCatalogUtils.unescapePathName(s.takeWhile(_ != '=')))
+      stage(carrier.drop(pathCols: _*), intoDir = ld)
+    }
   }
 
   /** Hive-layout partitioned append: data files land under
@@ -2040,6 +2261,11 @@ final class TxTable private (spark: SparkSession, dir: String,
   def appendPartitioned(df: DataFrame, partitionCols: Seq[String],
       maxRetries: Int = 50): Commit = {
     val s0 = snapshot()
+    if (identMap(s0).nonEmpty) {
+      require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+      return appendWithIdentity(df, maxRetries, evolve = false,
+        partitionCols)
+    }
     val cts = ctMap(s0)
     // generation runs BEFORE the partition-column check and the
     // partitioned write, so a generated partition key (event_date
@@ -2161,6 +2387,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       maxRetries: Int = 50, layout: Seq[String] = Nil): Commit = {
     require(tag.nonEmpty && !tag.contains('"'), s"bad action tag: $tag")
     val s0 = snapshot()
+    require(identMap(s0).isEmpty,
+      "overwrite on a table with identity columns is not supported " +
+        "(replacement rows would carry caller-chosen ids) — " +
+        "dropIdentityColumn first")
     val cts0 = ctMap(s0)
     val gcs0 = gcMap(s0)
     // generated columns apply to EVERY write path (Delta enforces them
@@ -2201,6 +2431,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
+      require(identMap(base).isEmpty,
+        "upsert on a table with identity columns is not supported " +
+          "(inserted rows need engine allocation — use append for new " +
+          "rows, UPDATE/MERGE for changes)")
       val merged =
         if (base.files.isEmpty) updates
         else Upsert.latestWins(readSnapshot(base), updates, keys)
@@ -2338,6 +2572,27 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot()
+      // identity columns: rows may be carried/updated/deleted (ids
+      // travel with their rows) but never INSERTED here — allocation
+      // lives in the append family — and never assigned
+      val idm = identMap(head)
+      if (idm.nonEmpty) {
+        require(whenNotMatchedInsert.isEmpty,
+          "MERGE INSERT on a table with identity columns is not " +
+            "supported (inserted rows need engine allocation — " +
+            "append new rows instead)")
+        require(updateSet.isDefined || whenMatchedUpdate.isEmpty,
+          "MERGE UPDATE SET * on a table with identity columns is " +
+            "not supported (it would take source-supplied ids) — " +
+            "use column-level assignments")
+        val idAssigned = (updateSet.toSeq ++
+          whenNotMatchedBySourceUpdate.map(_._2).toSeq)
+          .flatMap(_.keySet).toSet.intersect(idm.keySet)
+        require(idAssigned.isEmpty,
+          s"MERGE assigns identity column(s) " +
+            s"${idAssigned.toSeq.sorted.mkString(", ")}: identity " +
+            "values are GENERATED ALWAYS — never assigned")
+      }
       val pruned =
         if (bounds.isEmpty || hasNms) head else pruneFiles(head, bounds)
       // Schema guard against the FULL head snapshot (footer-only read,
@@ -2634,6 +2889,11 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"${gcAssigned.toSeq.sorted.mkString(", ")}: their values " +
           "derive from their expressions — update the base columns " +
           "instead")
+      val idAssigned = set.keySet.intersect(identMap(head).keySet)
+      require(idAssigned.isEmpty,
+        s"UPDATE assigns identity column(s) " +
+          s"${idAssigned.toSeq.sorted.mkString(", ")}: identity values " +
+          "are GENERATED ALWAYS — engine-allocated, never assigned")
       val pruned = pruneFiles(head, bounds)
       if (head.files.nonEmpty) {
         val unknown = set.keySet --
@@ -2709,6 +2969,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     * converges instead of duplicating. */
   def replaceBetween(df: DataFrame, column: String, lo: Any, hi: Any,
       maxRetries: Int = 20): Commit = {
+    require(identMap(snapshot()).isEmpty,
+      "replaceBetween on a table with identity columns is not " +
+        "supported (replacement rows would carry caller-chosen ids)")
     val matches = col(column) >= lit(lo) && col(column) <= lit(hi)
     val scoped = df.filter(
       when(!coalesce(matches, lit(false)),

@@ -694,6 +694,58 @@ object TxDmlQueries {
       () => runMergeEvolve(s, d, t)
     }))
 
+  // ----------------------------------------------------------------- K36
+  /** IDENTITY COLUMNS (Delta's `GENERATED ALWAYS AS IDENTITY`): an
+    * empty table declares `row_id` via SQL, then two append batches
+    * land WITHOUT the column — the engine allocates `1..n` and
+    * advances the token's high-water mark atomically with each
+    * commit. Exact per-row values depend on partitioning order, so
+    * the oracle checks the ALLOCATION INVARIANTS instead, which pin
+    * the semantics completely for step 1: row count, distinct-id
+    * count, min, max, and the arithmetic-series sum — together these
+    * hold iff the ids are EXACTLY {1..n} with no gap, duplicate, or
+    * overflow across the two commits. */
+  private def seedIdentity(s: SparkSession, d: String): TxTable = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-txid-").toString
+    val t = TxTable(s, s"$dir/t")
+    graft.ops.TxSql(s).run(
+      s"ALTER TABLE txtable.`$dir/t` ADD IDENTITY COLUMN row_id")
+    t.append(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    t.append(Tables.customer(s, d)
+      .where(col("c_custkey") <= 100L)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_name"), col("c_acctbal")))
+    t
+  }
+
+  private def runIdentity(t: TxTable): DataFrame =
+    t.read().agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      countDistinct(col("row_id")).as("n_ids"),
+      min(col("row_id")).as("min_id"),
+      max(col("row_id")).as("max_id"),
+      sum(col("row_id")).as("sum_ids"))
+
+  private val txIdentity = GraftQuery(
+    "k36_tx_identity",
+    (s, d) => runIdentity(seedIdentity(s, d)),
+    Some("""WITH n AS (SELECT (SELECT COUNT(*) FROM customer) +
+                              (SELECT COUNT(*) FROM customer
+                               WHERE c_custkey <= 100) AS total)
+            SELECT CAST(total AS BIGINT) AS n_rows,
+                   CAST(total AS BIGINT) AS n_ids,
+                   CAST(1 AS BIGINT) AS min_id,
+                   CAST(total AS BIGINT) AS max_id,
+                   CAST(total * (total + 1) / 2 AS BIGINT) AS sum_ids
+            FROM n"""),
+    bench = false,
+    benchBuild = Some((s, d) => {
+      val t = seedIdentity(s, d)
+      () => runIdentity(t)
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -789,5 +841,5 @@ object TxDmlQueries {
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
       txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
-      txAddColumns, txMergeEvolve, scd2Apply)
+      txAddColumns, txMergeEvolve, txIdentity, scd2Apply)
 }

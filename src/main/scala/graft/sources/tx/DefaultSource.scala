@@ -348,8 +348,11 @@ final class TxTableSource(
                 // charge what the BATCH will read: CDC diffs a rewrite
                 // against its removed files, so the charge is add +
                 // remove bytes there; append mode reads added files
-                // only. Either total unknown → cap-exhausting.
-                val needRm = readChangeFeed && c.remove.nonEmpty
+                // only. Either total unknown → cap-exhausting. A
+                // remove list holding only metadata tokens (an
+                // identity append's high-water swap) is not a rewrite.
+                val needRm = readChangeFeed &&
+                  c.remove.exists(!TxTable.isMetaToken(_))
                 val known = c.bytes >= 0 && (!needRm || c.rmBytes >= 0)
                 val cost =
                   if (!known) cap
@@ -433,10 +436,15 @@ final class TxTableSource(
         val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
           c.action match {
             case "append" =>
-              t.resolveFiles(c.add, s"streaming batch v${c.version}")
-            // compaction is content-identical; a constraint commit is
-            // metadata-only — neither adds rows to the stream
-            case "compact" | "constraint" => Nil
+              // identity appends carry their high-water token swap in
+              // the add/remove lists — tokens are log entries, not
+              // files to scan
+              t.resolveFiles(c.add.filterNot(TxTable.isMetaToken),
+                s"streaming batch v${c.version}")
+            // compaction is content-identical; a constraint or
+            // identity-declaration commit is metadata-only — none
+            // adds rows to the stream
+            case "compact" | "constraint" | "identity" => Nil
             case other =>
               if (skipChangeCommits) Nil
               else sys.error(

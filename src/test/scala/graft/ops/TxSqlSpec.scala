@@ -588,6 +588,27 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().count() === 100)
   }
 
+  test("ADD/DROP IDENTITY COLUMN via SQL") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 4))
+    sql.run(s"ALTER TABLE txtable.`$p` ADD IDENTITY COLUMN rid " +
+      "START WITH 1000 STEP 2")
+    t.append(Seq((50L, 500L, "n1"), (51L, 510L, "n2"))
+      .toDF("k", "v", "tag"))
+    assert(t.read().where(col("rid").isNotNull)
+      .select("rid").as[Long].collect().sorted.toSeq ===
+      Seq(1000L, 1002L))
+    assert(t.identityColumns === Map("rid" -> ((1000L, 2L, 1002L))))
+    sql.run(s"ALTER TABLE txtable.`$p` DROP IDENTITY COLUMN rid")
+    assert(t.identityColumns.isEmpty)
+    // defaults: START WITH 1 STEP 1
+    val (u, q) = mkTable()
+    sql.run(s"ALTER TABLE txtable.`$q` ADD IDENTITY COLUMN n")
+    u.append(Seq((1L, 1L, "a")).toDF("k", "v", "tag"))
+    assert(u.read().select("n").as[Long].head() === 1L)
+  }
+
   test("backtick-quoted paths with spaces survive the regex routes") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-sqlsp-").toString

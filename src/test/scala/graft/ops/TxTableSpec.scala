@@ -1897,6 +1897,101 @@ class TxTableSpec extends SparkTestBase {
     }
   }
 
+  test("identity columns: allocation, ALWAYS refusal, rewrite guards") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.append((0 until 5).map(i => (s"u$i", i * 10)).toDF("name", "v"))
+    t.addIdentityColumn("uid", start = 100L, step = 10L)
+    // pre-identity rows read SQL NULL (zero-row carrier footer)
+    assert(t.read().where(col("uid").isNull).count() === 5)
+    // appends OMIT the column; the engine allocates start, +step, …
+    t.append(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("name", "v"))
+    assert(t.read().where(col("uid").isNotNull)
+      .select("uid").as[Long].collect().sorted.toSeq ===
+      Seq(100L, 110L, 120L))
+    // the next batch continues from the committed high-water mark
+    t.append(Seq(("d", 4), ("e", 5)).toDF("name", "v"))
+    assert(t.identityColumns("uid") === ((100L, 10L, 140L)))
+    // ALWAYS semantics: a batch carrying the column refuses loudly
+    val e = intercept[Exception](
+      t.append(Seq(("x", 9, 999L)).toDF("name", "v", "uid")))
+    assert(e.getMessage.contains("IDENTITY"))
+    // rewrite paths that cannot allocate refuse
+    intercept[Exception](t.overwrite(Seq(("z", 1)).toDF("name", "v")))
+    intercept[Exception](
+      t.upsert(Seq(("z", 1)).toDF("name", "v"), Seq("name")))
+    intercept[Exception](
+      t.updateWhere("name", "a", Map("uid" -> lit(7L))))
+    // UPDATE carries ids unchanged; DELETE removes rows; allocation
+    // continues past both
+    t.updateWhere("name", "a", Map("v" -> lit(42)))
+    assert(t.read().where(col("name") === "a").head()
+      .getAs[Long]("uid") === 100L)
+    t.deleteWhere("name", "b")
+    t.append(Seq(("f", 6)).toDF("name", "v"))
+    val ids = t.read().where(col("uid").isNotNull)
+      .select("uid").as[Long].collect()
+    assert(ids.max === 150L)
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("identity allocation stays unique under racing appenders") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.addIdentityColumn("uid") // empty-table declaration: v0 token
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 4).map { w =>
+        Future {
+          t.append((0 until 25).map(i => (s"w$w-$i", i))
+            .toDF("name", "v"))
+        }
+      }
+      Await.result(Future.sequence(fs), 180.seconds)
+    } finally pool.shutdown()
+    // every id unique, the full range exactly covered: lost races
+    // renumbered from the winner's high-water instead of colliding
+    val ids = t.read().select("uid").as[Long].collect()
+    assert(ids.length === 100)
+    assert(ids.distinct.length === 100)
+    assert(ids.min === 1L && ids.max === 100L)
+  }
+
+  test("identity survives clone, restore, and partitioned layouts") {
+    import spark.implicits._
+    val (t, tdir) = mkTable()
+    t.addIdentityColumn("uid")
+    t.appendPartitioned(Seq((2024, "a"), (2024, "b"), (2025, "c"))
+      .toDF("year", "name"), "year")
+    assert(t.read().select("uid").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    // layout nests and ids live IN the files
+    assert(t.snapshot().files.forall(
+      _.stripPrefix(s"$tdir/").startsWith("year=")))
+    // clone carries the declaration + high-water; the clone allocates
+    // independently from there
+    val cdir = Files.createTempDirectory("graft-idclone-").toString + "/c"
+    t.cloneTo(cdir)
+    val c = TxTable(spark, cdir, logStore)
+    c.append(Seq((2026, "d")).toDF("year", "name"))
+    assert(c.read().select("uid").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    // restore rolls CONTENT back but the high-water mark stays at
+    // head (tokens are table POLICY, like constraints): an id once
+    // allocated is never reallocated, even after a rollback — a
+    // rewound mark could collide with ids a clone or CDF consumer
+    // already observed
+    val vAfterFirst = t.snapshot().version
+    t.append(Seq((2026, "e")).toDF("year", "name")) // uid 4
+    t.restore(vAfterFirst)
+    assert(t.identityColumns("uid")._3 === 4L)
+    t.append(Seq((2027, "f")).toDF("year", "name")) // uid 5, not 4
+    assert(t.read().select("uid").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 5L))
+  }
+
   test("vacuum reclaims retired files in nested multi-key layouts") {
     import spark.implicits._
     val (t, tdir) = mkTable()

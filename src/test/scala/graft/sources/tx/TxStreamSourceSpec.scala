@@ -46,6 +46,26 @@ class TxStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("identity-table appends stream their rows; token swaps are silent") {
+    val (t, dir) = mk()
+    t.addIdentityColumn("uid")
+    t.append(rows(0 until 5))
+    val q = stream(dir)
+      .writeStream.format("memory").queryName("txsrcid").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrcid").count() === 5)
+      // an identity append's commit carries the high-water token swap
+      // in its add/remove lists — the stream must read the DATA files
+      // only, neither dying on a token "file" nor treating the token
+      // remove as a rewrite
+      t.append(rows(5 until 12))
+      q.processAllAvailable()
+      assert(spark.table("txsrcid").count() === 12)
+      assert(spark.table("txsrcid").select("uid").distinct().count() === 12)
+    } finally q.stop()
+  }
+
   test("exactly-once across restart: a drained checkpoint re-emits nothing") {
     val (t, dir) = mk()
     val out = Files.createTempDirectory("graft-txsrc-out-").toString
