@@ -129,12 +129,33 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = base.schema
       override def needConversion: Boolean = false
-      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        // SQL INSERT must mention every relation column, identity
+        // columns included — an ALL-NULL identity column means "not
+        // supplied" (DEFAULT semantics) and is dropped so the engine
+        // allocates; any real value falls through to the engine's
+        // loud GENERATED-ALWAYS refusal
+        val idCols = t.identityColumns.keySet
+          .intersect(data.columns.toSet).toSeq.sorted
+        val cleaned =
+          if (idCols.isEmpty) data
+          else {
+            val nn = data.agg(
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.col(idCols.head)),
+              idCols.tail.map(c =>
+                org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.col(c))): _*).head()
+            val allNull = idCols.zipWithIndex
+              .filter { case (_, i) => nn.getLong(i) == 0L }.map(_._1)
+            data.drop(allNull: _*)
+          }
         if (overwrite) {
-          t.overwriteAs("overwrite", data, layout = insertPartCols); ()
+          t.overwriteAs("overwrite", cleaned, layout = insertPartCols); ()
         } else if (insertPartCols.nonEmpty) {
-          t.appendPartitioned(data, insertPartCols); ()
-        } else { t.append(data); () }
+          t.appendPartitioned(cleaned, insertPartCols); ()
+        } else { t.append(cleaned); () }
+      }
       override def buildScan(requiredColumns: Array[String],
           filters: Array[Filter]): RDD[Row] = {
         // comparison filters -> [lo, hi] bounds per column; strict

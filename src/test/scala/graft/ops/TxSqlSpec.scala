@@ -607,6 +607,20 @@ class TxSqlSpec extends SparkTestBase {
     sql.run(s"ALTER TABLE txtable.`$q` ADD IDENTITY COLUMN n")
     u.append(Seq((1L, 1L, "a")).toDF("k", "v", "tag"))
     assert(u.read().select("n").as[Long].head() === 1L)
+    // SQL INSERT INTO mentions every column — a NULL identity slot
+    // means DEFAULT (engine allocates); a real value refuses
+    val parser = new graft.plans.TxSqlParser(spark,
+      spark.sessionState.sqlParser)
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark, parser.parsePlan(
+      s"INSERT INTO txtable.`$q` " +
+        "SELECT 2L, 2L, 'b', CAST(NULL AS BIGINT)")).collect()
+    assert(u.read().where(col("k") === 2L).select("n")
+      .as[Long].head() === 2L)
+    val ei = intercept[Exception](
+      org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
+        parser.parsePlan(s"INSERT INTO txtable.`$q` " +
+          "SELECT 3L, 3L, 'c', 999L")).collect())
+    assert(ei.getMessage.contains("IDENTITY"))
   }
 
   test("backtick-quoted paths with spaces survive the regex routes") {
