@@ -102,7 +102,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 7, s"expected 7 statements, got ${stmts.size}")
+    require(stmts.size == 11, s"expected 11 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -113,21 +113,29 @@ object ExtensionsCheck {
     // 4. MERGE applied the CDC fates: update, delete, insert
     val after = lake.read().collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-    require(after.size == 6 && !after.contains(3L), "MERGE delete fate")
+    require(!after.contains(3L) && after.size >= 6, "MERGE delete fate")
     require(after(2L) == (999L, "merged"), "MERGE update fate")
     require(after(9L) == (90L, "new"), "MERGE insert fate")
     require(after(1L) == (10L, null), "MERGE carried row changed")
     // 5. time travel reads the pre-DML snapshot
     require(results(4).head().getLong(0) == 6L, "VERSION AS OF 0 count")
-    // 6. OPTIMIZE returned its summary and content is unchanged
+    // 6-7. OPTIMIZE and ZORDER BY returned summaries, content intact
     require(results(5).columns.toSeq ==
       Seq("version", "action", "files_added", "files_removed"))
-    require(lake.read().count() == 6, "content after OPTIMIZE")
-    // 7. the history records every lifecycle step
-    val actions = results(6).select("action").collect()
+    require(results(6).head().getString(1) == "compact", "zorder action")
+    // 8. identity: the INSERT's NULL slot allocated rid = 1
+    val inserted = lake.read()
+      .where(org.apache.spark.sql.functions.col("id") === 77L).head()
+    require(inserted.getAs[Long]("rid") == 1L, "identity allocation")
+    require(lake.read().count() == 7, "content after identity insert")
+    // 9. age-guarded vacuum runs and reclaims nothing this young
+    require(results(9).count() == 0, "VACUUM RETAIN HOURS reclaim list")
+    // 10. the history records every lifecycle step
+    val actions = results(10).select("action").collect()
       .map(_.getString(0)).toSeq
     require(actions.contains("convert") && actions.contains("evolve") &&
-      actions.contains("merge"), s"history actions: $actions")
+      actions.contains("merge") && actions.contains("compact") &&
+      actions.contains("append"), s"history actions: $actions")
 
     println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok")
     spark.stop()

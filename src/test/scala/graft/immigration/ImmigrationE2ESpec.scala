@@ -100,4 +100,32 @@ class ImmigrationE2ESpec extends SparkTestBase {
     assert(!ref("referential_port"))
     assert(!ref("referential_country"))
   }
+
+  test("CONVERT adopts the pipeline's own three-level fact layout") {
+    import org.apache.spark.sql.functions.col
+    // the reference's real K1 output shape: the 2.8M-row fact written
+    // partitionBy(entry_year, entry_month, port_code) — exactly what a
+    // migrating user would point CONVERT TO TXTABLE at
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-e2e-conv-").toString + "/fact"
+    val total = o.fact.count()
+    o.fact.write.partitionBy("entry_year", "entry_month", "port_code")
+      .parquet(dir)
+    val t = graft.ops.TxTable.convert(spark, dir)
+    // wholesale adoption: every row, zero bytes rewritten
+    assert(t.read().count() === total)
+    assert(t.snapshot().files.forall { f =>
+      val s = f.stripPrefix(s"$dir/").split('/')
+      s.length == 4 && s(0).startsWith("entry_year=") &&
+        s(1).startsWith("entry_month=") && s(2).startsWith("port_code=")
+    })
+    // manifest-pruned leaf read over the adopted files equals the
+    // declarative filter (NYC, the golden Q1 port)
+    val nyc = o.fact.where(col("port_code") === "NYC").count()
+    assert(nyc > 0)
+    assert(t.readPartitions(Seq("port_code" -> "NYC")).count() === nyc)
+    // and transactional DML works immediately over the adopted lake
+    t.deleteWhere("port_code", "NYC")
+    assert(t.read().count() === total - nyc)
+  }
 }

@@ -28,5 +28,18 @@ SELECT COUNT(*) AS n0 FROM txtable.`${DIR}/lake` VERSION AS OF 0;
 -- 6. compact the small files the DML left behind
 OPTIMIZE txtable.`${DIR}/lake`;
 
--- 7. the full audit trail is queryable
+-- 7. multi-dimensionally cluster for two-sided range scans
+OPTIMIZE txtable.`${DIR}/lake` ZORDER BY (id, v);
+
+-- 8. declare an engine-allocated surrogate key; the INSERT's NULL
+--    slot means DEFAULT and the engine assigns 1
+ALTER TABLE txtable.`${DIR}/lake` ADD IDENTITY COLUMN rid;
+INSERT INTO txtable.`${DIR}/lake`
+SELECT 77L, 770L, 'ins', CAST(NULL AS LONG);
+
+-- 9. age-based retention (everything here is younger than 168h:
+--    returns an empty reclaim list, the statement itself must run)
+VACUUM txtable.`${DIR}/lake` RETAIN 168 HOURS;
+
+-- 10. the full audit trail is queryable
 DESCRIBE HISTORY txtable.`${DIR}/lake`;
