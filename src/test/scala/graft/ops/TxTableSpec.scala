@@ -1959,6 +1959,22 @@ class TxTableSpec extends SparkTestBase {
     assert(ids.min === 1L && ids.max === 100L)
   }
 
+  test("identity appends feed the change feed row-level; tokens silent") {
+    import spark.implicits._
+    val (t, _) = mkTable()
+    t.addIdentityColumn("uid") // v0: token-only commit
+    t.append(Seq(("a", 1), ("b", 2)).toDF("name", "v")) // v1
+    t.append(Seq(("c", 3)).toDF("name", "v"))           // v2
+    val ch = t.readChanges(0, 2)
+    assert(ch.where(col("_change_type") === "insert").count() === 3)
+    // the high-water token swaps in each append's add/remove lists
+    // must not surface as deletes (they are log entries, not rows)
+    assert(ch.where(col("_change_type") === "delete").count() === 0)
+    assert(ch.where(col("_change_type") === "insert")
+      .select("uid").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+  }
+
   test("identity survives clone, restore, and partitioned layouts") {
     import spark.implicits._
     val (t, tdir) = mkTable()
