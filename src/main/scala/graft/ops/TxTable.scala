@@ -643,6 +643,12 @@ final class TxTable private (spark: SparkSession, dir: String,
         s"generated column '$n' ($e) references '$column' — drop the " +
           s"generated-column declaration around the $what")
     }
+    // identity tokens are keyed by LOGICAL name: a rename would orphan
+    // the declaration (appends re-allocating the old name) and a drop
+    // would resurrect the column on the next append — refuse both
+    require(!identMap(head).contains(column),
+      s"'$column' is an identity column — dropIdentityColumn first, " +
+        s"then $what")
   }
 
   // ------------------------------------------------- column mapping DDL

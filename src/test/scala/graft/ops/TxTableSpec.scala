@@ -1933,6 +1933,16 @@ class TxTableSpec extends SparkTestBase {
       .select("uid").as[Long].collect()
     assert(ids.max === 150L)
     assert(ids.distinct.length === ids.length)
+    // rename/drop of an identity column refuse — the token is keyed
+    // by the logical name and would orphan (resurrecting appends)
+    val er = intercept[Exception](t.renameColumn("uid", "uid2"))
+    assert(er.getMessage.contains("identity"))
+    val ed = intercept[Exception](t.dropColumn("uid"))
+    assert(ed.getMessage.contains("identity"))
+    // after dropping the DECLARATION the column is ordinary again
+    t.dropIdentityColumn("uid")
+    t.renameColumn("uid", "legacy_uid")
+    assert(t.read().columns.contains("legacy_uid"))
   }
 
   test("identity allocation stays unique under racing appenders") {
