@@ -338,13 +338,17 @@ final class TxTable private (spark: SparkSession, dir: String,
     (versions(".json"), versions(".ckpt.json"))
   }
 
-  /** Full commit history replay list (vacuum + checkpoint fallback). */
+  /** Available commit history replay list (vacuum + checkpoint
+    * fallback), oldest surviving entry first: on a log-retention-
+    * cleaned table ([[cleanupLog]]) the run starts at the retention
+    * floor instead of 0 — still contiguous from its own head, so a
+    * mid-log gap (a commit not yet landed) still truncates. */
   private def commits(): Seq[Commit] = {
     val (cfs, _) = listLog()
     val parsed = cfs.map { case (_, f) => readEntry(f) }
-    // contiguity: versions must run 0,1,2,… — a gap means the history
-    // beyond it is not yet committed
-    parsed.zipWithIndex.takeWhile { case (c, i) => c.version == i }.map(_._1)
+    val start = parsed.headOption.map(_.version).getOrElse(0L)
+    parsed.zipWithIndex
+      .takeWhile { case (c, i) => c.version == start + i }.map(_._1)
   }
 
   /** Full parsed commit log, oldest first — driver-side, file-name
@@ -361,6 +365,14 @@ final class TxTable private (spark: SparkSession, dir: String,
     val (cfs, ckpts) = listLog()
     val ck = ckpts.filter(_._1 <= version).lastOption
       .map { case (_, f) => readEntry(f) }
+    // log-retention guard: with no usable checkpoint and the v0 entry
+    // gone ([[cleanupLog]]), replay from scratch is impossible — fail
+    // LOUDLY instead of resolving an empty table for a version that
+    // once existed
+    require(ck.isDefined || cfs.isEmpty || cfs.head._1 == 0L,
+      s"cannot resolve version $version: the log was cleaned below " +
+        s"v${(cfs.map(_._1) ++ ckpts.map(_._1)).min} (cleanupLog) — " +
+        "earliest resolvable version is the oldest surviving checkpoint")
     // a checkpoint is only ever written after its commit exists, so
     // contiguity restarts at ck.version + 1
     val startV = ck.map(_.version + 1).getOrElse(0L)
@@ -3342,6 +3354,81 @@ final class TxTable private (spark: SparkSession, dir: String,
     * therefore kept regardless of reference state (the same
     * retention-period device Delta's VACUUM uses); the default
     * comfortably exceeds any stage-to-commit latency. */
+  /** LOG-RETENTION cleanup (Delta's `logRetentionDuration` shape, by
+    * version count): delete commit entries, checkpoints, and stats
+    * sidecars below the newest checkpoint that still leaves
+    * `retainVersions` of time-travel history. At 100 TB-over-years
+    * scale this is what keeps [[snapshotAt]]'s `_log` LISTING bounded
+    * — checkpoints bound REPLAY cost from day one, but a
+    * million-commit table would still list a million entry files per
+    * snapshot resolution without retention.
+    *
+    * Correctness contract:
+    *  - the cut lands ON a checkpoint, so every retained version
+    *    (cut..head) resolves exactly as before;
+    *  - time travel BELOW the cut fails loudly ("log was cleaned"),
+    *    never resolves an empty table;
+    *  - surviving files' column stats are CONSOLIDATED into the cut
+    *    checkpoint's stats sidecar before their per-commit sidecars
+    *    are deleted, so data skipping over old files keeps working;
+    *  - entries younger than `minAgeMs` are never touched (a reader
+    *    mid-replay of a pre-cut version races deletion — the same
+    *    age-guard contract vacuum uses; streams lagging below the cut
+    *    fail loudly on their next batch, Delta's retention trade).
+    * Returns the deleted log file names. */
+  def cleanupLog(retainVersions: Long = 100L,
+      minAgeMs: Long = 60 * 60 * 1000L): Seq[String] = {
+    require(retainVersions >= 1L, "retainVersions must be >= 1")
+    val (cfs, ckpts) = listLog()
+    val head = snapshot().version
+    if (head < 0) return Nil
+    val target = head - retainVersions + 1
+    val cut = ckpts.map(_._1).filter(_ <= target) match {
+      case Nil => return Nil // no checkpoint old enough to cut at
+      case vs  => vs.max
+    }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    // consolidate surviving stats FIRST: every entry for a file the
+    // cut checkpoint still references moves into the cut's own stats
+    // sidecar (later entries win per (file, column) in loadStats —
+    // appending the merged content preserves that)
+    val live = snapshotAt(cut)
+    val liveRel = (live.files ++ live.dvs)
+      .map(_.stripPrefix(s"$dir/")).toSet
+    val statFiles = Option(new File(logDir).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.getName.length == 20 + ".stats.tsv".length &&
+        f.getName.endsWith(".stats.tsv") &&
+        f.getName.take(20).forall(_.isDigit))
+      .map(f => (f.getName.take(20).toLong, f)).sortBy(_._1)
+    val deadStats = statFiles
+      .filter { case (v, f) => v < cut && f.lastModified() <= cutoff }
+    val keepLines = deadStats.flatMap { case (_, f) =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)
+        .filter(l => l.split("\t", -1).headOption
+          .exists(rel => liveRel.contains(dec(rel))))
+    }
+    if (keepLines.nonEmpty) {
+      val consolidated = new File(f"$logDir/$cut%020d.stats.tsv")
+      val prior =
+        if (consolidated.isFile)
+          new String(Files.readAllBytes(consolidated.toPath),
+            StandardCharsets.UTF_8)
+        else ""
+      // earlier-version lines PREPEND so any existing cut-version
+      // stats still win the later-entry-wins fold
+      Files.write(consolidated.toPath,
+        (keepLines.mkString("\n") + "\n" + prior)
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    val dead = (cfs ++ ckpts)
+      .filter { case (v, f) => v < cut && f.lastModified() <= cutoff }
+    dead.foreach(_._2.delete())
+    deadStats.foreach(_._2.delete())
+    (dead ++ deadStats).map(_._2.getName).sorted
+  }
+
   def vacuum(retainVersion: Long,
       minAgeMs: Long = 60 * 60 * 1000L): Seq[String] = {
     // alive = active at the retention horizon, or added after it (such

@@ -1897,6 +1897,44 @@ class TxTableSpec extends SparkTestBase {
     }
   }
 
+  test("cleanupLog bounds the log; retained history intact, cleaned loud") {
+    import spark.implicits._
+    val (t, tdir) = mkTable()
+    (0 until 25).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    assert(t.snapshot().version === 24) // checkpoints at v10, v20
+    val logDir = new File(s"$tdir/_log")
+    def entryCount = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".json") &&
+        !f.getName.endsWith(".ckpt.json"))
+    val before = entryCount
+    val removed = t.cleanupLog(retainVersions = 10, minAgeMs = 0L)
+    // head - 10 + 1 = 15 → cut at checkpoint v10: entries v0..v9 gone
+    assert(removed.nonEmpty)
+    assert(entryCount === before - 10)
+    // head reads unchanged; retained time travel intact at and past
+    // the cut
+    assert(t.read().count() === 250)
+    assert(t.readAt(10).count() === 110)
+    assert(t.readAt(20).count() === 210)
+    // below the cut: LOUD, never a silently-empty resolution
+    val e = intercept[Exception](t.readAt(5))
+    assert(e.getMessage.contains("cleaned"))
+    // data skipping over pre-cut files survives via the consolidated
+    // stats sidecar
+    val pruned = t.pruneFiles(t.snapshot(),
+      Seq(("id", Some(5L), Some(5L))))
+    assert(pruned.files.nonEmpty &&
+      pruned.files.size < t.snapshot().files.size)
+    assert(t.readWhere("id", 5L).count() === 1)
+    // the table keeps working: appends land, vacuum reclaims nothing
+    // (append-only history — every file is still active)
+    t.append(df(1000 until 1010))
+    assert(t.read().count() === 260)
+    assert(t.vacuum(t.snapshot().version, minAgeMs = 0L).isEmpty)
+    // a second cleanup at the same head is a no-op (no older ckpt)
+    assert(t.cleanupLog(retainVersions = 10, minAgeMs = 0L).isEmpty)
+  }
+
   test("identity columns: allocation, ALWAYS refusal, rewrite guards") {
     import spark.implicits._
     val (t, _) = mkTable()
