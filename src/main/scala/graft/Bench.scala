@@ -201,9 +201,13 @@ object Bench {
     // repeat offenders for shared-pass drift (r5 and r9 adjudicated the
     // same excursion by inference) — a cold-JVM number per round
     // settles the next drift with data.
+    // x_dedup_minhash_fast joined in r12: it was the one shared-pass
+    // number that looked insane under the r11 congestion (34.9 s vs
+    // 1.9 s idle) — a cold-JVM number per round ends that class of
+    // adjudication for it too.
     val alwaysIsolate = Seq("k12_tx_delete_where", "k13_tx_change_feed",
       "k14_deletion_vectors", "k16_tx_merge_clauses", "k17_tx_merge_multikey",
-      "x_decontaminate", "x_dedup_containment")
+      "x_decontaminate", "x_dedup_containment", "x_dedup_minhash_fast")
     val isolate = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_NO_ISOLATE").contains("1")
     val isolated: Seq[(String, Double)] =
@@ -227,8 +231,20 @@ object Bench {
     // mid-suite and late queries are suspect
     val loadEnd = loadavg()
     val canaryEnd = if (isChild) -1.0 else canary()
+    // Self-labeling (r11's lesson, where the driver ran the suite on a
+    // loadavg-10 machine and the artifact needed a judge re-bench to
+    // adjudicate): when either canary exceeds 1.5× the recorded idle
+    // calibration, the run stamps ITSELF congested — its absolute
+    // times are neighborhood-distorted and only the isolated/cold-JVM
+    // numbers (and the next idle run) should be compared round-over-
+    // round. The calibration is this machine's measured idle canary
+    // (SCALE.md); override via SPARK_GRAFT_CANARY_IDLE if the hardware
+    // changes.
+    val idleCal = sys.env.getOrElse("SPARK_GRAFT_CANARY_IDLE", "0.263").toDouble
+    val congested = !isChild &&
+      math.max(canaryStart, canaryEnd) > 1.5 * idleCal
     val canaryJson = if (isChild) "" else
-      s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"load_start":"$loadStart","load_end":"$loadEnd""""
+      s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"canary_idle":${fmt(idleCal)},"congested":$congested,"load_start":"$loadStart","load_end":"$loadEnd""""
 
     // Per-query run-level detail for mechanical artifact adjudication:
     // every timed run plus the relative spread (max-min)/median. A query

@@ -228,8 +228,32 @@ object TxTable {
       parts(2).toLong)
   }
 
+  /** TRANSACTION MARKERS (Delta's SetTransaction / `txnAppId` +
+    * `txnVersion` idempotent-writes device): a
+    * `txn-<b64(appId)>.<version>` token records the highest
+    * application-chosen version `appId` has committed to this table.
+    * A write carrying a txn identity swaps its app's token IN THE SAME
+    * COMMIT as the data, so "did batch N land?" is answered by the log
+    * itself — the streaming sink ([[graft.sources.tx.DefaultSource]])
+    * skips a replayed micro-batch whose version is already recorded,
+    * which is what makes a crash between the table commit and the
+    * engine's offset write re-emit NOTHING. One token per app;
+    * interleaved apps never disturb each other's marker. */
+  private[graft] def isTxnName(rel: String): Boolean =
+    rel.startsWith("txn-")
+
+  private[graft] def encodeTxn(appId: String, version: Long): String =
+    "txn-" + b64(appId) + s".$version"
+
+  private[graft] def decodeTxn(token: String): (String, Long) = {
+    val body = token.stripPrefix("txn-")
+    val i = body.indexOf('.')
+    (unb64(body.take(i)), body.drop(i + 1).toLong)
+  }
+
   /** Is `rel` ANY metadata token (constraint, column mapping, dropped
-    * column, protocol version, generated column, identity column)?
+    * column, protocol version, generated column, identity column,
+    * transaction marker)?
     * The one predicate every consumer that wants DATA+DV files must
     * filter with — clone commits in particular carry the full token
     * set in their add list, so a consumer filtering only some
@@ -237,7 +261,7 @@ object TxTable {
     * features. */
   private[graft] def isMetaToken(rel: String): Boolean =
     isCtName(rel) || isCmName(rel) || isCmxName(rel) ||
-      isPvName(rel) || isGcName(rel) || isIdName(rel)
+      isPvName(rel) || isGcName(rel) || isIdName(rel) || isTxnName(rel)
 
   private[ops] def encodePv(reader: Int, writer: Int): String =
     s"pv-$reader.$writer"
@@ -342,12 +366,22 @@ final class TxTable private (spark: SparkSession, dir: String,
     * fallback), oldest surviving entry first: on a log-retention-
     * cleaned table ([[cleanupLog]]) the run starts at the retention
     * floor instead of 0 — still contiguous from its own head, so a
-    * mid-log gap (a commit not yet landed) still truncates. */
+    * mid-log gap (a commit not yet landed) still truncates.
+    *
+    * A missing prefix is adopted as a retention floor ONLY when the
+    * oldest surviving entry coincides with a surviving checkpoint —
+    * cleanupLog cuts at a checkpoint and deletes strictly below it,
+    * so that is the cut's signature. Any other missing prefix (an
+    * eventually-consistent listing surfacing v1 before v0) keeps the
+    * old contiguity rule: the head is not-yet-committed, replay is
+    * empty — never a wrong floor that would mislead history() or
+    * versionAsOf. */
   private def commits(): Seq[Commit] = {
-    val (cfs, _) = listLog()
+    val (cfs, ckpts) = listLog()
     val parsed = cfs.map { case (_, f) => readEntry(f) }
     val start = parsed.headOption.map(_.version).getOrElse(0L)
-    parsed.zipWithIndex
+    if (start > 0L && !ckpts.exists(_._1 == start)) Nil
+    else parsed.zipWithIndex
       .takeWhile { case (c, i) => c.version == start + i }.map(_._1)
   }
 
@@ -821,6 +855,19 @@ final class TxTable private (spark: SparkSession, dir: String,
         "; adopting a subset would silently lose data — normalize " +
         "the layout first")
     val rels = found.map(_._1).sorted
+    // adopted names enter the commit log VERBATIM, where snapshot
+    // replay classifies reserved prefixes as metadata tokens (ct-/cm-/
+    // pv-/gc-/id-/txn- at the rel start) or deletion vectors (dv- on
+    // the basename): a converted file named e.g. 'id-batch7.parquet'
+    // would silently vanish from every read and then crash decodeId on
+    // the next append — refuse loudly, mirroring the mixed-layout
+    // refusal, instead of losing rows
+    val reserved = rels.filter(r => isMetaToken(r) || isDvName(r))
+    require(reserved.isEmpty,
+      s"convert: ${reserved.size} file name(s) in $dir collide with the " +
+        "log's reserved prefixes (ct-/cm-/cmx-/pv-/gc-/id-/txn- or a " +
+        s"dv- basename) and would be misread as metadata: " +
+        s"${reserved.take(3).mkString(", ")} — rename them first")
     val c = Commit(0L, "convert", rels, Nil, System.currentTimeMillis())
     require(tryCommit(c, fileStats(rels)),
       s"conversion raced: another writer committed v0 to $dir")
@@ -1039,6 +1086,33 @@ final class TxTable private (spark: SparkSession, dir: String,
   def identityColumns: Map[String, (Long, Long, Long)] =
     identMap(snapshot())
 
+  /** Highest transaction version recorded for `appId` (Delta's
+    * `txnVersion`), or None if the app never wrote with a txn
+    * identity — the replay-detection face of the `txn-` tokens. */
+  def txnVersion(appId: String): Option[Long] =
+    txnOf(snapshot(), appId)
+
+  private def txnOf(s: Snapshot, appId: String): Option[Long] =
+    s.cms.collectFirst {
+      case t if TxTable.isTxnName(t) &&
+        TxTable.decodeTxn(t)._1 == appId => TxTable.decodeTxn(t)._2
+    }
+
+  /** The (add, remove) token pair a `txn`-carrying commit must fold
+    * into its lists: the app's fresh marker in, every stale marker of
+    * the SAME app out (other apps' markers untouched). Computed per
+    * attempt against that attempt's base so a lost CAS re-derives —
+    * the swap rides the winning commit atomically with the data. */
+  private def txnSwap(base: Snapshot, txn: Option[(String, Long)])
+      : (Seq[String], Seq[String]) = txn match {
+    case None => (Nil, Nil)
+    case Some((app, v)) =>
+      require(app.nonEmpty, "txnAppId must be non-empty")
+      val stale = base.cms.filter(t =>
+        TxTable.isTxnName(t) && TxTable.decodeTxn(t)._1 == app)
+      (Seq(TxTable.encodeTxn(app, v)), stale)
+  }
+
   /** Declare `name` GENERATED ALWAYS AS IDENTITY (START WITH `start`
     * STEP `step`): from this commit on, appends must OMIT the column —
     * the engine allocates `start, start+step, …` and advances the
@@ -1130,7 +1204,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * the winner's high-water and restages — allocation uniqueness
     * rides the commit CAS, never a lock. */
   private def appendWithIdentity(df: DataFrame, maxRetries: Int,
-      evolve: Boolean, partitionCols: Seq[String]): Commit = {
+      evolve: Boolean, partitionCols: Seq[String],
+      txn: Option[(String, Long)] = None): Commit = {
     import org.apache.spark.sql.expressions.Window
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1139,8 +1214,14 @@ final class TxTable private (spark: SparkSession, dir: String,
       val gcs = gcMap(head)
       val idm = identMap(head)
       val df1 = applyGenerated(df, head)
+      // lowercased comparison, matching addIdentityColumn's own check:
+      // under Spark's default case-insensitive resolution a batch
+      // supplying 'ROW_ID' for identity column 'row_id' would pass a
+      // case-sensitive guard and have its values silently replaced by
+      // the withColumn below instead of refused loudly
+      val batchLower = df1.columns.map(_.toLowerCase).toSet
       idm.keys.toSeq.sorted.foreach { n =>
-        require(!df1.columns.contains(n),
+        require(!batchLower.contains(n.toLowerCase),
           s"column '$n' is GENERATED ALWAYS AS IDENTITY — writers " +
             "cannot supply it (the engine allocates)")
       }
@@ -1183,9 +1264,11 @@ final class TxTable private (spark: SparkSession, dir: String,
           (TxTable.encodeId(n, st, sp, hw + sp * total),
             TxTable.encodeId(n, st, sp, hw))
         }
+        val (txnAdd, txnRm) = txnSwap(head, txn)
         val c = Commit(head.version + 1,
           if (evolve) "evolve" else "append",
-          staged ++ tokenSwap.map(_._1), tokenSwap.map(_._2),
+          staged ++ tokenSwap.map(_._1) ++ txnAdd,
+          tokenSwap.map(_._2) ++ txnRm,
           System.currentTimeMillis())
         if (tryCommit(c, stats)) committed = Some(c)
         else {
@@ -2129,7 +2212,8 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def commitAppend(files: Seq[String], df: DataFrame,
       maxRetries: Int, evolve: Boolean = false,
       enforcedCts: Map[String, String] = Map.empty,
-      enforcedGcs: Map[String, String] = Map.empty): Commit = {
+      enforcedGcs: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Commit = {
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0
@@ -2137,8 +2221,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       val base = snapshot()
       if (evolve) guardSchemaEvolve(base, df) else guardSchema(base, df)
       guardConstraints(base, enforcedCts, files, enforcedGcs)
+      val (txnAdd, txnRm) = txnSwap(base, txn)
       val c = Commit(base.version + 1,
-        if (evolve) "evolve" else "append", files, Nil,
+        if (evolve) "evolve" else "append", files ++ txnAdd, txnRm,
         System.currentTimeMillis())
       if (tryCommit(c, stats)) return c
       attempt += 1
@@ -2157,17 +2242,25 @@ final class TxTable private (spark: SparkSession, dir: String,
     * retry loop against each attempt's head snapshot (see
     * [[guardSchema]]), so a concurrent overwrite that changes the
     * table's schema cannot let a now-mismatched append land. */
-  def append(df: DataFrame, maxRetries: Int = 50): Commit = {
+  def append(df: DataFrame, maxRetries: Int = 50): Commit =
+    append(df, maxRetries, None)
+
+  /** [[append]] carrying a transaction identity: the commit swaps the
+    * app's `txn-` marker atomically with the data (see
+    * [[TxTable.encodeTxn]]) — the idempotent-writes handshake the
+    * streaming sink rides. */
+  def append(df: DataFrame, maxRetries: Int,
+      txn: Option[(String, Long)]): Commit = {
     val s0 = snapshot()
     if (identMap(s0).nonEmpty)
-      return appendWithIdentity(df, maxRetries, evolve = false, Nil)
+      return appendWithIdentity(df, maxRetries, evolve = false, Nil, txn)
     val cts = ctMap(s0)
     val df2 = applyGenerated(df, s0)
     // layout-aware: appending to a hive-partitioned table re-stages
     // under its partition directories automatically (a flat file next
     // to partitioned ones would break path-based inference)
     commitAppend(stageLike(s0, toPhysical(enforced(df2, cts), s0)), df2,
-      maxRetries, enforcedCts = cts, enforcedGcs = gcMap(s0))
+      maxRetries, enforcedCts = cts, enforcedGcs = gcMap(s0), txn = txn)
   }
 
   /** Schema-EVOLVING append (Delta's `mergeSchema` write): the batch
@@ -2277,12 +2370,18 @@ final class TxTable private (spark: SparkSession, dir: String,
     * Every pruning surface ([[readPartitions]], [[partitionKeep]])
     * matches per-segment, so a bound on ANY of the keys prunes. */
   def appendPartitioned(df: DataFrame, partitionCols: Seq[String],
-      maxRetries: Int = 50): Commit = {
+      maxRetries: Int = 50): Commit =
+    appendPartitioned(df, partitionCols, maxRetries, None)
+
+  /** Multi-key partitioned append carrying a transaction identity —
+    * the partitioned twin of the txn [[append]] overload. */
+  def appendPartitioned(df: DataFrame, partitionCols: Seq[String],
+      maxRetries: Int, txn: Option[(String, Long)]): Commit = {
     val s0 = snapshot()
     if (identMap(s0).nonEmpty) {
       require(partitionCols.nonEmpty, "partitionCols must be non-empty")
       return appendWithIdentity(df, maxRetries, evolve = false,
-        partitionCols)
+        partitionCols, txn)
     }
     val cts = ctMap(s0)
     // generation runs BEFORE the partition-column check and the
@@ -2295,7 +2394,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     commitAppend(
       stagePartitioned(toPhysical(enforced(df2, cts), s0),
         partitionCols.map(physName(s0, _))),
-      df2, maxRetries, enforcedCts = cts, enforcedGcs = gcMap(s0))
+      df2, maxRetries, enforcedCts = cts, enforcedGcs = gcMap(s0),
+      txn = txn)
   }
 
   /** Manifest-pruned partition read: the snapshot's file list is
@@ -2402,7 +2502,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * `partitionBy`/`PARTITIONED BY` accompanies an overwrite. Empty =
     * preserve the base snapshot's layout ([[stageLike]]). */
   def overwriteAs(tag: String, df: DataFrame,
-      maxRetries: Int = 50, layout: Seq[String] = Nil): Commit = {
+      maxRetries: Int = 50, layout: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Commit = {
     require(tag.nonEmpty && !tag.contains('"'), s"bad action tag: $tag")
     val s0 = snapshot()
     require(identMap(s0).isEmpty,
@@ -2429,8 +2530,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     while (attempt < maxRetries) {
       val base = snapshot()
       guardConstraints(base, cts0, files, gcs0)
-      val c = Commit(base.version + 1, tag, files,
-        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
+      val (txnAdd, txnRm) = txnSwap(base, txn)
+      val c = Commit(base.version + 1, tag, files ++ txnAdd,
+        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")) ++ txnRm,
         System.currentTimeMillis())
       if (tryCommit(c, stats)) return c
       attempt += 1
@@ -2445,7 +2547,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     * the stale staged rewrite (never referenced) and re-derives against
     * the new head. */
   def upsert(updates: DataFrame, keys: Seq[String],
-      maxRetries: Int = 20): Commit = {
+      maxRetries: Int = 20): Commit =
+    upsert(updates, keys, maxRetries, None)
+
+  /** [[upsert]] carrying a transaction identity — the CDC-apply shape
+    * the streaming sink's merge mode commits per micro-batch. */
+  def upsert(updates: DataFrame, keys: Seq[String],
+      maxRetries: Int, txn: Option[(String, Long)]): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshot()
@@ -2465,8 +2573,9 @@ final class TxTable private (spark: SparkSession, dir: String,
         enforced(applyGenerated(merged, base), ctMap(base)), base))
       // a full rewrite retires the deletion vectors too: their targets
       // are all removed, and the rewrite read them applied
-      val c = Commit(base.version + 1, "upsert", files,
-        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
+      val (txnAdd, txnRm) = txnSwap(base, txn)
+      val c = Commit(base.version + 1, "upsert", files ++ txnAdd,
+        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")) ++ txnRm,
         System.currentTimeMillis())
       buildBlooms(files)
       if (tryCommit(c, fileStats(files))) return c

@@ -199,16 +199,21 @@ object Relational {
 
   // ------------------------------------------------------------------ J4
   /** Anti-join (SURVEY §2 J4 — the notebook's LEFT JOIN + IS NULL idiom,
-    * expressed natively as `left_anti`). */
+    * expressed natively as `left_anti`). The orders side is restricted
+    * to one status value so the result is NON-EMPTY at every test SF
+    * (every customer has some order, but dozens lack a 'P' one) — an
+    * all-empty result would hash-match any other empty result and prove
+    * only the schema. */
   private val antiJoin = GraftQuery(
     "j4_anti_join",
     (s, d) => Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name"),
     Some("""SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS
-              (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                 AND o_orderstatus = 'P')"""))
 
   // ------------------------------------------------------------------ A1
   /** Multi-SUM grouped rollup (SURVEY §2 A1, `etl.py:336-347`) in TPC-H Q1

@@ -746,6 +746,99 @@ object TxDmlQueries {
       () => runIdentity(t)
     }))
 
+  // ----------------------------------------------------------------- K37
+  /** NATIVE STREAMING SINK (`writeStream.format("txtable")`,
+    * [[graft.sources.tx.DefaultSource.createSink]]): the customer base
+    * is streamed INTO the table through the sink in append mode, then
+    * a CDC change set (updated balances + key-shifted fresh rows)
+    * streams through the sink's Update+mergeKeys mode — the
+    * foreachBatch-free upsert path, each micro-batch one atomic commit
+    * stamped with the query's (txnAppId, txnVersion) replay marker.
+    * The oracle derives the same three row fates declaratively; hash
+    * equality proves the whole streamed write path (schema threading,
+    * batch re-planting, latest-wins merge) lands exactly the batch
+    * semantics. Crash-replay and marker interleaving are spec-pinned
+    * (`TxStreamSinkSpec`). */
+  private def sinkChanges(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val keyShift = c.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    c.where(col("c_custkey").between(100L, 500L))
+      .withColumn("c_acctbal", round(col("c_acctbal") + 1000.0, 2))
+      .withColumn("c_mktsegment", lit("STRM"))
+      .unionByName(c.where(col("c_custkey") <= 50L)
+        .withColumn("c_custkey", col("c_custkey") + keyShift)
+        .withColumn("c_mktsegment", lit("NEWS")))
+  }
+
+  private def streamInto(s: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, tableDir: String,
+      mergeKeys: Option[String]): Unit = {
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-txsink-ck-").toString
+    val base = s.readStream.schema(schema).parquet(inDir)
+      .writeStream.format("txtable")
+      .option("path", tableDir).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = mergeKeys match {
+      case Some(k) =>
+        base.option("mergeKeys", k).outputMode("update").start()
+      case None => base.start()
+    }
+    q.awaitTermination()
+  }
+
+  private def seedSink(s: SparkSession, d: String): TxTable = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-txsink-").toString
+    val customer = Tables.customer(s, d)
+    customer.write.parquet(s"$root/in_base")
+    sinkChanges(s, d).write.parquet(s"$root/in_changes")
+    streamInto(s, s"$root/in_base", customer.schema, s"$root/t", None)
+    streamInto(s, s"$root/in_changes", customer.schema, s"$root/t",
+      Some("c_custkey"))
+    TxTable(s, s"$root/t")
+  }
+
+  private def readSink(t: TxTable): DataFrame =
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+
+  private val txStreamSink = GraftQuery(
+    "k37_tx_stream_sink",
+    (s, d) => readSink(seedSink(s, d)),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(CASE WHEN c_custkey BETWEEN 100 AND 500
+                       THEN ROUND(c_acctbal + 1000.0, 2)
+                       ELSE c_acctbal END, 2) AS c_acctbal,
+            CASE WHEN c_custkey BETWEEN 100 AND 500
+                 THEN 'STRM' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) + 1
+                     AS c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal,
+                   'NEWS' AS c_mktsegment
+            FROM customer WHERE c_custkey <= 50"""),
+    bench = false,
+    // timed region = the CDC change set streamed through the sink's
+    // Update+mergeKeys path (a fresh checkpoint per run so the
+    // replay marker never skips the work; re-upserting the same
+    // change set is content-idempotent) + the read-back
+    benchBuild = Some((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txsink-bench-").toString
+      val customer = Tables.customer(s, d)
+      customer.write.parquet(s"$root/in_base")
+      sinkChanges(s, d).write.parquet(s"$root/in_changes")
+      streamInto(s, s"$root/in_base", customer.schema, s"$root/t", None)
+      val t = TxTable(s, s"$root/t")
+      () => {
+        streamInto(s, s"$root/in_changes", customer.schema, s"$root/t",
+          Some("c_custkey"))
+        readSink(t)
+      }
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -841,5 +934,5 @@ object TxDmlQueries {
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
       txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
-      txAddColumns, txMergeEvolve, txIdentity, scd2Apply)
+      txAddColumns, txMergeEvolve, txIdentity, txStreamSink, scd2Apply)
 }

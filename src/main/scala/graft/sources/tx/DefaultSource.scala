@@ -2,9 +2,10 @@ package graft.sources.tx
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TxTable
@@ -46,9 +47,64 @@ import graft.ops.TxTable
   * checkpoint. */
 final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     with RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSinkProvider {
 
   override def shortName(): String = "txtable"
+
+  // ---------------------------------------------------- streaming sink
+  /** Structured Streaming SINK — `df.writeStream.format("txtable")
+    * .option("path", dir)`: every micro-batch lands as ONE atomic
+    * commit, with Delta's `(txnAppId, txnVersion)` idempotence riding
+    * the commit log ([[TxTable.encodeTxn]]): the sink stamps each
+    * commit with (appId, batchId) atomically with the data, and
+    * `addBatch` SKIPS a batch whose id the table already records — a
+    * crash between the table commit and the engine's offset write
+    * replays the batch, and the replay re-emits NOTHING. `appId`
+    * defaults to the query's `checkpointLocation` (the identity that
+    * survives restarts); override with `txnAppId` when several queries
+    * share a checkpoint convention or none is set.
+    *
+    * Modes:
+    *  - Append (default): each batch appends;
+    *    `writeStream.partitionBy(cols…)` builds/extends the hive
+    *    layout, and identity tables allocate per batch;
+    *  - Update + `mergeKeys=k1,k2` (+ optional `seqCol`): each batch is
+    *    collapsed to its LAST change per key (`max_by` over `seqCol`
+    *    when given — a batch can carry several updates per key) and
+    *    MERGED latest-wins ([[TxTable.upsert]]) — the foreachBatch-free
+    *    CDC-apply sink;
+    *  - Complete: each batch atomically overwrites the table (the
+    *    aggregate-snapshot shape).
+    *
+    * Scale shape: per trigger exactly the work of the equivalent batch
+    * write — an append stages only the batch's rows; the upsert is the
+    * stats-pruned rewrite. No sink-private state: the replay marker IS
+    * a log token, so restart recovery costs one snapshot resolution. */
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val o = opts(params)
+    val appId = o.get("txnappid")
+      .orElse(o.get("checkpointlocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the txtable sink needs a transaction identity for exactly-once " +
+          "replay protection: set option 'txnAppId' (or a " +
+          "'checkpointLocation', which is used as the default identity)"))
+    val mergeKeys = o.get("mergekeys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val seqCol = o.get("seqcol")
+    if (outputMode == OutputMode.Update())
+      require(mergeKeys.nonEmpty,
+        "txtable sink in Update mode needs option 'mergeKeys' " +
+          "(comma-separated upsert key columns)")
+    else
+      require(mergeKeys.isEmpty,
+        "option 'mergeKeys' implies Update (upsert) mode — " +
+          s"got $outputMode")
+    require(seqCol.isEmpty || mergeKeys.nonEmpty,
+      "option 'seqCol' only applies with 'mergeKeys'")
+    new TxTableSink(table(ctx, params), appId, outputMode, mergeKeys,
+      seqCol, partitionColumns)
+  }
 
   // ------------------------------------------------------- batch read
   /** BATCH read — `spark.read.format("txtable").option("path", dir)` /
@@ -137,10 +193,23 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
         // loud GENERATED-ALWAYS refusal
         val idCols = t.identityColumns.keySet
           .intersect(data.columns.toSet).toSeq.sorted
-        val cleaned =
-          if (idCols.isEmpty) data
-          else {
-            val nn = data.agg(
+        if (idCols.isEmpty) {
+          if (overwrite) {
+            t.overwriteAs("overwrite", data, layout = insertPartCols); ()
+          } else if (insertPartCols.nonEmpty) {
+            t.appendPartitioned(data, insertPartCols); ()
+          } else { t.append(data); () }
+        } else {
+          // PIN the batch before the null-count probe: probing and
+          // writing from two evaluations of the same query would let a
+          // non-deterministic insert be all-NULL in the probe but
+          // non-NULL in the write (or vice versa), flipping between
+          // DEFAULT allocation and the GENERATED-ALWAYS refusal
+          // mid-statement — both passes must see ONE materialization
+          // (the same discipline as appendWithIdentity's pin)
+          val (pinned, blocks) = graft.ops.Checkpoints.pin(data)
+          try {
+            val nn = pinned.agg(
               org.apache.spark.sql.functions.count(
                 org.apache.spark.sql.functions.col(idCols.head)),
               idCols.tail.map(c =>
@@ -148,13 +217,14 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
                   org.apache.spark.sql.functions.col(c))): _*).head()
             val allNull = idCols.zipWithIndex
               .filter { case (_, i) => nn.getLong(i) == 0L }.map(_._1)
-            data.drop(allNull: _*)
-          }
-        if (overwrite) {
-          t.overwriteAs("overwrite", cleaned, layout = insertPartCols); ()
-        } else if (insertPartCols.nonEmpty) {
-          t.appendPartitioned(cleaned, insertPartCols); ()
-        } else { t.append(cleaned); () }
+            val cleaned = pinned.drop(allNull: _*)
+            if (overwrite) {
+              t.overwriteAs("overwrite", cleaned, layout = insertPartCols); ()
+            } else if (insertPartCols.nonEmpty) {
+              t.appendPartitioned(cleaned, insertPartCols); ()
+            } else { t.append(cleaned); () }
+          } finally graft.ops.Checkpoints.release(ctx.sparkSession, blocks)
+        }
       }
       override def buildScan(requiredColumns: Array[String],
           filters: Array[Filter]): RDD[Row] = {
@@ -492,4 +562,52 @@ final class TxTableSource(
   override def commit(end: V1Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** The v1 sink behind [[DefaultSource.createSink]]. Stateless beyond
+  * the table handle: replay detection reads the table's own `txn-`
+  * marker, never sink memory — so it survives process death, which is
+  * the whole point. */
+final class TxTableSink(
+    t: TxTable, appId: String, mode: OutputMode,
+    mergeKeys: Seq[String], seqCol: Option[String],
+    partitionCols: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // replay guard: the engine re-delivers the last batch after a
+    // crash between the table commit and its own offset write; the
+    // marker committed WITH that batch's data answers "already
+    // landed?" exactly (monotone batch ids per app, Delta's contract)
+    if (t.txnVersion(appId).exists(_ >= batchId)) return
+    val txn = Some((appId, batchId))
+    // re-plant the streaming plan as a batch frame (ForeachBatchSink's
+    // own device) — the table's writers execute it as ordinary batch
+    val batch = org.apache.spark.sql.graft.StreamingShim.asBatch(data)
+    if (mode == OutputMode.Update()) {
+      import org.apache.spark.sql.functions.{col, expr}
+      val cols = batch.columns
+      val latest = seqCol match {
+        case None => batch
+        case Some(sc) => batch
+          .groupBy(mergeKeys.map(col): _*)
+          .agg(expr(s"max_by(struct(${cols.mkString(", ")}), $sc)")
+            .as("__r"))
+          .select(cols.toSeq.map(c => col(s"__r.$c")): _*)
+      }
+      // pin: upsert evaluates the source several times (dup probe,
+      // join) — one materialization for all passes
+      val (pinned, blocks) = graft.ops.Checkpoints.pin(latest)
+      try { t.upsert(pinned, mergeKeys, 20, txn); () }
+      finally graft.ops.Checkpoints.release(batch.sparkSession, blocks)
+    } else if (mode == OutputMode.Complete()) {
+      t.overwriteAs("overwrite", batch, layout = partitionCols,
+        txn = txn); ()
+    } else {
+      if (partitionCols.nonEmpty) {
+        t.appendPartitioned(batch, partitionCols, 50, txn); ()
+      } else { t.append(batch, 50, txn); () }
+    }
+  }
+
+  override def toString: String = s"TxTableSink[${t.tableDir}]"
 }

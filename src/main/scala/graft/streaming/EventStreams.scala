@@ -491,7 +491,9 @@ object EventStreams {
     * Unlike HLL union (idempotent — re-merging a replayed batch is
     * absorbed), SpaceSaving merge DOUBLE-COUNTS a replay, so the
     * snapshot records ONE (app_id → max batch_id) high-water MARKER
-    * ROW PER APP (term-null rows, carried forward through every
+    * ROW PER APP (flagged by a dedicated `__marker` boolean — never a
+    * sentinel term value, so a genuine NULL term group in the events
+    * survives as data — carried forward through every
     * overwrite) — Delta's txnAppId/txnVersion idempotent-writes
     * device, with the query's checkpoint location as the app
     * identity. A crash-replay of an already-applied batch from the
@@ -532,9 +534,21 @@ object EventStreams {
         val n = s.getPath.getName
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-    val prior0 =
-      if (hasData) spark.read.parquet(snapshotDir).where(lit(true))
-      else null
+    // markers carry a DEDICATED __marker discriminator, not a null
+    // term: a genuine NULL term group arriving in events must survive
+    // the merge and the snapshot query, not be conflated with
+    // bookkeeping rows. Snapshots written before the column existed
+    // (which used term-null markers and, being pre-discriminator,
+    // could not hold genuine null-term rows) upgrade in place by
+    // deriving the flag from term IS NULL.
+    val prior0 = {
+      val raw =
+        if (hasData) spark.read.parquet(snapshotDir).where(lit(true))
+        else null
+      if (raw == null) null
+      else if (raw.columns.contains("__marker")) raw
+      else raw.withColumn("__marker", col("term").isNull)
+    }
     // replay guard against THIS app's own high-water mark only — its
     // marker row, or its stamp on the data rows when it was the last
     // writer (also how pre-marker snapshots upgrade in place). The
@@ -554,8 +568,8 @@ object EventStreams {
       val merged =
         if (prior0 == null) fresh
         else {
-          // marker rows (term null) are bookkeeping, not summary content
-          val prior = prior0.where(col("term").isNotNull)
+          // marker rows are bookkeeping, not summary content
+          val prior = prior0.where(!col("__marker"))
             .select(g, col("term"), col("est"), col("err"))
           // per-side eviction floors, derivable from the summary
           // itself: min estimate when the group is at capacity,
@@ -591,6 +605,7 @@ object EventStreams {
         }
       val stamped = merged.withColumn("batch_id", lit(batchId))
         .withColumn("app_id", lit(appId))
+        .withColumn("__marker", lit(false))
       // carry every OTHER app's high-water marker forward (collapsed
       // to one row per app — pre-marker snapshots contribute their
       // data-row stamps the same way) and emit this app's fresh one;
@@ -608,6 +623,7 @@ object EventStreams {
       val markerRows = markers.select(sch.fields.toSeq.map { f =>
         f.name match {
           case "app_id" | "batch_id" => col(f.name)
+          case "__marker" => lit(true).as("__marker")
           case n => lit(null).cast(f.dataType).as(n)
         }
       }: _*)
@@ -621,9 +637,15 @@ object EventStreams {
   /** Query face of [[heavyHittersSink]]'s snapshot: top-k frequent
     * terms per group with ranks and certificates. */
   def heavyHittersSnapshot(spark: SparkSession, snapshotDir: String,
-      groupCol: String, k: Int): DataFrame =
-    spark.read.parquet(snapshotDir)
-      .where(col("term").isNotNull) // drop per-app replay markers
+      groupCol: String, k: Int): DataFrame = {
+    val raw = spark.read.parquet(snapshotDir)
+    // drop per-app replay markers by their dedicated discriminator
+    // (pre-discriminator snapshots used term-null markers and could
+    // not hold genuine null-term rows, so the fallback is exact)
+    val data =
+      if (raw.columns.contains("__marker")) raw.where(!col("__marker"))
+      else raw.where(col("term").isNotNull)
+    data
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(groupCol))
@@ -631,6 +653,7 @@ object EventStreams {
       .where(col("rank") <= k)
       .select(col(groupCol), col("term"), col("est"), col("err"),
         col("rank").cast("int").as("rank"))
+  }
 
   /** Query face of [[sketchRollupSink]]'s snapshot: per-group distinct
     * estimates, plus any coarser rollup by re-unioning the sketches. */

@@ -51,4 +51,20 @@ object StreamingShim {
       spark.internalCreateDataFrame(
         cds.queryExecution.toRdd, cds.schema, isStreaming = true)
   }
+
+  /** The inverse bridge, for a v1 streaming SINK: the DataFrame
+    * `addBatch` receives carries a streaming (incremental-execution)
+    * plan that ordinary batch writers refuse ("Queries with streaming
+    * sources must be executed with writeStream.start()"). Re-wrap the
+    * batch's computed rows as a plain batch frame — the same
+    * `internalCreateDataFrame` re-plant Spark's own `ForeachBatchSink`
+    * performs before handing the user their batch view. Executing the
+    * returned frame re-runs the wrapped RDD lineage, which for a
+    * micro-batch window is a bounded, deterministic replay. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cds = df.asInstanceOf[Dataset[Row]]
+    val spark = cds.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      cds.queryExecution.toRdd, cds.schema, isStreaming = false)
+  }
 }
