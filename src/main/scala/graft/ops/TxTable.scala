@@ -304,6 +304,24 @@ object TxTable {
     new TxTable(spark, dir.stripSuffix("/"), store)
   }
 
+  /** Parse a user-facing wall-clock string to epoch millis with an
+    * EXPLICIT UTC interpretation: epoch millis pass through; otherwise
+    * 'yyyy-MM-dd[ HH:mm:ss[.f…]]' is read as UTC. Every engine session
+    * pins `spark.sql.session.timeZone=UTC` and commit timestamps are
+    * epoch millis, so parsing via the JVM DEFAULT zone
+    * (`java.sql.Timestamp.valueOf`) would shift time-travel / restore /
+    * change-feed targets by the host's zone offset on any non-UTC
+    * machine — the shared parser removes that host dependence. */
+  private[graft] def parseTsUtc(s: String): Long =
+    try s.trim.toLong
+    catch { case _: NumberFormatException =>
+      val t = s.trim.replace(' ', 'T')
+      val ldt =
+        if (t.contains("T")) java.time.LocalDateTime.parse(t)
+        else java.time.LocalDate.parse(t).atStartOfDay()
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   /** Minimal JSON codec for [[Commit]] — the log is OUR OWN output;
     * fields are longs, a known action enum, and UUID-based file names
     * (never containing quotes or brackets). */
@@ -888,6 +906,18 @@ final class TxTable private (spark: SparkSession, dir: String,
       s"no commit at or before ts=$ts in $logDir — the table did not " +
         "exist yet at that time")
     cs.last.version
+  }
+
+  /** The EARLIEST version committed at or after wall-clock `ts` (epoch
+    * millis) — how a change-feed `startingTimestamp` resolves (Delta's
+    * contract: the feed starts at the first commit at or after the
+    * timestamp), the mirror of [[versionAsOf]]'s newest-at-or-before. */
+  def versionSince(ts: Long): Long = {
+    val cs = commits().filter(_.ts >= ts)
+    require(cs.nonEmpty,
+      s"no commit at or after ts=$ts in $logDir — nothing changed " +
+        "since that time")
+    cs.head.version
   }
 
   /** The table's content as of wall-clock time `ts` (epoch millis). */

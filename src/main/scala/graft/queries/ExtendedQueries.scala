@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -908,6 +909,74 @@ object ExtendedQueries {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"),
           col("_change_type"), col("_commit_version"))
+    }))
+
+  // ----------------------------------------------------------------- K38
+  /** BATCH CDF through the READER OPTIONS
+    * (`spark.read.format("txtable").option("readChangeFeed", true)
+    * .option("startingVersion", 1)` — the way Delta users replicate a
+    * table): the SAME protocol history as K13 (append base at v0,
+    * upsert at v1), consumed through the standard batch reader instead
+    * of the Scala `readChanges` call. The oracle is K13's EXCEPT-ALL
+    * derivation verbatim, so hash equality proves the option surface
+    * (window resolution, inclusive bounds, schema threading) is
+    * exactly the programmatic feed. */
+  private def seedCdf(s: SparkSession, d: String): graft.ops.TxTable = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-txcdf2-").toString
+    val t = graft.ops.TxTable(s, s"$dir/customer")
+    val customer = Tables.customer(s, d)
+    t.append(customer)
+    val changes = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+      .where(col("n") > 5)
+    val updates = customer
+      .join(broadcast(changes), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("total").as("c_acctbal"),
+        lit("UPGRADED").as("c_mktsegment"))
+    t.upsert(updates, Seq("c_custkey"))
+    t
+  }
+
+  private def readCdfOptions(s: SparkSession, t: graft.ops.TxTable): DataFrame =
+    s.read.format("txtable").option("path", t.tableDir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load()
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"),
+        col("_change_type"), col("_commit_version"))
+
+  private val txBatchCdfOptions = GraftQuery(
+    "k38_tx_batch_cdf_options",
+    (s, d) => readCdfOptions(s, seedCdf(s, d)),
+    Some("""WITH agg AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            upd AS (SELECT c_custkey, c_name, c_nationkey,
+                     total AS c_acctbal, 'UPGRADED' AS c_mktsegment
+                    FROM customer JOIN agg ON c_custkey = o_custkey
+                    WHERE n > 5),
+            old AS (SELECT c.* FROM customer c
+                    WHERE c_custkey IN (SELECT c_custkey FROM upd)),
+            ins AS (SELECT * FROM upd EXCEPT ALL SELECT * FROM old),
+            del AS (SELECT * FROM old EXCEPT ALL SELECT * FROM upd)
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+                   'insert' AS _change_type,
+                   CAST(1 AS BIGINT) AS _commit_version FROM ins
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2), c_mktsegment,
+                   'delete', CAST(1 AS BIGINT) FROM del"""),
+    bench = false,
+    // timed region = relation construction + feed reconstruction
+    // through the reader-option path (the per-consumer cost)
+    benchBuild = Some((s, d) => {
+      val t = seedCdf(s, d)
+      () => readCdfOptions(s, t)
     }))
 
   // ----------------------------------------------------------------- K14
@@ -1830,7 +1899,8 @@ object ExtendedQueries {
     fuzzyJaroWinkler, slidingWindow, compaction, intervalArith,
     zstdRoundtrip, denseIds, textRoundtrip, valueOutliers, conditionalAgg,
     dynamicOverwrite, txTableMerge, txTableSkip, txTableDelete,
-    txChangeFeed, txDeletionVectors, txSchemaEvolution, txMergeClauses,
+    txChangeFeed, txBatchCdfOptions, txDeletionVectors, txSchemaEvolution,
+    txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
     recursiveCte, variantJson)
 }

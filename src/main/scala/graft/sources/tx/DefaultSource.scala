@@ -147,6 +147,8 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       userSchema: Option[StructType]): BaseRelation = {
     val o = opts(parameters)
     val t = table(ctx, parameters)
+    if (o.get("readchangefeed").exists(_.toBoolean))
+      return cdfRelation(ctx, t, o, userSchema)
     require(!(o.contains("versionasof") && o.contains("timestampasof")),
       "versionAsOf and timestampAsOf are mutually exclusive")
     // head reads PIN the version resolved HERE, where the relation's
@@ -156,13 +158,9 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     // could serve data from a different version than the schema, or
     // mixed versions across scans
     val version: Long = o.get("versionasof").map(_.toLong)
-      .orElse(o.get("timestampasof").map { s =>
-        val ms =
-          try s.toLong
-          catch { case _: NumberFormatException =>
-            java.sql.Timestamp.valueOf(s).getTime }
-        t.versionAsOf(ms)
-      }).getOrElse(t.snapshot().version)
+      .orElse(o.get("timestampasof").map(s =>
+        t.versionAsOf(TxTable.parseTsUtc(s))))
+      .getOrElse(t.snapshot().version)
     // empty table + declared schema: a zero-row frame under that
     // schema (scans included) until the first commit lands
     val emptyDeclared = version < 0 && userSchema.isDefined
@@ -245,6 +243,64 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
             .map(org.apache.spark.sql.functions.col): _*)
         projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
       }
+    }
+  }
+
+  /** BATCH CHANGE DATA FEED — the reader options Delta users replicate
+    * tables with:
+    *
+    * {{{
+    * spark.read.format("txtable").option("path", dir)
+    *   .option("readChangeFeed", "true")
+    *   .option("startingVersion", "1")          // inclusive; required
+    *   .option("endingVersion", "7")            // inclusive; optional
+    *   .load()                                  // …, _change_type, _commit_version
+    * }}}
+    *
+    * `startingTimestamp` / `endingTimestamp` (epoch millis or
+    * 'yyyy-MM-dd[ HH:mm:ss]', read as UTC — the session zone) resolve
+    * to the first commit at-or-after / last commit at-or-before.
+    * Rows are [[TxTable.readChanges]]'s net row-level changes over the
+    * inclusive version window: appends as inserts, DV commits as the
+    * exact killed rows, rewrites as their delete+insert diff. This
+    * option surface IS the engine's SQL-adjacent batch CDF face (the
+    * documented choice over a `table_changes` TVF: it composes with
+    * `CREATE TABLE … USING txtable` catalog entries and needs no
+    * analyzer extension); the STREAMING `readChangeFeed` option on
+    * `readStream` is the continuous twin. */
+  private def cdfRelation(ctx: SQLContext, t: TxTable,
+      o: Map[String, String], userSchema: Option[StructType]): BaseRelation = {
+    require(userSchema.isEmpty,
+      "readChangeFeed derives its schema from the feed; do not pass one")
+    require(!o.contains("versionasof") && !o.contains("timestampasof"),
+      "readChangeFeed and versionAsOf/timestampAsOf are mutually " +
+        "exclusive (the feed is a version WINDOW, not a snapshot)")
+    require(!(o.contains("startingversion") && o.contains("startingtimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    require(!(o.contains("endingversion") && o.contains("endingtimestamp")),
+      "endingVersion and endingTimestamp are mutually exclusive")
+    val start: Long = o.get("startingversion").map(_.toLong)
+      .orElse(o.get("startingtimestamp").map(s =>
+        t.versionSince(TxTable.parseTsUtc(s))))
+      .getOrElse(throw new IllegalArgumentException(
+        "readChangeFeed needs 'startingVersion' or 'startingTimestamp' " +
+          "(batch CDF reads a window, never an implicit full history)"))
+    require(start >= 0, s"startingVersion must be >= 0, got $start")
+    val end: Long = o.get("endingversion").map(_.toLong)
+      .orElse(o.get("endingtimestamp").map(s =>
+        t.versionAsOf(TxTable.parseTsUtc(s))))
+      .getOrElse(Long.MaxValue)
+    require(end >= start,
+      s"endingVersion $end is below startingVersion $start")
+    // readChanges is exclusive-from / inclusive-to; the option pair is
+    // inclusive-inclusive (Delta's contract)
+    val df = t.readChanges(start - 1, end)
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }
   }
 

@@ -139,4 +139,71 @@ class TxBatchRelationSpec extends SparkTestBase {
     assert(spark.read.format("txtable").option("path", s"$dir/t")
       .load().count() === 35)
   }
+
+  test("batch CDF options: version window, inclusive bounds, tags") {
+    val dir = Files.createTempDirectory("graft-txrel-cdf-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append(df(0 until 10))   // v0
+    t.append(df(10 until 15))  // v1
+    t.deleteBetween("id", 0L, 2L) // v2: rewrite, net 3 deletes
+    def read = spark.read.format("txtable").option("path", s"$dir/t")
+      .option("readChangeFeed", "true")
+    // [1, head]: v1's 5 inserts + v2's 3 deletes
+    val w1 = read.option("startingVersion", "1").load()
+    assert(w1.count() === 8)
+    assert(w1.where(col("_change_type") === "insert").count() === 5)
+    assert(w1.where(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 1L, 2L))
+    // inclusive ending bound cuts v2 out
+    assert(read.option("startingVersion", "1")
+      .option("endingVersion", "1").load().count() === 5)
+    // from v0: the initial append surfaces as inserts too
+    assert(read.option("startingVersion", "0").load().count() === 18)
+  }
+
+  test("batch CDF timestamp forms resolve via UTC, not the host zone") {
+    val dir = Files.createTempDirectory("graft-txrel-cdfts-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append(df(0 until 4)) // v0
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(df(4 until 9)) // v1
+    def read = spark.read.format("txtable").option("path", s"$dir/t")
+      .option("readChangeFeed", "true")
+    // epoch-millis forms: start at the first commit at-or-after mid
+    assert(read.option("startingTimestamp", mid.toString)
+      .load().count() === 5)
+    assert(read.option("startingTimestamp", "0")
+      .option("endingTimestamp", mid.toString).load().count() === 4)
+    // the wall-clock string form is parsed as UTC: render `mid` in UTC
+    // and expect the same window a host-zone parse would only give on
+    // a UTC machine
+    val utc = java.time.Instant.ofEpochMilli(mid)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    assert(read.option("startingTimestamp", utc).load().count() === 5)
+  }
+
+  test("batch CDF option conflicts refuse loudly") {
+    val dir = Files.createTempDirectory("graft-txrel-cdfx-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append(df(0 until 3))
+    def read = spark.read.format("txtable").option("path", s"$dir/t")
+      .option("readChangeFeed", "true")
+    intercept[IllegalArgumentException] { read.load() } // no start
+    intercept[IllegalArgumentException] {
+      read.option("startingVersion", "0")
+        .option("startingTimestamp", "0").load()
+    }
+    intercept[IllegalArgumentException] {
+      read.option("startingVersion", "0")
+        .option("versionAsOf", "0").load()
+    }
+    intercept[IllegalArgumentException] {
+      read.option("startingVersion", "1")
+        .option("endingVersion", "0").load()
+    }
+  }
 }
