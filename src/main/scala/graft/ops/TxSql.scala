@@ -277,24 +277,29 @@ final class TxSql(spark: SparkSession) {
       }
 
     // MERGE … WITH SCHEMA EVOLUTION (Delta's auto-widening): source
-    // columns the target lacks are added FIRST as one O(1) evolve
-    // commit ([[TxTable.addColumns]] — zero-row carrier, existing
-    // rows read SQL NULL), then the merge proceeds against the
-    // widened schema, so `UPDATE SET *` / `INSERT *` land the new
-    // columns' values. Source key columns paired to differently-named
-    // target keys are join plumbing, not payload — excluded. Without
-    // the keyword, an extra source column under star clauses still
-    // refuses (the engine's schema guard), Delta's own contract.
-    if (m.withSchemaEvolution) {
-      val pairedAway = keyPairs.collect {
-        case (tk, sk) if !tk.equalsIgnoreCase(sk) => sk.toLowerCase
-      }.toSet
-      val extras = srcDf.schema.fields.filterNot(f =>
-        tcols.contains(f.name.toLowerCase) ||
-          pairedAway.contains(f.name.toLowerCase))
-      if (extras.nonEmpty)
-        t.addColumns(org.apache.spark.sql.types.StructType(extras))
-    }
+    // columns the target lacks widen the table IN THE MERGE'S OWN
+    // COMMIT (`TxTable.merge(widenBy = …)` stages the zero-row carrier
+    // with the rewrite, one atomic `merge-evolve` entry), so
+    // `UPDATE SET *` / `INSERT *` land the new columns' values and a
+    // merge that FAILS any check leaves the schema untouched — Delta's
+    // one-commit contract, spec-pinned ("failed evolving merge leaves
+    // the schema unchanged"). Source key columns paired to
+    // differently-named target keys are join plumbing, not payload —
+    // excluded. Without the keyword, an extra source column under star
+    // clauses still refuses (the engine's schema guard), Delta's own
+    // contract.
+    val widenBy: org.apache.spark.sql.types.StructType =
+      if (!m.withSchemaEvolution)
+        new org.apache.spark.sql.types.StructType()
+      else {
+        val pairedAway = keyPairs.collect {
+          case (tk, sk) if !tk.equalsIgnoreCase(sk) => sk.toLowerCase
+        }.toSet
+        org.apache.spark.sql.types.StructType(
+          srcDf.schema.fields.filterNot(f =>
+            tcols.contains(f.name.toLowerCase) ||
+              pairedAway.contains(f.name.toLowerCase)))
+      }
 
     def clause(c: Option[Expression]): Column =
       c.map(x => ColumnShim.column(remap(x, tnames, snames)))
@@ -408,7 +413,7 @@ final class TxSql(spark: SparkSession) {
       ins, updateSet = updSet, insertValues = insVals,
       whenNotMatchedBySourceUpdate = nmsUpdAdjusted,
       whenNotMatchedBySourceDelete = nmsDel,
-      sourceKeys = keyPairs.map(_._2)))
+      sourceKeys = keyPairs.map(_._2), widenBy = widenBy))
     refreshCatalog(tparts)
     r
   }

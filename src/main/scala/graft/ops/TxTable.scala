@@ -444,7 +444,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     // evolved-schema marker survives checkpointing: the checkpoint
     // entry's action records whether any evolve preceded it
     val evolved = ck.exists(_.action == "ckpt-evolve") ||
-      cs.exists(c => c.action == "evolve" || c.action == "clone-evolve")
+      cs.exists(c => c.action == "evolve" || c.action == "clone-evolve" ||
+        c.action == "merge-evolve")
     // READ-side protocol gate: an engine below the table's recorded
     // reader requirement must not resolve a snapshot at all — every
     // operation funnels through here, so nothing can silently misread
@@ -2668,6 +2669,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     * committed action is a rewrite, so [[readChanges]] emits the net
     * row changes (an update as its delete + insert pair, carried rows
     * not at all) with no merge-specific CDC code. */
+  /** `widenBy` (MERGE WITH SCHEMA EVOLUTION): columns to add to the
+    * table ATOMICALLY WITH the merge — the commit stages the merge
+    * rewrite plus a zero-row carrier footer for the new columns and
+    * lands as ONE `merge-evolve` entry, so a merge that fails any
+    * check (duplicate source keys, assignment typing, constraint
+    * violation, retry exhaustion) leaves the schema exactly as it was;
+    * Delta performs the same widen+merge as one commit. Columns that
+    * already exist at an attempt's head (a concurrent evolve landed
+    * them) are skipped, not refused. */
   def merge(source: DataFrame, keys: Seq[String],
       whenMatchedUpdate: Option[Column] = None,
       whenMatchedDelete: Option[Column] = None,
@@ -2677,7 +2687,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       insertValues: Option[Map[String, Column]] = None,
       whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
       whenNotMatchedBySourceDelete: Option[Column] = None,
-      sourceKeys: Seq[String] = Nil): Commit = {
+      sourceKeys: Seq[String] = Nil,
+      widenBy: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()): Commit = {
     require(keys.nonEmpty, "merge needs at least one key column")
     // ON t.id = s.customer_id — positionally paired with `keys`; empty
     // means the source keys share the target names (the star-clause
@@ -2766,10 +2778,27 @@ final class TxTable private (spark: SparkSession, dir: String,
       val headSchema =
         if (head.files.isEmpty) None
         else Some(toLogical(head.read(spark), head).schema)
+      // schema evolution, re-derived per attempt against THIS head: the
+      // columns still missing (a concurrent evolve may have landed
+      // some). The merge validates and stages against the WIDENED
+      // schema, and the commit below carries the widening — nothing
+      // evolves unless the merge itself lands.
+      val widen: Seq[org.apache.spark.sql.types.StructField] =
+        headSchema match {
+          case None => Nil // empty table: schema IS the merge output's
+          case Some(hs) =>
+            val have = hs.fieldNames.map(_.toLowerCase).toSet
+            widenBy.fields.toSeq
+              .filterNot(f => have.contains(f.name.toLowerCase))
+        }
+      val effSchema: Option[org.apache.spark.sql.types.StructType] =
+        headSchema.map(hs =>
+          if (widen.isEmpty) hs
+          else org.apache.spark.sql.types.StructType(hs.fields ++ widen))
       val needIdentical =
         (whenMatchedUpdate.isDefined && updateSet.isEmpty) ||
           (whenNotMatchedInsert.isDefined && insertValues.isEmpty)
-      headSchema.foreach { hs =>
+      effSchema.foreach { hs =>
         // nullability-normalized name -> type maps ([[normNull]]): a
         // source whose NESTED nullability drifted through joins/aggs is
         // shape-compatible and must not be refused
@@ -2781,10 +2810,10 @@ final class TxTable private (spark: SparkSession, dir: String,
               s"$incoming (UPDATE/INSERT * needs identical shape; use " +
               "column-level assignments for a differently-shaped source)")
       }
-      val targetCols: Seq[String] = headSchema
+      val targetCols: Seq[String] = effSchema
         .map(_.fields.map(_.name).toSeq).getOrElse(source.columns.toSeq)
       val tTypes: Map[String, org.apache.spark.sql.types.DataType] =
-        headSchema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+        effSchema.map(_.fields.map(f => f.name -> f.dataType).toMap)
           .getOrElse(Map.empty)
       // assignment keys must be table columns — a typo must refuse,
       // not silently invent a column the select would then drop
@@ -2821,10 +2850,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       // updateBetween's assignment guard
       def guardAssignTypes(frame: DataFrame,
           m: Map[String, Column]): Unit =
-        if (m.nonEmpty && headSchema.isDefined) {
+        if (m.nonEmpty && effSchema.isDefined) {
           val assigned = typeMap(frame.select(m.toSeq.sortBy(_._1)
             .map { case (c, v) => v.as(c) }: _*).schema)
-          val expect = typeMap(headSchema.get)
+          val expect = typeMap(effSchema.get)
             .filter(kv => m.contains(kv._1))
           require(assigned == expect,
             s"MERGE assignments change column types: table has " +
@@ -2851,13 +2880,14 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
       val out =
         if (pruned.files.isEmpty) {
-          if (whenNotMatchedInsert.isEmpty && headSchema.isDefined)
+          if (whenNotMatchedInsert.isEmpty && effSchema.isDefined)
             // nothing to insert and nothing survives pruning: a
-            // zero-row frame with the TABLE's schema (referencing
-            // insVal here would analyze `s.<col>` for no reason)
+            // zero-row frame with the TABLE's (widened) schema
+            // (referencing insVal here would analyze `s.<col>` for no
+            // reason)
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
-              headSchema.get)
+              effSchema.get)
           else {
             val sAliased = source.alias("s")
             insertValues.foreach(m => guardAssignTypes(sAliased, m))
@@ -2873,7 +2903,14 @@ final class TxTable private (spark: SparkSession, dir: String,
             .map(p => coalesce(p._1, lit(false))).getOrElse(lit(false))
           val nmsD = whenNotMatchedBySourceDelete
             .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
-          val t = readSnapshot(pruned)
+          // candidates read under the WIDENED schema: the new columns
+          // null-pad, exactly what a merged-footer read serves after
+          // the carrier lands — so outVal's carried-row fallback
+          // `t.<col>` resolves for them too
+          val tPadded = widen.foldLeft(readSnapshot(pruned)) { (df, f) =>
+            df.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+          val t = tPadded
             .withColumn("__tp", lit(1)).alias("t")
           val s2 = source.withColumn("__sp", lit(1)).alias("s")
           val keyCond = keys.zip(srcKeys)
@@ -2900,7 +2937,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // type (branch coercion in the when() mix could otherwise
       // smuggle a widened type into the files) — same contract as
       // updateBetween's assignment guard
-      headSchema.foreach { hs =>
+      effSchema.foreach { hs =>
         require(typeMap(out.schema) == typeMap(hs),
           s"MERGE assignments change column types: table has " +
             s"${typeMap(hs)}, merge writes ${typeMap(out.schema)} " +
@@ -2912,12 +2949,25 @@ final class TxTable private (spark: SparkSession, dir: String,
       // drifted generated value fails the write job loudly)
       val staged = stageLike(head, toPhysical(
         enforced(applyGenerated(out, head), ctMap(head)), head))
-      val c = Commit(pruned.version + 1, "merge", staged,
+      // schema evolution rides THIS commit: the zero-row carrier footer
+      // (the addColumns device) plus the widened rewrite files land
+      // under ONE `merge-evolve` entry — a merge that never commits
+      // never widens. Unrewritten files lack the new columns, so the
+      // action flips merged-footer reads on, like any evolve.
+      val carrier =
+        if (widen.isEmpty) Nil
+        else stageCarrier(head,
+          org.apache.spark.sql.types.StructType(widen))
+      val c = Commit(pruned.version + 1,
+        if (widen.isEmpty) "merge" else "merge-evolve",
+        carrier ++ staged,
         pruned.files.map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
       buildBlooms(staged)
       if (tryCommit(c, fileStats(staged))) return c
-      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      (carrier ++ staged).foreach { n =>
+        new File(dir, n).delete(); dropBlooms(n)
+      }
       attempt += 1
     }
     sys.error(s"merge contention: lost $maxRetries races in $logDir")

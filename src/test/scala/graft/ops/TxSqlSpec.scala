@@ -229,7 +229,8 @@ class TxSqlSpec extends SparkTestBase {
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *"))
     assert(e.getMessage.contains("schema"))
-    // with it: one evolve commit widens, then the merge lands values
+    // with it: ONE atomic merge-evolve commit widens AND merges
+    val before = t.snapshot().version
     sql.run(
       s"MERGE WITH SCHEMA EVOLUTION INTO txtable.`$p` t " +
         "USING txsql_evo_src s ON t.k = s.k " +
@@ -242,6 +243,51 @@ class TxSqlSpec extends SparkTestBase {
     assert(out(9L) === (900L, "fresh"))  // inserted with new column
     assert(out(0L) === (0L, null))       // carried rows read SQL NULL
     assert(t.read().columns.toSeq === Seq("k", "v", "tag", "extra"))
+    // widen + merge landed as ONE commit, never a standalone evolve
+    assert(t.snapshot().version === before + 1)
+    assert(t.history().where(col("version") === before + 1)
+      .select("action").as[String].head() === "merge-evolve")
+  }
+
+  test("failed evolving merge leaves the schema unchanged") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 6))
+    val v0 = t.snapshot().version
+    // failure shape 1: duplicate source keys — refused before anything
+    // stages or commits
+    Seq((2L, 20L, "a", "x"), (2L, 21L, "b", "y"))
+      .toDF("k", "v", "tag", "extra")
+      .createOrReplaceTempView("txsql_evo_dup")
+    intercept[Exception](sql.run(
+      s"MERGE WITH SCHEMA EVOLUTION INTO txtable.`$p` t " +
+        "USING txsql_evo_dup s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(!t.read().columns.contains("extra"),
+      "a refused evolving merge must not leave the widening behind")
+    assert(t.snapshot().version === v0)
+    // failure shape 2: the merge output violates a CHECK constraint —
+    // the write job dies AFTER validation started, and the widening
+    // (same commit as the rewrite) still never lands
+    t.addConstraint("v_pos", "v >= 0")
+    val v1 = t.snapshot().version
+    Seq((3L, -999L, "bad", "x")).toDF("k", "v", "tag", "extra")
+      .createOrReplaceTempView("txsql_evo_bad")
+    intercept[Exception](sql.run(
+      s"MERGE WITH SCHEMA EVOLUTION INTO txtable.`$p` t " +
+        "USING txsql_evo_bad s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(!t.read().columns.contains("extra"))
+    assert(t.snapshot().version === v1)
+    // and the table still works: a clean evolving merge now lands
+    Seq((3L, 333L, "ok", "fine")).toDF("k", "v", "tag", "extra")
+      .createOrReplaceTempView("txsql_evo_ok")
+    sql.run(
+      s"MERGE WITH SCHEMA EVOLUTION INTO txtable.`$p` t " +
+        "USING txsql_evo_ok s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    assert(t.read().where(col("k") === 3L)
+      .select("extra").as[String].head() === "fine")
   }
 
   test("DELETE-only MERGE accepts a differently-shaped source") {
