@@ -94,33 +94,38 @@ final class TxSql(spark: SparkSession) {
           case None    => summary0()
         }
       }
-      case VacuumRe(ident, n, unit) => mutating(ident) { t =>
+      case VacuumRe(ident, n, unit, dry) => mutating(ident) { t =>
         val sq = spark; import sq.implicits._
+        // DRY RUN (Delta's grammar): the identical walk and guards,
+        // returning the would-be list while deleting nothing
+        val dryRun = dry != null
+        // RETAIN omitted → Delta's default retention, 168 hours
         val names =
-          if (unit.equalsIgnoreCase("VERSIONS")) {
+          if (n != null && unit.equalsIgnoreCase("VERSIONS")) {
             val head = t.snapshot().version
-            t.vacuum(math.max(0L, head - (n.toLong - 1)))
+            t.vacuum(math.max(0L, head - (n.toLong - 1)),
+              dryRun = dryRun)
           } else {
             // RETAIN n HOURS (Delta's grammar): the horizon is the
             // newest version at or before now−n hours; if the whole
             // log is younger, horizon 0 keeps every snapshot and the
             // age guard protects the rest
-            val ageMs = n.toLong * 3600L * 1000L
+            val ageMs =
+              (if (n != null) n.toLong else 168L) * 3600L * 1000L
             val cutoff = System.currentTimeMillis() - ageMs
             val horizon =
               try t.versionAsOf(cutoff) catch { case _: Throwable => 0L }
-            t.vacuum(horizon, minAgeMs = ageMs)
+            t.vacuum(horizon, minAgeMs = ageMs, dryRun = dryRun)
           }
         names.toDF("reclaimed_file")
       }
       case RestoreRe(ident, v) =>
         mutating(ident)(t => summary(t.restore(v.toLong)))
       case RestoreTsRe(ident, ts) => mutating(ident) { t =>
-        val ms =
-          try ts.toLong
-          catch { case _: NumberFormatException =>
-            java.sql.Timestamp.valueOf(ts).getTime }
-        summary(t.restore(t.versionAsOf(ms)))
+        // explicit-UTC parse (the session zone): Timestamp.valueOf
+        // reads the JVM DEFAULT zone, which on a non-UTC host would
+        // shift the restore target by the zone offset
+        summary(t.restore(t.versionAsOf(TxTable.parseTsUtc(ts))))
       }
       case AddConstraintRe(ident, name, expr) =>
         mutating(ident)(t => summary(t.addConstraint(name, expr.trim)))
@@ -192,7 +197,7 @@ final class TxSql(spark: SparkSession) {
     r
   }
 
-  private def refreshCatalog(parts: Seq[String]): Unit = parts match {
+  private[graft] def refreshCatalog(parts: Seq[String]): Unit = parts match {
     case Seq(p, _) if p.equalsIgnoreCase("txtable") => ()
     case Seq(t0) =>
       try spark.sessionState.catalog.refreshTable(TableIdentifier(t0))
@@ -462,7 +467,7 @@ final class TxSql(spark: SparkSession) {
     resolveParts(
       spark.sessionState.sqlParser.parseMultipartIdentifier(ident.trim))
 
-  private def resolveParts(parts: Seq[String]): TxTable = parts match {
+  private[graft] def resolveParts(parts: Seq[String]): TxTable = parts match {
     case Seq(p, path) if p.equalsIgnoreCase("txtable") =>
       TxTable(spark, path)
     case _ =>
@@ -598,7 +603,7 @@ object TxSql {
       case DescribeDetailRe(id) if tx(id)       => Some(DetailSchema)
       case ZOrderRe(id, _) if tx(id)            => Some(SummarySchema)
       case OptimizeRe(id) if tx(id)             => Some(SummarySchema)
-      case VacuumRe(id, _, _) if tx(id)         => Some(VacuumSchema)
+      case VacuumRe(id, _, _, _) if tx(id)      => Some(VacuumSchema)
       case RestoreRe(id, _) if tx(id)           => Some(SummarySchema)
       case RestoreTsRe(id, _) if tx(id)         => Some(SummarySchema)
       case AddConstraintRe(id, _, _) if tx(id)  => Some(SummarySchema)
@@ -655,8 +660,10 @@ object TxSql {
   // clustering, dispatched onto the 2-D Morton compaction
   private val ZOrderRe =
     s"""(?is)OPTIMIZE\\s+$Id\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
+  // VACUUM t [RETAIN n VERSIONS|HOURS] [DRY RUN] — RETAIN omitted
+  // defaults to Delta's 168-hour retention; DRY RUN lists, never deletes
   private val VacuumRe =
-    s"""(?is)VACUUM\\s+$Id\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS)""".r
+    s"""(?is)VACUUM\\s+$Id(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+DRY\\s+RUN)?""".r
   private val RestoreRe =
     s"""(?is)RESTORE\\s+TABLE\\s+$Id\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
   private val RestoreTsRe =

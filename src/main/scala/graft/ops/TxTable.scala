@@ -3618,8 +3618,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     (dead ++ deadStats).map(_._2.getName).sorted
   }
 
+  /** `dryRun` (Delta's `VACUUM … DRY RUN`): list exactly what a real
+    * run would reclaim, delete NOTHING — the operational safety valve
+    * an admin reaches for before the destructive pass. The walk and
+    * the age/reference guards are the real run's verbatim. */
   def vacuum(retainVersion: Long,
-      minAgeMs: Long = 60 * 60 * 1000L): Seq[String] = {
+      minAgeMs: Long = 60 * 60 * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
     // alive = active at the retention horizon, or added after it (such
     // a file is part of some retained snapshot even if later removed).
     // A file a retained commit merely REMOVES is not kept alive by that
@@ -3649,17 +3654,19 @@ final class TxTable private (spark: SparkSession, dir: String,
     val dead = walkData(root, "").filter { case (rel, f) =>
       !referenced.contains(rel) && f.lastModified() <= cutoff
     }
-    dead.foreach(_._2.delete())
-    // a reclaimed data file's bloom sidecars are garbage with it —
-    // without this, logDir/bloom accumulates orphans without bound
-    dead.foreach { case (rel, _) => dropBlooms(rel) }
     // crashed writers leave whole `_staged-*` directories (staged but
     // never moved); they are invisible to the log, so age is the only
     // signal — reclaim them under the same guard
     val staged = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_staged-") &&
         f.lastModified() <= cutoff)
-    staged.foreach(rmTree)
+    if (!dryRun) {
+      dead.foreach(_._2.delete())
+      // a reclaimed data file's bloom sidecars are garbage with it —
+      // without this, logDir/bloom accumulates orphans without bound
+      dead.foreach { case (rel, _) => dropBlooms(rel) }
+      staged.foreach(rmTree)
+    }
     dead.map(_._1).toSeq ++ staged.map(_.getName)
   }
 }

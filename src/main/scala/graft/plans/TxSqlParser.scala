@@ -102,8 +102,60 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         reader(txPath(tt.relation).get, tt.version, tt.timestamp)
       case r: UnresolvedRelation if txPath(r).isDefined =>
         reader(txPath(r).get, None, None)
+      case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+          if isTxCreate(ct) &&
+            ct.columns.exists(_.identityColumnSpec.isDefined) =>
+        identityCreate(ct)
       case ctas => rewritePartitionedCtas(ctas)
     }
+  }
+
+  /** Is this CreateTable's provider the transactional table? */
+  private def isTxCreate(
+      ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable): Boolean =
+    ct.tableSpec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+        u.provider.exists(_.equalsIgnoreCase("txtable"))
+      case _ => false
+    }
+
+  /** `CREATE TABLE t (id BIGINT GENERATED ALWAYS AS IDENTITY
+    * [(START WITH n INCREMENT BY m)], …) USING txtable LOCATION p` —
+    * Delta's PRIMARY identity surface (the column spec in CREATE
+    * TABLE; `ALTER TABLE … ADD IDENTITY COLUMN` is the retrofit
+    * form). Spark's parser delivers the spec on the
+    * `ColumnDefinition`; a DSv1 provider would silently drop it, so
+    * the plan is rewritten to (a) the same CREATE with the spec
+    * STRIPPED (the column stays BIGINT in the declared schema — empty
+    * reads serve it) and (b) a follow-up `addIdentityColumn` per spec,
+    * both run by one command. `GENERATED BY DEFAULT` (caller-supplied
+    * values allowed) contradicts the engine's ALWAYS-only allocation
+    * contract and refuses loudly at parse time. */
+  private def identityCreate(
+      ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable)
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    val ids = ct.columns.collect {
+      case c if c.identityColumnSpec.isDefined =>
+        val s = c.identityColumnSpec.get
+        require(!s.isAllowExplicitInsert,
+          s"column ${c.name}: GENERATED BY DEFAULT AS IDENTITY is not " +
+            "supported — identity columns are GENERATED ALWAYS " +
+            "(engine-allocated)")
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column ${c.name} must be BIGINT, got " +
+            c.dataType.sql)
+        (c.name, s.getStart, s.getStep)
+    }
+    val cleaned = ct.copy(columns = ct.columns.map(c =>
+      if (c.identityColumnSpec.isDefined) c.copy(identityColumnSpec = None)
+      else c))
+    val parts = ct.name match {
+      case u: UnresolvedIdentifier => u.nameParts
+      case other => sys.error(
+        s"unexpected CREATE TABLE name plan: ${other.nodeName}")
+    }
+    TxCreateWithIdentity(rewritePartitionedCtas(cleaned), parts, ids)
   }
 
   /** `CREATE TABLE … USING txtable PARTITIONED BY (…) AS SELECT`:
@@ -191,4 +243,31 @@ case class TxSqlStatement(sqlText: String, resultSchema: StructType)
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     TxSql(sparkSession).run(sqlText).collect().toIndexedSeq
+}
+
+/** CREATE TABLE with identity column specs, as one command: run the
+  * spec-stripped CREATE (the ordinary catalog path), then record each
+  * identity declaration on the fresh table — the column is
+  * engine-owned from the table's first commit on, before any data can
+  * land without allocation. `inner` is a constructor FIELD, not a
+  * child: it is a raw parsed plan that must not be analyzed until
+  * this command executes it. */
+case class TxCreateWithIdentity(inner: LogicalPlan,
+    nameParts: Seq[String], ids: Seq[(String, Long, Long)])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.ColumnShim
+      .ofRows(sparkSession, inner).collect()
+    val t = TxSql(sparkSession).resolveParts(nameParts)
+    ids.foreach { case (n, start, step) =>
+      t.addIdentityColumn(n, start, step)
+    }
+    // the declaration commit landed AFTER the catalog entry: drop any
+    // cached relation so the first read resolves the token-bearing head
+    TxSql(sparkSession).refreshCatalog(nameParts)
+    Nil
+  }
 }

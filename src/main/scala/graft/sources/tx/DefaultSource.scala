@@ -161,12 +161,33 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       .orElse(o.get("timestampasof").map(s =>
         t.versionAsOf(TxTable.parseTsUtc(s))))
       .getOrElse(t.snapshot().version)
-    // empty table + declared schema: a zero-row frame under that
-    // schema (scans included) until the first commit lands
-    val emptyDeclared = version < 0 && userSchema.isDefined
+    // dataless table + declared schema: a zero-row frame under that
+    // schema (scans included) until the first DATA commit lands.
+    // Keyed on the snapshot's FILE list, not version < 0: a fresh
+    // CREATE-with-identity table already carries a metadata-only
+    // declaration commit (v0, zero files) and must still serve the
+    // declared schema, or INSERT resolution sees zero columns.
+    val emptyDeclared = userSchema.isDefined &&
+      (version < 0 || t.snapshotAt(version).files.isEmpty)
     def emptyBase = ctx.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](), userSchema.get)
-    val base = if (emptyDeclared) emptyBase else t.readPruned(version, Nil)
+    val base0 = if (emptyDeclared) emptyBase else t.readPruned(version, Nil)
+    // catalog reads arrive through the SchemaRelationProvider face and
+    // Spark REQUIRES relation.schema == the catalog's stored schema —
+    // an ORDER-sensitive check. File column order can legitimately
+    // drift from the declared order (identity allocation appends its
+    // column after the batch's), so present the declared order when
+    // the name sets agree; a genuine name/type drift still surfaces
+    // through Spark's own loud mismatch.
+    val base = userSchema match {
+      case Some(us) if !emptyDeclared &&
+          us.fieldNames.length == base0.columns.length &&
+          us.fieldNames.map(_.toLowerCase).toSet ==
+            base0.columns.map(_.toLowerCase).toSet =>
+        base0.select(us.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+      case _ => base0
+    }
     // partition keys recorded at CREATE time (the injected parser
     // moves PARTITIONED BY into the table's options — see the write
     // side) govern inserts through this relation too, so
@@ -184,6 +205,17 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       override def schema: StructType = base.schema
       override def needConversion: Boolean = false
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        doInsert(data, overwrite)
+        // this relation was resolved (and version-pinned) BEFORE the
+        // write; Spark's FindDataSourceTable cache would keep serving
+        // it to every later catalog read of the same name, so `INSERT
+        // INTO t` + `SELECT FROM t` would silently read pre-insert
+        // data. The relation does not know its catalog name — drop the
+        // whole relation cache (driver-side, re-resolution is
+        // checkpoint-bounded log reads; plain-path INSERTs are rare)
+        ctx.sparkSession.sessionState.catalog.invalidateAllCachedTables()
+      }
+      private def doInsert(data: DataFrame, overwrite: Boolean): Unit = {
         // SQL INSERT must mention every relation column, identity
         // columns included — an ALL-NULL identity column means "not
         // supplied" (DEFAULT semantics) and is dropped so the engine

@@ -102,7 +102,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 11, s"expected 11 statements, got ${stmts.size}")
+    require(stmts.size == 15, s"expected 15 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -136,6 +136,18 @@ object ExtensionsCheck {
     require(actions.contains("convert") && actions.contains("evolve") &&
       actions.contains("merge") && actions.contains("compact") &&
       actions.contains("append"), s"history actions: $actions")
+    // 11. CREATE-with-identity: the column spec in the DDL declared the
+    // engine-owned key, and the two INSERT DEFAULT slots allocated
+    // 100, 101 in commit order
+    try {
+      val dimRows = results(14).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      require(dimRows == Seq((100L, "alpha"), (101L, "beta")),
+        s"CREATE-with-identity allocation: $dimRows")
+      val dim = graft.ops.TxTable(spark, s"$pdir/dim")
+      require(dim.identityColumns.get("uid").exists(_._1 == 100L),
+        "identity declaration missing on the created table")
+    } finally spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
 
     println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok")
     spark.stop()

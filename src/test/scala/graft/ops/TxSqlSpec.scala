@@ -634,6 +634,103 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().count() === 100)
   }
 
+  test("CREATE TABLE with identity column spec routes through the parser") {
+    import spark.implicits._
+    import graft.plans.{TxCreateWithIdentity, TxSqlParser}
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-cid-").toString + "/t"
+    val plan = parser.parsePlan(
+      "CREATE TABLE graft_tx_cid (uid BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 10 INCREMENT BY 5), name STRING) " +
+        s"USING txtable LOCATION '$loc'")
+    assert(plan.isInstanceOf[TxCreateWithIdentity])
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark, plan).collect()
+    try {
+      val t = graft.ops.TxTable(spark, loc)
+      // declared at birth: token recorded before any data can land
+      assert(t.identityColumns === Map("uid" -> ((10L, 5L, 5L))))
+      // the catalog table serves the DECLARED schema while dataless
+      assert(spark.table("graft_tx_cid").columns.toSeq ===
+        Seq("uid", "name"))
+      // INSERT's all-NULL identity slot means DEFAULT → allocation
+      spark.sql("INSERT INTO graft_tx_cid VALUES " +
+        "(CAST(NULL AS BIGINT), 'a'), (CAST(NULL AS BIGINT), 'b')")
+      assert(t.read().select("uid", "name").orderBy("uid")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((10L, "a"), (15L, "b")))
+      // the catalog read keeps the declared column order post-data
+      spark.catalog.refreshTable("graft_tx_cid")
+      assert(spark.table("graft_tx_cid").columns.toSeq ===
+        Seq("uid", "name"))
+      // a supplied identity value refuses loudly (GENERATED ALWAYS)
+      intercept[Exception](spark.sql(
+        "INSERT INTO graft_tx_cid VALUES (99L, 'rogue')"))
+      // GENERATED BY DEFAULT contradicts engine allocation — parse-time
+      intercept[Exception](parser.parsePlan(
+        "CREATE TABLE graft_tx_cid2 (uid BIGINT GENERATED BY DEFAULT " +
+          "AS IDENTITY, v STRING) USING txtable LOCATION '/tmp/nowhere'"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_cid")
+  }
+
+  test("VACUUM DRY RUN lists the reclaimable set without deleting") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 20))       // v0
+    t.overwrite(df(100 until 110)) // v1 retires v0's files
+    // backdate everything so the age guard admits the retired files
+    def backdate(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).foreach {
+        f =>
+          if (f.isDirectory) backdate(f)
+          else { f.setLastModified(
+            System.currentTimeMillis() - 2 * 3600 * 1000L); () }
+      }
+    backdate(new java.io.File(p))
+    val listed = sql.run(s"VACUUM txtable.`$p` RETAIN 1 VERSIONS DRY RUN")
+      .select("reclaimed_file").as[String].collect().toSet
+    assert(listed.nonEmpty)
+    // DRY RUN deleted nothing: every listed file still exists and the
+    // pre-overwrite snapshot still time-travels
+    listed.foreach(n => assert(new java.io.File(p, n).isFile,
+      s"DRY RUN deleted $n"))
+    assert(t.readAt(0L).count() === 20)
+    // the real run reclaims exactly the dry run's list
+    val real = sql.run(s"VACUUM txtable.`$p` RETAIN 1 VERSIONS")
+      .select("reclaimed_file").as[String].collect().toSet
+    assert(real === listed)
+    listed.foreach(n => assert(!new java.io.File(p, n).exists()))
+    // RETAIN omitted = Delta's 168h default: a young table reclaims
+    // nothing, with or without DRY RUN
+    val (u, q) = mkTable()
+    u.append(df(0 until 5)); u.overwrite(df(5 until 8))
+    assert(sql.run(s"VACUUM txtable.`$q` DRY RUN").count() === 0)
+    assert(sql.run(s"VACUUM txtable.`$q`").count() === 0)
+    assert(u.readAt(0L).count() === 5)
+  }
+
+  test("RESTORE TIMESTAMP AS OF parses in UTC, not the host zone") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 5)) // v0
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(df(5 until 9)) // v1
+    val utcStr = java.time.Instant.ofEpochMilli(mid)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .toString.replace('T', ' ')
+    // under a non-UTC host default zone, a Timestamp.valueOf parse
+    // would read this wall-clock as Tokyo time (mid − 9h) and find no
+    // commit at all; the explicit-UTC parse is host-independent
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      sql.run(s"RESTORE TABLE txtable.`$p` TO TIMESTAMP AS OF '$utcStr'")
+    } finally java.util.TimeZone.setDefault(prev)
+    assert(t.read().count() === 5)
+  }
+
   test("ADD/DROP IDENTITY COLUMN via SQL") {
     import spark.implicits._
     val (t, p) = mkTable()

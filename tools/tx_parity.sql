@@ -43,3 +43,16 @@ VACUUM txtable.`${DIR}/lake` RETAIN 168 HOURS;
 
 -- 10. the full audit trail is queryable
 DESCRIBE HISTORY txtable.`${DIR}/lake`;
+
+-- 11. identity in CREATE TABLE column DDL (Delta's primary surface);
+--     each INSERT's NULL slot means DEFAULT and the engine allocates
+--     100, 101 — declared schema serves reads before any data lands
+CREATE TABLE tx_parity_dim (uid BIGINT GENERATED ALWAYS AS IDENTITY
+  (START WITH 100 INCREMENT BY 1), name STRING)
+USING txtable LOCATION '${DIR}/dim';
+
+INSERT INTO tx_parity_dim VALUES (CAST(NULL AS BIGINT), 'alpha');
+
+INSERT INTO tx_parity_dim VALUES (CAST(NULL AS BIGINT), 'beta');
+
+SELECT uid, name FROM tx_parity_dim ORDER BY uid;
