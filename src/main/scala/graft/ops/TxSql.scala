@@ -119,6 +119,16 @@ final class TxSql(spark: SparkSession) {
           }
         names.toDF("reclaimed_file")
       }
+      // CLEANUP LOG t RETAIN n VERSIONS — the SQL face of
+      // [[TxTable.cleanupLog]] (Delta drives the same retention via
+      // the logRetentionDuration table property): cut the log at the
+      // newest checkpoint that keeps >= n versions resolvable, with
+      // surviving stats consolidated and the age guard intact. Time
+      // travel below the cut fails loudly from then on.
+      case CleanupLogRe(ident, n) => mutating(ident) { t =>
+        val sq = spark; import sq.implicits._
+        t.cleanupLog(n.toLong).toDF("deleted_log_file")
+      }
       case RestoreRe(ident, v) =>
         mutating(ident)(t => summary(t.restore(v.toLong)))
       case RestoreTsRe(ident, ts) => mutating(ident) { t =>
@@ -563,6 +573,8 @@ object TxSql {
     StructField("partition", StringType)))
   private[graft] val VacuumSchema =
     StructType(Seq(StructField("reclaimed_file", StringType)))
+  private[graft] val CleanupSchema =
+    StructType(Seq(StructField("deleted_log_file", StringType)))
 
   /** Is `parts` a transactional-table reference, WITHOUT side effects
     * (never opens/creates the table — safe to call at parse time for
@@ -604,6 +616,7 @@ object TxSql {
       case ZOrderRe(id, _) if tx(id)            => Some(SummarySchema)
       case OptimizeRe(id) if tx(id)             => Some(SummarySchema)
       case VacuumRe(id, _, _, _) if tx(id)      => Some(VacuumSchema)
+      case CleanupLogRe(id, _) if tx(id)        => Some(CleanupSchema)
       case RestoreRe(id, _) if tx(id)           => Some(SummarySchema)
       case RestoreTsRe(id, _) if tx(id)         => Some(SummarySchema)
       case AddConstraintRe(id, _, _) if tx(id)  => Some(SummarySchema)
@@ -664,6 +677,9 @@ object TxSql {
   // defaults to Delta's 168-hour retention; DRY RUN lists, never deletes
   private val VacuumRe =
     s"""(?is)VACUUM\\s+$Id(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+DRY\\s+RUN)?""".r
+  // CLEANUP LOG t RETAIN n VERSIONS — log-retention DDL (see run())
+  private val CleanupLogRe =
+    s"""(?is)CLEANUP\\s+LOG\\s+$Id\\s+RETAIN\\s+(\\d+)\\s+VERSIONS""".r
   private val RestoreRe =
     s"""(?is)RESTORE\\s+TABLE\\s+$Id\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
   private val RestoreTsRe =

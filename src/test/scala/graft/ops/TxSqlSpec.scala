@@ -709,6 +709,29 @@ class TxSqlSpec extends SparkTestBase {
     assert(u.readAt(0L).count() === 5)
   }
 
+  test("CLEANUP LOG RETAIN n VERSIONS cuts the log; below-cut travel fails loudly") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    // 14 commits → a checkpoint exists at v10 (interval 10, v>0 gate)
+    (0 until 14).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    assert(t.snapshot().version === 13L)
+    // backdate the log so the age guard admits the cut
+    Option(new java.io.File(s"$p/_log").listFiles())
+      .getOrElse(Array.empty[java.io.File]).foreach { f =>
+        f.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+      }
+    val deleted = sql.run(s"CLEANUP LOG txtable.`$p` RETAIN 3 VERSIONS")
+      .select("deleted_log_file").as[String].collect()
+    assert(deleted.nonEmpty)
+    // head reads and post-cut time travel still work
+    assert(t.read().count() === 140)
+    val cut = 10L // newest checkpoint <= head - retain + 1 = 11
+    assert(t.readAt(cut).count() === (cut + 1) * 10)
+    // below the cut: LOUD failure, never a silently-empty table
+    val e = intercept[Exception](t.readAt(cut - 1))
+    assert(e.getMessage.contains("cleaned"))
+  }
+
   test("RESTORE TIMESTAMP AS OF parses in UTC, not the host zone") {
     val (t, p) = mkTable()
     t.append(df(0 until 5)) // v0
