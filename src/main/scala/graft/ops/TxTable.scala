@@ -2689,7 +2689,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       whenNotMatchedBySourceDelete: Option[Column] = None,
       sourceKeys: Seq[String] = Nil,
       widenBy: org.apache.spark.sql.types.StructType =
-        new org.apache.spark.sql.types.StructType()): Commit = {
+        new org.apache.spark.sql.types.StructType(),
+      txn: Option[(String, Long)] = None): Commit = {
     require(keys.nonEmpty, "merge needs at least one key column")
     // ON t.id = s.customer_id — positionally paired with `keys`; empty
     // means the source keys share the target names (the star-clause
@@ -2958,10 +2959,11 @@ final class TxTable private (spark: SparkSession, dir: String,
         if (widen.isEmpty) Nil
         else stageCarrier(head,
           org.apache.spark.sql.types.StructType(widen))
+      val (txnAdd, txnRm) = txnSwap(head, txn)
       val c = Commit(pruned.version + 1,
         if (widen.isEmpty) "merge" else "merge-evolve",
-        carrier ++ staged,
-        pruned.files.map(_.stripPrefix(s"$dir/")),
+        carrier ++ staged ++ txnAdd,
+        pruned.files.map(_.stripPrefix(s"$dir/")) ++ txnRm,
         System.currentTimeMillis())
       buildBlooms(staged)
       if (tryCommit(c, fileStats(staged))) return c

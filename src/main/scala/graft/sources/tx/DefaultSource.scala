@@ -71,8 +71,10 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     *  - Update + `mergeKeys=k1,k2` (+ optional `seqCol`): each batch is
     *    collapsed to its LAST change per key (`max_by` over `seqCol`
     *    when given — a batch can carry several updates per key) and
-    *    MERGED latest-wins ([[TxTable.upsert]]) — the foreachBatch-free
-    *    CDC-apply sink;
+    *    applied latest-wins through the STATS-PRUNED [[TxTable.merge]]
+    *    (update matched, insert unmatched) — the foreachBatch-free
+    *    CDC-apply sink whose per-trigger rewrite is bounded by the
+    *    files the batch's key range touches, never the table;
     *  - Complete: each batch atomically overwrites the table (the
     *    aggregate-snapshot shape).
     *
@@ -682,11 +684,24 @@ final class TxTableSink(
             .as("__r"))
           .select(cols.toSeq.map(c => col(s"__r.$c")): _*)
       }
-      // pin: upsert evaluates the source several times (dup probe,
-      // join) — one materialization for all passes
+      // pin: the merge evaluates the source several times (dup probe,
+      // bounds agg, join) — one materialization for all passes
       val (pinned, blocks) = graft.ops.Checkpoints.pin(latest)
-      try { t.upsert(pinned, mergeKeys, 20, txn); () }
-      finally graft.ops.Checkpoints.release(batch.sparkSession, blocks)
+      // STATS-PRUNED latest-wins: update every matched row, insert
+      // every unmatched one. merge() bounds the rewrite to files whose
+      // logged key ranges overlap the batch — per-trigger cost is
+      // O(touched files), where a full upsert would rewrite the WHOLE
+      // table every micro-batch (the difference between a CDC sink
+      // that scales to 100 TB and one that does not)
+      try {
+        t.merge(pinned, mergeKeys,
+          whenMatchedUpdate =
+            Some(org.apache.spark.sql.functions.lit(true)),
+          whenNotMatchedInsert =
+            Some(org.apache.spark.sql.functions.lit(true)),
+          txn = txn)
+        ()
+      } finally graft.ops.Checkpoints.release(batch.sparkSession, blocks)
     } else if (mode == OutputMode.Complete()) {
       t.overwriteAs("overwrite", batch, layout = partitionCols,
         txn = txn); ()
