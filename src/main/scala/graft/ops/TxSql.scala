@@ -88,8 +88,23 @@ final class TxSql(spark: SparkSession) {
             s"(one-key clustering is a plain sort); got ${cols.length}")
         summary(t.compactZOrdered(cols))
       }
-      case OptimizeRe(ident) => mutating(ident) { t =>
-        t.compactBinPack() match {
+      case OptimizeRe(ident, where) => mutating(ident) { t =>
+        // OPTIMIZE t [WHERE part = v [AND …]] — Delta's
+        // partition-scoped maintenance: only matching leaves repack
+        val filter: Seq[(String, Any)] =
+          if (where == null) Nil
+          else conjuncts(
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(where)).map {
+            case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+              a.nameParts.last -> scalaLiteral(l)
+            case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+              a.nameParts.last -> scalaLiteral(l)
+            case other => sys.error(
+              "OPTIMIZE WHERE supports AND-ed partition equalities " +
+                s"(col = literal); got: ${other.sql}")
+          }
+        t.compactBinPack(partitionFilter = filter) match {
           case Some(c) => summary(c)
           case None    => summary0()
         }
@@ -532,6 +547,12 @@ final class TxSql(spark: SparkSession) {
     case x         => Seq(x)
   }
 
+  /** A parsed literal's SCALA value (`Literal.value` is the Catalyst
+    * internal form — UTF8String for strings, days-int for dates). */
+  private def scalaLiteral(l: Literal): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(l.value, l.dataType)
+
   private def summary(c: TxTable.Commit): DataFrame = {
     val sq = spark; import sq.implicits._
     Seq((c.version, c.action, c.add.size.toLong, c.remove.size.toLong))
@@ -614,7 +635,7 @@ object TxSql {
       case DescribeHistoryRe(id) if tx(id)      => Some(HistorySchema)
       case DescribeDetailRe(id) if tx(id)       => Some(DetailSchema)
       case ZOrderRe(id, _) if tx(id)            => Some(SummarySchema)
-      case OptimizeRe(id) if tx(id)             => Some(SummarySchema)
+      case OptimizeRe(id, _) if tx(id)          => Some(SummarySchema)
       case VacuumRe(id, _, _, _) if tx(id)      => Some(VacuumSchema)
       case CleanupLogRe(id, _) if tx(id)        => Some(CleanupSchema)
       case RestoreRe(id, _) if tx(id)           => Some(SummarySchema)
@@ -668,7 +689,10 @@ object TxSql {
   // space (it would target the wrong text); bare chars may not
   // include a backtick so an unterminated quote can't half-match
   private val Id = """((?:`[^`]*`|[^\s`])+)"""
-  private val OptimizeRe = s"""(?is)OPTIMIZE\\s+$Id""".r
+  // OPTIMIZE t [WHERE <partition equalities>] — bin-packing, optionally
+  // scoped to matching partition leaves (Delta's OPTIMIZE WHERE)
+  private val OptimizeRe =
+    s"""(?is)OPTIMIZE\\s+$Id(?:\\s+WHERE\\s+(.+))?""".r
   // OPTIMIZE t ZORDER BY (a, b) — Delta's multi-dimensional
   // clustering, dispatched onto the 2-D Morton compaction
   private val ZOrderRe =

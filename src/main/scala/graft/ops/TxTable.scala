@@ -3476,40 +3476,74 @@ final class TxTable private (spark: SparkSession, dir: String,
     *
     * Returns None when fewer than two files qualify — packing one file
     * buys nothing, and a no-op commit would churn the log. */
+  /** `partitionFilter` (Delta's `OPTIMIZE … WHERE part = v`): pack only
+    * inside partitions matching every `(column, value)` pair — the
+    * shape that makes OPTIMIZE routine maintenance on a 100 TB
+    * partitioned table (each day's ingest leaves small files in ONE
+    * leaf; repacking the whole layout per day would be quadratic over
+    * the table's life). Partitioned files pack PER LEAF DIRECTORY —
+    * the rewrite lands in the same `c1=v1/…` path with the
+    * path-encoded columns dropped from the file, so partition
+    * inference and manifest pruning are untouched — and flat files
+    * pack at the root, all under ONE atomic commit. */
   def compactBinPack(targetBytes: Long = 128L * 1024 * 1024,
-      maxRetries: Int = 20): Option[Commit] = {
+      maxRetries: Int = 20,
+      partitionFilter: Seq[(String, Any)] = Nil): Option[Commit] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val base = snapshot()
     val dvTouched =
       if (base.dvs.isEmpty) Set.empty[String] else touchedFiles(base.dvs)
+    // same matching (and escaping) as readPartitions — paths carry
+    // PHYSICAL names
+    val want = partitionFilter.map { case (c, v) =>
+      val seg =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${ExternalCatalogUtils.escapePathName(physName(base, c))}=$seg"
+    }.toSet
     // driver-side stat of active files only — file-name scale, the
     // same cost class as the manifest reads (files still active, so
     // they exist; a racing rewrite surfaces at the conflict check)
-    val smalls = base.files
+    val groups = base.files
       .map(f => f -> f.stripPrefix(s"$dir/"))
-      // flat files only: a hive-partitioned file packed into a flat
-      // rewrite would silently drop its path-encoded partition value —
-      // partitioned tables pack within [[overwritePartitions]]' unit
-      // instead
-      .filterNot { case (_, rel) =>
-        rel.contains("/") || dvTouched.contains(rel) }
+      .filterNot { case (_, rel) => dvTouched.contains(rel) }
+      .filter { case (_, rel) =>
+        want.isEmpty ||
+          want.subsetOf(rel.split('/').dropRight(1).toSet) }
       .flatMap { case (full, rel) =>
         try {
           val sz = Files.size(Paths.get(full))
           if (sz < targetBytes) Some((rel, sz)) else None
         } catch { case _: java.io.IOException => None }
       }
-    if (smalls.size < 2) return None
-    val totalBytes = smalls.map(_._2).sum
-    val targetFiles = math.max(1, math.ceil(
-      totalBytes.toDouble / targetBytes).toInt)
-    val selected = smalls.map(_._1)
-    // the packed rewrite reads the SELECTED files raw (none is
-    // DV-touched, so raw == content) and bins them by size
-    val packed = spark.read.option("basePath", dir)
-      .parquet(selected.map(n => s"$dir/$n"): _*)
-      .repartition(targetFiles)
-    val files = stage(packed)
+      // pack within each leaf directory ("" = the flat root): a
+      // cross-leaf rewrite would lose the path-encoded values
+      .groupBy { case (rel, _) => rel.take(rel.lastIndexOf('/') max 0) }
+      .filter(_._2.size >= 2)
+    if (groups.isEmpty) return None
+    val stagedB = Seq.newBuilder[String]
+    val selectedB = Seq.newBuilder[String]
+    groups.toSeq.sortBy(_._1).foreach { case (leaf, smalls) =>
+      val names = smalls.map(_._1)
+      val totalBytes = smalls.map(_._2).sum
+      val targetFiles = math.max(1, math.ceil(
+        totalBytes.toDouble / targetBytes).toInt)
+      // the packed rewrite reads the SELECTED files raw (none is
+      // DV-touched, so raw == content) and bins them by size
+      val packed0 = spark.read.option("basePath", dir)
+        .parquet(names.map(n => s"$dir/$n"): _*)
+        .repartition(targetFiles)
+      if (leaf.isEmpty) stagedB ++= stage(packed0)
+      else {
+        val pathCols = leaf.split('/').toSeq.map(s =>
+          ExternalCatalogUtils.unescapePathName(s.takeWhile(_ != '=')))
+        stagedB ++= stage(packed0.drop(pathCols: _*), intoDir = leaf)
+      }
+      selectedB ++= names
+    }
+    val selected = selectedB.result()
+    val files = stagedB.result()
     val stats = fileStats(files)
     buildBlooms(files)
     var attempt = 0

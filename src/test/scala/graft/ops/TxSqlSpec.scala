@@ -709,6 +709,43 @@ class TxSqlSpec extends SparkTestBase {
     assert(u.readAt(0L).count() === 5)
   }
 
+  test("OPTIMIZE packs per partition leaf; WHERE scopes the repack") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    // 4 small appends, each landing one file per tag leaf
+    (0 until 4).foreach { i =>
+      t.appendPartitioned(Seq((i.toLong, 1L, "a"), (i + 100L, 2L, "b"))
+        .toDF("k", "v", "tag"), Seq("tag"))
+    }
+    val before = t.snapshot().files
+    assert(before.count(_.contains("tag=a")) === 4)
+    assert(before.count(_.contains("tag=b")) === 4)
+    // scoped: only the tag=a leaf repacks
+    val r = sql.run(s"OPTIMIZE txtable.`$p` WHERE tag = 'a'")
+    assert(r.head().getString(1) === "compact")
+    val after = t.snapshot()
+    assert(after.files.count(_.contains("tag=a")) === 1)
+    // the other leaf is untouched BY IDENTITY (not rewritten, not
+    // mentioned)
+    assert(after.files.filter(_.contains("tag=b")).toSet ===
+      before.filter(_.contains("tag=b")).toSet)
+    // content identical; manifest partition pruning still works
+    assert(t.read().count() === 8)
+    assert(t.readPartition("tag", "a").count() === 4)
+    assert(t.readPartition("tag", "a")
+      .select("k").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L))
+    // unscoped OPTIMIZE packs the remaining leaf; the singleton a-leaf
+    // no longer qualifies (packing one file buys nothing)
+    sql.run(s"OPTIMIZE txtable.`$p`")
+    assert(t.snapshot().files.count(_.contains("tag=b")) === 1)
+    assert(t.read().count() === 8)
+    // non-equality predicates refuse loudly
+    val e = intercept[Exception](
+      sql.run(s"OPTIMIZE txtable.`$p` WHERE tag > 'a'"))
+    assert(e.getMessage.contains("partition equalities"))
+  }
+
   test("CLEANUP LOG RETAIN n VERSIONS cuts the log; below-cut travel fails loudly") {
     import spark.implicits._
     val (t, p) = mkTable()
