@@ -1052,18 +1052,23 @@ final class TxTable private (spark: SparkSession, dir: String,
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot()
-      require(head.files.nonEmpty,
-        "declare generated columns after the schema-defining first append")
       require(!gcMap(head).contains(name),
         s"generated column '$name' already declared: ${gcMap(head)(name)}")
-      val content = readSnapshot(head)
-      require(content.columns.contains(name),
-        s"no column '$name' to declare generated (table has " +
-          s"${content.columns.sorted.mkString(", ")})")
-      require(content.where(!(col(name) <=> expr(expression)))
-          .limit(1).count() == 0L,
-        s"cannot declare '$name' generated as $expression: existing " +
-          "rows violate the equality")
+      // DATALESS tables may declare ahead of content (the CREATE TABLE
+      // column-spec flow — Delta's primary generated-column surface):
+      // the existence/equality validation is vacuous with zero rows,
+      // and the first append computes-or-enforces like any later one.
+      // On a table WITH content the declaration must hold already.
+      if (head.files.nonEmpty) {
+        val content = readSnapshot(head)
+        require(content.columns.contains(name),
+          s"no column '$name' to declare generated (table has " +
+            s"${content.columns.sorted.mkString(", ")})")
+        require(content.where(!(col(name) <=> expr(expression)))
+            .limit(1).count() == 0L,
+          s"cannot declare '$name' generated as $expression: existing " +
+            "rows violate the equality")
+      }
       val (pvAdd, pvRemove) = gencolUpgrade(head)
       val c = Commit(head.version + 1, "gencol",
         Seq(TxTable.encodeGc(name, expression)) ++ pvAdd, pvRemove,

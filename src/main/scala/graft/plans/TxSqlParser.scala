@@ -104,8 +104,9 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         reader(txPath(r).get, None, None)
       case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
           if isTxCreate(ct) &&
-            ct.columns.exists(_.identityColumnSpec.isDefined) =>
-        identityCreate(ct)
+            ct.columns.exists(c => c.identityColumnSpec.isDefined ||
+              c.generationExpression.isDefined) =>
+        specCreate(ct)
       case ctas => rewritePartitionedCtas(ctas)
     }
   }
@@ -120,21 +121,23 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     }
 
   /** `CREATE TABLE t (id BIGINT GENERATED ALWAYS AS IDENTITY
-    * [(START WITH n INCREMENT BY m)], …) USING txtable LOCATION p` —
-    * Delta's PRIMARY identity surface (the column spec in CREATE
-    * TABLE; `ALTER TABLE … ADD IDENTITY COLUMN` is the retrofit
-    * form). Spark's parser delivers the spec on the
-    * `ColumnDefinition`; a DSv1 provider would silently drop it, so
-    * the plan is rewritten to (a) the same CREATE with the spec
-    * STRIPPED (the column stays BIGINT in the declared schema — empty
-    * reads serve it) and (b) a follow-up `addIdentityColumn` per spec,
-    * both run by one command. `GENERATED BY DEFAULT` (caller-supplied
-    * values allowed) contradicts the engine's ALWAYS-only allocation
-    * contract and refuses loudly at parse time. */
-  private def identityCreate(
+    * [(START WITH n INCREMENT BY m)], y INT GENERATED ALWAYS AS
+    * (year(d)), …) USING txtable LOCATION p` — Delta's PRIMARY
+    * surface for BOTH column-spec families (the ALTER forms are the
+    * retrofit path). Spark's parser delivers the specs on the
+    * `ColumnDefinition`; a DSv1 provider would silently drop them, so
+    * the plan is rewritten to (a) the same CREATE with the specs
+    * STRIPPED (the columns keep their types in the declared schema —
+    * empty reads serve them) and (b) follow-up
+    * `addIdentityColumn`/`addGeneratedColumn` calls per spec, all run
+    * by one command. `GENERATED BY DEFAULT` (caller-supplied values
+    * allowed) contradicts the engine's ALWAYS-only allocation
+    * contract and refuses loudly at parse time, as does a generation
+    * expression referencing a column the CREATE does not declare. */
+  private def specCreate(
       ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable)
       : LogicalPlan = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier}
     val ids = ct.columns.collect {
       case c if c.identityColumnSpec.isDefined =>
         val s = c.identityColumnSpec.get
@@ -147,15 +150,36 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
             c.dataType.sql)
         (c.name, s.getStart, s.getStep)
     }
-    val cleaned = ct.copy(columns = ct.columns.map(c =>
-      if (c.identityColumnSpec.isDefined) c.copy(identityColumnSpec = None)
-      else c))
+    val declared = ct.columns.map(_.name.toLowerCase).toSet
+    val gens = ct.columns.collect {
+      case c if c.generationExpression.isDefined =>
+        val e = c.generationExpression.get
+        // catch a typo'd base column AT CREATE TIME — on the dataless
+        // table the engine-side validation is vacuous by design
+        val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(e).collect {
+            case a: UnresolvedAttribute => a.nameParts.head.toLowerCase
+          }
+        val unknown = refs.filterNot(declared.contains).distinct
+        require(unknown.isEmpty,
+          s"generated column ${c.name}: expression references " +
+            s"${unknown.mkString(", ")}, not declared by this CREATE")
+        (c.name, e)
+    }
+    val cleaned = ct.copy(columns = ct.columns.map { c =>
+      var c2 = c
+      if (c2.identityColumnSpec.isDefined)
+        c2 = c2.copy(identityColumnSpec = None)
+      if (c2.generationExpression.isDefined)
+        c2 = c2.copy(generationExpression = None)
+      c2
+    })
     val parts = ct.name match {
       case u: UnresolvedIdentifier => u.nameParts
       case other => sys.error(
         s"unexpected CREATE TABLE name plan: ${other.nodeName}")
     }
-    TxCreateWithIdentity(rewritePartitionedCtas(cleaned), parts, ids)
+    TxCreateWithSpecs(rewritePartitionedCtas(cleaned), parts, ids, gens)
   }
 
   /** `CREATE TABLE … USING txtable PARTITIONED BY (…) AS SELECT`:
@@ -245,15 +269,16 @@ case class TxSqlStatement(sqlText: String, resultSchema: StructType)
     TxSql(sparkSession).run(sqlText).collect().toIndexedSeq
 }
 
-/** CREATE TABLE with identity column specs, as one command: run the
-  * spec-stripped CREATE (the ordinary catalog path), then record each
-  * identity declaration on the fresh table — the column is
-  * engine-owned from the table's first commit on, before any data can
-  * land without allocation. `inner` is a constructor FIELD, not a
-  * child: it is a raw parsed plan that must not be analyzed until
-  * this command executes it. */
-case class TxCreateWithIdentity(inner: LogicalPlan,
-    nameParts: Seq[String], ids: Seq[(String, Long, Long)])
+/** CREATE TABLE with identity and/or generated column specs, as one
+  * command: run the spec-stripped CREATE (the ordinary catalog path),
+  * then record each declaration on the fresh table — the columns are
+  * engine-owned/derived from the table's first commit on, before any
+  * data can land without allocation or enforcement. `inner` is a
+  * constructor FIELD, not a child: it is a raw parsed plan that must
+  * not be analyzed until this command executes it. */
+case class TxCreateWithSpecs(inner: LogicalPlan,
+    nameParts: Seq[String], ids: Seq[(String, Long, Long)],
+    gens: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
@@ -262,10 +287,11 @@ case class TxCreateWithIdentity(inner: LogicalPlan,
     org.apache.spark.sql.graft.ColumnShim
       .ofRows(sparkSession, inner).collect()
     val t = TxSql(sparkSession).resolveParts(nameParts)
+    gens.foreach { case (n, e) => t.addGeneratedColumn(n, e) }
     ids.foreach { case (n, start, step) =>
       t.addIdentityColumn(n, start, step)
     }
-    // the declaration commit landed AFTER the catalog entry: drop any
+    // the declaration commits landed AFTER the catalog entry: drop any
     // cached relation so the first read resolves the token-bearing head
     TxSql(sparkSession).refreshCatalog(nameParts)
     Nil

@@ -218,12 +218,14 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
         ctx.sparkSession.sessionState.catalog.invalidateAllCachedTables()
       }
       private def doInsert(data: DataFrame, overwrite: Boolean): Unit = {
-        // SQL INSERT must mention every relation column, identity
-        // columns included — an ALL-NULL identity column means "not
-        // supplied" (DEFAULT semantics) and is dropped so the engine
-        // allocates; any real value falls through to the engine's
-        // loud GENERATED-ALWAYS refusal
-        val idCols = t.identityColumns.keySet
+        // SQL INSERT must mention every relation column, identity and
+        // generated columns included — an ALL-NULL engine-owned column
+        // means "not supplied" (DEFAULT semantics) and is dropped so
+        // the engine allocates (identity) or computes (generated); any
+        // real value falls through to the engine's loud
+        // GENERATED-ALWAYS refusal / null-safe equality enforcement
+        val idCols = (t.identityColumns.keySet ++
+            t.generatedColumns.keySet)
           .intersect(data.columns.toSet).toSeq.sorted
         if (idCols.isEmpty) {
           if (overwrite) {

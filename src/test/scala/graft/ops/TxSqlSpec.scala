@@ -636,7 +636,7 @@ class TxSqlSpec extends SparkTestBase {
 
   test("CREATE TABLE with identity column spec routes through the parser") {
     import spark.implicits._
-    import graft.plans.{TxCreateWithIdentity, TxSqlParser}
+    import graft.plans.{TxCreateWithSpecs, TxSqlParser}
     val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
     val loc = java.nio.file.Files
       .createTempDirectory("graft-txsql-cid-").toString + "/t"
@@ -644,7 +644,7 @@ class TxSqlSpec extends SparkTestBase {
       "CREATE TABLE graft_tx_cid (uid BIGINT GENERATED ALWAYS AS " +
         "IDENTITY (START WITH 10 INCREMENT BY 5), name STRING) " +
         s"USING txtable LOCATION '$loc'")
-    assert(plan.isInstanceOf[TxCreateWithIdentity])
+    assert(plan.isInstanceOf[TxCreateWithSpecs])
     org.apache.spark.sql.graft.ColumnShim.ofRows(spark, plan).collect()
     try {
       val t = graft.ops.TxTable(spark, loc)
@@ -707,6 +707,45 @@ class TxSqlSpec extends SparkTestBase {
     assert(sql.run(s"VACUUM txtable.`$q` DRY RUN").count() === 0)
     assert(sql.run(s"VACUUM txtable.`$q`").count() === 0)
     assert(u.readAt(0L).count() === 5)
+  }
+
+  test("CREATE TABLE with GENERATED ALWAYS AS (expr) column spec") {
+    import spark.implicits._
+    import graft.plans.{TxCreateWithSpecs, TxSqlParser}
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-cgc-").toString + "/t"
+    val plan = parser.parsePlan(
+      "CREATE TABLE graft_tx_cgc (k BIGINT, d DATE, " +
+        "y INT GENERATED ALWAYS AS (year(d))) " +
+        s"USING txtable LOCATION '$loc'")
+    assert(plan.isInstanceOf[TxCreateWithSpecs])
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark, plan).collect()
+    try {
+      val t = graft.ops.TxTable(spark, loc)
+      // declared ahead of content — the token is live before any data
+      assert(t.generatedColumns === Map("y" -> "year(d)"))
+      // INSERT with an all-NULL generated slot = DEFAULT → computed
+      spark.sql("INSERT INTO graft_tx_cgc VALUES " +
+        "(1L, DATE '1996-03-07', CAST(NULL AS INT)), " +
+        "(2L, DATE '2001-11-20', CAST(NULL AS INT))")
+      assert(t.read().select("k", "y").orderBy("k")
+        .as[(Long, Int)].collect().toSeq ===
+        Seq((1L, 1996), (2L, 2001)))
+      // a supplied WRONG value refuses loudly (null-safe enforcement)
+      intercept[Exception](spark.sql(
+        "INSERT INTO graft_tx_cgc VALUES (3L, DATE '2005-01-01', 1999)"))
+      // a supplied CORRECT value passes
+      spark.sql(
+        "INSERT INTO graft_tx_cgc VALUES (4L, DATE '2005-01-01', 2005)")
+      assert(t.read().count() === 3)
+      // an expression referencing an undeclared column refuses at
+      // parse time, before anything is created
+      intercept[Exception](parser.parsePlan(
+        "CREATE TABLE graft_tx_cgc2 (k BIGINT, " +
+          "y INT GENERATED ALWAYS AS (year(nope))) " +
+          "USING txtable LOCATION '/tmp/nowhere'"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_cgc")
   }
 
   test("OPTIMIZE packs per partition leaf; WHERE scopes the repack") {
