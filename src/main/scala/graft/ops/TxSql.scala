@@ -104,11 +104,36 @@ final class TxSql(spark: SparkSession) {
               "OPTIMIZE WHERE supports AND-ed partition equalities " +
                 s"(col = literal); got: ${other.sql}")
           }
-        t.compactBinPack(partitionFilter = filter) match {
+        val res = t.compactBinPack(partitionFilter = filter)
+        // retention properties honored at OPTIMIZE time (Delta drives
+        // log retention from table properties the same way): a set
+        // `txtable.logRetentionVersions` cuts the log through
+        // [[TxTable.cleanupLog]] — age guard intact, so young entries
+        // are never touched
+        tpRetention(t)
+        res match {
           case Some(c) => summary(c)
           case None    => summary0()
         }
       }
+      case UnsetTblPropsRe(ident, keys) => mutating(ident) { t =>
+        val ks = "'([^']*)'".r.findAllMatchIn(keys)
+          .map(_.group(1)).toSeq
+        require(ks.nonEmpty,
+          "UNSET TBLPROPERTIES needs at least one quoted key")
+        summary(t.unsetProperties(ks))
+      }
+      case SetTblPropsRe(ident, pairs) => mutating(ident) { t =>
+        val kvs = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(pairs)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        require(kvs.nonEmpty,
+          "SET TBLPROPERTIES needs 'key'='value' pairs")
+        summary(t.setProperties(kvs))
+      }
+      case ShowTblPropsRe(ident) =>
+        val sq = spark; import sq.implicits._
+        resolve(ident).properties.toSeq.sortBy(_._1)
+          .toDF("key", "value")
       case VacuumRe(ident, n, unit, dry) => mutating(ident) { t =>
         val sq = spark; import sq.implicits._
         // DRY RUN (Delta's grammar): the identical walk and guards,
@@ -553,6 +578,17 @@ final class TxSql(spark: SparkSession) {
     org.apache.spark.sql.catalyst.CatalystTypeConverters
       .convertToScala(l.value, l.dataType)
 
+  /** Honor retention table properties (best-effort, loud on a
+    * malformed value): `txtable.logRetentionVersions` → cleanupLog. */
+  private def tpRetention(t: TxTable): Unit =
+    t.properties.get("txtable.logRetentionVersions").foreach { v =>
+      val n =
+        try v.toLong
+        catch { case _: NumberFormatException => sys.error(
+          s"txtable.logRetentionVersions must be a version count: $v") }
+      t.cleanupLog(n); ()
+    }
+
   private def summary(c: TxTable.Commit): DataFrame = {
     val sq = spark; import sq.implicits._
     Seq((c.version, c.action, c.add.size.toLong, c.remove.size.toLong))
@@ -596,6 +632,8 @@ object TxSql {
     StructType(Seq(StructField("reclaimed_file", StringType)))
   private[graft] val CleanupSchema =
     StructType(Seq(StructField("deleted_log_file", StringType)))
+  private[graft] val TblPropsSchema = StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType)))
 
   /** Is `parts` a transactional-table reference, WITHOUT side effects
     * (never opens/creates the table — safe to call at parse time for
@@ -638,6 +676,9 @@ object TxSql {
       case OptimizeRe(id, _) if tx(id)          => Some(SummarySchema)
       case VacuumRe(id, _, _, _) if tx(id)      => Some(VacuumSchema)
       case CleanupLogRe(id, _) if tx(id)        => Some(CleanupSchema)
+      case UnsetTblPropsRe(id, _) if tx(id)     => Some(SummarySchema)
+      case SetTblPropsRe(id, _) if tx(id)       => Some(SummarySchema)
+      case ShowTblPropsRe(id) if tx(id)         => Some(TblPropsSchema)
       case RestoreRe(id, _) if tx(id)           => Some(SummarySchema)
       case RestoreTsRe(id, _) if tx(id)         => Some(SummarySchema)
       case AddConstraintRe(id, _, _) if tx(id)  => Some(SummarySchema)
@@ -704,6 +745,14 @@ object TxSql {
   // CLEANUP LOG t RETAIN n VERSIONS — log-retention DDL (see run())
   private val CleanupLogRe =
     s"""(?is)CLEANUP\\s+LOG\\s+$Id\\s+RETAIN\\s+(\\d+)\\s+VERSIONS""".r
+  // TBLPROPERTIES family — key/value metadata tokens; UNSET precedes
+  // SET in the match (its text contains "SET TBLPROPERTIES")
+  private val SetTblPropsRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)""".r
+  private val UnsetTblPropsRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+UNSET\\s+TBLPROPERTIES(?:\\s+IF\\s+EXISTS)?\\s*\\((.+)\\)""".r
+  private val ShowTblPropsRe =
+    s"""(?is)SHOW\\s+TBLPROPERTIES\\s+$Id""".r
   private val RestoreRe =
     s"""(?is)RESTORE\\s+TABLE\\s+$Id\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
   private val RestoreTsRe =

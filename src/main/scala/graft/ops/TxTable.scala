@@ -251,9 +251,27 @@ object TxTable {
     (unb64(body.take(i)), body.drop(i + 1).toLong)
   }
 
+  /** TABLE PROPERTIES (Delta's TBLPROPERTIES): a
+    * `tp-<b64(key)>.<b64(value)>` token records one key → value pair.
+    * Properties are advisory metadata the engine itself may honor
+    * (e.g. `txtable.logRetentionVersions` drives [[cleanupLog]] at
+    * OPTIMIZE time) and users query/pipe through tooling; they ride
+    * the log like every other token — O(1) metadata commits, cloned
+    * with the table, checkpoint-compacted. */
+  private[ops] def isTpName(rel: String): Boolean = rel.startsWith("tp-")
+
+  private[ops] def encodeTp(key: String, value: String): String =
+    "tp-" + b64(key) + "." + b64(value)
+
+  private[ops] def decodeTp(token: String): (String, String) = {
+    val body = token.stripPrefix("tp-")
+    val i = body.indexOf('.')
+    (unb64(body.take(i)), unb64(body.drop(i + 1)))
+  }
+
   /** Is `rel` ANY metadata token (constraint, column mapping, dropped
     * column, protocol version, generated column, identity column,
-    * transaction marker)?
+    * transaction marker, table property)?
     * The one predicate every consumer that wants DATA+DV files must
     * filter with — clone commits in particular carry the full token
     * set in their add list, so a consumer filtering only some
@@ -261,7 +279,8 @@ object TxTable {
     * features. */
   private[graft] def isMetaToken(rel: String): Boolean =
     isCtName(rel) || isCmName(rel) || isCmxName(rel) ||
-      isPvName(rel) || isGcName(rel) || isIdName(rel) || isTxnName(rel)
+      isPvName(rel) || isGcName(rel) || isIdName(rel) ||
+      isTxnName(rel) || isTpName(rel)
 
   private[ops] def encodePv(reader: Int, writer: Int): String =
     s"pv-$reader.$writer"
@@ -1133,6 +1152,54 @@ final class TxTable private (spark: SparkSession, dir: String,
       case t if TxTable.isTxnName(t) &&
         TxTable.decodeTxn(t)._1 == appId => TxTable.decodeTxn(t)._2
     }
+
+  /** Head-snapshot table properties, key → value (the `tp-` tokens). */
+  def properties: Map[String, String] = tpMap(snapshot())
+
+  private def tpMap(s: Snapshot): Map[String, String] =
+    s.cms.filter(TxTable.isTpName).map(TxTable.decodeTp).toMap
+
+  /** SET TBLPROPERTIES: upsert `kvs` as one metadata-only commit
+    * (action `properties`) — existing keys' tokens swap out, other
+    * keys untouched. Content-neutral everywhere: CDF-silent, streams
+    * ride through, checkpoints carry the tokens. */
+  def setProperties(kvs: Map[String, String],
+      maxRetries: Int = 20): Commit = {
+    require(kvs.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val keysLower = kvs.keySet.map(_.toLowerCase)
+      val stale = head.cms.filter(t => TxTable.isTpName(t) &&
+        keysLower.contains(TxTable.decodeTp(t)._1.toLowerCase))
+      val c = Commit(head.version + 1, "properties",
+        kvs.toSeq.sortBy(_._1).map { case (k, v) =>
+          TxTable.encodeTp(k, v) },
+        stale, System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"setProperties contention: lost $maxRetries races in $logDir")
+  }
+
+  /** UNSET TBLPROPERTIES: drop `keys`' tokens (missing keys are a
+    * no-op per key, like Spark's IF EXISTS form). */
+  def unsetProperties(keys: Seq[String],
+      maxRetries: Int = 20): Commit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val keysLower = keys.map(_.toLowerCase).toSet
+      val stale = head.cms.filter(t => TxTable.isTpName(t) &&
+        keysLower.contains(TxTable.decodeTp(t)._1.toLowerCase))
+      val c = Commit(head.version + 1, "properties", Nil, stale,
+        System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
+      if (tryCommit(c)) return c
+      attempt += 1
+    }
+    sys.error(s"unsetProperties contention: lost $maxRetries races in $logDir")
+  }
 
   /** The (add, remove) token pair a `txn`-carrying commit must fold
     * into its lists: the app's fresh marker in, every stale marker of

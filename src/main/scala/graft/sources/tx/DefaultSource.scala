@@ -624,10 +624,11 @@ final class TxTableSource(
               // files to scan
               t.resolveFiles(c.add.filterNot(TxTable.isMetaToken),
                 s"streaming batch v${c.version}")
-            // compaction is content-identical; a constraint or
-            // identity-declaration commit is metadata-only — none
-            // adds rows to the stream
-            case "compact" | "constraint" | "identity" => Nil
+            // compaction is content-identical; constraint,
+            // identity-declaration, and table-property commits are
+            // metadata-only — none adds rows to the stream
+            case "compact" | "constraint" | "identity" | "properties" =>
+              Nil
             case other =>
               if (skipChangeCommits) Nil
               else sys.error(

@@ -785,6 +785,42 @@ class TxSqlSpec extends SparkTestBase {
     assert(e.getMessage.contains("partition equalities"))
   }
 
+  test("TBLPROPERTIES: set/unset/show; OPTIMIZE honors log retention") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    sql.run(s"ALTER TABLE txtable.`$p` SET TBLPROPERTIES " +
+      "('owner' = 'ingest-team', 'txtable.logRetentionVersions' = '3')")
+    assert(t.properties === Map("owner" -> "ingest-team",
+      "txtable.logRetentionVersions" -> "3"))
+    // upsert semantics: re-setting a key swaps its token
+    sql.run(s"ALTER TABLE txtable.`$p` SET TBLPROPERTIES " +
+      "('owner' = 'platform')")
+    assert(t.properties("owner") === "platform")
+    val shown = sql.run(s"SHOW TBLPROPERTIES txtable.`$p`")
+      .as[(String, String)].collect().toMap
+    assert(shown === t.properties)
+    sql.run(s"ALTER TABLE txtable.`$p` UNSET TBLPROPERTIES ('owner')")
+    assert(t.properties.keySet === Set("txtable.logRetentionVersions"))
+    // property commits are content-neutral: reads unchanged, CDF and
+    // streams silent about them
+    assert(t.read().count() === 10)
+    // window (0, head] holds only the three property commits
+    assert(t.readChanges(0L).count() === 0)
+    // OPTIMIZE honors the retention property: with a backdated log
+    // and enough commits for a checkpoint, the cut happens
+    (0 until 12).foreach(i =>
+      t.append(df(100 + i * 10 until 100 + i * 10 + 10)))
+    Option(new java.io.File(s"$p/_log").listFiles())
+      .getOrElse(Array.empty[java.io.File]).foreach { f =>
+        f.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+      }
+    sql.run(s"OPTIMIZE txtable.`$p`")
+    val e = intercept[Exception](t.readAt(0L))
+    assert(e.getMessage.contains("cleaned"))
+    assert(t.read().count() === 130)
+  }
+
   test("CLEANUP LOG RETAIN n VERSIONS cuts the log; below-cut travel fails loudly") {
     import spark.implicits._
     val (t, p) = mkTable()
