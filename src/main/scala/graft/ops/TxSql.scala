@@ -200,6 +200,16 @@ final class TxSql(spark: SparkSession) {
           t.renameColumn(unquote(from), unquote(to))))
       case DropColumnRe(ident, name) =>
         mutating(ident)(t => summary(t.dropColumn(unquote(name))))
+      // COPY INTO t FROM 'dir' FILEFORMAT = PARQUET [PATTERN = '*.pq']
+      // — Delta's idempotent scheduled-ingest statement; a rerun loads
+      // only files the table's cp- ledger does not yet record
+      case CopyIntoRe(ident, src, fmt, pattern) => mutating(ident) { t =>
+        t.copyInto(src, fmt.toLowerCase,
+          Option(pattern).getOrElse("*")) match {
+          case Some(c) => summary(c)
+          case None    => summary0()
+        }
+      }
       case ConvertRe(path) =>
         val t = TxTable.convert(spark, unquote(path.trim))
         summary(t.commitLog.head)
@@ -690,6 +700,7 @@ object TxSql {
       case AddColumnsRe(id, _) if tx(id)        => Some(SummarySchema)
       case RenameColumnRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropColumnRe(id, _) if tx(id)        => Some(SummarySchema)
+      case CopyIntoRe(id, _, _, _) if tx(id)    => Some(SummarySchema)
       case ConvertRe(_)                         => Some(SummarySchema)
       case CloneRe(_, src, _) if tx(src)        => Some(SummarySchema)
       case _                                    => None
@@ -786,6 +797,9 @@ object TxSql {
   // directory in place (Delta's CONVERT TO DELTA shape)
   private val ConvertRe =
     """(?is)CONVERT\s+TO\s+TXTABLE\s+parquet\.(.+)""".r
+  // COPY INTO t FROM 'dir' FILEFORMAT = FMT [PATTERN = 'glob']
+  private val CopyIntoRe =
+    s"""(?is)COPY\\s+INTO\\s+$Id\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?""".r
   // CREATE TABLE txtable.`/dst` SHALLOW CLONE <src> [VERSION AS OF n]
   private val CloneRe =
     s"""(?is)CREATE\\s+TABLE\\s+txtable\\.$Id\\s+SHALLOW\\s+CLONE\\s+$Id(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?""".r

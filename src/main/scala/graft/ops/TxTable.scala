@@ -269,9 +269,24 @@ object TxTable {
     (unb64(body.take(i)), unb64(body.drop(i + 1)))
   }
 
+  /** COPY-INTO ledger (Delta's `COPY INTO` idempotence): a
+    * `cp-<b64(source file path)>` token records that the source file
+    * was already loaded into this table. The tokens commit ATOMICALLY
+    * with the loaded content, so "which files are in?" is answered by
+    * the log itself — a rerun of the same COPY (the scheduled-ingest
+    * crash-retry shape) loads exactly the not-yet-recorded files,
+    * never a duplicate row. One token per loaded file — the same
+    * order as the data-file names the log already carries. */
+  private[ops] def isCpName(rel: String): Boolean = rel.startsWith("cp-")
+
+  private[ops] def encodeCp(path: String): String = "cp-" + b64(path)
+
+  private[ops] def decodeCp(token: String): String =
+    unb64(token.stripPrefix("cp-"))
+
   /** Is `rel` ANY metadata token (constraint, column mapping, dropped
     * column, protocol version, generated column, identity column,
-    * transaction marker, table property)?
+    * transaction marker, table property, copy-into ledger entry)?
     * The one predicate every consumer that wants DATA+DV files must
     * filter with — clone commits in particular carry the full token
     * set in their add list, so a consumer filtering only some
@@ -280,7 +295,7 @@ object TxTable {
   private[graft] def isMetaToken(rel: String): Boolean =
     isCtName(rel) || isCmName(rel) || isCmxName(rel) ||
       isPvName(rel) || isGcName(rel) || isIdName(rel) ||
-      isTxnName(rel) || isTpName(rel)
+      isTxnName(rel) || isTpName(rel) || isCpName(rel)
 
   private[ops] def encodePv(reader: Int, writer: Int): String =
     s"pv-$reader.$writer"
@@ -2385,6 +2400,71 @@ final class TxTable private (spark: SparkSession, dir: String,
     commitAppend(stageLike(s0, toPhysical(enforced(df2, cts), s0)), df2,
       maxRetries, evolve = true, enforcedCts = cts,
       enforcedGcs = gcMap(s0))
+  }
+
+  /** IDEMPOTENT FILE INGEST (Delta's `COPY INTO`): load the files
+    * under `srcDir` matching `pattern` that this table has NOT yet
+    * recorded, as one atomic commit carrying both the content and one
+    * `cp-` ledger token per loaded source file ([[TxTable.encodeCp]]).
+    * Rerunning the same COPY — the scheduled-ingest crash-retry shape
+    * — loads exactly the files that arrived since, never a duplicate
+    * row; None = nothing new. The incoming schema passes the same
+    * guard as [[append]] (a drifted producer refuses loudly), CHECK
+    * constraints and generated columns apply, and the commit retry
+    * re-checks the ledger so two racing COPYs of the same files
+    * cannot both land them.
+    *
+    * Scale shape: the ledger read is the snapshot's token list
+    * (driver-side, checkpoint-compacted); the load reads ONLY the
+    * fresh files; commit cost is one entry. */
+  def copyInto(srcDir: String, format: String = "parquet",
+      pattern: String = "*", maxRetries: Int = 20): Option[Commit] = {
+    val fs = new File(srcDir)
+    require(fs.isDirectory, s"COPY INTO source is not a directory: $srcDir")
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher(s"glob:$pattern")
+    def listSrc(): Seq[String] = Option(fs.listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") &&
+        matcher.matches(Paths.get(f.getName)))
+      .map(_.getAbsolutePath).sorted
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      require(identMap(head).isEmpty,
+        "COPY INTO on a table with identity columns is not supported " +
+          "(loaded rows need engine allocation — use append)")
+      val loaded = head.cms.filter(TxTable.isCpName)
+        .map(TxTable.decodeCp).toSet
+      val fresh = listSrc().filterNot(loaded)
+      if (fresh.isEmpty) return None
+      val cts = ctMap(head)
+      val df = applyGenerated(
+        spark.read.format(format).load(fresh: _*), head)
+      guardSchema(head, df)
+      val staged = stageLike(head, toPhysical(enforced(df, cts), head))
+      guardConstraints(head, cts, staged, gcMap(head))
+      val stats = fileStats(staged)
+      buildBlooms(staged)
+      // re-resolve at commit time: a racing COPY that recorded any of
+      // OUR files must force a re-derive, or both would land the rows
+      val base = snapshot()
+      val nowLoaded = base.cms.filter(TxTable.isCpName)
+        .map(TxTable.decodeCp).toSet
+      val raced = fresh.exists(nowLoaded.contains) || {
+        val c = Commit(base.version + 1, "copy",
+          staged ++ fresh.map(TxTable.encodeCp), Nil,
+          System.currentTimeMillis())
+        if (tryCommit(c, stats)) return Some(c)
+        true
+      }
+      if (raced) {
+        staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      }
+      attempt += 1
+    }
+    sys.error(s"COPY INTO contention: lost $maxRetries races in $logDir")
   }
 
   /** Schema-widening DDL (Delta's `ALTER TABLE … ADD COLUMNS`): add

@@ -839,6 +839,78 @@ object TxDmlQueries {
       }
     }))
 
+  // ----------------------------------------------------------------- K39
+  /** COPY INTO ([[graft.ops.TxTable.copyInto]], Delta's idempotent
+    * scheduled-ingest statement): the customer extract lands in a drop
+    * directory and is COPY'd in; a second extract (key-shifted subset)
+    * arrives LATER in the same directory and a second COPY loads ONLY
+    * the new files — the first batch's files are in the table's `cp-`
+    * ledger and re-loading them would duplicate every row. The oracle
+    * is the plain union of the two extracts, so hash equality IS the
+    * idempotence proof: one spurious re-load and the row multiset
+    * diverges. */
+  private def seedCopy(s: SparkSession, d: String): TxTable = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-txcopy-").toString
+    val src = s"$root/in"
+    val customer = Tables.customer(s, d)
+    customer.write.parquet(src)
+    val t = TxTable(s, s"$root/t")
+    val stmt = s"COPY INTO txtable.`$root/t` FROM '$src' " +
+      "FILEFORMAT = PARQUET"
+    graft.ops.TxSql(s).run(stmt)
+    // the late extract arrives in the SAME drop directory
+    val keyShift = customer.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    customer.where(col("c_custkey") <= 60L)
+      .withColumn("c_custkey", col("c_custkey") + keyShift)
+      .withColumn("c_mktsegment", lit("LATE"))
+      .write.mode("append").parquet(src)
+    graft.ops.TxSql(s).run(stmt)
+    t
+  }
+
+  private def readCopied(t: TxTable): DataFrame =
+    t.read().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+
+  private val txCopyInto = GraftQuery(
+    "k39_tx_copy_into",
+    (s, d) => readCopied(seedCopy(s, d)),
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+            ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) + 1
+                     AS c_custkey, c_name, c_nationkey,
+                   ROUND(c_acctbal, 2) AS c_acctbal,
+                   'LATE' AS c_mktsegment
+            FROM customer WHERE c_custkey <= 60"""),
+    bench = false,
+    // timed region = one COPY pass over a fresh late batch (unique
+    // keys per run so the ingest is real work, never a ledger no-op)
+    // + the read-back
+    benchBuild = Some((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txcopy-bench-").toString
+      val src = s"$root/in"
+      val customer = Tables.customer(s, d)
+      customer.write.parquet(src)
+      val t = TxTable(s, s"$root/t")
+      val stmt = s"COPY INTO txtable.`$root/t` FROM '$src' " +
+        "FILEFORMAT = PARQUET"
+      graft.ops.TxSql(s).run(stmt)
+      var run = 0L
+      () => {
+        run += 1L
+        customer.where(col("c_custkey") <= 60L)
+          .withColumn("c_custkey",
+            col("c_custkey") + lit(run * 1000000L))
+          .write.mode("append").parquet(src)
+        graft.ops.TxSql(s).run(stmt)
+        readCopied(t)
+      }
+    }))
+
   // ------------------------------------------------------------- SCD2
   /** Slowly-Changing-Dimension Type 2 batch apply
     * ([[graft.ops.Scd2]]): the customer dimension is initialized as
@@ -934,5 +1006,6 @@ object TxDmlQueries {
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
       txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
-      txAddColumns, txMergeEvolve, txIdentity, txStreamSink, scd2Apply)
+      txAddColumns, txMergeEvolve, txIdentity, txStreamSink, txCopyInto,
+      scd2Apply)
 }

@@ -618,7 +618,10 @@ final class TxTableSource(
       case (Some(s), false) =>
         val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
           c.action match {
-            case "append" =>
+            // a COPY INTO commit is an append whose add list also
+            // carries the cp- source-file ledger — same token-filtered
+            // consumption
+            case "append" | "copy" =>
               // identity appends carry their high-water token swap in
               // the add/remove lists — tokens are log entries, not
               // files to scan

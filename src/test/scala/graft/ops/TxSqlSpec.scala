@@ -785,6 +785,40 @@ class TxSqlSpec extends SparkTestBase {
     assert(e.getMessage.contains("partition equalities"))
   }
 
+  test("COPY INTO loads only unrecorded files; rerun is a no-op") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-cpsrc-").toString + "/in"
+    df(0 until 10).repartition(2).write.parquet(src)
+    val stmt = s"COPY INTO txtable.`$p` FROM '$src' FILEFORMAT = PARQUET"
+    assert(sql.run(stmt).head().getString(1) === "copy")
+    assert(t.read().count() === 10)
+    // rerun: the ledger already records every file — no commit at all
+    val v = t.snapshot().version
+    assert(sql.run(stmt).count() === 0)
+    assert(t.snapshot().version === v)
+    assert(t.read().count() === 10)
+    // late-arriving files load, already-recorded ones do not re-load
+    df(10 until 15).coalesce(1).write.mode("append").parquet(src)
+    sql.run(stmt)
+    assert(t.read().count() === 15)
+    assert(t.read().select("k").distinct().count() === 15)
+    // a drifted producer refuses loudly (same guard as append)
+    val src2 = java.nio.file.Files
+      .createTempDirectory("graft-cpsrc2-").toString + "/in"
+    Seq((1, "x")).toDF("other", "shape").write.parquet(src2)
+    intercept[Exception](sql.run(
+      s"COPY INTO txtable.`$p` FROM '$src2' FILEFORMAT = PARQUET"))
+    // the streaming source consumes copy commits like appends
+    val q = spark.readStream.format("txtable").option("path", p)
+      .load().writeStream.format("memory").queryName("cpstream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cpstream").count() === 15)
+    } finally q.stop()
+  }
+
   test("TBLPROPERTIES: set/unset/show; OPTIMIZE honors log retention") {
     import spark.implicits._
     val (t, p) = mkTable()
