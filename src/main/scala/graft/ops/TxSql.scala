@@ -117,17 +117,24 @@ final class TxSql(spark: SparkSession) {
         }
       }
       case UnsetTblPropsRe(ident, keys) => mutating(ident) { t =>
-        val ks = "'([^']*)'".r.findAllMatchIn(keys)
-          .map(_.group(1)).toSeq
-        require(ks.nonEmpty,
-          "UNSET TBLPROPERTIES needs at least one quoted key")
+        val re = "'([^']*)'".r
+        val ks = re.findAllMatchIn(keys).map(_.group(1)).toSeq
+        // a malformed entry must refuse, never silently vanish: after
+        // removing every well-formed key, only separators may remain
+        require(ks.nonEmpty &&
+          re.replaceAllIn(keys, "").matches("[\\s,]*"),
+          s"UNSET TBLPROPERTIES needs quoted keys ('k', …); got: $keys")
         summary(t.unsetProperties(ks))
       }
       case SetTblPropsRe(ident, pairs) => mutating(ident) { t =>
-        val kvs = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(pairs)
+        val re = "'([^']*)'\\s*=\\s*'([^']*)'".r
+        val kvs = re.findAllMatchIn(pairs)
           .map(m => m.group(1) -> m.group(2)).toMap
-        require(kvs.nonEmpty,
-          "SET TBLPROPERTIES needs 'key'='value' pairs")
+        // same strictness: an unquoted pair (b=2) silently dropping
+        // would mean e.g. a mistyped retention setting never engaging
+        require(kvs.nonEmpty &&
+          re.replaceAllIn(pairs, "").matches("[\\s,]*"),
+          s"SET TBLPROPERTIES needs 'key'='value' pairs; got: $pairs")
         summary(t.setProperties(kvs))
       }
       case ShowTblPropsRe(ident) =>

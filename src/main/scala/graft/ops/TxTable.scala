@@ -306,6 +306,15 @@ object TxTable {
     (body.take(i).toInt, body.drop(i + 1).toInt)
   }
 
+  /** Thrown when a txn-carrying write finds its (appId, version)
+    * already recorded at commit time — the batch landed through
+    * another writer (zombie attempt); the caller must NOT retry. */
+  final class TxnAlreadyApplied(val appId: String, val version: Long,
+      val recorded: Long) extends RuntimeException(
+    s"transaction ($appId, $version) already applied " +
+      s"(recorded version $recorded) — a concurrent writer of the " +
+      "same app committed this batch")
+
   /** Open (or initialize) a transactional table rooted at `dir`, with
     * the default POSIX hard-link commit CAS ([[LogStore.HardLink]]). */
   def apply(spark: SparkSession, dir: String): TxTable =
@@ -420,19 +429,21 @@ final class TxTable private (spark: SparkSession, dir: String,
     * floor instead of 0 — still contiguous from its own head, so a
     * mid-log gap (a commit not yet landed) still truncates.
     *
-    * A missing prefix is adopted as a retention floor ONLY when the
-    * oldest surviving entry coincides with a surviving checkpoint —
-    * cleanupLog cuts at a checkpoint and deletes strictly below it,
-    * so that is the cut's signature. Any other missing prefix (an
-    * eventually-consistent listing surfacing v1 before v0) keeps the
-    * old contiguity rule: the head is not-yet-committed, replay is
+    * A missing prefix is adopted as a retention floor ONLY when a
+    * CHECKPOINT at or above the oldest surviving entry exists: a
+    * checkpoint is written strictly after its commit, so its presence
+    * PROVES every version below it was once committed — the prefix
+    * was deleted (cleanupLog, whose age guard may legitimately leave
+    * the oldest survivor below the cut), not not-yet-committed. An
+    * eventually-consistent listing surfacing v1 before v0 on a young
+    * (checkpoint-less) table keeps the old contiguity rule: replay is
     * empty — never a wrong floor that would mislead history() or
     * versionAsOf. */
   private def commits(): Seq[Commit] = {
     val (cfs, ckpts) = listLog()
     val parsed = cfs.map { case (_, f) => readEntry(f) }
     val start = parsed.headOption.map(_.version).getOrElse(0L)
-    if (start > 0L && !ckpts.exists(_._1 == start)) Nil
+    if (start > 0L && !ckpts.exists(_._1 >= start)) Nil
     else parsed.zipWithIndex
       .takeWhile { case (c, i) => c.version == start + i }.map(_._1)
   }
@@ -1220,12 +1231,22 @@ final class TxTable private (spark: SparkSession, dir: String,
     * into its lists: the app's fresh marker in, every stale marker of
     * the SAME app out (other apps' markers untouched). Computed per
     * attempt against that attempt's base so a lost CAS re-derives —
-    * the swap rides the winning commit atomically with the data. */
+    * the swap rides the winning commit atomically with the data.
+    *
+    * If the base ALREADY records version >= v for the app, the batch
+    * landed through another writer (a zombie attempt of the same
+    * query committing between the caller's entry guard and this
+    * attempt) — [[TxTable.TxnAlreadyApplied]] aborts the write instead
+    * of swapping out the winner's identical marker and landing the
+    * rows a SECOND time. Delta's SetTransaction fails the losing
+    * writer the same way; the streaming sink catches it and skips. */
   private def txnSwap(base: Snapshot, txn: Option[(String, Long)])
       : (Seq[String], Seq[String]) = txn match {
     case None => (Nil, Nil)
     case Some((app, v)) =>
       require(app.nonEmpty, "txnAppId must be non-empty")
+      txnOf(base, app).filter(_ >= v).foreach(recorded =>
+        throw new TxTable.TxnAlreadyApplied(app, v, recorded))
       val stale = base.cms.filter(t =>
         TxTable.isTxnName(t) && TxTable.decodeTxn(t)._1 == app)
       (Seq(TxTable.encodeTxn(app, v)), stale)
@@ -2448,11 +2469,19 @@ final class TxTable private (spark: SparkSession, dir: String,
       val stats = fileStats(staged)
       buildBlooms(staged)
       // re-resolve at commit time: a racing COPY that recorded any of
-      // OUR files must force a re-derive, or both would land the rows
+      // OUR files must force a re-derive, or both would land the rows;
+      // and the guards re-run against THIS base — a constraint or
+      // schema change committed since `head` must refuse here exactly
+      // as commitAppend's per-attempt re-guard does, never land
+      // rows validated against a stale snapshot
       val base = snapshot()
       val nowLoaded = base.cms.filter(TxTable.isCpName)
         .map(TxTable.decodeCp).toSet
       val raced = fresh.exists(nowLoaded.contains) || {
+        guardSchema(base, df)
+        // cts/gcs are what STAGING enforced (head's sets) — the guard
+        // scans staged files against any set added since
+        guardConstraints(base, cts, staged, gcMap(head))
         val c = Commit(base.version + 1, "copy",
           staged ++ fresh.map(TxTable.encodeCp), Nil,
           System.currentTimeMillis())
@@ -3646,6 +3675,26 @@ final class TxTable private (spark: SparkSession, dir: String,
     val base = snapshot()
     val dvTouched =
       if (base.dvs.isEmpty) Set.empty[String] else touchedFiles(base.dvs)
+    // a filter column must BE one of the table's partition-path
+    // columns — a typo'd name (or a flat table) would otherwise match
+    // nothing and report a clean no-op forever while small files pile
+    // up in the intended leaf; Delta refuses non-partition predicates
+    // on OPTIMIZE the same way
+    if (partitionFilter.nonEmpty) {
+      val pathCols = base.files.headOption.toSeq
+        .flatMap(_.stripPrefix(s"$dir/").split('/').dropRight(1))
+        .filter(_.contains('='))
+        .map(seg => ExternalCatalogUtils.unescapePathName(
+          seg.takeWhile(_ != '=')).toLowerCase).toSet
+      val unknown = partitionFilter.map(_._1)
+        .filterNot(c => pathCols.contains(
+          physName(base, c).toLowerCase))
+      require(unknown.isEmpty,
+        s"OPTIMIZE WHERE references non-partition column(s) " +
+          s"${unknown.mkString(", ")} (partition columns: " +
+          s"${if (pathCols.isEmpty) "<none — flat table>"
+             else pathCols.toSeq.sorted.mkString(", ")})")
+    }
     // same matching (and escaping) as readPartitions — paths carry
     // PHYSICAL names
     val want = partitionFilter.map { case (c, v) =>
@@ -3817,9 +3866,16 @@ final class TxTable private (spark: SparkSession, dir: String,
     // a file is part of some retained snapshot even if later removed).
     // A file a retained commit merely REMOVES is not kept alive by that
     // mention — that is exactly the garbage vacuum exists to reclaim.
+    // The post-horizon adds come from EVERY surviving log entry — no
+    // contiguity filter: on a partially retention-cleaned log (age
+    // guard leaving young pre-cut entries) a contiguous-run view can
+    // truncate early, and an unprotected add here is DATA LOSS, where
+    // protecting a half-landed future version's adds is merely
+    // conservative.
     val horizon = snapshotAt(retainVersion)
-    val referenced = commits().filter(_.version > retainVersion)
-      .flatMap(_.add).toSet ++
+    val referenced = listLog()._1
+      .filter { case (v, _) => v > retainVersion }
+      .flatMap { case (_, f) => readEntry(f).add }.toSet ++
       (horizon.files ++ horizon.dvs).map(_.stripPrefix(s"$dir/"))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val root = new File(dir)

@@ -179,7 +179,8 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       case other => sys.error(
         s"unexpected CREATE TABLE name plan: ${other.nodeName}")
     }
-    TxCreateWithSpecs(rewritePartitionedCtas(cleaned), parts, ids, gens)
+    TxCreateWithSpecs(rewritePartitionedCtas(cleaned), parts, ids, gens,
+      ct.ignoreIfExists)
   }
 
   /** `CREATE TABLE … USING txtable PARTITIONED BY (…) AS SELECT`:
@@ -278,12 +279,30 @@ case class TxSqlStatement(sqlText: String, resultSchema: StructType)
   * not be analyzed until this command executes it. */
 case class TxCreateWithSpecs(inner: LogicalPlan,
     nameParts: Seq[String], ids: Seq[(String, Long, Long)],
-    gens: Seq[(String, String)] = Nil)
+    gens: Seq[(String, String)] = Nil,
+    ignoreIfExists: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    // CREATE TABLE IF NOT EXISTS on an existing table is a WHOLE-
+    // STATEMENT no-op (the idempotent bootstrap-script idiom): the
+    // inner CREATE would no-op, and the follow-up declarations must
+    // not fire either — re-running would error "already declared",
+    // and a pre-existing table created WITHOUT the specs must not
+    // have its write contract changed by a statement that does
+    // nothing. Without IF NOT EXISTS the inner CREATE refuses itself.
+    if (ignoreIfExists) {
+      val exists = nameParts match {
+        case Seq(t0) => sparkSession.sessionState.catalog
+          .tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t0))
+        case Seq(db, t0) => sparkSession.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(t0, Some(db)))
+        case _ => false
+      }
+      if (exists) return Nil
+    }
     org.apache.spark.sql.graft.ColumnShim
       .ofRows(sparkSession, inner).collect()
     val t = TxSql(sparkSession).resolveParts(nameParts)

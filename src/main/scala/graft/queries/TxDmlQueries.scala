@@ -781,7 +781,10 @@ object TxDmlQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     val q = mergeKeys match {
       case Some(k) =>
-        base.option("mergeKeys", k).outputMode("update").start()
+        // seqCol is REQUIRED in update mode; this change set is
+        // unique per key, so any column is a valid ordering
+        base.option("mergeKeys", k).option("seqCol", k)
+          .outputMode("update").start()
       case None => base.start()
     }
     q.awaitTermination()
@@ -886,28 +889,30 @@ object TxDmlQueries {
                    'LATE' AS c_mktsegment
             FROM customer WHERE c_custkey <= 60"""),
     bench = false,
-    // timed region = one COPY pass over a fresh late batch (unique
-    // keys per run so the ingest is real work, never a ledger no-op)
-    // + the read-back
+    // timed region = BOTH COPY passes into a fresh table per run (the
+    // second probing a ledger that already holds the base files) + the
+    // read-back; the extracts are pre-written once, so every run does
+    // the same real ingest work and reads back the build's exact rows
     benchBuild = Some((s, d) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-txcopy-bench-").toString
-      val src = s"$root/in"
       val customer = Tables.customer(s, d)
-      customer.write.parquet(src)
-      val t = TxTable(s, s"$root/t")
-      val stmt = s"COPY INTO txtable.`$root/t` FROM '$src' " +
-        "FILEFORMAT = PARQUET"
-      graft.ops.TxSql(s).run(stmt)
+      customer.write.parquet(s"$root/in_base")
+      val keyShift =
+        customer.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+      customer.where(col("c_custkey") <= 60L)
+        .withColumn("c_custkey", col("c_custkey") + keyShift)
+        .withColumn("c_mktsegment", lit("LATE"))
+        .write.parquet(s"$root/in_late")
       var run = 0L
       () => {
         run += 1L
-        customer.where(col("c_custkey") <= 60L)
-          .withColumn("c_custkey",
-            col("c_custkey") + lit(run * 1000000L))
-          .write.mode("append").parquet(src)
-        graft.ops.TxSql(s).run(stmt)
-        readCopied(t)
+        val tbl = s"$root/t$run"
+        graft.ops.TxSql(s).run(s"COPY INTO txtable.`$tbl` " +
+          s"FROM '$root/in_base' FILEFORMAT = PARQUET")
+        graft.ops.TxSql(s).run(s"COPY INTO txtable.`$tbl` " +
+          s"FROM '$root/in_late' FILEFORMAT = PARQUET")
+        readCopied(TxTable(s, tbl))
       }
     }))
 

@@ -85,8 +85,12 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
   override def createSink(ctx: SQLContext, params: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val o = opts(params)
+    // trailing-slash-normalized: '/ck' and '/ck/' are the same
+    // checkpoint, and a restart under the other spelling must keep
+    // the same replay identity (prefer an explicit txnAppId when the
+    // checkpoint path spelling can vary further, e.g. relative paths)
     val appId = o.get("txnappid")
-      .orElse(o.get("checkpointlocation"))
+      .orElse(o.get("checkpointlocation").map(_.stripSuffix("/")))
       .getOrElse(throw new IllegalArgumentException(
         "the txtable sink needs a transaction identity for exactly-once " +
           "replay protection: set option 'txnAppId' (or a " +
@@ -94,16 +98,29 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     val mergeKeys = o.get("mergekeys").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val seqCol = o.get("seqcol")
-    if (outputMode == OutputMode.Update())
+    if (outputMode == OutputMode.Update()) {
       require(mergeKeys.nonEmpty,
         "txtable sink in Update mode needs option 'mergeKeys' " +
           "(comma-separated upsert key columns)")
-    else
+      // REQUIRED, not optional: a CDC stream routinely delivers two
+      // changes for one key in one trigger, and without an ordering
+      // column the merge's duplicate-key refusal would fail the batch
+      // — which the engine then re-delivers forever (an unrecoverable
+      // poison pill, since the replay guard only skips COMMITTED
+      // batches). Demanding the ordering up front turns that runtime
+      // wedge into a start-time message.
+      require(seqCol.isDefined,
+        "txtable sink in Update mode needs option 'seqCol' (the " +
+          "column ordering changes per key — each batch keeps its " +
+          "LAST change; without one, a batch carrying two changes " +
+          "for a key could never be applied or skipped)")
+    } else {
       require(mergeKeys.isEmpty,
         "option 'mergeKeys' implies Update (upsert) mode — " +
           s"got $outputMode")
-    require(seqCol.isEmpty || mergeKeys.nonEmpty,
-      "option 'seqCol' only applies with 'mergeKeys'")
+      require(seqCol.isEmpty,
+        "option 'seqCol' only applies with 'mergeKeys'")
+    }
     new TxTableSink(table(ctx, params), appId, outputMode, mergeKeys,
       seqCol, partitionColumns)
   }
@@ -676,6 +693,15 @@ final class TxTableSink(
     // landed?" exactly (monotone batch ids per app, Delta's contract)
     if (t.txnVersion(appId).exists(_ >= batchId)) return
     val txn = Some((appId, batchId))
+    // a ZOMBIE attempt of the same query can commit this batch between
+    // the guard above and our commit: the engine-side txnSwap aborts
+    // with TxnAlreadyApplied at commit time — the batch landed, skip
+    try doAddBatch(batchId, data, txn)
+    catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
+  }
+
+  private def doAddBatch(batchId: Long, data: DataFrame,
+      txn: Option[(String, Long)]): Unit = {
     // re-plant the streaming plan as a batch frame (ForeachBatchSink's
     // own device) — the table's writers execute it as ordinary batch
     val batch = org.apache.spark.sql.graft.StreamingShim.asBatch(data)

@@ -783,6 +783,79 @@ class TxSqlSpec extends SparkTestBase {
     val e = intercept[Exception](
       sql.run(s"OPTIMIZE txtable.`$p` WHERE tag > 'a'"))
     assert(e.getMessage.contains("partition equalities"))
+    // a typo'd / non-partition column refuses instead of silently
+    // no-op'ing forever
+    val e2 = intercept[Exception](
+      sql.run(s"OPTIMIZE txtable.`$p` WHERE tga = 'a'"))
+    assert(e2.getMessage.contains("non-partition column"))
+  }
+
+  test("partially cleaned log (age guard) keeps vacuum safe and floor adopted") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    (0 until 14).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    // backdate every log file EXCEPT v8's entry — a young pre-cut
+    // survivor the age guard will keep, so the cleaned log's oldest
+    // entry does NOT coincide with the cut checkpoint (v10)
+    val young = f"${8L}%020d"
+    Option(new java.io.File(s"$p/_log").listFiles())
+      .getOrElse(Array.empty[java.io.File]).foreach { f =>
+        if (!f.getName.startsWith(young)) {
+          f.setLastModified(
+            System.currentTimeMillis() - 2 * 3600 * 1000L); ()
+        }
+      }
+    assert(t.cleanupLog(retainVersions = 3).nonEmpty)
+    // the floor is still adopted (checkpoint v10 proves the prefix
+    // was committed) — history is not silently empty
+    assert(t.history().count() >= 1)
+    // THE hazard this pins: files added after the retention horizon
+    // must stay protected even though the surviving entries are
+    // non-contiguous — under a contiguous-run referenced set, v11+'s
+    // adds would be unreferenced and vacuum would delete LIVE data
+    assert(t.vacuum(retainVersion = 12, minAgeMs = 0).isEmpty)
+    assert(t.read().count() === 140)
+  }
+
+  test("zombie txn writer: an already-recorded (app, version) aborts the write") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 5), 50, Some(("appZ", 7L)))
+    assert(t.txnVersion("appZ") === Some(7L))
+    // the same batch committed again (the zombie-attempt shape, past
+    // any caller-side entry guard): the engine itself must refuse —
+    // swapping the identical marker and landing the rows twice is the
+    // exactly-once failure
+    intercept[graft.ops.TxTable.TxnAlreadyApplied](
+      t.append(df(0 until 5), 50, Some(("appZ", 7L))))
+    assert(t.read().count() === 5)
+    // a LOWER version too (stale zombie of an older batch)
+    intercept[graft.ops.TxTable.TxnAlreadyApplied](
+      t.append(df(0 until 5), 50, Some(("appZ", 6L))))
+    // a fresh version proceeds
+    t.append(df(5 until 8), 50, Some(("appZ", 8L)))
+    assert(t.read().count() === 8)
+  }
+
+  test("CREATE TABLE IF NOT EXISTS with specs is whole-statement idempotent") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-ine-").toString + "/t"
+    val stmt = "CREATE TABLE IF NOT EXISTS graft_tx_ine " +
+      "(uid BIGINT GENERATED ALWAYS AS IDENTITY, name STRING) " +
+      s"USING txtable LOCATION '$loc'"
+    try {
+      org.apache.spark.sql.graft.ColumnShim
+        .ofRows(spark, parser.parsePlan(stmt)).collect()
+      val t = graft.ops.TxTable(spark, loc)
+      val v = t.snapshot().version
+      // rerun (the bootstrap-script idiom): NOTHING fires — no
+      // 'already declared' error, no extra commit
+      org.apache.spark.sql.graft.ColumnShim
+        .ofRows(spark, parser.parsePlan(stmt)).collect()
+      assert(t.snapshot().version === v)
+      assert(t.identityColumns.keySet === Set("uid"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_ine")
   }
 
   test("COPY INTO loads only unrecorded files; rerun is a no-op") {
@@ -836,6 +909,11 @@ class TxSqlSpec extends SparkTestBase {
     assert(shown === t.properties)
     sql.run(s"ALTER TABLE txtable.`$p` UNSET TBLPROPERTIES ('owner')")
     assert(t.properties.keySet === Set("txtable.logRetentionVersions"))
+    // a malformed (unquoted) pair refuses — never silently dropped
+    val em = intercept[Exception](sql.run(
+      s"ALTER TABLE txtable.`$p` SET TBLPROPERTIES ('a'='1', b='2')"))
+    assert(em.getMessage.contains("TBLPROPERTIES"))
+    assert(!t.properties.contains("a"))
     // property commits are content-neutral: reads unchanged, CDF and
     // streams silent about them
     assert(t.read().count() === 10)

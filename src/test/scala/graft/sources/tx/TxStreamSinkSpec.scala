@@ -174,6 +174,14 @@ class TxStreamSinkSpec extends SparkTestBase {
       new DefaultSource().createSink(spark.sqlContext,
         Map("path" -> mkDir(), "txnAppId" -> "x"), Nil, OutputMode.Update())
     }
+    // Update mode without seqCol would be a poison pill the first time
+    // a batch carries two changes for one key — refused at START time
+    val e = intercept[IllegalArgumentException] {
+      new DefaultSource().createSink(spark.sqlContext,
+        Map("path" -> mkDir(), "txnAppId" -> "x", "mergeKeys" -> "id"),
+        Nil, OutputMode.Update())
+    }
+    assert(e.getMessage.contains("seqCol"))
   }
 
   test("sink-written table round-trips through the streaming source") {
