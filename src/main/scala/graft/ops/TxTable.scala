@@ -2920,9 +2920,38 @@ final class TxTable private (spark: SparkSession, dir: String,
         else Some((k, Option(boundRow.get(2 * i)),
           Option(boundRow.get(2 * i + 1))))
       }
+    // rebase pruning bounds: a full-table merge (no derivable bounds,
+    // or NOT MATCHED BY SOURCE clauses reading everything) rebases
+    // only over commits that add no data files at all
+    val rebaseBounds =
+      if (hasNms) Nil
+      else bounds
+    lastRewriteStagings = 0
     var attempt = 0
+    var stagedKeep: Seq[String] = Nil
+    var carrierKeep: Seq[String] = Nil
+    var stagedStats: Seq[String] = Nil
+    var removed: Seq[String] = Nil
+    var actionKeep = "merge"
+    var baseV = -1L
     while (attempt < maxRetries) {
       val head = snapshot()
+      if (baseV >= 0 &&
+          rewriteRebasable(baseV, head, removed.toSet, rebaseBounds)) {
+        // rebase (see [[rewriteRebasable]]): the staged rewrite and
+        // its widening carrier are still serially correct at this
+        // head; only the txn-marker swap re-derives against it
+        val (txnAdd, txnRm) = txnSwap(head, txn)
+        beforeDmlCommitHook()
+        val c = Commit(head.version + 1, actionKeep,
+          carrierKeep ++ stagedKeep ++ txnAdd, removed ++ txnRm,
+          System.currentTimeMillis())
+        if (tryCommit(c, stagedStats)) return c
+        attempt += 1
+      } else {
+      (carrierKeep ++ stagedKeep).foreach { n =>
+        new File(dir, n).delete(); dropBlooms(n)
+      }
       // identity columns: rows may be carried/updated/deleted (ids
       // travel with their rows) but never INSERTED here — allocation
       // lives in the append family — and never assigned
@@ -3140,18 +3169,25 @@ final class TxTable private (spark: SparkSession, dir: String,
         if (widen.isEmpty) Nil
         else stageCarrier(head,
           org.apache.spark.sql.types.StructType(widen))
-      val (txnAdd, txnRm) = txnSwap(head, txn)
-      val c = Commit(pruned.version + 1,
-        if (widen.isEmpty) "merge" else "merge-evolve",
-        carrier ++ staged ++ txnAdd,
-        pruned.files.map(_.stripPrefix(s"$dir/")) ++ txnRm,
-        System.currentTimeMillis())
+      stagedKeep = staged
+      carrierKeep = carrier
+      removed = pruned.files.map(_.stripPrefix(s"$dir/"))
+      actionKeep = if (widen.isEmpty) "merge" else "merge-evolve"
+      stagedStats = fileStats(staged)
       buildBlooms(staged)
-      if (tryCommit(c, fileStats(staged))) return c
-      (carrier ++ staged).foreach { n =>
-        new File(dir, n).delete(); dropBlooms(n)
-      }
+      baseV = head.version
+      lastRewriteStagings += 1
+      val (txnAdd, txnRm) = txnSwap(head, txn)
+      beforeDmlCommitHook()
+      val c = Commit(head.version + 1, actionKeep,
+        carrierKeep ++ stagedKeep ++ txnAdd, removed ++ txnRm,
+        System.currentTimeMillis())
+      if (tryCommit(c, stagedStats)) return c
       attempt += 1
+      }
+    }
+    (carrierKeep ++ stagedKeep).foreach { n =>
+      new File(dir, n).delete(); dropBlooms(n)
     }
     sys.error(s"merge contention: lost $maxRetries races in $logDir")
   }
@@ -3189,31 +3225,123 @@ final class TxTable private (spark: SparkSession, dir: String,
       org.apache.spark.sql.graft.ColumnShim.column(e), maxRetries)
   }
 
+  /** Commit actions a lost-CAS rewrite may REBASE over (see
+    * [[rewriteRebasable]]) — row-content commits whose effect on this
+    * rewrite is fully captured by their add/remove lists, plus the
+    * content-neutral `properties`. Everything else (schema evolution,
+    * constraint/generated/mapping/identity declarations, overwrites,
+    * restores, dv-writes) forces the conservative full re-derive. */
+  private val RebaseSafeActions = Set(
+    "append", "copy", "delete", "update", "merge", "upsert",
+    "replace", "compact", "properties")
+
+  /** Test seam: fired once per commit attempt, after staging and
+    * before the log CAS — specs inject a concurrent writer here to
+    * make a lost race deterministic. */
+  private[ops] var beforeDmlCommitHook: () => Unit = () => ()
+
+  /** Observability seam: how many times the LAST deleteCore /
+    * updateCore / merge call derived (staged) its rewrite. 1 under
+    * rebased retries; +1 per conservative re-derive. */
+  private[ops] var lastRewriteStagings: Int = 0
+
+  /** Can a rewrite staged against version `baseV` re-commit its files
+    * UNCHANGED at `head` (a rebase), instead of re-deriving? True iff
+    * every commit in (baseV, head] provably commutes with it:
+    *
+    *  - action in [[RebaseSafeActions]] — its row effect is its lists;
+    *  - its data removes are DISJOINT from `ourRemoves`: nothing this
+    *    rewrite read (and re-adds rewritten) was itself rewritten, so
+    *    the winner's rows and ours never double-count;
+    *  - it added no deletion vector (a DV on a file we remove would be
+    *    silently resurrected by our staged pre-DV content);
+    *  - its added data files provably hold NO row matching `bounds`
+    *    (the same logged-stats/bloom pruning reads use, via
+    *    [[pruneFiles]] over a probe snapshot of just those files) —
+    *    then running this rewrite serially AFTER the winner would have
+    *    produced exactly the staged files. Un-boundable predicates
+    *    (`bounds` empty, or a full-table merge) rebase only over
+    *    commits that added no data files at all;
+    *  - its metadata tokens are confined to the content-neutral
+    *    classes (txn markers, copy ledger, identity high-water, table
+    *    properties) — a constraint / generated-column / column-mapping
+    *    / protocol change must re-validate the staging.
+    *
+    * Missing stats on a winner's file keep it in the probe (same
+    * conservatism as read pruning), so the stats-sidecar-after-CAS
+    * window degrades to a re-derive, never a wrong rebase. The window
+    * must be fully listable — a retention-cleaned gap refuses.
+    *
+    * This is the optimistic-concurrency rebase Delta performs after a
+    * lost commit race: without it, a large DELETE on a table with a
+    * steady streaming-append writer re-runs its full rewrite per lost
+    * race and may never win; with it, the loser re-commits in O(log
+    * window) driver work, and stats-disjoint writers commute. */
+  private def rewriteRebasable(baseV: Long, head: Snapshot,
+      ourRemoves: Set[String],
+      bounds: Seq[(String, Option[Any], Option[Any])]): Boolean = {
+    val window = listLog()._1
+      .filter { case (v, _) => v > baseV && v <= head.version }
+    window.size == (head.version - baseV) && window.forall {
+      case (_, f) =>
+        val c = readEntry(f)
+        val dataAdd = c.add.filterNot(TxTable.isMetaToken)
+        val dataRm = c.remove.filterNot(TxTable.isMetaToken)
+        val metaUnsafe = (c.add ++ c.remove)
+          .filter(TxTable.isMetaToken).exists(t =>
+            !(TxTable.isTxnName(t) || TxTable.isCpName(t) ||
+              TxTable.isIdName(t) || TxTable.isTpName(t)))
+        val addedFiles = dataAdd.filterNot(TxTable.isDvName)
+        RebaseSafeActions.contains(c.action) && !metaUnsafe &&
+          !dataAdd.exists(TxTable.isDvName) &&
+          dataRm.forall(!ourRemoves.contains(_)) &&
+          (addedFiles.isEmpty || (bounds.nonEmpty &&
+            pruneFiles(Snapshot(head.version,
+                addedFiles.map(n => s"$dir/$n"), Nil, dir,
+                head.merged, head.cts, head.cms),
+              bounds).files.isEmpty))
+    }
+  }
+
   private[ops] def deleteCore(
       bounds: Seq[(String, Option[Any], Option[Any])], matches: Column,
       maxRetries: Int): Commit = {
+    lastRewriteStagings = 0
     var attempt = 0
+    var staged: Seq[String] = Nil
+    var stagedStats: Seq[String] = Nil
+    var removed: Seq[String] = Nil
+    var baseV = -1L
     while (attempt < maxRetries) {
-      val pruned = pruneFiles(snapshot(), bounds)
-      // keep every row where the predicate is NOT TRUE — a NULL match
-      // predicate must not silently delete its row, so the negation
-      // goes through coalesce
-      // the rewrite reads the pruned files with deletion vectors
-      // APPLIED, or it would resurrect DV-deleted rows; the vectors
-      // stay active (entries for the removed files are inert — file
-      // names never recur) until compaction retires them
-      val staged =
-        if (pruned.files.isEmpty) Nil
-        else stageLike(pruned, toPhysical(readSnapshot(pruned)
-          .where(!coalesce(matches, lit(false))), pruned))
-      val c = Commit(pruned.version + 1, "delete", staged,
-        pruned.files.map(_.stripPrefix(s"$dir/")),
+      val head = snapshot()
+      if (baseV < 0 ||
+          !rewriteRebasable(baseV, head, removed.toSet, bounds)) {
+        staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        val pruned = pruneFiles(head, bounds)
+        // keep every row where the predicate is NOT TRUE — a NULL match
+        // predicate must not silently delete its row, so the negation
+        // goes through coalesce
+        // the rewrite reads the pruned files with deletion vectors
+        // APPLIED, or it would resurrect DV-deleted rows; the vectors
+        // stay active (entries for the removed files are inert — file
+        // names never recur) until compaction retires them
+        staged =
+          if (pruned.files.isEmpty) Nil
+          else stageLike(pruned, toPhysical(readSnapshot(pruned)
+            .where(!coalesce(matches, lit(false))), pruned))
+        removed = pruned.files.map(_.stripPrefix(s"$dir/"))
+        stagedStats = fileStats(staged)
+        buildBlooms(staged)
+        baseV = head.version
+        lastRewriteStagings += 1
+      }
+      beforeDmlCommitHook()
+      val c = Commit(head.version + 1, "delete", staged, removed,
         System.currentTimeMillis())
-      buildBlooms(staged)
-      if (tryCommit(c, fileStats(staged))) return c
-      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      if (tryCommit(c, stagedStats)) return c
       attempt += 1
     }
+    staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"delete contention: lost $maxRetries races in $logDir")
   }
 
@@ -3265,9 +3393,26 @@ final class TxTable private (spark: SparkSession, dir: String,
       bounds: Seq[(String, Option[Any], Option[Any])], matches: Column,
       set: Map[String, Column], maxRetries: Int): Commit = {
     require(set.nonEmpty, "UPDATE with no assignments is a no-op")
+    lastRewriteStagings = 0
     var attempt = 0
+    var stagedKeep: Seq[String] = Nil
+    var stagedStats: Seq[String] = Nil
+    var removed: Seq[String] = Nil
+    var baseV = -1L
     while (attempt < maxRetries) {
       val head = snapshot()
+      if (baseV >= 0 &&
+          rewriteRebasable(baseV, head, removed.toSet, bounds)) {
+        // rebase: every intervening commit provably commutes with the
+        // staged rewrite (see [[rewriteRebasable]]) — re-commit it at
+        // the new head, no re-read, no re-write
+        beforeDmlCommitHook()
+        val c = Commit(head.version + 1, "update", stagedKeep, removed,
+          System.currentTimeMillis())
+        if (tryCommit(c, stagedStats)) return c
+        attempt += 1
+      } else {
+      stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
       // generated columns derive, they are never assigned: refuse the
       // direct assignment (Delta's contract) and RECOMPUTE every
       // declared gc after the assignments apply, so an update to a
@@ -3326,14 +3471,20 @@ final class TxTable private (spark: SparkSession, dir: String,
           }
           stageLike(head, toPhysical(enforced(regen, ctMap(head)), head))
         }
-      val c = Commit(pruned.version + 1, "update", staged,
-        pruned.files.map(_.stripPrefix(s"$dir/")),
-        System.currentTimeMillis())
+      stagedKeep = staged
+      removed = pruned.files.map(_.stripPrefix(s"$dir/"))
+      stagedStats = fileStats(staged)
       buildBlooms(staged)
-      if (tryCommit(c, fileStats(staged))) return c
-      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      baseV = head.version
+      lastRewriteStagings += 1
+      beforeDmlCommitHook()
+      val c = Commit(head.version + 1, "update", stagedKeep, removed,
+        System.currentTimeMillis())
+      if (tryCommit(c, stagedStats)) return c
       attempt += 1
+      }
     }
+    stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"update contention: lost $maxRetries races in $logDir")
   }
 

@@ -2073,6 +2073,125 @@ class TxTableSpec extends SparkTestBase {
     assert(retired.subsetOf(reclaimed), s"$retired vs $reclaimed")
     assert(t.read().count() === rows.size - 3 + 1)
   }
+
+  /** Arms the commit-time test seam to run `race` exactly once (the
+    * first attempt's lost CAS), through a SECOND handle on the same
+    * table — the deterministic form of the concurrent-writer race. */
+  private def raceOnce(t: TxTable)(race: => Unit): Unit = {
+    var fired = false
+    t.beforeDmlCommitHook = () => {
+      if (!fired) { fired = true; race }
+    }
+  }
+
+  test("lost race vs a stats-disjoint append: DELETE rebases, no re-derive") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 100))
+    t.append(df(100 until 200))
+    val w = TxTable(spark, p, logStore)
+    raceOnce(t)(w.append(df(1000 until 1010)))
+    try t.deleteBetween("id", 0, 49)
+    finally t.beforeDmlCommitHook = () => ()
+    // ONE staging: the rewrite was re-committed at the new head, not
+    // re-run — the property that lets a big DELETE land under a
+    // steady streaming-append writer
+    assert(t.lastRewriteStagings === 1)
+    assert(t.read().count() === 160)
+    assert(t.read().where(col("id") < 50).count() === 0)
+    // serial order is winner-then-us: the winner's rows are intact
+    assert(t.read().where(col("id") >= 1000).count() === 10)
+  }
+
+  test("lost race vs an OVERLAPPING append: DELETE re-derives and deletes the winner's matching rows") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 200))
+    val w = TxTable(spark, p, logStore)
+    raceOnce(t)(w.append(df(40 until 60)))
+    try t.deleteBetween("id", 0, 49)
+    finally t.beforeDmlCommitHook = () => ()
+    // the winner's batch MAY hold matching rows — a rebase here would
+    // leave the winner's 40..49 alive, breaking serial equivalence
+    assert(t.lastRewriteStagings === 2)
+    assert(t.read().where(col("id") < 50).count() === 0)
+    assert(t.read().count() === 160)
+    // winner's non-matching rows (50..59) survive alongside the base's
+    assert(t.read().where(col("id").between(50, 59)).count() === 20)
+  }
+
+  test("lost race vs a constraint declaration: DELETE re-derives (unsafe metadata)") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 100))
+    val w = TxTable(spark, p, logStore)
+    raceOnce(t)(w.addConstraint("id_low", "id < 10000"))
+    try t.deleteBetween("id", 0, 9)
+    finally t.beforeDmlCommitHook = () => ()
+    // a ct- token landed in the window: the staging must re-validate
+    // against the new rule set, never ride a stale validation
+    assert(t.lastRewriteStagings === 2)
+    assert(t.read().count() === 90)
+  }
+
+  test("lost race vs a disjoint append: UPDATE rebases; properties commit also rebases") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 100))
+    val w = TxTable(spark, p, logStore)
+    raceOnce(t) {
+      w.append(df(500 until 520))
+      // tp- tokens are content-neutral: two safe commits in the
+      // window, both rebased over
+      w.setProperties(Map("owner" -> "ops"))
+    }
+    try t.updateBetween("id", 0, 9,
+      Map("payload" -> lit("patched")))
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 1)
+    assert(t.read().where(col("payload") === "patched").count() === 10)
+    assert(t.read().count() === 120)
+    assert(t.read().where(col("id") >= 500).count() === 20)
+  }
+
+  test("lost race vs a disjoint append: MERGE rebases with its txn marker re-derived") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 100))
+    val w = TxTable(spark, p, logStore)
+    val src = (50 until 110).map(i => (i.toLong, s"merged-$i"))
+      .toDF("id", "payload")
+    raceOnce(t)(w.append(df(5000 until 5010)))
+    try t.merge(src, Seq("id"),
+      whenMatchedUpdate = Some(lit(true)),
+      whenNotMatchedInsert = Some(lit(true)),
+      txn = Some(("mergeApp", 3L)))
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 1)
+    // upserted rows applied; winner's rows untouched; txn recorded
+    assert(t.read().where(col("payload").startsWith("merged-"))
+      .count() === 60)
+    assert(t.read().count() === 100 + 10 + 10)
+    assert(t.read().where(col("id") >= 5000 && col("id") < 5010)
+      .count() === 10)
+    assert(t.txnVersion("mergeApp") === Some(3L))
+  }
+
+  test("full-table MERGE (NOT MATCHED BY SOURCE) never rebases over an append") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 100))
+    val w = TxTable(spark, p, logStore)
+    val src = (0 until 50).map(i => (i.toLong, s"keep-$i"))
+      .toDF("id", "payload")
+    raceOnce(t)(w.append(df(200 until 220)))
+    // NOT MATCHED BY SOURCE reads the WHOLE table: the winner's rows
+    // are part of its scope, so the staging must re-derive — a rebase
+    // would leave 200..219 alive against serial semantics
+    try t.merge(src, Seq("id"),
+      whenMatchedUpdate = Some(lit(true)),
+      whenNotMatchedBySourceDelete = Some(lit(true)))
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 2)
+    assert(t.read().count() === 50)
+    assert(t.read().where(col("id") >= 200).count() === 0)
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through
