@@ -401,6 +401,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     store: LogStore) {
   import TxTable._
 
+  /** The table's root directory (Delta's `location`). */
+  def location: String = dir
+
   private def logDir = s"$dir/_log"
 
   private def logFile(v: Long): File = new File(f"$logDir/$v%020d.json")
@@ -3238,12 +3241,12 @@ final class TxTable private (spark: SparkSession, dir: String,
   /** Test seam: fired once per commit attempt, after staging and
     * before the log CAS — specs inject a concurrent writer here to
     * make a lost race deterministic. */
-  private[ops] var beforeDmlCommitHook: () => Unit = () => ()
+  private[graft] var beforeDmlCommitHook: () => Unit = () => ()
 
   /** Observability seam: how many times the LAST deleteCore /
     * updateCore / merge call derived (staged) its rewrite. 1 under
     * rebased retries; +1 per conservative re-derive. */
-  private[ops] var lastRewriteStagings: Int = 0
+  private[graft] var lastRewriteStagings: Int = 0
 
   /** Can a rewrite staged against version `baseV` re-commit its files
     * UNCHANGED at `head` (a rebase), instead of re-deriving? True iff
@@ -3521,15 +3524,32 @@ final class TxTable private (spark: SparkSession, dir: String,
             s"[$lo, $hi]: "),
           to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
         .otherwise(lit(true)))
+    lastRewriteStagings = 0
     var attempt = 0
+    var stagedKeep: Seq[String] = Nil
+    var stagedStats: Seq[String] = Nil
+    var removed: Seq[String] = Nil
+    var baseV = -1L
+    val rbBounds = Seq((column, Option(lo), Option(hi)))
     while (attempt < maxRetries) {
       val head = snapshot()
+      if (baseV >= 0 &&
+          rewriteRebasable(baseV, head, removed.toSet, rbBounds)) {
+        // rebase (see [[rewriteRebasable]]): a winner provably outside
+        // [lo, hi] commutes with the replacement
+        beforeDmlCommitHook()
+        val c = Commit(head.version + 1, "replace", stagedKeep, removed,
+          System.currentTimeMillis())
+        if (tryCommit(c, stagedStats)) return c
+        attempt += 1
+      } else {
+      stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
       // generated columns: computed when the incoming frame omits them
       // (so the schema guard below sees the full shape), enforced
       // when supplied — per attempt against this head's declarations
       val scoped2 = applyGenerated(scoped, head)
       guardSchema(head, scoped2)
-      val pruned = pruneFiles(head, Seq((column, Option(lo), Option(hi))))
+      val pruned = pruneFiles(head, rbBounds)
       val kept =
         if (pruned.files.isEmpty) None
         else Some(readSnapshot(pruned)
@@ -3538,16 +3558,21 @@ final class TxTable private (spark: SparkSession, dir: String,
         case Some(k) => k.unionByName(scoped2)
         case None    => scoped2
       }
-      val staged = stageLike(head,
+      stagedKeep = stageLike(head,
         toPhysical(enforced(out, ctMap(head)), head))
-      val c = Commit(pruned.version + 1, "replace", staged,
-        pruned.files.map(_.stripPrefix(s"$dir/")),
+      removed = pruned.files.map(_.stripPrefix(s"$dir/"))
+      stagedStats = fileStats(stagedKeep)
+      buildBlooms(stagedKeep)
+      baseV = head.version
+      lastRewriteStagings += 1
+      beforeDmlCommitHook()
+      val c = Commit(head.version + 1, "replace", stagedKeep, removed,
         System.currentTimeMillis())
-      buildBlooms(staged)
-      if (tryCommit(c, fileStats(staged))) return c
-      staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      if (tryCommit(c, stagedStats)) return c
       attempt += 1
+      }
     }
+    stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"replace contention: lost $maxRetries races in $logDir")
   }
 
@@ -3569,14 +3594,34 @@ final class TxTable private (spark: SparkSession, dir: String,
     * re-derives (and re-prunes) against the new head. */
   def deleteVectorBetween(column: String, lo: Any, hi: Any,
       maxRetries: Int = 20): Commit = {
+    lastRewriteStagings = 0
     var attempt = 0
+    var stagedKeep: Seq[String] = Nil
+    var targeted: Seq[String] = Nil
+    var baseV = -1L
+    val rbBounds = Seq((column, Option(lo), Option(hi)))
     while (attempt < maxRetries) {
-      val pruned = prunedSnapshot(column, Option(lo), Option(hi))
+      val head = snapshot()
+      // rebase note: the vector's (file, pos) keys reference the
+      // TARGETED files' content, so `targeted` (not removed by this
+      // commit) rides the helper's disjointness check — a winner that
+      // rewrote any of them invalidates the positions; a winner DV is
+      // blocked wholesale (overlapping positions would double-count)
+      if (baseV >= 0 &&
+          rewriteRebasable(baseV, head, targeted.toSet, rbBounds)) {
+        beforeDmlCommitHook()
+        val c = Commit(head.version + 1, "dvdelete", stagedKeep, Nil,
+          System.currentTimeMillis())
+        if (tryCommit(c)) return c
+        attempt += 1
+      } else {
+      stagedKeep.foreach(n => new File(dir, n).delete())
+      val pruned = pruneFiles(head, rbBounds)
       // the position scan reads RAW files — predicate on the PHYSICAL
       // name (identical to the logical one on unmapped tables)
       val p = physName(pruned, column)
       val matches = col(p) >= lit(lo) && col(p) <= lit(hi)
-      val staged =
+      stagedKeep =
         if (pruned.files.isEmpty) Nil
         else stage(
           antiDvs(withPos(pruned.files), pruned.dvs)
@@ -3587,12 +3632,17 @@ final class TxTable private (spark: SparkSession, dir: String,
             // output file keeps the read side's broadcast list short
             .repartition(1),
           prefix = "dv")
-      val c = Commit(pruned.version + 1, "dvdelete", staged, Nil,
+      targeted = pruned.files.map(_.stripPrefix(s"$dir/"))
+      baseV = head.version
+      lastRewriteStagings += 1
+      beforeDmlCommitHook()
+      val c = Commit(head.version + 1, "dvdelete", stagedKeep, Nil,
         System.currentTimeMillis())
       if (tryCommit(c)) return c
-      staged.foreach(n => new File(dir, n).delete())
       attempt += 1
+      }
     }
+    stagedKeep.foreach(n => new File(dir, n).delete())
     sys.error(s"deleteVector contention: lost $maxRetries races in $logDir")
   }
 

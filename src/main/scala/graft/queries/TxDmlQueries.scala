@@ -1007,10 +1007,89 @@ object TxDmlQueries {
             WHERE s.c_custkey IN (SELECT * FROM diff)
                OR s.c_custkey NOT IN (SELECT c_custkey FROM customer)"""))
 
+  // ----------------------------------------------------------------- K40
+  /** Optimistic-concurrency REBASE under a racing writer
+    * ([[graft.ops.TxTable]]'s lost-CAS rebase): mid-DELETE, a second
+    * handle appends a stats-disjoint batch through the commit-time
+    * seam, so the delete LOSES its commit race. The engine proves the
+    * winner commutes (its files' logged stats cannot match the delete
+    * predicate) and re-commits the already-staged rewrite at the new
+    * head — the `require` fails the query loudly if it re-derived
+    * instead. The oracle replays the serial semantics relationally:
+    * base rows outside the deleted range UNION ALL the winner's batch.
+    * Scale shape: the loser pays O(race-window log entries) driver
+    * work instead of re-running a full rewrite per lost race — the
+    * property that lets bulk DML land under a steady streaming-append
+    * writer. */
+  private val txConcurrentRebase = GraftQuery(
+    "k40_tx_concurrent_rebase",
+    (s, d) => {
+      val customer = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val t = seeded(s, d, "txreb", customer)
+      val w = TxTable(s, t.location)
+      val late = customer.where(col("c_custkey") <= 50L)
+        .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
+      var fired = false
+      t.beforeDmlCommitHook = () => {
+        if (!fired) { fired = true; w.append(late) }
+      }
+      try t.deleteBetween("c_custkey", 100L, 200L)
+      finally t.beforeDmlCommitHook = () => ()
+      require(fired, "the race seam never fired")
+      require(t.lastRewriteStagings == 1,
+        "expected the lost race to REBASE the staged rewrite " +
+          s"(stats-disjoint winner); it re-derived " +
+          s"${t.lastRewriteStagings} times")
+      t.read().groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).as("key_sum"))
+    },
+    Some("""WITH final AS (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_custkey NOT BETWEEN 100 AND 200
+              UNION ALL
+              SELECT c_custkey + 10000000, c_mktsegment FROM customer
+              WHERE c_custkey <= 50)
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+            FROM final GROUP BY 1"""),
+    bench = false,
+    // timed region = one delete that loses its race to a concurrent
+    // append and rebases, plus the read-back — the contention cost a
+    // deployment pays when bulk DML runs under a live ingest writer;
+    // ranges and batches advance per run so every rewrite is real
+    benchBuild = Some((s, d) => {
+      val customer = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val t = seeded(s, d, "txreb-bench", customer)
+      val w = TxTable(s, t.location)
+      var run = 0L
+      () => {
+        run += 1L
+        // run 1 IS the canonical query (delete [100,200], one shifted
+        // batch) so the timed plan equals the verified one; later runs
+        // advance both so every rewrite and append is fresh work
+        val late = customer.where(col("c_custkey") <= 50L)
+          .withColumn("c_custkey",
+            col("c_custkey") + lit(10000000L * run))
+        var fired = false
+        t.beforeDmlCommitHook = () => {
+          if (!fired) { fired = true; w.append(late) }
+        }
+        try t.deleteBetween("c_custkey",
+          100L + (run - 1L) * 300L, 200L + (run - 1L) * 300L)
+        finally t.beforeDmlCommitHook = () => ()
+        t.read().groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_custkey")).as("key_sum"))
+      }
+    }))
+
   def queries: Seq[GraftQuery] =
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
       txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
       txAddColumns, txMergeEvolve, txIdentity, txStreamSink, txCopyInto,
-      scd2Apply)
+      txConcurrentRebase, scd2Apply)
 }

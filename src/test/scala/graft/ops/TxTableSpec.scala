@@ -2173,6 +2173,46 @@ class TxTableSpec extends SparkTestBase {
     assert(t.txnVersion("mergeApp") === Some(3L))
   }
 
+  test("lost race vs a disjoint append: replaceBetween rebases") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 100))
+    val w = TxTable(spark, p, logStore)
+    val repl = (10 until 15).map(i => (i.toLong, s"backfill-$i"))
+      .toDF("id", "payload")
+    raceOnce(t)(w.append(df(900 until 910)))
+    try t.replaceBetween(repl, "id", 10, 19)
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 1)
+    // [10,19] replaced by the 5 backfill rows; winner's rows intact
+    assert(t.read().count() === 100 - 10 + 5 + 10)
+    assert(t.read().where(col("payload").startsWith("backfill-"))
+      .count() === 5)
+    assert(t.read().where(col("id") >= 900).count() === 10)
+  }
+
+  test("lost race: deleteVector rebases over a disjoint append, re-derives when the winner rewrites a targeted file") {
+    val (t, p) = mkTable()
+    // one data file, so the second vector's targets deterministically
+    // overlap the winner's rewrite below
+    t.append(df(0 until 100).repartition(1))
+    val w = TxTable(spark, p, logStore)
+    raceOnce(t)(w.append(df(700 until 710)))
+    try t.deleteVectorBetween("id", 0, 4)
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 1)
+    assert(t.read().count() === 105)
+    assert(t.read().where(col("id") < 5).count() === 0)
+    // second vector, now racing a rewrite of the files it targets:
+    // the (file, pos) keys would dangle — must re-derive
+    raceOnce(t)(w.deleteBetween("id", 8, 9))
+    try t.deleteVectorBetween("id", 5, 6)
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 2)
+    assert(t.read().count() === 101)
+    assert(t.read().where(col("id") < 10).count() === 1) // only id=7
+  }
+
   test("full-table MERGE (NOT MATCHED BY SOURCE) never rebases over an append") {
     import spark.implicits._
     val (t, p) = mkTable()
