@@ -698,7 +698,40 @@ final class TxTableSink(
     // with TxnAlreadyApplied at commit time — the batch landed, skip
     try doAddBatch(batchId, data, txn)
     catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
+    maybeAutoCompact()
   }
+
+  /** Post-commit AUTO-COMPACTION (Delta's `autoOptimize.autoCompact`):
+    * a streaming sink is THE small-file generator — one-plus files per
+    * trigger, thousands per day — and waiting for a human to run
+    * OPTIMIZE is how tables die. When the table property
+    * `txtable.autoCompact` is 'true', each batch checks (driver-side,
+    * O(active files) stat calls — the local-FS LogStore's cost shape,
+    * like OPTIMIZE's own selection) whether at least
+    * `txtable.autoCompact.minFiles` (default 50) active files sit
+    * below `txtable.autoCompact.targetBytes` (default 128 MiB), and
+    * if so runs the partition-aware bin-pack, which rewrites ONLY the
+    * qualifying small files, leaf by leaf. Best-effort by design: a
+    * lost race or failure is swallowed — the data batch is already
+    * committed and replay-protected; compaction is maintenance, never
+    * a reason to fail a stream. Downstream is safe because compaction
+    * commits are content-neutral to both the change feed and the
+    * streaming source (they skip `compact` actions). */
+  private def maybeAutoCompact(): Unit =
+    try {
+      val props = t.properties
+      if (props.get("txtable.autoCompact").contains("true")) {
+        val target = props.get("txtable.autoCompact.targetBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        val minFiles = props.get("txtable.autoCompact.minFiles")
+          .map(_.toInt).getOrElse(50)
+        val small = t.snapshot().files.count { f =>
+          val len = new java.io.File(f).length()
+          len > 0 && len < target
+        }
+        if (small >= minFiles) { t.compactBinPack(target); () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def doAddBatch(batchId: Long, data: DataFrame,
       txn: Option[(String, Long)]): Unit = {

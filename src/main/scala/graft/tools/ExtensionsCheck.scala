@@ -96,13 +96,18 @@ object ExtensionsCheck {
       .createTempDirectory("graft-txparity-").toString
     Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, i * 10L)).toDF("id", "v")
       .write.parquet(s"$pdir/lake")
+    // two ingest drops for the COPY INTO ledger steps
+    Seq(11L, 12L, 13L, 14L).map(i => (i, s"in1-$i")).toDF("id", "tag")
+      .write.parquet(s"$pdir/in1")
+    Seq(21L, 22L, 23L).map(i => (i, s"in2-$i")).toDF("id", "tag")
+      .write.parquet(s"$pdir/in2")
     val script = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("tools/tx_parity.sql")),
       java.nio.charset.StandardCharsets.UTF_8)
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 15, s"expected 15 statements, got ${stmts.size}")
+    require(stmts.size == 26, s"expected 26 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -128,26 +133,53 @@ object ExtensionsCheck {
       .where(org.apache.spark.sql.functions.col("id") === 77L).head()
     require(inserted.getAs[Long]("rid") == 1L, "identity allocation")
     require(lake.read().count() == 7, "content after identity insert")
-    // 9. age-guarded vacuum runs and reclaims nothing this young
+    // 9-10. age-guarded vacuum runs and reclaims nothing this young;
+    // the DRY RUN form lists the same (empty) set without deleting
     require(results(9).count() == 0, "VACUUM RETAIN HOURS reclaim list")
-    // 10. the history records every lifecycle step
-    val actions = results(10).select("action").collect()
+    require(results(10).count() == 0, "VACUUM DRY RUN list")
+    // 11-12. table properties set in SQL and read back via SHOW
+    val props = results(12).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("owner").contains("etl") &&
+      props.get("txtable.logRetentionVersions").contains("100"),
+      s"SHOW TBLPROPERTIES: $props")
+    // 13. CLEANUP LOG with a window wider than the log cuts nothing
+    require(results(13).count() == 0, "CLEANUP LOG should cut nothing")
+    // 14. the history records every lifecycle step
+    val actions = results(14).select("action").collect()
       .map(_.getString(0)).toSeq
     require(actions.contains("convert") && actions.contains("evolve") &&
       actions.contains("merge") && actions.contains("compact") &&
       actions.contains("append"), s"history actions: $actions")
-    // 11. CREATE-with-identity: the column spec in the DDL declared the
-    // engine-owned key, and the two INSERT DEFAULT slots allocated
-    // 100, 101 in commit order
     try {
-      val dimRows = results(14).collect()
+      // 15-16. partitioned CTAS + partition-scoped OPTIMIZE ran with
+      // content intact under the hive layout
+      val parts = graft.ops.TxTable(spark, s"$pdir/parts")
+      require(parts.read().count() == 4, "partitioned CTAS content")
+      require(parts.snapshot().files.exists(_.contains("seg=even")),
+        "CTAS did not lay out hive partitions")
+      // 17-19. COPY INTO's ledger: in1 once (rerun no-op) + in2 —
+      // the pre-RESTORE snapshot held exactly 4 + 3 rows
+      val copied = graft.ops.TxTable(spark, s"$pdir/copied")
+      require(copied.readAt(copied.snapshot().version - 1).count() == 7,
+        "COPY INTO should hold in1 once plus in2")
+      // 20-21. RESTORE took the table back to the first ingest
+      require(results(21).head().getLong(0) == 4L,
+        "RESTORE TO VERSION AS OF 0 content")
+      // 22. CREATE-with-identity: the column spec in the DDL declared
+      // the engine-owned key, and the two INSERT DEFAULT slots
+      // allocated 100, 101 in commit order
+      val dimRows = results(25).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       require(dimRows == Seq((100L, "alpha"), (101L, "beta")),
         s"CREATE-with-identity allocation: $dimRows")
       val dim = graft.ops.TxTable(spark, s"$pdir/dim")
       require(dim.identityColumns.get("uid").exists(_._1 == 100L),
         "identity declaration missing on the created table")
-    } finally spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
+      spark.sql("DROP TABLE IF EXISTS tx_parity_parts")
+    }
 
     println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok")
     spark.stop()

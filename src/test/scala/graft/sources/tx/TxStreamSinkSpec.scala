@@ -206,4 +206,62 @@ class TxStreamSinkSpec extends SparkTestBase {
       assert(spark.table("sinkloop").count() === 9)
     } finally q2.stop()
   }
+
+  test("autoCompact property: the sink bounds its own small-file pileup") {
+    val dir = mkDir()
+    val t = TxTable(spark, dir)
+    t.append((0L until 3L).map(i => (i, s"seed-$i"))
+      .toDF("id", "payload"))
+    // every file this test writes is tiny, so targetBytes only needs
+    // to be above them; minFiles 4 makes the pileup trip fast
+    t.setProperties(Map(
+      "txtable.autoCompact" -> "true",
+      "txtable.autoCompact.minFiles" -> "4",
+      "txtable.autoCompact.targetBytes" -> (1024L * 1024).toString))
+    val in = MemoryStream[(Long, String)](spark)
+    val ck = ckpt()
+    val q = in.toDF().toDF("id", "payload")
+      .writeStream.format("txtable")
+      .option("path", dir).option("checkpointLocation", ck)
+      .start()
+    try {
+      (1 to 5).foreach { b =>
+        in.addData((0 until 4).map(i =>
+          (b * 100L + i, s"b$b-$i")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // maintenance fired (a compact commit in the history), content is
+    // exactly the union of every batch, and the active file count is
+    // bounded well below one-plus-files-per-trigger pileup
+    val actions = t.history().select("action").as[String].collect()
+    assert(actions.contains("compact"),
+      s"no compact commit fired: ${actions.toSeq}")
+    assert(t.read().count() === 23)
+    assert(t.read().select("id").distinct().count() === 23)
+    assert(t.snapshot().files.size < actions.count(_ == "append") + 1,
+      s"file count ${t.snapshot().files.size} not bounded")
+    // replay protection unaffected: the marker survives compaction
+    // (the sink's default txn identity is the checkpoint path)
+    assert(t.txnVersion(ck) === Some(4L))
+  }
+
+  test("autoCompact off by default: no compact commits appear") {
+    val dir = mkDir()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("id", "payload")
+      .writeStream.format("txtable")
+      .option("path", dir).option("checkpointLocation", ckpt())
+      .start()
+    try {
+      (1 to 3).foreach { b =>
+        in.addData((0 until 2).map(i => (b * 10L + i, s"x$b-$i")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val t = TxTable(spark, dir)
+    assert(!t.history().select("action").as[String].collect()
+      .contains("compact"))
+    assert(t.read().count() === 6)
+  }
 }

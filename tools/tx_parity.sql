@@ -2,7 +2,8 @@
 -- Run by graft.tools.ExtensionsCheck in a FRESH session configured
 -- with spark.sql.extensions=graft.plans.GraftExtensions; ${DIR} is
 -- substituted with a scratch directory holding a plain-parquet lake
--- at ${DIR}/lake (written by ordinary Spark, 6 rows: id 1-6, v=10*id).
+-- at ${DIR}/lake (written by ordinary Spark, 6 rows: id 1-6, v=10*id)
+-- plus two ingest drops at ${DIR}/in1 (4 rows) and ${DIR}/in2 (3).
 -- Statements run in order; the runner asserts each one's effect.
 
 -- 1. adopt the existing parquet lake in place (zero bytes rewritten)
@@ -41,10 +42,40 @@ SELECT 77L, 770L, 'ins', CAST(NULL AS LONG);
 --    returns an empty reclaim list, the statement itself must run)
 VACUUM txtable.`${DIR}/lake` RETAIN 168 HOURS;
 
--- 10. the full audit trail is queryable
+-- 10. the operational safety valve: list, don't delete
+VACUUM txtable.`${DIR}/lake` DRY RUN;
+
+-- 11-12. key/value table metadata, set and read back
+ALTER TABLE txtable.`${DIR}/lake`
+SET TBLPROPERTIES ('txtable.logRetentionVersions'='100', 'owner'='etl');
+SHOW TBLPROPERTIES txtable.`${DIR}/lake`;
+
+-- 13. log retention as a statement (window far wider than the log:
+--     cuts nothing, must still run)
+CLEANUP LOG txtable.`${DIR}/lake` RETAIN 100 VERSIONS;
+
+-- 14. the full audit trail is queryable
 DESCRIBE HISTORY txtable.`${DIR}/lake`;
 
--- 11. identity in CREATE TABLE column DDL (Delta's primary surface);
+-- 15-16. hive-partitioned CTAS, then partition-scoped maintenance:
+--        OPTIMIZE ... WHERE repacks ONE leaf and mentions nothing else
+CREATE TABLE tx_parity_parts USING txtable PARTITIONED BY (seg)
+LOCATION '${DIR}/parts' AS
+SELECT * FROM VALUES (1L, 'odd'), (2L, 'even'), (3L, 'odd'), (4L, 'even')
+AS p(id, seg);
+OPTIMIZE txtable.`${DIR}/parts` WHERE seg = 'even';
+
+-- 17-19. idempotent file ingest: the per-file ledger loads each drop
+--        once — the rerun of in1 is a no-op, in2 adds only its own rows
+COPY INTO txtable.`${DIR}/copied` FROM '${DIR}/in1' FILEFORMAT = PARQUET;
+COPY INTO txtable.`${DIR}/copied` FROM '${DIR}/in1' FILEFORMAT = PARQUET;
+COPY INTO txtable.`${DIR}/copied` FROM '${DIR}/in2' FILEFORMAT = PARQUET;
+
+-- 20-21. point-in-time recovery: back to the first ingest, by commit
+RESTORE TABLE txtable.`${DIR}/copied` TO VERSION AS OF 0;
+SELECT COUNT(*) AS n_restored FROM txtable.`${DIR}/copied`;
+
+-- 22. identity in CREATE TABLE column DDL (Delta's primary surface);
 --     each INSERT's NULL slot means DEFAULT and the engine allocates
 --     100, 101 — declared schema serves reads before any data lands
 CREATE TABLE tx_parity_dim (uid BIGINT GENERATED ALWAYS AS IDENTITY
