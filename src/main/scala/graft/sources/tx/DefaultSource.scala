@@ -223,6 +223,18 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = base.schema
       override def needConversion: Boolean = false
+      // accurate size unlocks AUTO-BROADCAST: BaseRelation's default
+      // is spark.sql.defaultSizeInBytes (effectively infinite), so a
+      // small txtable dimension joined to a big fact would ALWAYS
+      // sort-merge — the single worst silent plan at scale. One lazy
+      // driver-side stat pass over the pinned snapshot's files per
+      // resolved relation (the local-FS LogStore cost shape; an
+      // object-store backend reads sizes off the same listing that
+      // returns names).
+      override lazy val sizeInBytes: Long =
+        if (emptyDeclared) 0L
+        else t.snapshotAt(version).files
+          .map(f => new java.io.File(f).length()).sum
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         doInsert(data, overwrite)
         // this relation was resolved (and version-pinned) BEFORE the

@@ -206,4 +206,34 @@ class TxBatchRelationSpec extends SparkTestBase {
         .option("endingVersion", "0").load()
     }
   }
+
+  test("sizeInBytes: a small txtable dimension auto-broadcasts in a join") {
+    val dir = Files.createTempDirectory("graft-txsize-").toString
+    val t = TxTable(spark, s"$dir/dim")
+    t.append(df(0 until 100))
+    val rel = spark.read.format("txtable").option("path", s"$dir/dim")
+      .load()
+    // the relation reports the snapshot's real byte size, not the
+    // infinite default that forbids broadcasting forever
+    val stats = rel.queryExecution.optimizedPlan.stats
+    val onDisk = t.snapshot().files
+      .map(f => new File(f).length()).sum
+    assert(onDisk > 0)
+    assert(stats.sizeInBytes.toLong <= 4 * onDisk,
+      s"sizeInBytes ${stats.sizeInBytes} not derived from $onDisk")
+    // and the planner ACTS on it: dim joined to a wide range becomes
+    // a broadcast join with no explicit hint
+    import spark.implicits._
+    val fact = spark.range(100000L).map(i => (i % 100L, i))
+      .toDF("id", "v")
+    val plan = fact.join(rel, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected auto-broadcast of the txtable side:\n$plan")
+    // time travel keeps its own pinned size (v0 == head here)
+    val v0 = spark.read.format("txtable").option("path", s"$dir/dim")
+      .option("versionAsOf", "0").load()
+    assert(v0.queryExecution.optimizedPlan.stats
+      .sizeInBytes.toLong <= 4 * onDisk)
+  }
 }
