@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -302,9 +302,30 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
         }
         val pruned =
           if (emptyDeclared) emptyBase else t.readPruned(version, bounds)
+        // file-level pruning above is only HALF the skipping: the
+        // filters must also reach the INNER parquet plan, where
+        // Catalyst pushes them into the scan and row-group min/max
+        // skipping engages within each candidate file (a 1 GiB file
+        // whose stats overlap still skips most of its row groups).
+        // Translating a SUBSET is safe — Spark re-evaluates every
+        // filter above this scan regardless.
+        import org.apache.spark.sql.functions.{col, lit}
+        val pushed = filters.toSeq.flatMap {
+          case EqualTo(a, v)            => Some(col(a) === lit(v))
+          case GreaterThan(a, v)        => Some(col(a) > lit(v))
+          case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+          case LessThan(a, v)           => Some(col(a) < lit(v))
+          case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+          case IsNotNull(a)             => Some(col(a).isNotNull)
+          case IsNull(a)                => Some(col(a).isNull)
+          case In(a, vs)                => Some(col(a).isin(
+            vs.toIndexedSeq: _*))
+          case _                        => None
+        }.reduceOption(_ && _)
+        val filtered = pushed.map(pruned.where).getOrElse(pruned)
         val projected =
-          if (requiredColumns.isEmpty) pruned.select()
-          else pruned.select(requiredColumns.toIndexedSeq
+          if (requiredColumns.isEmpty) filtered.select()
+          else filtered.select(requiredColumns.toIndexedSeq
             .map(org.apache.spark.sql.functions.col): _*)
         projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
       }

@@ -236,4 +236,32 @@ class TxBatchRelationSpec extends SparkTestBase {
     assert(v0.queryExecution.optimizedPlan.stats
       .sizeInBytes.toLong <= 4 * onDisk)
   }
+
+  test("buildScan applies pushed filters INSIDE the inner parquet plan") {
+    import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull}
+    val dir = Files.createTempDirectory("graft-txpush-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append(df(0 until 100))
+    val rel = new graft.sources.tx.DefaultSource()
+      .createRelation(spark.sqlContext, Map("path" -> s"$dir/t"))
+      .asInstanceOf[org.apache.spark.sql.sources.PrunedFilteredScan]
+    // the contract allows false positives, but delivering them means
+    // every row of every candidate file is decoded and shipped — the
+    // scan must return ONLY matching rows, proving the filter reached
+    // the inner plan (where parquet row-group skipping engages)
+    assert(rel.buildScan(Array("id"),
+      Array(EqualTo("id", 5L))).count() === 1)
+    assert(rel.buildScan(Array("id", "payload"),
+      Array(In("id", Array(1L, 3L, 999L)))).count() === 2)
+    assert(rel.buildScan(Array("id"),
+      Array(IsNotNull("id"))).count() === 100)
+    // an untranslatable filter is skipped, never dropped rows
+    assert(rel.buildScan(Array("id"),
+      Array(org.apache.spark.sql.sources
+        .StringContains("payload", "row-1"))).count() === 100)
+    // and through the DataFrame face the results stay exact
+    val viaDf = spark.read.format("txtable").option("path", s"$dir/t")
+      .load().where(col("id").between(10, 12))
+    assert(viaDf.count() === 3)
+  }
 }
