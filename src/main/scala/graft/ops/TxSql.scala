@@ -80,6 +80,19 @@ final class TxSql(spark: SparkSession) {
     s match {
       case DescribeHistoryRe(ident) => resolve(ident).history()
       case DescribeDetailRe(ident)  => resolve(ident).fileDetails()
+      case ZOrderWhereRe(ident, where, colList) => mutating(ident) { t =>
+        // OPTIMIZE t WHERE part = v ZORDER BY (a, b) — incremental
+        // clustering: recluster ONLY the matching leaves
+        val cols = colList.split(",").map(c => unquote(c.trim))
+          .filter(_.nonEmpty).toSeq
+        require(cols.length >= 2,
+          s"OPTIMIZE … ZORDER BY needs at least two columns " +
+            s"(one-key clustering is a plain sort); got ${cols.length}")
+        t.compactZOrderedWhere(cols, partitionEqualities(where)) match {
+          case Some(c) => summary(c)
+          case None    => summary0()
+        }
+      }
       case ZOrderRe(ident, colList) => mutating(ident) { t =>
         val cols = colList.split(",").map(c => unquote(c.trim))
           .filter(_.nonEmpty).toSeq
@@ -92,18 +105,7 @@ final class TxSql(spark: SparkSession) {
         // OPTIMIZE t [WHERE part = v [AND …]] — Delta's
         // partition-scoped maintenance: only matching leaves repack
         val filter: Seq[(String, Any)] =
-          if (where == null) Nil
-          else conjuncts(
-            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-              .parseExpression(where)).map {
-            case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-              a.nameParts.last -> scalaLiteral(l)
-            case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-              a.nameParts.last -> scalaLiteral(l)
-            case other => sys.error(
-              "OPTIMIZE WHERE supports AND-ed partition equalities " +
-                s"(col = literal); got: ${other.sql}")
-          }
+          if (where == null) Nil else partitionEqualities(where)
         val res = t.compactBinPack(partitionFilter = filter)
         // retention properties honored at OPTIMIZE time (Delta drives
         // log retention from table properties the same way): a set
@@ -595,6 +597,21 @@ final class TxSql(spark: SparkSession) {
     org.apache.spark.sql.catalyst.CatalystTypeConverters
       .convertToScala(l.value, l.dataType)
 
+  /** Parse an OPTIMIZE WHERE clause: AND-ed `col = literal` partition
+    * equalities, anything else refuses loudly. */
+  private def partitionEqualities(where: String): Seq[(String, Any)] =
+    conjuncts(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(where)).map {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        a.nameParts.last -> scalaLiteral(l)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        a.nameParts.last -> scalaLiteral(l)
+      case other => sys.error(
+        "OPTIMIZE WHERE supports AND-ed partition equalities " +
+          s"(col = literal); got: ${other.sql}")
+    }
+
   /** Honor retention table properties (best-effort, loud on a
     * malformed value): `txtable.logRetentionVersions` → cleanupLog. */
   private def tpRetention(t: TxTable): Unit =
@@ -689,6 +706,7 @@ object TxSql {
     s match {
       case DescribeHistoryRe(id) if tx(id)      => Some(HistorySchema)
       case DescribeDetailRe(id) if tx(id)       => Some(DetailSchema)
+      case ZOrderWhereRe(id, _, _) if tx(id)    => Some(SummarySchema)
       case ZOrderRe(id, _) if tx(id)            => Some(SummarySchema)
       case OptimizeRe(id, _) if tx(id)          => Some(SummarySchema)
       case VacuumRe(id, _, _, _) if tx(id)      => Some(VacuumSchema)
@@ -756,6 +774,11 @@ object TxSql {
   // clustering, dispatched onto the 2-D Morton compaction
   private val ZOrderRe =
     s"""(?is)OPTIMIZE\\s+$Id\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
+  // OPTIMIZE t WHERE part = v ZORDER BY (a, b) — incremental
+  // clustering scoped to the matching partition leaves; matched
+  // BEFORE ZOrderRe/OptimizeRe, whose greedy groups would swallow it
+  private val ZOrderWhereRe =
+    s"""(?is)OPTIMIZE\\s+$Id\\s+WHERE\\s+(.+?)\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
   // VACUUM t [RETAIN n VERSIONS|HOURS] [DRY RUN] — RETAIN omitted
   // defaults to Delta's 168-hour retention; DRY RUN lists, never deletes
   private val VacuumRe =

@@ -3839,6 +3839,96 @@ final class TxTable private (spark: SparkSession, dir: String,
     sys.error(s"compaction contention: lost $maxRetries races in $logDir")
   }
 
+  /** Validate a partition filter and derive the `col=value` path
+    * segments it selects. A filter column must BE one of the table's
+    * partition-path columns — a typo'd name (or a flat table) would
+    * otherwise match nothing and report a clean no-op forever while
+    * small files pile up in the intended leaf; Delta refuses
+    * non-partition predicates on OPTIMIZE the same way. Matching (and
+    * escaping) follows readPartitions — paths carry PHYSICAL names. */
+  private def partitionWant(base: Snapshot,
+      partitionFilter: Seq[(String, Any)]): Set[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (partitionFilter.nonEmpty) {
+      val pathCols = base.files.headOption.toSeq
+        .flatMap(_.stripPrefix(s"$dir/").split('/').dropRight(1))
+        .filter(_.contains('='))
+        .map(seg => ExternalCatalogUtils.unescapePathName(
+          seg.takeWhile(_ != '=')).toLowerCase).toSet
+      val unknown = partitionFilter.map(_._1)
+        .filterNot(c => pathCols.contains(
+          physName(base, c).toLowerCase))
+      require(unknown.isEmpty,
+        s"OPTIMIZE WHERE references non-partition column(s) " +
+          s"${unknown.mkString(", ")} (partition columns: " +
+          s"${if (pathCols.isEmpty) "<none — flat table>"
+             else pathCols.toSeq.sorted.mkString(", ")})")
+    }
+    partitionFilter.map { case (c, v) =>
+      val seg =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${ExternalCatalogUtils.escapePathName(physName(base, c))}=$seg"
+    }.toSet
+  }
+
+  /** PARTITION-SCOPED Z-ORDER (Delta's `OPTIMIZE … WHERE … ZORDER BY`)
+    * — incremental clustering, the only kind that exists at 100 TB: a
+    * full-table re-sort of a petabyte is not a maintenance operation,
+    * but re-clustering ONE day's partition after its ingest settles
+    * is. Every active file under the matching `col=value` leaves is
+    * read (deletion vectors APPLIED — the rewrite also materializes
+    * the leaves' merge-on-read deletes, leaving their vector entries
+    * inert), Z-ordered on `dims` ([[Layout.zorderedN]] — bit-
+    * interleave stays codegen'd at any arity), and staged back through
+    * the layout-aware writer so rows land in their own leaves;
+    * untouched leaves are neither read nor mentioned in the commit.
+    * Conflicts like [[compactBinPack]]: a selected file removed
+    * concurrently, or ANY new deletion vector (it may target a
+    * selected file), aborts loudly. Returns None when the filter
+    * selects nothing. */
+  def compactZOrderedWhere(dims: Seq[String],
+      partitionFilter: Seq[(String, Any)],
+      targetFiles: Int = 8, maxRetries: Int = 20): Option[Commit] = {
+    require(dims.length >= 2,
+      s"ZORDER BY needs at least two columns; got ${dims.length}")
+    require(partitionFilter.nonEmpty,
+      "compactZOrderedWhere needs a partition filter — use " +
+        "compactZOrdered to recluster the whole table")
+    val base = snapshot()
+    val want = partitionWant(base, partitionFilter)
+    val selected = base.files
+      .map(f => f.stripPrefix(s"$dir/"))
+      .filter(rel => want.subsetOf(rel.split('/').dropRight(1).toSet))
+    if (selected.isEmpty) return None
+    val sub = Snapshot(base.version, selected.map(n => s"$dir/$n"),
+      base.dvs, dir, base.merged, base.cts, base.cms)
+    val staged = stageLike(base, toPhysical(
+      Layout.zorderedN(readSnapshot(sub), dims, targetFiles), base))
+    val stats = fileStats(staged)
+    buildBlooms(staged)
+    val baseDvs = base.dvs.map(_.stripPrefix(s"$dir/")).toSet
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val nowActive = head.files.map(_.stripPrefix(s"$dir/")).toSet
+      if (!selected.forall(nowActive.contains)) {
+        staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        sys.error("scoped z-order input was rewritten concurrently — rerun")
+      }
+      if (head.dvs.map(_.stripPrefix(s"$dir/")).toSet != baseDvs) {
+        staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        sys.error("a deletion vector landed during scoped z-order — rerun")
+      }
+      val c = Commit(head.version + 1, "compact", staged, selected,
+        System.currentTimeMillis())
+      if (tryCommit(c, stats)) return Some(c)
+      attempt += 1
+    }
+    staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+    sys.error(s"scoped z-order contention: lost $maxRetries races in $logDir")
+  }
+
   /** BIN-PACKING compaction — Delta's OPTIMIZE shape, the only
     * compaction that survives 100 TB: select ONLY the active data
     * files smaller than `targetBytes`, rewrite THEM into ~target-sized
@@ -3876,34 +3966,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val base = snapshot()
     val dvTouched =
       if (base.dvs.isEmpty) Set.empty[String] else touchedFiles(base.dvs)
-    // a filter column must BE one of the table's partition-path
-    // columns — a typo'd name (or a flat table) would otherwise match
-    // nothing and report a clean no-op forever while small files pile
-    // up in the intended leaf; Delta refuses non-partition predicates
-    // on OPTIMIZE the same way
-    if (partitionFilter.nonEmpty) {
-      val pathCols = base.files.headOption.toSeq
-        .flatMap(_.stripPrefix(s"$dir/").split('/').dropRight(1))
-        .filter(_.contains('='))
-        .map(seg => ExternalCatalogUtils.unescapePathName(
-          seg.takeWhile(_ != '=')).toLowerCase).toSet
-      val unknown = partitionFilter.map(_._1)
-        .filterNot(c => pathCols.contains(
-          physName(base, c).toLowerCase))
-      require(unknown.isEmpty,
-        s"OPTIMIZE WHERE references non-partition column(s) " +
-          s"${unknown.mkString(", ")} (partition columns: " +
-          s"${if (pathCols.isEmpty) "<none — flat table>"
-             else pathCols.toSeq.sorted.mkString(", ")})")
-    }
-    // same matching (and escaping) as readPartitions — paths carry
-    // PHYSICAL names
-    val want = partitionFilter.map { case (c, v) =>
-      val seg =
-        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        else ExternalCatalogUtils.escapePathName(v.toString)
-      s"${ExternalCatalogUtils.escapePathName(physName(base, c))}=$seg"
-    }.toSet
+    val want = partitionWant(base, partitionFilter)
     // driver-side stat of active files only — file-name scale, the
     // same cost class as the manifest reads (files still active, so
     // they exist; a racing rewrite surfaces at the conflict check)

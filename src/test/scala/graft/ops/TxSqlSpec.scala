@@ -790,6 +790,44 @@ class TxSqlSpec extends SparkTestBase {
     assert(e2.getMessage.contains("non-partition column"))
   }
 
+  test("OPTIMIZE WHERE ... ZORDER BY: incremental clustering of one leaf") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    // two days, two small appends each -> several files per leaf
+    def day(d: Int, lo: Int) = (lo until lo + 40)
+      .map(i => (i.toLong, (i * 7 % 40).toLong, d)).toDF("a", "b", "day")
+    t.appendPartitioned(day(1, 0), Seq("day"))
+    t.appendPartitioned(day(1, 40), Seq("day"))
+    t.appendPartitioned(day(2, 0), Seq("day"))
+    val before = t.snapshot().files.toSet
+    val day2Before = before.filter(_.contains("day=2"))
+    assert(before.count(_.contains("day=1")) >= 2)
+    val res = sql.run(
+      s"OPTIMIZE txtable.`$p` WHERE day = 1 ZORDER BY (a, b)")
+    assert(res.head().getString(1) === "compact")
+    val after = t.snapshot().files.toSet
+    // the untouched leaf's files survive BY IDENTITY; the scoped
+    // leaf's were all replaced by the re-clustered rewrite
+    assert(after.filter(_.contains("day=2")) === day2Before)
+    assert(after.filter(_.contains("day=1"))
+      .intersect(before.filter(_.contains("day=1"))).isEmpty)
+    assert(after.filter(_.contains("day=1")).nonEmpty)
+    // content exact, layout preserved
+    assert(t.read().count() === 120)
+    assert(t.read().where(col("day") === 1).count() === 80)
+    assert(t.readPartitions(Seq("day" -> 2)).count() === 40)
+    // a filter matching no leaf is a loud-schema, quiet-content no-op
+    val v = t.snapshot().version
+    assert(sql.run(
+      s"OPTIMIZE txtable.`$p` WHERE day = 9 ZORDER BY (a, b)")
+      .count() === 0)
+    assert(t.snapshot().version === v)
+    // non-partition column refuses, same contract as plain WHERE
+    val e = intercept[Exception](sql.run(
+      s"OPTIMIZE txtable.`$p` WHERE a = 1 ZORDER BY (a, b)"))
+    assert(e.getMessage.contains("non-partition column"))
+  }
+
   test("partially cleaned log (age guard) keeps vacuum safe and floor adopted") {
     import spark.implicits._
     val (t, p) = mkTable()
