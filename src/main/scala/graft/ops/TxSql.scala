@@ -83,23 +83,14 @@ final class TxSql(spark: SparkSession) {
       case ZOrderWhereRe(ident, where, colList) => mutating(ident) { t =>
         // OPTIMIZE t WHERE part = v ZORDER BY (a, b) — incremental
         // clustering: recluster ONLY the matching leaves
-        val cols = colList.split(",").map(c => unquote(c.trim))
-          .filter(_.nonEmpty).toSeq
-        require(cols.length >= 2,
-          s"OPTIMIZE … ZORDER BY needs at least two columns " +
-            s"(one-key clustering is a plain sort); got ${cols.length}")
-        t.compactZOrderedWhere(cols, partitionEqualities(where)) match {
+        t.compactZOrderedWhere(zorderCols(colList),
+            partitionEqualities(where)) match {
           case Some(c) => summary(c)
           case None    => summary0()
         }
       }
       case ZOrderRe(ident, colList) => mutating(ident) { t =>
-        val cols = colList.split(",").map(c => unquote(c.trim))
-          .filter(_.nonEmpty).toSeq
-        require(cols.length >= 2,
-          s"OPTIMIZE … ZORDER BY needs at least two columns " +
-            s"(one-key clustering is a plain sort); got ${cols.length}")
-        summary(t.compactZOrdered(cols))
+        summary(t.compactZOrdered(zorderCols(colList)))
       }
       case OptimizeRe(ident, where) => mutating(ident) { t =>
         // OPTIMIZE t [WHERE part = v [AND …]] — Delta's
@@ -596,6 +587,18 @@ final class TxSql(spark: SparkSession) {
   private def scalaLiteral(l: Literal): Any =
     org.apache.spark.sql.catalyst.CatalystTypeConverters
       .convertToScala(l.value, l.dataType)
+
+  /** Parse a ZORDER BY column list; the >=2 arity is also enforced by
+    * the engine methods — this copy exists for the friendlier
+    * statement-level message. */
+  private def zorderCols(colList: String): Seq[String] = {
+    val cols = colList.split(",").map(c => unquote(c.trim))
+      .filter(_.nonEmpty).toSeq
+    require(cols.length >= 2,
+      s"OPTIMIZE … ZORDER BY needs at least two columns " +
+        s"(one-key clustering is a plain sort); got ${cols.length}")
+    cols
+  }
 
   /** Parse an OPTIMIZE WHERE clause: AND-ed `col = literal` partition
     * equalities, anything else refuses loudly. */

@@ -2001,20 +2001,37 @@ final class TxTable private (spark: SparkSession, dir: String,
     val fs = Option(new File(logDir).listFiles())
       .getOrElse(Array.empty[File])
       .filter(_.getName.endsWith(".stats.tsv")).sortBy(_.getName)
-    fs.foldLeft(Map.empty[String, Map[String, (String, String, String)]]) {
-      (acc, f) =>
-        val lines = new String(Files.readAllBytes(f.toPath),
-          StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
-        lines.foldLeft(acc) { (m, line) =>
-          line.split("\t", -1) match {
-            case Array(rel, c, kind, mn, mx) =>
-              val file = dec(rel)
-              m.updated(file,
-                m.getOrElse(file, Map.empty)
-                  .updated(dec(c), (kind, mn, mx)))
-            case _ => m
-          }
-        }
+    fs.foldLeft(
+      Map.empty[String, Map[String, (String, String, String)]])(foldStats)
+  }
+
+  /** The stats of SPECIFIC commit versions' sidecars only — what the
+    * rebase probe reads, so a lost race never re-reads the whole
+    * stats history. A missing sidecar (not yet visible, or its commit
+    * carried no stats) contributes nothing — absent stats keep files,
+    * conservative like every pruning path. */
+  private def loadStatsFor(versions: Seq[Long])
+      : Map[String, Map[String, (String, String, String)]] =
+    versions.sorted
+      .map(v => new File(f"$logDir/$v%020d.stats.tsv"))
+      .filter(_.isFile)
+      .foldLeft(
+        Map.empty[String, Map[String, (String, String, String)]])(foldStats)
+
+  private def foldStats(
+      acc: Map[String, Map[String, (String, String, String)]],
+      f: File): Map[String, Map[String, (String, String, String)]] = {
+    val lines = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    lines.foldLeft(acc) { (m, line) =>
+      line.split("\t", -1) match {
+        case Array(rel, c, kind, mn, mx) =>
+          val file = dec(rel)
+          m.updated(file,
+            m.getOrElse(file, Map.empty)
+              .updated(dec(c), (kind, mn, mx)))
+        case _ => m
+      }
     }
   }
 
@@ -2083,9 +2100,17 @@ final class TxTable private (spark: SparkSession, dir: String,
     *    from ANY bound source including the SQL relation's pushed
     *    filters. */
   private[ops] def pruneFiles(snap: Snapshot,
+      preds: Seq[(String, Option[Any], Option[Any])]): Snapshot =
+    pruneFilesWith(loadStats(), snap, preds)
+
+  /** [[pruneFiles]] against a CALLER-SUPPLIED stats map — the rebase
+    * probe loads only the race window's sidecars instead of the whole
+    * log's. */
+  private def pruneFilesWith(
+      stats: Map[String, Map[String, (String, String, String)]],
+      snap: Snapshot,
       preds: Seq[(String, Option[Any], Option[Any])]): Snapshot = {
     val predsAll = preds ++ derivedBounds(snap, preds)
-    val stats = loadStats()
     // predicates arrive with LOGICAL names; stats, blooms, and
     // partition paths are keyed by the PHYSICAL names the files were
     // written with
@@ -3285,25 +3310,32 @@ final class TxTable private (spark: SparkSession, dir: String,
       bounds: Seq[(String, Option[Any], Option[Any])]): Boolean = {
     val window = listLog()._1
       .filter { case (v, _) => v > baseV && v <= head.version }
-    window.size == (head.version - baseV) && window.forall {
-      case (_, f) =>
-        val c = readEntry(f)
-        val dataAdd = c.add.filterNot(TxTable.isMetaToken)
-        val dataRm = c.remove.filterNot(TxTable.isMetaToken)
-        val metaUnsafe = (c.add ++ c.remove)
-          .filter(TxTable.isMetaToken).exists(t =>
-            !(TxTable.isTxnName(t) || TxTable.isCpName(t) ||
-              TxTable.isIdName(t) || TxTable.isTpName(t)))
-        val addedFiles = dataAdd.filterNot(TxTable.isDvName)
-        RebaseSafeActions.contains(c.action) && !metaUnsafe &&
-          !dataAdd.exists(TxTable.isDvName) &&
-          dataRm.forall(!ourRemoves.contains(_)) &&
-          (addedFiles.isEmpty || (bounds.nonEmpty &&
-            pruneFiles(Snapshot(head.version,
-                addedFiles.map(n => s"$dir/$n"), Nil, dir,
-                head.merged, head.cts, head.cms),
-              bounds).files.isEmpty))
+    if (window.size != head.version - baseV) return false
+    val entries = window.map { case (_, f) => readEntry(f) }
+    val structureOk = entries.forall { c =>
+      val dataAdd = c.add.filterNot(TxTable.isMetaToken)
+      val dataRm = c.remove.filterNot(TxTable.isMetaToken)
+      val metaUnsafe = (c.add ++ c.remove)
+        .filter(TxTable.isMetaToken).exists(t =>
+          !(TxTable.isTxnName(t) || TxTable.isCpName(t) ||
+            TxTable.isIdName(t) || TxTable.isTpName(t)))
+      RebaseSafeActions.contains(c.action) && !metaUnsafe &&
+        !dataAdd.exists(TxTable.isDvName) &&
+        dataRm.forall(!ourRemoves.contains(_))
     }
+    if (!structureOk) return false
+    // ONE stats probe over every winner's added files, against the
+    // WINDOW's own sidecars only — never a whole-log loadStats() on
+    // the contention path (a winner's sidecar lands right after its
+    // CAS; if it is not visible yet its files carry no stats, the
+    // probe keeps them, and the answer degrades to a re-derive)
+    val addedFiles = entries.flatMap(c => c.add.filterNot(n =>
+      TxTable.isMetaToken(n) || TxTable.isDvName(n)))
+    addedFiles.isEmpty || (bounds.nonEmpty &&
+      pruneFilesWith(loadStatsFor(window.map(_._1)),
+        Snapshot(head.version, addedFiles.map(n => s"$dir/$n"), Nil,
+          dir, head.merged, head.cts, head.cms),
+        bounds).files.isEmpty)
   }
 
   private[ops] def deleteCore(

@@ -231,10 +231,19 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       // resolved relation (the local-FS LogStore cost shape; an
       // object-store backend reads sizes off the same listing that
       // returns names).
+      // File.length() is 0 for a MISSING file, and a near-zero sum
+      // would flip a large table into a doomed auto-broadcast — the
+      // inverse of the problem this solves. Any unreadable file
+      // (pinned old version raced by vacuum, non-local path) falls
+      // back to the planner's conservative default instead.
       override lazy val sizeInBytes: Long =
         if (emptyDeclared) 0L
-        else t.snapshotAt(version).files
-          .map(f => new java.io.File(f).length()).sum
+        else {
+          val fs = t.snapshotAt(version).files
+            .map(f => new java.io.File(f))
+          if (fs.forall(_.isFile)) fs.map(_.length()).sum
+          else super.sizeInBytes
+        }
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         doInsert(data, overwrite)
         // this relation was resolved (and version-pinned) BEFORE the

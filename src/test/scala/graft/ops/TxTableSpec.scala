@@ -2213,6 +2213,27 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().where(col("id") < 10).count() === 1) // only id=7
   }
 
+  test("lost race vs a DISJOINT concurrent DELETE (remove-carrying winner) still rebases") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    // two appends -> the two key ranges live in disjoint FILES, so the
+    // winner's remove list cannot touch the loser's read set
+    t.append(df(0 until 100))
+    t.append((1000 until 1100).map(i => (i.toLong, s"row-$i"))
+      .toDF("id", "payload"))
+    val w = TxTable(spark, p, logStore)
+    raceOnce(t)(w.deleteBetween("id", 1000, 1009))
+    try t.deleteBetween("id", 0, 9)
+    finally t.beforeDmlCommitHook = () => ()
+    // the winner REMOVED files (its own pruned set) and added carried
+    // rows — both provably outside our predicate, so the riskiest
+    // branch of the commute proof (remove-disjointness) must rebase
+    assert(t.lastRewriteStagings === 1)
+    assert(t.read().count() === 180)
+    assert(t.read().where(col("id") < 10).count() === 0)
+    assert(t.read().where(col("id").between(1000, 1009)).count() === 0)
+  }
+
   test("full-table MERGE (NOT MATCHED BY SOURCE) never rebases over an append") {
     import spark.implicits._
     val (t, p) = mkTable()
