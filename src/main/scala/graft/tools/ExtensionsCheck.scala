@@ -107,7 +107,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 26, s"expected 26 statements, got ${stmts.size}")
+    require(stmts.size == 27, s"expected 27 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -152,24 +152,26 @@ object ExtensionsCheck {
       actions.contains("merge") && actions.contains("compact") &&
       actions.contains("append"), s"history actions: $actions")
     try {
-      // 15-16. partitioned CTAS + partition-scoped OPTIMIZE ran with
-      // content intact under the hive layout
+      // 15-17. partitioned CTAS + partition-scoped OPTIMIZE and
+      // scoped ZORDER ran with content intact under the hive layout
       val parts = graft.ops.TxTable(spark, s"$pdir/parts")
       require(parts.read().count() == 4, "partitioned CTAS content")
       require(parts.snapshot().files.exists(_.contains("seg=even")),
         "CTAS did not lay out hive partitions")
-      // 17-19. COPY INTO's ledger: in1 once (rerun no-op) + in2 —
+      require(results(17).head().getString(1) == "compact",
+        "scoped ZORDER BY should commit a compact")
+      // 18-20. COPY INTO's ledger: in1 once (rerun no-op) + in2 —
       // the pre-RESTORE snapshot held exactly 4 + 3 rows
       val copied = graft.ops.TxTable(spark, s"$pdir/copied")
       require(copied.readAt(copied.snapshot().version - 1).count() == 7,
         "COPY INTO should hold in1 once plus in2")
-      // 20-21. RESTORE took the table back to the first ingest
-      require(results(21).head().getLong(0) == 4L,
+      // 21-22. RESTORE took the table back to the first ingest
+      require(results(22).head().getLong(0) == 4L,
         "RESTORE TO VERSION AS OF 0 content")
-      // 22. CREATE-with-identity: the column spec in the DDL declared
+      // 23. CREATE-with-identity: the column spec in the DDL declared
       // the engine-owned key, and the two INSERT DEFAULT slots
       // allocated 100, 101 in commit order
-      val dimRows = results(25).collect()
+      val dimRows = results(26).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       require(dimRows == Seq((100L, "alpha"), (101L, "beta")),
         s"CREATE-with-identity allocation: $dimRows")

@@ -57,25 +57,29 @@ CLEANUP LOG txtable.`${DIR}/lake` RETAIN 100 VERSIONS;
 -- 14. the full audit trail is queryable
 DESCRIBE HISTORY txtable.`${DIR}/lake`;
 
--- 15-16. hive-partitioned CTAS, then partition-scoped maintenance:
---        OPTIMIZE ... WHERE repacks ONE leaf and mentions nothing else
+-- 15-17. hive-partitioned CTAS, then partition-scoped maintenance:
+--        OPTIMIZE ... WHERE repacks ONE leaf and mentions nothing
+--        else; the ZORDER BY form re-CLUSTERS one leaf (incremental
+--        clustering — the only kind that exists at table scale)
 CREATE TABLE tx_parity_parts USING txtable PARTITIONED BY (seg)
 LOCATION '${DIR}/parts' AS
-SELECT * FROM VALUES (1L, 'odd'), (2L, 'even'), (3L, 'odd'), (4L, 'even')
-AS p(id, seg);
+SELECT id, id * 3 AS w,
+       CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS seg
+FROM VALUES (1L), (2L), (3L), (4L) AS p(id);
 OPTIMIZE txtable.`${DIR}/parts` WHERE seg = 'even';
+OPTIMIZE txtable.`${DIR}/parts` WHERE seg = 'odd' ZORDER BY (id, w);
 
--- 17-19. idempotent file ingest: the per-file ledger loads each drop
+-- 18-20. idempotent file ingest: the per-file ledger loads each drop
 --        once — the rerun of in1 is a no-op, in2 adds only its own rows
 COPY INTO txtable.`${DIR}/copied` FROM '${DIR}/in1' FILEFORMAT = PARQUET;
 COPY INTO txtable.`${DIR}/copied` FROM '${DIR}/in1' FILEFORMAT = PARQUET;
 COPY INTO txtable.`${DIR}/copied` FROM '${DIR}/in2' FILEFORMAT = PARQUET;
 
--- 20-21. point-in-time recovery: back to the first ingest, by commit
+-- 21-22. point-in-time recovery: back to the first ingest, by commit
 RESTORE TABLE txtable.`${DIR}/copied` TO VERSION AS OF 0;
 SELECT COUNT(*) AS n_restored FROM txtable.`${DIR}/copied`;
 
--- 22. identity in CREATE TABLE column DDL (Delta's primary surface);
+-- 23. identity in CREATE TABLE column DDL (Delta's primary surface);
 --     each INSERT's NULL slot means DEFAULT and the engine allocates
 --     100, 101 — declared schema serves reads before any data lands
 CREATE TABLE tx_parity_dim (uid BIGINT GENERATED ALWAYS AS IDENTITY
