@@ -2794,9 +2794,28 @@ final class TxTable private (spark: SparkSession, dir: String,
     * the streaming sink's merge mode commits per micro-batch. */
   def upsert(updates: DataFrame, keys: Seq[String],
       maxRetries: Int, txn: Option[(String, Long)]): Commit = {
+    lastRewriteStagings = 0
     var attempt = 0
+    var stagedKeep: Seq[String] = Nil
+    var stagedStats: Seq[String] = Nil
+    var removed: Seq[String] = Nil
+    var baseV = -1L
     while (attempt < maxRetries) {
       val base = snapshot()
+      // upsert is a FULL-TABLE rewrite (ourRemoves = every base file
+      // and vector), so a lost race rebases only over windows whose
+      // winners touched no data at all — txn-marker swaps, properties,
+      // copy-ledger bookkeeping. Anything with rows re-derives.
+      if (baseV >= 0 &&
+          rewriteRebasable(baseV, base, removed.toSet, Nil)) {
+        val (txnAdd, txnRm) = txnSwap(base, txn)
+        beforeDmlCommitHook()
+        val c = Commit(base.version + 1, "upsert", stagedKeep ++ txnAdd,
+          removed ++ txnRm, System.currentTimeMillis())
+        if (tryCommit(c, stagedStats)) return c
+        attempt += 1
+      } else {
+      stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
       require(identMap(base).isEmpty,
         "upsert on a table with identity columns is not supported " +
           "(inserted rows need engine allocation — use append for new " +
@@ -2809,19 +2828,25 @@ final class TxTable private (spark: SparkSession, dir: String,
       // TOCTOU window to guard. applyGenerated computes an omitted gc
       // for incoming rows and enforces the equality on supplied ones;
       // carried rows satisfy it by their own write-time enforcement.
-      val files = stageLike(base, toPhysical(
+      stagedKeep = stageLike(base, toPhysical(
         enforced(applyGenerated(merged, base), ctMap(base)), base))
       // a full rewrite retires the deletion vectors too: their targets
       // are all removed, and the rewrite read them applied
+      removed =
+        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/"))
+      stagedStats = fileStats(stagedKeep)
+      buildBlooms(stagedKeep)
+      baseV = base.version
+      lastRewriteStagings += 1
       val (txnAdd, txnRm) = txnSwap(base, txn)
-      val c = Commit(base.version + 1, "upsert", files ++ txnAdd,
-        (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")) ++ txnRm,
-        System.currentTimeMillis())
-      buildBlooms(files)
-      if (tryCommit(c, fileStats(files))) return c
-      files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+      beforeDmlCommitHook()
+      val c = Commit(base.version + 1, "upsert", stagedKeep ++ txnAdd,
+        removed ++ txnRm, System.currentTimeMillis())
+      if (tryCommit(c, stagedStats)) return c
       attempt += 1
+      }
     }
+    stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
     sys.error(s"upsert contention: lost $maxRetries races in $logDir")
   }
 

@@ -2234,6 +2234,33 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().where(col("id").between(1000, 1009)).count() === 0)
   }
 
+  test("upsert: rebases over a data-free winner, re-derives over ANY row commit") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 50))
+    val w = TxTable(spark, p, logStore)
+    // a data-free winner (properties) commutes with the full rewrite
+    raceOnce(t)(w.setProperties(Map("owner" -> "etl")))
+    val ups = (40 until 60).map(i => (i.toLong, s"up-$i"))
+      .toDF("id", "payload")
+    try t.upsert(ups, Seq("id"))
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 1)
+    assert(t.read().count() === 60)
+    assert(t.read().where(col("payload").startsWith("up-")).count() === 20)
+    assert(t.properties.get("owner") === Some("etl"))
+    // upsert is a FULL-table rewrite: even a stats-disjoint append
+    // must force the re-derive (its rows belong in the latest-wins
+    // merge), unlike the bounded DML rewrites
+    raceOnce(t)(w.append(df(5000 until 5010)))
+    try t.upsert((0 until 5).map(i => (i.toLong, s"v2-$i"))
+      .toDF("id", "payload"), Seq("id"))
+    finally t.beforeDmlCommitHook = () => ()
+    assert(t.lastRewriteStagings === 2)
+    assert(t.read().count() === 70)
+    assert(t.read().where(col("id") >= 5000).count() === 10)
+  }
+
   test("full-table MERGE (NOT MATCHED BY SOURCE) never rebases over an append") {
     import spark.implicits._
     val (t, p) = mkTable()
