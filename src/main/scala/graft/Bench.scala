@@ -241,8 +241,22 @@ object Bench {
     // (SCALE.md); override via SPARK_GRAFT_CANARY_IDLE if the hardware
     // changes.
     val idleCal = sys.env.getOrElse("SPARK_GRAFT_CANARY_IDLE", "0.263").toDouble
+    // r12's lesson: MODERATE load is a canary blind spot. loadavg 4.5
+    // on a 32-cpu box slows the 32-thread canary only ~1.15× (it still
+    // gets ~88% of the CPU) but inflated the 32-way-parallel suite
+    // ~1.7× — memory-bandwidth and scheduler-queue contention that a
+    // pure CPU-share probe cannot see. OR the label with the 1-minute
+    // loadavg AT SUITE START (before the session spins up — external
+    // load only; load_end reflects our own just-finished work and must
+    // not gate). Threshold ncpus/8 (4.0 here), tunable via env.
+    val ncpus = Runtime.getRuntime.availableProcessors()
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_CONGESTED",
+      (ncpus / 8.0).toString).toDouble
+    def load1(s: String): Double =
+      try s.split(" ").head.toDouble catch { case _: Throwable => 0.0 }
     val congested = !isChild &&
-      math.max(canaryStart, canaryEnd) > 1.5 * idleCal
+      (math.max(canaryStart, canaryEnd) > 1.5 * idleCal ||
+        load1(loadStart) > loadThreshold)
     val canaryJson = if (isChild) "" else
       s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"canary_idle":${fmt(idleCal)},"congested":$congested,"load_start":"$loadStart","load_end":"$loadEnd""""
 

@@ -97,7 +97,21 @@ final class TxSql(spark: SparkSession) {
         // partition-scoped maintenance: only matching leaves repack
         val filter: Seq[(String, Any)] =
           if (where == null) Nil else partitionEqualities(where)
-        val res = t.compactBinPack(partitionFilter = filter)
+        // DECLARED clustering (CREATE/ALTER … CLUSTER BY — Delta's
+        // liquid-clustering entry point): a bare OPTIMIZE reclusters
+        // on the declared columns instead of bin-packing; an explicit
+        // ZORDER BY statement (matched above) still overrides, and a
+        // WHERE still scopes. One declared column rides the documented
+        // duplicate-dimension idiom (a plain range-clustered sort).
+        val declared = t.property("txtable.clusterBy").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val res =
+          if (declared.nonEmpty) {
+            val dims = if (declared.size == 1)
+              Seq(declared.head, declared.head) else declared
+            if (filter.nonEmpty) t.compactZOrderedWhere(dims, filter)
+            else Some(t.compactZOrdered(dims))
+          } else t.compactBinPack(partitionFilter = filter)
         // retention properties honored at OPTIMIZE time (Delta drives
         // log retention from table properties the same way): a set
         // `txtable.logRetentionVersions` cuts the log through
@@ -192,6 +206,17 @@ final class TxSql(spark: SparkSession) {
           Option(step).map(_.toLong).getOrElse(1L))))
       case DropIdentityRe(ident, name) =>
         mutating(ident)(t => summary(t.dropIdentityColumn(unquote(name))))
+      case AlterClusterByNoneRe(ident) =>
+        mutating(ident)(t =>
+          summary(t.unsetProperties(Seq("txtable.clusterBy"))))
+      case AlterClusterByRe(ident, colList) => mutating(ident) { t =>
+        val cols = colList.split(",").map(c => unquote(c.trim))
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty,
+          s"CLUSTER BY needs at least one column; got: $colList")
+        summary(t.setProperties(
+          Map("txtable.clusterBy" -> cols.mkString(","))))
+      }
       case AddColumnsRe(ident, ddl) =>
         mutating(ident)(t => summary(t.addColumns(
           org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))))
@@ -263,6 +288,10 @@ final class TxSql(spark: SparkSession) {
       try spark.sessionState.catalog.refreshTable(TableIdentifier(t0))
       catch { case _: Throwable => () }
     case Seq(db, t0) =>
+      try spark.sessionState.catalog
+        .refreshTable(TableIdentifier(t0, Some(db)))
+      catch { case _: Throwable => () }
+    case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
       try spark.sessionState.catalog
         .refreshTable(TableIdentifier(t0, Some(db)))
       catch { case _: Throwable => () }
@@ -534,6 +563,9 @@ final class TxSql(spark: SparkSession) {
       val id = parts match {
         case Seq(t0)     => TableIdentifier(t0)
         case Seq(db, t0) => TableIdentifier(t0, Some(db))
+        // fully qualified session-catalog name (spark_catalog.db.t)
+        case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
+          TableIdentifier(t0, Some(db))
         case _ => sys.error(
           s"cannot resolve table ${parts.mkString(".")}: use " +
             "txtable.`/path` or a catalog table name")
@@ -618,7 +650,7 @@ final class TxSql(spark: SparkSession) {
   /** Honor retention table properties (best-effort, loud on a
     * malformed value): `txtable.logRetentionVersions` → cleanupLog. */
   private def tpRetention(t: TxTable): Unit =
-    t.properties.get("txtable.logRetentionVersions").foreach { v =>
+    t.property("txtable.logRetentionVersions").foreach { v =>
       val n =
         try v.toLong
         catch { case _: NumberFormatException => sys.error(
@@ -679,11 +711,14 @@ object TxSql {
   private[graft] def isTxParts(spark: SparkSession,
       parts: Seq[String]): Boolean = parts match {
     case Seq(p, _) if p.equalsIgnoreCase("txtable") => true
-    case Seq(_) | Seq(_, _) =>
+    case Seq(_) | Seq(_, _) | Seq(_, _, _) =>
       try {
         val id = parts match {
           case Seq(t0)     => TableIdentifier(t0)
           case Seq(db, t0) => TableIdentifier(t0, Some(db))
+          case Seq(cat, db, t0)
+              if cat.equalsIgnoreCase("spark_catalog") =>
+            TableIdentifier(t0, Some(db))
           case _           => return false
         }
         spark.sessionState.catalog.getTableMetadata(id)
@@ -725,6 +760,8 @@ object TxSql {
       case DropGeneratedRe(id, _) if tx(id)     => Some(SummarySchema)
       case AddIdentityRe(id, _, _, _) if tx(id) => Some(SummarySchema)
       case DropIdentityRe(id, _) if tx(id)      => Some(SummarySchema)
+      case AlterClusterByNoneRe(id) if tx(id)   => Some(SummarySchema)
+      case AlterClusterByRe(id, _) if tx(id)    => Some(SummarySchema)
       case AddColumnsRe(id, _) if tx(id)        => Some(SummarySchema)
       case RenameColumnRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropColumnRe(id, _) if tx(id)        => Some(SummarySchema)
@@ -814,6 +851,14 @@ object TxSql {
   // must omit the column (TxTable.addIdentityColumn)
   private val AddIdentityRe =
     s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+$Id(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+STEP\\s+(-?\\d+))?""".r
+  // ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE — DECLARATIVE
+  // clustering (Delta's liquid-clustering entry point): the column
+  // set persists as the `txtable.clusterBy` table property; a bare
+  // OPTIMIZE then reclusters on it (scoped WHERE still composes)
+  private val AlterClusterByNoneRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+CLUSTER\\s+BY\\s+NONE""".r
+  private val AlterClusterByRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+CLUSTER\\s+BY\\s*\\(([^)]+)\\)""".r
   private val DropIdentityRe =
     s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+IDENTITY\\s+COLUMN\\s+$Id""".r
   // ALTER TABLE t ADD COLUMNS (c1 TYPE, c2 TYPE …) — Delta's

@@ -1185,6 +1185,17 @@ final class TxTable private (spark: SparkSession, dir: String,
   /** Head-snapshot table properties, key → value (the `tp-` tokens). */
   def properties: Map[String, String] = tpMap(snapshot())
 
+  /** Case-INSENSITIVE property lookup. [[setProperties]] dedups keys
+    * case-insensitively (a case-variant SET swaps out the old token),
+    * so every consumer must match the same way — an exact-case lookup
+    * would accept `TxTable.AutoCompact` at SET time yet silently never
+    * engage it, the mistyped-retention failure mode the SQL face's
+    * strictness guards against. */
+  def property(key: String): Option[String] = {
+    val k = key.toLowerCase
+    properties.collectFirst { case (pk, v) if pk.toLowerCase == k => v }
+  }
+
   private def tpMap(s: Snapshot): Map[String, String] =
     s.cms.filter(TxTable.isTpName).map(TxTable.decodeTp).toMap
 
@@ -1577,14 +1588,37 @@ final class TxTable private (spark: SparkSession, dir: String,
           else {
             val abs = resolveFiles(names, s"change feed over v${c.version}")
             val d = dvs
+            // mergeSchema: one side's files may themselves straddle an
+            // earlier schema-evolving append — a single-footer read
+            // would silently drop the wider files' columns. Cost is
+            // bounded by the commit's touched files, never the table
             if (d.isEmpty)
-              Some(spark.read.option("basePath", dir).parquet(abs: _*))
+              Some(spark.read.option("basePath", dir)
+                .option("mergeSchema", "true").parquet(abs: _*))
             else Some(antiDvs(withPos(abs), d).drop("_dv_file", "_dv_pos"))
           }
         (readFiles(addData, nowDvs), readFiles(remData, prevDvs)) match {
           case (Some(a), None)    => Seq(tag(a, "insert"))
           case (None, Some(r))    => Seq(tag(r, "delete"))
-          case (Some(a), Some(r)) =>
+          case (Some(a0), Some(r0)) =>
+            // a `merge-evolve` commit's add side carries the WIDENED
+            // schema while its removed files still hold the pre-merge
+            // one — align both sides to the union of their columns
+            // (post-commit types win, the narrower side null-pads)
+            // before the row diff, or exceptAll dies on an arity
+            // mismatch and the feed could never cross the commit.
+            // Null-padding is Delta's CDF contract across schema
+            // evolution: pre-evolve rows read as null in new columns
+            val (a, r) =
+              if (a0.columns.sameElements(r0.columns)) (a0, r0)
+              else {
+                val fields = a0.schema.fields ++ r0.schema.fields
+                  .filterNot(f => a0.columns.contains(f.name))
+                def align(df: DataFrame) = df.select(fields.toSeq.map(f =>
+                  if (df.columns.contains(f.name)) col(f.name)
+                  else lit(null).cast(f.dataType).as(f.name)): _*)
+                (align(a0), align(r0))
+              }
             Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
           case (None, None)       => Nil
         }

@@ -92,6 +92,19 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       r.load().queryExecution.analyzed
     }
+    // a CATALOG-NAMED transactional table under time travel or the
+    // table_changes TVF: resolve the entry's location (provider-gated,
+    // parse-time-cheap — isTxParts never opens the table) so the SQL
+    // forms Delta users type work over names, not just paths
+    def txCatalogPath(x: LogicalPlan): Option[String] = x match {
+      case r: UnresolvedRelation
+          if !r.multipartIdentifier.head.equalsIgnoreCase("txtable") &&
+            TxSql.isTxParts(session, r.multipartIdentifier) =>
+        try Some(TxSql(session)
+          .resolveParts(r.multipartIdentifier).location)
+        catch { case _: Throwable => None }
+      case _ => None
+    }
     p.transformDown {
       // INSERT's target is a constructor FIELD, not a child — a plain
       // tree transform never visits it
@@ -100,13 +113,44 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         ins.copy(table = reader(txPath(ins.table).get, None, None))
       case tt: RelationTimeTravel if txPath(tt.relation).isDefined =>
         reader(txPath(tt.relation).get, tt.version, tt.timestamp)
+      // SELECT … FROM cat_table VERSION AS OF n / TIMESTAMP AS OF ts —
+      // Spark's analyzer refuses time travel on v1 relations, so the
+      // catalog name resolves to its location here instead
+      case tt: RelationTimeTravel if txCatalogPath(tt.relation).isDefined =>
+        reader(txCatalogPath(tt.relation).get, tt.version, tt.timestamp)
       case r: UnresolvedRelation if txPath(r).isDefined =>
         reader(txPath(r).get, None, None)
+      // table_changes('t' | 'txtable.`/p`', from [, to]) — Delta's CDF
+      // table-valued function: rewrites to the batch CDF reader over
+      // the resolved location (inclusive-inclusive version window,
+      // Delta's contract; versions as longs, bounds as timestamps via
+      // the reader's own option parser)
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") =>
+        tableChanges(tvf.functionArgs)
       case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
           if isTxCreate(ct) &&
-            ct.columns.exists(c => c.identityColumnSpec.isDefined ||
-              c.generationExpression.isDefined) =>
+            (ct.columns.exists(c => c.identityColumnSpec.isDefined ||
+              c.generationExpression.isDefined) ||
+              clusterColsOf(ct.partitioning).nonEmpty) =>
         specCreate(ct)
+      // Spark's session catalog refuses REPLACE TABLE on v1 providers
+      // outright — route txtable REPLACE onto the engine (and never
+      // silently drop identity/generated specs the definition carries)
+      case rt: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable
+          if isTxReplace(rt) =>
+        specReplace(rt)
+      case rtas: org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect
+          if (rtas.tableSpec match {
+            case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+              u.provider.exists(_.equalsIgnoreCase("txtable"))
+            case _ => false
+          }) =>
+        sys.error(
+          "CREATE OR REPLACE TABLE … AS SELECT is not supported for " +
+            "txtable: CREATE OR REPLACE the table first, then INSERT " +
+            "INTO it (or use the writer with mode Overwrite)")
       case ctas => rewritePartitionedCtas(ctas)
     }
   }
@@ -134,11 +178,15 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * allowed) contradicts the engine's ALWAYS-only allocation
     * contract and refuses loudly at parse time, as does a generation
     * expression referencing a column the CREATE does not declare. */
-  private def specCreate(
-      ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable)
-      : LogicalPlan = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier}
-    val ids = ct.columns.collect {
+  /** Pull identity/generated specs off `columns` (with the parse-time
+    * validations) and return them plus the spec-STRIPPED definitions —
+    * shared by the CREATE and REPLACE interceptions. */
+  private def extractSpecs(
+      columns: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition])
+      : (Seq[(String, Long, Long)], Seq[(String, String)],
+         Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition]) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val ids = columns.collect {
       case c if c.identityColumnSpec.isDefined =>
         val s = c.identityColumnSpec.get
         require(!s.isAllowExplicitInsert,
@@ -150,8 +198,8 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
             c.dataType.sql)
         (c.name, s.getStart, s.getStep)
     }
-    val declared = ct.columns.map(_.name.toLowerCase).toSet
-    val gens = ct.columns.collect {
+    val declared = columns.map(_.name.toLowerCase).toSet
+    val gens = columns.collect {
       case c if c.generationExpression.isDefined =>
         val e = c.generationExpression.get
         // catch a typo'd base column AT CREATE TIME — on the dataless
@@ -166,21 +214,131 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
             s"${unknown.mkString(", ")}, not declared by this CREATE")
         (c.name, e)
     }
-    val cleaned = ct.copy(columns = ct.columns.map { c =>
+    val cleaned = columns.map { c =>
       var c2 = c
       if (c2.identityColumnSpec.isDefined)
         c2 = c2.copy(identityColumnSpec = None)
       if (c2.generationExpression.isDefined)
         c2 = c2.copy(generationExpression = None)
       c2
-    })
+    }
+    (ids, gens, cleaned)
+  }
+
+  /** `table_changes(ident, from [, to])` → the batch CDF reader over
+    * the resolved table location. `ident` is a string literal naming a
+    * catalog table or a `txtable.`path`` reference; window bounds are
+    * integer literals (versions) or string literals (timestamps,
+    * explicit-UTC — the reader's own parser). */
+  private def tableChanges(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(args.length == 2 || args.length == 3,
+      s"table_changes(table, from[, to]) takes 2 or 3 arguments; " +
+        s"got ${args.length}")
+    def str(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): String = e match {
+      case Literal(v, _) if v != null => v.toString
+      case other => sys.error(
+        s"table_changes $what must be a literal, got: ${other.sql}")
+    }
+    def isTs(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e match {
+        case Literal(_, org.apache.spark.sql.types.StringType) => true
+        case _ => false
+      }
+    val ident = str(args(0), "table name")
+    val parts = session.sessionState.sqlParser
+      .parseMultipartIdentifier(ident)
+    require(TxSql.isTxParts(session, parts),
+      s"table_changes: $ident is not a transactional table")
+    val path = TxSql(session).resolveParts(parts).location
+    var r = session.read.format("txtable").option("path", path)
+      .option("readChangeFeed", "true")
+    r = if (isTs(args(1)))
+      r.option("startingTimestamp", str(args(1), "from"))
+    else r.option("startingVersion", str(args(1), "from"))
+    if (args.length == 3)
+      r = if (isTs(args(2)))
+        r.option("endingTimestamp", str(args(2), "to"))
+      else r.option("endingVersion", str(args(2), "to"))
+    r.load().queryExecution.analyzed
+  }
+
+  /** Declared clustering columns (`CLUSTER BY (a, b)` — Delta's
+    * liquid-clustering DDL): Spark parses the clause into a
+    * [[org.apache.spark.sql.connector.expressions.ClusterByTransform]]
+    * riding the partitioning list. Top-level columns only. */
+  private def clusterColsOf(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[String] =
+    partitioning.collect {
+      case org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(refs) =>
+        refs.map { r =>
+          require(r.fieldNames.length == 1,
+            s"txtable CLUSTER BY supports top-level columns only; " +
+              s"got: ${r.describe}")
+          r.fieldNames.head
+        }
+    }.flatten
+
+  private def stripClusterBy(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[org.apache.spark.sql.connector.expressions.Transform] =
+    partitioning.filterNot(_.isInstanceOf[
+      org.apache.spark.sql.connector.expressions.ClusterByTransform])
+
+  /** Is this ReplaceTable's provider the transactional table? */
+  private def isTxReplace(
+      rt: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable): Boolean =
+    rt.tableSpec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+        u.provider.exists(_.equalsIgnoreCase("txtable"))
+      case _ => false
+    }
+
+  /** `[CREATE OR] REPLACE TABLE … USING txtable` → [[TxReplaceWithSpecs]]:
+    * the spec-stripped definition re-lands through the ordinary CREATE
+    * path after the old entry drops, prior content is replaced by one
+    * `replace` commit (history stays time-travelable), and the
+    * identity/generated declarations are RESET to the new definition's
+    * specs — never silently dropped. */
+  private def specReplace(
+      rt: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable)
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    val (ids, gens, cleaned) = extractSpecs(rt.columns)
+    val ct = org.apache.spark.sql.catalyst.plans.logical.CreateTable(
+      rt.name, cleaned, stripClusterBy(rt.partitioning), rt.tableSpec,
+      ignoreIfExists = false)
+    val parts = rt.name match {
+      case u: UnresolvedIdentifier => u.nameParts
+      case other => sys.error(
+        s"unexpected REPLACE TABLE name plan: ${other.nodeName}")
+    }
+    val declared = StructType(cleaned.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType,
+        c.nullable)))
+    TxReplaceWithSpecs(rewritePartitionedCtas(ct), parts, ids, gens,
+      rt.orCreate, declared, clusterColsOf(rt.partitioning))
+  }
+
+  private def specCreate(
+      ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable)
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    val (ids, gens, cleanedCols) = extractSpecs(ct.columns)
+    val cleaned = ct.copy(columns = cleanedCols,
+      partitioning = stripClusterBy(ct.partitioning))
     val parts = ct.name match {
       case u: UnresolvedIdentifier => u.nameParts
       case other => sys.error(
         s"unexpected CREATE TABLE name plan: ${other.nodeName}")
     }
     TxCreateWithSpecs(rewritePartitionedCtas(cleaned), parts, ids, gens,
-      ct.ignoreIfExists)
+      ct.ignoreIfExists, clusterColsOf(ct.partitioning))
   }
 
   /** `CREATE TABLE … USING txtable PARTITIONED BY (…) AS SELECT`:
@@ -280,7 +438,8 @@ case class TxSqlStatement(sqlText: String, resultSchema: StructType)
 case class TxCreateWithSpecs(inner: LogicalPlan,
     nameParts: Seq[String], ids: Seq[(String, Long, Long)],
     gens: Seq[(String, String)] = Nil,
-    ignoreIfExists: Boolean = false)
+    ignoreIfExists: Boolean = false,
+    clusterBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
@@ -294,13 +453,14 @@ case class TxCreateWithSpecs(inner: LogicalPlan,
     // have its write contract changed by a statement that does
     // nothing. Without IF NOT EXISTS the inner CREATE refuses itself.
     if (ignoreIfExists) {
-      val exists = nameParts match {
-        case Seq(t0) => sparkSession.sessionState.catalog
-          .tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t0))
-        case Seq(db, t0) => sparkSession.sessionState.catalog.tableExists(
-          org.apache.spark.sql.catalyst.TableIdentifier(t0, Some(db)))
-        case _ => false
-      }
+      // resolve existence via the MULTIPART identifier: a qualified
+      // 3-part name (spark_catalog.db.t) on an existing table must hit
+      // the same whole-statement no-op, or the follow-up declarations
+      // fire against a table the statement was supposed to leave
+      // untouched (erroring 'already declared' on re-runs)
+      val exists = try sparkSession.catalog.tableExists(
+        nameParts.map(TxSqlParser.quoteIdent).mkString("."))
+      catch { case _: Exception => false }
       if (exists) return Nil
     }
     org.apache.spark.sql.graft.ColumnShim
@@ -310,8 +470,72 @@ case class TxCreateWithSpecs(inner: LogicalPlan,
     ids.foreach { case (n, start, step) =>
       t.addIdentityColumn(n, start, step)
     }
+    if (clusterBy.nonEmpty)
+      t.setProperties(Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     // the declaration commits landed AFTER the catalog entry: drop any
     // cached relation so the first read resolves the token-bearing head
+    TxSql(sparkSession).refreshCatalog(nameParts)
+    Nil
+  }
+}
+
+object TxSqlParser {
+  /** Backtick-quote one identifier part for a multipart name string. */
+  private[plans] def quoteIdent(p: String): String =
+    "`" + p.replace("`", "``") + "`"
+}
+
+/** `[CREATE OR] REPLACE TABLE … USING txtable`, as one command.
+  * Spark's session catalog refuses REPLACE TABLE on v1 providers, so
+  * the parser routes the plan here with Delta's semantics: the catalog
+  * entry is re-created from the new definition, prior CONTENT at the
+  * location is replaced by one `replace` commit — history stays
+  * time-travelable, unlike a DROP+CREATE of the log itself — and the
+  * engine-owned column declarations (identity / generated /
+  * constraints) are RESET to the new definition's specs. Plain
+  * `REPLACE TABLE` (no OR CREATE) requires the table to exist, same
+  * as Spark's own contract. */
+case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
+    ids: Seq[(String, Long, Long)], gens: Seq[(String, String)],
+    orCreate: Boolean, declared: StructType,
+    clusterBy: Seq[String] = Nil)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val quoted = nameParts.map(TxSqlParser.quoteIdent).mkString(".")
+    val exists = sparkSession.catalog.tableExists(quoted)
+    require(exists || orCreate,
+      s"REPLACE TABLE: $quoted does not exist " +
+        "(use CREATE OR REPLACE TABLE to create-or-replace)")
+    // external DROP removes only the entry — the location's log and
+    // data files survive for the time-travelable replace below
+    if (exists) sparkSession.sql(s"DROP TABLE $quoted")
+    org.apache.spark.sql.graft.ColumnShim
+      .ofRows(sparkSession, inner).collect()
+    val t = TxSql(sparkSession).resolveParts(nameParts)
+    if (t.snapshot().version >= 0) {
+      // the location held a prior table: reset the engine-owned
+      // declarations (the new definition's specs re-land below), then
+      // replace the content under the DECLARED schema
+      t.identityColumns.keys.toSeq.sorted.foreach(n =>
+        t.dropIdentityColumn(n))
+      t.generatedColumns.keys.toSeq.sorted.foreach(n =>
+        t.dropGeneratedColumn(n))
+      t.constraints.keys.toSeq.sorted.foreach(n => t.dropConstraint(n))
+      if (t.property("txtable.clusterBy").isDefined)
+        t.unsetProperties(Seq("txtable.clusterBy"))
+      if (t.snapshot().files.nonEmpty)
+        t.overwriteAs("replace", sparkSession.createDataFrame(
+          java.util.Collections.emptyList[Row](), declared))
+    }
+    gens.foreach { case (n, e) => t.addGeneratedColumn(n, e) }
+    ids.foreach { case (n, start, step) =>
+      t.addIdentityColumn(n, start, step)
+    }
+    if (clusterBy.nonEmpty)
+      t.setProperties(Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     TxSql(sparkSession).refreshCatalog(nameParts)
     Nil
   }

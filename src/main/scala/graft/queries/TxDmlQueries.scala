@@ -1086,10 +1086,62 @@ object TxDmlQueries {
       }
     }))
 
+  // ----------------------------------------------------------------- K41
+  /** CROSS-PROCESS lost-race rebase: k40's contention shape, but the
+    * winning append lands from a REAL second JVM
+    * ([[graft.tools.MpWorker]] spawned on this JVM's classpath), so the
+    * commit race is arbitrated by [[graft.ops.LogStore.HardLink]]'s
+    * create-if-absent syscall across process boundaries — the
+    * deployment shape the ACID claim is about, with nothing shared but
+    * the filesystem. Mid-DELETE, the child process appends 50
+    * stats-disjoint rows and steals the staged version; the loser must
+    * prove non-interference from the winner's logged stats and
+    * re-commit its staged rewrite at the new head (the `require` fails
+    * the query loudly if it re-derived). The oracle replays the serial
+    * semantics: base rows outside the deleted range UNION ALL the
+    * child's deterministic batch. Untimed (`bench=false`): the JVM
+    * spawn is test scaffolding, not engine cost — k40's benchBuild
+    * already times the rebase machinery itself. */
+  private val txCrossProcessRebase = GraftQuery(
+    "k41_tx_crossproc_rebase",
+    (s, d) => {
+      val customer = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("int").as("c_nationkey"))
+      val t = seeded(s, d, "txmp", customer)
+      var fired = false
+      t.beforeDmlCommitHook = () => {
+        if (!fired) {
+          fired = true
+          val p = graft.tools.MpWorker.spawn(Seq("append",
+            t.location, "9000000", "9000049", "0", "1"))
+          require(p.waitFor(180,
+            java.util.concurrent.TimeUnit.SECONDS) &&
+            p.exitValue() == 0,
+            s"cross-process appender failed (exit ${p.exitValue()})")
+        }
+      }
+      try t.deleteBetween("c_custkey", 100L, 199L)
+      finally t.beforeDmlCommitHook = () => ()
+      require(fired, "the race seam never fired")
+      require(t.lastRewriteStagings == 1,
+        "expected the cross-process lost race to REBASE the staged " +
+          s"rewrite; it re-derived ${t.lastRewriteStagings} times")
+      t.read()
+    },
+    Some("""SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey
+            FROM customer WHERE c_custkey NOT BETWEEN 100 AND 199
+            UNION ALL
+            SELECT 9000000 + i AS c_custkey,
+                   'w-' || CAST(9000000 + i AS VARCHAR) AS c_name,
+                   CAST((9000000 + i) % 5 AS INT) AS c_nationkey
+            FROM range(50) t(i)"""),
+    bench = false)
+
   def queries: Seq[GraftQuery] =
     Seq(txUpdateWhere, txReplaceWhere, txRenameColumn, txSqlRead,
       txGeneratedCols, txSqlMerge, txSqlUpdate, txSqlDelete,
       txSqlMergeFull, txGenPartitionPrune, txConvert, txMultiKey,
       txAddColumns, txMergeEvolve, txIdentity, txStreamSink, txCopyInto,
-      txConcurrentRebase, scd2Apply)
+      txConcurrentRebase, txCrossProcessRebase, scd2Apply)
 }

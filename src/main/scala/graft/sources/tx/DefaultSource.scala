@@ -747,31 +747,51 @@ final class TxTableSink(
     * a streaming sink is THE small-file generator — one-plus files per
     * trigger, thousands per day — and waiting for a human to run
     * OPTIMIZE is how tables die. When the table property
-    * `txtable.autoCompact` is 'true', each batch checks (driver-side,
-    * O(active files) stat calls — the local-FS LogStore's cost shape,
-    * like OPTIMIZE's own selection) whether at least
-    * `txtable.autoCompact.minFiles` (default 50) active files sit
-    * below `txtable.autoCompact.targetBytes` (default 128 MiB), and
+    * `txtable.autoCompact` is 'true', each batch checks (driver-side)
+    * whether at least `txtable.autoCompact.minFiles` (default 50)
+    * active files sit below `txtable.autoCompact.targetBytes`
+    * (default 128 MiB), and
     * if so runs the partition-aware bin-pack, which rewrites ONLY the
     * qualifying small files, leaf by leaf. Best-effort by design: a
     * lost race or failure is swallowed — the data batch is already
     * committed and replay-protected; compaction is maintenance, never
     * a reason to fail a stream. Downstream is safe because compaction
     * commits are content-neutral to both the change feed and the
-    * streaming source (they skip `compact` actions). */
+    * streaming source (they skip `compact` actions).
+    *
+    * Cost shape: data files are IMMUTABLE under content-unique names,
+    * so sizes memoize perfectly — each file is statted at most once
+    * over the sink's lifetime. The steady-state per-trigger cost is
+    * O(new files in the batch) stat calls, never O(active files): a
+    * long-lived sink over a 100k-file table pays for its own trigger's
+    * handful of files, not a 100k-stat walk per batch. */
+  private val sizeMemo = scala.collection.mutable.HashMap.empty[String, Long]
+  private def sizeOf(f: String): Long = sizeMemo.getOrElseUpdate(f, {
+    TxTableSink.statCalls.incrementAndGet()
+    new java.io.File(f).length()
+  })
   private def maybeAutoCompact(): Unit =
     try {
-      val props = t.properties
-      if (props.get("txtable.autoCompact").contains("true")) {
-        val target = props.get("txtable.autoCompact.targetBytes")
+      // case-insensitive lookups: SET TBLPROPERTIES dedups keys that
+      // way, so consumption must match (a case-variant key otherwise
+      // silently never engages)
+      if (t.property("txtable.autoCompact").contains("true")) {
+        val target = t.property("txtable.autoCompact.targetBytes")
           .map(_.toLong).getOrElse(128L * 1024 * 1024)
-        val minFiles = props.get("txtable.autoCompact.minFiles")
+        val minFiles = t.property("txtable.autoCompact.minFiles")
           .map(_.toInt).getOrElse(50)
         val small = t.snapshot().files.count { f =>
-          val len = new java.io.File(f).length()
+          val len = sizeOf(f)
           len > 0 && len < target
         }
-        if (small >= minFiles) { t.compactBinPack(target); () }
+        if (small >= minFiles) {
+          t.compactBinPack(target)
+          // compaction rewrote names; drop memo entries for files no
+          // longer active so the map stays bounded by the live set
+          val live = t.snapshot().files.toSet
+          sizeMemo.filterInPlace { case (k, _) => live.contains(k) }
+          ()
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -820,4 +840,14 @@ final class TxTableSink(
   }
 
   override def toString: String = s"TxTableSink[${t.tableDir}]"
+}
+
+object TxTableSink {
+  /** Spec seam: real filesystem stat calls issued by the auto-compact
+    * size walk across every sink instance (memo misses only). Data
+    * files are immutable under content-unique names, so steady-state
+    * growth per trigger must be O(new files in the batch), never
+    * O(active files) — the spec counts this. */
+  private[graft] val statCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

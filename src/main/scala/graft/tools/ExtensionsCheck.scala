@@ -107,7 +107,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 27, s"expected 27 statements, got ${stmts.size}")
+    require(stmts.size == 32, s"expected 32 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -178,9 +178,25 @@ object ExtensionsCheck {
       val dim = graft.ops.TxTable(spark, s"$pdir/dim")
       require(dim.identityColumns.get("uid").exists(_._1 == 100L),
         "identity declaration missing on the created table")
+      // 28-30. DECLARATIVE clustering: CREATE … CLUSTER BY persisted
+      // the column set, and the bare OPTIMIZE reclustered on it
+      val clst = graft.ops.TxTable(spark, s"$pdir/clst")
+      require(clst.property("txtable.clusterBy").contains("k,v"),
+        s"CLUSTER BY not persisted: ${clst.properties}")
+      require(results(29).head().getString(1) == "compact",
+        "bare OPTIMIZE over declared clustering should compact")
+      require(clst.read().count() == 4, "clustered table content")
+      // 31. time travel over a CATALOG name
+      require(results(30).head().getLong(0) == 4L,
+        "catalog-name VERSION AS OF count")
+      // 32. the table_changes TVF over a catalog name: the two INSERT
+      // commits surface as two insert rows
+      require(results(31).head().getLong(0) == 2L,
+        "table_changes(tx_parity_dim, 1, 2) count")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")
+      spark.sql("DROP TABLE IF EXISTS tx_parity_clst")
     }
 
     println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok")

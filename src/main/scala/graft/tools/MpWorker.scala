@@ -1,0 +1,173 @@
+package graft.tools
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.{LogStore, TxTable}
+
+/** Second-JVM worker for the multi-process concurrency proofs
+  * (`TxTableMultiProcessSpec`, the k41 query): every race spec before
+  * round 13 drove contention through in-process seams; this main lets
+  * a REAL separate process exercise [[LogStore.HardLink]]'s
+  * create-if-absent CAS, crash-kill mid-commit, rebase under a
+  * cross-process lost race, and the streaming sink's txn-marker
+  * replay guard from a process that shares nothing with the first
+  * but the filesystem.
+  *
+  * Roles (args):
+  *  - `append <table> <lo> <hi> <shift> <nCommits> [barrier]` —
+  *    commit `nCommits` customer-shaped batches of keys
+  *    `[lo+i*shift, hi+i*shift]`; spins on `barrier` existing first so
+  *    two workers collide on the same versions for real.
+  *  - `crash-after-stage <table> <lo> <hi>` — run a DML whose staged
+  *    rewrite is complete, then `Runtime.halt` BEFORE the commit CAS:
+  *    the kill -9 shape that leaves orphan staged `data-*` files no
+  *    log entry references.
+  *  - `crash-mid-log <table> <lo> <hi>` — halt INSIDE the commit
+  *    primitive, after the temp entry is on disk but before the
+  *    hard-link claims the version: leaves a torn `_log/.tmp-*`.
+  *  - `txn-append <table> <appId> <batchId> <lo> <hi>` — append with a
+  *    transaction identity; exits 0 on commit, 3 on
+  *    [[TxTable.TxnAlreadyApplied]] (the cross-process replay refusal).
+  *  - `stream-resume <table> <checkpoint> <src> <appIdOpt>` — restart
+  *    a `writeStream.format("txtable")` query in THIS process from an
+  *    existing checkpoint over a file-stream source dir and drain it.
+  *
+  * Exit codes: 0 success, 3 = TxnAlreadyApplied (expected refusal),
+  * 137 = deliberate halt (crash roles), 1 = unexpected failure. */
+object MpWorker {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-mp-worker")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // distinct per-process derby/warehouse never needed (in-memory
+      // catalog), but keep temp churn isolated anyway
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-mp-wh-").toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def rows(s: SparkSession, lo: Long, hi: Long) = {
+    import s.implicits._
+    (lo to hi).map(k => (k, s"w-$k", (k % 5).toInt))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+  }
+
+  def main(args: Array[String]): Unit = try {
+    args.toList match {
+      case "append" :: table :: lo :: hi :: shift :: n :: rest =>
+        rest.headOption.foreach { barrier =>
+          val deadline = System.currentTimeMillis() + 60000L
+          while (!new File(barrier).exists() &&
+            System.currentTimeMillis() < deadline) Thread.sleep(2)
+        }
+        val s = session()
+        val t = TxTable(s, table)
+        (0L until n.toLong).foreach { i =>
+          t.append(rows(s, lo.toLong + i * shift.toLong,
+            hi.toLong + i * shift.toLong))
+        }
+        s.stop()
+        sys.exit(0)
+
+      case "crash-after-stage" :: table :: lo :: hi :: Nil =>
+        val s = session()
+        val t = TxTable(s, table)
+        // the staged rewrite is fully on disk when this fires; halt is
+        // the honest kill -9 (no shutdown hooks, no cleanup)
+        t.beforeDmlCommitHook = () => Runtime.getRuntime.halt(137)
+        t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
+        sys.exit(1) // unreachable if the halt fired
+
+      case "crash-mid-log" :: table :: lo :: hi :: Nil =>
+        val s = session()
+        // same first step HardLink takes (temp entry fully written),
+        // then die before the link syscall — the torn artifact a
+        // kill -9 inside putIfAbsent leaves
+        val tornStore = new LogStore {
+          def putIfAbsent(target: File,
+              content: Array[Byte]): Boolean = {
+            val tmp = new File(target.getParentFile,
+              s".tmp-${java.util.UUID.randomUUID()}")
+            Files.write(tmp.toPath, content)
+            Runtime.getRuntime.halt(137)
+            false // unreachable
+          }
+        }
+        val t = TxTable(s, table, tornStore)
+        t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
+        sys.exit(1) // unreachable if the halt fired
+
+      case "txn-append" :: table :: appId :: batchId :: lo :: hi :: Nil =>
+        val s = session()
+        val t = TxTable(s, table)
+        try {
+          t.append(rows(s, lo.toLong, hi.toLong), 50,
+            Some((appId, batchId.toLong)))
+          s.stop()
+          sys.exit(0)
+        } catch {
+          case _: TxTable.TxnAlreadyApplied =>
+            s.stop()
+            sys.exit(3)
+        }
+
+      case "stream-resume" :: table :: checkpoint :: src :: Nil =>
+        val s = session()
+        // schema of the parquet file-stream source dir
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema).parquet(src)
+          .writeStream.format("txtable")
+          .option("path", table)
+          .option("checkpointLocation", checkpoint)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.stop()
+        sys.exit(0)
+
+      case other =>
+        System.err.println(s"unknown MpWorker args: $other")
+        sys.exit(2)
+    }
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"MpWorker failed: ${e.getMessage}")
+      e.printStackTrace()
+      sys.exit(1)
+  }
+
+  /** Launch this worker in a fresh JVM sharing the caller's classpath;
+    * returns the process. The caller's JVM already loads Spark and the
+    * engine, so its `java.class.path` (plus the JDK17 module opens
+    * Spark needs) is sufficient and correct for the child. */
+  def spawn(args: Seq[String]): Process = {
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ opens ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.tools.MpWorker") ++ args
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        Files.createTempFile("graft-mp-", ".log").toFile))
+      .start()
+  }
+}

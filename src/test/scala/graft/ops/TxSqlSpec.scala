@@ -874,6 +874,170 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().count() === 8)
   }
 
+  test("CDF crosses a merge-evolve commit (pre-merge rows null-pad)") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 6))
+    val before = t.snapshot().version
+    Seq((2L, 222L, "U2", "fresh"), (9L, 900L, "I9", "fresh"))
+      .toDF("k", "v", "tag", "extra")
+      .createOrReplaceTempView("txsql_cdf_evo_src")
+    sql.run(
+      s"MERGE WITH SCHEMA EVOLUTION INTO txtable.`$p` t " +
+        "USING txsql_cdf_evo_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    // the add side carries the WIDENED schema, the removed files the
+    // pre-merge one: the feed must align (null-pad) and diff, never
+    // die on a column-count mismatch — and a rewrite-carried row
+    // (k=0, unchanged) must not surface as a change
+    val feed = t.readChanges(before).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[String]("extra"))).toSet
+    assert(feed === Set(
+      ("insert", 2L, "fresh"), ("insert", 9L, "fresh"),
+      ("delete", 2L, null)))
+    // batch CDF reader over the same window agrees (it calls
+    // readChanges eagerly — the reported permanent-failure path)
+    val viaReader = spark.read.format("txtable").option("path", p)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (before + 1).toString).load()
+    assert(viaReader.where(col("_change_type") === "insert").count() === 2)
+    assert(viaReader.where(col("_change_type") === "delete").count() === 1)
+  }
+
+  test("CREATE OR REPLACE TABLE resets content and engine-owned specs") {
+    import graft.plans.TxSqlParser
+    import spark.implicits._
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-repl-").toString + "/t"
+    try {
+      // plain REPLACE TABLE refuses when the table does not exist
+      val e = intercept[Exception](run(
+        s"REPLACE TABLE graft_tx_repl (k BIGINT) USING txtable " +
+          s"LOCATION '$loc'"))
+      assert(e.getMessage.contains("does not exist"))
+      // CREATE OR REPLACE creates fresh, specs land
+      run("CREATE OR REPLACE TABLE graft_tx_repl " +
+        "(uid BIGINT GENERATED ALWAYS AS IDENTITY " +
+        "(START WITH 5 INCREMENT BY 2), name STRING) " +
+        s"USING txtable LOCATION '$loc'")
+      val t = TxTable(spark, loc)
+      assert(t.identityColumns.keySet === Set("uid"))
+      spark.sql(
+        "INSERT INTO graft_tx_repl (name) VALUES ('a'), ('b')")
+      assert(spark.table("graft_tx_repl").select("uid")
+        .as[Long].collect().sorted.toSeq === Seq(5L, 7L))
+      val preReplace = t.snapshot().version
+      // REPLACE over the same location: content resets, the identity
+      // contract is REPLACED by the new definition's generated column
+      run("CREATE OR REPLACE TABLE graft_tx_repl " +
+        "(k BIGINT, y INT GENERATED ALWAYS AS (CAST(k % 10 AS INT))) " +
+        s"USING txtable LOCATION '$loc'")
+      assert(t.identityColumns.isEmpty)
+      assert(t.generatedColumns.keySet === Set("y"))
+      assert(spark.table("graft_tx_repl").count() === 0)
+      spark.sql("INSERT INTO graft_tx_repl (k) VALUES (42)")
+      assert(spark.table("graft_tx_repl").collect().map(r =>
+        (r.getLong(0), r.getInt(1))).toSeq === Seq((42L, 2)))
+      // history stayed time-travelable across the replace
+      assert(t.readAt(preReplace).count() === 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_repl")
+  }
+
+  test("IF NOT EXISTS with specs no-ops for a 3-part qualified name") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-ine3-").toString + "/t"
+    val stmt = "CREATE TABLE IF NOT EXISTS " +
+      "spark_catalog.default.graft_tx_ine3 " +
+      "(uid BIGINT GENERATED ALWAYS AS IDENTITY, name STRING) " +
+      s"USING txtable LOCATION '$loc'"
+    try {
+      run(stmt)
+      val t = TxTable(spark, loc)
+      val v = t.snapshot().version
+      // re-run under the FULLY QUALIFIED name: whole-statement no-op —
+      // no 'already declared' error, no extra commit
+      run(stmt)
+      assert(t.snapshot().version === v)
+      assert(t.identityColumns.keySet === Set("uid"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_ine3")
+  }
+
+  test("declarative clustering: CLUSTER BY declared once, bare OPTIMIZE reclusters") {
+    import graft.plans.TxSqlParser
+    import spark.implicits._
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-clst-").toString + "/t"
+    try {
+      // CREATE TABLE … CLUSTER BY persists the declared column set
+      run("CREATE TABLE graft_tx_clst (k BIGINT, v BIGINT, tag STRING) " +
+        s"USING txtable CLUSTER BY (k, v) LOCATION '$loc'")
+      val t = TxTable(spark, loc)
+      assert(t.property("txtable.clusterBy") === Some("k,v"))
+      // scattered inserts: interleaved key ranges across small files
+      (0 until 4).foreach { b =>
+        t.append((0 until 100).map { i =>
+          val k = (i * 7 + b) % 400; (k.toLong, k.toLong * 3, s"b$b")
+        }.toDF("k", "v", "tag"))
+      }
+      val rowsBefore = t.read().collect().toSet
+      // bare OPTIMIZE picks up the DECLARED columns: the commit is a
+      // compact whose rewritten files carry narrow disjoint k-ranges
+      val res = sql.run(s"OPTIMIZE txtable.`$loc`")
+      assert(res.head().getString(1) === "compact")
+      assert(t.read().collect().toSet === rowsBefore)
+      // declared-clustered layout: the compact commit's logged k-stats
+      // show per-file spans far below the full [0,399] range (every
+      // pre-OPTIMIZE file spanned nearly all of it)
+      val v = t.snapshot().version
+      val statsFile = new java.io.File(s"$loc/_log",
+        f"$v%020d.stats.tsv")
+      assert(statsFile.isFile, s"missing stats sidecar for v$v")
+      val spans = scala.io.Source.fromFile(statsFile).getLines()
+        .map(_.split("\t")).filter(a => a(1) == "k")
+        .map(a => (a(3).toLong, a(4).toLong)).toSeq
+      assert(spans.length > 1)
+      assert(spans.forall { case (lo, hi) => hi - lo < 300 },
+        s"file spans not clustered: $spans")
+      // ALTER … CLUSTER BY NONE clears the declaration: bare OPTIMIZE
+      // falls back to bin-packing (action still compact, but the
+      // property is gone)
+      sql.run(s"ALTER TABLE txtable.`$loc` CLUSTER BY NONE")
+      assert(t.property("txtable.clusterBy") === None)
+      // ALTER … CLUSTER BY re-declares (the retrofit path)
+      sql.run(s"ALTER TABLE txtable.`$loc` CLUSTER BY (v, k)")
+      assert(t.property("txtable.clusterBy") === Some("v,k"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_clst")
+  }
+
+  test("table property consumption is case-insensitive like SET dedup") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 3))
+    // a case-variant key is accepted by SET (dedup is case-insensitive)
+    sql.run(s"ALTER TABLE txtable.`$p` SET TBLPROPERTIES " +
+      "('TxTable.LogRetentionVersions' = '3')")
+    // … so consumption must find it the same way
+    assert(t.property("txtable.logRetentionVersions") === Some("3"))
+    assert(t.property("TXTABLE.LOGRETENTIONVERSIONS") === Some("3"))
+    assert(t.property("txtable.nope") === None)
+    // re-SET under another casing swaps the token (one live key)
+    sql.run(s"ALTER TABLE txtable.`$p` SET TBLPROPERTIES " +
+      "('txtable.logretentionversions' = '5')")
+    assert(t.property("txtable.logRetentionVersions") === Some("5"))
+    assert(t.properties.size === 1)
+  }
+
   test("CREATE TABLE IF NOT EXISTS with specs is whole-statement idempotent") {
     import graft.plans.TxSqlParser
     val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)

@@ -1,0 +1,184 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.tools.MpWorker
+
+/** CROSS-PROCESS concurrency proofs for the transactional table. Every
+  * race spec before this one drove contention through in-process seams
+  * (`beforeDmlCommitHook`, `MockConditionalPut` arbitration); here a
+  * REAL second JVM (spawned on this JVM's own classpath) exercises
+  * [[LogStore.HardLink]]'s create-if-absent CAS across process
+  * boundaries, crash-kills itself mid-commit, loses a commit race to
+  * this process (and vice versa), and probes the streaming sink's
+  * txn-marker replay guard from a process that shares nothing with the
+  * writer but the filesystem — the deployment shape the ACID claim is
+  * actually about. */
+class TxTableMultiProcessSpec extends SparkTestBase {
+
+  private def mkTable(tag: String): (TxTable, String) = {
+    val dir = Files.createTempDirectory(s"graft-mp-$tag-").toString
+    (TxTable(spark, s"$dir/t"), s"$dir/t")
+  }
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"w-$i", i % 5)).toDF(
+      "c_custkey", "c_name", "c_nationkey")
+  }
+
+  private def await(p: Process, what: String, secs: Long = 180): Int = {
+    assert(p.waitFor(secs, java.util.concurrent.TimeUnit.SECONDS),
+      s"$what did not finish in ${secs}s")
+    p.exitValue()
+  }
+
+  test("two real JVMs race appends through the hard-link CAS") {
+    val (t, path) = mkTable("race")
+    t.append(df(0 until 10))
+    val barrier = new File(path).getParent + "/go"
+    // both children spin on the barrier, then fire 6 commits each —
+    // the same version numbers collide on the real filesystem CAS and
+    // the losers' optimistic retries must land every batch exactly once
+    val a = MpWorker.spawn(Seq("append", path,
+      "1000", "1019", "100", "6", barrier))
+    val b = MpWorker.spawn(Seq("append", path,
+      "5000", "5019", "100", "6", barrier))
+    Files.write(new File(barrier).toPath, Array.emptyByteArray)
+    assert(await(a, "worker A") === 0)
+    assert(await(b, "worker B") === 0)
+    val head = t.snapshot()
+    // 1 seed + 12 appends, versions contiguous (snapshotAt would gap)
+    assert(head.version === 12L)
+    assert(t.read().count() === 10L + 12L * 20L)
+    // no batch landed twice and none vanished: keys are all distinct
+    assert(t.read().select("c_custkey").distinct().count() ===
+      10L + 12L * 20L)
+    // every version 1..12 is one of the workers' appends (v0 = seed)
+    val actions = t.history().where(col("version") > 0L)
+      .select("action").collect().map(_.getString(0))
+    assert(actions.count(_ == "append") === 12)
+  }
+
+  test("kill -9 after staging: garbage tolerated, vacuum reclaims it") {
+    val (t, path) = mkTable("crash1")
+    t.append(df(0 until 100))
+    val before = new File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // the child stages a full DELETE rewrite, then halts before the
+    // commit CAS — kill -9's filesystem shape
+    assert(await(MpWorker.spawn(
+      Seq("crash-after-stage", path, "10", "40")), "crasher") === 137)
+    val after = new File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val orphans = after -- before
+    assert(orphans.nonEmpty,
+      "the crash must leave staged-but-uncommitted data files")
+    // no commit landed: content and version untouched
+    assert(t.snapshot().version === 0L)
+    assert(t.read().count() === 100)
+    // the next writer proceeds normally over the garbage
+    t.append(df(100 until 120))
+    assert(t.read().count() === 120)
+    // vacuum reclaims the orphans (age guard dropped for the test)
+    val reclaimed = t.vacuum(t.snapshot().version, minAgeMs = 0L)
+    assert(orphans.subsetOf(reclaimed.toSet))
+    assert(t.read().count() === 120)
+  }
+
+  test("kill -9 mid-commit-primitive: torn temp log entry is inert") {
+    val (t, path) = mkTable("crash2")
+    t.append(df(0 until 50))
+    assert(await(MpWorker.spawn(
+      Seq("crash-mid-log", path, "5", "15")), "crasher") === 137)
+    val logDir = new File(path, "_log")
+    val torn = logDir.listFiles().filter(_.getName.startsWith(".tmp-"))
+    assert(torn.nonEmpty, "the crash must leave a torn temp log entry")
+    // readers never see the half-commit: same snapshot, same rows
+    assert(t.snapshot().version === 0L)
+    assert(t.read().count() === 50)
+    // the next writer claims version 1 with the REAL store, unbothered
+    t.append(df(50 until 60))
+    assert(t.snapshot().version === 1L)
+    assert(t.read().count() === 60)
+  }
+
+  test("rebase fires on a REAL cross-process lost race") {
+    val (t, path) = mkTable("rebase")
+    t.append(df(0 until 500))
+    // mid-DELETE, a second PROCESS lands a stats-disjoint append and
+    // steals the version this process staged for: the loser must prove
+    // non-interference from the winner's logged stats and re-commit
+    // its staged files at the new head — never re-run the rewrite
+    var fired = false
+    t.beforeDmlCommitHook = () => {
+      if (!fired) {
+        fired = true
+        assert(await(MpWorker.spawn(Seq("append", path,
+          "100000", "100049", "0", "1")), "racing appender") === 0)
+      }
+    }
+    try t.deleteBetween("c_custkey", 100L, 199L)
+    finally t.beforeDmlCommitHook = () => ()
+    assert(fired, "the race seam never fired")
+    assert(t.lastRewriteStagings === 1,
+      "the cross-process lost race must REBASE, not re-derive")
+    // serial semantics hold regardless of who won which version
+    assert(t.read().count() === 500L - 100L + 50L)
+    assert(t.read().where(col("c_custkey").between(100L, 199L))
+      .count() === 0)
+    assert(t.read().where(col("c_custkey") >= 100000L).count() === 50)
+    assert(t.snapshot().version === 2L)
+  }
+
+  test("txn marker refuses a replayed batch from another process") {
+    val (t, path) = mkTable("txn")
+    t.append(df(0 until 5), 50, Some(("mp-app", 3L)))
+    // a second process re-delivering the SAME (appId, batchId) — the
+    // zombie-restart shape — must be refused by the marker in the
+    // table itself (no sink memory crosses processes)
+    assert(await(MpWorker.spawn(Seq("txn-append", path,
+      "mp-app", "3", "900", "909")), "replayer") === 3)
+    assert(t.read().count() === 5)
+    // and a FRESH batch id from the other process lands
+    assert(await(MpWorker.spawn(Seq("txn-append", path,
+      "mp-app", "4", "900", "909")), "fresh batch") === 0)
+    assert(t.read().count() === 15)
+    assert(t.txnVersion("mp-app") === Some(4L))
+  }
+
+  test("streaming sink restarted from a second process is exactly-once") {
+    val dir = Files.createTempDirectory("graft-mp-stream-").toString
+    val table = s"$dir/t"
+    val src = s"$dir/src"
+    val ck = s"$dir/ck"
+    // batch 0 lands from THIS process
+    df(0 until 20).coalesce(1).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream.format("txtable")
+      .option("path", table).option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val t = TxTable(spark, table)
+    assert(t.read().count() === 20)
+    // more source data arrives while no query runs…
+    df(20 until 35).coalesce(1).write.mode("append").parquet(src)
+    // …and a SECOND PROCESS resumes the same checkpoint + table: the
+    // txn identity derives from the checkpoint path, so replay
+    // protection is the table's marker, not this JVM's memory
+    assert(await(MpWorker.spawn(
+      Seq("stream-resume", table, ck, src)), "stream resumer") === 0)
+    assert(t.read().count() === 35)
+    assert(t.read().select("c_custkey").distinct().count() === 35)
+    // restart with NO new data: nothing re-emits (idempotent replay)
+    assert(await(MpWorker.spawn(
+      Seq("stream-resume", table, ck, src)), "idle resumer") === 0)
+    assert(t.read().count() === 35)
+  }
+}

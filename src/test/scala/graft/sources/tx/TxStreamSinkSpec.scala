@@ -246,6 +246,54 @@ class TxStreamSinkSpec extends SparkTestBase {
     assert(t.txnVersion(ck) === Some(4L))
   }
 
+  test("autoCompact size walk memoizes: steady-state stats are O(batch)") {
+    val dir = mkDir()
+    val t = TxTable(spark, dir)
+    // a table with MANY pre-existing small files: the naive walk would
+    // re-stat all of them every trigger
+    (0 until 8).foreach { b =>
+      t.append((0L until 5L).map(i => (b * 1000L + i, s"seed-$b-$i"))
+        .toDF("id", "payload").repartition(3))
+    }
+    val preFiles = t.snapshot().files.size
+    assert(preFiles >= 20, s"seed produced only $preFiles files")
+    // autoCompact ON but minFiles high enough that compaction never
+    // fires — isolates the threshold walk's cost from the rewrite
+    t.setProperties(Map(
+      "txtable.autoCompact" -> "true",
+      "txtable.autoCompact.minFiles" -> "10000"))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("id", "payload")
+      .writeStream.format("txtable")
+      .option("path", dir).option("checkpointLocation", ckpt())
+      .start()
+    try {
+      // batch 1 fills the memo (stats every pre-existing file ONCE)
+      in.addData((0 until 2).map(i => (90000L + i, s"w-$i")): _*)
+      q.processAllAvailable()
+      val afterFirst = TxTableSink.statCalls.get()
+      // steady state: each further trigger may stat only ITS OWN new
+      // files — never the table's — because immutable content-unique
+      // names make the memo permanently valid
+      (2 to 4).foreach { b =>
+        val filesBefore = t.snapshot().files.size
+        val statsBefore = TxTableSink.statCalls.get()
+        in.addData((0 until 2).map(i =>
+          (b * 100000L + i, s"w$b-$i")): _*)
+        q.processAllAvailable()
+        val newFiles = t.snapshot().files.size - filesBefore
+        val newStats = TxTableSink.statCalls.get() - statsBefore
+        assert(newStats <= newFiles,
+          s"batch $b stat calls $newStats exceed its $newFiles new " +
+            s"files — the walk re-statted the table")
+      }
+      // sanity: the memo genuinely absorbed the pre-existing files
+      assert(TxTableSink.statCalls.get() - afterFirst <
+        preFiles.toLong,
+        "steady-state stats should be far below the table's file count")
+    } finally q.stop()
+  }
+
   test("autoCompact off by default: no compact commits appear") {
     val dir = mkDir()
     val in = MemoryStream[(Long, String)](spark)

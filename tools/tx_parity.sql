@@ -91,3 +91,22 @@ INSERT INTO tx_parity_dim VALUES (CAST(NULL AS BIGINT), 'alpha');
 INSERT INTO tx_parity_dim VALUES (CAST(NULL AS BIGINT), 'beta');
 
 SELECT uid, name FROM tx_parity_dim ORDER BY uid;
+
+-- 28-30. DECLARATIVE clustering: the column set is declared ONCE at
+--        CREATE (liquid-clustering entry point); a bare OPTIMIZE then
+--        reclusters on it — no ZORDER BY spelled at maintenance time
+CREATE TABLE tx_parity_clst (k BIGINT, v BIGINT) USING txtable
+CLUSTER BY (k, v) LOCATION '${DIR}/clst';
+
+INSERT INTO tx_parity_clst
+SELECT id, id * 2 FROM VALUES (1L), (2L), (3L), (4L) AS c(id);
+
+OPTIMIZE tx_parity_clst;
+
+-- 31. time travel over a CATALOG NAME (not just txtable.`path`):
+--     the CTAS snapshot is version 0
+SELECT COUNT(*) AS n_tt FROM tx_parity_parts VERSION AS OF 0;
+
+-- 32. the CDF as a table-valued function over a catalog name
+--     (Delta's table_changes): versions 1-2 are the two INSERTs
+SELECT COUNT(*) AS n_cdf FROM table_changes('tx_parity_dim', 1, 2);
