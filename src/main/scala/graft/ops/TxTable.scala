@@ -2370,11 +2370,33 @@ final class TxTable private (spark: SparkSession, dir: String,
     * tryCommit lose and re-enter the loop, where the guard re-runs
     * against the new head — a mismatched append can never land. Cheap:
     * schema inference reads parquet footers only. */
+  /** LOGICAL schema of `s`, avoiding an O(active files) relation plan
+    * when one footer provably answers it: a FLAT, unevolved table's
+    * files share one schema (the append guard's own invariant), so
+    * the head file's footer IS the schema. Planning the full relation
+    * lists every path driver-side per call, which turned each
+    * streaming-sink trigger into an O(table) walk — measured 1.7 s
+    * per trigger on an 800-file table, with the schema the only thing
+    * asked of it. Hive-partitioned layouts keep the full read
+    * (partition-column TYPES are inferred from the whole leaf set —
+    * one path's value could narrow them), as do merged-footer
+    * (evolved) tables, whose union schema is inherently all-footers. */
+  private def logicalSchema(s: Snapshot)
+      : org.apache.spark.sql.types.StructType = {
+    val flat = s.files.headOption
+      .map(_.stripPrefix(s"${s.base}/")).forall(!_.contains("/"))
+    val raw =
+      if (s.files.isEmpty) spark.emptyDataFrame
+      else if (s.merged || !flat) s.read(spark)
+      else spark.read.parquet(s.files.head)
+    toLogical(raw, s).schema
+  }
+
   private def guardSchema(base: Snapshot, df: DataFrame): Unit =
     if (base.files.nonEmpty) {
       // incoming frames speak LOGICAL names; compare against the
       // mapping-applied view of the table
-      val existing = typeMap(toLogical(base.read(spark), base).schema)
+      val existing = typeMap(logicalSchema(base))
       val incoming = typeMap(df.schema)
       require(existing == incoming,
         s"append schema mismatch: table has $existing, incoming $incoming")
@@ -2388,7 +2410,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     * against that attempt's head. */
   private def guardSchemaEvolve(base: Snapshot, df: DataFrame): Unit =
     if (base.files.nonEmpty) {
-      val existing = typeMap(toLogical(base.read(spark), base).schema)
+      val existing = typeMap(logicalSchema(base))
       val incoming = typeMap(df.schema)
       val clashes = incoming.keySet.intersect(existing.keySet)
         .filter(k => incoming(k) != existing(k))

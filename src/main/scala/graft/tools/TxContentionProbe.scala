@@ -1,0 +1,136 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.TxTable
+
+/** Scaling probe for the round-12 transactional paths, the numbers
+  * SCALE.md's ×64 table quotes:
+  *
+  *  1. REBASE UNDER SUSTAINED CONTENTION — a DELETE that loses R
+  *     consecutive commit races to stats-disjoint appends must pay
+  *     O(R × race-window log entries) driver work ON TOP of the
+  *     uncontended delete, INDEPENDENT of table size: the staged
+  *     rewrite is reused (lastRewriteStagings == 1), never re-run.
+  *     Measured at 1× and K× data: the contention overhead
+  *     (contended − uncontended) should be roughly flat while the
+  *     uncontended delete itself grows with data.
+  *
+  *  2. SINK AUTO-COMPACT THRESHOLD WALK — with the size memo, a
+  *     steady-state trigger stats only its OWN files: per-trigger
+  *     sink cost over a table with K× more active files must not
+  *     grow with the file count (the pre-r13 walk was O(active
+  *     files) stat calls per trigger).
+  *
+  * Run: `sbt "runMain graft.tools.TxContentionProbe [K]"` (default 64).
+  */
+object TxContentionProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 64
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-tx-contention-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = Tables.customer(spark, "/root/testdata/sf0.1")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"))
+
+    /** Seed a table with `mult` disjoint-key copies of customer. */
+    def seed(mult: Int): TxTable = {
+      val dir = Files.createTempDirectory(s"graft-probe-reb$mult-")
+        .toString
+      val t = TxTable(spark, s"$dir/t")
+      val big = (0 until mult).map(i =>
+        base.withColumn("c_custkey",
+          col("c_custkey") + lit(i.toLong * 100_000_000L)))
+        .reduce(_ union _)
+      t.append(big.repartition(32))
+      t
+    }
+
+    /** One DELETE losing `races` consecutive commit CAS races to
+      * stats-disjoint appends; returns (seconds, stagings). */
+    def contendedDelete(t: TxTable, races: Int, shift: Long): Double = {
+      val w = TxTable(spark, t.location)
+      var fired = 0
+      t.beforeDmlCommitHook = () => {
+        if (fired < races) {
+          fired += 1
+          w.append((0 until 50).map(i =>
+            (shift + fired * 1000L + i, "LATE"))
+            .toDF("c_custkey", "c_mktsegment"))
+        }
+      }
+      val (_, sec) =
+        try time(t.deleteBetween("c_custkey", shift - 99_000L,
+          shift - 98_901L))
+        finally t.beforeDmlCommitHook = () => ()
+      require(fired == races, s"seam fired $fired of $races")
+      require(races == 0 || t.lastRewriteStagings == 1,
+        s"expected rebase, got ${t.lastRewriteStagings} stagings")
+      sec
+    }
+
+    println(s"== rebase under sustained contention (R=8), 1x vs ${k}x ==")
+    for (mult <- Seq(1, k)) {
+      val t = seed(mult)
+      // two disjoint delete ranges so both runs rewrite real files;
+      // shift picks ranges inside copy 0's key space
+      val un = contendedDelete(t, 0, 100_000L)
+      val con = contendedDelete(t, 8, 200_000L)
+      println(f"mult=$mult%3d uncontended=$un%7.2fs contended(R=8)=" +
+        f"$con%7.2fs overhead=${con - un}%6.2fs")
+    }
+
+    println(s"== sink auto-compact walk: per-trigger cost, few vs many files ==")
+    import org.apache.spark.sql.streaming.OutputMode
+    for (files <- Seq(40, 40 * k / 2)) {
+      val dir = Files.createTempDirectory(s"graft-probe-sink$files-")
+        .toString
+      val t = TxTable(spark, s"$dir/t")
+      // `files` tiny active files via 32-way appends
+      val batches = math.max(1, files / 32)
+      (0 until batches).foreach { b =>
+        t.append((0 until 32).map(i => (b * 100L + i, s"s$b-$i"))
+          .toDF("id", "payload").repartition(32))
+      }
+      val active = t.snapshot().files.size
+      t.setProperties(Map(
+        "txtable.autoCompact" -> "true",
+        "txtable.autoCompact.minFiles" -> "1000000"))
+      val sink = new graft.sources.tx.DefaultSource()
+        .createSink(spark.sqlContext,
+          Map("path" -> s"$dir/t", "txnAppId" -> s"probe-$files"),
+          Nil, OutputMode.Append())
+      def trigger(b: Long): Double = {
+        val df = (0 until 8).map(i => (900_000L + b * 10 + i, "w"))
+          .toDF("id", "payload").coalesce(1)
+        val s0 = graft.sources.tx.TxTableSink.statCalls.get()
+        val (_, sec) = time(sink.addBatch(b, df))
+        val stats = graft.sources.tx.TxTableSink.statCalls.get() - s0
+        System.err.println(f"  [files=$active] batch $b: $sec%5.2fs " +
+          f"($stats stat calls)")
+        sec
+      }
+      trigger(0) // memo fill (first trigger stats the whole table once)
+      val steady = (1L to 4L).map(trigger)
+      println(f"active=$active%5d steady-state per-trigger: " +
+        f"min=${steady.min}%5.2fs median=${steady.sorted.apply(2)}%5.2fs")
+    }
+    spark.stop()
+  }
+}

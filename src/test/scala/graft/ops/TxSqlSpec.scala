@@ -1021,6 +1021,50 @@ class TxSqlSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_tx_clst")
   }
 
+  test("table_changes TVF and VERSION AS OF resolve over catalog names") {
+    import graft.plans.TxSqlParser
+    import spark.implicits._
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt))
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-tvf-").toString + "/t"
+    try {
+      run("CREATE TABLE graft_tx_tvf (k BIGINT, v BIGINT) " +
+        s"USING txtable LOCATION '$loc'").collect()
+      spark.sql("INSERT INTO graft_tx_tvf VALUES (1, 10), (2, 20)")
+      spark.sql("INSERT INTO graft_tx_tvf VALUES (3, 30)")
+      val t = TxTable(spark, loc)
+      sql.run(s"UPDATE txtable.`$loc` SET v = CAST(99 AS BIGINT) " +
+        "WHERE k = 1")
+      // time travel over the CATALOG name (v1 relations refuse this
+      // through Spark's own analyzer — the parser resolves the path)
+      assert(run("SELECT COUNT(*) AS n FROM graft_tx_tvf VERSION AS OF 0")
+        .head().getLong(0) === 2L)
+      // CDF as a TVF over the catalog name: the inclusive window (1,2)
+      // holds the second INSERT and the UPDATE's delete+insert pair
+      val feed = run(
+        "SELECT _change_type, k, v FROM table_changes('graft_tx_tvf', 1, 2)")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(feed === Set(("insert", 3L, 30L),
+        ("insert", 1L, 99L), ("delete", 1L, 10L)))
+      // composes inside a bigger query (joins/filters — it is a
+      // relation, not a statement)
+      assert(run("SELECT COUNT(*) AS n FROM " +
+        "table_changes('graft_tx_tvf', 1) WHERE _change_type = 'insert'")
+        .head().getLong(0) === 2L)
+      // the path form works too
+      assert(run(s"SELECT COUNT(*) AS n FROM " +
+        s"table_changes('txtable.`$loc`', 0, 0)")
+        .head().getLong(0) === 2L)
+      // a non-tx table refuses loudly
+      val e = intercept[Exception](run(
+        "SELECT * FROM table_changes('not_a_table', 0)").collect())
+      assert(e.getMessage.contains("not a transactional table"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_tvf")
+  }
+
   test("table property consumption is case-insensitive like SET dedup") {
     val (t, p) = mkTable()
     t.append(df(0 until 3))
