@@ -1643,10 +1643,17 @@ final class TxTable private (spark: SparkSession, dir: String,
   /** Stage `df` as parquet files under content-unique names (`prefix`
     * "data" for table content, "dv" for deletion vectors); invisible
     * until a commit references them. */
+  /** Crash seam for the multi-process specs: fires after the staging
+    * write lands but before any file moves — a `Runtime.halt` here is
+    * the kill -9 that leaves a whole `_staged-*` directory behind,
+    * the artifact [[vacuum]]'s age-guarded reclaim exists for. */
+  private[graft] var afterStageWriteHook: () => Unit = () => ()
+
   private def stage(df: DataFrame, prefix: String = "data",
       intoDir: String = ""): Seq[String] = {
     val tmp = s"$dir/_staged-${UUID.randomUUID()}"
     df.write.parquet(tmp)
+    afterStageWriteHook()
     val parts = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))

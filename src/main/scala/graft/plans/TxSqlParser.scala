@@ -147,10 +147,7 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
               u.provider.exists(_.equalsIgnoreCase("txtable"))
             case _ => false
           }) =>
-        sys.error(
-          "CREATE OR REPLACE TABLE … AS SELECT is not supported for " +
-            "txtable: CREATE OR REPLACE the table first, then INSERT " +
-            "INTO it (or use the writer with mode Overwrite)")
+        specReplaceAsSelect(rtas)
       case ctas => rewritePartitionedCtas(ctas)
     }
   }
@@ -223,6 +220,38 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       c2
     }
     (ids, gens, cleaned)
+  }
+
+  /** `[CREATE OR] REPLACE TABLE … USING txtable [PARTITIONED BY …|
+    * CLUSTER BY …] [LOCATION …] AS SELECT …` → [[TxReplaceAsSelect]].
+    * An EXTERNAL replace lands as one `replace` commit at the
+    * location (history stays time-travelable); a MANAGED replace
+    * follows Spark's own managed-drop semantics (the old directory
+    * goes with the entry). */
+  private def specReplaceAsSelect(
+      rtas: org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect)
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    val parts = rtas.name match {
+      case u: UnresolvedIdentifier => u.nameParts
+      case other => sys.error(
+        s"unexpected REPLACE TABLE name plan: ${other.nodeName}")
+    }
+    val spec = rtas.tableSpec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec => u
+      case other => sys.error(
+        s"unexpected REPLACE TABLE spec: ${other.getClass.getName}")
+    }
+    val partCols = stripClusterBy(rtas.partitioning).map { tr =>
+      val refs = tr.references
+      if (tr.name == "identity" && refs.length == 1 &&
+          refs(0).fieldNames.length == 1) refs(0).fieldNames.head
+      else sys.error(
+        s"txtable supports only PARTITIONED BY (column…); got: " +
+          tr.describe)
+    }
+    TxReplaceAsSelect(rtas.query, parts, spec.location, partCols,
+      clusterColsOf(rtas.partitioning), rtas.orCreate)
   }
 
   /** `table_changes(ident, from [, to])` → the batch CDF reader over
@@ -536,6 +565,99 @@ case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
     }
     if (clusterBy.nonEmpty)
       t.setProperties(Map("txtable.clusterBy" -> clusterBy.mkString(",")))
+    TxSql(sparkSession).refreshCatalog(nameParts)
+    Nil
+  }
+}
+
+/** `[CREATE OR] REPLACE TABLE … USING txtable … AS SELECT`, as one
+  * command. The query is a constructor FIELD (raw parsed plan),
+  * analyzed only when the command runs. Semantics follow the plain
+  * REPLACE: an EXTERNAL target (LOCATION given, or the existing entry
+  * is external) lands the query result as ONE `replace` commit at the
+  * location — prior versions stay time-travelable — and then swaps
+  * the catalog entry; a MANAGED target follows Spark's own semantics
+  * (DROP removes the managed directory, the result lands as the fresh
+  * table's first commit). The re-created entry addresses the data by
+  * path, so it reads as an external table thereafter. */
+case class TxReplaceAsSelect(query: LogicalPlan, nameParts: Seq[String],
+    location: Option[String], partitionCols: Seq[String],
+    clusterBy: Seq[String], orCreate: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    val quoted = nameParts.map(TxSqlParser.quoteIdent).mkString(".")
+    val id = nameParts match {
+      case Seq(t0) => TableIdentifier(t0)
+      case Seq(db, t0) => TableIdentifier(t0, Some(db))
+      case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t0, Some(db))
+      case _ => sys.error(
+        s"cannot resolve ${nameParts.mkString(".")}")
+    }
+    val exists = sparkSession.catalog.tableExists(quoted)
+    require(exists || orCreate,
+      s"REPLACE TABLE: $quoted does not exist " +
+        "(use CREATE OR REPLACE TABLE to create-or-replace)")
+    val oldMeta =
+      if (exists)
+        Some(sparkSession.sessionState.catalog.getTableMetadata(id))
+      else None
+    oldMeta.foreach(m => require(
+      m.provider.exists(_.equalsIgnoreCase("txtable")),
+      s"REPLACE … AS SELECT target $quoted is not a txtable table " +
+        s"(provider: ${m.provider.getOrElse("none")})"))
+    val external = location.isDefined ||
+      oldMeta.exists(_.tableType == CatalogTableType.EXTERNAL)
+    val loc = location
+      .orElse(oldMeta.flatMap(_.storage.locationUri.map(_.getPath)))
+      .getOrElse(sparkSession.sessionState.catalog
+        .defaultTablePath(id).getPath)
+    val df = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(sparkSession, query)
+    def land(t: graft.ops.TxTable): Unit =
+      if (t.snapshot().version >= 0) {
+        // prior table at the location: reset engine-owned
+        // declarations, then replace content in ONE commit
+        t.identityColumns.keys.toSeq.sorted.foreach(n =>
+          t.dropIdentityColumn(n))
+        t.generatedColumns.keys.toSeq.sorted.foreach(n =>
+          t.dropGeneratedColumn(n))
+        t.constraints.keys.toSeq.sorted.foreach(n =>
+          t.dropConstraint(n))
+        if (t.property("txtable.clusterBy").isDefined)
+          t.unsetProperties(Seq("txtable.clusterBy"))
+        t.overwriteAs("replace", df, layout = partitionCols)
+        ()
+      } else if (partitionCols.nonEmpty) {
+        t.appendPartitioned(df, partitionCols); ()
+      } else { t.append(df); () }
+    if (external) {
+      // write FIRST — the replace commit is the atomic step; the
+      // catalog swap afterward is metadata-only
+      land(graft.ops.TxTable(sparkSession, loc))
+      if (exists) sparkSession.sql(s"DROP TABLE $quoted")
+    } else {
+      // managed: entry and directory go together, Spark's contract
+      if (exists) sparkSession.sql(s"DROP TABLE $quoted")
+      land(graft.ops.TxTable(sparkSession, loc))
+    }
+    val partOpt =
+      if (partitionCols.isEmpty) ""
+      else {
+        val json = partitionCols.map(c =>
+          "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+          .mkString("[", ",", "]")
+        s", `__partition_columns` '$json'"
+      }
+    sparkSession.sql(s"CREATE TABLE $quoted USING txtable " +
+      s"OPTIONS (path '$loc'$partOpt)")
+    if (clusterBy.nonEmpty)
+      TxSql(sparkSession).resolveParts(nameParts).setProperties(
+        Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     TxSql(sparkSession).refreshCatalog(nameParts)
     Nil
   }

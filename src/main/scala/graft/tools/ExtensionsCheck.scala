@@ -107,7 +107,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 32, s"expected 32 statements, got ${stmts.size}")
+    require(stmts.size == 35, s"expected 35 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -193,10 +193,20 @@ object ExtensionsCheck {
       // commits surface as two insert rows
       require(results(31).head().getLong(0) == 2L,
         "table_changes(tx_parity_dim, 1, 2) count")
+      // 33-35. CREATE OR REPLACE ... AS SELECT: the second run landed
+      // as ONE replace commit; the pre-replace snapshot (v0) still
+      // reads via catalog-name time travel
+      val rtas = graft.ops.TxTable(spark, s"$pdir/rtas")
+      require(rtas.read().count() == 2, "RTAS replacement content")
+      require(rtas.history().filter("action = 'replace'").count() == 1,
+        "RTAS must land as one replace commit")
+      require(results(34).head().getLong(0) == 4L,
+        "pre-replace snapshot count via catalog-name time travel")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")
       spark.sql("DROP TABLE IF EXISTS tx_parity_clst")
+      spark.sql("DROP TABLE IF EXISTS tx_parity_rtas")
     }
 
     println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok")

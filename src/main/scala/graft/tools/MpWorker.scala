@@ -87,6 +87,16 @@ object MpWorker {
         t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
         sys.exit(1) // unreachable if the halt fired
 
+      case "crash-mid-stage" :: table :: lo :: hi :: Nil =>
+        val s = session()
+        val t = TxTable(s, table)
+        // die between the staging write and the file moves: leaves a
+        // whole `_staged-*` directory with part files — the artifact
+        // vacuum's age-guarded reclaim exists for
+        t.afterStageWriteHook = () => Runtime.getRuntime.halt(137)
+        t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
+        sys.exit(1) // unreachable if the halt fired
+
       case "crash-mid-log" :: table :: lo :: hi :: Nil =>
         val s = session()
         // same first step HardLink takes (temp entry fully written),

@@ -948,6 +948,62 @@ class TxSqlSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_tx_repl")
   }
 
+  test("CREATE OR REPLACE TABLE ... AS SELECT lands as one replace commit") {
+    import graft.plans.TxSqlParser
+    import spark.implicits._
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-rtas-").toString + "/t"
+    try {
+      // plain REPLACE ... AS SELECT refuses without existence
+      val e = intercept[Exception](run(
+        "REPLACE TABLE graft_tx_rtas USING txtable " +
+          s"LOCATION '$loc' AS SELECT 1L AS k"))
+      assert(e.getMessage.contains("does not exist"))
+      // CREATE OR REPLACE ... AS SELECT creates fresh (external)
+      run("CREATE OR REPLACE TABLE graft_tx_rtas USING txtable " +
+        s"LOCATION '$loc' AS " +
+        "SELECT id AS k, id * 10 AS v FROM range(5)")
+      val t = TxTable(spark, loc)
+      assert(spark.table("graft_tx_rtas").count() === 5)
+      val v0 = t.snapshot().version
+      // replace with a different query: ONE replace commit at the
+      // same location, history time-travelable
+      run("CREATE OR REPLACE TABLE graft_tx_rtas USING txtable " +
+        s"LOCATION '$loc' AS " +
+        "SELECT id AS k, CAST(id AS STRING) AS tag FROM range(3)")
+      assert(t.snapshot().version === v0 + 1)
+      assert(t.history().where(col("version") === v0 + 1)
+        .select("action").as[String].head() === "replace")
+      assert(spark.table("graft_tx_rtas").columns.toSeq ===
+        Seq("k", "tag"))
+      assert(spark.table("graft_tx_rtas").count() === 3)
+      assert(t.readAt(v0).count() === 5)
+      // partitioned RTAS replace: hive layout + later INSERT partitions
+      // (string partition VALUES stay non-numeric — path inference
+      // types numeric-looking values as int, the hive-layout caveat
+      // shared with the plain CTAS face)
+      run("CREATE OR REPLACE TABLE graft_tx_rtas USING txtable " +
+        s"PARTITIONED BY (par) LOCATION '$loc' AS " +
+        "SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'ev' ELSE 'od' END " +
+        "AS par FROM range(6)")
+      assert(t.snapshot().files.forall(_.contains("par=")),
+        s"RTAS did not lay out partitions: ${t.snapshot().files}")
+      spark.sql("INSERT INTO graft_tx_rtas SELECT 100L, 'zz'")
+      assert(t.snapshot().files.exists(_.contains("par=zz")),
+        "post-RTAS INSERT lost the partition layout")
+      assert(spark.table("graft_tx_rtas").count() === 7)
+      // RTAS with CLUSTER BY declares the clustering
+      run("CREATE OR REPLACE TABLE graft_tx_rtas USING txtable " +
+        s"CLUSTER BY (k, v2) LOCATION '$loc' AS " +
+        "SELECT id AS k, id * 2 AS v2 FROM range(8)")
+      assert(t.property("txtable.clusterBy") === Some("k,v2"))
+      assert(spark.table("graft_tx_rtas").count() === 8)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_rtas")
+  }
+
   test("IF NOT EXISTS with specs no-ops for a 3-part qualified name") {
     import graft.plans.TxSqlParser
     val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)

@@ -90,6 +90,27 @@ class TxTableMultiProcessSpec extends SparkTestBase {
     assert(t.read().count() === 120)
   }
 
+  test("kill -9 mid-staging: the _staged-* directory is inert and reclaimed") {
+    val (t, path) = mkTable("crash3")
+    t.append(df(0 until 80))
+    assert(await(MpWorker.spawn(
+      Seq("crash-mid-stage", path, "5", "30")), "crasher") === 137)
+    val staged = new File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_staged-"))
+    assert(staged.nonEmpty,
+      "the crash must leave a whole _staged-* directory")
+    // no commit, no content change, next writer unbothered
+    assert(t.snapshot().version === 0L)
+    assert(t.read().count() === 80)
+    t.append(df(80 until 90))
+    assert(t.read().count() === 90)
+    // vacuum reclaims the directory under the same age guard
+    val reclaimed = t.vacuum(t.snapshot().version, minAgeMs = 0L)
+    assert(staged.map(_.getName).toSet.subsetOf(reclaimed.toSet))
+    assert(!staged.head.exists())
+    assert(t.read().count() === 90)
+  }
+
   test("kill -9 mid-commit-primitive: torn temp log entry is inert") {
     val (t, path) = mkTable("crash2")
     t.append(df(0 until 50))

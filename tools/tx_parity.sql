@@ -110,3 +110,16 @@ SELECT COUNT(*) AS n_tt FROM tx_parity_parts VERSION AS OF 0;
 -- 32. the CDF as a table-valued function over a catalog name
 --     (Delta's table_changes): versions 1-2 are the two INSERTs
 SELECT COUNT(*) AS n_cdf FROM table_changes('tx_parity_dim', 1, 2);
+
+-- 33-35. CREATE OR REPLACE ... AS SELECT: first run creates, second
+--        replaces the content as ONE replace commit at the same
+--        location — the pre-replace snapshot stays time-travelable
+CREATE OR REPLACE TABLE tx_parity_rtas USING txtable
+LOCATION '${DIR}/rtas' AS
+SELECT id AS k, id * 7 AS v FROM VALUES (1L), (2L), (3L), (4L) AS r(id);
+
+CREATE OR REPLACE TABLE tx_parity_rtas USING txtable
+LOCATION '${DIR}/rtas' AS
+SELECT id AS k, id * 9 AS v FROM VALUES (9L), (10L) AS r(id);
+
+SELECT COUNT(*) AS n_pre FROM tx_parity_rtas VERSION AS OF 0;
