@@ -2388,15 +2388,47 @@ final class TxTable private (spark: SparkSession, dir: String,
     * (partition-column TYPES are inferred from the whole leaf set —
     * one path's value could narrow them), as do merged-footer
     * (evolved) tables, whose union schema is inherently all-footers. */
+  /** Commit actions that provably CANNOT change the logical schema:
+    * appends/copies pass the schema guard, row DML rewrites carry the
+    * schema through, compaction is content-identical, vectors and
+    * metadata tokens touch no columns. ALLOWLIST, not a denylist —
+    * an unknown action (a consumer's custom [[overwriteAs]] tag, a
+    * future engine action) invalidates the memo by default. */
+  private val SchemaNeutralActions = Set("append", "copy", "compact",
+    "delete", "update", "upsert", "merge", "dvdelete", "properties",
+    "constraint")
+  private var schemaMemo:
+    Option[(Long, org.apache.spark.sql.types.StructType)] = None
+
   private def logicalSchema(s: Snapshot)
       : org.apache.spark.sql.types.StructType = {
+    // memo: valid as long as every commit since the memoized version
+    // is schema-neutral — checked against the REAL log window, so a
+    // foreign process's schema-changing commit invalidates like a
+    // local one, and a retention-cleaned (incomplete) window refuses.
+    // This is what makes PARTITIONED-table appends O(1) here too (the
+    // footer fast path below cannot serve them: partition-column
+    // types are inferred from the whole leaf set)
+    schemaMemo match {
+      case Some((v, sch)) if v == s.version => return sch
+      case Some((v, sch)) if v < s.version =>
+        val window = commitsBetween(v, s.version)
+        if (window.size == s.version - v &&
+            window.forall(c => SchemaNeutralActions.contains(c.action))) {
+          schemaMemo = Some((s.version, sch))
+          return sch
+        }
+      case _ => ()
+    }
     val flat = s.files.headOption
       .map(_.stripPrefix(s"${s.base}/")).forall(!_.contains("/"))
     val raw =
       if (s.files.isEmpty) spark.emptyDataFrame
       else if (s.merged || !flat) s.read(spark)
       else spark.read.parquet(s.files.head)
-    toLogical(raw, s).schema
+    val sch = toLogical(raw, s).schema
+    if (s.files.nonEmpty) schemaMemo = Some((s.version, sch))
+    sch
   }
 
   private def guardSchema(base: Snapshot, df: DataFrame): Unit =
