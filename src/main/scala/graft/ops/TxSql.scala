@@ -106,12 +106,13 @@ final class TxSql(spark: SparkSession) {
         val declared = t.property("txtable.clusterBy").toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         val res =
-          if (declared.nonEmpty) {
+          if (declared.nonEmpty && t.snapshot().files.nonEmpty) {
             val dims = if (declared.size == 1)
               Seq(declared.head, declared.head) else declared
             if (filter.nonEmpty) t.compactZOrderedWhere(dims, filter)
             else Some(t.compactZOrdered(dims))
-          } else t.compactBinPack(partitionFilter = filter)
+          } else if (declared.nonEmpty) None // dataless: clean no-op
+          else t.compactBinPack(partitionFilter = filter)
         // retention properties honored at OPTIMIZE time (Delta drives
         // log retention from table properties the same way): a set
         // `txtable.logRetentionVersions` cuts the log through

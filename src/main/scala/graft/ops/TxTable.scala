@@ -977,8 +977,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     * attached: the table-relative file name and the row's ordinal in
     * that file — both from parquet's `_metadata` struct, produced by
     * the scan itself (no shuffle, no extra I/O). */
-  private def withPos(files: Seq[String]): DataFrame =
-    spark.read.option("basePath", dir).parquet(files: _*)
+  /** `merged`: union-merge the listed files' footers — required when
+    * the list may straddle a schema evolution (a single sampled footer
+    * would silently drop the wider files' columns); costs one footer
+    * read per listed file, so callers pass it only where the straddle
+    * is possible (change-feed windows, merged snapshots). */
+  private def withPos(files: Seq[String],
+      merged: Boolean = false): DataFrame =
+    spark.read.option("basePath", dir)
+      .option("mergeSchema", merged.toString).parquet(files: _*)
       .withColumn("_dv_file",
         substring_index(col("_metadata.file_path"), s"$dir/", -1))
       .withColumn("_dv_pos", col("_metadata.row_index"))
@@ -1464,12 +1471,19 @@ final class TxTable private (spark: SparkSession, dir: String,
         touched.contains(f.stripPrefix(s"$dir/")))
       val cleanDf =
         if (clean.isEmpty) None
-        else Some(spark.read.option("basePath", dir).parquet(clean: _*))
+        else Some(spark.read.option("basePath", dir)
+          .option("mergeSchema", s.merged.toString).parquet(clean: _*))
       val hitDf =
         if (hit.isEmpty) None
-        else Some(antiDvs(withPos(hit), s.dvs).drop("_dv_file", "_dv_pos"))
+        else Some(antiDvs(withPos(hit, merged = s.merged), s.dvs)
+          .drop("_dv_file", "_dv_pos"))
       (cleanDf, hitDf) match {
-        case (Some(c), Some(h)) => c.unionByName(h)
+        // allowMissingColumns: on a merged (evolved) snapshot each
+        // side union-merges only ITS OWN files' footers — a column
+        // living solely in one side's files must null-pad in the
+        // other, exactly like the single-relation merged read
+        case (Some(c), Some(h)) =>
+          c.unionByName(h, allowMissingColumns = true)
         case (Some(c), None)    => c
         case (None, Some(h))    => h
         case (None, None)       => s.read(spark)
@@ -1563,7 +1577,8 @@ final class TxTable private (spark: SparkSession, dir: String,
             .filter(touched.contains)
           if (hit.isEmpty) Nil
           else Seq(tag(
-            withPos(resolveFiles(hit, s"change feed over v${c.version}"))
+            withPos(resolveFiles(hit, s"change feed over v${c.version}"),
+              merged = prev.merged)
               .join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_semi")
               .drop("_dv_file", "_dv_pos"), "delete"))
         }
@@ -1595,7 +1610,8 @@ final class TxTable private (spark: SparkSession, dir: String,
             if (d.isEmpty)
               Some(spark.read.option("basePath", dir)
                 .option("mergeSchema", "true").parquet(abs: _*))
-            else Some(antiDvs(withPos(abs), d).drop("_dv_file", "_dv_pos"))
+            else Some(antiDvs(withPos(abs, merged = true), d)
+              .drop("_dv_file", "_dv_pos"))
           }
         (readFiles(addData, nowDvs), readFiles(remData, prevDvs)) match {
           case (Some(a), None)    => Seq(tag(a, "insert"))
@@ -2397,25 +2413,41 @@ final class TxTable private (spark: SparkSession, dir: String,
   private val SchemaNeutralActions = Set("append", "copy", "compact",
     "delete", "update", "upsert", "merge", "dvdelete", "properties",
     "constraint")
-  private var schemaMemo:
-    Option[(Long, org.apache.spark.sql.types.StructType)] = None
+  private var schemaMemo: Option[(Long, Set[String],
+    org.apache.spark.sql.types.StructType)] = None
+
+  /** Partition-directory set of the snapshot (string ops only, no
+    * filesystem calls): the inferred partition-column TYPES depend
+    * exactly on the leaf-value strings present, so an identical dir
+    * set means identical partition schema — and a DELETE that retires
+    * the last `par=zz` leaf (or an append adding one) changes the set
+    * and forces a recompute, even though its ACTION is neutral. */
+  private def leafDirs(s: Snapshot): Set[String] =
+    s.files.map { f =>
+      val rel = f.stripPrefix(s"${s.base}/")
+      val cut = rel.lastIndexOf('/')
+      if (cut < 0) "" else rel.take(cut)
+    }.toSet
 
   private def logicalSchema(s: Snapshot)
       : org.apache.spark.sql.types.StructType = {
-    // memo: valid as long as every commit since the memoized version
-    // is schema-neutral — checked against the REAL log window, so a
-    // foreign process's schema-changing commit invalidates like a
-    // local one, and a retention-cleaned (incomplete) window refuses.
-    // This is what makes PARTITIONED-table appends O(1) here too (the
-    // footer fast path below cannot serve them: partition-column
-    // types are inferred from the whole leaf set)
+    // memo: valid as long as (a) every commit since the memoized
+    // version is schema-neutral — checked against the REAL log window,
+    // so a foreign process's schema-changing commit invalidates like a
+    // local one, and a retention-cleaned (incomplete) window refuses —
+    // and (b) the partition LEAF SET is unchanged (its values are what
+    // partition-column type inference runs on). This is what makes
+    // PARTITIONED-table appends O(window + |files| string ops) too
+    // (the footer fast path below cannot serve them)
     schemaMemo match {
-      case Some((v, sch)) if v == s.version => return sch
-      case Some((v, sch)) if v < s.version =>
+      case Some((v, dirs, sch)) if v == s.version &&
+          dirs == leafDirs(s) => return sch
+      case Some((v, dirs, sch)) if v < s.version =>
         val window = commitsBetween(v, s.version)
         if (window.size == s.version - v &&
-            window.forall(c => SchemaNeutralActions.contains(c.action))) {
-          schemaMemo = Some((s.version, sch))
+            window.forall(c => SchemaNeutralActions.contains(c.action)) &&
+            dirs == leafDirs(s)) {
+          schemaMemo = Some((s.version, dirs, sch))
           return sch
         }
       case _ => ()
@@ -2427,7 +2459,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       else if (s.merged || !flat) s.read(spark)
       else spark.read.parquet(s.files.head)
     val sch = toLogical(raw, s).schema
-    if (s.files.nonEmpty) schemaMemo = Some((s.version, sch))
+    if (s.files.nonEmpty)
+      schemaMemo = Some((s.version, leafDirs(s), sch))
     sch
   }
 
@@ -3776,7 +3809,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       stagedKeep =
         if (pruned.files.isEmpty) Nil
         else stage(
-          antiDvs(withPos(pruned.files), pruned.dvs)
+          antiDvs(withPos(pruned.files, merged = pruned.merged),
+            pruned.dvs)
             .where(coalesce(matches, lit(false)))
             .select(col("_dv_file"), col("_dv_pos"))
             // one shuffle of the deleted KEYS only (the scan above

@@ -124,11 +124,34 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       // table-valued function: rewrites to the batch CDF reader over
       // the resolved location (inclusive-inclusive version window,
       // Delta's contract; versions as longs, bounds as timestamps via
-      // the reader's own option parser)
+      // the reader's own option parser). Fires ONLY when the first
+      // argument resolves to a transactional table — any other target
+      // falls through untouched, so a different provider's (or a
+      // user-registered) table_changes still gets its own resolution
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.length == 1 &&
-            tvf.name.head.equalsIgnoreCase("table_changes") =>
-        tableChanges(tvf.functionArgs)
+            tvf.name.head.equalsIgnoreCase("table_changes") &&
+            tableChangesTarget(tvf.functionArgs).isDefined =>
+        tableChanges(tableChangesTarget(tvf.functionArgs).get,
+          tvf.functionArgs)
+      // CTAS + CLUSTER BY: the declared column set must persist like
+      // the plain CREATE's — wrap so the property lands after the CTAS
+      case ctas: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+          if (ctas.tableSpec match {
+            case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+              u.provider.exists(_.equalsIgnoreCase("txtable"))
+            case _ => false
+          }) && clusterColsOf(ctas.partitioning).nonEmpty =>
+        val parts = ctas.name match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            u.nameParts
+          case other => sys.error(
+            s"unexpected CTAS name plan: ${other.nodeName}")
+        }
+        TxCtasWithCluster(
+          rewriteTxRelations(ctas.copy(
+            partitioning = stripClusterBy(ctas.partitioning))),
+          parts, clusterColsOf(ctas.partitioning))
       case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
           if isTxCreate(ct) &&
             (ct.columns.exists(c => c.identityColumnSpec.isDefined ||
@@ -250,8 +273,31 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         s"txtable supports only PARTITIONED BY (column…); got: " +
           tr.describe)
     }
-    TxReplaceAsSelect(rtas.query, parts, spec.location, partCols,
+    // the query rides as a raw FIELD of the leaf command — rewrite its
+    // own txtable.`path` / time-travel / table_changes references NOW,
+    // or transformDown never reaches them and they die unresolved
+    TxReplaceAsSelect(rewriteTxRelations(rtas.query), parts,
+      spec.location, partCols,
       clusterColsOf(rtas.partitioning), rtas.orCreate)
+  }
+
+  /** The resolved table location IFF `args` head is a literal naming a
+    * transactional table — None leaves the TVF to other resolution. */
+  private def tableChangesTarget(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    args.headOption.flatMap {
+      case Literal(v, _) if v != null =>
+        try {
+          val parts = session.sessionState.sqlParser
+            .parseMultipartIdentifier(v.toString)
+          if (TxSql.isTxParts(session, parts))
+            Some(TxSql(session).resolveParts(parts).location)
+          else None
+        } catch { case _: Throwable => None }
+      case _ => None
+    }
   }
 
   /** `table_changes(ident, from [, to])` → the batch CDF reader over
@@ -259,7 +305,7 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * catalog table or a `txtable.`path`` reference; window bounds are
     * integer literals (versions) or string literals (timestamps,
     * explicit-UTC — the reader's own parser). */
-  private def tableChanges(
+  private def tableChanges(path: String,
       args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -277,12 +323,6 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         case Literal(_, org.apache.spark.sql.types.StringType) => true
         case _ => false
       }
-    val ident = str(args(0), "table name")
-    val parts = session.sessionState.sqlParser
-      .parseMultipartIdentifier(ident)
-    require(TxSql.isTxParts(session, parts),
-      s"table_changes: $ident is not a transactional table")
-    val path = TxSql(session).resolveParts(parts).location
     var r = session.read.format("txtable").option("path", path)
       .option("readChangeFeed", "true")
     r = if (isTs(args(1)))
@@ -482,15 +522,12 @@ case class TxCreateWithSpecs(inner: LogicalPlan,
     // have its write contract changed by a statement that does
     // nothing. Without IF NOT EXISTS the inner CREATE refuses itself.
     if (ignoreIfExists) {
-      // resolve existence via the MULTIPART identifier: a qualified
-      // 3-part name (spark_catalog.db.t) on an existing table must hit
-      // the same whole-statement no-op, or the follow-up declarations
-      // fire against a table the statement was supposed to leave
-      // untouched (erroring 'already declared' on re-runs)
-      val exists = try sparkSession.catalog.tableExists(
-        nameParts.map(TxSqlParser.quoteIdent).mkString("."))
-      catch { case _: Exception => false }
-      if (exists) return Nil
+      // resolve existence via the MULTIPART identifier (a qualified
+      // 3-part name must hit the same whole-statement no-op) against
+      // PERMANENT tables only — a temp view shadowing the name must
+      // not make the CREATE silently vanish
+      if (TxSqlParser.realTableExists(sparkSession, nameParts))
+        return Nil
     }
     org.apache.spark.sql.graft.ColumnShim
       .ofRows(sparkSession, inner).collect()
@@ -512,6 +549,36 @@ object TxSqlParser {
   /** Backtick-quote one identifier part for a multipart name string. */
   private[plans] def quoteIdent(p: String): String =
     "`" + p.replace("`", "``") + "`"
+
+  /** The PERMANENT-table identifier for 1/2/3-part session-catalog
+    * names (None = unresolvable shape). */
+  private[plans] def tableId(parts: Seq[String]): Option[TableIdentifier] =
+    parts match {
+      case Seq(t0) => Some(TableIdentifier(t0))
+      case Seq(db, t0) => Some(TableIdentifier(t0, Some(db)))
+      case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t0, Some(db)))
+      case _ => None
+    }
+
+  /** Does a PERMANENT table exist under `parts`? `spark.catalog
+    * .tableExists` also matches TEMP VIEWS — a temp view shadowing the
+    * name must not make CREATE IF NOT EXISTS silently no-op, nor make
+    * REPLACE TABLE drop the wrong object. */
+  private[plans] def realTableExists(spark: SparkSession,
+      parts: Seq[String]): Boolean =
+    tableId(parts).exists(id =>
+      try spark.sessionState.catalog.tableExists(id)
+      catch { case _: Exception => false })
+
+  /** Drop the PERMANENT table directly through the session catalog —
+    * never through `DROP TABLE` SQL text, whose name resolution a
+    * temp view can shadow. Managed tables lose their directory here,
+    * Spark's own contract. */
+  private[plans] def dropRealTable(spark: SparkSession,
+      parts: Seq[String]): Unit =
+    tableId(parts).foreach(id => spark.sessionState.catalog
+      .dropTable(id, ignoreIfNotExists = true, purge = false))
 }
 
 /** `[CREATE OR] REPLACE TABLE … USING txtable`, as one command.
@@ -534,13 +601,13 @@ case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val quoted = nameParts.map(TxSqlParser.quoteIdent).mkString(".")
-    val exists = sparkSession.catalog.tableExists(quoted)
+    val exists = TxSqlParser.realTableExists(sparkSession, nameParts)
     require(exists || orCreate,
       s"REPLACE TABLE: $quoted does not exist " +
         "(use CREATE OR REPLACE TABLE to create-or-replace)")
     // external DROP removes only the entry — the location's log and
     // data files survive for the time-travelable replace below
-    if (exists) sparkSession.sql(s"DROP TABLE $quoted")
+    if (exists) TxSqlParser.dropRealTable(sparkSession, nameParts)
     org.apache.spark.sql.graft.ColumnShim
       .ofRows(sparkSession, inner).collect()
     val t = TxSql(sparkSession).resolveParts(nameParts)
@@ -598,7 +665,7 @@ case class TxReplaceAsSelect(query: LogicalPlan, nameParts: Seq[String],
       case _ => sys.error(
         s"cannot resolve ${nameParts.mkString(".")}")
     }
-    val exists = sparkSession.catalog.tableExists(quoted)
+    val exists = TxSqlParser.realTableExists(sparkSession, nameParts)
     require(exists || orCreate,
       s"REPLACE TABLE: $quoted does not exist " +
         "(use CREATE OR REPLACE TABLE to create-or-replace)")
@@ -618,7 +685,8 @@ case class TxReplaceAsSelect(query: LogicalPlan, nameParts: Seq[String],
         .defaultTablePath(id).getPath)
     val df = org.apache.spark.sql.graft.ColumnShim
       .ofRows(sparkSession, query)
-    def land(t: graft.ops.TxTable): Unit =
+    def land(t: graft.ops.TxTable, d: org.apache.spark.sql.DataFrame)
+        : Unit =
       if (t.snapshot().version >= 0) {
         // prior table at the location: reset engine-owned
         // declarations, then replace content in ONE commit
@@ -630,34 +698,67 @@ case class TxReplaceAsSelect(query: LogicalPlan, nameParts: Seq[String],
           t.dropConstraint(n))
         if (t.property("txtable.clusterBy").isDefined)
           t.unsetProperties(Seq("txtable.clusterBy"))
-        t.overwriteAs("replace", df, layout = partitionCols)
+        t.overwriteAs("replace", d, layout = partitionCols)
         ()
       } else if (partitionCols.nonEmpty) {
-        t.appendPartitioned(df, partitionCols); ()
-      } else { t.append(df); () }
+        t.appendPartitioned(d, partitionCols); ()
+      } else { t.append(d); () }
     if (external) {
       // write FIRST — the replace commit is the atomic step; the
       // catalog swap afterward is metadata-only
-      land(graft.ops.TxTable(sparkSession, loc))
-      if (exists) sparkSession.sql(s"DROP TABLE $quoted")
+      land(graft.ops.TxTable(sparkSession, loc), df)
+      if (exists) TxSqlParser.dropRealTable(sparkSession, nameParts)
+      val partOpt =
+        if (partitionCols.isEmpty) ""
+        else {
+          val json = partitionCols.map(c =>
+            "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+            .mkString("[", ",", "]")
+          s", `__partition_columns` '$json'"
+        }
+      sparkSession.sql(s"CREATE TABLE $quoted USING txtable " +
+        s"OPTIONS (path '$loc'$partOpt)")
     } else {
-      // managed: entry and directory go together, Spark's contract
-      if (exists) sparkSession.sql(s"DROP TABLE $quoted")
-      land(graft.ops.TxTable(sparkSession, loc))
+      // managed: the drop deletes the directory, so MATERIALIZE the
+      // replacement FIRST — the query may read the very table being
+      // replaced, and a failing query must never destroy data. The
+      // pinned blocks release even when the write throws. Landing goes
+      // through saveAsTable so the re-created table stays MANAGED
+      // (DROP keeps reclaiming its directory) and partitionBy rides
+      // the writer's own channel — no parser dependence
+      val (pinned, blocks) = graft.ops.Checkpoints.pin(df)
+      try {
+        pinned.count() // force evaluation before anything drops
+        if (exists) TxSqlParser.dropRealTable(sparkSession, nameParts)
+        var w = pinned.write.format("txtable")
+        if (partitionCols.nonEmpty)
+          w = w.partitionBy(partitionCols: _*)
+        w.saveAsTable(quoted)
+      } finally graft.ops.Checkpoints.release(sparkSession, blocks)
     }
-    val partOpt =
-      if (partitionCols.isEmpty) ""
-      else {
-        val json = partitionCols.map(c =>
-          "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-          .mkString("[", ",", "]")
-        s", `__partition_columns` '$json'"
-      }
-    sparkSession.sql(s"CREATE TABLE $quoted USING txtable " +
-      s"OPTIONS (path '$loc'$partOpt)")
     if (clusterBy.nonEmpty)
       TxSql(sparkSession).resolveParts(nameParts).setProperties(
         Map("txtable.clusterBy" -> clusterBy.mkString(",")))
+    TxSql(sparkSession).refreshCatalog(nameParts)
+    Nil
+  }
+}
+
+/** CTAS + `CLUSTER BY`: run the (cluster-stripped) CTAS through the
+  * ordinary provider path, then persist the declared column set as the
+  * `txtable.clusterBy` property — same contract as the plain CREATE's
+  * declarative clustering. */
+case class TxCtasWithCluster(inner: LogicalPlan,
+    nameParts: Seq[String], clusterBy: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.ColumnShim
+      .ofRows(sparkSession, inner).collect()
+    TxSql(sparkSession).resolveParts(nameParts).setProperties(
+      Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     TxSql(sparkSession).refreshCatalog(nameParts)
     Nil
   }

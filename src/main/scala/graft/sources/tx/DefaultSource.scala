@@ -772,25 +772,33 @@ final class TxTableSink(
   })
   private def maybeAutoCompact(): Unit =
     try {
-      // case-insensitive lookups: SET TBLPROPERTIES dedups keys that
-      // way, so consumption must match (a case-variant key otherwise
-      // silently never engages)
-      if (t.property("txtable.autoCompact").contains("true")) {
-        val target = t.property("txtable.autoCompact.targetBytes")
+      // ONE snapshot-backed properties read per trigger (each
+      // t.property call would replay the log again), consumed
+      // case-insensitively: SET TBLPROPERTIES dedups keys that way,
+      // so a case-variant key must still engage
+      val props = t.properties
+      def prop(k: String): Option[String] = {
+        val kl = k.toLowerCase
+        props.collectFirst { case (pk, v) if pk.toLowerCase == kl => v }
+      }
+      if (prop("txtable.autoCompact").contains("true")) {
+        val target = prop("txtable.autoCompact.targetBytes")
           .map(_.toLong).getOrElse(128L * 1024 * 1024)
-        val minFiles = t.property("txtable.autoCompact.minFiles")
+        val minFiles = prop("txtable.autoCompact.minFiles")
           .map(_.toInt).getOrElse(50)
-        val small = t.snapshot().files.count { f =>
+        val files = t.snapshot().files
+        val small = files.count { f =>
           val len = sizeOf(f)
           len > 0 && len < target
         }
-        if (small >= minFiles) {
-          t.compactBinPack(target)
-          // compaction rewrote names; drop memo entries for files no
-          // longer active so the map stays bounded by the live set
+        if (small >= minFiles) { t.compactBinPack(target); () }
+        // keep the memo bounded by the LIVE set regardless of who
+        // rewrote files (this sink's compaction, an external
+        // OPTIMIZE, merge-mode rewrites) — without the prune, a
+        // long-lived sink leaks one entry per historical file name
+        if (sizeMemo.size > files.size * 2 + 64) {
           val live = t.snapshot().files.toSet
           sizeMemo.filterInPlace { case (k, _) => live.contains(k) }
-          ()
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -1004,6 +1004,138 @@ class TxSqlSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_tx_rtas")
   }
 
+  test("managed RTAS evaluates the query BEFORE dropping; failure keeps data") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    try {
+      // MANAGED table (no LOCATION): the drop deletes the directory.
+      // A leaked dir from an aborted earlier run must not poison the
+      // managed CTAS (LOCATION_ALREADY_EXISTS)
+      spark.sql("DROP TABLE IF EXISTS graft_tx_mng")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File("/tmp/graft_warehouse/graft_tx_mng"))
+      spark.sql("CREATE TABLE graft_tx_mng USING txtable AS " +
+        "SELECT id AS k, id * 10 AS v FROM range(6)")
+      assert(spark.table("graft_tx_mng").count() === 6)
+      // SELF-REFERENCING replace: the query reads the table being
+      // replaced — it must evaluate against the OLD content before
+      // anything drops
+      run("CREATE OR REPLACE TABLE graft_tx_mng USING txtable AS " +
+        "SELECT k, v FROM graft_tx_mng WHERE k >= 3")
+      assert(spark.table("graft_tx_mng").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq === Seq(3L, 4L, 5L))
+      // a query that FAILS AT EXECUTION must leave the table intact
+      intercept[Exception](run(
+        "CREATE OR REPLACE TABLE graft_tx_mng USING txtable AS " +
+          "SELECT CAST(raise_error('boom') AS BIGINT) AS k, " +
+          "CAST(1 AS BIGINT) AS v"))
+      assert(spark.table("graft_tx_mng").count() === 3,
+        "a failing replacement query must not destroy the table")
+      // the replaced table stays MANAGED: DROP reclaims its directory
+      // (an external-ified replacement would leak it and poison the
+      // next managed CREATE of the same name)
+      spark.sql("DROP TABLE graft_tx_mng")
+      assert(!new java.io.File("/tmp/graft_warehouse/graft_tx_mng")
+        .exists(), "managed RTAS must keep the table managed")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_mng")
+  }
+
+  test("RTAS query may reference txtable paths; temp view never shadows DDL") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    val (src, srcPath) = mkTable()
+    src.append(df(0 until 7))
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-rtref-").toString + "/t"
+    try {
+      // the RTAS query reads a PATH-addressed txtable: the reference
+      // rides inside the command's raw plan and must still rewrite
+      run("CREATE OR REPLACE TABLE graft_tx_rtref USING txtable " +
+        s"LOCATION '$loc' AS " +
+        s"SELECT k, v FROM txtable.`$srcPath` WHERE k < 3")
+      assert(spark.table("graft_tx_rtref").count() === 3)
+      // a TEMP VIEW shadowing a name must not no-op CREATE IF NOT
+      // EXISTS (the real table must land) …
+      spark.range(1).createOrReplaceTempView("graft_tx_shadow")
+      val loc2 = java.nio.file.Files
+        .createTempDirectory("graft-txsql-shadow-").toString + "/t"
+      run("CREATE TABLE IF NOT EXISTS graft_tx_shadow " +
+        "(uid BIGINT GENERATED ALWAYS AS IDENTITY, name STRING) " +
+        s"USING txtable LOCATION '$loc2'")
+      val shadowT = TxTable(spark, loc2)
+      assert(shadowT.identityColumns.keySet === Set("uid"),
+        "a temp view shadowing the name must not no-op the CREATE")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_tx_rtref")
+      spark.catalog.dropTempView("graft_tx_shadow")
+      spark.sql("DROP TABLE IF EXISTS graft_tx_shadow")
+    }
+  }
+
+  test("CTAS CLUSTER BY declares; OPTIMIZE on a dataless clustered table no-ops") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-txsql-ctascl-").toString + "/t"
+    val loc2 = java.nio.file.Files
+      .createTempDirectory("graft-txsql-empcl-").toString + "/t"
+    try {
+      run("CREATE TABLE graft_tx_ctascl USING txtable CLUSTER BY (k, v) " +
+        s"LOCATION '$loc' AS SELECT id AS k, id * 2 AS v FROM range(9)")
+      val t = TxTable(spark, loc)
+      assert(t.property("txtable.clusterBy") === Some("k,v"))
+      assert(spark.table("graft_tx_ctascl").count() === 9)
+      assert(sql.run(s"OPTIMIZE txtable.`$loc`")
+        .head().getString(1) === "compact")
+      // dataless clustered table: bare OPTIMIZE is a clean no-op, not
+      // an unresolved-column crash
+      run("CREATE TABLE graft_tx_empcl (k BIGINT, v BIGINT) " +
+        s"USING txtable CLUSTER BY (k, v) LOCATION '$loc2'")
+      assert(sql.run(s"OPTIMIZE txtable.`$loc2`").count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_tx_ctascl")
+      spark.sql("DROP TABLE IF EXISTS graft_tx_empcl")
+    }
+  }
+
+  test("CDF crosses evolve + deletion vectors + spanning rewrite") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 6))
+    // widen: later files carry `extra`, the original does not
+    t.appendEvolve(Seq((10L, 100L, "E", "wide"))
+      .toDF("k", "v", "tag", "extra"))
+    // merge-on-read delete puts ACTIVE VECTORS in play
+    t.deleteVectorBetween("k", 1L, 2L)
+    val before = t.snapshot().version
+    // a rewrite whose touched files span BOTH schemas: the feed's
+    // DV-branch reads must footer-merge, or `extra` silently vanishes
+    // from one side and the diff emits phantom rows
+    t.updateBetween("k", 0L, 20L, Map("v" -> (col("v") + lit(1L))))
+    val feed = t.readChanges(before).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("v"), r.getAs[String]("extra")))
+    // live rows 0,3,4,5 (narrow) and 10 (wide) each update: one
+    // delete+insert pair per row, extra preserved where it existed
+    val inserts = feed.filter(_._1 == "insert").map(x => (x._2, x._4)).toSet
+    val deletes = feed.filter(_._1 == "delete").map(x => (x._2, x._4)).toSet
+    assert(inserts === Set((0L, null), (3L, null), (4L, null),
+      (5L, null), (10L, "wide")))
+    assert(deletes === Set((0L, null), (3L, null), (4L, null),
+      (5L, null), (10L, "wide")))
+    assert(feed.filter(_._1 == "insert").forall(x => x._3 % 10 == 1),
+      "updated rows must carry v+1")
+  }
+
   test("IF NOT EXISTS with specs no-ops for a 3-part qualified name") {
     import graft.plans.TxSqlParser
     val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
@@ -1114,10 +1246,12 @@ class TxSqlSpec extends SparkTestBase {
       assert(run(s"SELECT COUNT(*) AS n FROM " +
         s"table_changes('txtable.`$loc`', 0, 0)")
         .head().getLong(0) === 2L)
-      // a non-tx table refuses loudly
+      // a non-tx target falls through untouched: Spark's own
+      // unresolved-TVF error fires, never a half-claimed rewrite (so a
+      // different provider's table_changes could still resolve it)
       val e = intercept[Exception](run(
         "SELECT * FROM table_changes('not_a_table', 0)").collect())
-      assert(e.getMessage.contains("not a transactional table"))
+      assert(e.getMessage.toLowerCase.contains("table_changes"))
     } finally spark.sql("DROP TABLE IF EXISTS graft_tx_tvf")
   }
 
