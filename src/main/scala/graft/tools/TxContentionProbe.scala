@@ -131,6 +131,38 @@ object TxContentionProbe {
       println(f"active=$active%5d steady-state per-trigger: " +
         f"min=${steady.min}%5.2fs median=${steady.sorted.apply(2)}%5.2fs")
     }
+
+    println(s"== PARTITIONED sink trigger: schema memo must keep it flat ==")
+    // partitioned tables cannot use the single-footer schema fast path
+    // (partition-column types are inferred from the whole leaf set) —
+    // the action-allowlist memo is what keeps their appends O(window)
+    for (batches <- Seq(2, k)) {
+      val dir = Files.createTempDirectory(s"graft-probe-psink$batches-")
+        .toString
+      val t = TxTable(spark, s"$dir/t")
+      (0 until batches).foreach { b =>
+        t.appendPartitioned(
+          (0 until 32).map(i => (b * 100L + i, s"p${i % 8}"))
+            .toDF("id", "par").repartition(8), Seq("par"))
+      }
+      val active = t.snapshot().files.size
+      import org.apache.spark.sql.streaming.OutputMode
+      val sink = new graft.sources.tx.DefaultSource()
+        .createSink(spark.sqlContext,
+          Map("path" -> s"$dir/t", "txnAppId" -> s"pprobe-$batches"),
+          Seq("par"), OutputMode.Append())
+      def trigger(b: Long): Double = {
+        val df = (0 until 8).map(i => (800_000L + b * 10 + i, s"p$i"))
+          .toDF("id", "par").coalesce(1)
+        val t0 = System.nanoTime()
+        sink.addBatch(b, df)
+        (System.nanoTime() - t0) / 1e9
+      }
+      trigger(0) // first trigger computes + memoizes the schema
+      val steady = (1L to 4L).map(trigger)
+      println(f"active=$active%5d partitioned steady-state: " +
+        f"min=${steady.min}%5.2fs median=${steady.sorted.apply(2)}%5.2fs")
+    }
     spark.stop()
   }
 }
