@@ -78,6 +78,18 @@ object MpWorker {
         s.stop()
         sys.exit(0)
 
+      case "delete" :: table :: lo :: hi :: rest =>
+        rest.headOption.foreach { barrier =>
+          val deadline = System.currentTimeMillis() + 60000L
+          while (!new File(barrier).exists() &&
+            System.currentTimeMillis() < deadline) Thread.sleep(2)
+        }
+        val s = session()
+        val t = TxTable(s, table)
+        t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
+        s.stop()
+        sys.exit(0)
+
       case "crash-after-stage" :: table :: lo :: hi :: Nil =>
         val s = session()
         val t = TxTable(s, table)

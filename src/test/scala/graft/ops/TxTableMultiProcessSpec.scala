@@ -156,6 +156,47 @@ class TxTableMultiProcessSpec extends SparkTestBase {
     assert(t.snapshot().version === 2L)
   }
 
+  test("cross-process DELETE vs DELETE: file-disjoint rewrites both land") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-mp-dd-").toString
+    val path = s"$dir/t"
+    val t = TxTable(spark, path)
+    // range-clustered layout so the two deletes' key bands live in
+    // DIFFERENT files — the condition under which a lost delete-vs-
+    // delete race can REBASE instead of re-deriving
+    t.append(df(0 until 500).repartitionByRange(8, col("c_custkey")))
+    // mid-DELETE of [100,149], a second PROCESS deletes [300,349] and
+    // steals the staged version
+    val barrier = s"$dir/go"
+    val child = MpWorker.spawn(Seq("delete", path, "300", "349", barrier))
+    var fired = false
+    t.beforeDmlCommitHook = () => {
+      if (!fired) {
+        fired = true
+        Files.write(new File(barrier).toPath, Array.emptyByteArray)
+        assert(await(child, "racing deleter") === 0)
+      }
+    }
+    try t.deleteBetween("c_custkey", 100L, 149L)
+    finally t.beforeDmlCommitHook = () => ()
+    assert(fired, "the race seam never fired")
+    // the loser's staged rewrite touched none of the winner's files
+    // (disjoint bands), so it re-committed at the new head — a
+    // re-derive would show 2+ stagings
+    assert(t.lastRewriteStagings === 1,
+      "file-disjoint delete-vs-delete must REBASE")
+    // serial equivalence: both ranges gone, everything else carried
+    assert(t.read().count() === 400)
+    assert(t.read().where(col("c_custkey").between(100L, 149L))
+      .count() === 0)
+    assert(t.read().where(col("c_custkey").between(300L, 349L))
+      .count() === 0)
+    assert(t.snapshot().version === 2L)
+    val actions = t.history().where(col("version") > 0L)
+      .select("action").collect().map(_.getString(0)).toSeq
+    assert(actions === Seq("delete", "delete"))
+  }
+
   test("txn marker refuses a replayed batch from another process") {
     val (t, path) = mkTable("txn")
     t.append(df(0 until 5), 50, Some(("mp-app", 3L)))
