@@ -142,6 +142,23 @@ object MpWorker {
             sys.exit(3)
         }
 
+      case "stream-tail" :: table :: checkpoint :: outDir :: Nil =>
+        // tail the txtable SOURCE from this process into a parquet
+        // sink, resuming the given checkpoint — the cross-process
+        // exactly-once read: offsets are commit versions in the
+        // table's own log, nothing is private to the first JVM
+        val s = session()
+        val q = s.readStream.format("txtable").option("path", table)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", checkpoint)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.stop()
+        sys.exit(0)
+
       case "stream-resume" :: table :: checkpoint :: src :: Nil =>
         val s = session()
         // schema of the parquet file-stream source dir

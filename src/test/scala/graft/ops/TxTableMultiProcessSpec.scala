@@ -213,6 +213,34 @@ class TxTableMultiProcessSpec extends SparkTestBase {
     assert(t.txnVersion("mp-app") === Some(4L))
   }
 
+  test("streaming source tailed across two processes is exactly-once") {
+    val dir = Files.createTempDirectory("graft-mp-tail-").toString
+    val (t, path) = mkTable("tail")
+    val out = s"$dir/out"
+    val ck = s"$dir/ck"
+    t.append(df(0 until 15))
+    t.append(df(15 until 40))
+    // a SECOND process tails the table from scratch and drains both
+    // commits into a parquet sink
+    assert(await(MpWorker.spawn(
+      Seq("stream-tail", path, ck, out)), "tailer") === 0)
+    assert(spark.read.parquet(out).count() === 40)
+    // more commits land from THIS process…
+    t.append(df(40 until 55))
+    // …and a THIRD process resumes the same checkpoint: it must emit
+    // exactly the unread commit — offsets are table-log versions, no
+    // state is private to any one JVM
+    assert(await(MpWorker.spawn(
+      Seq("stream-tail", path, ck, out)), "resumer") === 0)
+    assert(spark.read.parquet(out).count() === 55)
+    assert(spark.read.parquet(out).select("c_custkey")
+      .distinct().count() === 55)
+    // an idle resume re-emits nothing
+    assert(await(MpWorker.spawn(
+      Seq("stream-tail", path, ck, out)), "idle tailer") === 0)
+    assert(spark.read.parquet(out).count() === 55)
+  }
+
   test("streaming sink restarted from a second process is exactly-once") {
     val dir = Files.createTempDirectory("graft-mp-stream-").toString
     val table = s"$dir/t"
