@@ -3169,7 +3169,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // guard below still refuses a type-changing assignment).
       val headSchema =
         if (head.files.isEmpty) None
-        else Some(toLogical(head.read(spark), head).schema)
+        else Some(logicalSchema(head))
       // schema evolution, re-derived per attempt against THIS head: the
       // columns still missing (a concurrent evolve may have landed
       // some). The merge validates and stages against the WIDENED
@@ -3620,7 +3620,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val pruned = pruneFiles(head, bounds)
       if (head.files.nonEmpty) {
         val unknown = set.keySet --
-          toLogical(head.read(spark), head).schema.fieldNames.toSet
+          logicalSchema(head).fieldNames.toSet
         require(unknown.isEmpty,
           "UPDATE assigns column(s) the table does not have: " +
             unknown.toSeq.sorted.mkString(", "))
