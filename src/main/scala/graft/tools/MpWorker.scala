@@ -25,18 +25,26 @@ import graft.ops.{LogStore, TxTable}
   *    rewrite is complete, then `Runtime.halt` BEFORE the commit CAS:
   *    the kill -9 shape that leaves orphan staged `data-*` files no
   *    log entry references.
+  *  - `crash-mid-stage <table> <lo> <hi>` — halt between the staging
+  *    write and the file moves: leaves a whole `_staged-*` directory.
   *  - `crash-mid-log <table> <lo> <hi>` — halt INSIDE the commit
   *    primitive, after the temp entry is on disk but before the
   *    hard-link claims the version: leaves a torn `_log/.tmp-*`.
+  *  - `delete <table> <lo> <hi> [barrier]` — one `deleteBetween`,
+  *    barrier-gated like `append` (rewrite-vs-rewrite races).
   *  - `txn-append <table> <appId> <batchId> <lo> <hi>` — append with a
   *    transaction identity; exits 0 on commit, 3 on
   *    [[TxTable.TxnAlreadyApplied]] (the cross-process replay refusal).
-  *  - `stream-resume <table> <checkpoint> <src> <appIdOpt>` — restart
-  *    a `writeStream.format("txtable")` query in THIS process from an
+  *  - `stream-resume <table> <checkpoint> <src>` — restart a
+  *    `writeStream.format("txtable")` query in THIS process from an
   *    existing checkpoint over a file-stream source dir and drain it.
+  *  - `stream-tail <table> <checkpoint> <outDir>` — tail the txtable
+  *    STREAMING SOURCE from this process into a parquet sink,
+  *    resuming the given checkpoint.
   *
   * Exit codes: 0 success, 3 = TxnAlreadyApplied (expected refusal),
-  * 137 = deliberate halt (crash roles), 1 = unexpected failure. */
+  * 4 = barrier timeout, 137 = deliberate halt (crash roles),
+  * 1 = unexpected failure. */
 object MpWorker {
 
   private def session(): SparkSession = {
@@ -55,6 +63,20 @@ object MpWorker {
     s
   }
 
+  /** Spin until `barrier` exists; die loudly on timeout — a worker
+    * proceeding past a missed barrier would silently stop exercising
+    * the race choreography its parent test claims. */
+  private def awaitBarrier(barrier: String): Unit = {
+    val deadline = System.currentTimeMillis() + 60000L
+    while (!new File(barrier).exists()) {
+      if (System.currentTimeMillis() >= deadline) {
+        System.err.println(s"barrier timeout: $barrier never appeared")
+        sys.exit(4)
+      }
+      Thread.sleep(2)
+    }
+  }
+
   private def rows(s: SparkSession, lo: Long, hi: Long) = {
     import s.implicits._
     (lo to hi).map(k => (k, s"w-$k", (k % 5).toInt))
@@ -64,11 +86,7 @@ object MpWorker {
   def main(args: Array[String]): Unit = try {
     args.toList match {
       case "append" :: table :: lo :: hi :: shift :: n :: rest =>
-        rest.headOption.foreach { barrier =>
-          val deadline = System.currentTimeMillis() + 60000L
-          while (!new File(barrier).exists() &&
-            System.currentTimeMillis() < deadline) Thread.sleep(2)
-        }
+        rest.headOption.foreach(awaitBarrier)
         val s = session()
         val t = TxTable(s, table)
         (0L until n.toLong).foreach { i =>
@@ -79,11 +97,7 @@ object MpWorker {
         sys.exit(0)
 
       case "delete" :: table :: lo :: hi :: rest =>
-        rest.headOption.foreach { barrier =>
-          val deadline = System.currentTimeMillis() + 60000L
-          while (!new File(barrier).exists() &&
-            System.currentTimeMillis() < deadline) Thread.sleep(2)
-        }
+        rest.headOption.foreach(awaitBarrier)
         val s = session()
         val t = TxTable(s, table)
         t.deleteBetween("c_custkey", lo.toLong, hi.toLong)

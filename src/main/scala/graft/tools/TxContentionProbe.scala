@@ -146,7 +146,6 @@ object TxContentionProbe {
             .toDF("id", "par").repartition(8), Seq("par"))
       }
       val active = t.snapshot().files.size
-      import org.apache.spark.sql.streaming.OutputMode
       val sink = new graft.sources.tx.DefaultSource()
         .createSink(spark.sqlContext,
           Map("path" -> s"$dir/t", "txnAppId" -> s"pprobe-$batches"),

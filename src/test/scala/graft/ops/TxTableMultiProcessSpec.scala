@@ -157,7 +157,6 @@ class TxTableMultiProcessSpec extends SparkTestBase {
   }
 
   test("cross-process DELETE vs DELETE: file-disjoint rewrites both land") {
-    import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-mp-dd-").toString
     val path = s"$dir/t"
     val t = TxTable(spark, path)
