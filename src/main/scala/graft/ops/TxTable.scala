@@ -1651,9 +1651,14 @@ final class TxTable private (spark: SparkSession, dir: String,
     changes.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map(toLogical(_, head))
       .getOrElse(
-      toLogical(head.read(spark), head)
+      // empty feed: build the zero-row frame from the MEMOIZED schema
+      // — planning the head relation just for its columns costs an
+      // O(active files) listing per empty window
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        logicalSchema(head))
         .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L)).limit(0))
+        .withColumn("_commit_version", lit(0L)))
   }
 
   /** Stage `df` as parquet files under content-unique names (`prefix`
@@ -2429,7 +2434,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (cut < 0) "" else rel.take(cut)
     }.toSet
 
-  private def logicalSchema(s: Snapshot)
+  private[graft] def logicalSchema(s: Snapshot)
       : org.apache.spark.sql.types.StructType = {
     // memo: valid as long as (a) every commit since the memoized
     // version is schema-neutral — checked against the REAL log window,

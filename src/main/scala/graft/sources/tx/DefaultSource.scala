@@ -462,8 +462,10 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     require(snap.files.nonEmpty,
       "cannot infer the stream schema from an empty table: commit data " +
         "first (the schema is read from the snapshot's parquet footers)")
-    // LOGICAL schema: a renamed column streams under its current name
-    val base = t.toLogical(snap.read(ctx.sparkSession), snap).schema
+    // LOGICAL schema: a renamed column streams under its current name.
+    // Resolved through the memoized path — the full-relation plan just
+    // for columns is an O(active files) listing
+    val base = t.logicalSchema(snap)
     val withCdc =
       if (opts(params).get("readchangefeed").exists(_.toBoolean))
         TxTableSource.cdcSchema(base)
@@ -520,7 +522,11 @@ final class TxTableSource(
   private val spark = ctx.sparkSession
 
   override val schema: StructType = {
-    val base = t.snapshot().read(spark).schema
+    // LOGICAL names, matching both [[DefaultSource.sourceSchema]] and
+    // the frames getBatch emits (which are toLogical'd) — the raw
+    // physical-name read would disagree on a pre-renamed table — and
+    // memoized, never an O(active files) relation plan
+    val base = t.logicalSchema(t.snapshot())
     if (readChangeFeed) TxTableSource.cdcSchema(base) else base
   }
 
@@ -706,7 +712,8 @@ final class TxTableSource(
         // rename mid-stream fails the stream above, so head ==
         // start-of-stream mapping on the live path)
         val snap = t.snapshot()
-        if (files.isEmpty) t.toLogical(snap.read(spark), snap).limit(0)
+        if (files.isEmpty) spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), t.logicalSchema(snap))
         else t.toLogical(
           spark.read.option("basePath", t.tableDir).parquet(files: _*),
           snap)
