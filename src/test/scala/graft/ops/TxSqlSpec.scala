@@ -1246,6 +1246,13 @@ class TxSqlSpec extends SparkTestBase {
       assert(run(s"SELECT COUNT(*) AS n FROM " +
         s"table_changes('txtable.`$loc`', 0, 0)")
         .head().getLong(0) === 2L)
+      // TIMESTAMP bounds ride the reader's own explicit-UTC parser: a
+      // window spanning all of history yields the initial snapshot as
+      // inserts plus every change (2+1 inserts, then the update's
+      // delete+insert pair = 5 rows)
+      assert(run("SELECT COUNT(*) AS n FROM table_changes(" +
+        "'graft_tx_tvf', '1970-01-01 00:00:00', '2100-01-01 00:00:00')")
+        .head().getLong(0) === 5L)
       // a non-tx target falls through untouched: Spark's own
       // unresolved-TVF error fires, never a half-claimed rewrite (so a
       // different provider's table_changes could still resolve it)
