@@ -1514,6 +1514,24 @@ final class TxTable private (spark: SparkSession, dir: String,
       .takeWhile { case (c, i) => c.version == base + 1 + i }.map(_._1)
   }
 
+  /** LAZY variant of [[commitsBetween]] for CAP-BOUNDED walks: entries
+    * read one at a time as the iterator advances, so a byte-capped
+    * `getOffset` stops paying log I/O at cap exhaustion instead of
+    * materializing a week-long backlog window per trigger (which made
+    * the catch-up quadratic in pending commits). Same contiguity
+    * contract; one directory listing either way. */
+  def commitsIterator(fromVersion: Long,
+      toVersion: Long = Long.MaxValue): Iterator[Commit] = {
+    val (cfs, _) = listLog()
+    val base = math.max(fromVersion, -1L)
+    cfs.iterator
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .map { case (_, f) => readEntry(f) }
+      .zipWithIndex
+      .takeWhile { case (c, i) => c.version == base + 1 + i }
+      .map(_._1)
+  }
+
   /** Resolve table-relative file names to absolute paths, failing
     * loudly if any was already vacuumed — shared retention contract of
     * [[readChanges]] and the streaming source. */

@@ -90,7 +90,8 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     // the same replay identity (prefer an explicit txnAppId when the
     // checkpoint path spelling can vary further, e.g. relative paths)
     val appId = o.get("txnappid")
-      .orElse(o.get("checkpointlocation").map(_.stripSuffix("/")))
+      .orElse(o.get("checkpointlocation")
+        .map(_.replaceAll("/+$", "")))
       .getOrElse(throw new IllegalArgumentException(
         "the txtable sink needs a transaction identity for exactly-once " +
           "replay protection: set option 'txnAppId' (or a " +
@@ -176,10 +177,15 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     // relation creation and scan (or between two scans of one query)
     // could serve data from a different version than the schema, or
     // mixed versions across scans
+    val head = t.snapshot()
     val version: Long = o.get("versionasof").map(_.toLong)
       .orElse(o.get("timestampasof").map(s =>
         t.versionAsOf(TxTable.parseTsUtc(s))))
-      .getOrElse(t.snapshot().version)
+      .getOrElse(head.version)
+    // ONE snapshot resolution for the whole relation: the empty check
+    // and sizeInBytes below used to replay the log independently
+    val pinnedSnap =
+      if (version == head.version) head else t.snapshotAt(version)
     // dataless table + declared schema: a zero-row frame under that
     // schema (scans included) until the first DATA commit lands.
     // Keyed on the snapshot's FILE list, not version < 0: a fresh
@@ -187,7 +193,7 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     // declaration commit (v0, zero files) and must still serve the
     // declared schema, or INSERT resolution sees zero columns.
     val emptyDeclared = userSchema.isDefined &&
-      (version < 0 || t.snapshotAt(version).files.isEmpty)
+      (version < 0 || pinnedSnap.files.isEmpty)
     def emptyBase = ctx.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](), userSchema.get)
     val base0 = if (emptyDeclared) emptyBase else t.readPruned(version, Nil)
@@ -239,9 +245,11 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       override lazy val sizeInBytes: Long =
         if (emptyDeclared) 0L
         else {
-          val fs = t.snapshotAt(version).files
-            .map(f => new java.io.File(f))
-          if (fs.forall(_.isFile)) fs.map(_.length()).sum
+          // one stat per file: length() == 0 already marks a missing
+          // file (the isFile pre-pass doubled the syscalls)
+          val lens = pinnedSnap.files
+            .map(f => new java.io.File(f).length())
+          if (lens.forall(_ > 0L)) lens.sum
           else super.sizeInBytes
         }
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -308,6 +316,19 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
           case GreaterThanOrEqual(a, v) => (a, Option(v), None)
           case LessThan(a, v)           => (a, None, Option(v))
           case LessThanOrEqual(a, v)    => (a, None, Option(v))
+          // IN gets its conservative [min, max] envelope — without it
+          // `k IN (3, 5)` opened every file while `k = 3` pruned
+          case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) &&
+              (vs.forall(_.isInstanceOf[Number]) ||
+                vs.forall(_.isInstanceOf[String])) =>
+            if (vs.head.isInstanceOf[String]) {
+              val ss = vs.map(_.asInstanceOf[String])
+              (a, Option(ss.min: Any), Option(ss.max: Any))
+            } else {
+              val ds = vs.map(v => BigDecimal(v.toString))
+              (a, Option(vs(ds.indexOf(ds.min))),
+                Option(vs(ds.indexOf(ds.max))))
+            }
         }
         val pruned =
           if (emptyDeclared) emptyBase else t.readPruned(version, bounds)
@@ -583,7 +604,9 @@ final class TxTableSource(
             var last = p
             var open = true
             var admitted = false
-            val it = t.commitsBetween(p, v).iterator
+            // LAZY: entry reads stop at cap exhaustion — the eager
+            // window read made week-long catch-ups quadratic
+            val it = t.commitsIterator(p, v)
             while (open && it.hasNext) {
               val c = it.next()
               if (c.action == "compact" || c.action == "constraint") {
@@ -663,23 +686,9 @@ final class TxTableSource(
         // diff. Nothing fails and nothing is skipped wholesale: this
         // closes the batch-CDF vs stream gap for merge-on-read
         // deletes. Deterministic on replay — the feed is a pure
-        // function of the immutable log window.
-        {
-          // align the window's change frame to the STREAM schema: a
-          // window whose commits all come from files omitting a column
-          // (legal via appendEvolve, which allows omissions) yields a
-          // frame WITHOUT that column — null-fill it, matching the
-          // merged-footer read semantics, instead of letting the select
-          // crash the stream on AnalysisException
-          val changed = t.readChanges(ver(s), ver(end))
-          val have = changed.columns.toSet
-          changed.select(schema.fields.toSeq.map { f =>
-            if (have.contains(f.name))
-              org.apache.spark.sql.functions.col(f.name)
-            else org.apache.spark.sql.functions.lit(null)
-              .cast(f.dataType).as(f.name)
-          }: _*)
-        }
+        // function of the immutable log window. (Schema alignment
+        // happens uniformly below.)
+        t.readChanges(ver(s), ver(end))
       case (Some(s), false) =>
         val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
           c.action match {
@@ -695,7 +704,11 @@ final class TxTableSource(
             // compaction is content-identical; constraint,
             // identity-declaration, and table-property commits are
             // metadata-only — none adds rows to the stream
-            case "compact" | "constraint" | "identity" | "properties" =>
+            case "compact" | "constraint" | "identity" | "properties" |
+                "gencol" | "protocol" =>
+              // gencol declarations and protocol upgrades are token-only
+              // commits too — erroring on them would poison-pill every
+              // running stream over an ALTERed table
               Nil
             case other =>
               if (skipChangeCommits) Nil
@@ -711,14 +724,26 @@ final class TxTableSource(
         // head's logical names (identical on never-renamed tables; a
         // rename mid-stream fails the stream above, so head ==
         // start-of-stream mapping on the live path)
-        val snap = t.snapshot()
         if (files.isEmpty) spark.createDataFrame(
-          java.util.Collections.emptyList[Row](), t.logicalSchema(snap))
+          java.util.Collections.emptyList[Row](), schema)
         else t.toLogical(
           spark.read.option("basePath", t.tableDir).parquet(files: _*),
-          snap)
+          t.snapshot())
     }
-    org.apache.spark.sql.graft.StreamingShim.asStreaming(batch)
+    // align EVERY branch to the fixed stream schema: the V1 engine
+    // rebinds source attributes to the returned plan's output BY
+    // POSITION, so a legally order-permuted append (guardSchema's
+    // contract is name -> type, order free) or a window whose files
+    // omit an evolved column would otherwise swap or crash — absent
+    // columns null-fill, matching the merged-footer read semantics
+    val have = batch.columns.toSet
+    val aligned = batch.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(f.dataType).as(f.name)
+    }: _*)
+    org.apache.spark.sql.graft.StreamingShim.asStreaming(aligned)
   }
 
   override def commit(end: V1Offset): Unit = ()
@@ -734,6 +759,9 @@ final class TxTableSink(
     t: TxTable, appId: String, mode: OutputMode,
     mergeKeys: Seq[String], seqCol: Option[String],
     partitionCols: Seq[String]) extends Sink {
+
+  /** Backtick-quote an identifier for SQL-text fragments. */
+  private def q(c: String): String = "`" + c.replace("`", "``") + "`"
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // replay guard: the engine re-delivers the last batch after a
@@ -788,7 +816,7 @@ final class TxTableSink(
         val kl = k.toLowerCase
         props.collectFirst { case (pk, v) if pk.toLowerCase == kl => v }
       }
-      if (prop("txtable.autoCompact").contains("true")) {
+      if (prop("txtable.autoCompact").exists(_.equalsIgnoreCase("true"))) {
         val target = prop("txtable.autoCompact.targetBytes")
           .map(_.toLong).getOrElse(128L * 1024 * 1024)
         val minFiles = prop("txtable.autoCompact.minFiles")
@@ -822,9 +850,13 @@ final class TxTableSink(
         case None => batch
         case Some(sc) => batch
           .groupBy(mergeKeys.map(col): _*)
-          .agg(expr(s"max_by(struct(${cols.mkString(", ")}), $sc)")
-            .as("__r"))
-          .select(cols.toSeq.map(c => col(s"__r.$c")): _*)
+          // backtick-quote every identifier: a reserved-word or
+          // spaced/hyphenated column name must not wedge the stream
+          // at expr-parse time (the poison pill the seqCol requirement
+          // exists to prevent)
+          .agg(expr(s"max_by(struct(${cols.map(q).mkString(", ")}), " +
+            s"${q(sc)})").as("__r"))
+          .select(cols.toSeq.map(c => col("__r").getField(c).as(c)): _*)
       }
       // pin: the merge evaluates the source several times (dup probe,
       // bounds agg, join) — one materialization for all passes

@@ -67,6 +67,8 @@ class TxBatchRelationSpec extends SparkTestBase {
     val rel = spark.read.format("txtable").option("path", s"$dir/t").load()
     assert(rel.where(col("id") === 42L).count() === 1)
     assert(rel.where(col("id") >= 100L && col("id") < 150L).count() === 50)
+    // IN prunes via its conservative [min, max] envelope too
+    assert(rel.where(col("id").isin(42L, 55L)).count() === 2)
     // without the predicate the corrupt file IS read -> loud failure
     intercept[Exception] { rel.count() }
   }

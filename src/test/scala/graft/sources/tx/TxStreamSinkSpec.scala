@@ -110,6 +110,26 @@ class TxStreamSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("update mode survives reserved-word and spaced column names") {
+    val dir = mkDir()
+    val t = TxTable(spark, dir)
+    // `order` is a reserved word; `seq col` carries a space — both are
+    // legal Spark column names, and the sink's max_by/struct SQL text
+    // must quote them or every trigger wedges at expr-parse time
+    t.append(Seq((1L, "v1", 0L), (2L, "v1", 0L))
+      .toDF("order", "payload", "seq col"))
+    val sink = new DefaultSource().createSink(spark.sqlContext,
+      Map("path" -> dir, "txnAppId" -> "hostile",
+        "mergeKeys" -> "order", "seqCol" -> "seq col"),
+      Nil, OutputMode.Update())
+    sink.addBatch(0L, Seq((2L, "stale", 1L), (2L, "v2", 2L),
+      (3L, "new", 1L)).toDF("order", "payload", "seq col"))
+    val got = t.read().orderBy("order")
+      .select(col("order"), col("payload"))
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "v1"), (2L, "v2"), (3L, "new")))
+  }
+
   test("partitionBy builds the hive layout through the sink") {
     val dir = mkDir()
     val in = MemoryStream[(Long, String, Int)](spark)
@@ -214,8 +234,10 @@ class TxStreamSinkSpec extends SparkTestBase {
       .toDF("id", "payload"))
     // every file this test writes is tiny, so targetBytes only needs
     // to be above them; minFiles 4 makes the pileup trip fast
+    // value case-INSENSITIVE like SQL booleans (a 'True' that silently
+    // never compacts is the small-file pileup this feature prevents)
     t.setProperties(Map(
-      "txtable.autoCompact" -> "true",
+      "txtable.autoCompact" -> "True",
       "txtable.autoCompact.minFiles" -> "4",
       "txtable.autoCompact.targetBytes" -> (1024L * 1024).toString))
     val in = MemoryStream[(Long, String)](spark)

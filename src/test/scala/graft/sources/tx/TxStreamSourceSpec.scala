@@ -90,6 +90,45 @@ class TxStreamSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(out).select("id").distinct().count() === 18)
   }
 
+  test("an order-permuted append streams with values under the right columns") {
+    val (t, dir) = mk()
+    t.append(rows(0 until 3))
+    val q = stream(dir).writeStream.format("memory")
+      .queryName("permuted").start()
+    try {
+      q.processAllAvailable()
+      // column order is free for appends (the guard's contract is
+      // name -> type) — but the V1 engine rebinds source attributes
+      // POSITIONALLY to the batch plan's output, so an unaligned
+      // window frame would swap values between same-typed columns
+      t.append(rows(3 until 6).select(col("payload"), col("id")))
+      q.processAllAvailable()
+      val got = spark.table("permuted").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(got === (0 until 6).map(i => (i.toLong, s"row-$i")))
+    } finally q.stop()
+  }
+
+  test("gencol and protocol commits mid-stream are silent like constraints") {
+    val (t, dir) = mk()
+    t.append(Seq((1L, "2024-03-01", "2024")).toDF("id", "d", "y"))
+    val q = stream(dir).writeStream.format("memory")
+      .queryName("gencolstream").start()
+    try {
+      q.processAllAvailable()
+      // token-only commits: a generated-column declaration and a
+      // protocol upgrade change no content and no read schema — they
+      // must not poison-pill the running stream
+      t.addGeneratedColumn("y", "substring(d, 1, 4)")
+      t.upgradeProtocol(1, 3)
+      t.append(Seq((2L, "2024-04-01")).toDF("id", "d"))
+      q.processAllAvailable()
+      val got = spark.table("gencolstream").orderBy("id")
+        .select("id", "y").as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "2024"), (2L, "2024")))
+    } finally q.stop()
+  }
+
   test("a constraint commit mid-stream is silent in both modes") {
     val (t, dir) = mk()
     t.append(rows(0 until 5))
