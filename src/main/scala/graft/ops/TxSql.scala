@@ -225,7 +225,20 @@ final class TxSql(spark: SparkSession) {
         mutating(ident)(t => summary(
           t.renameColumn(unquote(from), unquote(to))))
       case DropColumnRe(ident, name) =>
-        mutating(ident)(t => summary(t.dropColumn(unquote(name))))
+        mutating(ident) { t =>
+          // a declared clustering column can't be dropped (Delta
+          // blocks this too): bare OPTIMIZE would fail resolving it
+          // on every later run — refuse here, at the DDL
+          val col = unquote(name)
+          val clusterCols = t.property("txtable.clusterBy").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          require(!clusterCols.exists(_.equalsIgnoreCase(col)),
+            s"cannot drop column $col: it is a declared clustering " +
+              s"column (CLUSTER BY ${clusterCols.mkString(", ")}); " +
+              "run ALTER TABLE … CLUSTER BY NONE (or re-declare " +
+              "without it) first")
+          summary(t.dropColumn(col))
+        }
       // COPY INTO t FROM 'dir' FILEFORMAT = PARQUET [PATTERN = '*.pq']
       // — Delta's idempotent scheduled-ingest statement; a rerun loads
       // only files the table's cp- ledger does not yet record

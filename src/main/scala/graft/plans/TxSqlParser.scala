@@ -151,7 +151,7 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         TxCtasWithCluster(
           rewriteTxRelations(ctas.copy(
             partitioning = stripClusterBy(ctas.partitioning))),
-          parts, clusterColsOf(ctas.partitioning))
+          parts, clusterColsOf(ctas.partitioning), ctas.ignoreIfExists)
       case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
           if isTxCreate(ct) &&
             (ct.columns.exists(c => c.identityColumnSpec.isDefined ||
@@ -607,7 +607,17 @@ case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
         "(use CREATE OR REPLACE TABLE to create-or-replace)")
     // external DROP removes only the entry — the location's log and
     // data files survive for the time-travelable replace below
-    if (exists) TxSqlParser.dropRealTable(sparkSession, nameParts)
+    if (exists) {
+      // same guard as the RTAS path: REPLACE over another provider's
+      // table would silently drop it (and a MANAGED one's data dir)
+      TxSqlParser.tableId(nameParts)
+        .map(sparkSession.sessionState.catalog.getTableMetadata)
+        .foreach(m => require(
+          m.provider.exists(_.equalsIgnoreCase("txtable")),
+          s"REPLACE TABLE target $quoted is not a txtable table " +
+            s"(provider: ${m.provider.getOrElse("none")})"))
+      TxSqlParser.dropRealTable(sparkSession, nameParts)
+    }
     org.apache.spark.sql.graft.ColumnShim
       .ofRows(sparkSession, inner).collect()
     val t = TxSql(sparkSession).resolveParts(nameParts)
@@ -749,17 +759,24 @@ case class TxReplaceAsSelect(query: LogicalPlan, nameParts: Seq[String],
   * `txtable.clusterBy` property — same contract as the plain CREATE's
   * declarative clustering. */
 case class TxCtasWithCluster(inner: LogicalPlan,
-    nameParts: Seq[String], clusterBy: Seq[String])
+    nameParts: Seq[String], clusterBy: Seq[String],
+    ignoreIfExists: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    // IF NOT EXISTS over an existing table no-ops the inner CTAS —
+    // the clusterBy property of the untouched table must not change
+    val preExisting = ignoreIfExists &&
+      TxSqlParser.realTableExists(sparkSession, nameParts)
     org.apache.spark.sql.graft.ColumnShim
       .ofRows(sparkSession, inner).collect()
-    TxSql(sparkSession).resolveParts(nameParts).setProperties(
-      Map("txtable.clusterBy" -> clusterBy.mkString(",")))
-    TxSql(sparkSession).refreshCatalog(nameParts)
+    if (!preExisting) {
+      TxSql(sparkSession).resolveParts(nameParts).setProperties(
+        Map("txtable.clusterBy" -> clusterBy.mkString(",")))
+      TxSql(sparkSession).refreshCatalog(nameParts)
+    }
     Nil
   }
 }

@@ -89,9 +89,22 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     // checkpoint, and a restart under the other spelling must keep
     // the same replay identity (prefer an explicit txnAppId when the
     // checkpoint path spelling can vary further, e.g. relative paths)
+    val sinkTable = table(ctx, params)
     val appId = o.get("txnappid")
-      .orElse(o.get("checkpointlocation")
-        .map(_.replaceAll("/+$", "")))
+      .orElse(o.get("checkpointlocation").map { ck =>
+        val id = ck.replaceAll("/+$", "")
+        // compat: earlier releases derived the identity with a SINGLE
+        // stripSuffix("/") — a checkpoint path ending in two-plus
+        // slashes got a different appId. A job resuming such a
+        // checkpoint must keep its old replay identity, or its last
+        // committed batch re-applies across the upgrade: when the
+        // new-form marker is absent but the old-form one exists, keep
+        // the old id.
+        val legacy = ck.stripSuffix("/")
+        if (legacy != id && sinkTable.snapshot().version >= 0 &&
+            sinkTable.txnVersion(id).isEmpty &&
+            sinkTable.txnVersion(legacy).nonEmpty) legacy else id
+      })
       .getOrElse(throw new IllegalArgumentException(
         "the txtable sink needs a transaction identity for exactly-once " +
           "replay protection: set option 'txnAppId' (or a " +
@@ -122,7 +135,7 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
       require(seqCol.isEmpty,
         "option 'seqCol' only applies with 'mergeKeys'")
     }
-    new TxTableSink(table(ctx, params), appId, outputMode, mergeKeys,
+    new TxTableSink(sinkTable, appId, outputMode, mergeKeys,
       seqCol, partitionColumns)
   }
 
@@ -317,9 +330,15 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
           case LessThan(a, v)           => (a, None, Option(v))
           case LessThanOrEqual(a, v)    => (a, None, Option(v))
           // IN gets its conservative [min, max] envelope — without it
-          // `k IN (3, 5)` opened every file while `k = 3` pruned
+          // `k IN (3, 5)` opened every file while `k = 3` pruned.
+          // NaN/Infinity values can't feed the BigDecimal ordering
+          // below — such a list falls through to an unpruned scan
           case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) &&
-              (vs.forall(_.isInstanceOf[Number]) ||
+              (vs.forall {
+                case d: java.lang.Double => !d.isNaN && !d.isInfinite
+                case f: java.lang.Float  => !f.isNaN && !f.isInfinite
+                case n => n.isInstanceOf[Number]
+              } ||
                 vs.forall(_.isInstanceOf[String])) =>
             if (vs.head.isInstanceOf[String]) {
               val ss = vs.map(_.asInstanceOf[String])

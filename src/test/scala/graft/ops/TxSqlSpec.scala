@@ -1456,6 +1456,78 @@ class TxSqlSpec extends SparkTestBase {
     assert(ei.getMessage.contains("IDENTITY"))
   }
 
+  test("REPLACE TABLE refuses a non-txtable target (provider guard)") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_tx_othpv")
+      spark.sql(
+        "CREATE TABLE graft_tx_othpv USING parquet AS SELECT 1L AS k")
+      // plain REPLACE over another provider's MANAGED table would
+      // silently drop it AND delete its data directory — must refuse,
+      // same guard the RTAS path already had
+      val e = intercept[Exception](run(
+        "REPLACE TABLE graft_tx_othpv (k BIGINT, " +
+          "y INT GENERATED ALWAYS AS (CAST(k AS INT))) USING txtable"))
+      assert(e.getMessage.contains("not a txtable table"))
+      // the target survived untouched
+      assert(spark.table("graft_tx_othpv").count() === 1)
+      assert(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          "graft_tx_othpv")).provider.exists(_.equalsIgnoreCase("parquet")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_othpv")
+  }
+
+  test("CTAS IF NOT EXISTS + CLUSTER BY over an existing table is a full no-op") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt)).collect()
+    val loc = Files.createTempDirectory("graft-txsql-ineccl-").toString + "/t"
+    try {
+      run("CREATE TABLE graft_tx_ineccl USING txtable CLUSTER BY (k, v) " +
+        s"LOCATION '$loc' AS SELECT id AS k, id * 2 AS v FROM range(4)")
+      val t = TxTable(spark, loc)
+      assert(t.property("txtable.clusterBy") === Some("k,v"))
+      val head = t.snapshot().version
+      // IF NOT EXISTS over the existing table: the inner CTAS no-ops —
+      // the clusterBy property must not mutate either
+      run("CREATE TABLE IF NOT EXISTS graft_tx_ineccl USING txtable " +
+        s"CLUSTER BY (v) LOCATION '$loc' AS " +
+        "SELECT id AS k, id * 2 AS v FROM range(99)")
+      assert(t.property("txtable.clusterBy") === Some("k,v"),
+        "a no-op CTAS must not overwrite the declared clustering")
+      assert(t.snapshot().version === head)
+      assert(spark.table("graft_tx_ineccl").count() === 4)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tx_ineccl")
+  }
+
+  test("DROP COLUMN refuses a declared clustering column") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 6))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY (k, v)")
+    // dropping a clustering column would wedge every later bare
+    // OPTIMIZE on an unresolvable column — refuse at the DDL
+    val e = intercept[Exception](
+      sql.run(s"ALTER TABLE txtable.`$p` DROP COLUMN v"))
+    assert(e.getMessage.contains("clustering"))
+    assert(t.read().columns.contains("v"))
+    // case-variant spelling is the same column
+    val e2 = intercept[Exception](
+      sql.run(s"ALTER TABLE txtable.`$p` DROP COLUMN V"))
+    assert(e2.getMessage.contains("clustering"))
+    // non-clustering columns still drop; after CLUSTER BY NONE the
+    // former clustering column drops too
+    sql.run(s"ALTER TABLE txtable.`$p` DROP COLUMN tag")
+    assert(!t.read().columns.contains("tag"))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY NONE")
+    sql.run(s"ALTER TABLE txtable.`$p` DROP COLUMN v")
+    assert(t.read().columns.toSeq === Seq("k"))
+  }
+
   test("backtick-quoted paths with spaces survive the regex routes") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-sqlsp-").toString

@@ -266,4 +266,36 @@ class TxBatchRelationSpec extends SparkTestBase {
       .load().where(col("id").between(10, 12))
     assert(viaDf.count() === 3)
   }
+
+  test("IN with NaN/Infinity values scans unpruned instead of crashing") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.In
+    val dir = Files.createTempDirectory("graft-txnan-").toString
+    val t = TxTable(spark, s"$dir/t")
+    t.append((0 until 20).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    val rel = new graft.sources.tx.DefaultSource()
+      .createRelation(spark.sqlContext, Map("path" -> s"$dir/t"))
+      .asInstanceOf[org.apache.spark.sql.sources.PrunedFilteredScan]
+    // NaN/Infinity can't feed the min/max envelope's BigDecimal
+    // ordering — such a list must skip FILE pruning (the inner-plan
+    // `isin` still filters rows), never throw NumberFormatException
+    assert(rel.buildScan(Array("id", "x"),
+      Array(In("x", Array[Any](1.0d, Double.NaN)))).count() === 1)
+    assert(rel.buildScan(Array("id", "x"),
+      Array(In("x", Array[Any](2.0d, Double.PositiveInfinity))))
+      .count() === 1)
+    assert(rel.buildScan(Array("id", "x"),
+      Array(In("x", Array[Any](3.0f, Float.NaN)))).count() === 1)
+    // through the SQL face the RESULT stays exact
+    val got = spark.read.format("txtable").option("path", s"$dir/t")
+      .load().where(col("x").isin(1.0d, Double.NaN))
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+    // finite-only IN lists still prune (two well-separated files)
+    t.append((1000 until 1020).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    assert(rel.buildScan(Array("id"),
+      Array(In("x", Array[Any](1.0d, 3.0d)))).count() === 2)
+  }
 }

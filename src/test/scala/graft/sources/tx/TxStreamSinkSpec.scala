@@ -45,6 +45,39 @@ class TxStreamSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("legacy single-strip appId: resuming a double-slash checkpoint keeps its identity") {
+    val dir = mkDir()
+    val ck = ckpt() + "//" // checkpointLocation ending in TWO slashes
+    val legacyId = ck.stripSuffix("/")   // pre-upgrade derivation
+    val newId = ck.replaceAll("/+$", "") // current derivation
+    assert(legacyId !== newId)
+    val t = TxTable(spark, dir)
+    // the pre-upgrade job committed batch 7 under the LEGACY id
+    t.append(Seq((1L, "b7")).toDF("id", "payload"), 50,
+      Some((legacyId, 7L)))
+    assert(t.txnVersion(legacyId) === Some(7L))
+    // a sink resuming that checkpoint post-upgrade must look the
+    // legacy marker up — replaying batch 7 re-emits NOTHING
+    val sink = new DefaultSource().createSink(spark.sqlContext,
+      Map("path" -> dir, "checkpointLocation" -> ck), Nil,
+      OutputMode.Append())
+    sink.addBatch(7L, Seq((1L, "b7")).toDF("id", "payload"))
+    assert(t.read().count() === 1,
+      "the upgrade must not re-apply the last committed batch")
+    // the NEXT batch lands and keeps advancing the same identity
+    sink.addBatch(8L, Seq((2L, "b8")).toDF("id", "payload"))
+    assert(t.read().count() === 2)
+    assert(t.txnVersion(legacyId) === Some(8L))
+    // a FRESH table under the same double-slash checkpoint uses the
+    // new-form id (no legacy marker to inherit)
+    val dir2 = mkDir()
+    val sink2 = new DefaultSource().createSink(spark.sqlContext,
+      Map("path" -> dir2, "checkpointLocation" -> ck), Nil,
+      OutputMode.Append())
+    sink2.addBatch(0L, Seq((5L, "x")).toDF("id", "payload"))
+    assert(TxTable(spark, dir2).txnVersion(newId) === Some(0L))
+  }
+
   test("crash replay re-emits nothing: a batch id the log records is skipped") {
     val dir = mkDir()
     val sink = new DefaultSource().createSink(spark.sqlContext,
