@@ -59,6 +59,20 @@ object TxTable {
   /** Write a replay checkpoint every this-many commits. */
   val CheckpointInterval = 10
 
+  /** Above this many inventory entries a checkpoint's file list moves
+    * out of the CAS'd JSON header into a PARQUET SIDECAR
+    * (`<version>.ckpt.parquet/`) — columnar, compressed, splittable,
+    * read back as a distributed scan instead of a driver-side
+    * multi-MB JSON parse (Delta's parquet checkpoints, the same
+    * trade). `private[ops] var` ONLY so specs can force the sidecar
+    * path on small tables; production leaves the default. */
+  private[ops] var CheckpointParquetThreshold: Int = 10000
+
+  /** Rows per parquet checkpoint part — bounds any single task's
+    * share of a 100k-file inventory read. */
+  val CheckpointParquetPartRows: Int = 100000
+
+
   /** `bytes` = total on-disk size of `add`'s files and `rmBytes` = of
     * `remove`'s files, both recorded AT COMMIT TIME so consumers can
     * reason about a commit's cost without ever stat-ing data files
@@ -411,11 +425,27 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def ckptFile(v: Long): File =
     new File(f"$logDir/$v%020d.ckpt.json")
 
-  private def readEntry(f: File): Commit =
-    parse(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+  /** Instrumentation seams (per-instance, test-only consumers): every
+    * full `_log` directory LIST and every log-entry read counts here,
+    * so specs can pin the bounded-resolution contract ("a head resolve
+    * on a pointered table does ZERO listings and O(interval) entry
+    * reads") instead of trusting the comment. */
+  private[ops] val logListings = new java.util.concurrent.atomic.AtomicLong
+  private[ops] val entryReads = new java.util.concurrent.atomic.AtomicLong
 
-  /** (commit entries, checkpoint entries), each (version, file) sorted. */
+  private def readEntry(f: File): Commit = {
+    entryReads.incrementAndGet()
+    parse(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+  }
+
+  /** (commit entries, checkpoint entries), each (version, file) sorted.
+    * An O(total commits) directory LIST — on an object store, an O(n)
+    * LIST call per invocation. Hot paths (head resolution, incremental
+    * log walks) avoid this entirely via [[lastCheckpointVersion]] +
+    * [[probeEntries]]; what remains on this path is genuinely
+    * whole-history work (history(), versionAsOf, retention cleanup). */
   private def listLog(): (Seq[(Long, File)], Seq[(Long, File)]) = {
+    logListings.incrementAndGet()
     val fs = Option(new File(logDir).listFiles())
       .getOrElse(Array.empty[File]).toSeq
     def versions(suffix: String) = fs
@@ -424,6 +454,60 @@ final class TxTable private (spark: SparkSession, dir: String,
         f.getName.take(20).forall(_.isDigit))
       .map(f => (f.getName.take(20).toLong, f)).sortBy(_._1)
     (versions(".json"), versions(".ckpt.json"))
+  }
+
+  // ------------------------------------- bounded log resolution
+  /** `_log/_last_checkpoint` — Delta's pointer file: names the newest
+    * checkpoint so readers start there instead of LISTing the whole
+    * `_log` directory. Pure accelerator: best-effort, overwritten
+    * monotonically after each checkpoint, and a torn/stale/missing
+    * pointer just falls back to the full listing. */
+  private def lastCkptPtr = new File(logDir, "_last_checkpoint")
+
+  /** The pointer's checkpoint version, validated against the named
+    * checkpoint entry actually existing (a pointer written moments
+    * before a retention cleanup deleted its target must not be
+    * trusted). None → caller takes the full-listing path. */
+  private def lastCheckpointVersion(): Option[Long] =
+    try {
+      if (!lastCkptPtr.isFile) None
+      else "\"version\":(\\d+)".r
+        .findFirstMatchIn(new String(
+          Files.readAllBytes(lastCkptPtr.toPath), StandardCharsets.UTF_8))
+        .map(_.group(1).toLong)
+        .filter(v => ckptFile(v).isFile)
+    } catch { case _: Throwable => None }
+
+  /** Advance the pointer to checkpoint `v` (temp + atomic rename —
+    * readers see old or new, never torn). Monotone: a slow writer
+    * finishing an OLDER checkpoint after a newer one landed must not
+    * regress the pointer. Best-effort like the checkpoint itself. */
+  private def writeLastCkptPtr(v: Long): Unit =
+    try if (lastCheckpointVersion().forall(_ < v)) {
+      val tmp = new File(logDir, s".tmp-ptr-${java.util.UUID.randomUUID()}")
+      Files.write(tmp.toPath,
+        s"""{"version":$v}""".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, lastCkptPtr.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => () }
+
+  /** Commit entries `[startV, maxV]` probed BY NAME, stopping at the
+    * first gap — O(run length) existence checks and zero directory
+    * listings, which is what keeps head resolution and incremental log
+    * walks O(pending) on a table with a million-commit history (the
+    * listing itself was the last O(history) term; replay was already
+    * checkpoint-bounded). Contiguity is inherent: a gap stops the
+    * probe, exactly the `takeWhile` the listing paths apply. */
+  private def probeEntries(startV: Long, maxV: Long): Seq[(Long, File)] = {
+    val buf = Vector.newBuilder[(Long, File)]
+    var v = startV
+    var hit = true
+    while (hit && v <= maxV) {
+      val f = logFile(v)
+      if (f.isFile) { buf += ((v, f)); v += 1 } else hit = false
+    }
+    buf.result()
   }
 
   /** Available commit history replay list (vacuum + checkpoint
@@ -460,27 +544,73 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   /** Time travel: the table as of `version` (inclusive). Resolution
     * starts from the newest checkpoint ≤ `version` when one exists, so
-    * the log-read cost is O(CheckpointInterval), not O(history). */
+    * the log-read cost is O(CheckpointInterval), not O(history) — and
+    * when the `_last_checkpoint` pointer covers the request, even the
+    * directory LISTING is skipped: the run of entries past the
+    * checkpoint is probed by name, O(interval) existence checks total
+    * (the pointer trails the head by at most one interval). Time
+    * travel BELOW the pointer takes the full listing — inherently a
+    * history walk, and never on an ingest/read hot path. */
   def snapshotAt(version: Long): Snapshot = {
-    val (cfs, ckpts) = listLog()
-    val ck = ckpts.filter(_._1 <= version).lastOption
-      .map { case (_, f) => readEntry(f) }
-    // log-retention guard: with no usable checkpoint and the v0 entry
-    // gone ([[cleanupLog]]), replay from scratch is impossible — fail
-    // LOUDLY instead of resolving an empty table for a version that
-    // once existed
-    require(ck.isDefined || cfs.isEmpty || cfs.head._1 == 0L,
-      s"cannot resolve version $version: the log was cleaned below " +
-        s"v${(cfs.map(_._1) ++ ckpts.map(_._1)).min} (cleanupLog) — " +
-        "earliest resolvable version is the oldest surviving checkpoint")
-    // a checkpoint is only ever written after its commit exists, so
-    // contiguity restarts at ck.version + 1
-    val startV = ck.map(_.version + 1).getOrElse(0L)
-    val tail = cfs
-      .filter { case (v, _) => v >= startV && v <= version }
-      .map { case (_, f) => readEntry(f) }
-    val cs = tail.zipWithIndex
-      .takeWhile { case (c, i) => c.version == startV + i }.map(_._1)
+    lastCheckpointVersion().filter(_ <= version) match {
+      case Some(pv) =>
+        // bounded path: zero listings — the pointer's checkpoint plus
+        // a name-probed contiguous run above it
+        val ck = readCkpt(pv)
+        val cs = probeEntries(pv + 1, version)
+          .map { case (_, f) => readEntry(f) }
+        buildSnapshot(Some(ck), cs)
+      case None =>
+        val (cfs, ckpts) = listLog()
+        val ck = ckpts.filter(_._1 <= version).lastOption
+          .map { case (v, _) => readCkpt(v) }
+        // log-retention guard: with no usable checkpoint and the v0
+        // entry gone ([[cleanupLog]]), replay from scratch is
+        // impossible — fail LOUDLY instead of resolving an empty table
+        // for a version that once existed
+        require(ck.isDefined || cfs.isEmpty || cfs.head._1 == 0L,
+          s"cannot resolve version $version: the log was cleaned below " +
+            s"v${(cfs.map(_._1) ++ ckpts.map(_._1)).min} (cleanupLog) — " +
+            "earliest resolvable version is the oldest surviving checkpoint")
+        // a checkpoint is only ever written after its commit exists, so
+        // contiguity restarts at ck.version + 1
+        val startV = ck.map(_.version + 1).getOrElse(0L)
+        val tail = cfs
+          .filter { case (v, _) => v >= startV && v <= version }
+          .map { case (_, f) => readEntry(f) }
+        val cs = tail.zipWithIndex
+          .takeWhile { case (c, i) => c.version == startV + i }.map(_._1)
+        buildSnapshot(ck, cs)
+    }
+  }
+
+  /** Hydrated checkpoint entry at `v`: the header JSON, with a parquet
+    * sidecar's inventory loaded back in (order-preserving) when the
+    * header points at one. Memoized by version — checkpoint files are
+    * immutable once CAS'd, so the memo can never serve a stale answer;
+    * it's what keeps a busy committer from re-reading a 100k-file
+    * inventory on every retry-loop resolve. */
+  @volatile private var ckptMemo: (Long, Commit) = (Long.MinValue, null)
+  private def readCkpt(v: Long): Commit = {
+    val memo = ckptMemo
+    if (memo._1 == v) return memo._2
+    val header = readEntry(ckptFile(v))
+    val hydrated = header.add match {
+      case Seq(ref) if ref.startsWith("pqref:") =>
+        val sq = spark
+        import sq.implicits._
+        val inv = spark.read
+          .parquet(s"$logDir/${ref.stripPrefix("pqref:")}")
+          .select("i", "n").as[(Long, String)]
+          .collect().sortBy(_._1).map(_._2).toSeq
+        header.copy(add = inv)
+      case _ => header
+    }
+    ckptMemo = (v, hydrated)
+    hydrated
+  }
+
+  private def buildSnapshot(ck: Option[Commit], cs: Seq[Commit]): Snapshot = {
     val active = cs.foldLeft(ck.map(_.add.toVector).getOrElse(Vector.empty)) {
       (files, c) => files.filterNot(c.remove.contains) ++ c.add
     }
@@ -1494,8 +1624,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     * incremental-consumption face shared by [[readChanges]] and the
     * streaming source ([[graft.sources.tx.DefaultSource]]).
     *
-    * Reads ONLY the window's log entries (one directory listing plus
-    * O(window) entry reads — never a replay from version 0), which is
+    * Reads ONLY the window's log entries (a name-probed contiguous
+    * run — ZERO directory listings, O(window) existence checks and
+    * entry reads, never a replay from version 0), which is
     * what keeps a per-trigger `getOffset` byte walk O(pending commits)
     * on a long-lived table. Contiguity is enforced within the window:
     * entries stop at the first gap, so a half-landed future version is
@@ -1505,13 +1636,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * precondition, same as any incremental log consumer's. */
   def commitsBetween(fromVersion: Long,
       toVersion: Long = Long.MaxValue): Seq[Commit] = {
-    val (cfs, _) = listLog()
-    val window = cfs
-      .filter { case (v, _) => v > fromVersion && v <= toVersion }
-      .map { case (_, f) => readEntry(f) }
     val base = math.max(fromVersion, -1L)
-    window.zipWithIndex
-      .takeWhile { case (c, i) => c.version == base + 1 + i }.map(_._1)
+    probeEntries(base + 1, toVersion).map { case (_, f) => readEntry(f) }
   }
 
   /** LAZY variant of [[commitsBetween]] for CAP-BOUNDED walks: entries
@@ -1519,17 +1645,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     * `getOffset` stops paying log I/O at cap exhaustion instead of
     * materializing a week-long backlog window per trigger (which made
     * the catch-up quadratic in pending commits). Same contiguity
-    * contract; one directory listing either way. */
+    * contract; zero directory listings either way. */
   def commitsIterator(fromVersion: Long,
       toVersion: Long = Long.MaxValue): Iterator[Commit] = {
-    val (cfs, _) = listLog()
     val base = math.max(fromVersion, -1L)
-    cfs.iterator
-      .filter { case (v, _) => v > fromVersion && v <= toVersion }
-      .map { case (_, f) => readEntry(f) }
-      .zipWithIndex
-      .takeWhile { case (c, i) => c.version == base + 1 + i }
-      .map(_._1)
+    Iterator.iterate(base + 1)(_ + 1)
+      .takeWhile(v => v <= toVersion && logFile(v).isFile)
+      .map(v => readEntry(logFile(v)))
   }
 
   /** Resolve table-relative file names to absolute paths, failing
@@ -2379,10 +2501,44 @@ final class TxTable private (spark: SparkSession, dir: String,
       // list: replay splits them back by prefix
       val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/")) ++
         s.cts ++ s.cms
-      val c = Commit(version, if (s.merged) "ckpt-evolve" else "ckpt",
-        files, Nil, System.currentTimeMillis())
+      val action = if (s.merged) "ckpt-evolve" else "ckpt"
+      val inventory: Seq[String] =
+        if (files.size <= TxTable.CheckpointParquetThreshold) files
+        else {
+          // big inventory → parquet sidecar (splittable, compressed,
+          // read back distributed); the CAS'd header carries only a
+          // reference. Sidecar FIRST — a reader never follows a
+          // reference that isn't fully on disk. The sidecar's content
+          // is a pure function of the version (the replayed active
+          // set), so an orphan left by a crashed checkpointer is
+          // safely adopted by the next attempt at the same version.
+          val name = f"$version%020d.ckpt.parquet"
+          val sidecar = new File(logDir, name)
+          if (!sidecar.exists()) {
+            val sq = spark
+            import sq.implicits._
+            val tmp = new File(logDir,
+              s".tmp-ckpt-${java.util.UUID.randomUUID()}")
+            val parts = math.max(1, math.ceil(files.size.toDouble /
+              TxTable.CheckpointParquetPartRows).toInt)
+            // (i, n): the index column restores replay order on read —
+            // a distributed scan returns rows in any order
+            files.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+              .toDF("i", "n").repartition(parts)
+              .write.parquet(tmp.getAbsolutePath)
+            try Files.move(tmp.toPath, sidecar.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileSystemException => rmTree(tmp) }
+          }
+          Seq(s"pqref:$name")
+        }
+      val c = Commit(version, action, inventory, Nil,
+        System.currentTimeMillis())
       store.putIfAbsent(ckptFile(version),
         render(c).getBytes(StandardCharsets.UTF_8))
+      // pointer advances whether WE won the checkpoint CAS or a racing
+      // writer did — the checkpoint exists either way
+      writeLastCkptPtr(version)
     } catch { case _: Throwable => () }
 
   /** `dt` with every NESTED nullability flag forced true: the guards
@@ -3484,8 +3640,7 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def rewriteRebasable(baseV: Long, head: Snapshot,
       ourRemoves: Set[String],
       bounds: Seq[(String, Option[Any], Option[Any])]): Boolean = {
-    val window = listLog()._1
-      .filter { case (v, _) => v > baseV && v <= head.version }
+    val window = probeEntries(baseV + 1, head.version)
     if (window.size != head.version - baseV) return false
     val entries = window.map { case (_, f) => readEntry(f) }
     val structureOk = entries.forall { c =>
@@ -4321,11 +4476,24 @@ final class TxTable private (spark: SparkSession, dir: String,
         (keepLines.mkString("\n") + "\n" + prior)
           .getBytes(StandardCharsets.UTF_8))
     }
+    // the pointer must reach at-or-above the cut BEFORE any entry
+    // dies: a surviving stale pointer below the cut would make the
+    // bounded resolve path stop at the deletion gap and serve an OLD
+    // snapshot as the head. Advance-or-abort — the pointer write is
+    // normally best-effort, but here it gates destruction.
+    writeLastCkptPtr(cut)
+    if (lastCheckpointVersion().forall(_ < cut)) return Nil
     val dead = (cfs ++ ckpts)
       .filter { case (v, f) => v < cut && f.lastModified() <= cutoff }
     dead.foreach(_._2.delete())
+    // a deleted checkpoint's parquet sidecar is garbage with it
+    val deadSidecars = dead
+      .map { case (v, _) => new File(f"$logDir/$v%020d.ckpt.parquet") }
+      .filter(_.exists())
+    deadSidecars.foreach(rmTree)
     deadStats.foreach(_._2.delete())
-    (dead ++ deadStats).map(_._2.getName).sorted
+    ((dead ++ deadStats).map(_._2.getName) ++
+      deadSidecars.map(_.getName)).sorted
   }
 
   /** `dryRun` (Delta's `VACUUM … DRY RUN`): list exactly what a real
