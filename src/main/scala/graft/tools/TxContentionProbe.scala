@@ -31,6 +31,11 @@ import graft.ops.TxTable
 object TxContentionProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 64
+    // optional 2nd arg: run only the section whose tag contains it
+    // (rebase | sink | log | psink) — iterating on one probe must not
+    // pay the whole matrix
+    val only = args.drop(1).headOption
+    def want(tag: String): Boolean = only.forall(tag.contains)
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-tx-contention-probe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,6 +90,7 @@ object TxContentionProbe {
       sec
     }
 
+    if (want("rebase")) {
     println(s"== rebase under sustained contention (R=8), 1x vs ${k}x ==")
     for (mult <- Seq(1, k)) {
       val t = seed(mult)
@@ -95,7 +101,9 @@ object TxContentionProbe {
       println(f"mult=$mult%3d uncontended=$un%7.2fs contended(R=8)=" +
         f"$con%7.2fs overhead=${con - un}%6.2fs")
     }
+    }
 
+    if (want("sink")) {
     println(s"== sink auto-compact walk: per-trigger cost, few vs many files ==")
     import org.apache.spark.sql.streaming.OutputMode
     for (files <- Seq(40, 40 * k / 2)) {
@@ -131,7 +139,69 @@ object TxContentionProbe {
       println(f"active=$active%5d steady-state per-trigger: " +
         f"min=${steady.min}%5.2fs median=${steady.sorted.apply(2)}%5.2fs")
     }
+    }
 
+    if (want("log")) {
+    println(s"== snapshot resolve + append vs commit count (bounded log) ==")
+    // The r13 gap: listLog() listed the whole _log directory per
+    // operation — O(total commits) even though replay was checkpoint-
+    // bounded. The fix (_last_checkpoint pointer + name-probed runs)
+    // must make head resolution and appends FLAT in history length.
+    // The log is synthesized the way the real writer lays it out
+    // (entries, a ckpt every interval, the pointer at the last ckpt):
+    // building 50k commits through real Spark appends would probe the
+    // write path, not the resolve bound under test.
+    for (n <- Seq(1000, 10000, 50000)) {
+      val dir = Files.createTempDirectory(s"graft-probe-log$n-").toString
+      val t = TxTable(spark, s"$dir/t")
+      t.append((0 until 64).map(i => (i.toLong, s"r$i"))
+        .toDF("id", "payload").coalesce(1)) // v0: one real file
+      val s0 = t.snapshot()
+      val inv = ((s0.files ++ s0.dvs).map(_.stripPrefix(s"$dir/t/")) ++
+        s0.cts ++ s0.cms).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val ts = System.currentTimeMillis()
+      val logDir = new java.io.File(s"$dir/t/_log")
+      var lastCk = 0L
+      (1 to n).foreach { v =>
+        Files.write(new java.io.File(logDir, f"$v%020d.json").toPath,
+          (s"""{"version":$v,"action":"append","add":[],""" +
+            s""""remove":[],"ts":$ts,"bytes":0,"rmBytes":0}""")
+            .getBytes("UTF-8"))
+        if (v % TxTable.CheckpointInterval == 0) {
+          Files.write(
+            new java.io.File(logDir, f"$v%020d.ckpt.json").toPath,
+            (s"""{"version":$v,"action":"ckpt","add":$inv,""" +
+              s""""remove":[],"ts":$ts,"bytes":-1,"rmBytes":-1}""")
+              .getBytes("UTF-8"))
+          lastCk = v
+        }
+      }
+      val ptr = new java.io.File(logDir, "_last_checkpoint")
+      Files.write(ptr.toPath,
+        s"""{"version":$lastCk}""".getBytes("UTF-8"))
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      // fresh instance per resolve: no memo, the cross-operation cost
+      val resolve = med((1 to 9).map { _ =>
+        val (_, s) = time(TxTable(spark, s"$dir/t").snapshot())
+        s
+      })
+      val (_, appendSec) = time(TxTable(spark, s"$dir/t")
+        .append((0 until 8).map(i => (1000L + i, "a"))
+          .toDF("id", "payload").coalesce(1)))
+      // the PRE-FIX shape for contrast: no pointer -> full listing
+      require(ptr.delete())
+      val listed = med((1 to 5).map { _ =>
+        val (_, s) = time(TxTable(spark, s"$dir/t").snapshot())
+        s
+      })
+      println(f"commits=$n%6d resolve(pointer)=${resolve * 1000}%8.2fms " +
+        f"resolve(listing)=${listed * 1000}%8.2fms " +
+        f"append=${appendSec}%5.2fs")
+    }
+    }
+
+    if (want("psink")) {
+    import org.apache.spark.sql.streaming.OutputMode
     println(s"== PARTITIONED sink trigger: schema memo must keep it flat ==")
     // partitioned tables cannot use the single-footer schema fast path
     // (partition-column types are inferred from the whole leaf set) —
@@ -161,6 +231,7 @@ object TxContentionProbe {
       val steady = (1L to 4L).map(trigger)
       println(f"active=$active%5d partitioned steady-state: " +
         f"min=${steady.min}%5.2fs median=${steady.sorted.apply(2)}%5.2fs")
+    }
     }
     spark.stop()
   }
