@@ -81,6 +81,113 @@ object LogStore {
       client.putIfAbsent(target.getAbsolutePath, content)
   }
 
+  /** REAL filesystem-backed [[ConditionalPutClient]] that uses NO hard
+    * links — the shape a deployment without POSIX `link()` (or a test
+    * of the [[ConditionalWrite]] seam across real processes) runs:
+    *
+    *  1. CLAIM: `O_EXCL`-create `<key>.claim` holding a unique token
+    *     (the kernel arbitrates creation atomically across processes —
+    *     this is the conditional-PUT decision, made client-side).
+    *  2. PUT: the claim holder writes the full content to a temp file,
+    *     fsyncs, re-checks its token still owns the claim, and
+    *     atomically renames the temp onto `key`. Readers therefore see
+    *     the key with full content or not at all.
+    *  3. Losers see the key and return false; a loser that sees only
+    *     a LIVE claim blocks until that claim resolves (the key
+    *     appears, or the claim vanishes/goes stale) — outcomes are
+    *     always decided, never transient.
+    *
+    * Crash recovery: a holder killed between claim and rename leaves a
+    * claim with no key — without recovery that version could never be
+    * arbitrated again. A claim older than `staleClaimMs` is STOLEN:
+    * the stealer renames it to a graveyard name (rename is atomic, so
+    * exactly one stealer wins the steal) and re-enters arbitration.
+    * The token re-check in step 2 closes the stolen-while-alive
+    * window for any stall shorter than the stale horizon; a writer
+    * stalled LONGER than `staleClaimMs` mid-PUT can still double-put
+    * — size the horizon generously above worst-case PUT latency (the
+    * production default is 10 minutes; a real object store's
+    * server-side conditional PUT has no such window, which is exactly
+    * why it is the preferred deployment primitive). */
+  final class FileConditionalPut(staleClaimMs: Long = 600000L)
+      extends ConditionalPutClient {
+    def putIfAbsent(key: String, content: Array[Byte]): Boolean = {
+      val target = new File(key)
+      val claim = new File(key + ".claim")
+      val token = UUID.randomUUID().toString
+      while (true) {
+        if (target.exists()) return false
+        val claimed =
+          try {
+            val ch = java.nio.channels.FileChannel.open(claim.toPath,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try {
+              ch.write(java.nio.ByteBuffer.wrap(
+                token.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              ch.force(true)
+            } finally ch.close()
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        if (claimed) {
+          // the key may have landed between our entry check and the
+          // claim grab (the previous winner renames the key BEFORE
+          // deleting its claim, so a fresh claim over a decided key
+          // always observes the key here): losing now — not renaming
+          // over it — is what keeps entries immutable
+          if (target.exists()) { claim.delete(); return false }
+          val tmp = new File(target.getParentFile, s".cput-$token")
+          val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            ch.write(java.nio.ByteBuffer.wrap(content))
+            ch.force(true)
+          } finally ch.close()
+          // the claim may have been stolen if we stalled past the
+          // stale horizon — only the current claim holder may rename
+          val stillOurs =
+            try new String(Files.readAllBytes(claim.toPath),
+              java.nio.charset.StandardCharsets.UTF_8) == token
+            catch { case _: Throwable => false }
+          if (!stillOurs) { tmp.delete() } // stolen: re-arbitrate
+          else {
+            Files.move(tmp.toPath, target.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+            claim.delete()
+            return true
+          }
+        } else if (target.exists()) {
+          return false // the claimant finished: a normal lost PUT
+        } else if (!claim.exists()) {
+          // claimant vanished between our create-attempt and now
+          // (finished+deleted, or was stolen): re-arbitrate
+        } else if (System.currentTimeMillis() - claim.lastModified() >
+            staleClaimMs) {
+          // stale claim: steal it — the graveyard rename is atomic,
+          // so exactly one stealer proceeds to re-arbitrate the key
+          val grave = new File(target.getParentFile,
+            s".dead-${UUID.randomUUID()}")
+          try {
+            Files.move(claim.toPath, grave.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+            grave.delete()
+          } catch { case _: Throwable => () } // lost the steal: loop
+        } else {
+          // a LIVE writer is mid-PUT on this key: wait for the
+          // arbitration to settle (key appears -> normal lost PUT;
+          // claim vanishes or goes stale -> re-arbitrate). Blocking
+          // here mirrors the mock's semantics — callers' tight retry
+          // loops must observe decided outcomes, not transient claims.
+          Thread.sleep(1)
+        }
+      }
+      false // unreachable
+    }
+  }
+
   /** Offline mock of an object store's conditional PUT, for testing the
     * protocol against [[ConditionalWrite]] without a network: a
     * JVM-global claim map plays the service's atomic key arbitration

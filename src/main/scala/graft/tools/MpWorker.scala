@@ -16,6 +16,12 @@ import graft.ops.{LogStore, TxTable}
   * replay guard from a process that shares nothing with the first
   * but the filesystem.
   *
+  * An optional LEADING `-cput[:staleMs]` flag reruns any role through
+  * [[LogStore.ConditionalWrite]] over the REAL file-based
+  * conditional-PUT client ([[LogStore.FileConditionalPut]]) instead of
+  * the hard-link CAS — the object-store seam, arbitrated across real
+  * processes by `O_EXCL` claim files.
+  *
   * Roles (args):
   *  - `append <table> <lo> <hi> <shift> <nCommits> [barrier]` —
   *    commit `nCommits` customer-shaped batches of keys
@@ -30,6 +36,10 @@ import graft.ops.{LogStore, TxTable}
   *  - `crash-mid-log <table> <lo> <hi>` — halt INSIDE the commit
   *    primitive, after the temp entry is on disk but before the
   *    hard-link claims the version: leaves a torn `_log/.tmp-*`.
+  *  - `crash-mid-cput <table> <lo> <hi>` — halt inside the
+  *    conditional-PUT primitive AFTER the claim file landed but before
+  *    the content rename: leaves an orphan `.claim` that the
+  *    stale-claim steal recovery must re-arbitrate.
   *  - `delete <table> <lo> <hi> [barrier]` — one `deleteBetween`,
   *    barrier-gated like `append` (rewrite-vs-rewrite races).
   *  - `txn-append <table> <appId> <batchId> <lo> <hi>` — append with a
@@ -83,12 +93,33 @@ object MpWorker {
       .toDF("c_custkey", "c_name", "c_nationkey")
   }
 
-  def main(args: Array[String]): Unit = try {
-    args.toList match {
+  /** Store selected by the optional leading `-cput[:staleMs]` flag:
+    * roles then commit through [[LogStore.ConditionalWrite]] over the
+    * REAL file-based conditional-PUT client instead of the hard-link
+    * CAS — the object-store seam, arbitrated across real processes. */
+  private var storeFlag: Option[LogStore] = None
+
+  private def mkTable(s: SparkSession, path: String): TxTable =
+    storeFlag match {
+      case Some(st) => TxTable(s, path, st)
+      case None     => TxTable(s, path)
+    }
+
+  def main(args0: Array[String]): Unit = try {
+    val args = args0.toList match {
+      case flag :: rest if flag.startsWith("-cput") =>
+        val staleMs = flag.split(":").drop(1).headOption
+          .map(_.toLong).getOrElse(600000L)
+        storeFlag = Some(new LogStore.ConditionalWrite(
+          new LogStore.FileConditionalPut(staleMs)))
+        rest
+      case other => other
+    }
+    args match {
       case "append" :: table :: lo :: hi :: shift :: n :: rest =>
         rest.headOption.foreach(awaitBarrier)
         val s = session()
-        val t = TxTable(s, table)
+        val t = mkTable(s, table)
         (0L until n.toLong).foreach { i =>
           t.append(rows(s, lo.toLong + i * shift.toLong,
             hi.toLong + i * shift.toLong))
@@ -99,14 +130,14 @@ object MpWorker {
       case "delete" :: table :: lo :: hi :: rest =>
         rest.headOption.foreach(awaitBarrier)
         val s = session()
-        val t = TxTable(s, table)
+        val t = mkTable(s, table)
         t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
         s.stop()
         sys.exit(0)
 
       case "crash-after-stage" :: table :: lo :: hi :: Nil =>
         val s = session()
-        val t = TxTable(s, table)
+        val t = mkTable(s, table)
         // the staged rewrite is fully on disk when this fires; halt is
         // the honest kill -9 (no shutdown hooks, no cleanup)
         t.beforeDmlCommitHook = () => Runtime.getRuntime.halt(137)
@@ -115,7 +146,7 @@ object MpWorker {
 
       case "crash-mid-stage" :: table :: lo :: hi :: Nil =>
         val s = session()
-        val t = TxTable(s, table)
+        val t = mkTable(s, table)
         // die between the staging write and the file moves: leaves a
         // whole `_staged-*` directory with part files — the artifact
         // vacuum's age-guarded reclaim exists for
@@ -142,9 +173,28 @@ object MpWorker {
         t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
         sys.exit(1) // unreachable if the halt fired
 
+      case "crash-mid-cput" :: table :: lo :: hi :: Nil =>
+        val s = session()
+        // the conditional-PUT crash shape: die AFTER the claim file is
+        // created (this process owns the key's arbitration) but BEFORE
+        // the content rename — leaves a claim with no key, the orphan
+        // the stale-claim steal recovery exists for
+        val crashStore = new LogStore {
+          def putIfAbsent(target: File,
+              content: Array[Byte]): Boolean = {
+            val claim = new File(target.getAbsolutePath + ".claim")
+            Files.write(claim.toPath, "dead-claimant".getBytes("UTF-8"))
+            Runtime.getRuntime.halt(137)
+            false // unreachable
+          }
+        }
+        val t = TxTable(s, table, crashStore)
+        t.deleteBetween("c_custkey", lo.toLong, hi.toLong)
+        sys.exit(1) // unreachable if the halt fired
+
       case "txn-append" :: table :: appId :: batchId :: lo :: hi :: Nil =>
         val s = session()
-        val t = TxTable(s, table)
+        val t = mkTable(s, table)
         try {
           t.append(rows(s, lo.toLong, hi.toLong), 50,
             Some((appId, batchId.toLong)))

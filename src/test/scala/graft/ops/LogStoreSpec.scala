@@ -18,7 +18,9 @@ class LogStoreSpec extends AnyFunSuite {
   private def stores: Seq[(String, LogStore)] = Seq(
     "hard-link" -> LogStore.HardLink,
     "conditional-write" ->
-      new LogStore.ConditionalWrite(LogStore.MockConditionalPut))
+      new LogStore.ConditionalWrite(LogStore.MockConditionalPut),
+    "file-conditional-put" ->
+      new LogStore.ConditionalWrite(new LogStore.FileConditionalPut()))
 
   test("exactly one of 16 racing writers wins a path; content is the winner's") {
     stores.foreach { case (label, store) =>
@@ -84,6 +86,58 @@ class LogStoreSpec extends AnyFunSuite {
         }
       } finally pool.shutdown()
     }
+  }
+
+  test("FileConditionalPut: a stale claim is stolen by exactly one re-arbitrator") {
+    val dir = Files.createTempDirectory("graft-ls-steal-").toFile
+    val target = new File(dir, "00000000000000000003.json")
+    // a dead claimant's orphan: claim exists, key never landed
+    Files.write(new File(dir, target.getName + ".claim").toPath,
+      "dead".getBytes(StandardCharsets.UTF_8))
+    val client = new LogStore.FileConditionalPut(staleClaimMs = 300L)
+    Thread.sleep(350L)
+    // many writers race the steal: exactly one wins the re-arbitrated
+    // key, the rest lose normally, nothing is left but the key
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val wins = Await.result(
+        Future.sequence((0 until 8).map { i =>
+          Future(client.putIfAbsent(target.getAbsolutePath,
+            s"stealer-$i".getBytes(StandardCharsets.UTF_8)) -> i)
+        }), 60.seconds).filter(_._1)
+      assert(wins.size === 1, s"winners: $wins")
+      assert(new String(Files.readAllBytes(target.toPath),
+        StandardCharsets.UTF_8) === s"stealer-${wins.head._2}")
+      assert(dir.listFiles().map(_.getName).toSet === Set(target.getName),
+        "the stolen claim (and temps) must be gone")
+    } finally pool.shutdown()
+  }
+
+  test("FileConditionalPut: a LIVE claim blocks callers until decided, then loses them") {
+    val dir = Files.createTempDirectory("graft-ls-live-").toFile
+    val target = new File(dir, "00000000000000000004.json")
+    val claim = new File(dir, target.getName + ".claim")
+    Files.write(claim.toPath, "live".getBytes(StandardCharsets.UTF_8))
+    val client = new LogStore.FileConditionalPut(staleClaimMs = 60000L)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val caller = Future(client.putIfAbsent(target.getAbsolutePath,
+        "late".getBytes(StandardCharsets.UTF_8)))
+      Thread.sleep(150L)
+      assert(!caller.isCompleted,
+        "a live claim must block, not return a transient outcome")
+      // the claimant finishes its PUT: the blocked caller must LOSE
+      val tmp = new File(dir, ".finish-tmp")
+      Files.write(tmp.toPath, "winner".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      claim.delete()
+      assert(!Await.result(caller, 10.seconds))
+      assert(new String(Files.readAllBytes(target.toPath),
+        StandardCharsets.UTF_8) === "winner")
+    } finally pool.shutdown()
   }
 
   test("a pre-existing object loses the put, even across store instances") {
