@@ -99,10 +99,14 @@ final class TxSql(spark: SparkSession) {
           if (where == null) Nil else partitionEqualities(where)
         // DECLARED clustering (CREATE/ALTER … CLUSTER BY — Delta's
         // liquid-clustering entry point): a bare OPTIMIZE reclusters
-        // on the declared columns instead of bin-packing; an explicit
-        // ZORDER BY statement (matched above) still overrides, and a
-        // WHERE still scopes. One declared column rides the documented
-        // duplicate-dimension idiom (a plain range-clustered sort).
+        // INCREMENTALLY on the declared columns — only files added
+        // since the last recluster rewrite (plus undersized
+        // stragglers when `txtable.recluster.smallBytes` is set),
+        // never the whole table; an explicit ZORDER BY statement
+        // (matched above) still forces a full re-sort, and a WHERE
+        // still scopes to its leaves. One declared column rides the
+        // documented duplicate-dimension idiom (a plain
+        // range-clustered sort).
         val declared = t.property("txtable.clusterBy").toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         val res =
@@ -110,7 +114,10 @@ final class TxSql(spark: SparkSession) {
             val dims = if (declared.size == 1)
               Seq(declared.head, declared.head) else declared
             if (filter.nonEmpty) t.compactZOrderedWhere(dims, filter)
-            else Some(t.compactZOrdered(dims))
+            else t.compactZOrderedIncremental(dims,
+              smallBytes = t.property("txtable.recluster.smallBytes")
+                .flatMap(v => scala.util.Try(v.toLong).toOption)
+                .getOrElse(0L))
           } else if (declared.nonEmpty) None // dataless: clean no-op
           else t.compactBinPack(partitionFilter = filter)
         // retention properties honored at OPTIMIZE time (Delta drives

@@ -4293,6 +4293,117 @@ final class TxTable private (spark: SparkSession, dir: String,
     sys.error(s"scoped z-order contention: lost $maxRetries races in $logDir")
   }
 
+  /** INCREMENTAL RECLUSTER — the device behind bare `OPTIMIZE` on a
+    * `CLUSTER BY` table, and Delta liquid clustering's headline: a
+    * maintenance run rewrites ONLY the files added since the last
+    * recluster (plus, optionally, undersized already-clustered
+    * stragglers below `smallBytes`, folded in whenever new data is
+    * being rewritten anyway), never the whole table. On a 100 TB
+    * clustered table, re-sorting the world after each ingest batch is
+    * quadratic over the table's life; reclustering the day's delta is
+    * O(new data) forever.
+    *
+    * The watermark is the `txtable.lastRecluster` table property,
+    * swapped ATOMICALLY inside the recluster commit itself (a tp-
+    * token — a format every reader already understands, so no
+    * protocol bump). Files added by commits in (watermark, head] are
+    * unclustered by construction: the first recluster rewrites
+    * everything, and each later one rewrites each window's files, so
+    * by induction every active file at or below the watermark is
+    * clustered. A WHERE-scoped recluster ([[compactZOrderedWhere]])
+    * deliberately does NOT advance the watermark — its outputs are
+    * post-watermark adds and stay eligible.
+    *
+    * Data skipping still narrows: each rewrite batch is z-ordered on
+    * `dims`, so every file — old or new — carries tight min/max
+    * stats; the layout is layered rather than one global sort, which
+    * is exactly liquid clustering's trade.
+    *
+    * Returns None (a clean no-op, no commit churn) when nothing was
+    * added since the watermark. A retention-cleaned window (the log
+    * below the watermark's successor is gone) falls back to a FULL
+    * recluster — conservative, never silently partial. Deletion
+    * vectors: selected files are read with vectors APPLIED (the
+    * rewrite materializes their deletes); any NEW vector landing
+    * mid-run aborts, like every compaction path. */
+  def compactZOrderedIncremental(dims: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallBytes: Long = 0L,
+      maxRetries: Int = 20): Option[Commit] = {
+    require(dims.length >= 2,
+      s"recluster needs at least two dims; got ${dims.length}")
+    val base = snapshot()
+    if (base.files.isEmpty) return None
+    val rcKey = "txtable.lastRecluster"
+    val watermark = base.cms.filter(TxTable.isTpName)
+      .map(TxTable.decodeTp)
+      .collectFirst { case (k, v) if k.equalsIgnoreCase(rcKey) => v }
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+    val activeRel = base.files.map(_.stripPrefix(s"$dir/"))
+    val selected: Seq[String] = watermark match {
+      case None => activeRel // first recluster: the whole table
+      case Some(w) =>
+        val window = commitsBetween(w, base.version)
+        if (window.size != base.version - w) activeRel // cleaned window
+        else {
+          val sinceAdds = window.flatMap(_.add)
+            .filterNot(n => TxTable.isMetaToken(n) || TxTable.isDvName(n))
+            .toSet
+          val fresh = activeRel.filter(sinceAdds.contains)
+          if (fresh.isEmpty) Nil
+          else if (smallBytes <= 0L) fresh
+          else {
+            // fold undersized clustered stragglers into the rewrite —
+            // only when new data is being rewritten anyway
+            val freshSet = fresh.toSet
+            fresh ++ activeRel.filter(n => !freshSet.contains(n) &&
+              new File(dir, n).length() < smallBytes)
+          }
+        }
+    }
+    if (selected.isEmpty) return None
+    val sub = Snapshot(base.version, selected.map(n => s"$dir/$n"),
+      base.dvs, dir, base.merged, base.cts, base.cms)
+    val bytes = selected.map(n => new File(dir, n).length()).sum
+    // a FULL recluster keeps [[compactZOrdered]]'s 8-way fan-out floor
+    // (narrow per-file ranges even on small tables); incremental
+    // windows size purely by bytes — a small delta lands as one
+    // z-ordered file, not eight shards
+    val floor = if (selected.size == activeRel.size) 8L else 1L
+    val targetFiles = math.max(floor,
+      (bytes + targetBytes - 1) / targetBytes).toInt
+    val staged = stageLike(base, toPhysical(
+      Layout.zorderedN(readSnapshot(sub), dims, targetFiles), base))
+    val stats = fileStats(staged)
+    buildBlooms(staged)
+    val baseDvs = base.dvs.map(_.stripPrefix(s"$dir/")).toSet
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      val nowActive = head.files.map(_.stripPrefix(s"$dir/")).toSet
+      if (!selected.forall(nowActive.contains)) {
+        staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        sys.error("recluster input was rewritten concurrently — rerun")
+      }
+      if (head.dvs.map(_.stripPrefix(s"$dir/")).toSet != baseDvs) {
+        staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        sys.error("a deletion vector landed during recluster — rerun")
+      }
+      // the watermark property swaps IN the recluster commit: the new
+      // token records this commit's own version, the old (any case
+      // variant) retires with the rewritten files
+      val oldRc = head.cms.filter(t => TxTable.isTpName(t) &&
+        TxTable.decodeTp(t)._1.equalsIgnoreCase(rcKey))
+      val c = Commit(head.version + 1, "compact",
+        staged :+ TxTable.encodeTp(rcKey, (head.version + 1).toString),
+        selected ++ oldRc, System.currentTimeMillis())
+      if (tryCommit(c, stats)) return Some(c)
+      attempt += 1
+    }
+    staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+    sys.error(s"recluster contention: lost $maxRetries races in $logDir")
+  }
+
   /** BIN-PACKING compaction — Delta's OPTIMIZE shape, the only
     * compaction that survives 100 TB: select ONLY the active data
     * files smaller than `targetBytes`, rewrite THEM into ~target-sized

@@ -1209,6 +1209,86 @@ class TxSqlSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_tx_clst")
   }
 
+  test("bare OPTIMIZE on a clustered table is INCREMENTAL (liquid clustering)") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 100))
+    t.append(df(100 until 200))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY (k, v)")
+    def dataFiles(): Set[String] = t.snapshot().files.toSet
+    // first bare OPTIMIZE: no watermark yet -> FULL recluster, and the
+    // watermark property lands atomically in the same commit
+    val r1 = sql.run(s"OPTIMIZE txtable.`$p`")
+    assert(r1.head().getString(1) === "compact")
+    val clustered = dataFiles()
+    val vAfterFull = t.snapshot().version
+    assert(t.property("txtable.lastRecluster") ===
+      Some(vAfterFull.toString))
+    // OPTIMIZE again immediately: ZERO files rewritten — a clean no-op
+    // with no commit churn, not a full re-sort of the world
+    assert(sql.run(s"OPTIMIZE txtable.`$p`").count() === 0)
+    assert(t.snapshot().version === vAfterFull)
+    assert(dataFiles() === clustered, "a no-op OPTIMIZE must not touch files")
+    // new data lands: OPTIMIZE rewrites ONLY the new files — the
+    // clustered set survives by IDENTITY
+    t.append(df(200 until 260))
+    val fresh = dataFiles() -- clustered
+    assert(fresh.nonEmpty)
+    val r3 = sql.run(s"OPTIMIZE txtable.`$p`")
+    assert(r3.head().getString(1) === "compact")
+    val c3 = t.commitLog.last
+    val removedData = c3.remove.filterNot(TxTable.isMetaToken).toSet
+    assert(removedData === fresh.map(_.stripPrefix(s"$p/")),
+      s"incremental OPTIMIZE must rewrite exactly the new files; " +
+        s"removed $removedData")
+    assert(clustered.subsetOf(dataFiles()),
+      "previously clustered files must survive untouched")
+    assert(t.read().count() === 260)
+    assert(t.property("txtable.lastRecluster") ===
+      Some(t.snapshot().version.toString))
+    // the incremental window's output is z-ordered too: its logged
+    // k-stats span stays narrow relative to the full key range
+    // (the window held keys 200..259)
+    val stats = new java.io.File(s"$p/_log",
+      f"${t.snapshot().version}%020d.stats.tsv")
+    assert(stats.isFile)
+    val kSpans = scala.io.Source.fromFile(stats).getLines()
+      .map(_.split("\t")).filter(a => a(1) == "k")
+      .map(a => (a(3).toLong, a(4).toLong)).toSeq
+    assert(kSpans.forall { case (lo, hi) => lo >= 200L && hi <= 259L })
+    // an explicit ZORDER BY statement still forces the FULL re-sort
+    sql.run(s"OPTIMIZE txtable.`$p` ZORDER BY (k, v)")
+    assert((dataFiles() intersect clustered).isEmpty,
+      "explicit ZORDER BY must rewrite the whole table")
+    assert(t.read().count() === 260)
+  }
+
+  test("recluster stragglers: smallBytes folds undersized clustered files in") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 50))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY (k, v)")
+    sql.run(s"OPTIMIZE txtable.`$p`") // full recluster, watermark set
+    val clustered = t.snapshot().files.toSet
+    // without the straggler property, new data reclusters alone
+    // (proven above); with it, undersized clustered files fold into
+    // the same rewrite — the device that keeps a trickle-ingest
+    // clustered table from accreting one small file per OPTIMIZE
+    sql.run(s"ALTER TABLE txtable.`$p` SET TBLPROPERTIES " +
+      "('txtable.recluster.smallBytes'='1000000000')")
+    t.append(df(50 until 60))
+    val r = sql.run(s"OPTIMIZE txtable.`$p`")
+    assert(r.head().getString(1) === "compact")
+    val removed = t.commitLog.last.remove
+      .filterNot(TxTable.isMetaToken).map(n => s"$p/$n").toSet
+    assert(clustered.subsetOf(removed),
+      "undersized clustered stragglers must fold into the rewrite")
+    assert(t.read().count() === 60)
+    // and with NOTHING new since the watermark, stragglers alone do
+    // not trigger a rewrite — OPTIMIZE stays a no-op
+    assert(sql.run(s"OPTIMIZE txtable.`$p`").count() === 0)
+  }
+
   test("table_changes TVF and VERSION AS OF resolve over catalog names") {
     import graft.plans.TxSqlParser
     import spark.implicits._
