@@ -72,6 +72,35 @@ object TxTable {
     * share of a 100k-file inventory read. */
   val CheckpointParquetPartRows: Int = 100000
 
+  /** VACUUM distribution gates — `private[ops] var` ONLY so specs can
+    * force the distributed paths on small layouts; production keeps
+    * the defaults (a flat or few-leaf table pays no job overhead). */
+  private[ops] var VacuumDistributeMinDirs: Int = 8
+  private[ops] var VacuumDistributeMinDeletes: Int = 2048
+
+  /** Is `n` a file VACUUM may reclaim? Any parquet file in the
+    * table's layout, not just engine-named ones: a CONVERTED table's
+    * adopted files keep their original names, and a rewrite must be
+    * able to retire them too (Delta's VACUUM reclaims any
+    * unreferenced file the same way). */
+  private[ops] def isReclaimableName(n: String): Boolean =
+    n.startsWith("data-") || n.startsWith("dv-") ||
+      (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+
+  /** Recursive (rel-name, mtime) walk of one `col=value` subtree —
+    * STATIC so VACUUM's distributed form can run it inside Spark
+    * tasks (pure java.io, no table handle in the closure). */
+  private[ops] def walkDataTree(d: java.io.File,
+      prefix: String): Seq[(String, Long)] = {
+    val kids = Option(d.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    kids.filter(f => f.isFile && isReclaimableName(f.getName))
+      .map(f => (s"$prefix${f.getName}", f.lastModified())).toSeq ++
+      kids.filter(f => f.isDirectory && f.getName.contains("="))
+        .toSeq.flatMap(sub =>
+          walkDataTree(sub, s"$prefix${sub.getName}/"))
+  }
+
 
   /** `bytes` = total on-disk size of `add`'s files and `rmBytes` = of
     * `remove`'s files, both recorded AT COMMIT TIME so consumers can
@@ -4610,7 +4639,16 @@ final class TxTable private (spark: SparkSession, dir: String,
   /** `dryRun` (Delta's `VACUUM … DRY RUN`): list exactly what a real
     * run would reclaim, delete NOTHING — the operational safety valve
     * an admin reaches for before the destructive pass. The walk and
-    * the age/reference guards are the real run's verbatim. */
+    * the age/reference guards are the real run's verbatim.
+    *
+    * DISTRIBUTED at scale (Delta's VACUUM does the same): the
+    * partition-directory walk fans out as a Spark job over the
+    * level-1 `col=value` subtrees when there are at least
+    * [[TxTable.VacuumDistributeMinDirs]] of them, and the deletes fan
+    * out above [[TxTable.VacuumDistributeMinDeletes]] dead files —
+    * a driver-serial walk-and-delete over a millions-of-files layout
+    * is hours; the distributed form is bounded by the largest single
+    * leaf. Small tables keep the driver path (no job overhead). */
   def vacuum(retainVersion: Long,
       minAgeMs: Long = 60 * 60 * 1000L,
       dryRun: Boolean = false): Seq[String] = {
@@ -4631,38 +4669,51 @@ final class TxTable private (spark: SparkSession, dir: String,
       (horizon.files ++ horizon.dvs).map(_.stripPrefix(s"$dir/"))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val root = new File(dir)
-    // any parquet file in the table's layout is reclaimable, not just
-    // engine-named ones: a CONVERTED table's adopted files keep their
-    // original names, and a rewrite must be able to retire them too
-    // (Delta's VACUUM reclaims any unreferenced file the same way)
-    def reclaimable(n: String) =
-      n.startsWith("data-") || n.startsWith("dv-") ||
-        (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-    // recursive through `col=value/` nesting — multi-key layouts'
-    // leaves are depth-N and their retired rewrites must reclaim too
-    def walkData(d: File, prefix: String): Seq[(String, File)] = {
-      val kids = Option(d.listFiles()).getOrElse(Array.empty)
-      kids.filter(f => f.isFile && reclaimable(f.getName))
-        .map(f => s"$prefix${f.getName}" -> f).toSeq ++
-        kids.filter(f => f.isDirectory && f.getName.contains("="))
-          .toSeq.flatMap(sub => walkData(sub, s"$prefix${sub.getName}/"))
-    }
-    val dead = walkData(root, "").filter { case (rel, f) =>
-      !referenced.contains(rel) && f.lastModified() <= cutoff
+    val kids = Option(root.listFiles()).getOrElse(Array.empty[File])
+    // flat (root-level) files stay a driver concern — one listing
+    val rootFiles = kids
+      .filter(f => f.isFile && TxTable.isReclaimableName(f.getName))
+      .map(f => (f.getName, f.lastModified())).toSeq
+    // `col=value/` subtrees walk recursively (multi-key layouts'
+    // leaves are depth-N and their retired rewrites must reclaim too);
+    // enough of them -> one Spark task per level-1 subtree
+    val partDirs = kids
+      .filter(f => f.isDirectory && f.getName.contains("=")).toSeq
+    val subtree: Seq[(String, Long)] =
+      if (partDirs.size >= TxTable.VacuumDistributeMinDirs) {
+        val args = partDirs.map(d => (d.getAbsolutePath, d.getName + "/"))
+        spark.sparkContext
+          .parallelize(args, math.min(args.size, 64))
+          .flatMap { case (abs, prefix) =>
+            TxTable.walkDataTree(new File(abs), prefix)
+          }.collect().toSeq
+      } else partDirs.flatMap(d =>
+        TxTable.walkDataTree(d, d.getName + "/"))
+    val dead = (rootFiles ++ subtree).filter { case (rel, mtime) =>
+      !referenced.contains(rel) && mtime <= cutoff
     }
     // crashed writers leave whole `_staged-*` directories (staged but
     // never moved); they are invisible to the log, so age is the only
     // signal — reclaim them under the same guard
-    val staged = Option(root.listFiles()).getOrElse(Array.empty)
+    val staged = kids
       .filter(f => f.isDirectory && f.getName.startsWith("_staged-") &&
         f.lastModified() <= cutoff)
     if (!dryRun) {
-      dead.foreach(_._2.delete())
+      if (dead.size >= TxTable.VacuumDistributeMinDeletes) {
+        val abs = dead.map { case (rel, _) => s"$dir/$rel" }
+        spark.sparkContext
+          .parallelize(abs, math.max(1, math.min(abs.size / 256, 64)))
+          .foreach { p => new File(p).delete(); () }
+      } else dead.foreach { case (rel, _) => new File(dir, rel).delete() }
       // a reclaimed data file's bloom sidecars are garbage with it —
-      // without this, logDir/bloom accumulates orphans without bound
-      dead.foreach { case (rel, _) => dropBlooms(rel) }
+      // without this, logDir/bloom accumulates orphans without bound.
+      // Skipped wholesale when the table never built a bloom index:
+      // the per-file drop re-lists the bloom dir, O(dead x blooms)
+      val anyBlooms = Option(bloomDir.listFiles())
+        .exists(_.nonEmpty)
+      if (anyBlooms) dead.foreach { case (rel, _) => dropBlooms(rel) }
       staged.foreach(rmTree)
     }
-    dead.map(_._1).toSeq ++ staged.map(_.getName)
+    dead.map(_._1) ++ staged.map(_.getName)
   }
 }

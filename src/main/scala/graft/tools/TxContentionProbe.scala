@@ -200,6 +200,36 @@ object TxContentionProbe {
     }
     }
 
+    if (want("vacuum")) {
+    println(s"== vacuum wall time vs dead-file count (distributed walk) ==")
+    // dead files synthesized directly (vacuum reclaims any aged
+    // unreferenced layout file — building them through real rewrites
+    // would probe the write path, not the reclaim bound under test)
+    for (mult <- Seq(1, k)) {
+      val dir = Files.createTempDirectory(s"graft-probe-vac$mult-")
+        .toString
+      val t = TxTable(spark, s"$dir/t")
+      t.append((0 until 64).map(i => (i.toLong, s"l${i % 16}", s"r$i"))
+        .toDF("id", "lang", "payload").coalesce(1))
+      val deadPerLeaf = 8 * mult // 16 leaves x this: 128 vs 8192 dead
+      (0 until 16).foreach { j =>
+        val leaf = new java.io.File(s"$dir/t/lang=l$j/shard=s$j")
+        leaf.mkdirs()
+        (0 until deadPerLeaf).foreach { i =>
+          Files.write(new java.io.File(leaf,
+            s"data-dead-$j-$i.parquet").toPath, Array[Byte](1, 2, 3))
+        }
+      }
+      val (d, dt) = time(t.vacuum(0L, minAgeMs = 0L, dryRun = true))
+      val (r, rt) = time(t.vacuum(0L, minAgeMs = 0L))
+      require(d.toSet == r.toSet, "dry-run/real set mismatch")
+      require(r.size == 16 * deadPerLeaf,
+        s"expected ${16 * deadPerLeaf} reclaimed, got ${r.size}")
+      println(f"dead=${16 * deadPerLeaf}%6d dry-walk=${dt}%6.2fs " +
+        f"reclaim=${rt}%6.2fs")
+    }
+    }
+
     if (want("psink")) {
     import org.apache.spark.sql.streaming.OutputMode
     println(s"== PARTITIONED sink trigger: schema memo must keep it flat ==")

@@ -195,6 +195,44 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readAt(0).count() === 10) // history still intact
   }
 
+  test("DISTRIBUTED vacuum: forced fan-out reclaims exactly the driver walk's set") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    // a multi-leaf nested layout: 4 langs x 3 shards, then a full
+    // overwrite retires every partitioned file
+    val rows = (0 until 120).map(i =>
+      (i.toLong, s"l${i % 4}", s"s${i % 3}", s"row-$i"))
+    t.appendPartitioned(rows.toDF("id", "lang", "shard", "payload"),
+      Seq("lang", "shard"))
+    t.overwrite(rows.take(5).toDF("id", "lang", "shard", "payload"))
+    // DRY RUN through the DRIVER path first: the reference answer
+    val viaDriver = t.vacuum(retainVersion = 1, minAgeMs = 0,
+      dryRun = true).toSet
+    assert(viaDriver.nonEmpty &&
+      viaDriver.exists(_.contains("lang=")))
+    // force BOTH distributed paths (walk fan-out + delete fan-out)
+    val (d0, n0) =
+      (TxTable.VacuumDistributeMinDirs, TxTable.VacuumDistributeMinDeletes)
+    TxTable.VacuumDistributeMinDirs = 1
+    TxTable.VacuumDistributeMinDeletes = 1
+    try {
+      val viaJob = t.vacuum(retainVersion = 1, minAgeMs = 0,
+        dryRun = true).toSet
+      assert(viaJob === viaDriver,
+        "distributed walk must reclaim exactly the driver walk's set")
+      val reclaimed = t.vacuum(retainVersion = 1, minAgeMs = 0).toSet
+      assert(reclaimed === viaDriver)
+      reclaimed.foreach(rel =>
+        assert(!new File(dir, rel).exists(), s"$rel not deleted"))
+      assert(t.read().count() === 5)
+      // live files untouched
+      assert(t.snapshot().files.forall(f => new File(f).isFile))
+    } finally {
+      TxTable.VacuumDistributeMinDirs = d0
+      TxTable.VacuumDistributeMinDeletes = n0
+    }
+  }
+
   test("partitioned append: manifest-level pruning reads only matching files") {
     import spark.implicits._
     val (t, dir) = mkTable()
