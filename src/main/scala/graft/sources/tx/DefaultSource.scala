@@ -32,6 +32,10 @@ import graft.ops.TxTable
   *    inserts, appends as inserts, deletion-vector commits as the
   *    exact rows the vector killed, rewrites as their net
   *    delete+insert diff — batch CDF semantics, streamed;
+  *  - `startingVersion` (Delta's streaming option) skips the initial
+  *    snapshot and consumes commits from that version INCLUSIVE —
+  *    mid-log starts work; a start below the vacuum/retention horizon
+  *    fails loudly on the first missing file, never silently;
   *  - per-trigger admission is bounded by `maxCommitsPerTrigger`
   *    (commit count) and/or `maxBytesPerTrigger` (sum of the window
   *    commits' added-file sizes — commits vary wildly in size, so
@@ -494,9 +498,6 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
   override def sourceSchema(
       ctx: SQLContext, schema: Option[StructType], providerName: String,
       params: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty,
-      "the txtable source derives its schema from the table's snapshot; " +
-        "do not pass one")
     val t = table(ctx, params)
     val snap = t.snapshot()
     require(snap.files.nonEmpty,
@@ -506,6 +507,21 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     // Resolved through the memoized path — the full-relation plan just
     // for columns is an O(active files) listing
     val base = t.logicalSchema(snap)
+    // `readStream.table("t")` relays the CATALOG's recorded schema as
+    // a user schema — often EMPTY (path-addressed entries defer their
+    // schema to the relation), which means "infer", and otherwise
+    // accepted when it agrees with the snapshot (name -> type,
+    // nullability ignored: the catalog and the footers disagree on it
+    // freely). A CONTRADICTORY schema still refuses: the snapshot is
+    // the truth, silently streaming under a stale catalog shape would
+    // mis-type columns downstream.
+    schema.filter(_.nonEmpty).foreach { s =>
+      def shape(st: StructType) =
+        st.fields.map(f => (f.name.toLowerCase, f.dataType.sql)).toSeq
+      require(shape(s) == shape(base),
+        "the txtable source derives its schema from the table's " +
+          s"snapshot ($base); the provided schema disagrees: $s")
+    }
     val withCdc =
       if (opts(params).get("readchangefeed").exists(_.toBoolean))
         TxTableSource.cdcSchema(base)
@@ -527,11 +543,17 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
     require(!(cdc && skip),
       "readChangeFeed consumes every commit as row-level changes; " +
         "skipChangeCommits would contradict that — pick one")
+    val startV = o.get("startingversion").map { v =>
+      val n = v.toLong
+      require(n >= 0, s"startingVersion must be >= 0, got $n")
+      n
+    }
     new TxTableSource(ctx, table(ctx, params),
       skipChangeCommits = skip,
       maxCommitsPerTrigger = positive("maxcommitspertrigger"),
       maxBytesPerTrigger = positive("maxbytespertrigger"),
-      readChangeFeed = cdc)
+      readChangeFeed = cdc,
+      startingVersion = startV)
   }
 }
 
@@ -556,7 +578,8 @@ final class TxTableSource(
     ctx: SQLContext, t: TxTable, skipChangeCommits: Boolean,
     maxCommitsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    startingVersion: Option[Long] = None)
     extends Source {
 
   private val spark = ctx.sparkSession
@@ -577,6 +600,15 @@ final class TxTableSource(
     * throughput bound exactly like Delta's `maxFilesPerTrigger`, never
     * a correctness device. */
   @volatile private var servedThrough: Option[Long] = None
+
+  /** The base version the NEXT window counts from: what the engine has
+    * consumed, else `startingVersion - 1` (Delta's streaming
+    * `startingVersion` skips the initial snapshot and consumes commits
+    * from that version INCLUSIVE — mid-log starts included; a vacuumed
+    * window then fails loudly on its missing files, never silently),
+    * else None = the initial-snapshot contract. */
+  private def baseVersion: Option[Long] =
+    servedThrough.orElse(startingVersion.map(_ - 1))
 
   /** Head version, capped by the admission limits when rate limiting
     * is on (Delta's `maxFilesPerTrigger` / `maxBytesPerTrigger` option
@@ -615,7 +647,7 @@ final class TxTableSource(
     val v = t.snapshot().version
     if (v < 0) None
     else {
-      val capped = servedThrough match {
+      val capped = baseVersion match {
         case Some(p) =>
           val byCommits = maxCommitsPerTrigger.map(m => p + m)
           val byBytes = maxBytesPerTrigger.map { cap =>
@@ -667,7 +699,7 @@ final class TxTableSource(
           (Seq(v) ++ byCommits ++ byBytes).min
         case None => v
       }
-      if (capped <= servedThrough.getOrElse(-1L)) None
+      if (capped <= baseVersion.getOrElse(-1L)) None
       else Some(LongOffset(capped))
     }
   }
@@ -680,7 +712,13 @@ final class TxTableSource(
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     servedThrough = Some(math.max(ver(end), servedThrough.getOrElse(-1L)))
-    val batch = (start, readChangeFeed) match {
+    // `startingVersion` replaces the initial-snapshot batch with a
+    // window from that version INCLUSIVE (Delta's streaming option of
+    // the same name): the first engine call arrives with start=None,
+    // and the option supplies the missing base
+    val s0: Option[Long] =
+      start.map(ver).orElse(startingVersion.map(_ - 1))
+    val batch = (s0, readChangeFeed) match {
       case (None, false) =>
         // Initial batch: the FULL SNAPSHOT as of the first offset —
         // Delta's streaming-read contract, deletion vectors applied
@@ -707,9 +745,9 @@ final class TxTableSource(
         // deletes. Deterministic on replay — the feed is a pure
         // function of the immutable log window. (Schema alignment
         // happens uniformly below.)
-        t.readChanges(ver(s), ver(end))
+        t.readChanges(s, ver(end))
       case (Some(s), false) =>
-        val files = t.commitsBetween(ver(s), ver(end)).flatMap { c =>
+        val files = t.commitsBetween(s, ver(end)).flatMap { c =>
           c.action match {
             // a COPY INTO commit is an append whose add list also
             // carries the cp- source-file ledger — same token-filtered

@@ -209,7 +209,38 @@ object ExtensionsCheck {
       spark.sql("DROP TABLE IF EXISTS tx_parity_rtas")
     }
 
-    println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok")
+    // round-14: STREAMING over catalog names — readStream.table /
+    // writeStream.format("txtable").toTable, the forms Delta tutorials
+    // type — proven in the same user-shaped fresh session
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-txstream-").toString
+    try {
+      spark.sql("CREATE TABLE tx_parity_srctab (id BIGINT, v BIGINT) " +
+        s"USING txtable LOCATION '$sdir/src'")
+      spark.sql("CREATE TABLE tx_parity_snktab (id BIGINT, v BIGINT) " +
+        s"USING txtable LOCATION '$sdir/snk'")
+      spark.sql("INSERT INTO tx_parity_srctab SELECT id, id * 2 AS v " +
+        "FROM range(6)")
+      val sq = spark.readStream.table("tx_parity_srctab")
+        .writeStream.format("txtable")
+        .option("checkpointLocation", s"$sdir/ck")
+        .toTable("tx_parity_snktab")
+      sq.processAllAvailable()
+      spark.sql("INSERT INTO tx_parity_srctab SELECT id + 10, id FROM range(4)")
+      sq.processAllAvailable()
+      sq.stop()
+      require(spark.sql("SELECT COUNT(*) FROM tx_parity_snktab")
+        .head().getLong(0) == 10L, "catalog-name stream round-trip count")
+      require(spark.sql(
+        "SELECT COUNT(DISTINCT id) FROM tx_parity_snktab")
+        .head().getLong(0) == 10L, "catalog-name stream exactly-once")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tx_parity_srctab")
+      spark.sql("DROP TABLE IF EXISTS tx_parity_snktab")
+    }
+
+    println(s"extensions-ok ${probes.size} rule-ok sql-face-ok parity-ok " +
+      "stream-catalog-ok")
     spark.stop()
   }
 }

@@ -401,6 +401,95 @@ class TxStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("startingVersion mid-log: no snapshot batch, CDF byte cap splits at add+remove") {
+    import org.apache.spark.sql.functions.col
+    def fat() = (0 until 3000)
+      .map(i => (i.toLong, s"fat-payload-$i-${i * 2654435761L}"))
+      .toDF("id", "payload").coalesce(1)
+    def small() = rows(9000 until 9002).coalesce(1)
+    val (t, dir) = mk()
+    t.append(fat())               // v0: pre-history (must NOT stream)
+    t.deleteBetween("id", 0L, 9L) // v1: rewrite (10 row-level deletes)
+    t.append(small())             // v2: 2 inserts
+    val Seq(_, cDel, cSmall) = t.commitsBetween(-1)
+    // cap admits the rewrite's ADDED bytes plus the small append, but
+    // NOT added + removed: only the rm charge splits the backlog
+    val cap = cDel.bytes + cDel.rmBytes / 2
+    assert(cap > cDel.bytes + cSmall.bytes && cDel.bytes + cDel.rmBytes > cap)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = stream(dir, "readChangeFeed" -> "true",
+      "startingVersion" -> "1", "maxBytesPerTrigger" -> cap.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = batch.select("_commit_version")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        sizes.synchronized { sizes += vs }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val got = sizes.synchronized(sizes.toSeq)
+      // NO 3000-row initial snapshot: the stream starts at v1's
+      // changes (Delta's streaming startingVersion), and the rm
+      // charge forces v1 into its own window
+      assert(got.map(_.size) === Seq(10, 2),
+        s"expected v1's diff alone then v2 — windows: $got")
+      assert(got.head.forall(_ == 1L) && got(1).forall(_ == 2L))
+      // later commits keep flowing
+      t.append(rows(9100 until 9103).coalesce(1))
+      q.processAllAvailable()
+      assert(sizes.synchronized(sizes.last) === Seq(3L, 3L, 3L))
+    } finally q.stop()
+  }
+
+  test("startingVersion over a vacuumed window fails LOUDLY, not silently") {
+    val (t, dir) = mk()
+    t.append(rows(0 until 50))          // v0
+    t.overwrite(rows(100 until 103))    // v1: retires v0's files
+    // reclaim v0's files (age guard dropped): versions below 1 are
+    // now unreadable as changes
+    val reclaimed = t.vacuum(1L, minAgeMs = 0L)
+    assert(reclaimed.nonEmpty)
+    // a CDF stream asked to start BELOW the vacuumed horizon must
+    // fail with the vacuum message — silently skipping the missing
+    // window would un-count rows in every downstream replica
+    val q = stream(dir, "readChangeFeed" -> "true",
+      "startingVersion" -> "0")
+      .writeStream.format("memory").queryName("txsrc_vac").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("vacuumed")),
+      s"expected a loud vacuum failure, got: ${messages(e)}")
+    // append-only mode from the vacuumed version fails the same way
+    val q2 = stream(dir, "startingVersion" -> "0",
+      "skipChangeCommits" -> "true")
+      .writeStream.format("memory").queryName("txsrc_vac2").start()
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(messages(e2).exists(_.contains("vacuumed")))
+    // a window whose files all SURVIVE the vacuum streams fine: v2's
+    // append from startingVersion=2 reads only v2's own files (v1's
+    // rewrite diff would need the reclaimed pre-image, so it is
+    // below the CDF horizon now — Delta's retention trade)
+    t.append(rows(200 until 204)) // v2
+    val q3 = stream(dir, "readChangeFeed" -> "true",
+      "startingVersion" -> "2")
+      .writeStream.format("memory").queryName("txsrc_vac3").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("txsrc_vac3").count() === 4)
+      assert(spark.table("txsrc_vac3").select("_change_type")
+        .distinct().collect().map(_.getString(0)).toSeq === Seq("insert"))
+    } finally q3.stop()
+  }
+
   test("readChangeFeed: snapshot as inserts; DV delete exactly once across restart") {
     val (t, dir) = mk()
     val out = Files.createTempDirectory("graft-txcdc-out-").toString
