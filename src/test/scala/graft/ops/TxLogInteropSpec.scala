@@ -1,0 +1,109 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import scala.sys.process._
+
+import graft.SparkTestBase
+
+/** SECOND-IMPLEMENTATION cross-check of the commit-log format: an
+  * independent Python replayer (`tools/check_txlog.py`, no engine code
+  * shared) resolves the same table from the documented semantics alone
+  * and must agree with the Scala engine on the active-file set, the
+  * deletion vectors, the metadata tokens, and the version — at the
+  * head, under time travel, and through a parquet-sidecar checkpoint.
+  * A shared misreading of the format between writer and reader would
+  * surface here as the two implementations disagreeing. Skipped
+  * (cancelled) when python3 is absent. */
+class TxLogInteropSpec extends SparkTestBase {
+
+  private def python3: Boolean =
+    try Process(Seq("python3", "--version")).!(ProcessLogger(_ => ())) == 0
+    catch { case _: Exception => false }
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, i.toLong * 10, s"row-$i"))
+      .toDF("k", "v", "tag")
+  }
+
+  /** Run the replayer; returns (version, files, dvs, tokens). */
+  private def replay(dir: String, at: Option[Long] = None)
+      : (Long, Set[String], Set[String], Set[String]) = {
+    val cmd = Seq("python3", "tools/check_txlog.py", dir) ++
+      at.map(_.toString)
+    val out = new StringBuilder
+    val code = Process(cmd, new java.io.File("."))
+      .!(ProcessLogger(l => { out.append(l); () }, System.err.println))
+    assert(code === 0, s"replayer failed: $out")
+    val s = out.toString
+    def arr(key: String): Set[String] =
+      ("\"" + key + "\":\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s)
+        .map(m => "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+        .getOrElse(sys.error(s"no $key in: $s"))
+    val version = "\"version\":\\s*(-?\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(sys.error(s"no version in: $s"))
+    (version, arr("files"), arr("dvs"), arr("tokens"))
+  }
+
+  private def engineView(t: TxTable, dir: String, at: Long = Long.MaxValue)
+      : (Long, Set[String], Set[String], Set[String]) = {
+    val s = t.snapshotAt(at)
+    (s.version,
+      s.files.map(_.stripPrefix(s"$dir/")).toSet,
+      s.dvs.map(_.stripPrefix(s"$dir/")).toSet,
+      (s.cts ++ s.cms).toSet)
+  }
+
+  test("python replayer agrees with the engine on a mixed-history table") {
+    assume(python3, "python3 not available")
+    val dir = Files.createTempDirectory("graft-interop-").toString + "/t"
+    val t = TxTable(spark, dir)
+    // a mixed history crossing a checkpoint: appends, a rewrite
+    // DELETE, a table property, a constraint — every list shape
+    (0 until 11).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    t.deleteBetween("k", 5L, 24L)
+    t.setProperties(Map("owner" -> "interop"))
+    t.addConstraint("pos", "v >= 0")
+    assert(t.snapshot().version === 13L)
+    assert(replay(dir) === engineView(t, dir))
+    // time travel below the checkpoint and between commits
+    assert(replay(dir, Some(3L)) === engineView(t, dir, 3L))
+    assert(replay(dir, Some(11L)) === engineView(t, dir, 11L))
+  }
+
+  test("python replayer hydrates a parquet-sidecar checkpoint") {
+    assume(python3, "python3 not available")
+    val saved = TxTable.CheckpointParquetThreshold
+    TxTable.CheckpointParquetThreshold = 2
+    try {
+      val dir = Files.createTempDirectory("graft-interop-pq-")
+        .toString + "/t"
+      val t = TxTable(spark, dir)
+      (0 until 12).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+      assert(new java.io.File(f"$dir/_log/${10L}%020d.ckpt.parquet")
+        .isDirectory, "precondition: sidecar checkpoint present")
+      assert(replay(dir) === engineView(t, dir))
+      // resolving exactly AT the sidecar checkpoint exercises the
+      // hydration path with zero tail commits
+      assert(replay(dir, Some(10L)) === engineView(t, dir, 10L))
+    } finally TxTable.CheckpointParquetThreshold = saved
+  }
+
+  test("python replayer honors the pointer and survives a torn one") {
+    assume(python3, "python3 not available")
+    val dir = Files.createTempDirectory("graft-interop-ptr-")
+      .toString + "/t"
+    val t = TxTable(spark, dir)
+    (0 until 15).foreach(i => t.append(df(i to i)))
+    val expected = engineView(t, dir)
+    assert(replay(dir) === expected)
+    // torn pointer: both implementations must fall back identically
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/_log/_last_checkpoint").toPath,
+      "garbage".getBytes("UTF-8"))
+    assert(replay(dir) === expected)
+    assert(engineView(t, dir) === expected)
+  }
+}
