@@ -139,13 +139,21 @@ object LogStore {
           // over it — is what keeps entries immutable
           if (target.exists()) { claim.delete(); return false }
           val tmp = new File(target.getParentFile, s".cput-$token")
-          val ch = java.nio.channels.FileChannel.open(tmp.toPath,
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
+          // a PUT that throws must release the claim on its way out —
+          // leaking it would stall every writer on this key for the
+          // whole stale horizon over one transient IO error
           try {
-            ch.write(java.nio.ByteBuffer.wrap(content))
-            ch.force(true)
-          } finally ch.close()
+            val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try {
+              ch.write(java.nio.ByteBuffer.wrap(content))
+              ch.force(true)
+            } finally ch.close()
+          } catch {
+            case e: Throwable =>
+              tmp.delete(); claim.delete(); throw e
+          }
           // the claim may have been stolen if we stalled past the
           // stale horizon — only the current claim holder may rename
           val stillOurs =
@@ -154,8 +162,12 @@ object LogStore {
             catch { case _: Throwable => false }
           if (!stillOurs) { tmp.delete() } // stolen: re-arbitrate
           else {
-            Files.move(tmp.toPath, target.toPath,
+            try Files.move(tmp.toPath, target.toPath,
               StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case e: Throwable =>
+                tmp.delete(); claim.delete(); throw e
+            }
             claim.delete()
             return true
           }

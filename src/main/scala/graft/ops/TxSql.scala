@@ -107,8 +107,7 @@ final class TxSql(spark: SparkSession) {
         // still scopes to its leaves. One declared column rides the
         // documented duplicate-dimension idiom (a plain
         // range-clustered sort).
-        val declared = t.property("txtable.clusterBy").toSeq
-          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val declared = TxSql.declaredClusterCols(t)
         val res =
           if (declared.nonEmpty && t.snapshot().files.nonEmpty) {
             val dims = if (declared.size == 1)
@@ -237,8 +236,7 @@ final class TxSql(spark: SparkSession) {
           // blocks this too): bare OPTIMIZE would fail resolving it
           // on every later run — refuse here, at the DDL
           val col = unquote(name)
-          val clusterCols = t.property("txtable.clusterBy").toSeq
-            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          val clusterCols = TxSql.declaredClusterCols(t)
           require(!clusterCols.exists(_.equalsIgnoreCase(col)),
             s"cannot drop column $col: it is a declared clustering " +
               s"column (CLUSTER BY ${clusterCols.mkString(", ")}); " +
@@ -694,6 +692,12 @@ final class TxSql(spark: SparkSession) {
 
 object TxSql {
   def apply(spark: SparkSession): TxSql = new TxSql(spark)
+
+  /** The table's declared clustering columns (`CLUSTER BY` — the
+    * `txtable.clusterBy` property), parsed in ONE place. */
+  private[ops] def declaredClusterCols(t: TxTable): Seq[String] =
+    t.property("txtable.clusterBy").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
   // ----- result schemas, mirrored 1:1 from the frames run() builds —
   // the parser-injected command ([[graft.plans.TxSqlStatement]])

@@ -581,35 +581,49 @@ final class TxTable private (spark: SparkSession, dir: String,
     * travel BELOW the pointer takes the full listing — inherently a
     * history walk, and never on an ingest/read hot path. */
   def snapshotAt(version: Long): Snapshot = {
+    def viaListing(): Snapshot = {
+      val (cfs, ckpts) = listLog()
+      val ck = ckpts.filter(_._1 <= version).lastOption
+        .map { case (v, _) => readCkpt(v) }
+      // log-retention guard: with no usable checkpoint and the v0
+      // entry gone ([[cleanupLog]]), replay from scratch is
+      // impossible — fail LOUDLY instead of resolving an empty table
+      // for a version that once existed
+      require(ck.isDefined || cfs.isEmpty || cfs.head._1 == 0L,
+        s"cannot resolve version $version: the log was cleaned below " +
+          s"v${(cfs.map(_._1) ++ ckpts.map(_._1)).min} (cleanupLog) — " +
+          "earliest resolvable version is the oldest surviving checkpoint")
+      // a checkpoint is only ever written after its commit exists, so
+      // contiguity restarts at ck.version + 1
+      val startV = ck.map(_.version + 1).getOrElse(0L)
+      val tail = cfs
+        .filter { case (v, _) => v >= startV && v <= version }
+        .map { case (_, f) => readEntry(f) }
+      val cs = tail.zipWithIndex
+        .takeWhile { case (c, i) => c.version == startV + i }.map(_._1)
+      buildSnapshot(ck, cs)
+    }
     lastCheckpointVersion().filter(_ <= version) match {
       case Some(pv) =>
+        afterPointerReadHook() // test seam: interleave a cleanup here
         // bounded path: zero listings — the pointer's checkpoint plus
         // a name-probed contiguous run above it
         val ck = readCkpt(pv)
         val cs = probeEntries(pv + 1, version)
           .map { case (_, f) => readEntry(f) }
-        buildSnapshot(Some(ck), cs)
-      case None =>
-        val (cfs, ckpts) = listLog()
-        val ck = ckpts.filter(_._1 <= version).lastOption
-          .map { case (v, _) => readCkpt(v) }
-        // log-retention guard: with no usable checkpoint and the v0
-        // entry gone ([[cleanupLog]]), replay from scratch is
-        // impossible — fail LOUDLY instead of resolving an empty table
-        // for a version that once existed
-        require(ck.isDefined || cfs.isEmpty || cfs.head._1 == 0L,
-          s"cannot resolve version $version: the log was cleaned below " +
-            s"v${(cfs.map(_._1) ++ ckpts.map(_._1)).min} (cleanupLog) — " +
-            "earliest resolvable version is the oldest surviving checkpoint")
-        // a checkpoint is only ever written after its commit exists, so
-        // contiguity restarts at ck.version + 1
-        val startV = ck.map(_.version + 1).getOrElse(0L)
-        val tail = cfs
-          .filter { case (v, _) => v >= startV && v <= version }
-          .map { case (_, f) => readEntry(f) }
-        val cs = tail.zipWithIndex
-          .takeWhile { case (c, i) => c.version == startV + i }.map(_._1)
-        buildSnapshot(ck, cs)
+        val snap = buildSnapshot(Some(ck), cs)
+        // anti-stale guard: cleanupLog advances the pointer BEFORE
+        // deleting entries, so a probe that stopped short of the
+        // requested version at a DELETION gap (a stale pointer read
+        // racing a cleanup) always leaves the on-disk pointer ahead
+        // of the probe's result — re-read it and fall back to the
+        // listing path, which anchors at the newest SURVIVING
+        // checkpoint. Stopping AT the requested version is a clean
+        // time travel, never a gap.
+        if (snap.version < version &&
+            lastCheckpointVersion().exists(_ > snap.version)) viaListing()
+        else snap
+      case None => viaListing()
     }
   }
 
@@ -619,6 +633,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     * immutable once CAS'd, so the memo can never serve a stale answer;
     * it's what keeps a busy committer from re-reading a 100k-file
     * inventory on every retry-loop resolve. */
+  /** Test seam: fired between the bounded path's pointer read and its
+    * probe, so specs can interleave a concurrent cleanup
+    * deterministically (the anti-stale guard's race window). */
+  private[ops] var afterPointerReadHook: () => Unit = () => ()
+
   @volatile private var ckptMemo: (Long, Commit) = (Long.MinValue, null)
   private def readCkpt(v: Long): Commit = {
     val memo = ckptMemo
@@ -974,10 +993,27 @@ final class TxTable private (spark: SparkSession, dir: String,
       guardGcDdl(head, logicalDf, oldName, "rename")
       val phys = m.getOrElse(oldName, oldName)
       val (pvAdd, pvRemove) = mappingUpgrade(head)
+      // a DECLARED clustering column renames WITH the column — the
+      // property-token swap rides the same atomic commit, so a bare
+      // OPTIMIZE can never resolve a stale name (Delta renames
+      // clustering columns transparently under column mapping)
+      val clusterSwap = head.cms
+        .filter(t => TxTable.isTpName(t) &&
+          TxTable.decodeTp(t)._1.equalsIgnoreCase("txtable.clusterBy"))
+        .flatMap { tok =>
+          val (k, v) = TxTable.decodeTp(tok)
+          val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+          if (cols.exists(_.equalsIgnoreCase(oldName)))
+            Some(tok -> TxTable.encodeTp(k, cols.map(c =>
+              if (c.equalsIgnoreCase(oldName)) newName else c)
+              .mkString(",")))
+          else None
+        }
       val c = Commit(head.version + 1, "rename",
-        Seq(TxTable.encodeCm(newName, phys)) ++ pvAdd,
+        Seq(TxTable.encodeCm(newName, phys)) ++ pvAdd ++
+          clusterSwap.map(_._2),
         m.get(oldName).map(_ => TxTable.encodeCm(oldName, phys)).toSeq ++
-          pvRemove,
+          pvRemove ++ clusterSwap.map(_._1),
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
       if (tryCommit(c)) return c
       attempt += 1
@@ -1010,6 +1046,18 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"CHECK constraint '$n' ($e) references '$name' — drop the " +
             "constraint first")
       }
+      // engine-level twin of the SQL face's guard: dropping a declared
+      // clustering column would wedge every later bare OPTIMIZE on an
+      // unresolvable name (Delta blocks it too) — and the API must not
+      // be a bypass around the DDL
+      val clusterCols = tpMap(head)
+        .collectFirst { case (k, v)
+            if k.equalsIgnoreCase("txtable.clusterBy") => v }
+        .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      require(!clusterCols.exists(_.equalsIgnoreCase(name)),
+        s"cannot drop column $name: it is a declared clustering " +
+          s"column (CLUSTER BY ${clusterCols.mkString(", ")}); " +
+          "clear or re-declare the clustering first")
       guardGcDdl(head, logicalDf, name, "drop")
       val m = cmMap(head)
       val phys = m.getOrElse(name, name)
@@ -1717,7 +1765,17 @@ final class TxTable private (spark: SparkSession, dir: String,
     * contract as [[restore]]. */
   def readChanges(fromVersion: Long,
       toVersion: Long = Long.MaxValue): DataFrame = {
-    val cs = commitsBetween(fromVersion, toVersion)
+    // a cleaned gap must be LOUD: `commitsBetween` stops at the first
+    // missing entry, and silently serving the truncated window would
+    // un-count changes in every downstream replica (the same
+    // retention contract as vacuumed data files)
+    val expectedTo = math.min(toVersion, snapshot().version)
+    val cs0 = commitsBetween(fromVersion, toVersion)
+    require(cs0.size >= math.max(0L, expectedTo - fromVersion),
+      s"change feed (v$fromVersion, v$expectedTo]: commit entries " +
+        "missing from the log (cleaned by cleanupLog?) — the earliest " +
+        "resolvable change window starts at the oldest surviving entry")
+    val cs = cs0
       // compaction is content-identical; constraint and column-mapping
       // commits are metadata-only — none contributes row changes
       .filterNot(c => c.action == "compact" || c.action == "constraint" ||
@@ -4408,6 +4466,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val baseDvs = base.dvs.map(_.stripPrefix(s"$dir/")).toSet
     var attempt = 0
     while (attempt < maxRetries) {
+      beforeDmlCommitHook() // race seam, same as every rewrite path
       val head = snapshot()
       val nowActive = head.files.map(_.stripPrefix(s"$dir/")).toSet
       if (!selected.forall(nowActive.contains)) {
@@ -4417,6 +4476,20 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (head.dvs.map(_.stripPrefix(s"$dir/")).toSet != baseDvs) {
         staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
         sys.error("a deletion vector landed during recluster — rerun")
+      }
+      // the watermark stamps this commit's OWN version, so every data
+      // file that landed between the base snapshot and the commit
+      // would sit at-or-below it WITHOUT having been rewritten —
+      // permanently escaping the induction invariant. An interleaved
+      // DATA add therefore restarts the whole selection against the
+      // new head (token-only interleavers — properties, markers —
+      // are watermark-safe and ride through).
+      if (head.version != base.version &&
+          commitsBetween(base.version, head.version).exists(_.add
+            .exists(n => !TxTable.isMetaToken(n) && !TxTable.isDvName(n)))) {
+        staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
+        return compactZOrderedIncremental(dims, targetBytes, smallBytes,
+          maxRetries - attempt - 1)
       }
       // the watermark property swaps IN the recluster commit: the new
       // token records this commit's own version, the old (any case

@@ -699,8 +699,20 @@ final class TxTableSource(
           (Seq(v) ++ byCommits ++ byBytes).min
         case None => v
       }
-      if (capped <= baseVersion.getOrElse(-1L)) None
-      else Some(LongOffset(capped))
+      if (capped <= baseVersion.getOrElse(-1L)) {
+        // head is ahead of the base yet not one commit could be
+        // admitted: the walk hit a MISSING entry at base+1 (the
+        // always-admit-first rule advances past any live entry, so
+        // only a cleaned log stops it). Silence here would stall the
+        // stream forever while looking idle.
+        require(v <= baseVersion.getOrElse(-1L),
+          s"streaming offset walk stuck at v${baseVersion.getOrElse(-1L)} " +
+            s"with head v$v: commit entries missing from the log " +
+            "(cleaned by cleanupLog, or startingVersion below the " +
+            "retention floor?) — restart from a fresh checkpoint or a " +
+            "resolvable startingVersion")
+        None
+      } else Some(LongOffset(capped))
     }
   }
 
@@ -747,7 +759,17 @@ final class TxTableSource(
         // happens uniformly below.)
         t.readChanges(s, ver(end))
       case (Some(s), false) =>
-        val files = t.commitsBetween(s, ver(end)).flatMap { c =>
+        val window = t.commitsBetween(s, ver(end))
+        // a short window means LOG ENTRIES are gone (cleanupLog below
+        // an unread offset): serving the truncated window would
+        // silently skip committed rows forever — the same loudness
+        // contract as vacuumed data files
+        require(window.size == ver(end) - s,
+          s"streaming window (v$s, v${ver(end)}]: commit entries " +
+            "missing from the log (cleaned by cleanupLog?) — restart " +
+            "the stream from a fresh checkpoint or a resolvable " +
+            "startingVersion")
+        val files = window.flatMap { c =>
           c.action match {
             // a COPY INTO commit is an append whose add list also
             // carries the cp- source-file ledger — same token-filtered

@@ -178,6 +178,52 @@ class TxLogBoundedSpec extends SparkTestBase {
     } finally TxTable.CheckpointParquetThreshold = saved
   }
 
+  test("a cleanup racing the bounded resolve can never serve a stale head") {
+    val (t, p) = mk()
+    (0 to 30).foreach(i => t.append(df(i to i))) // ckpts 10, 20, 30
+    val t2 = TxTable(spark, p)
+    // force the race deterministically: t2 reads the pointer (10,
+    // planted stale), then a "concurrent cleanup" deletes entries
+    // 11..15 and advances the pointer to 20 — exactly cleanupLog's
+    // order (pointer BEFORE deletions). The probe hits the deletion
+    // gap; the anti-stale guard must re-read the pointer and fall
+    // back to the listing path instead of serving v10 as the head.
+    java.nio.file.Files.write(
+      new File(s"$p/_log/_last_checkpoint").toPath,
+      """{"version":10}""".getBytes(StandardCharsets.UTF_8))
+    var fired = false
+    t2.afterPointerReadHook = () => {
+      if (!fired) {
+        fired = true
+        java.nio.file.Files.write(
+          new File(s"$p/_log/_last_checkpoint").toPath,
+          """{"version":20}""".getBytes(StandardCharsets.UTF_8))
+        (11 to 15).foreach(v =>
+          assert(new File(f"$p/_log/$v%020d.json").delete()))
+      }
+    }
+    try {
+      val snap = t2.snapshot()
+      assert(fired)
+      assert(snap.version === 30L,
+        "the raced resolve must fall back to the listing, not serve v10")
+      assert(TxTable(spark, p).read().count() === 31)
+    } finally t2.afterPointerReadHook = () => ()
+  }
+
+  test("readChanges refuses a cleaned window loudly instead of truncating") {
+    val (t, p) = mk()
+    (0 to 25).foreach(i => t.append(df(i to i)))
+    val cut = t.cleanupLog(retainVersions = 5L, minAgeMs = 0L)
+    assert(cut.nonEmpty)
+    // the full-feed window now has a hole below the cut: loud, never
+    // a silently truncated feed
+    val e = intercept[Exception](t.readChanges(0L).count())
+    assert(e.getMessage.contains("missing"), e.getMessage)
+    // windows wholly above the cut still serve
+    assert(t.readChanges(24L).count() === 1)
+  }
+
   test("entry reads stay flat as history grows (the O(interval) contract)") {
     val (t, p) = mk()
     (0 to 30).foreach(i => t.append(df(i to i)))

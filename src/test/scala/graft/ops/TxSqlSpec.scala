@@ -1263,6 +1263,75 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().count() === 260)
   }
 
+  test("a concurrent append can never slip under the recluster watermark") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 40))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY (k, v)")
+    sql.run(s"OPTIMIZE txtable.`$p`") // full recluster + watermark
+    t.append(df(100 until 120))       // fresh window
+    // mid-recluster, a SECOND writer lands an append between the base
+    // snapshot and the commit: stamping the watermark at commit
+    // version would put the interloper's files at-or-below it without
+    // ever rewriting them — they'd escape every future incremental
+    // run. The engine must RESTART selection against the new head.
+    val w = TxTable(spark, p)
+    var fired = false
+    t.beforeDmlCommitHook = () => {
+      if (!fired) {
+        fired = true
+        w.append(df(200 until 230))
+      }
+    }
+    // drive the engine method directly: the hook lives on THIS
+    // instance (the SQL face resolves its own)
+    try t.compactZOrderedIncremental(Seq("k", "v"))
+    finally t.beforeDmlCommitHook = () => ()
+    assert(fired, "the race seam never fired")
+    // the induction invariant holds: every active data file sits at
+    // or below the watermark only if a recluster rewrote it — i.e.
+    // nothing added after the watermark's own commit remains, and the
+    // interloper's rows were swept into the rewrite
+    val watermark = t.property("txtable.lastRecluster").get.toLong
+    // no APPEND-committed file below the watermark may still be
+    // active: by the induction invariant each one was rewritten by a
+    // recluster — the pre-fix bug left the interloper's files active
+    // below the watermark, unrewritten forever
+    val preWatermarkAppendAdds = t.commitLog
+      .filter(c => c.action == "append" && c.version < watermark)
+      .flatMap(_.add).filterNot(TxTable.isMetaToken).toSet
+    val active = t.snapshot().files.map(_.stripPrefix(s"$p/")).toSet
+    assert((active intersect preWatermarkAppendAdds).isEmpty,
+      "an interleaved append's files escaped the recluster watermark")
+    assert(t.read().count() === 40 + 20 + 30)
+    // and the NEXT bare OPTIMIZE is a clean no-op — nothing escaped
+    assert(sql.run(s"OPTIMIZE txtable.`$p`").count() === 0)
+  }
+
+  test("RENAME COLUMN carries the clusterBy declaration atomically") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 30))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY (k, v)")
+    val vBefore = t.snapshot().version
+    t.renameColumn("k", "key")
+    // ONE commit: the property swap rode the rename atomically
+    assert(t.snapshot().version === vBefore + 1)
+    assert(t.property("txtable.clusterBy") === Some("key,v"))
+    // bare OPTIMIZE resolves the renamed clustering column fine
+    assert(sql.run(s"OPTIMIZE txtable.`$p`")
+      .head().getString(1) === "compact")
+    t.append(df(50 until 60).withColumnRenamed("k", "key"))
+    assert(sql.run(s"OPTIMIZE txtable.`$p`")
+      .head().getString(1) === "compact")
+    assert(t.read().count() === 40)
+    // the engine-level dropColumn refuses a clustering column too —
+    // the API is not a bypass around the SQL guard
+    val e = intercept[Exception](t.dropColumn("v"))
+    assert(e.getMessage.contains("clustering"))
+    assert(t.read().columns.contains("v"))
+  }
+
   test("recluster stragglers: smallBytes folds undersized clustered files in") {
     import spark.implicits._
     val (t, p) = mkTable()

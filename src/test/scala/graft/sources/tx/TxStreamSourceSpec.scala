@@ -490,6 +490,41 @@ class TxStreamSourceSpec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("startingVersion below a cleanupLog cut fails loudly, capped or not") {
+    val (t, dir) = mk()
+    (0 until 25).foreach(i => t.append(rows(i * 2 until i * 2 + 2)))
+    assert(t.cleanupLog(retainVersions = 5L, minAgeMs = 0L).nonEmpty)
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    def loud(extra: (String, String)*): Unit = {
+      val q = stream(dir, (Seq("startingVersion" -> "1") ++ extra): _*)
+        .writeStream.format("memory")
+        .queryName(s"txsrc_cut${extra.size}").start()
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      assert(messages(e).exists(_.contains("missing")),
+        s"expected a loud cleaned-log failure, got: ${messages(e)}")
+    }
+    // uncapped: the getBatch window guard fires
+    loud()
+    // byte-capped: pre-fix the offset walk stalled SILENTLY at the
+    // gap (no batch ever formed, stream looked idle forever)
+    loud("maxBytesPerTrigger" -> "1")
+    // CDF mode: the readChanges window guard fires
+    loud("readChangeFeed" -> "true")
+    // and from the cut itself the stream serves fine
+    val ok = stream(dir, "startingVersion" -> "21")
+      .writeStream.format("memory").queryName("txsrc_cut_ok").start()
+    try {
+      ok.processAllAvailable()
+      assert(spark.table("txsrc_cut_ok").count() === 8) // v21..24
+    } finally ok.stop()
+  }
+
   test("readChangeFeed: snapshot as inserts; DV delete exactly once across restart") {
     val (t, dir) = mk()
     val out = Files.createTempDirectory("graft-txcdc-out-").toString
