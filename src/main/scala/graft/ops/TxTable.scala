@@ -2285,14 +2285,59 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   /** All logged stats, keyed file → column → (kind, min, max). Later
     * log entries win (a re-added file name is impossible — names are
-    * UUIDs — but override order is defined anyway). */
+    * UUIDs — but override order is defined anyway).
+    *
+    * BOUNDED like replay: when the `_last_checkpoint` pointer names a
+    * checkpoint whose stats sidecar is CONSOLIDATED (the checkpoint
+    * writer folds every active file's stats into its own sidecar,
+    * marked by a leading `#consolidated` line), loading reads that
+    * one file plus the name-probed tail — zero directory listings and
+    * O(interval) sidecar parses per pruned read, instead of listing
+    * and parsing every sidecar the table ever wrote (O(history) per
+    * MERGE/DELETE/filtered scan at streaming-ingest commit rates).
+    * Any doubt (no pointer, unconsolidated sidecar, old table) falls
+    * back to the full listing; a file absent from the map is always
+    * KEPT by pruning, so degraded stats are a performance trade,
+    * never correctness. */
   private def loadStats(): Map[String, Map[String, (String, String, String)]] = {
-    val fs = Option(new File(logDir).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".stats.tsv")).sortBy(_.getName)
-    fs.foldLeft(
-      Map.empty[String, Map[String, (String, String, String)]])(foldStats)
+    val bounded = lastCheckpointVersion().flatMap { pv =>
+      val base = statsFile(pv)
+      if (!statsConsolidated(base)) None
+      else Some {
+        var acc = foldStats(
+          Map.empty[String, Map[String, (String, String, String)]], base)
+        var v = pv + 1
+        while (logFile(v).isFile) {
+          val sf = statsFile(v)
+          if (sf.isFile) acc = foldStats(acc, sf)
+          v += 1
+        }
+        acc
+      }
+    }
+    bounded.getOrElse {
+      logListings.incrementAndGet()
+      val fs = Option(new File(logDir).listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".stats.tsv")).sortBy(_.getName)
+      fs.foldLeft(
+        Map.empty[String, Map[String, (String, String, String)]])(foldStats)
+    }
   }
+
+  private def statsFile(v: Long): File =
+    new File(f"$logDir/$v%020d.stats.tsv")
+
+  /** Does `f` carry the full active-file stats as of its version
+    * (leading `#consolidated` marker)? Old readers ignore the marker
+    * line (it is not a 5-field TSV row), so the format stays
+    * backward-readable. */
+  private def statsConsolidated(f: File): Boolean =
+    f.isFile && {
+      val in = new java.io.BufferedReader(new java.io.FileReader(f))
+      try Option(in.readLine()).exists(_.startsWith("#consolidated"))
+      finally in.close()
+    }
 
   /** The stats of SPECIFIC commit versions' sidecars only — what the
     * rebase probe reads, so a lost race never re-reads the whole
@@ -2623,6 +2668,34 @@ final class TxTable private (spark: SparkSession, dir: String,
         System.currentTimeMillis())
       store.putIfAbsent(ckptFile(version),
         render(c).getBytes(StandardCharsets.UTF_8))
+      // STATS CONSOLIDATION: fold every active file's stats into this
+      // checkpoint's own sidecar (marked `#consolidated`), so pruned
+      // reads load ONE file plus the probed tail instead of every
+      // sidecar the table ever wrote. Loaded through the OLD pointer
+      // (bounded by the previous consolidation), filtered to the
+      // active set, written atomically; stats per file are immutable,
+      // so racing checkpointers write identical content. Best-effort:
+      // a miss just leaves readers on the full-listing fallback.
+      try {
+        val prior = loadStats()
+        val activeSet = files.toSet
+        val lines = prior.toSeq
+          .filter { case (rel, _) => activeSet.contains(rel) }
+          .sortBy(_._1)
+          .flatMap { case (rel, cols) =>
+            cols.toSeq.sortBy(_._1).map { case (cn, (kind, mn, mx)) =>
+              s"${enc(rel)}\t${enc(cn)}\t$kind\t$mn\t$mx"
+            }
+          }
+        val tmp = new File(logDir,
+          s".tmp-stats-${java.util.UUID.randomUUID()}")
+        Files.write(tmp.toPath,
+          ("#consolidated\n" + lines.mkString("\n"))
+            .getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp.toPath, statsFile(version).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () }
       // pointer advances whether WE won the checkpoint CAS or a racing
       // writer did — the checkpoint exists either way
       writeLastCkptPtr(version)
@@ -4684,9 +4757,16 @@ final class TxTable private (spark: SparkSession, dir: String,
             StandardCharsets.UTF_8)
         else ""
       // earlier-version lines PREPEND so any existing cut-version
-      // stats still win the later-entry-wins fold
+      // stats still win the later-entry-wins fold; a checkpoint-
+      // consolidated sidecar keeps its `#consolidated` marker ON TOP
+      // (mid-file it would stop marking, and bounded stats loading
+      // would fall back to the full listing for no reason)
+      val (marker, rest) =
+        if (prior.startsWith("#consolidated"))
+          ("#consolidated\n", prior.dropWhile(_ != '\n').drop(1))
+        else ("", prior)
       Files.write(consolidated.toPath,
-        (keepLines.mkString("\n") + "\n" + prior)
+        (marker + keepLines.mkString("\n") + "\n" + rest)
           .getBytes(StandardCharsets.UTF_8))
     }
     // the pointer must reach at-or-above the cut BEFORE any entry

@@ -224,6 +224,57 @@ class TxLogBoundedSpec extends SparkTestBase {
     assert(t.readChanges(24L).count() === 1)
   }
 
+  test("stats loading is bounded: consolidated at checkpoints, zero listings") {
+    val (t, p) = mk()
+    // 25 appends with disjoint k-ranges, crossing checkpoints 10 & 20
+    (0 to 24).foreach(i =>
+      t.append(df(i * 100 until i * 100 + 10).coalesce(1)))
+    val ck20 = new File(f"$p/_log/${20L}%020d.stats.tsv")
+    assert(ck20.isFile)
+    val head20 = scala.io.Source.fromFile(ck20).getLines().next()
+    assert(head20.startsWith("#consolidated"),
+      "the checkpoint must consolidate the active stats into its sidecar")
+    // a FRESH instance's pruned resolve: stats load through the
+    // pointer's consolidated sidecar + probed tail — zero listings —
+    // and pruning still narrows to the one matching file
+    val t2 = TxTable(spark, p)
+    val l0 = t2.logListings.get()
+    val hit = t2.prunedSnapshot("k", Some(505L), Some(507L))
+    assert(t2.logListings.get() - l0 === 0L,
+      "a pruned read must not LIST the log directory")
+    assert(hit.files.size === 1, s"expected 1 candidate, got ${hit.files}")
+    // pre-checkpoint stats survived consolidation: a range from v3
+    // (k 300..309, committed before ckpt 10) still prunes exactly
+    val old = t2.prunedSnapshot("k", Some(305L), Some(306L))
+    assert(old.files.size === 1)
+    // the bounded map equals the full-listing map: drop the pointer
+    // and compare the same prune
+    assert(new File(s"$p/_log/_last_checkpoint").delete())
+    val t3 = TxTable(spark, p)
+    assert(t3.prunedSnapshot("k", Some(505L), Some(507L))
+      .files.toSet === hit.files.toSet)
+    assert(t3.logListings.get() > 0L)
+  }
+
+  test("cleanupLog keeps the consolidation marker; pruning stays bounded after") {
+    val (t, p) = mk()
+    (0 to 24).foreach(i =>
+      t.append(df(i * 100 until i * 100 + 10).coalesce(1)))
+    // a rewrite above the cut contributes keepLines at cleanup time
+    t.deleteExpr("k >= 2400 AND k < 2405")
+    assert(t.cleanupLog(retainVersions = 5L, minAgeMs = 0L).nonEmpty)
+    val cutStats = new File(f"$p/_log/${20L}%020d.stats.tsv")
+    assert(cutStats.isFile)
+    assert(scala.io.Source.fromFile(cutStats).getLines().next()
+      .startsWith("#consolidated"),
+      "cleanup must keep the marker on top, not bury it mid-file")
+    val t2 = TxTable(spark, p)
+    val l0 = t2.logListings.get()
+    assert(t2.prunedSnapshot("k", Some(505L), Some(507L)).files.size === 1)
+    assert(t2.logListings.get() - l0 === 0L)
+    assert(t2.read().count() === 245) // delete removed 5 rows
+  }
+
   test("entry reads stay flat as history grows (the O(interval) contract)") {
     val (t, p) = mk()
     (0 to 30).foreach(i => t.append(df(i to i)))
