@@ -92,6 +92,24 @@ final class TxSql(spark: SparkSession) {
       case ZOrderRe(ident, colList) => mutating(ident) { t =>
         summary(t.compactZOrdered(zorderCols(colList)))
       }
+      case OptimizeFullRe(ident) => mutating(ident) { t =>
+        // OPTIMIZE t FULL — force the full recluster a bare OPTIMIZE
+        // no longer does (Delta's form for re-sorting after changing
+        // the clustering columns); stamps the watermark like any
+        // recluster, so the next bare OPTIMIZE is incremental again
+        val declared = TxSql.declaredClusterCols(t)
+        require(declared.nonEmpty,
+          s"OPTIMIZE FULL applies to CLUSTER BY tables only — " +
+            s"$ident declares no clustering (use ALTER TABLE … " +
+            "CLUSTER BY first, or bare OPTIMIZE to bin-pack)")
+        val dims = if (declared.size == 1)
+          Seq(declared.head, declared.head) else declared
+        if (t.snapshot().files.isEmpty) summary0()
+        else t.compactZOrderedIncremental(dims, force = true) match {
+          case Some(c) => summary(c)
+          case None    => summary0()
+        }
+      }
       case OptimizeRe(ident, where) => mutating(ident) { t =>
         // OPTIMIZE t [WHERE part = v [AND …]] — Delta's
         // partition-scoped maintenance: only matching leaves repack
@@ -771,6 +789,7 @@ object TxSql {
       case DescribeDetailRe(id) if tx(id)       => Some(DetailSchema)
       case ZOrderWhereRe(id, _, _) if tx(id)    => Some(SummarySchema)
       case ZOrderRe(id, _) if tx(id)            => Some(SummarySchema)
+      case OptimizeFullRe(id) if tx(id)         => Some(SummarySchema)
       case OptimizeRe(id, _) if tx(id)          => Some(SummarySchema)
       case VacuumRe(id, _, _, _) if tx(id)      => Some(VacuumSchema)
       case CleanupLogRe(id, _) if tx(id)        => Some(CleanupSchema)
@@ -833,6 +852,12 @@ object TxSql {
   private val Id = """((?:`[^`]*`|[^\s`])+)"""
   // OPTIMIZE t [WHERE <partition equalities>] — bin-packing, optionally
   // scoped to matching partition leaves (Delta's OPTIMIZE WHERE)
+  // OPTIMIZE t FULL — Delta's liquid-clustering escape hatch: force a
+  // full recluster of a CLUSTER BY table (bare OPTIMIZE is
+  // incremental), advancing the watermark like any recluster
+  private val OptimizeFullRe =
+    s"""(?is)OPTIMIZE\\s+$Id\\s+FULL""".r
+
   private val OptimizeRe =
     s"""(?is)OPTIMIZE\\s+$Id(?:\\s+WHERE\\s+(.+))?""".r
   // OPTIMIZE t ZORDER BY (a, b) — Delta's multi-dimensional

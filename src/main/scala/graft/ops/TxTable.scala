@@ -4489,7 +4489,8 @@ final class TxTable private (spark: SparkSession, dir: String,
   def compactZOrderedIncremental(dims: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
       smallBytes: Long = 0L,
-      maxRetries: Int = 20): Option[Commit] = {
+      maxRetries: Int = 20,
+      force: Boolean = false): Option[Commit] = {
     require(dims.length >= 2,
       s"recluster needs at least two dims; got ${dims.length}")
     val base = snapshot()
@@ -4501,6 +4502,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       .flatMap(v => scala.util.Try(v.toLong).toOption)
     val activeRel = base.files.map(_.stripPrefix(s"$dir/"))
     val selected: Seq[String] = watermark match {
+      case _ if force => activeRel // OPTIMIZE FULL: re-sort the world
       case None => activeRel // first recluster: the whole table
       case Some(w) =>
         val window = commitsBetween(w, base.version)
@@ -4562,7 +4564,7 @@ final class TxTable private (spark: SparkSession, dir: String,
             .exists(n => !TxTable.isMetaToken(n) && !TxTable.isDvName(n)))) {
         staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
         return compactZOrderedIncremental(dims, targetBytes, smallBytes,
-          maxRetries - attempt - 1)
+          maxRetries - attempt - 1, force)
       }
       // the watermark property swaps IN the recluster commit: the new
       // token records this commit's own version, the old (any case

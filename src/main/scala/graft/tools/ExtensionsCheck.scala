@@ -107,7 +107,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 35, s"expected 35 statements, got ${stmts.size}")
+    require(stmts.size == 36, s"expected 36 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -202,6 +202,11 @@ object ExtensionsCheck {
         "RTAS must land as one replace commit")
       require(results(34).head().getLong(0) == 4L,
         "pre-replace snapshot count via catalog-name time travel")
+      // 36. OPTIMIZE FULL on the clustered table re-sorts and returns
+      // a compact summary (bare OPTIMIZE would be an incremental
+      // no-op — nothing landed since statement 30's recluster)
+      require(results(35).head().getString(1) == "compact",
+        "OPTIMIZE FULL action")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")

@@ -1263,6 +1263,31 @@ class TxSqlSpec extends SparkTestBase {
     assert(t.read().count() === 260)
   }
 
+  test("OPTIMIZE FULL forces the full recluster and re-arms the watermark") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 40))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY (k, v)")
+    sql.run(s"OPTIMIZE txtable.`$p`") // full (first) + watermark
+    val clustered = t.snapshot().files.toSet
+    // bare OPTIMIZE is now a no-op; FULL still re-sorts the world
+    assert(sql.run(s"OPTIMIZE txtable.`$p`").count() === 0)
+    val r = sql.run(s"OPTIMIZE txtable.`$p` FULL")
+    assert(r.head().getString(1) === "compact")
+    assert((t.snapshot().files.toSet intersect clustered).isEmpty,
+      "FULL must rewrite every file")
+    assert(t.read().count() === 40)
+    // the watermark advanced with it: bare OPTIMIZE is a no-op again
+    assert(t.property("txtable.lastRecluster") ===
+      Some(t.snapshot().version.toString))
+    assert(sql.run(s"OPTIMIZE txtable.`$p`").count() === 0)
+    // FULL on an unclustered table refuses with direction
+    val (u, q) = mkTable()
+    u.append(df(0 until 5))
+    val e = intercept[Exception](sql.run(s"OPTIMIZE txtable.`$q` FULL"))
+    assert(e.getMessage.contains("CLUSTER BY"))
+  }
+
   test("a concurrent append can never slip under the recluster watermark") {
     import spark.implicits._
     val (t, p) = mkTable()

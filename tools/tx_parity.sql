@@ -123,3 +123,8 @@ LOCATION '${DIR}/rtas' AS
 SELECT id AS k, id * 9 AS v FROM VALUES (9L), (10L) AS r(id);
 
 SELECT COUNT(*) AS n_pre FROM tx_parity_rtas VERSION AS OF 0;
+
+-- 36. OPTIMIZE FULL: bare OPTIMIZE on a clustered table is
+--     INCREMENTAL (no-op here — nothing new since stmt 30's
+--     recluster); FULL forces the re-sort and re-arms the watermark
+OPTIMIZE tx_parity_clst FULL;
