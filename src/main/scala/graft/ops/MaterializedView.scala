@@ -44,12 +44,27 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
   import MaterializedView._
 
   /** Newest base version already folded in (from the refresh commits'
-    * action tags, newest wins); -1 = nothing applied yet. */
-  def appliedVersion: Long =
-    mv.commitLog.reverse.collectFirst {
-      case c if c.action.startsWith(Tag) =>
-        c.action.stripPrefix(Tag).toLong
-    }.getOrElse(-1L)
+    * action tags, newest wins); -1 = nothing applied yet.
+    *
+    * BACKWARD name-probe from the head, not a full-log replay: every
+    * refresh commit is tagged, so the newest tagged entry sits within
+    * a few versions of the head (only foreign commits on the MV table
+    * push it deeper) — O(1) entry reads per refresh instead of
+    * O(refresh history). A missing entry (retention-cleaned below)
+    * stops the walk, same reachable set as the old contiguous
+    * replay's retention floor. */
+  def appliedVersion: Long = {
+    var v = mv.snapshot().version
+    while (v >= 0) {
+      mv.commitsBetween(v - 1, v).headOption match {
+        case Some(c) if c.action.startsWith(Tag) =>
+          return c.action.stripPrefix(Tag).toLong
+        case Some(_) => v -= 1
+        case None    => return -1L // cleaned below: no tag reachable
+      }
+    }
+    -1L
+  }
 
   /** The view's current state: `groupCols…, n_rows, <sumCol>_sum…`. */
   def read(): DataFrame = mv.read()

@@ -60,6 +60,31 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(state(mv.read()) === state(recompute(base)))
   }
 
+  test("appliedVersion backward-probes: many refreshes, foreign commits, cleanup") {
+    val (base, mv) = mk()
+    // 15 refresh rounds: the tag walk must always find the NEWEST tag
+    // (a forward contiguous replay and a backward probe agree; the
+    // probe is O(1) entry reads per call instead of O(refreshes))
+    (0 until 15).foreach { i =>
+      base.append(rows(i * 10 until i * 10 + 10))
+      assert(mv.refresh().isDefined)
+      assert(mv.appliedVersion === i.toLong)
+    }
+    assert(state(mv.read()) === state(recompute(base)))
+    // a FOREIGN (untagged) commit on the MV table — e.g. a manual
+    // OPTIMIZE — must not hide the tag underneath it
+    val mvTable = TxTable(spark,
+      mv.read().inputFiles.head.replaceAll("/[^/]+$", "")
+        .stripPrefix("file:"))
+    mvTable.compact(targetFiles = 1)
+    assert(mv.appliedVersion === 14L)
+    // still refreshable after the interloper
+    base.append(rows(900 until 910))
+    assert(mv.refresh().isDefined)
+    assert(mv.appliedVersion === 15L)
+    assert(state(mv.read()) === state(recompute(base)))
+  }
+
   test("refresh is exactly-once: already-current and replayed folds no-op") {
     val (base, mv) = mk()
     base.append(rows(0 until 50))
