@@ -2407,7 +2407,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     * answers "could this file hold key k?" in ~10 bits/row. Missing
     * sidecar → file kept, so tables committed without [[bloomIndex]]
     * behave exactly as before. */
-  private[ops] def prunedSnapshot(
+  private[graft] def prunedSnapshot(
       column: String, lo: Option[Any], hi: Option[Any]): Snapshot =
     pruneFiles(snapshot(), Seq((column, lo, hi)))
 

@@ -167,6 +167,11 @@ object TxContentionProbe {
           (s"""{"version":$v,"action":"append","add":[],""" +
             s""""remove":[],"ts":$ts,"bytes":0,"rmBytes":0}""")
             .getBytes("UTF-8"))
+        // a per-commit stats sidecar, like a real writer's — what the
+        // pre-r14 loadStats() parsed IN FULL per pruned read
+        Files.write(
+          new java.io.File(logDir, f"$v%020d.stats.tsv").toPath,
+          s"data-synth-$v.parquet\tid\tlong\t$v\t$v\n".getBytes("UTF-8"))
         if (v % TxTable.CheckpointInterval == 0) {
           Files.write(
             new java.io.File(logDir, f"$v%020d.ckpt.json").toPath,
@@ -176,6 +181,13 @@ object TxContentionProbe {
           lastCk = v
         }
       }
+      // the last checkpoint carries a CONSOLIDATED stats sidecar, the
+      // writer's shape after the r14 stats bound
+      Files.write(
+        new java.io.File(logDir, f"$lastCk%020d.stats.tsv").toPath,
+        ("#consolidated\n" +
+          s"data-synth-$lastCk.parquet\tid\tlong\t0\t$lastCk\n")
+          .getBytes("UTF-8"))
       val ptr = new java.io.File(logDir, "_last_checkpoint")
       Files.write(ptr.toPath,
         s"""{"version":$lastCk}""".getBytes("UTF-8"))
@@ -183,6 +195,13 @@ object TxContentionProbe {
       // fresh instance per resolve: no memo, the cross-operation cost
       val resolve = med((1 to 9).map { _ =>
         val (_, s) = time(TxTable(spark, s"$dir/t").snapshot())
+        s
+      })
+      // PRUNED resolve: stats load through the consolidated sidecar +
+      // probed tail (the pre-r14 path parsed every sidecar above)
+      val prunedT = med((1 to 9).map { _ =>
+        val (_, s) = time(TxTable(spark, s"$dir/t")
+          .prunedSnapshot("id", Some(3L), Some(4L)))
         s
       })
       val (_, appendSec) = time(TxTable(spark, s"$dir/t")
@@ -194,8 +213,15 @@ object TxContentionProbe {
         val (_, s) = time(TxTable(spark, s"$dir/t").snapshot())
         s
       })
+      val prunedListed = med((1 to 5).map { _ =>
+        val (_, s) = time(TxTable(spark, s"$dir/t")
+          .prunedSnapshot("id", Some(3L), Some(4L)))
+        s
+      })
       println(f"commits=$n%6d resolve(pointer)=${resolve * 1000}%8.2fms " +
         f"resolve(listing)=${listed * 1000}%8.2fms " +
+        f"pruned(bounded)=${prunedT * 1000}%8.2fms " +
+        f"pruned(listing)=${prunedListed * 1000}%8.2fms " +
         f"append=${appendSec}%5.2fs")
     }
     }
