@@ -141,7 +141,16 @@ object LogStore {
           val tmp = new File(target.getParentFile, s".cput-$token")
           // a PUT that throws must release the claim on its way out —
           // leaking it would stall every writer on this key for the
-          // whole stale horizon over one transient IO error
+          // whole stale horizon over one transient IO error. Release
+          // only OUR claim (token re-check): a holder stalled past
+          // the stale horizon may have been stolen, and deleting the
+          // successor's claim would let a third writer double-win.
+          def releaseOwnClaim(): Unit =
+            try {
+              val owner = new String(Files.readAllBytes(claim.toPath),
+                java.nio.charset.StandardCharsets.UTF_8)
+              if (owner == token) { claim.delete(); () }
+            } catch { case _: Throwable => () }
           try {
             val ch = java.nio.channels.FileChannel.open(tmp.toPath,
               java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -152,7 +161,7 @@ object LogStore {
             } finally ch.close()
           } catch {
             case e: Throwable =>
-              tmp.delete(); claim.delete(); throw e
+              tmp.delete(); releaseOwnClaim(); throw e
           }
           // the claim may have been stolen if we stalled past the
           // stale horizon — only the current claim holder may rename
@@ -166,7 +175,7 @@ object LogStore {
               StandardCopyOption.ATOMIC_MOVE)
             catch {
               case e: Throwable =>
-                tmp.delete(); claim.delete(); throw e
+                tmp.delete(); releaseOwnClaim(); throw e
             }
             claim.delete()
             return true

@@ -102,10 +102,14 @@ final class TxSql(spark: SparkSession) {
           s"OPTIMIZE FULL applies to CLUSTER BY tables only — " +
             s"$ident declares no clustering (use ALTER TABLE … " +
             "CLUSTER BY first, or bare OPTIMIZE to bin-pack)")
-        val dims = if (declared.size == 1)
-          Seq(declared.head, declared.head) else declared
-        if (t.snapshot().files.isEmpty) summary0()
-        else t.compactZOrderedIncremental(dims, force = true) match {
+        val res =
+          if (t.snapshot().files.isEmpty) None
+          else t.compactZOrderedIncremental(TxSql.zdims(declared),
+            force = true)
+        // FULL is maintenance like the bare form: property-driven log
+        // retention fires here too
+        tpRetention(t)
+        res match {
           case Some(c) => summary(c)
           case None    => summary0()
         }
@@ -128,8 +132,7 @@ final class TxSql(spark: SparkSession) {
         val declared = TxSql.declaredClusterCols(t)
         val res =
           if (declared.nonEmpty && t.snapshot().files.nonEmpty) {
-            val dims = if (declared.size == 1)
-              Seq(declared.head, declared.head) else declared
+            val dims = TxSql.zdims(declared)
             if (filter.nonEmpty) t.compactZOrderedWhere(dims, filter)
             else t.compactZOrderedIncremental(dims,
               smallBytes = t.property("txtable.recluster.smallBytes")
@@ -715,7 +718,14 @@ object TxSql {
     * `txtable.clusterBy` property), parsed in ONE place. */
   private[ops] def declaredClusterCols(t: TxTable): Seq[String] =
     t.property("txtable.clusterBy").toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .flatMap(TxTable.parseClusterCols)
+
+  /** One declared column rides the documented duplicate-dimension
+    * idiom (a plain range-clustered sort) — shared by the bare and
+    * FULL OPTIMIZE forms. */
+  private[ops] def zdims(declared: Seq[String]): Seq[String] =
+    if (declared.size == 1) Seq(declared.head, declared.head)
+    else declared
 
   // ----- result schemas, mirrored 1:1 from the frames run() builds —
   // the parser-injected command ([[graft.plans.TxSqlStatement]])

@@ -327,6 +327,12 @@ object TxTable {
   private[ops] def decodeCp(token: String): String =
     unb64(token.stripPrefix("cp-"))
 
+  /** The `txtable.clusterBy` property value's column list — the ONE
+    * parse every consumer (SQL face, engine-level DDL guards, the
+    * rename swap) shares. */
+  private[ops] def parseClusterCols(v: String): Seq[String] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Is `rel` ANY metadata token (constraint, column mapping, dropped
     * column, protocol version, generated column, identity column,
     * transaction marker, table property, copy-into ledger entry)?
@@ -607,22 +613,36 @@ final class TxTable private (spark: SparkSession, dir: String,
       case Some(pv) =>
         afterPointerReadHook() // test seam: interleave a cleanup here
         // bounded path: zero listings — the pointer's checkpoint plus
-        // a name-probed contiguous run above it
-        val ck = readCkpt(pv)
-        val cs = probeEntries(pv + 1, version)
-          .map { case (_, f) => readEntry(f) }
-        val snap = buildSnapshot(Some(ck), cs)
-        // anti-stale guard: cleanupLog advances the pointer BEFORE
-        // deleting entries, so a probe that stopped short of the
-        // requested version at a DELETION gap (a stale pointer read
-        // racing a cleanup) always leaves the on-disk pointer ahead
-        // of the probe's result — re-read it and fall back to the
-        // listing path, which anchors at the newest SURVIVING
-        // checkpoint. Stopping AT the requested version is a clean
-        // time travel, never a gap.
-        if (snap.version < version &&
-            lastCheckpointVersion().exists(_ > snap.version)) viaListing()
-        else snap
+        // a name-probed contiguous run above it. A concurrent cleanup
+        // can delete the (stale) pointer's checkpoint or a probed
+        // entry BETWEEN its existence check and the read — that read
+        // throws, and the listing path (anchored at the newest
+        // SURVIVING checkpoint) is the answer, not a crash.
+        val fast =
+          try {
+            val ck = readCkpt(pv)
+            val cs = probeEntries(pv + 1, version)
+              .map { case (_, f) => readEntry(f) }
+            Some(buildSnapshot(Some(ck), cs))
+          } catch {
+            // NoSuchFile/torn reads, and a parquet sidecar dir deleted
+            // under spark.read (surfaces as an analysis error)
+            case _: java.io.IOException |
+                _: java.io.UncheckedIOException |
+                _: org.apache.spark.sql.AnalysisException => None
+          }
+        fast match {
+          // anti-stale guard: cleanupLog advances the pointer BEFORE
+          // deleting entries, so a probe that stopped short of the
+          // requested version at a DELETION gap (a stale pointer read
+          // racing a cleanup) always leaves the on-disk pointer ahead
+          // of the probe's result — re-read it and fall back to the
+          // listing path. Stopping AT the requested version is a
+          // clean time travel, never a gap.
+          case Some(snap) if !(snap.version < version &&
+              lastCheckpointVersion().exists(_ > snap.version)) => snap
+          case _ => viaListing()
+        }
       case None => viaListing()
     }
   }
@@ -1002,7 +1022,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           TxTable.decodeTp(t)._1.equalsIgnoreCase("txtable.clusterBy"))
         .flatMap { tok =>
           val (k, v) = TxTable.decodeTp(tok)
-          val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+          val cols = TxTable.parseClusterCols(v)
           if (cols.exists(_.equalsIgnoreCase(oldName)))
             Some(tok -> TxTable.encodeTp(k, cols.map(c =>
               if (c.equalsIgnoreCase(oldName)) newName else c)
@@ -1053,7 +1073,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val clusterCols = tpMap(head)
         .collectFirst { case (k, v)
             if k.equalsIgnoreCase("txtable.clusterBy") => v }
-        .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .toSeq.flatMap(TxTable.parseClusterCols)
       require(!clusterCols.exists(_.equalsIgnoreCase(name)),
         s"cannot drop column $name: it is a declared clustering " +
           s"column (CLUSTER BY ${clusterCols.mkString(", ")}); " +
@@ -4493,6 +4513,12 @@ final class TxTable private (spark: SparkSession, dir: String,
       force: Boolean = false): Option[Commit] = {
     require(dims.length >= 2,
       s"recluster needs at least two dims; got ${dims.length}")
+    // fail BEFORE staging: an exhausted retry budget (consecutive
+    // interleaved appends restarting selection) must not pay a full
+    // rewrite only to delete it and error
+    if (maxRetries <= 0)
+      sys.error("recluster contention: interleaved commits exhausted " +
+        s"the retry budget in $logDir")
     val base = snapshot()
     if (base.files.isEmpty) return None
     val rcKey = "txtable.lastRecluster"
@@ -4767,9 +4793,19 @@ final class TxTable private (spark: SparkSession, dir: String,
         if (prior.startsWith("#consolidated"))
           ("#consolidated\n", prior.dropWhile(_ != '\n').drop(1))
         else ("", prior)
-      Files.write(consolidated.toPath,
+      // ATOMIC replace: the bounded stats path anchors every pruned
+      // read on this very file — a truncate+write would let a
+      // concurrent reader parse a torn numeric bound and WRONGLY
+      // prune (missing rows), where torn-vs-absent stats only ever
+      // kept files
+      val tmpStats = new File(logDir,
+        s".tmp-stats-${java.util.UUID.randomUUID()}")
+      Files.write(tmpStats.toPath,
         (marker + keepLines.mkString("\n") + "\n" + rest)
           .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmpStats.toPath, consolidated.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // the pointer must reach at-or-above the cut BEFORE any entry
     // dies: a surviving stale pointer below the cut would make the
