@@ -102,19 +102,49 @@ object LogStore {
     * arbitrated again. A claim older than `staleClaimMs` is STOLEN:
     * the stealer renames it to a graveyard name (rename is atomic, so
     * exactly one stealer wins the steal) and re-enters arbitration.
-    * The token re-check in step 2 closes the stolen-while-alive
-    * window for any stall shorter than the stale horizon; a writer
-    * stalled LONGER than `staleClaimMs` mid-PUT can still double-put
-    * — size the horizon generously above worst-case PUT latency (the
-    * production default is 10 minutes; a real object store's
-    * server-side conditional PUT has no such window, which is exactly
-    * why it is the preferred deployment primitive). */
+    *
+    * Stolen-while-alive defense, three layers:
+    *  1. HEARTBEAT — the holder refreshes its claim's mtime every
+    *     `staleClaimMs/4` from a daemon thread for as long as the PUT
+    *     is in flight, so a LIVE holder's claim never ages toward the
+    *     stale horizon no matter how slow the content write is: PUT
+    *     latency is off the horizon-sizing table entirely.
+    *  2. TOKEN RE-CHECK — immediately before the rename the holder
+    *     re-reads the claim; a stolen claim (token mismatch) aborts
+    *     the rename and re-arbitrates.
+    *  3. TARGET RE-CHECK — also immediately before the rename: a key
+    *     that appeared loses, never renames over a decided entry.
+    * What remains is a WHOLE-JVM stall (stop-the-world GC, SIGSTOP,
+    * VM freeze — the heartbeat thread stalls with the writer) longer
+    * than ~3/4 of the horizon that resumes EXACTLY inside the
+    * microseconds between re-check and rename while a stealer has
+    * already decided the key — size `staleClaimMs` above the
+    * worst-case whole-process stall (the 10-minute default dwarfs any
+    * real GC pause; a real object store's server-side conditional PUT
+    * has no such window at all, which is exactly why it is the
+    * preferred deployment primitive). */
   final class FileConditionalPut(staleClaimMs: Long = 600000L)
       extends ConditionalPutClient {
+
+    /** Test seam: fired right after claim acquisition, BEFORE the
+      * heartbeat starts — a stall here ages the claim like a whole-JVM
+      * freeze would (specs pin that the token re-check then LOSES the
+      * put instead of double-putting). */
+    private[ops] var afterClaimHook: () => Unit = () => ()
+
+    /** Test seam: fired after the content write, WHILE the heartbeat
+      * is running — a stall here models an arbitrarily slow PUT (specs
+      * pin that a live holder is never stolen). */
+    private[ops] var midPutHook: () => Unit = () => ()
+
     def putIfAbsent(key: String, content: Array[Byte]): Boolean = {
       val target = new File(key)
       val claim = new File(key + ".claim")
       val token = UUID.randomUUID().toString
+      def ownsClaim(): Boolean =
+        try new String(Files.readAllBytes(claim.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == token
+        catch { case _: Throwable => false }
       while (true) {
         if (target.exists()) return false
         val claimed =
@@ -138,6 +168,7 @@ object LogStore {
           // always observes the key here): losing now — not renaming
           // over it — is what keeps entries immutable
           if (target.exists()) { claim.delete(); return false }
+          afterClaimHook()
           val tmp = new File(target.getParentFile, s".cput-$token")
           // a PUT that throws must release the claim on its way out —
           // leaking it would stall every writer on this key for the
@@ -146,39 +177,63 @@ object LogStore {
           // the stale horizon may have been stolen, and deleting the
           // successor's claim would let a third writer double-win.
           def releaseOwnClaim(): Unit =
+            try { if (ownsClaim()) { claim.delete(); () } }
+            catch { case _: Throwable => () }
+          // heartbeat (defense layer 1): keep OUR live claim's mtime
+          // fresh for the PUT's whole flight; stops touching the
+          // moment the token no longer matches (stolen — the
+          // successor's claim must age on its own clock)
+          val beat = new Thread(() => {
             try {
-              val owner = new String(Files.readAllBytes(claim.toPath),
-                java.nio.charset.StandardCharsets.UTF_8)
-              if (owner == token) { claim.delete(); () }
-            } catch { case _: Throwable => () }
-          try {
-            val ch = java.nio.channels.FileChannel.open(tmp.toPath,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
+              var ours = true
+              while (ours) {
+                Thread.sleep(math.max(1L, staleClaimMs / 4))
+                ours = ownsClaim()
+                if (ours)
+                  claim.setLastModified(System.currentTimeMillis())
+              }
+            } catch { case _: InterruptedException => () }
+          })
+          beat.setDaemon(true)
+          beat.start()
+          val renamed =
             try {
-              ch.write(java.nio.ByteBuffer.wrap(content))
-              ch.force(true)
-            } finally ch.close()
-          } catch {
-            case e: Throwable =>
-              tmp.delete(); releaseOwnClaim(); throw e
-          }
-          // the claim may have been stolen if we stalled past the
-          // stale horizon — only the current claim holder may rename
-          val stillOurs =
-            try new String(Files.readAllBytes(claim.toPath),
-              java.nio.charset.StandardCharsets.UTF_8) == token
-            catch { case _: Throwable => false }
-          if (!stillOurs) { tmp.delete() } // stolen: re-arbitrate
-          else {
-            try Files.move(tmp.toPath, target.toPath,
-              StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              case e: Throwable =>
-                tmp.delete(); releaseOwnClaim(); throw e
-            }
-            claim.delete()
-            return true
+              try {
+                val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+                  java.nio.file.StandardOpenOption.CREATE_NEW,
+                  java.nio.file.StandardOpenOption.WRITE)
+                try {
+                  ch.write(java.nio.ByteBuffer.wrap(content))
+                  ch.force(true)
+                } finally ch.close()
+              } catch {
+                case e: Throwable =>
+                  tmp.delete(); releaseOwnClaim(); throw e
+              }
+              midPutHook()
+              // defense layers 2+3, immediately before the rename: the
+              // claim may have been stolen if the whole JVM stalled
+              // past the stale horizon — only the current claim holder
+              // may rename, and never over a key a stealer already
+              // decided (POSIX ATOMIC_MOVE would silently replace it)
+              if (!ownsClaim()) {
+                tmp.delete(); None // stolen: re-arbitrate
+              } else if (target.exists()) {
+                tmp.delete(); releaseOwnClaim(); Some(false)
+              } else {
+                try Files.move(tmp.toPath, target.toPath,
+                  StandardCopyOption.ATOMIC_MOVE)
+                catch {
+                  case e: Throwable =>
+                    tmp.delete(); releaseOwnClaim(); throw e
+                }
+                claim.delete()
+                Some(true)
+              }
+            } finally beat.interrupt()
+          renamed match {
+            case Some(r) => return r
+            case None    => () // loop: re-arbitrate
           }
         } else if (target.exists()) {
           return false // the claimant finished: a normal lost PUT

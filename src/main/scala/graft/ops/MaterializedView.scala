@@ -137,14 +137,24 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
   }
 
   /** `current ⊕ delta`: full-outer on the group keys, null-safe adds,
-    * groups emptied by deletes dropped. Runs at MV cardinality. */
+    * groups emptied by deletes dropped. Runs at MV cardinality.
+    *
+    * The join is NULL-SAFE (`<=>`) on every key: SQL GROUP BY makes
+    * NULL a group, and an equality join would keep the current and
+    * delta NULL-group rows apart — two NULL rows in the view and a
+    * count that never converges. */
   private def combine(current: DataFrame, delta: DataFrame): DataFrame = {
-    val d = aggNames.foldLeft(delta)((df, c) =>
+    val d0 = aggNames.foldLeft(delta)((df, c) =>
       df.withColumnRenamed(c, c + "_d"))
-    current.join(d, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ aggNames.map(c =>
-        (coalesce(col(c), lit(0L)) + coalesce(col(c + "_d"), lit(0L)))
-          .as(c)): _*)
+    val d = groupCols.foldLeft(d0)((df, c) =>
+      df.withColumnRenamed(c, c + "_g"))
+    val cond = groupCols.map(c => col(c) <=> col(c + "_g"))
+      .reduce(_ && _)
+    current.join(d, cond, "full_outer")
+      .select(groupCols.map(c => coalesce(col(c), col(c + "_g")).as(c)) ++
+        aggNames.map(c =>
+          (coalesce(col(c), lit(0L)) + coalesce(col(c + "_d"), lit(0L)))
+            .as(c)): _*)
       .where(col(NRows) > 0L)
   }
 

@@ -275,13 +275,33 @@ final class TxSql(spark: SparkSession) {
           case None    => summary0()
         }
       }
+      // both targets are freshly-created 1-commit tables, so head ==
+      // first — resolved through the bounded path, never a full-log
+      // parse (the last commitLog consumer on a user-triggered path)
+      // CREATE MATERIALIZED VIEW mv AS SELECT g…, COUNT(*) AS n_rows
+      // [, SUM(c) AS c_sum…] FROM base GROUP BY g… — the SQL face of
+      // [[MaterializedView]] (Delta Live Tables / Snowflake shape):
+      // the definition persists as table properties ON the MV's own
+      // TxTable, the initial population is the first refresh commit,
+      // and REFRESH MATERIALIZED VIEW folds only the base's CDF
+      // window since the last refresh. Maintainable aggregates only
+      // (COUNT(*) and SUM — the self-maintainable homomorphisms);
+      // MIN/MAX/AVG refuse loudly at CREATE time.
+      case CreateMvRe(ident, select) => runCreateMv(ident, select)
+      case RefreshMvRe(ident) => mutating(ident) { t =>
+        val mv = openMv(t)
+        mv.refresh() match {
+          case Some(c) => summary(c)
+          case None    => summary0()
+        }
+      }
       case ConvertRe(path) =>
         val t = TxTable.convert(spark, unquote(path.trim))
-        summary(t.commitLog.head)
+        summary(t.headCommit)
       case CloneRe(dst, src, version) =>
         val v = Option(version).map(_.toLong).getOrElse(Long.MaxValue)
         val c = resolve(src).cloneTo(unquote(dst.trim), v)
-        summary(c.commitLog.head)
+        summary(c.headCommit)
       case _ =>
         // DML detection goes through the NON-INJECTED catalyst parser:
         // under [[graft.plans.TxSqlParser]] injection the session's
@@ -550,6 +570,150 @@ final class TxSql(spark: SparkSession) {
       sourceKeys = keyPairs.map(_._2), widenBy = widenBy))
     refreshCatalog(tparts)
     r
+  }
+
+  // ---------------------------------------------- materialized views
+  /** `CREATE MATERIALIZED VIEW mv AS SELECT …` (see [[run]]): parse
+    * the definition with Spark's parser, validate maintainability,
+    * persist the definition as table properties on the MV's own
+    * TxTable, populate (the first refresh commit), and — for a
+    * catalog-named MV — create the catalog entry. */
+  private def runCreateMv(ident: String, select: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.types.IntegerType
+    val plan = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parsePlan(select.trim)
+    val agg = plan match {
+      case a: Aggregate => a
+      case _ => sys.error(
+        "CREATE MATERIALIZED VIEW requires AS SELECT … FROM <base> " +
+          "GROUP BY … — a single grouped aggregate over one table " +
+          "(joins/unions are not incrementally maintainable here)")
+    }
+    def rel(p: LogicalPlan): Seq[String] = p match {
+      case SubqueryAlias(_, child) => rel(child)
+      case r: UnresolvedRelation   => r.multipartIdentifier
+      case other => sys.error(
+        "materialized view base must be a plain table reference, " +
+          s"got: ${other.nodeName}")
+    }
+    val baseParts = rel(agg.child)
+    def byOrdinal(i: Int): String = {
+      require(i >= 1 && i <= agg.aggregateExpressions.size,
+        s"GROUP BY ordinal $i out of range")
+      agg.aggregateExpressions(i - 1) match {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case other => sys.error(
+          s"GROUP BY ordinal $i names a non-column item: ${other.sql}")
+      }
+    }
+    val groupCols: Seq[String] = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal(i) =>
+        byOrdinal(i)
+      case Literal(i: Int, IntegerType) => byOrdinal(i)
+      case other => sys.error(
+        "materialized view GROUP BY supports plain columns; got: " +
+          other.sql)
+    }
+    require(groupCols.nonEmpty,
+      "materialized view needs at least one GROUP BY column")
+    val groupSet = groupCols.map(_.toLowerCase).toSet
+    def isCountStar(f: UnresolvedFunction): Boolean =
+      f.arguments.isEmpty || (f.arguments match {
+        case Seq(_: UnresolvedStar) => true
+        case Seq(Literal(v, _))     => v != null
+        case _                      => false
+      })
+    var sawCount = false
+    val sums = Seq.newBuilder[String]
+    val notMaintainable = "not maintainable under deletes: %s — " +
+      "maintained aggregates are COUNT(*) AS n_rows and SUM(col) AS " +
+      "col_sum (AVG derives as col_sum / n_rows; MIN/MAX would need " +
+      "per-group value multisets)"
+    agg.aggregateExpressions.foreach {
+      case a: UnresolvedAttribute =>
+        require(groupSet.contains(a.nameParts.last.toLowerCase),
+          s"SELECT item ${a.nameParts.last} is neither a GROUP BY " +
+            "column nor an aggregate")
+      case al: Alias => al.child match {
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("count") &&
+              !f.isDistinct && isCountStar(f) =>
+          require(al.name == MaterializedView.NRows,
+            s"COUNT(*) must alias ${MaterializedView.NRows} (the " +
+              s"maintained row-count column); got: ${al.name}")
+          sawCount = true
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("sum") &&
+              !f.isDistinct =>
+          f.arguments match {
+            case Seq(a: UnresolvedAttribute) =>
+              val c = a.nameParts.last
+              require(al.name.equalsIgnoreCase(c + "_sum"),
+                s"SUM($c) must alias ${c}_sum (the maintained column " +
+                  s"name); got: ${al.name}")
+              sums += c
+            case _ => sys.error(
+              "SUM over a single base column only; got: " + al.child.sql)
+          }
+        case other => sys.error(notMaintainable.format(other.sql))
+      }
+      case other => sys.error(notMaintainable.format(other.sql))
+    }
+    require(sawCount,
+      s"the SELECT must include COUNT(*) AS ${MaterializedView.NRows} " +
+        "— the maintained row count is what empties groups under deletes")
+    val base = resolveParts(baseParts)
+    val mvParts = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(ident.trim)
+    def quoted = mvParts
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val (mvDir, catalogName) = mvParts match {
+      case Seq(p, path) if p.equalsIgnoreCase("txtable") => (path, false)
+      case _ =>
+        val id = mvParts match {
+          case Seq(t0)     => TableIdentifier(t0)
+          case Seq(db, t0) => TableIdentifier(t0, Some(db))
+          case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
+            TableIdentifier(t0, Some(db))
+          case _ => sys.error(s"cannot resolve ${mvParts.mkString(".")}")
+        }
+        require(!(try spark.sessionState.catalog.tableExists(id)
+          catch { case _: Exception => false }),
+          s"CREATE MATERIALIZED VIEW: $quoted already exists")
+        (spark.sessionState.catalog.defaultTablePath(id).getPath, true)
+    }
+    val mvT = TxTable(spark, mvDir)
+    require(mvT.snapshot().version < 0,
+      s"materialized view location $mvDir already holds a table")
+    // the definition IS table metadata: refreshes (this session or
+    // any later one) rebuild the view object from these properties
+    mvT.setProperties(Map(
+      "txtable.mv.base" -> base.tableDir,
+      "txtable.mv.groupBy" -> groupCols.mkString(","),
+      "txtable.mv.sums" -> sums.result().mkString(",")))
+    val commit = MaterializedView(spark, base, mvDir,
+      groupCols, sums.result()).refresh()
+    if (catalogName) {
+      spark.sql(s"CREATE TABLE $quoted USING txtable " +
+        s"OPTIONS (path '$mvDir')")
+      refreshCatalog(mvParts)
+    }
+    commit.map(summary).getOrElse(summary0())
+  }
+
+  /** Rebuild the [[MaterializedView]] object from the definition
+    * properties a CREATE persisted on the MV's table. */
+  private def openMv(t: TxTable): MaterializedView = {
+    val baseLoc = t.property("txtable.mv.base").getOrElse(sys.error(
+      "REFRESH MATERIALIZED VIEW target is not a materialized view " +
+        s"(no txtable.mv.base property): ${t.tableDir}"))
+    def csv(k: String): Seq[String] = t.property(k).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    MaterializedView(spark, TxTable(spark, baseLoc), t.tableDir,
+      csv("txtable.mv.groupBy"), csv("txtable.mv.sums"))
   }
 
   // ------------------------------------------------- reference helpers
@@ -822,6 +986,10 @@ object TxSql {
       case CopyIntoRe(id, _, _, _) if tx(id)    => Some(SummarySchema)
       case ConvertRe(_)                         => Some(SummarySchema)
       case CloneRe(_, src, _) if tx(src)        => Some(SummarySchema)
+      // our grammar either way (Spark has no MV DDL): CREATE routes
+      // unconditionally; REFRESH routes when the target resolves tx
+      case CreateMvRe(_, _)                     => Some(SummarySchema)
+      case RefreshMvRe(id) if tx(id)            => Some(SummarySchema)
       case _                                    => None
     }
   }
@@ -931,6 +1099,13 @@ object TxSql {
     s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+RENAME\\s+COLUMN\\s+$Id\\s+TO\\s+$Id""".r
   private val DropColumnRe =
     s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+COLUMN\\s+$Id""".r
+  // CREATE MATERIALIZED VIEW mv AS SELECT … FROM base GROUP BY … /
+  // REFRESH MATERIALIZED VIEW mv — incrementally maintained aggregate
+  // views over a transactional base (see run())
+  private val CreateMvRe =
+    s"""(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s+AS\\s+(SELECT\\s.+)""".r
+  private val RefreshMvRe =
+    s"""(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Id""".r
   // CONVERT TO TXTABLE parquet.`/dir` — adopt a plain-parquet
   // directory in place (Delta's CONVERT TO DELTA shape)
   private val ConvertRe =

@@ -570,9 +570,22 @@ final class TxTable private (spark: SparkSession, dir: String,
       .takeWhile { case (c, i) => c.version == start + i }.map(_._1)
   }
 
-  /** Full parsed commit log, oldest first — driver-side, file-name
-    * scale (consumers: [[MaterializedView]]'s watermark scan). */
+  /** Full parsed commit log, oldest first — an O(history) listing +
+    * replay; no user-triggered path may consume this (use
+    * [[headCommit]] / [[commitsBetween]] / [[history]] instead). Kept
+    * only for test assertions on short logs. */
   private[ops] def commitLog: Seq[Commit] = commits()
+
+  /** The head commit ENTRY through the BOUNDED path: one snapshot
+    * resolve (pointer + probe) plus one entry read — never a full-log
+    * parse. The head entry always survives retention cleanup
+    * ([[cleanupLog]] cuts strictly below its checkpoint), so the read
+    * cannot gap. */
+  private[ops] def headCommit: Commit = {
+    val v = snapshot().version
+    require(v >= 0, s"no commits in $logDir")
+    readEntry(logFile(v))
+  }
 
   /** Latest committed snapshot (version -1 = empty table). */
   def snapshot(): Snapshot = snapshotAt(Long.MaxValue)
@@ -1746,9 +1759,25 @@ final class TxTable private (spark: SparkSession, dir: String,
   def commitsIterator(fromVersion: Long,
       toVersion: Long = Long.MaxValue): Iterator[Commit] = {
     val base = math.max(fromVersion, -1L)
+    // ONE check-and-read step per version: a cleanupLog racing the walk
+    // can delete an entry between a separate stat and its read — that
+    // must surface as the contiguity stop (the same answer a gap
+    // gives), never a raw NoSuchFileException out of a getOffset byte
+    // walk. Single-step also halves the per-element stat cost.
     Iterator.iterate(base + 1)(_ + 1)
-      .takeWhile(v => v <= toVersion && logFile(v).isFile)
-      .map(v => readEntry(logFile(v)))
+      .takeWhile(_ <= toVersion)
+      .map { v =>
+        val f = logFile(v)
+        if (!f.isFile) None
+        else
+          try Some(readEntry(f))
+          catch {
+            case _: java.nio.file.NoSuchFileException |
+                _: java.io.FileNotFoundException => None
+          }
+      }
+      .takeWhile(_.isDefined)
+      .map(_.get)
   }
 
   /** Resolve table-relative file names to absolute paths, failing
@@ -1791,7 +1820,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     // retention contract as vacuumed data files)
     val expectedTo = math.min(toVersion, snapshot().version)
     val cs0 = commitsBetween(fromVersion, toVersion)
-    require(cs0.size >= math.max(0L, expectedTo - fromVersion),
+    // expected count from the CLAMPED base (commitsBetween's own
+    // clamp): an unclamped fromVersion < -1 over a fully intact log
+    // would compute a window larger than reality and spuriously throw
+    require(cs0.size >= math.max(0L, expectedTo - math.max(fromVersion, -1L)),
       s"change feed (v$fromVersion, v$expectedTo]: commit entries " +
         "missing from the log (cleaned by cleanupLog?) — the earliest " +
         "resolvable change window starts at the oldest surviving entry")
@@ -4550,6 +4582,23 @@ final class TxTable private (spark: SparkSession, dir: String,
         }
     }
     if (selected.isEmpty) return None
+    // retire deletion vectors this rewrite makes INERT: selected files
+    // are read with vectors APPLIED (deletes materialize into the
+    // staged output), so a vector whose every target is selected must
+    // leave the active set with them — otherwise inert dv tokens
+    // accumulate on every bare OPTIMIZE of a DV-bearing CLUSTER BY
+    // table (unbounded snapshot growth, dv files VACUUM can never
+    // reclaim). A vector also covering an UNSELECTED file stays: its
+    // deletes there are still live. Driver-side dv reads, file-name
+    // scale, memoized like every touched-file lookup.
+    val selectedSet = selected.toSet
+    val retiredDvs: Seq[String] =
+      if (base.dvs.isEmpty) Nil
+      else if (selected.size == activeRel.size)
+        base.dvs.map(_.stripPrefix(s"$dir/")) // full rewrite: all inert
+      else base.dvs.map(_.stripPrefix(s"$dir/")).filter { dvRel =>
+        touchedFiles(Seq(s"$dir/$dvRel")).forall(selectedSet.contains)
+      }
     val sub = Snapshot(base.version, selected.map(n => s"$dir/$n"),
       base.dvs, dir, base.merged, base.cts, base.cms)
     val bytes = selected.map(n => new File(dir, n).length()).sum
@@ -4599,7 +4648,7 @@ final class TxTable private (spark: SparkSession, dir: String,
         TxTable.decodeTp(t)._1.equalsIgnoreCase(rcKey))
       val c = Commit(head.version + 1, "compact",
         staged :+ TxTable.encodeTp(rcKey, (head.version + 1).toString),
-        selected ++ oldRc, System.currentTimeMillis())
+        selected ++ oldRc ++ retiredDvs, System.currentTimeMillis())
       if (tryCommit(c, stats)) return Some(c)
       attempt += 1
     }
@@ -4747,12 +4796,24 @@ final class TxTable private (spark: SparkSession, dir: String,
   def cleanupLog(retainVersions: Long = 100L,
       minAgeMs: Long = 60 * 60 * 1000L): Seq[String] = {
     require(retainVersions >= 1L, "retainVersions must be >= 1")
+    // crash leftovers in _log are invisible to the log protocol, so
+    // retention is the only reclaim point: a checkpointer killed
+    // mid-sidecar leaves a `.tmp-ckpt-*` directory (and `.tmp-stats-*`
+    // / `.tmp-ptr-*` / HardLink `.tmp-*` files), a conditional-PUT
+    // writer leaves `.cput-*` temps, a stealer killed between
+    // graveyard rename and delete leaves `.dead-*` claims, and an IO
+    // failure while writing a claim leaves an OWNERLESS `.claim` that
+    // blocks all writers on its key for the full stale horizon. All
+    // age-guarded by the same minAgeMs — far past both any in-flight
+    // commit and FileConditionalPut's default stale horizon (live
+    // holders heartbeat their claim's mtime, so age is a safe signal).
+    val swept = sweepLogLeftovers(System.currentTimeMillis() - minAgeMs)
     val (cfs, ckpts) = listLog()
     val head = snapshot().version
-    if (head < 0) return Nil
+    if (head < 0) return swept
     val target = head - retainVersions + 1
     val cut = ckpts.map(_._1).filter(_ <= target) match {
-      case Nil => return Nil // no checkpoint old enough to cut at
+      case Nil => return swept // no checkpoint old enough to cut at
       case vs  => vs.max
     }
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -4813,7 +4874,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // snapshot as the head. Advance-or-abort — the pointer write is
     // normally best-effort, but here it gates destruction.
     writeLastCkptPtr(cut)
-    if (lastCheckpointVersion().forall(_ < cut)) return Nil
+    if (lastCheckpointVersion().forall(_ < cut)) return swept
     val dead = (cfs ++ ckpts)
       .filter { case (v, f) => v < cut && f.lastModified() <= cutoff }
     dead.foreach(_._2.delete())
@@ -4823,8 +4884,25 @@ final class TxTable private (spark: SparkSession, dir: String,
       .filter(_.exists())
     deadSidecars.foreach(rmTree)
     deadStats.foreach(_._2.delete())
-    ((dead ++ deadStats).map(_._2.getName) ++
+    (swept ++ (dead ++ deadStats).map(_._2.getName) ++
       deadSidecars.map(_.getName)).sorted
+  }
+
+  /** Reclaim age-expired crash leftovers from `_log` (see
+    * [[cleanupLog]]): `.tmp-*` / `.cput-*` / `.dead-*` temps (files or
+    * directories — a torn checkpoint sidecar is a tree) and ownerless
+    * `*.claim` files, all strictly older than `cutoff`. Returns the
+    * reclaimed names. One listing, O(leftovers) deletes. */
+  private def sweepLogLeftovers(cutoff: Long): Seq[String] = {
+    val fs = Option(new File(logDir).listFiles())
+      .getOrElse(Array.empty[File])
+    fs.filter { f =>
+      val n = f.getName
+      (n.startsWith(".tmp-") || n.startsWith(".cput-") ||
+        n.startsWith(".dead-") || n.endsWith(".claim")) &&
+        f.lastModified() <= cutoff
+    }.map { f => if (f.isDirectory) rmTree(f) else f.delete(); f.getName }
+      .toSeq.sorted
   }
 
   /** `dryRun` (Delta's `VACUUM … DRY RUN`): list exactly what a real

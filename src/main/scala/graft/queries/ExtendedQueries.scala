@@ -1825,6 +1825,46 @@ object ExtendedQueries {
       }
     }))
 
+  // ------------------------------- TxTable: mat. view SQL lifecycle
+  /** The materialized view driven entirely through SQL TEXT — the
+    * user-complete face of k21 (`CREATE MATERIALIZED VIEW … AS SELECT
+    * … GROUP BY …`, mixed DML on the base, `REFRESH MATERIALIZED
+    * VIEW`): the definition is parsed by Spark's parser, validated
+    * for maintainability, persisted as table properties on the MV's
+    * own TxTable, and every refresh folds only the base's CDF window.
+    * The oracle recomputes the final aggregate from scratch, so a
+    * definition mis-parse, a missed fold, or a double-applied window
+    * breaks the hash. Refresh cost is O(changed window) + O(groups),
+    * identical machinery to k21 — the SQL face adds zero data-path
+    * code. */
+  private val txMvSql = GraftQuery(
+    "k42_tx_mv_sql",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvsql-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"))
+      base.append(li.where(col("l_orderkey") % 2 === 0))
+      val sql = graft.ops.TxSql(s)
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT l_suppkey, COUNT(*) AS n_rows, SUM(l_qty) AS l_qty_sum " +
+        s"FROM txtable.`$dir/lineitem` GROUP BY l_suppkey")
+      base.append(li.where(col("l_orderkey") % 2 === 1))
+      sql.run(s"DELETE FROM txtable.`$dir/lineitem` " +
+        "WHERE l_orderkey BETWEEN 1 AND 500")
+      sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      graft.ops.TxTable(s, s"$dir/mv").read()
+        .select(col("l_suppkey"), col("n_rows"), col("l_qty_sum"))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS l_qty_sum
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1 AND 500
+            GROUP BY 1"""),
+    bench = false)
+
   // ------------------------------------------------------------- A33
   /** WITH RECURSIVE (Spark 4's recursive CTE — the SQL-surface gap that
     * historically forced iterative driver loops): every part climbs the
@@ -1902,5 +1942,5 @@ object ExtendedQueries {
     txChangeFeed, txBatchCdfOptions, txDeletionVectors, txSchemaEvolution,
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
-    recursiveCte, variantJson)
+    txMvSql, recursiveCte, variantJson)
 }

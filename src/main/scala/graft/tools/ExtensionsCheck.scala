@@ -107,7 +107,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 36, s"expected 36 statements, got ${stmts.size}")
+    require(stmts.size == 40, s"expected 40 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -207,6 +207,20 @@ object ExtensionsCheck {
       // no-op — nothing landed since statement 30's recluster)
       require(results(35).head().getString(1) == "compact",
         "OPTIMIZE FULL action")
+      // 37-40. MATERIALIZED VIEW in pure SQL: CREATE populated (one
+      // refresh commit), the UPDATE moved id=5 from the NULL status
+      // group into 'merged', REFRESH folded exactly that CDF window,
+      // and the view's final state matches the hand recompute —
+      // including the NULL group staying ONE row
+      require(results(36).head().getString(1).startsWith("mv-refresh-"),
+        "CREATE MATERIALIZED VIEW should populate via a refresh commit")
+      require(results(38).head().getString(1).startsWith("mv-refresh-"),
+        "REFRESH MATERIALIZED VIEW should commit a fold")
+      val mvRows = results(39).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      require(mvRows == Seq((null, 3L, 110L), ("ins", 1L, 770L),
+        ("merged", 2L, 1050L), ("new", 1L, 90L)),
+        s"materialized view state: $mvRows")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")

@@ -140,6 +140,63 @@ class LogStoreSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("FileConditionalPut: heartbeat keeps a live-but-SLOW holder from being stolen") {
+    // the r14 advice's double-put shape: holder's PUT outlasts the
+    // stale horizon. With the heartbeat, the claim's mtime stays fresh
+    // for the PUT's whole flight, so a racer must BLOCK (live claim)
+    // and then lose — never steal, never double-put.
+    val dir = Files.createTempDirectory("graft-ls-beat-").toFile
+    val target = new File(dir, "00000000000000000005.json")
+    val slow = new LogStore.FileConditionalPut(staleClaimMs = 200L)
+    slow.midPutHook = () => Thread.sleep(700L) // PUT flight = 3.5 horizons
+    val racer = new LogStore.FileConditionalPut(staleClaimMs = 200L)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val holder = Future(slow.putIfAbsent(target.getAbsolutePath,
+        "holder".getBytes(StandardCharsets.UTF_8)))
+      Thread.sleep(350L) // claim is now older than the horizon sans beats
+      val late = Future(racer.putIfAbsent(target.getAbsolutePath,
+        "racer".getBytes(StandardCharsets.UTF_8)))
+      assert(Await.result(holder, 10.seconds), "the live holder must win")
+      assert(!Await.result(late, 10.seconds), "the racer must lose, not steal")
+      assert(new String(Files.readAllBytes(target.toPath),
+        StandardCharsets.UTF_8) === "holder")
+      assert(dir.listFiles().map(_.getName).toSet === Set(target.getName),
+        "no claim/temp droppings")
+    } finally pool.shutdown()
+  }
+
+  test("FileConditionalPut: a whole-JVM-stalled holder is stolen and its token re-check LOSES the put") {
+    // the residual window, demonstrated closing correctly: a stall
+    // before the heartbeat starts ages the claim like a frozen JVM; a
+    // stealer decides the key; the resumed holder's ownership re-check
+    // fails, it re-arbitrates, observes the decided key, and returns
+    // false — one winner, entries immutable.
+    val dir = Files.createTempDirectory("graft-ls-stall-").toFile
+    val target = new File(dir, "00000000000000000006.json")
+    val stalled = new LogStore.FileConditionalPut(staleClaimMs = 200L)
+    stalled.afterClaimHook = () => Thread.sleep(700L)
+    val stealer = new LogStore.FileConditionalPut(staleClaimMs = 200L)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val holder = Future(stalled.putIfAbsent(target.getAbsolutePath,
+        "stalled".getBytes(StandardCharsets.UTF_8)))
+      Thread.sleep(350L) // claim aged past the horizon, no beats yet
+      val thief = Future(stealer.putIfAbsent(target.getAbsolutePath,
+        "stealer".getBytes(StandardCharsets.UTF_8)))
+      assert(Await.result(thief, 10.seconds), "the stealer must win")
+      assert(!Await.result(holder, 10.seconds),
+        "the resumed holder must LOSE (token re-check), never double-put")
+      assert(new String(Files.readAllBytes(target.toPath),
+        StandardCharsets.UTF_8) === "stealer",
+        "the decided key must never be renamed over")
+      assert(dir.listFiles().map(_.getName).toSet === Set(target.getName),
+        "no claim/temp droppings")
+    } finally pool.shutdown()
+  }
+
   test("a pre-existing object loses the put, even across store instances") {
     stores.foreach { case (label, store) =>
       val dir = Files.createTempDirectory(s"graft-ls-").toFile

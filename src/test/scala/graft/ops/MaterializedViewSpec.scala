@@ -123,4 +123,31 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(mv.read().agg(sum(col("n_rows"))).head.getLong(0) === 140L)
     } finally q2.stop()
   }
+
+  test("NULL group keys fold as ONE group (null-safe combine join)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-null-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("tag"), Seq("v"))
+    def batch(r: Range, tagOf: Int => Option[String]) =
+      r.map(i => (i.toLong, tagOf(i).orNull, i.toLong)).toDF("id", "tag", "v")
+    base.append(batch(0 until 10, i => if (i % 2 == 0) Some("a") else None))
+    assert(mv.refresh().isDefined)
+    base.append(batch(10 until 20, i => if (i % 2 == 0) Some("a") else None))
+    assert(mv.refresh().isDefined)
+    // pre-fix, the equality join kept current/delta NULL rows apart:
+    // two NULL-group rows, neither carrying the true count
+    val nullRows = mv.read().where(col("tag").isNull).collect()
+    assert(nullRows.length === 1, s"NULL group rows: ${nullRows.length}")
+    assert(nullRows.head.getAs[Long]("n_rows") === 10L)
+    assert(nullRows.head.getAs[Long]("v_sum") ===
+      (0 until 20).filter(_ % 2 == 1).map(_.toLong).sum)
+    // deletes drain the NULL group through the same null-safe path
+    base.deleteVectorBetween("id", 1L, 19L)
+    assert(mv.refresh().isDefined)
+    assert(mv.read().where(col("tag").isNull).count() === 0)
+    assert(mv.read().where(col("tag") === "a").head()
+      .getAs[Long]("n_rows") === 1L)
+  }
 }

@@ -91,6 +91,48 @@ class TxLogInteropSpec extends SparkTestBase {
     } finally TxTable.CheckpointParquetThreshold = saved
   }
 
+  test("python replayer prunes via the consolidated stats sidecar like the engine") {
+    assume(python3, "python3 not available")
+    val dir = Files.createTempDirectory("graft-interop-st-")
+      .toString + "/t"
+    val t = TxTable(spark, dir)
+    // disjoint k ranges per commit, crossing a checkpoint so the
+    // pointer names a `#consolidated` sidecar, plus post-checkpoint
+    // tail commits whose per-commit sidecars the bounded load folds
+    (0 until 13).foreach(i => t.append(df(i * 100 until i * 100 + 10)))
+    val ptr = new java.io.File(s"$dir/_log/_last_checkpoint")
+    assert(ptr.isFile, "precondition: pointer present")
+    val consolidated = new java.io.File(f"$dir/_log/${10L}%020d.stats.tsv")
+    assert(scala.io.Source.fromFile(consolidated).getLines().next()
+      .startsWith("#consolidated"),
+      "precondition: the checkpoint consolidated its stats sidecar")
+    def pythonPruned(lo: Long, hi: Long): Set[String] = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/check_txlog.py", dir,
+        "--prune", "k", lo.toString, hi.toString),
+        new java.io.File("."))
+        .!(ProcessLogger(l => { out.append(l); () }, System.err.println))
+      assert(code === 0, s"replayer failed: $out")
+      "\"pruned\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(out.toString)
+        .map(m => "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+        .getOrElse(sys.error(s"no pruned in: $out"))
+    }
+    def enginePruned(lo: Long, hi: Long): Set[String] =
+      t.prunedSnapshot("k", Some(lo), Some(hi)).files
+        .map(_.stripPrefix(s"$dir/")).toSet
+    // point, straddle, tail-commit window, miss, and everything —
+    // the two implementations must agree on the kept set exactly
+    Seq((0L, 5L), (305L, 410L), (1205L, 1206L), (5000L, 6000L),
+      (0L, 1000000L)).foreach { case (lo, hi) =>
+      val py = pythonPruned(lo, hi)
+      assert(py === enginePruned(lo, hi), s"window [$lo,$hi]")
+      assert((lo, hi) == (5000L, 6000L) || py.nonEmpty)
+    }
+    assert(pythonPruned(5000L, 6000L).isEmpty,
+      "a miss window must prune everything on both sides")
+  }
+
   test("python replayer honors the pointer and survives a torn one") {
     assume(python3, "python3 not available")
     val dir = Files.createTempDirectory("graft-interop-ptr-")

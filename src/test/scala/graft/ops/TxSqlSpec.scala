@@ -1333,6 +1333,149 @@ class TxSqlSpec extends SparkTestBase {
     assert(sql.run(s"OPTIMIZE txtable.`$p`").count() === 0)
   }
 
+  test("CREATE/REFRESH MATERIALIZED VIEW: incremental maintenance via SQL") {
+    val dir = Files.createTempDirectory("graft-mv-sql-").toString
+    val base = TxTable(spark, s"$dir/base")
+    base.append(df(0 until 30).withColumn("g", col("k") % 3))
+    val create = sql.run(
+      s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT g, COUNT(*) AS n_rows, SUM(v) AS v_sum " +
+        s"FROM txtable.`$dir/base` GROUP BY g")
+    assert(create.count() === 1, "CREATE populates (one refresh commit)")
+    val mv = TxTable(spark, s"$dir/mv")
+    assert(mv.read().count() === 3)
+    def vSum(g: Long): Long =
+      mv.read().where(col("g") === g).head().getAs[Long]("v_sum")
+    assert(vSum(0L) === (0 until 30 by 3).map(_ * 10L).sum)
+    // mixed DML on the base, then REFRESH folds ONLY the CDF window
+    base.append(df(30 until 40).withColumn("g", col("k") % 3))
+    base.deleteVectorWhere("k", 3L)
+    sql.run(s"UPDATE txtable.`$dir/base` SET v = v + 1000 WHERE k = 4")
+    val r = sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+    assert(r.head().getString(1).startsWith("mv-refresh-"))
+    val expect = (0 until 40).filter(_ != 3)
+      .map(k => (k % 3).toLong -> (if (k == 4) k * 10L + 1000 else k * 10L))
+      .groupBy(_._1).view.mapValues(vs => (vs.size.toLong, vs.map(_._2).sum))
+    expect.foreach { case (g, (n, s)) =>
+      val row = mv.read().where(col("g") === g).head()
+      assert(row.getAs[Long]("n_rows") === n, s"g=$g n_rows")
+      assert(row.getAs[Long]("v_sum") === s, s"g=$g v_sum")
+    }
+    // already current: a second REFRESH is a clean no-op
+    assert(sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      .count() === 0)
+    // the definition survives as metadata: a FRESH session-equivalent
+    // (new TxSql, no shared state) still refreshes incrementally
+    base.append(df(40 until 45).withColumn("g", col("k") % 3))
+    assert(TxSql(spark).run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      .count() === 1)
+    assert(mv.read().agg(sum("n_rows")).head().getLong(0) === 44L)
+  }
+
+  test("CREATE MATERIALIZED VIEW refuses what is not maintainable") {
+    val dir = Files.createTempDirectory("graft-mv-ref-").toString
+    val base = TxTable(spark, s"$dir/base")
+    base.append(df(0 until 10))
+    def refuse(select: String, needle: String): Unit = {
+      val e = intercept[Exception](sql.run(
+        s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS $select"))
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"got: ${e.getMessage}")
+    }
+    val from = s"FROM txtable.`$dir/base`"
+    refuse(s"SELECT k, COUNT(*) AS n_rows, MAX(v) AS v_max $from GROUP BY k",
+      "not maintainable")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, AVG(v) AS v_avg $from GROUP BY k",
+      "not maintainable")
+    refuse(s"SELECT k, SUM(v) AS v_sum $from GROUP BY k", "COUNT(*)")
+    refuse(s"SELECT k, COUNT(*) AS cnt, SUM(v) AS v_sum $from GROUP BY k",
+      "n_rows")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, SUM(v) AS total $from GROUP BY k",
+      "v_sum")
+    refuse(s"SELECT COUNT(*) AS n_rows $from", "GROUP BY")
+    refuse(s"SELECT k, v FROM txtable.`$dir/base`", "grouped aggregate")
+    // a second CREATE at the same location refuses
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      s"SELECT k, COUNT(*) AS n_rows $from GROUP BY k")
+    refuse(s"SELECT k, COUNT(*) AS n_rows $from GROUP BY k",
+      "already holds a table")
+    // REFRESH on a non-MV txtable refuses with direction
+    val e = intercept[Exception](sql.run(
+      s"REFRESH MATERIALIZED VIEW txtable.`$dir/base`"))
+    assert(e.getMessage.contains("not a materialized view"))
+  }
+
+  test("catalog-named MATERIALIZED VIEW: CREATE populates, entry reads, REFRESH folds") {
+    val dir = Files.createTempDirectory("graft-mv-cat-").toString
+    val base = TxTable(spark, s"$dir/base")
+    base.append(df(0 until 20).withColumn("g", col("k") % 2))
+    // the catalog MV lands at the warehouse default path: clear any
+    // residue from a prior run of this very test
+    spark.sql("DROP TABLE IF EXISTS graft_mv_cat")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "graft_mv_cat")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    if (wh.exists()) rm(wh)
+    try {
+      sql.run("CREATE MATERIALIZED VIEW graft_mv_cat AS " +
+        "SELECT g, COUNT(*) AS n_rows, SUM(v) AS v_sum " +
+        s"FROM txtable.`$dir/base` GROUP BY g")
+      assert(spark.table("graft_mv_cat").count() === 2)
+      base.append(df(20 until 30).withColumn("g", col("k") % 2))
+      assert(sql.run("REFRESH MATERIALIZED VIEW graft_mv_cat").count() === 1)
+      // the catalog cache was invalidated by the refresh
+      assert(spark.table("graft_mv_cat")
+        .agg(sum("n_rows")).head().getLong(0) === 30L)
+      // GROUP BY ordinal resolves through the SELECT list
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv2` AS " +
+        "SELECT g, COUNT(*) AS n_rows " +
+        s"FROM txtable.`$dir/base` GROUP BY 1")
+      assert(TxTable(spark, s"$dir/mv2").read().count() === 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mv_cat")
+  }
+
+  test("bare OPTIMIZE retires deletion vectors its rewrite makes inert") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 40))
+    sql.run(s"ALTER TABLE txtable.`$p` CLUSTER BY (k, v)")
+    sql.run(s"OPTIMIZE txtable.`$p`") // full recluster + watermark
+    t.append(df(100 until 120))       // fresh window
+    t.deleteVectorWhere("k", 105L)    // vector over the FRESH file only
+    assert(t.snapshot().dvs.size === 1)
+    assert(sql.run(s"OPTIMIZE txtable.`$p`")
+      .head().getString(1) === "compact")
+    // the rewrite read the vector APPLIED (delete materialized), so
+    // the vector must retire with its target — pre-fix, inert dv
+    // tokens accumulated in the active set on every bare OPTIMIZE of
+    // a DV-bearing CLUSTER BY table, and VACUUM could never reclaim
+    // the dv files
+    assert(t.snapshot().dvs.isEmpty,
+      "an inert deletion vector must leave the active set with its target")
+    assert(t.read().count() === 59)
+    assert(t.read().where(col("k") === 105L).count() === 0)
+
+    // a vector over a BELOW-WATERMARK (unselected) file must STAY —
+    // its deletes there are still live
+    t.append(df(200 until 220))
+    t.deleteVectorWhere("k", 5L)   // targets a clustered file
+    t.deleteVectorWhere("k", 210L) // targets the fresh file
+    assert(t.snapshot().dvs.size === 2)
+    sql.run(s"OPTIMIZE txtable.`$p`")
+    assert(t.snapshot().dvs.size === 1,
+      "only the vector whose every target was rewritten retires")
+    assert(t.read().count() === 77)
+    assert(t.read().where(col("k").isin(5L, 210L)).count() === 0)
+    // OPTIMIZE FULL (whole-table rewrite) retires the remainder
+    sql.run(s"OPTIMIZE txtable.`$p` FULL")
+    assert(t.snapshot().dvs.isEmpty)
+    assert(t.read().count() === 77)
+    assert(t.read().where(col("k") === 5L).count() === 0)
+  }
+
   test("RENAME COLUMN carries the clusterBy declaration atomically") {
     import spark.implicits._
     val (t, p) = mkTable()

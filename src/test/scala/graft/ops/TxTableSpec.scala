@@ -2318,6 +2318,72 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().count() === 50)
     assert(t.read().where(col("id") >= 200).count() === 0)
   }
+
+  test("headCommit resolves the head entry through the bounded path") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 20))
+    t.overwrite(df(0 until 5))
+    val h = t.headCommit
+    assert(h.version === t.snapshot().version)
+    assert(h.action === "overwrite")
+    // empty table refuses loudly instead of resolving a phantom entry
+    val (empty, _) = mkTable()
+    intercept[IllegalArgumentException](empty.headCommit)
+  }
+
+  test("readChanges clamps a sub--1 fromVersion on an intact log") {
+    val (t, _) = mkTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 15))
+    // pre-fix: expectedTo - fromVersion overcounted the window for
+    // fromVersion < -1 and spuriously threw the cleaned-gap error
+    assert(t.readChanges(-5L).count() === 15)
+    assert(t.readChanges(-5L)
+      .where(col("_change_type") === "insert").count() === 15)
+  }
+
+  test("commitsIterator: an entry vanishing mid-walk stops the run, no raw NoSuchFile") {
+    val (t, dir) = mkTable()
+    (0 until 4).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    val it = t.commitsIterator(-1L)
+    assert(it.next().version === 0L)
+    // a racing cleanupLog deletes an entry ahead of the walk: the
+    // iterator must terminate at the gap (the contiguity stop), never
+    // surface a filesystem exception out of a getOffset byte walk
+    assert(new File(dir, f"_log/${2L}%020d.json").delete())
+    assert(it.toVector.map(_.version) === Vector(1L))
+  }
+
+  test("cleanupLog reclaims age-expired crash leftovers from _log") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 10))
+    val log = new File(dir, "_log")
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    def mkOld(name: String): File = {
+      val f = new File(log, name)
+      Files.write(f.toPath, "x".getBytes)
+      f.setLastModified(old); f
+    }
+    // a checkpointer killed mid-sidecar leaves a whole DIRECTORY
+    val tornCkpt = new File(log, ".tmp-ckpt-torn")
+    tornCkpt.mkdirs()
+    Files.write(new File(tornCkpt, "part-0.parquet").toPath, "x".getBytes)
+    tornCkpt.setLastModified(old)
+    val leftovers = Seq(mkOld(".tmp-stats-torn"), mkOld(".tmp-ptr-torn"),
+      mkOld(".cput-orphan"), mkOld(".dead-stale"),
+      mkOld("00000000000000000042.json.claim")) // ownerless claim
+    val young = new File(log, ".tmp-young")
+    Files.write(young.toPath, "y".getBytes)
+    val swept = t.cleanupLog(retainVersions = 100)
+    assert(swept.toSet ===
+      (leftovers.map(_.getName).toSet + tornCkpt.getName))
+    assert(!tornCkpt.exists && leftovers.forall(!_.exists()))
+    assert(young.exists, "young leftovers survive the age guard")
+    // the log protocol itself is untouched
+    assert(t.read().count() === 10)
+    assert(t.headCommit.version === 0L)
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through

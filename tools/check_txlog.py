@@ -7,11 +7,15 @@ format — the same cross-check shape as check_sas_pandas.py.
 
 Usage:
   python3 tools/check_txlog.py <tableDir> [version]
+  python3 tools/check_txlog.py <tableDir> --prune <column> <lo> <hi>
 
 Prints one JSON line: {"version": N, "files": [...sorted rel names],
-"dvs": [...], "tokens": [...]}. Exit 0 on a clean resolve, nonzero on
+"dvs": [...], "tokens": [...]}. With --prune, adds "pruned": the
+data files whose logged [min,max] stats for <column> may intersect
+[<lo>, <hi>] (files without stats for the column are always KEPT —
+the conservative contract). Exit 0 on a clean resolve, nonzero on
 a malformed log. The Scala spec (TxLogInteropSpec) compares this
-against the engine's own snapshot.
+against the engine's own snapshot (and prunedSnapshot).
 
 Replayed semantics (the format contract):
  - a commit is `_log/<20-digit version>.json` holding
@@ -26,7 +30,16 @@ Replayed semantics (the format contract):
    active = (active - remove) + add;
  - the active list splits by prefix: dv-* are deletion vectors;
    ct-/cm-/cmx-/pv-/gc-/id-/txn-/tp-/cp-* are metadata tokens; the
-   rest are data files.
+   rest are data files;
+ - column stats ride `<v>.stats.tsv` sidecars: 5-field TSV rows
+   `file \t column \t kind \t min \t max` (tab/newline/%% escaped as
+   %%09/%%0a/%%0d/%%25 in file and column), later entries winning per
+   (file, column). A sidecar whose FIRST line starts with
+   `#consolidated` carries the full active-file stats as of its
+   version: bounded loading reads the pointer checkpoint's
+   consolidated sidecar plus the contiguous tail of per-commit
+   sidecars above it (one per existing commit entry) — a file with no
+   stats for the probed column always prunes KEEP.
 """
 import json
 import os
@@ -109,17 +122,115 @@ def resolve(table_dir, target):
     return version, active
 
 
+def dec(s):
+    # mirror of the engine's escaping, decode order included
+    return (s.replace("%09", "\t").replace("%0a", "\n")
+             .replace("%0d", "\r").replace("%25", "%"))
+
+
+def fold_stats(acc, path):
+    """One sidecar into the file -> column -> (kind, min, max) map;
+    later lines win, non-5-field lines (incl. the marker) skip."""
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) != 5:
+                continue
+            rel, col, kind, mn, mx = parts
+            acc.setdefault(dec(rel), {})[dec(col)] = (kind, mn, mx)
+    return acc
+
+
+def stats_consolidated(path):
+    if not os.path.isfile(path):
+        return False
+    with open(path, encoding="utf-8") as f:
+        return f.readline().startswith("#consolidated")
+
+
+def load_stats(log_dir, entries):
+    """BOUNDED like the engine: a validated pointer naming a
+    checkpoint with a #consolidated sidecar anchors the load (that one
+    file + the contiguous per-commit tail); any doubt falls back to
+    folding every sidecar in listing order."""
+    def stats_file(v):
+        return os.path.join(log_dir, "%020d.stats.tsv" % v)
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.isfile(ptr):
+        try:
+            pv = json.load(open(ptr, encoding="utf-8"))["version"]
+            if (os.path.isfile(os.path.join(log_dir,
+                                            "%020d.ckpt.json" % pv))
+                    and stats_consolidated(stats_file(pv))):
+                acc = fold_stats({}, stats_file(pv))
+                v = pv + 1
+                while v in entries:
+                    if os.path.isfile(stats_file(v)):
+                        fold_stats(acc, stats_file(v))
+                    v += 1
+                return acc
+        except Exception:
+            pass  # torn/stale pointer: fall back to the listing
+    acc = {}
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".stats.tsv"):
+            fold_stats(acc, os.path.join(log_dir, name))
+    return acc
+
+
+def may_overlap(kind, mn, mx, lo, hi):
+    """Could a file spanning [mn, mx] hold a value in [lo, hi]?
+    Conservative on any doubt, mirroring the engine."""
+    if kind in ("long", "double"):
+        from decimal import Decimal, InvalidOperation
+
+        def bd(s):
+            try:
+                return Decimal(s)
+            except (InvalidOperation, ValueError):
+                return None
+        fmin, fmax = bd(mn), bd(mx)
+        qlo, qhi = bd(lo), bd(hi)
+        if fmin is None or fmax is None or qlo is None or qhi is None:
+            return True
+        return qlo <= fmax and qhi >= fmin
+    if kind == "string":
+        return lo <= dec(mx) and hi >= dec(mn)
+    return True
+
+
 def main():
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
     table_dir = sys.argv[1]
-    target = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 62)
+    prune = None
+    rest = sys.argv[2:]
+    if "--prune" in rest:
+        i = rest.index("--prune")
+        prune = tuple(rest[i + 1:i + 4])
+        if len(prune) != 3:
+            raise SystemExit("--prune needs <column> <lo> <hi>")
+        rest = rest[:i]
+    target = int(rest[0]) if rest else (1 << 62)
     version, active = resolve(table_dir, target)
     files = sorted(f for f in active if not is_meta(f) and not is_dv(f))
     dvs = sorted(f for f in active if is_dv(f) and not is_meta(f))
     tokens = sorted(f for f in active if is_meta(f))
-    print(json.dumps({"version": version, "files": files, "dvs": dvs,
-                      "tokens": tokens}, sort_keys=True))
+    out = {"version": version, "files": files, "dvs": dvs,
+           "tokens": tokens}
+    if prune is not None:
+        col, lo, hi = prune
+        log_dir = os.path.join(table_dir, "_log")
+        entries, _ = list_log(log_dir)
+        stats = load_stats(log_dir, entries)
+        out["pruned"] = [
+            f for f in files
+            if col not in stats.get(f, {})
+            or may_overlap(*stats[f][col], lo, hi)]
+    print(json.dumps(out, sort_keys=True))
 
 
 if __name__ == "__main__":

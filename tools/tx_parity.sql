@@ -128,3 +128,19 @@ SELECT COUNT(*) AS n_pre FROM tx_parity_rtas VERSION AS OF 0;
 --     INCREMENTAL (no-op here — nothing new since stmt 30's
 --     recluster); FULL forces the re-sort and re-arms the watermark
 OPTIMIZE tx_parity_clst FULL;
+
+-- 37-40. MATERIALIZED VIEW lifecycle: CREATE populates from the
+--        current base snapshot (NULL is a group like any other); a
+--        base UPDATE moves a row ACROSS groups; REFRESH folds only
+--        the change window; the view reads like any table
+CREATE MATERIALIZED VIEW txtable.`${DIR}/lakemv` AS
+SELECT status, COUNT(*) AS n_rows, SUM(v) AS v_sum
+FROM txtable.`${DIR}/lake` GROUP BY status;
+
+UPDATE txtable.`${DIR}/lake` SET v = v + 1, status = 'merged'
+WHERE id = 5;
+
+REFRESH MATERIALIZED VIEW txtable.`${DIR}/lakemv`;
+
+SELECT status, n_rows, v_sum FROM txtable.`${DIR}/lakemv`
+ORDER BY status;
