@@ -66,28 +66,63 @@ object Bench {
     * dead-code elimination. */
   @volatile private var canarySink = 0L
 
-  private def canary(): Double = {
+  private def canaryOnce(iters: Long): Double = {
     val threads = 32
-    val iters = 200000000L
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { t =>
-        new Thread(() => {
-          var x = 0x9E3779B97F4A7C15L + t
-          var acc = 0L
-          var i = 0L
-          while (i < iters) {
-            x = x * 6364136223846793005L + 1442695040888963407L
-            acc ^= (x >>> 33)
-            i += 1
-          }
-          canarySink ^= acc
-        })
-      }
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var acc = 0L
+        var i = 0L
+        while (i < iters) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          acc ^= (x >>> 33)
+          i += 1
+        }
+        canarySink ^= acc
+      })
     }
-    math.min(once(), once())
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def canary(): Double =
+    math.min(canaryOnce(200000000L), canaryOnce(200000000L))
+
+  /** MID-RUN canary: the same fixed computation at 1/4 the work
+    * (~70 ms idle), sampled once per QUERY BOUNDARY during the shared
+    * sweep — the r14 lesson's fix. The start/end canary pair brackets
+    * the suite but is blind to congestion that arrives AND bites
+    * between them (r14: load_start 3.93 vs threshold 4.0, then
+    * load_end 10.10 and a 57% phantom regression stamped
+    * `congested:false`). Boundary samples run while OUR executor
+    * threads are parked, so they see EXTERNAL CPU pressure, not
+    * self-load — unlike mid-run loadavg, which our own 32-way queries
+    * saturate on any healthy run (that number is still recorded, as
+    * `load_max_midrun`, for the human reader). */
+  private def miniCanary(): Double = canaryOnce(50000000L)
+
+  /** Mid-run congestion verdict from the boundary samples. The
+    * baseline is the RUN'S OWN MEDIAN sample (floored by the scaled
+    * idle calibration) — measured clean-run distributions here sit in
+    * a ~0.076–0.125 s band whose minimum is a lucky tail, so a
+    * min-based baseline would flag ordinary GC/scheduler jitter; the
+    * median is stable, and congestion covering less than half the
+    * suite leaves it clean while the hot stretch flags (congestion
+    * covering MORE than half overlaps an endpoint, where the start/end
+    * canary pair already gates). Flag only THREE CONSECUTIVE samples
+    * above 1.35× baseline (external load persists across adjacent
+    * queries; per-query GC noise does not) or any single sample above
+    * 2.5× — heavy congestion (the r11/r14 class, loadavg ≈ 10, query
+    * times 2–9×) pushes the mini canary well past both. */
+  private[graft] def midrunCongested(samples: Seq[Double],
+      idleFloor: Double): Boolean = {
+    if (samples.size < 3) return false
+    val sorted = samples.sorted
+    val base = math.max(sorted(sorted.size / 2), idleFloor)
+    val hot = samples.map(_ > 1.35 * base)
+    hot.sliding(3).exists(_.forall(identity)) ||
+      samples.exists(_ > 2.5 * base)
   }
 
   /** First two /proc/loadavg fields (1- and 5-minute load), or "?". */
@@ -131,9 +166,23 @@ object Bench {
     // comma-separated allowlist for single-query isolation runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // per-query-boundary congestion samples (see miniCanary); children
+    // skip — their parent's samples bracket them
+    val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def load1(s: String): Double =
+      try s.split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    // JIT warm-up for the mini canary's own loop: the first few
+    // executions run interpreted/C1 and read ~2x hot (measured), which
+    // would poison the early boundary samples
+    if (!isChild) { miniCanary(); miniCanary(); () }
     val measured = graft.queries.Registry.all
       .filter(q => q.bench || q.benchBuild.isDefined)
       .filter(q => only.forall(_.contains(q.name))).map { q =>
+      if (!isChild) {
+        midSamples += miniCanary()
+        midLoads += load1(loadavg())
+      }
       // Write-heavy queries carry a two-stage benchBuild: the disk setup
       // (temp-dir writes) runs ONCE, untimed; the thunk is the read-side
       // plan that gets the cold-median treatment like everything else.
@@ -256,13 +305,22 @@ object Bench {
     val ncpus = Runtime.getRuntime.availableProcessors()
     val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_CONGESTED",
       (ncpus / 8.0).toString).toDouble
-    def load1(s: String): Double =
-      try s.split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    // r14's lesson: congestion that ARRIVES mid-suite slips past both
+    // the start canary and the start loadavg — the per-query-boundary
+    // samples close that blind spot (two consecutive hot samples, or
+    // one extreme one, relative to the run's own clean minimum)
+    val miniIdleFloor =
+      sys.env.getOrElse("SPARK_GRAFT_MINI_IDLE", (idleCal / 4).toString)
+        .toDouble
+    val midCongested = midrunCongested(midSamples.toSeq, miniIdleFloor)
     val congested = !isChild &&
       (math.max(canaryStart, canaryEnd) > 1.5 * idleCal ||
-        load1(loadStart) > loadThreshold)
+        load1(loadStart) > loadThreshold || midCongested)
+    val midJson =
+      if (midSamples.isEmpty) ""
+      else s""","canary_mid_max":${fmt(midSamples.max)},"canary_mid_min":${fmt(midSamples.min)},"mid_congested":$midCongested,"load_max_midrun":${fmt(midLoads.max)}"""
     val canaryJson = if (isChild) "" else
-      s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"canary_idle":${fmt(idleCal)},"congested":$congested,"load_start":"$loadStart","load_end":"$loadEnd""""
+      s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"canary_idle":${fmt(idleCal)},"congested":$congested$midJson,"load_start":"$loadStart","load_end":"$loadEnd""""
 
     // Per-query run-level detail for mechanical artifact adjudication:
     // every timed run plus the relative spread (max-min)/median. A query
@@ -288,8 +346,13 @@ object Bench {
     val qs =
       if (omitted == 0) mapJson(bySlow)
       else mapJson(kept.toSeq :+ ("other" -> (total - kept.map(_._2).sum)))
+    // complete per-boundary samples ride only the FULL artifact (the
+    // printed line's budget is the driver's 2000-char tail capture)
+    val midDetail =
+      if (midSamples.isEmpty) ""
+      else s""","mid_samples":[${midSamples.map(fmt).mkString(",")}],"mid_loads":[${midLoads.map(fmt).mkString(",")}]"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(bySlow)}$isoJson$canaryJson,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(bySlow)}$isoJson$canaryJson$midDetail,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir"}"""
     // single-query isolation children must not clobber the main run's
     // complete map — the parent merges their stdout lines instead
     if (only.isEmpty) try {
