@@ -245,6 +245,20 @@ final class TxSql(spark: SparkSession) {
         summary(t.setProperties(
           Map("txtable.clusterBy" -> cols.mkString(","))))
       }
+      // column DEFAULTs (Delta's default values): ADD COLUMN … DEFAULT
+      // binds an exists+current default in one evolve commit; ALTER
+      // COLUMN … SET/DROP DEFAULT touches only the current (write-side)
+      // default of an existing column
+      case AddColumnDefaultRe(ident, cname, ctype, dflt) =>
+        mutating(ident)(t => summary(t.addColumnWithDefault(
+          unquote(cname),
+          org.apache.spark.sql.types.DataType.fromDDL(ctype.trim),
+          dflt.trim)))
+      case SetDefaultRe(ident, cname, dflt) =>
+        mutating(ident)(t =>
+          summary(t.setColumnDefault(unquote(cname), dflt.trim)))
+      case DropDefaultRe(ident, cname) =>
+        mutating(ident)(t => summary(t.dropColumnDefault(unquote(cname))))
       case AddColumnsRe(ident, ddl) =>
         mutating(ident)(t => summary(t.addColumns(
           org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))))
@@ -980,6 +994,9 @@ object TxSql {
       case DropIdentityRe(id, _) if tx(id)      => Some(SummarySchema)
       case AlterClusterByNoneRe(id) if tx(id)   => Some(SummarySchema)
       case AlterClusterByRe(id, _) if tx(id)    => Some(SummarySchema)
+      case AddColumnDefaultRe(id, _, _, _) if tx(id) => Some(SummarySchema)
+      case SetDefaultRe(id, _, _) if tx(id)     => Some(SummarySchema)
+      case DropDefaultRe(id, _) if tx(id)       => Some(SummarySchema)
       case AddColumnsRe(id, _) if tx(id)        => Some(SummarySchema)
       case RenameColumnRe(id, _, _) if tx(id)   => Some(SummarySchema)
       case DropColumnRe(id, _) if tx(id)        => Some(SummarySchema)
@@ -1093,6 +1110,14 @@ object TxSql {
   // schema-widening DDL, dispatched onto TxTable.addColumns (an
   // O(1) evolve commit; parenthesized DDL column list, parsed by
   // StructType.fromDDL so nested/array/map types all work)
+  // ALTER TABLE t ADD COLUMN c TYPE DEFAULT expr / ALTER COLUMN c
+  // SET DEFAULT expr / DROP DEFAULT — column default values (see run())
+  private val AddColumnDefaultRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+COLUMN\\s+$Id\\s+([A-Za-z0-9_<>,()\\s]+?)\\s+DEFAULT\\s+(.+)""".r
+  private val SetDefaultRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ALTER\\s+COLUMN\\s+$Id\\s+SET\\s+DEFAULT\\s+(.+)""".r
+  private val DropDefaultRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ALTER\\s+COLUMN\\s+$Id\\s+DROP\\s+DEFAULT""".r
   private val AddColumnsRe =
     s"""(?is)ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)""".r
   private val RenameColumnRe =

@@ -333,6 +333,29 @@ object TxTable {
   private[ops] def parseClusterCols(v: String): Seq[String] =
     v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** COLUMN DEFAULTS (Delta's default-values feature), carried on the
+    * existing table-property tokens — no new token kind, no protocol
+    * bump, checkpoint/clone/interop support for free:
+    *  - `txtable.default.<col>` — the CURRENT default: a write that
+    *    omits the column computes this expression at write time
+    *    (compute-or-accept, like generated columns; an expression,
+    *    so `current_date()` evaluates per insert);
+    *  - `txtable.existsDefault.<col>` — the EXISTS default: bound to
+    *    a LITERAL once at `ADD COLUMN … DEFAULT` time and applied on
+    *    READ to rows physically lacking the column (files written
+    *    before the evolve), so old rows surface the declared default
+    *    instead of NULL. `ALTER COLUMN … SET/DROP DEFAULT` touches
+    *    only the current default, Delta's own contract. */
+  private[ops] val DefaultPrefix = "txtable.default."
+  private[ops] val ExistsDefaultPrefix = "txtable.existsDefault."
+
+  /** The column a default property key names, if it is one. */
+  private[ops] def defaultKeyCol(k: String): Option[String] =
+    if (k.startsWith(DefaultPrefix)) Some(k.stripPrefix(DefaultPrefix))
+    else if (k.startsWith(ExistsDefaultPrefix))
+      Some(k.stripPrefix(ExistsDefaultPrefix))
+    else None
+
   /** Is `rel` ANY metadata token (constraint, column mapping, dropped
     * column, protocol version, generated column, identity column,
     * transaction marker, table property, copy-into ledger entry)?
@@ -1042,11 +1065,24 @@ final class TxTable private (spark: SparkSession, dir: String,
               .mkString(",")))
           else None
         }
+      // column DEFAULT declarations rename WITH the column, same
+      // atomic-swap contract as the clustering declaration
+      val defaultSwap = head.cms
+        .filter(t => TxTable.isTpName(t) &&
+          TxTable.defaultKeyCol(TxTable.decodeTp(t)._1)
+            .exists(_.equalsIgnoreCase(oldName)))
+        .map { tok =>
+          val (k, v) = TxTable.decodeTp(tok)
+          val prefix =
+            if (k.startsWith(TxTable.DefaultPrefix)) TxTable.DefaultPrefix
+            else TxTable.ExistsDefaultPrefix
+          tok -> TxTable.encodeTp(prefix + newName, v)
+        }
       val c = Commit(head.version + 1, "rename",
         Seq(TxTable.encodeCm(newName, phys)) ++ pvAdd ++
-          clusterSwap.map(_._2),
+          clusterSwap.map(_._2) ++ defaultSwap.map(_._2),
         m.get(oldName).map(_ => TxTable.encodeCm(oldName, phys)).toSeq ++
-          pvRemove ++ clusterSwap.map(_._1),
+          pvRemove ++ clusterSwap.map(_._1) ++ defaultSwap.map(_._1),
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
       if (tryCommit(c)) return c
       attempt += 1
@@ -1095,10 +1131,16 @@ final class TxTable private (spark: SparkSession, dir: String,
       val m = cmMap(head)
       val phys = m.getOrElse(name, name)
       val (pvAdd, pvRemove) = mappingUpgrade(head)
+      // the dropped column's DEFAULT declarations retire with it —
+      // stale tokens would silently re-arm on an unrelated later
+      // column of the same name
+      val defaultDrop = head.cms.filter(t => TxTable.isTpName(t) &&
+        TxTable.defaultKeyCol(TxTable.decodeTp(t)._1)
+          .exists(_.equalsIgnoreCase(name)))
       val c = Commit(head.version + 1, "dropcol",
         Seq(TxTable.encodeCmx(phys)) ++ pvAdd,
         m.get(name).map(_ => TxTable.encodeCm(name, phys)).toSeq ++
-          pvRemove,
+          pvRemove ++ defaultDrop,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
       if (tryCommit(c)) return c
       attempt += 1
@@ -1320,8 +1362,16 @@ final class TxTable private (spark: SparkSession, dir: String,
     * absent generated columns are COMPUTED; present ones are ENFORCED
     * null-safe-equal to their expression via the same
     * raise-on-first-violation inline filter as CHECK constraints. */
-  private def applyGenerated(df: DataFrame, s: Snapshot): DataFrame =
-    gcMap(s).toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+  private def applyGenerated(df: DataFrame, s: Snapshot): DataFrame = {
+    // CURRENT column defaults fill first: a write may omit a defaulted
+    // column like it may omit a generated one (a supplied value —
+    // including explicit NULL — is accepted as-is; only absence fills)
+    val filled = defaultsOf(s, TxTable.DefaultPrefix).toSeq.sortBy(_._1)
+      .foldLeft(df) { case (d, (n, e)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(n))) d
+        else d.withColumn(n, expr(e))
+      }
+    gcMap(s).toSeq.sortBy(_._1).foldLeft(filled) { case (d, (n, e)) =>
       if (!d.columns.contains(n)) d.withColumn(n, expr(e))
       else d.filter(when(!(col(n) <=> expr(e)),
         raise_error(concat(
@@ -1329,6 +1379,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           to_json(struct(d.columns.toIndexedSeq.map(col): _*)))))
         .otherwise(lit(true)))
     }
+  }
 
   /** Declare `name` GENERATED ALWAYS AS `expression`. The column must
     * already exist in the schema with every existing row satisfying
@@ -1698,8 +1749,32 @@ final class TxTable private (spark: SparkSession, dir: String,
       head.cms.filter(TxTable.isPvName))
   }
 
-  private def readSnapshot(s: Snapshot): DataFrame =
-    toLogical(readSnapshotRaw(s), s)
+  /** The snapshot's content under its LOGICAL schema, with EXISTS
+    * defaults applied: a column added with `ADD COLUMN … DEFAULT`
+    * coalesces its bound literal over the NULLs that files written
+    * before the evolve null-fill in the merged read. One scan-side
+    * projection per defaulted column — codegen'd, never a shuffle.
+    * (A post-evolve write that explicitly stores NULL also reads as
+    * the default — defaulted columns are total by contract here; use
+    * SET DEFAULT on an existing column for write-side-only filling.) */
+  private def readSnapshot(s: Snapshot): DataFrame = {
+    val df = toLogical(readSnapshotRaw(s), s)
+    val xd = defaultsOf(s, TxTable.ExistsDefaultPrefix)
+    if (xd.isEmpty) df
+    else {
+      val have = df.columns.map(_.toLowerCase).toSet
+      xd.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+        if (!have.contains(n.toLowerCase)) d
+        else d.withColumn(n, coalesce(col(n), expr(e)))
+      }
+    }
+  }
+
+  /** Active column defaults of `s` under `prefix`: column → expr. */
+  private def defaultsOf(s: Snapshot, prefix: String): Map[String, String] =
+    tpMap(s).collect { case (k, v) if k.startsWith(prefix) =>
+      k.stripPrefix(prefix) -> v
+    }
 
   /** [[readSnapshot]] BEFORE mapping translation: physical column
     * names, deletion vectors applied. */
@@ -3077,6 +3152,112 @@ final class TxTable private (spark: SparkSession, dir: String,
       attempt += 1
     }
     sys.error(s"addColumns contention: lost $maxRetries races in $logDir")
+  }
+
+  /** `ALTER TABLE t ADD COLUMN name type DEFAULT expr` — ONE atomic
+    * evolve commit carrying the schema carrier AND both default
+    * declarations ([[TxTable.DefaultPrefix]] /
+    * [[TxTable.ExistsDefaultPrefix]]): existing rows READ the default
+    * (bound to a literal here, once — `ADD COLUMN … DEFAULT
+    * current_date()` freezes today's date for the pre-existing rows,
+    * the standard exists-default binding), and later writes that omit
+    * the column fill it. The default must be a CONSTANT expression
+    * (no column references) that casts to `dataType` and does not
+    * evaluate to NULL. */
+  def addColumnWithDefault(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      default: String, maxRetries: Int = 50): Commit = {
+    val bound = bindDefault(default, dataType)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot()
+      require(head.files.nonEmpty,
+        "ADD COLUMN needs an existing table with at least one file " +
+          "(the schema lives in parquet footers)")
+      val cur = toLogical(readSnapshot(head), head).schema
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists")
+      val staged = stageCarrier(head, org.apache.spark.sql.types
+        .StructType(Seq(org.apache.spark.sql.types
+          .StructField(name, dataType))))
+      // stale default tokens under this name (left by a column-mapping
+      // history) retire in the same commit — never inherited
+      val stale = head.cms.filter(t => TxTable.isTpName(t) &&
+        TxTable.defaultKeyCol(TxTable.decodeTp(t)._1)
+          .exists(_.equalsIgnoreCase(name)))
+      val toks = Seq(
+        TxTable.encodeTp(TxTable.DefaultPrefix + name, bound),
+        TxTable.encodeTp(TxTable.ExistsDefaultPrefix + name, bound))
+      val c = Commit(head.version + 1, "evolve", staged ++ toks, stale,
+        System.currentTimeMillis())
+      if (tryCommit(c)) return c
+      staged.foreach(n => new File(dir, n).delete())
+      attempt += 1
+    }
+    sys.error(
+      s"addColumnWithDefault contention: lost $maxRetries races in $logDir")
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN name SET DEFAULT expr` — declare (or
+    * replace) the CURRENT default of an EXISTING column: future writes
+    * that omit the column compute the expression at write time
+    * (`current_date()` stays live, Delta's contract); reads and
+    * existing rows are untouched. Metadata-only property commit. */
+  def setColumnDefault(name: String, default: String,
+      maxRetries: Int = 20): Commit = {
+    val head = snapshot()
+    require(head.files.nonEmpty,
+      "SET DEFAULT needs an existing table with at least one file")
+    val cur = toLogical(readSnapshot(head), head).schema
+    val field = cur.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(sys.error(s"no column '$name' (table has " +
+        s"${cur.fieldNames.sorted.mkString(", ")})"))
+    validateDefault(default, field.dataType)
+    setProperties(Map(TxTable.DefaultPrefix + field.name ->
+      s"CAST(($default) AS ${field.dataType.sql})"), maxRetries)
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN name DROP DEFAULT` — future writes
+    * must supply the column again. The EXISTS default (if the column
+    * was added with one) keeps filling pre-evolve rows on read —
+    * dropping the current default never rewrites history. */
+  def dropColumnDefault(name: String, maxRetries: Int = 20): Commit = {
+    val ks = properties.keys.filter(k =>
+      k.startsWith(TxTable.DefaultPrefix) &&
+        k.stripPrefix(TxTable.DefaultPrefix).equalsIgnoreCase(name)).toSeq
+    require(ks.nonEmpty, s"no DEFAULT declared on column '$name'")
+    unsetProperties(ks, maxRetries)
+  }
+
+  /** Evaluate-and-freeze `default` as a typed SQL literal (the
+    * exists-default binding). */
+  private def bindDefault(default: String,
+      dataType: org.apache.spark.sql.types.DataType): String = {
+    validateDefault(default, dataType)
+    val v = spark.sql(s"SELECT CAST(($default) AS ${dataType.sql})")
+      .head().get(0)
+    require(v != null,
+      s"DEFAULT ($default) evaluates to NULL — add the column without " +
+        "a default instead")
+    org.apache.spark.sql.catalyst.expressions.Literal
+      .create(v, dataType).sql
+  }
+
+  /** A default must parse, reference NO columns, and cast to the
+    * column's type — validated at DDL time so a typo fails the ALTER,
+    * never a later write. */
+  private def validateDefault(default: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(default)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.sql
+    }
+    require(refs.isEmpty,
+      s"DEFAULT must be a constant expression; it references: " +
+        refs.mkString(", "))
+    spark.sql(s"SELECT CAST(($default) AS ${dataType.sql})").head()
+    ()
   }
 
   /** Stage the zero-row schema-carrier parquet for `cols` appended to

@@ -1865,6 +1865,43 @@ object ExtendedQueries {
             GROUP BY 1"""),
     bench = false)
 
+  // --------------------------------- TxTable: column DEFAULT values
+  /** Column DEFAULTs through the SQL face: `ADD COLUMN … DEFAULT`
+    * backfills pre-existing rows ON READ (exists default — a
+    * metadata-only evolve, zero bytes rewritten) and fills later
+    * writes that omit the column; `ALTER COLUMN … SET DEFAULT`
+    * re-arms the write-side fill without touching history. The oracle
+    * recomputes the per-row value from the commit order alone, so a
+    * default bleeding across the wrong boundary (backfill applied to
+    * post-SET rows, or vice versa) breaks the hash. Scale shape: the
+    * backfill is one codegen'd coalesce in the scan projection —
+    * never a rewrite of the 100 TB of pre-evolve files. */
+  private val txColumnDefaults = GraftQuery(
+    "k43_tx_column_defaults",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txdflt-").toString
+      val t = graft.ops.TxTable(s, s"$dir/t")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("l_qty"))
+      val sql = graft.ops.TxSql(s)
+      t.append(li.where(col("l_orderkey") % 3 === 0))
+      sql.run(s"ALTER TABLE txtable.`$dir/t` " +
+        "ADD COLUMN src STRING DEFAULT 'legacy'")
+      t.append(li.where(col("l_orderkey") % 3 === 1)) // fills 'legacy'
+      sql.run(s"ALTER TABLE txtable.`$dir/t` " +
+        "ALTER COLUMN src SET DEFAULT 'fresh'")
+      t.append(li.where(col("l_orderkey") % 3 === 2)) // fills 'fresh'
+      t.read()
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+              CAST(l_quantity AS BIGINT) AS l_qty,
+              CASE WHEN l_orderkey % 3 = 2 THEN 'fresh'
+                   ELSE 'legacy' END AS src
+            FROM lineitem"""),
+    bench = false)
+
   // ------------------------------------------------------------- A33
   /** WITH RECURSIVE (Spark 4's recursive CTE — the SQL-surface gap that
     * historically forced iterative driver loops): every part climbs the
@@ -1942,5 +1979,5 @@ object ExtendedQueries {
     txChangeFeed, txBatchCdfOptions, txDeletionVectors, txSchemaEvolution,
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
-    txMvSql, recursiveCte, variantJson)
+    txMvSql, txColumnDefaults, recursiveCte, variantJson)
 }

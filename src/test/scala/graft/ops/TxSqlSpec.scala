@@ -1333,6 +1333,62 @@ class TxSqlSpec extends SparkTestBase {
     assert(sql.run(s"OPTIMIZE txtable.`$p`").count() === 0)
   }
 
+  test("column DEFAULT values: ADD COLUMN DEFAULT, SET/DROP DEFAULT, time travel") {
+    import spark.implicits._
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    // ADD COLUMN … DEFAULT: one evolve commit, old rows READ the
+    // default (exists default), no rewrite
+    val r = sql.run(
+      s"ALTER TABLE txtable.`$p` ADD COLUMN src STRING DEFAULT 'legacy'")
+    assert(r.head().getString(1) === "evolve")
+    val evolveV = t.snapshot().version
+    assert(t.read().where(col("src") === "legacy").count() === 10)
+    // a write omitting the column fills the CURRENT default
+    t.append(df(10 until 15).drop("nothing"))
+    assert(t.read().where(col("k") === 12L).head()
+      .getAs[String]("src") === "legacy")
+    // a write supplying the column keeps its values
+    t.append(df(15 until 20).withColumn("src", lit("explicit")))
+    assert(t.read().where(col("src") === "explicit").count() === 5)
+    // SET DEFAULT changes FUTURE fills; prior rows keep theirs
+    sql.run(s"ALTER TABLE txtable.`$p` ALTER COLUMN src " +
+      "SET DEFAULT concat('fresh', '')")
+    t.append(df(20 until 25))
+    assert(t.read().where(col("src") === "fresh").count() === 5)
+    assert(t.read().where(col("src") === "legacy").count() === 15)
+    // DROP DEFAULT: an omitting write now refuses (schema guard);
+    // the exists default keeps filling the pre-evolve rows on read
+    sql.run(s"ALTER TABLE txtable.`$p` ALTER COLUMN src DROP DEFAULT")
+    intercept[Exception](t.append(df(25 until 30)))
+    assert(t.read().where(col("src") === "legacy").count() === 15)
+    // time travel BELOW the evolve serves the pre-default schema
+    assert(!t.readAt(evolveV - 1).columns.contains("src"))
+    assert(t.readAt(evolveV).where(col("src") === "legacy").count() === 10)
+    // RENAME carries both declarations atomically; reads still fill
+    t.renameColumn("src", "origin")
+    assert(t.read().where(col("origin") === "legacy").count() === 15)
+    assert(t.properties.keys.count(_.contains("origin")) === 1,
+      "exists default must follow the rename") // current was dropped
+    // non-constant/ill-typed defaults refuse at DDL time
+    val e1 = intercept[Exception](sql.run(
+      s"ALTER TABLE txtable.`$p` ADD COLUMN bad BIGINT DEFAULT k + 1"))
+    assert(e1.getMessage.contains("constant"))
+    intercept[Exception](sql.run(
+      s"ALTER TABLE txtable.`$p` ADD COLUMN bad DATE DEFAULT 'nope'"))
+  }
+
+  test("a dropped column's DEFAULT declarations retire with it") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    sql.run(s"ALTER TABLE txtable.`$p` ADD COLUMN flag BIGINT DEFAULT 7")
+    assert(t.properties.keys.count(_.contains("flag")) === 2)
+    sql.run(s"ALTER TABLE txtable.`$p` DROP COLUMN flag")
+    assert(t.properties.keys.count(_.contains("flag")) === 0,
+      "stale default tokens must not survive the drop")
+    assert(!t.read().columns.contains("flag"))
+  }
+
   test("CREATE/REFRESH MATERIALIZED VIEW: incremental maintenance via SQL") {
     val dir = Files.createTempDirectory("graft-mv-sql-").toString
     val base = TxTable(spark, s"$dir/base")
