@@ -55,11 +55,19 @@ object StreamingIngest {
     * next batch probes the grown index.
     *
     * State story: the dedup "state" is the on-disk index, not stream
-    * state — unbounded corpus, bounded executor memory. Both writes go
-    * to per-batch subdirectories (`batch=<id>`, discovered as a
-    * partition column on read) in OVERWRITE mode, so a batch replayed
-    * after a crash rewrites its own directories instead of duplicating
-    * rows — idempotent without a transactional format.
+    * state — unbounded corpus, bounded executor memory. Both the
+    * accepted-documents table and the signature index are
+    * [[graft.ops.TxTable]]s, and each batch's append carries a
+    * `(txnAppId, batchId)` transaction marker — replay idempotence is
+    * the ENGINE'S, not hand-rolled directory juggling: a replayed
+    * batch whose append already committed raises the engine's
+    * already-applied signal and is skipped, a crash mid-append left
+    * NOTHING visible (commit atomicity), and both tables come with
+    * time travel / DESCRIBE HISTORY / vacuum for free. The out table
+    * is appended BEFORE the index, so at the probe the index can
+    * never contain the probing batch's own signatures (the
+    * self-match-at-sim-1.0 hazard the plain-parquet design had to
+    * dodge with partition exclusion).
     *
     * Scale shape: the index join shuffles band keys + 12-long
     * signatures, never documents; the incoming batch (≪ index) is the
@@ -85,15 +93,30 @@ object StreamingIngest {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** The sink's transaction identity in both tables' txn markers. */
+  private[graft] val TxnApp = "graft.nearDupIndexSink"
+
+  /** Test seam: fired between the out-table append and the index
+    * append — a throw here models a crash in the one window where the
+    * two tables disagree (out committed, index not), so the spec can
+    * pin that replay completes the index WITHOUT re-landing the docs. */
+  private[graft] var afterOutAppendHook: () => Unit = () => ()
+
   /** One micro-batch of [[nearDupIndexSink]] — package-visible so the
     * spec can drive batches directly. */
   private[graft] def nearDupBatch(
       batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
       minSim: Double): Unit = {
-    // an empty micro-batch (idle trigger tick) must not write an empty —
-    // and schema-less, hence unreadable — batch directory
+    // an empty micro-batch (idle trigger tick) must not commit an
+    // empty — and schema-less, hence unreadable — table version
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    val out = graft.ops.TxTable(spark, outDir)
+    val idx = graft.ops.TxTable(spark, indexDir)
+    // whole-batch replay fast path: BOTH tables record the marker —
+    // the first attempt finished, recomputing would only burn work
+    if (out.txnVersion(TxnApp).exists(_ >= batchId) &&
+        idx.txnVersion(TxnApp).exists(_ >= batchId)) return
     // pinned (not bare localCheckpoint) so each batch RELEASES its blocks
     // — a continuous trigger would otherwise accumulate them for the life
     // of the app (the leak class ops.Checkpoints exists to close)
@@ -104,28 +127,28 @@ object StreamingIngest {
       // within-batch near-dups: the lower id is canonical, higher ids drop
       val withinDups = Dedup.signatureNearDups(sigs, minSim)
         .select(col("b_id").as("doc_id")).distinct()
-      // vs the index of all previously accepted docs (absent on batch 0).
-      // The probe EXCLUDES this batch's own partition: a batch replayed
-      // after a crash mid-write would otherwise meet its own previous
-      // attempt's signatures in the index, self-match at sim 1.0, and
-      // drop every document — replay must see exactly the index state
-      // the first attempt saw.
+      // vs the index of all previously accepted docs (absent on batch
+      // 0). The index can never hold THIS batch's own signatures here:
+      // the out table appends first, so an index that recorded the
+      // marker implies the fast path above already returned — the
+      // plain-parquet design's self-match-at-sim-1.0 replay hazard is
+      // structurally gone.
       val newBands = Dedup.bandTable(sigs)
-      val vsIndexDups = readIndex(spark, indexDir, batchId) match {
-        case Some(idx) =>
+      val vsIndexDups = readIndex(spark, indexDir) match {
+        case Some(index) =>
           // skew guard: a band key shared by a huge index fraction (a
           // boilerplate shingle pattern) would fan the probe join out by
           // its membership; keys past the cap are dropped — docs that hot
           // still meet the index through their other Bands-1 keys. The
           // hot list is tiny and broadcasts; production maintains these
           // counts incrementally instead of re-aggregating the index.
-          val hot = idx.groupBy("band_idx", "band_key")
+          val hot = index.groupBy("band_idx", "band_key")
             .agg(count(lit(1)).as("n"))
             .where(col("n") > Dedup.MaxBucket)
             .select("band_idx", "band_key")
           newBands
             .join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
-            .join(idx
+            .join(index
               .select(col("band_idx"), col("band_key"),
                 col("sig").as("idx_sig")),
               Seq("band_idx", "band_key"))
@@ -138,33 +161,37 @@ object StreamingIngest {
       val (kept, keptBlocks) = graft.ops.Checkpoints.pin(
         batch.join(dropIds, Seq("doc_id"), "left_anti"))
       try {
-        kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        newBands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        // out FIRST, then index, each append atomic under its txn
+        // marker. Crash shapes: mid-append → nothing visible, replay
+        // recomputes cleanly; between the two → out's marker raises
+        // already-applied on replay (rows landed once) and the index
+        // append completes; after both → the fast path skips. The
+        // `batch` column is ordinary data now — kept for lineage, no
+        // partition-discovery tricks.
+        try {
+          out.append(kept.withColumn("batch", lit(batchId)), 50,
+            Some((TxnApp, batchId)))
+          ()
+        } catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
+        afterOutAppendHook()
+        try {
+          idx.append(
+            newBands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+              .withColumn("batch", lit(batchId)), 50,
+            Some((TxnApp, batchId)))
+          ()
+        } catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
       } finally graft.ops.Checkpoints.release(spark, keptBlocks)
     } finally graft.ops.Checkpoints.release(spark, sigBlocks)
   }
 
-  /** The signature index, if any batch has committed one yet. Presence
-    * is decided by data files, not read success — a transient FS error
-    * must fail the batch (it retries), not silently skip the index
-    * (which would re-admit every near-dup in flight). */
+  /** The signature index, if any batch has committed one yet —
+    * resolved from the index table's own log (no directory probing;
+    * a transient resolve error fails the batch, which retries, never
+    * silently skips the index and re-admits in-flight near-dups). */
   private def readIndex(
-      spark: SparkSession, indexDir: String,
-      excludeBatch: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { d =>
-      d.isDirectory && d.getPath.getName != s"batch=$excludeBatch" &&
-        fs.listStatus(d.getPath).exists { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-    }
-    if (hasData)
-      // `batch` is the discovered partition column of the per-batch dirs
-      Some(spark.read.parquet(indexDir)
-        .where(col("batch") =!= excludeBatch))
-    else None
+      spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val t = graft.ops.TxTable(spark, indexDir)
+    if (t.snapshot().files.isEmpty) None else Some(t.read())
   }
 }

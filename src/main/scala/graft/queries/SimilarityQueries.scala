@@ -191,7 +191,7 @@ object SimilarityQueries {
   /** Nearest-centroid cell per vector (cosine argmax, ties to the lowest
     * centroid id), carrying the vector through the aggregate so the mean
     * step needs no re-join. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
         (VectorOps.dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
@@ -229,7 +229,7 @@ object SimilarityQueries {
     * shuffles 64 rows per VECTOR). Empty cells drop out; no runtime
     * randomness anywhere. Means are rounded to 6 places so cross-engine
     * summation order cannot leak into the assignment argmax. */
-  private def kmeansCentroids(e: DataFrame): DataFrame = {
+  private[graft] def kmeansCentroids(e: DataFrame): DataFrame = {
     val seeds = e.where(col("vec_id") % seedStride(e) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val (fitted, _) = (1 to IvfIters)
@@ -265,7 +265,7 @@ object SimilarityQueries {
   /** IVF search over a prepared index: celled corpus (vec_id, v, nrm,
     * cell) + fitted centroids + queries (q_id, qv, qn). Probe picks
     * nprobe cells per query; scoring joins on cell. */
-  private def ivfSearch(
+  private[graft] def ivfSearch(
       ce: DataFrame, cents: DataFrame, q: DataFrame): DataFrame = {
     val probe = q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("qv"), col("qn"),

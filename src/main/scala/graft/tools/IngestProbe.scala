@@ -43,7 +43,7 @@ object IngestProbe {
       val t0 = System.nanoTime()
       StreamingIngest.nearDupBatch(batch, i.toLong, idx, out, minSim = 0.75)
       val secs = (System.nanoTime() - t0) / 1e9
-      val idxRows = spark.read.parquet(idx).count()
+      val idxRows = graft.ops.TxTable(spark, idx).read().count()
       println(f"[ingest] batch=$i%-2d docs=${batch.count()}%-5d " +
         f"index_bands=$idxRows%-7d secs=$secs%6.2f")
     }

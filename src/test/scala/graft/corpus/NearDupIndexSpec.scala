@@ -11,8 +11,10 @@ import graft.SparkTestBase
 /** Incremental near-dup ingest ([[StreamingIngest.nearDupIndexSink]]):
   * within-batch near-dups drop (lower id canonical), later batches drop
   * near-dups of anything ALREADY ACCEPTED via the persisted signature
-  * index, novel docs pass, and a replayed batch rewrites its own
-  * `batch=` directories instead of duplicating rows. */
+  * index, novel docs pass — and both the accepted-documents table and
+  * the index are TxTables whose `(txnAppId, batchId)` markers make
+  * replays no-ops (the engine's idempotence, not directory juggling),
+  * including the crash window where only the out table committed. */
 class NearDupIndexSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -49,8 +51,11 @@ class NearDupIndexSpec extends SparkTestBase {
   }
 
   private def keptIds(out: String): Set[Long] =
-    spark.read.parquet(out).select("doc_id")
+    graft.ops.TxTable(spark, out).read().select("doc_id")
       .collect().map(_.getLong(0)).toSet
+
+  private def outRows(out: String): Long =
+    graft.ops.TxTable(spark, out).read().count()
 
   test("in-batch near-dups drop; later batches dedup against the index") {
     val dirs = (Files.createTempDirectory("ndx-i").toString,
@@ -63,25 +68,66 @@ class NearDupIndexSpec extends SparkTestBase {
       Seq(20L -> nearBase, 21L -> novel2))
     assert(keptIds(dirs._2) === Set(0L, 1L, 21L))
     // index carries exactly the accepted docs' bands
-    val idxIds = spark.read.parquet(dirs._1).select("doc_id")
+    val idxIds = graft.ops.TxTable(spark, dirs._1).read().select("doc_id")
       .distinct().collect().map(_.getLong(0)).toSet
     assert(idxIds === Set(0L, 1L, 21L))
   }
 
-  test("replaying a batch id rewrites its directories idempotently") {
+  test("a replayed batch is a no-op (the engine's txn markers, not ours)") {
     val idx = Files.createTempDirectory("ndx-ri").toString
     val out = Files.createTempDirectory("ndx-ro").toString
     val b0 = Seq(doc(0L, base), doc(1L, novel))
       .toDF("doc_id", "text", "lang", "source", "ingest_ts")
     StreamingIngest.nearDupBatch(b0, 0L, idx, out, minSim = 0.75)
+    val outV = graft.ops.TxTable(spark, out).snapshot().version
+    val idxV = graft.ops.TxTable(spark, idx).snapshot().version
     StreamingIngest.nearDupBatch(b0, 0L, idx, out, minSim = 0.75) // replay
     assert(keptIds(out) === Set(0L, 1L))
-    assert(spark.read.parquet(out).count() == 2) // no duplicated rows
+    assert(outRows(out) == 2) // no duplicated rows
+    // the fast path committed NOTHING on replay — version unchanged
+    assert(graft.ops.TxTable(spark, out).snapshot().version === outV)
+    assert(graft.ops.TxTable(spark, idx).snapshot().version === idxV)
     // a later batch still dedups against the replayed index
     val b1 = Seq(doc(5L, nearBase), doc(6L, novel2))
       .toDF("doc_id", "text", "lang", "source", "ingest_ts")
     StreamingIngest.nearDupBatch(b1, 1L, idx, out, minSim = 0.75)
     assert(keptIds(out) === Set(0L, 1L, 6L))
+  }
+
+  test("crash between the two appends: replay completes the index, docs land once") {
+    val idx = Files.createTempDirectory("ndx-ci").toString
+    val out = Files.createTempDirectory("ndx-co").toString
+    val b0 = Seq(doc(0L, base), doc(1L, novel))
+      .toDF("doc_id", "text", "lang", "source", "ingest_ts")
+    StreamingIngest.nearDupBatch(b0, 0L, idx, out, minSim = 0.75)
+    // batch 1 crashes in the one window where the tables disagree:
+    // out committed, index not
+    val b1 = Seq(doc(10L, novel2)).toDF(
+      "doc_id", "text", "lang", "source", "ingest_ts")
+    StreamingIngest.afterOutAppendHook =
+      () => sys.error("injected crash between appends")
+    try intercept[RuntimeException](
+      StreamingIngest.nearDupBatch(b1, 1L, idx, out, minSim = 0.75))
+    finally StreamingIngest.afterOutAppendHook = () => ()
+    assert(keptIds(out) === Set(0L, 1L, 10L), "out committed pre-crash")
+    val idxT = graft.ops.TxTable(spark, idx)
+    assert(idxT.read().where(col("doc_id") === 10L).count() === 0,
+      "index must not hold the crashed batch yet")
+    // replay: the out append raises already-applied (rows land ONCE),
+    // the index append completes
+    StreamingIngest.nearDupBatch(b1, 1L, idx, out, minSim = 0.75)
+    assert(outRows(out) === 3)
+    assert(idxT.read().where(col("doc_id") === 10L).count() > 0)
+    // and a near-dup of the crashed-then-replayed doc now drops
+    val b2 = Seq(doc(20L, novel2.replace("ruby", "RUBY")))
+      .toDF("doc_id", "text", "lang", "source", "ingest_ts")
+    StreamingIngest.nearDupBatch(b2, 2L, idx, out, minSim = 0.75)
+    assert(keptIds(out) === Set(0L, 1L, 10L))
+    // dogfooding dividend: the index is time-travelable — version 0
+    // is exactly batch 0's bands
+    assert(idxT.readAt(0L).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L))
+    assert(idxT.history().count() >= 2)
   }
 
   test("a restarted sink resumes from the checkpoint and keeps deduping") {
@@ -108,7 +154,7 @@ class NearDupIndexSpec extends SparkTestBase {
     drain() // run 2: same checkpoint — must process ONLY file 2
     assert(keptIds(out) === Set(0L, 1L, 21L))
     // file 1 was not reprocessed: doc 0 appears exactly once
-    assert(spark.read.parquet(out)
+    assert(graft.ops.TxTable(spark, out).read()
       .where(col("doc_id") === 0L).count() == 1)
   }
 
