@@ -130,12 +130,12 @@ object LogStore {
       * heartbeat starts — a stall here ages the claim like a whole-JVM
       * freeze would (specs pin that the token re-check then LOSES the
       * put instead of double-putting). */
-    private[ops] var afterClaimHook: () => Unit = () => ()
+    private[graft] var afterClaimHook: () => Unit = () => ()
 
     /** Test seam: fired after the content write, WHILE the heartbeat
       * is running — a stall here models an arbitrarily slow PUT (specs
       * pin that a live holder is never stolen). */
-    private[ops] var midPutHook: () => Unit = () => ()
+    private[graft] var midPutHook: () => Unit = () => ()
 
     def putIfAbsent(key: String, content: Array[Byte]): Boolean = {
       val target = new File(key)

@@ -268,6 +268,58 @@ class TxTableMultiProcessSpec extends SparkTestBase {
       "the stolen claim must be gone after recovery")
   }
 
+  for (kind <- Seq("hardlink", "cput"))
+  test(s"[$kind] concurrent cross-process checkpointing: the pointer may lag, resolution never lies") {
+    // two real JVMs race 22 appends across TWO checkpoint boundaries
+    // (v10, v20): the winners of those versions each write a
+    // checkpoint and advance `_last_checkpoint` best-effort. The
+    // pointer's check-then-rename can REGRESS across processes (a
+    // slow ckpt-10 writer finishing after ckpt-20's pointer landed) —
+    // allowed by design, it is a pure accelerator — but the resolved
+    // SNAPSHOT must always be the true head.
+    val dir = Files.createTempDirectory(s"graft-mp-ptr-$kind-").toString
+    val path = s"$dir/t"
+    val t = kind match {
+      case "cput" => TxTable(spark, path, new LogStore.ConditionalWrite(
+        new LogStore.FileConditionalPut()))
+      case _ => TxTable(spark, path)
+    }
+    val flag: Seq[String] = if (kind == "cput") Seq("-cput") else Nil
+    (0 until 4).foreach(i => t.append(df(i * 10 until i * 10 + 10)))
+    val barrier = new File(path).getParent + "/go-ptr"
+    val a = MpWorker.spawn(flag ++ Seq("append", path,
+      "1000", "1019", "100", "11", barrier))
+    val b = MpWorker.spawn(flag ++ Seq("append", path,
+      "5000", "5019", "100", "11", barrier))
+    Files.write(new File(barrier).toPath, Array.emptyByteArray)
+    assert(await(a, "worker A") === 0)
+    assert(await(b, "worker B") === 0)
+    val expect = 40L + 22L * 20L
+    assert(t.snapshot().version === 25L)
+    assert(t.read().count() === expect)
+    // the pointer names an EXISTING checkpoint at or below the head
+    val logDir = new File(path, "_log")
+    val ptr = new File(logDir, "_last_checkpoint")
+    assert(ptr.isFile, "two checkpoint boundaries must leave a pointer")
+    val pv = "\"version\":(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(ptr.toPath)))
+      .map(_.group(1).toLong).get
+    assert(pv <= 25L && new File(logDir,
+      f"$pv%020d.ckpt.json").isFile,
+      s"pointer names v$pv, which must be an existing checkpoint")
+    // a REGRESSED pointer (the slow-writer shape, forced): resolution
+    // probes forward from the older checkpoint and still serves the
+    // true head — stale pointers cost reads, never correctness
+    Files.write(ptr.toPath, """{"version":10}""".getBytes("UTF-8"))
+    assert(TxTable(spark, path).snapshot().version === 25L)
+    assert(TxTable(spark, path).read().count() === expect)
+    // a pointer naming a MISSING checkpoint version is ignored
+    // (validated against its target existing -> full-listing fallback)
+    Files.write(ptr.toPath, """{"version":15}""".getBytes("UTF-8"))
+    assert(TxTable(spark, path).snapshot().version === 25L)
+    assert(TxTable(spark, path).read().count() === expect)
+  }
+
   test("streaming source tailed across two processes is exactly-once") {
     val dir = Files.createTempDirectory("graft-mp-tail-").toString
     val path = s"$dir/t"
