@@ -745,6 +745,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     // snapshot moments ago in its retry loop — a stale/raced entry only
     // costs one re-resolve, never a wrong answer
     protoMemo = (snap.version, protocolOf(snap)._2)
+    // same flow for the in-commit-timestamp floor (tryCommit's prev)
+    cs.lastOption.foreach(c2 => tsMemo = (c2.version, c2.ts))
     snap
   }
 
@@ -1757,8 +1759,17 @@ final class TxTable private (spark: SparkSession, dir: String,
     * (A post-evolve write that explicitly stores NULL also reads as
     * the default — defaulted columns are total by contract here; use
     * SET DEFAULT on an existing column for write-side-only filling.) */
-  private def readSnapshot(s: Snapshot): DataFrame = {
-    val df = toLogical(readSnapshotRaw(s), s)
+  private def readSnapshot(s: Snapshot): DataFrame =
+    applyExistsDefaults(toLogical(readSnapshotRaw(s), s), s)
+
+  /** The exists-default coalesce over a LOGICAL frame (see
+    * [[TxTable.ExistsDefaultPrefix]]) — shared by the snapshot read
+    * and the change feed, so CDF consumers (incremental MVs included)
+    * see exactly the values `read()` serves. Exists defaults are
+    * immutable once declared (SET/DROP DEFAULT touch only the current
+    * default; dropColumn retires them with the column), so applying a
+    * single snapshot's map is version-exact. */
+  private def applyExistsDefaults(df: DataFrame, s: Snapshot): DataFrame = {
     val xd = defaultsOf(s, TxTable.ExistsDefaultPrefix)
     if (xd.isEmpty) df
     else {
@@ -2003,7 +2014,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     // contract under column mapping (the tags pass through untouched)
     val head = snapshot()
     changes.reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .map(toLogical(_, head))
+      // exists defaults apply like the head read's: a feed straddling
+      // an ADD COLUMN … DEFAULT serves the default where read() does,
+      // so an incremental consumer (an MV folding SUM over the new
+      // column) converges to the full recompute
+      .map(df => applyExistsDefaults(toLogical(df, head), head))
       .getOrElse(
       // empty feed: build the zero-row frame from the MEMOIZED schema
       // — planning the head relation just for its columns costs an
@@ -2130,7 +2145,33 @@ final class TxTable private (spark: SparkSession, dir: String,
     sum
   }
 
-  private def tryCommit(c0: Commit, stats: Seq[String] = Nil): Boolean = {
+  /** Test seam: the wall clock IN-COMMIT TIMESTAMPS read — specs
+    * regress it to prove monotone stamping. */
+  private[ops] var wallClockHook: () => Long =
+    () => System.currentTimeMillis()
+
+  /** (version, in-commit ts) of the last commit this instance wrote or
+    * resolved — saves the one prev-entry read per commit in the normal
+    * resolve-then-commit flow. */
+  @volatile private var tsMemo: (Long, Long) = (Long.MinValue, 0L)
+
+  private def tryCommit(c0a: Commit, stats: Seq[String] = Nil): Boolean = {
+    // IN-COMMIT TIMESTAMPS (Delta's ICT): the entry's ts is stamped
+    // HERE, once, as max(wall, prev_ts + 1) — monotone per table
+    // whatever the wall clock does (NTP step-backs, skewed racing
+    // writers), so timestampAsOf / RESTORE TO TIMESTAMP / CDF
+    // timestamp windows resolve deterministically from the log alone.
+    // prev is the HEAD entry (always survives retention cleanup); the
+    // memo hits when this instance resolved or committed the head
+    // moments ago, the normal retry-loop flow.
+    val prevTs: Long =
+      if (c0a.version == 0L) Long.MinValue
+      else if (tsMemo._1 == c0a.version - 1) tsMemo._2
+      else
+        try readEntry(logFile(c0a.version - 1)).ts
+        catch { case _: Throwable => Long.MinValue }
+    val c0 = c0a.copy(ts =
+      math.max(wallClockHook(), math.max(prevTs, Long.MinValue + 1) + 1))
     // WRITE-side protocol gate against the PRE-commit state (the commit
     // itself may raise the requirement — that is the upgrade path).
     // The memo hits when the committer resolved the head in its own
@@ -2160,6 +2201,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     if (!store.putIfAbsent(logFile(c.version),
         render(c).getBytes(StandardCharsets.UTF_8))) false
     else {
+      tsMemo = (c.version, c.ts)
       if (stats.nonEmpty) try {
         Files.write(Paths.get(f"$logDir/${c.version}%020d.stats.tsv"),
           stats.mkString("\n").getBytes(StandardCharsets.UTF_8))

@@ -1376,6 +1376,14 @@ class TxSqlSpec extends SparkTestBase {
     assert(e1.getMessage.contains("constant"))
     intercept[Exception](sql.run(
       s"ALTER TABLE txtable.`$p` ADD COLUMN bad DATE DEFAULT 'nope'"))
+    // the CHANGE FEED serves the exists default exactly like read():
+    // a window straddling the evolve backfills pre-evolve inserts, so
+    // an incremental consumer converges to the full recompute
+    val feed = t.readChanges(-1L)
+      .where(col("_change_type") === "insert")
+    assert(feed.where(col("origin").isNull).count() === 0,
+      "CDF must serve exists defaults, not physical NULLs")
+    assert(feed.where(col("origin") === "legacy").count() === 15)
   }
 
   test("a dropped column's DEFAULT declarations retire with it") {

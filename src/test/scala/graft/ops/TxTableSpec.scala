@@ -2355,6 +2355,37 @@ class TxTableSpec extends SparkTestBase {
     assert(it.toVector.map(_.version) === Vector(1L))
   }
 
+  test("in-commit timestamps: monotone under a regressed wall clock") {
+    val (t, _) = mkTable()
+    val t0 = System.currentTimeMillis()
+    t.wallClockHook = () => t0 + 100000L // fast clock first
+    try {
+      t.append(df(0 until 5))
+      t.append(df(5 until 10))
+      // the wall clock REGRESSES 100 s (NTP step-back, or a racing
+      // writer with a skewed clock winning the next version)
+      t.wallClockHook = () => t0
+      t.append(df(10 until 15))
+      t.append(df(15 until 20))
+    } finally t.wallClockHook = () => System.currentTimeMillis()
+    val tss = t.history().orderBy("version").select("timestamp")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    // strictly increasing in VERSION order despite the regression —
+    // the in-commit stamp is max(wall, prev + 1), never raw wall
+    assert(tss == tss.sorted && tss.distinct.size == tss.size,
+      s"not monotone: $tss")
+    assert(tss(2) == tss(1) + 1, "a regressed commit stamps prev + 1")
+    assert(tss(3) == tss(2) + 1)
+    // timestamp time travel resolves deterministically at every
+    // boundary — pre-ICT, the regressed window was ambiguous
+    tss.zipWithIndex.foreach { case (ts, v) =>
+      assert(t.versionAsOf(ts) === v.toLong, s"versionAsOf($ts)")
+    }
+    assert(t.readAsOfTimestamp(tss(1)).count() === 10)
+    // the CDF timestamp window rides the same monotone stamps
+    assert(t.versionSince(tss(2)) === 2L)
+  }
+
   test("cleanupLog reclaims age-expired crash leftovers from _log") {
     val (t, dir) = mkTable()
     t.append(df(0 until 10))
