@@ -307,8 +307,9 @@ object Bench {
       (ncpus / 8.0).toString).toDouble
     // r14's lesson: congestion that ARRIVES mid-suite slips past both
     // the start canary and the start loadavg — the per-query-boundary
-    // samples close that blind spot (two consecutive hot samples, or
-    // one extreme one, relative to the run's own clean minimum)
+    // samples close that blind spot (three consecutive samples above
+    // 1.35x the run's own median, or one above 2.5x — see
+    // midrunCongested for the thresholds' rationale)
     val miniIdleFloor =
       sys.env.getOrElse("SPARK_GRAFT_MINI_IDLE", (idleCal / 4).toString)
         .toDouble

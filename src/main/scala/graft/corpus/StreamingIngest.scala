@@ -163,24 +163,29 @@ object StreamingIngest {
       try {
         // out FIRST, then index, each append atomic under its txn
         // marker. Crash shapes: mid-append → nothing visible, replay
-        // recomputes cleanly; between the two → out's marker raises
-        // already-applied on replay (rows landed once) and the index
+        // recomputes cleanly; between the two → out's marker skips
+        // the re-append on replay (rows landed once) and the index
         // append completes; after both → the fast path skips. The
+        // pre-check avoids STAGING a full orphan copy of the batch
+        // only for the marker to refuse the commit; the catch stays
+        // for the zombie-attempt race the pre-check cannot close. The
         // `batch` column is ordinary data now — kept for lineage, no
         // partition-discovery tricks.
-        try {
-          out.append(kept.withColumn("batch", lit(batchId)), 50,
-            Some((TxnApp, batchId)))
-          ()
-        } catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
+        if (!out.txnVersion(TxnApp).exists(_ >= batchId))
+          try {
+            out.append(kept.withColumn("batch", lit(batchId)), 50,
+              Some((TxnApp, batchId)))
+            ()
+          } catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
         afterOutAppendHook()
-        try {
-          idx.append(
-            newBands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-              .withColumn("batch", lit(batchId)), 50,
-            Some((TxnApp, batchId)))
-          ()
-        } catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
+        if (!idx.txnVersion(TxnApp).exists(_ >= batchId))
+          try {
+            idx.append(
+              newBands.join(kept.select("doc_id"), Seq("doc_id"),
+                "left_semi").withColumn("batch", lit(batchId)), 50,
+              Some((TxnApp, batchId)))
+            ()
+          } catch { case _: graft.ops.TxTable.TxnAlreadyApplied => () }
       } finally graft.ops.Checkpoints.release(spark, keptBlocks)
     } finally graft.ops.Checkpoints.release(spark, sigBlocks)
   }

@@ -655,7 +655,7 @@ final class TxSql(spark: SparkSession) {
         case f: UnresolvedFunction
             if f.nameParts.last.equalsIgnoreCase("count") &&
               !f.isDistinct && isCountStar(f) =>
-          require(al.name == MaterializedView.NRows,
+          require(al.name.equalsIgnoreCase(MaterializedView.NRows),
             s"COUNT(*) must alias ${MaterializedView.NRows} (the " +
               s"maintained row-count column); got: ${al.name}")
           sawCount = true
@@ -700,14 +700,26 @@ final class TxSql(spark: SparkSession) {
         (spark.sessionState.catalog.defaultTablePath(id).getPath, true)
     }
     val mvT = TxTable(spark, mvDir)
-    require(mvT.snapshot().version < 0,
-      s"materialized view location $mvDir already holds a table")
-    // the definition IS table metadata: refreshes (this session or
-    // any later one) rebuild the view object from these properties
-    mvT.setProperties(Map(
+    // CREATE is IDEMPOTENT over its own definition: the statement is
+    // three steps (definition properties, populate, catalog entry) and
+    // a crash between any two must be repairable by RERUNNING it — a
+    // location holding exactly this definition resumes (the refresh
+    // below no-ops when already current, the catalog entry re-lands);
+    // any OTHER content at the location refuses loudly.
+    val definition = Map(
       "txtable.mv.base" -> base.tableDir,
       "txtable.mv.groupBy" -> groupCols.mkString(","),
-      "txtable.mv.sums" -> sums.result().mkString(",")))
+      "txtable.mv.sums" -> sums.result().mkString(","))
+    val existing = mvT.snapshot().version >= 0
+    if (existing) {
+      val have = mvT.properties
+      require(definition.forall { case (k, v) => have.get(k).contains(v) },
+        s"materialized view location $mvDir already holds a table " +
+          "with a different definition (or not a materialized view)")
+    } else
+      // the definition IS table metadata: refreshes (this session or
+      // any later one) rebuild the view object from these properties
+      mvT.setProperties(definition)
     val commit = MaterializedView(spark, base, mvDir,
       groupCols, sums.result()).refresh()
     if (catalogName) {

@@ -791,7 +791,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         Seq(TxTable.encodePv(minReader, minWriter)),
         head.cms.filter(TxTable.isPvName),
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"upgradeProtocol contention: lost $maxRetries races in $logDir")
@@ -929,7 +930,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val c = Commit(base.version + 1, "constraint",
         Seq(encodeCt(name, expression)), Nil,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"addConstraint contention: lost $maxRetries races in $logDir")
@@ -948,7 +950,8 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"${ctMap(base).keys.toSeq.sorted.mkString(", ")})")
       val c = Commit(base.version + 1, "constraint", Nil, Seq(token.get),
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"dropConstraint contention: lost $maxRetries races in $logDir")
@@ -1086,7 +1089,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         m.get(oldName).map(_ => TxTable.encodeCm(oldName, phys)).toSeq ++
           pvRemove ++ clusterSwap.map(_._1) ++ defaultSwap.map(_._1),
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"renameColumn contention: lost $maxRetries races in $logDir")
@@ -1144,7 +1148,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         m.get(name).map(_ => TxTable.encodeCm(name, phys)).toSeq ++
           pvRemove ++ defaultDrop,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"dropColumn contention: lost $maxRetries races in $logDir")
@@ -1220,7 +1225,7 @@ final class TxTable private (spark: SparkSession, dir: String,
         s"dv- basename) and would be misread as metadata: " +
         s"${reserved.take(3).mkString(", ")} — rename them first")
     val c = Commit(0L, "convert", rels, Nil, System.currentTimeMillis())
-    require(tryCommit(c, fileStats(rels)),
+    require(tryCommit(c, fileStats(rels)).isDefined,
       s"conversion raced: another writer committed v0 to $dir")
   }
 
@@ -1402,6 +1407,15 @@ final class TxTable private (spark: SparkSession, dir: String,
       val head = snapshot()
       require(!gcMap(head).contains(name),
         s"generated column '$name' already declared: ${gcMap(head)(name)}")
+      // the mirror of setColumnDefault's guard: a defaulted column
+      // cannot also be engine-computed — the write-side fill and the
+      // generation enforcement would fight over omitted batches
+      require(!head.cms.exists(t => TxTable.isTpName(t) &&
+        TxTable.defaultKeyCol(TxTable.decodeTp(t)._1)
+          .exists(_.equalsIgnoreCase(name))),
+        s"column '$name' declares a DEFAULT — drop it first (ALTER " +
+          s"COLUMN $name DROP DEFAULT; a column added WITH a default " +
+          "cannot become generated)")
       // DATALESS tables may declare ahead of content (the CREATE TABLE
       // column-spec flow — Delta's primary generated-column surface):
       // the existence/equality validation is vacuous with zero rows,
@@ -1421,7 +1435,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val c = Commit(head.version + 1, "gencol",
         Seq(TxTable.encodeGc(name, expression)) ++ pvAdd, pvRemove,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"addGeneratedColumn contention: lost $maxRetries races in $logDir")
@@ -1451,7 +1466,8 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"${gcMap(head).keys.toSeq.sorted.mkString(", ")})")
       val c = Commit(head.version + 1, "gencol", Nil, Seq(token.get),
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"dropGeneratedColumn contention: lost $maxRetries races in $logDir")
@@ -1516,7 +1532,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         kvs.toSeq.sortBy(_._1).map { case (k, v) =>
           TxTable.encodeTp(k, v) },
         stale, System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"setProperties contention: lost $maxRetries races in $logDir")
@@ -1535,7 +1552,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         keysLower.contains(TxTable.decodeTp(t)._1.toLowerCase))
       val c = Commit(head.version + 1, "properties", Nil, stale,
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"unsetProperties contention: lost $maxRetries races in $logDir")
@@ -1607,7 +1625,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         carrier ++ Seq(TxTable.encodeId(name, start, step,
           start - step)) ++ pvAdd,
         pvRemove, System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       carrier.foreach(n => new File(dir, n).delete())
       attempt += 1
     }
@@ -1638,7 +1657,8 @@ final class TxTable private (spark: SparkSession, dir: String,
           s"${identMap(head).keys.toSeq.sorted.mkString(", ")})")
       val c = Commit(head.version + 1, "identity", Nil, Seq(token.get),
         System.currentTimeMillis(), bytes = 0L, rmBytes = 0L)
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"dropIdentityColumn contention: lost $maxRetries races in $logDir")
@@ -1723,8 +1743,8 @@ final class TxTable private (spark: SparkSession, dir: String,
           staged ++ tokenSwap.map(_._1) ++ txnAdd,
           tokenSwap.map(_._2) ++ txnRm,
           System.currentTimeMillis())
-        if (tryCommit(c, stats)) committed = Some(c)
-        else {
+        committed = tryCommit(c, stats)
+        if (committed.isEmpty) {
           staged.foreach { n =>
             new File(dir, n).delete(); dropBlooms(n)
           }
@@ -2155,21 +2175,26 @@ final class TxTable private (spark: SparkSession, dir: String,
     * resolve-then-commit flow. */
   @volatile private var tsMemo: (Long, Long) = (Long.MinValue, 0L)
 
-  private def tryCommit(c0a: Commit, stats: Seq[String] = Nil): Boolean = {
+  /** CAS the commit in; Some(stamped commit) = won (the returned
+    * object is EXACTLY what the log entry holds — in-commit timestamp
+    * and byte totals included — so callers hand back the truth, never
+    * the pre-stamp draft), None = lost the version race. */
+  private def tryCommit(c0a: Commit,
+      stats: Seq[String] = Nil): Option[Commit] = {
     // IN-COMMIT TIMESTAMPS (Delta's ICT): the entry's ts is stamped
     // HERE, once, as max(wall, prev_ts + 1) — monotone per table
     // whatever the wall clock does (NTP step-backs, skewed racing
     // writers), so timestampAsOf / RESTORE TO TIMESTAMP / CDF
     // timestamp windows resolve deterministically from the log alone.
-    // prev is the HEAD entry (always survives retention cleanup); the
-    // memo hits when this instance resolved or committed the head
+    // prev is the HEAD entry (it always survives retention cleanup —
+    // a read FAULT here is a real store fault and must FAIL the
+    // commit: defaulting would silently write a non-monotone stamp);
+    // the memo hits when this instance resolved or committed the head
     // moments ago, the normal retry-loop flow.
     val prevTs: Long =
       if (c0a.version == 0L) Long.MinValue
       else if (tsMemo._1 == c0a.version - 1) tsMemo._2
-      else
-        try readEntry(logFile(c0a.version - 1)).ts
-        catch { case _: Throwable => Long.MinValue }
+      else readEntry(logFile(c0a.version - 1)).ts
     val c0 = c0a.copy(ts =
       math.max(wallClockHook(), math.max(prevTs, Long.MinValue + 1) + 1))
     // WRITE-side protocol gate against the PRE-commit state (the commit
@@ -2199,7 +2224,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val c = if (c1.rmBytes >= 0) c1
       else c1.copy(rmBytes = sizeOf(c1.remove.filterNot(TxTable.isMetaToken)))
     if (!store.putIfAbsent(logFile(c.version),
-        render(c).getBytes(StandardCharsets.UTF_8))) false
+        render(c).getBytes(StandardCharsets.UTF_8))) None
     else {
       tsMemo = (c.version, c.ts)
       if (stats.nonEmpty) try {
@@ -2207,7 +2232,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
       } catch { case _: Throwable => () }
       maybeCheckpoint(c.version)
-      true
+      Some(c)
     }
   }
 
@@ -2794,10 +2819,31 @@ final class TxTable private (spark: SparkSession, dir: String,
   /** Every [[CheckpointInterval]] commits, the winner persists the
     * fully-replayed active file list next to its entry. Best-effort:
     * a failed or lost checkpoint only costs replay time, never
-    * correctness, so every failure mode is swallowed. */
+    * correctness, so every failure mode is swallowed.
+    *
+    * Per-table TUNING via the `txtable.checkpointInterval` property
+    * (Delta's `delta.checkpointInterval`): the effective interval is
+    * the property rounded UP to a multiple of the base interval —
+    * checked here only at base-interval boundaries, so the hot commit
+    * path never pays a property read (the candidate versions already
+    * resolve a snapshot to build the inventory; reading its tokens is
+    * free). A 100k-file table checkpointing every 10 commits under a
+    * 30 s streaming trigger writes its whole inventory ~300×/day;
+    * raising the interval trades replay length for that write
+    * amplification — exactly the knob Delta exposes. Malformed or
+    * sub-base values fall back to the base interval. */
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) try {
       val s = snapshotAt(version)
+      val effInterval = tpMap(s)
+        .collectFirst { case (k, v)
+            if k.equalsIgnoreCase("txtable.checkpointInterval") => v }
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .filter(_ > CheckpointInterval)
+        .map(n => ((n + CheckpointInterval - 1) / CheckpointInterval) *
+          CheckpointInterval)
+        .getOrElse(CheckpointInterval.toLong)
+      if (version % effInterval != 0L) return
       // data + dv files + constraint and column-mapping tokens in one
       // list: replay splits them back by prefix
       val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/")) ++
@@ -3028,7 +3074,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val c = Commit(base.version + 1,
         if (evolve) "evolve" else "append", files ++ txnAdd, txnRm,
         System.currentTimeMillis())
-      if (tryCommit(c, stats)) return c
+      val cc = tryCommit(c, stats)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     // retry exhaustion: the staged files will never be referenced —
@@ -3149,7 +3196,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         val c = Commit(base.version + 1, "copy",
           staged ++ fresh.map(TxTable.encodeCp), Nil,
           System.currentTimeMillis())
-        if (tryCommit(c, stats)) return Some(c)
+        val cc = tryCommit(c, stats)
+        if (cc.isDefined) return cc
         true
       }
       if (raced) {
@@ -3189,7 +3237,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val staged = stageCarrier(head, cols)
       val c = Commit(head.version + 1, "evolve", staged, Nil,
         System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       staged.foreach(n => new File(dir, n).delete())
       attempt += 1
     }
@@ -3198,18 +3247,20 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   /** `ALTER TABLE t ADD COLUMN name type DEFAULT expr` — ONE atomic
     * evolve commit carrying the schema carrier AND both default
-    * declarations ([[TxTable.DefaultPrefix]] /
-    * [[TxTable.ExistsDefaultPrefix]]): existing rows READ the default
-    * (bound to a literal here, once — `ADD COLUMN … DEFAULT
-    * current_date()` freezes today's date for the pre-existing rows,
-    * the standard exists-default binding), and later writes that omit
-    * the column fill it. The default must be a CONSTANT expression
-    * (no column references) that casts to `dataType` and does not
-    * evaluate to NULL. */
+    * declarations: the EXISTS default is bound to a literal here,
+    * once (`ADD COLUMN … DEFAULT current_date()` freezes today's date
+    * for the pre-existing rows — the standard exists-default
+    * binding), while the CURRENT default keeps the EXPRESSION live so
+    * a later insert that omits the column evaluates it at write time
+    * (a month-later insert fills THAT day's date) — exactly
+    * [[setColumnDefault]]'s contract, one declaration per token kind.
+    * The default must be a constant expression (no column references)
+    * that casts to `dataType` and does not evaluate to NULL. */
   def addColumnWithDefault(name: String,
       dataType: org.apache.spark.sql.types.DataType,
       default: String, maxRetries: Int = 50): Commit = {
     val bound = bindDefault(default, dataType)
+    val live = s"CAST(($default) AS ${dataType.sql})"
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot()
@@ -3228,11 +3279,12 @@ final class TxTable private (spark: SparkSession, dir: String,
         TxTable.defaultKeyCol(TxTable.decodeTp(t)._1)
           .exists(_.equalsIgnoreCase(name)))
       val toks = Seq(
-        TxTable.encodeTp(TxTable.DefaultPrefix + name, bound),
+        TxTable.encodeTp(TxTable.DefaultPrefix + name, live),
         TxTable.encodeTp(TxTable.ExistsDefaultPrefix + name, bound))
       val c = Commit(head.version + 1, "evolve", staged ++ toks, stale,
         System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       staged.foreach(n => new File(dir, n).delete())
       attempt += 1
     }
@@ -3254,6 +3306,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     val field = cur.fields.find(_.name.equalsIgnoreCase(name))
       .getOrElse(sys.error(s"no column '$name' (table has " +
         s"${cur.fieldNames.sorted.mkString(", ")})"))
+    // an engine-computed column can never be "omitted and filled":
+    // generated columns compute, identity columns allocate — a default
+    // there would silently never engage (or fight the enforcement)
+    require(!gcMap(head).keys.exists(_.equalsIgnoreCase(field.name)) &&
+      !identMap(head).keys.exists(_.equalsIgnoreCase(field.name)),
+      s"column ${field.name} is engine-computed (generated/identity) — " +
+        "a DEFAULT is meaningless there")
     validateDefault(default, field.dataType)
     setProperties(Map(TxTable.DefaultPrefix + field.name ->
       s"CAST(($default) AS ${field.dataType.sql})"), maxRetries)
@@ -3458,7 +3517,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         .filter(f => touched.contains(leaf(f)))
       val c = Commit(base.version + 1, "overwrite", files, replaced,
         System.currentTimeMillis())
-      if (tryCommit(c, stats)) return c
+      val cc = tryCommit(c, stats)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -3516,7 +3576,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val c = Commit(base.version + 1, tag, files ++ txnAdd,
         (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")) ++ txnRm,
         System.currentTimeMillis())
-      if (tryCommit(c, stats)) return c
+      val cc = tryCommit(c, stats)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -3554,7 +3615,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         beforeDmlCommitHook()
         val c = Commit(base.version + 1, "upsert", stagedKeep ++ txnAdd,
           removed ++ txnRm, System.currentTimeMillis())
-        if (tryCommit(c, stagedStats)) return c
+        val cc = tryCommit(c, stagedStats)
+        if (cc.isDefined) return cc.get
         attempt += 1
       } else {
       stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -3584,7 +3646,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       beforeDmlCommitHook()
       val c = Commit(base.version + 1, "upsert", stagedKeep ++ txnAdd,
         removed ++ txnRm, System.currentTimeMillis())
-      if (tryCommit(c, stagedStats)) return c
+      val cc = tryCommit(c, stagedStats)
+      if (cc.isDefined) return cc.get
       attempt += 1
       }
     }
@@ -3741,7 +3804,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         val c = Commit(head.version + 1, actionKeep,
           carrierKeep ++ stagedKeep ++ txnAdd, removed ++ txnRm,
           System.currentTimeMillis())
-        if (tryCommit(c, stagedStats)) return c
+        val cc = tryCommit(c, stagedStats)
+        if (cc.isDefined) return cc.get
         attempt += 1
       } else {
       (carrierKeep ++ stagedKeep).foreach { n =>
@@ -3977,7 +4041,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val c = Commit(head.version + 1, actionKeep,
         carrierKeep ++ stagedKeep ++ txnAdd, removed ++ txnRm,
         System.currentTimeMillis())
-      if (tryCommit(c, stagedStats)) return c
+      val cc = tryCommit(c, stagedStats)
+      if (cc.isDefined) return cc.get
       attempt += 1
       }
     }
@@ -4139,7 +4204,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       beforeDmlCommitHook()
       val c = Commit(head.version + 1, "delete", staged, removed,
         System.currentTimeMillis())
-      if (tryCommit(c, stagedStats)) return c
+      val cc = tryCommit(c, stagedStats)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -4210,7 +4276,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         beforeDmlCommitHook()
         val c = Commit(head.version + 1, "update", stagedKeep, removed,
           System.currentTimeMillis())
-        if (tryCommit(c, stagedStats)) return c
+        val cc = tryCommit(c, stagedStats)
+        if (cc.isDefined) return cc.get
         attempt += 1
       } else {
       stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -4281,7 +4348,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       beforeDmlCommitHook()
       val c = Commit(head.version + 1, "update", stagedKeep, removed,
         System.currentTimeMillis())
-      if (tryCommit(c, stagedStats)) return c
+      val cc = tryCommit(c, stagedStats)
+      if (cc.isDefined) return cc.get
       attempt += 1
       }
     }
@@ -4338,7 +4406,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         beforeDmlCommitHook()
         val c = Commit(head.version + 1, "replace", stagedKeep, removed,
           System.currentTimeMillis())
-        if (tryCommit(c, stagedStats)) return c
+        val cc = tryCommit(c, stagedStats)
+        if (cc.isDefined) return cc.get
         attempt += 1
       } else {
       stagedKeep.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -4366,7 +4435,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       beforeDmlCommitHook()
       val c = Commit(head.version + 1, "replace", stagedKeep, removed,
         System.currentTimeMillis())
-      if (tryCommit(c, stagedStats)) return c
+      val cc = tryCommit(c, stagedStats)
+      if (cc.isDefined) return cc.get
       attempt += 1
       }
     }
@@ -4410,7 +4480,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         beforeDmlCommitHook()
         val c = Commit(head.version + 1, "dvdelete", stagedKeep, Nil,
           System.currentTimeMillis())
-        if (tryCommit(c)) return c
+        val cc = tryCommit(c)
+        if (cc.isDefined) return cc.get
         attempt += 1
       } else {
       stagedKeep.foreach(n => new File(dir, n).delete())
@@ -4437,7 +4508,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       beforeDmlCommitHook()
       val c = Commit(head.version + 1, "dvdelete", stagedKeep, Nil,
         System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
       }
     }
@@ -4491,7 +4563,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         (target.files ++ target.dvs).map(_.stripPrefix(s"$dir/")),
         (base.files ++ base.dvs).map(_.stripPrefix(s"$dir/")),
         System.currentTimeMillis())
-      if (tryCommit(c)) return c
+      val cc = tryCommit(c)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     sys.error(s"restore contention: lost $maxRetries races in $logDir")
@@ -4567,7 +4640,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val action = if (snap.merged) "clone-evolve" else "clone"
     val entry = Commit(0L, action, rels ++ snap.cts ++ snap.cms, Nil,
       System.currentTimeMillis())
-    require(dest.tryCommit(entry, stats),
+    require(dest.tryCommit(entry, stats).isDefined,
       s"clone destination raced: another writer committed to $destDir")
     dest
   }
@@ -4631,7 +4704,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
       val c = Commit(head.version + 1, "compact", files, baseNames,
         System.currentTimeMillis())
-      if (tryCommit(c, stats)) return c
+      val cc = tryCommit(c, stats)
+      if (cc.isDefined) return cc.get
       attempt += 1
     }
     files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -4721,7 +4795,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
       val c = Commit(head.version + 1, "compact", staged, selected,
         System.currentTimeMillis())
-      if (tryCommit(c, stats)) return Some(c)
+      val cc = tryCommit(c, stats)
+      if (cc.isDefined) return cc
       attempt += 1
     }
     staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -4872,7 +4947,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       val c = Commit(head.version + 1, "compact",
         staged :+ TxTable.encodeTp(rcKey, (head.version + 1).toString),
         selected ++ oldRc ++ retiredDvs, System.currentTimeMillis())
-      if (tryCommit(c, stats)) return Some(c)
+      val cc = tryCommit(c, stats)
+      if (cc.isDefined) return cc
       attempt += 1
     }
     staged.foreach { n => new File(dir, n).delete(); dropBlooms(n) }
@@ -4976,7 +5052,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
       val c = Commit(head.version + 1, "compact", files, selected,
         System.currentTimeMillis())
-      if (tryCommit(c, stats)) return Some(c)
+      val cc = tryCommit(c, stats)
+      if (cc.isDefined) return cc
       attempt += 1
     }
     files.foreach { n => new File(dir, n).delete(); dropBlooms(n) }

@@ -1351,6 +1351,12 @@ class TxSqlSpec extends SparkTestBase {
     // a write supplying the column keeps its values
     t.append(df(15 until 20).withColumn("src", lit("explicit")))
     assert(t.read().where(col("src") === "explicit").count() === 5)
+    // the CURRENT default stays a live EXPRESSION (evaluated per
+    // write, like SET DEFAULT's); only the EXISTS default froze to
+    // the DDL-time literal
+    assert(t.property("txtable.default.src")
+      .contains("CAST(('legacy') AS STRING)"))
+    assert(t.property("txtable.existsDefault.src").contains("'legacy'"))
     // SET DEFAULT changes FUTURE fills; prior rows keep theirs
     sql.run(s"ALTER TABLE txtable.`$p` ALTER COLUMN src " +
       "SET DEFAULT concat('fresh', '')")
@@ -1384,6 +1390,21 @@ class TxSqlSpec extends SparkTestBase {
     assert(feed.where(col("origin").isNull).count() === 0,
       "CDF must serve exists defaults, not physical NULLs")
     assert(feed.where(col("origin") === "legacy").count() === 15)
+  }
+
+  test("defaults and engine-computed columns exclude each other") {
+    val (t, p) = mkTable()
+    t.append(df(0 until 10))
+    sql.run(s"ALTER TABLE txtable.`$p` ADD COLUMN d BIGINT DEFAULT 7")
+    // a defaulted column cannot become generated
+    val e1 = intercept[Exception](t.addGeneratedColumn("d", "k * 2"))
+    assert(e1.getMessage.contains("DEFAULT"))
+    // a generated column cannot take a default
+    val (u, _) = mkTable()
+    u.addGeneratedColumn("g", "k * 2") // dataless declare-ahead
+    u.append(df(0 until 5))
+    val e2 = intercept[Exception](u.setColumnDefault("g", "5"))
+    assert(e2.getMessage.contains("engine-computed"))
   }
 
   test("a dropped column's DEFAULT declarations retire with it") {
@@ -1458,11 +1479,16 @@ class TxSqlSpec extends SparkTestBase {
       "v_sum")
     refuse(s"SELECT COUNT(*) AS n_rows $from", "GROUP BY")
     refuse(s"SELECT k, v FROM txtable.`$dir/base`", "grouped aggregate")
-    // a second CREATE at the same location refuses
+    // a second CREATE with a DIFFERENT definition refuses; the SAME
+    // definition is idempotent (the crash-repair contract: rerunning
+    // the statement completes a half-created MV)
     sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
       s"SELECT k, COUNT(*) AS n_rows $from GROUP BY k")
-    refuse(s"SELECT k, COUNT(*) AS n_rows $from GROUP BY k",
-      "already holds a table")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, SUM(v) AS v_sum $from GROUP BY k",
+      "different definition")
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      s"SELECT k, COUNT(*) AS n_rows $from GROUP BY k") // same: no-op
+    assert(TxTable(spark, s"$dir/mv").read().count() === 10)
     // REFRESH on a non-MV txtable refuses with direction
     val e = intercept[Exception](sql.run(
       s"REFRESH MATERIALIZED VIEW txtable.`$dir/base`"))

@@ -2359,15 +2359,17 @@ class TxTableSpec extends SparkTestBase {
     val (t, _) = mkTable()
     val t0 = System.currentTimeMillis()
     t.wallClockHook = () => t0 + 100000L // fast clock first
-    try {
-      t.append(df(0 until 5))
-      t.append(df(5 until 10))
-      // the wall clock REGRESSES 100 s (NTP step-back, or a racing
-      // writer with a skewed clock winning the next version)
-      t.wallClockHook = () => t0
-      t.append(df(10 until 15))
-      t.append(df(15 until 20))
-    } finally t.wallClockHook = () => System.currentTimeMillis()
+    val returned =
+      try {
+        val a = t.append(df(0 until 5))
+        val b = t.append(df(5 until 10))
+        // the wall clock REGRESSES 100 s (NTP step-back, or a racing
+        // writer with a skewed clock winning the next version)
+        t.wallClockHook = () => t0
+        val c = t.append(df(10 until 15))
+        val d = t.append(df(15 until 20))
+        Seq(a, b, c, d)
+      } finally t.wallClockHook = () => System.currentTimeMillis()
     val tss = t.history().orderBy("version").select("timestamp")
       .collect().map(_.getTimestamp(0).getTime).toSeq
     // strictly increasing in VERSION order despite the regression —
@@ -2384,6 +2386,31 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readAsOfTimestamp(tss(1)).count() === 10)
     // the CDF timestamp window rides the same monotone stamps
     assert(t.versionSince(tss(2)) === 2L)
+    // the RETURNED Commit carries the stamped ts the log holds —
+    // versionAsOf(commit.ts) must resolve the commit itself
+    assert(returned.map(_.ts) === tss)
+  }
+
+  test("txtable.checkpointInterval tunes checkpoint cadence per table") {
+    val (t, dir) = mkTable()
+    t.append(df(0 until 2)) // v0
+    t.setProperties(Map("txtable.checkpointInterval" -> "20")) // v1
+    (2 to 41).foreach(i => t.append(df(i * 10 until i * 10 + 2)))
+    val log = new File(dir, "_log")
+    val ckpts = log.listFiles()
+      .filter(_.getName.endsWith(".ckpt.json")).map(_.getName).sorted
+    // only the multiples of the widened interval checkpoint — the
+    // base-interval candidates (10, 30) skip after reading the
+    // property off the snapshot they resolved anyway
+    assert(ckpts.toSeq ===
+      Seq(f"${20L}%020d.ckpt.json", f"${40L}%020d.ckpt.json"))
+    assert(t.snapshot().version === 41L)
+    assert(t.read().count() === 82L)
+    // the pointer tracks the widened cadence
+    val ptr = new File(log, "_last_checkpoint")
+    assert("\"version\":(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(ptr.toPath)))
+      .map(_.group(1).toLong).contains(40L))
   }
 
   test("cleanupLog reclaims age-expired crash leftovers from _log") {
