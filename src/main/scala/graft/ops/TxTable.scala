@@ -346,11 +346,11 @@ object TxTable {
     *    before the evolve), so old rows surface the declared default
     *    instead of NULL. `ALTER COLUMN … SET/DROP DEFAULT` touches
     *    only the current default, Delta's own contract. */
-  private[ops] val DefaultPrefix = "txtable.default."
-  private[ops] val ExistsDefaultPrefix = "txtable.existsDefault."
+  private[graft] val DefaultPrefix = "txtable.default."
+  private[graft] val ExistsDefaultPrefix = "txtable.existsDefault."
 
   /** The column a default property key names, if it is one. */
-  private[ops] def defaultKeyCol(k: String): Option[String] =
+  private[graft] def defaultKeyCol(k: String): Option[String] =
     if (k.startsWith(DefaultPrefix)) Some(k.stripPrefix(DefaultPrefix))
     else if (k.startsWith(ExistsDefaultPrefix))
       Some(k.stripPrefix(ExistsDefaultPrefix))
@@ -3301,21 +3301,33 @@ final class TxTable private (spark: SparkSession, dir: String,
       maxRetries: Int = 20): Commit = {
     val head = snapshot()
     require(head.files.nonEmpty,
-      "SET DEFAULT needs an existing table with at least one file")
+      "SET DEFAULT needs an existing table with at least one file " +
+        "(declare ahead of content via setColumnDefaultDeclared)")
     val cur = toLogical(readSnapshot(head), head).schema
     val field = cur.fields.find(_.name.equalsIgnoreCase(name))
       .getOrElse(sys.error(s"no column '$name' (table has " +
         s"${cur.fieldNames.sorted.mkString(", ")})"))
+    setColumnDefaultDeclared(field.name, default, field.dataType,
+      maxRetries)
+  }
+
+  /** [[setColumnDefault]] with the column's type DECLARED by the
+    * caller — the CREATE-TABLE-with-DEFAULT flow, where the column
+    * type is known from the DDL before any data file exists. */
+  def setColumnDefaultDeclared(name: String, default: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 20): Commit = {
+    val head = snapshot()
     // an engine-computed column can never be "omitted and filled":
     // generated columns compute, identity columns allocate — a default
     // there would silently never engage (or fight the enforcement)
-    require(!gcMap(head).keys.exists(_.equalsIgnoreCase(field.name)) &&
-      !identMap(head).keys.exists(_.equalsIgnoreCase(field.name)),
-      s"column ${field.name} is engine-computed (generated/identity) — " +
+    require(!gcMap(head).keys.exists(_.equalsIgnoreCase(name)) &&
+      !identMap(head).keys.exists(_.equalsIgnoreCase(name)),
+      s"column $name is engine-computed (generated/identity) — " +
         "a DEFAULT is meaningless there")
-    validateDefault(default, field.dataType)
-    setProperties(Map(TxTable.DefaultPrefix + field.name ->
-      s"CAST(($default) AS ${field.dataType.sql})"), maxRetries)
+    validateDefault(default, dataType)
+    setProperties(Map(TxTable.DefaultPrefix + name ->
+      s"CAST(($default) AS ${dataType.sql})"), maxRetries)
   }
 
   /** `ALTER TABLE t ALTER COLUMN name DROP DEFAULT` — future writes

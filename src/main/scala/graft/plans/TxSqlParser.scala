@@ -155,7 +155,8 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
           if isTxCreate(ct) &&
             (ct.columns.exists(c => c.identityColumnSpec.isDefined ||
-              c.generationExpression.isDefined) ||
+              c.generationExpression.isDefined ||
+              c.defaultValue.isDefined || !c.nullable) ||
               clusterColsOf(ct.partitioning).nonEmpty) =>
         specCreate(ct)
       // Spark's session catalog refuses REPLACE TABLE on v1 providers
@@ -204,8 +205,19 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
   private def extractSpecs(
       columns: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition])
       : (Seq[(String, Long, Long)], Seq[(String, String)],
+         Seq[(String, String, String)], Seq[String],
          Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // `c T DEFAULT expr` — declared write-side defaults (no exists
+    // default: a freshly created table has no pre-existing rows to
+    // backfill); `c T NOT NULL` — enforced as an engine CHECK
+    // constraint, since a DSv1 provider otherwise silently drops the
+    // nullability promise the catalog records
+    val dflts = columns.collect {
+      case c if c.defaultValue.isDefined =>
+        (c.name, c.defaultValue.get.originalSQL, c.dataType.sql)
+    }
+    val notNulls = columns.collect { case c if !c.nullable => c.name }
     val ids = columns.collect {
       case c if c.identityColumnSpec.isDefined =>
         val s = c.identityColumnSpec.get
@@ -240,9 +252,11 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         c2 = c2.copy(identityColumnSpec = None)
       if (c2.generationExpression.isDefined)
         c2 = c2.copy(generationExpression = None)
+      if (c2.defaultValue.isDefined)
+        c2 = c2.copy(defaultValue = None)
       c2
     }
-    (ids, gens, cleaned)
+    (ids, gens, dflts, notNulls, cleaned)
   }
 
   /** `[CREATE OR] REPLACE TABLE … USING txtable [PARTITIONED BY …|
@@ -378,7 +392,7 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       rt: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable)
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-    val (ids, gens, cleaned) = extractSpecs(rt.columns)
+    val (ids, gens, dflts, notNulls, cleaned) = extractSpecs(rt.columns)
     val ct = org.apache.spark.sql.catalyst.plans.logical.CreateTable(
       rt.name, cleaned, stripClusterBy(rt.partitioning), rt.tableSpec,
       ignoreIfExists = false)
@@ -391,14 +405,16 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       org.apache.spark.sql.types.StructField(c.name, c.dataType,
         c.nullable)))
     TxReplaceWithSpecs(rewritePartitionedCtas(ct), parts, ids, gens,
-      rt.orCreate, declared, clusterColsOf(rt.partitioning))
+      rt.orCreate, declared, clusterColsOf(rt.partitioning),
+      dflts, notNulls)
   }
 
   private def specCreate(
       ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable)
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-    val (ids, gens, cleanedCols) = extractSpecs(ct.columns)
+    val (ids, gens, dflts, notNulls, cleanedCols) =
+      extractSpecs(ct.columns)
     val cleaned = ct.copy(columns = cleanedCols,
       partitioning = stripClusterBy(ct.partitioning))
     val parts = ct.name match {
@@ -407,7 +423,7 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         s"unexpected CREATE TABLE name plan: ${other.nodeName}")
     }
     TxCreateWithSpecs(rewritePartitionedCtas(cleaned), parts, ids, gens,
-      ct.ignoreIfExists, clusterColsOf(ct.partitioning))
+      ct.ignoreIfExists, clusterColsOf(ct.partitioning), dflts, notNulls)
   }
 
   /** `CREATE TABLE … USING txtable PARTITIONED BY (…) AS SELECT`:
@@ -508,7 +524,9 @@ case class TxCreateWithSpecs(inner: LogicalPlan,
     nameParts: Seq[String], ids: Seq[(String, Long, Long)],
     gens: Seq[(String, String)] = Nil,
     ignoreIfExists: Boolean = false,
-    clusterBy: Seq[String] = Nil)
+    clusterBy: Seq[String] = Nil,
+    dflts: Seq[(String, String, String)] = Nil,
+    notNulls: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
@@ -536,6 +554,16 @@ case class TxCreateWithSpecs(inner: LogicalPlan,
     ids.foreach { case (n, start, step) =>
       t.addIdentityColumn(n, start, step)
     }
+    // `c T DEFAULT expr` — the write-side fill, declared ahead of
+    // content with the DDL's own type; `c T NOT NULL` — enforced as a
+    // CHECK constraint on every future write (the catalog's
+    // nullability flag alone enforces nothing through DSv1)
+    dflts.foreach { case (n, e, dt) =>
+      t.setColumnDefaultDeclared(n, e,
+        org.apache.spark.sql.types.DataType.fromDDL(dt))
+    }
+    notNulls.foreach(n =>
+      t.addConstraint(s"${n}_not_null", s"$n IS NOT NULL"))
     if (clusterBy.nonEmpty)
       t.setProperties(Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     // the declaration commits landed AFTER the catalog entry: drop any
@@ -594,7 +622,9 @@ object TxSqlParser {
 case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
     ids: Seq[(String, Long, Long)], gens: Seq[(String, String)],
     orCreate: Boolean, declared: StructType,
-    clusterBy: Seq[String] = Nil)
+    clusterBy: Seq[String] = Nil,
+    dflts: Seq[(String, String, String)] = Nil,
+    notNulls: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
@@ -632,6 +662,11 @@ case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
       t.constraints.keys.toSeq.sorted.foreach(n => t.dropConstraint(n))
       if (t.property("txtable.clusterBy").isDefined)
         t.unsetProperties(Seq("txtable.clusterBy"))
+      // stale column-DEFAULT declarations reset like every other
+      // engine-owned spec — the new definition's defaults re-land below
+      val staleDflts = t.properties.keys
+        .filter(k => graft.ops.TxTable.defaultKeyCol(k).isDefined).toSeq
+      if (staleDflts.nonEmpty) t.unsetProperties(staleDflts.sorted)
       if (t.snapshot().files.nonEmpty)
         t.overwriteAs("replace", sparkSession.createDataFrame(
           java.util.Collections.emptyList[Row](), declared))
@@ -640,6 +675,12 @@ case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
     ids.foreach { case (n, start, step) =>
       t.addIdentityColumn(n, start, step)
     }
+    dflts.foreach { case (n, e, dt) =>
+      t.setColumnDefaultDeclared(n, e,
+        org.apache.spark.sql.types.DataType.fromDDL(dt))
+    }
+    notNulls.foreach(n =>
+      t.addConstraint(s"${n}_not_null", s"$n IS NOT NULL"))
     if (clusterBy.nonEmpty)
       t.setProperties(Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     TxSql(sparkSession).refreshCatalog(nameParts)

@@ -286,9 +286,19 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
         // means "not supplied" (DEFAULT semantics) and is dropped so
         // the engine allocates (identity) or computes (generated); any
         // real value falls through to the engine's loud
-        // GENERATED-ALWAYS refusal / null-safe equality enforcement
+        // GENERATED-ALWAYS refusal / null-safe equality enforcement.
+        // DEFAULTED columns get the same treatment: `INSERT INTO t
+        // (k, v)` reaches the relation with the omitted column
+        // null-padded by Spark's column-list resolution, so an
+        // all-NULL defaulted column is "not supplied" and drops —
+        // the engine's write-side fill then computes the default
+        val dfltCols = t.properties.keys
+          .flatMap(k => Option(k)
+            .filter(_.startsWith("txtable.default."))
+            .map(_.stripPrefix("txtable.default.")))
+          .toSet
         val idCols = (t.identityColumns.keySet ++
-            t.generatedColumns.keySet)
+            t.generatedColumns.keySet ++ dfltCols)
           .intersect(data.columns.toSet).toSeq.sorted
         if (idCols.isEmpty) {
           if (overwrite) {

@@ -107,7 +107,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 40, s"expected 40 statements, got ${stmts.size}")
+    require(stmts.size == 43, s"expected 43 statements, got ${stmts.size}")
     val results = stmts.map(s =>
       spark.sql(s.replace("${DIR}", pdir)))
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
@@ -221,11 +221,21 @@ object ExtensionsCheck {
       require(mvRows == Seq((null, 3L, 110L), ("ins", 1L, 770L),
         ("merged", 2L, 1050L), ("new", 1L, 90L)),
         s"materialized view state: $mvRows")
+      // 41-43. column DDL: the INSERT's column list omitted `src`, the
+      // declared DEFAULT filled it; NOT NULL landed as an engine CHECK
+      val dfltRow = results(42).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      require(dfltRow == Seq((5L, "etl")),
+        s"CREATE-with-DEFAULT fill: $dfltRow")
+      require(graft.ops.TxTable(spark, s"$pdir/dflt")
+        .constraints.contains("id_not_null"),
+        "NOT NULL must land as an enforced CHECK constraint")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")
       spark.sql("DROP TABLE IF EXISTS tx_parity_clst")
       spark.sql("DROP TABLE IF EXISTS tx_parity_rtas")
+      spark.sql("DROP TABLE IF EXISTS tx_parity_dflt")
     }
 
     // round-14: STREAMING over catalog names — readStream.table /

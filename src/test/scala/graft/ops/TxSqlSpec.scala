@@ -1392,6 +1392,41 @@ class TxSqlSpec extends SparkTestBase {
     assert(feed.where(col("origin") === "legacy").count() === 15)
   }
 
+  test("CREATE TABLE column DDL: DEFAULT and NOT NULL land as engine specs") {
+    import graft.plans.TxSqlParser
+    val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)
+    def run(stmt: String) = org.apache.spark.sql.graft.ColumnShim
+      .ofRows(spark, parser.parsePlan(stmt))
+    val loc = Files.createTempDirectory("graft-ddl-dflt-").toString + "/t"
+    try {
+      run("CREATE TABLE graft_ddl_dflt (k BIGINT NOT NULL, " +
+        "v BIGINT, src STRING DEFAULT 'seed') " +
+        s"USING txtable LOCATION '$loc'")
+      val t = TxTable(spark, loc)
+      // the declared default is a live write-side fill from row one
+      run("INSERT INTO graft_ddl_dflt (k, v) SELECT 1L, 10L")
+      assert(spark.table("graft_ddl_dflt").head()
+        .getAs[String]("src") === "seed")
+      // a supplied value wins over the default
+      run("INSERT INTO graft_ddl_dflt SELECT 2L, 20L, 'explicit'")
+      assert(spark.table("graft_ddl_dflt")
+        .where(col("k") === 2L).head().getAs[String]("src") === "explicit")
+      // NOT NULL is ENFORCED (as an engine CHECK), not just recorded
+      assert(t.constraints.contains("k_not_null"))
+      intercept[Exception](run(
+        "INSERT INTO graft_ddl_dflt SELECT CAST(NULL AS BIGINT), 9L, 'x'"))
+      assert(spark.table("graft_ddl_dflt").count() === 2)
+      // REPLACE TABLE resets the default like every engine-owned spec
+      run("CREATE OR REPLACE TABLE graft_ddl_dflt (k BIGINT, " +
+        s"note STRING DEFAULT 'r2') USING txtable LOCATION '$loc'")
+      assert(t.properties.keys.count(_.contains("src")) === 0,
+        "the old definition's default must not survive the replace")
+      run("INSERT INTO graft_ddl_dflt (k) SELECT 7L")
+      assert(spark.table("graft_ddl_dflt").head()
+        .getAs[String]("note") === "r2")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_dflt")
+  }
+
   test("defaults and engine-computed columns exclude each other") {
     val (t, p) = mkTable()
     t.append(df(0 until 10))

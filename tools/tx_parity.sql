@@ -144,3 +144,13 @@ REFRESH MATERIALIZED VIEW txtable.`${DIR}/lakemv`;
 
 SELECT status, n_rows, v_sum FROM txtable.`${DIR}/lakemv`
 ORDER BY status;
+
+-- 41-43. column DDL completeness: DEFAULT fills a column the INSERT's
+--        column list omits; NOT NULL is engine-ENFORCED as a CHECK
+--        constraint, not just recorded in the catalog entry
+CREATE TABLE tx_parity_dflt (id BIGINT NOT NULL,
+  src STRING DEFAULT 'etl') USING txtable LOCATION '${DIR}/dflt';
+
+INSERT INTO tx_parity_dflt (id) SELECT 5;
+
+SELECT id, src FROM tx_parity_dflt;
