@@ -747,6 +747,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     protoMemo = (snap.version, protocolOf(snap)._2)
     // same flow for the in-commit-timestamp floor (tryCommit's prev)
     cs.lastOption.foreach(c2 => tsMemo = (c2.version, c2.ts))
+    // advisory memo for maybeCheckpoint's widened-interval skip —
+    // reading the property THERE would cost a full snapshot resolve
+    // per skipped base-interval candidate; the committer always
+    // resolves its head right before committing, so this is fresh
+    seenCkptInterval = cmRel.filter(isTpName).map(decodeTp)
+      .collectFirst { case (k, v)
+          if k.equalsIgnoreCase("txtable.checkpointInterval") => v }
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(0L)
     snap
   }
 
@@ -1409,10 +1418,16 @@ final class TxTable private (spark: SparkSession, dir: String,
         s"generated column '$name' already declared: ${gcMap(head)(name)}")
       // the mirror of setColumnDefault's guard: a defaulted column
       // cannot also be engine-computed — the write-side fill and the
-      // generation enforcement would fight over omitted batches
-      require(!head.cms.exists(t => TxTable.isTpName(t) &&
-        TxTable.defaultKeyCol(TxTable.decodeTp(t)._1)
-          .exists(_.equalsIgnoreCase(name))),
+      // generation enforcement would fight over omitted batches. The
+      // CURRENT default alone conflicts: a retained exists default
+      // (read-side backfill of pre-evolve rows, which DROP DEFAULT
+      // deliberately keeps) never touches writes and must not bar the
+      // declaration forever.
+      require(!head.cms.exists(t => TxTable.isTpName(t) && {
+        val k = TxTable.decodeTp(t)._1
+        k.startsWith(TxTable.DefaultPrefix) &&
+          k.stripPrefix(TxTable.DefaultPrefix).equalsIgnoreCase(name)
+      }),
         s"column '$name' declares a DEFAULT — drop it first (ALTER " +
           s"COLUMN $name DROP DEFAULT; a column added WITH a default " +
           "cannot become generated)")
@@ -1607,6 +1622,15 @@ final class TxTable private (spark: SparkSession, dir: String,
         s"identity column '$name' already declared")
       require(!gcMap(head).contains(name),
         s"'$name' is a generated column — it cannot also be identity")
+      // a declare-ahead DEFAULT on the same name would have the
+      // write-side fill SUPPLY the column, tripping the identity
+      // "writers cannot supply it" refusal on every omitted-column
+      // append — the same mutual exclusion as generated columns
+      require(!head.cms.exists(t => TxTable.isTpName(t) &&
+        TxTable.defaultKeyCol(TxTable.decodeTp(t)._1)
+          .exists(_.equalsIgnoreCase(name))),
+        s"column '$name' declares a DEFAULT — an identity column is " +
+          "engine-allocated (drop the default declaration first)")
       val carrier: Seq[String] =
         if (head.files.isEmpty) Nil
         else {
@@ -2832,18 +2856,23 @@ final class TxTable private (spark: SparkSession, dir: String,
     * raising the interval trades replay length for that write
     * amplification — exactly the knob Delta exposes. Malformed or
     * sub-base values fall back to the base interval. */
+  /** Latest-resolved `txtable.checkpointInterval` raw value (0 =
+    * unset), memoized by [[buildSnapshot]] so the widened-interval
+    * skip below never pays a snapshot resolve of its own. */
+  @volatile private var seenCkptInterval: Long = 0L
+
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) try {
-      val s = snapshotAt(version)
-      val effInterval = tpMap(s)
-        .collectFirst { case (k, v)
-            if k.equalsIgnoreCase("txtable.checkpointInterval") => v }
-        .flatMap(v => scala.util.Try(v.toLong).toOption)
+      // widened-interval skip FIRST, off the memo — a skipped
+      // candidate must cost nothing (pre-fix it resolved the full
+      // snapshot, checkpoint read + replay, just to read one property)
+      val effInterval = Some(seenCkptInterval)
         .filter(_ > CheckpointInterval)
         .map(n => ((n + CheckpointInterval - 1) / CheckpointInterval) *
           CheckpointInterval)
         .getOrElse(CheckpointInterval.toLong)
       if (version % effInterval != 0L) return
+      val s = snapshotAt(version)
       // data + dv files + constraint and column-mapping tokens in one
       // list: replay splits them back by prefix
       val files = (s.files ++ s.dvs).map(_.stripPrefix(s"$dir/")) ++

@@ -562,8 +562,7 @@ case class TxCreateWithSpecs(inner: LogicalPlan,
       t.setColumnDefaultDeclared(n, e,
         org.apache.spark.sql.types.DataType.fromDDL(dt))
     }
-    notNulls.foreach(n =>
-      t.addConstraint(s"${n}_not_null", s"$n IS NOT NULL"))
+    notNulls.foreach(n => TxSqlParser.notNullConstraint(t, n))
     if (clusterBy.nonEmpty)
       t.setProperties(Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     // the declaration commits landed AFTER the catalog entry: drop any
@@ -598,6 +597,20 @@ object TxSqlParser {
     tableId(parts).exists(id =>
       try spark.sessionState.catalog.tableExists(id)
       catch { case _: Exception => false })
+
+  /** Enforce a declared NOT NULL as an engine CHECK constraint. The
+    * constraint NAME sanitizes to the engine's `[A-Za-z0-9_-]+` rule
+    * and the EXPRESSION backtick-quotes the column, so a column name
+    * with spaces/punctuation cannot kill the CREATE after its catalog
+    * entry already landed. */
+  private[plans] def notNullConstraint(t: graft.ops.TxTable,
+      column: String): Unit = {
+    val safe = column.map(c =>
+      if (c.isLetterOrDigit || c == '_' || c == '-') c else '_')
+    t.addConstraint(s"${safe}_not_null",
+      s"`${column.replace("`", "``")}` IS NOT NULL")
+    ()
+  }
 
   /** Drop the PERMANENT table directly through the session catalog —
     * never through `DROP TABLE` SQL text, whose name resolution a
@@ -679,8 +692,7 @@ case class TxReplaceWithSpecs(inner: LogicalPlan, nameParts: Seq[String],
       t.setColumnDefaultDeclared(n, e,
         org.apache.spark.sql.types.DataType.fromDDL(dt))
     }
-    notNulls.foreach(n =>
-      t.addConstraint(s"${n}_not_null", s"$n IS NOT NULL"))
+    notNulls.foreach(n => TxSqlParser.notNullConstraint(t, n))
     if (clusterBy.nonEmpty)
       t.setProperties(Map("txtable.clusterBy" -> clusterBy.mkString(",")))
     TxSql(sparkSession).refreshCatalog(nameParts)

@@ -291,12 +291,20 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
         // (k, v)` reaches the relation with the omitted column
         // null-padded by Spark's column-list resolution, so an
         // all-NULL defaulted column is "not supplied" and drops —
-        // the engine's write-side fill then computes the default
-        val dfltCols = t.properties.keys
-          .flatMap(k => Option(k)
-            .filter(_.startsWith("txtable.default."))
-            .map(_.stripPrefix("txtable.default.")))
-          .toSet
+        // the engine's write-side fill then computes the default.
+        // KNOWN TRADE (same as identity/generated): after Spark's
+        // resolution, omission and an EXPLICITLY all-NULL batch are
+        // indistinguishable here, so `INSERT … VALUES (1, NULL)`
+        // alone stores the default where the Scala API would store
+        // NULL (mixed batches keep their NULLs); Delta distinguishes
+        // via analyzer-side schema metadata a v1 relation never sees.
+        // The probe also costs defaulted tables the identity path's
+        // pin + one count-aggregate pass per insert — the price of
+        // making SQL DEFAULT work at all through DSv1
+        val dfltCols = t.properties.keys.collect {
+          case k if k.startsWith(graft.ops.TxTable.DefaultPrefix) =>
+            k.stripPrefix(graft.ops.TxTable.DefaultPrefix)
+        }.toSet
         val idCols = (t.identityColumns.keySet ++
             t.generatedColumns.keySet ++ dfltCols)
           .intersect(data.columns.toSet).toSeq.sorted

@@ -1424,7 +1424,20 @@ class TxSqlSpec extends SparkTestBase {
       run("INSERT INTO graft_ddl_dflt (k) SELECT 7L")
       assert(spark.table("graft_ddl_dflt").head()
         .getAs[String]("note") === "r2")
-    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_dflt")
+      // a column name outside [A-Za-z0-9_-] still lands an enforced
+      // (name-sanitized, backtick-quoted) NOT NULL instead of killing
+      // the CREATE after its catalog entry landed
+      run("CREATE TABLE graft_ddl_q (`my col` BIGINT NOT NULL, " +
+        s"v BIGINT) USING txtable LOCATION '${loc}q'")
+      assert(TxTable(spark, s"${loc}q").constraints
+        .contains("my_col_not_null"))
+      intercept[Exception](run(
+        "INSERT INTO graft_ddl_q SELECT CAST(NULL AS BIGINT), 1"))
+      assert(spark.table("graft_ddl_q").count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ddl_dflt")
+      spark.sql("DROP TABLE IF EXISTS graft_ddl_q")
+    }
   }
 
   test("defaults and engine-computed columns exclude each other") {
@@ -1440,6 +1453,18 @@ class TxSqlSpec extends SparkTestBase {
     u.append(df(0 until 5))
     val e2 = intercept[Exception](u.setColumnDefault("g", "5"))
     assert(e2.getMessage.contains("engine-computed"))
+    // identity vs a declare-ahead default on a dataless table
+    val (w, _) = mkTable()
+    w.setColumnDefaultDeclared("id", "7",
+      org.apache.spark.sql.types.LongType)
+    val e3 = intercept[Exception](w.addIdentityColumn("id"))
+    assert(e3.getMessage.contains("DEFAULT"))
+    // after DROP DEFAULT only the exists default remains (read-side
+    // backfill, deliberately retained) — it must NOT bar the column
+    // from becoming generated: the fill conflict is current-only
+    sql.run(s"ALTER TABLE txtable.`$p` ALTER COLUMN d DROP DEFAULT")
+    t.addGeneratedColumn("d", "7") // existing rows all read 7: valid
+    assert(t.generatedColumns.contains("d"))
   }
 
   test("a dropped column's DEFAULT declarations retire with it") {
