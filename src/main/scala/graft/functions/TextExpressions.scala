@@ -217,6 +217,43 @@ object DedupKernels {
     }
     sig
   }
+
+  /** 64-bit SimHash over the token multiset: bit j set iff tokens whose
+    * 64-bit hash (md5 digest bytes 0-7 big-endian = first 16 hex chars)
+    * has bit j outnumber those that don't. The published standard width
+    * (Manku et al., WWW'07): with 16-bit band keys each LSH bucket has
+    * 65,536 possible values, so bucket population tracks duplicate
+    * density instead of corpus size — the 32-bit/8-bit-band variant
+    * saturates at 256 keys per band and goes quadratic at corpus scale. */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokenize(text)
+    val md = mdLocal.get()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) {
+        h = (h << 8) | (d(b) & 0xFFL)
+        b += 1
+      }
+      var j = 0
+      while (j < 64) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    val n = toks.length
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (2L * counts(j) > n) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
 }
 
 /** `ws_tokens(string) -> array<string>`: lower-cased whitespace tokens,
@@ -345,6 +382,35 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
   val info = new ExpressionInfo(classOf[SimHash32].getName, "simhash32")
+}
+
+/** `simhash64(string) -> bigint`: 64-bit SimHash of the lower-cased
+  * whitespace token multiset (the near-dup production width — see
+  * [[DedupKernels.simhash64]]; `simhash32` remains for callers that only
+  * need a compact fingerprint, not LSH banding). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    DedupKernels.simhash64(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DedupKernels.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  val info = new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
 }
 
 /** `nfc_normalize(string) -> string`: Unicode NFC canonical form

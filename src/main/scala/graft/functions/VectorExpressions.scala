@@ -65,6 +65,9 @@ object VectorExpressions {
       FunctionIdentifier("simhash32"), SimHash32.info,
       (children: Seq[Expression]) => SimHash32(children.head))
     registry.registerFunction(
+      FunctionIdentifier("simhash64"), SimHash64.info,
+      (children: Seq[Expression]) => SimHash64(children.head))
+    registry.registerFunction(
       FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head))
     registry.registerFunction(

@@ -88,6 +88,13 @@ object Dedup {
     * slower. */
   def simhash32(text: Column): Column = call_function("simhash32", text)
 
+  /** 64-bit SimHash — the production near-dup width (Manku et al.,
+    * WWW'07 use 64-bit fingerprints for exactly the banding reason
+    * documented at [[simhashNearDups]]). Native `simhash64` expression
+    * ([[graft.functions.SimHash64]]), same tokenize→md5 loop as
+    * [[simhash32]] over the digest's first 8 bytes. */
+  def simhash64(text: Column): Column = call_function("simhash64", text)
+
   /** Cache for intermediates that several plan branches re-read (band
     * tables feeding self-joins, shingle sets feeding verify re-joins).
     * Without it Spark recomputes the md5-heavy derivation once per
@@ -283,31 +290,48 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3
-    * guaranteed found: 4 bands of 8 bits — pigeonhole). Output:
-    * (a_id, b_id, hamming). */
+    * guaranteed found: 4 bands of 16 bits over the 64-bit signature —
+    * pigeonhole, two signatures within distance 3 agree on at least one
+    * whole band). Output: (a_id, b_id, hamming).
+    *
+    * Scale shape (the r15 fix — the 32-bit variant's 8-bit band keys had
+    * only 256 possible values, so every bucket grew linearly with corpus
+    * size and the band self-join generated Θ(n²/1024) candidates):
+    *  - 16-bit band keys (65,536 values per band) keep bucket population
+    *    at true-duplicate density, the published 64-bit design;
+    *  - the same [[MaxBucket]] hot-bucket cap as the MinHash path drops
+    *    degenerate buckets (empty/boilerplate docs all hash alike)
+    *    before they can go quadratic — a capped bucket's members can
+    *    still pair through their other three bands;
+    *  - candidate generation is ONE shuffle of (band_idx, band_val,
+    *    doc_id) — group each bucket, explode ordered pairs in place (the
+    *    [[lshCandidates]] pattern), no self-join — and signatures rejoin
+    *    by doc_id only for the final O(candidates) hamming check.
+    *    Document bodies never shuffle. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for hamming <= 3, got $maxHamming")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // persisted so projection collapse cannot inline the simhash fold
     // into the four band expressions (which would recompute it 5×/row)
     val sig = persisted(docs.repartition(par)
-      .select(col("doc_id"), simhash32(col("text")).as("sh32")))
-    val bands = sig.select(col("doc_id"), col("sh32"),
+      .select(col("doc_id"), simhash64(col("text")).as("sh64")))
+    val pairs = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(k =>
-        shiftrightunsigned(col("sh32"), 8 * k).bitwiseAND(lit(255L))): _*))
+        shiftrightunsigned(col("sh64"), 16 * k).bitwiseAND(lit(65535L))): _*))
         .as(Seq("band_idx", "band_val")))
-    // band-bucket equi-self-join on the persisted signature table: for
-    // integer signatures the join beats in-place pair explosion (struct
-    // collect_list + nested interpreted lambdas cost more than the
-    // hash-join of two cached long columns)
-    val pairs = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        bit_count(col("x.sh32").bitwiseXOR(col("y.sh32"))).as("hamming"))
+      .groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, MaxBucket))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
-    pairs.where(col("hamming") <= maxHamming)
+    val shA = sig.select(col("doc_id").as("a_id"), col("sh64").as("sh_a"))
+    val shB = sig.select(col("doc_id").as("b_id"), col("sh64").as("sh_b"))
+    pairs.join(shA, "a_id").join(shB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Connected components over an undirected pair graph — the clustering

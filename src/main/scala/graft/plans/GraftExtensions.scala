@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomMightContain, CharEntropy, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, TopKPairs, VecSum, WsTokens, SpaceSaving}
+import graft.functions.{BloomMightContain, CharEntropy, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, SimHash64, TopKPairs, VecSum, WsTokens, SpaceSaving}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash32"), SimHash32.info,
       (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"), SimHash64.info,
+      (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
       FunctionIdentifier("topk_pairs"),
       TopKPairs.info,

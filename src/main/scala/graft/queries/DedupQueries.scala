@@ -80,41 +80,58 @@ object DedupQueries {
     None)
 
   // -------------------------------------------------------------- SimHash
+  /** 64-bit per-token hash = first 16 hex chars of md5 (digest bytes
+    * 0-7), matching [[graft.functions.DedupKernels.simhash64]]. UBIGINT
+    * so the high-bit half parses; bit probes below are sign-agnostic. */
   private val hashesCte =
     """hs AS (
       |  SELECT doc_id,
       |         list_transform(toks,
-      |           t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS hs
+      |           t -> CAST('0x' || substring(md5(t), 1, 16) AS UBIGINT)) AS hs
       |  FROM toks)""".stripMargin
 
-  private val simhashExpr = (0 until 32).map { j =>
-    s"""(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> $j) & 1))
-       |      > len(hs) THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)""".stripMargin
-  }.mkString("(", " + ", ")")
+  /** The 64 majority-vote bit terms, assembled as a SIGNED 64-bit value
+    * (bit 63 contributes Long.MinValue) so the oracle column is the same
+    * two's-complement long the Spark kernel emits. */
+  private val simhashExpr = {
+    val terms = (0 until 64).map { j =>
+      val bit = if (j == 63) Long.MinValue.toString else (1L << j).toString
+      s"""(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> $j) & 1))
+         |      > len(hs) THEN CAST($bit AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"CAST($terms AS BIGINT)"
+  }
 
   private val simhashSig = GraftQuery(
     "x_dedup_simhash",
     (s, d) => {
       import org.apache.spark.sql.functions._
       Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
     },
     Some(s"""WITH $tokensCte, $hashesCte
       SELECT doc_id, $simhashExpr AS simhash FROM hs"""))
 
+  /** 4×16-bit banding over the signed sh64: arithmetic shift + mask
+    * keeps exactly bits 16k..16k+15, identical to the Spark side's
+    * `shiftrightunsigned & 0xFFFF`. The `sized` cap mirrors
+    * [[graft.ops.Dedup.MaxBucket]] (same guard as the MinHash oracle). */
   private val simhashPairs = GraftQuery(
     "x_dedup_simhash_pairs",
     (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
     Some(s"""WITH $tokensCte, $hashesCte,
-      sig AS (SELECT doc_id, $simhashExpr AS sh32 FROM hs),
+      sig AS (SELECT doc_id, $simhashExpr AS sh64 FROM hs),
       bands AS (${(0 until 4).map(k =>
-        s"SELECT doc_id, sh32, $k AS band_idx, (sh32 >> ${8 * k}) & 255 AS band_val FROM sig")
+        s"SELECT doc_id, sh64, $k AS band_idx, (sh64 >> ${16 * k}) & 65535 AS band_val FROM sig")
         .mkString(" UNION ALL ")}),
+      sized AS (SELECT band_idx, band_val FROM bands
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
       pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-                  CAST(bit_count(xor(x.sh32, y.sh32)) AS INTEGER) AS hamming
-                FROM bands x JOIN bands y
-                  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-                 AND x.doc_id < y.doc_id)
+                  CAST(bit_count(xor(x.sh64, y.sh64)) AS INTEGER) AS hamming
+                FROM bands x
+                JOIN sized USING (band_idx, band_val)
+                JOIN bands y ON x.band_idx = y.band_idx
+                 AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
       SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3"""))
 
   /** Connected components of the MinHash near-dup graph as DuckDB CTEs

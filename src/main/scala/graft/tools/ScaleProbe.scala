@@ -104,7 +104,34 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
-    if (args.length > 1 && args(1) == "diag") {
+    /** SimHash candidate-growth probe (the r15 weak-grade fix): counts
+      * the post-cap band-bucket candidate pairs — the quantity that grew
+      * Θ(n²/1024) with the old 32-bit/8-bit-band keys (256 values per
+      * band saturate, so every copy collides with every copy). With the
+      * 64-bit signature the per-copy token suffixes land in distinct
+      * 16-bit buckets and candidates grow ~linearly in K. */
+    def simhashProbe(tag: String, docs: DataFrame): Unit = {
+      cold()
+      val (n, t) = time { Dedup.simhashNearDups(docs).count() }
+      val sig = docs.select(Dedup.simhash64(col("text")).as("sh64"))
+      val cands = sig.select(
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sh64"), 16 * b).bitwiseAND(lit(65535L))): _*))
+          .as(Seq("band_idx", "band_val")))
+        .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+        .where(col("n").between(2, Dedup.MaxBucket))
+        .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)), lit(0))
+          .cast("long"))
+        .head().getLong(0)
+      println(f"[simhash] $tag docs=${docs.count()}%d candidates=$cands%d " +
+        f"pairs=$n%d pair_s=$t%.2f")
+      cold()
+    }
+
+    if (args.length > 1 && args(1) == "simhash") {
+      simhashProbe("1x", base)
+      simhashProbe(s"${k}x", bigDf)
+    } else if (args.length > 1 && args(1) == "diag") {
       diagnose("1x", base)
       diagnose(s"${k}x", bigDf)
     } else {

@@ -116,4 +116,19 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(h1 === h2) // bag-of-tokens: order-invariant by construction
     }
   }
+
+  test("simhash64 ignores token order; single token = its md5-prefix hash") {
+    (1 to 300).foreach { _ =>
+      val words = Seq.fill(1 + rnd.nextInt(20))("w" + rnd.nextInt(10))
+      val h1 = DedupKernels.simhash64(u(words.mkString(" ")))
+      val h2 = DedupKernels.simhash64(u(rnd.shuffle(words).mkString(" ")))
+      assert(h1 === h2)
+    }
+    // one token → every bit's majority IS that token's hash bit, so the
+    // signature equals the 64-bit token hash (md5 digest bytes 0-7).
+    // md5('hello') = 5d41402abc4b2a76 38b9... — pins the hash layout the
+    // DuckDB oracle reproduces via substring(md5(t), 1, 16).
+    assert(DedupKernels.simhash64(u("hello")) === 0x5d41402abc4b2a76L)
+    assert(DedupKernels.simhash64(u("")) === 0L)
+  }
 }

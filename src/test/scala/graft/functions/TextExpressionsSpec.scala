@@ -135,10 +135,12 @@ class TextExpressionsSpec extends SparkTestBase {
       """SELECT ws_tokens('A  b') AS t,
         |       shingle_set('a b c d', 3) AS s,
         |       minhash_sig(array('x'), 2) AS m,
-        |       simhash32('a') AS h""".stripMargin).head()
+        |       simhash32('a') AS h,
+        |       simhash64('hello') AS h64""".stripMargin).head()
     assert(r.getSeq[String](0) === Seq("a", "b"))
     assert(r.getSeq[String](1) === Seq("a b c", "b c d"))
     assert(r.getSeq[Long](2).length === 2)
     assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 32))
+    assert(r.getLong(4) === 0x5d41402abc4b2a76L) // md5('hello') bytes 0-7
   }
 }

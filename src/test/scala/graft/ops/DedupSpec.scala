@@ -119,6 +119,30 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("simhashNearDups finds identical docs (hamming 0) below the bucket cap") {
+    val docs = (0L until 50L).map(i => (i, "same exact text every time"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs).collect()
+    assert(pairs.length === 50 * 49 / 2) // every ordered pair, once
+    pairs.foreach(r => assert(r.getInt(2) === 0))
+  }
+
+  test("simhashNearDups hot-bucket cap drops degenerate buckets, keeps the rest") {
+    // 120 identical docs: every band bucket has 120 > MaxBucket=100
+    // members → capped in all four bands → contributes NO pairs (the
+    // r15 weak-grade fix: a boilerplate key cannot go quadratic).
+    // Two planted near-identical docs in distinct small buckets survive.
+    assert(Dedup.MaxBucket === 100) // spec tracks the production cap
+    val hot = (0L until 120L).map(i => (i, "boilerplate cookie banner text"))
+    val planted = Seq(
+      (1000L, "a genuinely distinctive sentence about owls"),
+      (1001L, "a genuinely distinctive sentence about owls"))
+    val docs = (hot ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1000L, 1001L)))
+  }
+
   test("dupNgramStats: cross-doc duplicated shingles counted, within-doc repeats not") {
     import spark.implicits._
     // doc 0 and 1 share exactly one 3-gram ("common phrase here"); doc 2
