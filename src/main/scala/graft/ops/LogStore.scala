@@ -43,6 +43,14 @@ trait LogStore {
 
 object LogStore {
 
+  /** [[FileConditionalPut]]'s default stale-claim horizon — shared with
+    * [[TxTable.cleanupLog]]'s leftover sweep, which must never delete a
+    * `.claim`/`.cput-*` younger than the horizon a LIVE holder's
+    * heartbeat is sized against (sweeping a live writer's claim mid-PUT
+    * would spuriously fail its commit and narrow the single-winner
+    * guarantee to the re-check-to-rename window). */
+  val DefaultStaleClaimMs: Long = 600000L
+
   /** POSIX-filesystem CAS: write the full entry to a temp name in the
     * same directory, hard-link it to the target (the link syscall fails
     * with EEXIST atomically — the filesystem's compare-and-swap), drop
@@ -123,7 +131,8 @@ object LogStore {
     * real GC pause; a real object store's server-side conditional PUT
     * has no such window at all, which is exactly why it is the
     * preferred deployment primitive). */
-  final class FileConditionalPut(staleClaimMs: Long = 600000L)
+  final class FileConditionalPut(
+      staleClaimMs: Long = LogStore.DefaultStaleClaimMs)
       extends ConditionalPutClient {
 
     /** Test seam: fired right after claim acquisition, BEFORE the
@@ -182,13 +191,35 @@ object LogStore {
           // heartbeat (defense layer 1): keep OUR live claim's mtime
           // fresh for the PUT's whole flight; stops touching the
           // moment the token no longer matches (stolen — the
-          // successor's claim must age on its own clock)
+          // successor's claim must age on its own clock). A TRANSIENT
+          // read error is NOT "stolen": concluding theft off one
+          // EINTR-class fault would silently stop refreshing for the
+          // rest of a long PUT and re-expose a healthy holder to
+          // being stolen (liveness — the pre-rename re-check still
+          // arbitrates safety). Only a definitive verdict stops the
+          // beat: token mismatch, claim-file gone, or the read still
+          // failing after a few spaced retries.
+          def ownsClaimVerdict(): Boolean = {
+            var attempt = 0
+            while (attempt < 3) {
+              try return new String(Files.readAllBytes(claim.toPath),
+                java.nio.charset.StandardCharsets.UTF_8) == token
+              catch {
+                case _: java.nio.file.NoSuchFileException =>
+                  return false // stolen and resolved: the claim is gone
+                case _: Throwable =>
+                  attempt += 1
+                  if (attempt < 3) Thread.sleep(10L)
+              }
+            }
+            false
+          }
           val beat = new Thread(() => {
             try {
               var ours = true
               while (ours) {
                 Thread.sleep(math.max(1L, staleClaimMs / 4))
-                ours = ownsClaim()
+                ours = ownsClaimVerdict()
                 if (ours)
                   claim.setLastModified(System.currentTimeMillis())
               }

@@ -1380,14 +1380,35 @@ final class TxTable private (spark: SparkSession, dir: String,
     * raise-on-first-violation inline filter as CHECK constraints. */
   private def applyGenerated(df: DataFrame, s: Snapshot): DataFrame = {
     // CURRENT column defaults fill first: a write may omit a defaulted
-    // column like it may omit a generated one (a supplied value —
-    // including explicit NULL — is accepted as-is; only absence fills)
+    // column like it may omit a generated one (a supplied non-null
+    // value is accepted as-is; only absence fills)
     val filled = defaultsOf(s, TxTable.DefaultPrefix).toSeq.sortBy(_._1)
       .foldLeft(df) { case (d, (n, e)) =>
         if (d.columns.exists(_.equalsIgnoreCase(n))) d
         else d.withColumn(n, expr(e))
       }
-    gcMap(s).toSeq.sortBy(_._1).foldLeft(filled) { case (d, (n, e)) =>
+    // EXISTS-defaulted columns are TOTAL by the read contract: the
+    // read-side coalesce backfills the null-fill of files written
+    // before the ADD COLUMN … DEFAULT evolve, so a stored NULL is
+    // indistinguishable from pre-evolve absence and would read back
+    // as the default forever. Reject explicit NULLs loudly at write
+    // time instead of silently rewriting them on read — NULL into a
+    // column with only a CURRENT default (SET DEFAULT) stays legal
+    // (no read-side coalesce there, the stored NULL reads honestly).
+    val guarded = defaultsOf(s, TxTable.ExistsDefaultPrefix).toSeq
+      .sortBy(_._1).foldLeft(filled) { case (d, (n, _)) =>
+        d.columns.find(_.equalsIgnoreCase(n)) match {
+          case None => d
+          case Some(c) => d.filter(when(col(c).isNull,
+            raise_error(lit(s"column '$c' carries an exists DEFAULT " +
+              "(reads are total: pre-evolve rows backfill on read), so " +
+              "an explicit NULL would silently read back as the " +
+              "default — write the intended value, or use SET DEFAULT " +
+              "on a plain column for write-side-only filling")))
+            .otherwise(lit(true)))
+        }
+      }
+    gcMap(s).toSeq.sortBy(_._1).foldLeft(guarded) { case (d, (n, e)) =>
       if (!d.columns.contains(n)) d.withColumn(n, expr(e))
       else d.filter(when(!(col(n) <=> expr(e)),
         raise_error(concat(
@@ -1800,9 +1821,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     * coalesces its bound literal over the NULLs that files written
     * before the evolve null-fill in the merged read. One scan-side
     * projection per defaulted column — codegen'd, never a shuffle.
-    * (A post-evolve write that explicitly stores NULL also reads as
-    * the default — defaulted columns are total by contract here; use
-    * SET DEFAULT on an existing column for write-side-only filling.) */
+    * The coalesce is EXACT, not approximate: [[applyGenerated]]
+    * rejects explicit NULL writes into exists-defaulted columns, so
+    * every NULL the merged read surfaces genuinely is pre-evolve
+    * null-fill (use SET DEFAULT on a plain column when NULL must stay
+    * representable). */
   private def readSnapshot(s: Snapshot): DataFrame =
     applyExistsDefaults(toLogical(readSnapshotRaw(s), s), s)
 
@@ -2254,7 +2277,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (stats.nonEmpty) try {
         Files.write(Paths.get(f"$logDir/${c.version}%020d.stats.tsv"),
           stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
       maybeCheckpoint(c.version)
       Some(c)
     }
@@ -2377,7 +2400,10 @@ final class TxTable private (spark: SparkSession, dir: String,
         }
         bcRows.destroy()
       }
-    } catch { case _: Throwable => () }
+      // NonFatal, not Throwable: a failed build only disables skipping,
+      // but an OOM/linkage error must surface, not masquerade as a
+      // silently bloom-less commit
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Could `rel` contain `value` in `column`? Missing/unreadable
     * sidecar → conservatively yes. The sidecar NAME carries the dtype
@@ -2485,7 +2511,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         }
       } finally reader.close()
     }.seq
-  } catch { case _: Throwable => Seq.empty }
+    // NonFatal: omission only disables skipping; JVM failures propagate
+  } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   /** Percent-encode the TSV metacharacters (and %) in stat values. */
   private def enc(s: String): String =
@@ -5145,10 +5172,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     // graveyard rename and delete leaves `.dead-*` claims, and an IO
     // failure while writing a claim leaves an OWNERLESS `.claim` that
     // blocks all writers on its key for the full stale horizon. All
-    // age-guarded by the same minAgeMs — far past both any in-flight
-    // commit and FileConditionalPut's default stale horizon (live
-    // holders heartbeat their claim's mtime, so age is a safe signal).
-    val swept = sweepLogLeftovers(System.currentTimeMillis() - minAgeMs)
+    // age-guarded by minAgeMs FLOORED at the conditional-PUT stale
+    // horizon: a live holder heartbeats its claim's mtime at
+    // horizon/4, so only past the horizon is age a safe liveness
+    // signal — a caller-supplied minAgeMs below it must not let the
+    // sweep delete a LIVE writer's claim or in-flight .cput temp
+    // mid-PUT (retention aggressiveness is the caller's to tune; the
+    // single-winner guarantee is not).
+    val swept = sweepLogLeftovers(System.currentTimeMillis() -
+      math.max(minAgeMs, LogStore.DefaultStaleClaimMs))
     val (cfs, ckpts) = listLog()
     val head = snapshot().version
     if (head < 0) return swept

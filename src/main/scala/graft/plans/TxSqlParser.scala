@@ -602,12 +602,19 @@ object TxSqlParser {
     * constraint NAME sanitizes to the engine's `[A-Za-z0-9_-]+` rule
     * and the EXPRESSION backtick-quotes the column, so a column name
     * with spaces/punctuation cannot kill the CREATE after its catalog
-    * entry already landed. */
+    * entry already landed. Sanitization can COLLIDE (`a b` and `a_b`
+    * both map to `a_b_not_null`) — the exact half-created-table
+    * failure the mangling exists to prevent — so a name already taken
+    * disambiguates with a short hash of the RAW column. */
   private[plans] def notNullConstraint(t: graft.ops.TxTable,
       column: String): Unit = {
     val safe = column.map(c =>
       if (c.isLetterOrDigit || c == '_' || c == '-') c else '_')
-    t.addConstraint(s"${safe}_not_null",
+    val base = s"${safe}_not_null"
+    val name =
+      if (!t.constraints.contains(base)) base
+      else f"${safe}_${column.hashCode & 0xffffff}%06x_not_null"
+    t.addConstraint(name,
       s"`${column.replace("`", "``")}` IS NOT NULL")
     ()
   }

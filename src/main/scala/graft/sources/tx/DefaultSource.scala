@@ -295,9 +295,15 @@ final class DefaultSource extends StreamSourceProvider with DataSourceRegister
         // KNOWN TRADE (same as identity/generated): after Spark's
         // resolution, omission and an EXPLICITLY all-NULL batch are
         // indistinguishable here, so `INSERT … VALUES (1, NULL)`
-        // alone stores the default where the Scala API would store
-        // NULL (mixed batches keep their NULLs); Delta distinguishes
-        // via analyzer-side schema metadata a v1 relation never sees.
+        // alone fills the default; Delta distinguishes via
+        // analyzer-side schema metadata a v1 relation never sees.
+        // For EXISTS-defaulted columns (ADD COLUMN … DEFAULT) the
+        // substitution is read-contract-CONSISTENT, not divergent:
+        // the engine rejects explicit NULL writes there (NULL is
+        // unrepresentable — reads are total), so the filled value is
+        // exactly what any stored NULL would have read back as. For
+        // current-only defaults (SET DEFAULT) mixed batches keep
+        // their NULLs and store them honestly.
         // The probe also costs defaulted tables the identity path's
         // pin + one count-aggregate pass per insert — the price of
         // making SQL DEFAULT work at all through DSv1

@@ -919,6 +919,28 @@ class TxTableSpec extends SparkTestBase {
     assert(t.prunedSnapshot("id", Some("nope"), Some("nope")).files.size === 3)
   }
 
+  test("an induced bloom-build failure only disables skipping, never the commit") {
+    import spark.implicits._
+    val (t, dir) = mkTable()
+    t.bloomIndex(Seq("id"))
+    // sabotage: a regular FILE squatting on the sidecar directory path
+    // makes createDirectories throw (IOException — NonFatal) inside
+    // buildBlooms; the catch must swallow exactly this class (a JVM
+    // error would propagate) and the commit must land bloom-less
+    new File(dir, "_log").mkdirs()
+    Files.write(new File(dir, "_log/bloom").toPath,
+      "not a directory".getBytes)
+    def batch(inner: Seq[Long]) = (1L +: inner :+ 1000000L)
+      .map(i => (i, s"key-$i")).toDF("id", "payload").coalesce(1)
+    t.append(batch(Seq(11L, 12L, 13L)))
+    t.append(batch(Seq(21L, 22L, 23L)))
+    assert(t.snapshot().version === 1L)
+    // no sidecars -> point pruning degrades to stats-only (both files'
+    // spans cover 22) and results stay correct
+    assert(t.prunedSnapshot("id", Some(22L), Some(22L)).files.size === 2)
+    assert(t.readWhere("id", 22L).count() === 1)
+  }
+
   test("bulk-load commit: every file gets stats and bloom sidecars") {
     import spark.implicits._
     val (t, dir) = mkTable()
@@ -2441,6 +2463,17 @@ class TxTableSpec extends SparkTestBase {
     // the log protocol itself is untouched
     assert(t.read().count() === 10)
     assert(t.headCommit.version === 0L)
+    // the sweep cutoff FLOORS at the conditional-PUT stale horizon
+    // regardless of the caller's minAgeMs: a live writer's claim and
+    // in-flight .cput temp (mtime refreshed by its heartbeat) must
+    // survive even an aggressive minAgeMs = 0 retention call
+    val liveClaim = new File(log, "00000000000000000043.json.claim")
+    Files.write(liveClaim.toPath, "tok".getBytes)
+    val liveTmp = new File(log, ".cput-live")
+    Files.write(liveTmp.toPath, "x".getBytes)
+    assert(t.cleanupLog(retainVersions = 100, minAgeMs = 0L).isEmpty)
+    assert(liveClaim.exists && liveTmp.exists,
+      "leftover sweep must never reach inside the stale-claim horizon")
   }
 }
 
