@@ -11,14 +11,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * base table's row-level changes since the last refresh into it,
   * never rescanning base history.
   *
-  * Maintained aggregates are the self-maintainable group homomorphisms
-  * COUNT(*) (`n_rows`) and SUM (`<col>_sum`): an insert adds, a delete
-  * subtracts, an update is its CDF delete+insert pair — so every base
-  * write shape ([[TxTable.append]], [[TxTable.deleteVectorWhere]],
-  * [[TxTable.upsert]], [[TxTable.merge]], restore) maintains correctly
-  * through one code path. AVG is derivable (`sum/n_rows`); MIN/MAX are
-  * deliberately out — they are not maintainable under deletes without
-  * keeping per-group value multisets.
+  * Maintained aggregates, two classes:
+  *  - COUNT(*) (`n_rows`) and SUM (`<col>_sum`) are self-maintainable
+  *    group homomorphisms: an insert adds, a delete subtracts, an
+  *    update is its CDF delete+insert pair — every base write shape
+  *    ([[TxTable.append]], [[TxTable.deleteVectorWhere]],
+  *    [[TxTable.upsert]], [[TxTable.merge]], restore) maintains
+  *    through one code path. AVG is derivable (`sum/n_rows`).
+  *  - MIN (`<col>_min`) and MAX (`<col>_max`) are homomorphisms under
+  *    INSERTS only (fold via least/greatest); a delete may retire the
+  *    extremum, so a delete-bearing window triggers a BOUNDED
+  *    per-group recompute: only the groups the window's delete rows
+  *    touch re-aggregate from the base head (a scoped semi-join scan),
+  *    every other group keeps the O(window) fold — the shape real
+  *    lakehouse MVs ship instead of per-group value multisets.
   *
   * Exactly-once without a sidecar: the refresh's OVERWRITE commit
   * carries its applied-base-version watermark IN the commit action tag
@@ -33,13 +39,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale shape: the per-refresh cost is one CDF read of the changed
   * window (appends shuffle-free, rewrites bounded by touched files) +
   * one |groups|-row combine — base size never appears in the refresh
-  * cost, and the combine's full-outer join runs at MV cardinality,
-  * which AQE broadcasts when small. The MV rewrite itself is
-  * O(groups), the whole point of maintaining an aggregate instead of
-  * recomputing it.
+  * cost except through a delete-bearing MIN/MAX window, whose
+  * recompute scans only the delete-touched groups' rows (group keys
+  * broadcast below the base scan when small; stats-pruned like any
+  * predicate read) — and the combine's full-outer join runs at MV
+  * cardinality, which AQE broadcasts when small. The MV rewrite itself
+  * is O(groups), the whole point of maintaining an aggregate instead
+  * of recomputing it.
   */
 final class MaterializedView private (spark: SparkSession, base: TxTable,
-    mv: TxTable, groupCols: Seq[String], sumCols: Seq[String]) {
+    mv: TxTable, groupCols: Seq[String], sumCols: Seq[String],
+    minCols: Seq[String], maxCols: Seq[String]) {
 
   import MaterializedView._
 
@@ -66,7 +76,8 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     -1L
   }
 
-  /** The view's current state: `groupCols…, n_rows, <sumCol>_sum…`. */
+  /** The view's current state:
+    * `groupCols…, n_rows, <sumCol>_sum…, <minCol>_min…, <maxCol>_max…`. */
   def read(): DataFrame = mv.read()
 
   /** Fold base commits `(appliedVersion, head]` into the view. None =
@@ -76,11 +87,13 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     val w = appliedVersion
     val head = base.snapshot().version
     if (head <= w) None
+    else if (w < 0L)
+      Some(mv.overwriteAs(s"$Tag$head", fullAggregate(base.readAt(head))))
     else {
-      val next =
-        if (w < 0L) fullAggregate(base.readAt(head))
-        else combine(mv.read(), deltaAggregate(base.readChanges(w, head)))
-      Some(mv.overwriteAs(s"$Tag$head", next))
+      val (next, blocks) = fold(mv.read(), base.readChanges(w, head), head)
+      // blocks release only AFTER the commit materialized the frame
+      try Some(mv.overwriteAs(s"$Tag$head", next))
+      finally Checkpoints.release(spark, blocks)
     }
   }
 
@@ -91,10 +104,10 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     val w = appliedVersion
     if (upTo <= w) None
     else {
-      val next =
-        if (w < 0L) combine(emptyState(), deltaAggregate(changes))
-        else combine(mv.read(), deltaAggregate(changes))
-      Some(mv.overwriteAs(s"$Tag$upTo", next))
+      val cur = if (w < 0L) emptyState() else mv.read()
+      val (next, blocks) = fold(cur, changes, upTo)
+      try Some(mv.overwriteAs(s"$Tag$upTo", next))
+      finally Checkpoints.release(spark, blocks)
     }
   }
 
@@ -120,24 +133,78 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
 
   // ------------------------------------------------------------ internals
 
-  private def aggNames: Seq[String] = NRows +: sumCols.map(_ + "_sum")
+  private def hasExtrema: Boolean = minCols.nonEmpty || maxCols.nonEmpty
+
+  private def sumNames: Seq[String] = NRows +: sumCols.map(_ + "_sum")
+  private def extName: Seq[String] =
+    minCols.map(_ + "_min") ++ maxCols.map(_ + "_max")
+  private def aggNames: Seq[String] = sumNames ++ extName
 
   private def fullAggregate(df: DataFrame): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(NRows),
-        sumCols.map(c => sum(col(c)).as(c + "_sum")): _*)
+        (sumCols.map(c => sum(col(c)).as(c + "_sum")) ++
+          minCols.map(c => min(col(c)).as(c + "_min")) ++
+          maxCols.map(c => max(col(c)).as(c + "_max"))): _*)
 
-  /** Signed aggregate of a CDF frame: inserts +1, deletes -1. */
+  /** `current ⊕ window`, choosing the fold shape per aggregate class:
+    * COUNT/SUM always fold signed; MIN/MAX fold (least/greatest) when
+    * the window is pure inserts and fall back to the BOUNDED recompute
+    * when it deletes — only delete-touched groups re-aggregate from
+    * the base at `upTo`, the untouched remainder keeps the fold.
+    * Returns the result plus the checkpoint block ids backing it; the
+    * CALLER releases them after materializing (a localCheckpoint has
+    * no lineage to recompute from once released). */
+  private def fold(current: DataFrame, changes: DataFrame,
+      upTo: Long): (DataFrame, Set[Int]) = {
+    if (!hasExtrema) return (combine(current, deltaAggregate(changes)),
+      Set.empty)
+    val (pinned, blocks) = Checkpoints.pin(changes)
+    val (delGroups, dgBlocks) = Checkpoints.pin(
+      pinned.where(col("_change_type") === "delete")
+        .select(groupCols.map(col): _*).distinct())
+    val all = blocks ++ dgBlocks
+    val next =
+      if (delGroups.isEmpty) combine(current, deltaAggregate(pinned))
+      else {
+        // rename the touched-group keys so the null-safe membership
+        // joins below resolve unambiguously (NULL is a group in SQL)
+        val dg = groupCols.foldLeft(delGroups)((df, c) =>
+          df.withColumnRenamed(c, c + "_g"))
+        def touched(df: DataFrame, joinType: String): DataFrame =
+          df.join(dg, groupCols.map(c => col(c) <=> col(c + "_g"))
+            .reduce(_ && _), joinType)
+        // untouched groups: pure-insert remainder (any delete marked
+        // its group), so the homomorphic fold stays exact for extrema
+        val folded = combine(touched(current, "left_anti"),
+          deltaAggregate(touched(pinned, "left_anti")))
+        // touched groups: re-aggregate from the base head, scoped to
+        // exactly those keys (the semi-join sits under the scan)
+        val recomputed = fullAggregate(
+          touched(base.readAt(upTo), "left_semi"))
+        folded.unionByName(recomputed)
+      }
+    (next, all)
+  }
+
+  /** Signed aggregate of a CDF frame: inserts +1, deletes -1 for the
+    * COUNT/SUM class; plain min/max for extrema (callers only hand
+    * pure-insert frames in when extrema are maintained — [[fold]]
+    * routes delete-bearing windows to the recompute). */
   private def deltaAggregate(changes: DataFrame): DataFrame = {
     val sign: Column =
       when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     changes.groupBy(groupCols.map(col): _*)
       .agg(sum(sign).as(NRows),
-        sumCols.map(c => sum(col(c) * sign).as(c + "_sum")): _*)
+        (sumCols.map(c => sum(col(c) * sign).as(c + "_sum")) ++
+          minCols.map(c => min(col(c)).as(c + "_min")) ++
+          maxCols.map(c => max(col(c)).as(c + "_max"))): _*)
   }
 
-  /** `current ⊕ delta`: full-outer on the group keys, null-safe adds,
-    * groups emptied by deletes dropped. Runs at MV cardinality.
+  /** `current ⊕ delta`: full-outer on the group keys, null-safe adds
+    * for COUNT/SUM, least/greatest for MIN/MAX (both skip the NULL an
+    * absent side contributes), groups emptied by deletes dropped.
+    * Runs at MV cardinality.
     *
     * The join is NULL-SAFE (`<=>`) on every key: SQL GROUP BY makes
     * NULL a group, and an equality join would keep the current and
@@ -152,9 +219,13 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
       .reduce(_ && _)
     current.join(d, cond, "full_outer")
       .select(groupCols.map(c => coalesce(col(c), col(c + "_g")).as(c)) ++
-        aggNames.map(c =>
+        sumNames.map(c =>
           (coalesce(col(c), lit(0L)) + coalesce(col(c + "_d"), lit(0L)))
-            .as(c)): _*)
+            .as(c)) ++
+        minCols.map(c => least(col(c + "_min"), col(c + "_min_d"))
+          .as(c + "_min")) ++
+        maxCols.map(c => greatest(col(c + "_max"), col(c + "_max_d"))
+          .as(c + "_max")): _*)
       .where(col(NRows) > 0L)
   }
 
@@ -179,6 +250,14 @@ object MaterializedView {
     * (plus `n_rows`). */
   def apply(spark: SparkSession, base: TxTable, mvDir: String,
       groupCols: Seq[String], sumCols: Seq[String]): MaterializedView =
+    apply(spark, base, mvDir, groupCols, sumCols, Nil, Nil)
+
+  /** Full surface: additionally `MIN(c) AS c_min` per `minCols` and
+    * `MAX(c) AS c_max` per `maxCols` (delete-bearing windows trigger
+    * the bounded per-group recompute — see the class doc). */
+  def apply(spark: SparkSession, base: TxTable, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String]): MaterializedView =
     new MaterializedView(spark, base, TxTable(spark, mvDir),
-      groupCols, sumCols)
+      groupCols, sumCols, minCols, maxCols)
 }

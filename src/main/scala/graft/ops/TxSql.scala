@@ -298,9 +298,12 @@ final class TxSql(spark: SparkSession) {
       // the definition persists as table properties ON the MV's own
       // TxTable, the initial population is the first refresh commit,
       // and REFRESH MATERIALIZED VIEW folds only the base's CDF
-      // window since the last refresh. Maintainable aggregates only
-      // (COUNT(*) and SUM — the self-maintainable homomorphisms);
-      // MIN/MAX/AVG refuse loudly at CREATE time.
+      // window since the last refresh. Maintainable aggregates:
+      // COUNT(*) and SUM (self-maintainable homomorphisms) plus
+      // MIN/MAX (insert-window fold; delete-bearing windows recompute
+      // only the touched groups from the base — bounded, never a full
+      // rescan). Anything else (AVG spells sum/n_rows) refuses loudly
+      // at CREATE time.
       case CreateMvRe(ident, select) => runCreateMv(ident, select)
       case RefreshMvRe(ident) => mutating(ident) { t =>
         val mv = openMv(t)
@@ -642,10 +645,26 @@ final class TxSql(spark: SparkSession) {
       })
     var sawCount = false
     val sums = Seq.newBuilder[String]
-    val notMaintainable = "not maintainable under deletes: %s — " +
-      "maintained aggregates are COUNT(*) AS n_rows and SUM(col) AS " +
-      "col_sum (AVG derives as col_sum / n_rows; MIN/MAX would need " +
-      "per-group value multisets)"
+    val mins = Seq.newBuilder[String]
+    val maxs = Seq.newBuilder[String]
+    val notMaintainable = "not incrementally maintainable: %s — " +
+      "maintained aggregates are COUNT(*) AS n_rows, SUM(col) AS " +
+      "col_sum, MIN(col) AS col_min, and MAX(col) AS col_max (AVG " +
+      "derives as col_sum / n_rows; MIN/MAX under a delete-bearing " +
+      "window recompute only the touched groups from the base)"
+    def oneCol(f: UnresolvedFunction, al: Alias, suffix: String,
+        into: scala.collection.mutable.Builder[String, Seq[String]])
+        : Unit = f.arguments match {
+      case Seq(a: UnresolvedAttribute) =>
+        val c = a.nameParts.last
+        require(al.name.equalsIgnoreCase(c + suffix),
+          s"${f.nameParts.last.toUpperCase}($c) must alias $c$suffix " +
+            s"(the maintained column name); got: ${al.name}")
+        into += c
+        ()
+      case _ => sys.error(s"${f.nameParts.last.toUpperCase} over a " +
+        "single base column only; got: " + al.child.sql)
+    }
     agg.aggregateExpressions.foreach {
       case a: UnresolvedAttribute =>
         require(groupSet.contains(a.nameParts.last.toLowerCase),
@@ -662,16 +681,15 @@ final class TxSql(spark: SparkSession) {
         case f: UnresolvedFunction
             if f.nameParts.last.equalsIgnoreCase("sum") &&
               !f.isDistinct =>
-          f.arguments match {
-            case Seq(a: UnresolvedAttribute) =>
-              val c = a.nameParts.last
-              require(al.name.equalsIgnoreCase(c + "_sum"),
-                s"SUM($c) must alias ${c}_sum (the maintained column " +
-                  s"name); got: ${al.name}")
-              sums += c
-            case _ => sys.error(
-              "SUM over a single base column only; got: " + al.child.sql)
-          }
+          oneCol(f, al, "_sum", sums)
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("min") &&
+              !f.isDistinct =>
+          oneCol(f, al, "_min", mins)
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("max") &&
+              !f.isDistinct =>
+          oneCol(f, al, "_max", maxs)
         case other => sys.error(notMaintainable.format(other.sql))
       }
       case other => sys.error(notMaintainable.format(other.sql))
@@ -709,7 +727,9 @@ final class TxSql(spark: SparkSession) {
     val definition = Map(
       "txtable.mv.base" -> base.tableDir,
       "txtable.mv.groupBy" -> groupCols.mkString(","),
-      "txtable.mv.sums" -> sums.result().mkString(","))
+      "txtable.mv.sums" -> sums.result().mkString(","),
+      "txtable.mv.mins" -> mins.result().mkString(","),
+      "txtable.mv.maxs" -> maxs.result().mkString(","))
     val existing = mvT.snapshot().version >= 0
     if (existing) {
       val have = mvT.properties
@@ -721,7 +741,7 @@ final class TxSql(spark: SparkSession) {
       // any later one) rebuild the view object from these properties
       mvT.setProperties(definition)
     val commit = MaterializedView(spark, base, mvDir,
-      groupCols, sums.result()).refresh()
+      groupCols, sums.result(), mins.result(), maxs.result()).refresh()
     if (catalogName) {
       spark.sql(s"CREATE TABLE $quoted USING txtable " +
         s"OPTIONS (path '$mvDir')")
@@ -739,7 +759,8 @@ final class TxSql(spark: SparkSession) {
     def csv(k: String): Seq[String] = t.property(k).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
     MaterializedView(spark, TxTable(spark, baseLoc), t.tableDir,
-      csv("txtable.mv.groupBy"), csv("txtable.mv.sums"))
+      csv("txtable.mv.groupBy"), csv("txtable.mv.sums"),
+      csv("txtable.mv.mins"), csv("txtable.mv.maxs"))
   }
 
   // ------------------------------------------------- reference helpers

@@ -1865,6 +1865,51 @@ object ExtendedQueries {
             GROUP BY 1"""),
     bench = false)
 
+  // ------------------------------ TxTable: MIN/MAX materialized view
+  /** MIN/MAX maintained through the MV SQL face — the r15 "refuse
+    * loudly" gap closed by BOUNDED recompute: the insert-only window
+    * folds via least/greatest (a homomorphism), and the delete-bearing
+    * window re-aggregates ONLY the groups its delete rows touch from
+    * the base head (a scoped semi-join read), never a full rescan.
+    * The DELETE here retires the minimum l_qty rows of many groups,
+    * so a fold that failed to recompute would keep stale extrema and
+    * break the oracle hash. Refresh cost: O(window) + O(touched
+    * groups' rows) + O(groups) — base size appears only through the
+    * touched-group scan. */
+  private val txMvMinMax = GraftQuery(
+    "k44_tx_mv_minmax",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvmm-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"))
+      base.append(li.where(col("l_orderkey") % 2 === 0))
+      val sql = graft.ops.TxSql(s)
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT l_suppkey, COUNT(*) AS n_rows, SUM(l_qty) AS l_qty_sum, " +
+        "MIN(l_qty) AS l_qty_min, MAX(l_qty) AS l_qty_max " +
+        s"FROM txtable.`$dir/lineitem` GROUP BY l_suppkey")
+      base.append(li.where(col("l_orderkey") % 2 === 1))
+      sql.run(s"DELETE FROM txtable.`$dir/lineitem` " +
+        "WHERE l_orderkey BETWEEN 1 AND 500")
+      sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      graft.ops.TxTable(s, s"$dir/mv").read()
+        .select(col("l_suppkey"), col("n_rows"), col("l_qty_sum"),
+          col("l_qty_min"), col("l_qty_max"))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS l_qty_sum,
+              CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS l_qty_min,
+              CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS l_qty_max
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1 AND 500
+            GROUP BY 1"""),
+    bench = false)
+
   // --------------------------------- TxTable: column DEFAULT values
   /** Column DEFAULTs through the SQL face: `ADD COLUMN … DEFAULT`
     * backfills pre-existing rows ON READ (exists default — a
@@ -1979,5 +2024,5 @@ object ExtendedQueries {
     txChangeFeed, txBatchCdfOptions, txDeletionVectors, txSchemaEvolution,
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
-    txMvSql, txColumnDefaults, recursiveCte, variantJson)
+    txMvSql, txMvMinMax, txColumnDefaults, recursiveCte, variantJson)
 }

@@ -150,4 +150,96 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(mv.read().where(col("tag") === "a").head()
       .getAs[Long]("n_rows") === 1L)
   }
+
+  test("MIN/MAX maintain: insert windows fold, delete windows recompute bounded") {
+    import spark.implicits._
+    def mrows(r: Range) =
+      r.map(i => (i.toLong, (i % 7).toLong, i.toDouble)).toDF("id", "grp", "v")
+    val dir = Files.createTempDirectory("graft-mv-mm-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("grp"), Seq("v"), Seq("v"), Seq("v"))
+    def full() = base.read().groupBy("grp").agg(
+      count(lit(1)).as("n_rows"), sum(col("v")).as("v_sum"),
+      min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("grp"), col("n_rows"), col("v_sum"),
+        col("v_min"), col("v_max")).collect().map(_.toString).sorted.toSeq
+    base.append(mrows(0 until 100))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // pure-insert window: homomorphic least/greatest fold
+    base.append(mrows(100 until 200))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // deleting the CURRENT MAX rows of every group: a fold would keep
+    // the stale extremum — the bounded recompute must retire it
+    base.deleteVectorBetween("id", 150L, 199L)
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    assert(mv.read().agg(max(col("v_max"))).head.getDouble(0) === 149.0)
+    // deleting the MIN side the same way
+    base.deleteVectorBetween("id", 0L, 9L)
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // an upsert MOVING the extremes across groups (CDF delete+insert)
+    val moved = (140L until 150L).map(i => (i, 6L, 999.0 + i))
+      .toDF("id", "grp", "v")
+    base.upsert(moved, Seq("id"))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // a WHOLE group drained by deletes drops out
+    base.deleteVectorWhere("grp", 3L)
+    assert(mv.refresh().isDefined)
+    assert(mv.read().where(col("grp") === 3L).count() === 0)
+    assert(st(mv.read()) === st(full()))
+    // replay no-ops hold for the extrema path too
+    assert(mv.refresh().isEmpty)
+  }
+
+  test("SQL-created MV maintained under a streaming txtable ingest sink") {
+    // the end-to-end composition: writeStream txtable sink feeds the
+    // base (ingest), CREATE MATERIALIZED VIEW via SQL text defines the
+    // view, and the MV's OWN maintenance stream folds the base's CDF
+    // per micro-batch — including a delete-bearing window
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-sqlstream-").toString
+    val in = MemoryStream[(Long, Long, Long)](spark)
+    val ingest = in.toDF().toDF("id", "grp", "v")
+      .writeStream.format("txtable")
+      .option("path", s"$dir/base")
+      .option("checkpointLocation", s"$dir/ingest-ck")
+      .start()
+    val sql = TxSql(spark)
+    try {
+      in.addData((0L until 40L).map(i => (i, i % 5, i * 10)): _*)
+      ingest.processAllAvailable()
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT grp, COUNT(*) AS n_rows, SUM(v) AS v_sum " +
+        s"FROM txtable.`$dir/base` GROUP BY grp")
+      val base = TxTable(spark, s"$dir/base")
+      val mv = MaterializedView(spark, base, s"$dir/mv",
+        Seq("grp"), Seq("v"))
+      def full() = base.read().groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("v_sum"))
+      def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(col("grp"), col("n_rows"), col("v_sum"))
+          .collect().map(_.toString).sorted.toSeq
+      assert(st(mv.read()) === st(full()), "CREATE populates")
+      val maint = mv.maintainStream(s"$dir/mv-ck")
+      try {
+        // streamed appends flow ingest -> base CDF -> MV fold
+        in.addData((40L until 80L).map(i => (i, i % 5, i * 10)): _*)
+        ingest.processAllAvailable()
+        maint.processAllAvailable()
+        assert(st(mv.read()) === st(full()))
+        // a delete on the base rides the same CDF into the fold
+        base.deleteVectorBetween("id", 0L, 19L)
+        maint.processAllAvailable()
+        assert(st(mv.read()) === st(full()))
+        assert(mv.read().agg(sum(col("n_rows"))).head.getLong(0) === 60L)
+      } finally maint.stop()
+    } finally ingest.stop()
+  }
 }

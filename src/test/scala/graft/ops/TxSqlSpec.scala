@@ -1351,6 +1351,13 @@ class TxSqlSpec extends SparkTestBase {
     // a write supplying the column keeps its values
     t.append(df(15 until 20).withColumn("src", lit("explicit")))
     assert(t.read().where(col("src") === "explicit").count() === 5)
+    // an EXPLICIT NULL into the exists-defaulted column refuses
+    // loudly — a stored NULL would silently read back as the default
+    // forever (reads are total by contract), so the write fails and
+    // nothing lands
+    intercept[Exception](t.append(
+      df(95 until 97).withColumn("src", lit(null).cast("string"))))
+    assert(t.read().count() === 20)
     // the CURRENT default stays a live EXPRESSION (evaluated per
     // write, like SET DEFAULT's); only the EXISTS default froze to
     // the DDL-time literal
@@ -1434,9 +1441,23 @@ class TxSqlSpec extends SparkTestBase {
       intercept[Exception](run(
         "INSERT INTO graft_ddl_q SELECT CAST(NULL AS BIGINT), 1"))
       assert(spark.table("graft_ddl_q").count() === 0)
+      // sanitized-name COLLISION (`a b` and `a_b` both mangle to
+      // a_b_not_null): the second constraint disambiguates with a
+      // hash instead of failing the CREATE after the catalog entry
+      // landed — BOTH columns stay enforced
+      run("CREATE TABLE graft_ddl_coll (`a b` BIGINT NOT NULL, " +
+        s"a_b BIGINT NOT NULL) USING txtable LOCATION '${loc}c'")
+      val cts = TxTable(spark, s"${loc}c").constraints
+      assert(cts.size === 2 && cts.contains("a_b_not_null"))
+      intercept[Exception](run(
+        "INSERT INTO graft_ddl_coll SELECT CAST(NULL AS BIGINT), 1"))
+      intercept[Exception](run(
+        "INSERT INTO graft_ddl_coll SELECT 1, CAST(NULL AS BIGINT)"))
+      assert(spark.table("graft_ddl_coll").count() === 0)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_ddl_dflt")
       spark.sql("DROP TABLE IF EXISTS graft_ddl_q")
+      spark.sql("DROP TABLE IF EXISTS graft_ddl_coll")
     }
   }
 
@@ -1528,10 +1549,15 @@ class TxSqlSpec extends SparkTestBase {
         s"got: ${e.getMessage}")
     }
     val from = s"FROM txtable.`$dir/base`"
-    refuse(s"SELECT k, COUNT(*) AS n_rows, MAX(v) AS v_max $from GROUP BY k",
-      "not maintainable")
+    // MIN/MAX are maintainable since r16 (bounded recompute under
+    // deletes) — what still refuses: AVG (derives), DISTINCT
+    // aggregates, expressions, wrong alias discipline
     refuse(s"SELECT k, COUNT(*) AS n_rows, AVG(v) AS v_avg $from GROUP BY k",
-      "not maintainable")
+      "not incrementally maintainable")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, MAX(v) AS wrong $from GROUP BY k",
+      "v_max")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, MIN(v + 1) AS v_min " +
+      s"$from GROUP BY k", "single base column")
     refuse(s"SELECT k, SUM(v) AS v_sum $from GROUP BY k", "COUNT(*)")
     refuse(s"SELECT k, COUNT(*) AS cnt, SUM(v) AS v_sum $from GROUP BY k",
       "n_rows")
