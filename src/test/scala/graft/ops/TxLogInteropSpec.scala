@@ -133,6 +133,71 @@ class TxLogInteropSpec extends SparkTestBase {
       "a miss window must prune everything on both sides")
   }
 
+  test("python replayer decodes the metadata tokens and the translated read") {
+    assume(python3, "python3 not available")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-interop-meta-")
+      .toString + "/t"
+    val t = TxTable(spark, dir)
+    // declare-ahead generated column (k26), then content
+    t.addGeneratedColumn("k2", "k * 2")
+    t.append((0L until 40L).map(i => (i, i * 10, s"row-$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "v", "tag", "bucket"))
+    // k24: RENAME — pure-metadata column mapping (logical val -> physical v)
+    t.renameColumn("v", "val")
+    // k43: ADD COLUMN … DEFAULT — exists + current default declarations
+    val sql = TxSql(spark)
+    sql.run(s"ALTER TABLE txtable.`$dir` ADD COLUMN src STRING DEFAULT 'legacy'")
+    // a later batch omitting src AND k2: current default + generation fill
+    t.append((40L until 50L).map(i => (i, i * 10, s"row-$i", "c"))
+      .toDF("k", "val", "tag", "bucket"))
+    // constraint token + a DROP (cmx tombstone) + deletion vectors
+    t.addConstraint("kpos", "k >= 0")
+    t.dropColumn("bucket")
+    t.deleteVectorBetween("k", 5L, 9L)
+    // ---- run the replayer with --schema --dump
+    val dump = Files.createTempDirectory("graft-interop-dump-")
+      .toString + "/read.parquet"
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/check_txlog.py", dir,
+      "--schema", "--dump", dump), new java.io.File("."))
+      .!(ProcessLogger(l => { out.append(l); () }, System.err.println))
+    assert(code === 0, s"replayer failed: $out")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(out.toString)
+    val sch = root.get("schema")
+    def strMap(field: String): Map[String, String] = {
+      val n = sch.get(field)
+      import scala.jdk.CollectionConverters._
+      n.fieldNames().asScala.map(k => k -> n.get(k).asText()).toMap
+    }
+    def strList(field: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      sch.get(field).elements().asScala.map(_.asText()).toSeq
+    }
+    // token families, decoded from documented semantics alone, must
+    // equal the engine's own accessors
+    assert(strMap("mapping") === Map("val" -> "v"))
+    assert(strList("dropped_physical").contains("bucket"))
+    assert(strMap("generated") === t.generatedColumns)
+    assert(strMap("constraints") === t.constraints)
+    assert(strMap("defaults") ===
+      Map("src" -> t.property("txtable.default.src").get))
+    assert(strMap("exists_defaults") ===
+      Map("src" -> t.property("txtable.existsDefault.src").get))
+    // the derived LOGICAL schema equals the engine's read schema
+    assert(strList("logical_columns").sorted ===
+      t.read().columns.toSeq.sorted)
+    // the TRANSLATED READ (renames + drop + DVs + exists defaults)
+    // matches the engine row-for-row
+    assert(root.get("rows").asLong() === t.read().count())
+    val cols = t.read().columns.toSeq.sorted
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.read.parquet(dump)) === rows(t.read()))
+  }
+
   test("python replayer honors the pointer and survives a torn one") {
     assume(python3, "python3 not available")
     val dir = Files.createTempDirectory("graft-interop-ptr-")

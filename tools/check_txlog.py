@@ -8,14 +8,23 @@ format — the same cross-check shape as check_sas_pandas.py.
 Usage:
   python3 tools/check_txlog.py <tableDir> [version]
   python3 tools/check_txlog.py <tableDir> --prune <column> <lo> <hi>
+  python3 tools/check_txlog.py <tableDir> --schema [--dump <out.parquet>]
 
 Prints one JSON line: {"version": N, "files": [...sorted rel names],
 "dvs": [...], "tokens": [...]}. With --prune, adds "pruned": the
 data files whose logged [min,max] stats for <column> may intersect
 [<lo>, <hi>] (files without stats for the column are always KEPT —
-the conservative contract). Exit 0 on a clean resolve, nonzero on
-a malformed log. The Scala spec (TxLogInteropSpec) compares this
-against the engine's own snapshot (and prunedSnapshot).
+the conservative contract). With --schema, adds "schema": the fully
+DECODED metadata-token surface (column mapping, dropped physicals,
+generated columns, identity, constraints, properties, column
+DEFAULTs) plus the LOGICAL column list derived from the active files'
+parquet footers under that mapping; --dump additionally materializes
+the TRANSLATED LOGICAL READ (deletion vectors anti-joined on
+(file, row ordinal), dropped physicals excluded, renames applied,
+exists-defaults coalesced) to a parquet file via DuckDB — a second
+implementation of the READ path, not just the list replay. Exit 0 on
+a clean resolve, nonzero on a malformed log. The Scala spec
+(TxLogInteropSpec) compares all of it against the engine.
 
 Replayed semantics (the format contract):
  - a commit is `_log/<20-digit version>.json` holding
@@ -181,6 +190,136 @@ def load_stats(log_dir, entries):
     return acc
 
 
+def b64u(s):
+    """base64url without padding — the engine's token codec."""
+    import base64
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4)).decode("utf-8")
+
+
+def split_tok(body):
+    """Token bodies are `<part>.<rest>`; the first '.' separates (the
+    left part's alphabet — base64url or [A-Za-z0-9_-] names — never
+    contains '.')."""
+    i = body.index(".")
+    return body[:i], body[i + 1:]
+
+
+def decode_tokens(tokens):
+    """The metadata-token surface from documented semantics alone:
+    cm- logical->physical mapping, cmx- dropped physicals, gc-
+    generated columns, id- identity (start/step/highWater), ct-
+    constraints (plain name + b64 expr), tp- properties (of which
+    txtable.default.* / txtable.existsDefault.* are column DEFAULTs),
+    txn- markers, pv- protocol, cp- copy ledger."""
+    meta = {"mapping": {}, "dropped_physical": [], "generated": {},
+            "identity": {}, "constraints": {}, "properties": {},
+            "txn": {}, "protocol": None, "copied": []}
+    for t in tokens:
+        if t.startswith("cmx-"):
+            meta["dropped_physical"].append(b64u(t[4:]))
+        elif t.startswith("cm-"):
+            lo, ph = split_tok(t[3:])
+            meta["mapping"][b64u(lo)] = b64u(ph)
+        elif t.startswith("gc-"):
+            n, e = split_tok(t[3:])
+            meta["generated"][b64u(n)] = b64u(e)
+        elif t.startswith("ct-"):
+            n, e = split_tok(t[3:])
+            meta["constraints"][n] = b64u(e)
+        elif t.startswith("tp-"):
+            k, v = split_tok(t[3:])
+            meta["properties"][b64u(k)] = b64u(v)
+        elif t.startswith("id-"):
+            n, rest = split_tok(t[3:])
+            st, sp, hw = rest.split(".")
+            meta["identity"][b64u(n)] = [int(st), int(sp), int(hw)]
+        elif t.startswith("txn-"):
+            a, v = split_tok(t[4:])
+            meta["txn"][b64u(a)] = int(v)
+        elif t.startswith("pv-"):
+            r, w = t[3:].split(".")
+            meta["protocol"] = [int(r), int(w)]
+        elif t.startswith("cp-"):
+            meta["copied"].append(b64u(t[3:]))
+    meta["dropped_physical"].sort()
+    meta["copied"].sort()
+    dp, xp = "txtable.default.", "txtable.existsDefault."
+    meta["defaults"] = {k[len(dp):]: v
+                        for k, v in meta["properties"].items()
+                        if k.startswith(dp)}
+    meta["exists_defaults"] = {k[len(xp):]: v
+                               for k, v in meta["properties"].items()
+                               if k.startswith(xp)}
+    return meta
+
+
+def physical_order(table_dir, files):
+    """Ordered union of the active files' parquet footer columns —
+    the schema-on-read the engine's merged scan serves."""
+    import pyarrow.parquet as pq
+    seen, order = set(), []
+    for f in files:
+        for name in pq.read_schema(os.path.join(table_dir, f)).names:
+            if name not in seen:
+                seen.add(name)
+                order.append(name)
+    return order
+
+
+def logical_columns(phys, meta):
+    """Physical footer columns -> logical view: dropped physicals
+    disappear, mapped physicals surface under their logical names."""
+    inv = {p: l for l, p in meta["mapping"].items()}
+    dropped = set(meta["dropped_physical"])
+    return [inv.get(p, p) for p in phys if p not in dropped]
+
+
+def qid(name):
+    return '"' + name.replace('"', '""') + '"'
+
+
+def dump_read(table_dir, files, dvs, meta, out_path):
+    """The TRANSLATED LOGICAL READ, independently in DuckDB: active
+    data files union-by-name, deletion vectors anti-joined on
+    (table-relative file name, row ordinal in file), dropped physical
+    columns excluded, renames applied, exists-defaults coalesced over
+    the null-fill of pre-evolve files (explicit NULLs are rejected at
+    write by the engine, so the coalesce is exact). Returns the row
+    count written."""
+    import duckdb
+    con = duckdb.connect()
+    prefix = table_dir.rstrip("/") + "/"
+
+    def lit(p):
+        return "'" + p.replace("'", "''") + "'"
+    file_list = ", ".join(lit(os.path.join(table_dir, f)) for f in files)
+    base = ("SELECT * FROM read_parquet([%s], union_by_name=true, "
+            "filename=true, file_row_number=true)" % file_list)
+    if dvs:
+        dv_list = ", ".join(lit(os.path.join(table_dir, d)) for d in dvs)
+        base = ("SELECT * FROM (%s) b WHERE NOT EXISTS ("
+                "SELECT 1 FROM read_parquet([%s]) d "
+                "WHERE d._dv_file = substr(b.filename, %d) "
+                "AND d._dv_pos = b.file_row_number)"
+                % (base, dv_list, len(prefix) + 1))
+    phys = physical_order(table_dir, files)
+    inv = {p: l for l, p in meta["mapping"].items()}
+    dropped = set(meta["dropped_physical"])
+    cols = []
+    for p in phys:
+        if p in dropped:
+            continue
+        logical = inv.get(p, p)
+        e = qid(p)
+        if logical in meta["exists_defaults"]:
+            e = "coalesce(%s, %s)" % (e, meta["exists_defaults"][logical])
+        cols.append("%s AS %s" % (e, qid(logical)))
+    sql = "SELECT %s FROM (%s)" % (", ".join(cols), base)
+    con.sql("COPY (%s) TO %s (FORMAT PARQUET)" % (sql, lit(out_path)))
+    return con.sql("SELECT count(*) FROM %s"
+                   % lit(out_path)).fetchone()[0]
+
+
 def may_overlap(kind, mn, mx, lo, hi):
     """Could a file spanning [mn, mx] hold a value in [lo, hi]?
     Conservative on any doubt, mirroring the engine."""
@@ -207,13 +346,23 @@ def main():
         raise SystemExit(__doc__)
     table_dir = sys.argv[1]
     prune = None
+    schema = False
+    dump = None
     rest = sys.argv[2:]
     if "--prune" in rest:
         i = rest.index("--prune")
         prune = tuple(rest[i + 1:i + 4])
         if len(prune) != 3:
             raise SystemExit("--prune needs <column> <lo> <hi>")
-        rest = rest[:i]
+        rest = rest[:i] + rest[i + 4:]
+    if "--dump" in rest:
+        i = rest.index("--dump")
+        dump = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+        schema = True
+    if "--schema" in rest:
+        rest.remove("--schema")
+        schema = True
     target = int(rest[0]) if rest else (1 << 62)
     version, active = resolve(table_dir, target)
     files = sorted(f for f in active if not is_meta(f) and not is_dv(f))
@@ -221,6 +370,14 @@ def main():
     tokens = sorted(f for f in active if is_meta(f))
     out = {"version": version, "files": files, "dvs": dvs,
            "tokens": tokens}
+    if schema:
+        meta = decode_tokens(tokens)
+        meta["logical_columns"] = sorted(
+            logical_columns(physical_order(table_dir, files), meta))
+        out["schema"] = meta
+        if dump is not None:
+            out["dumped"] = dump
+            out["rows"] = dump_read(table_dir, files, dvs, meta, dump)
     if prune is not None:
         col, lo, hi = prune
         log_dir = os.path.join(table_dir, "_log")
