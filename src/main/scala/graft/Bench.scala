@@ -125,6 +125,53 @@ object Bench {
       samples.exists(_ > 2.5 * base)
   }
 
+  /** Host canary SELF-CALIBRATION (r15 "missing #5"): the minimum
+    * full-size and mini canary ever observed on this host, persisted
+    * in a tiny two-number file — min-ever converges to the true idle
+    * after the first uncongested run, so the congestion gate stays
+    * calibrated on ANY hardware instead of trusting a hardcoded
+    * constant that silently goes stale. Read/update are best-effort
+    * (a lost update only delays convergence). */
+  private[graft] def readCal(path: String): Option[(Double, Double)] =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8").trim.split("\\s+")
+      if (parts.length >= 2) {
+        val f = parts(0).toDouble
+        val m = parts(1).toDouble
+        if (f > 0 && m > 0) Some((f, m)) else None
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fold this run's observations into the stored minima (atomic
+    * tmp+rename, racing benches both land A valid file). */
+  private[graft] def updateCal(path: String, fulls: Seq[Double],
+      minis: Seq[Double]): Unit =
+    try {
+      val prev = readCal(path)
+      val f = (fulls ++ prev.map(_._1)).filter(_ > 0)
+      val m = (minis ++ prev.map(_._2)).filter(_ > 0)
+      if (f.nonEmpty && m.nonEmpty) {
+        val tmp = java.nio.file.Paths
+          .get(path + ".tmp-" + ProcessHandle.current().pid())
+        java.nio.file.Files.write(tmp,
+          f"${f.min}%.6f ${m.min}%.6f".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The idle reference the congestion stamp compares against:
+    * explicit env override > stored host minimum > the historical
+    * bootstrap constant (this container's measured idle, kept only
+    * so a first-ever run on a fresh host has A reference). A LOWER
+    * stored calibration tightens the stamp (1.5× a smaller idle). */
+  private[graft] def effectiveIdleCal(envOverride: Option[String],
+      stored: Option[Double], default: Double = 0.263): Double =
+    envOverride.map(_.toDouble).orElse(stored).getOrElse(default)
+
   /** First two /proc/loadavg fields (1- and 5-minute load), or "?". */
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -290,10 +337,19 @@ object Bench {
     // calibration, the run stamps ITSELF congested — its absolute
     // times are neighborhood-distorted and only the isolated/cold-JVM
     // numbers (and the next idle run) should be compared round-over-
-    // round. The calibration is this machine's measured idle canary
-    // (SCALE.md); override via SPARK_GRAFT_CANARY_IDLE if the hardware
-    // changes.
-    val idleCal = sys.env.getOrElse("SPARK_GRAFT_CANARY_IDLE", "0.263").toDouble
+    // round. The calibration SELF-MAINTAINS (r15 lesson): the stored
+    // per-host minimum canary is the idle reference, the env override
+    // wins when set, and the historical constant only bootstraps a
+    // fresh host until its first run lands in the cal file.
+    val calPath = sys.env.getOrElse("SPARK_GRAFT_CANARY_CAL",
+      "/tmp/graft_canary_cal")
+    val storedCal = readCal(calPath)
+    val idleCal = effectiveIdleCal(sys.env.get("SPARK_GRAFT_CANARY_IDLE"),
+      storedCal.map(_._1))
+    val calSource =
+      if (sys.env.contains("SPARK_GRAFT_CANARY_IDLE")) "env"
+      else if (storedCal.isDefined) "file"
+      else "default"
     // r12's lesson: MODERATE load is a canary blind spot. loadavg 4.5
     // on a 32-cpu box slows the 32-thread canary only ~1.15× (it still
     // gets ~88% of the CPU) but inflated the 32-way-parallel suite
@@ -310,10 +366,15 @@ object Bench {
     // samples close that blind spot (three consecutive samples above
     // 1.35x the run's own median, or one above 2.5x — see
     // midrunCongested for the thresholds' rationale)
-    val miniIdleFloor =
-      sys.env.getOrElse("SPARK_GRAFT_MINI_IDLE", (idleCal / 4).toString)
-        .toDouble
+    val miniIdleFloor = sys.env.get("SPARK_GRAFT_MINI_IDLE")
+      .map(_.toDouble).orElse(storedCal.map(_._2))
+      .getOrElse(idleCal / 4)
     val midCongested = midrunCongested(midSamples.toSeq, miniIdleFloor)
+    // fold this run's observations into the per-host minima (min-ever:
+    // a congested run can only leave the calibration unchanged)
+    if (!isChild)
+      updateCal(calPath, Seq(canaryStart, canaryEnd).filter(_ > 0),
+        midSamples.toSeq.filter(_ > 0))
     val congested = !isChild &&
       (math.max(canaryStart, canaryEnd) > 1.5 * idleCal ||
         load1(loadStart) > loadThreshold || midCongested)
@@ -321,7 +382,7 @@ object Bench {
       if (midSamples.isEmpty) ""
       else s""","canary_mid_max":${fmt(midSamples.max)},"canary_mid_min":${fmt(midSamples.min)},"mid_congested":$midCongested,"load_max_midrun":${fmt(midLoads.max)}"""
     val canaryJson = if (isChild) "" else
-      s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"canary_idle":${fmt(idleCal)},"congested":$congested$midJson,"load_start":"$loadStart","load_end":"$loadEnd""""
+      s""","canary_start":${fmt(canaryStart)},"canary_end":${fmt(canaryEnd)},"canary_idle":${fmt(idleCal)},"canary_cal_source":"$calSource","congested":$congested$midJson,"load_start":"$loadStart","load_end":"$loadEnd""""
 
     // Per-query run-level detail for mechanical artifact adjudication:
     // every timed run plus the relative spread (max-min)/median. A query

@@ -57,4 +57,39 @@ class BenchSignalsSpec extends AnyFunSuite {
     assert(!Bench.midrunCongested(Nil, idle))
     assert(!Bench.midrunCongested(Seq(0.5, 0.5), idle))
   }
+
+  test("self-calibration: stored host minimum replaces the constant; env wins") {
+    // precedence: env override > stored per-host minimum > bootstrap
+    assert(Bench.effectiveIdleCal(None, None) === 0.263)
+    assert(Bench.effectiveIdleCal(None, Some(0.1)) === 0.1)
+    assert(Bench.effectiveIdleCal(Some("0.4"), Some(0.1)) === 0.4)
+    // a fabricated LOWER calibration tightens the stamp: a 0.2 s
+    // canary is clean against the 0.263 bootstrap (1.5x = 0.3945)
+    // but flags against a 0.1 host calibration (1.5x = 0.15)
+    val canary = 0.2
+    assert(canary <= 1.5 * Bench.effectiveIdleCal(None, None))
+    assert(canary > 1.5 * Bench.effectiveIdleCal(None, Some(0.1)))
+  }
+
+  test("calibration file: min-ever fold, atomic write, garbage tolerated") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cal-").toString + "/cal"
+    assert(Bench.readCal(path).isEmpty) // absent: no calibration
+    Bench.updateCal(path, Seq(0.30, 0.28), Seq(0.09, 0.08))
+    assert(Bench.readCal(path) === Some((0.28, 0.08)))
+    // a later (congested) run can only LOWER the minima, never raise
+    Bench.updateCal(path, Seq(0.90), Seq(0.40))
+    assert(Bench.readCal(path) === Some((0.28, 0.08)))
+    Bench.updateCal(path, Seq(0.21), Seq(0.07))
+    assert(Bench.readCal(path) === Some((0.21, 0.07)))
+    // garbage or non-positive content is ignored, not fatal
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "not numbers".getBytes("UTF-8"))
+    assert(Bench.readCal(path).isEmpty)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "-1 0".getBytes("UTF-8"))
+    assert(Bench.readCal(path).isEmpty)
+    Bench.updateCal(path, Seq(0.25), Seq(0.06)) // recovers from garbage
+    assert(Bench.readCal(path) === Some((0.25, 0.06)))
+  }
 }
