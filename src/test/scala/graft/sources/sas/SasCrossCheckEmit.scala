@@ -51,11 +51,12 @@ object SasCrossCheckEmit {
       ("fixbe", false, false, false, true),
       ("fixbe64rdc", true, false, true, true))
 
-    variants.foreach { case (name, u64, rle, rdc, be) =>
+    def emit(name: String, cs: Seq[Col], rs: Seq[Seq[Any]], u64: Boolean,
+        rle: Boolean, rdc: Boolean, be: Boolean): Unit = {
       val path = s"$dir/$name.sas7bdat"
-      SasFixtureWriter.write(path, cols, rows, u64 = u64, rle = rle,
+      SasFixtureWriter.write(path, cs, rs, u64 = u64, rle = rle,
         rdc = rdc, bigEndian = be)
-      writeCsv(s"$dir/$name.expected.csv", cols, rows)
+      writeCsv(s"$dir/$name.expected.csv", cs, rs)
       // decode through the engine reader (same page loop the Spark scan
       // runs per-task) and dump the same CSV shape
       val meta = Sas7bdat.readMeta(path)
@@ -74,9 +75,35 @@ object SasCrossCheckEmit {
         case d: java.lang.Double => d.doubleValue: Any
         case other => other
       })
-      writeCsv(s"$dir/$name.reader.csv", cols, asCells)
+      writeCsv(s"$dir/$name.reader.csv", cs, asCells)
     }
-    println(s"[xcheck] wrote ${variants.size} fixtures to $dir")
+
+    variants.foreach { case (name, u64, rle, rdc, be) =>
+      emit(name, cols, rows, u64, rle, rdc, be)
+    }
+
+    // r15 stretch: one LARGE multi-MB, many-page, RDC-compressed
+    // fixture (u64 layout) so page-boundary truncation bugs cannot
+    // hide in small fixtures — wide string columns push row size up,
+    // tens of thousands of rows span hundreds of pages, and the
+    // mixed literal/run content gives RDC realistic work. Values
+    // avoid trailing blanks (both decoders strip them by contract).
+    val bigCols = Seq(
+      Col("cicid", isNumeric = true, 8),
+      Col("i94yr", isNumeric = true, 6),
+      Col("port", isNumeric = false, 24),
+      Col("note", isNumeric = false, 48))
+    val bigRows: Seq[Seq[Any]] = (0 until 60000).map { i =>
+      Seq(
+        i.toDouble + 0.25,
+        if (i % 13 == 0) null else 1990.0 + (i % 40),
+        if (i % 17 == 0) "" else s"PORT${"Z" * (i % 12)}_${i % 1000}",
+        (if (i % 3 == 0) "ARRIVED" * 3 else s"note-$i") + ("#" * (i % 9)))
+    }
+    emit("fixbig64rdc", bigCols, bigRows, u64 = true, rle = false,
+      rdc = true, be = false)
+
+    println(s"[xcheck] wrote ${variants.size + 1} fixtures to $dir")
   }
 
   private def writeCsv(path: String, cols: Seq[Col],
