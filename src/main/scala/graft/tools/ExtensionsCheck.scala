@@ -26,6 +26,7 @@ object ExtensionsCheck {
       "SELECT size(minhash_sig(array('x', 'y'), 12))" -> 12,
       "SELECT size(minhash_sig_fast('a b c d', 3, 12))" -> 12,
       "SELECT simhash32('') " -> 0L,
+      "SELECT simhash64('') " -> 0L,
       "SELECT size(topk_pairs(s, i, 2)) FROM VALUES (1.0d, 1L), (2.0d, 2L), (3.0d, 3L) AS t(s, i)" -> 2,
       "SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.0d)) AS t(v)" -> 3.0,
       "SELECT nfc_normalize('café')" -> "café",

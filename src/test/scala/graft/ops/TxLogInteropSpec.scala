@@ -196,6 +196,24 @@ class TxLogInteropSpec extends SparkTestBase {
       df.select(cols.map(org.apache.spark.sql.functions.col): _*)
         .collect().map(_.toString).sorted.toSeq
     assert(rows(spark.read.parquet(dump)) === rows(t.read()))
+    // --prune by the LOGICAL name of the RENAMED column: the stats
+    // sidecars key PHYSICAL names, so both implementations must
+    // translate through the mapping (engine: physName; python: the
+    // decoded cm- map) — and agree on the kept set
+    val pOut = new StringBuilder
+    val pCode = Process(Seq("python3", "tools/check_txlog.py", dir,
+      "--prune", "val", "400", "500"), new java.io.File("."))
+      .!(ProcessLogger(l => { pOut.append(l); () }, System.err.println))
+    assert(pCode === 0, s"replayer failed: $pOut")
+    val pruned = "\"pruned\":\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(pOut.toString)
+      .map(m => "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+      .getOrElse(sys.error(s"no pruned in: $pOut"))
+    assert(pruned === t.prunedSnapshot("val", Some(400L), Some(500L))
+      .files.map(_.stripPrefix(s"$dir/")).toSet)
+    assert(pruned.size < t.snapshot().files.size,
+      "the window must actually prune (else the probe proves nothing)")
   }
 
   test("python replayer honors the pointer and survives a torn one") {

@@ -380,6 +380,10 @@ def main():
             out["rows"] = dump_read(table_dir, files, dvs, meta, dump)
     if prune is not None:
         col, lo, hi = prune
+        # stats sidecars key by PHYSICAL column name: a probe on a
+        # RENAMED column must translate through the cm- mapping first
+        # (the engine's prunedSnapshot does the same via physName)
+        col = decode_tokens(tokens)["mapping"].get(col, col)
         log_dir = os.path.join(table_dir, "_log")
         entries, _ = list_log(log_dir)
         stats = load_stats(log_dir, entries)
