@@ -178,10 +178,24 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
         // its group), so the homomorphic fold stays exact for extrema
         val folded = combine(touched(current, "left_anti"),
           deltaAggregate(touched(pinned, "left_anti")))
-        // touched groups: re-aggregate from the base head, scoped to
-        // exactly those keys (the semi-join sits under the scan)
-        val recomputed = fullAggregate(
-          touched(base.readAt(upTo), "left_semi"))
+        // touched groups: re-aggregate from the base at upTo, scoped
+        // two ways. (1) FILE level: a single-key grouping prunes base
+        // files through the logged stats via the touched keys'
+        // [min,max] — the engine's stats-pruned read, pure I/O
+        // reduction (NULL-keyed groups disable it: null never enters
+        // min/max stats, so a range could wrongly drop a null-bearing
+        // file). (2) ROW level: the semi-join below is the exact
+        // filter either way, broadcast under the scan when small.
+        val recomputeBase =
+          if (groupCols.size == 1) {
+            val g = groupCols.head
+            val r = delGroups.agg(min(col(g)), max(col(g)),
+              sum(when(col(g).isNull, 1L).otherwise(0L))).head()
+            if (r.getLong(2) == 0L && !r.isNullAt(0))
+              base.readPruned(upTo, Seq((g, Some(r.get(0)), Some(r.get(1)))))
+            else base.readAt(upTo)
+          } else base.readAt(upTo)
+        val recomputed = fullAggregate(touched(recomputeBase, "left_semi"))
         folded.unionByName(recomputed)
       }
     (next, all)

@@ -197,6 +197,36 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(mv.refresh().isEmpty)
   }
 
+  test("MIN/MAX MV maintained by its own stream across a delete window") {
+    import spark.implicits._
+    def mrows(r: Range) =
+      r.map(i => (i.toLong, (i % 7).toLong, i.toDouble)).toDF("id", "grp", "v")
+    val dir = Files.createTempDirectory("graft-mv-mm-st-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("grp"), Seq("v"), Seq("v"), Seq("v"))
+    def full() = base.read().groupBy("grp").agg(
+      count(lit(1)).as("n_rows"), sum(col("v")).as("v_sum"),
+      min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("grp"), col("n_rows"), col("v_sum"),
+        col("v_min"), col("v_max")).collect().map(_.toString).sorted.toSeq
+    base.append(mrows(0 until 100))
+    val q = mv.maintainStream(s"$dir/ck")
+    try {
+      q.processAllAvailable()
+      assert(st(mv.read()) === st(full()))
+      // a micro-batch whose window both appends AND retires every
+      // group's maximum: the streaming fold must route through the
+      // bounded recompute exactly like a batch refresh
+      base.append(mrows(100 until 160))
+      base.deleteVectorBetween("id", 120L, 159L)
+      q.processAllAvailable()
+      assert(st(mv.read()) === st(full()))
+      assert(mv.read().agg(max(col("v_max"))).head.getDouble(0) === 119.0)
+    } finally q.stop()
+  }
+
   test("SQL-created MV maintained under a streaming txtable ingest sink") {
     // the end-to-end composition: writeStream txtable sink feeds the
     // base (ingest), CREATE MATERIALIZED VIEW via SQL text defines the
