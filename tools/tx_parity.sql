@@ -154,3 +154,24 @@ CREATE TABLE tx_parity_dflt (id BIGINT NOT NULL,
 INSERT INTO tx_parity_dflt (id) SELECT 5;
 
 SELECT id, src FROM tx_parity_dflt;
+
+-- 44-49. MIN/MAX materialized view: extrema fold under inserts and
+--        survive a DELETE retiring a group's maximum via the bounded
+--        per-group recompute (only the touched group re-aggregates
+--        from the base, through the stats-pruned read)
+CREATE TABLE tx_parity_mm (g BIGINT, v BIGINT) USING txtable
+  LOCATION '${DIR}/mm';
+
+INSERT INTO tx_parity_mm VALUES (1L, 10L), (1L, 30L), (2L, 5L), (2L, 50L);
+
+CREATE MATERIALIZED VIEW txtable.`${DIR}/mmmv` AS
+SELECT g, COUNT(*) AS n_rows, SUM(v) AS v_sum, MIN(v) AS v_min,
+       MAX(v) AS v_max
+FROM txtable.`${DIR}/mm` GROUP BY g;
+
+DELETE FROM tx_parity_mm WHERE v = 50;
+
+REFRESH MATERIALIZED VIEW txtable.`${DIR}/mmmv`;
+
+SELECT g, n_rows, v_sum, v_min, v_max FROM txtable.`${DIR}/mmmv`
+ORDER BY g;
