@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    update is its CDF delete+insert pair — every base write shape
   *    ([[TxTable.append]], [[TxTable.deleteVectorWhere]],
   *    [[TxTable.upsert]], [[TxTable.merge]], restore) maintains
-  *    through one code path. AVG is derivable (`sum/n_rows`).
+  *    through one code path. AVG (`<col>_avg`) rides this class: the
+  *    engine maintains a backing `sum` and a signed NON-NULL `count`
+  *    and derives the average at read (SQL AVG null semantics — the
+  *    standard store-sum-and-count MV device).
   *  - MIN (`<col>_min`) and MAX (`<col>_max`) are homomorphisms under
   *    INSERTS only (fold via least/greatest); a delete may retire the
   *    extremum, so a delete-bearing window triggers a BOUNDED
@@ -49,7 +52,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final class MaterializedView private (spark: SparkSession, base: TxTable,
     mv: TxTable, groupCols: Seq[String], sumCols: Seq[String],
-    minCols: Seq[String], maxCols: Seq[String]) {
+    minCols: Seq[String], maxCols: Seq[String],
+    avgCols: Seq[String]) {
 
   import MaterializedView._
 
@@ -76,9 +80,17 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     -1L
   }
 
-  /** The view's current state:
-    * `groupCols…, n_rows, <sumCol>_sum…, <minCol>_min…, <maxCol>_max…`. */
-  def read(): DataFrame = mv.read()
+  /** The view's current state: `groupCols…, n_rows, <sumCol>_sum…,
+    * <minCol>_min…, <maxCol>_max…, <avgCol>_avg…`. Averages are
+    * PHYSICALLY materialized by every refresh — derived from the
+    * maintained backing state (`<c>_sum` and the signed non-null
+    * count `<c>_cnt`) with SQL AVG semantics exactly: nulls don't
+    * count, an all-null group reads NULL — so a plain
+    * `SELECT * FROM` over the MV's table serves them too; this
+    * accessor additionally hides the backing columns the definition
+    * didn't ask for. */
+  def read(): DataFrame =
+    if (avgCols.isEmpty) mv.read() else mv.read().drop(hiddenState: _*)
 
   /** Fold base commits `(appliedVersion, head]` into the view. None =
     * already current. First refresh aggregates the head snapshot
@@ -88,11 +100,12 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     val head = base.snapshot().version
     if (head <= w) None
     else if (w < 0L)
-      Some(mv.overwriteAs(s"$Tag$head", fullAggregate(base.readAt(head))))
+      Some(mv.overwriteAs(s"$Tag$head",
+        withDerived(fullAggregate(base.readAt(head)))))
     else {
       val (next, blocks) = fold(mv.read(), base.readChanges(w, head), head)
       // blocks release only AFTER the commit materialized the frame
-      try Some(mv.overwriteAs(s"$Tag$head", next))
+      try Some(mv.overwriteAs(s"$Tag$head", withDerived(next)))
       finally Checkpoints.release(spark, blocks)
     }
   }
@@ -106,7 +119,7 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     else {
       val cur = if (w < 0L) emptyState() else mv.read()
       val (next, blocks) = fold(cur, changes, upTo)
-      try Some(mv.overwriteAs(s"$Tag$upTo", next))
+      try Some(mv.overwriteAs(s"$Tag$upTo", withDerived(next)))
       finally Checkpoints.release(spark, blocks)
     }
   }
@@ -135,7 +148,29 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
 
   private def hasExtrema: Boolean = minCols.nonEmpty || maxCols.nonEmpty
 
-  private def sumNames: Seq[String] = NRows +: sumCols.map(_ + "_sum")
+  /** Stored SUM-class state: the declared sums, plus each AVG's
+    * backing sum (when not already declared) and its non-null count —
+    * all signed-foldable homomorphisms, so every AVG maintains
+    * through the same code path as SUM (deletes included; no
+    * recompute needed). */
+  private def backingSums: Seq[String] = avgCols.filterNot(sumCols.contains)
+  private def sumNames: Seq[String] =
+    (NRows +: sumCols.map(_ + "_sum")) ++
+      backingSums.map(_ + "_sum") ++ avgCols.map(_ + "_cnt")
+  /** Internal backing columns [[read]] hides from the served view. */
+  private def hiddenState: Seq[String] =
+    backingSums.map(_ + "_sum") ++ avgCols.map(_ + "_cnt")
+
+  /** Materialize the derived averages onto a stored-state frame —
+    * applied immediately before every refresh commit, so the stored
+    * table itself serves `<c>_avg` to any reader. The fold machinery
+    * itself never consumes the derived column (combine/fullAggregate
+    * project the maintained aggregates explicitly), so it is pure
+    * output, recomputed fresh each refresh. */
+  private def withDerived(df: DataFrame): DataFrame =
+    avgCols.foldLeft(df)((d, c) =>
+      d.withColumn(c + "_avg",
+        when(col(c + "_cnt") > 0L, col(c + "_sum") / col(c + "_cnt"))))
   private def extName: Seq[String] =
     minCols.map(_ + "_min") ++ maxCols.map(_ + "_max")
   private def aggNames: Seq[String] = sumNames ++ extName
@@ -144,6 +179,8 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(NRows),
         (sumCols.map(c => sum(col(c)).as(c + "_sum")) ++
+          backingSums.map(c => sum(col(c)).as(c + "_sum")) ++
+          avgCols.map(c => count(col(c)).as(c + "_cnt")) ++
           minCols.map(c => min(col(c)).as(c + "_min")) ++
           maxCols.map(c => max(col(c)).as(c + "_max"))): _*)
 
@@ -211,6 +248,9 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     changes.groupBy(groupCols.map(col): _*)
       .agg(sum(sign).as(NRows),
         (sumCols.map(c => sum(col(c) * sign).as(c + "_sum")) ++
+          backingSums.map(c => sum(col(c) * sign).as(c + "_sum")) ++
+          avgCols.map(c => sum(when(col(c).isNotNull, sign)
+            .otherwise(lit(0L))).as(c + "_cnt")) ++
           minCols.map(c => min(col(c)).as(c + "_min")) ++
           maxCols.map(c => max(col(c)).as(c + "_max"))): _*)
   }
@@ -272,6 +312,15 @@ object MaterializedView {
   def apply(spark: SparkSession, base: TxTable, mvDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String]): MaterializedView =
+    apply(spark, base, mvDir, groupCols, sumCols, minCols, maxCols, Nil)
+
+  /** Full surface with AVG: `AVG(c) AS c_avg` per `avgCols`, derived
+    * at read from maintained `sum` + non-null `count` backing state
+    * (SQL AVG null semantics; deletes fold, no recompute needed). */
+  def apply(spark: SparkSession, base: TxTable, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      avgCols: Seq[String]): MaterializedView =
     new MaterializedView(spark, base, TxTable(spark, mvDir),
-      groupCols, sumCols, minCols, maxCols)
+      groupCols, sumCols, minCols, maxCols, avgCols)
 }

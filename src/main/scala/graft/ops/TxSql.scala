@@ -299,10 +299,11 @@ final class TxSql(spark: SparkSession) {
       // TxTable, the initial population is the first refresh commit,
       // and REFRESH MATERIALIZED VIEW folds only the base's CDF
       // window since the last refresh. Maintainable aggregates:
-      // COUNT(*) and SUM (self-maintainable homomorphisms) plus
-      // MIN/MAX (insert-window fold; delete-bearing windows recompute
-      // only the touched groups from the base — bounded, never a full
-      // rescan). Anything else (AVG spells sum/n_rows) refuses loudly
+      // COUNT(*), SUM, and AVG (signed-foldable homomorphisms — AVG
+      // maintains a backing sum + non-null count and materializes the
+      // quotient) plus MIN/MAX (insert-window fold; delete-bearing
+      // windows recompute only the touched groups from the base —
+      // bounded, never a full rescan). Anything else refuses loudly
       // at CREATE time.
       case CreateMvRe(ident, select) => runCreateMv(ident, select)
       case RefreshMvRe(ident) => mutating(ident) { t =>
@@ -647,11 +648,13 @@ final class TxSql(spark: SparkSession) {
     val sums = Seq.newBuilder[String]
     val mins = Seq.newBuilder[String]
     val maxs = Seq.newBuilder[String]
+    val avgs = Seq.newBuilder[String]
     val notMaintainable = "not incrementally maintainable: %s — " +
       "maintained aggregates are COUNT(*) AS n_rows, SUM(col) AS " +
-      "col_sum, MIN(col) AS col_min, and MAX(col) AS col_max (AVG " +
-      "derives as col_sum / n_rows; MIN/MAX under a delete-bearing " +
-      "window recompute only the touched groups from the base)"
+      "col_sum, MIN(col) AS col_min, MAX(col) AS col_max, and " +
+      "AVG(col) AS col_avg (AVG maintains a backing sum + non-null " +
+      "count; MIN/MAX under a delete-bearing window recompute only " +
+      "the touched groups from the base)"
     def oneCol(f: UnresolvedFunction, al: Alias, suffix: String,
         into: scala.collection.mutable.Builder[String, Seq[String]])
         : Unit = f.arguments match {
@@ -690,6 +693,10 @@ final class TxSql(spark: SparkSession) {
             if f.nameParts.last.equalsIgnoreCase("max") &&
               !f.isDistinct =>
           oneCol(f, al, "_max", maxs)
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("avg") &&
+              !f.isDistinct =>
+          oneCol(f, al, "_avg", avgs)
         case other => sys.error(notMaintainable.format(other.sql))
       }
       case other => sys.error(notMaintainable.format(other.sql))
@@ -729,7 +736,8 @@ final class TxSql(spark: SparkSession) {
       "txtable.mv.groupBy" -> groupCols.mkString(","),
       "txtable.mv.sums" -> sums.result().mkString(","),
       "txtable.mv.mins" -> mins.result().mkString(","),
-      "txtable.mv.maxs" -> maxs.result().mkString(","))
+      "txtable.mv.maxs" -> maxs.result().mkString(","),
+      "txtable.mv.avgs" -> avgs.result().mkString(","))
     val existing = mvT.snapshot().version >= 0
     if (existing) {
       val have = mvT.properties
@@ -741,7 +749,8 @@ final class TxSql(spark: SparkSession) {
       // any later one) rebuild the view object from these properties
       mvT.setProperties(definition)
     val commit = MaterializedView(spark, base, mvDir,
-      groupCols, sums.result(), mins.result(), maxs.result()).refresh()
+      groupCols, sums.result(), mins.result(), maxs.result(),
+      avgs.result()).refresh()
     if (catalogName) {
       spark.sql(s"CREATE TABLE $quoted USING txtable " +
         s"OPTIONS (path '$mvDir')")
@@ -760,7 +769,8 @@ final class TxSql(spark: SparkSession) {
       .flatMap(_.split(",")).filter(_.nonEmpty)
     MaterializedView(spark, TxTable(spark, baseLoc), t.tableDir,
       csv("txtable.mv.groupBy"), csv("txtable.mv.sums"),
-      csv("txtable.mv.mins"), csv("txtable.mv.maxs"))
+      csv("txtable.mv.mins"), csv("txtable.mv.maxs"),
+      csv("txtable.mv.avgs"))
   }
 
   // ------------------------------------------------- reference helpers

@@ -1910,6 +1910,45 @@ object ExtendedQueries {
             GROUP BY 1"""),
     bench = false)
 
+  // ---------------------------------- TxTable: AVG materialized view
+  /** AVG through the MV SQL face — maintained as a backing sum plus a
+    * signed NON-NULL count (the store-sum-and-count device every real
+    * MV engine uses), derived at read, SQL AVG null semantics. AVG is
+    * SUM-class: deletes fold signed, no recompute — the oracle's
+    * from-scratch AVG over the post-delete base catches a drifted
+    * count or a null miscounted either way. Both sides ROUND(…, 6)
+    * (the double-aggregate hash-compare discipline). */
+  private val txMvAvg = GraftQuery(
+    "k45_tx_mv_avg",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvavg-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"))
+      base.append(li.where(col("l_orderkey") % 2 === 0))
+      val sql = graft.ops.TxSql(s)
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT l_suppkey, COUNT(*) AS n_rows, AVG(l_qty) AS l_qty_avg " +
+        s"FROM txtable.`$dir/lineitem` GROUP BY l_suppkey")
+      base.append(li.where(col("l_orderkey") % 2 === 1))
+      sql.run(s"DELETE FROM txtable.`$dir/lineitem` " +
+        "WHERE l_orderkey BETWEEN 1 AND 500")
+      sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      // read the MV's STORED table directly: the derived average is
+      // physically materialized by the refresh, so any reader —
+      // including one with no MaterializedView object — serves it
+      graft.ops.TxTable(s, s"$dir/mv").read()
+        .select(col("l_suppkey"), col("n_rows"),
+          round(col("l_qty_avg"), 6).as("l_qty_avg"))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(AVG(CAST(l_quantity AS BIGINT)), 6) AS l_qty_avg
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1 AND 500
+            GROUP BY 1"""),
+    bench = false)
+
   // --------------------------------- TxTable: column DEFAULT values
   /** Column DEFAULTs through the SQL face: `ADD COLUMN … DEFAULT`
     * backfills pre-existing rows ON READ (exists default — a
@@ -2024,5 +2063,5 @@ object ExtendedQueries {
     txChangeFeed, txBatchCdfOptions, txDeletionVectors, txSchemaEvolution,
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
-    txMvSql, txMvMinMax, txColumnDefaults, recursiveCte, variantJson)
+    txMvSql, txMvMinMax, txMvAvg, txColumnDefaults, recursiveCte, variantJson)
 }

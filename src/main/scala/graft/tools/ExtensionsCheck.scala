@@ -231,18 +231,20 @@ object ExtensionsCheck {
       require(graft.ops.TxTable(spark, s"$pdir/dflt")
         .constraints.contains("id_not_null"),
         "NOT NULL must land as an enforced CHECK constraint")
-      // 44-49. MIN/MAX materialized view: CREATE populated; the
-      // DELETE retired group 2's maximum; REFRESH routed through the
-      // bounded per-group recompute; final state hand-checked
+      // 44-49. MIN/MAX/AVG materialized view: CREATE populated; the
+      // DELETE retired group 2's maximum; REFRESH routed the extrema
+      // through the bounded per-group recompute and the AVG through
+      // its signed sum+count fold; final state hand-checked
       require(results(45).head().getString(1).startsWith("mv-refresh-"),
         "MIN/MAX MV CREATE should populate via a refresh commit")
       require(results(47).head().getString(1).startsWith("mv-refresh-"),
         "MIN/MAX MV REFRESH should commit a fold")
       val mmRows = results(48).collect().map(r => (r.getLong(0),
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
-      require(mmRows == Seq((1L, 2L, 40L, 10L, 30L),
-        (2L, 1L, 5L, 5L, 5L)),
-        s"MIN/MAX materialized view state: $mmRows")
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+      require(mmRows == Seq((1L, 2L, 40L, 10L, 30L, 20.0),
+        (2L, 1L, 5L, 5L, 5L, 5.0)),
+        s"MIN/MAX/AVG materialized view state: $mmRows")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")

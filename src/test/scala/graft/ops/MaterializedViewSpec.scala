@@ -197,6 +197,48 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(mv.refresh().isEmpty)
   }
 
+  test("AVG maintains via backing sum + NON-NULL count (SQL null semantics)") {
+    import spark.implicits._
+    def arows(r: Range) = r.map(i => (i.toLong, (i % 5).toLong,
+      if (i % 7 == 0) None else Some(i.toDouble))).toDF("id", "grp", "v")
+    val dir = Files.createTempDirectory("graft-mv-avg-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("grp"), Nil, Nil, Nil, Seq("v"))
+    def full() = base.read().groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), avg(col("v")).as("v_avg"))
+    def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("grp"), col("n_rows"), col("v_avg"))
+        .collect().map(_.toString).sorted.toSeq
+    base.append(arows(0 until 100))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // the backing state stays internal: the served view is exactly
+    // groupCols + n_rows + v_avg
+    assert(mv.read().columns.sorted.toSeq === Seq("grp", "n_rows", "v_avg"))
+    // inserts, a delete window, and a null-flipping upsert all fold
+    // (AVG is SUM-class: signed sum + signed non-null count, no
+    // recompute even under deletes)
+    base.append(arows(100 until 160))
+    base.deleteVectorBetween("id", 10L, 39L)
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    val flip = (40L until 50L).map(i =>
+      (i, (i % 5).toLong, None: Option[Double])).toDF("id", "grp", "v")
+    base.upsert(flip, Seq("id"))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // a group whose every v is NULL serves a NULL average, not 0/0
+    val allNull = (900L until 905L).map(i =>
+      (i, 9L, None: Option[Double])).toDF("id", "grp", "v")
+    base.append(allNull)
+    assert(mv.refresh().isDefined)
+    val g9 = mv.read().where(col("grp") === 9L).head()
+    assert(g9.getAs[Long]("n_rows") === 5L && g9.isNullAt(
+      mv.read().columns.indexOf("v_avg")))
+    assert(st(mv.read()) === st(full()))
+  }
+
   test("MIN/MAX MV maintained by its own stream across a delete window") {
     import spark.implicits._
     def mrows(r: Range) =

@@ -1549,15 +1549,20 @@ class TxSqlSpec extends SparkTestBase {
         s"got: ${e.getMessage}")
     }
     val from = s"FROM txtable.`$dir/base`"
-    // MIN/MAX are maintainable since r16 (bounded recompute under
-    // deletes) — what still refuses: AVG (derives), DISTINCT
-    // aggregates, expressions, wrong alias discipline
-    refuse(s"SELECT k, COUNT(*) AS n_rows, AVG(v) AS v_avg $from GROUP BY k",
+    // MIN/MAX (bounded recompute under deletes) and AVG (backing
+    // sum + non-null count) are maintainable since r16 — what still
+    // refuses: order/distinct-sensitive aggregates, expressions,
+    // wrong alias discipline
+    refuse(s"SELECT k, COUNT(*) AS n_rows, STDDEV(v) AS v_sd $from GROUP BY k",
       "not incrementally maintainable")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS v_nd " +
+      s"$from GROUP BY k", "not incrementally maintainable")
     refuse(s"SELECT k, COUNT(*) AS n_rows, MAX(v) AS wrong $from GROUP BY k",
       "v_max")
     refuse(s"SELECT k, COUNT(*) AS n_rows, MIN(v + 1) AS v_min " +
       s"$from GROUP BY k", "single base column")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, AVG(v) AS mean $from GROUP BY k",
+      "v_avg")
     refuse(s"SELECT k, SUM(v) AS v_sum $from GROUP BY k", "COUNT(*)")
     refuse(s"SELECT k, COUNT(*) AS cnt, SUM(v) AS v_sum $from GROUP BY k",
       "n_rows")

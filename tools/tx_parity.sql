@@ -166,12 +166,12 @@ INSERT INTO tx_parity_mm VALUES (1L, 10L), (1L, 30L), (2L, 5L), (2L, 50L);
 
 CREATE MATERIALIZED VIEW txtable.`${DIR}/mmmv` AS
 SELECT g, COUNT(*) AS n_rows, SUM(v) AS v_sum, MIN(v) AS v_min,
-       MAX(v) AS v_max
+       MAX(v) AS v_max, AVG(v) AS v_avg
 FROM txtable.`${DIR}/mm` GROUP BY g;
 
 DELETE FROM tx_parity_mm WHERE v = 50;
 
 REFRESH MATERIALIZED VIEW txtable.`${DIR}/mmmv`;
 
-SELECT g, n_rows, v_sum, v_min, v_max FROM txtable.`${DIR}/mmmv`
+SELECT g, n_rows, v_sum, v_min, v_max, v_avg FROM txtable.`${DIR}/mmmv`
 ORDER BY g;
