@@ -216,6 +216,57 @@ class TxLogInteropSpec extends SparkTestBase {
       "the window must actually prune (else the probe proves nothing)")
   }
 
+  test("python replayer: timestamp travel and hive-partitioned layouts") {
+    assume(python3, "python3 not available")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-interop-pt-")
+      .toString + "/t"
+    val t = TxTable(spark, dir)
+    def rows(r: Range, lang: String) =
+      r.map(i => (i.toLong, lang, i.toLong * 2)).toDF("id", "lang", "v")
+    t.appendPartitioned(rows(0 until 20, "en"), "lang")
+    t.appendPartitioned(rows(20 until 30, "fr"), "lang")
+    t.deleteVectorBetween("id", 0L, 4L)
+    // --schema --dump over the hive layout: the partition column comes
+    // from the manifest's col=value path segments, the translated read
+    // surfaces it via hive partitioning, DVs still anti-join
+    val dump = Files.createTempDirectory("graft-interop-ptd-")
+      .toString + "/read.parquet"
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/check_txlog.py", dir,
+      "--schema", "--dump", dump), new java.io.File("."))
+      .!(ProcessLogger(l => { out.append(l); () }, System.err.println))
+    assert(code === 0, s"replayer failed: $out")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(out.toString)
+    import scala.jdk.CollectionConverters._
+    assert(root.get("schema").get("logical_columns").elements().asScala
+      .map(_.asText()).toSeq.sorted === t.read().columns.toSeq.sorted)
+    assert(root.get("rows").asLong() === t.read().count())
+    val cols = t.read().columns.toSeq.sorted
+    def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(st(spark.read.parquet(dump)) === st(t.read()))
+    // --at-ts resolves by in-commit timestamp exactly like versionAsOf
+    val ts0 = t.commitsBetween(-1L, 0L).head.ts
+    assert(t.versionAsOf(ts0) === 0L)
+    val out2 = new StringBuilder
+    val code2 = Process(Seq("python3", "tools/check_txlog.py", dir,
+      "--at-ts", ts0.toString), new java.io.File("."))
+      .!(ProcessLogger(l => { out2.append(l); () }, System.err.println))
+    assert(code2 === 0, s"replayer failed: $out2")
+    val v = "\"version\":\\s*(-?\\d+)".r.findFirstMatchIn(out2.toString)
+      .map(_.group(1).toLong).get
+    assert(v === 0L, s"at-ts resolution: $out2")
+    // a pre-table timestamp refuses on both sides
+    intercept[Exception](t.versionAsOf(ts0 - 100000L))
+    val code3 = Process(Seq("python3", "tools/check_txlog.py", dir,
+      "--at-ts", (ts0 - 100000L).toString), new java.io.File("."))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assert(code3 !== 0, "pre-table --at-ts must fail loudly")
+  }
+
   test("python replayer honors the pointer and survives a torn one") {
     assume(python3, "python3 not available")
     val dir = Files.createTempDirectory("graft-interop-ptr-")

@@ -9,6 +9,14 @@ Usage:
   python3 tools/check_txlog.py <tableDir> [version]
   python3 tools/check_txlog.py <tableDir> --prune <column> <lo> <hi>
   python3 tools/check_txlog.py <tableDir> --schema [--dump <out.parquet>]
+  python3 tools/check_txlog.py <tableDir> --at-ts <epochMillis>
+
+--at-ts resolves the target version by TIMESTAMP (newest commit whose
+in-commit timestamp is <= the target — monotone, so deterministic) and
+replays that; combine with --schema/--dump freely. Partitioned layouts
+are first-class: partition columns are derived from the manifest's
+`col=value/` path segments (schema) and surfaced via hive partitioning
+(dump).
 
 Prints one JSON line: {"version": N, "files": [...sorted rel names],
 "dvs": [...], "tokens": [...]}. With --prune, adds "pruned": the
@@ -266,6 +274,38 @@ def physical_order(table_dir, files):
     return order
 
 
+def unescape_path(s):
+    """Hive path-segment unescape (%XX), the engine/Spark convention."""
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "%" and i + 2 < len(s) + 1 and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def partition_columns(files):
+    """Hive-layout partition columns, in path order: active files of a
+    partitioned table are logged partition-qualified
+    (`col=value/.../name.parquet`), so the column names ride the
+    manifest itself — no listing, no footer read."""
+    order, seen = [], set()
+    for f in files:
+        for seg in f.split("/")[:-1]:
+            if "=" in seg:
+                name = unescape_path(seg.split("=", 1)[0])
+                if name not in seen:
+                    seen.add(name)
+                    order.append(name)
+    return order
+
+
 def logical_columns(phys, meta):
     """Physical footer columns -> logical view: dropped physicals
     disappear, mapped physicals surface under their logical names."""
@@ -293,8 +333,11 @@ def dump_read(table_dir, files, dvs, meta, out_path):
     def lit(p):
         return "'" + p.replace("'", "''") + "'"
     file_list = ", ".join(lit(os.path.join(table_dir, f)) for f in files)
+    # hive_partitioning surfaces col=value path segments as columns —
+    # the engine's basePath read does the same for partitioned layouts
+    hive = ", hive_partitioning=true" if partition_columns(files) else ""
     base = ("SELECT * FROM read_parquet([%s], union_by_name=true, "
-            "filename=true, file_row_number=true)" % file_list)
+            "filename=true, file_row_number=true%s)" % (file_list, hive))
     if dvs:
         dv_list = ", ".join(lit(os.path.join(table_dir, d)) for d in dvs)
         base = ("SELECT * FROM (%s) b WHERE NOT EXISTS ("
@@ -302,7 +345,7 @@ def dump_read(table_dir, files, dvs, meta, out_path):
                 "WHERE d._dv_file = substr(b.filename, %d) "
                 "AND d._dv_pos = b.file_row_number)"
                 % (base, dv_list, len(prefix) + 1))
-    phys = physical_order(table_dir, files)
+    phys = physical_order(table_dir, files) + partition_columns(files)
     inv = {p: l for l, p in meta["mapping"].items()}
     dropped = set(meta["dropped_physical"])
     cols = []
@@ -363,7 +406,25 @@ def main():
     if "--schema" in rest:
         rest.remove("--schema")
         schema = True
+    at_ts = None
+    if "--at-ts" in rest:
+        i = rest.index("--at-ts")
+        at_ts = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2:]
     target = int(rest[0]) if rest else (1 << 62)
+    if at_ts is not None:
+        # timestamp time travel from documented semantics: the NEWEST
+        # version whose commit timestamp is <= the target, in VERSION
+        # order (in-commit timestamps are monotone, so this resolves
+        # deterministically under wall-clock regression — the engine's
+        # versionAsOf contract)
+        log_dir = os.path.join(table_dir, "_log")
+        entries, _ = list_log(log_dir)
+        hits = [v for v in sorted(entries)
+                if read_entry(entries[v])["ts"] <= at_ts]
+        if not hits:
+            raise SystemExit("no commit at or before ts=%d" % at_ts)
+        target = hits[-1]
     version, active = resolve(table_dir, target)
     files = sorted(f for f in active if not is_meta(f) and not is_dv(f))
     dvs = sorted(f for f in active if is_dv(f) and not is_meta(f))
@@ -372,8 +433,9 @@ def main():
            "tokens": tokens}
     if schema:
         meta = decode_tokens(tokens)
-        meta["logical_columns"] = sorted(
-            logical_columns(physical_order(table_dir, files), meta))
+        meta["logical_columns"] = sorted(logical_columns(
+            physical_order(table_dir, files) + partition_columns(files),
+            meta))
         out["schema"] = meta
         if dump is not None:
             out["dumped"] = dump
