@@ -131,4 +131,26 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(DedupKernels.simhash64(u("hello")) === 0x5d41402abc4b2a76L)
     assert(DedupKernels.simhash64(u("")) === 0L)
   }
+
+  test("4x16-bit banding pigeonhole: hamming <= 3 always shares a band") {
+    // the recall guarantee simhashNearDups rests on: flipping at most
+    // 3 of 64 bits can touch at most 3 of the 4 disjoint 16-bit bands,
+    // so at least one band key survives intact — candidate generation
+    // by band equality has PERFECT recall at hamming <= 3. (Hamming 4
+    // can evade: one flip per band.)
+    def bands(sig: Long): Seq[Long] =
+      (0 until 4).map(k => (sig >>> (16 * k)) & 0xFFFFL)
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val b = (0 until flips).foldLeft(a)((s, _) =>
+        s ^ (1L << rnd.nextInt(64)))
+      assert(bands(a).zip(bands(b)).exists { case (x, y) => x == y },
+        f"no shared band for a=$a%016x b=$b%016x")
+    }
+    // and the hamming-4 evasion case exists (one flip per band)
+    val a = 0L
+    val evader = (0 until 4).map(k => 1L << (16 * k)).reduce(_ | _)
+    assert(!bands(a).zip(bands(evader)).exists { case (x, y) => x == y })
+  }
 }
