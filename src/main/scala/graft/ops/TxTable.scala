@@ -534,7 +534,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           Files.readAllBytes(lastCkptPtr.toPath), StandardCharsets.UTF_8))
         .map(_.group(1).toLong)
         .filter(v => ckptFile(v).isFile)
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Advance the pointer to checkpoint `v` (temp + atomic rename —
     * readers see old or new, never torn). Monotone: a slow writer
@@ -548,7 +548,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       Files.move(tmp.toPath, lastCkptPtr.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Commit entries `[startV, maxV]` probed BY NAME, stopping at the
     * first gap — O(run length) existence checks and zero directory
@@ -2380,7 +2380,7 @@ final class TxTable private (spark: SparkSession, dir: String,
             val raw = r.getString(0)
             val path =
               try new java.net.URI(raw).getPath
-              catch { case _: Throwable =>
+              catch { case scala.util.control.NonFatal(_) =>
                 val ns = raw.stripPrefix("file:")
                 "/" + ns.dropWhile(_ == '/')
               }
@@ -2434,7 +2434,7 @@ final class TxTable private (spark: SparkSession, dir: String,
           catch { case _: NumberFormatException => true }
         case _ => true
       }
-    } catch { case _: Throwable => true }
+    } catch { case scala.util.control.NonFatal(_) => true }
   }
 
   /** Drop the bloom sidecars of a reclaimed or abandoned data file. */
@@ -2620,7 +2620,7 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def mayOverlap(kind: String, mn: String, mx: String,
       lo: Option[Any], hi: Option[Any]): Boolean = {
     def bd(a: Any): Option[BigDecimal] =
-      try Some(BigDecimal(a.toString)) catch { case _: Throwable => None }
+      try Some(BigDecimal(a.toString)) catch { case scala.util.control.NonFatal(_) => None }
     kind match {
       case "long" | "double" =>
         val fMin = bd(mn); val fMax = bd(mx)
@@ -2728,7 +2728,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val parsed = gcs.toSeq.sortBy(_._1).flatMap { case (g, eStr) =>
         (try TxPredicates.monotoneBase(
           spark.sessionState.sqlParser.parseExpression(eStr))
-        catch { case _: Throwable => None }).map(base => (g, eStr, base))
+        catch { case scala.util.control.NonFatal(_) => None }).map(base => (g, eStr, base))
       }
       preds.flatMap { case (c, lo, hi) =>
         if (lo.isEmpty && hi.isEmpty) Nil
@@ -2746,7 +2746,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     try {
       val r = spark.range(1).select(lit(v).as(c)).select(expr(e)).head()
       if (r.isNullAt(0)) None else Option(r.get(0))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Could the partition path a hive-layout file name encodes satisfy
     * every bound on its partition columns? EVERY `col=value` directory
@@ -2780,7 +2780,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     if (phys.isEmpty || !rel.contains('/')) return true
     def num(s: String): Option[BigDecimal] =
-      try Some(BigDecimal(s)) catch { case _: Throwable => None }
+      try Some(BigDecimal(s)) catch { case scala.util.control.NonFatal(_) => None }
     def numBound(v: Any): Option[BigDecimal] = v match {
       case b: scala.math.BigDecimal => Some(b)
       case b: scala.math.BigInt => Some(BigDecimal(b))
@@ -2966,11 +2966,11 @@ final class TxTable private (spark: SparkSession, dir: String,
         Files.move(tmp.toPath, statsFile(version).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
       // pointer advances whether WE won the checkpoint CAS or a racing
       // writer did — the checkpoint exists either way
       writeLastCkptPtr(version)
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** `dt` with every NESTED nullability flag forced true: the guards
     * compare name → type shape, and nested-field nullability is not
@@ -4701,10 +4701,10 @@ final class TxTable private (spark: SparkSession, dir: String,
         wanted.foreach { f =>
           val dst = new File(dest.bloomDir, f.getName).toPath
           try Files.createLink(dst, f.toPath)
-          catch { case _: Throwable => Files.copy(f.toPath, dst) }
+          catch { case scala.util.control.NonFatal(_) => Files.copy(f.toPath, dst) }
         }
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val action = if (snap.merged) "clone-evolve" else "clone"
     val entry = Commit(0L, action, rels ++ snap.cts ++ snap.cms, Nil,
       System.currentTimeMillis())
