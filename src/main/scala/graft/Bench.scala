@@ -125,43 +125,83 @@ object Bench {
       samples.exists(_ > 2.5 * base)
   }
 
+  /** Physically-implausible calibration floors: the full canary is a
+    * FIXED 32×200M-step LCG chain (6.4e9 sequential multiply-adds split
+    * 32 ways — under 0.02 s would need >10 GHz per core), the mini is a
+    * quarter of it. A stored minimum below these is a corrupt/foreign
+    * file, not a fast host, and must not permanently tighten the 1.5×
+    * congestion gate (every later run would self-label congested with
+    * only the env override as recovery). */
+  private[graft] val MinPlausibleFullCal = 0.02
+  private[graft] val MinPlausibleMiniCal = 0.005
+
+  /** Stored calibrations older than this recalibrate from scratch: the
+    * write path refreshes the stamp on every run, so age-out only fires
+    * after a month with no benching — a container image baked with a
+    * stale file, or hardware that changed underneath it. */
+  private[graft] val CalMaxAgeMs = 30L * 24 * 3600 * 1000
+
   /** Host canary SELF-CALIBRATION (r15 "missing #5"): the minimum
     * full-size and mini canary ever observed on this host, persisted
-    * in a tiny two-number file — min-ever converges to the true idle
-    * after the first uncongested run, so the congestion gate stays
-    * calibrated on ANY hardware instead of trusting a hardcoded
-    * constant that silently goes stale. Read/update are best-effort
-    * (a lost update only delays convergence). */
-  private[graft] def readCal(path: String): Option[(Double, Double)] =
+    * in a tiny file (full_min, mini_min, written_at_ms) — min-ever
+    * converges to the true idle after the first uncongested run, so the
+    * congestion gate stays calibrated on ANY hardware instead of
+    * trusting a hardcoded constant that silently goes stale.
+    * Read/update are best-effort (a lost update only delays
+    * convergence); implausibly-low and stale entries are rejected
+    * (see [[MinPlausibleFullCal]], [[CalMaxAgeMs]]). */
+  private[graft] def readCal(path: String,
+      nowMs: Long = System.currentTimeMillis()): Option[(Double, Double)] =
     try {
       val parts = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8").trim.split("\\s+")
       if (parts.length >= 2) {
         val f = parts(0).toDouble
         val m = parts(1).toDouble
-        if (f > 0 && m > 0) Some((f, m)) else None
+        // legacy two-field files carry no stamp — treat as fresh once;
+        // the next write adds one
+        val fresh = parts.length < 3 ||
+          (nowMs - parts(2).toLong) <= CalMaxAgeMs
+        if (f >= MinPlausibleFullCal && m >= MinPlausibleMiniCal && fresh)
+          Some((f, m))
+        else None
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Fold this run's observations into the stored minima (atomic
-    * tmp+rename, racing benches both land A valid file). */
+    * tmp+rename, racing benches both land A valid file; the write stamp
+    * refreshes so an actively-benched host never ages out). */
   private[graft] def updateCal(path: String, fulls: Seq[Double],
       minis: Seq[Double]): Unit =
     try {
       val prev = readCal(path)
-      val f = (fulls ++ prev.map(_._1)).filter(_ > 0)
-      val m = (minis ++ prev.map(_._2)).filter(_ > 0)
+      val f = (fulls ++ prev.map(_._1)).filter(_ >= MinPlausibleFullCal)
+      val m = (minis ++ prev.map(_._2)).filter(_ >= MinPlausibleMiniCal)
       if (f.nonEmpty && m.nonEmpty) {
         val tmp = java.nio.file.Paths
           .get(path + ".tmp-" + ProcessHandle.current().pid())
         java.nio.file.Files.write(tmp,
-          f"${f.min}%.6f ${m.min}%.6f".getBytes("UTF-8"))
+          f"${f.min}%.6f ${m.min}%.6f ${System.currentTimeMillis()}%d"
+            .getBytes("UTF-8"))
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         ()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Default calibration file: per-user (under $HOME, not the
+    * world-writable shared /tmp where another user's file — or one
+    * baked into a container image — could poison the gate) and per-host
+    * (the minimum is hardware-specific; a home dir mounted across
+    * machines must not cross-calibrate them). */
+  private[graft] def defaultCalPath(): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    sys.props.getOrElse("user.home", "/tmp") +
+      "/.graft_canary_cal." + host.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
 
   /** The idle reference the congestion stamp compares against:
     * explicit env override > stored host minimum > the historical
@@ -213,6 +253,12 @@ object Bench {
     // comma-separated allowlist for single-query isolation runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // comma-separated allowlist that does NOT flip child mode: the full
+    // parent protocol (canaries, primary-line-before-isolates, isolate
+    // pass) runs over a restricted query set — the harness-protocol
+    // spec's hook, also handy for targeted A/Bs
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // per-query-boundary congestion samples (see miniCanary); children
     // skip — their parent's samples bracket them
     val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -225,7 +271,8 @@ object Bench {
     if (!isChild) { miniCanary(); miniCanary(); () }
     val measured = graft.queries.Registry.all
       .filter(q => q.bench || q.benchBuild.isDefined)
-      .filter(q => only.forall(_.contains(q.name))).map { q =>
+      .filter(q => only.forall(_.contains(q.name)))
+      .filter(q => subset.forall(_.contains(q.name))).map { q =>
       if (!isChild) {
         midSamples += miniCanary()
         midLoads += load1(loadavg())
@@ -310,25 +357,16 @@ object Bench {
       "x_dedup_byte_spans", "x_dedup_byte_spans_fast")
     val isolate = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_NO_ISOLATE").contains("1")
-    val isolated: Seq[(String, Double)] =
-      if (!isolate) Seq.empty
-      else {
-        spark.stop() // free the parent's executor threads + heap first
-        val names = (bySlow.filter(_._2 >= 0).take(10).map(_._1) ++
-          alwaysIsolate.filter(n => results.get(n).exists(_ >= 0))).distinct
-        names.map { name =>
-          System.err.println(s"[isolate] $name")
-          name -> isolatedTime(name, sfDir)
-        }
-      }
-    val isoJson =
-      if (isolated.isEmpty) ""
-      else s""","isolated":${mapJson(isolated)}"""
 
-    // closing canary AFTER every measurement (isolated pass included):
-    // start≈end≈historical → clean run; both elevated → machine was
-    // congested the whole suite; end ≫ start → congestion arrived
-    // mid-suite and late queries are suspect
+    // closing canary for the SHARED sweep — taken BEFORE the isolate
+    // re-runs, because the primary stdout artifact must exist before any
+    // child JVM spawns (r16's driver BENCH artifact was rc=124/parsed:
+    // null: up to 19 cold-JVM isolates ran ahead of the only println,
+    // a congested night ballooned them past the driver timeout, and the
+    // round shipped with NO perf evidence). start≈end≈idle → clean run;
+    // both elevated → congested throughout; end ≫ start → congestion
+    // arrived mid-suite and late queries are suspect. The isolate pass
+    // gets its own closing canary on the enriched second line.
     val loadEnd = loadavg()
     val canaryEnd = if (isChild) -1.0 else canary()
     // Self-labeling (r11's lesson, where the driver ran the suite on a
@@ -342,7 +380,7 @@ object Bench {
     // wins when set, and the historical constant only bootstraps a
     // fresh host until its first run lands in the cal file.
     val calPath = sys.env.getOrElse("SPARK_GRAFT_CANARY_CAL",
-      "/tmp/graft_canary_cal")
+      defaultCalPath())
     val storedCal = readCal(calPath)
     val idleCal = effectiveIdleCal(sys.env.get("SPARK_GRAFT_CANARY_IDLE"),
       storedCal.map(_._1))
@@ -413,40 +451,91 @@ object Bench {
     val midDetail =
       if (midSamples.isEmpty) ""
       else s""","mid_samples":[${midSamples.map(fmt).mkString(",")}],"mid_loads":[${midLoads.map(fmt).mkString(",")}]"""
-    val fullLine =
+
+    /** The complete artifact line (bench_full.json), parameterized on
+      * the enrichment sections that exist only after the isolate pass. */
+    def fullLine(isoJson: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(bySlow)}$isoJson$canaryJson$midDetail,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir"}"""
-    // single-query isolation children must not clobber the main run's
-    // complete map — the parent merges their stdout lines instead
-    if (only.isEmpty) try {
-      val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () }
-    // Spread for the PRINTED line: the kept (slowest) queries plus the
-    // always-isolated family — exactly the set whose round-over-round
-    // deltas get adjudicated. The driver parses the LAST JSON line out
-    // of a 2000-char tail capture: a line that starts before the window
-    // loses its head and fails to parse AT ALL, so the spread section
-    // sizes itself to the room the rest of the line leaves under a
-    // 1900-char ceiling (complete per-run arrays are in
-    // bench_full.json either way).
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted":$omitted,"queries":$qs$isoJson$canaryJson"""
-    val tail = s""","runs_detail":"bench_full.json","sf":"$sfDir"}"""
-    val spreadByName = measured
-      .filter(m => m._3.nonEmpty && m._2 > 0)
-      .map { case (n, s, ts) => n -> (ts.max - ts.min) / s }.toMap
-    val spreadKeys = (kept.map(_._1) ++ alwaysIsolate).distinct
-      .flatMap(n => spreadByName.get(n).map(n -> _))
-    val room = 1900 - head.length - tail.length - 12
-    val spreadKept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var sUsed = 2
-    spreadKeys.foreach { case (k, v) =>
-      val len = k.length + fmt(v).length + 4
-      if (sUsed + len <= room) { spreadKept += ((k, v)); sUsed += len }
+    def writeFull(isoJson: String): Unit =
+      // single-query isolation children must not clobber the main run's
+      // complete map — the parent merges their stdout lines instead
+      if (only.isEmpty) try {
+        val w = new java.io.PrintWriter("bench_full.json")
+        try w.println(fullLine(isoJson)) finally w.close()
+      } catch { case _: Throwable => () }
+
+    /** The PRINTED stdout line: the kept (slowest) queries plus the
+      * always-isolated family's spreads — exactly the set whose
+      * round-over-round deltas get adjudicated. The driver parses the
+      * LAST JSON line out of a 2000-char tail capture: a line that
+      * starts before the window loses its head and fails to parse AT
+      * ALL, so the spread section sizes itself to the room the rest of
+      * the line leaves under a 1900-char ceiling (complete per-run
+      * arrays are in bench_full.json either way). */
+    def printedLine(isoJson: String): String = {
+      val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted":$omitted,"queries":$qs$isoJson$canaryJson"""
+      val tail = s""","runs_detail":"bench_full.json","sf":"$sfDir"}"""
+      val spreadByName = measured
+        .filter(m => m._3.nonEmpty && m._2 > 0)
+        .map { case (n, s, ts) => n -> (ts.max - ts.min) / s }.toMap
+      val spreadKeys = (kept.map(_._1) ++ alwaysIsolate).distinct
+        .flatMap(n => spreadByName.get(n).map(n -> _))
+      val room = 1900 - head.length - tail.length - 12
+      val spreadKept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var sUsed = 2
+      spreadKeys.foreach { case (k, v) =>
+        val len = k.length + fmt(v).length + 4
+        if (sUsed + len <= room) { spreadKept += ((k, v)); sUsed += len }
+      }
+      val spreadLine =
+        if (spreadKept.isEmpty) ""
+        else s""","spread":${mapJson(spreadKept.toSeq)}"""
+      head + spreadLine + tail
     }
-    val spreadLine =
-      if (spreadKept.isEmpty) ""
-      else s""","spread":${mapJson(spreadKept.toSeq)}"""
-    println(head + spreadLine + tail)
-    if (!isolate) spark.stop()
+
+    // PRIMARY artifact first — written and printed (flushed) BEFORE any
+    // isolate child spawns, so a driver timeout mid-isolates can no
+    // longer lose the round's perf evidence (the r16 failure). When the
+    // isolate pass completes, an ENRICHED second line (isolated map +
+    // its own closing canary) supersedes it: the driver parses the LAST
+    // JSON line, so a finished run reports the enriched form and a
+    // killed run still reports the primary one.
+    writeFull("")
+    println(printedLine(""))
+    System.out.flush()
+
+    if (isolate) {
+      spark.stop() // free the parent's executor threads + heap first
+      val names = (bySlow.filter(_._2 >= 0).take(10).map(_._1) ++
+        alwaysIsolate.filter(n => results.get(n).exists(_ >= 0))).distinct
+      // Total wall-clock budget for the whole isolate pass: under
+      // congestion the cold JVMs balloon (r15: 13–25 s each plus ~30 s
+      // JVM start), and an unbounded pass is what pushed r16 past the
+      // driver timeout. Queries past the budget are skipped and
+      // counted — a partial isolated map beats a lost run.
+      val isoBudgetS = sys.env.getOrElse(
+        "SPARK_GRAFT_ISOLATE_BUDGET_S", "1500").toDouble
+      val isoStart = System.nanoTime()
+      var skipped = 0
+      val isolated: Seq[(String, Double)] = names.flatMap { name =>
+        if ((System.nanoTime() - isoStart) / 1e9 > isoBudgetS) {
+          skipped += 1
+          None
+        } else {
+          System.err.println(s"[isolate] $name")
+          Some(name -> isolatedTime(name, sfDir))
+        }
+      }
+      val postIsoCanary = canary()
+      updateCal(calPath, Seq(postIsoCanary), Seq.empty)
+      val skippedJson =
+        if (skipped == 0) "" else s""","isolates_skipped":$skipped"""
+      val isoJson =
+        if (isolated.isEmpty) skippedJson
+        else s""","isolated":${mapJson(isolated)},"canary_post_iso":${fmt(postIsoCanary)}$skippedJson"""
+      writeFull(isoJson)
+      println(printedLine(isoJson))
+      System.out.flush()
+    } else spark.stop()
   }
 }

@@ -41,6 +41,10 @@ object VectorExpressions {
       (children: Seq[Expression]) =>
         TopKPairs(children(0), children(1), children(2)))
     registry.registerFunction(
+      FunctionIdentifier("collect_min_k"),
+      CollectMinK.info,
+      (children: Seq[Expression]) => CollectMinK(children(0), children(1)))
+    registry.registerFunction(
       FunctionIdentifier("vec_sum"),
       VecSum.info,
       (children: Seq[Expression]) => VecSum(children.head))

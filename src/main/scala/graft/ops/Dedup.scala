@@ -113,20 +113,75 @@ object Dedup {
       .where(size(col("sh")) > 0)
   }
 
-  /** LSH candidate pairs from a (doc_id, sig) table. One shuffle: group
-    * each band bucket, drop the no-pair and over-MaxBucket buckets (skew
-    * guard), then explode the ordered pairs of each surviving bucket in
-    * place — no self-join, no second pass. */
-  private def lshCandidates(sig: DataFrame): DataFrame =
-    sig.select(
-      col("doc_id"),
-      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band_idx", "band_key")))
-      .groupBy("band_idx", "band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, MaxBucket))
+  /** Bounded bucket membership: the cap+1 SMALLEST doc ids of each group
+    * via the [[graft.functions.CollectMinK]] TypedImperativeAggregate —
+    * O(cap) memory per group DURING accumulation. The naive
+    * `sort_array(collect_list(id))` + post-hoc size filter computes the
+    * same surviving buckets but cannot short-circuit: one degenerate key
+    * (a boilerplate cluster of 10⁶–10⁸ signature-identical docs, a
+    * stopword-grade shingle's corpus-cardinality posting list)
+    * materializes its ENTIRE membership in a single task's aggregation
+    * buffer before the filter can drop it — an executor OOM invisible at
+    * test SF. Contract: ≤ cap members ⇒ complete sorted membership
+    * (bit-identical to the collect_list form); > cap ⇒ exactly cap+1
+    * elements retained, which the downstream `size ≤ cap` filter drops
+    * identically — and `ids[0]` is still the bucket's TRUE minimum (the
+    * k smallest always include the smallest), the representative a
+    * capped-bucket chain fallback pairs against. */
+  private def cappedBucketIds(cap: Int): Column =
+    call_function("collect_min_k", col("doc_id"), lit(cap + 1)).as("ids")
+
+  /** Candidate pairs of a banded (group keys…, doc_id) table — ONE
+    * shuffle: group each bucket with bounded membership
+    * ([[cappedBucketIds]]), explode the ordered pairs of each surviving
+    * (2 ≤ size ≤ cap) bucket in place. No self-join, no second pass.
+    *
+    * `chainCapped = true` adds the over-cap fallback: instead of
+    * silently dropping a capped bucket's members from clustering, every
+    * member pairs with the bucket's true minimum id — a LINEAR pair
+    * count (vs the quadratic explosion the cap exists to prevent) that
+    * connected-components collapses into one cluster, so mass-duplicated
+    * boilerplate still deduplicates. Over-cap keys are few and tiny by
+    * construction (degenerate hash values), so they broadcast; the
+    * banded table streams against them with no extra shuffle. */
+  private def bucketPairs(
+      banded: DataFrame, keys: Seq[String], cap: Int,
+      chainCapped: Boolean = false): DataFrame = {
+    val buckets0 = banded.groupBy(keys.map(col): _*)
+      .agg(cappedBucketIds(cap))
+    // two consumers when chaining (under-cap explode + over-cap probe):
+    // persist so the banding shuffle+agg runs once
+    val buckets = if (chainCapped) persisted(buckets0) else buckets0
+    val under = buckets
+      .where(size(col("ids")).between(2, cap))
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .distinct()
+    val all =
+      if (!chainCapped) under
+      else {
+        val over = buckets.where(size(col("ids")) === cap + 1)
+          .select((keys.map(col) :+ col("ids").getItem(0).as("rep")): _*)
+        under.union(
+          banded.join(broadcast(over), keys)
+            .where(col("doc_id") =!= col("rep"))
+            .select(col("rep").as("a_id"), col("doc_id").as("b_id")))
+      }
+    all.distinct()
+  }
+
+  /** LSH candidate pairs from a (doc_id, sig) table. One shuffle: group
+    * each band bucket with bounded membership, drop the no-pair and
+    * over-MaxBucket buckets (skew guard; `chainCapped` instead chains
+    * them to their min id), then explode the ordered pairs of each
+    * surviving bucket in place — no self-join, no second pass. */
+  private def lshCandidates(
+      sig: DataFrame, chainCapped: Boolean = false): DataFrame =
+    bucketPairs(
+      sig.select(
+        col("doc_id"),
+        posexplode(array(bandKeys(col("sig")): _*))
+          .as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"), MaxBucket, chainCapped)
 
   /** Candidate pairs from MinHash-LSH banding over `docs`, verified with
     * exact shingle Jaccard ≥ `threshold`. Output: (a_id, b_id, jaccard).
@@ -289,10 +344,18 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3
-    * guaranteed found: 4 bands of 16 bits over the 64-bit signature —
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    * Recall guarantee (4 bands of 16 bits over the 64-bit signature —
     * pigeonhole, two signatures within distance 3 agree on at least one
-    * whole band). Output: (a_id, b_id, hamming).
+    * whole band) holds for every pair whose shared bucket stays BELOW
+    * the [[MaxBucket]] cap: a duplicate cluster larger than the cap is
+    * signature-identical in all four bands, so every band bucket it
+    * fills is capped and the cluster yields no pairs — by default such
+    * mass-duplicated boilerplate escapes clustering entirely.
+    * `chainCapped = true` restores it: each capped bucket's members pair
+    * with the bucket's minimum id (linear pairs, never quadratic), so
+    * connected-components still collapses the cluster.
+    * Output: (a_id, b_id, hamming).
     *
     * Scale shape (the r15 fix — the 32-bit variant's 8-bit band keys had
     * only 256 possible values, so every bucket grew linearly with corpus
@@ -308,24 +371,22 @@ object Dedup {
     *    [[lshCandidates]] pattern), no self-join — and signatures rejoin
     *    by doc_id only for the final O(candidates) hamming check.
     *    Document bodies never shuffle. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      chainCapped: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
-      s"4x16-bit banding guarantees recall only for hamming <= 3, got $maxHamming")
+      "4x16-bit banding guarantees recall (below the bucket cap) only " +
+        s"for hamming <= 3, got $maxHamming")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // persisted so projection collapse cannot inline the simhash fold
     // into the four band expressions (which would recompute it 5×/row)
     val sig = persisted(docs.repartition(par)
       .select(col("doc_id"), simhash64(col("text")).as("sh64")))
-    val pairs = sig.select(col("doc_id"),
-      posexplode(array((0 until 4).map(k =>
-        shiftrightunsigned(col("sh64"), 16 * k).bitwiseAND(lit(65535L))): _*))
-        .as(Seq("band_idx", "band_val")))
-      .groupBy("band_idx", "band_val")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, MaxBucket))
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .distinct()
+    val pairs = bucketPairs(
+      sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("sh64"), 16 * k).bitwiseAND(lit(65535L))): _*))
+          .as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"), MaxBucket, chainCapped)
     val shA = sig.select(col("doc_id").as("a_id"), col("sh64").as("sh_a"))
     val shB = sig.select(col("doc_id").as("b_id"), col("sh64").as("sh_b"))
     pairs.join(shA, "a_id").join(shB, "b_id")
@@ -544,9 +605,14 @@ object Dedup {
       explode(transform(col("sh"), s => PortableHash.hash60(s)))
         .as("shingle_h"))
     // one shuffle: each rare shingle's posting list (df = bucket size,
-    // capped by maxDf — the skew guard) explodes to its ordered pairs
+    // capped by maxDf — the skew guard; membership bounded DURING
+    // accumulation, see cappedBucketIds: a stopword-grade shingle's
+    // posting is corpus-cardinality and must never fill one buffer)
+    // explodes to its ordered pairs. Over-cap postings drop outright —
+    // a capped posting is by definition not a RARE shingle, so the drop
+    // is the operator's semantics, not a recall compromise.
     val pairs = posting.groupBy("shingle_h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(cappedBucketIds(maxDf))
       .where(size(col("ids")).between(2, maxDf))
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
@@ -575,8 +641,10 @@ object Dedup {
     val posting = sh.select(col("doc_id"),
       explode(transform(col("sh"), s => PortableHash.hash60(s)))
         .as("shingle_h"))
+    // bounded posting membership (cappedBucketIds) for the same reason
+    // as invertedIndexNearDups; over-cap = not rare = correct drop
     val pairs = posting.groupBy("shingle_h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(cappedBucketIds(maxDf))
       .where(size(col("ids")).between(2, maxDf))
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))

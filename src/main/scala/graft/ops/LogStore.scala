@@ -39,6 +39,15 @@ trait LogStore {
     * propagate, so retry loops distinguish "lost the race" from "store
     * is broken". */
   def putIfAbsent(target: File, content: Array[Byte]): Boolean
+
+  /** The stale-claim horizon THIS store's arbitration actually runs
+    * with: a live claim holder heartbeats its mtime every horizon/4, so
+    * any sweep of claim/temp leftovers must treat files younger than
+    * this as potentially live. [[TxTable.cleanupLog]] floors its sweep
+    * age here — a store configured with a LARGER horizon (longer
+    * heartbeat gaps) would otherwise have its live claims deleted
+    * mid-PUT by a sweep floored at the default constant. */
+  def staleHorizonMs: Long = LogStore.DefaultStaleClaimMs
 }
 
 object LogStore {
@@ -78,6 +87,11 @@ object LogStore {
   trait ConditionalPutClient {
     /** Atomically create `key` with `content` iff absent; true = created. */
     def putIfAbsent(key: String, content: Array[Byte]): Boolean
+
+    /** The client's configured stale-claim horizon (see
+      * [[LogStore.staleHorizonMs]]); clients with no claim protocol of
+      * their own keep the default. */
+    def staleHorizonMs: Long = LogStore.DefaultStaleClaimMs
   }
 
   /** [[LogStore]] over a [[ConditionalPutClient]] — the impl a real
@@ -87,6 +101,7 @@ object LogStore {
   final class ConditionalWrite(client: ConditionalPutClient) extends LogStore {
     def putIfAbsent(target: File, content: Array[Byte]): Boolean =
       client.putIfAbsent(target.getAbsolutePath, content)
+    override def staleHorizonMs: Long = client.staleHorizonMs
   }
 
   /** REAL filesystem-backed [[ConditionalPutClient]] that uses NO hard
@@ -134,6 +149,12 @@ object LogStore {
   final class FileConditionalPut(
       staleClaimMs: Long = LogStore.DefaultStaleClaimMs)
       extends ConditionalPutClient {
+
+    /** This client's claims heartbeat against ITS horizon — a leftover
+      * sweep must floor at this, not the default constant, or a holder
+      * configured with a larger horizon (heartbeats every horizon/4 >
+      * default) could have its live claim deleted mid-PUT. */
+    override def staleHorizonMs: Long = staleClaimMs
 
     /** Test seam: fired right after claim acquisition, BEFORE the
       * heartbeat starts — a stall here ages the claim like a whole-JVM

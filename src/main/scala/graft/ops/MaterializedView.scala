@@ -196,11 +196,37 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
       upTo: Long): (DataFrame, Set[Int]) = {
     if (!hasExtrema) return (combine(current, deltaAggregate(changes)),
       Set.empty)
+    // pins release on ANY exit: the caller's finally covers the pinned
+    // ids only after this returns them, so a failure between the first
+    // pin and the return (the delGroups pin materializing, the isEmpty
+    // action, the prune-bounds head()) must release here or the blocks
+    // leak for the session
     val (pinned, blocks) = Checkpoints.pin(changes)
+    try fold0(current, pinned, blocks, upTo)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Checkpoints.release(spark, blocks)
+        throw e
+    }
+  }
+
+  private def fold0(current: DataFrame, pinned: DataFrame,
+      blocks: Set[Int], upTo: Long): (DataFrame, Set[Int]) = {
     val (delGroups, dgBlocks) = Checkpoints.pin(
       pinned.where(col("_change_type") === "delete")
         .select(groupCols.map(col): _*).distinct())
     val all = blocks ++ dgBlocks
+    try fold1(current, pinned, delGroups, all, upTo)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Checkpoints.release(spark, dgBlocks)
+        throw e
+    }
+  }
+
+  private def fold1(current: DataFrame, pinned: DataFrame,
+      delGroups: DataFrame, all: Set[Int], upTo: Long)
+      : (DataFrame, Set[Int]) = {
     val next =
       if (delGroups.isEmpty) combine(current, deltaAggregate(pinned))
       else {

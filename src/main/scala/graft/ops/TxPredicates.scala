@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
@@ -145,7 +147,7 @@ object TxPredicates {
 
   private def posLit(e: Expression): Boolean = e match {
     case Literal(v, _) if v != null =>
-      try BigDecimal(v.toString) > 0 catch { case _: Throwable => false }
+      try BigDecimal(v.toString) > 0 catch { case NonFatal(_) => false }
     case _ => false
   }
 }

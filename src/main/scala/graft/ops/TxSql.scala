@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
@@ -196,7 +198,7 @@ final class TxSql(spark: SparkSession) {
               (if (n != null) n.toLong else 168L) * 3600L * 1000L
             val cutoff = System.currentTimeMillis() - ageMs
             val horizon =
-              try t.versionAsOf(cutoff) catch { case _: Throwable => 0L }
+              try t.versionAsOf(cutoff) catch { case NonFatal(_) => 0L }
             t.vacuum(horizon, minAgeMs = ageMs, dryRun = dryRun)
           }
         names.toDF("reclaimed_file")
@@ -364,15 +366,15 @@ final class TxSql(spark: SparkSession) {
     case Seq(p, _) if p.equalsIgnoreCase("txtable") => ()
     case Seq(t0) =>
       try spark.sessionState.catalog.refreshTable(TableIdentifier(t0))
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     case Seq(db, t0) =>
       try spark.sessionState.catalog
         .refreshTable(TableIdentifier(t0, Some(db)))
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
       try spark.sessionState.catalog
         .refreshTable(TableIdentifier(t0, Some(db)))
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     case _ => ()
   }
 
@@ -997,14 +999,14 @@ object TxSql {
         }
         spark.sessionState.catalog.getTableMetadata(id)
           .provider.exists(_.equalsIgnoreCase("txtable"))
-      } catch { case _: Throwable => false }
+      } catch { case NonFatal(_) => false }
     case _ => false
   }
 
   private def isTxIdent(spark: SparkSession, ident: String): Boolean =
     try isTxParts(spark,
       spark.sessionState.sqlParser.parseMultipartIdentifier(ident.trim))
-    catch { case _: Throwable => false }
+    catch { case NonFatal(_) => false }
 
   /** If `sqlText` is one of the face's REGEX-ROUTED statements over a
     * transactional table, the schema its result will have — the

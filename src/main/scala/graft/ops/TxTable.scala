@@ -5172,15 +5172,18 @@ final class TxTable private (spark: SparkSession, dir: String,
     // graveyard rename and delete leaves `.dead-*` claims, and an IO
     // failure while writing a claim leaves an OWNERLESS `.claim` that
     // blocks all writers on its key for the full stale horizon. All
-    // age-guarded by minAgeMs FLOORED at the conditional-PUT stale
-    // horizon: a live holder heartbeats its claim's mtime at
-    // horizon/4, so only past the horizon is age a safe liveness
-    // signal — a caller-supplied minAgeMs below it must not let the
-    // sweep delete a LIVE writer's claim or in-flight .cput temp
-    // mid-PUT (retention aggressiveness is the caller's to tune; the
-    // single-winner guarantee is not).
+    // age-guarded by minAgeMs FLOORED at THIS TABLE'S conditional-PUT
+    // stale horizon (store.staleHorizonMs — not the default constant:
+    // a store configured with a larger horizon heartbeats its claims
+    // every horizon/4 > default/4, so a live claim's mtime can
+    // legitimately exceed the default): a live holder heartbeats its
+    // claim's mtime at horizon/4, so only past the horizon is age a
+    // safe liveness signal — a caller-supplied minAgeMs below it must
+    // not let the sweep delete a LIVE writer's claim or in-flight
+    // .cput temp mid-PUT (retention aggressiveness is the caller's to
+    // tune; the single-winner guarantee is not).
     val swept = sweepLogLeftovers(System.currentTimeMillis() -
-      math.max(minAgeMs, LogStore.DefaultStaleClaimMs))
+      math.max(minAgeMs, store.staleHorizonMs))
     val (cfs, ckpts) = listLog()
     val head = snapshot().version
     if (head < 0) return swept

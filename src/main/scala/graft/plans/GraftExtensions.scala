@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomMightContain, CharEntropy, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, SimHash64, TopKPairs, VecSum, WsTokens, SpaceSaving}
+import graft.functions.{BloomMightContain, CharEntropy, CollectMinK, DotProduct, JaroWinklerSim, L2Norm, MinHashSig, MinHashSigFast, Morton2, NfcNormalize, PqAdc, ShingleSet, SimHash32, SimHash64, TopKPairs, VecSum, WsTokens, SpaceSaving}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKPairs.info,
       (children: Seq[Expression]) =>
         TopKPairs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("collect_min_k"),
+      CollectMinK.info,
+      (children: Seq[Expression]) => CollectMinK(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("vec_sum"),
       VecSum.info,

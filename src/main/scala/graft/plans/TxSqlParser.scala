@@ -1,5 +1,7 @@
 package graft.plans
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
@@ -102,7 +104,7 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
             TxSql.isTxParts(session, r.multipartIdentifier) =>
         try Some(TxSql(session)
           .resolveParts(r.multipartIdentifier).location)
-        catch { case _: Throwable => None }
+        catch { case NonFatal(_) => None }
       case _ => None
     }
     p.transformDown {
@@ -309,7 +311,7 @@ class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           if (TxSql.isTxParts(session, parts))
             Some(TxSql(session).resolveParts(parts).location)
           else None
-        } catch { case _: Throwable => None }
+        } catch { case NonFatal(_) => None }
       case _ => None
     }
   }

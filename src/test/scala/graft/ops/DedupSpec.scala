@@ -143,6 +143,31 @@ class DedupSpec extends SparkTestBase {
       Set((1000L, 1001L)))
   }
 
+  test("simhashNearDups chainCapped pairs capped buckets to their min id") {
+    // same degenerate 120-doc cluster as above, but chainCapped=true:
+    // instead of the cluster escaping clustering entirely, every member
+    // pairs with the bucket's true minimum (doc 0) — a LINEAR pair count
+    // that connected-components collapses into one cluster. The planted
+    // under-cap pair is unchanged.
+    val hot = (0L until 120L).map(i => (i, "boilerplate cookie banner text"))
+    val planted = Seq(
+      (1000L, "a genuinely distinctive sentence about owls"),
+      (1001L, "a genuinely distinctive sentence about owls"))
+    val docs = (hot ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, chainCapped = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chain = (1L until 120L).map(i => (0L, i)).toSet
+    assert(pairs === chain + ((1000L, 1001L)))
+    // the chain clusters: connected components collapses all 120 hot docs
+    val verts = docs.select(col("doc_id").as("id"))
+    val pairsDf = Dedup.simhashNearDups(docs, chainCapped = true)
+      .select("a_id", "b_id")
+    val labels = Dedup.connectedComponents(verts, pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 120L).foreach(i => assert(labels(i) === 0L))
+    assert(labels(1001L) === 1000L)
+  }
+
   test("dupNgramStats: cross-doc duplicated shingles counted, within-doc repeats not") {
     import spark.implicits._
     // doc 0 and 1 share exactly one 3-gram ("common phrase here"); doc 2

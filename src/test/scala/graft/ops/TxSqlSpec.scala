@@ -401,6 +401,22 @@ class TxSqlSpec extends SparkTestBase {
     assert(detail.count() === t.snapshot().files.size)
   }
 
+  test("dispatch conservatism survives induced failures (NonFatal narrowing)") {
+    // The dispatch catches are NonFatal-only (r17 sweep): an induced
+    // RuntimeException inside the catalog probe must still fall through
+    // to "not a txtable" — the behavior the old `case _: Throwable`
+    // sites provided — while no longer swallowing VM errors.
+    // a nonexistent table makes getTableMetadata throw (NoSuchTable,
+    // a NonFatal AnalysisException) — dispatch answers false
+    assert(!TxSql.isTxParts(spark, Seq("no_such_db", "no_such_table")))
+    assert(!TxSql.isTxParts(spark, Seq("spark_catalog", "nodb", "notab")))
+    // the parser face: DML over the same nonexistent target returns the
+    // delegate's plan instead of propagating the probe's exception
+    val parser = new graft.plans.TxSqlParser(spark, spark.sessionState.sqlParser)
+    assert(!parser.parsePlan("DELETE FROM no_such_db.no_such_table WHERE a = 1")
+      .isInstanceOf[graft.plans.TxSqlStatement])
+  }
+
   test("TxSqlParser routes txtable statements; everything else passes through") {
     import graft.plans.{TxSqlParser, TxSqlStatement}
     val parser = new TxSqlParser(spark, spark.sessionState.sqlParser)

@@ -2475,6 +2475,36 @@ class TxTableSpec extends SparkTestBase {
     assert(liveClaim.exists && liveTmp.exists,
       "leftover sweep must never reach inside the stale-claim horizon")
   }
+
+  test("leftover sweep floors at the TABLE'S configured stale horizon, not the default") {
+    // a store configured with a 4-hour claim horizon heartbeats its
+    // claims every horizon/4 = 1 h — a LIVE claim's mtime can then
+    // legitimately be older than the 600 s default, and a sweep floored
+    // at the default constant would delete it mid-PUT. The floor must
+    // come from the store in use (LogStore.staleHorizonMs).
+    val bigHorizonMs = 4L * 3600 * 1000
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-horizon-").toString + "/t"
+    val t = TxTable(spark, dir, new LogStore.ConditionalWrite(
+      new LogStore.FileConditionalPut(bigHorizonMs)))
+    t.append(df(0 until 5))
+    val log = new File(dir, "_log")
+    // a claim last heartbeated 2 h ago: stale by the DEFAULT horizon,
+    // live by this table's — must survive even minAgeMs = 0
+    val liveClaim = new File(log, "00000000000000000044.json.claim")
+    Files.write(liveClaim.toPath, "tok".getBytes)
+    liveClaim.setLastModified(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    assert(t.cleanupLog(retainVersions = 100, minAgeMs = 0L).isEmpty)
+    assert(liveClaim.exists,
+      "sweep deleted a claim inside the configured horizon")
+    // past the configured horizon the same claim IS reclaimable
+    liveClaim.setLastModified(
+      System.currentTimeMillis() - bigHorizonMs - 3600 * 1000L)
+    assert(t.cleanupLog(retainVersions = 100, minAgeMs = 0L)
+      === Seq(liveClaim.getName))
+    assert(!liveClaim.exists)
+  }
 }
 
 /** Every TxTable ACID case again, with the commit CAS running through
