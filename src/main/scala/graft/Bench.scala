@@ -5,7 +5,7 @@ object Bench {
   /** --add-opens set Spark 4 needs on JDK 17 — mirrored from the sbt
     * fork options so a child JVM sees the same module grants no matter
     * which launcher started the parent. */
-  private val AddOpens = Seq(
+  private[graft] val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",

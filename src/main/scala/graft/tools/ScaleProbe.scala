@@ -18,7 +18,98 @@ import graft.ops.Dedup
   * Run: `sbt "runMain graft.tools.ScaleProbe [K]"` (default 16).
   */
 object ScaleProbe {
+
+  /** DEGENERATE-BUCKET probe (the r16 "What's wrong #1" evidence): one
+    * band bucket holding `n` members — the shape a mass-duplicated
+    * boilerplate cluster or stopword-grade posting produces at corpus
+    * scale — aggregated under a BOUNDED child-JVM heap, comparing the
+    * old `sort_array(collect_list)` + post-hoc cap filter against the
+    * bounded `collect_min_k` the candidate generators now use. The
+    * collect_list buffer must hold all `n` boxed ids before the filter
+    * can drop the bucket (OOM or GC collapse under the bounded heap);
+    * collect_min_k holds ≤ 2(cap+1) elements per group at any moment.
+    * Run: `sbt "runMain graft.tools.ScaleProbe 0 degenerate [n] [xmx]"`.
+    */
+  private def degenerateChild(mode: String, n: Long): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-degenerate-child")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorExpressions.register(spark)
+    val cap = graft.ops.Dedup.MaxBucket
+    // one degenerate bucket of n members + 50 healthy 4-member buckets
+    // (strictly under the 128-key ObjectHashAggregate sort-fallback, so
+    // the buffers stay in-memory objects — the production regime)
+    val posting = spark.range(n)
+      .select(lit(0).as("band_idx"), lit(0L).as("band_val"),
+        col("id").as("doc_id"))
+      .unionAll(spark.range(200)
+        .select(lit(1).as("band_idx"), (col("id") % 50).as("band_val"),
+          (col("id") + 1000000000L).as("doc_id")))
+    val ids = mode match {
+      case "list" => sort_array(collect_list(col("doc_id"))).as("ids")
+      case "minbk" =>
+        call_function("collect_min_k", col("doc_id"), lit(cap + 1)).as("ids")
+    }
+    val t0 = System.nanoTime()
+    val pairs = posting.groupBy("band_idx", "band_val").agg(ids)
+      .where(size(col("ids")).between(2, cap))
+      .select(explode(graft.ops.Dedup.orderedPairs(col("ids"))).as("p"))
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rt = Runtime.getRuntime
+    println(f"[degenerate-child] mode=$mode n=$n pairs=$pairs " +
+      f"secs=$secs%.2f heap_used_mb=${(rt.totalMemory - rt.freeMemory) / 1048576}%d")
+    spark.stop()
+  }
+
+  private def degenerateDriver(n: Long, xmx: String): Unit = {
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val classes = getClass.getProtectionDomain.getCodeSource
+      .getLocation.getPath
+    def run(mode: String): Unit = {
+      val cmd = Seq(javaBin) ++ graft.Bench.AddOpens ++ Seq(
+        s"-Xmx$xmx", "-XX:+UseG1GC",
+        "-cp", s"$classes:/opt/spark/jars/*",
+        "graft.tools.ScaleProbe", "0", "degenerate-child", mode, n.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().toVector
+      val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) p.destroyForcibly()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val oom = out.exists(l => l.contains("OutOfMemoryError") ||
+        l.contains("GC overhead"))
+      val result = out.reverseIterator
+        .find(_.contains("[degenerate-child]")).getOrElse("(no result line)")
+      val status =
+        if (!done) "TIMEOUT"
+        else if (oom || p.exitValue() != 0) s"FAILED(oom=$oom rc=${p.exitValue()})"
+        else "ok"
+      println(f"[degenerate] mode=$mode n=$n xmx=$xmx status=$status " +
+        f"wall_s=$secs%.1f $result")
+    }
+    run("minbk")
+    run("list")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length > 1 && args(1) == "degenerate") {
+      degenerateDriver(
+        if (args.length > 2) args(2).toLong else 10000000L,
+        if (args.length > 3) args(3) else "512m")
+      return
+    }
+    if (args.length > 3 && args(1) == "degenerate-child") {
+      degenerateChild(args(2), args(3).toLong)
+      return
+    }
     val k = if (args.nonEmpty) args(0).toInt else 16
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-scale-probe")
