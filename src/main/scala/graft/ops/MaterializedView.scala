@@ -20,7 +20,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    through one code path. AVG (`<col>_avg`) rides this class: the
   *    engine maintains a backing `sum` and a signed NON-NULL `count`
   *    and derives the average at read (SQL AVG null semantics — the
-  *    standard store-sum-and-count MV device).
+  *    standard store-sum-and-count MV device). STDDEV (`<col>_stddev`)
+  *    and VARIANCE (`<col>_var`) ride it too: a backing
+  *    sum-of-squares joins the sum and count (all three signed-
+  *    foldable), and the sample moments derive at refresh — NULL below
+  *    two non-null rows, exactly stddev_samp/var_samp.
   *  - MIN (`<col>_min`) and MAX (`<col>_max`) are homomorphisms under
   *    INSERTS only (fold via least/greatest); a delete may retire the
   *    extremum, so a delete-bearing window triggers a BOUNDED
@@ -53,7 +57,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final class MaterializedView private (spark: SparkSession, base: TxTable,
     mv: TxTable, groupCols: Seq[String], sumCols: Seq[String],
     minCols: Seq[String], maxCols: Seq[String],
-    avgCols: Seq[String]) {
+    avgCols: Seq[String], stdCols: Seq[String], varCols: Seq[String],
+    exprSums: Seq[(String, String)]) {
 
   import MaterializedView._
 
@@ -90,7 +95,7 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     * accessor additionally hides the backing columns the definition
     * didn't ask for. */
   def read(): DataFrame =
-    if (avgCols.isEmpty) mv.read() else mv.read().drop(hiddenState: _*)
+    if (hiddenState.isEmpty) mv.read() else mv.read().drop(hiddenState: _*)
 
   /** Fold base commits `(appliedVersion, head]` into the view. None =
     * already current. First refresh aggregates the head snapshot
@@ -148,18 +153,30 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
 
   private def hasExtrema: Boolean = minCols.nonEmpty || maxCols.nonEmpty
 
-  /** Stored SUM-class state: the declared sums, plus each AVG's
-    * backing sum (when not already declared) and its non-null count —
-    * all signed-foldable homomorphisms, so every AVG maintains
-    * through the same code path as SUM (deletes included; no
-    * recompute needed). */
-  private def backingSums: Seq[String] = avgCols.filterNot(sumCols.contains)
+  /** Columns whose second moment (sum of squares) is maintained —
+    * STDDEV and VARIANCE both derive from it (the standard
+    * sum/sumsq/count MV device; all three backings are signed-foldable
+    * homomorphisms, so deletes maintain like SUM with no recompute). */
+  private def momentCols: Seq[String] = (stdCols ++ varCols).distinct
+
+  /** Stored SUM-class state: the declared sums, plus each AVG's /
+    * moment's backing sum (when not already declared) and its non-null
+    * count — all signed-foldable homomorphisms, so every AVG/STDDEV/
+    * VARIANCE maintains through the same code path as SUM (deletes
+    * included; no recompute needed). */
+  private def backingSums: Seq[String] =
+    (avgCols ++ momentCols).distinct.filterNot(sumCols.contains)
+  /** Columns with a maintained signed non-null count (AVG's divisor;
+    * the moments' n). */
+  private def cntCols: Seq[String] = (avgCols ++ momentCols).distinct
   private def sumNames: Seq[String] =
     (NRows +: sumCols.map(_ + "_sum")) ++
-      backingSums.map(_ + "_sum") ++ avgCols.map(_ + "_cnt")
+      backingSums.map(_ + "_sum") ++ cntCols.map(_ + "_cnt") ++
+      momentCols.map(_ + "_sumsq") ++ exprSums.map(_._1)
   /** Internal backing columns [[read]] hides from the served view. */
   private def hiddenState: Seq[String] =
-    backingSums.map(_ + "_sum") ++ avgCols.map(_ + "_cnt")
+    backingSums.map(_ + "_sum") ++ cntCols.map(_ + "_cnt") ++
+      momentCols.map(_ + "_sumsq")
 
   /** Materialize the derived averages onto a stored-state frame —
     * applied immediately before every refresh commit, so the stored
@@ -167,10 +184,29 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     * itself never consumes the derived column (combine/fullAggregate
     * project the maintained aggregates explicitly), so it is pure
     * output, recomputed fresh each refresh. */
-  private def withDerived(df: DataFrame): DataFrame =
-    avgCols.foldLeft(df)((d, c) =>
+  private def withDerived(df: DataFrame): DataFrame = {
+    // sample variance from the maintained moments:
+    // (Σx² − (Σx)²/n) / (n−1), n = the signed non-null count; NULL for
+    // n ≤ 1 (SQL var_samp/stddev_samp semantics), clamped at 0 against
+    // the formula's floating-point cancellation residue (a constant
+    // group's true variance is 0, not −1e−18)
+    def variance(c: String): Column = {
+      val n = col(c + "_cnt").cast("double")
+      when(col(c + "_cnt") > 1L,
+        greatest(
+          (col(c + "_sumsq") -
+            col(c + "_sum").cast("double") * col(c + "_sum") / n) /
+            (n - 1.0),
+          lit(0.0)))
+    }
+    val withAvg = avgCols.foldLeft(df)((d, c) =>
       d.withColumn(c + "_avg",
         when(col(c + "_cnt") > 0L, col(c + "_sum") / col(c + "_cnt"))))
+    val withVar = varCols.foldLeft(withAvg)((d, c) =>
+      d.withColumn(c + "_var", variance(c)))
+    stdCols.foldLeft(withVar)((d, c) =>
+      d.withColumn(c + "_stddev", sqrt(variance(c))))
+  }
   private def extName: Seq[String] =
     minCols.map(_ + "_min") ++ maxCols.map(_ + "_max")
   private def aggNames: Seq[String] = sumNames ++ extName
@@ -180,7 +216,15 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
       .agg(count(lit(1)).as(NRows),
         (sumCols.map(c => sum(col(c)).as(c + "_sum")) ++
           backingSums.map(c => sum(col(c)).as(c + "_sum")) ++
-          avgCols.map(c => count(col(c)).as(c + "_cnt")) ++
+          cntCols.map(c => count(col(c)).as(c + "_cnt")) ++
+          // sumsq in double: a long column's squared sum would overflow
+          // LongType under ANSI long before its variance is large
+          momentCols.map(c => sum(col(c).cast("double") *
+            col(c).cast("double")).as(c + "_sumsq")) ++
+          // expression SUMs evaluate per base row (the expression is a
+          // deterministic scalar over base columns, so it evaluates
+          // identically on a CDF frame), then fold exactly like SUM
+          exprSums.map { case (n, e) => sum(expr(e)).as(n) } ++
           minCols.map(c => min(col(c)).as(c + "_min")) ++
           maxCols.map(c => max(col(c)).as(c + "_max"))): _*)
 
@@ -275,8 +319,11 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
       .agg(sum(sign).as(NRows),
         (sumCols.map(c => sum(col(c) * sign).as(c + "_sum")) ++
           backingSums.map(c => sum(col(c) * sign).as(c + "_sum")) ++
-          avgCols.map(c => sum(when(col(c).isNotNull, sign)
+          cntCols.map(c => sum(when(col(c).isNotNull, sign)
             .otherwise(lit(0L))).as(c + "_cnt")) ++
+          momentCols.map(c => sum(col(c).cast("double") *
+            col(c).cast("double") * sign).as(c + "_sumsq")) ++
+          exprSums.map { case (n, e) => sum(expr(e) * sign).as(n) } ++
           minCols.map(c => min(col(c)).as(c + "_min")) ++
           maxCols.map(c => max(col(c)).as(c + "_max"))): _*)
   }
@@ -347,6 +394,36 @@ object MaterializedView {
       groupCols: Seq[String], sumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String],
       avgCols: Seq[String]): MaterializedView =
+    apply(spark, base, mvDir, groupCols, sumCols, minCols, maxCols,
+      avgCols, Nil, Nil)
+
+  /** Full surface with second moments: `STDDEV(c) AS c_stddev` per
+    * `stdCols` and `VARIANCE(c) AS c_var` per `varCols` (sample
+    * semantics, NULL below two non-null rows, like SQL
+    * stddev_samp/var_samp) — maintained via a backing sum,
+    * sum-of-squares, and signed non-null count, all SUM-class
+    * homomorphisms, so deletes fold with no recompute. */
+  def apply(spark: SparkSession, base: TxTable, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      avgCols: Seq[String], stdCols: Seq[String],
+      varCols: Seq[String]): MaterializedView =
+    apply(spark, base, mvDir, groupCols, sumCols, minCols, maxCols,
+      avgCols, stdCols, varCols, Nil)
+
+  /** Full surface with EXPRESSION sums: each `(name, exprSql)` of
+    * `exprSums` maintains `SUM(exprSql) AS name` — the expression must
+    * be a DETERMINISTIC scalar over base columns (it evaluates per CDF
+    * row before the signed fold; the SQL face validates determinism at
+    * CREATE, API callers own it here — a non-deterministic expression
+    * would silently drift the state under deletes). */
+  def apply(spark: SparkSession, base: TxTable, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      avgCols: Seq[String], stdCols: Seq[String],
+      varCols: Seq[String], exprSums: Seq[(String, String)])
+      : MaterializedView =
     new MaterializedView(spark, base, TxTable(spark, mvDir),
-      groupCols, sumCols, minCols, maxCols, avgCols)
+      groupCols, sumCols, minCols, maxCols, avgCols, stdCols, varCols,
+      exprSums)
 }

@@ -301,12 +301,13 @@ final class TxSql(spark: SparkSession) {
       // TxTable, the initial population is the first refresh commit,
       // and REFRESH MATERIALIZED VIEW folds only the base's CDF
       // window since the last refresh. Maintainable aggregates:
-      // COUNT(*), SUM, and AVG (signed-foldable homomorphisms — AVG
-      // maintains a backing sum + non-null count and materializes the
-      // quotient) plus MIN/MAX (insert-window fold; delete-bearing
-      // windows recompute only the touched groups from the base —
-      // bounded, never a full rescan). Anything else refuses loudly
-      // at CREATE time.
+      // COUNT(*), SUM, AVG, STDDEV, and VARIANCE (signed-foldable
+      // homomorphisms — AVG maintains a backing sum + non-null count,
+      // the moments add a sum-of-squares, and the derived values
+      // materialize at refresh) plus MIN/MAX (insert-window fold;
+      // delete-bearing windows recompute only the touched groups from
+      // the base — bounded, never a full rescan). Anything else
+      // (DISTINCT aggregates above all) refuses loudly at CREATE time.
       case CreateMvRe(ident, select) => runCreateMv(ident, select)
       case RefreshMvRe(ident) => mutating(ident) { t =>
         val mv = openMv(t)
@@ -651,12 +652,18 @@ final class TxSql(spark: SparkSession) {
     val mins = Seq.newBuilder[String]
     val maxs = Seq.newBuilder[String]
     val avgs = Seq.newBuilder[String]
+    val stds = Seq.newBuilder[String]
+    val vars = Seq.newBuilder[String]
+    val exprSums = Seq.newBuilder[(String, String)]
     val notMaintainable = "not incrementally maintainable: %s — " +
       "maintained aggregates are COUNT(*) AS n_rows, SUM(col) AS " +
-      "col_sum, MIN(col) AS col_min, MAX(col) AS col_max, and " +
-      "AVG(col) AS col_avg (AVG maintains a backing sum + non-null " +
-      "count; MIN/MAX under a delete-bearing window recompute only " +
-      "the touched groups from the base)"
+      "col_sum, MIN(col) AS col_min, MAX(col) AS col_max, AVG(col) " +
+      "AS col_avg, STDDEV(col) AS col_stddev, and VARIANCE(col) AS " +
+      "col_var (AVG/STDDEV/VARIANCE maintain backing sum, " +
+      "sum-of-squares, and non-null count — sample semantics; MIN/MAX " +
+      "under a delete-bearing window recompute only the touched " +
+      "groups from the base). DISTINCT aggregates are genuinely " +
+      "non-foldable and always refuse"
     def oneCol(f: UnresolvedFunction, al: Alias, suffix: String,
         into: scala.collection.mutable.Builder[String, Seq[String]])
         : Unit = f.arguments match {
@@ -686,7 +693,22 @@ final class TxSql(spark: SparkSession) {
         case f: UnresolvedFunction
             if f.nameParts.last.equalsIgnoreCase("sum") &&
               !f.isDistinct =>
-          oneCol(f, al, "_sum", sums)
+          f.arguments match {
+            case Seq(_: UnresolvedAttribute) => oneCol(f, al, "_sum", sums)
+            case Seq(e) =>
+              // SUM over a scalar EXPRESSION (SUM(a*b), SUM(CASE …)):
+              // the expression evaluates per CDF row before the signed
+              // fold, so it maintains exactly like a plain SUM. Alias
+              // is the stored column name; determinism is validated
+              // against the resolved base below (a rand()-bearing
+              // expression would silently drift under deletes).
+              require(!al.name.equalsIgnoreCase(MaterializedView.NRows),
+                s"SUM expression alias must not shadow ${MaterializedView.NRows}")
+              exprSums += ((al.name, e.sql))
+              ()
+            case _ => sys.error(
+              "SUM takes exactly one argument; got: " + al.child.sql)
+          }
         case f: UnresolvedFunction
             if f.nameParts.last.equalsIgnoreCase("min") &&
               !f.isDistinct =>
@@ -699,6 +721,16 @@ final class TxSql(spark: SparkSession) {
             if f.nameParts.last.equalsIgnoreCase("avg") &&
               !f.isDistinct =>
           oneCol(f, al, "_avg", avgs)
+        case f: UnresolvedFunction
+            if (f.nameParts.last.equalsIgnoreCase("stddev") ||
+              f.nameParts.last.equalsIgnoreCase("stddev_samp")) &&
+              !f.isDistinct =>
+          oneCol(f, al, "_stddev", stds)
+        case f: UnresolvedFunction
+            if (f.nameParts.last.equalsIgnoreCase("variance") ||
+              f.nameParts.last.equalsIgnoreCase("var_samp")) &&
+              !f.isDistinct =>
+          oneCol(f, al, "_var", vars)
         case other => sys.error(notMaintainable.format(other.sql))
       }
       case other => sys.error(notMaintainable.format(other.sql))
@@ -707,6 +739,26 @@ final class TxSql(spark: SparkSession) {
       s"the SELECT must include COUNT(*) AS ${MaterializedView.NRows} " +
         "— the maintained row count is what empties groups under deletes")
     val base = resolveParts(baseParts)
+    // expression SUMs: resolve each against the base NOW (CREATE is the
+    // loud place — an unresolvable column or a non-deterministic
+    // expression must refuse here, not at the first refresh) and refuse
+    // non-determinism: the state folds the expression per CDF row, so a
+    // rand()-class expression would evaluate DIFFERENTLY on a delete
+    // row than it did on the insert it retracts — silent drift.
+    val exprSumList = exprSums.result()
+    exprSumList.foreach { case (alias, sql) =>
+      val analyzed =
+        try base.read().selectExpr(sql)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed
+        catch { case scala.util.control.NonFatal(e) => sys.error(
+          s"SUM expression for $alias does not resolve against the " +
+            s"base table: ${e.getMessage}") }
+      require(analyzed.expressions.forall(_.deterministic),
+        s"SUM expression for $alias is non-deterministic ($sql) — " +
+          "not incrementally maintainable: a delete's retraction would " +
+          "re-evaluate it to a different value than the insert it undoes")
+    }
     val mvParts = spark.sessionState.sqlParser
       .parseMultipartIdentifier(ident.trim)
     def quoted = mvParts
@@ -739,7 +791,13 @@ final class TxSql(spark: SparkSession) {
       "txtable.mv.sums" -> sums.result().mkString(","),
       "txtable.mv.mins" -> mins.result().mkString(","),
       "txtable.mv.maxs" -> maxs.result().mkString(","),
-      "txtable.mv.avgs" -> avgs.result().mkString(","))
+      "txtable.mv.avgs" -> avgs.result().mkString(","),
+      "txtable.mv.stds" -> stds.result().mkString(","),
+      "txtable.mv.vars" -> vars.result().mkString(","),
+      // alias U+0001 exprSql, entries joined by U+0002 — the tp- token
+      // is base64 either way, and SQL text cannot contain control chars
+      "txtable.mv.exprSums" -> exprSumList
+        .map { case (n, e) => n + "\u0001" + e }.mkString("\u0002"))
     val existing = mvT.snapshot().version >= 0
     if (existing) {
       val have = mvT.properties
@@ -752,7 +810,7 @@ final class TxSql(spark: SparkSession) {
       mvT.setProperties(definition)
     val commit = MaterializedView(spark, base, mvDir,
       groupCols, sums.result(), mins.result(), maxs.result(),
-      avgs.result()).refresh()
+      avgs.result(), stds.result(), vars.result(), exprSumList).refresh()
     if (catalogName) {
       spark.sql(s"CREATE TABLE $quoted USING txtable " +
         s"OPTIONS (path '$mvDir')")
@@ -769,10 +827,16 @@ final class TxSql(spark: SparkSession) {
         s"(no txtable.mv.base property): ${t.tableDir}"))
     def csv(k: String): Seq[String] = t.property(k).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
+    val exprSums = t.property("txtable.mv.exprSums").toSeq
+      .flatMap(_.split("\u0002")).filter(_.nonEmpty).map { entry =>
+        val i = entry.indexOf('\u0001')
+        (entry.take(i), entry.drop(i + 1))
+      }
     MaterializedView(spark, TxTable(spark, baseLoc), t.tableDir,
       csv("txtable.mv.groupBy"), csv("txtable.mv.sums"),
       csv("txtable.mv.mins"), csv("txtable.mv.maxs"),
-      csv("txtable.mv.avgs"))
+      csv("txtable.mv.avgs"), csv("txtable.mv.stds"),
+      csv("txtable.mv.vars"), exprSums)
   }
 
   // ------------------------------------------------- reference helpers

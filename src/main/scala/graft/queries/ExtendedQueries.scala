@@ -1949,6 +1949,106 @@ object ExtendedQueries {
             GROUP BY 1"""),
     bench = false)
 
+  // ------------------------- TxTable: STDDEV/VARIANCE materialized view
+  /** Second moments through the MV SQL face — the r16 "refuse loudly"
+    * gap closed with the same device AVG shipped: a backing sum,
+    * sum-of-squares, and signed non-null count (all SUM-class signed
+    * foldables, so the delete window folds with NO recompute), sample
+    * variance (Σx²−(Σx)²/n)/(n−1) materialized at refresh, NULL below
+    * two rows — exactly stddev_samp/var_samp. The oracle recomputes
+    * both moments from scratch over the post-delete base, so a drifted
+    * sumsq, a miscounted null, or a population-vs-sample slip breaks
+    * the hash. Both sides ROUND(…, 6). */
+  private val txMvStddev = GraftQuery(
+    "k46_tx_mv_stddev",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvstd-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"))
+      base.append(li.where(col("l_orderkey") % 2 === 0))
+      val sql = graft.ops.TxSql(s)
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT l_suppkey, COUNT(*) AS n_rows, " +
+        "STDDEV(l_qty) AS l_qty_stddev, VARIANCE(l_qty) AS l_qty_var " +
+        s"FROM txtable.`$dir/lineitem` GROUP BY l_suppkey")
+      base.append(li.where(col("l_orderkey") % 2 === 1))
+      sql.run(s"DELETE FROM txtable.`$dir/lineitem` " +
+        "WHERE l_orderkey BETWEEN 1 AND 500")
+      sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      // the derived moments are physically materialized by the
+      // refresh: read the stored table directly, like k45
+      graft.ops.TxTable(s, s"$dir/mv").read()
+        .select(col("l_suppkey"), col("n_rows"),
+          round(col("l_qty_stddev"), 6).as("l_qty_stddev"),
+          round(col("l_qty_var"), 6).as("l_qty_var"))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(STDDEV_SAMP(CAST(l_quantity AS BIGINT)), 6)
+                AS l_qty_stddev,
+              ROUND(VAR_SAMP(CAST(l_quantity AS BIGINT)), 6)
+                AS l_qty_var
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1 AND 500
+            GROUP BY 1"""),
+    bench = false)
+
+  // ----------------------- TxTable: expression-SUM materialized view
+  /** SUM over a scalar EXPRESSION through the MV SQL face —
+    * `SUM(l_qty * l_price)` (the revenue-rollup shape every reporting
+    * MV needs): the expression evaluates per CDF row BEFORE the signed
+    * fold, so it maintains exactly like a plain SUM, deletes included,
+    * no recompute. CREATE resolves the expression against the base and
+    * refuses non-deterministic ones loudly (a rand()-class expression
+    * would retract a delete at a different value than its insert). The
+    * oracle recomputes the expression aggregate from scratch over the
+    * post-delete base — a drifted fold or a mis-round-tripped
+    * expression (the definition persists as table properties and is
+    * re-parsed at REFRESH) breaks the hash. */
+  private val txMvExprSum = GraftQuery(
+    "k47_tx_mv_expr_sum",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvxs-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"),
+        col("l_extendedprice").as("l_price"))
+      base.append(li.where(col("l_orderkey") % 2 === 0))
+      val sql = graft.ops.TxSql(s)
+      // revenue in integer CENTS: qty × round(price·100) is exactly
+      // representable and its sum stays far under 2^63, so the fold is
+      // EXACT in both engines — no float-summation-order tolerance in
+      // the hash compare (a double revenue sum differs across engines
+      // by ~n·ε·Σ|x|, which straddles any rounding boundary)
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT l_suppkey, COUNT(*) AS n_rows, " +
+        "SUM(l_qty * CAST(ROUND(l_price * 100) AS BIGINT)) " +
+        "AS revenue_cents, " +
+        "SUM(CASE WHEN l_qty >= 25 THEN 1 ELSE 0 END) AS bulk_lines " +
+        s"FROM txtable.`$dir/lineitem` GROUP BY l_suppkey")
+      base.append(li.where(col("l_orderkey") % 2 === 1))
+      sql.run(s"DELETE FROM txtable.`$dir/lineitem` " +
+        "WHERE l_orderkey BETWEEN 1 AND 500")
+      // REFRESH through a FRESH TxSql: the expression definition must
+      // round-trip through the persisted properties, not session state
+      graft.ops.TxSql(s).run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      graft.ops.TxTable(s, s"$dir/mv").read()
+        .select(col("l_suppkey"), col("n_rows"),
+          col("revenue_cents"), col("bulk_lines"))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS BIGINT) *
+                CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents,
+              CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) >= 25
+                THEN 1 ELSE 0 END) AS BIGINT) AS bulk_lines
+            FROM lineitem WHERE l_orderkey NOT BETWEEN 1 AND 500
+            GROUP BY 1"""),
+    bench = false)
+
   // --------------------------------- TxTable: column DEFAULT values
   /** Column DEFAULTs through the SQL face: `ADD COLUMN … DEFAULT`
     * backfills pre-existing rows ON READ (exists default — a
@@ -2063,5 +2163,6 @@ object ExtendedQueries {
     txChangeFeed, txBatchCdfOptions, txDeletionVectors, txSchemaEvolution,
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
-    txMvSql, txMvMinMax, txMvAvg, txColumnDefaults, recursiveCte, variantJson)
+    txMvSql, txMvMinMax, txMvAvg, txMvStddev, txMvExprSum,
+    txColumnDefaults, recursiveCte, variantJson)
 }

@@ -239,6 +239,67 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(st(mv.read()) === st(full()))
   }
 
+  test("STDDEV/VARIANCE maintain via backing sum/sumsq/count (sample semantics)") {
+    import spark.implicits._
+    def arows(r: Range) = r.map(i => (i.toLong, (i % 5).toLong,
+      if (i % 7 == 0) None else Some((i % 13).toDouble))).toDF("id", "grp", "v")
+    val dir = Files.createTempDirectory("graft-mv-std-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("grp"), Nil, Nil, Nil, Nil, Seq("v"), Seq("v"))
+    def full() = base.read().groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        stddev_samp(col("v")).as("v_stddev"),
+        var_samp(col("v")).as("v_var"))
+    // rounded compare: the MV derives its moments from Σx/Σx²/n, the
+    // recompute uses Spark's streaming moments — same value, different
+    // floating-point path
+    def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("grp"), col("n_rows"),
+        round(col("v_stddev"), 6).as("s"), round(col("v_var"), 6).as("x"))
+        .collect().map(_.toString).sorted.toSeq
+    base.append(arows(0 until 100))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // backing state stays internal: served view is exactly the asked-for
+    assert(mv.read().columns.sorted.toSeq ===
+      Seq("grp", "n_rows", "v_stddev", "v_var"))
+    // inserts, a delete window, and a null-flipping upsert all fold —
+    // moments are SUM-class: signed sum, sumsq and non-null count,
+    // NO recompute even under deletes
+    base.append(arows(100 until 160))
+    base.deleteVectorBetween("id", 10L, 39L)
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    val flip = (40L until 50L).map(i =>
+      (i, (i % 5).toLong, None: Option[Double])).toDF("id", "grp", "v")
+    base.upsert(flip, Seq("id"))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // sample semantics: one non-null row → NULL, not 0 (and an all-null
+    // group too)
+    base.append(Seq((900L, 9L, Some(42.0))).toDF("id", "grp", "v"))
+    base.append((910L until 915L).map(i =>
+      (i, 8L, None: Option[Double])).toDF("id", "grp", "v"))
+    assert(mv.refresh().isDefined)
+    val out = mv.read()
+    val g9 = out.where(col("grp") === 9L).head()
+    assert(g9.isNullAt(out.columns.indexOf("v_stddev")))
+    assert(g9.isNullAt(out.columns.indexOf("v_var")))
+    val g8 = out.where(col("grp") === 8L).head()
+    assert(g8.getAs[Long]("n_rows") === 5L)
+    assert(g8.isNullAt(out.columns.indexOf("v_var")))
+    assert(st(out) === st(full()))
+    // a CONSTANT group's variance is exactly 0 (cancellation clamped),
+    // never negative
+    base.append((920L until 930L).map(i =>
+      (i, 7L, Some(5.5))).toDF("id", "grp", "v"))
+    assert(mv.refresh().isDefined)
+    val g7 = mv.read().where(col("grp") === 7L)
+      .select("v_stddev", "v_var").head()
+    assert(g7.getDouble(0) === 0.0 && g7.getDouble(1) === 0.0)
+  }
+
   test("MIN/MAX MV maintained by its own stream across a delete window") {
     import spark.implicits._
     def mrows(r: Range) =

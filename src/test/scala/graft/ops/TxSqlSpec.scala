@@ -1565,14 +1565,24 @@ class TxSqlSpec extends SparkTestBase {
         s"got: ${e.getMessage}")
     }
     val from = s"FROM txtable.`$dir/base`"
-    // MIN/MAX (bounded recompute under deletes) and AVG (backing
-    // sum + non-null count) are maintainable since r16 — what still
-    // refuses: order/distinct-sensitive aggregates, expressions,
-    // wrong alias discipline
+    // MIN/MAX (bounded recompute under deletes), AVG (backing sum +
+    // non-null count), and STDDEV/VARIANCE (backing sum-of-squares,
+    // r17) are maintainable — what still refuses: distinct-sensitive
+    // aggregates, expressions, wrong alias discipline
     refuse(s"SELECT k, COUNT(*) AS n_rows, STDDEV(v) AS v_sd $from GROUP BY k",
-      "not incrementally maintainable")
+      "v_stddev") // maintainable since r17, but the alias is the contract
     refuse(s"SELECT k, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS v_nd " +
       s"$from GROUP BY k", "not incrementally maintainable")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, STDDEV(DISTINCT v) AS v_stddev " +
+      s"$from GROUP BY k", "not incrementally maintainable")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, VARIANCE(v + 1) AS v_var " +
+      s"$from GROUP BY k", "single base column")
+    // expression SUMs are maintainable (r17) — but only deterministic
+    // ones, resolved against the base at CREATE
+    refuse(s"SELECT k, COUNT(*) AS n_rows, SUM(v * rand()) AS jitter " +
+      s"$from GROUP BY k", "non-deterministic")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, SUM(no_such + 1) AS x " +
+      s"$from GROUP BY k", "does not resolve")
     refuse(s"SELECT k, COUNT(*) AS n_rows, MAX(v) AS wrong $from GROUP BY k",
       "v_max")
     refuse(s"SELECT k, COUNT(*) AS n_rows, MIN(v + 1) AS v_min " +
