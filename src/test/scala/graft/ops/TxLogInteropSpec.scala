@@ -4,6 +4,8 @@ import java.nio.file.Files
 
 import scala.sys.process._
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 /** SECOND-IMPLEMENTATION cross-check of the commit-log format: an
@@ -265,6 +267,124 @@ class TxLogInteropSpec extends SparkTestBase {
       "--at-ts", (ts0 - 100000L).toString), new java.io.File("."))
       .!(ProcessLogger(_ => (), _ => ()))
     assert(code3 !== 0, "pre-table --at-ts must fail loudly")
+  }
+
+  /** Stage `frame` as ONE local parquet file, returning its path. */
+  private def stageParquet(frame: org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory("graft-interop-src-").toString
+    frame.coalesce(1).write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get.getAbsolutePath
+  }
+
+  private def pyAppend(dir: String, src: String,
+      extra: Seq[String] = Nil): (Int, String) = {
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/check_txlog.py", dir,
+      "--append", src) ++ extra, new java.io.File("."))
+      .!(ProcessLogger(l => { out.append(l); () },
+        l => { out.append(l); () }))
+    (code, out.toString)
+  }
+
+  test("python-AUTHORED commit reads through the engine: rows, stats pruning, CDF") {
+    assume(python3, "python3 not available")
+    // the WRITE half of the cross-implementation guarantee: the table
+    // runs the conditional-PUT store, so both implementations
+    // arbitrate commits through the same documented claim protocol
+    val dir = Files.createTempDirectory("graft-interop-w-")
+      .toString + "/t"
+    val t = TxTable(spark, dir,
+      new LogStore.ConditionalWrite(new LogStore.FileConditionalPut()))
+    t.append(df(0 until 20))
+    // a FOREIGN key range so the stats-pruning assertion is sharp
+    val src = stageParquet(df(1000 until 1020))
+    val (code, out) = pyAppend(dir, src)
+    assert(code === 0, s"python append failed: $out")
+    assert(out.contains("\"version\": 1"), out)
+    // rows: the engine serves the union, and the python-written
+    // commit's rows are content-correct
+    assert(t.read().count() === 40L)
+    assert(t.read().where(col("k") >= 1000L).count() === 20L)
+    // the python replayer and the engine agree on the post-foreign log
+    assert(replay(dir) === engineView(t, dir))
+    // in-commit timestamps stay monotone across the foreign commit
+    val ts = t.commitsBetween(-1L, Long.MaxValue).map(_.ts)
+    assert(ts === ts.sorted && ts.distinct === ts,
+      s"non-monotone in-commit timestamps: $ts")
+    // STATS PRUNING off the python-mined footer stats: a probe inside
+    // the foreign file's k-range scopes the scan to THAT file alone
+    val pruned = t.readPruned(Long.MaxValue,
+      Seq(("k", Some(1005L), Some(1010L))))
+    assert(pruned.inputFiles.length === 1, pruned.inputFiles.toSeq)
+    assert(pruned.inputFiles.head.contains("part-py-"))
+    assert(t.readPruned(Long.MaxValue, Seq(("k", Some(5L), Some(9L))))
+      .inputFiles.forall(!_.contains("part-py-")))
+    // CDF across the foreign commit: its rows arrive as inserts at
+    // the python-stamped version
+    val cdf = t.readChanges(0L, 1L)
+    assert(cdf.where(col("_change_type") === "insert").count() === 20L)
+    assert(cdf.agg(org.apache.spark.sql.functions.max(
+      col("_commit_version"))).head().getLong(0) === 1L)
+    // the engine keeps writing ON TOP of the foreign commit
+    t.append(df(50 until 60))
+    assert(t.snapshot().version === 2L)
+    assert(t.read().count() === 50L)
+    assert(replay(dir) === engineView(t, dir))
+  }
+
+  test("racing python writer LOSES cleanly: stolen claim, retry at the next version") {
+    assume(python3, "python3 not available")
+    // the engine side runs a SHORT stale horizon, so the python
+    // writer's held claim (its --hold-ms stall models a long PUT
+    // without a heartbeat) goes stale and is stolen — python's token
+    // re-check must then lose v1 cleanly and land at v2
+    val dir = Files.createTempDirectory("graft-interop-race-")
+      .toString + "/t"
+    val t = TxTable(spark, dir,
+      new LogStore.ConditionalWrite(new LogStore.FileConditionalPut(500L)))
+    t.append(df(0 until 10))
+    val src = stageParquet(df(2000 until 2010))
+    val fut = scala.concurrent.Future {
+      pyAppend(dir, src, Seq("--hold-ms", "6000"))
+    }(scala.concurrent.ExecutionContext.global)
+    // wait until python actually holds the v1 claim, then age past
+    // the ENGINE's 500 ms horizon
+    val claim = new java.io.File(
+      s"$dir/_log/00000000000000000001.json.claim")
+    val deadline = System.currentTimeMillis() + 15000L
+    while (!claim.exists() && System.currentTimeMillis() < deadline)
+      Thread.sleep(50L)
+    assert(claim.exists(), "python never claimed v1")
+    Thread.sleep(800L) // > the engine's 500 ms stale horizon
+    t.append(df(10 until 20)) // steals the stale claim, wins v1
+    assert(t.snapshot().version === 1L)
+    val (code, out) = scala.concurrent.Await.result(
+      fut, scala.concurrent.duration.Duration(60, "s"))
+    assert(code === 0, s"python append failed: $out")
+    assert(out.contains("\"version\": 2"), out)
+    // both histories intact and contiguous; content correct
+    assert(t.snapshot().version === 2L)
+    assert(t.read().count() === 30L)
+    assert(t.read().where(col("k") >= 2000L).count() === 10L)
+    assert(replay(dir) === engineView(t, dir))
+  }
+
+  test("python writer's capability gate refuses features it cannot honor") {
+    assume(python3, "python3 not available")
+    val dir = Files.createTempDirectory("graft-interop-gate-")
+      .toString + "/t"
+    val t = TxTable(spark, dir)
+    t.append(df(0 until 5))
+    t.addConstraint("pos", "v >= 0")
+    val src = stageParquet(df(100 until 105))
+    val (code, out) = pyAppend(dir, src)
+    assert(code !== 0, "append to a constrained table must refuse")
+    assert(out.toLowerCase.contains("cannot honor"), out)
+    // nothing landed: version and content unchanged
+    assert(t.snapshot().version === 1L)
+    assert(t.read().count() === 5L)
   }
 
   test("python replayer honors the pointer and survives a torn one") {

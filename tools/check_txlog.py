@@ -10,6 +10,22 @@ Usage:
   python3 tools/check_txlog.py <tableDir> --prune <column> <lo> <hi>
   python3 tools/check_txlog.py <tableDir> --schema [--dump <out.parquet>]
   python3 tools/check_txlog.py <tableDir> --at-ts <epochMillis>
+  python3 tools/check_txlog.py <tableDir> --append <src.parquet>
+                                [--stale-ms N] [--hold-ms N]
+
+--append is the WRITE half of the cross-implementation guarantee: it
+stages <src.parquet> into the table, mines its footer stats into a
+`<v>.stats.tsv` sidecar, stamps a monotone in-commit timestamp
+(max(wall, prev_ts + 1)), and lands the entry at the next contiguous
+version through the documented conditional-PUT claim protocol
+(O_EXCL claim -> temp write + fsync -> token re-check -> atomic
+rename; stale claims stolen via the graveyard rename). Racing writers
+lose cleanly and retry the next version. The capability gate mirrors
+the engine's: this writer implements writer protocol v1 (plain
+appends), so tables carrying constraints, generated/identity columns,
+column mapping, or write-side DEFAULTs refuse loudly. --hold-ms
+stalls between claim and content write (the stolen-while-stalled test
+seam). Prints {"version": N, "appended": rel}.
 
 --at-ts resolves the target version by TIMESTAMP (newest commit whose
 in-commit timestamp is <= the target — monotone, so deterministic) and
@@ -363,6 +379,221 @@ def dump_read(table_dir, files, dvs, meta, out_path):
                    % lit(out_path)).fetchone()[0]
 
 
+def enc(s):
+    """Write-side mirror of dec(): percent FIRST, so the escapes it
+    introduces are not double-encoded."""
+    return (s.replace("%", "%25").replace("\t", "%09")
+             .replace("\n", "%0a").replace("\r", "%0d"))
+
+
+def mine_stats(table_dir, rel):
+    """Footer-mined per-column stats lines for one staged data file —
+    the write-side mirror of load_stats: `file \\t column \\t kind \\t
+    min \\t max`, kind in long/double/string, a column dropped when any
+    row group lacks usable stats (the engine's fileStats contract)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+    if md.num_row_groups == 0:
+        return []
+    # per column: list of (kind, min, max) across row groups; a column
+    # folds only when EVERY row group contributed usable stats
+    per_col = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            st = c.statistics
+            pt = c.physical_type
+            if "." in name:
+                kind = None  # nested: single-segment paths only
+            elif pt in ("INT32", "INT64"):
+                kind = "long"
+            elif pt in ("FLOAT", "DOUBLE"):
+                kind = "double"
+            elif pt == "BYTE_ARRAY" and \
+                    "String" in str(md.schema.column(i).logical_type):
+                kind = "string"
+            else:
+                kind = None
+            if kind is None or st is None or not st.has_min_max:
+                per_col.setdefault(name, []).append(None)
+            else:
+                per_col.setdefault(name, []).append((kind, st.min, st.max))
+    lines = []
+    for name in sorted(per_col):
+        groups = per_col[name]
+        if any(v is None for v in groups):
+            continue
+        kind = groups[0][0]
+        mn = min(v[1] for v in groups)
+        mx = max(v[2] for v in groups)
+        if kind == "string":
+            mn, mx = enc(str(mn)), enc(str(mx))
+        lines.append("%s\t%s\t%s\t%s\t%s"
+                     % (enc(rel), enc(name), kind, mn, mx))
+    return lines
+
+
+class Refused(SystemExit):
+    pass
+
+
+def append_gate(meta):
+    """Capability gate, mirroring the engine's write-side protocol
+    contract: THIS writer implements writer v1 — plain data-file
+    appends with footer stats. Tables carrying features whose write
+    path it cannot honor (constraint enforcement, generated/identity
+    column computation, column-mapped physical names, write-side
+    DEFAULT fill) refuse LOUDLY, exactly like an old engine build
+    refusing a table whose pv- token outruns its writerCap."""
+    if meta["protocol"] and meta["protocol"][1] > 1:
+        raise Refused("table requires writer protocol v%d; this "
+                      "writer implements v1 (plain appends)"
+                      % meta["protocol"][1])
+    for feature, bag in (("CHECK constraints", meta["constraints"]),
+                         ("generated columns", meta["generated"]),
+                         ("identity columns", meta["identity"]),
+                         ("column mapping", meta["mapping"]),
+                         ("dropped physical columns",
+                          meta["dropped_physical"]),
+                         ("write-side column DEFAULTs",
+                          meta["defaults"])):
+        if bag:
+            raise Refused("table carries %s, which this writer cannot "
+                          "honor on the write path — refusing the "
+                          "append" % feature)
+
+
+def claim_put(entry_path, content, stale_ms, hold_ms=0):
+    """One conditional PUT of `content` at `entry_path` through the
+    DOCUMENTED claim protocol (LogStore.FileConditionalPut): O_EXCL
+    claim -> temp write + fsync -> token re-check -> atomic rename.
+    Returns True = created, False = key already decided. A stale
+    claim (mtime older than stale_ms) is stolen via the atomic
+    graveyard rename. `hold_ms` stalls between claim and content
+    write — the test seam for the stolen-while-stalled path."""
+    import time
+    import uuid
+    log_dir = os.path.dirname(entry_path)
+    claim = entry_path + ".claim"
+    token = uuid.uuid4().hex
+
+    def owns():
+        try:
+            with open(claim, encoding="utf-8") as f:
+                return f.read() == token
+        except OSError:
+            return False
+
+    while True:
+        if os.path.exists(entry_path):
+            return False
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, token.encode("utf-8"))
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            claimed = True
+        except FileExistsError:
+            claimed = False
+        if claimed:
+            # the key may have landed between the entry check and the
+            # claim grab — losing now keeps entries immutable
+            if os.path.exists(entry_path):
+                os.unlink(claim)
+                return False
+            if hold_ms:
+                time.sleep(hold_ms / 1000.0)
+            tmp = os.path.join(log_dir, ".cput-" + token)
+            try:
+                with open(tmp, "wb") as f:
+                    f.write(content)
+                    f.flush()
+                    os.fsync(f.fileno())
+            except OSError:
+                if owns():
+                    os.unlink(claim)
+                raise
+            # token re-check immediately before the rename: a stall
+            # past the stale horizon may have been stolen — only the
+            # current holder renames, never over a decided key
+            if not owns():
+                os.unlink(tmp)
+                continue  # stolen: re-arbitrate
+            if os.path.exists(entry_path):
+                os.unlink(tmp)
+                if owns():
+                    os.unlink(claim)
+                return False
+            os.rename(tmp, entry_path)
+            try:
+                os.unlink(claim)
+            except OSError:
+                pass
+            return True
+        if os.path.exists(entry_path):
+            return False  # the claimant finished: a normal lost PUT
+        try:
+            age_ms = (time.time() - os.path.getmtime(claim)) * 1000.0
+        except OSError:
+            continue  # claimant vanished: re-arbitrate
+        if age_ms > stale_ms:
+            # stale claim: steal — the graveyard rename is atomic, so
+            # exactly one stealer proceeds
+            grave = os.path.join(log_dir, ".dead-" + uuid.uuid4().hex)
+            try:
+                os.rename(claim, grave)
+                os.unlink(grave)
+            except OSError:
+                pass  # lost the steal: loop
+        else:
+            time.sleep(0.02)  # a LIVE writer is mid-PUT: wait it out
+
+
+def append_table(table_dir, src, stale_ms=600000, hold_ms=0):
+    """Append `src` (a parquet file) to the table as ONE commit,
+    through the documented write contract: stage the data file into
+    the table dir, stamp a monotone in-commit timestamp
+    (max(wall, prev_ts + 1)), render the entry JSON, conditional-PUT
+    it at the next contiguous version (racing writers lose cleanly
+    and retry the following version), then land the footer-mined
+    stats sidecar. Returns (version, rel_name)."""
+    import shutil
+    import time
+    import uuid
+    log_dir = os.path.join(table_dir, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    version, active = resolve(table_dir, 1 << 62)
+    append_gate(decode_tokens([f for f in active if is_meta(f)]))
+    rel = "part-py-%s.parquet" % uuid.uuid4().hex
+    shutil.copyfile(src, os.path.join(table_dir, rel))
+    stats = mine_stats(table_dir, rel)
+    nbytes = os.path.getsize(os.path.join(table_dir, rel))
+    v = version + 1
+    while True:
+        entries, _ = list_log(log_dir)
+        while v in entries:
+            v += 1
+        prev_ts = read_entry(entries[v - 1])["ts"] if (v - 1) in entries \
+            else -(1 << 62)
+        ts = max(int(time.time() * 1000), prev_ts + 1)
+        body = ('{"version":%d,"action":"append","add":["%s"],'
+                '"remove":[],"ts":%d,"bytes":%d,"rmBytes":0}'
+                % (v, rel, ts, nbytes))
+        entry_path = os.path.join(log_dir, "%020d.json" % v)
+        if claim_put(entry_path, body.encode("utf-8"), stale_ms,
+                     hold_ms=hold_ms):
+            if stats:
+                with open(os.path.join(log_dir, "%020d.stats.tsv" % v),
+                          "w", encoding="utf-8") as f:
+                    f.write("\n".join(stats))
+            return v, rel
+        v += 1  # lost the race at v: the next contiguous slot
+
+
 def may_overlap(kind, mn, mx, lo, hi):
     """Could a file spanning [mn, mx] hold a value in [lo, hi]?
     Conservative on any doubt, mirroring the engine."""
@@ -392,6 +623,24 @@ def main():
     schema = False
     dump = None
     rest = sys.argv[2:]
+    if "--append" in rest:
+        i = rest.index("--append")
+        src = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+        stale_ms = 600000
+        if "--stale-ms" in rest:
+            j = rest.index("--stale-ms")
+            stale_ms = int(rest[j + 1])
+            rest = rest[:j] + rest[j + 2:]
+        hold_ms = 0
+        if "--hold-ms" in rest:
+            j = rest.index("--hold-ms")
+            hold_ms = int(rest[j + 1])
+            rest = rest[:j] + rest[j + 2:]
+        v, rel = append_table(table_dir, src, stale_ms, hold_ms)
+        print(json.dumps({"version": v, "appended": rel},
+                         sort_keys=True))
+        return
     if "--prune" in rest:
         i = rest.index("--prune")
         prune = tuple(rest[i + 1:i + 4])
