@@ -395,6 +395,73 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Block widths of the 64-bit signature split into `blocks`
+    * nearly-equal contiguous bit blocks, low-to-high (64 % blocks
+    * extra bits land on the lowest blocks). */
+  private[graft] def blockWidths(blocks: Int): Seq[Int] =
+    (0 until blocks).map(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+
+  /** The C(blocks, t) permuted-table band keys of a 64-bit signature:
+    * one key per t-subset of the disjoint bit blocks, each key the
+    * concatenation of its blocks' values (≤ 64 bits total for t <
+    * blocks, so one long). Pigeonhole: k = blocks − t bit flips touch
+    * at most k blocks, leaving ≥ t intact — SOME t-subset is entirely
+    * clean, so every pair within hamming ≤ blocks − t shares at least
+    * one key. This is the published 64-bit near-dup table scheme
+    * (Manku et al., WWW'07 build such block-combination tables for
+    * exactly this recall/key-width trade). */
+  private[graft] def permutedBandKeys(
+      sig: Column, blocks: Int, t: Int): Seq[Column] = {
+    val widths = blockWidths(blocks)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockVal(b: Int): Column =
+      shiftrightunsigned(sig, offsets(b))
+        .bitwiseAND(lit((1L << widths(b)) - 1))
+    (0 until blocks).combinations(t).toSeq.map(c =>
+      c.foldLeft(lit(0L): Column)((acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(blockVal(b))))
+  }
+
+  /** SimHash near-dup pairs beyond hamming 3 — the permuted-table
+    * generalization of [[simhashNearDups]]: split the 64-bit signature
+    * into `blocks` disjoint blocks and band on every t-subset
+    * (t = blocks − maxHamming), C(blocks, t) band tables. Recall is
+    * the pigeonhole of [[permutedBandKeys]] — guaranteed below the
+    * [[MaxBucket]] cap, same qualifier (and same `chainCapped`
+    * fallback) as the 4×16 form.
+    *
+    * The knobs trade key width against table count: hamming 4 at the
+    * default 6 blocks keys on ~21-bit pairs (2M+ values — buckets stay
+    * at true-duplicate density) across 15 tables, vs the naive
+    * 5-block/1-block-key variant whose 13-bit keys (8,192 values)
+    * saturate at corpus scale exactly like the r15 8-bit lesson.
+    * Candidate generation stays ONE shuffle of (band_idx, band_val,
+    * doc_id) — more tables mean a wider explode, never a second pass —
+    * and the shuffle still carries longs, never bodies. */
+  def simhashNearDupsPermuted(docs: DataFrame, maxHamming: Int = 4,
+      blocks: Int = 6, chainCapped: Boolean = false): DataFrame = {
+    require(blocks >= 2 && blocks <= 16,
+      s"blocks must be in [2, 16], got $blocks")
+    require(maxHamming >= 1 && maxHamming < blocks,
+      s"permuted banding needs maxHamming in [1, blocks), got " +
+        s"$maxHamming of $blocks blocks")
+    val t = blocks - maxHamming
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sig = persisted(docs.repartition(par)
+      .select(col("doc_id"), simhash64(col("text")).as("sh64")))
+    val pairs = bucketPairs(
+      sig.select(col("doc_id"),
+        posexplode(array(permutedBandKeys(col("sh64"), blocks, t): _*))
+          .as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"), MaxBucket, chainCapped)
+    val shA = sig.select(col("doc_id").as("a_id"), col("sh64").as("sh_a"))
+    val shB = sig.select(col("doc_id").as("b_id"), col("sh64").as("sh_b"))
+    pairs.join(shA, "a_id").join(shB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected pair graph — the clustering
     * step of a dedup pipeline (near-dup pairs → clusters → keep one
     * canonical doc per cluster). Deterministic min-label propagation:

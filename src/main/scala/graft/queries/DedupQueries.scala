@@ -134,6 +134,50 @@ object DedupQueries {
                  AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
       SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3"""))
 
+  /** The permuted-table band SQL for hamming 4 at 6 blocks: per
+    * t-subset of the disjoint bit blocks (t = 2), the concatenated
+    * block values as one BIGINT key — the same
+    * [[graft.ops.Dedup.permutedBandKeys]] construction, re-derived
+    * from documented semantics (arithmetic shift + mask equals the
+    * Spark side's unsigned shift + mask once masked). */
+  private def permutedBandSql(blocks: Int, maxHamming: Int): String = {
+    val t = blocks - maxHamming
+    val widths = (0 until blocks)
+      .map(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockSql(b: Int) =
+      s"((sh64 >> ${offsets(b)}) & ${(1L << widths(b)) - 1})"
+    (0 until blocks).combinations(t).toSeq.zipWithIndex.map {
+      case (c, i) =>
+        val expr = c.foldLeft("CAST(0 AS BIGINT)")((acc, b) =>
+          s"(($acc << ${widths(b)}) | ${blockSql(b)})")
+        s"SELECT doc_id, sh64, $i AS band_idx, $expr AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** SimHash at hamming ≤ 4 — the permuted-table generalization
+    * ([[graft.ops.Dedup.simhashNearDupsPermuted]], 6 blocks × C(6,2)
+    * = 15 band tables of ~21-bit keys): the 4×16 scheme's pigeonhole
+    * tops out at hamming 3, and the naive 5-block widening would key
+    * on 13 bits (8,192 values — the r15 saturation lesson). Oracle
+    * re-derives the same 15 tables from the signed signature. */
+  private val simhashPairsH4 = GraftQuery(
+    "x_dedup_simhash_h4",
+    (s, d) => graft.ops.Dedup.simhashNearDupsPermuted(
+      Tables.documents(s, d), maxHamming = 4),
+    Some(s"""WITH $tokensCte, $hashesCte,
+      sig AS (SELECT doc_id, $simhashExpr AS sh64 FROM hs),
+      bands AS (${permutedBandSql(6, 4)}),
+      sized AS (SELECT band_idx, band_val FROM bands
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
+      pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                  CAST(bit_count(xor(x.sh64, y.sh64)) AS INTEGER) AS hamming
+                FROM bands x
+                JOIN sized USING (band_idx, band_val)
+                JOIN bands y ON x.band_idx = y.band_idx
+                 AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+      SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 4"""))
+
   /** Connected components of the MinHash near-dup graph as DuckDB CTEs
     * (recursive transitive closure; `comp` = doc_id → cluster_id) —
     * shared by the clustering and split oracles. */
@@ -547,7 +591,8 @@ object DedupQueries {
       GROUP BY l.doc_id, len(l.lines)"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(minhashLsh, minhashFast, simhashSig, simhashPairs, ngramInverted,
+    Seq(minhashLsh, minhashFast, simhashSig, simhashPairs,
+      simhashPairsH4, ngramInverted,
       containment, clusterAssign, splitByCluster, keepBest, dupNgramFraction,
       dupSpans, byteSpans, byteSpansFast, spanRemoval, lineDedup)
 }

@@ -153,4 +153,45 @@ class KernelPropertiesSpec extends AnyFunSuite {
     val evader = (0 until 4).map(k => 1L << (16 * k)).reduce(_ | _)
     assert(!bands(a).zip(bands(evader)).exists { case (x, y) => x == y })
   }
+
+  test("permuted-table banding pigeonhole holds per (blocks, maxHamming) configuration") {
+    // the generalized recall guarantee simhashNearDupsPermuted rests
+    // on: k = blocks − t flips touch at most k of the disjoint blocks,
+    // leaving ≥ t intact, so SOME t-subset key survives whole. Pure
+    // Scala replica of permutedBandKeys (same widths, same
+    // combinations order, same concatenation fold).
+    def widths(blocks: Int): Seq[Int] =
+      (0 until blocks).map(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    def keys(sig: Long, blocks: Int, t: Int): Seq[Long] = {
+      val w = widths(blocks)
+      val off = w.scanLeft(0)(_ + _).init
+      def block(b: Int): Long = (sig >>> off(b)) & ((1L << w(b)) - 1)
+      (0 until blocks).combinations(t).toSeq.map(c =>
+        c.foldLeft(0L)((acc, b) => (acc << w(b)) | block(b)))
+    }
+    for {
+      blocks <- Seq(4, 5, 6, 8)
+      maxHamming <- 1 until blocks
+    } {
+      val t = blocks - maxHamming
+      (1 to 200).foreach { _ =>
+        val a = rnd.nextLong()
+        val flips = rnd.nextInt(maxHamming + 1) // 0..maxHamming
+        val b = (0 until flips).foldLeft(a)((s, _) =>
+          s ^ (1L << rnd.nextInt(64)))
+        assert(keys(a, blocks, t).zip(keys(b, blocks, t))
+          .exists { case (x, y) => x == y },
+          f"blocks=$blocks t=$t: no shared key for a=$a%016x b=$b%016x")
+      }
+      // the hamming maxHamming+1 evasion exists when every one of some
+      // (maxHamming+1)-subset of blocks takes a flip — then every
+      // t-subset intersects a flipped block (t + maxHamming + 1 >
+      // blocks by construction)
+      val off = widths(blocks).scanLeft(0)(_ + _).init
+      val evader = (0 to maxHamming).map(k => 1L << off(k)).reduce(_ | _)
+      assert(!keys(0L, blocks, t).zip(keys(evader, blocks, t))
+        .exists { case (x, y) => x == y },
+        s"blocks=$blocks t=$t: hamming ${maxHamming + 1} cannot be guaranteed")
+    }
+  }
 }

@@ -168,6 +168,49 @@ class DedupSpec extends SparkTestBase {
     assert(labels(1001L) === 1000L)
   }
 
+  test("permutedBandKeys Column form matches the pure-Scala replica") {
+    // KernelPropertiesSpec proves the pigeonhole math on a pure-Scala
+    // replica of the key function; this pins the Column implementation
+    // to that replica so the proof transfers (6 blocks, t=2 — the
+    // hamming-4 production configuration)
+    val rnd = new scala.util.Random(7)
+    def widths(blocks: Int): Seq[Int] =
+      (0 until blocks).map(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    def keys(sig: Long, blocks: Int, t: Int): Seq[Long] = {
+      val w = widths(blocks)
+      val off = w.scanLeft(0)(_ + _).init
+      def block(b: Int): Long = (sig >>> off(b)) & ((1L << w(b)) - 1)
+      (0 until blocks).combinations(t).toSeq.map(c =>
+        c.foldLeft(0L)((acc, b) => (acc << w(b)) | block(b)))
+    }
+    val sigs = (1 to 50).map(_ => rnd.nextLong())
+    val got = sigs.toDF("sh64")
+      .select(array(Dedup.permutedBandKeys(col("sh64"), 6, 2): _*).as("ks"))
+      .as[Seq[Long]].collect()
+    sigs.zip(got).foreach { case (s, ks) =>
+      assert(ks === keys(s, 6, 2), f"column/replica split at $s%016x")
+    }
+  }
+
+  test("simhashNearDupsPermuted finds hamming-4 pairs the 4x16 scheme cannot guarantee") {
+    // two docs whose signatures differ in exactly 4 bits, one per
+    // 16-bit band, evade the 4x16 banding's pigeonhole; the 6-block
+    // permuted tables must still pair them
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val h4 = Dedup.simhashNearDupsPermuted(docs, maxHamming = 4).collect()
+    h4.foreach { r =>
+      assert(r.getInt(2) <= 4)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    // the hamming <= 3 subset equals the 4x16 scheme's output exactly:
+    // both have perfect recall there and the same verify
+    val h3ofH4 = h4.filter(_.getInt(2) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h3 = Dedup.simhashNearDups(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h3ofH4 === h3)
+  }
+
   test("dupNgramStats: cross-doc duplicated shingles counted, within-doc repeats not") {
     import spark.implicits._
     // doc 0 and 1 share exactly one 3-gram ("common phrase here"); doc 2
