@@ -95,7 +95,9 @@ object VectorExpressions {
     // built without `spark.sql.extensions` (the harness's plain
     // builders) still get the engine's rewrites. Assignment, not
     // append — this list is wholly owned here.
-    spark.experimental.extraOptimizations = Seq(graft.plans.LevenshteinPruning)
+    spark.experimental.extraOptimizations = Seq(
+      graft.plans.LevenshteinPruning,
+      new graft.plans.MvRewriteRule(spark))
   }
 }
 

@@ -311,6 +311,8 @@ final class TxSql(spark: SparkSession) {
       case CreateMvRe(ident, select) => runCreateMv(ident, select)
       case RefreshMvRe(ident) => mutating(ident) { t =>
         val mv = openMv(t)
+        // a refresh (from ANY session) re-arms the transparent rewrite
+        graft.plans.MvRegistry.register(spark, t.tableDir)
         mv.refresh() match {
           case Some(c) => summary(c)
           case None    => summary0()
@@ -811,6 +813,9 @@ final class TxSql(spark: SparkSession) {
     val commit = MaterializedView(spark, base, mvDir,
       groupCols, sums.result(), mins.result(), maxs.result(),
       avgs.result(), stds.result(), vars.result(), exprSumList).refresh()
+    // arm the transparent rewrite: matching aggregates over the base
+    // now route onto this view while it is fresh (graft.plans.MvRewrite)
+    graft.plans.MvRegistry.register(spark, mvDir)
     if (catalogName) {
       spark.sql(s"CREATE TABLE $quoted USING txtable " +
         s"OPTIONS (path '$mvDir')")

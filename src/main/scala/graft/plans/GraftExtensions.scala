@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_entropy"), CharEntropy.info,
       (children: Seq[Expression]) => CharEntropy(children.head)))
     ext.injectOptimizerRule(_ => LevenshteinPruning)
+    // transparent MV rewrite: matching grouped aggregates over a
+    // registered base route onto the FRESH view (see MvRewrite's
+    // conservatism ladder; kill switch spark.graft.mv.rewrite=false)
+    ext.injectOptimizerRule(session => new MvRewriteRule(session))
     // plain spark.sql() speaks the transactional table's DML/DDL
     // dialect: MERGE INTO / UPDATE / DELETE on txtable targets and the
     // Delta-grammar statements route onto the TxSql face; every other

@@ -1,0 +1,142 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.{TxSql, TxTable}
+
+/** Transparent MV rewrite ([[MvRewriteRule]]): a grouped aggregate over
+  * a base table routes onto its registered, FRESH materialized view —
+  * and keeps its base plan on ANY doubt. The invariant everywhere:
+  * results are identical whether or not the rewrite fires, and the
+  * rewrite NEVER fires over state the MV does not exactly cover. */
+class MvRewriteSpec extends SparkTestBase {
+
+  private lazy val sql = TxSql(spark)
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, (i % 7).toLong, (i % 10).toDouble))
+      .toDF("id", "grp", "v")
+  }
+
+  /** Fresh base + SQL-created MV (CREATE auto-registers the rewrite). */
+  private def mk(): (TxTable, String) = {
+    graft.functions.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft-mvrw-").toString
+    val base = TxTable(spark, s"$dir/base")
+    base.append(df(0 until 200))
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      "SELECT grp, COUNT(*) AS n_rows, SUM(v) AS v_sum, " +
+      "MIN(v) AS v_min, MAX(v) AS v_max, AVG(v) AS v_avg " +
+      s"FROM txtable.`$dir/base` GROUP BY grp")
+    (base, dir)
+  }
+
+  private def agg(base: TxTable) =
+    base.read().groupBy("grp")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"),
+        avg(col("v")).as("m"))
+
+  private def fired(q: org.apache.spark.sql.DataFrame, dir: String): Boolean =
+    q.inputFiles.exists(_.contains(s"$dir/mv"))
+
+  private def rows(q: org.apache.spark.sql.DataFrame): Seq[String] =
+    q.collect().map(_.toString).sorted.toSeq
+
+  test("fresh MV answers the exact-match aggregate; results identical") {
+    val (base, dir) = mk()
+    val q = agg(base)
+    assert(fired(q, dir), "rewrite must fire on the fresh exact match")
+    // identical to the direct plan (kill switch off for the control)
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try rows(agg(base))
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    assert(rows(q) === direct)
+    assert(q.count() === 7L)
+  }
+
+  test("STALE MV never fires; REFRESH re-arms; deletes covered") {
+    val (base, dir) = mk()
+    base.append(df(200 until 260))
+    val stale = agg(base)
+    assert(!fired(stale, dir), "stale MV must keep the base plan")
+    assert(stale.agg(sum(col("c"))).head().getLong(0) === 260L)
+    sql.run(s"DELETE FROM txtable.`$dir/base` WHERE id < 50")
+    sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+    val freshQ = agg(base)
+    assert(fired(freshQ, dir), "refresh must re-arm the rewrite")
+    assert(freshQ.agg(sum(col("c"))).head().getLong(0) === 210L)
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try rows(agg(base))
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    assert(rows(freshQ) === direct)
+  }
+
+  test("conservatism: filters, DISTINCT, other groupings, COUNT(col) all refuse") {
+    val (base, dir) = mk()
+    // a WHERE between scan and aggregate changes the rows: no rewrite
+    val filtered = base.read().where(col("id") > 10)
+      .groupBy("grp").agg(count(lit(1)).as("c"))
+    assert(!fired(filtered, dir))
+    assert(filtered.agg(sum(col("c"))).head().getLong(0) === 189L)
+    // DISTINCT aggregates are not maintained: no rewrite
+    assert(!fired(base.read().groupBy("grp")
+      .agg(countDistinct(col("v")).as("c")), dir))
+    // a different grouping is not this MV: no rewrite
+    assert(!fired(base.read().groupBy("id")
+      .agg(count(lit(1)).as("c")), dir))
+    assert(!fired(base.read().groupBy("grp", "id")
+      .agg(count(lit(1)).as("c")), dir))
+    // COUNT(col) has null semantics the view does not store: no rewrite
+    assert(!fired(base.read().groupBy("grp")
+      .agg(count(col("v")).as("c")), dir))
+    // an unmaintained aggregate refuses even alongside maintained ones
+    assert(!fired(base.read().groupBy("grp")
+      .agg(count(lit(1)).as("c"), stddev_samp(col("id")).as("sd")), dir))
+  }
+
+  test("kill switch and unregistration keep the base plan") {
+    val (base, dir) = mk()
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(!fired(agg(base), dir))
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    assert(fired(agg(base), dir))
+    MvRegistry.unregister(spark, s"$dir/mv")
+    assert(!fired(agg(base), dir))
+    // re-register from the persisted definition properties alone
+    MvRegistry.register(spark, s"$dir/mv")
+    assert(fired(agg(base), dir))
+  }
+
+  test("a deleted MV directory refuses the rewrite, not the query") {
+    val (base, dir) = mk()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/mv"))
+    val q = agg(base)
+    assert(!fired(q, dir))
+    assert(q.count() === 7L) // the base plan still answers
+    MvRegistry.unregister(spark, s"$dir/mv")
+  }
+
+  test("time-travel reads keep their base plan (file-set freshness)") {
+    val (base, dir) = mk()
+    base.append(df(200 until 230))
+    sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+    // head read: fresh, fires
+    assert(fired(agg(base), dir))
+    // a version-0 read has a different file set: must not fire
+    val old = base.readAt(0L).groupBy("grp")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"),
+        avg(col("v")).as("m"))
+    assert(!fired(old, dir))
+    assert(old.agg(sum(col("c"))).head().getLong(0) === 200L)
+  }
+}
