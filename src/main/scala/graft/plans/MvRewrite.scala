@@ -2,12 +2,13 @@ package graft.plans
 
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, StddevSamp, Sum, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
 
 import graft.ops.{MaterializedView, TxTable}
 
@@ -15,7 +16,16 @@ import graft.ops.{MaterializedView, TxTable}
   * value (a view nobody queries directly is just a cache): a grouped
   * aggregate over a base table whose CURRENT state a registered MV
   * already holds is answered from the MV's O(groups) rows instead of
-  * the base scan.
+  * the base scan. Two shapes route:
+  *  - EXACT: the query groups by exactly the MV's group columns — the
+  *    Aggregate becomes a Project over the stored view;
+  *  - ROLLUP: the query groups by a PROPER SUBSET (the global
+  *    aggregate included) — the Aggregate re-aggregates the MV's
+  *    O(groups) rows from the maintained backing state: COUNT(*) =
+  *    Σ n_rows, SUM = Σ sums, MIN/MAX = min/max of extrema, AVG =
+  *    Σ sum / Σ cnt, VARIANCE/STDDEV from the combined
+  *    (Σ sum, Σ sumsq, Σ cnt) moments — still O(groups), never the
+  *    base scan.
   *
   * Conservatism ladder (cheapest test first; ANY doubt keeps the base
   * plan — correctness never depends on the rewrite firing, it can only
@@ -24,19 +34,23 @@ import graft.ops.{MaterializedView, TxTable}
   *  1. registry non-empty and the Aggregate's child — seen through the
   *     attribute-only Project column pruning inserts — is a parquet
   *     scan whose location roots sit under a registered base dir;
-  *  2. the grouping is EXACTLY the MV's group columns (set equality;
-  *     a coarser rollup is derivable from the MV but is v2 scope) and
-  *     every aggregate output maps onto maintained state: COUNT(*) →
-  *     n_rows, SUM(c) → c_sum, MIN(c) → c_min, MAX(c) → c_max,
-  *     AVG(c) → c_avg — DISTINCT or unmapped aggregates refuse;
+  *  2. the grouping is a subset of the MV's group columns and every
+  *     aggregate output maps onto maintained state — DISTINCT
+  *     aggregates, COUNT(col), expressions, and anything unmapped
+  *     refuse;
   *  3. FRESHNESS last (it costs a log probe): the scan's file set
   *     equals the base snapshot at the MV's applied watermark, so a
   *     stale MV or a time-travel read keeps its base plan.
-  * On a match the Aggregate becomes a Project over the MV's read,
-  * re-aliased under the ORIGINAL exprIds (cast where the aggregate's
-  * result type differs from the stored state, e.g. DuckDB-parity
-  * decimal sums are out of scope — the Cast is exact for the
-  * long/double states the engine maintains).
+  * On a match the replacement is built with the DataFrame API over the
+  * STORED view table (every derived column physically materialized by
+  * the refresh; backing sums/counts/sumsq ride along for the rollup
+  * math) and re-aliased under the ORIGINAL exprIds.
+  *
+  * Float caveat, shared with Spark itself: a rolled-up AVG/VARIANCE
+  * over double columns combines partial moments in a different order
+  * than the direct plan, so results can differ in final ulps — the
+  * same non-determinism partial aggregation already has across
+  * partitionings. COUNT/SUM-of-integer/MIN/MAX rollups are exact.
   *
   * Scale shape: the win is O(base) → O(groups) on every routed query —
   * unbounded at 100 TB — for a per-query detection cost of one string
@@ -52,7 +66,8 @@ object MvRegistry {
   /** One registered view: where it lives, what it covers. */
   final case class Entry(mvDir: String, baseDir: String,
       groupCols: Seq[String], sumCols: Set[String], minCols: Set[String],
-      maxCols: Set[String], avgCols: Set[String])
+      maxCols: Set[String], avgCols: Set[String], stdCols: Set[String],
+      varCols: Set[String])
 
   // session -> (mvDir -> entry); weak keys so a dropped session's
   // registrations do not outlive it
@@ -66,7 +81,8 @@ object MvRegistry {
     t.property("txtable.mv.base").foreach { baseDir =>
       val e = Entry(mvDir, baseDir, csv("txtable.mv.groupBy"),
         csv("txtable.mv.sums").toSet, csv("txtable.mv.mins").toSet,
-        csv("txtable.mv.maxs").toSet, csv("txtable.mv.avgs").toSet)
+        csv("txtable.mv.maxs").toSet, csv("txtable.mv.avgs").toSet,
+        csv("txtable.mv.stds").toSet, csv("txtable.mv.vars").toSet)
       bySession.synchronized {
         val cur = Option(bySession.get(spark)).getOrElse(Map.empty)
         bySession.put(spark, cur + (mvDir -> e))
@@ -91,6 +107,8 @@ object MvRegistry {
 
 final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  import MvRegistry.Entry
+
   private def enabled: Boolean =
     spark.conf.get("spark.graft.mv.rewrite", "true") == "true"
 
@@ -111,34 +129,83 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The maintained MV column answering `e`, or None. */
-  private def mvNameFor(e: NamedExpression,
-      m: MvRegistry.Entry): Option[String] = e match {
+  /** The maintained aggregate function behind `e`, as (kind, column),
+    * or None: ("count", ""), ("sum"|"min"|"max"|"avg"|"stddev"|"var",
+    * baseCol). Group references return ("group", name). */
+  private def mappedAgg(e: NamedExpression, m: Entry)
+      : Option[(String, String)] = e match {
     case a: AttributeReference if m.groupCols.contains(a.name) =>
-      Some(a.name)
+      Some(("group", a.name))
     case al: Alias => al.child match {
-      case AggregateExpression(c: Count, _, false, None, _)
-          if c.children.forall {
+      case AggregateExpression(f: AggregateFunction, _, false, None, _) =>
+        f match {
+          case c: Count if c.children.forall {
             case Literal(v, _) => v != null
             case _ => false
-          } => Some(MaterializedView.NRows)
-      case AggregateExpression(Sum(c: AttributeReference, _), _, false, None, _)
-          if m.sumCols.contains(c.name) => Some(c.name + "_sum")
-      case AggregateExpression(Min(c: AttributeReference), _, false, None, _)
-          if m.minCols.contains(c.name) => Some(c.name + "_min")
-      case AggregateExpression(Max(c: AttributeReference), _, false, None, _)
-          if m.maxCols.contains(c.name) => Some(c.name + "_max")
-      case AggregateExpression(Average(c: AttributeReference, _), _, false, None, _)
-          if m.avgCols.contains(c.name) => Some(c.name + "_avg")
+          } => Some(("count", ""))
+          case Sum(c: AttributeReference, _)
+              if m.sumCols.contains(c.name) => Some(("sum", c.name))
+          case Min(c: AttributeReference)
+              if m.minCols.contains(c.name) => Some(("min", c.name))
+          case Max(c: AttributeReference)
+              if m.maxCols.contains(c.name) => Some(("max", c.name))
+          case Average(c: AttributeReference, _)
+              if m.avgCols.contains(c.name) => Some(("avg", c.name))
+          case StddevSamp(c: AttributeReference, _)
+              if m.stdCols.contains(c.name) => Some(("stddev", c.name))
+          case VarianceSamp(c: AttributeReference, _)
+              if m.varCols.contains(c.name) => Some(("var", c.name))
+          case _ => None
+        }
       case _ => None
     }
     case _ => None
   }
 
-  /** Freshness + replacement plan, or None (any failure — a deleted MV
-    * dir, a log fault — refuses the rewrite rather than the query). */
-  private def freshMvPlan(m: MvRegistry.Entry, scan: Set[String])
-      : Option[LogicalPlan] =
+  /** EXACT-match source column in the stored view. */
+  private def exactName(kind: String, c: String): String = kind match {
+    case "group"  => c
+    case "count"  => MaterializedView.NRows
+    case "sum"    => c + "_sum"
+    case "min"    => c + "_min"
+    case "max"    => c + "_max"
+    case "avg"    => c + "_avg"
+    case "stddev" => c + "_stddev"
+    case "var"    => c + "_var"
+  }
+
+  /** ROLLUP column over the stored view's backing state — re-aggregate
+    * the MV's rows for a coarser (or global) grouping. */
+  private def rollupColumn(kind: String, c: String): Column = {
+    // the combined sample variance from summed moments, the same
+    // (Σx² − (Σx)²/n)/(n−1) device MaterializedView.withDerived uses
+    def variance: Column = {
+      val n = sum(col(c + "_cnt"))
+      val nd = n.cast("double")
+      val s = sum(col(c + "_sum")).cast("double")
+      when(n > 1L,
+        greatest((sum(col(c + "_sumsq")) - s * s / nd) / (nd - 1.0),
+          lit(0.0)))
+    }
+    kind match {
+      case "count"  => coalesce(sum(col(MaterializedView.NRows)), lit(0L))
+      case "sum"    => sum(col(c + "_sum"))
+      case "min"    => min(col(c + "_min"))
+      case "max"    => max(col(c + "_max"))
+      case "avg"    =>
+        when(sum(col(c + "_cnt")) > 0L,
+          sum(col(c + "_sum")) / sum(col(c + "_cnt")))
+      case "var"    => variance
+      case "stddev" => sqrt(variance)
+    }
+  }
+
+  /** Freshness gate + the stored view frame (every derived column is
+    * physically materialized by the refresh; hidden backing columns
+    * ride along for the rollup math). None on any doubt or failure —
+    * a deleted MV dir, a log fault — refusing the rewrite, never the
+    * query. */
+  private def freshMv(m: Entry, scan: Set[String]): Option[DataFrame] =
     try {
       val base = TxTable(spark, m.baseDir)
       val applied = MaterializedView(spark, base, m.mvDir,
@@ -149,47 +216,83 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val valid = base.readAt(applied).inputFiles
           .map(_.stripPrefix("file:")).toSet
         if (scan != valid) None
-        // the STORED view table: every derived column (avg, moments) is
-        // physically materialized by the refresh, and the backing
-        // columns it additionally carries are harmless — the Project
-        // below selects only the mapped ones
-        else Some(TxTable(spark, m.mvDir).read()
-          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-          .queryExecution.analyzed)
+        else Some(TxTable(spark, m.mvDir).read())
       }
     } catch { case NonFatal(_) => None }
+
+  private def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
+  /** The replacement plan for a matched (entry, aggregate), or None. */
+  private def replace(m: Entry, agg: Aggregate,
+      groupNames: Seq[String], scan: Set[String]): Option[LogicalPlan] = {
+    val mapped = agg.aggregateExpressions.map(e => mappedAgg(e, m))
+    if (!mapped.forall(_.isDefined)) return None
+    val kinds = mapped.map(_.get)
+    freshMv(m, scan).map { mvDf =>
+      val exact = groupNames.toSet == m.groupCols.toSet
+      val tmp = kinds.indices.map(i => s"__mv_o$i")
+      val frame: DataFrame =
+        if (exact)
+          mvDf.select(kinds.zip(tmp).map { case ((k, c), t) =>
+            col(exactName(k, c)).as(t)
+          }: _*)
+        else {
+          // ROLLUP: re-aggregate the view's rows at the coarser grain
+          val aggCols = kinds.zip(tmp).collect {
+            case ((k, c), t) if k != "group" => rollupColumn(k, c).as(t)
+          }
+          val rolled =
+            if (aggCols.isEmpty)
+              // group-only outputs (SELECT g FROM base GROUP BY g):
+              // the distinct group values the view already holds. An
+              // explicit Aggregate, not .distinct() — this plan is
+              // injected AFTER the optimizer pass that lowers
+              // Deduplicate, so a Deduplicate node here would reach
+              // the planner unreplaced and fail
+              mvDf.groupBy(groupNames.map(col): _*)
+                .agg(count(lit(1)).as("__mv_drop"))
+                .select(groupNames.map(col): _*)
+            else
+              mvDf.groupBy(groupNames.map(col): _*)
+                .agg(aggCols.head, aggCols.tail: _*)
+          rolled.select(kinds.zip(tmp).map {
+            case (("group", c), t) => col(c).as(t)
+            case ((_, _), t)       => col(t)
+          }: _*)
+        }
+      val plan = analyzed(frame)
+      Project(
+        agg.output.zip(plan.output).map { case (o, src) =>
+          val e: Expression =
+            if (src.dataType == o.dataType) src else Cast(src, o.dataType)
+          Alias(e, o.name)(exprId = o.exprId)
+        }, plan)
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mvs = MvRegistry.entries(spark)
     if (mvs.isEmpty || !enabled) plan
     else plan transform {
-      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
-        val groupNames = groupExprs.map {
+      case agg @ Aggregate(groupExprs, _, child, _) =>
+        val groupNames0 = groupExprs.map {
           case a: AttributeReference => Some(a.name)
           case _ => None
         }
-        val candidate = mvs.find { m =>
-          groupNames.forall(_.isDefined) &&
-            groupNames.flatten.toSet == m.groupCols.toSet &&
-            groupNames.flatten.size == m.groupCols.size &&
-            baseScanFiles(child, m.baseDir).isDefined &&
-            aggExprs.forall(e => mvNameFor(e, m).isDefined)
-        }
-        candidate.flatMap { m =>
-          freshMvPlan(m, baseScanFiles(child, m.baseDir).get).map { mvPlan =>
-            val byName: Map[String, Attribute] =
-              mvPlan.output.map(a => a.name -> a).toMap
-            Project(
-              agg.output.zip(aggExprs.map(e => mvNameFor(e, m).get))
-                .map { case (o, n) =>
-                  val src = byName(n)
-                  val e: Expression =
-                    if (src.dataType == o.dataType) src
-                    else Cast(src, o.dataType)
-                  Alias(e, o.name)(exprId = o.exprId)
-                }, mvPlan)
+        val rewritten =
+          if (!groupNames0.forall(_.isDefined)) None
+          else {
+            val groupNames = groupNames0.flatten
+            if (groupNames.distinct.size != groupNames.size) None
+            else mvs.view.flatMap { m =>
+              if (!groupNames.toSet.subsetOf(m.groupCols.toSet)) None
+              else baseScanFiles(child, m.baseDir)
+                .flatMap(scan => replace(m, agg, groupNames, scan))
+            }.headOption
           }
-        }.getOrElse(agg)
+        rewritten.getOrElse(agg)
     }
   }
 }

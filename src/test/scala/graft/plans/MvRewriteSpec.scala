@@ -125,6 +125,85 @@ class MvRewriteSpec extends SparkTestBase {
     MvRegistry.unregister(spark, s"$dir/mv")
   }
 
+  test("ROLLUP: a coarser grouping re-aggregates the view, not the base") {
+    graft.functions.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft-mvrw-ru-").toString
+    val base = TxTable(spark, s"$dir/base")
+    import spark.implicits._
+    // two group columns, a null-bearing value column
+    base.append((0 until 300).map(i => (i.toLong, (i % 5).toLong,
+      (i % 3).toLong, if (i % 11 == 0) None else Some((i % 17).toDouble)))
+      .toDF("id", "g1", "g2", "v"))
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      "SELECT g1, g2, COUNT(*) AS n_rows, SUM(v) AS v_sum, " +
+      "MIN(v) AS v_min, MAX(v) AS v_max, AVG(v) AS v_avg, " +
+      "STDDEV(v) AS v_stddev, VARIANCE(v) AS v_var " +
+      s"FROM txtable.`$dir/base` GROUP BY g1, g2")
+    def q() = base.read().groupBy("g1")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"),
+        avg(col("v")).as("m"), stddev_samp(col("v")).as("sd"),
+        var_samp(col("v")).as("vr"))
+    val rolled = q()
+    assert(fired(rolled, dir), "subset grouping must roll up the view")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try q().collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      BigDecimal(r.getDouble(5)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+      BigDecimal(r.getDouble(6)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(_._1).toSeq
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    val got = rolled.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      BigDecimal(r.getDouble(5)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+      BigDecimal(r.getDouble(6)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(_._1).toSeq
+    // moments rounded at 1e-9: the rollup combines partial sums in a
+    // different order than the direct plan (same caveat as Spark's own
+    // partial aggregation across partitionings)
+    assert(got === direct)
+    // the GLOBAL aggregate rolls up too
+    def global() = base.read()
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+    assert(fired(global(), dir))
+    assert(global().head().getLong(0) === 300L)
+    // group-only outputs (the DISTINCT shape) roll up without a base scan
+    val distinctQ = base.read().groupBy("g2").agg(max(col("v")).as("hi"))
+      .select("g2")
+    assert(distinctQ.count() === 3L)
+    // and the other subset column works symmetrically
+    val byG2 = base.read().groupBy("g2").agg(avg(col("v")).as("m"))
+    assert(fired(byG2, dir))
+    assert(byG2.count() === 3L)
+  }
+
+  test("ROLLUP refuses what the backing state cannot answer") {
+    graft.functions.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft-mvrw-rr-").toString
+    val base = TxTable(spark, s"$dir/base")
+    import spark.implicits._
+    base.append((0 until 100).map(i =>
+      (i.toLong, (i % 5).toLong, (i % 3).toLong, (i % 7).toDouble))
+      .toDF("id", "g1", "g2", "v"))
+    // MIN-only view: a coarser SUM has no backing sum to roll up
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      "SELECT g1, g2, COUNT(*) AS n_rows, MIN(v) AS v_min " +
+      s"FROM txtable.`$dir/base` GROUP BY g1, g2")
+    assert(!fired(base.read().groupBy("g1")
+      .agg(sum(col("v")).as("s")), dir))
+    // grouping by a NON-view column refuses (not a subset)
+    assert(!fired(base.read().groupBy("id")
+      .agg(count(lit(1)).as("c")), dir))
+    // mixed view/non-view grouping refuses
+    assert(!fired(base.read().groupBy("g1", "id")
+      .agg(count(lit(1)).as("c")), dir))
+    // but COUNT + MIN at the coarser grain does roll up
+    val ok = base.read().groupBy("g2")
+      .agg(count(lit(1)).as("c"), min(col("v")).as("lo"))
+    assert(fired(ok, dir))
+    assert(ok.agg(sum(col("c"))).head().getLong(0) === 100L)
+  }
+
   test("time-travel reads keep their base plan (file-set freshness)") {
     val (base, dir) = mk()
     base.append(df(200 until 230))
