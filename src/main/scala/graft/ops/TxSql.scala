@@ -318,6 +318,7 @@ final class TxSql(spark: SparkSession) {
           case None    => summary0()
         }
       }
+      case DropMvRe(ident) => runDropMv(ident)
       case ConvertRe(path) =>
         val t = TxTable.convert(spark, unquote(path.trim))
         summary(t.headCommit)
@@ -824,6 +825,36 @@ final class TxSql(spark: SparkSession) {
     commit.map(summary).getOrElse(summary0())
   }
 
+  /** DROP MATERIALIZED VIEW: the view is DERIVED state — rebuildable
+    * by re-running its CREATE over the base — so dropping removes the
+    * rewrite registration, the catalog entry (when named), and the
+    * storage. Refuses loudly on a non-MV target: a DROP that silently
+    * deleted a base TABLE would be the disaster case, and the
+    * `txtable.mv.base` definition property is the authoritative
+    * is-an-MV marker. */
+  private def runDropMv(ident: String): DataFrame = {
+    val parts = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(ident.trim)
+    val t = resolveParts(parts)
+    require(t.property("txtable.mv.base").isDefined,
+      "DROP MATERIALIZED VIEW target is not a materialized view " +
+        s"(no txtable.mv.base property): ${t.tableDir}")
+    graft.plans.MvRegistry.unregister(spark, t.tableDir)
+    parts match {
+      case Seq(p, _) if p.equalsIgnoreCase("txtable") => ()
+      case _ =>
+        def q(s: String) = "`" + s.replace("`", "``") + "`"
+        spark.sql(s"DROP TABLE IF EXISTS ${parts.map(q).mkString(".")}")
+        ()
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(t.tableDir))
+    summary0()
+  }
+
   /** Rebuild the [[MaterializedView]] object from the definition
     * properties a CREATE persisted on the MV's table. */
   private def openMv(t: TxTable): MaterializedView = {
@@ -1121,6 +1152,7 @@ object TxSql {
       // unconditionally; REFRESH routes when the target resolves tx
       case CreateMvRe(_, _)                     => Some(SummarySchema)
       case RefreshMvRe(id) if tx(id)            => Some(SummarySchema)
+      case DropMvRe(id) if tx(id)               => Some(SummarySchema)
       case _                                    => None
     }
   }
@@ -1245,6 +1277,8 @@ object TxSql {
     s"""(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s+AS\\s+(SELECT\\s.+)""".r
   private val RefreshMvRe =
     s"""(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Id""".r
+  private val DropMvRe =
+    s"""(?is)DROP\\s+MATERIALIZED\\s+VIEW\\s+$Id""".r
   // CONVERT TO TXTABLE parquet.`/dir` — adopt a plain-parquet
   // directory in place (Delta's CONVERT TO DELTA shape)
   private val ConvertRe =

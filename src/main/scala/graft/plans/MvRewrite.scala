@@ -129,37 +129,45 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The maintained aggregate function behind `e`, as (kind, column),
+  /** The maintained (kind, baseColumn) behind one AggregateExpression,
     * or None: ("count", ""), ("sum"|"min"|"max"|"avg"|"stddev"|"var",
-    * baseCol). Group references return ("group", name). */
-  private def mappedAgg(e: NamedExpression, m: Entry)
-      : Option[(String, String)] = e match {
-    case a: AttributeReference if m.groupCols.contains(a.name) =>
-      Some(("group", a.name))
-    case al: Alias => al.child match {
-      case AggregateExpression(f: AggregateFunction, _, false, None, _) =>
-        f match {
-          case c: Count if c.children.forall {
-            case Literal(v, _) => v != null
-            case _ => false
-          } => Some(("count", ""))
-          case Sum(c: AttributeReference, _)
-              if m.sumCols.contains(c.name) => Some(("sum", c.name))
-          case Min(c: AttributeReference)
-              if m.minCols.contains(c.name) => Some(("min", c.name))
-          case Max(c: AttributeReference)
-              if m.maxCols.contains(c.name) => Some(("max", c.name))
-          case Average(c: AttributeReference, _)
-              if m.avgCols.contains(c.name) => Some(("avg", c.name))
-          case StddevSamp(c: AttributeReference, _)
-              if m.stdCols.contains(c.name) => Some(("stddev", c.name))
-          case VarianceSamp(c: AttributeReference, _)
-              if m.varCols.contains(c.name) => Some(("var", c.name))
-          case _ => None
-        }
-      case _ => None
-    }
+    * col). DISTINCT and FILTER (WHERE …) forms refuse. */
+  private def mappedAgg(ae: AggregateExpression, m: Entry)
+      : Option[(String, String)] = ae match {
+    case AggregateExpression(f: AggregateFunction, _, false, None, _) =>
+      f match {
+        case c: Count if c.children.forall {
+          case Literal(v, _) => v != null
+          case _ => false
+        } => Some(("count", ""))
+        case Sum(c: AttributeReference, _)
+            if m.sumCols.contains(c.name) => Some(("sum", c.name))
+        case Min(c: AttributeReference)
+            if m.minCols.contains(c.name) => Some(("min", c.name))
+        case Max(c: AttributeReference)
+            if m.maxCols.contains(c.name) => Some(("max", c.name))
+        case Average(c: AttributeReference, _)
+            if m.avgCols.contains(c.name) => Some(("avg", c.name))
+        case StddevSamp(c: AttributeReference, _)
+            if m.stdCols.contains(c.name) => Some(("stddev", c.name))
+        case VarianceSamp(c: AttributeReference, _)
+            if m.varCols.contains(c.name) => Some(("var", c.name))
+        case _ => None
+      }
     case _ => None
+  }
+
+  /** Every AggregateExpression in `e` mapped, or None if any refuses.
+    * Output expressions are arbitrary TREES over aggregates and group
+    * references (the optimizer collapses `round(avg(x), 6)` and
+    * `sum(a)/count(*)` straight into the Aggregate), so the match
+    * walks subtrees rather than requiring a bare Alias(agg). */
+  private def mappedAggsIn(e: Expression, m: Entry)
+      : Option[Seq[(AggregateExpression, (String, String))]] = {
+    val aggs = e.collect { case ae: AggregateExpression => ae }
+    val mapped = aggs.map(ae => mappedAgg(ae, m))
+    if (mapped.forall(_.isDefined)) Some(aggs.zip(mapped.map(_.get)))
+    else None
   }
 
   /** EXACT-match source column in the stored view. */
@@ -224,51 +232,83 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
-  /** The replacement plan for a matched (entry, aggregate), or None. */
+  /** The replacement plan for a matched (entry, aggregate), or None.
+    * Output expressions are rebuilt by SUBSTITUTION: each mapped
+    * AggregateExpression subtree is replaced by its source attribute
+    * (exact grain: the stored column; rollup: the re-aggregated tmp
+    * column), group references rebind to the replacement plan's
+    * attributes, and the SURROUNDING expression tree — the
+    * `round(…)`/arithmetic the optimizer collapsed into the Aggregate —
+    * survives verbatim above it. */
   private def replace(m: Entry, agg: Aggregate,
       groupNames: Seq[String], scan: Set[String]): Option[LogicalPlan] = {
-    val mapped = agg.aggregateExpressions.map(e => mappedAgg(e, m))
-    if (!mapped.forall(_.isDefined)) return None
-    val kinds = mapped.map(_.get)
-    freshMv(m, scan).map { mvDf =>
+    val perOutput = agg.aggregateExpressions.map(e => mappedAggsIn(e, m))
+    if (!perOutput.forall(_.isDefined)) return None
+    // distinct (kind, col) pairs across every output
+    val needed = perOutput.flatMap(_.get.map(_._2)).distinct
+    freshMv(m, scan).flatMap { mvDf =>
       val exact = groupNames.toSet == m.groupCols.toSet
-      val tmp = kinds.indices.map(i => s"__mv_o$i")
+      def tmpName(kc: (String, String)): String =
+        s"__mv_${kc._1}_${kc._2}"
       val frame: DataFrame =
-        if (exact)
-          mvDf.select(kinds.zip(tmp).map { case ((k, c), t) =>
-            col(exactName(k, c)).as(t)
-          }: _*)
-        else {
-          // ROLLUP: re-aggregate the view's rows at the coarser grain
-          val aggCols = kinds.zip(tmp).collect {
-            case ((k, c), t) if k != "group" => rollupColumn(k, c).as(t)
-          }
-          val rolled =
-            if (aggCols.isEmpty)
-              // group-only outputs (SELECT g FROM base GROUP BY g):
-              // the distinct group values the view already holds. An
-              // explicit Aggregate, not .distinct() — this plan is
-              // injected AFTER the optimizer pass that lowers
-              // Deduplicate, so a Deduplicate node here would reach
-              // the planner unreplaced and fail
-              mvDf.groupBy(groupNames.map(col): _*)
-                .agg(count(lit(1)).as("__mv_drop"))
-                .select(groupNames.map(col): _*)
-            else
-              mvDf.groupBy(groupNames.map(col): _*)
-                .agg(aggCols.head, aggCols.tail: _*)
-          rolled.select(kinds.zip(tmp).map {
-            case (("group", c), t) => col(c).as(t)
-            case ((_, _), t)       => col(t)
-          }: _*)
-        }
+        if (exact) mvDf
+        else if (needed.isEmpty)
+          // group-only outputs (SELECT g FROM base GROUP BY g): the
+          // distinct group values the view already holds. An explicit
+          // Aggregate, not .distinct() — this plan is injected AFTER
+          // the optimizer pass that lowers Deduplicate, so a
+          // Deduplicate node here would reach the planner unreplaced
+          mvDf.groupBy(groupNames.map(col): _*)
+            .agg(count(lit(1)).as("__mv_drop"))
+            .select(groupNames.map(col): _*)
+        else
+          // ROLLUP: re-aggregate the view's rows at the coarser grain,
+          // one tmp column per distinct mapped aggregate
+          mvDf.groupBy(groupNames.map(col): _*)
+            .agg(rollupColumn(needed.head._1, needed.head._2)
+              .as(tmpName(needed.head)),
+              needed.tail.map(kc =>
+                rollupColumn(kc._1, kc._2).as(tmpName(kc))): _*)
       val plan = analyzed(frame)
-      Project(
-        agg.output.zip(plan.output).map { case (o, src) =>
+      val byName: Map[String, Attribute] =
+        plan.output.map(a => a.name -> a).toMap
+      def srcFor(kc: (String, String)): Attribute =
+        if (exact) byName(exactName(kc._1, kc._2)) else byName(tmpName(kc))
+      val outputs = agg.output.zip(agg.aggregateExpressions)
+        .zip(perOutput.map(_.get)).map { case ((o, e), mappedAggs) =>
+          val bySubtree = mappedAggs.toMap
+          val body = e match {
+            case al: Alias => al.child
+            case other     => other
+          }
+          // transformDOWN: the whole AggregateExpression subtree swaps
+          // out before its children are visited — a group column used
+          // INSIDE an aggregate (sum(g)) must not be rebound first,
+          // which would change the subtree under the parent's feet
+          val substituted = body.transformDown {
+            case ae: AggregateExpression if bySubtree.contains(ae) =>
+              val src = srcFor(bySubtree(ae))
+              if (src.dataType == ae.dataType) src
+              else Cast(src, ae.dataType)
+            case a: AttributeReference if byName.contains(a.name) &&
+                groupNames.contains(a.name) => byName(a.name)
+          }
+          // every reference must now come from the replacement plan —
+          // anything left over (a non-group base column outside an
+          // aggregate, an unrebound ref) refuses the whole rewrite
+          (o, substituted)
+        }
+      val unbound = outputs.exists { case (_, s) =>
+        !s.references.subsetOf(plan.outputSet) ||
+          s.exists(_.isInstanceOf[AggregateExpression])
+      }
+      if (unbound) None
+      else Some(Project(
+        outputs.map { case (o, s) =>
           val e: Expression =
-            if (src.dataType == o.dataType) src else Cast(src, o.dataType)
+            if (s.dataType == o.dataType) s else Cast(s, o.dataType)
           Alias(e, o.name)(exprId = o.exprId)
-        }, plan)
+        }, plan))
     }
   }
 

@@ -2049,6 +2049,65 @@ object ExtendedQueries {
             GROUP BY 1"""),
     bench = false)
 
+  // --------------------- TxTable: transparent MV rewrite, driver-gated
+  /** The TRANSPARENT rewrite under the driver's own oracle gate: the
+    * query aggregates the BASE table — it never mentions the view —
+    * and the plan must route onto the fresh MV
+    * ([[graft.plans.MvRewriteRule]]'s exact-match path), with a second
+    * rollup aggregate riding the same state at a coarser grain. The
+    * `routed`/`rolled` literals pin the routing INSIDE the hash
+    * compare: if the rewrite silently stopped firing, the oracle's
+    * `true` breaks the match — so the driver gate now adjudicates
+    * both "the rewrite fires" and "what it returns equals a
+    * from-scratch DuckDB aggregate of the base". */
+  private val txMvRewrite = GraftQuery(
+    "k48_tx_mv_rewrite_route",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvrw-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        (col("l_suppkey") % 10L).as("l_bucket"),
+        col("l_quantity").cast("long").as("l_qty"))
+      base.append(li)
+      graft.ops.TxSql(s).run(
+        s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+          "SELECT l_suppkey, l_bucket, COUNT(*) AS n_rows, " +
+          "SUM(l_qty) AS l_qty_sum, AVG(l_qty) AS l_qty_avg " +
+          s"FROM txtable.`$dir/lineitem` GROUP BY l_suppkey, l_bucket")
+      // exact grain: Project over the stored view
+      val exact = base.read().groupBy("l_suppkey", "l_bucket")
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_qty")).as("l_qty_sum"),
+          round(avg(col("l_qty")), 6).as("l_qty_avg"))
+      // coarser grain: re-aggregated from the view's backing state
+      val rollup = base.read().groupBy("l_bucket")
+        .agg(sum(col("l_qty")).as("bucket_qty"))
+      val routed = exact.inputFiles.exists(_.contains(s"$dir/mv"))
+      val rolled = rollup.inputFiles.exists(_.contains(s"$dir/mv"))
+      exact.join(rollup, "l_bucket")
+        .select(col("l_suppkey"), col("l_bucket"), col("n_rows"),
+          col("l_qty_sum"), col("l_qty_avg"), col("bucket_qty"),
+          lit(routed).as("routed"), lit(rolled).as("rolled"))
+    },
+    Some("""WITH g AS (
+              SELECT l_suppkey, l_suppkey % 10 AS l_bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                  AS l_qty_sum,
+                ROUND(AVG(CAST(l_quantity AS BIGINT)), 6) AS l_qty_avg
+              FROM lineitem GROUP BY 1, 2),
+            b AS (
+              SELECT l_suppkey % 10 AS l_bucket,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                  AS bucket_qty
+              FROM lineitem GROUP BY 1)
+            SELECT g.l_suppkey, g.l_bucket, g.n_rows, g.l_qty_sum,
+              g.l_qty_avg, b.bucket_qty,
+              TRUE AS routed, TRUE AS rolled
+            FROM g JOIN b USING (l_bucket)"""),
+    bench = false)
+
   // --------------------------------- TxTable: column DEFAULT values
   /** Column DEFAULTs through the SQL face: `ADD COLUMN … DEFAULT`
     * backfills pre-existing rows ON READ (exists default — a
@@ -2163,6 +2222,6 @@ object ExtendedQueries {
     txChangeFeed, txBatchCdfOptions, txDeletionVectors, txSchemaEvolution,
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
-    txMvSql, txMvMinMax, txMvAvg, txMvStddev, txMvExprSum,
+    txMvSql, txMvMinMax, txMvAvg, txMvStddev, txMvExprSum, txMvRewrite,
     txColumnDefaults, recursiveCte, variantJson)
 }

@@ -1554,6 +1554,36 @@ class TxSqlSpec extends SparkTestBase {
     assert(mv.read().agg(sum("n_rows")).head().getLong(0) === 44L)
   }
 
+  test("DROP MATERIALIZED VIEW removes storage, registration, catalog entry — and only MVs") {
+    graft.functions.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft-mv-drop-").toString
+    val base = TxTable(spark, s"$dir/base")
+    base.append(df(0 until 20).withColumn("g", col("k") % 2))
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      s"SELECT g, COUNT(*) AS n_rows FROM txtable.`$dir/base` GROUP BY g")
+    // the fresh view answers the matching aggregate (rewrite armed)
+    val routed = base.read().groupBy("g").agg(count(lit(1)).as("c"))
+    assert(routed.inputFiles.exists(_.contains(s"$dir/mv")))
+    sql.run(s"DROP MATERIALIZED VIEW txtable.`$dir/mv`")
+    assert(!new java.io.File(s"$dir/mv").exists, "storage removed")
+    // rewrite disarmed; the base answers directly and is untouched
+    val after = base.read().groupBy("g").agg(count(lit(1)).as("c"))
+    assert(!after.inputFiles.exists(_.contains(s"$dir/mv")))
+    assert(after.agg(sum(col("c"))).head().getLong(0) === 20L)
+    // a non-MV target refuses loudly — DROP must never delete a TABLE
+    val e = intercept[Exception](
+      sql.run(s"DROP MATERIALIZED VIEW txtable.`$dir/base`"))
+    assert(e.getMessage.contains("not a materialized view"))
+    assert(base.read().count() === 20L)
+    // catalog-named: the entry drops with the view
+    spark.sql("DROP TABLE IF EXISTS graft_mv_dropper")
+    sql.run("CREATE MATERIALIZED VIEW graft_mv_dropper AS " +
+      s"SELECT g, COUNT(*) AS n_rows FROM txtable.`$dir/base` GROUP BY g")
+    assert(spark.table("graft_mv_dropper").count() === 2L)
+    sql.run("DROP MATERIALIZED VIEW graft_mv_dropper")
+    assert(!spark.catalog.tableExists("graft_mv_dropper"))
+  }
+
   test("CREATE MATERIALIZED VIEW refuses what is not maintainable") {
     val dir = Files.createTempDirectory("graft-mv-ref-").toString
     val base = TxTable(spark, s"$dir/base")
