@@ -28,6 +28,8 @@ object ExtensionsCheck {
       "SELECT simhash32('') " -> 0L,
       "SELECT simhash64('') " -> 0L,
       "SELECT size(topk_pairs(s, i, 2)) FROM VALUES (1.0d, 1L), (2.0d, 2L), (3.0d, 3L) AS t(s, i)" -> 2,
+      // r17: the bounded bucket-membership aggregate — k smallest kept
+      "SELECT collect_min_k(i, 2)[0] FROM VALUES (5L), (1L), (3L) AS t(i)" -> 1L,
       "SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.0d)) AS t(v)" -> 3.0,
       "SELECT nfc_normalize('café')" -> "café",
       "SELECT morton2(3L, 5L)" -> 39L,
@@ -108,9 +110,28 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 49, s"expected 49 statements, got ${stmts.size}")
-    val results = stmts.map(s =>
-      spark.sql(s.replace("${DIR}", pdir)))
+    require(stmts.size == 56, s"expected 56 statements, got ${stmts.size}")
+    // each statement's result is FROZEN (collected) at its own point
+    // in the lifecycle: a later statement may drop or rewrite what an
+    // earlier SELECT read (56 drops the moment MV statement 53
+    // selected), so lazy frames would resolve against the wrong state
+    final case class Res(cols: Seq[String],
+        rows: Array[org.apache.spark.sql.Row]) {
+      def head(): org.apache.spark.sql.Row = rows.head
+      def count(): Long = rows.length.toLong
+      def collect(): Array[org.apache.spark.sql.Row] = rows
+      def columns: Seq[String] = cols
+    }
+    val results = stmts.zipWithIndex.map { case (s, i) =>
+      try {
+        val df = spark.sql(s.replace("${DIR}", pdir))
+        Res(df.columns.toSeq, df.collect())
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[parity] statement ${i + 1} failed:\n$s")
+          throw e
+      }
+    }
     val lake = graft.ops.TxTable(spark, s"$pdir/lake")
     // 1. convert adopted all six rows in place
     require(results(0).head().getString(1) == "convert", "convert action")
@@ -126,7 +147,7 @@ object ExtensionsCheck {
     // 5. time travel reads the pre-DML snapshot
     require(results(4).head().getLong(0) == 6L, "VERSION AS OF 0 count")
     // 6-7. OPTIMIZE and ZORDER BY returned summaries, content intact
-    require(results(5).columns.toSeq ==
+    require(results(5).columns ==
       Seq("version", "action", "files_added", "files_removed"))
     require(results(6).head().getString(1) == "compact", "zorder action")
     // 8. identity: the INSERT's NULL slot allocated rid = 1
@@ -147,8 +168,8 @@ object ExtensionsCheck {
     // 13. CLEANUP LOG with a window wider than the log cuts nothing
     require(results(13).count() == 0, "CLEANUP LOG should cut nothing")
     // 14. the history records every lifecycle step
-    val actions = results(14).select("action").collect()
-      .map(_.getString(0)).toSeq
+    val actions = results(14).rows.toSeq
+      .map(r => r.getString(r.fieldIndex("action")))
     require(actions.contains("convert") && actions.contains("evolve") &&
       actions.contains("merge") && actions.contains("compact") &&
       actions.contains("append"), s"history actions: $actions")
@@ -245,6 +266,30 @@ object ExtensionsCheck {
       require(mmRows == Seq((1L, 2L, 40L, 10L, 30L, 20.0),
         (2L, 1L, 5L, 5L, 5L, 5.0)),
         s"MIN/MAX/AVG materialized view state: $mmRows")
+      // 50-53. moment MV: CREATE over mm = {(1,10),(1,30),(2,5)} read
+      // var(g=1) = 200; the DELETE of v=30 drops both groups to one
+      // row, where SAMPLE variance reads NULL (never 0); the
+      // expression SUM(v*v) folds signed like any SUM
+      require(results(49).head().getString(1).startsWith("mv-refresh-"),
+        "moment MV CREATE should populate via a refresh commit")
+      require(results(51).head().getString(1).startsWith("mv-refresh-"),
+        "moment MV REFRESH should commit a fold")
+      val moRows = results(52).collect().map(r => (r.getLong(0),
+        r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getLong(3))).toSeq
+      require(moRows == Seq((1L, 1L, null, 100L), (2L, 1L, null, 25L)),
+        s"moment MV state after the delete window: $moRows")
+      // 54-55. transparent rewrite: the freshly-refreshed mmmv answers
+      // the base aggregate — the parity contract here is the ANSWER
+      // (identical either way); the plan-level routing pin lives in
+      // the k48 oracle query and MvRewriteSpec
+      require(results(54).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((1L, 1L, 10L), (2L, 1L, 5L)),
+        "base aggregate after the second delete window")
+      // 56. DROP MATERIALIZED VIEW removed the derived object
+      require(!new java.io.File(s"$pdir/momv").exists(),
+        "DROP MATERIALIZED VIEW must remove the view storage")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")

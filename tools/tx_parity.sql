@@ -175,3 +175,31 @@ REFRESH MATERIALIZED VIEW txtable.`${DIR}/mmmv`;
 
 SELECT g, n_rows, v_sum, v_min, v_max, v_avg FROM txtable.`${DIR}/mmmv`
 ORDER BY g;
+
+-- 50-53. STDDEV/VARIANCE + expression-SUM materialized view: the
+--        moment backings (sum, sum-of-squares, non-null count) fold
+--        under a delete like any SUM; sample semantics read NULL
+--        below two rows; SUM over a scalar expression maintains the
+--        same way
+CREATE MATERIALIZED VIEW txtable.`${DIR}/momv` AS
+SELECT g, COUNT(*) AS n_rows, STDDEV(v) AS v_stddev,
+       VARIANCE(v) AS v_var, SUM(v * v) AS v_sq
+FROM txtable.`${DIR}/mm` GROUP BY g;
+
+DELETE FROM tx_parity_mm WHERE v = 30;
+
+REFRESH MATERIALIZED VIEW txtable.`${DIR}/momv`;
+
+SELECT g, n_rows, ROUND(v_var, 6) AS v_var, v_sq
+FROM txtable.`${DIR}/momv` ORDER BY g;
+
+-- 54-55. the TRANSPARENT rewrite: after a refresh the base aggregate
+--        routes onto the view — same SQL, same answer, O(groups) plan
+REFRESH MATERIALIZED VIEW txtable.`${DIR}/mmmv`;
+
+SELECT g, COUNT(*) AS n_rows, SUM(v) AS v_sum
+FROM txtable.`${DIR}/mm` GROUP BY g ORDER BY g;
+
+-- 56. DROP MATERIALIZED VIEW retires the derived object (and only a
+--     materialized view — a base table refuses)
+DROP MATERIALIZED VIEW txtable.`${DIR}/momv`;
