@@ -204,18 +204,30 @@ object ScaleProbe {
     def simhashProbe(tag: String, docs: DataFrame): Unit = {
       cold()
       val (n, t) = time { Dedup.simhashNearDups(docs).count() }
-      val sig = docs.select(Dedup.simhash64(col("text")).as("sh64"))
-      val cands = sig.select(
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("sh64"), 16 * b).bitwiseAND(lit(65535L))): _*))
-          .as(Seq("band_idx", "band_val")))
-        .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
-        .where(col("n").between(2, Dedup.MaxBucket))
-        .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)), lit(0))
-          .cast("long"))
-        .head().getLong(0)
+      def candCount(bands: Seq[org.apache.spark.sql.Column]): Long =
+        docs.select(Dedup.simhash64(col("text")).as("sh64"))
+          .select(posexplode(array(bands: _*))
+            .as(Seq("band_idx", "band_val")))
+          .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+          .where(col("n").between(2, Dedup.MaxBucket))
+          .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)),
+            lit(0)).cast("long"))
+          .head().getLong(0)
+      val cands = candCount((0 until 4).map(b =>
+        shiftrightunsigned(col("sh64"), 16 * b).bitwiseAND(lit(65535L))))
       println(f"[simhash] $tag docs=${docs.count()}%d candidates=$cands%d " +
         f"pairs=$n%d pair_s=$t%.2f")
+      // the permuted hamming-4 widening (r17): 15 tables of ~21-bit
+      // keys — candidate growth must stay near-linear, not the
+      // Θ(n²/key-space) a narrow-key widening would reintroduce
+      cold()
+      val (n4, t4) = time {
+        Dedup.simhashNearDupsPermuted(docs, maxHamming = 4).count()
+      }
+      val cands4 = candCount(
+        Dedup.permutedBandKeys(col("sh64"), 6, 2))
+      println(f"[simhash-h4] $tag docs=${docs.count()}%d " +
+        f"candidates=$cands4%d pairs=$n4%d pair_s=$t4%.2f")
       cold()
     }
 
