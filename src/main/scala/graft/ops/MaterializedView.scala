@@ -32,6 +32,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    touch re-aggregate from the base head (a scoped semi-join scan),
   *    every other group keeps the O(window) fold — the shape real
   *    lakehouse MVs ship instead of per-group value multisets.
+  *  - COUNT(DISTINCT c) (`<col>_dcnt`) is NOT a homomorphism over the
+  *    served value, but it IS over the right backing state: a hidden
+  *    AUXILIARY TxTable per column (`<mvDir>/_dcnt_<c>`) holds one row
+  *    per live (group…, value) pair with a SIGNED occurrence count —
+  *    an insert adds 1 to its pair, a delete subtracts 1, a pair
+  *    folding to 0 drops — so deletes maintain EXACTLY with no
+  *    recompute (the textbook incremental-view-maintenance device for
+  *    distinct aggregates). The served `<c>_dcnt` is the aux table's
+  *    per-group row count, re-derived at every refresh. State cost is
+  *    the true lower bound for exact distinct maintenance: O(live
+  *    distinct pairs), refresh cost O(window + touched pairs). NULLs
+  *    never count (SQL COUNT DISTINCT semantics). Each aux commit
+  *    carries the same `mv-refresh-<v>` watermark tag and lands BEFORE
+  *    the view commit; a crash between the two replays idempotently —
+  *    the aux fold filters the window by `_commit_version` above its
+  *    OWN applied watermark, so nothing double-folds.
   *
   * Exactly-once without a sidecar: the refresh's OVERWRITE commit
   * carries its applied-base-version watermark IN the commit action tag
@@ -58,9 +74,13 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     mv: TxTable, groupCols: Seq[String], sumCols: Seq[String],
     minCols: Seq[String], maxCols: Seq[String],
     avgCols: Seq[String], stdCols: Seq[String], varCols: Seq[String],
-    exprSums: Seq[(String, String)]) {
+    exprSums: Seq[(String, String)], dcntCols: Seq[String]) {
 
   import MaterializedView._
+
+  dcntCols.foreach(c => require(!groupCols.contains(c),
+    s"COUNT(DISTINCT $c) over grouping column $c is constant-per-group" +
+      " — not a maintainable view column"))
 
   /** Newest base version already folded in (from the refresh commits'
     * action tags, newest wins); -1 = nothing applied yet.
@@ -72,18 +92,10 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     * O(refresh history). A missing entry (retention-cleaned below)
     * stops the walk, same reachable set as the old contiguous
     * replay's retention floor. */
-  def appliedVersion: Long = {
-    var v = mv.snapshot().version
-    while (v >= 0) {
-      mv.commitsBetween(v - 1, v).headOption match {
-        case Some(c) if c.action.startsWith(Tag) =>
-          return c.action.stripPrefix(Tag).toLong
-        case Some(_) => v -= 1
-        case None    => return -1L // cleaned below: no tag reachable
-      }
-    }
-    -1L
-  }
+  def appliedVersion: Long = appliedVersionOf(mv)
+
+  private def appliedVersionOf(t: TxTable): Long =
+    MaterializedView.taggedVersion(t)
 
   /** The view's current state: `groupCols…, n_rows, <sumCol>_sum…,
     * <minCol>_min…, <maxCol>_max…, <avgCol>_avg…`. Averages are
@@ -104,13 +116,15 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     val w = appliedVersion
     val head = base.snapshot().version
     if (head <= w) None
-    else if (w < 0L)
+    else if (w < 0L) {
+      syncAux(head)
       Some(mv.overwriteAs(s"$Tag$head",
-        withDerived(fullAggregate(base.readAt(head)))))
-    else {
+        derive(fullAggregate(base.readAt(head)))))
+    } else {
+      syncAux(head)
       val (next, blocks) = fold(mv.read(), base.readChanges(w, head), head)
       // blocks release only AFTER the commit materialized the frame
-      try Some(mv.overwriteAs(s"$Tag$head", withDerived(next)))
+      try Some(mv.overwriteAs(s"$Tag$head", derive(next)))
       finally Checkpoints.release(spark, blocks)
     }
   }
@@ -122,9 +136,10 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     val w = appliedVersion
     if (upTo <= w) None
     else {
+      syncAuxFrame(changes, upTo)
       val cur = if (w < 0L) emptyState() else mv.read()
       val (next, blocks) = fold(cur, changes, upTo)
-      try Some(mv.overwriteAs(s"$Tag$upTo", withDerived(next)))
+      try Some(mv.overwriteAs(s"$Tag$upTo", derive(next)))
       finally Checkpoints.release(spark, blocks)
     }
   }
@@ -152,6 +167,103 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
   // ------------------------------------------------------------ internals
 
   private def hasExtrema: Boolean = minCols.nonEmpty || maxCols.nonEmpty
+
+  // ---- COUNT(DISTINCT) backing: one aux TxTable per column, one row
+  // per live (group…, value) pair with a signed occurrence count.
+  // `_dcnt_<c>` has no `=` and is not a reclaimable root name, so the
+  // MV table's own vacuum/cleanup never touches it; DROP MATERIALIZED
+  // VIEW removes the whole tree, aux included.
+
+  private def auxFor(c: String): TxTable =
+    TxTable(spark, mv.tableDir + "/_dcnt_" + c)
+
+  /** Pair counts from a full base snapshot (first refresh). */
+  private def auxFull(df: DataFrame, c: String): DataFrame =
+    df.where(col(c).isNotNull)
+      .groupBy((groupCols :+ c).map(col): _*)
+      .agg(count(lit(1)).as(PairRows))
+
+  /** Signed pair-count delta from a CDF frame: inserts +1, deletes -1
+    * per (group…, value); NULL values never count. */
+  private def auxDelta(changes: DataFrame, c: String): DataFrame = {
+    val sign: Column =
+      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    changes.where(col(c).isNotNull)
+      .groupBy((groupCols :+ c).map(col): _*)
+      .agg(sum(sign).as(PairRows))
+  }
+
+  /** `current ⊕ delta` at PAIR grain — full-outer null-safe on
+    * (group…, value), signed add, pairs folding to zero drop. Runs at
+    * O(touched pairs + live pairs) — never the base. */
+  private def auxCombine(current: DataFrame, delta: DataFrame,
+      c: String): DataFrame = {
+    val keys = groupCols :+ c
+    val d0 = delta.withColumnRenamed(PairRows, PairRows + "_d")
+    val d = keys.foldLeft(d0)((df, k) => df.withColumnRenamed(k, k + "_g"))
+    current.join(d, keys.map(k => col(k) <=> col(k + "_g")).reduce(_ && _),
+        "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(k + "_g")).as(k)) :+
+        (coalesce(col(PairRows), lit(0L)) +
+          coalesce(col(PairRows + "_d"), lit(0L))).as(PairRows): _*)
+      .where(col(PairRows) > 0L)
+  }
+
+  /** Bring every aux table to base version `head` (batch refresh path,
+    * windows read straight from the base CDF). Each aux advances from
+    * its OWN watermark — after a crash between the aux and view
+    * commits, the replay skips the already-landed aux. */
+  private def syncAux(head: Long): Unit = dcntCols.foreach { c =>
+    val aux = auxFor(c)
+    val auxW = appliedVersionOf(aux)
+    if (auxW < head) {
+      val next =
+        if (auxW < 0L) auxFull(base.readAt(head), c)
+        else auxCombine(aux.read(),
+          auxDelta(base.readChanges(auxW, head), c), c)
+      aux.overwriteAs(s"$Tag$head", next)
+      ()
+    }
+  }
+
+  /** Streaming face of [[syncAux]]: fold a pre-read CDF frame, scoped
+    * by `_commit_version` above each aux's own watermark so a replayed
+    * batch (or an aux that landed ahead of the view commit) never
+    * double-folds. */
+  private def syncAuxFrame(changes: DataFrame, upTo: Long): Unit =
+    dcntCols.foreach { c =>
+      val aux = auxFor(c)
+      val auxW = appliedVersionOf(aux)
+      if (auxW < upTo) {
+        val window = changes.where(col("_commit_version") > auxW)
+        val delta = auxDelta(window, c)
+        val next =
+          if (auxW < 0L) delta.where(col(PairRows) > 0L)
+          else auxCombine(aux.read(), delta, c)
+        aux.overwriteAs(s"$Tag$upTo", next)
+        ()
+      }
+    }
+
+  /** Materialize `<c>_dcnt` onto the state frame: the aux table's
+    * per-group row count, null-safe left-joined at MV cardinality
+    * (groups whose values are all NULL read 0, SQL semantics). */
+  private def withDcnt(df: DataFrame): DataFrame =
+    dcntCols.foldLeft(df) { (d, c) =>
+      val counts0 = auxFor(c).read()
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as(c + "_dcnt"))
+      val counts = groupCols.foldLeft(counts0)((x, g) =>
+        x.withColumnRenamed(g, g + "_g"))
+      d.join(counts,
+          groupCols.map(g => col(g) <=> col(g + "_g")).reduce(_ && _),
+          "left")
+        .drop(groupCols.map(_ + "_g"): _*)
+        .withColumn(c + "_dcnt", coalesce(col(c + "_dcnt"), lit(0L)))
+    }
+
+  /** Every derived column, applied immediately before each commit. */
+  private def derive(df: DataFrame): DataFrame = withDcnt(withDerived(df))
 
   /** Columns whose second moment (sum of squares) is maintained —
     * STDDEV and VARIANCE both derive from it (the standard
@@ -372,6 +484,26 @@ object MaterializedView {
   /** The maintained COUNT(*) column. */
   val NRows = "n_rows"
 
+  /** The aux pair tables' signed occurrence-count column. */
+  private[ops] val PairRows = "n_pair_rows"
+
+  /** Newest `mv-refresh-` watermark tag on `t` (the instance doc's
+    * backward name-probe); -1 = none reachable. Shared with the
+    * transparent rewrite, which gates an aux-table read on its tag
+    * matching the view's. */
+  private[graft] def taggedVersion(t: TxTable): Long = {
+    var v = t.snapshot().version
+    while (v >= 0) {
+      t.commitsBetween(v - 1, v).headOption match {
+        case Some(c) if c.action.startsWith(Tag) =>
+          return c.action.stripPrefix(Tag).toLong
+        case Some(_) => v -= 1
+        case None    => return -1L // cleaned below: no tag reachable
+      }
+    }
+    -1L
+  }
+
   /** Open (or create) the view state at `mvDir` over `base`, grouping
     * by `groupCols` and maintaining `SUM(c) AS c_sum` per `sumCols`
     * (plus `n_rows`). */
@@ -423,7 +555,21 @@ object MaterializedView {
       avgCols: Seq[String], stdCols: Seq[String],
       varCols: Seq[String], exprSums: Seq[(String, String)])
       : MaterializedView =
+    apply(spark, base, mvDir, groupCols, sumCols, minCols, maxCols,
+      avgCols, stdCols, varCols, exprSums, Nil)
+
+  /** Full surface with COUNT(DISTINCT): `COUNT(DISTINCT c) AS c_dcnt`
+    * per `dcntCols` — maintained EXACTLY (deletes included) via a
+    * hidden per-column aux TxTable of signed (group…, value)
+    * occurrence counts; see the class doc. A dcnt column must not be
+    * a grouping column. */
+  def apply(spark: SparkSession, base: TxTable, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      avgCols: Seq[String], stdCols: Seq[String],
+      varCols: Seq[String], exprSums: Seq[(String, String)],
+      dcntCols: Seq[String]): MaterializedView =
     new MaterializedView(spark, base, TxTable(spark, mvDir),
       groupCols, sumCols, minCols, maxCols, avgCols, stdCols, varCols,
-      exprSums)
+      exprSums, dcntCols)
 }

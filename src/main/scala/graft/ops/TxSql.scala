@@ -306,8 +306,10 @@ final class TxSql(spark: SparkSession) {
       // the moments add a sum-of-squares, and the derived values
       // materialize at refresh) plus MIN/MAX (insert-window fold;
       // delete-bearing windows recompute only the touched groups from
-      // the base — bounded, never a full rescan). Anything else
-      // (DISTINCT aggregates above all) refuses loudly at CREATE time.
+      // the base — bounded, never a full rescan) and COUNT(DISTINCT c)
+      // (exact, deletes included, via a hidden per-column aux table of
+      // signed (group, value) pair counts). Anything else (SUM/AVG
+      // DISTINCT above all) refuses loudly at CREATE time.
       case CreateMvRe(ident, select) => runCreateMv(ident, select)
       case RefreshMvRe(ident) => mutating(ident) { t =>
         val mv = openMv(t)
@@ -657,16 +659,20 @@ final class TxSql(spark: SparkSession) {
     val avgs = Seq.newBuilder[String]
     val stds = Seq.newBuilder[String]
     val vars = Seq.newBuilder[String]
+    val dcnts = Seq.newBuilder[String]
     val exprSums = Seq.newBuilder[(String, String)]
     val notMaintainable = "not incrementally maintainable: %s — " +
       "maintained aggregates are COUNT(*) AS n_rows, SUM(col) AS " +
       "col_sum, MIN(col) AS col_min, MAX(col) AS col_max, AVG(col) " +
-      "AS col_avg, STDDEV(col) AS col_stddev, and VARIANCE(col) AS " +
-      "col_var (AVG/STDDEV/VARIANCE maintain backing sum, " +
+      "AS col_avg, STDDEV(col) AS col_stddev, VARIANCE(col) AS " +
+      "col_var, and COUNT(DISTINCT col) AS col_dcnt " +
+      "(AVG/STDDEV/VARIANCE maintain backing sum, " +
       "sum-of-squares, and non-null count — sample semantics; MIN/MAX " +
       "under a delete-bearing window recompute only the touched " +
-      "groups from the base). DISTINCT aggregates are genuinely " +
-      "non-foldable and always refuse"
+      "groups from the base; COUNT DISTINCT maintains a hidden aux " +
+      "table of signed (group, value) pair counts — exact, deletes " +
+      "included). Other DISTINCT aggregates (SUM/AVG DISTINCT) are " +
+      "genuinely non-foldable and always refuse"
     def oneCol(f: UnresolvedFunction, al: Alias, suffix: String,
         into: scala.collection.mutable.Builder[String, Seq[String]])
         : Unit = f.arguments match {
@@ -693,6 +699,20 @@ final class TxSql(spark: SparkSession) {
             s"COUNT(*) must alias ${MaterializedView.NRows} (the " +
               s"maintained row-count column); got: ${al.name}")
           sawCount = true
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("count") &&
+              f.isDistinct =>
+          f.arguments match {
+            case Seq(a: UnresolvedAttribute) =>
+              val c = a.nameParts.last
+              require(!groupSet.contains(c.toLowerCase),
+                s"COUNT(DISTINCT $c) over grouping column $c is " +
+                  "constant-per-group — not a maintainable view column")
+              oneCol(f, al, "_dcnt", dcnts)
+            case _ => sys.error(
+              "COUNT(DISTINCT) over a single base column only; got: " +
+                al.child.sql)
+          }
         case f: UnresolvedFunction
             if f.nameParts.last.equalsIgnoreCase("sum") &&
               !f.isDistinct =>
@@ -797,6 +817,7 @@ final class TxSql(spark: SparkSession) {
       "txtable.mv.avgs" -> avgs.result().mkString(","),
       "txtable.mv.stds" -> stds.result().mkString(","),
       "txtable.mv.vars" -> vars.result().mkString(","),
+      "txtable.mv.dcnts" -> dcnts.result().mkString(","),
       // alias U+0001 exprSql, entries joined by U+0002 — the tp- token
       // is base64 either way, and SQL text cannot contain control chars
       "txtable.mv.exprSums" -> exprSumList
@@ -804,7 +825,10 @@ final class TxSql(spark: SparkSession) {
     val existing = mvT.snapshot().version >= 0
     if (existing) {
       val have = mvT.properties
-      require(definition.forall { case (k, v) => have.get(k).contains(v) },
+      // an empty-valued key absent from an older view's properties is
+      // the same definition (dcnts joined the map after vars did)
+      require(definition.forall { case (k, v) =>
+        have.get(k).contains(v) || (v.isEmpty && !have.contains(k)) },
         s"materialized view location $mvDir already holds a table " +
           "with a different definition (or not a materialized view)")
     } else
@@ -813,7 +837,8 @@ final class TxSql(spark: SparkSession) {
       mvT.setProperties(definition)
     val commit = MaterializedView(spark, base, mvDir,
       groupCols, sums.result(), mins.result(), maxs.result(),
-      avgs.result(), stds.result(), vars.result(), exprSumList).refresh()
+      avgs.result(), stds.result(), vars.result(), exprSumList,
+      dcnts.result()).refresh()
     // arm the transparent rewrite: matching aggregates over the base
     // now route onto this view while it is fresh (graft.plans.MvRewrite)
     graft.plans.MvRegistry.register(spark, mvDir)
@@ -872,7 +897,7 @@ final class TxSql(spark: SparkSession) {
       csv("txtable.mv.groupBy"), csv("txtable.mv.sums"),
       csv("txtable.mv.mins"), csv("txtable.mv.maxs"),
       csv("txtable.mv.avgs"), csv("txtable.mv.stds"),
-      csv("txtable.mv.vars"), exprSums)
+      csv("txtable.mv.vars"), exprSums, csv("txtable.mv.dcnts"))
   }
 
   // ------------------------------------------------- reference helpers

@@ -3,9 +3,9 @@ package graft.plans
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, StddevSamp, Sum, VarianceSamp}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -24,8 +24,15 @@ import graft.ops.{MaterializedView, TxTable}
   *    O(groups) rows from the maintained backing state: COUNT(*) =
   *    Σ n_rows, SUM = Σ sums, MIN/MAX = min/max of extrema, AVG =
   *    Σ sum / Σ cnt, VARIANCE/STDDEV from the combined
-  *    (Σ sum, Σ sumsq, Σ cnt) moments — still O(groups), never the
-  *    base scan.
+  *    (Σ sum, Σ sumsq, Σ cnt) moments, COUNT(DISTINCT c) re-counted
+  *    from the view's hidden (group, value) pair table at O(live
+  *    pairs) — still never the base scan.
+  * Either shape additionally COMPENSATES a WHERE clause whose
+  * predicates reference ONLY the MV's group columns: such a filter
+  * selects whole groups, so it commutes with the aggregation and
+  * re-applies verbatim over the MV's rows (`WHERE g2 = 'x' GROUP BY
+  * g1` routes; a predicate touching any non-group base column, a
+  * non-deterministic one, or a subquery keeps the base plan).
   *
   * Conservatism ladder (cheapest test first; ANY doubt keeps the base
   * plan — correctness never depends on the rewrite firing, it can only
@@ -67,7 +74,7 @@ object MvRegistry {
   final case class Entry(mvDir: String, baseDir: String,
       groupCols: Seq[String], sumCols: Set[String], minCols: Set[String],
       maxCols: Set[String], avgCols: Set[String], stdCols: Set[String],
-      varCols: Set[String])
+      varCols: Set[String], dcntCols: Set[String])
 
   // session -> (mvDir -> entry); weak keys so a dropped session's
   // registrations do not outlive it
@@ -82,7 +89,8 @@ object MvRegistry {
       val e = Entry(mvDir, baseDir, csv("txtable.mv.groupBy"),
         csv("txtable.mv.sums").toSet, csv("txtable.mv.mins").toSet,
         csv("txtable.mv.maxs").toSet, csv("txtable.mv.avgs").toSet,
-        csv("txtable.mv.stds").toSet, csv("txtable.mv.vars").toSet)
+        csv("txtable.mv.stds").toSet, csv("txtable.mv.vars").toSet,
+        csv("txtable.mv.dcnts").toSet)
       bySession.synchronized {
         val cur = Option(bySession.get(spark)).getOrElse(Map.empty)
         bySession.put(spark, cur + (mvDir -> e))
@@ -113,27 +121,38 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.get("spark.graft.mv.rewrite", "true") == "true"
 
   /** The scan's file set when the plan is a parquet relation (under
-    * attribute-only Projects) rooted under `baseDir`. */
+    * attribute-only Projects and Filter nodes, any interleaving)
+    * rooted under `baseDir`, plus the filter conditions collected on
+    * the way down — [[replace]] decides whether they compensate. */
   private def baseScanFiles(p: LogicalPlan, baseDir: String)
-      : Option[Set[String]] = p match {
+      : Option[(Set[String], Seq[Expression])] = p match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       baseScanFiles(child, baseDir)
+    case Filter(cond, child) =>
+      baseScanFiles(child, baseDir).map { case (fs, cs) => (fs, cond +: cs) }
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation
           if h.location.rootPaths.nonEmpty &&
             h.location.rootPaths.forall(
               _.toString.stripPrefix("file:").startsWith(baseDir)) =>
-        Some(h.location.inputFiles.map(_.stripPrefix("file:")).toSet)
+        Some((h.location.inputFiles.map(_.stripPrefix("file:")).toSet, Nil))
       case _ => None
     }
     case _ => None
   }
 
   /** The maintained (kind, baseColumn) behind one AggregateExpression,
-    * or None: ("count", ""), ("sum"|"min"|"max"|"avg"|"stddev"|"var",
-    * col). DISTINCT and FILTER (WHERE …) forms refuse. */
+    * or None: ("count", ""), ("sum"|"min"|"max"|"avg"|"stddev"|"var"|
+    * "dcnt", col). COUNT(DISTINCT c) maps when the view maintains c's
+    * pair table; every other DISTINCT form and FILTER (WHERE …)
+    * refuses. */
   private def mappedAgg(ae: AggregateExpression, m: Entry)
       : Option[(String, String)] = ae match {
+    // COUNT(DISTINCT c): the one DISTINCT form the view maintains
+    // (exactly, via its hidden pair-count aux table)
+    case AggregateExpression(Count(Seq(c: AttributeReference)), _,
+        true, None, _) if m.dcntCols.contains(c.name) =>
+      Some(("dcnt", c.name))
     case AggregateExpression(f: AggregateFunction, _, false, None, _) =>
       f match {
         case c: Count if c.children.forall {
@@ -180,6 +199,7 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case "avg"    => c + "_avg"
     case "stddev" => c + "_stddev"
     case "var"    => c + "_var"
+    case "dcnt"   => c + "_dcnt"
   }
 
   /** ROLLUP column over the stored view's backing state — re-aggregate
@@ -213,7 +233,8 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * ride along for the rollup math). None on any doubt or failure —
     * a deleted MV dir, a log fault — refusing the rewrite, never the
     * query. */
-  private def freshMv(m: Entry, scan: Set[String]): Option[DataFrame] =
+  private def freshMv(m: Entry, scan: Set[String])
+      : Option[(DataFrame, Long)] =
     try {
       val base = TxTable(spark, m.baseDir)
       val applied = MaterializedView(spark, base, m.mvDir,
@@ -224,8 +245,20 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val valid = base.readAt(applied).inputFiles
           .map(_.stripPrefix("file:")).toSet
         if (scan != valid) None
-        else Some(TxTable(spark, m.mvDir).read())
+        else Some((TxTable(spark, m.mvDir).read(), applied))
       }
+    } catch { case NonFatal(_) => None }
+
+  /** The live (group…, value) pairs behind `COUNT(DISTINCT c)` — the
+    * view's hidden aux table — gated on its OWN watermark tag matching
+    * the view's (the refresh commits them in order, so a mismatch
+    * means a torn or foreign state: refuse). */
+  private def auxPairs(m: Entry, c: String, applied: Long)
+      : Option[DataFrame] =
+    try {
+      val aux = TxTable(spark, m.mvDir + "/_dcnt_" + c)
+      if (MaterializedView.taggedVersion(aux) != applied) None
+      else Some(aux.read())
     } catch { case NonFatal(_) => None }
 
   private def analyzed(df: DataFrame): LogicalPlan =
@@ -240,35 +273,99 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * attributes, and the SURROUNDING expression tree — the
     * `round(…)`/arithmetic the optimizer collapsed into the Aggregate —
     * survives verbatim above it. */
+  /** A WHERE predicate compensates iff it selects WHOLE groups —
+    * deterministic, subquery-free, touching only the MV's group
+    * columns — in which case it commutes with the aggregation and
+    * re-applies verbatim over the MV's rows. Anything else refuses. */
+  private def compensable(filters: Seq[Expression], m: Entry): Boolean =
+    filters.forall { c =>
+      c.deterministic &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        c.references.forall(a => m.groupCols.contains(a.name))
+    }
+
+  /** The stored view with the query's WHERE re-applied: each filter's
+    * attributes rebind BY NAME to the view plan (group columns keep
+    * their base names in the stored state). None when a referenced
+    * name is somehow absent — refuse, never guess. */
+  private def applyFilters(mvDf: DataFrame, filters: Seq[Expression])
+      : Option[DataFrame] =
+    if (filters.isEmpty) Some(mvDf)
+    else {
+      val byName: Map[String, Attribute] =
+        analyzed(mvDf).output.map(a => a.name -> a).toMap
+      if (!filters.forall(_.references.forall(a => byName.contains(a.name))))
+        None
+      else Some(filters.foldLeft(mvDf) { (d, c) =>
+        d.filter(org.apache.spark.sql.graft.ColumnShim.column(c.transform {
+          case a: AttributeReference if byName.contains(a.name) =>
+            byName(a.name)
+        }))
+      })
+    }
+
   private def replace(m: Entry, agg: Aggregate,
-      groupNames: Seq[String], scan: Set[String]): Option[LogicalPlan] = {
+      groupNames: Seq[String], scan: Set[String],
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     val perOutput = agg.aggregateExpressions.map(e => mappedAggsIn(e, m))
     if (!perOutput.forall(_.isDefined)) return None
+    if (!compensable(filters, m)) return None
     // distinct (kind, col) pairs across every output
     val needed = perOutput.flatMap(_.get.map(_._2)).distinct
-    freshMv(m, scan).flatMap { mvDf =>
+    freshMv(m, scan).flatMap { case (mvDf0, applied) =>
+      applyFilters(mvDf0, filters).flatMap { mvDf =>
       val exact = groupNames.toSet == m.groupCols.toSet
       def tmpName(kc: (String, String)): String =
         s"__mv_${kc._1}_${kc._2}"
-      val frame: DataFrame =
+      // COUNT(DISTINCT) does not roll up from per-group counts — a
+      // coarser grain re-counts from the view's hidden pair table
+      // (O(live pairs), never the base), so it splits off here
+      val (dcntNeeded, stateNeeded) =
+        needed.partition(kc => !exact && kc._1 == "dcnt")
+      /** Null-safe left join of one aux-derived coarser-grain distinct
+        * count onto the rolled-up frame; groups with no non-null
+        * values read 0 (SQL COUNT DISTINCT). */
+      def joinDcnt(f: DataFrame, kc: (String, String))
+          : Option[DataFrame] =
+        auxPairs(m, kc._2, applied).flatMap(applyFilters(_, filters))
+          .map { aux =>
+            val dc0 = aux.groupBy(groupNames.map(col): _*)
+              .agg(countDistinct(col(kc._2)).as(tmpName(kc)))
+            if (groupNames.isEmpty) f.crossJoin(dc0)
+            else {
+              val dc = groupNames.foldLeft(dc0)((x, g) =>
+                x.withColumnRenamed(g, g + "__mvg"))
+              f.join(dc,
+                  groupNames.map(g => col(g) <=> col(g + "__mvg"))
+                    .reduce(_ && _), "left")
+                .drop(groupNames.map(_ + "__mvg"): _*)
+                .withColumn(tmpName(kc),
+                  coalesce(col(tmpName(kc)), lit(0L)))
+            }
+          }
+      val frame0: DataFrame =
         if (exact) mvDf
-        else if (needed.isEmpty)
-          // group-only outputs (SELECT g FROM base GROUP BY g): the
-          // distinct group values the view already holds. An explicit
+        else if (stateNeeded.isEmpty)
+          // group-only outputs (SELECT g FROM base GROUP BY g) or a
+          // dcnt-only rollup: the distinct group values the view
+          // already holds (the dcnt joins land on top). An explicit
           // Aggregate, not .distinct() — this plan is injected AFTER
           // the optimizer pass that lowers Deduplicate, so a
           // Deduplicate node here would reach the planner unreplaced
           mvDf.groupBy(groupNames.map(col): _*)
             .agg(count(lit(1)).as("__mv_drop"))
-            .select(groupNames.map(col): _*)
         else
           // ROLLUP: re-aggregate the view's rows at the coarser grain,
           // one tmp column per distinct mapped aggregate
           mvDf.groupBy(groupNames.map(col): _*)
-            .agg(rollupColumn(needed.head._1, needed.head._2)
-              .as(tmpName(needed.head)),
-              needed.tail.map(kc =>
+            .agg(rollupColumn(stateNeeded.head._1, stateNeeded.head._2)
+              .as(tmpName(stateNeeded.head)),
+              stateNeeded.tail.map(kc =>
                 rollupColumn(kc._1, kc._2).as(tmpName(kc))): _*)
+      val frameOpt = dcntNeeded.foldLeft(Option(frame0)) { (fOpt, kc) =>
+        fOpt.flatMap(joinDcnt(_, kc))
+      }
+      frameOpt.flatMap { frame =>
       val plan = analyzed(frame)
       val byName: Map[String, Attribute] =
         plan.output.map(a => a.name -> a).toMap
@@ -309,6 +406,8 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (s.dataType == o.dataType) s else Cast(s, o.dataType)
           Alias(e, o.name)(exprId = o.exprId)
         }, plan))
+      }
+      }
     }
   }
 
@@ -328,8 +427,10 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (groupNames.distinct.size != groupNames.size) None
             else mvs.view.flatMap { m =>
               if (!groupNames.toSet.subsetOf(m.groupCols.toSet)) None
-              else baseScanFiles(child, m.baseDir)
-                .flatMap(scan => replace(m, agg, groupNames, scan))
+              else baseScanFiles(child, m.baseDir).flatMap {
+                case (scan, filters) =>
+                  replace(m, agg, groupNames, scan, filters)
+              }
             }.headOption
           }
         rewritten.getOrElse(agg)

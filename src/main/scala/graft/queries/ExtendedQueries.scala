@@ -2108,6 +2108,58 @@ object ExtendedQueries {
             FROM g JOIN b USING (l_bucket)"""),
     bench = false)
 
+  // ------------------- TxTable: COUNT(DISTINCT) materialized view
+  /** COUNT(DISTINCT) through the MV SQL face — the "genuinely
+    * non-foldable" refusal retired (r17): the view maintains a hidden
+    * aux TxTable of signed (group, value) pair counts — an insert
+    * adds 1 to its pair, a delete subtracts 1, a pair folding to 0
+    * drops — so the distinct count stays EXACT under deletes with no
+    * recompute (state O(live pairs), the true lower bound; refresh
+    * O(window + touched pairs)). The DELETE here retires every
+    * remaining occurrence of some (supplier, quantity) pairs and only
+    * some occurrences of others, so a fold that dropped a pair too
+    * early or kept one too long breaks the oracle hash. The read goes
+    * through the TRANSPARENT rewrite with a group-column WHERE
+    * compensated on the view (both r17): the query aggregates the
+    * BASE, the plan must serve the stored `l_qty_dcnt`, and the
+    * `routed` literal pins the routing inside the hash compare. */
+  private val txMvCountDistinct = GraftQuery(
+    "k49_tx_mv_count_distinct",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvdc-").toString
+      val base = graft.ops.TxTable(s, s"$dir/lineitem")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"))
+      base.append(li.where(col("l_orderkey") % 2 === 0))
+      val sql = graft.ops.TxSql(s)
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT l_suppkey, COUNT(*) AS n_rows, " +
+        "COUNT(DISTINCT l_qty) AS l_qty_dcnt " +
+        s"FROM txtable.`$dir/lineitem` GROUP BY l_suppkey")
+      base.append(li.where(col("l_orderkey") % 2 === 1))
+      sql.run(s"DELETE FROM txtable.`$dir/lineitem` " +
+        "WHERE l_orderkey BETWEEN 1 AND 500")
+      sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      val q = base.read().where(col("l_suppkey") % 7 =!= 3)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_qty")).as("l_qty_dcnt"))
+      val routed = q.inputFiles.exists(_.contains(s"$dir/mv"))
+      q.select(col("l_suppkey"), col("n_rows"), col("l_qty_dcnt"),
+        lit(routed).as("routed"))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS l_qty_dcnt,
+              TRUE AS routed
+            FROM lineitem
+            WHERE l_orderkey NOT BETWEEN 1 AND 500
+              AND l_suppkey % 7 <> 3
+            GROUP BY 1"""),
+    bench = false)
+
   // --------------------------------- TxTable: column DEFAULT values
   /** Column DEFAULTs through the SQL face: `ADD COLUMN … DEFAULT`
     * backfills pre-existing rows ON READ (exists default — a
@@ -2223,5 +2275,6 @@ object ExtendedQueries {
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
     txMvSql, txMvMinMax, txMvAvg, txMvStddev, txMvExprSum, txMvRewrite,
+    txMvCountDistinct,
     txColumnDefaults, recursiveCte, variantJson)
 }

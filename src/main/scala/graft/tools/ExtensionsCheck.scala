@@ -110,7 +110,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 56, s"expected 56 statements, got ${stmts.size}")
+    require(stmts.size == 61, s"expected 61 statements, got ${stmts.size}")
     // each statement's result is FROZEN (collected) at its own point
     // in the lifecycle: a later statement may drop or rewrite what an
     // earlier SELECT read (56 drops the moment MV statement 53
@@ -290,6 +290,21 @@ object ExtensionsCheck {
       // 56. DROP MATERIALIZED VIEW removed the derived object
       require(!new java.io.File(s"$pdir/momv").exists(),
         "DROP MATERIALIZED VIEW must remove the view storage")
+      // 57-61. COUNT(DISTINCT) MV: the CREATE saw g=1:{10,10,7},
+      // g=2:{5,5,9} (n=3, dcnt=2 each); the DELETE retired BOTH 10s
+      // (the value leaves g=1's distinct set) and the single 9 (g=2
+      // keeps duplicated 5 counted once) — a pair dropped too early or
+      // kept too long breaks either row. Indexed from the END: these
+      // five statements are the script's tail.
+      val dcCreate = results(results.size - 4)
+      require(dcCreate.head().getString(1).startsWith("mv-refresh-"),
+        "COUNT(DISTINCT) MV CREATE should populate via a refresh commit")
+      val dcRows = results(results.size - 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      require(dcRows == Seq((1L, 1L, 1L), (2L, 2L, 1L)),
+        s"COUNT(DISTINCT) MV state after the delete window: $dcRows")
+      require(new java.io.File(s"$pdir/dcmv/_dcnt_v").exists(),
+        "the dcnt MV must carry its pair-count aux table")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")

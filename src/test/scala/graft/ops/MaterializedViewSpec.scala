@@ -300,6 +300,100 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(g7.getDouble(0) === 0.0 && g7.getDouble(1) === 0.0)
   }
 
+  test("COUNT(DISTINCT) maintains EXACTLY via the signed pair-count aux table") {
+    import spark.implicits._
+    // values recycle mod 12 so duplicates, retirements, and
+    // reappearances all occur; every 7th value is NULL (never counts)
+    def arows(r: Range) = r.map(i => (i.toLong, (i % 5).toLong,
+      if (i % 7 == 0) None else Some((i % 12).toLong))).toDF("id", "grp", "v")
+    val dir = Files.createTempDirectory("graft-mv-dc-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("grp"), Nil, Nil, Nil, Nil, Nil, Nil, Nil, Seq("v"))
+    def full() = base.read().groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("v")).as("v_dcnt"))
+    def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("grp"), col("n_rows"), col("v_dcnt"))
+        .collect().map(_.toString).sorted.toSeq
+    base.append(arows(0 until 120))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // a delete that removes SOME occurrences of a value must not
+    // retire it; deleting the LAST occurrence must (signed pair fold)
+    base.deleteVectorBetween("id", 0L, 59L)
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // insert + delete in one window; upsert flips values across groups
+    base.append(arows(120 until 200))
+    base.deleteVectorBetween("id", 100L, 139L)
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    val moved = (150L until 160L).map(i => (i, 1L, Some(99L): Option[Long]))
+      .toDF("id", "grp", "v")
+    base.upsert(moved, Seq("id"))
+    assert(mv.refresh().isDefined)
+    assert(st(mv.read()) === st(full()))
+    // a group whose every value is NULL serves 0 (SQL COUNT DISTINCT)
+    base.append((900L until 903L).map(i => (i, 9L, None: Option[Long]))
+      .toDF("id", "grp", "v"))
+    assert(mv.refresh().isDefined)
+    val g9 = mv.read().where(col("grp") === 9L).head()
+    assert(g9.getAs[Long]("n_rows") === 3L)
+    assert(g9.getAs[Long]("v_dcnt") === 0L)
+    assert(st(mv.read()) === st(full()))
+    // the aux state is bounded by LIVE pairs and tagged at the view's
+    // watermark (the crash-replay invariant: aux lands first)
+    val aux = TxTable(spark, s"$dir/mv/_dcnt_v")
+    val livePairs = base.read().where(col("v").isNotNull)
+      .select("grp", "v").distinct().count()
+    assert(aux.read().count() === livePairs)
+    assert(MaterializedView.taggedVersion(aux) === mv.appliedVersion)
+    // replayed refresh no-ops on BOTH tables
+    val auxV = aux.snapshot().version
+    assert(mv.refresh().isEmpty)
+    assert(aux.snapshot().version === auxV)
+  }
+
+  test("COUNT(DISTINCT) maintained by the STREAM (pair fold per micro-batch)") {
+    import spark.implicits._
+    def arows(r: Range) = r.map(i => (i.toLong, (i % 4).toLong,
+      (i % 9).toLong)).toDF("id", "grp", "v")
+    val dir = Files.createTempDirectory("graft-mv-dcs-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("grp"), Nil, Nil, Nil, Nil, Nil, Nil, Nil, Seq("v"))
+    def full() = base.read().groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("v")).as("v_dcnt"))
+    def st(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("grp"), col("n_rows"), col("v_dcnt"))
+        .collect().map(_.toString).sorted.toSeq
+    val ckpt = Files.createTempDirectory("graft-mv-dcs-ckpt-").toString
+    base.append(arows(0 until 80))
+    val q = mv.maintainStream(ckpt)
+    try {
+      q.processAllAvailable()
+      assert(st(mv.read()) === st(full()))
+      // a delete window retiring whole values streams through the
+      // signed pair fold (no recompute path exists for dcnt)
+      base.append(arows(80 until 120))
+      base.deleteVectorBetween("id", 0L, 49L)
+      q.processAllAvailable()
+      assert(st(mv.read()) === st(full()))
+    } finally q.stop()
+    // the aux landed with the view's watermark through every batch
+    assert(MaterializedView.taggedVersion(
+      TxTable(spark, s"$dir/mv/_dcnt_v")) === mv.appliedVersion)
+  }
+
+  test("COUNT(DISTINCT) over a grouping column refuses at construction") {
+    val dir = Files.createTempDirectory("graft-mv-dcg-").toString
+    val base = TxTable(spark, s"$dir/base")
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, base, s"$dir/mv",
+        Seq("grp"), Nil, Nil, Nil, Nil, Nil, Nil, Nil, Seq("grp"))
+    }
+  }
+
   test("MIN/MAX MV maintained by its own stream across a delete window") {
     import spark.implicits._
     def mrows(r: Range) =

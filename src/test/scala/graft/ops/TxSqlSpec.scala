@@ -1601,7 +1601,16 @@ class TxSqlSpec extends SparkTestBase {
     // aggregates, expressions, wrong alias discipline
     refuse(s"SELECT k, COUNT(*) AS n_rows, STDDEV(v) AS v_sd $from GROUP BY k",
       "v_stddev") // maintainable since r17, but the alias is the contract
+    // COUNT(DISTINCT) is maintainable since r17 (pair-count aux
+    // table) — but the alias is the contract, the argument must be a
+    // single non-grouping column, and OTHER distinct forms still refuse
     refuse(s"SELECT k, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS v_nd " +
+      s"$from GROUP BY k", "v_dcnt")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, COUNT(DISTINCT k) AS k_dcnt " +
+      s"$from GROUP BY k", "constant-per-group")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, COUNT(DISTINCT v + 1) AS x " +
+      s"$from GROUP BY k", "single base column")
+    refuse(s"SELECT k, COUNT(*) AS n_rows, SUM(DISTINCT v) AS v_sum " +
       s"$from GROUP BY k", "not incrementally maintainable")
     refuse(s"SELECT k, COUNT(*) AS n_rows, STDDEV(DISTINCT v) AS v_stddev " +
       s"$from GROUP BY k", "not incrementally maintainable")

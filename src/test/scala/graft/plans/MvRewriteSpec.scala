@@ -78,11 +78,15 @@ class MvRewriteSpec extends SparkTestBase {
 
   test("conservatism: filters, DISTINCT, other groupings, COUNT(col) all refuse") {
     val (base, dir) = mk()
-    // a WHERE between scan and aggregate changes the rows: no rewrite
+    // a WHERE on a NON-GROUP column drops rows from inside groups —
+    // the view cannot compensate it: no rewrite
     val filtered = base.read().where(col("id") > 10)
       .groupBy("grp").agg(count(lit(1)).as("c"))
     assert(!fired(filtered, dir))
     assert(filtered.agg(sum(col("c"))).head().getLong(0) === 189L)
+    // a NON-DETERMINISTIC predicate refuses even over a group column
+    assert(!fired(base.read().where(col("grp") > rand() * 0)
+      .groupBy("grp").agg(count(lit(1)).as("c")), dir))
     // DISTINCT aggregates are not maintained: no rewrite
     assert(!fired(base.read().groupBy("grp")
       .agg(countDistinct(col("v")).as("c")), dir))
@@ -202,6 +206,103 @@ class MvRewriteSpec extends SparkTestBase {
       .agg(count(lit(1)).as("c"), min(col("v")).as("lo"))
     assert(fired(ok, dir))
     assert(ok.agg(sum(col("c"))).head().getLong(0) === 100L)
+  }
+
+  test("WHERE over group columns COMPENSATES: filter re-applies on the view") {
+    val (base, dir) = mk()
+    // exact grain + group-column filter: whole groups selected, routes
+    def q() = base.read().where(col("grp") >= 2 && col("grp") =!= 5)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val routed = q()
+    assert(fired(routed, dir), "group-column WHERE must route onto the MV")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try rows(q())
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    assert(rows(routed) === direct)
+    assert(routed.count() === 4L) // grps 2,3,4,6
+    // a filter mixing group and non-group columns refuses whole
+    assert(!fired(base.read().where(col("grp") >= 2 && col("id") > 0)
+      .groupBy("grp").agg(count(lit(1)).as("c")), dir))
+  }
+
+  test("WHERE compensation composes with ROLLUP to a coarser grain") {
+    graft.functions.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft-mvrw-fr-").toString
+    val base = TxTable(spark, s"$dir/base")
+    import spark.implicits._
+    base.append((0 until 300).map(i => (i.toLong, (i % 5).toLong,
+      (i % 3).toLong, (i % 17).toDouble)).toDF("id", "g1", "g2", "v"))
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      "SELECT g1, g2, COUNT(*) AS n_rows, SUM(v) AS v_sum " +
+      s"FROM txtable.`$dir/base` GROUP BY g1, g2")
+    // filter on g2 (a view group column NOT in the query grouping),
+    // roll up to g1: the filter drops whole (g1,g2) view rows, then
+    // the coarser re-aggregation runs over the survivors
+    def q() = base.read().where(col("g2") === 1)
+      .groupBy("g1").agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+    val routed = q()
+    assert(fired(routed, dir), "group-col filter + rollup must route")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try rows(q())
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    assert(rows(routed) === direct)
+    // the filtered GLOBAL aggregate routes too
+    val g = base.read().where(col("g1") < 3)
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+    assert(fired(g, dir))
+    assert(g.head().getLong(0) === 180L)
+  }
+
+  test("COUNT(DISTINCT) routes: exact grain from the stored column, ROLLUP re-counts the pair table") {
+    graft.functions.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft-mvrw-dc-").toString
+    val base = TxTable(spark, s"$dir/base")
+    import spark.implicits._
+    // values recycle mod 12 across g2 ∈ {0,1,2}: the per-(g1,g2)
+    // distinct sets OVERLAP, so Σ of fine-grain dcnts ≠ the coarser
+    // dcnt — a rollup that summed stored counts instead of re-counting
+    // the pair table would be wrong here
+    base.append((0 until 300).map(i => (i.toLong, (i % 5).toLong,
+      (i % 3).toLong, (i % 12).toLong)).toDF("id", "g1", "g2", "v"))
+    sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+      "SELECT g1, g2, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS v_dcnt " +
+      s"FROM txtable.`$dir/base` GROUP BY g1, g2")
+    def check(q: () => org.apache.spark.sql.DataFrame,
+        expectFire: Boolean): Unit = {
+      val routed = q()
+      assert(fired(routed, dir) === expectFire)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val direct = try rows(q())
+      finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      assert(rows(routed) === direct)
+    }
+    // exact grain: served from the stored v_dcnt column
+    check(() => base.read().groupBy("g1", "g2")
+      .agg(count(lit(1)).as("c"), countDistinct(col("v")).as("dc")), true)
+    // coarser grain: re-counted from the hidden pair table
+    check(() => base.read().groupBy("g1")
+      .agg(count(lit(1)).as("c"), countDistinct(col("v")).as("dc")), true)
+    // dcnt-only rollup (no SUM-class aggregate alongside)
+    check(() => base.read().groupBy("g2")
+      .agg(countDistinct(col("v")).as("dc")), true)
+    // GLOBAL distinct count
+    check(() => base.read()
+      .agg(countDistinct(col("v")).as("dc")), true)
+    // group-column WHERE compensates on both the view and the pairs
+    check(() => base.read().where(col("g2") === 1)
+      .groupBy("g1").agg(countDistinct(col("v")).as("dc")), true)
+    // a DIFFERENT column's distinct count refuses (no pair table)
+    check(() => base.read().groupBy("g1")
+      .agg(countDistinct(col("id")).as("dc")), false)
+    // deletes maintain the pair table; the re-armed rewrite stays exact
+    sql.run(s"DELETE FROM txtable.`$dir/base` WHERE id % 4 = 0")
+    check(() => base.read().groupBy("g1")
+      .agg(countDistinct(col("v")).as("dc")), false) // stale: no fire
+    sql.run(s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+    check(() => base.read().groupBy("g1")
+      .agg(count(lit(1)).as("c"), countDistinct(col("v")).as("dc")), true)
   }
 
   test("time-travel reads keep their base plan (file-set freshness)") {

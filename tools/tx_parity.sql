@@ -203,3 +203,21 @@ FROM txtable.`${DIR}/mm` GROUP BY g ORDER BY g;
 -- 56. DROP MATERIALIZED VIEW retires the derived object (and only a
 --     materialized view — a base table refuses)
 DROP MATERIALIZED VIEW txtable.`${DIR}/momv`;
+
+-- 57-61. COUNT(DISTINCT) materialized view (r17): maintained EXACTLY
+--        under deletes via a hidden signed pair-count aux table —
+--        deleting every occurrence of a value retires it from the
+--        distinct count, while surviving duplicates still count once.
+--        mm here holds {(1,10),(2,5)}; the INSERT makes
+--        g=1:{10,10,7}, g=2:{5,5,9}
+INSERT INTO tx_parity_mm VALUES (1L, 10L), (1L, 7L), (2L, 5L), (2L, 9L);
+
+CREATE MATERIALIZED VIEW txtable.`${DIR}/dcmv` AS
+SELECT g, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS v_dcnt
+FROM txtable.`${DIR}/mm` GROUP BY g;
+
+DELETE FROM tx_parity_mm WHERE v = 10 OR v = 9;
+
+REFRESH MATERIALIZED VIEW txtable.`${DIR}/dcmv`;
+
+SELECT g, n_rows, v_dcnt FROM txtable.`${DIR}/dcmv` ORDER BY g;
