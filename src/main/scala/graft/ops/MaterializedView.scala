@@ -42,12 +42,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    distinct aggregates). The served `<c>_dcnt` is the aux table's
   *    per-group row count, re-derived at every refresh. State cost is
   *    the true lower bound for exact distinct maintenance: O(live
-  *    distinct pairs), refresh cost O(window + touched pairs). NULLs
-  *    never count (SQL COUNT DISTINCT semantics). Each aux commit
-  *    carries the same `mv-refresh-<v>` watermark tag and lands BEFORE
-  *    the view commit; a crash between the two replays idempotently —
-  *    the aux fold filters the window by `_commit_version` above its
-  *    OWN applied watermark, so nothing double-folds.
+  *    distinct pairs); the fold is a stats-pruned null-safe-keyed
+  *    MERGE, so a refresh rewrites only the aux files whose key
+  *    ranges the window's pairs touch — O(window + touched files),
+  *    never the live pair set (which can be base-cardinality for a
+  *    high-distinct column). NULLs never count (SQL COUNT DISTINCT
+  *    semantics). Each aux fold swaps a `txn-` watermark marker
+  *    atomically with its commit and lands BEFORE the view commit; a
+  *    crash between the two replays idempotently — the aux fold
+  *    filters the window by `_commit_version` above its OWN applied
+  *    watermark, so nothing double-folds.
   *
   * Exactly-once without a sidecar: the refresh's OVERWRITE commit
   * carries its applied-base-version watermark IN the commit action tag
@@ -177,11 +181,23 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
   private def auxFor(c: String): TxTable =
     TxTable(spark, mv.tableDir + "/_dcnt_" + c)
 
-  /** Pair counts from a full base snapshot (first refresh). */
-  private def auxFull(df: DataFrame, c: String): DataFrame =
+  /** Pair counts from a full base snapshot (first refresh),
+    * RANGE-CLUSTERED on the pair key: each staged file then holds a
+    * contiguous (group…, value) range, which is what lets the merge
+    * fold's stats pruning rewrite only the files a window's pairs
+    * actually touch — hash-partitioned output would spread every key
+    * range across every file and the "bounded merge" would degrade to
+    * a full rewrite. (Locality erodes as merges rewrite candidate
+    * files; the engine's incremental recluster is the maintenance
+    * path, same as any clustered table.) */
+  private def auxFull(df: DataFrame, c: String): DataFrame = {
+    val keys = (groupCols :+ c).map(col)
     df.where(col(c).isNotNull)
-      .groupBy((groupCols :+ c).map(col): _*)
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as(PairRows))
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+  }
 
   /** Signed pair-count delta from a CDF frame: inserts +1, deletes -1
     * per (group…, value); NULL values never count. */
@@ -193,21 +209,45 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
       .agg(sum(sign).as(PairRows))
   }
 
-  /** `current ⊕ delta` at PAIR grain — full-outer null-safe on
-    * (group…, value), signed add, pairs folding to zero drop. Runs at
-    * O(touched pairs + live pairs) — never the base. */
-  private def auxCombine(current: DataFrame, delta: DataFrame,
-      c: String): DataFrame = {
+  /** `current ⊕ delta` at PAIR grain, as a stats-pruned MERGE touching
+    * only the files whose key ranges intersect the window's pairs —
+    * never a rewrite of the live pair set (the aux can be
+    * base-cardinality for a high-distinct column; an O(live pairs)
+    * overwrite per refresh would cost as much as recomputing). Keys
+    * join NULL-SAFE (NULL is a group), matched pairs fold signed,
+    * pairs folding to ≤ 0 delete, new positive pairs insert; a delta
+    * row summing to 0 (an update that kept the value) is filtered out
+    * so it cannot force a pointless file rewrite. The `txn` marker IS
+    * the aux watermark — it swaps atomically with the fold, so a
+    * replayed window sees `auxApplied ≥ upTo` and no-ops; an
+    * all-zero delta advances the marker through an empty append
+    * (marker-only commit). */
+  private def auxMerge(aux: TxTable, delta: DataFrame, c: String,
+      upTo: Long): Unit = {
     val keys = groupCols :+ c
-    val d0 = delta.withColumnRenamed(PairRows, PairRows + "_d")
-    val d = keys.foldLeft(d0)((df, k) => df.withColumnRenamed(k, k + "_g"))
-    current.join(d, keys.map(k => col(k) <=> col(k + "_g")).reduce(_ && _),
-        "full_outer")
-      .select(keys.map(k => coalesce(col(k), col(k + "_g")).as(k)) :+
-        (coalesce(col(PairRows), lit(0L)) +
-          coalesce(col(PairRows + "_d"), lit(0L))).as(PairRows): _*)
-      .where(col(PairRows) > 0L)
+    val d = delta.withColumnRenamed(PairRows, "__d")
+      .where(col("__d") =!= 0L)
+    val txn = Some((AuxTxnApp, upTo))
+    if (d.isEmpty) { aux.append(aux.read().limit(0), 50, txn); () }
+    else {
+      aux.merge(d, keys,
+        whenMatchedUpdate = Some(expr(s"t.$PairRows + s.__d > 0")),
+        whenMatchedDelete = Some(expr(s"t.$PairRows + s.__d <= 0")),
+        whenNotMatchedInsert = Some(expr("s.__d > 0")),
+        updateSet = Some(Map(PairRows -> expr(s"t.$PairRows + s.__d"))),
+        insertValues = Some((keys.map(k => k -> col(s"s.$k")) :+
+          (PairRows -> col("s.__d"))).toMap),
+        nullSafeKeys = true,
+        txn = txn)
+      ()
+    }
   }
+
+  /** The aux table's applied-base-version watermark: its `txn-` marker
+    * under [[MaterializedView.AuxTxnApp]] (swapped atomically with
+    * every aux commit), -1 = never populated. */
+  private def auxApplied(aux: TxTable): Long =
+    aux.txnVersion(AuxTxnApp).getOrElse(-1L)
 
   /** Bring every aux table to base version `head` (batch refresh path,
     * windows read straight from the base CDF). Each aux advances from
@@ -215,13 +255,13 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     * commits, the replay skips the already-landed aux. */
   private def syncAux(head: Long): Unit = dcntCols.foreach { c =>
     val aux = auxFor(c)
-    val auxW = appliedVersionOf(aux)
+    val auxW = auxApplied(aux)
     if (auxW < head) {
-      val next =
-        if (auxW < 0L) auxFull(base.readAt(head), c)
-        else auxCombine(aux.read(),
-          auxDelta(base.readChanges(auxW, head), c), c)
-      aux.overwriteAs(s"$Tag$head", next)
+      if (auxW < 0L)
+        aux.overwriteAs(s"$Tag$head", auxFull(base.readAt(head), c),
+          txn = Some((AuxTxnApp, head)))
+      else
+        auxMerge(aux, auxDelta(base.readChanges(auxW, head), c), c, head)
       ()
     }
   }
@@ -233,14 +273,14 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
   private def syncAuxFrame(changes: DataFrame, upTo: Long): Unit =
     dcntCols.foreach { c =>
       val aux = auxFor(c)
-      val auxW = appliedVersionOf(aux)
+      val auxW = auxApplied(aux)
       if (auxW < upTo) {
         val window = changes.where(col("_commit_version") > auxW)
         val delta = auxDelta(window, c)
-        val next =
-          if (auxW < 0L) delta.where(col(PairRows) > 0L)
-          else auxCombine(aux.read(), delta, c)
-        aux.overwriteAs(s"$Tag$upTo", next)
+        if (auxW < 0L)
+          aux.overwriteAs(s"$Tag$upTo", delta.where(col(PairRows) > 0L),
+            txn = Some((AuxTxnApp, upTo)))
+        else auxMerge(aux, delta, c, upTo)
         ()
       }
     }
@@ -486,6 +526,13 @@ object MaterializedView {
 
   /** The aux pair tables' signed occurrence-count column. */
   private[ops] val PairRows = "n_pair_rows"
+
+  /** App id of the `txn-` marker every aux commit swaps atomically
+    * with its fold — the aux table's applied-base-version watermark
+    * (the view table itself uses the `mv-refresh-` action tag; an aux
+    * fold is a MERGE whose action the engine owns, so the watermark
+    * rides the idempotent-writes marker instead). */
+  private[graft] val AuxTxnApp = "graft-mv-dcnt"
 
   /** Newest `mv-refresh-` watermark tag on `t` (the instance doc's
     * backward name-probe); -1 = none reachable. Shared with the

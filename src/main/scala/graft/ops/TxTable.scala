@@ -3784,7 +3784,14 @@ final class TxTable private (spark: SparkSession, dir: String,
     * violation, retry exhaustion) leaves the schema exactly as it was;
     * Delta performs the same widen+merge as one commit. Columns that
     * already exist at an attempt's head (a concurrent evolve landed
-    * them) are skipped, not refused. */
+    * them) are skipped, not refused.
+    *
+    * `nullSafeKeys`: join keys with `<=>` so a null-keyed source row
+    * pairs with its null-keyed target row (the MV aux-fold shape,
+    * where NULL is a legitimate group-key value) — under it, any key
+    * column with a null in the source contributes no pruning bound
+    * (null never enters file min/max stats). Default false keeps SQL
+    * MERGE semantics: null keys never match. */
   def merge(source: DataFrame, keys: Seq[String],
       whenMatchedUpdate: Option[Column] = None,
       whenMatchedDelete: Option[Column] = None,
@@ -3797,7 +3804,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       sourceKeys: Seq[String] = Nil,
       widenBy: org.apache.spark.sql.types.StructType =
         new org.apache.spark.sql.types.StructType(),
-      txn: Option[(String, Long)] = None): Commit = {
+      txn: Option[(String, Long)] = None,
+      nullSafeKeys: Boolean = false): Commit = {
     require(keys.nonEmpty, "merge needs at least one key column")
     // ON t.id = s.customer_id — positionally paired with `keys`; empty
     // means the source keys share the target names (the star-clause
@@ -3836,15 +3844,22 @@ final class TxTable private (spark: SparkSession, dir: String,
     // prunes nothing through SQL `=` anyway and is skipped.
     val boundAggs = srcKeys.flatMap(k => Seq(
       org.apache.spark.sql.functions.min(col(k)),
-      org.apache.spark.sql.functions.max(col(k))))
+      org.apache.spark.sql.functions.max(col(k)),
+      org.apache.spark.sql.functions.sum(
+        when(col(k).isNull, 1L).otherwise(0L))))
     val boundRow = source.agg(boundAggs.head, boundAggs.tail: _*).head()
     // bounds carry the TARGET key names — they prune the target's
-    // files — with values from the SOURCE side of each pair
+    // files — with values from the SOURCE side of each pair. Under
+    // nullSafeKeys a column with ANY null source key contributes no
+    // bound: a null-keyed source row must reach its null-keyed target
+    // match, and null never enters a file's min/max stats, so a range
+    // on that column could wrongly drop the very file holding it.
     val bounds: Seq[(String, Option[Any], Option[Any])] =
       keys.zipWithIndex.flatMap { case (k, i) =>
-        if (boundRow.isNullAt(2 * i)) None
-        else Some((k, Option(boundRow.get(2 * i)),
-          Option(boundRow.get(2 * i + 1))))
+        if (boundRow.isNullAt(3 * i)) None
+        else if (nullSafeKeys && boundRow.getLong(3 * i + 2) > 0L) None
+        else Some((k, Option(boundRow.get(3 * i)),
+          Option(boundRow.get(3 * i + 1))))
       }
     // rebase pruning bounds: a full-table merge (no derivable bounds,
     // or NOT MATCHED BY SOURCE clauses reading everything) rebases
@@ -4051,8 +4066,15 @@ final class TxTable private (spark: SparkSession, dir: String,
           val t = tPadded
             .withColumn("__tp", lit(1)).alias("t")
           val s2 = source.withColumn("__sp", lit(1)).alias("s")
+          // nullSafeKeys: `<=>` pairs null-keyed rows (SQL GROUP BY
+          // makes NULL a key value — the MV aux-table fold merges on
+          // group columns, where a null group is ONE group); default
+          // `===` keeps SQL MERGE semantics (null never matches)
           val keyCond = keys.zip(srcKeys)
-            .map { case (tk, sk) => col(s"t.$tk") === col(s"s.$sk") }
+            .map { case (tk, sk) =>
+              if (nullSafeKeys) col(s"t.$tk") <=> col(s"s.$sk")
+              else col(s"t.$tk") === col(s"s.$sk")
+            }
             .reduce(_ && _)
           val joined = t.join(s2, keyCond, "full_outer")
           updateSet.foreach(m => guardAssignTypes(joined, m))

@@ -250,14 +250,16 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     } catch { case NonFatal(_) => None }
 
   /** The live (group…, value) pairs behind `COUNT(DISTINCT c)` — the
-    * view's hidden aux table — gated on its OWN watermark tag matching
-    * the view's (the refresh commits them in order, so a mismatch
-    * means a torn or foreign state: refuse). */
+    * view's hidden aux table — gated on its OWN watermark (the txn
+    * marker every aux fold swaps atomically) matching the view's (the
+    * refresh commits them in order, so a mismatch means a torn or
+    * foreign state: refuse). */
   private def auxPairs(m: Entry, c: String, applied: Long)
       : Option[DataFrame] =
     try {
       val aux = TxTable(spark, m.mvDir + "/_dcnt_" + c)
-      if (MaterializedView.taggedVersion(aux) != applied) None
+      if (!aux.txnVersion(MaterializedView.AuxTxnApp).contains(applied))
+        None
       else Some(aux.read())
     } catch { case NonFatal(_) => None }
 

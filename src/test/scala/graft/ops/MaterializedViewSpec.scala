@@ -341,13 +341,15 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(g9.getAs[Long]("n_rows") === 3L)
     assert(g9.getAs[Long]("v_dcnt") === 0L)
     assert(st(mv.read()) === st(full()))
-    // the aux state is bounded by LIVE pairs and tagged at the view's
-    // watermark (the crash-replay invariant: aux lands first)
+    // the aux state is bounded by LIVE pairs, and its txn marker (the
+    // aux watermark, swapped atomically with every fold) sits at the
+    // view's watermark (the crash-replay invariant: aux lands first)
     val aux = TxTable(spark, s"$dir/mv/_dcnt_v")
     val livePairs = base.read().where(col("v").isNotNull)
       .select("grp", "v").distinct().count()
     assert(aux.read().count() === livePairs)
-    assert(MaterializedView.taggedVersion(aux) === mv.appliedVersion)
+    assert(aux.txnVersion(MaterializedView.AuxTxnApp)
+      .contains(mv.appliedVersion))
     // replayed refresh no-ops on BOTH tables
     val auxV = aux.snapshot().version
     assert(mv.refresh().isEmpty)
@@ -381,8 +383,50 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(st(mv.read()) === st(full()))
     } finally q.stop()
     // the aux landed with the view's watermark through every batch
-    assert(MaterializedView.taggedVersion(
-      TxTable(spark, s"$dir/mv/_dcnt_v")) === mv.appliedVersion)
+    assert(TxTable(spark, s"$dir/mv/_dcnt_v")
+      .txnVersion(MaterializedView.AuxTxnApp)
+      .contains(mv.appliedVersion))
+  }
+
+  test("aux fold is a BOUNDED merge: a needle window leaves distant aux files alone") {
+    import spark.implicits._
+    // 16 groups x 200 values: the range-clustered initial population
+    // spreads (grp, v) pairs across many files, each holding a
+    // contiguous key range
+    val dir = Files.createTempDirectory("graft-mv-dcb-").toString
+    val base = TxTable(spark, s"$dir/base")
+    val mv = MaterializedView(spark, base, s"$dir/mv",
+      Seq("grp"), Nil, Nil, Nil, Nil, Nil, Nil, Nil, Seq("v"))
+    base.append((0 until 3200).map(i =>
+      (i.toLong, (i % 16).toLong, (i % 200).toLong)).toDF("id", "grp", "v"))
+    // at this row count AQE would coalesce the range partitions into
+    // one file (at scale it keeps advisory-SIZED ranges — contiguous
+    // either way); disable coalescing so the file-level locality the
+    // pruning relies on is visible in a 3,200-pair fixture
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try assert(mv.refresh().isDefined)
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val aux = TxTable(spark, s"$dir/mv/_dcnt_v")
+    val before = aux.read().inputFiles.toSet
+    assert(before.size >= 4,
+      s"range clustering should spread pairs over files: ${before.size}")
+    // needle window: one group's rows change — the fold must MERGE,
+    // rewriting only the files whose key range covers grp=3, and the
+    // distant files must survive by identity (content-unique names)
+    base.deleteVectorWhere("grp", 3L)
+    assert(mv.refresh().isDefined)
+    val after = aux.read().inputFiles.toSet
+    val survived = (before intersect after).size
+    assert(survived > 0 && survived >= before.size / 2,
+      s"needle fold should leave distant aux files untouched: " +
+        s"${before.size} before, $survived survived")
+    // and the answer stays exact
+    val expect = base.read().groupBy("grp")
+      .agg(countDistinct(col("v")).as("v_dcnt"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(mv.read().select(col("grp"), col("v_dcnt"))
+      .collect().map(_.toString).sorted.toSeq === expect)
   }
 
   test("COUNT(DISTINCT) over a grouping column refuses at construction") {
