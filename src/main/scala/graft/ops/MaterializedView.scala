@@ -121,15 +121,33 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     val head = base.snapshot().version
     if (head <= w) None
     else if (w < 0L) {
-      syncAux(head)
+      // first refresh: aux populates from the same head snapshot the
+      // state aggregates (no CDF exists below the first watermark)
+      syncAuxInitial(head)
       Some(mv.overwriteAs(s"$Tag$head",
-        derive(fullAggregate(base.readAt(head)))))
-    } else {
-      syncAux(head)
+        derive(fullAggregate(base.readAt(head)), None)))
+    } else if (dcntCols.isEmpty) {
       val (next, blocks) = fold(mv.read(), base.readChanges(w, head), head)
       // blocks release only AFTER the commit materialized the frame
-      try Some(mv.overwriteAs(s"$Tag$head", derive(next)))
+      try Some(mv.overwriteAs(s"$Tag$head", derive(next, None)))
       finally Checkpoints.release(spark, blocks)
+    } else {
+      // ONE base-CDF evaluation for the whole refresh: the aux folds,
+      // the MV fold, and the touched-group scope all read this pinned
+      // window (each unpinned consumer would re-read and re-shuffle
+      // the base CDF — the DcntProbe measured the repeated passes
+      // costing more than the from-scratch pair aggregation)
+      val (changes, cBlocks) = Checkpoints.pin(base.readChanges(w, head))
+      try {
+        syncAuxFrame(changes, head)
+        val (tg, tBlocks) = Checkpoints.pin(
+          changes.select(groupCols.map(col): _*).distinct())
+        try {
+          val (next, blocks) = fold(mv.read(), changes, head)
+          try Some(mv.overwriteAs(s"$Tag$head", derive(next, Some(tg))))
+          finally Checkpoints.release(spark, blocks)
+        } finally Checkpoints.release(spark, tBlocks)
+      } finally Checkpoints.release(spark, cBlocks)
     }
   }
 
@@ -141,10 +159,19 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
     if (upTo <= w) None
     else {
       syncAuxFrame(changes, upTo)
-      val cur = if (w < 0L) emptyState() else mv.read()
-      val (next, blocks) = fold(cur, changes, upTo)
-      try Some(mv.overwriteAs(s"$Tag$upTo", derive(next)))
-      finally Checkpoints.release(spark, blocks)
+      val (touched, tBlocks) =
+        if (dcntCols.isEmpty || w < 0L) (None, Set.empty[Int])
+        else { // first batch: full count, no touched scope
+          val (tg, b) = Checkpoints.pin(
+            changes.select(groupCols.map(col): _*).distinct())
+          (Some(tg), b)
+        }
+      try {
+        val cur = if (w < 0L) emptyState() else mv.read()
+        val (next, blocks) = fold(cur, changes, upTo)
+        try Some(mv.overwriteAs(s"$Tag$upTo", derive(next, touched)))
+        finally Checkpoints.release(spark, blocks)
+      } finally Checkpoints.release(spark, tBlocks)
     }
   }
 
@@ -225,22 +252,28 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
   private def auxMerge(aux: TxTable, delta: DataFrame, c: String,
       upTo: Long): Unit = {
     val keys = groupCols :+ c
-    val d = delta.withColumnRenamed(PairRows, "__d")
-      .where(col("__d") =!= 0L)
-    val txn = Some((AuxTxnApp, upTo))
-    if (d.isEmpty) { aux.append(aux.read().limit(0), 50, txn); () }
-    else {
-      aux.merge(d, keys,
-        whenMatchedUpdate = Some(expr(s"t.$PairRows + s.__d > 0")),
-        whenMatchedDelete = Some(expr(s"t.$PairRows + s.__d <= 0")),
-        whenNotMatchedInsert = Some(expr("s.__d > 0")),
-        updateSet = Some(Map(PairRows -> expr(s"t.$PairRows + s.__d"))),
-        insertValues = Some((keys.map(k => k -> col(s"s.$k")) :+
-          (PairRows -> col("s.__d"))).toMap),
-        nullSafeKeys = true,
-        txn = txn)
-      ()
-    }
+    // pin ONCE: the merge machinery evaluates its source repeatedly
+    // (emptiness, the duplicate-key guard, the pruning-bounds agg, the
+    // staged rewrite itself) and each pass would otherwise re-read and
+    // re-aggregate the base CDF window
+    val (d, blocks) = Checkpoints.pin(
+      delta.withColumnRenamed(PairRows, "__d").where(col("__d") =!= 0L))
+    try {
+      val txn = Some((AuxTxnApp, upTo))
+      if (d.isEmpty) { aux.append(aux.read().limit(0), 50, txn); () }
+      else {
+        aux.merge(d, keys,
+          whenMatchedUpdate = Some(expr(s"t.$PairRows + s.__d > 0")),
+          whenMatchedDelete = Some(expr(s"t.$PairRows + s.__d <= 0")),
+          whenNotMatchedInsert = Some(expr("s.__d > 0")),
+          updateSet = Some(Map(PairRows -> expr(s"t.$PairRows + s.__d"))),
+          insertValues = Some((keys.map(k => k -> col(s"s.$k")) :+
+            (PairRows -> col("s.__d"))).toMap),
+          nullSafeKeys = true,
+          txn = txn)
+        ()
+      }
+    } finally Checkpoints.release(spark, blocks)
   }
 
   /** The aux table's applied-base-version watermark: its `txn-` marker
@@ -249,61 +282,118 @@ final class MaterializedView private (spark: SparkSession, base: TxTable,
   private def auxApplied(aux: TxTable): Long =
     aux.txnVersion(AuxTxnApp).getOrElse(-1L)
 
-  /** Bring every aux table to base version `head` (batch refresh path,
-    * windows read straight from the base CDF). Each aux advances from
-    * its OWN watermark — after a crash between the aux and view
-    * commits, the replay skips the already-landed aux. */
-  private def syncAux(head: Long): Unit = dcntCols.foreach { c =>
-    val aux = auxFor(c)
-    val auxW = auxApplied(aux)
-    if (auxW < head) {
-      if (auxW < 0L)
-        aux.overwriteAs(s"$Tag$head", auxFull(base.readAt(head), c),
-          txn = Some((AuxTxnApp, head)))
-      else
-        auxMerge(aux, auxDelta(base.readChanges(auxW, head), c), c, head)
-      ()
-    }
-  }
-
-  /** Streaming face of [[syncAux]]: fold a pre-read CDF frame, scoped
-    * by `_commit_version` above each aux's own watermark so a replayed
-    * batch (or an aux that landed ahead of the view commit) never
-    * double-folds. */
+  /** Bring every aux table to base version `upTo` from a pre-read CDF
+    * frame (both refresh paths hand in the SAME pinned window the MV
+    * fold and the touched-group scope read — ONE base-CDF evaluation
+    * per refresh, not one per consumer). Each aux advances from its
+    * OWN watermark: the fold scopes the frame by `_commit_version`
+    * above it, so a replayed batch (or an aux that landed ahead of
+    * the view commit after a crash) never double-folds. An aux with
+    * NO watermark — first refresh, or foreign loss of the aux dir —
+    * rebuilds whole from the base head, the one inherently O(pairs)
+    * moment. */
   private def syncAuxFrame(changes: DataFrame, upTo: Long): Unit =
     dcntCols.foreach { c =>
       val aux = auxFor(c)
       val auxW = auxApplied(aux)
       if (auxW < upTo) {
-        val window = changes.where(col("_commit_version") > auxW)
-        val delta = auxDelta(window, c)
         if (auxW < 0L)
-          aux.overwriteAs(s"$Tag$upTo", delta.where(col(PairRows) > 0L),
+          aux.overwriteAs(s"$Tag$upTo", auxFull(base.readAt(upTo), c),
             txn = Some((AuxTxnApp, upTo)))
-        else auxMerge(aux, delta, c, upTo)
+        else auxMerge(aux,
+          auxDelta(changes.where(col("_commit_version") > auxW), c),
+          c, upTo)
         ()
       }
     }
 
-  /** Materialize `<c>_dcnt` onto the state frame: the aux table's
-    * per-group row count, null-safe left-joined at MV cardinality
-    * (groups whose values are all NULL read 0, SQL semantics). */
-  private def withDcnt(df: DataFrame): DataFrame =
-    dcntCols.foldLeft(df) { (d, c) =>
-      val counts0 = auxFor(c).read()
-        .groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as(c + "_dcnt"))
-      val counts = groupCols.foldLeft(counts0)((x, g) =>
-        x.withColumnRenamed(g, g + "_g"))
-      d.join(counts,
-          groupCols.map(g => col(g) <=> col(g + "_g")).reduce(_ && _),
-          "left")
-        .drop(groupCols.map(_ + "_g"): _*)
-        .withColumn(c + "_dcnt", coalesce(col(c + "_dcnt"), lit(0L)))
+  /** First-population face of [[syncAuxFrame]] (no CDF exists below
+    * the first watermark — each aux aggregates the head snapshot). */
+  private def syncAuxInitial(head: Long): Unit = dcntCols.foreach { c =>
+    val aux = auxFor(c)
+    if (auxApplied(aux) < head) {
+      aux.overwriteAs(s"$Tag$head", auxFull(base.readAt(head), c),
+        txn = Some((AuxTxnApp, head)))
+      ()
+    }
+  }
+
+  /** Materialize `<c>_dcnt` onto the state frame. `touched` = None
+    * (first population) re-counts the whole aux table — the one
+    * inherently O(pairs) moment. Every later refresh passes the
+    * window's TOUCHED GROUPS and pays O(touched groups' aux pairs):
+    * only those groups' pairs re-count (semi-joined against the aux,
+    * file-scoped by single-key stats pruning — the MIN/MAX
+    * bounded-recompute device), every other group KEEPS its stored
+    * `<c>_dcnt`. Without this the derive step alone would scan the
+    * live pair set — base-cardinality for a high-distinct column —
+    * at every refresh, which the DcntProbe showed costing MORE than
+    * the from-scratch pair aggregation. Groups whose values are all
+    * NULL read 0 (SQL semantics); joins run at MV cardinality. */
+  private def withDcnt(df: DataFrame,
+      touched: Option[DataFrame]): DataFrame =
+    if (dcntCols.isEmpty) df
+    else {
+      def keyed(frame: DataFrame, suffix: String): DataFrame =
+        groupCols.foldLeft(frame)((x, g) =>
+          x.withColumnRenamed(g, g + suffix))
+      def cond(suffix: String) =
+        groupCols.map(g => col(g) <=> col(g + suffix)).reduce(_ && _)
+      touched match {
+        case None =>
+          dcntCols.foldLeft(df) { (d, c) =>
+            val counts = keyed(auxFor(c).read()
+              .groupBy(groupCols.map(col): _*)
+              .agg(count(lit(1)).as(c + "_dcnt")), "_g")
+            d.join(counts, cond("_g"), "left")
+              .drop(groupCols.map(_ + "_g"): _*)
+              .withColumn(c + "_dcnt",
+                coalesce(col(c + "_dcnt"), lit(0L)))
+          }
+        case Some(tg0) =>
+          // touched groups once per refresh, flagged for the overlay
+          val tg = keyed(tg0.withColumn("__tch", lit(1)), "_t")
+          dcntCols.foldLeft(df) { (d, c) =>
+            val aux = auxFor(c)
+            // file-level scope exactly like fold1's recomputeBase: a
+            // single non-null-keyed grouping prunes aux files through
+            // the logged stats via the touched keys' [min,max]
+            val auxScoped =
+              if (groupCols.size == 1) {
+                val g = groupCols.head
+                val r = tg0.agg(min(col(g)), max(col(g)),
+                  sum(when(col(g).isNull, 1L).otherwise(0L))).head()
+                if (r.getLong(2) == 0L && !r.isNullAt(0))
+                  aux.readPruned(Long.MaxValue,
+                    Seq((g, Some(r.get(0)), Some(r.get(1)))))
+                else aux.read()
+              } else aux.read()
+            val counts = keyed(auxScoped
+              .join(keyed(tg0, "_s"), cond("_s"), "left_semi")
+              .groupBy(groupCols.map(col): _*)
+              .agg(count(lit(1)).as(c + "_dcnt_new")), "_n")
+            val cur = keyed(mv.read()
+              .select((groupCols.map(col) :+ col(c + "_dcnt")): _*)
+              .withColumnRenamed(c + "_dcnt", c + "_dcnt_cur"), "_c")
+            d.join(tg, cond("_t"), "left")
+              .join(counts, cond("_n"), "left")
+              .join(cur, cond("_c"), "left")
+              .withColumn(c + "_dcnt",
+                when(col("__tch").isNotNull,
+                  coalesce(col(c + "_dcnt_new"), lit(0L)))
+                  .otherwise(coalesce(col(c + "_dcnt_cur"), lit(0L))))
+              .drop((groupCols.map(_ + "_t") ++ groupCols.map(_ + "_n")
+                ++ groupCols.map(_ + "_c")): _*)
+              .drop("__tch", c + "_dcnt_new", c + "_dcnt_cur")
+          }
+      }
     }
 
-  /** Every derived column, applied immediately before each commit. */
-  private def derive(df: DataFrame): DataFrame = withDcnt(withDerived(df))
+  /** Every derived column, applied immediately before each commit.
+    * `touched` scopes the dcnt re-count — see [[withDcnt]]. */
+  private def derive(df: DataFrame,
+      touched: Option[DataFrame]): DataFrame =
+    withDcnt(withDerived(df), touched)
 
   /** Columns whose second moment (sum of squares) is maintained —
     * STDDEV and VARIANCE both derive from it (the standard

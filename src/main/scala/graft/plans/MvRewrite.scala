@@ -111,6 +111,31 @@ object MvRegistry {
     bySession.synchronized {
       Option(bySession.get(spark)).map(_.values.toSeq).getOrElse(Nil)
     }
+
+  // baseDir -> (applied version, that snapshot's file set): the
+  // freshness gate's expensive half. A TxTable version's file set is
+  // IMMUTABLE, so an entry never invalidates — it is SUPERSEDED when
+  // a refresh moves the applied version (one entry per base dir, so
+  // memory stays O(registered bases)). Without this, every candidate
+  // query pays a full log replay + file listing of the base at the
+  // applied version; with it, steady-state detection on a fresh view
+  // is the snapshot-probe plus one set compare.
+  private val validCache =
+    new java.util.WeakHashMap[SparkSession,
+      Map[String, (Long, Set[String])]]()
+
+  private[plans] def validFilesAt(spark: SparkSession, baseDir: String,
+      applied: Long)(compute: => Set[String]): Set[String] =
+    validCache.synchronized {
+      val cur = Option(validCache.get(spark)).getOrElse(Map.empty)
+      cur.get(baseDir) match {
+        case Some((v, fs)) if v == applied => fs
+        case _ =>
+          val fs = compute
+          validCache.put(spark, cur + (baseDir -> ((applied, fs))))
+          fs
+      }
+    }
 }
 
 final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -153,6 +178,15 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case AggregateExpression(Count(Seq(c: AttributeReference)), _,
         true, None, _) if m.dcntCols.contains(c.name) =>
       Some(("dcnt", c.name))
+    // COUNT(DISTINCT g) over one of the view's GROUP columns: the view
+    // holds exactly the live group combinations, so a coarser grain
+    // counts it straight off the view's rows — no aux table involved
+    // (`SELECT g1, COUNT(DISTINCT g2) … GROUP BY g1`). Exact grain
+    // stays refused: counting a column inside its own grouping is a
+    // degenerate 0/1-per-group shape the base plan answers fine.
+    case AggregateExpression(Count(Seq(c: AttributeReference)), _,
+        true, None, _) if m.groupCols.contains(c.name) =>
+      Some(("gdcnt", c.name))
     case AggregateExpression(f: AggregateFunction, _, false, None, _) =>
       f match {
         case c: Count if c.children.forall {
@@ -217,6 +251,7 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     kind match {
       case "count"  => coalesce(sum(col(MaterializedView.NRows)), lit(0L))
+      case "gdcnt"  => countDistinct(col(c))
       case "sum"    => sum(col(c + "_sum"))
       case "min"    => min(col(c + "_min"))
       case "max"    => max(col(c + "_max"))
@@ -242,8 +277,9 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         m.avgCols.toSeq).appliedVersion
       if (applied < 0) None
       else {
-        val valid = base.readAt(applied).inputFiles
-          .map(_.stripPrefix("file:")).toSet
+        val valid = MvRegistry.validFilesAt(spark, m.baseDir, applied)(
+          base.readAt(applied).inputFiles
+            .map(_.stripPrefix("file:")).toSet)
         if (scan != valid) None
         else Some((TxTable(spark, m.mvDir).read(), applied))
       }
@@ -314,9 +350,13 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!compensable(filters, m)) return None
     // distinct (kind, col) pairs across every output
     val needed = perOutput.flatMap(_.get.map(_._2)).distinct
+    val exactGrain = groupNames.toSet == m.groupCols.toSet
+    // group-column COUNT(DISTINCT) only rolls UP (see mappedAgg) —
+    // refused here before the freshness probe spends a log read
+    if (exactGrain && needed.exists(_._1 == "gdcnt")) return None
     freshMv(m, scan).flatMap { case (mvDf0, applied) =>
       applyFilters(mvDf0, filters).flatMap { mvDf =>
-      val exact = groupNames.toSet == m.groupCols.toSet
+      val exact = exactGrain
       def tmpName(kc: (String, String)): String =
         s"__mv_${kc._1}_${kc._2}"
       // COUNT(DISTINCT) does not roll up from per-group counts — a

@@ -296,6 +296,17 @@ class MvRewriteSpec extends SparkTestBase {
     // a DIFFERENT column's distinct count refuses (no pair table)
     check(() => base.read().groupBy("g1")
       .agg(countDistinct(col("id")).as("dc")), false)
+    // COUNT(DISTINCT g2) over a GROUP column needs no aux at all: the
+    // view holds exactly the live (g1, g2) combos, so the coarser
+    // grain counts them off the view's rows
+    check(() => base.read().groupBy("g1")
+      .agg(count(lit(1)).as("c"), countDistinct(col("g2")).as("gc")), true)
+    check(() => base.read()
+      .agg(countDistinct(col("g1")).as("gc")), true)
+    // …but at EXACT grain (counting a column inside its own grouping)
+    // the degenerate 0/1 shape keeps the base plan
+    check(() => base.read().groupBy("g1", "g2")
+      .agg(countDistinct(col("g2")).as("gc")), false)
     // deletes maintain the pair table; the re-armed rewrite stays exact
     sql.run(s"DELETE FROM txtable.`$dir/base` WHERE id % 4 = 0")
     check(() => base.read().groupBy("g1")
