@@ -312,10 +312,18 @@ final class TxSql(spark: SparkSession) {
       // DISTINCT above all) refuses loudly at CREATE time.
       case CreateMvRe(ident, select) => runCreateMv(ident, select)
       case RefreshMvRe(ident) => mutating(ident) { t =>
-        val mv = openMv(t)
-        // a refresh (from ANY session) re-arms the transparent rewrite
-        graft.plans.MvRegistry.register(spark, t.tableDir)
-        mv.refresh() match {
+        val commit =
+          if (t.property("txtable.mv.join.left").isDefined)
+            openJoinMv(t).refresh()
+          else {
+            val mv = openMv(t)
+            // a refresh (from ANY session) re-arms the transparent
+            // rewrite (single-table views only — join views are
+            // read directly)
+            graft.plans.MvRegistry.register(spark, t.tableDir)
+            mv.refresh()
+          }
+        commit match {
           case Some(c) => summary(c)
           case None    => summary0()
         }
@@ -614,8 +622,13 @@ final class TxSql(spark: SparkSession) {
       case a: Aggregate => a
       case _ => sys.error(
         "CREATE MATERIALIZED VIEW requires AS SELECT … FROM <base> " +
-          "GROUP BY … — a single grouped aggregate over one table " +
-          "(joins/unions are not incrementally maintainable here)")
+          "GROUP BY … — a grouped aggregate over one table or over " +
+          "one INNER equi-join of two tables (unions and deeper join " +
+          "trees are not incrementally maintainable here)")
+    }
+    agg.child match {
+      case join: Join => return runCreateJoinMv(ident, agg, join)
+      case _          => ()
     }
     def rel(p: LogicalPlan): Seq[String] = p match {
       case SubqueryAlias(_, child) => rel(child)
@@ -782,25 +795,8 @@ final class TxSql(spark: SparkSession) {
           "not incrementally maintainable: a delete's retraction would " +
           "re-evaluate it to a different value than the insert it undoes")
     }
-    val mvParts = spark.sessionState.sqlParser
-      .parseMultipartIdentifier(ident.trim)
-    def quoted = mvParts
-      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
-    val (mvDir, catalogName) = mvParts match {
-      case Seq(p, path) if p.equalsIgnoreCase("txtable") => (path, false)
-      case _ =>
-        val id = mvParts match {
-          case Seq(t0)     => TableIdentifier(t0)
-          case Seq(db, t0) => TableIdentifier(t0, Some(db))
-          case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
-            TableIdentifier(t0, Some(db))
-          case _ => sys.error(s"cannot resolve ${mvParts.mkString(".")}")
-        }
-        require(!(try spark.sessionState.catalog.tableExists(id)
-          catch { case _: Exception => false }),
-          s"CREATE MATERIALIZED VIEW: $quoted already exists")
-        (spark.sessionState.catalog.defaultTablePath(id).getPath, true)
-    }
+    val (mvParts, mvDir, catalogName) = resolveMvIdent(ident)
+    def quoted = quotedParts(mvParts)
     val mvT = TxTable(spark, mvDir)
     // CREATE is IDEMPOTENT over its own definition: the statement is
     // three steps (definition properties, populate, catalog entry) and
@@ -822,6 +818,58 @@ final class TxSql(spark: SparkSession) {
       // is base64 either way, and SQL text cannot contain control chars
       "txtable.mv.exprSums" -> exprSumList
         .map { case (n, e) => n + "\u0001" + e }.mkString("\u0002"))
+    materializeMvAt(mvT, mvDir, catalogName, mvParts, quoted,
+      definition) { dir =>
+      val commit = MaterializedView(spark, base, dir,
+        groupCols, sums.result(), mins.result(), maxs.result(),
+        avgs.result(), stds.result(), vars.result(), exprSumList,
+        dcnts.result()).refresh()
+      // arm the transparent rewrite: matching aggregates over the base
+      // now route onto this view while it is fresh (plans.MvRewrite)
+      graft.plans.MvRegistry.register(spark, dir)
+      commit
+    }
+  }
+
+  private def quotedParts(parts: Seq[String]): String =
+    parts.map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
+  /** Resolve a CREATE MATERIALIZED VIEW identifier to its storage
+    * location: a `txtable.`path`` form is path-addressed; anything
+    * else is a catalog name landing at the warehouse default path
+    * (and must not already exist). */
+  private def resolveMvIdent(ident: String)
+      : (Seq[String], String, Boolean) = {
+    val mvParts = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(ident.trim)
+    def quoted = quotedParts(mvParts)
+    mvParts match {
+      case Seq(p, path) if p.equalsIgnoreCase("txtable") =>
+        (mvParts, path, false)
+      case _ =>
+        val id = mvParts match {
+          case Seq(t0)     => TableIdentifier(t0)
+          case Seq(db, t0) => TableIdentifier(t0, Some(db))
+          case Seq(cat, db, t0) if cat.equalsIgnoreCase("spark_catalog") =>
+            TableIdentifier(t0, Some(db))
+          case _ => sys.error(s"cannot resolve ${mvParts.mkString(".")}")
+        }
+        require(!(try spark.sessionState.catalog.tableExists(id)
+          catch { case _: Exception => false }),
+          s"CREATE MATERIALIZED VIEW: $quoted already exists")
+        (mvParts,
+          spark.sessionState.catalog.defaultTablePath(id).getPath, true)
+    }
+  }
+
+  /** Shared CREATE tail for both MV shapes (single-table and join):
+    * persist — or idempotently re-verify — the definition properties
+    * at the location, run the populating refresh, land the catalog
+    * entry when named. */
+  private def materializeMvAt(mvT: TxTable, mvDir: String,
+      catalogName: Boolean, mvParts: Seq[String], quoted: => String,
+      definition: Map[String, String])(
+      populate: String => Option[TxTable.Commit]): DataFrame = {
     val existing = mvT.snapshot().version >= 0
     if (existing) {
       val have = mvT.properties
@@ -835,19 +883,172 @@ final class TxSql(spark: SparkSession) {
       // the definition IS table metadata: refreshes (this session or
       // any later one) rebuild the view object from these properties
       mvT.setProperties(definition)
-    val commit = MaterializedView(spark, base, mvDir,
-      groupCols, sums.result(), mins.result(), maxs.result(),
-      avgs.result(), stds.result(), vars.result(), exprSumList,
-      dcnts.result()).refresh()
-    // arm the transparent rewrite: matching aggregates over the base
-    // now route onto this view while it is fresh (graft.plans.MvRewrite)
-    graft.plans.MvRegistry.register(spark, mvDir)
+    val commit = populate(mvDir)
     if (catalogName) {
       spark.sql(s"CREATE TABLE $quoted USING txtable " +
         s"OPTIONS (path '$mvDir')")
       refreshCatalog(mvParts)
     }
     commit.map(summary).getOrElse(summary0())
+  }
+
+  /** `CREATE MATERIALIZED VIEW mv AS SELECT … FROM a JOIN b ON …
+    * GROUP BY …` — the star-schema rollup face of
+    * [[MaterializedJoinView]]: an INNER equi-join of two TxTables
+    * under COUNT(*)/SUM aggregates, maintained EXACTLY through the
+    * delta-join identity (ΔA⋈B₀ + A₁⋈ΔB). MIN/MAX/AVG/DISTINCT over
+    * a join refuse loudly (extrema would need a bounded recompute
+    * over the JOIN — a different machine); group and summed columns
+    * are plain names each resolving to exactly one side. */
+  private def runCreateJoinMv(ident: String, agg: Aggregate,
+      join: Join): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    require(join.joinType == org.apache.spark.sql.catalyst.plans.Inner,
+      "materialized join view supports INNER JOIN only; got: " +
+        join.joinType.sql)
+    val cond = join.condition.getOrElse(sys.error(
+      "materialized join view needs an ON equi-join condition"))
+    def relAlias(p: LogicalPlan): (Seq[String], Option[String]) =
+      p match {
+        case SubqueryAlias(id, child) =>
+          (relAlias(child)._1, Some(id.name.toLowerCase))
+        case r: UnresolvedRelation => (r.multipartIdentifier, None)
+        case other => sys.error(
+          "materialized join view sides must be plain table " +
+            s"references, got: ${other.nodeName}")
+      }
+    val (lParts, lAlias) = relAlias(join.left)
+    val (rParts, rAlias) = relAlias(join.right)
+    val lt = resolveParts(lParts)
+    val rt = resolveParts(rParts)
+    val lSchema = lt.read().columns.map(_.toLowerCase).toSet
+    val rSchema = rt.read().columns.map(_.toLowerCase).toSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(x, y) => conjuncts(x) ++ conjuncts(y)
+      case other     => Seq(other)
+    }
+    // a join-key reference lands on its side by alias/table qualifier
+    // first, schema containment second — ambiguity refuses loudly
+    def side(a0: UnresolvedAttribute): Either[String, String] = {
+      val c = a0.nameParts.last
+      a0.nameParts.init.lastOption.map(_.toLowerCase) match {
+        case Some(q)
+            if lAlias.contains(q) || lParts.last.toLowerCase == q =>
+          Left(c)
+        case Some(q)
+            if rAlias.contains(q) || rParts.last.toLowerCase == q =>
+          Right(c)
+        case Some(q) =>
+          sys.error(s"join key qualifier $q matches neither side")
+        case None =>
+          val (inL, inR) =
+            (lSchema.contains(c.toLowerCase), rSchema.contains(c.toLowerCase))
+          if (inL && inR)
+            sys.error(s"join key $c is ambiguous — qualify it")
+          else if (inL) Left(c)
+          else if (inR) Right(c)
+          else sys.error(s"join key $c exists on neither side")
+      }
+    }
+    val keyPairs: Seq[(String, String)] = conjuncts(cond).map {
+      case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
+        (side(x), side(y)) match {
+          case (Left(lk), Right(rk)) => (lk, rk)
+          case (Right(rk), Left(lk)) => (lk, rk)
+          case _ => sys.error(
+            "each ON conjunct must pair one column from each side")
+        }
+      case other => sys.error(
+        "materialized join view ON supports conjunctions of column " +
+          s"equalities only; got: ${other.sql}")
+    }
+    val groupCols: Seq[String] = agg.groupingExpressions.map {
+      case a0: UnresolvedAttribute => a0.nameParts.last
+      case other => sys.error(
+        "materialized join view GROUP BY supports plain columns; " +
+          s"got: ${other.sql}")
+    }
+    require(groupCols.nonEmpty,
+      "materialized join view needs at least one GROUP BY column")
+    def isCountStar(f: UnresolvedFunction): Boolean =
+      f.arguments.isEmpty || (f.arguments match {
+        case Seq(_: UnresolvedStar) => true
+        case Seq(Literal(v, _))     => v != null
+        case _                      => false
+      })
+    var sawCount = false
+    val sums = Seq.newBuilder[String]
+    val groupSet = groupCols.map(_.toLowerCase).toSet
+    agg.aggregateExpressions.foreach {
+      case a0: UnresolvedAttribute =>
+        require(groupSet.contains(a0.nameParts.last.toLowerCase),
+          s"SELECT item ${a0.nameParts.last} is neither a GROUP BY " +
+            "column nor an aggregate")
+      case al: Alias => al.child match {
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("count") &&
+              !f.isDistinct && isCountStar(f) =>
+          require(al.name.equalsIgnoreCase(MaterializedView.NRows),
+            s"COUNT(*) must alias ${MaterializedView.NRows}; got: " +
+              al.name)
+          sawCount = true
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("sum") &&
+              !f.isDistinct =>
+          f.arguments match {
+            case Seq(a0: UnresolvedAttribute) =>
+              val c = a0.nameParts.last
+              require(al.name.equalsIgnoreCase(c + "_sum"),
+                s"SUM($c) must alias ${c}_sum; got: ${al.name}")
+              sums += c
+              ()
+            case _ => sys.error(
+              "join view SUM takes a single plain column; got: " +
+                al.child.sql)
+          }
+        case other => sys.error(
+          "materialized join view maintains COUNT(*) AS n_rows and " +
+            "SUM(col) AS col_sum — the signed-foldable class; " +
+            "MIN/MAX/AVG/DISTINCT over a join are not maintained. " +
+            s"Got: ${other.sql}")
+      }
+      case other => sys.error(
+        "materialized join view maintains COUNT(*) AS n_rows and " +
+          s"SUM(col) AS col_sum; got: ${other.sql}")
+    }
+    require(sawCount,
+      s"the SELECT must include COUNT(*) AS ${MaterializedView.NRows} " +
+        "— the maintained row count is what empties groups under deletes")
+    val (mvParts, mvDir, catalogName) = resolveMvIdent(ident)
+    def quoted = quotedParts(mvParts)
+    val definition = Map(
+      "txtable.mv.join.left" -> lt.tableDir,
+      "txtable.mv.join.right" -> rt.tableDir,
+      "txtable.mv.join.leftKeys" -> keyPairs.map(_._1).mkString(","),
+      "txtable.mv.join.rightKeys" -> keyPairs.map(_._2).mkString(","),
+      "txtable.mv.groupBy" -> groupCols.mkString(","),
+      "txtable.mv.sums" -> sums.result().mkString(","))
+    materializeMvAt(TxTable(spark, mvDir), mvDir, catalogName, mvParts,
+      quoted, definition) { dir =>
+      // the class validates side-resolution of every referenced
+      // column (exists on exactly one side) at first use
+      MaterializedJoinView(spark, lt, rt, dir, groupCols,
+        sums.result(), keyPairs.map(_._1), keyPairs.map(_._2)).refresh()
+    }
+  }
+
+  /** Rebuild the [[MaterializedJoinView]] object from the definition
+    * properties a CREATE persisted on the MV's table. */
+  private def openJoinMv(t: TxTable): MaterializedJoinView = {
+    def csv(k: String): Seq[String] = t.property(k).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    val l = t.property("txtable.mv.join.left").getOrElse(sys.error(
+      s"not a materialized join view: ${t.tableDir}"))
+    val r = t.property("txtable.mv.join.right").get
+    MaterializedJoinView(spark, TxTable(spark, l), TxTable(spark, r),
+      t.tableDir, csv("txtable.mv.groupBy"), csv("txtable.mv.sums"),
+      csv("txtable.mv.join.leftKeys"), csv("txtable.mv.join.rightKeys"))
   }
 
   /** DROP MATERIALIZED VIEW: the view is DERIVED state — rebuildable
@@ -861,9 +1062,11 @@ final class TxSql(spark: SparkSession) {
     val parts = spark.sessionState.sqlParser
       .parseMultipartIdentifier(ident.trim)
     val t = resolveParts(parts)
-    require(t.property("txtable.mv.base").isDefined,
+    require(t.property("txtable.mv.base").isDefined ||
+      t.property("txtable.mv.join.left").isDefined,
       "DROP MATERIALIZED VIEW target is not a materialized view " +
-        s"(no txtable.mv.base property): ${t.tableDir}")
+        s"(no txtable.mv.base / txtable.mv.join.left property): " +
+        t.tableDir)
     graft.plans.MvRegistry.unregister(spark, t.tableDir)
     parts match {
       case Seq(p, _) if p.equalsIgnoreCase("txtable") => ()

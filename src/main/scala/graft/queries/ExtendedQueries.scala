@@ -2160,6 +2160,63 @@ object ExtendedQueries {
             GROUP BY 1"""),
     bench = false)
 
+  // ----------------------- TxTable: JOIN materialized view (delta-join)
+  /** A grouped aggregate over an INNER equi-join of TWO TxTables —
+    * the star-schema rollup single-table MVs refuse — maintained
+    * EXACTLY through the delta-join identity
+    * A₁⋈B₁ − A₀⋈B₀ = ΔA⋈B₀ + A₁⋈ΔB: the left CDF window joins the
+    * right side at its OLD version, the new left side joins the right
+    * window, and both signed row sets fold like any single-table
+    * window. The refresh here covers BOTH shapes at once — fact
+    * appends + a fact delete AND a dim delete in the same window (a
+    * retired supplier must subtract every joined fact row it ever
+    * matched) — so a missed cross term, a wrong-version side, or a
+    * sign slip breaks the oracle hash against DuckDB's from-scratch
+    * join aggregate of the post-DML bases. Refresh cost is
+    * O(ΔA⋈B) + O(A⋈ΔB), never a re-aggregation of the full join;
+    * both applied versions ride ONE commit tag
+    * (`mv-refresh-<vA>:<vB>`), so the state and its watermark pair
+    * stay atomic. */
+  private val txMvJoin = GraftQuery(
+    "k50_tx_mv_join",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txmvjn-").toString
+      val fact = graft.ops.TxTable(s, s"$dir/fact")
+      val dim = graft.ops.TxTable(s, s"$dir/dim")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"))
+      fact.append(li.where(col("l_orderkey") % 2 === 0))
+      dim.append(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val sql = graft.ops.TxSql(s)
+      sql.run(s"CREATE MATERIALIZED VIEW txtable.`$dir/mv` AS " +
+        "SELECT s_nationkey, COUNT(*) AS n_rows, " +
+        "SUM(l_qty) AS l_qty_sum " +
+        s"FROM txtable.`$dir/fact` f JOIN txtable.`$dir/dim` s2 " +
+        "ON f.l_suppkey = s2.s_suppkey GROUP BY s_nationkey")
+      fact.append(li.where(col("l_orderkey") % 2 === 1))
+      sql.run(s"DELETE FROM txtable.`$dir/fact` " +
+        "WHERE l_orderkey BETWEEN 1 AND 500")
+      sql.run(s"DELETE FROM txtable.`$dir/dim` " +
+        "WHERE s_suppkey % 7 = 3")
+      // REFRESH through a FRESH TxSql: the join definition must
+      // round-trip through the persisted properties
+      graft.ops.TxSql(s).run(
+        s"REFRESH MATERIALIZED VIEW txtable.`$dir/mv`")
+      graft.ops.TxTable(s, s"$dir/mv").read()
+        .select(col("s_nationkey"), col("n_rows"), col("l_qty_sum"))
+    },
+    Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS l_qty_sum
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE l_orderkey NOT BETWEEN 1 AND 500
+              AND s_suppkey % 7 <> 3
+            GROUP BY 1"""),
+    bench = false)
+
   // --------------------------------- TxTable: column DEFAULT values
   /** Column DEFAULTs through the SQL face: `ADD COLUMN … DEFAULT`
     * backfills pre-existing rows ON READ (exists default — a
@@ -2275,6 +2332,6 @@ object ExtendedQueries {
     txMergeClauses,
     txMergeMultiKey, txBinPack, txConstraints, txClone, txIncrementalMv,
     txMvSql, txMvMinMax, txMvAvg, txMvStddev, txMvExprSum, txMvRewrite,
-    txMvCountDistinct,
+    txMvCountDistinct, txMvJoin,
     txColumnDefaults, recursiveCte, variantJson)
 }

@@ -110,7 +110,7 @@ object ExtensionsCheck {
     val stmts = script.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
-    require(stmts.size == 61, s"expected 61 statements, got ${stmts.size}")
+    require(stmts.size == 70, s"expected 70 statements, got ${stmts.size}")
     // each statement's result is FROZEN (collected) at its own point
     // in the lifecycle: a later statement may drop or rewrite what an
     // earlier SELECT read (56 drops the moment MV statement 53
@@ -294,17 +294,25 @@ object ExtensionsCheck {
       // g=2:{5,5,9} (n=3, dcnt=2 each); the DELETE retired BOTH 10s
       // (the value leaves g=1's distinct set) and the single 9 (g=2
       // keeps duplicated 5 counted once) — a pair dropped too early or
-      // kept too long breaks either row. Indexed from the END: these
-      // five statements are the script's tail.
-      val dcCreate = results(results.size - 4)
-      require(dcCreate.head().getString(1).startsWith("mv-refresh-"),
+      // kept too long breaks either row.
+      require(results(57).head().getString(1).startsWith("mv-refresh-"),
         "COUNT(DISTINCT) MV CREATE should populate via a refresh commit")
-      val dcRows = results(results.size - 1).collect()
+      val dcRows = results(60).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       require(dcRows == Seq((1L, 1L, 1L), (2L, 2L, 1L)),
         s"COUNT(DISTINCT) MV state after the delete window: $dcRows")
       require(new java.io.File(s"$pdir/dcmv/_dcnt_v").exists(),
         "the dcnt MV must carry its pair-count aux table")
+      // 62-70. JOIN MV: after the dim k=3 retires (its fact row (3,7)
+      // leaves cat 'a') and the (1,20) fact deletes in the same
+      // window, a = {(1,10)} and b = {(2,5)} — a missed cross term or
+      // a wrong-version side breaks either row
+      require(results(65).head().getString(1).startsWith("mv-refresh-"),
+        "JOIN MV CREATE should populate via a refresh commit")
+      val jRows = results(69).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      require(jRows == Seq(("a", 1L, 10L), ("b", 1L, 5L)),
+        s"JOIN MV state after the two-sided delete window: $jRows")
     } finally {
       spark.sql("DROP TABLE IF EXISTS tx_parity_dim")
       spark.sql("DROP TABLE IF EXISTS tx_parity_parts")
@@ -312,6 +320,8 @@ object ExtensionsCheck {
       spark.sql("DROP TABLE IF EXISTS tx_parity_rtas")
       spark.sql("DROP TABLE IF EXISTS tx_parity_dflt")
       spark.sql("DROP TABLE IF EXISTS tx_parity_mm")
+      spark.sql("DROP TABLE IF EXISTS tx_parity_jf")
+      spark.sql("DROP TABLE IF EXISTS tx_parity_jd")
     }
 
     // round-14: STREAMING over catalog names — readStream.table /

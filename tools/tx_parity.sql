@@ -221,3 +221,31 @@ DELETE FROM tx_parity_mm WHERE v = 10 OR v = 9;
 REFRESH MATERIALIZED VIEW txtable.`${DIR}/dcmv`;
 
 SELECT g, n_rows, v_dcnt FROM txtable.`${DIR}/dcmv` ORDER BY g;
+
+-- 62-70. JOIN materialized view (r17): COUNT/SUM over an INNER
+--        equi-join of two txtables, maintained through the delta-join
+--        identity (ΔA⋈B₀ + A₁⋈ΔB) — the dim delete must subtract
+--        every joined fact row its key ever matched, and the fact
+--        delete must land in the same refresh window
+CREATE TABLE tx_parity_jf (k BIGINT, qty BIGINT) USING txtable
+  LOCATION '${DIR}/jf';
+
+CREATE TABLE tx_parity_jd (k BIGINT, cat STRING) USING txtable
+  LOCATION '${DIR}/jd';
+
+INSERT INTO tx_parity_jf VALUES (1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L);
+
+INSERT INTO tx_parity_jd VALUES (1L, 'a'), (2L, 'b'), (3L, 'a');
+
+CREATE MATERIALIZED VIEW txtable.`${DIR}/jmv` AS
+SELECT cat, COUNT(*) AS n_rows, SUM(qty) AS qty_sum
+FROM txtable.`${DIR}/jf` f JOIN txtable.`${DIR}/jd` d ON f.k = d.k
+GROUP BY cat;
+
+DELETE FROM tx_parity_jd WHERE k = 3;
+
+DELETE FROM tx_parity_jf WHERE qty = 20;
+
+REFRESH MATERIALIZED VIEW txtable.`${DIR}/jmv`;
+
+SELECT cat, n_rows, qty_sum FROM txtable.`${DIR}/jmv` ORDER BY cat;
