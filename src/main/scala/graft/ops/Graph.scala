@@ -55,9 +55,17 @@ object Graph {
       .distinct().localCheckpoint()
     val n = nodes.count().toDouble
     // nodes with no out-edges: their rank mass has nowhere to go and
-    // is teleported uniformly each round
-    val dangling = nodes.join(deg, col("node") === col("src"), "left_anti")
-      .localCheckpoint()
+    // is teleported uniformly each round. A MIRRORED/regular graph has
+    // none at all — probe with limit-1 first (early-exit anti-join)
+    // and only materialize the frame for the loop when it is non-empty:
+    // the empty case then skips the per-round dangling-mass job
+    // entirely (its sum is exactly 0.0 every round, so folding the
+    // constant in is bit-identical).
+    val danglingPlan = nodes.join(deg, col("node") === col("src"), "left_anti")
+    val hasDangling = !danglingPlan.isEmpty
+    val dangling =
+      if (hasDangling) danglingPlan.localCheckpoint()
+      else danglingPlan // never executed below
     // the rank vector is O(nodes) — for graphs whose node set fits a
     // broadcast (most derived entity graphs; NOT a web-scale crawl),
     // shipping it to the edge partitions removes the per-round shuffle
@@ -71,20 +79,30 @@ object Graph {
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     var round = 0
     while (round < iterations) {
+      // contributions and the no-inbox fallback fold into ONE
+      // aggregation: every node contributes a literal 0.0 term, so
+      // nodes with in-edges sum (terms + 0.0) — exact for doubles —
+      // and in-edge-less nodes sum to 0.0, exactly the coalesce the
+      // former nodes-LEFT-JOIN-contribs produced, without the join or
+      // the contribs broadcast (one exchange per round, not two plans)
       val contribs = weighted
         .join(side(ranks), col("src") === col("node"))
-        .groupBy(col("dst").as("node2"))
-        .agg(sum(col("pr") * col("__w")).as("__c"))
-      val dmass = dangling.join(side(ranks), "node")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
-      ranks = nodes
-        .join(side(contribs), col("node") === col("node2"), "left")
-        .crossJoin(broadcast(dmass)) // one-row scalar, broadcast
-        .select(col("node"),
+        .select(col("dst").as("node"), (col("pr") * col("__w")).as("__t"))
+        .union(nodes.select(col("node"), lit(0.0).as("__t")))
+        .groupBy(col("node"))
+        .agg(sum(col("__t")).as("__c"))
+      val blended =
+        if (hasDangling) {
+          val dmass = dangling.join(side(ranks), "node")
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+          contribs.crossJoin(broadcast(dmass)) // one-row scalar, broadcast
+            .select(col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (col("__c") + col("__dm") / lit(n))).as("pr"))
+        } else contribs.select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              col("__dm") / lit(n))).as("pr"))
-        .localCheckpoint()
+            lit(damping) * col("__c")).as("pr"))
+      ranks = blended.localCheckpoint()
       round += 1
     }
     ranks
@@ -125,13 +143,17 @@ object Graph {
         .agg(count(lit(1)).as("__n"))
       // argmax by (count DESC, label ASC) in ONE partial-aggregable
       // pass: min_by over the (−count, label) struct — lexicographic
-      // struct ordering carries both directions without a window sort
-      val winner = votes.groupBy(col("dst").as("node2"))
-        .agg(expr("min_by(label, struct(-__n, label))").as("__new"))
-      labels = labels
-        .join(side(winner), col("node") === col("node2"), "left")
-        .select(col("node"),
-          coalesce(col("__new"), col("label")).as("label"))
+      // struct ordering carries both directions without a window sort.
+      // Every node's OWN label rides the same aggregation as a
+      // zero-count candidate: a node with real votes never picks it
+      // (any vote has −__n < 0), a message-less node keeps it — the
+      // exact keep-own coalesce the former labels-LEFT-JOIN-winner
+      // produced, without the per-round join or winner broadcast
+      labels = votes
+        .select(col("dst").as("node"), col("label"), col("__n"))
+        .union(labels.select(col("node"), col("label"), lit(0L).as("__n")))
+        .groupBy(col("node"))
+        .agg(expr("min_by(label, struct(-__n, label))").as("label"))
         .localCheckpoint()
       round += 1
     }

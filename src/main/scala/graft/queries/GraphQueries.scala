@@ -26,17 +26,28 @@ object GraphQueries {
       // the distinct edge derivation is consumed by the mirror union
       // and then by every stage of the iteration — materialize it ONCE
       // (without this the lineitem scan + distinct recomputes per
-      // consumer: measured the dominant cost of the whole query)
+      // consumer: measured the dominant cost of the whole query).
+      // Node keys stay NARROW through the whole iteration (guide
+      // §2.3): suppkey↦2k, partkey↦2k+1 — longs dedupe, hash, and
+      // shuffle at a fraction of the "s"/"p"-prefixed strings' cost;
+      // PageRank never compares node ids beyond equality, so the
+      // bijection is invisible to the arithmetic and the display
+      // strings are rebuilt once, on the O(nodes) result vector.
       val base = Tables.lineitem(s, d)
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
         .distinct().localCheckpoint()
       val edges = base.union(
         base.select(col("dst").as("src"), col("src").as("dst")))
       val ranks = Graph.pageRank(edges, iterations = 3, damping = 0.85)
       // the returned vector is materialized — N is a cheap count of it
       val n = ranks.count().toDouble
-      ranks.select(col("node"), round(col("pr") * lit(n), 6).as("pr_n"))
+      ranks.select(
+        when(col("node") % 2 === 0,
+          concat(lit("s"), shiftright(col("node"), 1)))
+          .otherwise(concat(lit("p"), shiftright(col("node"), 1)))
+          .as("node"),
+        round(col("pr") * lit(n), 6).as("pr_n"))
     },
     Some("""WITH b AS (SELECT DISTINCT 's' || l_suppkey AS src,
                    'p' || l_partkey AS dst FROM lineitem),

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc A/B: label-propagation round shapes (join-fallback vs
+  * union-fallback) at the bench SF. */
+object LpProbe {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def lp(variant: String)(): Long = {
+      val base = graft.core.Tables.lineitem(spark, dir)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct().localCheckpoint()
+      val edges = base.union(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      val e = edges.select(col("src"), col("dst")).localCheckpoint()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+      val bcast = nodes.count() <= 5000000L
+      def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+      var labels = nodes.withColumn("label", col("node"))
+      (1 to 3).foreach { _ =>
+        val votes = e.join(side(labels), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("__n"))
+        labels = (variant match {
+          case "union" =>
+            votes.select(col("dst").as("node"), col("label"), col("__n"))
+              .union(labels.select(col("node"), col("label"),
+                lit(0L).as("__n")))
+              .groupBy(col("node"))
+              .agg(expr("min_by(label, struct(-__n, label))").as("label"))
+          case "join" =>
+            val winner = votes.groupBy(col("dst").as("node2"))
+              .agg(expr("min_by(label, struct(-__n, label))").as("__new"))
+            labels.join(side(winner), col("node") === col("node2"), "left")
+              .select(col("node"),
+                coalesce(col("__new"), col("label")).as("label"))
+        }).localCheckpoint()
+      }
+      labels.count()
+    }
+    // warm both
+    Seq("union", "join").foreach { v =>
+      val t0 = System.nanoTime(); lp(v)()
+      println(f"warm $v ${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    (1 to 2).foreach { _ =>
+      Seq("union", "join").foreach { v =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime(); lp(v)()
+        println(f"$v%-6s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
