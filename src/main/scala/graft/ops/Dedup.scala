@@ -801,9 +801,13 @@ object Dedup {
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         PortableHash.hash60(col("gram")).as("h")))
+    // "df >= 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): one
+    // partial-aggregable pass with two longs of state per gram, instead
+    // of COUNT(DISTINCT)'s (h, doc_id) pre-aggregation — halves the
+    // detector's shuffles and removes its per-gram distinct state
     val dup = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx")).select("h")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     grams.join(dup, Seq("h"), "left_semi")
       .select("doc_id", "pos")
@@ -862,9 +866,10 @@ object Dedup {
           sequence(lit(1), length(col("text")) - (k - 1)),
           p => gramHash(col("text").substr(p, lit(k)))))
           .as(Seq("pos", "h")))) // pos = array index = 0-based byte offset
+    // min ≠ max ⟺ df ≥ 2 distinct docs — see [[duplicatedSpans]]
     val dup = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx")).select("h")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     grams.join(dup, Seq("h"), "left_semi")
       .select("doc_id", "pos")
@@ -942,10 +947,19 @@ object Dedup {
       .where(col("line") =!= "")
       .select(col("doc_id"), col("pos"),
         PortableHash.hash60(col("line")).as("h")))
-    val dup = posted.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= minDocs)
-      .select("h")
+    // the default minDocs = 2 threshold needs no distinct count:
+    // min(doc_id) ≠ max(doc_id) ⟺ ≥ 2 distinct docs (one cheap
+    // partial-aggregable pass — see [[duplicatedSpans]]); higher
+    // thresholds keep the exact distinct count
+    val dup =
+      if (minDocs == 2)
+        posted.groupBy("h")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .where(col("mn") =!= col("mx")).select("h")
+      else posted.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= minDocs)
+        .select("h")
     val kill = posted.join(dup, "h")
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("kill"))

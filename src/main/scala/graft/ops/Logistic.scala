@@ -42,6 +42,13 @@ object Logistic {
   def train(features: DataFrame, labels: DataFrame,
       lr: Double = 1.0 / 3.0, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // (Evaluated and rejected: pinning f/l hash-partitioned by doc_id
+    // via repartition+persist to make the per-round doc_id joins
+    // exchange-free — at bench scale AQE already broadcasts the small
+    // per-round sides, so the columnar cache encode + force job cost
+    // MORE than the saved exchanges; localCheckpoint alone is cheaper.
+    // An RDD-scan checkpoint drops output partitioning — probed, see
+    // tools/PartProbe — so checkpoint cannot carry the layout either.)
     val f = features.select(col("doc_id"), col("b"), col("x"))
       .localCheckpoint()
     val l = labels.select(col("doc_id"), col("y")).localCheckpoint()
@@ -66,11 +73,16 @@ object Logistic {
     while (round_ < iterations) {
       val m = f.join(broadcast(w), "b")
         .groupBy("doc_id").agg(sum(col("w") * col("x")).as("m"))
-      val g = f.join(m, "doc_id").join(l, "doc_id")
+      // residual per example first (m ⋈ l: co-partitioned, no exchange),
+      // then ONE join leg onto the wide feature table — the per-row term
+      // ((σ(m) − y) · x) is the same double expression as the former
+      // three-way join, so values are bit-identical term by term
+      val r = m.join(l, "doc_id")
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("resid"))
+      val g = f.join(r, "doc_id")
         .groupBy("b")
-        .agg(round(sum(
-          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")) * col("x"))
-          / lit(n), 6).as("g"))
+        .agg(round(sum(col("resid") * col("x")) / lit(n), 6).as("g"))
       w = w.join(g, Seq("b"), "left")
         .select(col("b"),
           (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
