@@ -123,12 +123,27 @@ object Graph {
     * (dst, label) count aggregate, one per-node argmax (`max_by` on
     * (count, smallest-label) — a partial-aggregable one-pass argmax,
     * not a window sort), `localCheckpoint` pinning each round. */
-  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  /** Label domain bound for [[labelPropagation]]'s packed-argmax fast
+    * path: labels must be longs in [0, 2⁴⁰). */
+  private val PackBase = 1L << 40
+
+  def labelPropagation(edges: DataFrame, iterations: Int = 3,
+      packedLongLabels: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct()
+    // packed path's contract checked once, on the O(nodes) vector the
+    // loop materializes anyway — a violating key fails the job loudly
+    // instead of silently mis-ranking
+    val nodes = (if (packedLongLabels)
+      nodes0.select(when(col("node") < 0 || col("node") >= PackBase,
+        raise_error(concat(lit("labelPropagation(packedLongLabels): node "),
+          col("node").cast("string"),
+          lit(s" outside [0, $PackBase)")))).otherwise(col("node"))
+        .as("node"))
+    else nodes0).localCheckpoint()
     // same adaptive discipline as [[pageRank]]: the label vector is
     // O(nodes) — broadcast it to the edge partitions while it fits, so
     // a round's only exchange is the vote aggregate; shuffle joins
@@ -138,23 +153,58 @@ object Graph {
     var labels = nodes.withColumn("label", col("node"))
     var round = 0
     while (round < iterations) {
-      val votes = e.join(side(labels), col("src") === col("node"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("__n"))
-      // argmax by (count DESC, label ASC) in ONE partial-aggregable
-      // pass: min_by over the (−count, label) struct — lexicographic
-      // struct ordering carries both directions without a window sort.
-      // Every node's OWN label rides the same aggregation as a
-      // zero-count candidate: a node with real votes never picks it
-      // (any vote has −__n < 0), a message-less node keeps it — the
-      // exact keep-own coalesce the former labels-LEFT-JOIN-winner
-      // produced, without the per-round join or winner broadcast
-      labels = votes
-        .select(col("dst").as("node"), col("label"), col("__n"))
-        .union(labels.select(col("node"), col("label"), lit(0L).as("__n")))
-        .groupBy(col("node"))
-        .agg(expr("min_by(label, struct(-__n, label))").as("label"))
-        .localCheckpoint()
+      // argmax by (count DESC, label ASC) in one partial-aggregable
+      // pass. Every node's OWN label rides the same aggregation as a
+      // zero-count candidate: a node with real votes never picks it,
+      // a message-less node keeps it — the exact keep-own coalesce the
+      // former labels-LEFT-JOIN-winner produced, without the per-round
+      // join or winner broadcast.
+      labels = (if (packedLongLabels) {
+        // PACKED fast path (r17): min_by/max_by over a struct ordering
+        // key cannot hash-aggregate (struct aggregation buffers are not
+        // UnsafeRow-mutable), so the generic path's argmax drops both
+        // aggregates to SortAggregate — two extra per-round SORTS of
+        // the full vote table outside whole-stage codegen. For long
+        // labels in [0, 2⁴⁰) the (count DESC, label ASC) order embeds
+        // into ONE decimal: max(__n·2⁴⁰ + (2⁴⁰−1−label)) — primary
+        // count DESC, tie smaller label — and max(decimal) is a plain
+        // HashAggregate. decimal(38,0), not long, because __n is
+        // unbounded (a hub node's in-degree at web scale overflows a
+        // long pack); values stay ≤ __n·2⁴⁰ ≪ 10³⁸. The own-label
+        // candidate folds in as a zero-weight vote row (sum(__w)
+        // instead of count(1)): same groups, same counts, one shape.
+        val votes = e.join(side(labels), col("src") === col("node"))
+          .select(col("dst").as("node2"), col("label"), lit(1L).as("__w"))
+          .union(labels.select(col("node").as("node2"), col("label"),
+            lit(0L).as("__w")))
+          .groupBy(col("node2"), col("label"))
+          .agg(sum(col("__w")).as("__n"))
+        votes
+          .select(col("node2"),
+            (col("__n").cast("decimal(25,0)") *
+              lit(PackBase).cast("decimal(14,0)") +
+              (lit(PackBase - 1) - col("label")).cast("decimal(25,0)"))
+              .as("__p"))
+          .groupBy(col("node2"))
+          .agg(max(col("__p")).as("__pm"))
+          .select(col("node2").as("node"),
+            (lit(PackBase - 1) -
+              pmod(col("__pm"), lit(PackBase).cast("decimal(25,0)"))
+                .cast("long")).as("label"))
+      } else {
+        // generic path: any orderable label type; min_by over the
+        // (−count, label) struct — lexicographic struct ordering
+        // carries both directions without a window sort (but see the
+        // packed path for why this SortAggregates)
+        val votes = e.join(side(labels), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("__n"))
+        votes
+          .select(col("dst").as("node"), col("label"), col("__n"))
+          .union(labels.select(col("node"), col("label"), lit(0L).as("__n")))
+          .groupBy(col("node"))
+          .agg(expr("min_by(label, struct(-__n, label))").as("label"))
+      }).localCheckpoint()
       round += 1
     }
     labels

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -78,6 +79,40 @@ object GraphQueries {
             SELECT node, ROUND(pr * (SELECT n FROM nn), 6) AS pr_n
             FROM p3"""))
 
+  /** ORDER-ISOMORPHIC long encoding of the node-key strings 'p'||k /
+    * 's'||k (1 ≤ k < 10⁹, no leading zeros): lexicographic string order
+    * ⟺ signed long order, so every `min`/`min_by` tie-break inside the
+    * label-propagation rounds picks the same winner over longs that the
+    * oracle picks over strings — unlike PageRank (equality-only keys),
+    * LPA's labels ARE compared, so a plain numeric key would change
+    * results. Layout: [pfx·10¹⁰ + k·10^(9−len)] ≪ 4 | len, where
+    * pfx = 1 for 's' (>' p'), k·10^(9−len) left-aligns the digits
+    * (lexicographic digit compare), and len breaks the prefix-string
+    * tie ("10" < "100"). All values < 2·10¹⁰·16 ≪ 2⁶³. Narrow keys
+    * per guide §2.3: the per-round join + two aggregates shuffle longs
+    * instead of 5–7-char strings. */
+  private[graft] def encKey(sPrefix: Boolean, k: Column): Column = {
+    val len = length(k.cast("string")).cast("long")
+    val frac = (k.cast("double") *
+      pow(lit(10.0), lit(9.0) - len.cast("double"))).cast("long")
+    shiftleft(lit(if (sPrefix) 10000000000L else 0L) + frac, 4)
+      .bitwiseOR(len)
+  }
+
+  /** Inverse of [[encKey]], applied once to the O(nodes) result. The
+    * double division is exact: frac = k·10^(9−len) by construction, so
+    * the quotient is the integer k (< 2⁵³), which IEEE division returns
+    * exactly. */
+  private[graft] def decKey(c: Column): Column = {
+    val len = c.bitwiseAND(lit(15L)).cast("double")
+    val body = shiftrightunsigned(c, 4)
+    val frac = pmod(body, lit(10000000000L))
+    val k = (frac.cast("double") / pow(lit(10.0), lit(9.0) - len))
+      .cast("long")
+    concat(when(body >= lit(10000000000L), lit("s")).otherwise(lit("p")),
+      k.cast("string"))
+  }
+
   /** Fixed-round synchronous label propagation
     * ([[graft.ops.Graph.labelPropagation]], 3 rounds) over the same
     * mirrored incidence graph: each round every node adopts its
@@ -85,17 +120,28 @@ object GraphQueries {
     * engine's one-pass `min_by` argmax, the oracle's windowed pick:
     * same total order, so the label trajectories agree exactly). The
     * unrolled-CTE oracle checks all three rounds' assignments, not a
-    * converged fixpoint — fixed rounds are the determinism contract. */
+    * converged fixpoint — fixed rounds are the determinism contract.
+    * Node keys ride the whole iteration as [[encKey]] longs (r17,
+    * guide §2.3 "narrower types"): the distinct runs over the numeric
+    * pair, every round shuffles longs, and the display strings are
+    * rebuilt once on the O(nodes) result — label-order isomorphism
+    * makes the trajectory bit-identical to the string form. */
   private val labelProp = GraftQuery(
     "x_graph_label_prop",
     (s, d) => {
       val base = Tables.lineitem(s, d)
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
-        .distinct().localCheckpoint()
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .select(encKey(sPrefix = true, col("sk")).as("src"),
+          encKey(sPrefix = false, col("pk")).as("dst"))
+        .localCheckpoint()
       val edges = base.union(
         base.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.labelPropagation(edges, iterations = 3)
+      // encKey values are < 2·10¹⁰·16 < 2³⁹, inside the packed-argmax
+      // domain — the round's two aggregates stay HashAggregates
+      Graph.labelPropagation(edges, iterations = 3, packedLongLabels = true)
+        .select(decKey(col("node")).as("node"),
+          decKey(col("label")).as("label"))
     },
     Some {
       val prelude = """WITH b AS (SELECT DISTINCT 's' || l_suppkey AS src,

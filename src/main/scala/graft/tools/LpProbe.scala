@@ -16,7 +16,18 @@ object LpProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def lp(variant: String)(): Long = {
-      val base = graft.core.Tables.lineitem(spark, dir)
+      val base =
+        if (variant == "enc")
+          graft.core.Tables.lineitem(spark, dir)
+            .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+            .distinct()
+            .select(
+              graft.queries.GraphQueries.encKey(sPrefix = true, col("sk"))
+                .as("src"),
+              graft.queries.GraphQueries.encKey(sPrefix = false, col("pk"))
+                .as("dst"))
+            .localCheckpoint()
+        else graft.core.Tables.lineitem(spark, dir)
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
         .distinct().localCheckpoint()
@@ -34,7 +45,7 @@ object LpProbe {
           .groupBy(col("dst"), col("label"))
           .agg(count(lit(1)).as("__n"))
         labels = (variant match {
-          case "union" =>
+          case "union" | "enc" =>
             votes.select(col("dst").as("node"), col("label"), col("__n"))
               .union(labels.select(col("node"), col("label"),
                 lit(0L).as("__n")))
@@ -48,19 +59,81 @@ object LpProbe {
                 coalesce(col("__new"), col("label")).as("label"))
         }).localCheckpoint()
       }
-      labels.count()
+      if (variant == "enc")
+        labels.select(graft.queries.GraphQueries.decKey(col("node")),
+          graft.queries.GraphQueries.decKey(col("label"))).count()
+      else labels.count()
+    }
+
+    // full-operator variant: enc keys + the packed-argmax fast path
+    def lpPack(): Long = {
+      val base = graft.core.Tables.lineitem(spark, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .select(
+          graft.queries.GraphQueries.encKey(sPrefix = true, col("sk"))
+            .as("src"),
+          graft.queries.GraphQueries.encKey(sPrefix = false, col("pk"))
+            .as("dst"))
+        .localCheckpoint()
+      val edges = base.union(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.labelPropagation(edges, 3, packedLongLabels = true)
+        .select(graft.queries.GraphQueries.decKey(col("node")),
+          graft.queries.GraphQueries.decKey(col("label"))).count()
+    }
+    // ROUND-SHAPE explain (the query-level explain only shows the final
+    // localCheckpoint scan): print round-1's plan for each variant —
+    // this is the shape that runs 3× per query
+    if (sys.env.get("LP_EXPLAIN").contains("1")) {
+      Seq("union", "enc").foreach { v =>
+        println(s"\n===== round-1 plan, variant=$v =====")
+        val base =
+          if (v == "enc")
+            graft.core.Tables.lineitem(spark, dir)
+              .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+              .distinct()
+              .select(
+                graft.queries.GraphQueries.encKey(sPrefix = true, col("sk"))
+                  .as("src"),
+                graft.queries.GraphQueries.encKey(sPrefix = false, col("pk"))
+                  .as("dst"))
+              .localCheckpoint()
+          else graft.core.Tables.lineitem(spark, dir)
+            .select(concat(lit("s"), col("l_suppkey")).as("src"),
+              concat(lit("p"), col("l_partkey")).as("dst"))
+            .distinct().localCheckpoint()
+        val edges = base.union(
+          base.select(col("dst").as("src"), col("src").as("dst")))
+        val e = edges.select(col("src"), col("dst")).localCheckpoint()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct().localCheckpoint()
+        val labels = nodes.withColumn("label", col("node"))
+        val votes = e.join(broadcast(labels), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("__n"))
+        votes.select(col("dst").as("node"), col("label"), col("__n"))
+          .union(labels.select(col("node"), col("label"), lit(0L).as("__n")))
+          .groupBy(col("node"))
+          .agg(expr("min_by(label, struct(-__n, label))").as("label"))
+          .explain("formatted")
+      }
     }
     // warm both
-    Seq("union", "join").foreach { v =>
+    Seq("union", "enc").foreach { v =>
       val t0 = System.nanoTime(); lp(v)()
       println(f"warm $v ${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    (1 to 2).foreach { _ =>
-      Seq("union", "join").foreach { v =>
+    locally { val t0 = System.nanoTime(); lpPack()
+      println(f"warm pack ${(System.nanoTime() - t0) / 1e9}%.2f") }
+    (1 to 3).foreach { _ =>
+      Seq("union", "enc", "pack").foreach { v =>
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        val t0 = System.nanoTime(); lp(v)()
+        val t0 = System.nanoTime()
+        if (v == "pack") lpPack() else lp(v)()
         println(f"$v%-6s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

@@ -74,6 +74,33 @@ class GraphSpec extends SparkTestBase {
     assert(out("b") === "b")
   }
 
+  test("packedLongLabels path matches the generic struct-argmax path") {
+    import spark.implicits._
+    // random-ish multigraph over long ids incl. hubs and isolated-vote
+    // ties — every (node, label) trajectory must agree round by round
+    val es = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (4L, 5L),
+      (5L, 4L), (6L, 4L), (4L, 6L), (7L, 3L), (8L, 3L), (9L, 3L),
+      (3L, 7L), (3L, 8L), (3L, 9L), (10L, 11L), (12L, 11L)).toDF("src", "dst")
+    for (it <- 1 to 4) {
+      val generic = Graph.labelPropagation(es, it)
+        .as[(Long, Long)].collect().toMap
+      val packed = Graph.labelPropagation(es, it, packedLongLabels = true)
+        .as[(Long, Long)].collect().toMap
+      assert(packed === generic, s"diverged at iterations=$it")
+    }
+  }
+
+  test("packedLongLabels refuses labels outside [0, 2^40)") {
+    import spark.implicits._
+    val es = Seq((-1L, 2L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Graph.labelPropagation(es, 1, packedLongLabels = true).collect()
+    }
+    assert(ex.getMessage.contains("outside [0,") ||
+      ex.getCause != null)
+  }
+
   test("fixed iterations are deterministic across runs") {
     val e = edges(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
       ("d", "a"))
