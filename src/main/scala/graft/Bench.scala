@@ -234,6 +234,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // benchmark JVM hygiene (r17): with the UI off the app-status and
+      // SQL listeners still retain per-job/stage/task/execution state up
+      // to high default caps (1000 jobs/stages, 100k tasks, 1000 SQL
+      // executions) — a 196-query × 4-execution sweep ages the JVM and
+      // inflates late queries. Keep only a small live window; nothing
+      // reads the history (no UI, no history server).
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Per-query warm-up at the smallest SF before timing at the target:
@@ -303,9 +313,45 @@ object Bench {
         // covers persist() only; localCheckpoint blocks (iterative
         // queries' final rounds) live in the RDD registry and would
         // otherwise accumulate across runs and queries.
+        //
+        // BLOCKING unpersist + a GC nudge (r17 measurement fix): with
+        // blocking=false the removal work — and the ContextCleaner
+        // backlog of dead shuffle files, broadcasts, and checkpoint
+        // blocks, which only drains when driver GC enqueues the weak
+        // refs — lands INSIDE the next timed region, so runs 2..n paid
+        // the previous run's janitor. Measured on x_dedup_clusters at
+        // sf0.1, 6 runs in one JVM: async form 2.80→4.24 s monotone
+        // (+0.28 s/run of accumulated residue); runs must be
+        // independent cold measurements, not a leak integral. The GC
+        // runs BEFORE t0, never inside it.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        if (!sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")) {
+          val g0 = System.nanoTime()
+          System.gc()
+          if (sys.env.get("SPARK_GRAFT_BENCH_TELEMETRY").contains("1"))
+            System.err.println(f"[telemetry] gc_pause=${(System.nanoTime() - g0) / 1e9}%.3f")
+        }
+        if (sys.env.get("SPARK_GRAFT_BENCH_TELEMETRY").contains("1")) {
+          import scala.jdk.CollectionConverters._
+          import java.lang.management.{ManagementFactory => mf}
+          val gc = mf.getGarbageCollectorMXBeans.asScala
+            .map(b => s"${b.getName}=${b.getCollectionCount}/${b.getCollectionTime}ms").mkString(" ")
+          val cc = mf.getMemoryPoolMXBeans.asScala
+            .filter(_.getName.toLowerCase.contains("code"))
+            .map(b => s"${b.getName}=${b.getUsage.getUsed / 1048576}MB").mkString(" ")
+          val comp = mf.getCompilationMXBean.getTotalCompilationTime
+          val meta = mf.getMemoryPoolMXBeans.asScala
+            .filter(_.getName.contains("Metaspace"))
+            .map(b => s"${b.getUsage.getUsed / 1048576}MB").mkString(" ")
+          val byPrefix = Thread.getAllStackTraces.keySet.asScala.toSeq
+            .map(_.getName.replaceAll("[0-9]+$", "N"))
+            .groupBy(identity).view.mapValues(_.size).toSeq
+            .sortBy(-_._2).take(8)
+            .map { case (n, c) => s"$n×$c" }.mkString(" ")
+          System.err.println(s"[telemetry] q=${q.name} gc: $gc | code: $cc | compMs=$comp | metaspace: $meta | threads=${Thread.activeCount()} | top: $byPrefix")
+        }
         val t0 = System.nanoTime()
         try { timed() } catch { case _: Throwable => runFailed = true }
         (System.nanoTime() - t0) / 1e9

@@ -102,13 +102,26 @@ object Dedup {
   private def persisted(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Fan the hash-heavy projection across all cores WITHOUT moving
+    * document bodies when the scan is already parallel (guide §2.4 /
+    * §6): a small local parquet arrives in 1–2 partitions and must
+    * spread (that shuffle is tiny), but a corpus-scale scan already has
+    * ≥ cores splits — an unconditional repartition there re-shuffles
+    * every body byte purely to rebalance work the scan has already
+    * balanced. Partition count comes from the planned scan, no job
+    * runs; results are identical either way (everything downstream is
+    * key-grouped, never order-sensitive). */
+  private def fanOut(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+  }
+
   /** doc_id + shingle-set projection, rows with too few tokens dropped.
     * Repartitioned to full parallelism first: the downstream md5 work is
     * CPU-bound per row, and a small parquet source otherwise arrives as a
     * single partition that would serialize the whole hash grind. */
   def shingleTable(docs: DataFrame): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par)
+    fanOut(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
   }
@@ -271,8 +284,7 @@ object Dedup {
   def minhashNearDupsFast(
       docs: DataFrame, threshold: Double,
       broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sig = persisted(docs.repartition(par)
+    val sig = persisted(fanOut(docs)
       .select(col("doc_id"),
         call_function("minhash_sig_fast",
           col("text"), lit(ShingleN), lit(MinHashK)).as("sig"))
@@ -376,10 +388,9 @@ object Dedup {
     require(maxHamming <= 3,
       "4x16-bit banding guarantees recall (below the bucket cap) only " +
         s"for hamming <= 3, got $maxHamming")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
     // persisted so projection collapse cannot inline the simhash fold
     // into the four band expressions (which would recompute it 5×/row)
-    val sig = persisted(docs.repartition(par)
+    val sig = persisted(fanOut(docs)
       .select(col("doc_id"), simhash64(col("text")).as("sh64")))
     val pairs = bucketPairs(
       sig.select(col("doc_id"),
@@ -446,8 +457,7 @@ object Dedup {
       s"permuted banding needs maxHamming in [1, blocks), got " +
         s"$maxHamming of $blocks blocks")
     val t = blocks - maxHamming
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sig = persisted(docs.repartition(par)
+    val sig = persisted(fanOut(docs)
       .select(col("doc_id"), simhash64(col("text")).as("sh64")))
     val pairs = bucketPairs(
       sig.select(col("doc_id"),
@@ -519,11 +529,22 @@ object Dedup {
         df.observe(o, sum(col("label").cast("decimal(38,0)")).as("s")))
       (pinned, ids, o.get("s").asInstanceOf[java.math.BigDecimal])
     }
+    // ROUND-1 FUSION (r17): with labels₀(id) = id, round 1's
+    // labels₀ ∪ (labels₀ ⋈ edges) reduces algebraically to
+    // min(id, min of in-neighbors) — one aggregation straight over the
+    // edge list, no join, no init distinct, and no labels₀ pin job.
+    // (src,src) rows stand in for the self candidates (every active
+    // vertex appears as a src — edges are mirrored), and groupBy+min
+    // dedupes, so the separate distinct exchange is gone too. Round 1
+    // can never BE the fixpoint when edges exist (any mirrored edge
+    // (a,b), a≠b, strictly lowers the larger endpoint's label), so
+    // convergence checking starts at round 2, same as before.
     var (labels, labelIds, sum0) = pinWithChecksum(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
+      edges.select(col("src").as("id"), col("src").as("label"))
+        .union(edges.select(col("dst").as("id"), col("src").as("label")))
+        .groupBy("id").agg(min("label").as("label")))
     var converged = sum0 == null // no edges: nothing to propagate
-    var iters = 0
+    var iters = 1
     while (!converged && iters < maxIters) {
       val prop = labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
@@ -792,8 +813,7 @@ object Dedup {
     // grind), persist the gram table (both the df-count branch and the
     // island probe read it — unpersisted, the dominant hashing cost
     // runs twice)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val grams = persisted(docs.repartition(par)
+    val grams = persisted(fanOut(docs)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
@@ -858,8 +878,7 @@ object Dedup {
     // same parallelize-then-persist discipline as [[duplicatedSpans]]:
     // ~len hash calls per doc is the dominant cost, must fan out across
     // cores and must run ONCE, not once per consuming branch
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val grams = persisted(docs.repartition(par)
+    val grams = persisted(fanOut(docs)
       .where(length(col("text")) >= k)
       .select(col("doc_id"),
         posexplode(transform(
@@ -937,8 +956,7 @@ object Dedup {
     * engine derives identical kill sets; only positions and counts
     * reach the output. */
   def dedupLines(docs: DataFrame, minDocs: Int = 2): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val lines = docs.repartition(par)
+    val lines = fanOut(docs)
       .select(col("doc_id"),
         transform(split(col("text"), "\n"), l => trim(l)).as("lines"))
     val posted = persisted(lines

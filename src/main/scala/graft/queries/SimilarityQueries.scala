@@ -34,8 +34,12 @@ object SimilarityQueries {
     * per vector that saves 2k norm folds per corpus row. */
   private def corpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // small file → 1 input split
+    // fan out only when the scan is under-parallel (a small local file
+    // arrives as 1 split); a corpus-scale scan is already parallel and
+    // repartitioning it would shuffle every embedding for nothing
+    val emb0 = Tables.embeddings(s, d)
+    val par = s.sparkContext.defaultParallelism
+    (if (emb0.rdd.getNumPartitions < par) emb0.repartition(par) else emb0)
       .select(
         col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
