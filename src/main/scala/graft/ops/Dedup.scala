@@ -326,8 +326,15 @@ object Dedup {
     // tables: several nested broadcast builds consume them, and a lazy
     // persist materializes inside the first broadcast-build thread,
     // re-running candidate generation per consumer before the cache
-    // fills (measured 3x end-to-end at ScaleProbe 64x)
-    val p = pairs.localCheckpoint(true)
+    // fills (measured 3x end-to-end at ScaleProbe 64x). The candidate
+    // count that picks the join regime rides the checkpoint's own
+    // materialization job as an observe() metric (r17) — the separate
+    // count job over the pinned table is gone; the observe node
+    // vanishes with the truncated lineage, so downstream consumers of
+    // the checkpoint never re-fire it.
+    val o = org.apache.spark.sql.Observation()
+    val p = pairs.observe(o, count(lit(1)).as("n")).localCheckpoint(true)
+    val nPairs = o.get("n").asInstanceOf[Long]
     // ids stays lazy: it is a trivial scan of the checkpointed p, and a
     // checkpoint of its own would cost one more job than it saves
     val ids = p.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
@@ -340,7 +347,7 @@ object Dedup {
         case Some(c) => narrow(c)
         case None    => shingleTable(narrow(docs))
       }
-    if (p.count() <= broadcastLimit) {
+    if (nPairs <= broadcastLimit) {
       val sh = shingled(_.join(broadcast(ids), "doc_id"))
       val shA = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       val shB = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))

@@ -50,22 +50,32 @@ object Graph {
       .select(col("src"), col("dst"),
         (lit(1.0) / col("__outdeg")).as("__w"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val n = nodes.count().toDouble
     // nodes with no out-edges: their rank mass has nowhere to go and
-    // is teleported uniformly each round. A MIRRORED/regular graph has
-    // none at all — probe with limit-1 first (early-exit anti-join)
-    // and only materialize the frame for the loop when it is non-empty:
-    // the empty case then skips the per-round dangling-mass job
-    // entirely (its sum is exactly 0.0 every round, so folding the
+    // is teleported uniformly each round; a MIRRORED/regular graph has
+    // none at all, and the empty case skips the per-round dangling-mass
+    // job entirely (its sum is exactly 0.0 every round, so folding the
     // constant in is bit-identical).
-    val danglingPlan = nodes.join(deg, col("node") === col("src"), "left_anti")
-    val hasDangling = !danglingPlan.isEmpty
-    val dangling =
-      if (hasDangling) danglingPlan.localCheckpoint()
-      else danglingPlan // never executed below
+    //
+    // SETUP FUSION (r17): the node vector, the node count, and dangling
+    // detection all ride ONE pinned aggregation — a src row carries
+    // __has_out = 1, a dst row 0, so max(__has_out) = 0 ⟺ no out-edge
+    // (exactly the old nodes ⊳ deg anti-join), the count and the
+    // dangling total are observe() metrics on the checkpoint's own
+    // materialization job, and the dangling frame is a free filter of
+    // the pinned vector. Replaces four setup jobs (distinct+checkpoint,
+    // count, isEmpty anti-join probe, dangling checkpoint) with one.
+    val o = org.apache.spark.sql.Observation()
+    val nodesAgg = e.select(col("src").as("node"), lit(1).as("__has_out"))
+      .union(e.select(col("dst").as("node"), lit(0).as("__has_out")))
+      .groupBy("node").agg(max(col("__has_out")).as("__has_out"))
+      .observe(o, count(lit(1)).as("n"),
+        sum(lit(1) - col("__has_out")).as("dang"))
+      .localCheckpoint()
+    val nodes = nodesAgg.select(col("node"))
+    val n = o.get("n").asInstanceOf[Long].toDouble
+    val hasDangling = Option(o.get("dang"))
+      .exists(_.asInstanceOf[Long] > 0L)
+    val dangling = nodesAgg.where(col("__has_out") === 0).select(col("node"))
     // the rank vector is O(nodes) — for graphs whose node set fits a
     // broadcast (most derived entity graphs; NOT a web-scale crawl),
     // shipping it to the edge partitions removes the per-round shuffle
@@ -143,14 +153,19 @@ object Graph {
           col("node").cast("string"),
           lit(s" outside [0, $PackBase)")))).otherwise(col("node"))
         .as("node"))
-    else nodes0).localCheckpoint()
+    else nodes0)
     // same adaptive discipline as [[pageRank]]: the label vector is
     // O(nodes) — broadcast it to the edge partitions while it fits, so
     // a round's only exchange is the vote aggregate; shuffle joins
-    // past the threshold
-    val bcast = nodes.count() <= 5000000L
+    // past the threshold. The count rides the checkpoint's own
+    // materialization job as an observe() metric (r17) instead of a
+    // second count job over the pinned vector.
+    val ob = org.apache.spark.sql.Observation()
+    val nodesPinned = nodes
+      .observe(ob, count(lit(1)).as("n")).localCheckpoint()
+    val bcast = ob.get("n").asInstanceOf[Long] <= 5000000L
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    var labels = nodes.withColumn("label", col("node"))
+    var labels = nodesPinned.withColumn("label", col("node"))
     var round = 0
     while (round < iterations) {
       // argmax by (count DESC, label ASC) in one partial-aggregable

@@ -51,14 +51,26 @@ object Logistic {
     // tools/PartProbe — so checkpoint cannot carry the layout either.)
     val f = features.select(col("doc_id"), col("b"), col("x"))
       .localCheckpoint()
-    val l = labels.select(col("doc_id"), col("y")).localCheckpoint()
+    // r17: labels attach to the feature table ONCE (inner broadcast
+    // join, pinned) instead of a per-round residual join — y rides the
+    // margin aggregation as max(y) (constant per example), so each
+    // round loses the m ⋈ l join and its labels broadcast build.
+    // Unlabeled feature rows never contributed a gradient anyway (the
+    // old per-round m ⋈ l was inner); the weight vector still
+    // initializes over ALL occurring buckets of `features`, so a
+    // bucket exclusive to unlabeled examples keeps its 1e-9 exactly as
+    // the old left-join no-gradient case did. The broadcast join
+    // streams f's rows in order, so per-example margin summation order
+    // — and with it the fitted trajectory — is unchanged.
+    val fl = f.join(broadcast(labels.select(col("doc_id"), col("y"))),
+      "doc_id").localCheckpoint()
     // the +1/3 makes the divisor (and so every rounded gradient)
     // non-decimal: sums of the rational (σ−y)·x terms can land EXACTLY
     // on a decimal rounding tie, which Spark (half-up) and other
     // engines (half-even) break differently — the same non-dyadic
     // anchor trick as the EWMA α. The scale change is absorbed into
     // the (arbitrary) learning rate.
-    val n = l.count().toDouble + 1.0 / 3.0
+    val n = labels.count().toDouble + 1.0 / 3.0
     // weights start at 1e-9, not 0: a zero start makes round 1's
     // residuals exactly +-0.5 and the whole first gradient RATIONAL,
     // which can land exactly on a 6-decimal rounding tie (observed:
@@ -71,16 +83,16 @@ object Logistic {
       .withColumn("w", lit(1e-9)).localCheckpoint()
     var round_ = 0
     while (round_ < iterations) {
-      val m = f.join(broadcast(w), "b")
-        .groupBy("doc_id").agg(sum(col("w") * col("x")).as("m"))
-      // residual per example first (m ⋈ l: co-partitioned, no exchange),
-      // then ONE join leg onto the wide feature table — the per-row term
-      // ((σ(m) − y) · x) is the same double expression as the former
-      // three-way join, so values are bit-identical term by term
-      val r = m.join(l, "doc_id")
+      // margins and residuals in ONE aggregation over the label-carrying
+      // feature table: y is constant per example, so max(y) recovers it
+      // without a join — the per-row residual expression is the same
+      // double arithmetic as the former m ⋈ l form, term by term
+      val r = fl.join(broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("w") * col("x")).as("m"), max(col("y")).as("y"))
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("resid"))
-      val g = f.join(r, "doc_id")
+      val g = fl.join(r, "doc_id")
         .groupBy("b")
         .agg(round(sum(col("resid") * col("x")) / lit(n), 6).as("g"))
       w = w.join(g, Seq("b"), "left")

@@ -981,6 +981,24 @@ object TrainingData {
         round(((col("id") * 37 + 11) % 201 - 100) / 100.0, 2).as("w"))
       TextAnalysis.linearQualityScore(Tables.documents(s, d), weights, B)
     },
+    // Oracle reproduces the engine's margin BIT-EXACTLY (inherited r16
+    // defect, found r17; the ENGINE's output is unchanged — this fixes
+    // the oracle's side only). Two mechanisms, both required:
+    //  1. fold order — the engine folds each document's weights in
+    //     token order (row-local `aggregate(toks, 0.0, acc + w)`);
+    //     the old unnest-JOIN-SUM summed in DuckDB's arbitrary order,
+    //     and a margin one ulp from an exact 6-decimal tie (the
+    //     2-decimal weights make ties REAL: 0.0184375 at sf0.001,
+    //     0.0934375 at sf0.01) rounds apart under a different order.
+    //     list_reduce over a 0.0-prepended list is the same strict
+    //     left fold (verified raw-bit-equal on every doc, both SFs).
+    //  2. rounding — Spark's round() is HALF_UP over the double's
+    //     EXACT decimal expansion (BigDecimal); DuckDB's ROUND
+    //     multiplies by 1e6 first, whose own rounding can cross the
+    //     tie (observed: 0.09343749999999999·1e6 = 93437.5 exactly).
+    //     printf('%.6f') is the correctly-rounded conversion, and no
+    //     double is an exact odd multiple of 1e-7 (1e-7 is not
+    //     dyadic), so half-even-on-exact == Spark's HALF_UP always.
     Some("""WITH toks AS (SELECT doc_id,
               list_filter(str_split_regex(lower(text), '\s+'),
                           t -> t <> '') AS toks
@@ -988,16 +1006,21 @@ object TrainingData {
             w AS (SELECT b,
               ROUND(((b * 37 + 11) % 201 - 100) / 100.0, 2) AS w
             FROM (SELECT unnest(generate_series(0, 4095)) AS b)),
-            posted AS (SELECT doc_id,
-              CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 4096 AS b
-            FROM (SELECT doc_id, unnest(toks) AS term
-                  FROM toks WHERE len(toks) >= 1)),
-            scored AS (SELECT doc_id,
-              CAST(COUNT(*) AS BIGINT) AS n_tokens,
-              ROUND(SUM(w) / COUNT(*), 6) AS margin
-            FROM posted JOIN w USING (b) GROUP BY 1)
+            warr AS (SELECT list(w ORDER BY b) AS wa FROM w),
+            folded AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(toks, t ->
+                    wa[(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)
+                        % 4096) + 1])),
+                (acc, x) -> acc + x) AS raw
+            FROM toks, warr WHERE len(toks) >= 1),
+            scored AS (SELECT doc_id, n_tokens,
+              CAST(printf('%.6f', raw / n_tokens) AS DOUBLE) AS margin
+            FROM folded)
             SELECT doc_id, n_tokens, margin,
-              ROUND(1.0 / (1.0 + exp(-margin)), 6) AS score,
+              CAST(printf('%.6f', 1.0 / (1.0 + exp(-margin))) AS DOUBLE)
+                AS score,
               margin > 0 AS keep
             FROM scored"""))
 
