@@ -57,10 +57,19 @@ object Dedup {
   /** The `Bands` LSH band keys over a MATERIALIZED signature column (pass
     * a plain column reference, not the [[minhashSignature]] expression —
     * projection collapse would otherwise inline the whole fold once per
-    * band). Docs sharing any band key become candidates. */
+    * band). Docs sharing any band key become candidates.
+    *
+    * Keys are 60-bit md5 prefixes ([[PortableHash.hash60]]), not 32-char
+    * md5 STRINGS (r17, guide §2.3): the banding exchange is the dedup
+    * family's hottest shuffle — (doc_id, band_idx, band_key) × Bands per
+    * doc — and an 8-byte long shuffles, hashes, and compares at a
+    * fraction of a 32-char UTF8String. The oracle truncates identically,
+    * so bucket membership agrees bit-for-bit; a 60-bit prefix collision
+    * (≈2⁻⁶⁰ per key pair, identical in both engines) could only ADD a
+    * candidate pair, which the exact-Jaccard verify then gates. */
   def bandKeys(sig: Column): Seq[Column] =
     (0 until Bands).map { b =>
-      md5(concat_ws("|",
+      PortableHash.hash60(concat_ws("|",
         (0 until RowsPerBand).map(r => sig.getItem(b * RowsPerBand + r)): _*))
     }
 

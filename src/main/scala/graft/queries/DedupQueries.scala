@@ -39,10 +39,13 @@ object DedupQueries {
        |  s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)
        |       + $i * CAST('0x' || substring(md5(s), 17, 14) AS BIGINT)))""".stripMargin
 
+  // 60-bit md5-prefix band keys, truncated exactly like the engine's
+  // PortableHash.hash60 (see Dedup.bandKeys) — longs, not md5 strings,
+  // through the banding exchange
   private val bandCols = (0 until Dedup.Bands).map { b =>
     val parts = (0 until Dedup.RowsPerBand)
       .map(r => s"CAST(m${b * Dedup.RowsPerBand + r} AS VARCHAR)")
-    s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
+    s"CAST('0x' || substring(md5(${parts.mkString(" || '|' || ")}), 1, 15) AS BIGINT) AS b$b"
   }
 
   private val minhashLsh = GraftQuery(
