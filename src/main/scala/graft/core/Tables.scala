@@ -32,24 +32,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** Conditional fan-out for the per-row-CPU-heavy tables (documents,
-    * events — tokenization, hashing, JSON/variant encoding dominate
-    * their consumers): a small LOCAL parquet arrives as one input split
-    * and serializes the whole per-row grind on one core (guide §2.5
-    * "input skew — one huge unsplittable file"); repartition spreads it
-    * for a trivial local shuffle. At corpus scale the scan already has
-    * ≥ cores splits and this no-ops — no body bytes move. Partition
-    * count comes from the planned scan; no job runs. Only these two
-    * tables: the relational tables feed partial-aggregating scans where
-    * an exchange of raw rows before the partial agg would be a real
-    * cost at any scale. */
-  private def fanOut(df: DataFrame): DataFrame = {
+  /** Conditional fan-out for a SINGLE genuinely CPU-bound consumer (the
+    * variant-encode query): repartition only when the local scan is
+    * under-parallel; a no-op at corpus scale. NOT applied table-wide:
+    * measured across the 31 documents/events consumers at sf0.1, a
+    * blanket fan-out LOST ~9 s net — the keyless repartition pays a
+    * local sort of its input (SPARK-23207) plus an extra stage, and
+    * most text kernels (native codegen tokenizers, µs/row) don't have
+    * enough per-row CPU to repay it; only variant/JSON encoding
+    * (100s of µs/row) does. */
+  def fanOutIfNarrow(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
-    fanOut(table(spark, dir, "documents"))
+    table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** Normalize an events frame's `ts` to session-zone `TimestampType`,
@@ -85,7 +83,7 @@ object Tables {
   /** The events stream table with `ts` as a session-zone timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     pinEventConfs(spark)
-    normalizeEventTs(fanOut(table(spark, dir, "events")))
+    normalizeEventTs(table(spark, dir, "events"))
   }
 
   /** Raw events with `ts` as nanosecond epoch long (whatever the
