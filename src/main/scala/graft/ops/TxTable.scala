@@ -3823,31 +3823,69 @@ final class TxTable private (spark: SparkSession, dir: String,
       "updateSet assignments need a WHEN MATCHED UPDATE clause")
     require(insertValues.isEmpty || whenNotMatchedInsert.isDefined,
       "insertValues assignments need a WHEN NOT MATCHED INSERT clause")
-    val dupKeys = source.groupBy(srcKeys.map(col): _*)
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-      .where(col("__n") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"source has duplicate rows per key ${srcKeys.mkString(",")}: a " +
-        "target row may match at most one source row (collapse with " +
-        "upsert's latest-wins first if that is the intent)")
+    // r18: the source is PINNED once (eager localCheckpoint) for the
+    // whole merge — the machinery consumes it three times per attempt
+    // (duplicate-key guard + pruning-bounds aggregation, then the
+    // staged rewrite's join), and each unpinned pass would re-run an
+    // arbitrary caller plan (joins, aggregates, CDF reads) from
+    // scratch. One materialization also freezes a non-deterministic
+    // source for every retry attempt — the same reason Delta's MERGE
+    // materializes its source. Released on every exit path; the
+    // staged parquet files, not the pinned blocks, carry the result.
+    val (src, srcBlocks) = Checkpoints.pin(source)
+    try mergePinned(src, keys, srcKeys, whenMatchedUpdate,
+      whenMatchedDelete, whenNotMatchedInsert, maxRetries, updateSet,
+      insertValues, whenNotMatchedBySourceUpdate,
+      whenNotMatchedBySourceDelete, widenBy, txn, nullSafeKeys)
+    finally Checkpoints.release(spark, srcBlocks)
+  }
+
+  /** [[merge]]'s body over the pinned source — see the pin note
+    * there. `srcKeys` is already defaulted/validated. */
+  private def mergePinned(source: DataFrame, keys: Seq[String],
+      srcKeys: Seq[String],
+      whenMatchedUpdate: Option[Column],
+      whenMatchedDelete: Option[Column],
+      whenNotMatchedInsert: Option[Column],
+      maxRetries: Int,
+      updateSet: Option[Map[String, Column]],
+      insertValues: Option[Map[String, Column]],
+      whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])],
+      whenNotMatchedBySourceDelete: Option[Column],
+      widenBy: org.apache.spark.sql.types.StructType,
+      txn: Option[(String, Long)],
+      nullSafeKeys: Boolean): Commit = {
     // a NOT MATCHED BY SOURCE clause can touch ANY target row, so
     // source-derived bounds must not prune the candidate set
     val hasNms = whenNotMatchedBySourceUpdate.isDefined ||
       whenNotMatchedBySourceDelete.isDefined
-    // PER-KEY-COLUMN source bounds for stats pruning, resolved once —
-    // one driver-side single-row agg over all key columns. Each key
-    // column whose source min is non-null contributes a bound; the
-    // candidate file sets INTERSECT in [[pruneFiles]] (conservative:
-    // a file missing any one key's range cannot hold a matching row),
-    // so a composite-key needle merge rewrites a handful of files,
-    // not the table. A key with null min (all-null or empty source)
-    // prunes nothing through SQL `=` anyway and is skipped.
-    val boundAggs = srcKeys.flatMap(k => Seq(
-      org.apache.spark.sql.functions.min(col(k)),
-      org.apache.spark.sql.functions.max(col(k)),
-      org.apache.spark.sql.functions.sum(
-        when(col(k).isNull, 1L).otherwise(0L))))
-    val boundRow = source.agg(boundAggs.head, boundAggs.tail: _*).head()
+    // Duplicate-key guard and PER-KEY-COLUMN pruning bounds FUSED into
+    // one aggregation over the pinned source (r18; they were two
+    // separate jobs, each re-running the source plan): grouping by the
+    // key tuple, max(count) > 1 ⟺ a duplicate key exists, and for the
+    // key columns themselves min/max over the group rows equal min/max
+    // over the source rows (the group keys ARE the row values), so the
+    // bounds ride the same pass. Each key column whose source min is
+    // non-null contributes a bound; the candidate file sets INTERSECT
+    // in [[pruneFiles]] (conservative: a file missing any one key's
+    // range cannot hold a matching row), so a composite-key needle
+    // merge rewrites a handful of files, not the table. A key with
+    // null min (all-null or empty source) prunes nothing through SQL
+    // `=` anyway and is skipped.
+    val boundAggs =
+      org.apache.spark.sql.functions.max(col("__n")).as("__dup") +:
+        srcKeys.flatMap(k => Seq(
+          org.apache.spark.sql.functions.min(col(k)),
+          org.apache.spark.sql.functions.max(col(k)),
+          org.apache.spark.sql.functions.max(
+            when(col(k).isNull, 1L).otherwise(0L))))
+    val boundRow = source.groupBy(srcKeys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+      .agg(boundAggs.head, boundAggs.tail: _*).head()
+    require(boundRow.isNullAt(0) || boundRow.getLong(0) <= 1L,
+      s"source has duplicate rows per key ${srcKeys.mkString(",")}: a " +
+        "target row may match at most one source row (collapse with " +
+        "upsert's latest-wins first if that is the intent)")
     // bounds carry the TARGET key names — they prune the target's
     // files — with values from the SOURCE side of each pair. Under
     // nullSafeKeys a column with ANY null source key contributes no
@@ -3856,10 +3894,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     // on that column could wrongly drop the very file holding it.
     val bounds: Seq[(String, Option[Any], Option[Any])] =
       keys.zipWithIndex.flatMap { case (k, i) =>
-        if (boundRow.isNullAt(3 * i)) None
-        else if (nullSafeKeys && boundRow.getLong(3 * i + 2) > 0L) None
-        else Some((k, Option(boundRow.get(3 * i)),
-          Option(boundRow.get(3 * i + 1))))
+        if (boundRow.isNullAt(3 * i + 1)) None
+        else if (nullSafeKeys && boundRow.getLong(3 * i + 3) > 0L) None
+        else Some((k, Option(boundRow.get(3 * i + 1)),
+          Option(boundRow.get(3 * i + 2))))
       }
     // rebase pruning bounds: a full-table merge (no derivable bounds,
     // or NOT MATCHED BY SOURCE clauses reading everything) rebases
