@@ -71,6 +71,18 @@ object Logistic {
     // anchor trick as the EWMA α. The scale change is absorbed into
     // the (arbitrary) learning rate.
     val n = labels.count().toDouble + 1.0 / 3.0
+    // r18: the weight vector lives on the DRIVER between rounds — it
+    // is FIXED-SIZE by construction (hashed buckets; the class doc's
+    // contract, and MLlib's own iterate-on-the-driver discipline), so
+    // each round collects the O(buckets) rounded gradient and applies
+    // the step `w ← w − lr·g` in identical IEEE double arithmetic,
+    // instead of running a per-round w ⋈ g job + checkpoint + a
+    // broadcast-build job over the distributed weight table. Per round
+    // exactly ONE action remains (the gradient aggregation); the
+    // weights re-enter the plan as a broadcast local relation, whose
+    // broadcast build is driver-local (no job). Nothing example-scale
+    // is ever collected — only the weight table, the model itself.
+    //
     // weights start at 1e-9, not 0: a zero start makes round 1's
     // residuals exactly +-0.5 and the whole first gradient RATIONAL,
     // which can land exactly on a 6-decimal rounding tie (observed:
@@ -79,29 +91,47 @@ object Logistic {
     // offset moves exact ties off the boundary by ~1e-9 — far above
     // the 1e-16 cross-engine sum noise — while being far below any
     // fit-relevant scale.
-    var w = f.select(col("b")).distinct()
-      .withColumn("w", lit(1e-9)).localCheckpoint()
+    val spark = features.sparkSession
+    val bType = f.schema("b").dataType
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b", bType, nullable = false),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def wFrame(pairs: Seq[(Any, Double)]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        pairs.map { case (b, v) =>
+          org.apache.spark.sql.Row(b, v) }.asJava, wSchema)
+    }
+    // occurring buckets, in one deterministic driver-side order (the
+    // order never affects results — weights are only ever hash-joined
+    // on b — but a stable frame beats an arbitrary one)
+    val buckets: Seq[Any] = f.select(col("b")).distinct()
+      .collect().toSeq.map(_.get(0)).sortBy(_.toString)
+    var w: Seq[(Any, Double)] = buckets.map(_ -> 1e-9)
     var round_ = 0
     while (round_ < iterations) {
+      val wb = broadcast(wFrame(w))
       // margins and residuals in ONE aggregation over the label-carrying
       // feature table: y is constant per example, so max(y) recovers it
       // without a join — the per-row residual expression is the same
       // double arithmetic as the former m ⋈ l form, term by term
-      val r = fl.join(broadcast(w), "b")
+      val r = fl.join(wb, "b")
         .groupBy("doc_id")
         .agg(sum(col("w") * col("x")).as("m"), max(col("y")).as("y"))
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("resid"))
-      val g = fl.join(r, "doc_id")
+      val g: Map[Any, Double] = fl.join(r, "doc_id")
         .groupBy("b")
         .agg(round(sum(col("resid") * col("x")) / lit(n), 6).as("g"))
-      w = w.join(g, Seq("b"), "left")
-        .select(col("b"),
-          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
-        .localCheckpoint()
+        .collect().iterator
+        .map(row => row.get(0) -> row.getDouble(1)).toMap
+      // the LEFT-join step, driver-side: buckets with no gradient this
+      // round (no labeled example carries them) step by exactly 0.0
+      w = w.map { case (b, wv) => b -> (wv - lr * g.getOrElse(b, 0.0)) }
       round_ += 1
     }
-    w
+    wFrame(w)
   }
 
   /** Score examples under a weight table: margin, sigmoid score, and
