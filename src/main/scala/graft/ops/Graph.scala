@@ -86,6 +86,12 @@ object Graph {
     val bcast = n <= 5e6
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
+    // (Evaluated and rejected, r18: looping the rank vector through the
+    // driver — collect + re-enter as a local relation — on the
+    // broadcast-sized dangling-free path. Measured: job count 21 → 22
+    // (JobCountProbe) and shared-sweep wall slightly WORSE; the same
+    // collect-loop cost ~0.4 s/round on labelPropagation's LpProbe A/B.
+    // The per-round localCheckpoint loop stays.)
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     var round = 0
     while (round < iterations) {
@@ -141,9 +147,14 @@ object Graph {
       packedLongLabels: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    // node vector WITH per-node in-degree: the same single exchange the
+    // old `distinct` paid (groupBy on the union ≡ distinct), and the
+    // max in-degree rides the pin job as an observe() metric — it gates
+    // the fused-exchange round shape below (r18), which must not
+    // funnel a web-scale hub's raw in-edge list into one partition.
+    val nodes0 = e.select(col("src").as("node"), lit(0L).as("__in"))
+      .union(e.select(col("dst").as("node"), lit(1L).as("__in")))
+      .groupBy(col("node")).agg(sum(col("__in")).as("__in"))
     // packed path's contract checked once, on the O(nodes) vector the
     // loop materializes anyway — a violating key fails the job loudly
     // instead of silently mis-ranking
@@ -152,19 +163,41 @@ object Graph {
         raise_error(concat(lit("labelPropagation(packedLongLabels): node "),
           col("node").cast("string"),
           lit(s" outside [0, $PackBase)")))).otherwise(col("node"))
-        .as("node"))
+        .as("node"), col("__in"))
     else nodes0)
     // same adaptive discipline as [[pageRank]]: the label vector is
     // O(nodes) — broadcast it to the edge partitions while it fits, so
     // a round's only exchange is the vote aggregate; shuffle joins
-    // past the threshold. The count rides the checkpoint's own
-    // materialization job as an observe() metric (r17) instead of a
-    // second count job over the pinned vector.
+    // past the threshold. The count and max in-degree ride the
+    // checkpoint's own materialization job as observe() metrics (r17)
+    // instead of separate jobs over the pinned vector.
     val ob = org.apache.spark.sql.Observation()
-    val nodesPinned = nodes
-      .observe(ob, count(lit(1)).as("n")).localCheckpoint()
+    val nodesAgg = nodes
+      .observe(ob, count(lit(1)).as("n"), max(col("__in")).as("maxin"))
+      .localCheckpoint()
+    val nodesPinned = nodesAgg.select(col("node"))
     val bcast = ob.get("n").asInstanceOf[Long] <= 5000000L
+    // FUSED-EXCHANGE rounds (r18, packed path): HashPartitioning(node2)
+    // satisfies the ClusteredDistribution of BOTH per-round aggregates
+    // (a strict subset of (node2, label)), so one repartition(node2) of
+    // the raw vote rows replaces the two aggregate exchanges and the
+    // whole round runs in one shuffle + one codegen stage — measured
+    // 4.6 → 3.3 s on the bench graph (LpProbe A/B, sf0.1). The cost is
+    // losing map-side partial aggregation on the vote table: every raw
+    // vote for a node lands in that node's partition, so the shape is
+    // gated on max in-degree — a hub past the gate would concentrate
+    // its whole raw in-edge list in one task, exactly the skew the
+    // partial-aggregated two-exchange shape absorbs (guide §2.5).
+    val fuse = packedLongLabels &&
+      Option(ob.get("maxin")).forall(_.asInstanceOf[Long] <= 5000000L)
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // (Evaluated and rejected, r18: looping the label vector through
+    // the driver — collect + re-enter as a local relation, saving the
+    // per-round checkpoint job and the distributed broadcast build —
+    // measured ~0.4 s/round SLOWER than the checkpoint loop at sf0.1
+    // (LpProbe: operator-with-collect 4.6–5.1 s vs fused-checkpoint
+    // 3.1–3.7 s), erasing the fused-exchange win below. The checkpoint
+    // loop stays.)
     var labels = nodesPinned.withColumn("label", col("node"))
     var round = 0
     while (round < iterations) {
@@ -188,10 +221,13 @@ object Graph {
         // long pack); values stay ≤ __n·2⁴⁰ ≪ 10³⁸. The own-label
         // candidate folds in as a zero-weight vote row (sum(__w)
         // instead of count(1)): same groups, same counts, one shape.
-        val votes = e.join(side(labels), col("src") === col("node"))
+        val votes0 = e.join(side(labels), col("src") === col("node"))
           .select(col("dst").as("node2"), col("label"), lit(1L).as("__w"))
           .union(labels.select(col("node").as("node2"), col("label"),
             lit(0L).as("__w")))
+        // fused-exchange round shape (see the `fuse` gate note): one
+        // hash(node2) repartition feeds BOTH aggregates in one stage
+        val votes = (if (fuse) votes0.repartition(col("node2")) else votes0)
           .groupBy(col("node2"), col("label"))
           .agg(sum(col("__w")).as("__n"))
         votes
