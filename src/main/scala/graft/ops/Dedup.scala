@@ -196,7 +196,7 @@ object Dedup {
     * over-MaxBucket buckets (skew guard; `chainCapped` instead chains
     * them to their min id), then explode the ordered pairs of each
     * surviving bucket in place — no self-join, no second pass. */
-  private def lshCandidates(
+  private[graft] def lshCandidates(
       sig: DataFrame, chainCapped: Boolean = false): DataFrame =
     bucketPairs(
       sig.select(
@@ -261,8 +261,14 @@ object Dedup {
     // cheaply. Flip on for long-document corpora or multi-consumer use.
     val sh0 = shingleTable(docs)
     val sh = if (cacheShingles) persisted(sh0) else sh0
-    val sig = persisted(
-      sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
+    // NOT persisted (r18): the signature table has exactly ONE consumer
+    // here — the banding candidate generator, whose pair output is
+    // eagerly checkpointed inside verifyPairs — so a cache would pay
+    // the columnar encode of every (doc_id, long[12]) row to serve one
+    // scan. (Multi-consumer signature tables — the streaming near-dup
+    // index, signatureNearDups callers — persist on the caller's side.)
+    val sig =
+      sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
     val verified =
       if (cacheShingles)
         verifyPairs(lshCandidates(sig), docs, broadcastLimit,
@@ -293,11 +299,12 @@ object Dedup {
   def minhashNearDupsFast(
       docs: DataFrame, threshold: Double,
       broadcastLimit: Long = BroadcastVerifyLimit): DataFrame = {
-    val sig = persisted(fanOut(docs)
+    // not persisted — single consumer, same note as [[minhashNearDups]]
+    val sig = fanOut(docs)
       .select(col("doc_id"),
         call_function("minhash_sig_fast",
           col("text"), lit(ShingleN), lit(MinHashK)).as("sig"))
-      .where(col("sig").isNotNull))
+      .where(col("sig").isNotNull)
     verifyPairs(lshCandidates(sig), docs, broadcastLimit)
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
