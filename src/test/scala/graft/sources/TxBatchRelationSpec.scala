@@ -59,18 +59,40 @@ class TxBatchRelationSpec extends SparkTestBase {
     val t = TxTable(spark, s"$dir/t")
     (0 until 4).foreach(i => t.append(df(i * 100 until i * 100 + 100)))
     // corrupt a file whose id range is [300, 399]: a scan that opens it
-    // fails loudly, so a SUCCESSFUL pruned read PROVES it was skipped
+    // fails loudly, so a SUCCESSFUL pruned read PROVES it was skipped.
+    // Only the DATA PAGES are destroyed — the parquet magic and footer
+    // stay intact — because schema inference legitimately reads ONE
+    // footer (the lexicographically first data file's), and the staged
+    // names are random UUIDs: truncating the whole file made the test
+    // flake whenever the victim happened to sort first (observed), which
+    // tests inference's file pick, not the pruned scan under test.
     val victim = t.snapshot().files.find { f =>
       spark.read.parquet(f).agg(min(col("id"))).head().getLong(0) == 300L
     }.get
-    Files.write(new File(victim).toPath, Array.fill[Byte](64)(0x7))
+    locally {
+      val raf = new java.io.RandomAccessFile(victim, "rw")
+      try {
+        // footer = trailing [4-byte length][PAR1]; wreck everything
+        // between the leading magic and the footer start
+        raf.seek(raf.length() - 8)
+        val lenBytes = new Array[Byte](4)
+        raf.readFully(lenBytes)
+        val footerLen = java.nio.ByteBuffer.wrap(lenBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val footerStart = raf.length() - 8 - footerLen
+        raf.seek(4)
+        raf.write(Array.fill[Byte]((footerStart - 4).toInt)(0x7))
+      } finally raf.close()
+    }
     val rel = spark.read.format("txtable").option("path", s"$dir/t").load()
     assert(rel.where(col("id") === 42L).count() === 1)
     assert(rel.where(col("id") >= 100L && col("id") < 150L).count() === 50)
     // IN prunes via its conservative [min, max] envelope too
     assert(rel.where(col("id").isin(42L, 55L)).count() === 2)
     // without the predicate the corrupt file IS read -> loud failure
-    intercept[Exception] { rel.count() }
+    // (an aggregate over a real column: a bare count() is served from
+    // footer metadata alone and never touches the wrecked pages)
+    intercept[Exception] { rel.agg(sum(col("id"))).head() }
   }
 
   test("save modes: append, overwrite, errorIfExists, ignore") {
